@@ -1,0 +1,308 @@
+package graft
+
+/** DuckDB oracle SQL for [[SparkEntry.queries]] (driver runs these on the
+  * same parquet tables at sf0.01 and hash-compares). Engine-parity notes:
+  * regexp_replace needs the 'g' flag in DuckDB (Spark replaces all by
+  * default); SUM/COUNT are cast to pin DuckDB's HUGEINT widening back to
+  * BIGINT/DOUBLE; double sums run through exact DECIMAL(18,2) on both
+  * sides. Queries without an entry here (minhash/simhash/LSH-ANN) are
+  * non-SQL-expressible and get the driver's rows-only check.
+  */
+object Oracles {
+
+  private val norm = raw"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+
+  /** Inner-product of two DOUBLE[] as a strictly left-to-right fold —
+    * bit-compatible with Spark's aggregate(zip_with(...)) evaluation. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def normSql(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+
+  private val langProfiles = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " de "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "))
+
+  private def occSql(padded: String, w: String): String =
+    s"CAST((length($padded) - length(replace($padded, '$w', ''))) / ${w.length} AS BIGINT)"
+
+  private val langScoreCols: String = langProfiles.map { case (lang, ws) =>
+    ws.map(w => occSql("p", w)).mkString("(", " + ", s") AS s_$lang")
+  }.mkString(", ")
+
+  val sql: Map[String, String] = Map(
+    "q_p1_distinct_project" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_p2_eq_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+
+    "q_p4_null_predicate" ->
+      """SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_nn FROM orders
+        |WHERE NULLIF(o_orderstatus, 'O') IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
+    "q_p5_disjunctive" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'R' OR l_discount > 0.09 OR l_quantity >= 49
+        |   OR l_tax < 0.001 OR l_shipdate >= TIMESTAMP '2001-06-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_p6_interval" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <= TIMESTAMP '1997-12-31'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_p7_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
+        |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) < 50
+        |ORDER BY event_id""".stripMargin,
+
+    "q_p8_regex_dispatch" ->
+      """SELECT route, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+        |  SELECT CASE WHEN regexp_matches(source, '^src[0-2]$') THEN 'primary'
+        |              WHEN regexp_matches(source, '^src[0-9]+$') THEN 'secondary'
+        |              ELSE 'unrouted' END AS route
+        |  FROM documents)
+        |GROUP BY route ORDER BY route""".stripMargin,
+
+    "q_p11_base64" ->
+      """SELECT doc_id, to_base64(encode(substr(text, 1, 16))) AS b64,
+        |       CAST(length(decode(from_base64(to_base64(encode(substr(text, 1, 16)))))) AS BIGINT)
+        |         AS roundtrip_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_f1_amount_scale" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice / power(10, l_linenumber % 3) AS scaled
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_f2_fee_math" ->
+      """SELECT o_orderkey,
+        |       CAST(total - pf - COALESCE(rf, 0) AS DOUBLE) AS net_usd,
+        |       CAST(pf AS DOUBLE) AS protocol_fee_usd
+        |FROM (SELECT o_orderkey,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.05 AS DECIMAL(3,2)) AS pf,
+        |             CASE WHEN o_orderstatus = 'F'
+        |                  THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.01 AS DECIMAL(3,2))
+        |             END AS rf
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_f4_ts_convert" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms,
+        |       make_timestamp(epoch_ms(ts) * 1000) AS ts_rebuilt
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_f5_date_key" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%d-%m-%Y') AS date_key
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_f6_digit_guard" ->
+      """SELECT c_custkey,
+        |       CAST(NULLIF(regexp_extract(c_name, '([0-9]+)', 1), '') AS BIGINT) AS cust_num
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_f9_slugify" ->
+      raw"""SELECT p_partkey,
+        |       regexp_replace(lower(concat_ws(' ', p_brand, p_type, p_name)),
+        |                      '[^a-z0-9]+', '-', 'g') AS slug
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_j1_fk_expand" ->
+      """SELECT o_orderkey, c_name, n_name, r_name
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_j2_exists_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_j4_distinct_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_j5_global_stats" ->
+      """SELECT * FROM
+        |(SELECT CAST(COUNT(*) AS BIGINT) AS orders_count,
+        |        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS unique_customers,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_usd
+        | FROM orders) a,
+        |(SELECT CAST(COUNT(*) AS BIGINT) AS lineitem_count,
+        |        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS unique_parts
+        | FROM lineitem) b""".stripMargin,
+
+    "q_j6_asof_join" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT * FROM events WHERE event_type = 'view'),
+        |     j AS (SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |                  abs(epoch_us(p.ts) - epoch_us(v.ts)) AS delta_us,
+        |                  p.value * v.value AS usd_value,
+        |                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |                    ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)) ASC,
+        |                             v.event_id ASC) AS rn
+        |           FROM p JOIN v ON p.user_id = v.user_id
+        |            AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 86400000000)
+        |SELECT purchase_id, view_id, delta_us, usd_value FROM j WHERE rn = 1
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q_j7_latest_per_group" ->
+      """SELECT user_id, event_id, ts, event_type FROM
+        |(SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_j8_anti_discover" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_a2_account_rollup" ->
+      """SELECT c_custkey,
+        |       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+        |       CAST(COALESCE(total_usd, 0.0) AS DOUBLE) AS total_usd,
+        |       CAST(COALESCE(n_priorities, 0) AS BIGINT) AS n_priorities
+        |FROM customer LEFT JOIN
+        |(SELECT o_custkey, COUNT(*) AS n_orders,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_usd,
+        |        COUNT(DISTINCT o_orderpriority) AS n_priorities
+        | FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_a3_conditional_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o,
+        |       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
+        |       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_a5_lww_upsert" ->
+      """SELECT user_id, event_type, event_id, value FROM
+        |(SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_o2_topk" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 25""".stripMargin,
+
+    "q_o3_page_slice" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 30 OFFSET 60""".stripMargin,
+
+    "q_o5_random_pick" ->
+      """SELECT c_mktsegment, c_custkey FROM
+        |(SELECT c_mktsegment, c_custkey,
+        |        ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |          ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+        | FROM customer)
+        |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "q_w1_hourly_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_set_union_except" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_txt1_quality" ->
+      raw"""SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |       CAST(toks AS BIGINT) AS n_tokens,
+        |       CAST(length(text) AS DOUBLE) / CAST(toks AS DOUBLE) AS avg_token_len,
+        |       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |         / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |         / CAST(length(text) AS DOUBLE) AS digit_ratio
+        |FROM (SELECT *, CASE WHEN length(trim(text)) = 0 THEN 0
+        |                     ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_txt2_langid" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+         |            WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+         |            WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+         |            WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+         |            ELSE 'fr' END AS predicted_lang,
+         |       s_en AS en_score
+         |FROM (SELECT doc_id, $langScoreCols
+         |      FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_txt3_fingerprint" ->
+      s"""SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id""",
+
+    "q_dd1_exact_dedup" ->
+      s"""SELECT md5($norm) AS fp,
+         |       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q_dd2_jaccard_pairs" ->
+      raw"""WITH l AS (SELECT doc_id AS id_a, text AS ta, lang FROM documents WHERE doc_id % 50 = 0),
+        |     r AS (SELECT doc_id AS id_b, text AS tb, lang FROM documents),
+        |     p AS (SELECT id_a, id_b,
+        |                  list_distinct(string_split(lower(regexp_replace(trim(ta), '\s+', ' ', 'g')), ' ')) AS wa,
+        |                  list_distinct(string_split(lower(regexp_replace(trim(tb), '\s+', ' ', 'g')), ' ')) AS wb
+        |           FROM l JOIN r USING (lang) WHERE id_b > id_a),
+        |     s AS (SELECT id_a, id_b,
+        |                  CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |                    / CAST(len(list_distinct(list_concat(wa, wb))) AS DOUBLE) AS jaccard_sim
+        |           FROM p)
+        |SELECT id_a, id_b, jaccard_sim FROM s WHERE jaccard_sim >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dd5_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |           FROM embeddings WHERE vec_id % 5 = 0),
+         |     pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |                   ${cosSql("a.v", "b.v")} AS cos_sim
+         |            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos_sim FROM pr WHERE cos_sim >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim1_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 8),
+         |     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+         |           FROM embeddings),
+         |     s AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos_sim
+         |           FROM q, c WHERE neighbor_id != query_id),
+         |     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM s)
+         |SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_mm1_binary_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_hash,
+        |       CAST(strlen(text) % 640 AS BIGINT) AS fake_width
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

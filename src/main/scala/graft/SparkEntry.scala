@@ -1,13 +1,470 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{Amounts, DedupFunctions, Similarity, TextFunctions}
+import graft.operators.{AsOfJoin, Relational}
+
+/** Driver contract — the operator-inventory correctness surface.
+  *
+  * Each entry exercises one operator family from SURVEY.md §2 over the
+  * harness tables (TESTDATA.md), with a DuckDB-equivalent oracle in
+  * [[oracleSql]]. Engine-parity rules used throughout:
+  *  - aggregates over doubles go through exact DECIMAL arithmetic and are
+  *    cast to double at the end (bit-identical across engines);
+  *  - pure double arithmetic (+,-,*,/) is IEEE-deterministic and safe;
+  *    `round()` and float accumulation orders are avoided;
+  *  - every result has a deterministic ORDER BY with unique tie-breaks;
+  *  - counts are BIGINT on both sides (DuckDB SUM/COUNT casts pinned).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * End-to-end slice: fact scan → broadcast dimension expansion (J1) →
+    * per-group exact-decimal aggregation (A2) → deterministic top-k (O2).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val enriched = t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"), "left")
+    enriched.groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total_usd"))
+      .orderBy(col("total_usd").desc, col("n_name").asc)
+      .limit(10)
+  }
+
+  private val dec182 = DecimalType(18, 2)
+  private def dsum(c: Column): Column = sum(c.cast(dec182)).cast("double")
+
+  /** Constructed timestamps go out as TIMESTAMP_NTZ so parquet stores naive
+    * (un-adjusted) values matching the DuckDB oracle; session TZ is UTC so
+    * the wall-clock value is unchanged. */
+  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
+
+  // ---------------------------------------------------------------- P: filters
+
+  /** P1 — column projection + distinct. */
+  private def p1(t: Tables): DataFrame =
+    t.lineitem.select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** P2 — equality filter on a key/enum column. */
+  private def p2(t: Tables): DataFrame =
+    t.orders.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** P4 — NULL predicate (on a NULLIF-derived column, as the testdata has
+    * no native nulls). */
+  private def p4(t: Tables): DataFrame =
+    t.orders
+      .withColumn("status_nn", expr("nullif(o_orderstatus, 'O')"))
+      .filter(col("status_nn").isNotNull)
+      .select("o_orderkey", "status_nn")
+      .orderBy("o_orderkey")
+
+  /** P5 — 5-way disjunctive predicate (tasks.py:155-161 analog). */
+  private def p5(t: Tables): DataFrame =
+    t.lineitem.filter(
+      col("l_returnflag") === "R" ||
+        col("l_discount") > 0.09 ||
+        col("l_quantity") >= 49 ||
+        col("l_tax") < 0.001 ||
+        col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P6 — interval containment ("live pots" shape, accounts/api.py:205-214). */
+  private def p6(t: Tables): DataFrame =
+    t.orders.filter(
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") <= lit("1997-12-31").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate")
+      .orderBy("o_orderkey")
+
+  /** P7/F8 — JSON field extraction + predicate (profile-category shape,
+    * lists/api.py:157-161). */
+  private def p7(t: Tables): DataFrame =
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull && col("k") >= 10 && col("k") < 50)
+      .select("event_id", "k")
+      .orderBy("event_id")
+
+  /** P8 — regex dispatch routing (contract-address patterns,
+    * pots/utils.py:5-21). */
+  private def p8(t: Tables): DataFrame =
+    t.documents
+      .withColumn("route",
+        when(col("source").rlike("^src[0-2]$"), "primary")
+          .when(col("source").rlike("^src[0-9]+$"), "secondary")
+          .otherwise("unrouted"))
+      .groupBy("route").agg(count(lit(1)).as("n_docs"))
+      .orderBy("route")
+
+  /** P11/F7 — base64 encode/decode round-trip (FunctionCall args shape,
+    * handler.py:171-196). */
+  private def p11(t: Tables): DataFrame =
+    t.documents
+      .withColumn("b64", base64(substring(col("text"), 1, 16).cast("binary")))
+      .withColumn("roundtrip_len", length(unbase64(col("b64")).cast("string")).cast("long"))
+      .select("doc_id", "b64", "roundtrip_len")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- F: scalars
+
+  /** F1 — amount / 10^decimals scaling (tokens/models.py:59-62). */
+  private def f1(t: Tables): DataFrame =
+    t.lineitem
+      .withColumn("scaled", col("l_extendedprice") / pow(lit(10.0), pmod(col("l_linenumber"), lit(3))))
+      .select("l_orderkey", "l_linenumber", "scaled")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F2 — fee arithmetic in exact decimals (net = total − fees,
+    * utils.py:875-884). */
+  private def f2(t: Tables): DataFrame = {
+    val total = col("o_totalprice").cast(dec182)
+    val protocolFee = total * lit(new java.math.BigDecimal("0.05"))
+    val referrerFee = when(col("o_orderstatus") === "F", total * lit(new java.math.BigDecimal("0.01")))
+    val net = total - protocolFee - coalesce(referrerFee, lit(new java.math.BigDecimal("0.00")))
+    t.orders
+      .withColumn("net_usd", net.cast("double"))
+      .withColumn("protocol_fee_usd", protocolFee.cast("double"))
+      .select("o_orderkey", "net_usd", "protocol_fee_usd")
+      .orderBy("o_orderkey")
+  }
+
+  /** F4 — epoch-milliseconds ↔ timestamp conversions (handler.py:50-52,
+    * utils.py:886-888). */
+  private def f4(t: Tables): DataFrame =
+    t.events
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("ts_rebuilt", ntz(timestamp_millis(col("ts_ms"))))
+      .select("event_id", "ts_ms", "ts_rebuilt")
+      .orderBy("event_id")
+
+  /** F5 — dd-MM-yyyy date key (coingecko key, base/utils.py:4-8). */
+  private def f5(t: Tables): DataFrame =
+    t.orders
+      .withColumn("date_key", Amounts.dateKey(col("o_orderdate")))
+      .select("o_orderkey", "date_key")
+      .orderBy("o_orderkey")
+
+  /** F6 — digit-guard before integer cast (tasks.py:200-204). */
+  private def f6(t: Tables): DataFrame =
+    t.customer
+      .withColumn("digits", regexp_extract(col("c_name"), "([0-9]+)", 1))
+      .withColumn("cust_num", Amounts.digitGuardedLong(col("digits")))
+      .select("c_custkey", "cust_num")
+      .orderBy("c_custkey")
+
+  /** F9 — slugify (chains/models.py:14-21). */
+  private def f9(t: Tables): DataFrame =
+    t.part
+      .withColumn("slug", Amounts.slugify(concat_ws(" ", col("p_brand"), col("p_type"), col("p_name"))))
+      .select("p_partkey", "slug")
+      .orderBy("p_partkey")
+
+  // ---------------------------------------------------------------- J: joins
+
+  /** J1 — serializer FK expansion: fact → 3 broadcast dims
+    * (donations/serializers.py:44-49). */
+  private def j1(t: Tables): DataFrame =
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"), "left")
+      .select("o_orderkey", "c_name", "n_name", "r_name")
+      .orderBy("o_orderkey")
+
+  /** J2 — EXISTS semi-join (accounts/api.py:82-83). */
+  private def j2(t: Tables): DataFrame =
+    Relational.semiJoin(
+      t.customer,
+      t.orders.filter(col("o_totalprice") > 200000.0),
+      col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** J4 — distinct-project-then-IN (pot sponsors, pots/api.py:250-255). */
+  private def j4(t: Tables): DataFrame =
+    Relational.semiJoin(
+      t.customer,
+      t.orders.filter(col("o_orderstatus") === "P").select("o_custkey").distinct(),
+      col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** J5/A1 — distinct-count aggregates (base/api.py:60-79). */
+  private def j5(t: Tables): DataFrame = {
+    val o = t.orders.agg(
+      count(lit(1)).as("orders_count"),
+      countDistinct(col("o_custkey")).as("unique_customers"),
+      dsum(col("o_totalprice")).as("total_usd"))
+    val l = t.lineitem.agg(
+      count(lit(1)).as("lineitem_count"),
+      countDistinct(col("l_partkey")).as("unique_parts"))
+    o.crossJoin(l)
+  }
+
+  /** J6/F3 — temporal as-of join with ±24h tolerance + price conversion
+    * (tokens/models.py:64-74; donations/models.py:210-247). For each
+    * purchase event: the nearest view event of the same user within 24h. */
+  private def j6(t: Tables): DataFrame = {
+    val purchases = t.events.filter(col("event_type") === "purchase")
+    val views = t.events.filter(col("event_type") === "view")
+    AsOfJoin.nearest(purchases, views,
+        Seq("user_id"), Seq("user_id"), "ts", "ts",
+        tolerance = 86400L, leftId = "event_id", rightTieBreak = "event_id")
+      .select(
+        col("l.event_id").as("purchase_id"),
+        col("r.event_id").as("view_id"),
+        col("__delta_us").as("delta_us"),
+        (col("l.value") * col("r.value")).as("usd_value"))
+      .orderBy("purchase_id")
+  }
+
+  /** J7 — latest-per-group (most recent price, tokens/models.py:56-57). */
+  private def j7(t: Tables): DataFrame =
+    Relational.latestPerGroup(t.events,
+        Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_id"), ntz(col("ts")).as("ts"), col("event_type"))
+      .orderBy("user_id")
+
+  /** J8 — anti-join discovery (new-accounts except, utils.py:892-918). */
+  private def j8(t: Tables): DataFrame =
+    Relational.antiJoin(t.part, t.lineitem, col("p_partkey") === col("l_partkey"))
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+
+  // ---------------------------------------------------------------- A: aggregates
+
+  /** A2 — per-account stats rollup incl. zero-activity accounts
+    * (tasks.py:275-327, reduced from O(N) SQL loops to one shuffle). */
+  private def a2(t: Tables): DataFrame = {
+    val perCust = t.orders.groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_usd"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+    t.customer
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_usd"), lit(0.0)).as("total_usd"),
+        coalesce(col("n_priorities"), lit(0L)).as("n_priorities"))
+      .orderBy("c_custkey")
+  }
+
+  /** A3 — grouped conditional aggregation (per-pot matching-pool split,
+    * tasks.py:188-272). */
+  private def a3(t: Tables): DataFrame =
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        dsum(when(col("l_linestatus") === "F", col("l_quantity"))).as("qty_f"),
+        dsum(when(col("l_linestatus") === "O", col("l_quantity"))).as("qty_o"),
+        count(when(col("l_linestatus") === "F", 1)).as("n_f"),
+        count(when(col("l_linestatus") === "O", 1)).as("n_o"))
+      .orderBy("l_returnflag")
+
+  /** A5/S7 — last-writer-wins upsert dedup on a natural key
+    * (update_or_create semantics, utils.py:978-982). */
+  private def a5(t: Tables): DataFrame =
+    Relational.lwwDedup(t.events,
+        Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_type", "event_id", "value")
+      .orderBy("user_id", "event_type")
+
+  // ---------------------------------------------------------------- O/W: order, pages, windows
+
+  /** O2 — top-k sort (donor leaderboard, accounts/api.py:84-88). */
+  private def o2(t: Tables): DataFrame =
+    Relational.topK(t.customer,
+        Seq(col("c_acctbal").desc, col("c_custkey").asc), 25)
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  /** O3/A4 — deterministic page slice, page 3 of size 30
+    * (api/pagination.py:8-24). */
+  private def o3(t: Tables): DataFrame =
+    Relational.pageSlice(t.orders, Seq(col("o_orderkey").asc), page = 3, pageSize = 30)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+
+  /** O5/F10 — seeded pseudo-random pick per group
+    * (random_registration, lists/api.py:216-223). */
+  private def o5(t: Tables): DataFrame =
+    Relational.pseudoRandomPickPerGroup(t.customer,
+        Seq("c_mktsegment"), col("c_custkey").cast("string"))
+      .select("c_mktsegment", "c_custkey")
+      .orderBy("c_mktsegment")
+
+  /** W — event-time tumbling-window aggregation (streaming gold shape;
+    * batch-equivalent of the windowed stream agg). */
+  private def w1(t: Tables): DataFrame =
+    t.events
+      .groupBy(ntz(date_trunc("hour", col("ts"))).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** SET — union + except on keys (ignore_conflicts / discovery,
+    * SURVEY §2.8). */
+  private def set1(t: Tables): DataFrame =
+    t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .union(t.customer.filter(col("c_acctbal") > 9000.0).select("c_custkey"))
+      .distinct()
+      .except(t.orders.filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  // ---------------------------------------------------------------- T: text analysis
+
+  /** TXT1 — token counting + quality signals. */
+  private def txt1(t: Tables): DataFrame = {
+    val sig = TextFunctions.qualitySignals(col("text"))
+    sig.foldLeft(t.documents) { case (df, (name, c)) => df.withColumn(name, c) }
+      .select((Seq(col("doc_id")) ++ sig.map(s => col(s._1))): _*)
+      .orderBy("doc_id")
+  }
+
+  /** TXT2 — heuristic language ID (stopword profiles). */
+  private def txt2(t: Tables): DataFrame =
+    t.documents
+      .withColumn("predicted_lang", TextFunctions.langId(col("text")))
+      .withColumn("en_score", TextFunctions.langScore(col("text"), TextFunctions.stopwordProfiles.head._2))
+      .select("doc_id", "predicted_lang", "en_score")
+      .orderBy("doc_id")
+
+  /** TXT3 — document fingerprinting (md5 of normalized content). */
+  private def txt3(t: Tables): DataFrame =
+    t.documents
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- D: dedup
+
+  /** DD1 — exact dedup via content-hash groups. */
+  private def dd1(t: Tables): DataFrame =
+    DedupFunctions.exactDuplicateGroups(t.documents, "doc_id", "text")
+      .orderBy("fp")
+
+  /** DD2 — n-gram/word Jaccard similarity over bucketed candidate pairs. */
+  private def dd2(t: Tables): DataFrame = {
+    val left = t.documents.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("id_a"), col("text").as("ta"), col("lang").as("lang"))
+    val right = t.documents
+      .select(col("doc_id").as("id_b"), col("text").as("tb"), col("lang").as("lang"))
+    left.join(right, Seq("lang"))
+      .filter(col("id_b") > col("id_a"))
+      .withColumn("jaccard_sim", DedupFunctions.jaccard(col("ta"), col("tb")))
+      .filter(col("jaccard_sim") >= 0.5)
+      .select("id_a", "id_b", "jaccard_sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DD3 — MinHash+LSH near-dup candidates (no SQL oracle: rows-only). */
+  private def dd3(t: Tables): DataFrame =
+    DedupFunctions.minHashNearDupPairs(t.documents, "doc_id", "text",
+        shingleN = 2, k = 32, bands = 16, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** DD4 — SimHash signatures (no SQL oracle: rows-only). */
+  private def dd4(t: Tables): DataFrame =
+    t.documents
+      .withColumn("simhash", DedupFunctions.simHash(col("text")))
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
+  /** DD5 — embedding-cosine near-dup pairs within label buckets. */
+  private def dd5(t: Tables): DataFrame =
+    Similarity.embeddingNearDupPairs(
+        t.embeddings.filter(pmod(col("vec_id"), lit(5)) === 0),
+        "vec_id", "embedding", "label", threshold = 0.9)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------- S: similarity search
+
+  /** SIM1 — brute-force cosine top-k (exact ANN baseline). */
+  private def sim1(t: Tables): DataFrame =
+    Similarity.cosineTopK(
+        t.embeddings.filter(col("vec_id") < 8), t.embeddings,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+
+  /** SIM2 — LSH-bucketed ANN (scale path; no SQL oracle: rows-only). */
+  private def sim2(t: Tables): DataFrame =
+    Similarity.lshAnnTopK(
+        t.embeddings.filter(col("vec_id") < 8), t.embeddings,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, planes = 6)
+      .orderBy("query_id", "rank")
+
+  // ---------------------------------------------------------------- M: multimodal
+
+  /** MM1 — opaque binary column plumbing: payload bytes + typed metadata
+    * (decode step is a deterministic fake — see
+    * graft.multimodal; real codecs are out of scope in this container). */
+  private def mm1(t: Tables): DataFrame =
+    t.documents
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("content_hash", md5(col("payload")))
+      .withColumn("fake_width", pmod(col("n_bytes"), lit(640)).cast("long"))
+      .select("doc_id", "n_bytes", "content_hash", "fake_width")
+      .orderBy("doc_id")
+
+  // ================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
+      (s, dir) => f(Tables(s, dir))
+    Map(
+      "q_p1_distinct_project" -> q(p1),
+      "q_p2_eq_filter" -> q(p2),
+      "q_p4_null_predicate" -> q(p4),
+      "q_p5_disjunctive" -> q(p5),
+      "q_p6_interval" -> q(p6),
+      "q_p7_json_extract" -> q(p7),
+      "q_p8_regex_dispatch" -> q(p8),
+      "q_p11_base64" -> q(p11),
+      "q_f1_amount_scale" -> q(f1),
+      "q_f2_fee_math" -> q(f2),
+      "q_f4_ts_convert" -> q(f4),
+      "q_f5_date_key" -> q(f5),
+      "q_f6_digit_guard" -> q(f6),
+      "q_f9_slugify" -> q(f9),
+      "q_j1_fk_expand" -> q(j1),
+      "q_j2_exists_semi" -> q(j2),
+      "q_j4_distinct_semi" -> q(j4),
+      "q_j5_global_stats" -> q(j5),
+      "q_j6_asof_join" -> q(j6),
+      "q_j7_latest_per_group" -> q(j7),
+      "q_j8_anti_discover" -> q(j8),
+      "q_a2_account_rollup" -> q(a2),
+      "q_a3_conditional_agg" -> q(a3),
+      "q_a5_lww_upsert" -> q(a5),
+      "q_o2_topk" -> q(o2),
+      "q_o3_page_slice" -> q(o3),
+      "q_o5_random_pick" -> q(o5),
+      "q_w1_hourly_window" -> q(w1),
+      "q_set_union_except" -> q(set1),
+      "q_txt1_quality" -> q(txt1),
+      "q_txt2_langid" -> q(txt2),
+      "q_txt3_fingerprint" -> q(txt3),
+      "q_dd1_exact_dedup" -> q(dd1),
+      "q_dd2_jaccard_pairs" -> q(dd2),
+      "q_dd3_minhash_lsh" -> q(dd3),
+      "q_dd4_simhash" -> q(dd4),
+      "q_dd5_embed_neardup" -> q(dd5),
+      "q_sim1_cosine_topk" -> q(sim1),
+      "q_sim2_lsh_ann" -> q(sim2),
+      "q_mm1_binary_meta" -> q(mm1))
+  }
+
+  def oracleSql: Map[String, String] = Oracles.sql
 }

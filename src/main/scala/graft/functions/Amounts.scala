@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scalar functions for on-chain amounts, timestamps and identifiers.
+  *
+  * The reference stores u128 yoctoNEAR amounts as *strings* and converts
+  * with Python Decimal (base/utils.py:11-13, tokens/models.py:59-62). u128
+  * max ≈ 3.4e38 fits DecimalType(38,0) exactly, so all amount math stays in
+  * exact decimal arithmetic — never double — and only the final presentation
+  * layer may cast down.
+  */
+object Amounts {
+
+  /** u128-as-string → exact decimal (SURVEY §1.3). */
+  val U128: DecimalType = DecimalType(38, 0)
+
+  def u128(c: Column): Column = c.cast(U128)
+
+  /** amount / 10^decimals, exact (reference: tokens/models.py:59-62
+    * `format_price`). decimals ≤ 38 keeps the result in decimal space.
+    */
+  def scaleByDecimals(amount: Column, decimals: Column): Column =
+    u128(amount) / pow(lit(10.0), decimals)
+
+  /** Fee arithmetic: net = total − protocol − referrer(0) − chef(0) when the
+    * payload carries net as missing/zero (reference: utils.py:875-884,
+    * donations/migrations/0012:6-16). Null fees count as zero.
+    */
+  def netAmount(total: Column, protocolFee: Column, referrerFee: Column, chefFee: Column): Column = {
+    val zero = lit(0).cast(U128)
+    u128(total) -
+      coalesce(u128(protocolFee), zero) -
+      coalesce(u128(referrerFee), zero) -
+      coalesce(u128(chefFee), zero)
+  }
+
+  /** USD conversion: scaled amount × price (reference:
+    * donations/models.py:210-247). Null-propagating by construction. */
+  def toUsd(scaledAmount: Column, priceUsd: Column): Column =
+    scaledAmount * priceUsd
+
+  /** Block-header nanoseconds → timestamp (reference: handler.py:50-52). */
+  def nsToTimestamp(ns: Column): Column = timestamp_micros((ns / 1000).cast("long"))
+
+  /** Event-payload milliseconds → timestamp (reference: utils.py:886-888). */
+  def msToTimestamp(ms: Column): Column = timestamp_millis(ms.cast("long"))
+
+  /** `isdigit` guard before integer cast (reference: tasks.py:200-204):
+    * returns the cast value when the string is all digits, else null.
+    */
+  def digitGuardedLong(s: Column): Column =
+    when(s.rlike("^[0-9]+$"), s.cast("long"))
+
+  /** Slug for chain names (reference: chains/models.py:14-21 AutoSlugField). */
+  def slugify(name: Column): Column =
+    regexp_replace(lower(name), "[^a-z0-9]+", "-")
+
+  /** Coingecko date key dd-MM-yyyy (reference: base/utils.py:4-8). */
+  def dateKey(ts: Column): Column = date_format(ts, "dd-MM-yyyy")
+}

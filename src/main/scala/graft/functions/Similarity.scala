@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k (exact baseline)
+  * and random-hyperplane LSH bucketing (the scale path).
+  *
+  * Vectors are `array<float>` columns; all arithmetic is done in double via
+  * higher-order functions (`zip_with` + `aggregate`) — native expressions,
+  * no UDF, strictly left-to-right accumulation so results are deterministic
+  * and engine-portable.
+  *
+  * Scale notes (100 TB / billions of vectors):
+  *  - brute force is a broadcast of the (small) query set against the full
+  *    corpus: one scan, no shuffle, per-partition top-k then k-row merge;
+  *  - LSH first buckets both sides by signature (a groupBy shuffle), then
+  *    only reranks within buckets — the classic IVF/LSH trade of recall for
+  *    a ~buckets× cut in compared pairs.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (brute force baseline).
+    * `queries` must be small enough to broadcast. */
+  def cosineTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * a hash-derived value in [-0.5, 0.5). Public random-projection LSH
+    * construction with hash-based planes so no RNG state is needed. */
+  private def planeComponent(p: Column, i: Column): Column =
+    (pmod(xxhash64(p, i), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+
+  /** Random-hyperplane signature: `planes` sign bits packed into a bigint. */
+  def rhpSignature(vec: Column, planes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") * planeComponent(p, i)),
+          lit(0.0), (a, v) => a + v)
+        acc + when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      })
+
+  /** ANN via LSH bucketing: bucket corpus and queries by signature, rerank
+    * within buckets only. Recall < 1; `planes` tunes bucket granularity. */
+  def lshAnnTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, planes: Int = 12): DataFrame = {
+    val q = broadcast(
+      queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+        .withColumn("sig", rhpSignature(col("qv"), planes)))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+      .withColumn("sig", rhpSignature(col("cv"), planes))
+    val scored = c.join(q, Seq("sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, restricted to
+    * an equi-bucket (e.g. a label or LSH signature) to avoid O(n²). */
+  def embeddingNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String, bucketCol: String,
+      threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"), col(bucketCol).as("bk"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col(bucketCol).as("bk"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

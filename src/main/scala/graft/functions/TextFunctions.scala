@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline layer
+  * (BASELINE.json north star): token counting, quality scoring, language
+  * identification, document fingerprinting.
+  *
+  * All are pure `org.apache.spark.sql.functions` compositions — codegen'd,
+  * no UDFs — so they stay inside whole-stage codegen and scale linearly
+  * with no shuffle (per-row map work over 100 TB of documents is the ideal
+  * Spark workload: scan-bound, partition-parallel).
+  */
+object TextFunctions {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Number of non-overlapping occurrences of `needle` via the
+    * length-difference trick — deterministic and engine-portable
+    * (same arithmetic is expressible in ANSI SQL for the oracle). */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit(""))))
+      / lit(needle.length)).cast("long")
+
+  /** Normalized text: lowercase, whitespace collapsed — canonical form for
+    * fingerprinting and exact dedup. */
+  def normalize(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** 128-bit content fingerprint (md5 of normalized text). Used for exact
+    * dedup grouping: identical normalized content ⇒ identical fingerprint. */
+  def fingerprint(text: Column): Column =
+    md5(normalize(text).cast("binary"))
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword-heuristic
+    * language ID. Public knowledge (most-frequent function words). */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " de "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "))
+
+  /** Stopword-hit score for one language profile over padded text. */
+  def langScore(text: Column, words: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    words.map(w => occurrences(padded, w)).reduce(_ + _)
+  }
+
+  /** Heuristic language ID: argmax of stopword-profile scores, ties broken
+    * by profile order, 'und' (undetermined) when all scores are 0. */
+  def langId(text: Column): Column = {
+    val scores = stopwordProfiles.map { case (lang, ws) => lang -> langScore(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality signals (length, word stats, punctuation/digit ratios) — the
+    * standard cheap pre-filters of LLM data pipelines. All double-typed,
+    * pure arithmetic (no rounding → bit-deterministic across engines). */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val chars = length(text)
+    val toks = tokenCount(text)
+    val punct = length(regexp_replace(text, "[^.,;:!?]", ""))
+    val digits = length(regexp_replace(text, "[^0-9]", ""))
+    Seq(
+      "n_chars_calc" -> chars.cast("long"),
+      "n_tokens" -> toks.cast("long"),
+      "avg_token_len" -> (chars.cast("double") / toks.cast("double")),
+      "punct_ratio" -> (punct.cast("double") / chars.cast("double")),
+      "digit_ratio" -> (digits.cast("double") / chars.cast("double")))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nearest-within-tolerance temporal join ("as-of" join).
+  *
+  * Reference semantics: the USD price enrichment looks up a
+  * TokenHistoricalPrice within ±24 h of the donation/payout time and takes
+  * *a first* row in the window (tokens/models.py:64-74; settings.py:82).
+  * That pick is nondeterministic in the reference; we pin it to
+  * *nearest by |Δt|, ties by right-side key ascending* — a deterministic
+  * refinement (SURVEY §2.4 J6).
+  *
+  * Implementation: equi-join on the partition key (token / user) plus a
+  * range predicate, then a window keeps the nearest right row per left row.
+  * The equi-key makes this a plain shuffled hash/sort-merge join — NOT a
+  * cross join — so it scales: each side shuffles once on the key. For a
+  * 100 TB fact side with a small dimension (token prices), the dimension
+  * side broadcasts and the fact side never shuffles at all.
+  *
+  * A bucketed/sorted layout on (key, time) would allow a zip-partitions
+  * merge as a further step; the windowed form is what Catalyst handles
+  * natively today and keeps AQE skew-handling in play.
+  */
+object AsOfJoin {
+
+  /** @param left       fact side; one output row per input row (left join)
+    * @param right      lookup side
+    * @param leftKeys   equi-join key column names on `left`
+    * @param rightKeys  equi-join key column names on `right` (same arity)
+    * @param leftTime   event-time column on `left` (TimestampType)
+    * @param rightTime  event-time column on `right`
+    * @param tolerance  max |Δt| in seconds (reference: 24*3600)
+    * @param leftId     unique id column on `left` (window partition key)
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Long,
+      leftId: String,
+      rightTieBreak: String): DataFrame = {
+
+    val l = left.alias("l")
+    val r = right.alias("r")
+    val keyCond = leftKeys.zip(rightKeys).map { case (lk, rk) =>
+      col(s"l.$lk") === col(s"r.$rk")
+    }.reduce(_ && _)
+    // Delta in microseconds: exact integer arithmetic, no float rounding,
+    // portable to the DuckDB oracle (epoch_us).
+    val delta = abs(
+      unix_micros(col(s"l.$leftTime")) - unix_micros(col(s"r.$rightTime")))
+    val joined = l.join(r, keyCond && delta <= tolerance * 1000000L, "inner")
+      .withColumn("__delta_us", delta)
+
+    val w = Window.partitionBy(col(s"l.$leftId"))
+      .orderBy(col("__delta_us").asc, col(s"r.$rightTieBreak").asc)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks shared by the query layer.
+  *
+  * These reproduce the query idioms of the reference
+  * (/root/reference/accounts/api.py, pots/api.py, lists/api.py): semi-join
+  * via EXISTS, distinct-project-then-IN, latest-per-group, last-writer-wins
+  * dedup, page slicing. All are expressed on the DataFrame API so Catalyst
+  * keeps predicate pushdown / column pruning / join strategy selection.
+  */
+object Relational {
+
+  /** EXISTS-style semi join (reference: accounts/api.py:82-83 `Exists`
+    * subquery — "accounts having at least one donation").
+    * Catalyst plans a LeftSemi hash join; at scale the right side is
+    * pre-projected to the key column only, so the shuffle carries keys, not
+    * rows.
+    */
+  def semiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_semi")
+
+  /** NOT EXISTS / set-difference on key (reference: ignore_conflicts insert,
+    * utils.py:97-99 and new-account discovery utils.py:892-918).
+    */
+  def antiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_anti")
+
+  /** Latest row per group, with a total-order tie-break so results are
+    * deterministic (reference: tokens/models.py:56-57 latest price).
+    * One shuffle on the group keys; at 100 TB prefer pre-bucketed layout on
+    * the same keys so the window is shuffle-free.
+    */
+  def latestPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Last-writer-wins dedup on a natural key — the core of the upsert
+    * semantics (reference: update_or_create keyed on natural keys,
+    * utils.py:978-982; conditional unique constraints
+    * donations/models.py:188-200). `seq` columns define "later": in ingest
+    * they are (block_height, shard_index, receipt_index, action_index).
+    */
+  def lwwDedup(df: DataFrame, keys: Seq[String], seq: Seq[Column]): DataFrame =
+    latestPerGroup(df, keys, seq.map(_.desc))
+
+  /** Deterministic page slice (reference: PageNumberPagination,
+    * api/pagination.py:8-24; default page_size 30). Implemented with a
+    * global row_number window: correct at any scale, but a global sort —
+    * the query layer only applies it after filters have cut the set down,
+    * and the gold tables keep cached counts (SURVEY §7.4-6).
+    */
+  def pageSlice(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): DataFrame = {
+    val w = Window.orderBy(order: _*)
+    val lo = (page - 1).toLong * pageSize
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > lo && col("__rn") <= lo + pageSize)
+      .drop("__rn")
+  }
+
+  /** Top-k with deterministic tie-break. Catalyst plans sort+limit as
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+    * driver; no global shuffle, safe at 100 TB.
+    */
+  def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Seeded pseudo-random single pick per group (reference:
+    * lists/api.py:216-223 `random_registration`). Instead of `rand()` —
+    * which is per-run nondeterministic and breaks replay/caching — we order
+    * by md5 of the key: stable across runs and engines, uniformly
+    * distributed over the key space.
+    */
+  def pseudoRandomPickPerGroup(df: DataFrame, group: Seq[String], key: Column): DataFrame =
+    latestPerGroup(df, group, Seq(md5(key.cast("binary")).asc, key.asc))
+}
