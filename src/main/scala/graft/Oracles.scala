@@ -170,7 +170,8 @@ object Oracles {
 
     "q_j8_anti_discover" ->
       """SELECT p_partkey, p_name FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity >= 48)
         |ORDER BY p_partkey""".stripMargin,
 
     "q_a2_account_rollup" ->
@@ -285,7 +286,7 @@ object Oracles {
          |     pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |                   ${cosSql("a.v", "b.v")} AS cos_sim
          |            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT id_a, id_b, cos_sim FROM pr WHERE cos_sim >= 0.9
+         |SELECT id_a, id_b, cos_sim FROM pr WHERE cos_sim >= 0.25
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_sim1_cosine_topk" ->

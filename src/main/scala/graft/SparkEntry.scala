@@ -237,9 +237,12 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), ntz(col("ts")).as("ts"), col("event_type"))
       .orderBy("user_id")
 
-  /** J8 — anti-join discovery (new-accounts except, utils.py:892-918). */
+  /** J8 — anti-join discovery (new-accounts except, utils.py:892-918):
+    * parts never shipped in large quantity. */
   private def j8(t: Tables): DataFrame =
-    Relational.antiJoin(t.part, t.lineitem, col("p_partkey") === col("l_partkey"))
+    Relational.antiJoin(t.part,
+        t.lineitem.filter(col("l_quantity") >= 48),
+        col("p_partkey") === col("l_partkey"))
       .select("p_partkey", "p_name")
       .orderBy("p_partkey")
 
@@ -371,7 +374,7 @@ object SparkEntry {
   /** DD3 — MinHash+LSH near-dup candidates (no SQL oracle: rows-only). */
   private def dd3(t: Tables): DataFrame =
     DedupFunctions.minHashNearDupPairs(t.documents, "doc_id", "text",
-        shingleN = 2, k = 32, bands = 16, threshold = 0.4)
+        shingleN = 3, k = 16, bands = 4, threshold = 0.2)
       .orderBy("id_a", "id_b")
 
   /** DD4 — SimHash signatures (no SQL oracle: rows-only). */
@@ -385,7 +388,7 @@ object SparkEntry {
   private def dd5(t: Tables): DataFrame =
     Similarity.embeddingNearDupPairs(
         t.embeddings.filter(pmod(col("vec_id"), lit(5)) === 0),
-        "vec_id", "embedding", "label", threshold = 0.9)
+        "vec_id", "embedding", "label", threshold = 0.25)
       .orderBy("id_a", "id_b")
 
   // ---------------------------------------------------------------- S: similarity search

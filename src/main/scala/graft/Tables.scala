@@ -38,8 +38,17 @@ final class Tables(spark: SparkSession, dir: String) {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
-  def documents: DataFrame = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  /** documents/embeddings ship as a single parquet row group, which would
+    * pin every CPU-heavy per-row operator (shingling, minhash, cosine) to
+    * ONE task. Repartition to the session's parallelism on load — the rows
+    * are few but each carries heavy compute. On a real 100 TB corpus the
+    * scan parallelizes by file split and this becomes a no-op-cost round
+    * robin. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
+  def documents: DataFrame = spread(t("documents"))
+  def embeddings: DataFrame = spread(t("embeddings"))
 }
 
 object Tables {

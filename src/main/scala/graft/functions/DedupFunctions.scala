@@ -21,54 +21,76 @@ object DedupFunctions {
   def wordSet(text: Column): Column =
     array_distinct(split(normalize(text), " "))
 
-  /** Word n-gram (shingle) set. Uses higher-order functions only — no UDF. */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(normalize(text), " ")
-    val count = greatest(size(words) - (n - 1), lit(0))
-    array_distinct(
-      transform(sequence(lit(0), count - 1),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-  }
+  /** Word n-gram (shingle) set. Uses higher-order functions only — no UDF.
+    *
+    * Built as a zip_with chain of shifted copies of the word array: each
+    * shift is evaluated once per row (O(n·k) total). An index-based variant
+    * (element_at/slice inside a transform lambda) re-evaluates the word
+    * array per position — O(n²) per document, measurably pathological on
+    * long documents. Positions past the end null-propagate through concat
+    * and are filtered. */
+  def shingles(text: Column, n: Int): Column =
+    ExprUtils.evalOnce(split(normalize(text), " ")) { w =>
+      val chained = (1 until n).foldLeft(w) { (acc, j) =>
+        zip_with(acc, slice(w, lit(j + 1), greatest(size(w) - j, lit(1))),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      array_distinct(filter(chained, x => x.isNotNull))
+    }
 
-  /** Word-set Jaccard similarity of two texts (exact). */
-  def jaccard(a: Column, b: Column): Column = {
-    val sa = wordSet(a)
-    val sb = wordSet(b)
-    size(array_intersect(sa, sb)).cast("double") /
-      size(array_union(sa, sb)).cast("double")
-  }
+  /** Word-set Jaccard similarity of two texts (exact). Word sets are bound
+    * once (evalOnce) so intersection/union don't re-tokenize. */
+  def jaccard(a: Column, b: Column): Column =
+    ExprUtils.evalOnce(wordSet(a)) { sa =>
+      ExprUtils.evalOnce(wordSet(b)) { sb =>
+        size(array_intersect(sa, sb)).cast("double") /
+          size(array_union(sa, sb)).cast("double")
+      }
+    }
 
-  /** MinHash signature: k permutations simulated by seeding xxhash64 with
-    * the permutation index (standard public construction). Returns
-    * array<bigint> of length k. */
+  /** MinHash signature: k permutations simulated by re-hashing a single
+    * 64-bit base hash per shingle with the permutation index (standard
+    * public construction). Single pass: each shingle *string* is hashed
+    * exactly once (as the aggregate's input, evaluated once per row), and
+    * the running k-vector of minima is folded with cheap long-hashes —
+    * O(m + m·k) instead of the naive k string scans.
+    * Returns array<bigint> of length k. */
   def minHashSignature(shingleSet: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleSet, s => xxhash64(i, s))))
+    aggregate(
+      transform(shingleSet, s => xxhash64(s)),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, i) => least(m, xxhash64(i, h))))
 
   /** LSH band keys: signature split into `bands` bands of `rows` each;
     * each band hashed to one bucket key. Two docs sharing any band bucket
-    * are candidate near-duplicates. Returns array<struct<band:int,key:bigint>>. */
+    * are candidate near-duplicates. Returns array<struct<band:int,key:bigint>>.
+    * The signature is bound via evalOnce so it is not recomputed per band. */
   def lshBandKeys(signature: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(
-        b.cast("int").as("band"),
-        xxhash64(b, concat_ws(",", slice(signature, b * rows + 1, lit(rows)))).as("key")))
+    ExprUtils.evalOnce(signature) { sig =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(
+          b.cast("int").as("band"),
+          xxhash64(b, concat_ws(",", slice(sig, b * rows + 1, lit(rows)))).as("key")))
+    }
 
   /** 64-bit SimHash over the word set: bit b of the output is the sign of
     * Σ_w (bit b of xxhash64(w) ? +1 : −1). Near-duplicate texts land within
-    * small Hamming distance. Pure higher-order expressions. */
-  def simHash(text: Column): Column = {
-    val words = wordSet(text)
-    val n = size(words)
+    * small Hamming distance. Single pass over the word hashes: fold a
+    * 64-vector of signed counters, then pack the sign bits — O(w·64) long
+    * ops, each word hashed exactly once. */
+  def simHash(text: Column): Column =
     aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => {
-        val ones = size(filter(words,
-          w => call_function("shiftright", xxhash64(w), b).bitwiseAND(lit(1L)) === lit(1L)))
-        acc + when(ones * 2 > n, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
-      })
-  }
+      transform(wordSet(text), w => xxhash64(w)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, b) => c + when(
+          call_function("shiftright", h, b).bitwiseAND(lit(1L)) === lit(1L),
+          lit(1L)).otherwise(lit(-1L))),
+      counts => aggregate(
+        zip_with(counts, sequence(lit(0), lit(63)),
+          (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc + v))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -98,23 +120,36 @@ object DedupFunctions {
       shingleN: Int = 3,
       k: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
-    val sigs = docs
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), shingleN))
+      threshold: Double = 0.5): DataFrame = {
+    // The candidate-pair shuffle carries only (id_a, id_b); shingle sets are
+    // joined back afterwards so each pair is verified exactly once and the
+    // wide array payload never rides through the distinct.
+    // base and bandRows are each consumed twice (self-join / two verify
+    // joins); shingling + signatures are the CPU-heavy part, so persist
+    // them rather than recompute per consumer. At 100 TB this is the
+    // standard "materialize signatures once" step (checkpoint to storage).
+    val base = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), k))
-      .withColumn("bk", explode(lshBandKeys(col("sig"), bands, k / bands)))
-      .select(col("id"), col("text"), col("bk.band"), col("bk.key"))
-    val a = sigs.alias("a")
-    val b = sigs.alias("b")
-    a.join(b,
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandRows = base
+      .select(col("id"),
+        explode(lshBandKeys(minHashSignature(col("sh"), k), bands, k / bands)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = bandRows.alias("a")
+      .join(bandRows.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.text").as("ta"), col("b.text").as("tb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .withColumn("jaccard_sim", jaccard(col("ta"), col("tb")))
+    val setSim = ExprUtils.evalOnce(size(array_intersect(col("ta"), col("tb")))) { ia =>
+      ia.cast("double") / (size(col("ta")) + size(col("tb")) - ia).cast("double")
+    }
+    pairs
+      .join(base.select(col("id").as("id_a"), col("sh").as("ta")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("tb")), Seq("id_b"))
+      .withColumn("jaccard_sim", setSim)
       .filter(col("jaccard_sim") >= threshold)
       .select("id_a", "id_b", "jaccard_sim")
   }
