@@ -14,10 +14,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Amounts {
 
-  /** u128-as-string → exact decimal (SURVEY §1.3). */
+  /** u128-as-string → exact decimal (SURVEY §1.3).
+    *
+    * DecimalType(38,0) covers 10^38−1: every practically occurring
+    * yoctoNEAR amount (total NEAR supply ≈ 1.2e33 yocto) but NOT the full
+    * u128 range (2^128−1 has 39 digits). try_cast degrades out-of-range or
+    * malformed strings to null instead of failing the job — required under
+    * Spark 4's default ANSI mode, and matching the reference's per-record
+    * try/except quarantine (handler.py:446-447). */
   val U128: DecimalType = DecimalType(38, 0)
 
-  def u128(c: Column): Column = c.cast(U128)
+  def u128(c: Column): Column = c.try_cast(U128)
 
   /** amount / 10^decimals, exact (reference: tokens/models.py:59-62
     * `format_price`). decimals ≤ 38 keeps the result in decimal space.
@@ -52,7 +59,7 @@ object Amounts {
     * returns the cast value when the string is all digits, else null.
     */
   def digitGuardedLong(s: Column): Column =
-    when(s.rlike("^[0-9]+$"), s.cast("long"))
+    when(s.rlike("^[0-9]+$"), s.try_cast(org.apache.spark.sql.types.LongType))
 
   /** Slug for chain names (reference: chains/models.py:14-21 AutoSlugField). */
   def slugify(name: Column): Column =

@@ -1,0 +1,112 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.MergeWriter
+
+/** The silver entity store: applies one (micro-)batch of block messages to
+  * the entity tables via the LWW merge writer. This is the single body
+  * shared by the batch backfill path (S3: `spark.read` over a block range)
+  * and the streaming path (S1/S2: `foreachBatch`), exactly the SURVEY §7.1
+  * architecture.
+  *
+  * Natural keys per entity come from the reference's unique constraints
+  * (FIXTURES §5): replaying a block is a no-op by construction.
+  */
+final class SilverStore(spark: SparkSession, dir: String) {
+
+  private val seq = Seq("block_height", "shard_index", "receipt_index", "action_index")
+  def path(name: String): String = s"$dir/$name"
+
+  def table(name: String): DataFrame = spark.read.parquet(path(name))
+  def exists(name: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path(name)))
+
+  /** Apply one batch of raw block messages (bronze) to every silver table.
+    * Returns per-entity merged row counts. */
+  def applyBatch(blocks: DataFrame): Map[String, Long] = {
+    import EntityTransforms._
+    val receipts = BlockIngest.receipts(blocks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val acts = BlockIngest.actions(receipts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evts = BlockIngest.events(receipts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      val dons = donations(acts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val reviews = applicationReviews(acts)
+
+      val counts = scala.collection.mutable.Map[String, Long]()
+      def lww(name: String, df: DataFrame, keys: Seq[String]): Unit =
+        counts(name) = MergeWriter.merge(spark, df, path(name), keys, seq)
+      def first(name: String, df: DataFrame, keys: Seq[String]): Unit =
+        counts(name) = MergeWriter.insertIgnoreConflicts(spark, df, path(name), keys, seq)
+
+      lww("donations", dons, Seq("on_chain_id", "pot"))
+      // Accounts: discovery rows (id only) + social-profile updates merge
+      // into one table; coalesce keeps the profile across later discovery
+      // rows (reference stores the profile ON Account, accounts/models.py:57-62).
+      lww("accounts",
+        donationAccounts(dons)
+          .withColumn("near_social_profile_data", lit(null).cast("string"))
+          .unionByName(socialProfileUpdates(acts)),
+        Seq("id"))
+      first("activities", donationActivities(dons), Seq("type", "action_result"))
+      lww("pots", potDeploys(acts), Seq("account"))
+      lww("pot_factories", potFactories(acts), Seq("account"))
+      lww("pot_applications",
+        potApplications(acts).unionByName(applicationStatusUpdates(reviews)),
+        Seq("pot", "applicant"))
+      first("pot_application_reviews", reviews,
+        Seq("pot", "applicant", "reviewer", "reviewed_at"))
+      lww("pot_payouts", payoutsSet(acts).unionByName(payoutTransfers(acts)),
+        Seq("pot", "recipient"))
+      first("pot_payout_challenges", payoutChallenges(acts),
+        Seq("challenger", "pot"))
+      first("pot_payout_challenge_admin_responses", challengeResponses(acts),
+        Seq("challenger", "pot", "created_at"))
+      lww("lists", listCreates(acts), Seq("on_chain_id"))
+      lww("list_registrations",
+        listRegistrations(acts).unionByName(registrationUpdates(acts)),
+        Seq("on_chain_id"))
+      first("list_upvotes", listUpvotes(acts), Seq("list_id", "account"))
+      lww("nadabot_registries",
+        nadabotRegistries(acts).unionByName(
+          humanThresholdUpdates(evts)
+            .select(col("account"), col("default_human_threshold"),
+              col("updated_at"),
+              lit(null).cast("string").as("owner"),
+              lit(null).cast("timestamp").as("created_at"),
+              lit(null).cast("array<string>").as("admins"),
+              lit(null).cast("string").as("source_metadata"),
+              col("block_height"), col("shard_index"), col("receipt_index"),
+              col("action_index")),
+          allowMissingColumns = true),
+        Seq("account"))
+      lww("nadabot_providers", providers(evts), Seq("registry", "on_chain_id"))
+      first("nadabot_stamps", stamps(evts), Seq("user", "provider_id"))
+      lww("nadabot_groups", groups(evts), Seq("registry", "on_chain_id"))
+      lww("nadabot_blacklist", blacklistActions(evts), Seq("registry", "account"))
+
+      // Stream-cursor parity row (S2; reference BlockHeight singleton,
+      // indexer_app/models.py:5-24).
+      val bh = blocks.agg(
+        max(col("block.header.height")).as("block_height"),
+        max(timestamp_micros((col("block.header.timestamp") / 1000).cast("long")))
+          .as("block_timestamp"))
+        .select(lit(1).as("id"), col("block_height"), col("block_timestamp"),
+          current_timestamp().as("updated_at"),
+          col("block_height").as("__seq"))
+      counts("block_height") = MergeWriter.merge(
+        spark, bh, path("block_height"), Seq("id"), Seq("__seq"),
+        coalesceUpdates = false)
+
+      counts.toMap
+    } finally {
+      receipts.unpersist(); acts.unpersist(); evts.unpersist()
+    }
+  }
+}

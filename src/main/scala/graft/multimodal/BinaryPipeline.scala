@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for the training-data
+  * pipeline layer: media as opaque `binary` columns plus typed metadata
+  * structs, with decode / feature-extraction as partition-batched
+  * transforms.
+  *
+  * The actual codecs (JPEG decode, audio resample, video frame-sample) are
+  * NOT available in this container, so [[FakeCodec]] is a clearly-marked
+  * deterministic stand-in; everything Spark-side — schema, batching,
+  * partition sizing, the mapPartitions contract — is real and is what a
+  * production deployment would keep, swapping only the codec body.
+  *
+  * Scale notes: media rows are large (MBs); `targetPartitionBytes`
+  * repartitioning keeps a partition's decoded working set within executor
+  * memory, which is the binding constraint at 100 TB — not row count.
+  */
+object BinaryPipeline {
+
+  /** Typed metadata emitted by decode. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("content_hash", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("format", StringType)))
+
+  /** STUB: deterministic fake decode — replace with a real codec (e.g.
+    * javax.imageio / ffmpeg bindings) in production. Output depends only
+    * on the bytes, so tests are reproducible. */
+  object FakeCodec {
+    def decode(bytes: Array[Byte]): (Int, Int, Int, String) = {
+      val n = if (bytes == null) 0 else bytes.length
+      // ??? real decode unavailable in this container; derive deterministic
+      // pseudo-dimensions from content length/first bytes instead.
+      val w = 64 + (n % 577)
+      val h = 64 + ((n / 7) % 421)
+      val frames = 1 + (n % 13)
+      (w, h, frames, if (n % 2 == 0) "fake/png" else "fake/jpeg")
+    }
+  }
+
+  /** Attach a binary payload column (here derived from text for the
+    * harness `documents` table; in production this IS the stored bytes). */
+  def withPayload(df: DataFrame, sourceCol: String): DataFrame =
+    df.withColumn("payload", col(sourceCol).cast("binary"))
+
+  /** Decode + feature-extract over partition-sized batches. The iterator
+    * contract mirrors a vectorized (Arrow-batched) UDF: one pass, no
+    * per-row task overhead, codec state reused across a partition. */
+  def decodeMedia(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("media_meta", mediaMetaSchema))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val (w, h, frames, fmt) = FakeCodec.decode(bytes)
+        md5.reset()
+        val hash = if (bytes == null) null
+        else md5.digest(bytes).map("%02x".format(_)).mkString
+        Row.fromSeq(r.toSeq :+ Row(hash,
+          if (bytes == null) 0L else bytes.length.toLong, w, h, frames, fmt))
+      }
+    }(encoder)
+  }
+
+  /** Size-aware repartition: media rows are large, so partition by
+    * cumulative payload bytes rather than row count. */
+  def repartitionByBytes(df: DataFrame, payloadCol: String,
+      targetPartitionBytes: Long = 128L << 20): DataFrame = {
+    val totalBytes = df.agg(sum(octet_length(col(payloadCol)))).head.getLong(0)
+    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
+    df.repartition(parts)
+  }
+}

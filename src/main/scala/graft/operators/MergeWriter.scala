@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Last-writer-wins upsert over plain Parquet — the engine's equivalent of
+  * the reference's `update_or_create` on natural keys
+  * (utils.py:978-982; conditional unique constraints
+  * donations/models.py:188-200). No lakehouse table format is available in
+  * this environment, so the merge is read-union-dedup-rewrite with an
+  * atomic directory swap.
+  *
+  * Semantics:
+  *  - `keys` is the natural key; among rows sharing a key the one with the
+  *    greatest `seq` ordering wins (ingest seq = block_height, shard_index,
+  *    receipt_index, action_index — reproducing the reference's strictly
+  *    sequential block processing, SURVEY §2.9).
+  *  - Null columns in the winning row are backfilled from the previous
+  *    version when `coalesceUpdates` is set — this reproduces partial
+  *    UPDATE semantics (e.g. a payout transfer carries only paid_at;
+  *    the amount from the original set-payouts row must survive).
+  *  - Replay-idempotent: merging the same batch twice is a no-op, because
+  *    identical (key, seq) rows dedup to one.
+  *
+  * Scale path (100 TB): this local implementation rewrites the whole
+  * table; the production layout partitions by a stable hash/date of the
+  * key and rewrites only partitions present in the incoming batch
+  * (partition-scoped MERGE). The dedup itself is one shuffle on the key —
+  * the same cost Delta/Iceberg MERGE pays.
+  */
+object MergeWriter {
+
+  /** LWW-dedup `incoming` against the existing table at `path` and
+    * atomically replace it. Returns the merged row count. */
+  def merge(
+      spark: SparkSession,
+      incoming: DataFrame,
+      path: String,
+      keys: Seq[String],
+      seq: Seq[String],
+      coalesceUpdates: Boolean = true): Long = {
+
+    val existing: Option[DataFrame] =
+      if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path)) else None
+
+    val unioned = existing match {
+      case Some(old) => old.unionByName(incoming, allowMissingColumns = true)
+      case None => incoming
+    }
+
+    val merged0 = if (coalesceUpdates) {
+      // Per key: order by seq, then fill each row's nulls from the latest
+      // non-null earlier value (last_value ignoreNulls window), keep last.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(seq.map(col(_).asc): _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val valueCols = unioned.columns.filterNot(c => keys.contains(c))
+      val filled = valueCols.foldLeft(unioned) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      filled
+    } else unioned
+
+    val merged = Relational.lwwDedup(merged0, keys, seq.map(col))
+
+    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    merged.write.mode("overwrite").parquet(tmp)
+    // Atomic-ish swap: remove old dir, move tmp into place.
+    deleteRecursively(Paths.get(path))
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    spark.read.parquet(path).count()
+  }
+
+  /** Append-only variant with ignore-conflicts semantics (reference
+    * `bulk_create(ignore_conflicts=True)`, utils.py:97-99): keeps the
+    * FIRST writer per key instead of the last. */
+  def insertIgnoreConflicts(
+      spark: SparkSession,
+      incoming: DataFrame,
+      path: String,
+      keys: Seq[String],
+      seq: Seq[String]): Long =
+    mergeKeepFirst(spark, incoming, path, keys, seq)
+
+  private def mergeKeepFirst(
+      spark: SparkSession,
+      incoming: DataFrame,
+      path: String,
+      keys: Seq[String],
+      seq: Seq[String]): Long = {
+    val existing: Option[DataFrame] =
+      if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path)) else None
+    val unioned = existing match {
+      case Some(old) => old.unionByName(incoming, allowMissingColumns = true)
+      case None => incoming
+    }
+    val merged = Relational.latestPerGroup(unioned, keys, seq.map(col(_).asc))
+    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    merged.write.mode("overwrite").parquet(tmp)
+    deleteRecursively(Paths.get(path))
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    spark.read.parquet(path).count()
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.{Schemas, SilverStore}
+
+/** Structured-Streaming ingest plane (S1/S2; SURVEY §2.9).
+  *
+  * The reference runs a strictly sequential asyncio loop over NEAR-Lake S3
+  * blocks with a Postgres BlockHeight cursor (indexer_app/tasks.py:28-111).
+  * Here: `readStream` over a directory of block-message JSON (the lake
+  * landing zone) → `foreachBatch(SilverStore.applyBatch)`.
+  *
+  *  - Checkpointing: Spark's checkpointLocation replaces the BlockHeight
+  *    cursor; a parity `block_height` table row is still maintained by
+  *    applyBatch for API compatibility.
+  *  - Exactly-once: at-least-once delivery + the idempotent LWW merge on
+  *    natural keys = the same effective guarantee as the reference's
+  *    update_or_create (re-processing a block is a no-op).
+  *  - Ordering: micro-batches may interleave blocks; per-key ordering is
+  *    recovered at merge time via the carried ingest-seq, which reproduces
+  *    the reference's sequential effects without sacrificing parallelism.
+  */
+object StreamIngest {
+
+  /** Start the streaming ingest. `Trigger.AvailableNow` drains what's
+    * present and stops (the batch-backfill mode, S3); omit for continuous
+    * micro-batches. */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      silverDir: String,
+      checkpointDir: String,
+      availableNow: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val silver = new SilverStore(spark, silverDir)
+    val reader = spark.readStream
+      .schema(Schemas.blockMessage)
+    val stream = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
+      .json(inputDir)
+
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { silver.applyBatch(batch); () }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** One-shot batch backfill over a block-range directory (S3: the
+    * reference's spot indexer, tasks.py:114-126). Same transform body as
+    * the stream — partition-pruned by the lake's block-height layout. */
+  def backfill(spark: SparkSession, inputDir: String, silverDir: String): Map[String, Long] = {
+    val blocks = spark.read.schema(Schemas.blockMessage).json(inputDir)
+    new SilverStore(spark, silverDir).applyBatch(blocks)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Training-data pipeline operators on planted inputs: near-dup recovery,
+  * simhash locality, langid on real sentences, ANN sanity. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and columnar formats"),
+    (4L, "der schnelle braune fuchs springt und der hund schläft und die katze auch"),
+    (5L, "el gato y el perro juegan en la casa de la abuela con el niño")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH recovers the planted near-dup pair, nothing else") {
+    val pairs = DedupFunctions.minHashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, k = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val hs = docs.withColumn("h", DedupFunctions.simHash(col("text")))
+      .select("doc_id", "h").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) < 12)
+    assert(ham(hs(1L), hs(3L)) > 12)
+  }
+
+  test("word jaccard: near-dup pair high, cross-language ~0") {
+    val j = DedupFunctions.jaccard(col("a"), col("b"))
+    val sim12 = Seq((docs.collect()(0).getString(1), docs.collect()(1).getString(1)))
+      .toDF("a", "b").select(j).head().getDouble(0)
+    assert(sim12 > 0.8)
+    val sim15 = Seq((docs.collect()(0).getString(1), docs.collect()(4).getString(1)))
+      .toDF("a", "b").select(j).head().getDouble(0)
+    assert(sim15 < 0.1)
+  }
+
+  test("langid picks the profile language (TXT2)") {
+    val out = docs.withColumn("lang", TextFunctions.langId(col("text")))
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(4L) == "de" && out(5L) == "es")
+  }
+
+  test("exact dedup groups identical normalized content") {
+    val withDup = docs.union(Seq((99L, "The  quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text"))
+    val groups = DedupFunctions.exactDuplicateGroups(withDup, "doc_id", "text")
+    assert(groups.filter(col("n_docs") === 2).head().getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("cosine top-k: self-similar clusters rank first (SIM1)") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs.filter(col("vec_id") === 0), vecs,
+      "vec_id", "embedding", "vec_id", "embedding", k = 1)
+      .head()
+    assert(top.getAs[Long]("neighbor_id") == 1L)
+  }
+
+  test("multimodal binary pipeline: deterministic fake decode plumbing") {
+    import graft.multimodal.BinaryPipeline
+    val media = BinaryPipeline.withPayload(docs, "text")
+    val decoded = BinaryPipeline.decodeMedia(media)
+    val m = decoded.select(col("media_meta.*")).head()
+    assert(m.getAs[Long]("n_bytes") > 0)
+    assert(m.getAs[String]("content_hash").length == 32)
+    assert(m.getAs[Int]("width") >= 64)
+    // determinism: same input -> same meta
+    val again = BinaryPipeline.decodeMedia(media).select(col("media_meta.*")).head()
+    assert(m == again)
+  }
+}

@@ -1,0 +1,182 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.StreamIngest
+
+/** End-to-end ingest: fixture blocks (FIXTURES §1 shapes) → backfill →
+  * silver tables, replaying the reference handler scenarios of SURVEY
+  * §2.10, including sequential-effect reproduction (later blocks mutate
+  * earlier rows) and replay idempotence (FIXTURES §5). */
+class IngestSpec extends SparkSpec {
+  import Fixtures._
+
+  private def writeBlocks(dir: String, blocks: Seq[String]): Unit =
+    Files.write(Paths.get(dir, "blocks.json"),
+      blocks.mkString("\n").getBytes("UTF-8"))
+
+  private lazy val silverDir = tmpDir("silver")
+  private lazy val silver = new SilverStore(spark, silverDir)
+
+  private lazy val counts: Map[String, Long] = {
+    val in = tmpDir("bronze")
+    val blocks = Seq(
+      // block 100: pot deploy + direct donation (net must be derived)
+      block(100, 1718000000000000000L, Seq(
+        receipt(potAccount, "new", potNewArgs("owner.near", Seq("a1.near", "a2.near"), "My Pot"),
+          resultJson = Some("\"ok\""), receiptId = "rA"),
+        receipt("donate.potlock.near", "donate", "{}",
+          resultJson = Some(directDonationResult(1, "donor1.near", "100000000000000000000000000",
+            "2500000000000000000000000", "proj1.near", 1718000000001L)),
+          receiptId = "rB"))),
+      // block 101: pot donation (matching pool) + list create + batch regs
+      block(101, 1718000100000000000L, Seq(
+        receipt(potAccount, "donate", "{}",
+          resultJson = Some(potDonationResult(7, "donor2.near", "50000000000000000000000000",
+            "49000000000000000000000000", "1000000000000000000000000",
+            matchingPool = true, projectId = None, donatedAtMs = 1718000100001L)),
+          receiptId = "rC"),
+        receipt("lists.potlock.near", "create_list", "{}",
+          resultJson = Some(listCreateResult(5, "owner.near")), receiptId = "rD"),
+        receipt("lists.potlock.near", "register_batch", "{}",
+          resultJson = Some(registerBatchResult(5,
+            Seq((11, "proj1.near", "Approved"), (12, "proj2.near", "Pending")))),
+          receiptId = "rE"))),
+      // block 102: application, then status change in block 103 (sequential effect)
+      block(102, 1718000200000000000L, Seq(
+        receipt(potAccount, "apply", "{}",
+          resultJson = Some(applyResult("proj1.near")), receiptId = "rF",
+          signer = "proj1.near"))),
+      block(103, 1718000300000000000L, Seq(
+        receipt(potAccount, "chef_set_application_status",
+          """{"project_id": "proj1.near"}""",
+          resultJson = Some(
+            """{"status": "Approved", "review_notes": "lgtm", "updated_at": 1718000300000}"""),
+          receiptId = "rG", signer = "chef.near"),
+        // payouts set (pending), then transfer in 104
+        receipt(potAccount, "chef_set_payouts",
+          """{"payouts": [{"project_id": "proj1.near", "amount": "7000000000000000000000000"}]}""",
+          resultJson = Some("\"ok\""), receiptId = "rH", signer = "chef.near"))),
+      block(104, 1718000400000000000L, Seq(
+        receipt(potAccount, "transfer_payout_callback",
+          """{"payout": {"project_id": "proj1.near", "amount": "7000000000000000000000000", "paid_at": 1718000400000}}""",
+          resultJson = Some("\"ok\""), receiptId = "rI", signer = "chef.near"),
+        receipt("lists.potlock.near", "upvote", """{"list_id": 5}""",
+          resultJson = Some("\"ok\""), receiptId = "rJ", signer = "fan.near"),
+        // nadabot events via logs
+        receipt(nadabotAccount, "whatever", "{}", resultJson = Some("\"ok\""),
+          receiptId = "rK", logs = Seq(
+            stampEventLog("human1.near", 13),
+            groupEventLog(3, "G", "\"Highest\"", Seq(1, 2)),
+            groupEventLog(4, "H", """{"IncreasingReturns": 10}""", Seq(2)),
+            blacklistEventLog(Seq("bad.near"), "spam"))))))
+    writeBlocks(in, blocks)
+    StreamIngest.backfill(spark, in, silverDir)
+  }
+
+  test("donations: direct variant derives net amount (F2 invariant)") {
+    counts
+    val d = silver.table("donations").filter(col("pot").isNull).head()
+    assert(d.getAs[Long]("on_chain_id") == 1)
+    // net = total - protocol (referrer/chef absent) — utils.py:875-884
+    assert(d.getAs[java.math.BigDecimal]("net_amount_dec").toBigInteger.toString ==
+      "97500000000000000000000000")
+    assert(d.getAs[String]("ft") == "near")
+    assert(d.getAs[String]("recipient") == "proj1.near")
+  }
+
+  test("donations: pot variant keeps provided net, matching pool flag") {
+    counts
+    val d = silver.table("donations").filter(col("pot").isNotNull).head()
+    assert(d.getAs[String]("pot") == potAccount)
+    assert(d.getAs[Boolean]("matching_pool"))
+    assert(d.getAs[java.math.BigDecimal]("net_amount_dec").toBigInteger.toString ==
+      "49000000000000000000000000")
+  }
+
+  test("accounts discovered from donation references (J8)") {
+    counts
+    val ids = silver.table("accounts").select("id").collect().map(_.getString(0)).toSet
+    assert(Set("donor1.near", "donor2.near", "proj1.near", "near", potAccount)
+      .subsetOf(ids))
+  }
+
+  test("pot deploy parsed (§2.10 handle_new_pot)") {
+    counts
+    val p = silver.table("pots").head()
+    assert(p.getAs[String]("account") == potAccount)
+    assert(p.getAs[String]("owner") == "owner.near")
+    assert(p.getAs[scala.collection.Seq[String]]("admins").toSeq == Seq("a1.near", "a2.near"))
+    assert(p.getAs[String]("name") == "My Pot")
+    assert(p.getAs[Int]("chef_fee_basis_points") == 200)
+  }
+
+  test("application status updated by later review (sequential effect §7.4-2)") {
+    counts
+    val app = silver.table("pot_applications")
+      .filter(col("applicant") === "proj1.near").head()
+    assert(app.getAs[String]("status") == "Approved")
+    // submitted_at survives the partial update (coalesce semantics)
+    assert(app.getAs[java.sql.Timestamp]("submitted_at") != null)
+    assert(silver.table("pot_application_reviews").count() == 1)
+  }
+
+  test("payout transfer fills paid_at while amount survives (S7 partial update)") {
+    counts
+    val po = silver.table("pot_payouts").head()
+    assert(po.getAs[String]("amount") == "7000000000000000000000000")
+    assert(po.getAs[java.sql.Timestamp]("paid_at") != null)
+  }
+
+  test("lists, registrations, upvotes") {
+    counts
+    assert(silver.table("lists").head().getAs[Long]("on_chain_id") == 5)
+    val regs = silver.table("list_registrations")
+    assert(regs.count() == 2)
+    assert(regs.filter(col("status") === "Approved").count() == 1)
+    val uv = silver.table("list_upvotes").head()
+    assert(uv.getAs[String]("account") == "fan.near")
+  }
+
+  test("nadabot events: stamps, groups (rule enum-with-value), blacklist") {
+    counts
+    assert(silver.table("nadabot_stamps").head().getAs[Long]("provider_id") == 13)
+    val gs = silver.table("nadabot_groups").orderBy("on_chain_id").collect()
+    assert(gs(0).getAs[String]("rule_type") == "Highest")
+    assert(gs(0).isNullAt(gs(0).fieldIndex("rule_val")))
+    assert(gs(1).getAs[String]("rule_type") == "IncreasingReturns")
+    assert(gs(1).getAs[Int]("rule_val") == 10)
+    val bl = silver.table("nadabot_blacklist").head()
+    assert(bl.getAs[String]("account") == "bad.near" && bl.getAs[Boolean]("active"))
+  }
+
+  test("block_height cursor parity row (S2)") {
+    counts
+    val bh = silver.table("block_height").head()
+    assert(bh.getAs[Long]("block_height") == 104)
+  }
+
+  test("activities typed from donations") {
+    counts
+    val types = silver.table("activities").select("type").collect().map(_.getString(0)).toSet
+    assert(types == Set("Donate_Direct", "Donate_Pot_Matching_Pool"))
+  }
+
+  test("replay idempotence: re-applying all blocks changes nothing (FIXTURES §5)") {
+    val before = counts
+    val in2 = tmpDir("bronze2")
+    // replay only block 101 (subset replay, as after a checkpoint restart)
+    writeBlocks(in2, Seq(block(101, 1718000100000000000L, Seq(
+      receipt(potAccount, "donate", "{}",
+        resultJson = Some(potDonationResult(7, "donor2.near", "50000000000000000000000000",
+          "49000000000000000000000000", "1000000000000000000000000",
+          matchingPool = true, projectId = None, donatedAtMs = 1718000100001L)),
+        receiptId = "rC")))))
+    val after = StreamIngest.backfill(spark, in2, silverDir)
+    assert(after("donations") == before("donations"))
+    assert(silver.table("donations").count() == before("donations"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Operator-level semantics: the ±24h as-of boundary (FIXTURES §2 price
+  * fixture: rows at +1h/+23h/+25h), LWW ordering, pagination windows. */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join: nearest within ±24h, outside-window rows excluded (J6)") {
+    val donations = Seq(
+      ("d1", "near", java.sql.Timestamp.valueOf("2024-06-10 00:00:00"))
+    ).toDF("id", "token", "ts")
+    val prices = Seq(
+      ("near", java.sql.Timestamp.valueOf("2024-06-10 01:00:00"), 1.0), // +1h
+      ("near", java.sql.Timestamp.valueOf("2024-06-10 23:00:00"), 2.0), // +23h
+      ("near", java.sql.Timestamp.valueOf("2024-06-11 01:00:00"), 3.0), // +25h
+      ("other", java.sql.Timestamp.valueOf("2024-06-10 00:00:00"), 9.0)
+    ).toDF("token", "pts", "price")
+
+    val out = AsOfJoin.nearest(donations, prices,
+      Seq("token"), Seq("token"), "ts", "pts",
+      tolerance = 86400, leftId = "id", rightTieBreak = "pts")
+    val rows = out.select(col("l.id"), col("r.price"), col("__delta_us")).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getDouble(1) == 1.0) // nearest, not just any in window
+    assert(rows(0).getLong(2) == 3600L * 1000000)
+  }
+
+  test("asof join: no price within window -> row absent (enrichment skips)") {
+    val donations = Seq(("d1", "near",
+      java.sql.Timestamp.valueOf("2024-06-20 00:00:00"))).toDF("id", "token", "ts")
+    val prices = Seq(("near",
+      java.sql.Timestamp.valueOf("2024-06-10 00:00:00"), 1.0)).toDF("token", "pts", "price")
+    assert(AsOfJoin.nearest(donations, prices, Seq("token"), Seq("token"),
+      "ts", "pts", 86400, "id", "pts").count() == 0)
+  }
+
+  test("lwwDedup keeps greatest seq; pageSlice window matches limit/offset") {
+    val df = Seq(("k", 1, "old"), ("k", 2, "new"), ("j", 5, "only"))
+      .toDF("key", "seq", "v")
+    val lww = Relational.lwwDedup(df, Seq("key"), Seq(col("seq"))).collect()
+    assert(lww.map(r => r.getString(0) -> r.getString(2)).toMap ==
+      Map("k" -> "new", "j" -> "only"))
+
+    val nums = (1 to 100).toDF("n")
+    val page = Relational.pageSlice(nums, Seq(col("n").asc), page = 4, pageSize = 10)
+      .collect().map(_.getInt(0))
+    assert(page.toSeq == (31 to 40))
+  }
+
+  test("pseudoRandomPickPerGroup is deterministic across runs (O5)") {
+    val df = (1 to 50).map(i => (i % 3, i)).toDF("g", "id")
+    val pick1 = Relational.pseudoRandomPickPerGroup(df, Seq("g"), col("id").cast("string"))
+      .orderBy("g").collect().map(_.getInt(1)).toSeq
+    val pick2 = Relational.pseudoRandomPickPerGroup(df, Seq("g"), col("id").cast("string"))
+      .orderBy("g").collect().map(_.getInt(1)).toSeq
+    assert(pick1 == pick2 && pick1.size == 3)
+  }
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.gold.Stats
+
+/** The 24-endpoint query plane over a small silver fixture: pagination
+  * envelope, enum validation (400-equivalent), semi-joins, category regex,
+  * deterministic random pick (SURVEY §2.11). */
+class QueryServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tables: Map[String, DataFrame] = {
+    val accounts = Seq(
+      ("donor1.near", """{"plCategories": "[\"Education\",\"Climate\"]"}"""),
+      ("donor2.near", null),
+      ("proj1.near", """{"plCategories": "[\"climate\"]"}"""),
+      ("proj2.near", null),
+      ("pot1.pot.near", null)
+    ).toDF("id", "near_social_profile_data")
+
+    val ts0 = java.sql.Timestamp.valueOf("2024-06-10 00:00:00")
+    val donations = Seq(
+      (1L, "donor1.near", "proj1.near", null.asInstanceOf[String], false, 10.0, ts0),
+      (2L, "donor1.near", "proj2.near", "pot1.pot.near", true, 20.0, ts0),
+      (3L, "donor2.near", "proj1.near", "pot1.pot.near", false, 30.0, ts0)
+    ).toDF("on_chain_id", "donor", "recipient", "pot", "matching_pool",
+      "usd", "donated_at")
+      .withColumn("total_amount_usd", col("usd").cast("decimal(20,2)"))
+      .withColumn("total_amount_dec", col("usd").cast("decimal(38,0)"))
+      .drop("usd")
+
+    val pots = Seq(
+      ("pot1.pot.near", java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-06-30 00:00:00"))
+    ).toDF("account", "matching_round_start", "matching_round_end")
+
+    val applications = Seq(
+      ("pot1.pot.near", "proj1.near", "Approved", ts0),
+      ("pot1.pot.near", "proj2.near", "Pending", ts0)
+    ).toDF("pot", "applicant", "status", "submitted_at")
+
+    val payouts = Seq(
+      ("pot1.pot.near", "proj1.near", java.sql.Timestamp.valueOf("2024-06-12 00:00:00"), 5.0),
+      ("pot1.pot.near", "proj2.near", null.asInstanceOf[java.sql.Timestamp], 6.0)
+    ).toDF("pot", "recipient", "paid_at", "usd")
+      .withColumn("amount_paid_usd", col("usd").cast("decimal(20,2)")).drop("usd")
+
+    val registrations = Seq(
+      (11L, 5L, "proj1.near", "Approved", ts0),
+      (12L, 5L, "proj2.near", "Pending", ts0),
+      (13L, 5L, "donor1.near", "Approved", ts0)
+    ).toDF("on_chain_id", "list_id", "registrant", "status", "submitted_at")
+
+    val lists = Seq((5L, "owner.near")).toDF("on_chain_id", "owner")
+
+    Map(
+      "accounts" -> accounts,
+      "donations" -> donations,
+      "pots" -> pots,
+      "pot_applications" -> applications,
+      "pot_payouts" -> payouts,
+      "list_registrations" -> registrations,
+      "lists" -> lists,
+      "pot_factories" -> Seq(("f1.near")).toDF("account"),
+      "account_stats" -> Stats.accountStats(accounts, donations, payouts),
+      "global_stats" -> Stats.globalStats(donations, payouts),
+      "donate_contract_config" ->
+        Seq(("""{"owner":"x.near","protocol_fee_basis_points":250,"referral_fee_basis_points":100}"""))
+          .toDF("config"))
+  }
+
+  private lazy val qs = new QueryService(tables(_))
+
+  test("pagination envelope: count + slice + next/previous (O3/A4)") {
+    val p1 = qs.accountsList(page = 1, pageSize = 2)
+    assert(p1.count == 5 && p1.results.count() == 2)
+    assert(p1.hasNext && !p1.hasPrevious)
+    val p3 = qs.accountsList(page = 3, pageSize = 2)
+    assert(p3.results.count() == 1 && !p3.hasNext && p3.hasPrevious)
+  }
+
+  test("donors semi-join + most_donated sort (J2/O2)") {
+    val d = qs.donors(sortMostDonated = true)
+    val ids = d.results.select("id").collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("donor1.near", "donor2.near")) // 30 usd > 30? donor1=30, donor2=30 -> tie by id
+    assert(d.count == 2)
+  }
+
+  test("enum validation returns error, not rows (P3)") {
+    assert(qs.accountPotApplications("proj1.near", Some("NotAStatus")).isLeft)
+    assert(qs.accountListRegistrations("proj1.near", Some("Bogus")).isLeft)
+    val ok = qs.accountPotApplications("proj1.near", Some("Approved"))
+    assert(ok.toOption.get.count == 1)
+  }
+
+  test("active pots with live interval (J3/P6)") {
+    val live = qs.accountActivePots("proj1.near", live = true,
+      java.sql.Timestamp.valueOf("2024-06-15 00:00:00"))
+    assert(live.count == 1)
+    val notLive = qs.accountActivePots("proj1.near", live = true,
+      java.sql.Timestamp.valueOf("2024-07-15 00:00:00"))
+    assert(notLive.count == 0)
+  }
+
+  test("donations received/sent with nested account expansion (J1/S8)") {
+    val recv = qs.accountDonationsReceived("proj1.near")
+    assert(recv.count == 2)
+    val json = recv.toJsonRows().mkString
+    assert(json.contains("\"donor\":{\"id\":\"donor1.near\"") ||
+      json.contains("\"donor\":{\"id\":\"donor2.near\""))
+    assert(qs.accountDonationsSent("donor1.near").count == 2)
+  }
+
+  test("payouts received: paid only (P4)") {
+    assert(qs.accountPayoutsReceived("proj1.near").count == 1)
+    assert(qs.accountPayoutsReceived("proj2.near").count == 0)
+  }
+
+  test("pot sponsors: distinct matching-pool donors (J4)") {
+    val s = qs.potSponsors("pot1.pot.near")
+    assert(s.results.select("id").collect().map(_.getString(0)).toSeq ==
+      Seq("donor1.near"))
+  }
+
+  test("list registrations with category regex over profile JSON (P7)") {
+    val cat = qs.listRegistrations(5L, None, Some("climate"))
+    // case-insensitive: matches donor1 (Climate) and proj1 (climate)
+    assert(cat.toOption.get.count == 2)
+    val none = qs.listRegistrations(5L, None, Some("Art"))
+    assert(none.toOption.get.count == 0)
+  }
+
+  test("random registration deterministic (O5)") {
+    val a = qs.randomRegistration(5L, Some("Approved")).head().getAs[Long]("on_chain_id")
+    val b = qs.randomRegistration(5L, Some("Approved")).head().getAs[Long]("on_chain_id")
+    assert(a == b && Set(11L, 13L).contains(a))
+  }
+
+  test("stats endpoint reads gold global stats (A1)") {
+    val s = qs.stats().head()
+    assert(s.getAs[Long]("total_donations_count") == 3)
+    assert(s.getAs[java.math.BigDecimal]("total_donations_usd").doubleValue() == 60.0)
+    assert(s.getAs[Long]("total_donors_count") == 2)
+    assert(s.getAs[java.math.BigDecimal]("total_payouts_usd").doubleValue() == 5.0)
+  }
+
+  test("donate contract config passthrough minus internal keys") {
+    val cfg = qs.donateContractConfig().head().getString(0)
+    assert(!cfg.contains("owner"))
+    assert(cfg.contains("referral_fee_basis_points"))
+  }
+
+  test("account stats gold: per-account rollups (A2)") {
+    val st = tables("account_stats")
+    val d1 = st.filter(col("id") === "donor1.near").head()
+    assert(d1.getAs[java.math.BigDecimal]("total_donations_out_usd").doubleValue() == 30.0)
+    val p1 = st.filter(col("id") === "proj1.near").head()
+    assert(p1.getAs[Long]("donors_count") == 2)
+    assert(p1.getAs[java.math.BigDecimal]("total_payouts_received_usd").doubleValue() == 5.0)
+  }
+}
