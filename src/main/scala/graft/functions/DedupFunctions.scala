@@ -56,6 +56,11 @@ object DedupFunctions {
     * O(m + m·k) instead of the naive k string scans.
     * Returns array<bigint> of length k. */
   def minHashSignature(shingleSet: Column, k: Int): Column =
+    graft.plans.expressions.minHashSignature(shingleSet, k)
+
+  /** Pure-HOF formulation of [[minHashSignature]] — bit-identical values,
+    * kept as the dependency-free reference implementation. */
+  def minHashSignatureHof(shingleSet: Column, k: Int): Column =
     aggregate(
       transform(shingleSet, s => xxhash64(s)),
       array_repeat(lit(Long.MaxValue), k),
@@ -80,6 +85,10 @@ object DedupFunctions {
     * 64-vector of signed counters, then pack the sign bits — O(w·64) long
     * ops, each word hashed exactly once. */
   def simHash(text: Column): Column =
+    graft.plans.expressions.simHash64(wordSet(text))
+
+  /** Pure-HOF formulation of [[simHash]] — bit-identical values. */
+  def simHashHof(text: Column): Column =
     aggregate(
       transform(wordSet(text), w => xxhash64(w)),
       array_repeat(lit(0L), 64),

@@ -1,0 +1,186 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot per-row kernels of the
+  * training-data pipeline (SURVEY §7.3: promote to Expression where the
+  * composed built-ins can't deliver the needed performance).
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`)
+  * evaluate their lambdas through the interpreter — fine for control flow,
+  * but a 64-dim dot product or a k×m minhash fold pays per-element
+  * interpretation overhead. These expressions run the same math as a tight
+  * JVM loop, and [[ArrayCosineSimilarity]] additionally generates code so
+  * it stays inside whole-stage codegen.
+  *
+  * Numerical contract: accumulation is strictly left-to-right in double,
+  * IDENTICAL to the HOF formulations they replace (and to the DuckDB
+  * oracle) — results are bit-equal, not just close.
+  */
+object expressions {
+
+  /** cosine(a, b) over array<float> columns, codegen'd. */
+  case class ArrayCosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity expects array<float> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      // Norms cover the FULL vectors (parity with norm(a)*norm(b)).
+      var j = n
+      while (j < x.numElements()) { val v = x.getFloat(j).toDouble; na += v * v; j += 1 }
+      j = n
+      while (j < y.numElements()) { val v = y.getFloat(j).toDouble; nb += v * v; j += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val v = ctx.freshName("v")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double x = (double) $a.getFloat($i);
+           |  double y = (double) $b.getFloat($i);
+           |  $dot += x * y; $na += x * x; $nb += y * y;
+           |}
+           |for (int $i = $n; $i < $a.numElements(); $i++) {
+           |  double $v = (double) $a.getFloat($i); $na += $v * $v;
+           |}
+           |for (int $i = $n; $i < $b.numElements(); $i++) {
+           |  double $v = (double) $b.getFloat($i); $nb += $v * $v;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** MinHash signature over an array<string> shingle set: k permutations
+    * via seed-chained xxhash64, each shingle hashed once. Values are
+    * identical to the HOF construction in DedupFunctions (xxhash64(s) then
+    * xxhash64(i, base)). */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"minhash_signature expects array<string>, got ${other.sql}")
+      }
+    override def nullIntolerant: Boolean = true
+
+    // Seed-chain parity with functions.xxhash64(i, h): fold the args with
+    // the running hash as seed, starting at 42; the permutation index is an
+    // IntegerType child there (sequence(0, k-1)), so it hashes via the
+    // 4-byte int path, and the base hash via the long path.
+    @transient private lazy val permSeeds: Array[Long] =
+      Array.tabulate(k)(p => XxHash64Function.hash(p, IntegerType, 42L))
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < m) {
+        val s = arr.getUTF8String(i)
+        val base = XxHash64Function.hash(s, StringType, 42L)
+        var p = 0
+        while (p < k) {
+          val h = XxHash64Function.hash(base, LongType, permSeeds(p))
+          if (h < mins(p)) mins(p) = h
+          p += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash over an array<string> word set (sign of per-bit signed
+    * counts of xxhash64(word) bits) — same construction as the HOF version. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < arr.numElements()) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ------------------------------------------------------- Column surface
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    Bridge.column(ArrayCosineSimilarity(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  def minHashSignature(shingles: Column, k: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(shingles), k))
+
+  def simHash64(words: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(words)))
+}

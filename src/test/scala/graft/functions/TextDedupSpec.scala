@@ -68,6 +68,26 @@ class TextDedupSpec extends SparkSpec {
     assert(top.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("native expressions are bit-identical to their HOF formulations") {
+    val mh = docs.select(
+      DedupFunctions.minHashSignature(DedupFunctions.shingles(col("text"), 3), 16).as("a"),
+      DedupFunctions.minHashSignatureHof(DedupFunctions.shingles(col("text"), 3), 16).as("b"))
+    assert(mh.filter(col("a") =!= col("b")).count() == 0)
+
+    val sh = docs.select(
+      DedupFunctions.simHash(col("text")).as("a"),
+      DedupFunctions.simHashHof(col("text")).as("b"))
+    assert(sh.filter(col("a") =!= col("b")).count() == 0)
+
+    val vecs = Seq((Array(0.3f, -0.7f, 0.64f, 0.11f), Array(0.5f, 0.2f, -0.9f, 0.33f)))
+      .toDF("a", "b")
+    val cs = vecs.select(
+      Similarity.cosine(col("a"), col("b")).as("x"),
+      Similarity.cosineHof(col("a"), col("b")).as("y")).head()
+    assert(java.lang.Double.doubleToLongBits(cs.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(cs.getDouble(1)))
+  }
+
   test("multimodal binary pipeline: deterministic fake decode plumbing") {
     import graft.multimodal.BinaryPipeline
     val media = BinaryPipeline.withPayload(docs, "text")
