@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints physical plans for headline queries and greps them for the
+  * properties we require at scale (pushdown, broadcast, codegen,
+  * top-k-as-TakeOrdered). Run: sbt "runMain graft.PlanAudit [sfDir]". */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      // AQE off here: its pre-execution plan hides codegen annotations;
+      // production sessions keep AQE on (Verify/Bench).
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val checks: Seq[(String, Seq[String])] = Seq(
+      "q_p2_eq_filter" -> Seq("PushedFilters: \\[.*EqualTo", "codegen id"),
+      "q_p6_interval" -> Seq("PushedFilters: \\[.*GreaterThan", "codegen id"),
+      "q_j1_fk_expand" -> Seq("BroadcastHashJoin", "codegen id"),
+      "q_j2_exists_semi" -> Seq("LeftSemi", "PushedFilters: \\[.*GreaterThan"),
+      "q_o2_topk" -> Seq("TakeOrderedAndProject"),
+      "q_a2_account_rollup" -> Seq("HashAggregate", "codegen id"),
+      "q_sim1_cosine_topk" -> Seq("BroadcastNestedLoopJoin|BroadcastHashJoin"),
+      "q_j6_asof_join" -> Seq("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"))
+
+    var bad = 0
+    checks.foreach { case (name, patterns) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val missing = patterns.filterNot(p => p.r.findFirstIn(plan).isDefined)
+      if (missing.isEmpty) println(s"[audit] OK   $name")
+      else {
+        bad += 1
+        println(s"[audit] MISS $name -> ${missing.mkString("; ")}")
+        println(plan.linesIterator.take(40).mkString("\n"))
+      }
+    }
+    println(s"[audit] done, $bad misses")
+    spark.stop()
+  }
+}
