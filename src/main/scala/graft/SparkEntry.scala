@@ -277,6 +277,14 @@ object SparkEntry {
         count(when(col("l_linestatus") === "O", 1)).as("n_o"))
       .orderBy("l_returnflag")
 
+  /** A6 — hierarchical rollup totals (beyond-parity; free on Spark,
+    * SURVEY §2.5 note). */
+  private def a6(t: Tables): DataFrame =
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** A5/S7 — last-writer-wins upsert dedup on a natural key
     * (update_or_create semantics, utils.py:978-982). */
   private def a5(t: Tables): DataFrame =
@@ -451,6 +459,7 @@ object SparkEntry {
       "q_a2_account_rollup" -> q(a2),
       "q_a3_conditional_agg" -> q(a3),
       "q_a5_lww_upsert" -> q(a5),
+      "q_a6_rollup" -> q(a6),
       "q_o2_topk" -> q(o2),
       "q_o3_page_slice" -> q(o3),
       "q_o5_random_pick" -> q(o5),

@@ -71,6 +71,23 @@ object Relational {
   def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** Skew-resistant equi-join: salt the skewed (left) side's key into
+    * `salts` sub-keys and explode the build (right) side to match, so one
+    * hot key spreads over `salts` reducers. AQE's skew-join handles most
+    * cases at runtime; explicit salting is for the pathological keys known
+    * in advance (e.g. a mega-donor account at 100 TB). */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(col(leftKey), monotonically_increasing_id()), lit(salts)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"), joinType)
+      .drop("__salt")
+  }
+
   /** Seeded pseudo-random single pick per group (reference:
     * lists/api.py:216-223 `random_registration`). Instead of `rand()` —
     * which is per-run nondeterministic and breaks replay/caching — we order

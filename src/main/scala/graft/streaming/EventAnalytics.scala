@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over an event stream: event-time windowed
+  * aggregation with watermarking, and gap-based sessionization via
+  * `flatMapGroupsWithState` — the Structured-Streaming capabilities the
+  * gold layer uses beyond the reference's strict parity surface
+  * (SURVEY §2.5 note: "our gold layer gets them for free via Spark").
+  */
+object EventAnalytics {
+
+  /** Tumbling event-time window aggregate with a watermark bounding state:
+    * late rows beyond `lateness` are dropped, state is GC'd — the knobs
+    * that keep a 100 TB/day stream's state finite. */
+  def hourlyTypeCounts(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Gap-based sessionization: a session closes after `gapMs` of user
+    * inactivity (processing-time timeout drives emission). State per user
+    * is O(1); the shuffle is one hash partition by user — scales with
+    * distinct users, not events. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId,
+              new java.sql.Timestamp(s.sessionStart),
+              new java.sql.Timestamp(s.lastTs), s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= Session(userId,
+                    new java.sql.Timestamp(s.sessionStart),
+                    new java.sql.Timestamp(s.lastTs), s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -51,6 +51,14 @@ class OperatorSpec extends SparkSpec {
     assert(page.toSeq == (31 to 40))
   }
 
+  test("saltedJoin equals plain join under skew") {
+    val facts = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i)).toDF("key", "v")
+    val dims = Seq(("hot", "H"), ("k950", "X")).toDF("dkey", "name")
+    val plain = facts.join(dims, facts("key") === dims("dkey")).count()
+    val salted = Relational.saltedJoin(facts, dims, "key", "dkey", salts = 8).count()
+    assert(salted == plain && plain == 901)
+  }
+
   test("pseudoRandomPickPerGroup is deterministic across runs (O5)") {
     val df = (1 to 50).map(i => (i % 3, i)).toDF("g", "id")
     val pick1 = Relational.pseudoRandomPickPerGroup(df, Seq("g"), col("id").cast("string"))

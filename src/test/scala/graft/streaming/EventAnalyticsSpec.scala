@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Streaming analytics: windowed agg over a file stream matches the batch
+  * equivalent; stateful sessionization splits on the inactivity gap. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+  import EventAnalytics._
+
+  test("streaming hourly window agg equals batch date_trunc aggregation") {
+    val src = graft.Tables(spark, "/root/testdata/sf0.001").events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = tmpDir("events-stream")
+    src.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(src.schema)
+      .parquet(dir)
+    val q = hourlyTypeCounts(stream).writeStream
+      .format("memory").queryName("hourly")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("hourly")
+      .select(col("hour"), col("event_type"), col("n"))
+    val batch = src
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch.select(col("hour"), col("event_type"), col("n"))).count() == 0)
+  }
+
+  test("sessionize: events split on inactivity gap, per user") {
+    def ts(min: Int) = new java.sql.Timestamp(1718000000000L + min * 60000L)
+    val events = Seq(
+      Event(1, ts(0), "click"), Event(1, ts(10), "click"), // session A (gap 30m)
+      Event(1, ts(60), "view"), Event(1, ts(65), "click"), // session B
+      Event(2, ts(5), "view")
+    ).toDS()
+    val dir = tmpDir("sess-src")
+    events.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(events.schema).parquet(dir).as[Event]
+    val q = sessionize(stream, gapMs = 30 * 60000L).writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // AvailableNow closes the stream; only sessions closed by a NEW
+    // session's arrival are emitted (user 1's first session).
+    val emitted = spark.table("sessions").as[Session].collect()
+    assert(emitted.length == 1)
+    assert(emitted(0).user_id == 1 && emitted(0).n_events == 2)
+    assert(emitted(0).session_end.getTime - emitted(0).session_start.getTime == 10 * 60000L)
+  }
+}
