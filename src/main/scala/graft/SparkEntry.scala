@@ -323,6 +323,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** W2 — running aggregate window (event-time cumulative sum per user;
+    * decimal-exact accumulation). */
+  private def w2(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .withColumn("running_value",
+        sum(col("value").cast(dec182)).over(w).cast("double"))
+      .select("user_id", "event_id", "running_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** A7 — sketch aggregate: approx_count_distinct (HLL++). Engine-specific
+    * sketch values → no SQL oracle (rows-only check); demonstrated for the
+    * 100 TB cardinality path where exact distinct is too expensive. */
+  private def a7(t: Tables): DataFrame =
+    t.lineitem.agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+
   /** SET — union + except on keys (ignore_conflicts / discovery,
     * SURVEY §2.8). */
   private def set1(t: Tables): DataFrame =
@@ -464,6 +485,8 @@ object SparkEntry {
       "q_o3_page_slice" -> q(o3),
       "q_o5_random_pick" -> q(o5),
       "q_w1_hourly_window" -> q(w1),
+      "q_w2_running_sum" -> q(w2),
+      "q_a7_approx_distinct" -> q(a7),
       "q_set_union_except" -> q(set1),
       "q_txt1_quality" -> q(txt1),
       "q_txt2_langid" -> q(txt2),

@@ -51,19 +51,8 @@ object MergeWriter {
       case None => incoming
     }
 
-    val merged0 = if (coalesceUpdates) {
-      // Per key: order by seq, then fill each row's nulls from the latest
-      // non-null earlier value (last_value ignoreNulls window), keep last.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*)
-        .orderBy(seq.map(col(_).asc): _*)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val valueCols = unioned.columns.filterNot(c => keys.contains(c))
-      val filled = valueCols.foldLeft(unioned) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
-      filled
-    } else unioned
+    val merged0 =
+      if (coalesceUpdates) backfillNulls(unioned, keys, seq) else unioned
 
     val merged = Relational.lwwDedup(merged0, keys, seq.map(col))
 
@@ -73,6 +62,78 @@ object MergeWriter {
     deleteRecursively(Paths.get(path))
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     spark.read.parquet(path).count()
+  }
+
+  /** Partition-scoped LWW merge — the 100 TB path. The table is laid out
+    * as `path/<partitionCol>=<value>/...`; only partitions present in the
+    * incoming batch are read, merged and atomically swapped. A steady
+    * stream touching the last few hours rewrites a few date partitions,
+    * not the table.
+    *
+    * Requirement: the partition value must be a pure, immutable function
+    * of the natural key's row (e.g. date(donated_at) — set once at
+    * creation), otherwise key versions could land in different partitions
+    * and escape the dedup. This mirrors the reference's natural-key
+    * immutability (upsert keys never change partition-determining fields).
+    */
+  def mergePartitioned(
+      spark: SparkSession,
+      incoming: DataFrame,
+      path: String,
+      keys: Seq[String],
+      seq: Seq[String],
+      partitionCol: String,
+      coalesceUpdates: Boolean = true): Long = {
+
+    val affected: Seq[Any] = incoming.select(partitionCol).distinct()
+      .collect().map(_.get(0)).toSeq
+    // The distinct partition list must stay driver-small (dates/hours — it
+    // is bounded by the batch's event-time span, not data volume).
+    require(affected.size <= 10000,
+      s"merge batch touches ${affected.size} partitions; repartition the batch window")
+
+    val exists = Files.exists(Paths.get(path))
+    val existingAffected: Option[DataFrame] =
+      if (exists)
+        Some(spark.read.parquet(path)
+          .filter(col(partitionCol).isin(affected: _*)))
+      else None
+
+    val unioned = existingAffected match {
+      case Some(old) => old.unionByName(incoming, allowMissingColumns = true)
+      case None => incoming
+    }
+    val merged = {
+      val filled = if (coalesceUpdates) backfillNulls(unioned, keys, seq) else unioned
+      Relational.lwwDedup(filled, keys, seq.map(col))
+    }
+
+    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+
+    Files.createDirectories(Paths.get(path))
+    affected.foreach { v =>
+      val dirName = s"$partitionCol=$v"
+      val src = Paths.get(tmp, dirName)
+      val dst = Paths.get(path, dirName)
+      deleteRecursively(dst)
+      if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteRecursively(Paths.get(tmp))
+    spark.read.parquet(path).count()
+  }
+
+  /** Per key ordered by seq: fill each row's nulls from the latest earlier
+    * non-null value (partial-UPDATE semantics). */
+  private def backfillNulls(df: DataFrame, keys: Seq[String], seq: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(seq.map(col(_).asc): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val valueCols = df.columns.filterNot(c => keys.contains(c))
+    valueCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
   }
 
   /** Append-only variant with ignore-conflicts semantics (reference
