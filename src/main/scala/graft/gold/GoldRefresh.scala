@@ -1,0 +1,66 @@
+package graft.gold
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ingest.{Schemas, SilverStore}
+
+/** The gold-layer refresh job — operational equivalent of the reference's
+  * 5-minute Celery beat (base/celery.py:27-49): recompute USD enrichment,
+  * account/pot stats and global stats from silver, writing gold tables
+  * next to them. Run on a cron/trigger: `sbt "runMain graft.gold.GoldRefresh
+  * <silverDir>"`. Each job is a bounded number of shuffles (SURVEY §3.3).
+  */
+object GoldRefresh {
+
+  def refresh(spark: SparkSession, silverDir: String): Unit = {
+    val silver = new SilverStore(spark, silverDir)
+    def tableOrEmpty(name: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+      if (silver.exists(name)) silver.table(name)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+    val donations0 = tableOrEmpty("donations", Schemas.donation)
+    val payouts = tableOrEmpty("pot_payouts", Schemas.potPayout)
+    val accounts = tableOrEmpty("accounts", Schemas.account)
+    val tokens = tableOrEmpty("tokens", Schemas.token)
+    val prices = tableOrEmpty("token_prices", Schemas.tokenHistoricalPrice)
+
+    // 1. USD enrichment (J6/F3): as-of price join; donations lacking a
+    //    price inside ±24h keep null USD (re-enriched next run — the
+    //    deterministic form of the reference's backfill-on-null loop).
+    val enriched =
+      if (prices.isEmpty) donations0
+      else Stats.enrichDonationsUsd(donations0, prices, tokens)
+    write(enriched, s"$silverDir/donations_enriched")
+
+    // 2. Stats tables.
+    write(Stats.accountStats(accounts, enriched, payouts), s"$silverDir/account_stats")
+    write(Stats.potStats(enriched), s"$silverDir/pot_stats")
+    write(Stats.globalStats(enriched, payouts), s"$silverDir/global_stats")
+  }
+
+  private def write(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val silverDir = args.headOption.getOrElse(sys.error("usage: GoldRefresh <silverDir>"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    refresh(spark, silverDir)
+    spark.stop()
+  }
+}

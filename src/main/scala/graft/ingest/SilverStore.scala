@@ -55,6 +55,20 @@ final class SilverStore(spark: SparkSession, dir: String) {
           .unionByName(socialProfileUpdates(acts)),
         Seq("id"))
       first("activities", donationActivities(dons), Seq("type", "action_result"))
+      // Token stubs from first sight of an ft reference (the reference
+      // creates Token rows on first donation and enriches metadata via RPC
+      // later — utils.py:917-943; metadata refresh stays out-of-engine).
+      first("tokens",
+        dons.select(col("ft").as("account"),
+          lit(null).cast("string").as("name"),
+          lit(null).cast("string").as("symbol"),
+          lit(null).cast("string").as("icon"),
+          when(col("ft") === "near", lit(24)).cast("int").as("decimals"),
+          lit(null).cast("string").as("coingecko_id"),
+          col("block_height"), col("shard_index"), col("receipt_index"),
+          col("action_index"))
+          .filter(col("account").isNotNull),
+        Seq("account"))
       lww("pots", potDeploys(acts), Seq("account"))
       lww("pot_factories", potFactories(acts), Seq("account"))
       lww("pot_applications",

@@ -1,0 +1,55 @@
+package graft.gold
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.Fixtures
+import graft.streaming.StreamIngest
+
+/** Gold refresh end-to-end: ingest a donation, provide a price row within
+  * the ±24h window, refresh, and check the USD-enriched values flow into
+  * the stats tables (the reference's fetch_usd_prices +
+  * update_account_statistics beat jobs, tasks.py:153-327). */
+class GoldSpec extends SparkSpec {
+  import Fixtures._
+  import spark.implicits._
+
+  test("usd enrichment + stats refresh from silver") {
+    val in = tmpDir("gold-bronze")
+    val silverDir = tmpDir("gold-silver")
+    // 100 NEAR donation (1e26 yocto), no fees, at t=1718000000001 ms.
+    val blocks = Seq(block(500, 1718000000000000000L, Seq(
+      receipt("donate.potlock.near", "donate", "{}",
+        resultJson = Some(directDonationResult(
+          9, "whale.near", "100000000000000000000000000", "0",
+          "sea.near", 1718000000001L)),
+        receiptId = "rg"))))
+    Files.write(Paths.get(in, "b.json"), blocks.mkString("\n").getBytes)
+    StreamIngest.backfill(spark, in, silverDir)
+
+    // Price: 5 USD/NEAR one hour after the donation (inside ±24h).
+    Seq(("near", new java.sql.Timestamp(1718000000001L + 3600000L),
+        new java.math.BigDecimal("5.00")))
+      .toDF("token", "timestamp", "price_usd")
+      .write.mode("overwrite").parquet(s"$silverDir/token_prices")
+
+    GoldRefresh.refresh(spark, silverDir)
+
+    val enriched = spark.read.parquet(s"$silverDir/donations_enriched")
+    val d = enriched.head()
+    assert(d.getAs[java.math.BigDecimal]("total_amount_usd").doubleValue() == 500.0)
+    assert(d.getAs[java.math.BigDecimal]("net_amount_usd").doubleValue() == 500.0)
+
+    val acct = spark.read.parquet(s"$silverDir/account_stats")
+    val whale = acct.filter(col("id") === "whale.near").head()
+    assert(whale.getAs[java.math.BigDecimal]("total_donations_out_usd").doubleValue() == 500.0)
+    val sea = acct.filter(col("id") === "sea.near").head()
+    assert(sea.getAs[Long]("donors_count") == 1)
+
+    val global = spark.read.parquet(s"$silverDir/global_stats").head()
+    assert(global.getAs[Long]("total_donations_count") == 1)
+    assert(global.getAs[java.math.BigDecimal]("total_donations_usd").doubleValue() == 500.0)
+  }
+}
