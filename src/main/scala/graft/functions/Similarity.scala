@@ -92,6 +92,53 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
 
+  /** IVF (inverted-file) ANN: k-means centroids partition the corpus into
+    * cells; a query scans only its `nprobe` nearest cells. The classic
+    * trade: recall grows with nprobe, cost with cells scanned. Centroids
+    * are trained once (seeded KMeans on a sample) and reused — at 100 TB
+    * the assignment pass is one scan and queries touch nprobe/nlist of the
+    * corpus. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusVec = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+      .withColumn("features", array_to_vector(col("cv").cast("array<double>")))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(corpusVec)
+    val assigned = model.transform(corpusVec).select("neighbor_id", "cv", "cell")
+
+    // Broadcast centroids as array<array<float>> and rank cells per query
+    // with the same cosine kernel; explode the top-nprobe cells.
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    val centroidDf = broadcast(
+      corpus.sparkSession.createDataFrame(centroids).toDF("cell", "centroid"))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+    val qCells = q.crossJoin(centroidDf)
+      .withColumn("cell_sim", cosine(col("qv"), col("centroid")))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    val probed = qCells.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "qv", "cell")
+
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted to
     * an equi-bucket (e.g. a label or LSH signature) to avoid O(n²). */
   def embeddingNearDupPairs(

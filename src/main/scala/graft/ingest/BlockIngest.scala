@@ -92,6 +92,35 @@ object BlockIngest {
         try_to_binary(col("success_value_b64"), lit("base64"))
           .cast("string").as("result_json"))
 
+  /** Records whose payloads failed to decode/parse — the per-record
+    * quarantine promised by SURVEY §2.9 (the reference silently swallows
+    * per-receipt errors, handler.py:446-447; we keep them inspectable).
+    * A row lands here when base64 decode of args/result failed, or the
+    * decoded bytes are not valid JSON where JSON is expected. */
+  def quarantine(receipts: DataFrame): DataFrame =
+    receipts
+      .select(col("*"),
+        posexplode_outer(col("actions")).as(Seq("action_index", "action")))
+      .filter(col("action.FunctionCall").isNotNull)
+      .withColumn("raw_args", col("action.FunctionCall.args"))
+      .withColumn("args_json",
+        try_to_binary(col("raw_args"), lit("base64")).cast("string"))
+      .withColumn("result_json",
+        try_to_binary(col("success_value_b64"), lit("base64")).cast("string"))
+      .filter(
+        (col("args_json").isNull && col("raw_args").isNotNull) ||
+          (col("args_json").isNotNull && length(trim(col("args_json"))) > 0 &&
+            try_parse_json(col("args_json")).isNull) ||
+          (col("result_json").isNotNull &&
+            trim(col("result_json")) =!= "null" &&
+            try_parse_json(col("result_json")).isNull))
+      .select(
+        col("block_height"), col("shard_index"), col("receipt_index"),
+        col("action_index").cast("int").as("action_index"),
+        col("receipt_id"), col("receiver_id"),
+        col("action.FunctionCall.method_name").as("method_name"),
+        col("args_json"), col("result_json"))
+
   /** One row per EVENT_JSON log, with event name and data payload —
     * reference handler.py:97-139 (P10). */
   def events(receipts: DataFrame): DataFrame = {

@@ -105,6 +105,11 @@ final class SilverStore(spark: SparkSession, dir: String) {
       lww("nadabot_groups", groups(evts), Seq("registry", "on_chain_id"))
       lww("nadabot_blacklist", blacklistActions(evts), Seq("registry", "account"))
 
+      // Per-record error quarantine (SURVEY §2.9): decode/parse failures
+      // are kept inspectable instead of silently dropped.
+      first("quarantine", BlockIngest.quarantine(receipts),
+        Seq("receipt_id", "action_index"))
+
       // Stream-cursor parity row (S2; reference BlockHeight singleton,
       // indexer_app/models.py:5-24).
       val bh = blocks.agg(

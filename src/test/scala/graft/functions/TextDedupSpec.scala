@@ -68,6 +68,26 @@ class TextDedupSpec extends SparkSpec {
     assert(top.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("IVF ANN finds the same top-1 as brute force on clustered vectors") {
+    // Two tight clusters; IVF with nprobe covering the query's cell must
+    // find the brute-force nearest neighbor.
+    val base = (0 until 32).map { i =>
+      val c = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(c + i * 0.001f, c - i * 0.001f, c, c * 0.5f))
+    }
+    val vecs = base.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 2)
+    val bf = Similarity.cosineTopK(queries, vecs, "vec_id", "embedding",
+      "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding",
+      "vec_id", "embedding", k = 1, nlist = 2, nprobe = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf == bf)
+  }
+
   test("native expressions are bit-identical to their HOF formulations") {
     val mh = docs.select(
       DedupFunctions.minHashSignature(DedupFunctions.shingles(col("text"), 3), 16).as("a"),

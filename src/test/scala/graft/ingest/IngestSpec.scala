@@ -165,6 +165,21 @@ class IngestSpec extends SparkSpec {
     assert(types == Set("Donate_Direct", "Donate_Pot_Matching_Pool"))
   }
 
+  test("malformed payloads land in quarantine, not silently dropped (§2.9)") {
+    counts
+    val in3 = tmpDir("bronze3")
+    val badReceipt =
+      s"""{"receipt": {"receipt_id": "qbad", "receiver_id": "donate.potlock.near",
+         | "predecessor_id": "x.near", "receipt": {"Action": {"signer_id": "x.near",
+         | "actions": [{"FunctionCall": {"method_name": "donate", "args": "!!!"}}]}}},
+         | "execution_outcome": {"outcome": {"status": {"SuccessValue": "${b64("{\"truncated\"")}"},
+         | "logs": []}}}""".stripMargin.replace("\n", " ")
+    writeBlocks(in3, Seq(block(105, 1718000500000000000L, Seq(badReceipt))))
+    StreamIngest.backfill(spark, in3, silverDir)
+    val q = silver.table("quarantine").filter(col("receipt_id") === "qbad")
+    assert(q.count() == 1)
+  }
+
   test("replay idempotence: re-applying all blocks changes nothing (FIXTURES §5)") {
     val before = counts
     val in2 = tmpDir("bronze2")
