@@ -436,6 +436,14 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", k = 5, planes = 6)
       .orderBy("query_id", "rank")
 
+  /** SIM3 — IVF ANN (seeded-KMeans cells + probe; rows-only). */
+  private def sim3(t: Tables): DataFrame =
+    Similarity.ivfTopK(
+        t.embeddings.filter(col("vec_id") < 8), t.embeddings,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 3, maxIter = 4)
+      .orderBy("query_id", "rank")
+
   // ---------------------------------------------------------------- M: multimodal
 
   /** MM1 — opaque binary column plumbing: payload bytes + typed metadata
@@ -498,6 +506,7 @@ object SparkEntry {
       "q_dd5_embed_neardup" -> q(dd5),
       "q_sim1_cosine_topk" -> q(sim1),
       "q_sim2_lsh_ann" -> q(sim2),
+      "q_sim3_ivf_ann" -> q(sim3),
       "q_mm1_binary_meta" -> q(mm1))
   }
 

@@ -101,14 +101,15 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      maxIter: Int = 10): DataFrame = {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val corpusVec = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
       .withColumn("features", array_to_vector(col("cv").cast("array<double>")))
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(corpusVec)
     val assigned = model.transform(corpusVec).select("neighbor_id", "cv", "cell")
