@@ -153,6 +153,56 @@ class QueryServiceSpec extends SparkSpec {
     assert(cfg.contains("referral_fee_basis_points"))
   }
 
+  test("all 24 route shapes execute and honor the envelope") {
+    val now = java.sql.Timestamp.valueOf("2024-06-15 00:00:00")
+    val pages = Seq(
+      qs.accountsList(), qs.accountActivePots("proj1.near", live = false, now),
+      qs.accountDonationsReceived("proj1.near"), qs.accountDonationsSent("donor1.near"),
+      qs.accountPayoutsReceived("proj1.near"), qs.donors(sortMostDonated = false),
+      qs.listsList(), qs.potsList(), qs.potFactoriesList(),
+      qs.potApplications("pot1.pot.near"), qs.potDonations("pot1.pot.near"),
+      qs.potSponsors("pot1.pot.near"), qs.potPayouts("pot1.pot.near")) ++
+      Seq(
+        qs.accountPotApplications("proj1.near", None).toOption.get,
+        qs.accountListRegistrations("proj1.near", None).toOption.get,
+        qs.listRegistrations(5L, None, None).toOption.get)
+    pages.foreach { p =>
+      assert(p.count >= 0 && p.results.count() <= p.pageSize)
+      assert(p.results.count() <= p.count)
+    }
+    Seq(qs.accountDetail("proj1.near"), qs.listDetail(5L),
+      qs.potDetail("pot1.pot.near"), qs.randomRegistration(5L, None),
+      qs.stats(), qs.donateContractConfig()).foreach { df =>
+      assert(df.count() == 1)
+    }
+  }
+
+  test("DRF-shaped JSON: two-decimal USD strings, explicit nulls, envelope") {
+    val d = tables("donations")
+      .withColumn("net_amount", lit("90"))
+      .withColumn("protocol_fee", lit("10"))
+      .withColumn("referrer", lit(null).cast("string"))
+      .withColumn("referrer_fee", lit(null).cast("string"))
+      .withColumn("referrer_fee_usd", lit(null).cast("decimal(20,2)"))
+      .withColumn("chef", lit(null).cast("string"))
+      .withColumn("chef_fee", lit(null).cast("string"))
+      .withColumn("chef_fee_usd", lit(null).cast("decimal(20,2)"))
+      .withColumn("net_amount_usd", col("total_amount_usd"))
+      .withColumn("protocol_fee_usd", lit(null).cast("decimal(20,2)"))
+      .withColumn("total_amount", lit("100000000"))
+      .withColumn("ft", lit("near"))
+      .withColumn("message", lit(null).cast("string"))
+      .withColumn("tx_hash", lit("abc"))
+    val json = Serializers.donationJson(d)
+      .filter(col("on_chain_id") === 1).head().getAs[String]("json")
+    assert(json.contains("\"total_amount_usd\":\"10.00\""))
+    assert(json.contains("\"referrer\":null"))
+    assert(json.contains("\"donated_at\":\"2024-06-10T00:00:00.000000Z\""))
+
+    val env = Serializers.envelopeJson(31, Some("?page=2"), None, Seq(json))
+    assert(env.startsWith("{\"count\": 31, \"next\": \"?page=2\", \"previous\": null,"))
+  }
+
   test("account stats gold: per-account rollups (A2)") {
     val st = tables("account_stats")
     val d1 = st.filter(col("id") === "donor1.near").head()
