@@ -109,7 +109,10 @@ object Similarity {
 
     val corpusVec = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
       .withColumn("features", array_to_vector(col("cv").cast("array<double>")))
+    // Random init: k-means|| costs several extra passes and adds nothing
+    // for IVF cell quality at these k values.
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(corpusVec)
     val assigned = model.transform(corpusVec).select("neighbor_id", "cv", "cell")

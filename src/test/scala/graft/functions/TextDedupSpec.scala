@@ -108,6 +108,18 @@ class TextDedupSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(cs.getDouble(1)))
   }
 
+  test("native expressions callable from SQL after registration") {
+    graft.plans.expressionsRegistry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine_similarity(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c,
+        |       graft_simhash64(array('a', 'b')) AS s,
+        |       size(graft_minhash_signature(array('x y z'), 8)) AS m""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) != 0L)
+    assert(r.getInt(2) == 8)
+  }
+
   test("multimodal binary pipeline: deterministic fake decode plumbing") {
     import graft.multimodal.BinaryPipeline
     val media = BinaryPipeline.withPayload(docs, "text")
