@@ -275,6 +275,12 @@ object Oracles {
     "q_txt3_fingerprint" ->
       s"""SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id""",
 
+    "q_txt4_bpe_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS BIGINT)
+        |         AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_dd1_exact_dedup" ->
       s"""SELECT md5($norm) AS fp,
          |       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,

@@ -372,6 +372,21 @@ object SparkEntry {
       .select("doc_id", "predicted_lang", "en_score")
       .orderBy("doc_id")
 
+  /** TXT4 — BPE-style pre-tokenizer counts (LLM token estimation). */
+  private def txt4(t: Tables): DataFrame =
+    t.documents
+      .withColumn("bpeish_tokens", TextFunctions.bpeTokenCount(col("text")))
+      .select("doc_id", "bpeish_tokens")
+      .orderBy("doc_id")
+
+  /** TXT5 — winnowing (rolling-hash) fingerprints: shared-fingerprint
+    * counts between planted near-dup pairs (no SQL oracle: rows-only). */
+  private def txt5(t: Tables): DataFrame =
+    t.documents
+      .withColumn("fps", TextFunctions.winnowingFingerprints(col("text")))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"))
+      .orderBy("doc_id")
+
   /** TXT3 — document fingerprinting (md5 of normalized content). */
   private def txt3(t: Tables): DataFrame =
     t.documents
@@ -499,6 +514,8 @@ object SparkEntry {
       "q_txt1_quality" -> q(txt1),
       "q_txt2_langid" -> q(txt2),
       "q_txt3_fingerprint" -> q(txt3),
+      "q_txt4_bpe_tokens" -> q(txt4),
+      "q_txt5_winnowing" -> q(txt5),
       "q_dd1_exact_dedup" -> q(dd1),
       "q_dd2_jaccard_pairs" -> q(dd2),
       "q_dd3_minhash_lsh" -> q(dd3),

@@ -26,8 +26,35 @@ object TextFunctions {
     ((length(text) - length(replace(text, lit(needle), lit(""))))
       / lit(needle.length)).cast("long")
 
-  /** Normalized text: lowercase, whitespace collapsed — canonical form for
-    * fingerprinting and exact dedup. */
+  /** BPE-style pre-tokenizer count: word / number / punctuation-run /
+    * space-run segments (the GPT-2 pre-tokenization shape, minus the
+    * RE2-incompatible lookahead so the same pattern runs in the oracle).
+    * Approximates LLM token counts far better than whitespace splitting on
+    * code/punctuated text. */
+  val bpeishPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeishPattern)).cast("long")
+
+  /** Winnowing document fingerprints (the public MOSS scheme): hash every
+    * character k-gram (rolling window), then keep the minimum hash of each
+    * sliding window of `w` consecutive k-gram hashes. Near-identical
+    * documents share most fingerprints; used for plagiarism/near-dup
+    * detection at fragment granularity. Returns array<bigint> (distinct,
+    * sorted). The normalized text and the k-gram hash array are each bound
+    * once (evalOnce); total work O(n·k + n·w) per doc. */
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    ExprUtils.evalOnce(normalize(text)) { norm =>
+      val kgramHashes = transform(
+        sequence(lit(0), greatest(length(norm) - k + 1, lit(1)) - 1),
+        i => xxhash64(call_function("substr", norm, i + 1, lit(k))))
+      ExprUtils.evalOnce(kgramHashes) { hs =>
+        val windows = transform(
+          sequence(lit(0), greatest(size(hs) - w + 1, lit(1)) - 1),
+          j => array_min(slice(hs, j + 1, lit(w))))
+        array_sort(array_distinct(windows))
+      }
+    }
   def normalize(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
 

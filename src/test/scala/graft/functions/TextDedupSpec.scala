@@ -108,6 +108,27 @@ class TextDedupSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(cs.getDouble(1)))
   }
 
+  test("winnowing fingerprints: near-dups share most, unrelated share none") {
+    val fps = docs.withColumn("fps",
+      TextFunctions.winnowingFingerprints(col("text")))
+      .select("doc_id", "fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def overlap(a: Long, b: Long) =
+      fps(a).intersect(fps(b)).size.toDouble / fps(a).union(fps(b)).size
+    assert(overlap(1L, 2L) > 0.6) // planted near-dup pair
+    assert(overlap(1L, 3L) < 0.05)
+  }
+
+  test("bpe-ish token count exceeds whitespace count on punctuated text") {
+    val r = Seq(("hello, world! it's 42 degrees (said the fox)."))
+      .toDF("text")
+      .select(
+        TextFunctions.bpeTokenCount(col("text")).as("bpe"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ws"))
+      .head()
+    assert(r.getLong(0) > r.getLong(1))
+  }
+
   test("native expressions callable from SQL after registration") {
     graft.plans.expressionsRegistry.registerAll(spark)
     val r = spark.sql(
