@@ -285,6 +285,14 @@ object SparkEntry {
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** A8 — exact interpolated median per group. */
+  private def a8(t: Tables): DataFrame =
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+      .orderBy("l_returnflag")
+
   /** A5/S7 — last-writer-wins upsert dedup on a natural key
     * (update_or_create semantics, utils.py:978-982). */
   private def a5(t: Tables): DataFrame =
@@ -504,6 +512,7 @@ object SparkEntry {
       "q_a3_conditional_agg" -> q(a3),
       "q_a5_lww_upsert" -> q(a5),
       "q_a6_rollup" -> q(a6),
+      "q_a8_median" -> q(a8),
       "q_o2_topk" -> q(o2),
       "q_o3_page_slice" -> q(o3),
       "q_o5_random_pick" -> q(o5),
