@@ -115,6 +115,52 @@ object EntityTransforms {
         .when(col("matching_pool"), "Donate_Pot_Matching_Pool")
         .otherwise("Donate_Pot_Public").as("type")) ++ seqCols: _*)
 
+  /** Activity rows for the non-donation handlers (SURVEY §2.10 "Entities
+    * written" column: Deploy_Pot, Submit_Application, Register_Batch,
+    * Upvote, Process_Payouts, Challenge_Payout, Remove_List_Admin). Each is
+    * a typed feed entry keyed by (type, action_result) —
+    * activities/models.py:69-72. */
+  def handlerActivities(actions: DataFrame): DataFrame = {
+    def act(src: DataFrame, tpe: String, resultCols: Seq[String]): DataFrame =
+      src.select(Seq(
+        col("signer_id").as("signer"),
+        col("receiver_id").as("receiver"),
+        col("block_timestamp").as("timestamp"),
+        to_json(struct(resultCols.map(col): _*)).as("action_result"),
+        col("receipt_id").as("tx_hash"),
+        lit(tpe).as("type")) ++ seqCols: _*)
+
+    val deploys = act(
+      actions.filter(col("method_name") === "new" && isPotSub),
+      "Deploy_Pot", Seq("receiver_id"))
+    val applications = act(
+      actions.filter(col("method_name").isin("apply", "assert_can_apply_callback") && isPotSub)
+        .filter(col("result_json").isNotNull && trim(col("result_json")) =!= "null"),
+      "Submit_Application", Seq("receiver_id", "result_json"))
+    val registerBatches = act(
+      actions.filter(col("method_name") === "register_batch" &&
+        col("receiver_id") === contracts.lists)
+        .filter(col("result_json").isNotNull && trim(col("result_json")) =!= "null"),
+      "Register_Batch", Seq("result_json"))
+    val upvotes = act(
+      actions.filter(col("method_name") === "upvote" &&
+        col("receiver_id") === contracts.lists),
+      "Upvote", Seq("args_json"))
+    val payoutSets = act(
+      actions.filter(col("method_name") === "chef_set_payouts" && isPotSub),
+      "Process_Payouts", Seq("receiver_id", "args_json"))
+    val challenges = act(
+      actions.filter(col("method_name") === "challenge_payouts" && isPotSub),
+      "Challenge_Payout", Seq("receiver_id", "args_json"))
+    val adminRemovals = act(
+      actions.filter(col("method_name") === "owner_remove_admins" &&
+        col("receiver_id") === contracts.lists),
+      "Remove_List_Admin", Seq("args_json"))
+
+    Seq(applications, registerBatches, upvotes, payoutSets, challenges,
+      adminRemovals).foldLeft(deploys)(_ unionByName _)
+  }
+
   /** Account discovery (J8; utils.py:892-918): every referenced account id
     * becomes a row; the merge writer's anti-join keeps only new ones. */
   def donationAccounts(donations: DataFrame): DataFrame =

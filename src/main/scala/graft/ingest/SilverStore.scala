@@ -54,7 +54,9 @@ final class SilverStore(spark: SparkSession, dir: String) {
           .withColumn("near_social_profile_data", lit(null).cast("string"))
           .unionByName(socialProfileUpdates(acts)),
         Seq("id"))
-      first("activities", donationActivities(dons), Seq("type", "action_result"))
+      first("activities",
+        donationActivities(dons).unionByName(handlerActivities(acts)),
+        Seq("type", "action_result"))
       // Token stubs from first sight of an ft reference (the reference
       // creates Token rows on first donation and enriches metadata via RPC
       // later — utils.py:917-943; metadata refresh stays out-of-engine).

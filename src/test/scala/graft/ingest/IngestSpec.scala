@@ -159,10 +159,13 @@ class IngestSpec extends SparkSpec {
     assert(bh.getAs[Long]("block_height") == 104)
   }
 
-  test("activities typed from donations") {
+  test("activities typed from donations and handlers (§2.10)") {
     counts
     val types = silver.table("activities").select("type").collect().map(_.getString(0)).toSet
-    assert(types == Set("Donate_Direct", "Donate_Pot_Matching_Pool"))
+    assert(types == Set(
+      "Donate_Direct", "Donate_Pot_Matching_Pool",
+      "Deploy_Pot", "Submit_Application", "Register_Batch", "Upvote",
+      "Process_Payouts"))
   }
 
   test("malformed payloads land in quarantine, not silently dropped (§2.9)") {
