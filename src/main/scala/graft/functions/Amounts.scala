@@ -30,7 +30,11 @@ object Amounts {
     * `format_price`). decimals ≤ 38 keeps the result in decimal space.
     */
   def scaleByDecimals(amount: Column, decimals: Column): Column =
-    u128(amount) / pow(lit(10.0), decimals)
+    // Divisor built as an exact decimal "1" + d zeros: pow(10, d) returns a
+    // double, which is only exact up to 10^22 and would coerce the whole
+    // division to lossy double arithmetic (mantissa is 53 bits; real
+    // yoctoNEAR amounts exceed 2^53).
+    u128(amount) / concat(lit("1"), repeat(lit("0"), decimals)).try_cast(U128)
 
   /** Fee arithmetic: net = total − protocol − referrer(0) − chef(0) when the
     * payload carries net as missing/zero (reference: utils.py:875-884,
@@ -49,8 +53,11 @@ object Amounts {
   def toUsd(scaledAmount: Column, priceUsd: Column): Column =
     scaledAmount * priceUsd
 
-  /** Block-header nanoseconds → timestamp (reference: handler.py:50-52). */
-  def nsToTimestamp(ns: Column): Column = timestamp_micros((ns / 1000).cast("long"))
+  /** Block-header nanoseconds → timestamp (reference: handler.py:50-52).
+    * Integer division: a double route loses precision above 2^53 ns, i.e.
+    * for every real block timestamp. */
+  def nsToTimestamp(ns: Column): Column =
+    timestamp_micros(call_function("div", ns, lit(1000L)).cast("long"))
 
   /** Event-payload milliseconds → timestamp (reference: utils.py:886-888). */
   def msToTimestamp(ms: Column): Column = timestamp_millis(ms.cast("long"))

@@ -155,11 +155,18 @@ object DedupFunctions {
     val setSim = ExprUtils.evalOnce(size(array_intersect(col("ta"), col("tb")))) { ia =>
       ia.cast("double") / (size(col("ta")) + size(col("tb")) - ia).cast("double")
     }
-    pairs
+    val result = pairs
       .join(base.select(col("id").as("id_a"), col("sh").as("ta")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("tb")), Seq("id_b"))
       .withColumn("jaccard_sim", setSim)
       .filter(col("jaccard_sim") >= threshold)
       .select("id_a", "id_b", "jaccard_sim")
+      // Materialize (lineage-free) so the persisted intermediates can be
+      // released before returning — otherwise every call leaks cached
+      // blocks for the rest of the session.
+      .localCheckpoint(true)
+    base.unpersist()
+    bandRows.unpersist()
+    result
   }
 }

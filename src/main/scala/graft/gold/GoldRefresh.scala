@@ -27,10 +27,13 @@ object GoldRefresh {
     // 1. USD enrichment (J6/F3): as-of price join; donations lacking a
     //    price inside ±24h keep null USD (re-enriched next run — the
     //    deterministic form of the reference's backfill-on-null loop).
-    val enriched =
+    val enrichedPlan =
       if (prices.isEmpty) donations0
       else Stats.enrichDonationsUsd(donations0, prices, tokens)
-    write(enriched, s"$silverDir/donations_enriched")
+    write(enrichedPlan, s"$silverDir/donations_enriched")
+    // Read the materialized table back: the stats jobs would otherwise each
+    // re-execute the as-of-join lineage from scratch.
+    val enriched = spark.read.parquet(s"$silverDir/donations_enriched")
 
     // 2. Stats tables.
     write(Stats.accountStats(accounts, enriched, payouts), s"$silverDir/account_stats")

@@ -81,7 +81,8 @@ object Stats {
       withId, broadcast(prices),
       Seq("ft"), Seq("token"), "donated_at", "timestamp",
       tolerance = toleranceHours * 3600L,
-      leftId = "__did", rightTieBreak = "timestamp")
+      leftId = "__did", rightTieBreak = "timestamp",
+      joinType = "left") // donations without an in-window price keep null USD
 
     val dec = coalesce(col("decimals"), lit(24)) // NEAR native = 24
     val scale = pow(lit(10.0), dec)

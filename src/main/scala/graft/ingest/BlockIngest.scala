@@ -36,7 +36,7 @@ object BlockIngest {
     val exploded = blocks
       .select(
         col("block.header.height").as("block_height"),
-        timestamp_micros((col("block.header.timestamp") / 1000).cast("long"))
+        timestamp_micros(call_function("div", col("block.header.timestamp"), lit(1000L)).cast("long"))
           .as("block_timestamp"),
         posexplode(col("shards")).as(Seq("shard_index", "shard")))
       .select(

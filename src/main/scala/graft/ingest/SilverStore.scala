@@ -54,7 +54,9 @@ final class SilverStore(spark: SparkSession, dir: String) {
           .withColumn("near_social_profile_data", lit(null).cast("string"))
           .unionByName(socialProfileUpdates(acts)),
         Seq("id"))
-      first("activities",
+      // Reference semantics: aupdate_or_create on (action_result, type) —
+      // a repeated key UPDATES signer/timestamp/tx_hash (last writer wins).
+      lww("activities",
         donationActivities(dons).unionByName(handlerActivities(acts)),
         Seq("type", "action_result"))
       // Token stubs from first sight of an ft reference (the reference
@@ -116,7 +118,7 @@ final class SilverStore(spark: SparkSession, dir: String) {
       // indexer_app/models.py:5-24).
       val bh = blocks.agg(
         max(col("block.header.height")).as("block_height"),
-        max(timestamp_micros((col("block.header.timestamp") / 1000).cast("long")))
+        max(timestamp_micros(call_function("div", col("block.header.timestamp"), lit(1000L)).cast("long")))
           .as("block_timestamp"))
         .select(lit(1).as("id"), col("block_height"), col("block_timestamp"),
           current_timestamp().as("updated_at"),

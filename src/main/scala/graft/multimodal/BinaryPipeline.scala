@@ -78,7 +78,8 @@ object BinaryPipeline {
     * cumulative payload bytes rather than row count. */
   def repartitionByBytes(df: DataFrame, payloadCol: String,
       targetPartitionBytes: Long = 128L << 20): DataFrame = {
-    val totalBytes = df.agg(sum(octet_length(col(payloadCol)))).head.getLong(0)
+    val totalBytes = df.agg(coalesce(sum(octet_length(col(payloadCol))), lit(0L)))
+      .head.getLong(0)
     val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
     df.repartition(parts)
   }

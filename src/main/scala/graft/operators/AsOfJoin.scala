@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param left       fact side; one output row per input row (left join)
+  /** @param left       fact side
     * @param right      lookup side
     * @param leftKeys   equi-join key column names on `left`
     * @param rightKeys  equi-join key column names on `right` (same arity)
@@ -34,6 +34,10 @@ object AsOfJoin {
     * @param rightTime  event-time column on `right`
     * @param tolerance  max |Δt| in seconds (reference: 24*3600)
     * @param leftId     unique id column on `left` (window partition key)
+    * @param joinType   "inner" drops unmatched fact rows; "left" keeps them
+    *                   with null right columns (one output row per fact row
+    *                   — what enrichment jobs need: a donation with no
+    *                   in-window price keeps null USD rather than vanish)
     */
   def nearest(
       left: DataFrame,
@@ -44,7 +48,8 @@ object AsOfJoin {
       rightTime: String,
       tolerance: Long,
       leftId: String,
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String,
+      joinType: String = "inner"): DataFrame = {
 
     val l = left.alias("l")
     val r = right.alias("r")
@@ -55,11 +60,13 @@ object AsOfJoin {
     // portable to the DuckDB oracle (epoch_us).
     val delta = abs(
       unix_micros(col(s"l.$leftTime")) - unix_micros(col(s"r.$rightTime")))
-    val joined = l.join(r, keyCond && delta <= tolerance * 1000000L, "inner")
+    val joined = l.join(r, keyCond && delta <= tolerance * 1000000L, joinType)
       .withColumn("__delta_us", delta)
 
+    // Matched rows (non-null delta) outrank a left-join's null row, so a
+    // fact row with any match never keeps the unmatched variant.
     val w = Window.partitionBy(col(s"l.$leftId"))
-      .orderBy(col("__delta_us").asc, col(s"r.$rightTieBreak").asc)
+      .orderBy(col("__delta_us").asc_nulls_last, col(s"r.$rightTieBreak").asc_nulls_last)
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

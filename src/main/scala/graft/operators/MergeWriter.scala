@@ -91,6 +91,16 @@ object MergeWriter {
     // is bounded by the batch's event-time span, not data volume).
     require(affected.size <= 10000,
       s"merge batch touches ${affected.size} partitions; repartition the batch window")
+    // Directory names are reconstructed as "<col>=<value>"; Hive-escaping
+    // (':' etc.) and null partitions (__HIVE_DEFAULT_PARTITION__) would
+    // silently mismatch and lose data, so only plain filesystem-safe
+    // partition values are accepted (use a formatted date string, not a
+    // raw timestamp).
+    affected.foreach { v =>
+      require(v != null, s"$partitionCol: null partition values unsupported")
+      require(v.toString.matches("[A-Za-z0-9._-]+"),
+        s"$partitionCol value '$v' needs Hive escaping; format it as a plain string first")
+    }
 
     val exists = Files.exists(Paths.get(path))
     val existingAffected: Option[DataFrame] =

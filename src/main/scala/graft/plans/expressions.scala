@@ -41,10 +41,13 @@ object expressions {
         s"cosine_similarity expects array<float> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
     }
 
+    // Length-mismatched vectors yield NULL — parity with the HOF
+    // formulation, where zip_with's null padding null-propagates.
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -53,11 +56,6 @@ object expressions {
         dot += xi * yi; na += xi * xi; nb += yi * yi
         i += 1
       }
-      // Norms cover the FULL vectors (parity with norm(a)*norm(b)).
-      var j = n
-      while (j < x.numElements()) { val v = x.getFloat(j).toDouble; na += v * v; j += 1 }
-      j = n
-      while (j < y.numElements()) { val v = y.getFloat(j).toDouble; nb += v * v; j += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
@@ -68,24 +66,23 @@ object expressions {
         val dot = ctx.freshName("dot")
         val na = ctx.freshName("na")
         val nb = ctx.freshName("nb")
-        val v = ctx.freshName("v")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  double x = (double) $a.getFloat($i);
-           |  double y = (double) $b.getFloat($i);
-           |  $dot += x * y; $na += x * x; $nb += y * y;
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double x = (double) $a.getFloat($i);
+           |    double y = (double) $b.getFloat($i);
+           |    $dot += x * y; $na += x * x; $nb += y * y;
+           |  }
+           |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
            |}
-           |for (int $i = $n; $i < $a.numElements(); $i++) {
-           |  double $v = (double) $a.getFloat($i); $na += $v * $v;
-           |}
-           |for (int $i = $n; $i < $b.numElements(); $i++) {
-           |  double $v = (double) $b.getFloat($i); $nb += $v * $v;
-           |}
-           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          """.stripMargin
       })
+
+    override def nullable: Boolean = true
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =

@@ -256,12 +256,22 @@ final class QueryService(t: String => DataFrame) {
   def donateContractConfig(excludeKeys: Seq[String] =
       Seq("owner", "protocol_fee_recipient_account", "total_donations_amount",
         "net_donations_amount", "total_donations_count")): DataFrame = {
-    val cfg = t("donate_contract_config")
-    val dropExpr = excludeKeys.foldLeft(col("config")) { (c, k) =>
-      // remove top-level key k from the JSON object
-      regexp_replace(c, "\"" + k + "\"\\s*:\\s*(\"[^\"]*\"|[^,}]+),?", "")
+    // Proper JSON manipulation (Jackson ships with Spark): a regex strip
+    // leaves dangling commas / truncates nested values. The config is a
+    // 1-row table, so driver-side parse is free.
+    val spark = t("donate_contract_config").sparkSession
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows = t("donate_contract_config").collect().map { r =>
+      val node = mapper.readTree(r.getAs[String]("config"))
+      node match {
+        case obj: com.fasterxml.jackson.databind.node.ObjectNode =>
+          excludeKeys.foreach(obj.remove)
+        case _ => ()
+      }
+      mapper.writeValueAsString(node)
     }
-    cfg.withColumn("config", dropExpr)
+    import spark.implicits._
+    rows.toSeq.toDF("config")
   }
 
   /** GET /v1/stats (base/api.py:29-89): reads the gold global_stats table

@@ -106,6 +106,14 @@ class TextDedupSpec extends SparkSpec {
       Similarity.cosineHof(col("a"), col("b")).as("y")).head()
     assert(java.lang.Double.doubleToLongBits(cs.getDouble(0)) ==
       java.lang.Double.doubleToLongBits(cs.getDouble(1)))
+
+    // Ragged vectors: HOF null-propagates via zip_with padding; the native
+    // expression must agree (null), not silently compute over min length.
+    val ragged = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("x"),
+        Similarity.cosineHof(col("a"), col("b")).as("y")).head()
+    assert(ragged.isNullAt(0) && ragged.isNullAt(1))
   }
 
   test("winnowing fingerprints: near-dups share most, unrelated share none") {

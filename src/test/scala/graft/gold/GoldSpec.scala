@@ -25,7 +25,14 @@ class GoldSpec extends SparkSpec {
         resultJson = Some(directDonationResult(
           9, "whale.near", "100000000000000000000000000", "0",
           "sea.near", 1718000000001L)),
-        receiptId = "rg"))))
+        receiptId = "rg"),
+      // A donation in a token with NO price row: must survive enrichment
+      // with null USD, not vanish (left as-of join).
+      receipt("donate.potlock.near", "donate", "{}",
+        resultJson = Some(directDonationResult(
+          10, "minnow.near", "1000000", "0",
+          "sea.near", 1718000000002L, ft = "odd.token.near")),
+        receiptId = "rh"))))
     Files.write(Paths.get(in, "b.json"), blocks.mkString("\n").getBytes)
     StreamIngest.backfill(spark, in, silverDir)
 
@@ -38,18 +45,21 @@ class GoldSpec extends SparkSpec {
     GoldRefresh.refresh(spark, silverDir)
 
     val enriched = spark.read.parquet(s"$silverDir/donations_enriched")
-    val d = enriched.head()
+    assert(enriched.count() == 2) // the priceless donation survived
+    val d = enriched.filter(col("on_chain_id") === 9).head()
     assert(d.getAs[java.math.BigDecimal]("total_amount_usd").doubleValue() == 500.0)
     assert(d.getAs[java.math.BigDecimal]("net_amount_usd").doubleValue() == 500.0)
+    val priceless = enriched.filter(col("on_chain_id") === 10).head()
+    assert(priceless.isNullAt(priceless.fieldIndex("total_amount_usd")))
 
     val acct = spark.read.parquet(s"$silverDir/account_stats")
     val whale = acct.filter(col("id") === "whale.near").head()
     assert(whale.getAs[java.math.BigDecimal]("total_donations_out_usd").doubleValue() == 500.0)
     val sea = acct.filter(col("id") === "sea.near").head()
-    assert(sea.getAs[Long]("donors_count") == 1)
+    assert(sea.getAs[Long]("donors_count") == 2) // whale + minnow
 
     val global = spark.read.parquet(s"$silverDir/global_stats").head()
-    assert(global.getAs[Long]("total_donations_count") == 1)
+    assert(global.getAs[Long]("total_donations_count") == 2) // incl. priceless
     assert(global.getAs[java.math.BigDecimal]("total_donations_usd").doubleValue() == 500.0)
   }
 }

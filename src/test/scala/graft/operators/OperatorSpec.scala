@@ -38,6 +38,29 @@ class OperatorSpec extends SparkSpec {
       "ts", "pts", 86400, "id", "pts").count() == 0)
   }
 
+  test("asof left join keeps unmatched fact rows with null lookup (enrichment contract)") {
+    val donations = Seq(
+      ("d1", "near", java.sql.Timestamp.valueOf("2024-06-10 00:00:00")),
+      ("d2", "unknown.token", java.sql.Timestamp.valueOf("2024-06-10 00:00:00"))
+    ).toDF("id", "token", "ts")
+    val prices = Seq(("near",
+      java.sql.Timestamp.valueOf("2024-06-10 01:00:00"), 1.5)).toDF("token", "pts", "price")
+    val out = AsOfJoin.nearest(donations, prices, Seq("token"), Seq("token"),
+      "ts", "pts", 86400, "id", "pts", joinType = "left")
+      .select(col("l.id"), col("r.price")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map("d1" -> Some(1.5), "d2" -> None)) // no row vanished
+  }
+
+  test("mergePartitioned rejects partition values needing Hive escaping") {
+    val df = Seq(("k", "2024-06-01 00:00:00", 1L)).toDF("key", "day", "seqno")
+    val e = intercept[IllegalArgumentException] {
+      MergeWriter.mergePartitioned(spark, df, tmpDir("pm") + "/t",
+        Seq("key"), Seq("seqno"), "day")
+    }
+    assert(e.getMessage.contains("Hive escaping"))
+  }
+
   test("lwwDedup keeps greatest seq; pageSlice window matches limit/offset") {
     val df = Seq(("k", 1, "old"), ("k", 2, "new"), ("j", 5, "only"))
       .toDF("key", "seq", "v")
