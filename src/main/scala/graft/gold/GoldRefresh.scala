@@ -42,14 +42,24 @@ object GoldRefresh {
   }
 
   private def write(df: DataFrame, path: String): Unit = {
-    val tmp = path + ".tmp"
+    // Swap pattern: write to a unique tmp, rename the live table aside,
+    // atomically move the new one in, then drop the old — readers see a
+    // missing table only for the instant between the two renames (a plain
+    // delete-then-write left the table absent for the whole write).
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = path + ".tmp-" + uid
     df.write.mode("overwrite").parquet(tmp)
     val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    val old = java.nio.file.Paths.get(path + ".old-" + uid)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.move(p, old,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (java.nio.file.Files.exists(old)) {
+      java.nio.file.Files.walk(old).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => java.nio.file.Files.delete(f))
     }
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
   }
 
   def main(args: Array[String]): Unit = {

@@ -85,9 +85,13 @@ object Stats {
       joinType = "left") // donations without an in-window price keep null USD
 
     val dec = coalesce(col("decimals"), lit(24)) // NEAR native = 24
-    val scale = pow(lit(10.0), dec)
+    // Exact decimal path: Amounts.scaleByDecimals keeps the u128 amounts
+    // out of double space (a pow(10,d) double route is lossy from 10^23
+    // and for any amount above 2^53 yocto).
     def usd(amountDec: org.apache.spark.sql.Column) =
-      (amountDec.cast("double") / scale * col("price_usd").cast("double"))
+      graft.functions.Amounts
+        .toUsd(graft.functions.Amounts.scaleByDecimals(amountDec, dec),
+          col("price_usd"))
         .cast(Schemas.Usd)
 
     joined

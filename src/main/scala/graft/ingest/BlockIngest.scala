@@ -97,8 +97,8 @@ object BlockIngest {
     * per-receipt errors, handler.py:446-447; we keep them inspectable).
     * A row lands here when base64 decode of args/result failed, or the
     * decoded bytes are not valid JSON where JSON is expected. */
-  def quarantine(receipts: DataFrame): DataFrame =
-    receipts
+  def quarantine(receipts: DataFrame): DataFrame = {
+    val actionQ = receipts
       .select(col("*"),
         posexplode_outer(col("actions")).as(Seq("action_index", "action")))
       .filter(col("action.FunctionCall").isNotNull)
@@ -109,6 +109,8 @@ object BlockIngest {
         try_to_binary(col("success_value_b64"), lit("base64")).cast("string"))
       .filter(
         (col("args_json").isNull && col("raw_args").isNotNull) ||
+          // result present but base64-undecodable
+          (col("result_json").isNull && col("success_value_b64").isNotNull) ||
           (col("args_json").isNotNull && length(trim(col("args_json"))) > 0 &&
             try_parse_json(col("args_json")).isNull) ||
           (col("result_json").isNotNull &&
@@ -120,6 +122,25 @@ object BlockIngest {
         col("receipt_id"), col("receiver_id"),
         col("action.FunctionCall.method_name").as("method_name"),
         col("args_json"), col("result_json"))
+
+    // EVENT_JSON logs whose payload is not valid JSON would otherwise be
+    // dropped by events() with no trace.
+    val prefix = "EVENT_JSON:"
+    val logQ = receipts
+      .select(col("*"),
+        posexplode_outer(col("logs")).as(Seq("log_index", "log")))
+      .filter(col("log").startsWith(prefix) &&
+        try_parse_json(expr(s"substring(log, ${prefix.length + 1})")).isNull)
+      .select(
+        col("block_height"), col("shard_index"), col("receipt_index"),
+        col("log_index").cast("int").as("action_index"),
+        col("receipt_id"), col("receiver_id"),
+        lit(null).cast("string").as("method_name"),
+        col("log").as("args_json"),
+        lit(null).cast("string").as("result_json"))
+
+    actionQ.unionByName(logQ)
+  }
 
   /** One row per EVENT_JSON log, with event name and data payload —
     * reference handler.py:97-139 (P10). */

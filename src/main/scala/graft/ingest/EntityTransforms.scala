@@ -102,18 +102,36 @@ object EntityTransforms {
       col("receipt_id").as("tx_hash")) ++ seqCols: _*)
   }
 
-  /** Donation activity rows (utils.py:1006-1014): typed feed entries. */
-  def donationActivities(donations: DataFrame): DataFrame =
-    donations.select(Seq(
-      col("donor").as("signer"),
-      coalesce(col("pot"), col("recipient")).as("receiver"),
-      col("donated_at").as("timestamp"),
-      to_json(struct(col("on_chain_id"), col("total_amount"), col("pot"),
-        col("recipient"), col("matching_pool"))).as("action_result"),
-      col("tx_hash"),
-      when(col("pot").isNull, "Donate_Direct")
-        .when(col("matching_pool"), "Donate_Pot_Matching_Pool")
-        .otherwise("Donate_Pot_Public").as("type")) ++ seqCols: _*)
+  /** Donation activity rows (utils.py:999-1014): typed feed entries.
+    * signer/receiver come from the RECEIPT (reference stores the receipt's
+    * signer_id/receiver_id, not the donation's donor/project — they differ
+    * for callback-driven donations and direct donations). */
+  def donationActivities(actions: DataFrame): DataFrame = {
+    val donateMethods = Seq(
+      "donate", "handle_protocol_fee_callback", "sybil_callback",
+      "transfer_funds_callback")
+    actions
+      .filter(col("method_name").isin(donateMethods: _*))
+      .filter(isPotSub || col("receiver_id") === BlockIngest.contracts.donate)
+      .filter(col("result_json").isNotNull &&
+        trim(col("result_json")) =!= "null" && trim(col("result_json")) =!= "")
+      .withColumn("p", from_json(col("result_json"), donationPayload))
+      .filter(col("p.id").isNotNull)
+      .select(Seq(
+        col("signer_id").as("signer"),
+        col("receiver_id").as("receiver"),
+        msTs(coalesce(col("p.donated_at"), col("p.donated_at_ms"))).as("timestamp"),
+        to_json(struct(
+          col("p.id").as("on_chain_id"),
+          col("p.total_amount").as("total_amount"),
+          when(isPotSub, col("receiver_id")).as("pot"),
+          coalesce(col("p.recipient_id"), col("p.project_id")).as("recipient"),
+          coalesce(col("p.matching_pool"), lit(false)).as("matching_pool"))).as("action_result"),
+        col("receipt_id").as("tx_hash"),
+        when(!isPotSub, "Donate_Direct")
+          .when(coalesce(col("p.matching_pool"), lit(false)), "Donate_Pot_Matching_Pool")
+          .otherwise("Donate_Pot_Public").as("type")) ++ seqCols: _*)
+  }
 
   /** Activity rows for the non-donation handlers (SURVEY §2.10 "Entities
     * written" column: Deploy_Pot, Submit_Application, Register_Batch,
@@ -292,7 +310,11 @@ object EntityTransforms {
       col("reviewed_at").as("updated_at"),
       col("tx_hash")) ++ seqCols: _*)
 
-  /** handle_set_payouts (utils.py:667-702): one pending payout per entry. */
+  /** handle_set_payouts (utils.py:667-702): one pending payout per entry.
+    * `payout_index` extends the ingest seq so same-key entries within one
+    * action merge deterministically; the merge key includes `amount` so a
+    * post-challenge re-set with a different amount keeps its own row (the
+    * reference has no unique constraint and keeps history). */
   def payoutsSet(actions: DataFrame): DataFrame =
     actions
       .filter(col("method_name") === "chef_set_payouts" && isPotSub)
@@ -309,7 +331,8 @@ object EntityTransforms {
         lit(null).cast(Schemas.Usd).as("amount_paid_usd"),
         lit("near").as("ft"),
         lit(null).cast("timestamp").as("paid_at"),
-        col("receipt_id").as("tx_hash")) ++ seqCols: _*)
+        col("receipt_id").as("tx_hash"),
+        col("payout_index").cast("int").as("payout_index")) ++ seqCols: _*)
 
   /** handle_transfer_payout (utils.py:705-732): sets paid_at. */
   def payoutTransfers(actions: DataFrame): DataFrame =
@@ -326,7 +349,8 @@ object EntityTransforms {
         lit(null).cast(Schemas.Usd).as("amount_paid_usd"),
         lit("near").as("ft"),
         coalesce(msTs(col("p.payout.paid_at")), col("block_timestamp")).as("paid_at"),
-        col("receipt_id").as("tx_hash")) ++ seqCols: _*)
+        col("receipt_id").as("tx_hash"),
+        lit(0).as("payout_index")) ++ seqCols: _*)
 
   /** handle_payout_challenge (utils.py:735-761). */
   def payoutChallenges(actions: DataFrame): DataFrame =

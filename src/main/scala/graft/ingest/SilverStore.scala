@@ -40,8 +40,9 @@ final class SilverStore(spark: SparkSession, dir: String) {
       val reviews = applicationReviews(acts)
 
       val counts = scala.collection.mutable.Map[String, Long]()
-      def lww(name: String, df: DataFrame, keys: Seq[String]): Unit =
-        counts(name) = MergeWriter.merge(spark, df, path(name), keys, seq)
+      def lww(name: String, df: DataFrame, keys: Seq[String],
+          seqCols: Seq[String] = seq): Unit =
+        counts(name) = MergeWriter.merge(spark, df, path(name), keys, seqCols)
       def first(name: String, df: DataFrame, keys: Seq[String]): Unit =
         counts(name) = MergeWriter.insertIgnoreConflicts(spark, df, path(name), keys, seq)
 
@@ -57,7 +58,7 @@ final class SilverStore(spark: SparkSession, dir: String) {
       // Reference semantics: aupdate_or_create on (action_result, type) —
       // a repeated key UPDATES signer/timestamp/tx_hash (last writer wins).
       lww("activities",
-        donationActivities(dons).unionByName(handlerActivities(acts)),
+        donationActivities(acts).unionByName(handlerActivities(acts)),
         Seq("type", "action_result"))
       // Token stubs from first sight of an ft reference (the reference
       // creates Token rows on first donation and enriches metadata via RPC
@@ -80,8 +81,10 @@ final class SilverStore(spark: SparkSession, dir: String) {
         Seq("pot", "applicant"))
       first("pot_application_reviews", reviews,
         Seq("pot", "applicant", "reviewer", "reviewed_at"))
+      // Key includes amount (payout history survives re-sets); seq extended
+      // with payout_index for within-action determinism.
       lww("pot_payouts", payoutsSet(acts).unionByName(payoutTransfers(acts)),
-        Seq("pot", "recipient"))
+        Seq("pot", "recipient", "amount"), seq :+ "payout_index")
       first("pot_payout_challenges", payoutChallenges(acts),
         Seq("challenger", "pot"))
       first("pot_payout_challenge_admin_responses", challengeResponses(acts),

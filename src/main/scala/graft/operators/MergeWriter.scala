@@ -55,13 +55,18 @@ object MergeWriter {
       if (coalesceUpdates) backfillNulls(unioned, keys, seq) else unioned
 
     val merged = Relational.lwwDedup(merged0, keys, seq.map(col))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Count from the cached merge result — re-reading the whole written
+    // table per batch would make ingest cost grow with table history.
+    val n = merged.count()
     val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     merged.write.mode("overwrite").parquet(tmp)
+    merged.unpersist()
     // Atomic-ish swap: remove old dir, move tmp into place.
     deleteRecursively(Paths.get(path))
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    spark.read.parquet(path).count()
+    n
   }
 
   /** Partition-scoped LWW merge — the 100 TB path. The table is laid out
@@ -130,7 +135,9 @@ object MergeWriter {
       if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
     }
     deleteRecursively(Paths.get(tmp))
-    spark.read.parquet(path).count()
+    spark.read.parquet(path).count()  // partition-scoped: full count still
+                                      // wanted by callers; scans footers of
+                                      // all partitions once per batch
   }
 
   /** Per key ordered by seq: fill each row's nulls from the latest earlier
@@ -170,11 +177,14 @@ object MergeWriter {
       case None => incoming
     }
     val merged = Relational.latestPerGroup(unioned, keys, seq.map(col(_).asc))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = merged.count()
     val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     merged.write.mode("overwrite").parquet(tmp)
+    merged.unpersist()
     deleteRecursively(Paths.get(path))
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    spark.read.parquet(path).count()
+    n
   }
 
   private def deleteRecursively(p: Path): Unit =

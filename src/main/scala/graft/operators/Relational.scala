@@ -80,6 +80,10 @@ object Relational {
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
+    // Right/full outer would emit `salts` null-padded copies of every
+    // unmatched right key (the right side is exploded) — reject upfront.
+    require(Set("inner", "left", "left_outer", "left_semi", "cross").contains(joinType),
+      s"saltedJoin supports left-preserving joins only, got $joinType")
     val l = left.withColumn("__salt",
       pmod(xxhash64(col(leftKey), monotonically_increasing_id()), lit(salts)).cast("int"))
     val r = right.withColumn("__salt",

@@ -29,15 +29,19 @@ object EventAnalytics {
       session_end: java.sql.Timestamp, n_events: Int)
 
   /** Gap-based sessionization: a session closes after `gapMs` of user
-    * inactivity (processing-time timeout drives emission). State per user
-    * is O(1); the shuffle is one hash partition by user — scales with
-    * distinct users, not events. */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    * inactivity in EVENT time — the timeout is an event-time timestamp
+    * driven by the watermark, so ingest stalls/lag do not spuriously split
+    * sessions (a processing-time timeout would). State per user is O(1);
+    * the shuffle is one hash partition by user — scales with distinct
+    * users, not events. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      lateness: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -65,7 +69,11 @@ object EventAnalytics {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              // Close when the watermark passes lastTs+gap; clamp to stay
+              // ahead of the current watermark as the API requires.
+              val target = math.max(s.lastTs + gapMs,
+                state.getCurrentWatermarkMs() + 1)
+              state.setTimeoutTimestamp(target)
             }
             closed.reverseIterator
           }

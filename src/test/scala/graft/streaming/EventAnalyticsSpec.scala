@@ -56,11 +56,16 @@ class EventAnalyticsSpec extends SparkSpec {
       .start()
     q.awaitTermination(120000)
 
-    // AvailableNow closes the stream; only sessions closed by a NEW
-    // session's arrival are emitted (user 1's first session).
+    // Emitted: user 1's first session (closed by the next session's
+    // arrival) AND user 2's session (event-time timeout: the watermark —
+    // max event time t65 minus 10 min lateness — passed its t5+30min
+    // deadline). User 1's second session stays open (deadline t95 is
+    // beyond the watermark).
     val emitted = spark.table("sessions").as[Session].collect()
-    assert(emitted.length == 1)
+      .sortBy(_.user_id)
+    assert(emitted.length == 2)
     assert(emitted(0).user_id == 1 && emitted(0).n_events == 2)
     assert(emitted(0).session_end.getTime - emitted(0).session_start.getTime == 10 * 60000L)
+    assert(emitted(1).user_id == 2 && emitted(1).n_events == 1)
   }
 }
