@@ -52,6 +52,9 @@ object Demo {
     q.awaitTermination(180000)
 
     val silver = new SilverStore(spark, silverDir)
+    println("[demo] quarantined records (malformed payloads kept inspectable):")
+    silver.table("quarantine")
+      .select("receipt_id", "method_name", "args_json", "result_json").show(false)
     println("[demo] silver donations:")
     silver.table("donations")
       .select("on_chain_id", "donor", "recipient", "total_amount", "net_amount", "donated_at")
