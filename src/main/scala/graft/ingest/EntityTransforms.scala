@@ -41,7 +41,7 @@ object EntityTransforms {
 
   /** Union payload of the pot (examples.txt:3-33) and direct
     * (examples.txt:35-56) donation result shapes. */
-  private val donationPayload = ddl(
+  private[ingest] val donationPayload = ddl(
     """id BIGINT, donor_id STRING, total_amount STRING, net_amount STRING,
       |message STRING, donated_at BIGINT, donated_at_ms BIGINT,
       |project_id STRING, recipient_id STRING, referrer_id STRING,
@@ -259,7 +259,7 @@ object EntityTransforms {
         coalesce(col("p.require_whitelist"), lit(false)).as("require_whitelist"),
         col("receipt_id").as("tx_hash")) ++ seqCols: _*)
 
-  private val applicationPayload = ddl(
+  private[ingest] val applicationPayload = ddl(
     "project_id STRING, message STRING, status STRING, submitted_at BIGINT")
 
   /** handle_pot_application (utils.py:474-539): `apply` on a pot. */
@@ -381,7 +381,7 @@ object EntityTransforms {
 
   // ------------------------------------------------------------ lists
 
-  private val listPayload = ddl(
+  private[ingest] val listPayload = ddl(
     """id BIGINT, owner STRING, name STRING, description STRING,
       |cover_image_url STRING, admin_only_registrations BOOLEAN,
       |default_registration_status STRING, admins ARRAY<STRING>,
@@ -407,7 +407,7 @@ object EntityTransforms {
         msTs(col("p.created_at")).as("created_at"),
         msTs(col("p.updated_at")).as("updated_at")) ++ seqCols: _*)
 
-  private val registrationPayload = ddl(
+  private[ingest] val registrationPayload = ddl(
     """id BIGINT, registrant_id STRING, list_id BIGINT, status STRING,
       |submitted_ms BIGINT, updated_ms BIGINT, registered_by STRING,
       |registrant_notes STRING, admin_notes STRING""".stripMargin)
