@@ -14,7 +14,21 @@ import graft.operators.MergeWriter
   * Natural keys per entity come from the reference's unique constraints
   * (FIXTURES §5): replaying a block is a no-op by construction.
   */
+object SilverStore {
+  /** Natural keys per entity (the reference's unique constraints,
+    * FIXTURES §5) — shared by the streaming merge and SnapshotBackfill so
+    * the two write paths can never drift onto different keys. */
+  val naturalKeys: Map[String, Seq[String]] = Map(
+    "donations" -> Seq("on_chain_id", "pot"),
+    "accounts" -> Seq("id"),
+    "lists" -> Seq("on_chain_id"),
+    "list_registrations" -> Seq("on_chain_id"),
+    "pot_applications" -> Seq("pot", "applicant"),
+    "tokens" -> Seq("account"))
+}
+
 final class SilverStore(spark: SparkSession, dir: String) {
+  import SilverStore.naturalKeys
 
   private val seq = Seq("block_height", "shard_index", "receipt_index", "action_index")
   def path(name: String): String = s"$dir/$name"
@@ -46,7 +60,7 @@ final class SilverStore(spark: SparkSession, dir: String) {
       def first(name: String, df: DataFrame, keys: Seq[String]): Unit =
         counts(name) = MergeWriter.insertIgnoreConflicts(spark, df, path(name), keys, seq)
 
-      lww("donations", dons, Seq("on_chain_id", "pot"))
+      lww("donations", dons, naturalKeys("donations"))
       // Accounts: discovery rows (id only) + social-profile updates merge
       // into one table; coalesce keeps the profile across later discovery
       // rows (reference stores the profile ON Account, accounts/models.py:57-62).
@@ -54,7 +68,7 @@ final class SilverStore(spark: SparkSession, dir: String) {
         donationAccounts(dons)
           .withColumn("near_social_profile_data", lit(null).cast("string"))
           .unionByName(socialProfileUpdates(acts)),
-        Seq("id"))
+        naturalKeys("accounts"))
       // Reference semantics: aupdate_or_create on (action_result, type) —
       // a repeated key UPDATES signer/timestamp/tx_hash (last writer wins).
       lww("activities",
@@ -73,12 +87,12 @@ final class SilverStore(spark: SparkSession, dir: String) {
           col("block_height"), col("shard_index"), col("receipt_index"),
           col("action_index"))
           .filter(col("account").isNotNull),
-        Seq("account"))
+        naturalKeys("tokens"))
       lww("pots", potDeploys(acts), Seq("account"))
       lww("pot_factories", potFactories(acts), Seq("account"))
       lww("pot_applications",
         potApplications(acts).unionByName(applicationStatusUpdates(reviews)),
-        Seq("pot", "applicant"))
+        naturalKeys("pot_applications"))
       first("pot_application_reviews", reviews,
         Seq("pot", "applicant", "reviewer", "reviewed_at"))
       // Key includes amount (payout history survives re-sets); seq extended
@@ -89,10 +103,10 @@ final class SilverStore(spark: SparkSession, dir: String) {
         Seq("challenger", "pot"))
       first("pot_payout_challenge_admin_responses", challengeResponses(acts),
         Seq("challenger", "pot", "created_at"))
-      lww("lists", listCreates(acts), Seq("on_chain_id"))
+      lww("lists", listCreates(acts), naturalKeys("lists"))
       lww("list_registrations",
         listRegistrations(acts).unionByName(registrationUpdates(acts)),
-        Seq("on_chain_id"))
+        naturalKeys("list_registrations"))
       first("list_upvotes", listUpvotes(acts), Seq("list_id", "account"))
       lww("nadabot_registries",
         nadabotRegistries(acts).unionByName(

@@ -14,29 +14,47 @@ import graft.operators.MergeWriter
   * `get_config.payouts`).
   *
   * The HTTP fetch loop itself stays a thin out-of-engine script (SURVEY
-  * §2.1 S4); the engine consumes the fetched JSON snapshots (one JSON
-  * document per line or array files) and LWW-merges them into silver with
-  * a synthetic ingest-seq at the snapshot's block height — so later stream
-  * rows override snapshot rows and vice versa, exactly as block order
-  * dictates.
+  * §2.1 S4); the engine consumes the fetched JSON snapshots (JSON-lines or
+  * pretty-printed array files — both parse) and LWW-merges them into
+  * silver with a synthetic ingest-seq at the snapshot's block height — so
+  * later stream rows override snapshot rows and vice versa, exactly as
+  * block order dictates. Snapshot seq uses shard_index = -1 so a REAL
+  * stream row at the same height deterministically wins ties.
+  *
+  * Scope: the four snapshot kinds below (donations, lists, registrations,
+  * applications) plus account/token discovery; pot configs and payouts
+  * follow the streaming path.
   */
 object SnapshotBackfill {
 
-  /** Synthetic ingest-seq for snapshot rows: all at the snapshot height,
-    * shard/receipt/action 0 — a stream row at a later height wins LWW. */
+  /** Synthetic ingest-seq for snapshot rows: at the snapshot height with
+    * shard_index = -1, so a real stream row at the same height (shard >= 0)
+    * deterministically wins LWW ties. */
   private def withSeq(df: DataFrame, height: Long): DataFrame =
     df.withColumn("block_height", lit(height))
-      .withColumn("shard_index", lit(0L))
+      .withColumn("shard_index", lit(-1L))
       .withColumn("receipt_index", lit(0))
       .withColumn("action_index", lit(0))
+
+  /** Read a snapshot file tolerant of both JSON-lines and pretty-printed
+    * array layouts: a per-line read of an indented array yields all-null
+    * rows under a user schema, which would silently no-op the backfill —
+    * detect that and fall back to multiLine. */
+  private def readSnapshot(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType, keyCol: String): DataFrame = {
+    val lineMode = spark.read.schema(schema).json(path)
+      .filter(col(keyCol).isNotNull)
+    if (!lineMode.isEmpty) lineMode
+    else spark.read.schema(schema).option("multiLine", true).json(path)
+      .filter(col(keyCol).isNotNull)
+  }
 
   /** `get_donations` snapshot (direct variant: populatedata.py:121-194) or
     * a pot's `get_donations` (populatedata.py:391-453) when `pot` is set.
     * Input: JSON-lines (or array) of DonationExternal objects. */
   def donations(spark: SparkSession, path: String, snapshotHeight: Long,
       pot: Option[String] = None): DataFrame = {
-    val raw = spark.read.schema(EntityTransforms.donationPayload).json(path)
-      .filter(col("id").isNotNull)
+    val raw = readSnapshot(spark, path, EntityTransforms.donationPayload, "id")
     val totalDec = Amounts.u128(col("total_amount"))
     val givenNet = Amounts.u128(col("net_amount"))
     val netDec = when(givenNet.isNotNull && givenNet =!= 0, givenNet)
@@ -74,8 +92,7 @@ object SnapshotBackfill {
 
   /** `get_lists` snapshot (populatedata.py:29-52). */
   def lists(spark: SparkSession, path: String, snapshotHeight: Long): DataFrame = {
-    val raw = spark.read.schema(EntityTransforms.listPayload).json(path)
-      .filter(col("id").isNotNull)
+    val raw = readSnapshot(spark, path, EntityTransforms.listPayload, "id")
     withSeq(raw.select(
       col("id").as("on_chain_id"),
       col("owner"),
@@ -91,8 +108,7 @@ object SnapshotBackfill {
 
   /** `get_registrations_for_list` snapshot (populatedata.py:66-108). */
   def listRegistrations(spark: SparkSession, path: String, snapshotHeight: Long): DataFrame = {
-    val raw = spark.read.schema(EntityTransforms.registrationPayload).json(path)
-      .filter(col("id").isNotNull)
+    val raw = readSnapshot(spark, path, EntityTransforms.registrationPayload, "id")
     withSeq(raw.select(
       col("id").as("on_chain_id"),
       col("list_id"),
@@ -106,20 +122,53 @@ object SnapshotBackfill {
       lit(null).cast("string").as("tx_hash")), snapshotHeight)
   }
 
-  /** A pot's `get_applications` snapshot (populatedata.py:336-381). */
+  /** A pot's `get_applications` snapshot (populatedata.py:336-381). The
+    * snapshot carries updated_at/review_notes beyond the event payload, so
+    * it gets its own schema rather than reusing applicationPayload. */
+  private val applicationSnapshotPayload =
+    org.apache.spark.sql.types.DataType.fromDDL(
+      """project_id STRING, message STRING, status STRING,
+        |submitted_at BIGINT, updated_at BIGINT, review_notes STRING"""
+        .stripMargin).asInstanceOf[org.apache.spark.sql.types.StructType]
+
   def potApplications(spark: SparkSession, path: String, pot: String,
       snapshotHeight: Long): DataFrame = {
-    val raw = spark.read.schema(EntityTransforms.applicationPayload).json(path)
-      .filter(col("project_id").isNotNull)
+    val raw = readSnapshot(spark, path, applicationSnapshotPayload, "project_id")
     withSeq(raw.select(
       lit(pot).as("pot"),
       col("project_id").as("applicant"),
       col("message"),
       col("status"),
       timestamp_millis(col("submitted_at").cast("long")).as("submitted_at"),
-      timestamp_millis(col("submitted_at").cast("long")).as("updated_at"),
+      timestamp_millis(coalesce(col("updated_at"), col("submitted_at")).cast("long"))
+        .as("updated_at"),
       lit(null).cast("string").as("tx_hash")), snapshotHeight)
   }
+
+  /** Account discovery from snapshot rows — the engine-side counterpart of
+    * populatedata's get_or_create of every referenced account
+    * (populatedata.py:40, 83-90, 133-141). Pass the already-built snapshot
+    * DataFrames; returns rows for the `accounts` table. */
+  def accounts(sources: Seq[(DataFrame, Seq[String])], snapshotHeight: Long): DataFrame = {
+    val ids = sources.map { case (df, cols) =>
+      df.select(explode(array(cols.map(col): _*)).as("id"))
+    }.reduce(_ unionByName _)
+      .filter(col("id").isNotNull).distinct()
+      .withColumn("near_social_profile_data", lit(null).cast("string"))
+    withSeq(ids, snapshotHeight)
+  }
+
+  /** Token stubs from snapshot donations (ft references). */
+  def tokens(donations: DataFrame, snapshotHeight: Long): DataFrame =
+    withSeq(
+      donations.select(col("ft").as("account")).filter(col("account").isNotNull)
+        .distinct()
+        .withColumn("name", lit(null).cast("string"))
+        .withColumn("symbol", lit(null).cast("string"))
+        .withColumn("icon", lit(null).cast("string"))
+        .withColumn("decimals", when(col("account") === "near", lit(24)).cast("int"))
+        .withColumn("coingecko_id", lit(null).cast("string")),
+      snapshotHeight)
 
   /** Merge snapshot DataFrames into the silver store (same natural keys and
     * LWW semantics as the stream). Re-running a backfill is a no-op. */
@@ -131,10 +180,7 @@ object SnapshotBackfill {
     }
   }
 
-  /** Standard key mapping for [[mergeInto]]. */
-  val naturalKeys: Map[String, Seq[String]] = Map(
-    "donations" -> Seq("on_chain_id", "pot"),
-    "lists" -> Seq("on_chain_id"),
-    "list_registrations" -> Seq("on_chain_id"),
-    "pot_applications" -> Seq("pot", "applicant"))
+  /** Standard key mapping for [[mergeInto]] — the single shared source of
+    * truth also used by the streaming path (SilverStore). */
+  val naturalKeys: Map[String, Seq[String]] = SilverStore.naturalKeys
 }

@@ -26,12 +26,18 @@ class SnapshotBackfillSpec extends SparkSpec {
       """{"id": 5, "owner": "owner.near", "name": "SnapList", "description": "d", "admins": ["owner.near"], "admin_only_registrations": false, "default_registration_status": "Approved", "created_at": 1718000000000, "updated_at": 1718000000000}"""
         .getBytes)
 
+    val snapDons = SnapshotBackfill.donations(spark, s"$snapDir/donations.json", 1000)
+    val snapLists = SnapshotBackfill.lists(spark, s"$snapDir/lists.json", 1000)
     val n1 = SnapshotBackfill.mergeInto(spark, silverDir, Map(
-      "donations" -> (SnapshotBackfill.donations(spark, s"$snapDir/donations.json", 1000),
-        SnapshotBackfill.naturalKeys("donations")),
-      "lists" -> (SnapshotBackfill.lists(spark, s"$snapDir/lists.json", 1000),
-        SnapshotBackfill.naturalKeys("lists"))))
-    assert(n1 == Map("donations" -> 1, "lists" -> 1))
+      "donations" -> (snapDons, SnapshotBackfill.naturalKeys("donations")),
+      "lists" -> (snapLists, SnapshotBackfill.naturalKeys("lists")),
+      "accounts" -> (SnapshotBackfill.accounts(Seq(
+        snapDons -> Seq("donor", "recipient"),
+        snapLists -> Seq("owner")), 1000),
+        SnapshotBackfill.naturalKeys("accounts")),
+      "tokens" -> (SnapshotBackfill.tokens(snapDons, 1000),
+        SnapshotBackfill.naturalKeys("tokens"))))
+    assert(n1 == Map("donations" -> 1, "lists" -> 1, "accounts" -> 3, "tokens" -> 1))
 
     // Idempotence: re-running the same backfill changes nothing.
     val n2 = SnapshotBackfill.mergeInto(spark, silverDir, Map(
@@ -65,5 +71,23 @@ class SnapshotBackfillSpec extends SparkSpec {
         SnapshotBackfill.naturalKeys("donations"))))
     val d2 = silver.table("donations").filter(col("on_chain_id") === 5).head()
     assert(d2.getAs[String]("donor") == "new.near") // stream at 2000 still wins
+  }
+
+  test("pretty-printed array snapshot parses via multiLine fallback") {
+    val snapDir = tmpDir("snap-pretty")
+    Files.write(Paths.get(snapDir, "lists.json"),
+      """[
+        |  {
+        |    "id": 9,
+        |    "owner": "o.near",
+        |    "name": "Pretty",
+        |    "admins": ["o.near"],
+        |    "created_at": 1718000000000,
+        |    "updated_at": 1718000000000
+        |  }
+        |]""".stripMargin.getBytes)
+    val df = SnapshotBackfill.lists(spark, s"$snapDir/lists.json", 1000)
+    assert(df.count() == 1)
+    assert(df.head().getAs[Long]("on_chain_id") == 9)
   }
 }
