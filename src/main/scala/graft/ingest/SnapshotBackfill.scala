@@ -145,6 +145,23 @@ object SnapshotBackfill {
       lit(null).cast("string").as("tx_hash")), snapshotHeight)
   }
 
+  /** Review rows for non-Pending snapshot applications (reference
+    * populatedata.py:368-381: reviewer defaults to the POT OWNER, notes
+    * from review_notes, reviewed_at = updated_at). */
+  def potApplicationReviews(spark: SparkSession, path: String, pot: String,
+      potOwner: String, snapshotHeight: Long): DataFrame = {
+    val raw = readSnapshot(spark, path, applicationSnapshotPayload, "project_id")
+    withSeq(raw.filter(col("status") =!= "Pending").select(
+      lit(pot).as("pot"),
+      col("project_id").as("applicant"),
+      lit(potOwner).as("reviewer"),
+      col("review_notes").as("notes"),
+      col("status"),
+      timestamp_millis(coalesce(col("updated_at"), col("submitted_at")).cast("long"))
+        .as("reviewed_at"),
+      lit(null).cast("string").as("tx_hash")), snapshotHeight)
+  }
+
   /** Account discovery from snapshot rows — the engine-side counterpart of
     * populatedata's get_or_create of every referenced account
     * (populatedata.py:40, 83-90, 133-141). Pass the already-built snapshot

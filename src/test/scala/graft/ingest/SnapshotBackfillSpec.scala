@@ -73,6 +73,25 @@ class SnapshotBackfillSpec extends SparkSpec {
     assert(d2.getAs[String]("donor") == "new.near") // stream at 2000 still wins
   }
 
+  test("non-Pending snapshot applications also produce review rows (reviewer = pot owner)") {
+    val snapDir = tmpDir("snap-apps")
+    Files.write(Paths.get(snapDir, "apps.json"),
+      ("""{"project_id": "a.near", "status": "Approved", "message": "m", "submitted_at": 1718000000000, "updated_at": 1718000600000, "review_notes": "ok"}""" + "\n" +
+        """{"project_id": "b.near", "status": "Pending", "message": "m2", "submitted_at": 1718000000000}""").getBytes)
+    val apps = SnapshotBackfill.potApplications(spark, s"$snapDir/apps.json",
+      "pot.x.near", 1000)
+    assert(apps.count() == 2)
+    val upd = apps.filter(col("applicant") === "a.near").head()
+    assert(upd.getAs[java.sql.Timestamp]("updated_at").getTime == 1718000600000L)
+    val reviews = SnapshotBackfill.potApplicationReviews(spark,
+      s"$snapDir/apps.json", "pot.x.near", "owner.near", 1000)
+    val r = reviews.collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[String]("reviewer") == "owner.near")
+    assert(r(0).getAs[String]("notes") == "ok")
+    assert(r(0).getAs[String]("status") == "Approved")
+  }
+
   test("pretty-printed array snapshot parses via multiLine fallback") {
     val snapDir = tmpDir("snap-pretty")
     Files.write(Paths.get(snapDir, "lists.json"),
