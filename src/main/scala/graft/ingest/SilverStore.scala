@@ -24,6 +24,8 @@ object SilverStore {
     "lists" -> Seq("on_chain_id"),
     "list_registrations" -> Seq("on_chain_id"),
     "pot_applications" -> Seq("pot", "applicant"),
+    "pot_application_reviews" -> Seq("pot", "applicant", "reviewer", "reviewed_at"),
+    "pot_payouts" -> Seq("pot", "recipient", "amount"),
     "tokens" -> Seq("account"))
 }
 
@@ -94,11 +96,11 @@ final class SilverStore(spark: SparkSession, dir: String) {
         potApplications(acts).unionByName(applicationStatusUpdates(reviews)),
         naturalKeys("pot_applications"))
       first("pot_application_reviews", reviews,
-        Seq("pot", "applicant", "reviewer", "reviewed_at"))
+        naturalKeys("pot_application_reviews"))
       // Key includes amount (payout history survives re-sets); seq extended
       // with payout_index for within-action determinism.
       lww("pot_payouts", payoutsSet(acts).unionByName(payoutTransfers(acts)),
-        Seq("pot", "recipient", "amount"), seq :+ "payout_index")
+        naturalKeys("pot_payouts"), seq :+ "payout_index")
       first("pot_payout_challenges", payoutChallenges(acts),
         Seq("challenger", "pot"))
       first("pot_payout_challenge_admin_responses", challengeResponses(acts),
