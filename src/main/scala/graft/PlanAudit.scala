@@ -27,7 +27,11 @@ object PlanAudit {
       "q_j2_exists_semi" -> Seq("LeftSemi", "PushedFilters: \\[.*GreaterThan"),
       "q_o2_topk" -> Seq("TakeOrderedAndProject"),
       "q_a2_account_rollup" -> Seq("HashAggregate", "codegen id"),
-      "q_sim1_cosine_topk" -> Seq("BroadcastNestedLoopJoin|BroadcastHashJoin"),
+      // top-k must be the bounded aggregate (map-side partial), never a
+      // per-query Window funneling the corpus through one reducer
+      "q_sim1_cosine_topk" -> Seq("BroadcastNestedLoopJoin|BroadcastHashJoin",
+        "ObjectHashAggregate", "!Window"),
+      "q_dd2_jaccard_pairs" -> Seq("!Window"),
       "q_j6_asof_join" -> Seq("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"))
 
     var bad = 0
@@ -35,7 +39,11 @@ object PlanAudit {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      val missing = patterns.filterNot(p => p.r.findFirstIn(plan).isDefined)
+      // "!pat" asserts the pattern is ABSENT from the plan.
+      val missing = patterns.filterNot { p =>
+        if (p.startsWith("!")) p.drop(1).r.findFirstIn(plan).isEmpty
+        else p.r.findFirstIn(plan).isDefined
+      }
       if (missing.isEmpty) println(s"[audit] OK   $name")
       else {
         bad += 1

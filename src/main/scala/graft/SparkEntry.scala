@@ -411,13 +411,17 @@ object SparkEntry {
 
   /** DD2 — n-gram/word Jaccard similarity over bucketed candidate pairs. */
   private def dd2(t: Tables): DataFrame = {
+    // Word sets are projected on each side BEFORE the pair join: a right-side
+    // text that meets m left candidates is tokenized once, not m times.
     val left = t.documents.filter(pmod(col("doc_id"), lit(50)) === 0)
-      .select(col("doc_id").as("id_a"), col("text").as("ta"), col("lang").as("lang"))
+      .select(col("doc_id").as("id_a"),
+        DedupFunctions.wordSet(col("text")).as("ta"), col("lang").as("lang"))
     val right = t.documents
-      .select(col("doc_id").as("id_b"), col("text").as("tb"), col("lang").as("lang"))
+      .select(col("doc_id").as("id_b"),
+        DedupFunctions.wordSet(col("text")).as("tb"), col("lang").as("lang"))
     left.join(right, Seq("lang"))
       .filter(col("id_b") > col("id_a"))
-      .withColumn("jaccard_sim", DedupFunctions.jaccard(col("ta"), col("tb")))
+      .withColumn("jaccard_sim", DedupFunctions.jaccardOfSets(col("ta"), col("tb")))
       .filter(col("jaccard_sim") >= 0.5)
       .select("id_a", "id_b", "jaccard_sim")
       .orderBy("id_a", "id_b")

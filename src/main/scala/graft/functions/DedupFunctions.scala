@@ -42,10 +42,16 @@ object DedupFunctions {
     * once (evalOnce) so intersection/union don't re-tokenize. */
   def jaccard(a: Column, b: Column): Column =
     ExprUtils.evalOnce(wordSet(a)) { sa =>
-      ExprUtils.evalOnce(wordSet(b)) { sb =>
-        size(array_intersect(sa, sb)).cast("double") /
-          size(array_union(sa, sb)).cast("double")
-      }
+      ExprUtils.evalOnce(wordSet(b)) { sb => jaccardOfSets(sa, sb) }
+    }
+
+  /** Jaccard over pre-computed distinct-element sets. In any pairwise plan,
+    * project [[wordSet]] on each side *before* the join and call this — a
+    * text joined against m candidates is then tokenized once, not m times.
+    * |A∪B| is derived as |A|+|B|−|A∩B| so the pair is scanned once. */
+  def jaccardOfSets(sa: Column, sb: Column): Column =
+    ExprUtils.evalOnce(size(array_intersect(sa, sb))) { inter =>
+      inter.cast("double") / (size(sa) + size(sb) - inter).cast("double")
     }
 
   /** MinHash signature: k permutations simulated by re-hashing a single

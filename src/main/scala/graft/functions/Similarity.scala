@@ -35,8 +35,25 @@ object Similarity {
 
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Rank scored candidates to top-k per query via the bounded
+    * [[graft.plans.expressions.TopKByScore]] aggregate. Unlike
+    * `row_number over (partition by query_id)` — which shuffles EVERY scored
+    * candidate of a query into a single reducer partition (a scale-killer at
+    * a 1B-row corpus) — this is map-side-combined: each input partition
+    * keeps a k-heap per query, the shuffle carries ≤ k rows per (partition,
+    * query), and the final merge folds k-row arrays. Order inside the array
+    * (score desc, id asc) matches the window's (desc, asc) tie-break, so
+    * results are identical. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.plans.expressions.topKByScore(col("cos_sim"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.score").as("cos_sim"))
+
   /** Exact top-k neighbors for each query vector (brute force baseline).
-    * `queries` must be small enough to broadcast. */
+    * `queries` must be small enough to broadcast: the plan is one corpus
+    * scan, no shuffle before the bounded per-partition top-k. */
   def cosineTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
@@ -45,11 +62,7 @@ object Similarity {
     val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos_sim")
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
@@ -85,11 +98,7 @@ object Similarity {
     val scored = c.join(q, Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos_sim")
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus into
@@ -136,11 +145,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos_sim")
+    topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted to

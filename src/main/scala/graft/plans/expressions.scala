@@ -169,6 +169,111 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Bounded top-k aggregate: keeps the k best (score, id) entries ordered
+    * by score DESC, id ASC. The scale story is the whole point: used as
+    * `groupBy(query).agg(top_k(...))`, partial aggregation
+    * (ObjectHashAggregate) bounds every map-side buffer at k entries, the
+    * shuffle carries at most k rows per (partition, query), and the final
+    * merge per query folds ≤ partitions×k entries — unlike
+    * `row_number over (partition by query)`, which funnels every scored
+    * candidate of a query through one reducer. That window pattern is a
+    * single-partition scale-killer at a 1B-row corpus; this is the
+    * TakeOrdered pattern expressed as an aggregate.
+    *
+    * Null scores are ignored (a null cosine never ranks). Tie-break and NaN
+    * ordering match Spark's `desc` sort (NaN sorts greatest).
+    * Output: array<struct<score double, id bigint>> sorted best-first.
+    */
+  case class TopKByScore(
+      score: Expression, id: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.PriorityQueue[Array[Long]]] {
+    require(k > 0, "top_k requires k > 0")
+
+    override def children: Seq[Expression] = Seq(score, id)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))), containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (score.dataType == DoubleType && id.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k expects (double, bigint), got (${score.dataType.sql}, ${id.dataType.sql})")
+
+    // Entries are (score-bits, id) packed in a 2-long array; the heap head
+    // is the WORST kept entry (lowest score; ties: highest id) so eviction
+    // is O(log k).
+    private def scoreOf(e: Array[Long]): Double = java.lang.Double.longBitsToDouble(e(0))
+    @transient private lazy val worstFirst: java.util.Comparator[Array[Long]] =
+      new java.util.Comparator[Array[Long]] {
+        override def compare(x: Array[Long], y: Array[Long]): Int = {
+          val c = java.lang.Double.compare(scoreOf(x), scoreOf(y))
+          if (c != 0) c else java.lang.Long.compare(y(1), x(1))
+        }
+      }
+
+    override def createAggregationBuffer(): java.util.PriorityQueue[Array[Long]] =
+      new java.util.PriorityQueue[Array[Long]](k + 1, worstFirst)
+
+    private def offer(buf: java.util.PriorityQueue[Array[Long]], e: Array[Long]): Unit =
+      if (buf.size < k) buf.add(e)
+      else if (worstFirst.compare(e, buf.peek()) > 0) { buf.poll(); buf.add(e) }
+
+    override def update(
+        buf: java.util.PriorityQueue[Array[Long]], input: InternalRow): java.util.PriorityQueue[Array[Long]] = {
+      val s = score.eval(input)
+      val i = id.eval(input)
+      if (s != null && i != null)
+        offer(buf, Array(java.lang.Double.doubleToLongBits(s.asInstanceOf[Double]),
+          i.asInstanceOf[Long]))
+      buf
+    }
+
+    override def merge(
+        buf: java.util.PriorityQueue[Array[Long]],
+        other: java.util.PriorityQueue[Array[Long]]): java.util.PriorityQueue[Array[Long]] = {
+      val it = other.iterator()
+      while (it.hasNext) offer(buf, it.next())
+      buf
+    }
+
+    override def eval(buf: java.util.PriorityQueue[Array[Long]]): Any = {
+      val entries = new Array[Array[Long]](buf.size)
+      var i = entries.length - 1
+      while (i >= 0) { entries(i) = buf.poll(); i -= 1 } // worst-first poll ⇒ best-first array
+      entries.foreach(e => buf.add(e)) // restore: eval must not destroy the buffer
+      new GenericArrayData(entries.map(e =>
+        InternalRow(scoreOf(e), e(1)): Any))
+    }
+
+    override def serialize(buf: java.util.PriorityQueue[Array[Long]]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) { val e = it.next(); bb.putLong(e(0)); bb.putLong(e(1)) }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[Array[Long]] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) { buf.add(Array(bb.getLong, bb.getLong)); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(score = newChildren(0), id = newChildren(1))
+  }
+
   // ------------------------------------------------------- Column surface
 
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -180,4 +285,11 @@ object expressions {
 
   def simHash64(words: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(words)))
+
+  /** Bounded top-k aggregate column: array of the k best (score, id) pairs,
+    * best-first (score desc, id asc). */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKByScore(
+      Bridge.expression(score.cast("double")), Bridge.expression(id.cast("long")), k)
+      .toAggregateExpression())
 }
