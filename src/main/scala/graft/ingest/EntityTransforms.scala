@@ -99,7 +99,11 @@ object EntityTransforms {
       col("p.chef_fee").as("chef_fee"),
       chefDec.as("chef_fee_dec"),
       lit(null).cast(Schemas.Usd).as("chef_fee_usd"),
-      col("receipt_id").as("tx_hash")) ++ seqCols: _*)
+      col("receipt_id").as("tx_hash"),
+      // Receipt receiver, for account discovery only (utils.py:891
+      // get_or_creates receiver_id — donate.potlock.near for direct
+      // donations); dropped before the silver merge.
+      col("receiver_id").as("__receiver")) ++ seqCols: _*)
   }
 
   /** Donation activity rows (utils.py:999-1014): typed feed entries.
@@ -184,7 +188,7 @@ object EntityTransforms {
   def donationAccounts(donations: DataFrame): DataFrame =
     donations
       .select(Seq(explode(array(col("donor"), col("recipient"), col("referrer"),
-        col("chef"), col("pot"), col("ft"))).as("id")) ++ seqCols: _*)
+        col("chef"), col("pot"), col("ft"), col("__receiver"))).as("id")) ++ seqCols: _*)
       .filter(col("id").isNotNull)
 
   // ------------------------------------------------------------ pots
@@ -312,9 +316,12 @@ object EntityTransforms {
 
   /** handle_set_payouts (utils.py:667-702): one pending payout per entry.
     * `payout_index` extends the ingest seq so same-key entries within one
-    * action merge deterministically; the merge key includes `amount` so a
-    * post-challenge re-set with a different amount keeps its own row (the
-    * reference has no unique constraint and keeps history). */
+    * action merge deterministically. Merge key is (pot, recipient): a
+    * post-challenge re-set updates the row in place, and a transfer
+    * (utils.py:719-721 aupdate on recipient) lands on the same row. The
+    * reference's unconstrained bulk_create can leave duplicate history
+    * rows per recipient; we keep the latest — the shape every query
+    * actually wants. */
   def payoutsSet(actions: DataFrame): DataFrame =
     actions
       .filter(col("method_name") === "chef_set_payouts" && isPotSub)
@@ -334,7 +341,8 @@ object EntityTransforms {
         col("receipt_id").as("tx_hash"),
         col("payout_index").cast("int").as("payout_index")) ++ seqCols: _*)
 
-  /** handle_transfer_payout (utils.py:705-732): sets paid_at. */
+  /** handle_transfer_payout (utils.py:705-732): sets paid_at/amount/tx_hash
+    * on the matching (pot, recipient) payout row. */
   def payoutTransfers(actions: DataFrame): DataFrame =
     actions
       .filter(col("method_name") === "transfer_payout_callback" && isPotSub)

@@ -25,7 +25,7 @@ object SilverStore {
     "list_registrations" -> Seq("on_chain_id"),
     "pot_applications" -> Seq("pot", "applicant"),
     "pot_application_reviews" -> Seq("pot", "applicant", "reviewer", "reviewed_at"),
-    "pot_payouts" -> Seq("pot", "recipient", "amount"),
+    "pot_payouts" -> Seq("pot", "recipient"),
     "tokens" -> Seq("account"))
 }
 
@@ -62,7 +62,7 @@ final class SilverStore(spark: SparkSession, dir: String) {
       def first(name: String, df: DataFrame, keys: Seq[String]): Unit =
         counts(name) = MergeWriter.insertIgnoreConflicts(spark, df, path(name), keys, seq)
 
-      lww("donations", dons, naturalKeys("donations"))
+      lww("donations", dons.drop("__receiver"), naturalKeys("donations"))
       // Accounts: discovery rows (id only) + social-profile updates merge
       // into one table; coalesce keeps the profile across later discovery
       // rows (reference stores the profile ON Account, accounts/models.py:57-62).
@@ -97,11 +97,15 @@ final class SilverStore(spark: SparkSession, dir: String) {
         naturalKeys("pot_applications"))
       first("pot_application_reviews", reviews,
         naturalKeys("pot_application_reviews"))
-      // Key includes amount (payout history survives re-sets); seq extended
+      // Keyed (pot, recipient): a transfer updates the matching set-payout
+      // row in place (utils.py:719-721 aupdate on recipient); seq extended
       // with payout_index for within-action determinism.
       lww("pot_payouts", payoutsSet(acts).unionByName(payoutTransfers(acts)),
         naturalKeys("pot_payouts"), seq :+ "payout_index")
-      first("pot_payout_challenges", payoutChallenges(acts),
+      // Repeated challenge by the same challenger updates
+      // created_at/message/tx_hash (utils.py:746-748 aupdate_or_create) —
+      // last writer wins, not keep-first.
+      lww("pot_payout_challenges", payoutChallenges(acts),
         Seq("challenger", "pot"))
       first("pot_payout_challenge_admin_responses", challengeResponses(acts),
         Seq("challenger", "pot", "created_at"))
@@ -124,7 +128,10 @@ final class SilverStore(spark: SparkSession, dir: String) {
           allowMissingColumns = true),
         Seq("account"))
       lww("nadabot_providers", providers(evts), Seq("registry", "on_chain_id"))
-      first("nadabot_stamps", stamps(evts), Seq("user", "provider_id"))
+      // Stamp has no unique constraint in the reference
+      // (nadabot/models.py:221-239; aupdate_or_create keys user+provider+
+      // verified_at) — each distinct verification date is its own row.
+      first("nadabot_stamps", stamps(evts), Seq("user", "provider_id", "verified_at"))
       lww("nadabot_groups", groups(evts), Seq("registry", "on_chain_id"))
       lww("nadabot_blacklist", blacklistActions(evts), Seq("registry", "account"))
 

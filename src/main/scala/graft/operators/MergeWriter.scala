@@ -60,13 +60,26 @@ object MergeWriter {
     // Count from the cached merge result — re-reading the whole written
     // table per batch would make ingest cost grow with table history.
     val n = merged.count()
-    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-    merged.write.mode("overwrite").parquet(tmp)
+    writeAndSwap(merged, path)
     merged.unpersist()
-    // Atomic-ish swap: remove old dir, move tmp into place.
-    deleteRecursively(Paths.get(path))
-    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     n
+  }
+
+  /** Write `df` to a tmp dir and swap it in with the rename-aside pattern:
+    * the live table is moved aside (one atomic rename), the new one moved
+    * in (another), then the old copy dropped. A crash between the renames
+    * leaves the `.old-` copy recoverable, and readers never observe a
+    * half-deleted directory (a delete-then-move swap loses the live table
+    * if the process dies between the two steps). */
+  private def writeAndSwap(df: DataFrame, path: String): Unit = {
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = path + ".tmp-" + uid
+    df.write.mode("overwrite").parquet(tmp)
+    val p = Paths.get(path)
+    val old = Paths.get(path + ".old-" + uid)
+    if (Files.exists(p)) Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), p, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
   }
 
   /** Partition-scoped LWW merge — the 100 TB path. The table is laid out
@@ -179,11 +192,8 @@ object MergeWriter {
     val merged = Relational.latestPerGroup(unioned, keys, seq.map(col(_).asc))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = merged.count()
-    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-    merged.write.mode("overwrite").parquet(tmp)
+    writeAndSwap(merged, path)
     merged.unpersist()
-    deleteRecursively(Paths.get(path))
-    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     n
   }
 

@@ -28,7 +28,9 @@ class StreamIngestSpec extends SparkSpec {
 
     Files.write(Paths.get(in, "b1.json"), donationBlock(201, 1, "a.near").getBytes)
     val q1 = StreamIngest.start(spark, in, silverDir, ckpt, availableNow = true)
-    q1.awaitTermination(120000)
+    // awaitTermination returns false on timeout — a loaded machine must
+    // fail the wait loudly, not let the asserts read a half-written dir.
+    assert(q1.awaitTermination(300000), "stream 1 did not drain in time")
     assert(silver.table("donations").count() == 1)
     assert(silver.table("block_height").head().getAs[Long]("block_height") == 201)
 
@@ -37,7 +39,7 @@ class StreamIngestSpec extends SparkSpec {
       (donationBlock(201, 1, "a.near") + "\n" +
         donationBlock(202, 2, "b.near")).getBytes)
     val q2 = StreamIngest.start(spark, in, silverDir, ckpt, availableNow = true)
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(300000), "stream 2 did not drain in time")
 
     val dons = silver.table("donations")
     assert(dons.count() == 2) // replayed donation merged, not duplicated
