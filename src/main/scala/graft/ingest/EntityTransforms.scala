@@ -462,6 +462,84 @@ object EntityTransforms {
         coalesce(col("p.admin_notes"), col("a.notes")).as("admin_notes"),
         col("receipt_id").as("tx_hash")) ++ seqCols: _*)
 
+  /** handle_default_list_status_change (utils.py:598-628):
+    * `admin_set_default_project_status`'s SuccessValue is the updated List
+    * object. name/owner/default_registration_status/admin_only_registrations/
+    * updated_at are set unconditionally; description/cover_image_url only
+    * when present (the coalescing merge keeps the previous value for
+    * nulls). admins and created_at are NOT touched by this handler. The
+    * list id comes from args.registration_id (the reference's key), with
+    * the result's own id as fallback. */
+  def listStatusChanges(actions: DataFrame): DataFrame =
+    actions
+      .filter(col("method_name") === "admin_set_default_project_status" &&
+        col("receiver_id") === contracts.lists)
+      .filter(col("result_json").isNotNull && trim(col("result_json")) =!= "null")
+      .withColumn("a", from_json(col("args_json"), ddl("registration_id BIGINT")))
+      .withColumn("p", from_json(col("result_json"), listPayload))
+      .filter(coalesce(col("a.registration_id"), col("p.id")).isNotNull)
+      .select(Seq(
+        coalesce(col("a.registration_id"), col("p.id")).as("on_chain_id"),
+        col("p.owner").as("owner"),
+        lit(null).cast("array<string>").as("admins"),
+        col("p.name").as("name"),
+        col("p.description").as("description"),
+        col("p.cover_image_url").as("cover_image_url"),
+        col("p.admin_only_registrations").as("admin_only_registrations"),
+        col("p.default_registration_status").as("default_registration_status"),
+        lit(null).cast("timestamp").as("created_at"),
+        msTs(col("p.updated_at")).as("updated_at")) ++ seqCols: _*)
+
+  /** handle_list_admin_removal (utils.py:785-805): `owner_remove_admins` on
+    * the lists contract removes args.admins from List.admins. Emitted as an
+    * array-delta patch row (SilverStore.patchArrayColumn applies it); the
+    * Activity row comes from handlerActivities. */
+  def listAdminRemovals(actions: DataFrame): DataFrame =
+    actions
+      .filter(col("method_name") === "owner_remove_admins" &&
+        col("receiver_id") === contracts.lists)
+      .withColumn("a", from_json(col("args_json"),
+        ddl("list_id BIGINT, admins ARRAY<STRING>")))
+      .filter(col("a.list_id").isNotNull && col("a.admins").isNotNull)
+      .select(Seq(
+        col("a.list_id").as("on_chain_id"),
+        lit(null).cast("array<string>").as("patch_add"),
+        col("a.admins").as("patch_remove")) ++ seqCols: _*)
+
+  /** handle_add_nadabot_admin (utils.py:808-817): `owner_add_admins` on a
+    * nadabot registry adds args.account_ids to NadabotRegistry.admins
+    * (each added account also gets an accounts-table discovery row). */
+  def nadabotAdminAdds(actions: DataFrame): DataFrame =
+    actions
+      .filter(col("method_name") === "owner_add_admins" && isNadabot)
+      .withColumn("a", from_json(col("args_json"), ddl("account_ids ARRAY<STRING>")))
+      .filter(col("a.account_ids").isNotNull)
+      .select(Seq(
+        col("receiver_id").as("account"),
+        col("a.account_ids").as("patch_add"),
+        lit(null).cast("array<string>").as("patch_remove")) ++ seqCols: _*)
+
+  /** handle_add_factory_deployers (utils.py:820-828):
+    * `admin_add_whitelisted_deployers` on a pot factory adds
+    * args.whitelisted_deployers to PotFactory.whitelisted_deployers. */
+  def factoryDeployerAdds(actions: DataFrame): DataFrame =
+    actions
+      .filter(col("method_name") === "admin_add_whitelisted_deployers" && isFactory)
+      .withColumn("a", from_json(col("args_json"),
+        ddl("whitelisted_deployers ARRAY<STRING>")))
+      .filter(col("a.whitelisted_deployers").isNotNull)
+      .select(Seq(
+        col("receiver_id").as("account"),
+        col("a.whitelisted_deployers").as("patch_add"),
+        lit(null).cast("array<string>").as("patch_remove")) ++ seqCols: _*)
+
+  /** Accounts-table discovery rows for admins/deployers added via array
+    * patches (reference aget_or_creates each: utils.py:813-814, 824-825). */
+  def patchAccounts(patches: DataFrame): DataFrame =
+    patches
+      .select(Seq(explode(col("patch_add")).as("id")) ++ seqCols: _*)
+      .filter(col("id").isNotNull)
+
   /** handle_list_upvote (utils.py:631-664). */
   def listUpvotes(actions: DataFrame): DataFrame =
     actions

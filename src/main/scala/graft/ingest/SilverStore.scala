@@ -39,6 +39,43 @@ final class SilverStore(spark: SparkSession, dir: String) {
   def exists(name: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(path(name)))
 
+  /** Apply add/remove deltas to an array column — the engine's form of the
+    * reference's M2M `aadd`/`remove` (utils.py:785-805, 808-817, 820-828),
+    * which LWW row-replace cannot express. `patches` rows carry the entity
+    * key, `patch_add`/`patch_remove` string arrays, and the ingest seq.
+    *
+    * Mechanics: fold all patches per key in seq order (broadcast — patch
+    * sets are event-sized, never table-sized), inner-join the CURRENT table
+    * row (a patch for a nonexistent key is dropped, as the reference's
+    * aget() failure no-ops the handler), and LWW-merge the updated full
+    * rows back carrying the last patch's seq. Replay-idempotent: re-adding
+    * a present element and re-removing an absent one are set no-ops.
+    * Returns the merged table count when patches applied. */
+  private def patchArrayColumn(name: String, keys: Seq[String],
+      arrayCol: String, patches: DataFrame): Option[Long] = {
+    if (!exists(name) || patches.isEmpty) return None
+    val emptyArr = array().cast("array<string>")
+    val folded = patches
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sort_array(collect_list(struct(
+          struct(seq.map(col): _*).as("k"),
+          col("patch_add").as("add"),
+          col("patch_remove").as("rm")))).as("__patches"),
+        max(struct(seq.map(col): _*)).as("__seq"))
+    val patched = table(name)
+      .drop(seq: _*)
+      .join(broadcast(folded), keys, "inner")
+      .withColumn(arrayCol,
+        aggregate(col("__patches"), coalesce(col(arrayCol), emptyArr),
+          (acc, p) => array_except(
+            array_union(acc, coalesce(p.getField("add"), emptyArr)),
+            coalesce(p.getField("rm"), emptyArr))))
+    val withSeq = seq.foldLeft(patched)((df, c) => df.withColumn(c, col(s"__seq.$c")))
+      .drop("__patches", "__seq")
+    Some(MergeWriter.merge(spark, withSeq, path(name), keys, seq))
+  }
+
   /** Apply one batch of raw block messages (bronze) to every silver table.
     * Returns per-entity merged row counts. */
   def applyBatch(blocks: DataFrame): Map[String, Long] = {
@@ -68,6 +105,8 @@ final class SilverStore(spark: SparkSession, dir: String) {
       // rows (reference stores the profile ON Account, accounts/models.py:57-62).
       lww("accounts",
         donationAccounts(dons)
+          .unionByName(patchAccounts(nadabotAdminAdds(acts)))
+          .unionByName(patchAccounts(factoryDeployerAdds(acts)))
           .withColumn("near_social_profile_data", lit(null).cast("string"))
           .unionByName(socialProfileUpdates(acts)),
         naturalKeys("accounts"))
@@ -109,7 +148,19 @@ final class SilverStore(spark: SparkSession, dir: String) {
         Seq("challenger", "pot"))
       first("pot_payout_challenge_admin_responses", challengeResponses(acts),
         Seq("challenger", "pot", "created_at"))
-      lww("lists", listCreates(acts), naturalKeys("lists"))
+      // List updates (admin_set_default_project_status) apply only to lists
+      // that exist — reference filter().aupdate() no-ops on unknown ids
+      // (utils.py:624) — so semi-join against this batch's creates plus the
+      // existing table.
+      val creates = listCreates(acts)
+      val updates = {
+        val upd = listStatusChanges(acts)
+        val known = creates.select("on_chain_id").unionByName(
+          if (exists("lists")) table("lists").select("on_chain_id")
+          else spark.emptyDataFrame.select(lit(0L).as("on_chain_id")).limit(0))
+        upd.join(known, Seq("on_chain_id"), "left_semi")
+      }
+      lww("lists", creates.unionByName(updates), naturalKeys("lists"))
       lww("list_registrations",
         listRegistrations(acts).unionByName(registrationUpdates(acts)),
         naturalKeys("list_registrations"))
@@ -134,6 +185,16 @@ final class SilverStore(spark: SparkSession, dir: String) {
       first("nadabot_stamps", stamps(evts), Seq("user", "provider_id", "verified_at"))
       lww("nadabot_groups", groups(evts), Seq("registry", "on_chain_id"))
       lww("nadabot_blacklist", blacklistActions(evts), Seq("registry", "account"))
+
+      // Array-delta patches (M2M admins/deployers mutations,
+      // utils.py:785-828) run AFTER the base merges so same-batch creates
+      // are visible to the read-modify-write.
+      patchArrayColumn("lists", naturalKeys("lists"), "admins",
+        listAdminRemovals(acts)).foreach(counts("lists") = _)
+      patchArrayColumn("nadabot_registries", Seq("account"), "admins",
+        nadabotAdminAdds(acts)).foreach(counts("nadabot_registries") = _)
+      patchArrayColumn("pot_factories", Seq("account"), "whitelisted_deployers",
+        factoryDeployerAdds(acts)).foreach(counts("pot_factories") = _)
 
       // Per-record error quarantine (SURVEY §2.9): decode/parse failures
       // are kept inspectable instead of silently dropped.

@@ -81,11 +81,40 @@ object Fixtures {
        | "source_metadata": {"link": "l", "version": "v", "commit_hash": "c"}}"""
       .stripMargin.replace("\n", " ")
 
-  def listCreateResult(id: Long, owner: String): String =
+  def listCreateResult(id: Long, owner: String,
+      admins: Seq[String] = Nil): String = {
+    val adminList = (if (admins.isEmpty) Seq(owner) else admins)
+      .map("\"" + _ + "\"").mkString(",")
     s"""{"id": $id, "owner": "$owner", "name": "L", "description": "D",
        | "cover_image_url": null, "admin_only_registrations": false,
        | "default_registration_status": "Approved",
-       | "admins": ["$owner"], "created_at": 1718000000000, "updated_at": 1718000000000}"""
+       | "admins": [$adminList], "created_at": 1718000000000, "updated_at": 1718000000000}"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** Updated-List SuccessValue for admin_set_default_project_status
+    * (utils.py:598-628); description/cover_image_url intentionally absent
+    * to exercise the keep-old-value path. */
+  def listStatusChangeResult(id: Long, owner: String, name: String,
+      status: String, updatedAtMs: Long): String =
+    s"""{"id": $id, "owner": "$owner", "name": "$name",
+       | "admin_only_registrations": true,
+       | "default_registration_status": "$status",
+       | "admins": ["$owner"], "updated_at": $updatedAtMs}"""
+      .stripMargin.replace("\n", " ")
+
+  def nadabotNewArgs(owner: String, admins: Seq[String]): String =
+    s"""{"owner": "$owner", "admins": [${admins.map("\"" + _ + "\"").mkString(",")}],
+       | "default_human_threshold": 20,
+       | "source_metadata": {"link": "l", "version": "v", "commit_hash": "c"}}"""
+      .stripMargin.replace("\n", " ")
+
+  def factoryNewArgs(owner: String, deployers: Seq[String]): String =
+    s"""{"owner": "$owner", "admins": ["$owner"], "protocol_fee_basis_points": 200,
+       | "protocol_fee_recipient_account": "$owner",
+       | "whitelisted_deployers": [${deployers.map("\"" + _ + "\"").mkString(",")}],
+       | "require_whitelist": true,
+       | "source_metadata": {"link": "l", "version": "v", "commit_hash": "c"}}"""
       .stripMargin.replace("\n", " ")
 
   def registerBatchResult(listId: Long, regs: Seq[(Long, String, String)]): String =

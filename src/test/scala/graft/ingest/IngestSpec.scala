@@ -24,6 +24,12 @@ class IngestSpec extends SparkSpec {
   private lazy val counts: Map[String, Long] = {
     val in = tmpDir("bronze")
     val blocks = Seq(
+      // block 99: factory + nadabot registry deploys (patch targets)
+      block(99, 1717999900000000000L, Seq(
+        receipt(factoryAccount, "new", factoryNewArgs("fowner.near", Seq("dep1.near")),
+          resultJson = Some("\"ok\""), receiptId = "rY", signer = "fowner.near"),
+        receipt(nadabotAccount, "new", nadabotNewArgs("nowner.near", Seq("nadm.near")),
+          resultJson = Some("\"ok\""), receiptId = "rZ", signer = "nowner.near"))),
       // block 100: pot deploy + direct donation (net must be derived)
       block(100, 1718000000000000000L, Seq(
         receipt(potAccount, "new", potNewArgs("owner.near", Seq("a1.near", "a2.near"), "My Pot"),
@@ -40,7 +46,8 @@ class IngestSpec extends SparkSpec {
             matchingPool = true, projectId = None, donatedAtMs = 1718000100001L)),
           receiptId = "rC"),
         receipt("lists.potlock.near", "create_list", "{}",
-          resultJson = Some(listCreateResult(5, "owner.near")), receiptId = "rD"),
+          resultJson = Some(listCreateResult(5, "owner.near",
+            admins = Seq("owner.near", "helper.near"))), receiptId = "rD"),
         receipt("lists.potlock.near", "register_batch", "{}",
           resultJson = Some(registerBatchResult(5,
             Seq((11, "proj1.near", "Approved"), (12, "proj2.near", "Pending")))),
@@ -72,7 +79,30 @@ class IngestSpec extends SparkSpec {
             stampEventLog("human1.near", 13),
             groupEventLog(3, "G", "\"Highest\"", Seq(1, 2)),
             groupEventLog(4, "H", """{"IncreasingReturns": 10}""", Seq(2)),
-            blacklistEventLog(Seq("bad.near"), "spam"))))))
+            blacklistEventLog(Seq("bad.near"), "spam"))))),
+      // block 106: entity-side mutations after creation (§2.10 gap fixes):
+      // list default-status change (known + unknown id), list admin
+      // removal, nadabot admin add, factory deployer add
+      block(106, 1718000600000000000L, Seq(
+        receipt("lists.potlock.near", "admin_set_default_project_status",
+          """{"registration_id": 5}""",
+          resultJson = Some(listStatusChangeResult(5, "owner.near", "L renamed",
+            "Pending", 1718000600000L)),
+          receiptId = "rL", signer = "owner.near"),
+        receipt("lists.potlock.near", "admin_set_default_project_status",
+          """{"registration_id": 999}""",
+          resultJson = Some(listStatusChangeResult(999, "ghost.near", "Ghost",
+            "Pending", 1718000600000L)),
+          receiptId = "rM", signer = "ghost.near"),
+        receipt("lists.potlock.near", "owner_remove_admins",
+          """{"list_id": 5, "admins": ["helper.near"]}""",
+          resultJson = Some("\"ok\""), receiptId = "rN", signer = "owner.near"),
+        receipt(nadabotAccount, "owner_add_admins",
+          """{"account_ids": ["newadmin.near"]}""",
+          resultJson = Some("\"ok\""), receiptId = "rO", signer = "nowner.near"),
+        receipt(factoryAccount, "admin_add_whitelisted_deployers",
+          """{"whitelisted_deployers": ["dep2.near"]}""",
+          resultJson = Some("\"ok\""), receiptId = "rP", signer = "fowner.near"))))
     writeBlocks(in, blocks)
     StreamIngest.backfill(spark, in, silverDir)
   }
@@ -156,7 +186,7 @@ class IngestSpec extends SparkSpec {
   test("block_height cursor parity row (S2)") {
     counts
     val bh = silver.table("block_height").head()
-    assert(bh.getAs[Long]("block_height") == 104)
+    assert(bh.getAs[Long]("block_height") == 106)
   }
 
   test("activities typed from donations and handlers (§2.10)") {
@@ -165,7 +195,64 @@ class IngestSpec extends SparkSpec {
     assert(types == Set(
       "Donate_Direct", "Donate_Pot_Matching_Pool",
       "Deploy_Pot", "Submit_Application", "Register_Batch", "Upvote",
-      "Process_Payouts"))
+      "Process_Payouts", "Remove_List_Admin"))
+  }
+
+  test("list status change rewrites fields, keeps untouched ones (utils.py:598-628)") {
+    counts
+    val lists = silver.table("lists")
+    // the unknown-id update (registration_id 999) must NOT create a row
+    assert(lists.count() == 1)
+    val l = lists.head()
+    assert(l.getAs[String]("name") == "L renamed")
+    assert(l.getAs[String]("default_registration_status") == "Pending")
+    assert(l.getAs[Boolean]("admin_only_registrations"))
+    // absent description keeps the created value; created_at survives
+    assert(l.getAs[String]("description") == "D")
+    assert(l.getAs[java.sql.Timestamp]("created_at") != null)
+  }
+
+  test("list admin removal mutates List.admins (utils.py:785-805)") {
+    counts
+    val l = silver.table("lists").head()
+    assert(l.getAs[scala.collection.Seq[String]]("admins").toSeq == Seq("owner.near"))
+  }
+
+  test("nadabot admin add mutates registry admins + discovers account (utils.py:808-817)") {
+    counts
+    val r = silver.table("nadabot_registries")
+      .filter(col("account") === nadabotAccount).head()
+    assert(r.getAs[scala.collection.Seq[String]]("admins").toSeq ==
+      Seq("nadm.near", "newadmin.near"))
+    assert(silver.table("accounts").filter(col("id") === "newadmin.near").count() == 1)
+  }
+
+  test("factory deployer add mutates whitelisted_deployers (utils.py:820-828)") {
+    counts
+    val f = silver.table("pot_factories")
+      .filter(col("account") === factoryAccount).head()
+    assert(f.getAs[scala.collection.Seq[String]]("whitelisted_deployers").toSeq ==
+      Seq("dep1.near", "dep2.near"))
+    assert(silver.table("accounts").filter(col("id") === "dep2.near").count() == 1)
+  }
+
+  test("array patches are replay-idempotent (FIXTURES §5)") {
+    counts
+    val in4 = tmpDir("bronze4")
+    writeBlocks(in4, Seq(block(106, 1718000600000000000L, Seq(
+      receipt("lists.potlock.near", "owner_remove_admins",
+        """{"list_id": 5, "admins": ["helper.near"]}""",
+        resultJson = Some("\"ok\""), receiptId = "rN", signer = "owner.near"),
+      receipt(nadabotAccount, "owner_add_admins",
+        """{"account_ids": ["newadmin.near"]}""",
+        resultJson = Some("\"ok\""), receiptId = "rO", signer = "nowner.near")))))
+    StreamIngest.backfill(spark, in4, silverDir)
+    assert(silver.table("lists").head()
+      .getAs[scala.collection.Seq[String]]("admins").toSeq == Seq("owner.near"))
+    assert(silver.table("nadabot_registries")
+      .filter(col("account") === nadabotAccount).head()
+      .getAs[scala.collection.Seq[String]]("admins").toSeq ==
+      Seq("nadm.near", "newadmin.near"))
   }
 
   test("malformed payloads land in quarantine, not silently dropped (§2.9)") {
