@@ -84,7 +84,12 @@ object Stats {
       leftId = "__did", rightTieBreak = "timestamp",
       joinType = "left") // donations without an in-window price keep null USD
 
-    val dec = coalesce(col("decimals"), lit(24)) // NEAR native = 24
+    // Unknown decimals must null the USD out, not assume 24: a 6-decimal
+    // USDC-style amount divided by 10^24 is silently wrong by 18 orders of
+    // magnitude. Only the native token is pinned to 24 (utils.py:919-921);
+    // other tokens get decimals from the ft_metadata snapshot loader
+    // (SnapshotBackfill.tokenMetadata) and stay null-USD until loaded.
+    val dec = coalesce(col("decimals"), when(col("ft") === "near", lit(24)))
     // Exact decimal path: Amounts.scaleByDecimals keeps the u128 amounts
     // out of double space (a pow(10,d) double route is lossy from 10^23
     // and for any amount above 2^53 yocto).

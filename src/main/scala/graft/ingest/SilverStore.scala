@@ -27,6 +27,52 @@ object SilverStore {
     "pot_application_reviews" -> Seq("pot", "applicant", "reviewer", "reviewed_at"),
     "pot_payouts" -> Seq("pot", "recipient"),
     "tokens" -> Seq("account"))
+
+  /** Partitioned physical layout for the unbounded tables — the 100 TB
+    * path: a partition-scoped merge rewrites only partitions the batch
+    * touches, so per-batch cost tracks batch size, not table history. The
+    * partition value MUST be an immutable pure function of the natural
+    * key's row (MergeWriter.mergePartitioned's contract):
+    *  - donations: the donation date — payload-carried, never mutated by
+    *    an update. The "d" prefix stops Spark partition-type inference
+    *    from reading the value back as DATE (which would clash with the
+    *    incoming string column on the next merge).
+    *  - activities: a 32-bucket key hash, NOT a date — the reference's
+    *    aupdate_or_create rewrites `timestamp` on re-keyed activities, so
+    *    a date layout could strand a key's older version in a partition
+    *    the scoped dedup never reads. A batch touching k keys rewrites
+    *    min(k, 32) buckets.
+    */
+  val partitionSpec: Map[String, (String, org.apache.spark.sql.Column)] = Map(
+    "donations" -> ("__pdate",
+      concat(lit("d"), coalesce(date_format(col("donated_at"), "yyyy-MM-dd"),
+        lit("unknown")))),
+    "activities" -> ("__pbucket",
+      concat(lit("b"),
+        pmod(xxhash64(col("type"), col("action_result")), lit(32)).cast("string"))))
+
+  /** Single merge dispatch shared by the streaming path and
+    * SnapshotBackfill: unbounded tables go through the partition-scoped
+    * writer, everything else through the full-table LWW merge. Using one
+    * dispatch for both write paths keeps a snapshot backfill from
+    * rewriting a partitioned table into a flat layout. */
+  def mergeEntity(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, keys: Seq[String], seqCols: Seq[String]): Long =
+    partitionSpec.get(name) match {
+      case Some((pcol, pexpr)) =>
+        val withP = df.withColumn(pcol, pexpr)
+        val p = java.nio.file.Paths.get(s"$dir/$name")
+        // Bootstrap: an empty first batch still creates a readable
+        // (schema-only, unpartitioned) table; the first real merge
+        // migrates it to the partitioned layout.
+        if (!java.nio.file.Files.exists(p) && withP.isEmpty)
+          MergeWriter.merge(spark, withP, s"$dir/$name", keys, seqCols)
+        else
+          MergeWriter.mergePartitioned(spark, withP, s"$dir/$name", keys,
+            seqCols, pcol)
+      case None =>
+        MergeWriter.merge(spark, df, s"$dir/$name", keys, seqCols)
+    }
 }
 
 final class SilverStore(spark: SparkSession, dir: String) {
@@ -77,7 +123,10 @@ final class SilverStore(spark: SparkSession, dir: String) {
   }
 
   /** Apply one batch of raw block messages (bronze) to every silver table.
-    * Returns per-entity merged row counts. */
+    * Returns merged row counts for the entities the batch touched —
+    * entities with no triggering method/event are skipped entirely (no
+    * merge job, no counts entry) once their table exists, so a 1-block
+    * micro-batch pays for the handful of merges it needs, not all 18. */
   def applyBatch(blocks: DataFrame): Map[String, Long] = {
     import EntityTransforms._
     val receipts = BlockIngest.receipts(blocks)
@@ -92,14 +141,54 @@ final class SilverStore(spark: SparkSession, dir: String) {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val reviews = applicationReviews(acts)
 
-      val counts = scala.collection.mutable.Map[String, Long]()
-      def lww(name: String, df: DataFrame, keys: Seq[String],
-          seqCols: Seq[String] = seq): Unit =
-        counts(name) = MergeWriter.merge(spark, df, path(name), keys, seqCols)
-      def first(name: String, df: DataFrame, keys: Seq[String]): Unit =
-        counts(name) = MergeWriter.insertIgnoreConflicts(spark, df, path(name), keys, seq)
+      // One driver-side probe per batch: which handler triggers are
+      // present? Distinct (method, receiver-class) over the already
+      // contract-scoped receipts is bounded by the contracts' API surface
+      // (a few dozen methods), never by data volume.
+      val c = BlockIngest.contracts
+      val cls = when(col("receiver_id").rlike(c.potSubPattern), "pot")
+        .when(col("receiver_id").rlike(c.potFactoryPattern), "factory")
+        .when(col("receiver_id").rlike(c.nadabotPattern) ||
+          col("receiver_id").rlike(c.nadabotSubPattern), "nadabot")
+        .when(col("receiver_id") === c.lists, "lists")
+        .when(col("receiver_id") === c.donate, "donate")
+        .when(col("receiver_id") === c.social, "social")
+        .otherwise("other")
+      val methodsPresent: Set[(String, String)] = acts
+        .select(col("method_name"), cls.as("cls")).distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val eventsPresent: Set[String] = evts
+        .select("event_name").distinct().collect().map(_.getString(0)).toSet
+      def has(m: String, classes: String*): Boolean =
+        classes.exists(cl => methodsPresent((m, cl)))
+      val donateHit = Seq("donate", "handle_protocol_fee_callback",
+        "sybil_callback", "transfer_funds_callback")
+        .exists(m => has(m, "pot", "donate"))
+      val applyHit = has("apply", "pot") || has("assert_can_apply_callback", "pot")
+      val reviewHit = has("chef_set_application_status", "pot")
+      val listRemoveHit = has("owner_remove_admins", "lists")
+      val nadabotAddHit = has("owner_add_admins", "nadabot")
+      val deployerAddHit = has("admin_add_whitelisted_deployers", "factory")
+      val handlerActsHit = has("new", "pot") || applyHit ||
+        has("register_batch", "lists") || has("upvote", "lists") ||
+        has("chef_set_payouts", "pot") || has("challenge_payouts", "pot") ||
+        listRemoveHit
 
-      lww("donations", dons.drop("__receiver"), naturalKeys("donations"))
+      val counts = scala.collection.mutable.Map[String, Long]()
+      // Merges run only when the batch can produce rows for the entity
+      // (or its table doesn't exist yet — first batch always materializes
+      // every table so downstream readers never hit a missing path).
+      def lww(name: String, df: => DataFrame, keys: Seq[String],
+          seqCols: Seq[String] = seq, need: Boolean = true): Unit =
+        if (need || !exists(name))
+          counts(name) = SilverStore.mergeEntity(spark, dir, name, df, keys, seqCols)
+      def first(name: String, df: => DataFrame, keys: Seq[String],
+          need: Boolean = true): Unit =
+        if (need || !exists(name))
+          counts(name) = MergeWriter.insertIgnoreConflicts(spark, df, path(name), keys, seq)
+
+      lww("donations", dons.drop("__receiver"), naturalKeys("donations"),
+        need = donateHit)
       // Accounts: discovery rows (id only) + social-profile updates merge
       // into one table; coalesce keeps the profile across later discovery
       // rows (reference stores the profile ON Account, accounts/models.py:57-62).
@@ -109,16 +198,21 @@ final class SilverStore(spark: SparkSession, dir: String) {
           .unionByName(patchAccounts(factoryDeployerAdds(acts)))
           .withColumn("near_social_profile_data", lit(null).cast("string"))
           .unionByName(socialProfileUpdates(acts)),
-        naturalKeys("accounts"))
+        naturalKeys("accounts"),
+        need = donateHit || nadabotAddHit || deployerAddHit || has("set", "social"))
       // Reference semantics: aupdate_or_create on (action_result, type) —
       // a repeated key UPDATES signer/timestamp/tx_hash (last writer wins).
       lww("activities",
         donationActivities(acts).unionByName(handlerActivities(acts)),
-        Seq("type", "action_result"))
+        Seq("type", "action_result"), need = donateHit || handlerActsHit)
       // Token stubs from first sight of an ft reference (the reference
-      // creates Token rows on first donation and enriches metadata via RPC
-      // later — utils.py:917-943; metadata refresh stays out-of-engine).
-      first("tokens",
+      // creates Token rows on first donation and fetches ft_metadata via
+      // RPC — utils.py:917-943; here metadata arrives via the
+      // SnapshotBackfill.tokenMetadata loader). LWW with coalescing nulls:
+      // a later stub never erases loaded metadata (its metadata fields are
+      // null and backfill from the earlier row), while a later metadata
+      // refresh overrides stubs.
+      lww("tokens",
         dons.select(col("ft").as("account"),
           lit(null).cast("string").as("name"),
           lit(null).cast("string").as("symbol"),
@@ -128,26 +222,29 @@ final class SilverStore(spark: SparkSession, dir: String) {
           col("block_height"), col("shard_index"), col("receipt_index"),
           col("action_index"))
           .filter(col("account").isNotNull),
-        naturalKeys("tokens"))
-      lww("pots", potDeploys(acts), Seq("account"))
-      lww("pot_factories", potFactories(acts), Seq("account"))
+        naturalKeys("tokens"), need = donateHit)
+      lww("pots", potDeploys(acts), Seq("account"), need = has("new", "pot"))
+      lww("pot_factories", potFactories(acts), Seq("account"),
+        need = has("new", "factory"))
       lww("pot_applications",
         potApplications(acts).unionByName(applicationStatusUpdates(reviews)),
-        naturalKeys("pot_applications"))
+        naturalKeys("pot_applications"), need = applyHit || reviewHit)
       first("pot_application_reviews", reviews,
-        naturalKeys("pot_application_reviews"))
+        naturalKeys("pot_application_reviews"), need = reviewHit)
       // Keyed (pot, recipient): a transfer updates the matching set-payout
       // row in place (utils.py:719-721 aupdate on recipient); seq extended
       // with payout_index for within-action determinism.
       lww("pot_payouts", payoutsSet(acts).unionByName(payoutTransfers(acts)),
-        naturalKeys("pot_payouts"), seq :+ "payout_index")
+        naturalKeys("pot_payouts"), seq :+ "payout_index",
+        need = has("chef_set_payouts", "pot") || has("transfer_payout_callback", "pot"))
       // Repeated challenge by the same challenger updates
       // created_at/message/tx_hash (utils.py:746-748 aupdate_or_create) —
       // last writer wins, not keep-first.
       lww("pot_payout_challenges", payoutChallenges(acts),
-        Seq("challenger", "pot"))
+        Seq("challenger", "pot"), need = has("challenge_payouts", "pot"))
       first("pot_payout_challenge_admin_responses", challengeResponses(acts),
-        Seq("challenger", "pot", "created_at"))
+        Seq("challenger", "pot", "created_at"),
+        need = has("admin_update_payouts_challenge", "pot"))
       // List updates (admin_set_default_project_status) apply only to lists
       // that exist — reference filter().aupdate() no-ops on unknown ids
       // (utils.py:624) — so semi-join against this batch's creates plus the
@@ -160,11 +257,15 @@ final class SilverStore(spark: SparkSession, dir: String) {
           else spark.emptyDataFrame.select(lit(0L).as("on_chain_id")).limit(0))
         upd.join(known, Seq("on_chain_id"), "left_semi")
       }
-      lww("lists", creates.unionByName(updates), naturalKeys("lists"))
+      lww("lists", creates.unionByName(updates), naturalKeys("lists"),
+        need = has("create_list", "lists") ||
+          has("admin_set_default_project_status", "lists"))
       lww("list_registrations",
         listRegistrations(acts).unionByName(registrationUpdates(acts)),
-        naturalKeys("list_registrations"))
-      first("list_upvotes", listUpvotes(acts), Seq("list_id", "account"))
+        naturalKeys("list_registrations"),
+        need = has("register_batch", "lists") || has("update_registration", "lists"))
+      first("list_upvotes", listUpvotes(acts), Seq("list_id", "account"),
+        need = has("upvote", "lists"))
       lww("nadabot_registries",
         nadabotRegistries(acts).unionByName(
           humanThresholdUpdates(evts)
@@ -177,29 +278,41 @@ final class SilverStore(spark: SparkSession, dir: String) {
               col("block_height"), col("shard_index"), col("receipt_index"),
               col("action_index")),
           allowMissingColumns = true),
-        Seq("account"))
-      lww("nadabot_providers", providers(evts), Seq("registry", "on_chain_id"))
+        Seq("account"),
+        need = has("new", "nadabot") ||
+          eventsPresent("update_default_human_threshold"))
+      lww("nadabot_providers", providers(evts), Seq("registry", "on_chain_id"),
+        need = eventsPresent("add_or_update_provider"))
       // Stamp has no unique constraint in the reference
       // (nadabot/models.py:221-239; aupdate_or_create keys user+provider+
       // verified_at) — each distinct verification date is its own row.
-      first("nadabot_stamps", stamps(evts), Seq("user", "provider_id", "verified_at"))
-      lww("nadabot_groups", groups(evts), Seq("registry", "on_chain_id"))
-      lww("nadabot_blacklist", blacklistActions(evts), Seq("registry", "account"))
+      first("nadabot_stamps", stamps(evts), Seq("user", "provider_id", "verified_at"),
+        need = eventsPresent("add_stamp"))
+      lww("nadabot_groups", groups(evts), Seq("registry", "on_chain_id"),
+        need = eventsPresent("add_or_update_group"))
+      lww("nadabot_blacklist", blacklistActions(evts), Seq("registry", "account"),
+        need = eventsPresent("blacklist_account") ||
+          eventsPresent("unblacklist_account"))
 
       // Array-delta patches (M2M admins/deployers mutations,
       // utils.py:785-828) run AFTER the base merges so same-batch creates
       // are visible to the read-modify-write.
-      patchArrayColumn("lists", naturalKeys("lists"), "admins",
-        listAdminRemovals(acts)).foreach(counts("lists") = _)
-      patchArrayColumn("nadabot_registries", Seq("account"), "admins",
-        nadabotAdminAdds(acts)).foreach(counts("nadabot_registries") = _)
-      patchArrayColumn("pot_factories", Seq("account"), "whitelisted_deployers",
-        factoryDeployerAdds(acts)).foreach(counts("pot_factories") = _)
+      if (listRemoveHit)
+        patchArrayColumn("lists", naturalKeys("lists"), "admins",
+          listAdminRemovals(acts)).foreach(counts("lists") = _)
+      if (nadabotAddHit)
+        patchArrayColumn("nadabot_registries", Seq("account"), "admins",
+          nadabotAdminAdds(acts)).foreach(counts("nadabot_registries") = _)
+      if (deployerAddHit)
+        patchArrayColumn("pot_factories", Seq("account"), "whitelisted_deployers",
+          factoryDeployerAdds(acts)).foreach(counts("pot_factories") = _)
 
       // Per-record error quarantine (SURVEY §2.9): decode/parse failures
-      // are kept inspectable instead of silently dropped.
-      first("quarantine", BlockIngest.quarantine(receipts),
-        Seq("receipt_id", "action_index"))
+      // are kept inspectable instead of silently dropped. No method gate
+      // can predict decode failures, so this one probes its own extract.
+      val q = BlockIngest.quarantine(receipts)
+      first("quarantine", q, Seq("receipt_id", "action_index"),
+        need = !q.isEmpty)
 
       // Stream-cursor parity row (S2; reference BlockHeight singleton,
       // indexer_app/models.py:5-24).

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Amounts
-import graft.operators.MergeWriter
 
 /** Backfill from contract-state snapshots — the engine-side equivalent of
   * the reference's `populatedata` management command
@@ -175,6 +174,23 @@ object SnapshotBackfill {
     withSeq(ids, snapshotHeight)
   }
 
+  private val tokenMetadataPayload =
+    org.apache.spark.sql.types.DataType.fromDDL(
+      """account STRING, name STRING, symbol STRING, icon STRING,
+        |decimals INT, coingecko_id STRING""".stripMargin)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** ft_metadata snapshot → full token rows (S6). The reference fetches
+    * `ft_metadata` over RPC per newly seen FT token (utils.py:925-941);
+    * the engine consumes a fetched dump — one JSON object per token
+    * carrying the account id plus the metadata fields — and LWW-merges it
+    * into `tokens`. Without this, non-near tokens keep null decimals and
+    * their donations stay null-USD (gold.Stats never guesses decimals). */
+  def tokenMetadata(spark: SparkSession, path: String, snapshotHeight: Long): DataFrame =
+    withSeq(readSnapshot(spark, path, tokenMetadataPayload, "account")
+      .select(col("account"), col("name"), col("symbol"), col("icon"),
+        col("decimals"), col("coingecko_id")), snapshotHeight)
+
   /** Token stubs from snapshot donations (ft references). */
   def tokens(donations: DataFrame, snapshotHeight: Long): DataFrame =
     withSeq(
@@ -193,7 +209,10 @@ object SnapshotBackfill {
       tables: Map[String, (DataFrame, Seq[String])]): Map[String, Long] = {
     val seq = Seq("block_height", "shard_index", "receipt_index", "action_index")
     tables.map { case (name, (df, keys)) =>
-      name -> MergeWriter.merge(spark, df, s"$silverDir/$name", keys, seq)
+      // Shared dispatch with the streaming path: a snapshot backfill of a
+      // partitioned table (donations) merges partition-scoped too, instead
+      // of flattening the layout the stream relies on.
+      name -> SilverStore.mergeEntity(spark, silverDir, name, df, keys, seq)
     }
   }
 

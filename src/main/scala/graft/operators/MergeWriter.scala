@@ -121,6 +121,14 @@ object MergeWriter {
     }
 
     val exists = Files.exists(Paths.get(path))
+    // A flat (unpartitioned) layout at `path` — the empty-batch bootstrap
+    // table, or a table written before partitioning was enabled — can't be
+    // partition-pruned and would leave stale root files shadowing the
+    // partition dirs. Migrate it wholesale: merge the FULL table and
+    // rewrite as partitioned, once.
+    if (exists && hasRootDataFiles(Paths.get(path)))
+      return migrateToPartitioned(spark, incoming, path, keys, seq,
+        partitionCol, coalesceUpdates)
     val existingAffected: Option[DataFrame] =
       if (exists)
         Some(spark.read.parquet(path)
@@ -151,6 +159,47 @@ object MergeWriter {
     spark.read.parquet(path).count()  // partition-scoped: full count still
                                       // wanted by callers; scans footers of
                                       // all partitions once per batch
+  }
+
+  private def hasRootDataFiles(p: Path): Boolean = {
+    val s = Files.list(p)
+    try {
+      val it = s.iterator()
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        found = Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet")
+      }
+      found
+    } finally s.close()
+  }
+
+  private def migrateToPartitioned(
+      spark: SparkSession,
+      incoming: DataFrame,
+      path: String,
+      keys: Seq[String],
+      seq: Seq[String],
+      partitionCol: String,
+      coalesceUpdates: Boolean): Long = {
+    val unioned = spark.read.parquet(path)
+      .unionByName(incoming, allowMissingColumns = true)
+    val merged0 =
+      if (coalesceUpdates) backfillNulls(unioned, keys, seq) else unioned
+    val merged = Relational.lwwDedup(merged0, keys, seq.map(col))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = merged.count()
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = path + ".tmp-" + uid
+    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    merged.unpersist()
+    val p = Paths.get(path)
+    val old = Paths.get(path + ".old-" + uid)
+    Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), p, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+    n
   }
 
   /** Per key ordered by seq: fill each row's nulls from the latest earlier

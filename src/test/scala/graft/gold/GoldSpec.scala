@@ -62,4 +62,55 @@ class GoldSpec extends SparkSpec {
     assert(global.getAs[Long]("total_donations_count") == 2) // incl. priceless
     assert(global.getAs[java.math.BigDecimal]("total_donations_usd").doubleValue() == 500.0)
   }
+
+  test("unknown token decimals null the USD; ft_metadata snapshot enables it") {
+    val in = tmpDir("gold-bronze2")
+    val silverDir = tmpDir("gold-silver2")
+    def usdcBlock(height: Long, id: Long) =
+      block(height, height * 10000000000000000L, Seq(
+        receipt("donate.potlock.near", "donate", "{}",
+          resultJson = Some(directDonationResult(
+            id, "u.near", "1000000", "0", "sea.near", 1718000000003L,
+            ft = "usdc.near")),
+          receiptId = s"ru$height")))
+    Files.write(Paths.get(in, "b.json"), usdcBlock(500, 11).getBytes)
+    StreamIngest.backfill(spark, in, silverDir)
+
+    // A price row IS present — only the decimals are unknown.
+    Seq(("usdc.near", new java.sql.Timestamp(1718000000003L + 3600000L),
+        new java.math.BigDecimal("1.00")))
+      .toDF("token", "timestamp", "price_usd")
+      .write.mode("overwrite").parquet(s"$silverDir/token_prices")
+
+    GoldRefresh.refresh(spark, silverDir)
+    val before = spark.read.parquet(s"$silverDir/donations_enriched")
+      .filter(col("on_chain_id") === 11).head()
+    // 1e6 raw units: assuming 24 decimals would yield 1e-18 USD — silently
+    // wrong. Unknown decimals must null-propagate instead.
+    assert(before.isNullAt(before.fieldIndex("total_amount_usd")))
+
+    // Load ft_metadata (decimals 6) and re-refresh: 1e6 / 10^6 * 1.00 = 1.
+    val meta = tmpDir("gold-meta")
+    Files.write(Paths.get(meta, "tokens.json"),
+      """{"account": "usdc.near", "name": "USD Coin", "symbol": "USDC", "decimals": 6}"""
+        .getBytes)
+    graft.ingest.SnapshotBackfill.mergeInto(spark, silverDir, Map(
+      "tokens" -> (graft.ingest.SnapshotBackfill.tokenMetadata(
+        spark, s"$meta/tokens.json", 600L),
+        graft.ingest.SnapshotBackfill.naturalKeys("tokens"))))
+    GoldRefresh.refresh(spark, silverDir)
+    val after = spark.read.parquet(s"$silverDir/donations_enriched")
+      .filter(col("on_chain_id") === 11).head()
+    assert(after.getAs[java.math.BigDecimal]("total_amount_usd").doubleValue() == 1.0)
+
+    // A LATER stub (new donation in the same token) must not erase the
+    // loaded metadata: LWW winner's nulls backfill from the metadata row.
+    val in2 = tmpDir("gold-bronze3")
+    Files.write(Paths.get(in2, "b.json"), usdcBlock(700, 12).getBytes)
+    StreamIngest.backfill(spark, in2, silverDir)
+    val tok = spark.read.parquet(s"$silverDir/tokens")
+      .filter(col("account") === "usdc.near").head()
+    assert(tok.getAs[Int]("decimals") == 6)
+    assert(tok.getAs[String]("symbol") == "USDC")
+  }
 }

@@ -48,4 +48,29 @@ class MergeWriterSpec extends SparkSpec {
     val n = MergeWriter.mergePartitioned(spark, b2, path, Seq("key"), Seq("seqno"), "day")
     assert(n == 4)
   }
+
+  test("flat table migrates wholesale to partitioned layout on first scoped merge") {
+    val path = tmpDir("pmig") + "/t"
+    // Legacy flat layout (or the empty-batch bootstrap): plain merge.
+    val flat = Seq(
+      ("k1", "2024-06-01", 1L, "v1"),
+      ("k2", "2024-06-02", 1L, "v2")
+    ).toDF("key", "day", "seqno", "value")
+    MergeWriter.merge(spark, flat, path, Seq("key"), Seq("seqno"))
+    assert(Files.list(Paths.get(path)).toArray.map(_.toString)
+      .exists(_.endsWith(".parquet"))) // root data files = flat layout
+
+    // First partition-scoped merge migrates everything — including rows in
+    // partitions the batch does NOT touch — and dedups as usual.
+    val b = Seq(("k1", "2024-06-01", 2L, "v1b")).toDF("key", "day", "seqno", "value")
+    val n = MergeWriter.mergePartitioned(spark, b, path, Seq("key"), Seq("seqno"), "day")
+    assert(n == 2)
+    val out = spark.read.parquet(path)
+    assert(out.filter(col("key") === "k1").head().getAs[String]("value") == "v1b")
+    assert(out.filter(col("key") === "k2").count() == 1) // untouched day survived
+    // Layout is now partitioned: no root data files, per-day dirs present.
+    val entries = Files.list(Paths.get(path)).toArray.map(_.toString)
+    assert(!entries.exists(_.endsWith(".parquet")))
+    assert(entries.exists(_.contains("day=2024-06-02")))
+  }
 }
