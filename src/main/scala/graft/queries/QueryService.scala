@@ -36,31 +36,193 @@ final class QueryService(t: String => DataFrame) {
   private def accounts = t("accounts")
   private def donations = t("donations")
   private def pots = t("pots")
+  private def opt(name: String): Option[DataFrame] = scala.util.Try(t(name)).toOption
+
+  private def colOr(df: DataFrame, name: String, tpe: String): Column =
+    if (df.columns.contains(name)) col(name).cast(tpe) else lit(null).cast(tpe)
+
+  /** AccountSerializer's stat fields (accounts/serializers.py:58-66),
+    * normalized to the serializer's declared types. */
+  private val accountStatFields = Seq(
+    "total_donations_in_usd" -> "decimal(20,2)",
+    "total_donations_out_usd" -> "decimal(20,2)",
+    "total_matching_pool_allocations_usd" -> "decimal(20,2)",
+    "donors_count" -> "bigint")
+
+  /** Account dimension in full AccountSerializer shape
+    * (accounts/serializers.py:55-66): id + gold stats + profile JSON. The
+    * stats come from the gold account_stats table when wired. */
+  private def accountDim: DataFrame = {
+    val a = accounts
+    val base = a.select(col("id"),
+      colOr(a, "near_social_profile_data", "string").as("near_social_profile_data"))
+    opt("account_stats") match {
+      case Some(st) =>
+        base.join(
+          st.select(col("id") +: accountStatFields.map { case (n, tp) =>
+            colOr(st, n, tp).as(n) }: _*),
+          Seq("id"), "left")
+      case None =>
+        accountStatFields.foldLeft(base) { case (df, (n, tp)) =>
+          df.withColumn(n, lit(null).cast(tp)) }
+    }
+  }
+
+  private def accountStructFields: Seq[String] =
+    "id" +: (accountStatFields.map(_._1) :+ "near_social_profile_data")
 
   /** Expand an account FK into a nested struct column (donor/recipient/…
-    * embed; donations/serializers.py:44-49). */
+    * embed; donations/serializers.py:44-49). An id with no account row
+    * still embeds as {id, nulls…} (parity with the reference, where the
+    * FK row always exists). */
   private def expandAccount(df: DataFrame, fk: String): DataFrame = {
-    val a = accounts
-    val profile =
-      if (a.columns.contains("near_social_profile_data"))
-        col("near_social_profile_data")
-      else lit(null).cast("string").as("near_social_profile_data")
-    val acct = broadcast(a
-      .select(col("id"), profile)
-      .withColumnRenamed("id", s"__${fk}_id"))
-    df.join(acct, df(fk) === col(s"__${fk}_id"), "left")
-      .withColumn(fk,
-        when(df(fk).isNotNull, struct(
-          df(fk).as("id"),
-          col("near_social_profile_data").as("near_social_profile_data"))))
-      .drop(s"__${fk}_id", "near_social_profile_data")
+    val dim0 = accountDim
+    val obj = s"__${fk}_obj"
+    val dim = broadcast(dim0.select(
+      col("id").as(s"__${fk}_id"),
+      struct(accountStructFields.map(dim0(_)): _*).as(obj)))
+    val fallback = struct(
+      df(fk).as("id") +:
+        (accountStatFields.map { case (n, tp) => lit(null).cast(tp).as(n) } :+
+          lit(null).cast("string").as("near_social_profile_data")): _*)
+    df.join(dim, df(fk) === col(s"__${fk}_id"), "left")
+      .withColumn(fk, when(df(fk).isNotNull, coalesce(col(obj), fallback)))
+      .drop(s"__${fk}_id", obj)
+  }
+
+  /** TokenSerializer embed (tokens/serializers.py:6-13: id + metadata).
+    * Adds a `token` struct column from the `ft` FK. */
+  private def expandToken(df: DataFrame): DataFrame = {
+    if (!df.columns.contains("ft")) return df
+    val metaFields = Seq("name" -> "string", "symbol" -> "string",
+      "icon" -> "string", "decimals" -> "int", "coingecko_id" -> "string")
+    val fallback = struct(df("ft").as("id") +:
+      metaFields.map { case (n, tp) => lit(null).cast(tp).as(n) }: _*)
+    opt("tokens") match {
+      case Some(tk) =>
+        val dim = broadcast(tk.select(
+          col("account").as("__ft_id"),
+          struct(col("account").as("id") +: metaFields.map { case (n, tp) =>
+            colOr(tk, n, tp).as(n) }: _*).as("__ft_obj")))
+        df.join(dim, df("ft") === col("__ft_id"), "left")
+          .withColumn("token",
+            when(df("ft").isNotNull, coalesce(col("__ft_obj"), fallback)))
+          .drop("__ft_id", "__ft_obj")
+      case None =>
+        df.withColumn("token", when(df("ft").isNotNull, fallback))
+    }
+  }
+
+  /** PotSerializer field list (pots/serializers.py:16-54) with the
+    * serializer's types; stats fields come from gold pot_stats, RPC-derived
+    * fields (matching_pool_balance, cooldown_end, all_paid_out,
+    * protocol_config_provider) stay null by the no-RPC design. */
+  private val potPlainFields = Seq(
+    "pot_factory" -> "string", "deployed_at" -> "timestamp",
+    "source_metadata" -> "string", "name" -> "string",
+    "description" -> "string", "max_approved_applicants" -> "int",
+    "base_currency" -> "string", "application_start" -> "timestamp",
+    "application_end" -> "timestamp", "matching_round_start" -> "timestamp",
+    "matching_round_end" -> "timestamp", "registry_provider" -> "string",
+    "min_matching_pool_donation_amount" -> "string",
+    "sybil_wrapper_provider" -> "string", "custom_sybil_checks" -> "string",
+    "custom_min_threshold_score" -> "int",
+    "referral_fee_matching_pool_basis_points" -> "int",
+    "referral_fee_public_round_basis_points" -> "int",
+    "chef_fee_basis_points" -> "int",
+    "total_matching_pool" -> "string",
+    "total_matching_pool_usd" -> "decimal(20,2)",
+    "matching_pool_balance" -> "string",
+    "matching_pool_donations_count" -> "bigint",
+    "total_public_donations" -> "string",
+    "total_public_donations_usd" -> "decimal(20,2)",
+    "public_donations_count" -> "bigint",
+    "cooldown_end" -> "timestamp", "cooldown_period_ms" -> "bigint",
+    "all_paid_out" -> "boolean", "protocol_config_provider" -> "string")
+
+  /** Pot dimension in full PotSerializer shape: deployer/owner/chef
+    * embedded as account objects, admins as an (order-preserving) array of
+    * account objects (pots/serializers.py:55-58), gold stats joined in. */
+  private def potDim: DataFrame = {
+    val p0 = pots
+    val withStats = opt("pot_stats") match {
+      case Some(st) =>
+        p0.join(
+          broadcast(st.select(col("pot").as("account"),
+            colOr(st, "total_matching_pool_dec", "decimal(38,0)")
+              .cast("string").as("total_matching_pool"),
+            colOr(st, "total_matching_pool_usd", "decimal(20,2)")
+              .as("total_matching_pool_usd"),
+            colOr(st, "matching_pool_donations_count", "bigint")
+              .as("matching_pool_donations_count"),
+            colOr(st, "total_public_donations_dec", "decimal(38,0)")
+              .cast("string").as("total_public_donations"),
+            colOr(st, "total_public_donations_usd", "decimal(20,2)")
+              .as("total_public_donations_usd"),
+            colOr(st, "public_donations_count", "bigint")
+              .as("public_donations_count"))),
+          Seq("account"), "left")
+      case None => p0
+    }
+    val withFks = Seq("deployer", "owner", "chef")
+      .filter(withStats.columns.contains)
+      .foldLeft(withStats)(expandAccount)
+    if (!withFks.columns.contains("admins")) withFks
+    else {
+      // admins ids → ordered array of account objects: posexplode keeps the
+      // M2M order through the shuffle, array_sort restores it after
+      // collect_list.
+      val dim0 = accountDim
+      val adm = p0
+        .select(col("account").as("__pk"),
+          posexplode(col("admins")).as(Seq("__pos", "__aid")))
+        .join(broadcast(dim0.select(
+          col("id").as("__aid"),
+          struct(accountStructFields.map(dim0(_)): _*).as("__obj"))),
+          Seq("__aid"), "left")
+        .withColumn("__obj", coalesce(col("__obj"), struct(
+          col("__aid").as("id") +:
+            (accountStatFields.map { case (n, tp) => lit(null).cast(tp).as(n) } :+
+              lit(null).cast("string").as("near_social_profile_data")): _*)))
+        .groupBy(col("__pk"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__obj")))),
+          x => x.getField("__obj")).as("__admins_obj"))
+      withFks
+        .join(broadcast(adm), withFks("account") === adm("__pk"), "left")
+        .withColumn("admins", col("__admins_obj"))
+        .drop("__pk", "__admins_obj")
+    }
+  }
+
+  /** The pot embed struct for donation JSON (donations/serializers.py:47):
+    * full PotSerializer field set in declaration order. */
+  private def expandPot(df: DataFrame): DataFrame = {
+    if (!df.columns.contains("pot")) return df
+    opt("pots") match {
+      case Some(_) =>
+        val dim0 = potDim
+        val nested = Seq("deployer", "owner", "admins", "chef")
+          .filter(dim0.columns.contains)
+        val fields: Seq[Column] =
+          dim0("account").as("account") +:
+            (potPlainFields.map { case (n, tp) => colOr(dim0, n, tp).as(n) } ++
+              nested.map(n => dim0(n).as(n)))
+        val dim = broadcast(dim0.select(
+          dim0("account").as("__pot_id"), struct(fields: _*).as("__pot_obj")))
+        df.join(dim, df("pot") === col("__pot_id"), "left")
+          .withColumn("pot", when(df("pot").isNotNull, col("__pot_obj")))
+          .drop("__pot_id", "__pot_obj")
+      case None => df
+    }
   }
 
   private def donationExpanded: DataFrame = {
     val d = donations
-    Seq("donor", "recipient", "referrer", "chef")
+    val withAccounts = Seq("donor", "recipient", "referrer", "chef")
       .filter(d.columns.contains)
       .foldLeft(d)(expandAccount)
+    expandPot(expandToken(withAccounts))
   }
 
   // ---------------------------------------------------- accounts routes
@@ -81,7 +243,7 @@ final class QueryService(t: String => DataFrame) {
     val approvedPots = t("pot_applications")
       .filter(col("applicant") === id && col("status") === "Approved")
       .select(col("pot").as("account"))
-    val p = pots
+    val p = potDim
     val base = Relational.semiJoin(p, approvedPots,
       p("account") === approvedPots("account"))
     val filtered = if (live)
@@ -204,9 +366,11 @@ final class QueryService(t: String => DataFrame) {
 
   // ---------------------------------------------------- pots routes
 
-  /** GET /v1/pots (pots/api.py:48-75). */
+  /** GET /v1/pots (pots/api.py:48-75): PotSerializer shape — account
+    * objects embedded for deployer/owner/chef/admins
+    * (pots/serializers.py:55-58). */
   def potsList(page: Int = 1, pageSize: Int = DefaultPageSize): Page =
-    paginate(pots, Seq(col("account").asc), page, pageSize)
+    paginate(potDim, Seq(col("account").asc), page, pageSize)
 
   /** GET /v1/potfactories (pots/api.py:78-105). */
   def potFactoriesList(page: Int = 1, pageSize: Int = DefaultPageSize): Page =
@@ -214,7 +378,7 @@ final class QueryService(t: String => DataFrame) {
 
   /** GET /v1/pots/{id} (pots/api.py:108-139). */
   def potDetail(id: String): DataFrame =
-    pots.filter(col("account") === id)
+    potDim.filter(col("account") === id)
 
   /** GET /v1/pots/{id}/applications (pots/api.py:142-177). */
   def potApplications(potId: String, page: Int = 1,
@@ -225,7 +389,7 @@ final class QueryService(t: String => DataFrame) {
   /** GET /v1/pots/{id}/donations (pots/api.py:180-215). */
   def potDonations(potId: String, page: Int = 1,
       pageSize: Int = DefaultPageSize): Page =
-    paginate(donationExpanded.filter(col("pot") === potId),
+    paginate(donationExpanded.filter(col("pot.account") === potId),
       Seq(col("donated_at").desc, col("on_chain_id").asc), page, pageSize)
 
   /** GET /v1/pots/{id}/sponsors (pots/api.py:218-258): J4 distinct

@@ -31,33 +31,41 @@ object Serializers {
   def isoTs(c: Column): Column =
     date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
 
-  /** Donation row → DRF-shaped JSON object string
-    * (donations/serializers.py:15-49 field order; nested account objects
-    * pre-expanded by QueryService.expandAccount). */
-  def donationJson(df: DataFrame): DataFrame =
+  /** Donation row → DRF-shaped JSON object string in DonationSerializer's
+    * Meta.fields order (donations/serializers.py:18-49). Nested objects —
+    * donor/recipient/referrer/chef account structs, token struct, pot
+    * struct — are pre-expanded by QueryService.donationExpanded and pass
+    * through; a flat (unexpanded) frame degrades to the raw FK strings
+    * (`ft` serialized under the `token` key). The reference's surrogate DB
+    * pk (`id`) has no engine equivalent and is omitted — `on_chain_id` is
+    * the chain identity. */
+  def donationJson(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSet
+    val token = if (cols.contains("token")) col("token") else col("ft")
     df.withColumn("json", to_json(struct(
       col("on_chain_id"),
-      col("donor"),
       col("total_amount"),
       usdString(col("total_amount_usd")).as("total_amount_usd"),
       col("net_amount"),
       usdString(col("net_amount_usd")).as("net_amount_usd"),
-      col("ft").as("token"),
-      col("pot"),
       col("matching_pool"),
       col("message"),
       isoTs(col("donated_at")).as("donated_at"),
-      col("recipient"),
       col("protocol_fee"),
       usdString(col("protocol_fee_usd")).as("protocol_fee_usd"),
-      col("referrer"),
       col("referrer_fee"),
       usdString(col("referrer_fee_usd")).as("referrer_fee_usd"),
-      col("chef"),
       col("chef_fee"),
       usdString(col("chef_fee_usd")).as("chef_fee_usd"),
-      col("tx_hash")),
+      col("tx_hash"),
+      col("donor"),
+      token.as("token"),
+      col("pot"),
+      col("recipient"),
+      col("referrer"),
+      col("chef")),
       Map("ignoreNullFields" -> "false")))
+  }
 
   /** Pagination envelope as a single JSON document (README.md:110-119
     * {count, next, previous, results}). */

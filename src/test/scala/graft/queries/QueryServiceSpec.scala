@@ -30,12 +30,18 @@ class QueryServiceSpec extends SparkSpec {
       "usd", "donated_at")
       .withColumn("total_amount_usd", col("usd").cast("decimal(20,2)"))
       .withColumn("total_amount_dec", col("usd").cast("decimal(38,0)"))
+      .withColumn("ft", lit("near"))
       .drop("usd")
 
     val pots = Seq(
       ("pot1.pot.near", java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
-        java.sql.Timestamp.valueOf("2024-06-30 00:00:00"))
-    ).toDF("account", "matching_round_start", "matching_round_end")
+        java.sql.Timestamp.valueOf("2024-06-30 00:00:00"), "owner.near",
+        Seq("donor1.near", "donor2.near"))
+    ).toDF("account", "matching_round_start", "matching_round_end", "owner",
+      "admins")
+
+    val tokens = Seq(("near", "NEAR", "NEAR", 24))
+      .toDF("account", "name", "symbol", "decimals")
 
     val applications = Seq(
       ("pot1.pot.near", "proj1.near", "Approved", ts0),
@@ -60,6 +66,7 @@ class QueryServiceSpec extends SparkSpec {
       "accounts" -> accounts,
       "donations" -> donations,
       "pots" -> pots,
+      "tokens" -> tokens,
       "pot_applications" -> applications,
       "pot_payouts" -> payouts,
       "list_registrations" -> registrations,
@@ -201,6 +208,26 @@ class QueryServiceSpec extends SparkSpec {
 
     val env = Serializers.envelopeJson(31, Some("?page=2"), None, Seq(json))
     assert(env.startsWith("{\"count\": 31, \"next\": \"?page=2\", \"previous\": null,"))
+  }
+
+  test("donation embeds full token + pot objects; pot embeds accounts (S8 parity)") {
+    // donations/serializers.py:44-49: token and pot serialize as objects.
+    val rows = qs.potDonations("pot1.pot.near").toJsonRows().mkString
+    assert(rows.contains("\"token\":{\"id\":\"near\",\"name\":\"NEAR\""))
+    assert(rows.contains("\"pot\":{\"account\":\"pot1.pot.near\""))
+    // the embedded pot itself carries its account embeds
+    assert(rows.contains("\"owner\":{\"id\":\"owner.near\""))
+
+    // AccountSerializer shape: the donor embed carries gold stats
+    // (accounts/serializers.py:58-66), not just id+profile.
+    assert(rows.contains("\"total_donations_out_usd\":30"))
+
+    // pots/serializers.py:55-58: admins as an ordered array of account
+    // objects on the pot routes.
+    val pot = qs.potDetail("pot1.pot.near").toJSON.collect().mkString
+    assert(pot.contains("\"admins\":[{\"id\":\"donor1.near\""))
+    assert(pot.contains("{\"id\":\"donor2.near\""))
+    assert(pot.contains("\"owner\":{\"id\":\"owner.near\""))
   }
 
   test("account stats gold: per-account rollups (A2)") {
