@@ -122,6 +122,44 @@ final class SilverStore(spark: SparkSession, dir: String) {
     Some(MergeWriter.merge(spark, withSeq, path(name), keys, seq))
   }
 
+  /** Provider id-13 contract-bug rewrite (reference utils.py:1104-1111):
+    * the first migrated nadabot providers all emitted on-chain id 13, and
+    * the reference hands each one a sequential id from a cache counter.
+    * The engine's deterministic, replay-safe form: an incoming id-13
+    * provider whose identity (registry, contract, method_name, name)
+    * matches an already-rewritten row reuses that row's id; genuinely new
+    * ones take count(rewritten)+1, count+2, … in ingest-seq order. The
+    * global window is bounded by the handful of id-13 providers in one
+    * batch (13 in the reference's history), never by data volume. */
+  private def rewriteProvider13(df: DataFrame): DataFrame = {
+    val marked = df.withColumn("id_rewritten", col("on_chain_id") === 13)
+    val p13 = marked.filter(col("id_rewritten"))
+    if (p13.isEmpty) return marked
+    val identity = Seq("registry", "contract", "method_name", "name")
+    val existing: Option[DataFrame] =
+      if (exists("nadabot_providers")) {
+        val t0 = table("nadabot_providers")
+        if (t0.columns.contains("id_rewritten"))
+          Some(t0.filter(col("id_rewritten"))
+            .groupBy(identity.map(col): _*)
+            .agg(min(col("on_chain_id")).as("__prev_id")))
+        else None
+      } else None
+    val base: Long = existing.map(_.count()).getOrElse(0L)
+    val joined = existing match {
+      case Some(e) => p13.join(broadcast(e), identity, "left")
+      case None => p13.withColumn("__prev_id", lit(null).cast("bigint"))
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy(seq.map(col): _*)
+    val fresh = joined.filter(col("__prev_id").isNull)
+      .withColumn("on_chain_id", lit(base) + row_number().over(w))
+    val reused = joined.filter(col("__prev_id").isNotNull)
+      .withColumn("on_chain_id", col("__prev_id"))
+    fresh.drop("__prev_id")
+      .unionByName(reused.drop("__prev_id"))
+      .unionByName(marked.filter(!col("id_rewritten")))
+  }
+
   /** Apply one batch of raw block messages (bronze) to every silver table.
     * Returns merged row counts for the entities the batch touched —
     * entities with no triggering method/event are skipped entirely (no
@@ -281,7 +319,8 @@ final class SilverStore(spark: SparkSession, dir: String) {
         Seq("account"),
         need = has("new", "nadabot") ||
           eventsPresent("update_default_human_threshold"))
-      lww("nadabot_providers", providers(evts), Seq("registry", "on_chain_id"),
+      lww("nadabot_providers", rewriteProvider13(providers(evts)),
+        Seq("registry", "on_chain_id"),
         need = eventsPresent("add_or_update_provider"))
       // Stamp has no unique constraint in the reference
       // (nadabot/models.py:221-239; aupdate_or_create keys user+provider+

@@ -64,6 +64,39 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Keyset (seek) pagination — the scale path that replaces pageSlice's
+    * global row_number window. `order` is (column, ascending) pairs that
+    * must form a total order (include a unique tie-break); `after` carries
+    * the previous page's last row's values for those columns. The
+    * continuation predicate is the lexicographic "row > after" —
+    * (k1 > v1) OR (k1 = v1 AND k2 > v2) … with comparisons flipped on
+    * descending keys — which Catalyst pushes into the scan; the sort+limit
+    * then plans as TakeOrderedAndProject (per-partition top-k, k-row
+    * driver merge). No global window, no single-partition shuffle: page N
+    * costs the same as page 1 at any table size.
+    */
+  def keysetSlice(
+      df: DataFrame,
+      order: Seq[(Column, Boolean)],
+      after: Option[Seq[Any]],
+      pageSize: Int): DataFrame = {
+    val filtered = after match {
+      case None => df
+      case Some(vals) =>
+        require(vals.length == order.length,
+          s"after must carry one value per order key (${order.length})")
+        val continue = order.zip(vals).foldRight(lit(false): Column) {
+          case (((c, asc), v), rest) =>
+            val beyond = if (asc) c > lit(v) else c < lit(v)
+            beyond || (c === lit(v) && rest)
+        }
+        df.filter(continue)
+    }
+    filtered
+      .orderBy(order.map { case (c, asc) => if (asc) c.asc else c.desc }: _*)
+      .limit(pageSize)
+  }
+
   /** Top-k with deterministic tie-break. Catalyst plans sort+limit as
     * TakeOrderedAndProject — per-partition top-k then a k-row merge on the
     * driver; no global shuffle, safe at 100 TB.

@@ -231,6 +231,25 @@ final class QueryService(t: String => DataFrame) {
   def accountsList(page: Int = 1, pageSize: Int = DefaultPageSize): Page =
     paginate(accounts, Seq(col("id").asc), page, pageSize)
 
+  /** GET /v1/accounts, keyset variant (?after=<last id>): the 100 TB
+    * pagination path — same rows as the page-number form, but the
+    * continuation is a pushed-down range predicate plus
+    * TakeOrderedAndProject instead of a global row_number window; the
+    * `count` field comes from gold cached counts at scale
+    * (SURVEY §7.4-6). */
+  def accountsListKeyset(after: Option[String],
+      pageSize: Int = DefaultPageSize): DataFrame =
+    Relational.keysetSlice(accounts, Seq((col("id"), true)),
+      after.map(Seq(_)), pageSize)
+
+  /** Keyset form of a donations feed (donated_at DESC, on_chain_id ASC
+    * tie-break) — shows the multi-key descending continuation. */
+  def donationsFeedKeyset(after: Option[(java.sql.Timestamp, Long)],
+      pageSize: Int = DefaultPageSize): DataFrame =
+    Relational.keysetSlice(donationExpanded,
+      Seq((col("donated_at"), false), (col("on_chain_id"), true)),
+      after.map { case (ts, id) => Seq(ts, id) }, pageSize)
+
   /** GET /v1/accounts/{id} (accounts/api.py:126-160). */
   def accountDetail(id: String): DataFrame =
     accounts.filter(col("id") === id)

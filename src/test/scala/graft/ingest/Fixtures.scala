@@ -137,6 +137,12 @@ object Fixtures {
     s"""EVENT_JSON:{"standard":"nadabot","version":"1.0.0","event":"add_or_update_group",""" +
       s""""data":[{"group":{"id":$id,"name":"$name","providers":[${providers.mkString(",")}],"rule":$rule}}]}"""
 
+  def providerEventLog(id: Long, name: String): String =
+    s"""EVENT_JSON:{"standard":"nadabot","version":"1.0.0","event":"add_or_update_provider",""" +
+      s""""data":[{"provider":{"id":$id,"contract_id":"c.near","method_name":"is_human",""" +
+      s""""provider_name":"$name","status":"Active","default_weight":20,""" +
+      s""""submitted_by":"sub.near","submitted_at_ms":1718000003000}}]}"""
+
   def blacklistEventLog(accounts: Seq[String], reason: String): String =
     s"""EVENT_JSON:{"standard":"nadabot","version":"1.0.0","event":"blacklist_account",""" +
       s""""data":[{"accounts":[${accounts.map("\"" + _ + "\"").mkString(",")}],"reason":"$reason"}]}"""

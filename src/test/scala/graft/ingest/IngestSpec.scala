@@ -79,7 +79,12 @@ class IngestSpec extends SparkSpec {
             stampEventLog("human1.near", 13),
             groupEventLog(3, "G", "\"Highest\"", Seq(1, 2)),
             groupEventLog(4, "H", """{"IncreasingReturns": 10}""", Seq(2)),
-            blacklistEventLog(Seq("bad.near"), "spam"))))),
+            blacklistEventLog(Seq("bad.near"), "spam"),
+            // the contract id-13 bug: two distinct providers, same emitted
+            // id, plus one well-behaved provider (utils.py:1104-1111)
+            providerEventLog(13, "P-first"),
+            providerEventLog(13, "P-second"),
+            providerEventLog(7, "P-real"))))),
       // block 106: entity-side mutations after creation (§2.10 gap fixes):
       // list default-status change (known + unknown id), list admin
       // removal, nadabot admin add, factory deployer add
@@ -234,6 +239,32 @@ class IngestSpec extends SparkSpec {
     assert(f.getAs[scala.collection.Seq[String]]("whitelisted_deployers").toSeq ==
       Seq("dep1.near", "dep2.near"))
     assert(silver.table("accounts").filter(col("id") === "dep2.near").count() == 1)
+  }
+
+  test("provider id-13 rewrite: sequential ids, genuine ids untouched (utils.py:1104-1111)") {
+    counts
+    val ps = silver.table("nadabot_providers")
+      .select("on_chain_id", "name", "id_rewritten").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("on_chain_id"),
+        r.getAs[Boolean]("id_rewritten"))).toSet
+    assert(ps == Set(("P-first", 1L, true), ("P-second", 2L, true),
+      ("P-real", 7L, false)))
+  }
+
+  test("provider id-13 rewrite is replay-idempotent (same identity reuses its id)") {
+    counts
+    val in5 = tmpDir("bronze5")
+    writeBlocks(in5, Seq(block(104, 1718000400000000000L, Seq(
+      receipt(nadabotAccount, "whatever", "{}", resultJson = Some("\"ok\""),
+        receiptId = "rK", logs = Seq(
+          providerEventLog(13, "P-first"),
+          providerEventLog(13, "P-second")))))))
+    StreamIngest.backfill(spark, in5, silverDir)
+    val ps = silver.table("nadabot_providers")
+      .filter(col("id_rewritten"))
+      .select("on_chain_id", "name").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("on_chain_id"))).toSet
+    assert(ps == Set(("P-first", 1L), ("P-second", 2L)))
   }
 
   test("array patches are replay-idempotent (FIXTURES §5)") {

@@ -210,6 +210,29 @@ class QueryServiceSpec extends SparkSpec {
     assert(env.startsWith("{\"count\": 31, \"next\": \"?page=2\", \"previous\": null,"))
   }
 
+  test("keyset pagination: page-number parity, no global window (O3 scale path)") {
+    // Walk all three keyset pages and compare against the page-number form.
+    val k1 = qs.accountsListKeyset(None, 2).select("id").collect().map(_.getString(0))
+    val k2 = qs.accountsListKeyset(Some(k1.last), 2).select("id").collect().map(_.getString(0))
+    val k3 = qs.accountsListKeyset(Some(k2.last), 2).select("id").collect().map(_.getString(0))
+    val paged = (1 to 3).flatMap(p => qs.accountsList(p, 2).results
+      .select("id").collect().map(_.getString(0)))
+    assert((k1 ++ k2 ++ k3).toSeq == paged)
+
+    // Physical plan: no Window operator, TakeOrderedAndProject instead.
+    val plan = qs.accountsListKeyset(Some("a"), 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("TakeOrderedAndProject"))
+
+    // Multi-key descending continuation: donated_at DESC, on_chain_id ASC.
+    val f1 = qs.donationsFeedKeyset(None, 2)
+      .select("donated_at", "on_chain_id").collect()
+    val last = (f1.last.getTimestamp(0), f1.last.getLong(1))
+    val f2 = qs.donationsFeedKeyset(Some(last), 2)
+      .select("on_chain_id").collect().map(_.getLong(0))
+    assert(f1.map(_.getLong(1)).toSeq == Seq(1L, 2L) && f2.toSeq == Seq(3L))
+  }
+
   test("donation embeds full token + pot objects; pot embeds accounts (S8 parity)") {
     // donations/serializers.py:44-49: token and pot serialize as objects.
     val rows = qs.potDonations("pot1.pot.near").toJsonRows().mkString
