@@ -33,10 +33,14 @@ object SilverStore {
     * touches, so per-batch cost tracks batch size, not table history. The
     * partition value MUST be an immutable pure function of the natural
     * key's row (MergeWriter.mergePartitioned's contract):
-    *  - donations: the donation date — payload-carried, never mutated by
-    *    an update. The "d" prefix stops Spark partition-type inference
-    *    from reading the value back as DATE (which would clash with the
-    *    incoming string column on the next merge).
+    *  - donations: the donation date. donated_at is chain state carried in
+    *    every payload variant (stream and snapshot read the same contract
+    *    value), so all versions of one key compute the same partition; a
+    *    payload missing it entirely lands in the shared "dunknown"
+    *    partition on every source. The "d" prefix stops Spark
+    *    partition-type inference from reading the value back as DATE
+    *    (which would clash with the incoming string column on the next
+    *    merge).
     *  - activities: a 32-bucket key hash, NOT a date — the reference's
     *    aupdate_or_create rewrites `timestamp` on re-keyed activities, so
     *    a date layout could strand a key's older version in a partition
@@ -81,7 +85,16 @@ final class SilverStore(spark: SparkSession, dir: String) {
   private val seq = Seq("block_height", "shard_index", "receipt_index", "action_index")
   def path(name: String): String = s"$dir/$name"
 
-  def table(name: String): DataFrame = spark.read.parquet(path(name))
+  /** Read a silver table. Synthetic partition columns (__pdate/__pbucket)
+    * are physical-layout detail and are hidden from readers — they would
+    * otherwise leak into the API JSON surface and the gold tables. */
+  def table(name: String): DataFrame = {
+    val df = spark.read.parquet(path(name))
+    SilverStore.partitionSpec.get(name) match {
+      case Some((pcol, _)) if df.columns.contains(pcol) => df.drop(pcol)
+      case _ => df
+    }
+  }
   def exists(name: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(path(name)))
 
@@ -145,14 +158,30 @@ final class SilverStore(spark: SparkSession, dir: String) {
             .agg(min(col("on_chain_id")).as("__prev_id")))
         else None
       } else None
-    val base: Long = existing.map(_.count()).getOrElse(0L)
+    // Counter base = max already-assigned id (NOT identity count — the two
+    // can diverge, and a count-based base would re-issue taken ids).
+    val base: Long = existing.map { e =>
+      val r = e.agg(max(col("__prev_id"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }.getOrElse(0L)
     val joined = existing match {
       case Some(e) => p13.join(broadcast(e), identity, "left")
       case None => p13.withColumn("__prev_id", lit(null).cast("bigint"))
     }
-    val w = org.apache.spark.sql.expressions.Window.orderBy(seq.map(col): _*)
+    // Number DISTINCT new identities, not rows: the same provider emitted
+    // twice in one batch (add then update, both still id-13) must get ONE
+    // id — two rows under one key that the LWW merge then collapses.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__first").asc)
+    val freshIds = joined.filter(col("__prev_id").isNull)
+      .groupBy(identity.map(col): _*)
+      .agg(min(struct(seq.map(col): _*)).as("__first"))
+      .withColumn("__new_id", lit(base) + row_number().over(w))
+      .drop("__first")
     val fresh = joined.filter(col("__prev_id").isNull)
-      .withColumn("on_chain_id", lit(base) + row_number().over(w))
+      .join(broadcast(freshIds), identity, "left")
+      .withColumn("on_chain_id", col("__new_id"))
+      .drop("__new_id")
     val reused = joined.filter(col("__prev_id").isNotNull)
       .withColumn("on_chain_id", col("__prev_id"))
     fresh.drop("__prev_id")

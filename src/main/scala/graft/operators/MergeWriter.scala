@@ -152,8 +152,14 @@ object MergeWriter {
       val dirName = s"$partitionCol=$v"
       val src = Paths.get(tmp, dirName)
       val dst = Paths.get(path, dirName)
-      deleteRecursively(dst)
+      // Same rename-aside discipline as the flat swap: a crash between the
+      // renames leaves the .old- copy recoverable instead of losing the
+      // live partition. The aside dir sits NEXT TO the table dir — inside
+      // it, a leftover would corrupt partition discovery.
+      val old = Paths.get(tmp.replace(".tmp-", ".old-") + "-" + dirName)
+      if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
       if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(old)
     }
     deleteRecursively(Paths.get(tmp))
     spark.read.parquet(path).count()  // partition-scoped: full count still

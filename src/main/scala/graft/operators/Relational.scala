@@ -85,10 +85,17 @@ object Relational {
       case Some(vals) =>
         require(vals.length == order.length,
           s"after must carry one value per order key (${order.length})")
+        // Null-aware lexicographic continuation. Spark sorts nulls FIRST
+        // on asc and LAST on desc, so "beyond a non-null value" must admit
+        // null keys on desc (they sort after every value), and "beyond a
+        // null value" on asc is simply "is not null". Strict comparisons
+        // alone would silently drop null-keyed rows from every later page.
         val continue = order.zip(vals).foldRight(lit(false): Column) {
           case (((c, asc), v), rest) =>
-            val beyond = if (asc) c > lit(v) else c < lit(v)
-            beyond || (c === lit(v) && rest)
+            val beyond =
+              if (v == null) { if (asc) c.isNotNull else lit(false) }
+              else { if (asc) c > lit(v) else (c < lit(v) || c.isNull) }
+            beyond || (c <=> lit(v) && rest)
         }
         df.filter(continue)
     }

@@ -51,8 +51,11 @@ final class QueryService(t: String => DataFrame) {
 
   /** Account dimension in full AccountSerializer shape
     * (accounts/serializers.py:55-66): id + gold stats + profile JSON. The
-    * stats come from the gold account_stats table when wired. */
-  private def accountDim: DataFrame = {
+    * stats come from the gold account_stats table when wired. Cached per
+    * service instance so the 4 donation-FK embeds plus the pot embeds all
+    * reuse one dimension subplan (and its broadcast exchange) instead of
+    * rebuilding the accounts⋈stats join per call. */
+  private lazy val accountDim: DataFrame = {
     val a = accounts
     val base = a.select(col("id"),
       colOr(a, "near_social_profile_data", "string").as("near_social_profile_data"))
@@ -117,33 +120,66 @@ final class QueryService(t: String => DataFrame) {
     * serializer's types; stats fields come from gold pot_stats, RPC-derived
     * fields (matching_pool_balance, cooldown_end, all_paid_out,
     * protocol_config_provider) stay null by the no-RPC design. */
-  private val potPlainFields = Seq(
-    "pot_factory" -> "string", "deployed_at" -> "timestamp",
-    "source_metadata" -> "string", "name" -> "string",
-    "description" -> "string", "max_approved_applicants" -> "int",
-    "base_currency" -> "string", "application_start" -> "timestamp",
-    "application_end" -> "timestamp", "matching_round_start" -> "timestamp",
-    "matching_round_end" -> "timestamp", "registry_provider" -> "string",
+  private val accountStructDdl =
+    """STRUCT<id: STRING, total_donations_in_usd: DECIMAL(20,2),
+      |total_donations_out_usd: DECIMAL(20,2),
+      |total_matching_pool_allocations_usd: DECIMAL(20,2),
+      |donors_count: BIGINT, near_social_profile_data: STRING>"""
+      .stripMargin.replace("\n", " ")
+  private val adminsArrayDdl = s"ARRAY<$accountStructDdl>"
+
+  /** PotSerializer's Meta.fields order (pots/serializers.py:16-54) —
+    * nested account embeds interleave with the plain fields. */
+  private val potNested = Set("deployer", "owner", "admins", "chef")
+  private val potFieldOrder = Seq(
+    "account", "pot_factory", "deployer", "deployed_at", "source_metadata",
+    "owner", "admins", "chef", "name", "description",
+    "max_approved_applicants", "base_currency", "application_start",
+    "application_end", "matching_round_start", "matching_round_end",
+    "registry_provider", "min_matching_pool_donation_amount",
+    "sybil_wrapper_provider", "custom_sybil_checks",
+    "custom_min_threshold_score", "referral_fee_matching_pool_basis_points",
+    "referral_fee_public_round_basis_points", "chef_fee_basis_points",
+    "total_matching_pool", "total_matching_pool_usd",
+    "matching_pool_balance", "matching_pool_donations_count",
+    "total_public_donations", "total_public_donations_usd",
+    "public_donations_count", "cooldown_end", "cooldown_period_ms",
+    "all_paid_out", "protocol_config_provider")
+  private val potPlainTypes: Map[String, String] = Map(
+    "account" -> "string", "pot_factory" -> "string",
+    "deployed_at" -> "timestamp", "source_metadata" -> "string",
+    "name" -> "string", "description" -> "string",
+    "max_approved_applicants" -> "int", "base_currency" -> "string",
+    "application_start" -> "timestamp", "application_end" -> "timestamp",
+    "matching_round_start" -> "timestamp", "matching_round_end" -> "timestamp",
+    "registry_provider" -> "string",
     "min_matching_pool_donation_amount" -> "string",
     "sybil_wrapper_provider" -> "string", "custom_sybil_checks" -> "string",
     "custom_min_threshold_score" -> "int",
     "referral_fee_matching_pool_basis_points" -> "int",
     "referral_fee_public_round_basis_points" -> "int",
-    "chef_fee_basis_points" -> "int",
-    "total_matching_pool" -> "string",
+    "chef_fee_basis_points" -> "int", "total_matching_pool" -> "string",
     "total_matching_pool_usd" -> "decimal(20,2)",
     "matching_pool_balance" -> "string",
     "matching_pool_donations_count" -> "bigint",
     "total_public_donations" -> "string",
     "total_public_donations_usd" -> "decimal(20,2)",
-    "public_donations_count" -> "bigint",
-    "cooldown_end" -> "timestamp", "cooldown_period_ms" -> "bigint",
-    "all_paid_out" -> "boolean", "protocol_config_provider" -> "string")
+    "public_donations_count" -> "bigint", "cooldown_end" -> "timestamp",
+    "cooldown_period_ms" -> "bigint", "all_paid_out" -> "boolean",
+    "protocol_config_provider" -> "string")
 
-  /** Pot dimension in full PotSerializer shape: deployer/owner/chef
-    * embedded as account objects, admins as an (order-preserving) array of
-    * account objects (pots/serializers.py:55-58), gold stats joined in. */
-  private def potDim: DataFrame = {
+  private def nullPotField(n: String): Column =
+    if (n == "admins") lit(null).cast(adminsArrayDdl)
+    else if (potNested(n)) lit(null).cast(accountStructDdl)
+    else lit(null).cast(potPlainTypes(n))
+
+  /** Pot dimension in full PotSerializer shape and field order:
+    * deployer/owner/chef embedded as account objects, admins as an
+    * order-preserving array of account objects (pots/serializers.py:55-58,
+    * empty M2M serializes as [], not null), gold stats joined in. Cached
+    * per service instance — every donation route reuses one dimension
+    * subplan instead of rebuilding the accounts⋈stats join per embed. */
+  private lazy val potDim: DataFrame = {
     val p0 = pots
     val withStats = opt("pot_stats") match {
       case Some(st) =>
@@ -167,53 +203,69 @@ final class QueryService(t: String => DataFrame) {
     val withFks = Seq("deployer", "owner", "chef")
       .filter(withStats.columns.contains)
       .foldLeft(withStats)(expandAccount)
-    if (!withFks.columns.contains("admins")) withFks
-    else {
-      // admins ids → ordered array of account objects: posexplode keeps the
-      // M2M order through the shuffle, array_sort restores it after
-      // collect_list.
-      val dim0 = accountDim
-      val adm = p0
-        .select(col("account").as("__pk"),
-          posexplode(col("admins")).as(Seq("__pos", "__aid")))
-        .join(broadcast(dim0.select(
-          col("id").as("__aid"),
-          struct(accountStructFields.map(dim0(_)): _*).as("__obj"))),
-          Seq("__aid"), "left")
-        .withColumn("__obj", coalesce(col("__obj"), struct(
-          col("__aid").as("id") +:
-            (accountStatFields.map { case (n, tp) => lit(null).cast(tp).as(n) } :+
-              lit(null).cast("string").as("near_social_profile_data")): _*)))
-        .groupBy(col("__pk"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("__pos"), col("__obj")))),
-          x => x.getField("__obj")).as("__admins_obj"))
-      withFks
-        .join(broadcast(adm), withFks("account") === adm("__pk"), "left")
-        .withColumn("admins", col("__admins_obj"))
-        .drop("__pk", "__admins_obj")
-    }
+    val withAdmins =
+      if (!withFks.columns.contains("admins"))
+        withFks.withColumn("admins", lit(null).cast(adminsArrayDdl))
+      else {
+        // admins ids → ordered array of account objects: posexplode keeps
+        // the M2M order through the shuffle, array_sort restores it after
+        // collect_list; pots with no admins coalesce to [] (DRF's empty
+        // M2M), not null.
+        val dim0 = accountDim
+        val adm = p0
+          .select(col("account").as("__pk"),
+            posexplode(col("admins")).as(Seq("__pos", "__aid")))
+          .join(broadcast(dim0.select(
+            col("id").as("__aid"),
+            struct(accountStructFields.map(dim0(_)): _*).as("__obj"))),
+            Seq("__aid"), "left")
+          .withColumn("__obj", coalesce(col("__obj"), struct(
+            col("__aid").as("id") +:
+              (accountStatFields.map { case (n, tp) => lit(null).cast(tp).as(n) } :+
+                lit(null).cast("string").as("near_social_profile_data")): _*)))
+          .groupBy(col("__pk"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("__pos"), col("__obj")))),
+            x => x.getField("__obj")).as("__admins_obj"))
+        withFks
+          .join(broadcast(adm), withFks("account") === adm("__pk"), "left")
+          .withColumn("admins",
+            coalesce(col("__admins_obj"), array().cast(adminsArrayDdl)))
+          .drop("__pk", "__admins_obj")
+      }
+    withAdmins.select(potFieldOrder.map { n =>
+      if (withAdmins.columns.contains(n)) col(n).as(n)
+      else if (potNested(n)) nullPotField(n).as(n)
+      else colOr(withAdmins, n, potPlainTypes(n)).as(n)
+    }: _*)
   }
 
   /** The pot embed struct for donation JSON (donations/serializers.py:47):
-    * full PotSerializer field set in declaration order. */
+    * full PotSerializer field set in Meta.fields order. A pot id whose row
+    * is missing (deployed before stream start, no snapshot) still embeds
+    * as {account, nulls…} so the id is never lost and `pot.account`
+    * filters keep working; with no pots table wired at all, every pot
+    * embed takes that fallback shape. */
   private def expandPot(df: DataFrame): DataFrame = {
     if (!df.columns.contains("pot")) return df
     opt("pots") match {
       case Some(_) =>
         val dim0 = potDim
-        val nested = Seq("deployer", "owner", "admins", "chef")
-          .filter(dim0.columns.contains)
-        val fields: Seq[Column] =
-          dim0("account").as("account") +:
-            (potPlainFields.map { case (n, tp) => colOr(dim0, n, tp).as(n) } ++
-              nested.map(n => dim0(n).as(n)))
+        val fallback = struct(
+          df("pot").as("account") +: potFieldOrder.tail.map(n =>
+            lit(null).cast(dim0.schema(n).dataType).as(n)): _*)
         val dim = broadcast(dim0.select(
-          dim0("account").as("__pot_id"), struct(fields: _*).as("__pot_obj")))
+          dim0("account").as("__pot_id"),
+          struct(potFieldOrder.map(n => dim0(n).as(n)): _*).as("__pot_obj")))
         df.join(dim, df("pot") === col("__pot_id"), "left")
-          .withColumn("pot", when(df("pot").isNotNull, col("__pot_obj")))
+          .withColumn("pot",
+            when(df("pot").isNotNull, coalesce(col("__pot_obj"), fallback)))
           .drop("__pot_id", "__pot_obj")
-      case None => df
+      case None =>
+        val fallback = struct(
+          df("pot").as("account") +:
+            potFieldOrder.tail.map(n => nullPotField(n).as(n)): _*)
+        df.withColumn("pot", when(df("pot").isNotNull, fallback))
     }
   }
 

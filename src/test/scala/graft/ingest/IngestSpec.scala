@@ -114,6 +114,9 @@ class IngestSpec extends SparkSpec {
 
   test("donations: direct variant derives net amount (F2 invariant)") {
     counts
+    // the synthetic partition column must not leak to readers
+    assert(!silver.table("donations").columns.contains("__pdate"))
+    assert(!silver.table("activities").columns.contains("__pbucket"))
     val d = silver.table("donations").filter(col("pot").isNull).head()
     assert(d.getAs[Long]("on_chain_id") == 1)
     // net = total - protocol (referrer/chef absent) — utils.py:875-884

@@ -90,4 +90,21 @@ class OperatorSpec extends SparkSpec {
       .orderBy("g").collect().map(_.getInt(1)).toSeq
     assert(pick1 == pick2 && pick1.size == 3)
   }
+
+  test("keysetSlice: null order keys survive the continuation (desc sorts nulls last)") {
+    val df = Seq(
+      (java.lang.Long.valueOf(3L), "a"), (java.lang.Long.valueOf(2L), "b"),
+      (null.asInstanceOf[java.lang.Long], "c"),
+      (null.asInstanceOf[java.lang.Long], "d")
+    ).toDF("k", "id")
+    val order = Seq((col("k"), false), (col("id"), true))
+    def ids(after: Option[Seq[Any]]) =
+      Relational.keysetSlice(df, order, after, 2)
+        .select("id").collect().map(_.getString(0)).toSeq
+    assert(ids(None) == Seq("a", "b"))
+    // continuing past the last non-null key must reach the null-key rows
+    assert(ids(Some(Seq(2L, "b"))) == Seq("c", "d"))
+    // continuing FROM a null key walks the null-key tie-break correctly
+    assert(ids(Some(Seq(null, "c"))) == Seq("d"))
+  }
 }
