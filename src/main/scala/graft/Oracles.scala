@@ -307,6 +307,26 @@ object Oracles {
         |SELECT id_a, id_b, jaccard_sim FROM s WHERE jaccard_sim >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_dd6_dup_clusters" ->
+      raw"""WITH RECURSIVE
+        |  l AS (SELECT doc_id AS id_a, text AS ta, lang FROM documents WHERE doc_id % 50 = 0),
+        |  r AS (SELECT doc_id AS id_b, text AS tb, lang FROM documents),
+        |  p AS (SELECT id_a, id_b,
+        |               list_distinct(string_split(lower(regexp_replace(trim(ta), '\s+', ' ', 'g')), ' ')) AS wa,
+        |               list_distinct(string_split(lower(regexp_replace(trim(tb), '\s+', ' ', 'g')), ' ')) AS wb
+        |        FROM l JOIN r USING (lang) WHERE id_b > id_a),
+        |  s AS (SELECT id_a, id_b FROM p
+        |        WHERE CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |                / CAST(len(list_distinct(list_concat(wa, wb))) AS DOUBLE) >= 0.5),
+        |  edges AS (SELECT id_a AS src, id_b AS dst FROM s
+        |            UNION SELECT id_b, id_a FROM s),
+        |  cc(node, label) AS (
+        |    SELECT src, src FROM (SELECT DISTINCT src FROM edges) t0
+        |    UNION
+        |    SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src)
+        |SELECT node AS member, CAST(MIN(label) AS BIGINT) AS cluster_id
+        |FROM cc GROUP BY node ORDER BY member""".stripMargin,
+
     "q_dd5_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
          |           FROM embeddings WHERE vec_id % 5 = 0),

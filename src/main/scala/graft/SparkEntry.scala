@@ -410,7 +410,7 @@ object SparkEntry {
       .orderBy("fp")
 
   /** DD2 — n-gram/word Jaccard similarity over bucketed candidate pairs. */
-  private def dd2(t: Tables): DataFrame = {
+  private def dd2Pairs(t: Tables): DataFrame = {
     // Word sets are projected on each side BEFORE the pair join: a right-side
     // text that meets m left candidates is tokenized once, not m times.
     val left = t.documents.filter(pmod(col("doc_id"), lit(50)) === 0)
@@ -424,8 +424,17 @@ object SparkEntry {
       .withColumn("jaccard_sim", DedupFunctions.jaccardOfSets(col("ta"), col("tb")))
       .filter(col("jaccard_sim") >= 0.5)
       .select("id_a", "id_b", "jaccard_sim")
-      .orderBy("id_a", "id_b")
   }
+
+  private def dd2(t: Tables): DataFrame =
+    dd2Pairs(t).orderBy("id_a", "id_b")
+
+  /** DD6 — duplicate clusters: connected components over the DD2 pair
+    * graph (min member id labels each component). Pairwise evidence →
+    * keep-one-per-cluster decisions. */
+  private def dd6(t: Tables): DataFrame =
+    DedupFunctions.duplicateClusters(dd2Pairs(t), "id_a", "id_b")
+      .orderBy("member")
 
   /** DD3 — MinHash+LSH near-dup candidates (no SQL oracle: rows-only). */
   private def dd3(t: Tables): DataFrame =
@@ -532,6 +541,7 @@ object SparkEntry {
       "q_dd1_exact_dedup" -> q(dd1),
       "q_dd2_jaccard_pairs" -> q(dd2),
       "q_dd3_minhash_lsh" -> q(dd3),
+      "q_dd6_dup_clusters" -> q(dd6),
       "q_dd4_simhash" -> q(dd4),
       "q_dd5_embed_neardup" -> q(dd5),
       "q_sim1_cosine_topk" -> q(sim1),

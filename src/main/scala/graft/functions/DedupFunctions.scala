@@ -175,4 +175,55 @@ object DedupFunctions {
     bandRows.unpersist()
     result
   }
+
+  /** Connected components over a near-duplicate pair graph: one
+    * `cluster_id` (the component's minimum member id) per document — the
+    * step that turns pairwise near-dup evidence (Jaccard/MinHash/embedding
+    * pairs) into keep-one-per-cluster dedup decisions for a training
+    * corpus.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the minimum label among itself and its neighbors; fixpoint in
+    * O(component diameter) rounds — near-dup components are shallow
+    * (dup clusters, not social graphs), so a handful of rounds suffices;
+    * `maxIters` caps pathological chains. Each round is one equi-join plus
+    * one aggregation, both hash-shuffled on the node key — the cost
+    * profile of the published large-star/small-star CC algorithm without
+    * its implementation weight (swap that in if 100 TB graphs show deep
+    * chains). `localCheckpoint` truncates the per-round lineage so the
+    * plan doesn't double each iteration; fault tolerance is not needed
+    * because the loop re-derives from immutable inputs. The per-round
+    * convergence count is a scalar driver read, not a data collect.
+    */
+  def duplicateClusters(pairs: DataFrame, a: String, b: String,
+      maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct().persist(lvl)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist(lvl)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val viaNeighbors = edges
+        .join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.withColumnRenamed("label", "__old"), Seq("node"))
+        .filter(col("label") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next.persist(lvl)
+      i += 1
+    }
+    edges.unpersist()
+    val out = labels
+      .select(col("node").as("member"), col("label").as("cluster_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
+  }
 }

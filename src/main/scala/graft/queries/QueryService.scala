@@ -512,4 +512,8 @@ final class QueryService(t: String => DataFrame) {
   /** GET /v1/stats (base/api.py:29-89): reads the gold global_stats table
     * (A1), refreshed by gold.Stats. */
   def stats(): DataFrame = t("global_stats")
+
+  /** GET /api/schema (api/urls.py:38-47): the OpenAPI 3 document for this
+    * surface, generated from the route table. */
+  def openApiSchema(): String = OpenApi.schemaJson
 }

@@ -23,6 +23,17 @@ object EventAnalytics {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Streaming exact-dedup — the streaming form of DD1 for at-least-once
+    * upstreams: duplicates of a key arriving within the watermark horizon
+    * are suppressed, and the key's state expires with the watermark, so
+    * state stays bounded by (arrival rate × delay) rather than growing
+    * with the stream. A duplicate arriving later than `delay` after the
+    * original is re-emitted — the same contract as the LWW merge making
+    * replays idempotent downstream. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, delay: String,
+      keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -149,6 +149,22 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getInt(2) == 8)
   }
 
+  test("duplicateClusters: connected components label each component by min id") {
+    // chain 1-2-3, triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val cc = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a deeper chain needs more propagation rounds but still converges
+    val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val cc2 = DedupFunctions.duplicateClusters(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(cc2.toSeq == Seq(1L))
+  }
+
   test("multimodal binary pipeline: deterministic fake decode plumbing") {
     import graft.multimodal.BinaryPipeline
     val media = BinaryPipeline.withPayload(docs, "text")

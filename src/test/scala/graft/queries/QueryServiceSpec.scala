@@ -253,6 +253,23 @@ class QueryServiceSpec extends SparkSpec {
     assert(pot.contains("\"owner\":{\"id\":\"owner.near\""))
   }
 
+  test("OpenAPI schema document covers every route with its parameters") {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = m.readTree(qs.openApiSchema())
+    assert(doc.get("openapi").asText().startsWith("3."))
+    val paths = doc.get("paths")
+    assert(paths.size() == 22)
+    val regs = paths.get("/api/v1/lists/{list_id}/registrations").get("get")
+    val params = (0 until regs.get("parameters").size())
+      .map(regs.get("parameters").get(_).get("name").asText())
+    assert(params == Seq("list_id", "status", "category", "page", "page_size"))
+    val env = paths.get("/api/v1/accounts").get("get").get("responses")
+      .get("200").get("content").get("application/json").get("schema")
+      .get("properties")
+    assert(Seq("count", "next", "previous", "results")
+      .forall(k => env.has(k)))
+  }
+
   test("account stats gold: per-account rollups (A2)") {
     val st = tables("account_stats")
     val d1 = st.filter(col("id") === "donor1.near").head()

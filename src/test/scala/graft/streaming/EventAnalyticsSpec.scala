@@ -38,6 +38,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(streamed.except(batch.select(col("hour"), col("event_type"), col("n"))).count() == 0)
   }
 
+  test("streaming dedup within watermark suppresses at-least-once replays") {
+    def ts(min: Int) = new java.sql.Timestamp(1718000000000L + min * 60000L)
+    val events = Seq(
+      (1L, ts(0), "click"), (1L, ts(1), "click"), // same event_id replayed
+      (2L, ts(2), "view"), (2L, ts(2), "view"),   // exact duplicate
+      (3L, ts(3), "click")
+    ).toDF("event_id", "ts", "event_type")
+    val dir = tmpDir("dedup-src")
+    events.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val q = EventAnalytics.dedupWithinWatermark(stream, "ts", "10 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+
+    val out = spark.table("deduped").select("event_id").collect().map(_.getLong(0))
+    assert(out.sorted.toSeq == Seq(1L, 2L, 3L)) // one row per event_id
+  }
+
   test("sessionize: events split on inactivity gap, per user") {
     def ts(min: Int) = new java.sql.Timestamp(1718000000000L + min * 60000L)
     val events = Seq(
