@@ -287,6 +287,26 @@ object Oracles {
         |         AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_txt6_pii_redact" ->
+      raw"""WITH w AS (SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com or +1 555 123 4'
+        |              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |              || ' at 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) AS text
+        |       FROM documents),
+        |  e AS (SELECT doc_id, text,
+        |          regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |        FROM w),
+        |  i AS (SELECT doc_id, text, t1,
+        |          regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t2
+        |        FROM e)
+        |SELECT doc_id,
+        |       regexp_replace(t2, '\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS n_phones
+        |FROM i ORDER BY doc_id""".stripMargin,
+
     "q_dd1_exact_dedup" ->
       s"""SELECT md5($norm) AS fp,
          |       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,

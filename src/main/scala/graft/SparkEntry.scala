@@ -395,6 +395,27 @@ object SparkEntry {
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"))
       .orderBy("doc_id")
 
+  /** TXT6 — PII redaction before a corpus ships to training. The corpus
+    * text carries no planted PII, so each row gets a deterministic
+    * doc_id-derived email/phone/IP suffix appended, then redacted — the
+    * transformation (not the synthesis) is what the oracle checks. */
+  private def txt6(t: Tables): DataFrame = {
+    val withPii = t.documents.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1 555 123 4"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+        lit(" at 10.0.0."), pmod(col("doc_id"), lit(255)).cast("string"))
+        .as("text"))
+    val counts = TextFunctions.piiCounts(col("text"))
+    withPii.select(col("doc_id"),
+      TextFunctions.redactPii(col("text")).as("redacted"),
+      counts.getField("emails").cast("long").as("n_emails"),
+      counts.getField("ips").cast("long").as("n_ips"),
+      counts.getField("phones").cast("long").as("n_phones"))
+      .orderBy("doc_id")
+  }
+
   /** TXT3 — document fingerprinting (md5 of normalized content). */
   private def txt3(t: Tables): DataFrame =
     t.documents
@@ -538,6 +559,7 @@ object SparkEntry {
       "q_txt3_fingerprint" -> q(txt3),
       "q_txt4_bpe_tokens" -> q(txt4),
       "q_txt5_winnowing" -> q(txt5),
+      "q_txt6_pii_redact" -> q(txt6),
       "q_dd1_exact_dedup" -> q(dd1),
       "q_dd2_jaccard_pairs" -> q(dd2),
       "q_dd3_minhash_lsh" -> q(dd3),

@@ -14,6 +14,38 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** PII patterns for redaction — deliberately RE2-safe (no backrefs or
+    * lookaround) so the same pattern text runs identically under Java
+    * regex (Spark) and RE2 (DuckDB oracle). Order matters downstream:
+    * emails first (they contain dots and digits), then IPs, then phones. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9][0-9 -]{6,}[0-9]"
+
+  /** Redact emails / IPv4s / phone-like digit runs to typed placeholder
+    * tokens — the standard PII scrub before a corpus ships to training.
+    * Pure codegen'd regexp_replace chain: scan-bound at 100 TB. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** How many PII spans redactPii would replace, per kind. */
+  def piiCounts(text: Column): Column = {
+    // group 0 = whole match: Spark defaults to group 1 and errors on
+    // group-less patterns; DuckDB's default already is the whole match.
+    def n(re: String, prior: Column) =
+      size(regexp_extract_all(prior, lit(re), lit(0)))
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    struct(
+      n(EmailRe, text).as("emails"),
+      n(Ipv4Re, afterEmail).as("ips"),
+      n(PhoneRe, afterIp).as("phones"))
+  }
+
   /** Whitespace token count; empty/blank text counts 0. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
