@@ -189,6 +189,30 @@ final class SilverStore(spark: SparkSession, dir: String) {
       .unionByName(marked.filter(!col("id_rewritten")))
   }
 
+  /** Run independent per-table merge tasks concurrently on a bounded
+    * driver pool. Spark job submission is thread-safe and the tasks write
+    * disjoint table paths; a small pool (≤6) keeps the scheduler from
+    * thrashing on local mode while a cluster's executor pool is shared
+    * across the concurrent jobs anyway. A task failure fails the batch
+    * (propagated by Await), matching the sequential behavior. */
+  private def runConcurrently(
+      tasks: Seq[(String, () => Long)]): scala.collection.concurrent.TrieMap[String, Long] = {
+    val out = scala.collection.concurrent.TrieMap[String, Long]()
+    if (tasks.isEmpty) return out
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(6, tasks.size))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = tasks.map { case (name, f) =>
+        scala.concurrent.Future { out(name) = f() } }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration(60, "min"))
+    } finally pool.shutdown()
+    out
+  }
+
   /** Apply one batch of raw block messages (bronze) to every silver table.
     * Returns merged row counts for the entities the batch touched —
     * entities with no triggering method/event are skipped entirely (no
@@ -241,18 +265,24 @@ final class SilverStore(spark: SparkSession, dir: String) {
         has("chef_set_payouts", "pot") || has("challenge_payouts", "pot") ||
         listRemoveHit
 
-      val counts = scala.collection.mutable.Map[String, Long]()
       // Merges run only when the batch can produce rows for the entity
       // (or its table doesn't exist yet — first batch always materializes
       // every table so downstream readers never hit a missing path).
+      // Each needed merge is ENQUEUED, then the queue runs on a small
+      // driver thread pool: per-entity merges touch disjoint tables, so
+      // they are independent Spark jobs and batch latency is bounded by
+      // the slowest entity, not the sum of all of them.
+      val tasks = scala.collection.mutable.ArrayBuffer[(String, () => Long)]()
       def lww(name: String, df: => DataFrame, keys: Seq[String],
           seqCols: Seq[String] = seq, need: Boolean = true): Unit =
         if (need || !exists(name))
-          counts(name) = SilverStore.mergeEntity(spark, dir, name, df, keys, seqCols)
+          tasks += (name -> (() =>
+            SilverStore.mergeEntity(spark, dir, name, df, keys, seqCols)))
       def first(name: String, df: => DataFrame, keys: Seq[String],
           need: Boolean = true): Unit =
         if (need || !exists(name))
-          counts(name) = MergeWriter.insertIgnoreConflicts(spark, df, path(name), keys, seq)
+          tasks += (name -> (() =>
+            MergeWriter.insertIgnoreConflicts(spark, df, path(name), keys, seq)))
 
       lww("donations", dons.drop("__receiver"), naturalKeys("donations"),
         need = donateHit)
@@ -362,19 +392,6 @@ final class SilverStore(spark: SparkSession, dir: String) {
         need = eventsPresent("blacklist_account") ||
           eventsPresent("unblacklist_account"))
 
-      // Array-delta patches (M2M admins/deployers mutations,
-      // utils.py:785-828) run AFTER the base merges so same-batch creates
-      // are visible to the read-modify-write.
-      if (listRemoveHit)
-        patchArrayColumn("lists", naturalKeys("lists"), "admins",
-          listAdminRemovals(acts)).foreach(counts("lists") = _)
-      if (nadabotAddHit)
-        patchArrayColumn("nadabot_registries", Seq("account"), "admins",
-          nadabotAdminAdds(acts)).foreach(counts("nadabot_registries") = _)
-      if (deployerAddHit)
-        patchArrayColumn("pot_factories", Seq("account"), "whitelisted_deployers",
-          factoryDeployerAdds(acts)).foreach(counts("pot_factories") = _)
-
       // Per-record error quarantine (SURVEY §2.9): decode/parse failures
       // are kept inspectable instead of silently dropped. No method gate
       // can predict decode failures, so this one probes its own extract.
@@ -391,9 +408,27 @@ final class SilverStore(spark: SparkSession, dir: String) {
         .select(lit(1).as("id"), col("block_height"), col("block_timestamp"),
           current_timestamp().as("updated_at"),
           col("block_height").as("__seq"))
-      counts("block_height") = MergeWriter.merge(
+      tasks += ("block_height" -> (() => MergeWriter.merge(
         spark, bh, path("block_height"), Seq("id"), Seq("__seq"),
-        coalesceUpdates = false)
+        coalesceUpdates = false)))
+
+      // Materialize the one input shared by several tasks ONCE, so racing
+      // threads don't each compute the donations extract into the cache.
+      if (donateHit) dons.count()
+      val counts = runConcurrently(tasks.toSeq)
+
+      // Phase 2 — array-delta patches (M2M admins/deployers mutations,
+      // utils.py:785-828) run AFTER the base merges so same-batch creates
+      // are visible to the read-modify-write.
+      if (listRemoveHit)
+        patchArrayColumn("lists", naturalKeys("lists"), "admins",
+          listAdminRemovals(acts)).foreach(counts("lists") = _)
+      if (nadabotAddHit)
+        patchArrayColumn("nadabot_registries", Seq("account"), "admins",
+          nadabotAdminAdds(acts)).foreach(counts("nadabot_registries") = _)
+      if (deployerAddHit)
+        patchArrayColumn("pot_factories", Seq("account"), "whitelisted_deployers",
+          factoryDeployerAdds(acts)).foreach(counts("pot_factories") = _)
 
       counts.toMap
     } finally {
