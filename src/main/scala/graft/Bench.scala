@@ -30,18 +30,32 @@ object Bench {
     // minimum: the box is shared, and a contention spike during a single
     // pass must not be able to fail the round.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // A failed pass must NOT produce a timing (a query that throws
+    // instantly would otherwise record a tiny min and read as a speedup);
+    // only successful passes enter the min, and a query with zero
+    // successful passes reports a null time plus its error.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to passes).map { _ =>
+      var err: Option[String] = None
+      val times = (1 to passes).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          err = Some((e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")).take(160)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " "))
+          None
+        }
       }
-      name -> times.min
+      (name, if (times.nonEmpty) Some(times.min) else None, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.map { case (k, t, e) =>
+      s"\"" + k + "\":" + (if (t.isDefined) "null" else e.fold("null")("\"" + _ + "\""))
+    }.mkString("{", ",", "}")
+    val failed = results.count(_._2.isEmpty)
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

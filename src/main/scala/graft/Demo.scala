@@ -74,7 +74,9 @@ object Demo {
     Stats.accountStats(accounts, donations, emptyPayouts).write.mode("overwrite")
       .parquet(s"$silverDir/account_stats")
 
-    val qs = new QueryService(name => spark.read.parquet(s"$silverDir/$name"))
+    // silver.table hides the synthetic partition columns (__pdate/__pbucket)
+    // so the physical layout never reaches the API JSON below.
+    val qs = new QueryService(silver.table)
     println("[demo] GET /v1/stats:")
     qs.stats().show(false)
     println("[demo] GET /v1/donors?sort=most_donated_usd (page envelope):")

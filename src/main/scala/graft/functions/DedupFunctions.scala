@@ -220,6 +220,16 @@ object DedupFunctions {
       i += 1
     }
     edges.unpersist()
+    // A silent exit at the iteration cap would return partial labels that
+    // masquerade as a correct clustering (and diverge from an exact
+    // recursive-CTE oracle). Components deeper than maxIters need the
+    // large-star/small-star algorithm, not more of this one — fail loudly.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateClusters: not converged after $maxIters rounds " +
+          s"($changed labels still changing); the duplicate graph has a " +
+          "component with diameter > maxIters — raise maxIters or switch " +
+          "to large-star/small-star connected components")
     val out = labels
       .select(col("node").as("member"), col("label").as("cluster_id"))
       .localCheckpoint(true)

@@ -111,8 +111,7 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-      maxIter: Int = 10): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
+      maxIter: Int = 10, fitSampleRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -123,7 +122,23 @@ object Similarity {
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(corpusVec)
+    // Train on a capped deterministic sample: centroid quality needs a few
+    // thousand vectors per cell, not the corpus — a full-corpus fit is
+    // maxIter complete passes before the first query, which is the one
+    // cost here that would grow with data volume. The seeded hash-mod
+    // filter is stable across runs (no RNG state, unlike df.sample) and
+    // prunes in the scan; limit() enforces the hard cap.
+    val fitSet = {
+      val n = corpusVec.count()
+      if (n <= fitSampleRows) corpusVec
+      else {
+        val keepOneIn = math.max(1L, n / fitSampleRows)
+        corpusVec
+          .filter(pmod(xxhash64(col("neighbor_id"), lit(seed)), lit(keepOneIn)) === 0)
+          .limit(fitSampleRows)
+      }
+    }
+    val model = km.fit(fitSet)
     val assigned = model.transform(corpusVec).select("neighbor_id", "cv", "cell")
 
     // Broadcast centroids as array<array<float>> and rank cells per query

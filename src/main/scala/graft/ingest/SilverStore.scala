@@ -106,10 +106,17 @@ final class SilverStore(spark: SparkSession, dir: String) {
     * Mechanics: fold all patches per key in seq order (broadcast — patch
     * sets are event-sized, never table-sized), inner-join the CURRENT table
     * row (a patch for a nonexistent key is dropped, as the reference's
-    * aget() failure no-ops the handler), and LWW-merge the updated full
-    * rows back carrying the last patch's seq. Replay-idempotent: re-adding
-    * a present element and re-removing an absent one are set no-ops.
-    * Returns the merged table count when patches applied. */
+    * aget() failure no-ops the handler), and REPLACE the matching table
+    * rows with the patched copies. Replacement, not LWW merge: the patched
+    * row is derived from the current winner, and a same-batch base update
+    * at a later seq than the patch would otherwise beat the patched row in
+    * the LWW ordering and silently drop the array delta (the whole-history
+    * backfill path applies everything as one batch, so patch-before-update
+    * is the common shape, not an edge case). The patched row is stamped
+    * greatest(existing row seq, max patch seq) so it also survives later
+    * stale replays through the normal LWW path. Replay-idempotent:
+    * re-adding a present element and re-removing an absent one are set
+    * no-ops. Returns the merged table count when patches applied. */
   private def patchArrayColumn(name: String, keys: Seq[String],
       arrayCol: String, patches: DataFrame): Option[Long] = {
     if (!exists(name) || patches.isEmpty) return None
@@ -123,16 +130,17 @@ final class SilverStore(spark: SparkSession, dir: String) {
           col("patch_remove").as("rm")))).as("__patches"),
         max(struct(seq.map(col): _*)).as("__seq"))
     val patched = table(name)
-      .drop(seq: _*)
+      .withColumn("__rowseq", struct(seq.map(col): _*))
       .join(broadcast(folded), keys, "inner")
       .withColumn(arrayCol,
         aggregate(col("__patches"), coalesce(col(arrayCol), emptyArr),
           (acc, p) => array_except(
             array_union(acc, coalesce(p.getField("add"), emptyArr)),
             coalesce(p.getField("rm"), emptyArr))))
-    val withSeq = seq.foldLeft(patched)((df, c) => df.withColumn(c, col(s"__seq.$c")))
-      .drop("__patches", "__seq")
-    Some(MergeWriter.merge(spark, withSeq, path(name), keys, seq))
+      .withColumn("__eff", greatest(col("__rowseq"), col("__seq")))
+    val withSeq = seq.foldLeft(patched)((df, c) => df.withColumn(c, col(s"__eff.$c")))
+      .drop("__patches", "__seq", "__rowseq", "__eff")
+    Some(MergeWriter.replaceRows(spark, withSeq, path(name), keys))
   }
 
   /** Provider id-13 contract-bug rewrite (reference utils.py:1104-1111):
@@ -171,8 +179,11 @@ final class SilverStore(spark: SparkSession, dir: String) {
     // Number DISTINCT new identities, not rows: the same provider emitted
     // twice in one batch (add then update, both still id-13) must get ONE
     // id — two rows under one key that the LWW merge then collapses.
+    // Identity columns tie-break after __first: two logs of the same action
+    // can share the full 4-part ingest seq, and a bare-__first window would
+    // make fresh id assignment nondeterministic across rebuilds.
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__first").asc)
+      .orderBy(col("__first").asc +: identity.map(col(_).asc): _*)
     val freshIds = joined.filter(col("__prev_id").isNull)
       .groupBy(identity.map(col): _*)
       .agg(min(struct(seq.map(col): _*)).as("__first"))

@@ -82,6 +82,29 @@ object MergeWriter {
     deleteRecursively(old)
   }
 
+  /** Replace whole rows by natural key: a row in `replacement` overwrites
+    * the table row sharing its key; all other rows pass through unchanged.
+    * For read-modify-write patches (the array-delta M2M updates) where the
+    * replacement row was DERIVED from the current table row — an LWW merge
+    * would make the outcome depend on a seq tie-break between a row and its
+    * own patched copy. Returns the merged row count. */
+  def replaceRows(
+      spark: SparkSession,
+      replacement: DataFrame,
+      path: String,
+      keys: Seq[String]): Long = {
+    val existing = spark.read.parquet(path)
+    val kept = existing.join(
+      broadcast(replacement.select(keys.map(col): _*).distinct()),
+      keys, "left_anti")
+    val merged = kept.unionByName(replacement, allowMissingColumns = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = merged.count()
+    writeAndSwap(merged, path)
+    merged.unpersist()
+    n
+  }
+
   /** Partition-scoped LWW merge — the 100 TB path. The table is laid out
     * as `path/<partitionCol>=<value>/...`; only partitions present in the
     * incoming batch are read, merged and atomically swapped. A steady
@@ -139,13 +162,26 @@ object MergeWriter {
       case Some(old) => old.unionByName(incoming, allowMissingColumns = true)
       case None => incoming
     }
+    // An empty batch (possible when every extracted row was gated or
+    // quarantined) merges nothing: leave the table untouched and report the
+    // current total from the sidecar. With no table yet, bootstrap a flat
+    // schema-only table (readable; migrated on the first real merge).
+    if (incoming.isEmpty)
+      return if (exists) totalFromSidecar(spark, path, partitionCol, Map.empty)
+      else merge(spark, incoming, path, keys, seq, coalesceUpdates)
     val merged = {
       val filled = if (coalesceUpdates) backfillNulls(unioned, keys, seq) else unioned
       Relational.lwwDedup(filled, keys, seq.map(col))
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-affected-partition counts from the cached merge result — the
+    // grouped count is over batch-sized data, never table history.
+    val mergedPerPart: Map[String, Long] = merged
+      .groupBy(col(partitionCol)).count().collect()
+      .map(r => (s"$partitionCol=${r.get(0)}", r.getLong(1))).toMap
 
     val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    merged.unpersist()
 
     Files.createDirectories(Paths.get(path))
     affected.foreach { v =>
@@ -162,9 +198,63 @@ object MergeWriter {
       deleteRecursively(old)
     }
     deleteRecursively(Paths.get(tmp))
-    spark.read.parquet(path).count()  // partition-scoped: full count still
-                                      // wanted by callers; scans footers of
-                                      // all partitions once per batch
+    totalFromSidecar(spark, path, partitionCol, mergedPerPart)
+  }
+
+  /** Per-partition row counts live in `<table>.counts.json` NEXT TO the
+    * table dir, so the full-table count callers want is a delta update +
+    * sum, not a per-batch scan of all partition footers (which grows with
+    * table history — exactly what the partition-scoped path exists to
+    * avoid). Self-healing: when the sidecar's partition set disagrees with
+    * the directories on disk (legacy table, crash between swap and sidecar
+    * write), the table is recounted grouped-by-partition once and the
+    * sidecar rebuilt. */
+  private def totalFromSidecar(spark: SparkSession, path: String,
+      partitionCol: String, mergedPerPart: Map[String, Long]): Long = {
+    val diskParts: Set[String] = {
+      val s = Files.list(Paths.get(path))
+      try {
+        val it = s.iterator()
+        val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getFileName.toString
+          if (Files.isDirectory(f) && n.startsWith(partitionCol + "=")) b += n
+        }
+        b.result()
+      } finally s.close()
+    }
+    val prior = readCountsSidecar(path)
+    val counts: Map[String, Long] =
+      prior match {
+        case Some(m) if (m.keySet ++ mergedPerPart.keySet) == diskParts =>
+          m ++ mergedPerPart
+        case _ =>
+          // seed / heal: one grouped count over the whole table
+          spark.read.parquet(path).groupBy(col(partitionCol)).count()
+            .collect().map(r => (s"$partitionCol=${r.get(0)}", r.getLong(1))).toMap
+      }
+    writeCountsSidecar(path, counts)
+    counts.values.sum
+  }
+
+  private def sidecarPath(path: String): Path = Paths.get(path + ".counts.json")
+
+  private def readCountsSidecar(path: String): Option[Map[String, Long]] =
+    if (!Files.exists(sidecarPath(path))) None
+    else scala.util.Try {
+      val txt = new String(Files.readAllBytes(sidecarPath(path)), "UTF-8")
+      "\"([^\"]+)\":\\s*(\\d+)".r.findAllMatchIn(txt)
+        .map(m => (m.group(1), m.group(2).toLong)).toMap
+    }.toOption
+
+  private def writeCountsSidecar(path: String, counts: Map[String, Long]): Unit = {
+    val json = counts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val tmp = Paths.get(path + ".counts.json.tmp")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, sidecarPath(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def hasRootDataFiles(p: Path): Boolean = {
@@ -196,6 +286,15 @@ object MergeWriter {
     val merged = Relational.lwwDedup(merged0, keys, seq.map(col))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = merged.count()
+    // Empty merge (empty-bootstrap table + a batch whose extract gated to
+    // zero rows): a partitionBy write of zero rows produces a dir with only
+    // _SUCCESS, and swapping that over the live table makes every later
+    // read fail with "unable to infer schema". Keep the flat schema-only
+    // table instead; the first real batch will migrate it.
+    if (n == 0) { merged.unpersist(); return 0L }
+    val perPart: Map[String, Long] = merged
+      .groupBy(col(partitionCol)).count().collect()
+      .map(r => (s"$partitionCol=${r.get(0)}", r.getLong(1))).toMap
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val tmp = path + ".tmp-" + uid
     merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
@@ -205,6 +304,7 @@ object MergeWriter {
     Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), p, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
+    writeCountsSidecar(path, perPart)
     n
   }
 

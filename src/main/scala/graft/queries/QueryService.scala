@@ -18,7 +18,20 @@ import graft.operators.Relational
   * Serializer FK expansion (J1) uses broadcast left joins — dimension
   * tables (accounts, tokens, pots) are small relative to facts.
   */
-final class QueryService(t: String => DataFrame) {
+final class QueryService(t0: String => DataFrame) {
+
+  /** Table loader, hardened against physical-layout leakage: the silver
+    * store's synthetic partition columns (__pdate/__pbucket) are dropped
+    * here even when the caller wires a raw `spark.read.parquet` loader, so
+    * layout detail can never reach the API JSON surface (Page.toJsonRows
+    * serializes whole rows). */
+  private val t: String => DataFrame = name => {
+    val df = t0(name)
+    graft.ingest.SilverStore.partitionSpec.get(name) match {
+      case Some((pcol, _)) if df.columns.contains(pcol) => df.drop(pcol)
+      case _ => df
+    }
+  }
 
   val DefaultPageSize = 30
 

@@ -107,7 +107,17 @@ class IngestSpec extends SparkSpec {
           resultJson = Some("\"ok\""), receiptId = "rO", signer = "nowner.near"),
         receipt(factoryAccount, "admin_add_whitelisted_deployers",
           """{"whitelisted_deployers": ["dep2.near"]}""",
-          resultJson = Some("\"ok\""), receiptId = "rP", signer = "fowner.near"))))
+          resultJson = Some("\"ok\""), receiptId = "rP", signer = "fowner.near"))),
+      // block 107: a base-row update at a LATER seq than the block-106
+      // admin-removal patch, in the same backfill batch — the patched row
+      // must still win (regression: patchArrayColumn used to stamp only
+      // the patch seq, so this update silently reverted the removal)
+      block(107, 1718000700000000000L, Seq(
+        receipt("lists.potlock.near", "admin_set_default_project_status",
+          """{"registration_id": 5}""",
+          resultJson = Some(listStatusChangeResult(5, "owner.near", "L final",
+            "Approved", 1718000700000L)),
+          receiptId = "rQ", signer = "owner.near"))))
     writeBlocks(in, blocks)
     StreamIngest.backfill(spark, in, silverDir)
   }
@@ -212,8 +222,8 @@ class IngestSpec extends SparkSpec {
     // the unknown-id update (registration_id 999) must NOT create a row
     assert(lists.count() == 1)
     val l = lists.head()
-    assert(l.getAs[String]("name") == "L renamed")
-    assert(l.getAs[String]("default_registration_status") == "Pending")
+    assert(l.getAs[String]("name") == "L final")
+    assert(l.getAs[String]("default_registration_status") == "Approved")
     assert(l.getAs[Boolean]("admin_only_registrations"))
     // absent description keeps the created value; created_at survives
     assert(l.getAs[String]("description") == "D")
