@@ -204,7 +204,7 @@ class IngestSpec extends SparkSpec {
   test("block_height cursor parity row (S2)") {
     counts
     val bh = silver.table("block_height").head()
-    assert(bh.getAs[Long]("block_height") == 106)
+    assert(bh.getAs[Long]("block_height") == 107)
   }
 
   test("activities typed from donations and handlers (§2.10)") {
