@@ -240,6 +240,79 @@ object EntityTransforms {
         col("p.cooldown_period_ms").as("cooldown_period_ms"),
         col("receipt_id").as("tx_hash")) ++ seqCols: _*)
 
+  /** get_config-shaped payload carried by the `update_pot_config` event:
+    * the deploy-time config fields plus the running totals the view also
+    * returns (reference utils.py:229-276 — the handler's field map —
+    * and pots/models.py:325-388 update_configs). */
+  private[ingest] val potConfigEventPayload = ddl(
+    """owner STRING, admins ARRAY<STRING>, chef STRING, pot_name STRING,
+      |pot_description STRING, max_projects INT, base_currency STRING,
+      |application_start_ms BIGINT, application_end_ms BIGINT,
+      |public_round_start_ms BIGINT, public_round_end_ms BIGINT,
+      |registry_provider STRING, min_matching_pool_donation_amount STRING,
+      |sybil_wrapper_provider STRING, custom_sybil_checks STRING,
+      |custom_min_threshold_score INT,
+      |referral_fee_matching_pool_basis_points INT,
+      |referral_fee_public_round_basis_points INT,
+      |chef_fee_basis_points INT, cooldown_period_ms BIGINT,
+      |cooldown_end_ms BIGINT, matching_pool_balance STRING,
+      |total_public_donations STRING, public_donations_count INT,
+      |all_paid_out BOOLEAN, protocol_config_provider STRING""".stripMargin)
+
+  /** handle_pot_config_update (utils.py:219-282; trigger handler.py:105-108,
+    * event `update_pot_config`): the reference re-fetches the pot's
+    * get_config over RPC and overwrites the config fields, leaving
+    * deployer/deployed_at/source_metadata untouched. The engine is no-RPC
+    * by design: the event payload itself carries the full updated config
+    * (the same shape get_config returns — see the handler's own field map,
+    * utils.py:229-276), so the fields are applied straight from the event.
+    * Untouched columns stay null here and backfill from the existing row
+    * via the coalescing LWW merge. Pots that don't exist are dropped by the
+    * caller's semi-join (reference afirst() no-ops, utils.py:224-227). */
+  def potConfigUpdates(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_name") === "update_pot_config")
+      .withColumn("d", explode(from_json(col("event_data"),
+        org.apache.spark.sql.types.ArrayType(potConfigEventPayload))))
+      .filter(col("d").isNotNull && col("d.owner").isNotNull)
+      .select(Seq(
+        col("receiver_id").as("account"),
+        col("d.owner").as("owner"),
+        col("d.admins").as("admins"),
+        col("d.chef").as("chef"),
+        col("d.pot_name").as("name"),
+        col("d.pot_description").as("description"),
+        col("d.max_projects").as("max_approved_applicants"),
+        col("d.base_currency").as("base_currency"),
+        msTs(col("d.application_start_ms")).as("application_start"),
+        msTs(col("d.application_end_ms")).as("application_end"),
+        msTs(col("d.public_round_start_ms")).as("matching_round_start"),
+        msTs(col("d.public_round_end_ms")).as("matching_round_end"),
+        col("d.registry_provider").as("registry_provider"),
+        col("d.min_matching_pool_donation_amount").as("min_matching_pool_donation_amount"),
+        col("d.sybil_wrapper_provider").as("sybil_wrapper_provider"),
+        col("d.custom_sybil_checks").as("custom_sybil_checks"),
+        col("d.custom_min_threshold_score").as("custom_min_threshold_score"),
+        col("d.referral_fee_matching_pool_basis_points").as("referral_fee_matching_pool_basis_points"),
+        col("d.referral_fee_public_round_basis_points").as("referral_fee_public_round_basis_points"),
+        col("d.chef_fee_basis_points").as("chef_fee_basis_points"),
+        col("d.cooldown_period_ms").as("cooldown_period_ms"),
+        msTs(col("d.cooldown_end_ms")).as("cooldown_end"),
+        col("d.matching_pool_balance").as("matching_pool_balance"),
+        col("d.total_public_donations").as("total_public_donations"),
+        col("d.public_donations_count").as("public_donations_count"),
+        col("d.all_paid_out").as("all_paid_out"),
+        col("d.protocol_config_provider").as("protocol_config_provider"),
+        col("receipt_id").as("tx_hash")) ++ seqCols: _*)
+
+  /** Account-discovery rows from a pot config update — the reference
+    * get_or_creates owner, chef and each admin (pots/models.py:337-346). */
+  def potConfigAccounts(cfg: DataFrame): DataFrame =
+    cfg.select(Seq(explode(concat(
+      array(col("owner"), col("chef")),
+      coalesce(col("admins"), array().cast("array<string>")))).as("id")) ++ seqCols: _*)
+      .filter(col("id").isNotNull)
+
   private val factoryPayload = ddl(
     """owner STRING, admins ARRAY<STRING>, protocol_fee_basis_points INT,
       |protocol_fee_recipient_account STRING,
@@ -532,6 +605,67 @@ object EntityTransforms {
         col("receiver_id").as("account"),
         col("a.whitelisted_deployers").as("patch_add"),
         lit(null).cast("array<string>").as("patch_remove")) ++ seqCols: _*)
+
+  /** handle_set_factory_configs (utils.py:831-838; trigger
+    * handler.py:428-443): the reference re-fetches the factory's
+    * get_config over RPC on every admin/owner mutation
+    * (pots/models.py:72-105). The engine is no-RPC by design and applies
+    * each method's own args instead — every one of these methods sets
+    * exactly the field(s) its args carry, so the net row state matches the
+    * reference's refreshed config. Scalar setters and whole-array
+    * replacements land here as partial LWW rows (nulls backfill from the
+    * existing row); incremental owner_add/remove_admins are array deltas
+    * and go through [[factoryAdminPatches]]. `owner_clear_admins` emits an
+    * EMPTY (non-null) array so the coalescing merge replaces rather than
+    * keeps. Arg-name tolerance: admin lists arrive as `admins` or
+    * `account_ids` depending on contract version. */
+  def factoryConfigUpdates(actions: DataFrame): DataFrame = {
+    val m = col("method_name")
+    actions
+      .filter(isFactory && m.isin(
+        "admin_set_require_whitelist", "admin_set_protocol_config",
+        "admin_set_protocol_fee_recipient_account",
+        "admin_set_protocol_fee_basis_points",
+        "owner_set_admins", "owner_clear_admins"))
+      .withColumn("a", from_json(col("args_json"), ddl(
+        """require_whitelist BOOLEAN, protocol_fee_basis_points INT,
+          |protocol_fee_recipient_account STRING, account_id STRING,
+          |admins ARRAY<STRING>, account_ids ARRAY<STRING>""".stripMargin)))
+      .select(Seq(
+        col("receiver_id").as("account"),
+        when(m === "admin_set_require_whitelist", col("a.require_whitelist"))
+          .as("require_whitelist"),
+        when(m.isin("admin_set_protocol_config", "admin_set_protocol_fee_basis_points"),
+          col("a.protocol_fee_basis_points")).as("protocol_fee_basis_points"),
+        when(m.isin("admin_set_protocol_config", "admin_set_protocol_fee_recipient_account"),
+          coalesce(col("a.protocol_fee_recipient_account"), col("a.account_id")))
+          .as("protocol_fee_recipient"),
+        when(m === "owner_set_admins", coalesce(col("a.admins"), col("a.account_ids")))
+          .when(m === "owner_clear_admins", array().cast("array<string>"))
+          .as("admins")) ++ seqCols: _*)
+  }
+
+  /** Factory admins M2M deltas (`owner_add_admins` / `owner_remove_admins`
+    * on a factory — handler.py:432-443 routes both to the config refresh;
+    * the args carry the delta, applied via patchArrayColumn like the other
+    * M2M mutations). Disambiguated from the lists/nadabot methods of the
+    * same name by the receiver pattern (handler.py's match_* guards). */
+  def factoryAdminPatches(actions: DataFrame): DataFrame = {
+    def delta(method: String, asAdd: Boolean): DataFrame = {
+      val ids = coalesce(col("a.admins"), col("a.account_ids"))
+      actions
+        .filter(col("method_name") === method && isFactory)
+        .withColumn("a", from_json(col("args_json"),
+          ddl("admins ARRAY<STRING>, account_ids ARRAY<STRING>")))
+        .filter(ids.isNotNull)
+        .select(Seq(
+          col("receiver_id").as("account"),
+          (if (asAdd) ids else lit(null).cast("array<string>")).as("patch_add"),
+          (if (asAdd) lit(null).cast("array<string>") else ids).as("patch_remove")) ++ seqCols: _*)
+    }
+    delta("owner_add_admins", asAdd = true)
+      .unionByName(delta("owner_remove_admins", asAdd = false))
+  }
 
   /** Accounts-table discovery rows for admins/deployers added via array
     * patches (reference aget_or_creates each: utils.py:813-814, 824-825). */

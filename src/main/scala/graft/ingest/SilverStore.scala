@@ -26,7 +26,19 @@ object SilverStore {
     "pot_applications" -> Seq("pot", "applicant"),
     "pot_application_reviews" -> Seq("pot", "applicant", "reviewer", "reviewed_at"),
     "pot_payouts" -> Seq("pot", "recipient"),
+    "pots" -> Seq("account"),
+    "pot_factories" -> Seq("account"),
+    "pot_payout_challenges" -> Seq("challenger", "pot"),
+    "pot_payout_challenge_admin_responses" -> Seq("challenger", "pot", "created_at"),
     "tokens" -> Seq("account"))
+
+  /** Tables merged keep-first (the reference's
+    * bulk_create(ignore_conflicts=True) / create-once rows) rather than
+    * LWW — shared by both write paths via [[mergeEntity]] so stream and
+    * snapshot arbitration can never diverge on the same table. */
+  val keepFirstTables: Set[String] = Set(
+    "pot_application_reviews", "pot_payout_challenge_admin_responses",
+    "nadabot_stamps", "list_upvotes", "quarantine")
 
   /** Partitioned physical layout for the unbounded tables — the 100 TB
     * path: a partition-scoped merge rewrites only partitions the batch
@@ -62,7 +74,9 @@ object SilverStore {
     * rewriting a partitioned table into a flat layout. */
   def mergeEntity(spark: SparkSession, dir: String, name: String,
       df: DataFrame, keys: Seq[String], seqCols: Seq[String]): Long =
-    partitionSpec.get(name) match {
+    if (keepFirstTables(name))
+      MergeWriter.insertIgnoreConflicts(spark, df, s"$dir/$name", keys, seqCols)
+    else partitionSpec.get(name) match {
       case Some((pcol, pexpr)) =>
         val withP = df.withColumn(pcol, pexpr)
         val p = java.nio.file.Paths.get(s"$dir/$name")
@@ -271,6 +285,14 @@ final class SilverStore(spark: SparkSession, dir: String) {
       val listRemoveHit = has("owner_remove_admins", "lists")
       val nadabotAddHit = has("owner_add_admins", "nadabot")
       val deployerAddHit = has("admin_add_whitelisted_deployers", "factory")
+      val potCfgHit = eventsPresent("update_pot_config")
+      val factoryCfgHit = Seq(
+        "admin_set_require_whitelist", "admin_set_protocol_config",
+        "admin_set_protocol_fee_recipient_account",
+        "admin_set_protocol_fee_basis_points",
+        "owner_set_admins", "owner_clear_admins").exists(has(_, "factory"))
+      val factoryAdminPatchHit =
+        has("owner_add_admins", "factory") || has("owner_remove_admins", "factory")
       val handlerActsHit = has("new", "pot") || applyHit ||
         has("register_batch", "lists") || has("upvote", "lists") ||
         has("chef_set_payouts", "pot") || has("challenge_payouts", "pot") ||
@@ -297,6 +319,28 @@ final class SilverStore(spark: SparkSession, dir: String) {
 
       lww("donations", dons.drop("__receiver"), naturalKeys("donations"),
         need = donateHit)
+      // Config refreshes apply only to pots/factories that exist — the
+      // reference's afirst()/aget() no-ops on unknown accounts
+      // (utils.py:224-227, 834) — so semi-join against this batch's
+      // deploys plus the existing table. Defined up here because account
+      // discovery below must see the same gating (the reference creates
+      // owner/chef/admin accounts only after the pot lookup succeeds).
+      val potDeployRows = potDeploys(acts)
+      val potCfg = {
+        val upd = potConfigUpdates(evts)
+        val known = potDeployRows.select("account").unionByName(
+          if (exists("pots")) table("pots").select("account")
+          else spark.emptyDataFrame.select(lit("").as("account")).limit(0))
+        upd.join(known, Seq("account"), "left_semi")
+      }
+      val factoryDeployRows = potFactories(acts)
+      val factoryCfg = {
+        val upd = factoryConfigUpdates(acts)
+        val known = factoryDeployRows.select("account").unionByName(
+          if (exists("pot_factories")) table("pot_factories").select("account")
+          else spark.emptyDataFrame.select(lit("").as("account")).limit(0))
+        upd.join(known, Seq("account"), "left_semi")
+      }
       // Accounts: discovery rows (id only) + social-profile updates merge
       // into one table; coalesce keeps the profile across later discovery
       // rows (reference stores the profile ON Account, accounts/models.py:57-62).
@@ -304,10 +348,13 @@ final class SilverStore(spark: SparkSession, dir: String) {
         donationAccounts(dons)
           .unionByName(patchAccounts(nadabotAdminAdds(acts)))
           .unionByName(patchAccounts(factoryDeployerAdds(acts)))
+          .unionByName(patchAccounts(factoryAdminPatches(acts)))
+          .unionByName(potConfigAccounts(potCfg))
           .withColumn("near_social_profile_data", lit(null).cast("string"))
           .unionByName(socialProfileUpdates(acts)),
         naturalKeys("accounts"),
-        need = donateHit || nadabotAddHit || deployerAddHit || has("set", "social"))
+        need = donateHit || nadabotAddHit || deployerAddHit ||
+          factoryAdminPatchHit || potCfgHit || has("set", "social"))
       // Reference semantics: aupdate_or_create on (action_result, type) —
       // a repeated key UPDATES signer/timestamp/tx_hash (last writer wins).
       lww("activities",
@@ -331,9 +378,12 @@ final class SilverStore(spark: SparkSession, dir: String) {
           col("action_index"))
           .filter(col("account").isNotNull),
         naturalKeys("tokens"), need = donateHit)
-      lww("pots", potDeploys(acts), Seq("account"), need = has("new", "pot"))
-      lww("pot_factories", potFactories(acts), Seq("account"),
-        need = has("new", "factory"))
+      lww("pots",
+        potDeployRows.unionByName(potCfg, allowMissingColumns = true),
+        Seq("account"), need = has("new", "pot") || potCfgHit)
+      lww("pot_factories",
+        factoryDeployRows.unionByName(factoryCfg, allowMissingColumns = true),
+        Seq("account"), need = has("new", "factory") || factoryCfgHit)
       lww("pot_applications",
         potApplications(acts).unionByName(applicationStatusUpdates(reviews)),
         naturalKeys("pot_applications"), need = applyHit || reviewHit)
@@ -440,6 +490,22 @@ final class SilverStore(spark: SparkSession, dir: String) {
       if (deployerAddHit)
         patchArrayColumn("pot_factories", Seq("account"), "whitelisted_deployers",
           factoryDeployerAdds(acts)).foreach(counts("pot_factories") = _)
+      if (factoryAdminPatchHit) {
+        // Sequential parity for mixed whole-array + delta batches: an
+        // owner_set/clear_admins at seq S supersedes any add/remove delta
+        // at seq < S (the reference's per-method RPC refresh always lands
+        // on final chain state), so drop superseded patches before the
+        // read-modify-write.
+        val setsMax = factoryCfg.filter(col("admins").isNotNull)
+          .groupBy("account").agg(max(struct(seq.map(col): _*)).as("__set_seq"))
+        val live = factoryAdminPatches(acts)
+          .join(broadcast(setsMax), Seq("account"), "left")
+          .filter(col("__set_seq").isNull ||
+            struct(seq.map(col): _*) > col("__set_seq"))
+          .drop("__set_seq")
+        patchArrayColumn("pot_factories", Seq("account"), "admins", live)
+          .foreach(counts("pot_factories") = _)
+      }
 
       counts.toMap
     } finally {

@@ -20,11 +20,16 @@ import graft.functions.Amounts
   * block order dictates. Snapshot seq uses shard_index = -1 so a REAL
   * stream row at the same height deterministically wins ties.
   *
-  * Scope: the four snapshot kinds below (donations, lists, registrations,
-  * applications) plus account/token discovery; pot configs and payouts
-  * follow the streaming path.
+  * Scope: donations, lists, registrations, applications (+reviews), pots
+  * (get_pots × per-pot get_config — including the payouts embedded in the
+  * config), payout challenges (+admin responses), factory configs, token
+  * metadata, and account discovery.
   */
 object SnapshotBackfill {
+
+  private def ddl(s: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromDDL(s)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Synthetic ingest-seq for snapshot rows: at the snapshot height with
     * shard_index = -1, so a real stream row at the same height (shard >= 0)
@@ -174,6 +179,152 @@ object SnapshotBackfill {
     withSeq(ids, snapshotHeight)
   }
 
+  /** One object per pot: the get_pots row (id → account, deployed_by,
+    * deployed_at_ms — populatedata.py:229-236) merged with that pot's
+    * get_config response (populatedata.py:239-246, field map 262-331) and
+    * its get_contract_source_metadata (populatedata.py:247-255). The
+    * config's embedded `payouts` array (populatedata.py:476-498) rides
+    * along for [[potPayouts]]. */
+  private val potSnapshotPayload = ddl(
+    """account STRING, deployed_by STRING, deployed_at_ms BIGINT,
+      |owner STRING, admins ARRAY<STRING>, chef STRING, pot_name STRING,
+      |pot_description STRING, max_projects INT, base_currency STRING,
+      |application_start_ms BIGINT, application_end_ms BIGINT,
+      |public_round_start_ms BIGINT, public_round_end_ms BIGINT,
+      |registry_provider STRING, min_matching_pool_donation_amount STRING,
+      |sybil_wrapper_provider STRING, custom_sybil_checks STRING,
+      |custom_min_threshold_score INT,
+      |referral_fee_matching_pool_basis_points INT,
+      |referral_fee_public_round_basis_points INT,
+      |chef_fee_basis_points INT, cooldown_end_ms BIGINT,
+      |all_paid_out BOOLEAN, protocol_config_provider STRING,
+      |source_metadata STRUCT<commit_hash STRING, link STRING, version STRING>,
+      |payouts ARRAY<STRUCT<project_id STRING, amount STRING, paid_at BIGINT>>"""
+      .stripMargin)
+
+  /** get_pots × get_config snapshot → `pots` rows (populatedata.py:220-334;
+    * the same loader also serves config REFRESH: re-dumping configs at a
+    * later height LWW-updates the config fields of existing pots, closing
+    * the RPC side of handle_pot_config_update, utils.py:219-282). */
+  def pots(spark: SparkSession, path: String, snapshotHeight: Long): DataFrame = {
+    val raw = readSnapshot(spark, path, potSnapshotPayload, "account")
+    withSeq(raw.select(
+      col("account"),
+      regexp_extract(col("account"), """\.(v\d+\.potfactory\.potlock\.near)$""", 1)
+        .as("pot_factory"),
+      col("deployed_by").as("deployer"),
+      timestamp_millis(col("deployed_at_ms")).as("deployed_at"),
+      to_json(col("source_metadata")).as("source_metadata"),
+      col("owner"),
+      col("admins"),
+      col("chef"),
+      col("pot_name").as("name"),
+      col("pot_description").as("description"),
+      col("max_projects").as("max_approved_applicants"),
+      col("base_currency"),
+      timestamp_millis(col("application_start_ms")).as("application_start"),
+      timestamp_millis(col("application_end_ms")).as("application_end"),
+      timestamp_millis(col("public_round_start_ms")).as("matching_round_start"),
+      timestamp_millis(col("public_round_end_ms")).as("matching_round_end"),
+      col("registry_provider"),
+      col("min_matching_pool_donation_amount"),
+      col("sybil_wrapper_provider"),
+      col("custom_sybil_checks"),
+      col("custom_min_threshold_score"),
+      col("referral_fee_matching_pool_basis_points"),
+      col("referral_fee_public_round_basis_points"),
+      col("chef_fee_basis_points"),
+      timestamp_millis(col("cooldown_end_ms")).as("cooldown_end"),
+      col("all_paid_out"),
+      col("protocol_config_provider"),
+      lit(null).cast("string").as("tx_hash")), snapshotHeight)
+  }
+
+  /** Payout rows embedded in the pot config snapshot
+    * (populatedata.py:476-498): keyed (pot, recipient), NEAR-only, null
+    * tx_hash — exactly the reference's update_or_create defaults. Seq is
+    * extended with `payout_index` to match the streaming merge. */
+  def potPayouts(spark: SparkSession, path: String, snapshotHeight: Long): DataFrame = {
+    val raw = readSnapshot(spark, path, potSnapshotPayload, "account")
+    withSeq(raw
+      .filter(col("payouts").isNotNull)
+      .select(col("account").as("pot"),
+        posexplode(col("payouts")).as(Seq("payout_index", "po")))
+      .select(
+        col("pot"),
+        col("po.project_id").as("recipient"),
+        col("po.amount").as("amount"),
+        Amounts.u128(col("po.amount")).as("amount_dec"),
+        lit(null).cast(Schemas.Usd).as("amount_paid_usd"),
+        lit("near").as("ft"),
+        timestamp_millis(col("po.paid_at")).as("paid_at"),
+        lit(null).cast("string").as("tx_hash"),
+        col("payout_index").cast("int").as("payout_index")), snapshotHeight)
+  }
+
+  private val challengeSnapshotPayload = ddl(
+    """challenger_id STRING, reason STRING, created_at BIGINT,
+      |admin_notes STRING, resolved BOOLEAN""".stripMargin)
+
+  /** A pot's `get_payouts_challenges` snapshot (populatedata.py:504-530):
+    * keyed (challenger, pot). */
+  def payoutChallenges(spark: SparkSession, path: String, pot: String,
+      snapshotHeight: Long): DataFrame = {
+    val raw = readSnapshot(spark, path, challengeSnapshotPayload, "challenger_id")
+    withSeq(raw.select(
+      col("challenger_id").as("challenger"),
+      lit(pot).as("pot"),
+      timestamp_millis(col("created_at")).as("created_at"),
+      col("reason").as("message"),
+      lit(null).cast("string").as("tx_hash")), snapshotHeight)
+  }
+
+  /** Admin-response rows for answered snapshot challenges
+    * (populatedata.py:531-543: emitted when admin_notes is non-empty or
+    * resolved — Python truthiness — with admin defaulted to the POT OWNER
+    * and created_at reused from the challenge). */
+  def challengeAdminResponses(spark: SparkSession, path: String, pot: String,
+      potOwner: String, snapshotHeight: Long): DataFrame = {
+    val raw = readSnapshot(spark, path, challengeSnapshotPayload, "challenger_id")
+    withSeq(raw
+      .filter((col("admin_notes").isNotNull && col("admin_notes") =!= "") ||
+        col("resolved") === true)
+      .select(
+        col("challenger_id").as("challenger"),
+        lit(pot).as("pot"),
+        lit(potOwner).as("admin"),
+        timestamp_millis(col("created_at")).as("created_at"),
+        col("admin_notes").as("message"),
+        coalesce(col("resolved"), lit(false)).as("resolved"),
+        lit(null).cast("string").as("tx_hash")), snapshotHeight)
+  }
+
+  private val factoryConfigPayload = ddl(
+    """account STRING, owner STRING, admins ARRAY<STRING>,
+      |whitelisted_deployers ARRAY<STRING>, protocol_fee_basis_points INT,
+      |protocol_fee_recipient_account STRING, require_whitelist BOOLEAN,
+      |deployed_at_ms BIGINT,
+      |source_metadata STRUCT<commit_hash STRING, link STRING, version STRING>"""
+      .stripMargin)
+
+  /** Factory get_config dump → `pot_factories` rows — the no-RPC
+    * counterpart of PotFactory.update_configs (pots/models.py:72-105):
+    * owner/admins/whitelisted_deployers/fee fields overwrite, anything the
+    * dump omits stays null and backfills from the existing row in the
+    * coalescing LWW merge. */
+  def factoryConfig(spark: SparkSession, path: String, snapshotHeight: Long): DataFrame =
+    withSeq(readSnapshot(spark, path, factoryConfigPayload, "account")
+      .select(
+        col("account"),
+        col("owner"),
+        col("admins"),
+        col("whitelisted_deployers"),
+        timestamp_millis(col("deployed_at_ms")).as("deployed_at"),
+        to_json(col("source_metadata")).as("source_metadata"),
+        col("protocol_fee_basis_points"),
+        col("protocol_fee_recipient_account").as("protocol_fee_recipient"),
+        col("require_whitelist")), snapshotHeight)
+
   private val tokenMetadataPayload =
     org.apache.spark.sql.types.DataType.fromDDL(
       """account STRING, name STRING, symbol STRING, icon STRING,
@@ -211,8 +362,11 @@ object SnapshotBackfill {
     tables.map { case (name, (df, keys)) =>
       // Shared dispatch with the streaming path: a snapshot backfill of a
       // partitioned table (donations) merges partition-scoped too, instead
-      // of flattening the layout the stream relies on.
-      name -> SilverStore.mergeEntity(spark, silverDir, name, df, keys, seq)
+      // of flattening the layout the stream relies on. pot_payouts extends
+      // the seq with payout_index exactly like the stream merge, so the
+      // two paths arbitrate the same way.
+      val seqFor = if (name == "pot_payouts") seq :+ "payout_index" else seq
+      name -> SilverStore.mergeEntity(spark, silverDir, name, df, keys, seqFor)
     }
   }
 

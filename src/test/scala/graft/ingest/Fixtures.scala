@@ -68,6 +68,7 @@ object Fixtures {
        | "protocol_fee": "$protocolFee"}""".stripMargin.replace(" \n", " ").replace("\n", " ")
 
   val potAccount = "mypot.v1.potfactory.potlock.near"
+  val otherPotAccount = "otherpot.v1.potfactory.potlock.near"
   val factoryAccount = "v1.potfactory.potlock.near"
   val nadabotAccount = "v1.nadabot.near"
 
@@ -142,6 +143,23 @@ object Fixtures {
       s""""data":[{"provider":{"id":$id,"contract_id":"c.near","method_name":"is_human",""" +
       s""""provider_name":"$name","status":"Active","default_weight":20,""" +
       s""""submitted_by":"sub.near","submitted_at_ms":1718000003000}}]}"""
+
+  /** `update_pot_config` EVENT_JSON (trigger handler.py:105-108): the data
+    * element carries the pot's full updated get_config shape
+    * (utils.py:229-276 field map). */
+  def potConfigUpdateEventLog(owner: String, chef: String, name: String,
+      chefFeeBps: Int, roundStartMs: Long, roundEndMs: Long,
+      admins: Seq[String] = Nil, allPaidOut: Boolean = false,
+      matchingPoolBalance: String = "0"): String =
+    s"""EVENT_JSON:{"standard":"potlock","version":"1.0.0","event":"update_pot_config",""" +
+      s""""data":[{"owner":"$owner","admins":[${admins.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""chef":"$chef","pot_name":"$name","pot_description":"d2","max_projects":30,""" +
+      s""""base_currency":"near","application_start_ms":1718000000000,""" +
+      s""""application_end_ms":1718100000000,"public_round_start_ms":$roundStartMs,""" +
+      s""""public_round_end_ms":$roundEndMs,"referral_fee_matching_pool_basis_points":100,""" +
+      s""""referral_fee_public_round_basis_points":50,"chef_fee_basis_points":$chefFeeBps,""" +
+      s""""matching_pool_balance":"$matchingPoolBalance","total_public_donations":"0",""" +
+      s""""public_donations_count":0,"all_paid_out":$allPaidOut}]}"""
 
   def blacklistEventLog(accounts: Seq[String], reason: String): String =
     s"""EVENT_JSON:{"standard":"nadabot","version":"1.0.0","event":"blacklist_account",""" +

@@ -21,25 +21,35 @@ class IngestSpec extends SparkSpec {
   private lazy val silverDir = tmpDir("silver")
   private lazy val silver = new SilverStore(spark, silverDir)
 
-  private lazy val counts: Map[String, Long] = {
-    val in = tmpDir("bronze")
-    val blocks = Seq(
+  /** Block timestamps follow height so new fixture blocks never need a
+    * hand-computed constant. */
+  private def tsOf(h: Long): Long =
+    1718000000000000000L + (h - 100) * 100000000000L
+
+  /** The fixture as (height, receipts) so derived facts — e.g. the S2
+    * cursor's expected value — come from the list itself and can't go
+    * stale when a block is added. */
+  private lazy val fixtureBlocks: Seq[(Long, Seq[String])] = Seq(
       // block 99: factory + nadabot registry deploys (patch targets)
-      block(99, 1717999900000000000L, Seq(
+      99L -> (Seq(
         receipt(factoryAccount, "new", factoryNewArgs("fowner.near", Seq("dep1.near")),
           resultJson = Some("\"ok\""), receiptId = "rY", signer = "fowner.near"),
         receipt(nadabotAccount, "new", nadabotNewArgs("nowner.near", Seq("nadm.near")),
           resultJson = Some("\"ok\""), receiptId = "rZ", signer = "nowner.near"))),
       // block 100: pot deploy + direct donation (net must be derived)
-      block(100, 1718000000000000000L, Seq(
+      100L -> (Seq(
         receipt(potAccount, "new", potNewArgs("owner.near", Seq("a1.near", "a2.near"), "My Pot"),
           resultJson = Some("\"ok\""), receiptId = "rA"),
+        // a second pot that receives NO later config updates, so deploy
+        // parsing stays assertable after block 108 rewrites mypot's config
+        receipt(otherPotAccount, "new", potNewArgs("owner2.near", Seq("b1.near"), "Other Pot"),
+          resultJson = Some("\"ok\""), receiptId = "rA2"),
         receipt("donate.potlock.near", "donate", "{}",
           resultJson = Some(directDonationResult(1, "donor1.near", "100000000000000000000000000",
             "2500000000000000000000000", "proj1.near", 1718000000001L)),
           receiptId = "rB"))),
       // block 101: pot donation (matching pool) + list create + batch regs
-      block(101, 1718000100000000000L, Seq(
+      101L -> (Seq(
         receipt(potAccount, "donate", "{}",
           resultJson = Some(potDonationResult(7, "donor2.near", "50000000000000000000000000",
             "49000000000000000000000000", "1000000000000000000000000",
@@ -53,11 +63,11 @@ class IngestSpec extends SparkSpec {
             Seq((11, "proj1.near", "Approved"), (12, "proj2.near", "Pending")))),
           receiptId = "rE"))),
       // block 102: application, then status change in block 103 (sequential effect)
-      block(102, 1718000200000000000L, Seq(
+      102L -> (Seq(
         receipt(potAccount, "apply", "{}",
           resultJson = Some(applyResult("proj1.near")), receiptId = "rF",
           signer = "proj1.near"))),
-      block(103, 1718000300000000000L, Seq(
+      103L -> (Seq(
         receipt(potAccount, "chef_set_application_status",
           """{"project_id": "proj1.near"}""",
           resultJson = Some(
@@ -67,7 +77,7 @@ class IngestSpec extends SparkSpec {
         receipt(potAccount, "chef_set_payouts",
           """{"payouts": [{"project_id": "proj1.near", "amount": "7000000000000000000000000"}]}""",
           resultJson = Some("\"ok\""), receiptId = "rH", signer = "chef.near"))),
-      block(104, 1718000400000000000L, Seq(
+      104L -> (Seq(
         receipt(potAccount, "transfer_payout_callback",
           """{"payout": {"project_id": "proj1.near", "amount": "7000000000000000000000000", "paid_at": 1718000400000}}""",
           resultJson = Some("\"ok\""), receiptId = "rI", signer = "chef.near"),
@@ -88,7 +98,7 @@ class IngestSpec extends SparkSpec {
       // block 106: entity-side mutations after creation (§2.10 gap fixes):
       // list default-status change (known + unknown id), list admin
       // removal, nadabot admin add, factory deployer add
-      block(106, 1718000600000000000L, Seq(
+      106L -> (Seq(
         receipt("lists.potlock.near", "admin_set_default_project_status",
           """{"registration_id": 5}""",
           resultJson = Some(listStatusChangeResult(5, "owner.near", "L renamed",
@@ -112,13 +122,49 @@ class IngestSpec extends SparkSpec {
       // admin-removal patch, in the same backfill batch — the patched row
       // must still win (regression: patchArrayColumn used to stamp only
       // the patch seq, so this update silently reverted the removal)
-      block(107, 1718000700000000000L, Seq(
+      107L -> (Seq(
         receipt("lists.potlock.near", "admin_set_default_project_status",
           """{"registration_id": 5}""",
           resultJson = Some(listStatusChangeResult(5, "owner.near", "L final",
             "Approved", 1718000700000L)),
-          receiptId = "rQ", signer = "owner.near"))))
-    writeBlocks(in, blocks)
+          receiptId = "rQ", signer = "owner.near"))),
+      // block 108: config refresh (§2.10 handle_pot_config_update /
+      // handle_set_factory_configs): pot config update via EVENT_JSON on
+      // the deployed pot, the same event on an UNDEPLOYED pot (must
+      // no-op), factory scalar setter + whole-array admins set
+      108L -> (Seq(
+        receipt(potAccount, "owner_change_config", "{}",
+          resultJson = Some("\"ok\""), receiptId = "rR", signer = "owner.near",
+          logs = Seq(potConfigUpdateEventLog("owner.near", "newchef.near",
+            "My Pot v2", 321, 1718250000000L, 1718350000000L,
+            admins = Seq("a1.near", "a3.near"), allPaidOut = true,
+            matchingPoolBalance = "12345"))),
+        receipt("ghost.v1.potfactory.potlock.near", "owner_change_config", "{}",
+          resultJson = Some("\"ok\""), receiptId = "rS2", signer = "x.near",
+          logs = Seq(potConfigUpdateEventLog("x.near", "c.near", "Ghost",
+            1, 1718000000000L, 1718000000001L))),
+        receipt(factoryAccount, "admin_set_protocol_fee_basis_points",
+          """{"protocol_fee_basis_points": 250}""",
+          resultJson = Some("\"ok\""), receiptId = "rT", signer = "fowner.near"),
+        receipt(factoryAccount, "owner_set_admins",
+          """{"admins": ["fadm1.near", "fadm2.near"]}""",
+          resultJson = Some("\"ok\""), receiptId = "rU", signer = "fowner.near"))),
+      // block 109: factory admin DELTAS on top of the 108 whole-array set,
+      // plus a scalar flip — final admins = set ∪ add ∖ remove
+      109L -> (Seq(
+        receipt(factoryAccount, "owner_add_admins",
+          """{"account_ids": ["fadm3.near"]}""",
+          resultJson = Some("\"ok\""), receiptId = "rV", signer = "fowner.near"),
+        receipt(factoryAccount, "owner_remove_admins",
+          """{"admins": ["fadm1.near"]}""",
+          resultJson = Some("\"ok\""), receiptId = "rW", signer = "fowner.near"),
+        receipt(factoryAccount, "admin_set_require_whitelist",
+          """{"require_whitelist": false}""",
+          resultJson = Some("\"ok\""), receiptId = "rX", signer = "fowner.near"))))
+
+  private lazy val counts: Map[String, Long] = {
+    val in = tmpDir("bronze")
+    writeBlocks(in, fixtureBlocks.map { case (h, rs) => block(h, tsOf(h), rs) })
     StreamIngest.backfill(spark, in, silverDir)
   }
 
@@ -154,12 +200,60 @@ class IngestSpec extends SparkSpec {
 
   test("pot deploy parsed (§2.10 handle_new_pot)") {
     counts
-    val p = silver.table("pots").head()
-    assert(p.getAs[String]("account") == potAccount)
-    assert(p.getAs[String]("owner") == "owner.near")
-    assert(p.getAs[scala.collection.Seq[String]]("admins").toSeq == Seq("a1.near", "a2.near"))
-    assert(p.getAs[String]("name") == "My Pot")
+    val p = silver.table("pots").filter(col("account") === otherPotAccount).head()
+    assert(p.getAs[String]("owner") == "owner2.near")
+    assert(p.getAs[scala.collection.Seq[String]]("admins").toSeq == Seq("b1.near"))
+    assert(p.getAs[String]("name") == "Other Pot")
     assert(p.getAs[Int]("chef_fee_basis_points") == 200)
+  }
+
+  test("pot config update event refreshes config, keeps deploy fields (utils.py:219-282)") {
+    counts
+    val p = silver.table("pots").filter(col("account") === potAccount).head()
+    // config fields overwritten from the event payload
+    assert(p.getAs[String]("chef") == "newchef.near")
+    assert(p.getAs[String]("name") == "My Pot v2")
+    assert(p.getAs[Int]("chef_fee_basis_points") == 321)
+    assert(p.getAs[scala.collection.Seq[String]]("admins").toSeq == Seq("a1.near", "a3.near"))
+    assert(p.getAs[java.sql.Timestamp]("matching_round_start").getTime == 1718250000000L)
+    assert(p.getAs[java.sql.Timestamp]("matching_round_end").getTime == 1718350000000L)
+    assert(p.getAs[Boolean]("all_paid_out"))
+    assert(p.getAs[String]("matching_pool_balance") == "12345")
+    // deploy-time fields survive (update_configs never touches them)
+    assert(p.getAs[String]("deployer") == "user.near")
+    assert(p.getAs[java.sql.Timestamp]("deployed_at") != null)
+    assert(p.getAs[String]("source_metadata").contains("commit_hash"))
+    // the same event on an undeployed pot must not create a row
+    // (reference afirst() no-op, utils.py:224-227)
+    assert(silver.table("pots")
+      .filter(col("account") === "ghost.v1.potfactory.potlock.near").count() == 0)
+    // chef discovered as an account (pots/models.py:344-346)
+    assert(silver.table("accounts").filter(col("id") === "newchef.near").count() == 1)
+    // and the query plane serves the refreshed config (GET /v1/pots/{id})
+    val qs = new graft.queries.QueryService(silver.table(_))
+    val pd = qs.potDetail(potAccount).head()
+    assert(pd.getAs[org.apache.spark.sql.Row]("chef").getAs[String]("id") == "newchef.near")
+    assert(pd.getAs[Int]("chef_fee_basis_points") == 321)
+    assert(pd.getAs[java.sql.Timestamp]("matching_round_end").getTime == 1718350000000L)
+  }
+
+  test("factory admin/owner methods refresh factory config (utils.py:831-838)") {
+    counts
+    val f = silver.table("pot_factories")
+      .filter(col("account") === factoryAccount).head()
+    // scalar setters applied from each method's args
+    assert(f.getAs[Int]("protocol_fee_basis_points") == 250)
+    assert(!f.getAs[Boolean]("require_whitelist"))
+    // whole-array set at 108, then add/remove deltas at 109
+    assert(f.getAs[scala.collection.Seq[String]]("admins").toSeq ==
+      Seq("fadm2.near", "fadm3.near"))
+    // untouched fields survive the partial updates
+    assert(f.getAs[String]("owner") == "fowner.near")
+    assert(f.getAs[String]("protocol_fee_recipient") == "fowner.near")
+    assert(f.getAs[scala.collection.Seq[String]]("whitelisted_deployers").toSeq ==
+      Seq("dep1.near", "dep2.near"))
+    // added admin discovered as an account
+    assert(silver.table("accounts").filter(col("id") === "fadm3.near").count() == 1)
   }
 
   test("application status updated by later review (sequential effect §7.4-2)") {
@@ -204,7 +298,9 @@ class IngestSpec extends SparkSpec {
   test("block_height cursor parity row (S2)") {
     counts
     val bh = silver.table("block_height").head()
-    assert(bh.getAs[Long]("block_height") == 107)
+    // derived from the fixture itself: the cursor tracks the top ingested
+    // block, whatever the fixture's current top is
+    assert(bh.getAs[Long]("block_height") == fixtureBlocks.map(_._1).max)
   }
 
   test("activities typed from donations and handlers (§2.10)") {

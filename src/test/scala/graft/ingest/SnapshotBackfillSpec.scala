@@ -92,6 +92,127 @@ class SnapshotBackfillSpec extends SparkSpec {
     assert(r(0).getAs[String]("status") == "Approved")
   }
 
+  test("pot/payout/challenge snapshots backfill and arbitrate with the stream (S4)") {
+    val silverDir = tmpDir("snap-pots-silver")
+    val snapDir = tmpDir("snap-pots-json")
+    val oldPot = "old.v1.potfactory.potlock.near"
+
+    // get_pots × get_config dump: one pre-stream pot, config payouts riding
+    // along (populatedata.py:220-334, 476-498)
+    Files.write(Paths.get(snapDir, "pots.json"),
+      ("""{"account": "old.v1.potfactory.potlock.near", "deployed_by": "dep.near",""" +
+        """ "deployed_at_ms": 1717000000000, "owner": "own.near", "admins": ["adm.near"],""" +
+        """ "chef": "chef0.near", "pot_name": "OldPot", "pot_description": "d",""" +
+        """ "max_projects": 10, "application_start_ms": 1717100000000,""" +
+        """ "application_end_ms": 1717200000000, "public_round_start_ms": 1717300000000,""" +
+        """ "public_round_end_ms": 1717400000000, "chef_fee_basis_points": 111,""" +
+        """ "all_paid_out": false,""" +
+        """ "source_metadata": {"commit_hash": "c", "link": "l", "version": "v"},""" +
+        """ "payouts": [{"project_id": "p1.near", "amount": "5000", "paid_at": 1717500000000},""" +
+        """ {"project_id": "p2.near", "amount": "6000"}]}""").getBytes)
+    // get_payouts_challenges dump (populatedata.py:504-547): one answered,
+    // one pending
+    Files.write(Paths.get(snapDir, "challenges.json"),
+      ("""{"challenger_id": "c1.near", "reason": "r1", "created_at": 1717600000000, "admin_notes": "fixed", "resolved": true}""" + "\n" +
+        """{"challenger_id": "c2.near", "reason": "r2", "created_at": 1717700000000, "admin_notes": "", "resolved": false}""").getBytes)
+
+    val snapPots = SnapshotBackfill.pots(spark, s"$snapDir/pots.json", 1000)
+    val n1 = SnapshotBackfill.mergeInto(spark, silverDir, Map(
+      "pots" -> (snapPots, SnapshotBackfill.naturalKeys("pots")),
+      "pot_payouts" -> (SnapshotBackfill.potPayouts(spark, s"$snapDir/pots.json", 1000),
+        SnapshotBackfill.naturalKeys("pot_payouts")),
+      "pot_payout_challenges" -> (SnapshotBackfill.payoutChallenges(
+        spark, s"$snapDir/challenges.json", oldPot, 1000),
+        SnapshotBackfill.naturalKeys("pot_payout_challenges")),
+      "pot_payout_challenge_admin_responses" -> (SnapshotBackfill.challengeAdminResponses(
+        spark, s"$snapDir/challenges.json", oldPot, "own.near", 1000),
+        SnapshotBackfill.naturalKeys("pot_payout_challenge_admin_responses")),
+      "accounts" -> (SnapshotBackfill.accounts(Seq(
+        snapPots -> Seq("deployer", "owner", "chef")), 1000),
+        SnapshotBackfill.naturalKeys("accounts"))))
+    assert(n1("pots") == 1 && n1("pot_payouts") == 2 &&
+      n1("pot_payout_challenges") == 2 &&
+      n1("pot_payout_challenge_admin_responses") == 1)
+
+    val silver = new SilverStore(spark, silverDir)
+    val p = silver.table("pots").head()
+    assert(p.getAs[String]("name") == "OldPot")
+    assert(p.getAs[String]("pot_factory") == "v1.potfactory.potlock.near")
+    assert(p.getAs[Int]("chef_fee_basis_points") == 111)
+    assert(p.getAs[java.sql.Timestamp]("deployed_at").getTime == 1717000000000L)
+    val po = silver.table("pot_payouts").orderBy("recipient").collect()
+    assert(po(0).getAs[String]("recipient") == "p1.near" &&
+      po(0).getAs[java.sql.Timestamp]("paid_at") != null)
+    assert(po(1).getAs[String]("recipient") == "p2.near" &&
+      po(1).isNullAt(po(1).fieldIndex("paid_at")))
+    // Python-truthiness filter: empty admin_notes + unresolved → no response
+    val resp = silver.table("pot_payout_challenge_admin_responses").collect()
+    assert(resp.length == 1 && resp(0).getAs[String]("challenger") == "c1.near" &&
+      resp(0).getAs[String]("admin") == "own.near" && resp(0).getAs[Boolean]("resolved"))
+
+    // Idempotence: re-running the same backfill changes nothing.
+    val n2 = SnapshotBackfill.mergeInto(spark, silverDir, Map(
+      "pot_payouts" -> (SnapshotBackfill.potPayouts(spark, s"$snapDir/pots.json", 1000),
+        SnapshotBackfill.naturalKeys("pot_payouts"))))
+    assert(n2("pot_payouts") == 2)
+
+    // A stream config update at a LATER height wins over the snapshot…
+    val in = tmpDir("snap-pots-bronze")
+    Files.write(Paths.get(in, "b.json"),
+      block(2000, 2000000000000L, Seq(
+        receipt(oldPot, "owner_change_config", "{}",
+          resultJson = Some("\"ok\""), receiptId = "rC1", signer = "own.near",
+          logs = Seq(potConfigUpdateEventLog("own.near", "streamchef.near",
+            "OldPot v2", 222, 1717300000000L, 1717400000000L))))).getBytes)
+    StreamIngest.backfill(spark, in, silverDir)
+    val p2 = silver.table("pots").head()
+    assert(p2.getAs[String]("chef") == "streamchef.near")
+    assert(p2.getAs[Int]("chef_fee_basis_points") == 222)
+    // …deploy-time fields still survive from the snapshot
+    assert(p2.getAs[String]("deployer") == "dep.near")
+
+    // …and an EARLIER-height snapshot does NOT override the stream.
+    Files.write(Paths.get(snapDir, "pots2.json"),
+      new String(Files.readAllBytes(Paths.get(snapDir, "pots.json")), "UTF-8")
+        .replace("chef0.near", "stale.near").getBytes)
+    SnapshotBackfill.mergeInto(spark, silverDir, Map(
+      "pots" -> (SnapshotBackfill.pots(spark, s"$snapDir/pots2.json", 1500),
+        SnapshotBackfill.naturalKeys("pots"))))
+    assert(silver.table("pots").head().getAs[String]("chef") == "streamchef.near")
+  }
+
+  test("factory get_config snapshot refreshes factory rows (no-RPC update_configs)") {
+    val silverDir = tmpDir("snap-factory-silver")
+    val snapDir = tmpDir("snap-factory-json")
+    // Stream deploys the factory first…
+    val in = tmpDir("snap-factory-bronze")
+    Files.write(Paths.get(in, "b.json"),
+      block(100, 1718000000000000000L, Seq(
+        receipt(factoryAccount, "new", factoryNewArgs("fowner.near", Seq("dep1.near")),
+          resultJson = Some("\"ok\""), receiptId = "rF1", signer = "fowner.near"))).getBytes)
+    StreamIngest.backfill(spark, in, silverDir)
+    // …then a later get_config dump refreshes fees and replaces admins.
+    Files.write(Paths.get(snapDir, "factory.json"),
+      ("""{"account": "v1.potfactory.potlock.near", "owner": "fowner.near",""" +
+        """ "admins": ["fa1.near"], "whitelisted_deployers": ["dep1.near", "dep9.near"],""" +
+        """ "protocol_fee_basis_points": 333,""" +
+        """ "protocol_fee_recipient_account": "fees.near", "require_whitelist": false}""").getBytes)
+    SnapshotBackfill.mergeInto(spark, silverDir, Map(
+      "pot_factories" -> (SnapshotBackfill.factoryConfig(
+        spark, s"$snapDir/factory.json", 2000),
+        SnapshotBackfill.naturalKeys("pot_factories"))))
+    val f = new SilverStore(spark, silverDir).table("pot_factories").head()
+    assert(f.getAs[Int]("protocol_fee_basis_points") == 333)
+    assert(f.getAs[String]("protocol_fee_recipient") == "fees.near")
+    assert(!f.getAs[Boolean]("require_whitelist"))
+    assert(f.getAs[scala.collection.Seq[String]]("admins").toSeq == Seq("fa1.near"))
+    assert(f.getAs[scala.collection.Seq[String]]("whitelisted_deployers").toSeq ==
+      Seq("dep1.near", "dep9.near"))
+    // deploy-time fields survive the config-only dump (coalescing merge)
+    assert(f.getAs[java.sql.Timestamp]("deployed_at") != null)
+    assert(f.getAs[String]("source_metadata").contains("commit_hash"))
+  }
+
   test("pretty-printed array snapshot parses via multiLine fallback") {
     val snapDir = tmpDir("snap-pretty")
     Files.write(Paths.get(snapDir, "lists.json"),
