@@ -186,11 +186,11 @@ object DedupFunctions {
     * takes the minimum label among itself and its neighbors; fixpoint in
     * O(component diameter) rounds — near-dup components are shallow
     * (dup clusters, not social graphs), so a handful of rounds suffices;
-    * `maxIters` caps pathological chains. Each round is one equi-join plus
-    * one aggregation, both hash-shuffled on the node key — the cost
-    * profile of the published large-star/small-star CC algorithm without
-    * its implementation weight (swap that in if 100 TB graphs show deep
-    * chains). `localCheckpoint` truncates the per-round lineage so the
+    * `maxIters` caps pathological chains — past the cap the input is
+    * handed to [[duplicateClustersStar]], whose round count is
+    * O(log n) in component size rather than O(diameter). Each round is one
+    * equi-join plus one aggregation, both hash-shuffled on the node key.
+    * `localCheckpoint` truncates the per-round lineage so the
     * plan doesn't double each iteration; fault tolerance is not needed
     * because the loop re-derives from immutable inputs. The per-round
     * convergence count is a scalar driver read, not a data collect.
@@ -220,20 +220,86 @@ object DedupFunctions {
       i += 1
     }
     edges.unpersist()
-    // A silent exit at the iteration cap would return partial labels that
-    // masquerade as a correct clustering (and diverge from an exact
-    // recursive-CTE oracle). Components deeper than maxIters need the
-    // large-star/small-star algorithm, not more of this one — fail loudly.
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"duplicateClusters: not converged after $maxIters rounds " +
-          s"($changed labels still changing); the duplicate graph has a " +
-          "component with diameter > maxIters — raise maxIters or switch " +
-          "to large-star/small-star connected components")
+    // A component deeper than maxIters would leave partial labels that
+    // masquerade as a correct clustering. Min-label propagation is the
+    // cheap path for the shallow components near-dup graphs actually have;
+    // when a pathological chain exhausts the round cap, hand the whole
+    // input to the O(log n)-round star-contraction algorithm instead of
+    // failing (or throwing spuriously when the final round happened to
+    // reach fixpoint exactly at the cap).
+    if (changed > 0) {
+      labels.unpersist()
+      return duplicateClustersStar(pairs, a, b)
+    }
     val out = labels
       .select(col("node").as("member"), col("label").as("cluster_id"))
       .localCheckpoint(true)
     labels.unpersist()
+    out
+  }
+
+  /** Connected components by alternating large-star/small-star edge
+    * contractions — the published CC-in-MapReduce formulation (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14), which
+    * converges in O(log n) rounds regardless of component DIAMETER, unlike
+    * min-label propagation's O(diameter). Same output contract as
+    * [[duplicateClusters]]: (member, cluster_id = component min).
+    *
+    * Each round:
+    *  - large-star: every node u links its strictly-larger neighbors to
+    *    m(u) = min(Γ(u) ∪ u) — long chains fold toward small ids;
+    *  - small-star: on the canonical (hi, lo) edges, every hi links its
+    *    smaller neighbors AND itself to min(Γ(hi)) — stars flatten.
+    * The edge set is a fixpoint exactly when every component is a star
+    * rooted at its min, at which point (hi → lo) IS the labeling. Each
+    * phase is one groupBy + one equi-join, hash-shuffled on the node key;
+    * `localCheckpoint` truncates per-round lineage. The stability probe is
+    * a count plus an anti-join count on round-sized data.
+    */
+  def duplicateClustersStar(pairs: DataFrame, a: String, b: String,
+      maxIters: Int = 60): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var edges = pairs
+      .select(greatest(col(a), col(b)).as("hi"), least(col(a), col(b)).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .persist(lvl)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star over the symmetrized neighbor list
+      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("minv"))
+        .select(col("u"), least(col("u"), col("minv")).as("m"))
+      val large = nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // small-star over canonical edges (every neighbor v < u by layout)
+      val minsS = large.groupBy(col("hi").as("u")).agg(min("lo").as("m"))
+      val small = large.select(col("hi").as("u"), col("lo").as("v"))
+        .join(minsS, Seq("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .unionByName(minsS.select(col("u").as("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .localCheckpoint(true)
+      val sameSize = small.count() == edges.count()
+      converged = sameSize &&
+        small.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      edges.unpersist()
+      edges = small.persist(lvl)
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClustersStar: not converged after $maxIters rounds — " +
+          "O(log n) contraction should never need this many; inspect the input graph")
+    // Fixpoint = stars: (hi → lo) is the labeling; roots label themselves.
+    val out = edges.select(col("hi").as("member"), col("lo").as("cluster_id"))
+      .unionByName(edges.select(col("lo").as("member"), col("lo").as("cluster_id")))
+      .distinct()
+      .localCheckpoint(true)
+    edges.unpersist()
     out
   }
 }

@@ -126,15 +126,25 @@ object Similarity {
     // thousand vectors per cell, not the corpus — a full-corpus fit is
     // maxIter complete passes before the first query, which is the one
     // cost here that would grow with data volume. The seeded hash-mod
-    // filter is stable across runs (no RNG state, unlike df.sample) and
-    // prunes in the scan; limit() enforces the hard cap.
+    // filter is stable across runs (no RNG state, unlike df.sample).
     val fitSet = {
-      val n = corpusVec.count()
+      // The sampling rate comes from the UN-projected corpus: count(*)
+      // over the raw scan column-prunes to metadata weight, instead of
+      // paying a full vector-decode pass just to pick the rate. The filter
+      // sits below the array_to_vector projection, so the fit path decodes
+      // vectors only for sampled rows.
+      val n = corpus.count()
       if (n <= fitSampleRows) corpusVec
       else {
-        val keepOneIn = math.max(1L, n / fitSampleRows)
+        // Ceil division lands the filter alone at/under the cap in
+        // expectation; the ordered limit is a deterministic guard over the
+        // (sample-sized) hash-variance overshoot, not an arbitrary
+        // scan-order pick.
+        val keepOneIn = (n + fitSampleRows - 1) / fitSampleRows
+        val h = xxhash64(col("neighbor_id"), lit(seed))
         corpusVec
-          .filter(pmod(xxhash64(col("neighbor_id"), lit(seed)), lit(keepOneIn)) === 0)
+          .filter(pmod(h, lit(keepOneIn)) === 0)
+          .orderBy(h.asc, col("neighbor_id").asc)
           .limit(fitSampleRows)
       }
     }

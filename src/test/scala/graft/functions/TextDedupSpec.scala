@@ -88,6 +88,50 @@ class TextDedupSpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("IVF sampled-fit path is deterministic across runs") {
+    // Force the sampled path (fitSampleRows < corpus size): two runs must
+    // produce identical neighbor sets — the hash-mod filter plus the
+    // ordered-limit guard leave nothing to scan order or partition layout.
+    val base = (0 until 64).map { i =>
+      val c = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(c + i * 0.001f, c - i * 0.001f, c, c * 0.5f))
+    }
+    val vecs = base.toDF("vec_id", "embedding").repartition(7)
+    val queries = vecs.filter(col("vec_id") < 4)
+    def run() = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding",
+      "vec_id", "embedding", k = 2, nlist = 2, nprobe = 2,
+      fitSampleRows = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run() == run())
+  }
+
+  test("star-contraction CC matches min-label propagation on a branchy graph") {
+    // three components: a triangle+tail, a pair, a singleton edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (10L, 11L), (20L, 21L)).toDF("a", "b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = toMap(DedupFunctions.duplicateClusters(pairs, "a", "b"))
+    val star = toMap(DedupFunctions.duplicateClustersStar(pairs, "a", "b"))
+    assert(star == prop)
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("deep-chain component falls back to star contraction in O(log n) rounds") {
+    // A 1000-node path has diameter 999: min-label propagation would need
+    // 999 rounds (its default cap is 20), and star contraction's own cap
+    // of 60 rounds only suffices because its round count is logarithmic —
+    // so this passing AT ALL proves both the fallback wiring and the
+    // contraction rate.
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = DedupFunctions.duplicateClusters(chain, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 1000)
+    assert(labels.forall(_._2 == 0L))
+  }
+
   test("native expressions are bit-identical to their HOF formulations") {
     val mh = docs.select(
       DedupFunctions.minHashSignature(DedupFunctions.shingles(col("text"), 3), 16).as("a"),
