@@ -40,9 +40,11 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
+          // strip quotes, backslashes and ALL control chars (\b, \f,
+          // U+0000-001F would otherwise still produce invalid JSON)
           err = Some((e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("")).take(160)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " "))
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " "))
           None
         }
       }

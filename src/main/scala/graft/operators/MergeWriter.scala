@@ -1,8 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,9 +26,16 @@ import org.apache.spark.sql.functions._
   * table; the production layout partitions by a stable hash/date of the
   * key and rewrites only partitions present in the incoming batch
   * (partition-scoped MERGE). The dedup itself is one shuffle on the key —
-  * the same cost Delta/Iceberg MERGE pays.
+  * the same cost Delta/Iceberg MERGE pays. All layout mutations flow
+  * through the [[TableIO]] seam, so the swap protocol ports to HDFS /
+  * object stores by swapping that implementation, not this logic.
   */
 object MergeWriter {
+
+  /** Filesystem backend. Local by default; tests and cluster deployments
+    * substitute their own. Deliberately a plain var — the engine
+    * constructs no DI graph, and merge call sites are all driver-side. */
+  @volatile var io: TableIO = LocalTableIO
 
   /** LWW-dedup `incoming` against the existing table at `path` and
     * atomically replace it. Returns the merged row count. */
@@ -44,7 +48,7 @@ object MergeWriter {
       coalesceUpdates: Boolean = true): Long = {
 
     val existing: Option[DataFrame] =
-      if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path)) else None
+      if (io.exists(path)) Some(spark.read.parquet(path)) else None
 
     val unioned = existing match {
       case Some(old) => old.unionByName(incoming, allowMissingColumns = true)
@@ -75,11 +79,10 @@ object MergeWriter {
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val tmp = path + ".tmp-" + uid
     df.write.mode("overwrite").parquet(tmp)
-    val p = Paths.get(path)
-    val old = Paths.get(path + ".old-" + uid)
-    if (Files.exists(p)) Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), p, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
+    val old = path + ".old-" + uid
+    if (io.exists(path)) io.atomicMove(path, old)
+    io.atomicMove(tmp, path)
+    io.deleteRecursively(old)
   }
 
   /** Replace whole rows by natural key: a row in `replacement` overwrites
@@ -87,12 +90,20 @@ object MergeWriter {
     * For read-modify-write patches (the array-delta M2M updates) where the
     * replacement row was DERIVED from the current table row — an LWW merge
     * would make the outcome depend on a seq tie-break between a row and its
-    * own patched copy. Returns the merged row count. */
+    * own patched copy. Returns the merged row count.
+    *
+    * Flat-only contract: the rewrite goes through the flat writeAndSwap,
+    * which would silently flatten a partition-laid-out table and strand
+    * its counts sidecar — so a partitioned target is refused loudly. */
   def replaceRows(
       spark: SparkSession,
       replacement: DataFrame,
       path: String,
       keys: Seq[String]): Long = {
+    require(!hasPartitionDirs(path),
+      s"replaceRows: $path has a partitioned layout; the flat rewrite " +
+        "would flatten it and strand its counts sidecar (add the table to " +
+        "a partition-aware patch path instead)")
     val existing = spark.read.parquet(path)
     val kept = existing.join(
       broadcast(replacement.select(keys.map(col): _*).distinct()),
@@ -143,13 +154,13 @@ object MergeWriter {
         s"$partitionCol value '$v' needs Hive escaping; format it as a plain string first")
     }
 
-    val exists = Files.exists(Paths.get(path))
+    val exists = io.exists(path)
     // A flat (unpartitioned) layout at `path` — the empty-batch bootstrap
     // table, or a table written before partitioning was enabled — can't be
     // partition-pruned and would leave stale root files shadowing the
     // partition dirs. Migrate it wholesale: merge the FULL table and
     // rewrite as partitioned, once.
-    if (exists && hasRootDataFiles(Paths.get(path)))
+    if (exists && hasRootDataFiles(path))
       return migrateToPartitioned(spark, incoming, path, keys, seq,
         partitionCol, coalesceUpdates)
     val existingAffected: Option[DataFrame] =
@@ -167,7 +178,7 @@ object MergeWriter {
     // current total from the sidecar. With no table yet, bootstrap a flat
     // schema-only table (readable; migrated on the first real merge).
     if (incoming.isEmpty)
-      return if (exists) totalFromSidecar(spark, path, partitionCol, Map.empty)
+      return if (exists) currentCounts(spark, path, partitionCol).values.sum
       else merge(spark, incoming, path, keys, seq, coalesceUpdates)
     val merged = {
       val filled = if (coalesceUpdates) backfillNulls(unioned, keys, seq) else unioned
@@ -179,97 +190,111 @@ object MergeWriter {
       .groupBy(col(partitionCol)).count().collect()
       .map(r => (s"$partitionCol=${r.get(0)}", r.getLong(1))).toMap
 
-    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = path + ".tmp-" + uid
     merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
     merged.unpersist()
 
-    Files.createDirectories(Paths.get(path))
+    // Sidecar-before-swap protocol (see [[currentCounts]] for why): the
+    // new totals are persisted FIRST, stamped with this batch's swap uid;
+    // the marker gets the same uid only after every partition swap landed.
+    // A crash anywhere between the two writes leaves uid mismatch → the
+    // next reader recounts instead of trusting stale per-partition counts.
+    val newCounts = currentCounts(spark, path, partitionCol) ++ mergedPerPart
+    writeCountsSidecar(path, newCounts, uid)
+
+    io.createDirectories(path)
     affected.foreach { v =>
       val dirName = s"$partitionCol=$v"
-      val src = Paths.get(tmp, dirName)
-      val dst = Paths.get(path, dirName)
+      val src = s"$tmp/$dirName"
+      val dst = s"$path/$dirName"
       // Same rename-aside discipline as the flat swap: a crash between the
       // renames leaves the .old- copy recoverable instead of losing the
       // live partition. The aside dir sits NEXT TO the table dir — inside
       // it, a leftover would corrupt partition discovery.
-      val old = Paths.get(tmp.replace(".tmp-", ".old-") + "-" + dirName)
-      if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
-      if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(old)
+      val old = tmp.replace(".tmp-", ".old-") + "-" + dirName
+      if (io.exists(dst)) io.atomicMove(dst, old)
+      if (io.exists(src)) io.atomicMove(src, dst)
+      io.deleteRecursively(old)
     }
-    deleteRecursively(Paths.get(tmp))
-    totalFromSidecar(spark, path, partitionCol, mergedPerPart)
+    io.deleteRecursively(tmp)
+    writeSwapMarker(path, uid)
+    newCounts.values.sum
   }
 
   /** Per-partition row counts live in `<table>.counts.json` NEXT TO the
     * table dir, so the full-table count callers want is a delta update +
     * sum, not a per-batch scan of all partition footers (which grows with
     * table history — exactly what the partition-scoped path exists to
-    * avoid). Self-healing: when the sidecar's partition set disagrees with
-    * the directories on disk (legacy table, crash between swap and sidecar
-    * write), the table is recounted grouped-by-partition once and the
-    * sidecar rebuilt. */
-  private def totalFromSidecar(spark: SparkSession, path: String,
-      partitionCol: String, mergedPerPart: Map[String, Long]): Long = {
-    val diskParts: Set[String] = {
-      val s = Files.list(Paths.get(path))
-      try {
-        val it = s.iterator()
-        val b = Set.newBuilder[String]
-        while (it.hasNext) {
-          val f = it.next()
-          val n = f.getFileName.toString
-          if (Files.isDirectory(f) && n.startsWith(partitionCol + "=")) b += n
-        }
-        b.result()
-      } finally s.close()
+    * avoid).
+    *
+    * Validity is a two-part check, and both parts must pass:
+    *  - the sidecar's swap uid equals the `<table>.swapuid` marker's —
+    *    the sidecar is written (with the NEW uid) before the partition
+    *    swaps, the marker after them, so ANY crash inside the swap window
+    *    leaves the uids disagreeing, including the batch-touched-only-
+    *    existing-partitions case where the partition-name set stays
+    *    identical;
+    *  - the sidecar's partition-name set matches the directories on disk
+    *    (catches legacy tables and out-of-band layout edits).
+    * On any disagreement the table is recounted grouped-by-partition —
+    * one full scan to heal, never a steady-state cost. */
+  private def currentCounts(spark: SparkSession, path: String,
+      partitionCol: String): Map[String, Long] = {
+    if (!io.exists(path)) return Map.empty
+    val diskParts: Set[String] = io.listDir(path)
+      .collect { case (n, true) if n.startsWith(partitionCol + "=") => n }
+      .toSet
+    if (diskParts.isEmpty) return Map.empty
+    val markerUid = io.readString(swapMarkerPath(path))
+    val valid = readCountsSidecar(path).collect {
+      case (counts, sidecarUid)
+        if sidecarUid.nonEmpty && markerUid.contains(sidecarUid) &&
+          counts.keySet == diskParts => counts
     }
-    val prior = readCountsSidecar(path)
-    val counts: Map[String, Long] =
-      prior match {
-        case Some(m) if (m.keySet ++ mergedPerPart.keySet) == diskParts =>
-          m ++ mergedPerPart
-        case _ =>
-          // seed / heal: one grouped count over the whole table
-          spark.read.parquet(path).groupBy(col(partitionCol)).count()
-            .collect().map(r => (s"$partitionCol=${r.get(0)}", r.getLong(1))).toMap
-      }
-    writeCountsSidecar(path, counts)
-    counts.values.sum
+    valid.getOrElse {
+      // seed / heal: one grouped count over the whole table, persisted so
+      // the scan doesn't repeat next batch
+      val counted = spark.read.parquet(path).groupBy(col(partitionCol)).count()
+        .collect().map(r => (s"$partitionCol=${r.get(0)}", r.getLong(1))).toMap
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      writeCountsSidecar(path, counted, uid)
+      writeSwapMarker(path, uid)
+      counted
+    }
   }
 
-  private def sidecarPath(path: String): Path = Paths.get(path + ".counts.json")
+  private def sidecarPath(path: String): String = path + ".counts.json"
+  private def swapMarkerPath(path: String): String = path + ".swapuid"
 
-  private def readCountsSidecar(path: String): Option[Map[String, Long]] =
-    if (!Files.exists(sidecarPath(path))) None
-    else scala.util.Try {
-      val txt = new String(Files.readAllBytes(sidecarPath(path)), "UTF-8")
-      "\"([^\"]+)\":\\s*(\\d+)".r.findAllMatchIn(txt)
-        .map(m => (m.group(1), m.group(2).toLong)).toMap
-    }.toOption
+  private def writeSwapMarker(path: String, uid: String): Unit =
+    io.writeStringAtomic(swapMarkerPath(path), uid)
 
-  private def writeCountsSidecar(path: String, counts: Map[String, Long]): Unit = {
-    val json = counts.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val tmp = Paths.get(path + ".counts.json.tmp")
-    Files.write(tmp, json.getBytes("UTF-8"))
-    Files.move(tmp, sidecarPath(path), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  private def readCountsSidecar(path: String): Option[(Map[String, Long], String)] =
+    io.readString(sidecarPath(path)).flatMap { txt =>
+      scala.util.Try {
+        val counts = "\"([^\"]+)\":\\s*(\\d+)".r.findAllMatchIn(txt)
+          .map(m => (m.group(1), m.group(2).toLong)).toMap
+        val uid = "\"__swap_uid\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+        (counts, uid)
+      }.toOption
+    }
+
+  private def writeCountsSidecar(path: String, counts: Map[String, Long],
+      uid: String): Unit = {
+    // the uid value is quoted, so the numeric count regex never picks it up
+    val json = (s""""__swap_uid":"$uid"""" +: counts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }).mkString("{", ",", "}")
+    io.writeStringAtomic(sidecarPath(path), json)
   }
 
-  private def hasRootDataFiles(p: Path): Boolean = {
-    val s = Files.list(p)
-    try {
-      val it = s.iterator()
-      var found = false
-      while (!found && it.hasNext) {
-        val f = it.next()
-        found = Files.isRegularFile(f) &&
-          f.getFileName.toString.endsWith(".parquet")
-      }
-      found
-    } finally s.close()
-  }
+  private def hasRootDataFiles(path: String): Boolean =
+    io.listDir(path).exists { case (n, isDir) =>
+      !isDir && n.endsWith(".parquet") }
+
+  private def hasPartitionDirs(path: String): Boolean =
+    io.listDir(path).exists { case (n, isDir) => isDir && n.contains("=") }
 
   private def migrateToPartitioned(
       spark: SparkSession,
@@ -299,12 +324,14 @@ object MergeWriter {
     val tmp = path + ".tmp-" + uid
     merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
     merged.unpersist()
-    val p = Paths.get(path)
-    val old = Paths.get(path + ".old-" + uid)
-    Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), p, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
-    writeCountsSidecar(path, perPart)
+    // same sidecar-before-swap, marker-after-swap discipline as the
+    // steady-state path
+    writeCountsSidecar(path, perPart, uid)
+    val old = path + ".old-" + uid
+    io.atomicMove(path, old)
+    io.atomicMove(tmp, path)
+    io.deleteRecursively(old)
+    writeSwapMarker(path, uid)
     n
   }
 
@@ -339,7 +366,7 @@ object MergeWriter {
       keys: Seq[String],
       seq: Seq[String]): Long = {
     val existing: Option[DataFrame] =
-      if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path)) else None
+      if (io.exists(path)) Some(spark.read.parquet(path)) else None
     val unioned = existing match {
       case Some(old) => old.unionByName(incoming, allowMissingColumns = true)
       case None => incoming
@@ -351,10 +378,4 @@ object MergeWriter {
     merged.unpersist()
     n
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-    }
 }

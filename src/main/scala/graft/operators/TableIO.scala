@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+/** Filesystem seam for the merge writer's swap/list/sidecar IO.
+  *
+  * MergeWriter's durability story rests on three primitives — atomic
+  * rename, directory listing, and small atomic file writes — and nothing
+  * else in the engine mutates table layout. Isolating them here keeps the
+  * 100 TB path honest: the local implementation uses `java.nio` same-volume
+  * renames, while a cluster deployment backs the same interface with the
+  * HDFS `rename` (atomic within a namespace) or an object-store commit
+  * protocol, without touching merge logic.
+  */
+trait TableIO {
+  def exists(path: String): Boolean
+  /** (name, isDirectory) for each direct child; empty if `path` is not a
+    * directory. */
+  def listDir(path: String): Seq[(String, Boolean)]
+  /** Atomic same-volume rename; fails rather than falling back to
+    * copy+delete (the swap protocol's correctness depends on it). */
+  def atomicMove(src: String, dst: String): Unit
+  def createDirectories(path: String): Unit
+  def deleteRecursively(path: String): Unit
+  def readString(path: String): Option[String]
+  /** Write-then-rename so readers never observe a torn small file. */
+  def writeStringAtomic(path: String, content: String): Unit
+}
+
+/** Local-filesystem implementation over `java.nio`. */
+object LocalTableIO extends TableIO {
+  private def p(s: String): Path = Paths.get(s)
+
+  def exists(path: String): Boolean = Files.exists(p(path))
+
+  def listDir(path: String): Seq[(String, Boolean)] = {
+    if (!Files.isDirectory(p(path))) return Nil
+    val s = Files.list(p(path))
+    try {
+      val b = Seq.newBuilder[(String, Boolean)]
+      val it = s.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        b += ((f.getFileName.toString, Files.isDirectory(f)))
+      }
+      b.result()
+    } finally s.close()
+  }
+
+  def atomicMove(src: String, dst: String): Unit =
+    Files.move(p(src), p(dst), StandardCopyOption.ATOMIC_MOVE)
+
+  def createDirectories(path: String): Unit =
+    Files.createDirectories(p(path))
+
+  def deleteRecursively(path: String): Unit =
+    if (Files.exists(p(path))) {
+      Files.walk(p(path)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+
+  def readString(path: String): Option[String] =
+    if (!Files.exists(p(path))) None
+    else scala.util.Try(new String(Files.readAllBytes(p(path)), "UTF-8")).toOption
+
+  def writeStringAtomic(path: String, content: String): Unit = {
+    val tmp = p(path + ".tmp")
+    Files.write(tmp, content.getBytes("UTF-8"))
+    Files.move(tmp, p(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

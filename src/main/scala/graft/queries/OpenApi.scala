@@ -112,4 +112,40 @@ object OpenApi {
     }
     m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
+
+  private val schemaRoute = "/api/schema/"
+
+  /** GET /api/schema/swagger-ui/ (reference api/urls.py:40-44,
+    * SpectacularSwaggerView): a static HTML shell that loads the published
+    * swagger-ui assets and points them at [[schemaJson]]'s route. */
+  def swaggerUiHtml: String =
+    s"""<!DOCTYPE html>
+       |<html>
+       |<head>
+       |  <title>graft query plane — Swagger UI</title>
+       |  <link rel="stylesheet" href="https://unpkg.com/swagger-ui-dist/swagger-ui.css"/>
+       |</head>
+       |<body>
+       |  <div id="swagger-ui"></div>
+       |  <script src="https://unpkg.com/swagger-ui-dist/swagger-ui-bundle.js"></script>
+       |  <script>
+       |    SwaggerUIBundle({url: "$schemaRoute", dom_id: "#swagger-ui"});
+       |  </script>
+       |</body>
+       |</html>""".stripMargin
+
+  /** GET /api/schema/redoc/ (reference api/urls.py:45-47,
+    * SpectacularRedocView). */
+  def redocHtml: String =
+    s"""<!DOCTYPE html>
+       |<html>
+       |<head>
+       |  <title>graft query plane — ReDoc</title>
+       |  <meta charset="utf-8"/>
+       |</head>
+       |<body>
+       |  <redoc spec-url="$schemaRoute"></redoc>
+       |  <script src="https://cdn.redoc.ly/redoc/latest/bundles/redoc.standalone.js"></script>
+       |</body>
+       |</html>""".stripMargin
 }

@@ -73,4 +73,75 @@ class MergeWriterSpec extends SparkSpec {
     assert(!entries.exists(_.endsWith(".parquet")))
     assert(entries.exists(_.contains("day=2024-06-02")))
   }
+
+  test("all layout mutations flow through the TableIO seam") {
+    // A counting delegate substituted for the default backend: the merge
+    // must be green through the seam AND actually exercise it.
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    object CountingIO extends TableIO {
+      private def t[A](a: A): A = { calls.incrementAndGet(); a }
+      def exists(p: String) = t(LocalTableIO.exists(p))
+      def listDir(p: String) = t(LocalTableIO.listDir(p))
+      def atomicMove(s: String, d: String) = t(LocalTableIO.atomicMove(s, d))
+      def createDirectories(p: String) = t(LocalTableIO.createDirectories(p))
+      def deleteRecursively(p: String) = t(LocalTableIO.deleteRecursively(p))
+      def readString(p: String) = t(LocalTableIO.readString(p))
+      def writeStringAtomic(p: String, c: String) = t(LocalTableIO.writeStringAtomic(p, c))
+    }
+    val prev = MergeWriter.io
+    try {
+      MergeWriter.io = CountingIO
+      val path = tmpDir("seam") + "/t"
+      val b = Seq(("k1", "2024-06-01", 1L, "v1")).toDF("key", "day", "seqno", "value")
+      MergeWriter.mergePartitioned(spark, b, path, Seq("key"), Seq("seqno"), "day")
+      val b2 = Seq(("k1", "2024-06-01", 2L, "v2")).toDF("key", "day", "seqno", "value")
+      val n = MergeWriter.mergePartitioned(spark, b2, path, Seq("key"), Seq("seqno"), "day")
+      assert(n == 1)
+      assert(spark.read.parquet(path).head().getAs[String]("value") == "v2")
+      assert(calls.get() > 0)
+    } finally MergeWriter.io = prev
+  }
+
+  test("sidecar crash window heals: swap without marker update forces a recount") {
+    val path = tmpDir("pheal") + "/t"
+    val b1 = Seq(
+      ("k1", "2024-06-01", 1L, "v1"),
+      ("k2", "2024-06-01", 1L, "v2")
+    ).toDF("key", "day", "seqno", "value")
+    MergeWriter.mergePartitioned(spark, b1, path, Seq("key"), Seq("seqno"), "day")
+
+    // Simulate the crash-between-swap-and-marker window on a batch that
+    // touched ONLY pre-existing partitions: falsify the sidecar counts
+    // (the partition-name SET still matches disk, so a set-only validity
+    // check would happily trust the stale numbers) and leave the marker at
+    // a different uid, as an interrupted swap does.
+    val sidecar = Paths.get(path + ".counts.json")
+    val txt = new String(Files.readAllBytes(sidecar), "UTF-8")
+      .replaceAll("\"day=2024-06-01\":\\d+", "\"day=2024-06-01\":999")
+    Files.write(sidecar, txt.getBytes("UTF-8"))
+    Files.write(Paths.get(path + ".swapuid"), "stale-uid".getBytes("UTF-8"))
+
+    // An empty batch reports the total from the sidecar — the uid mismatch
+    // must force a recount instead of returning 999.
+    val empty = Seq.empty[(String, String, Long, String)]
+      .toDF("key", "day", "seqno", "value")
+    assert(MergeWriter.mergePartitioned(spark, empty, path,
+      Seq("key"), Seq("seqno"), "day") == 2)
+    // …and the heal is persisted: sidecar + marker agree again.
+    val healed = new String(Files.readAllBytes(sidecar), "UTF-8")
+    assert(healed.contains("\"day=2024-06-01\":2"))
+    val markerUid = new String(Files.readAllBytes(Paths.get(path + ".swapuid")), "UTF-8")
+    assert(healed.contains(s""""__swap_uid":"$markerUid""""))
+  }
+
+  test("replaceRows refuses a partition-laid-out target (flat-only contract)") {
+    val path = tmpDir("pflat") + "/t"
+    val b = Seq(("k1", "2024-06-01", 1L, "v1")).toDF("key", "day", "seqno", "value")
+    MergeWriter.mergePartitioned(spark, b, path, Seq("key"), Seq("seqno"), "day")
+    val repl = Seq(("k1", "2024-06-01", 2L, "v2")).toDF("key", "day", "seqno", "value")
+    val e = intercept[IllegalArgumentException] {
+      MergeWriter.replaceRows(spark, repl, path, Seq("key"))
+    }
+    assert(e.getMessage.contains("partitioned layout"))
+  }
 }

@@ -270,6 +270,17 @@ class QueryServiceSpec extends SparkSpec {
       .forall(k => env.has(k)))
   }
 
+  test("swagger-ui and redoc wrappers render and reference the schema route") {
+    // api/urls.py:40-47: two static HTML shells over the schema document
+    val sw = OpenApi.swaggerUiHtml
+    assert(sw.startsWith("<!DOCTYPE html>"))
+    assert(sw.contains("SwaggerUIBundle"))
+    assert(sw.contains("\"/api/schema/\""))
+    val rd = OpenApi.redocHtml
+    assert(rd.startsWith("<!DOCTYPE html>"))
+    assert(rd.contains("<redoc spec-url=\"/api/schema/\""))
+  }
+
   test("account stats gold: per-account rollups (A2)") {
     val st = tables("account_stats")
     val d1 = st.filter(col("id") === "donor1.near").head()
