@@ -295,10 +295,19 @@ object DedupFunctions {
         s"duplicateClustersStar: not converged after $maxIters rounds — " +
           "O(log n) contraction should never need this many; inspect the input graph")
     // Fixpoint = stars: (hi → lo) is the labeling; roots label themselves.
-    val out = edges.select(col("hi").as("member"), col("lo").as("cluster_id"))
+    // Nodes whose only pairs were reflexive (a == b) vanished with the
+    // self-loop filter but are still members of the input — label them
+    // with themselves, matching duplicateClusters' output contract.
+    val starMembers = edges
+      .select(col("hi").as("member"), col("lo").as("cluster_id"))
       .unionByName(edges.select(col("lo").as("member"), col("lo").as("cluster_id")))
       .distinct()
-      .localCheckpoint(true)
+    val selfOnly = pairs
+      .select(col(a).as("member")).unionByName(pairs.select(col(b).as("member")))
+      .distinct()
+      .join(starMembers.select("member"), Seq("member"), "left_anti")
+      .withColumn("cluster_id", col("member"))
+    val out = starMembers.unionByName(selfOnly).localCheckpoint(true)
     edges.unpersist()
     out
   }

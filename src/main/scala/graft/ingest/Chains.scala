@@ -13,9 +13,10 @@ import graft.functions.Amounts
   *
   * The reference seeds rows out-of-band (admin/migrations); the engine
   * consumes a JSON dump the same way the other lookup dimensions load
-  * (SnapshotBackfill.tokenMetadata), plus [[seedDefault]] for the NEAR row
-  * every deployment needs (accounts/models.py:141-143 defaults account
-  * chains to NEAR when unset).
+  * (SnapshotBackfill.tokenMetadata), and SilverStore.applyBatch seeds
+  * [[defaultRows]] (the NEAR row every deployment needs —
+  * accounts/models.py:141-143 defaults account chains to NEAR when unset)
+  * the first time a silver store materializes.
   */
 object Chains {
 

@@ -325,21 +325,36 @@ final class SilverStore(spark: SparkSession, dir: String) {
       // deploys plus the existing table. Defined up here because account
       // discovery below must see the same gating (the reference creates
       // owner/chef/admin accounts only after the pot lookup succeeds).
+      //
+      // MATERIALIZED EAGERLY (localCheckpoint) before any merge task runs:
+      // the semi-join scans the pots/pot_factories tables, and the merge
+      // pool below atomically SWAPS those same directories — a lazy plan
+      // holding the pre-swap file listing would hit FileNotFoundException
+      // when a sibling task (accounts, phase-2 patches) executes it after
+      // the swap. Config updates are event-sized, so the checkpoint is a
+      // small driver-triggered job, and gating on the event probe means a
+      // batch with no config traffic never scans the dimension at all.
       val potDeployRows = potDeploys(acts)
       val potCfg = {
         val upd = potConfigUpdates(evts)
-        val known = potDeployRows.select("account").unionByName(
-          if (exists("pots")) table("pots").select("account")
-          else spark.emptyDataFrame.select(lit("").as("account")).limit(0))
-        upd.join(known, Seq("account"), "left_semi")
+        if (!potCfgHit) upd.limit(0)
+        else {
+          val known = potDeployRows.select("account").unionByName(
+            if (exists("pots")) table("pots").select("account")
+            else spark.emptyDataFrame.select(lit("").as("account")).limit(0))
+          upd.join(known, Seq("account"), "left_semi").localCheckpoint(true)
+        }
       }
       val factoryDeployRows = potFactories(acts)
       val factoryCfg = {
         val upd = factoryConfigUpdates(acts)
-        val known = factoryDeployRows.select("account").unionByName(
-          if (exists("pot_factories")) table("pot_factories").select("account")
-          else spark.emptyDataFrame.select(lit("").as("account")).limit(0))
-        upd.join(known, Seq("account"), "left_semi")
+        if (!factoryCfgHit) upd.limit(0)
+        else {
+          val known = factoryDeployRows.select("account").unionByName(
+            if (exists("pot_factories")) table("pot_factories").select("account")
+            else spark.emptyDataFrame.select(lit("").as("account")).limit(0))
+          upd.join(known, Seq("account"), "left_semi").localCheckpoint(true)
+        }
       }
       // Accounts: discovery rows (id only) + social-profile updates merge
       // into one table; coalesce keeps the profile across later discovery
@@ -472,6 +487,15 @@ final class SilverStore(spark: SparkSession, dir: String) {
       tasks += ("block_height" -> (() => MergeWriter.merge(
         spark, bh, path("block_height"), Seq("id"), Seq("__seq"),
         coalesceUpdates = false)))
+
+      // Chains dimension (chains/models.py:5-48): seeded with the NEAR
+      // default row the first time the store materializes — the reference
+      // seeds it via migrations, and Account.save() depends on the NEAR
+      // row existing (accounts/models.py:141-143). Dump-driven loads
+      // (Chains.fromJson → mergeInto) extend it out-of-band.
+      if (!exists("chains"))
+        tasks += ("chains" -> (() =>
+          Chains.mergeInto(spark, dir, Chains.defaultRows(spark))))
 
       // Materialize the one input shared by several tasks ONCE, so racing
       // threads don't each compute the donations extract into the cache.

@@ -197,17 +197,27 @@ object SnapshotBackfill {
       |referral_fee_matching_pool_basis_points INT,
       |referral_fee_public_round_basis_points INT,
       |chef_fee_basis_points INT, cooldown_end_ms BIGINT,
+      |cooldown_period_ms BIGINT, matching_pool_balance STRING,
+      |total_public_donations STRING, public_donations_count INT,
       |all_paid_out BOOLEAN, protocol_config_provider STRING,
       |source_metadata STRUCT<commit_hash STRING, link STRING, version STRING>,
       |payouts ARRAY<STRUCT<project_id STRING, amount STRING, paid_at BIGINT>>"""
       .stripMargin)
 
+  /** One parsed read of a pot snapshot dump, shareable across [[pots]] and
+    * [[potPayouts]] — a backfill that feeds both should parse (and
+    * line/multiLine-probe) each file once, not per projection. */
+  def readPotSnapshot(spark: SparkSession, path: String): DataFrame =
+    readSnapshot(spark, path, potSnapshotPayload, "account")
+
   /** get_pots × get_config snapshot → `pots` rows (populatedata.py:220-334;
     * the same loader also serves config REFRESH: re-dumping configs at a
     * later height LWW-updates the config fields of existing pots, closing
     * the RPC side of handle_pot_config_update, utils.py:219-282). */
-  def pots(spark: SparkSession, path: String, snapshotHeight: Long): DataFrame = {
-    val raw = readSnapshot(spark, path, potSnapshotPayload, "account")
+  def pots(spark: SparkSession, path: String, snapshotHeight: Long): DataFrame =
+    pots(readPotSnapshot(spark, path), snapshotHeight)
+
+  def pots(raw: DataFrame, snapshotHeight: Long): DataFrame = {
     withSeq(raw.select(
       col("account"),
       regexp_extract(col("account"), """\.(v\d+\.potfactory\.potlock\.near)$""", 1)
@@ -235,6 +245,14 @@ object SnapshotBackfill {
       col("referral_fee_public_round_basis_points"),
       col("chef_fee_basis_points"),
       timestamp_millis(col("cooldown_end_ms")).as("cooldown_end"),
+      // get_config's running totals ride along like they do on the event
+      // path (populatedata zeroes them at CREATE, populatedata.py:300-305,
+      // but a refresh dump carries live values; absent fields stay null
+      // and coalesce from the existing row)
+      col("cooldown_period_ms"),
+      col("matching_pool_balance"),
+      col("total_public_donations"),
+      col("public_donations_count"),
       col("all_paid_out"),
       col("protocol_config_provider"),
       lit(null).cast("string").as("tx_hash")), snapshotHeight)
@@ -244,8 +262,10 @@ object SnapshotBackfill {
     * (populatedata.py:476-498): keyed (pot, recipient), NEAR-only, null
     * tx_hash — exactly the reference's update_or_create defaults. Seq is
     * extended with `payout_index` to match the streaming merge. */
-  def potPayouts(spark: SparkSession, path: String, snapshotHeight: Long): DataFrame = {
-    val raw = readSnapshot(spark, path, potSnapshotPayload, "account")
+  def potPayouts(spark: SparkSession, path: String, snapshotHeight: Long): DataFrame =
+    potPayouts(readPotSnapshot(spark, path), snapshotHeight)
+
+  def potPayouts(raw: DataFrame, snapshotHeight: Long): DataFrame = {
     withSeq(raw
       .filter(col("payouts").isNotNull)
       .select(col("account").as("pot"),
@@ -266,11 +286,19 @@ object SnapshotBackfill {
     """challenger_id STRING, reason STRING, created_at BIGINT,
       |admin_notes STRING, resolved BOOLEAN""".stripMargin)
 
+  /** One parsed read of a challenges dump, shareable across
+    * [[payoutChallenges]] and [[challengeAdminResponses]]. */
+  def readChallengeSnapshot(spark: SparkSession, path: String): DataFrame =
+    readSnapshot(spark, path, challengeSnapshotPayload, "challenger_id")
+
   /** A pot's `get_payouts_challenges` snapshot (populatedata.py:504-530):
     * keyed (challenger, pot). */
   def payoutChallenges(spark: SparkSession, path: String, pot: String,
+      snapshotHeight: Long): DataFrame =
+    payoutChallenges(readChallengeSnapshot(spark, path), pot, snapshotHeight)
+
+  def payoutChallenges(raw: DataFrame, pot: String,
       snapshotHeight: Long): DataFrame = {
-    val raw = readSnapshot(spark, path, challengeSnapshotPayload, "challenger_id")
     withSeq(raw.select(
       col("challenger_id").as("challenger"),
       lit(pot).as("pot"),
@@ -284,8 +312,12 @@ object SnapshotBackfill {
     * resolved — Python truthiness — with admin defaulted to the POT OWNER
     * and created_at reused from the challenge). */
   def challengeAdminResponses(spark: SparkSession, path: String, pot: String,
+      potOwner: String, snapshotHeight: Long): DataFrame =
+    challengeAdminResponses(readChallengeSnapshot(spark, path), pot, potOwner,
+      snapshotHeight)
+
+  def challengeAdminResponses(raw: DataFrame, pot: String,
       potOwner: String, snapshotHeight: Long): DataFrame = {
-    val raw = readSnapshot(spark, path, challengeSnapshotPayload, "challenger_id")
     withSeq(raw
       .filter((col("admin_notes").isNotNull && col("admin_notes") =!= "") ||
         col("resolved") === true)

@@ -107,16 +107,18 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("star-contraction CC matches min-label propagation on a branchy graph") {
-    // three components: a triangle+tail, a pair, a singleton edge
+    // three components plus a self-pair-only node (must not vanish in the
+    // star path's self-loop filter): a triangle+tail, a pair, a singleton
+    // edge, and the reflexive pair (30,30)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
-      (10L, 11L), (20L, 21L)).toDF("a", "b")
+      (10L, 11L), (20L, 21L), (30L, 30L)).toDF("a", "b")
     def toMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val prop = toMap(DedupFunctions.duplicateClusters(pairs, "a", "b"))
     val star = toMap(DedupFunctions.duplicateClustersStar(pairs, "a", "b"))
     assert(star == prop)
     assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
   }
 
   test("deep-chain component falls back to star contraction in O(log n) rounds") {

@@ -424,4 +424,38 @@ class IngestSpec extends SparkSpec {
     assert(after("donations") == before("donations"))
     assert(silver.table("donations").count() == before("donations"))
   }
+
+  // Declared LAST: this batch mutates state earlier tests assert on.
+  test("config refresh against EXISTING tables in a later batch (swap-race regression)") {
+    counts
+    // A batch that (a) semi-joins potCfg/factoryCfg against the existing
+    // pots/pot_factories tables AND (b) merge-swaps those same tables,
+    // with (c) a phase-2 admin patch executing the factoryCfg plan after
+    // the swap. Before the eager localCheckpoint, the patch phase replayed
+    // the pre-swap file listing of pot_factories → FileNotFoundException.
+    val in6 = tmpDir("bronze6")
+    writeBlocks(in6, Seq(block(110, tsOf(110), Seq(
+      receipt(potAccount, "owner_change_config", "{}",
+        resultJson = Some("\"ok\""), receiptId = "rY2", signer = "owner.near",
+        logs = Seq(potConfigUpdateEventLog("owner.near", "chef3.near",
+          "My Pot v3", 333, 1718260000000L, 1718360000000L,
+          admins = Seq("a1.near")))),
+      receipt(factoryAccount, "owner_set_admins",
+        """{"admins": ["fadm9.near"]}""",
+        resultJson = Some("\"ok\""), receiptId = "rY3", signer = "fowner.near"),
+      receipt(factoryAccount, "owner_add_admins",
+        """{"account_ids": ["fadm10.near"]}""",
+        resultJson = Some("\"ok\""), receiptId = "rY4", signer = "fowner.near")))))
+    StreamIngest.backfill(spark, in6, silverDir)
+    val p = silver.table("pots").filter(col("account") === potAccount).head()
+    assert(p.getAs[String]("chef") == "chef3.near")
+    assert(p.getAs[Int]("chef_fee_basis_points") == 333)
+    val f = silver.table("pot_factories")
+      .filter(col("account") === factoryAccount).head()
+    assert(f.getAs[scala.collection.Seq[String]]("admins").toSeq ==
+      Seq("fadm9.near", "fadm10.near"))
+    // chains dimension seeded on the FIRST batch, untouched afterwards
+    val c = silver.table("chains").collect()
+    assert(c.length == 1 && c(0).getAs[String]("name") == "NEAR")
+  }
 }

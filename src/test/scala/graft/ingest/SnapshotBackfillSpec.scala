@@ -116,16 +116,20 @@ class SnapshotBackfillSpec extends SparkSpec {
       ("""{"challenger_id": "c1.near", "reason": "r1", "created_at": 1717600000000, "admin_notes": "fixed", "resolved": true}""" + "\n" +
         """{"challenger_id": "c2.near", "reason": "r2", "created_at": 1717700000000, "admin_notes": "", "resolved": false}""").getBytes)
 
-    val snapPots = SnapshotBackfill.pots(spark, s"$snapDir/pots.json", 1000)
+    // one parse per dump file, shared across the projections that feed
+    // different tables
+    val potRaw = SnapshotBackfill.readPotSnapshot(spark, s"$snapDir/pots.json")
+    val chRaw = SnapshotBackfill.readChallengeSnapshot(spark, s"$snapDir/challenges.json")
+    val snapPots = SnapshotBackfill.pots(potRaw, 1000)
     val n1 = SnapshotBackfill.mergeInto(spark, silverDir, Map(
       "pots" -> (snapPots, SnapshotBackfill.naturalKeys("pots")),
-      "pot_payouts" -> (SnapshotBackfill.potPayouts(spark, s"$snapDir/pots.json", 1000),
+      "pot_payouts" -> (SnapshotBackfill.potPayouts(potRaw, 1000),
         SnapshotBackfill.naturalKeys("pot_payouts")),
       "pot_payout_challenges" -> (SnapshotBackfill.payoutChallenges(
-        spark, s"$snapDir/challenges.json", oldPot, 1000),
+        chRaw, oldPot, 1000),
         SnapshotBackfill.naturalKeys("pot_payout_challenges")),
       "pot_payout_challenge_admin_responses" -> (SnapshotBackfill.challengeAdminResponses(
-        spark, s"$snapDir/challenges.json", oldPot, "own.near", 1000),
+        chRaw, oldPot, "own.near", 1000),
         SnapshotBackfill.naturalKeys("pot_payout_challenge_admin_responses")),
       "accounts" -> (SnapshotBackfill.accounts(Seq(
         snapPots -> Seq("deployer", "owner", "chef")), 1000),
