@@ -347,6 +347,73 @@ object Oracles {
         |SELECT node AS member, CAST(MIN(label) AS BIGINT) AS cluster_id
         |FROM cc GROUP BY node ORDER BY member""".stripMargin,
 
+    "q_txt7_contamination" ->
+      raw"""WITH nd AS (SELECT doc_id,
+        |              list_distinct(list_transform(
+        |                generate_series(1, greatest(len(w) - 2, 0)),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngrams
+        |            FROM (SELECT doc_id,
+        |                    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+        |                  FROM documents)),
+        |  b AS (SELECT DISTINCT unnest(ngrams) AS ngram FROM nd WHERE doc_id % 97 = 0),
+        |  d AS (SELECT doc_id, unnest(ngrams) AS ngram FROM nd),
+        |  agg AS (SELECT d.doc_id, count(*) AS total, count(b.ngram) AS hit
+        |          FROM d LEFT JOIN b USING (ngram) GROUP BY d.doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN coalesce(total, 0) > 0
+        |            THEN CAST(hit AS DOUBLE) / CAST(total AS DOUBLE)
+        |            ELSE 0.0 END AS contamination
+        |FROM documents LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The split threshold hex literals are floor(frac·2³²) in 8 lowercase
+    // hex chars — the exact strings SampleFunctions.hexThreshold produces
+    // (0.8→cccccccc, 0.5→80000000, 0.75→c0000000, 0.25→40000000);
+    // fixed-width hex comparison ≡ numeric comparison in both engines.
+    "q_samp1_train_test_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |                 < 'cccccccc'
+        |            THEN 'train' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_samp2_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5('s2:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      < CASE lang WHEN 'en' THEN '80000000'
+        |                  WHEN 'es' THEN 'c0000000'
+        |                  ELSE '40000000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dd7_dedup_corpus" ->
+      raw"""WITH RECURSIVE
+        |  l AS (SELECT doc_id AS id_a, text AS ta, lang FROM documents WHERE doc_id % 50 = 0),
+        |  r AS (SELECT doc_id AS id_b, text AS tb, lang FROM documents),
+        |  p AS (SELECT id_a, id_b,
+        |               list_distinct(string_split(lower(regexp_replace(trim(ta), '\s+', ' ', 'g')), ' ')) AS wa,
+        |               list_distinct(string_split(lower(regexp_replace(trim(tb), '\s+', ' ', 'g')), ' ')) AS wb
+        |        FROM l JOIN r USING (lang) WHERE id_b > id_a),
+        |  s AS (SELECT id_a, id_b FROM p
+        |        WHERE CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |                / CAST(len(list_distinct(list_concat(wa, wb))) AS DOUBLE) >= 0.5),
+        |  edges AS (SELECT id_a AS src, id_b AS dst FROM s
+        |            UNION SELECT id_b, id_a FROM s),
+        |  cc(node, label) AS (
+        |    SELECT src, src FROM (SELECT DISTINCT src FROM edges) t0
+        |    UNION
+        |    SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+        |  lab AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node),
+        |  labeled AS (SELECT d.doc_id,
+        |                     CAST(COALESCE(lab.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+        |                     length(d.text) AS q
+        |              FROM documents d LEFT JOIN lab ON d.doc_id = lab.node),
+        |  ranked AS (SELECT doc_id, cluster_id,
+        |                    ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |                      ORDER BY q DESC, doc_id ASC) AS rk
+        |             FROM labeled)
+        |SELECT doc_id, cluster_id FROM ranked WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dd5_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
          |           FROM embeddings WHERE vec_id % 5 = 0),

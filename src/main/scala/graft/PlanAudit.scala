@@ -32,6 +32,14 @@ object PlanAudit {
       "q_sim1_cosine_topk" -> Seq("BroadcastNestedLoopJoin|BroadcastHashJoin",
         "ObjectHashAggregate", "!Window"),
       "q_dd2_jaccard_pairs" -> Seq("!Window"),
+      // benchmark side must broadcast — the corpus must never shuffle on
+      // the exploded n-gram key
+      "q_txt7_contamination" -> Seq("BroadcastHashJoin", "!SortMergeJoin"),
+      // the split is one codegen'd hash+compare per row: no join, no
+      // aggregate, no window anywhere in the plan (the trailing orderBy is
+      // oracle-parity output ordering, not part of the operator)
+      "q_samp2_stratified_sample" -> Seq("codegen id", "!Window",
+        "!HashAggregate", "!Join"),
       "q_j6_asof_join" -> Seq("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"))
 
     var bad = 0

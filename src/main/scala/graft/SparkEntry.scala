@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Amounts, DedupFunctions, Similarity, TextFunctions}
+import graft.functions.{Amounts, DedupFunctions, SampleFunctions, Similarity, TextFunctions}
 import graft.operators.{AsOfJoin, Relational}
 
 /** Driver contract — the operator-inventory correctness surface.
@@ -423,6 +423,32 @@ object SparkEntry {
       .select("doc_id", "fp")
       .orderBy("doc_id")
 
+  /** TXT7 — benchmark-contamination scores: fraction of each document's
+    * distinct word 3-grams that appear in the "benchmark" subset (every
+    * 97th document stands in for an eval set). */
+  private def txt7(t: Tables): DataFrame =
+    DedupFunctions.contaminationScores(
+        t.documents, "doc_id", "text",
+        t.documents.filter(pmod(col("doc_id"), lit(97)) === 0), "text", n = 3)
+      .orderBy("doc_id")
+
+  /** SAMP1 — deterministic 80/20 train/test split: hash-of-id draw, stable
+    * under re-runs/repartitioning and reproducible by any engine with md5
+    * (the oracle recomputes the identical expression in DuckDB). */
+  private def samp1(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"),
+      SampleFunctions.splitLabel(col("doc_id"), 0.8, "s1").as("split"))
+      .orderBy("doc_id")
+
+  /** SAMP2 — stratified downsample: cap over-represented languages (en at
+    * 50%, es at 75%, everything else at 25%) with the same deterministic
+    * per-row draw. */
+  private def samp2(t: Tables): DataFrame =
+    SampleFunctions.stratifiedSample(
+        t.documents.select("doc_id", "lang"), col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "es" -> 0.75), default = 0.25, seed = "s2")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- D: dedup
 
   /** DD1 — exact dedup via content-hash groups. */
@@ -456,6 +482,17 @@ object SparkEntry {
   private def dd6(t: Tables): DataFrame =
     DedupFunctions.duplicateClusters(dd2Pairs(t), "id_a", "id_b")
       .orderBy("member")
+
+  /** DD7 — keep-one-per-cluster corpus dedup: the same Jaccard evidence as
+    * DD2/DD6 folded into the end decision — one surviving representative
+    * per near-dup cluster (longest text, tie-break lowest id), singletons
+    * untouched. */
+  private def dd7(t: Tables): DataFrame =
+    DedupFunctions.dedupCorpus(
+        t.documents.select("doc_id", "text"), "doc_id", length(col("text")),
+        dd2Pairs(t), "id_a", "id_b")
+      .select(col("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
 
   /** DD3 — MinHash+LSH near-dup candidates (no SQL oracle: rows-only). */
   private def dd3(t: Tables): DataFrame =
@@ -564,6 +601,10 @@ object SparkEntry {
       "q_dd2_jaccard_pairs" -> q(dd2),
       "q_dd3_minhash_lsh" -> q(dd3),
       "q_dd6_dup_clusters" -> q(dd6),
+      "q_dd7_dedup_corpus" -> q(dd7),
+      "q_samp1_train_test_split" -> q(samp1),
+      "q_samp2_stratified_sample" -> q(samp2),
+      "q_txt7_contamination" -> q(txt7),
       "q_dd4_simhash" -> q(dd4),
       "q_dd5_embed_neardup" -> q(dd5),
       "q_sim1_cosine_topk" -> q(sim1),

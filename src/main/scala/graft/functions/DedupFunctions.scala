@@ -203,20 +203,27 @@ object DedupFunctions {
       .distinct().persist(lvl)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist(lvl)
+    val labelType = pairs.schema(pairs.schema.fieldIndex(a)).dataType
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("label"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy("node").agg(min("label").as("label"))
+        .select(edges("src").as("node"), col("label"),
+          lit(null).cast(labelType).as("__old"))
+      // Every node has exactly ONE row in `labels`, so riding the previous
+      // label through the min-aggregation as `__old` (null on the neighbor
+      // rows; min ignores nulls) makes the convergence probe a filter+count
+      // over the just-checkpointed round output — no second join of
+      // round-sized data against the previous labels.
+      val next = labels
+        .select(col("node"), col("label"), col("label").as("__old"))
+        .unionByName(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"), min("__old").as("__old"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.withColumnRenamed("label", "__old"), Seq("node"))
-        .filter(col("label") =!= col("__old")).count()
+      changed = next.filter(col("label") =!= col("__old")).count()
       labels.unpersist()
-      labels = next.persist(lvl)
+      labels = next.drop("__old").persist(lvl)
       i += 1
     }
     edges.unpersist()
@@ -236,6 +243,60 @@ object DedupFunctions {
       .localCheckpoint(true)
     labels.unpersist()
     out
+  }
+
+  /** Benchmark-contamination scores (the decontamination pass of a
+    * training-data pipeline): for each corpus document, the fraction of its
+    * distinct word `n`-grams that appear anywhere in the benchmark set —
+    * the standard n-gram-overlap eval-contamination test. Documents with
+    * fewer than `n` words score 0.
+    *
+    * One pass over the corpus: n-grams are exploded once and LEFT-joined
+    * against the (broadcast) benchmark n-gram union with a presence marker,
+    * so total and hit counts come out of a single aggregation — no second
+    * tokenization, no shuffle of the corpus side beyond the per-doc
+    * groupBy. Benchmarks are eval sets — small by definition — hence the
+    * broadcast; the corpus side never shuffles on the n-gram key.
+    */
+  def contaminationScores(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val bench = broadcast(
+      benchmark.select(explode(shingles(col(benchTextCol), n)).as("ngram"))
+        .distinct().withColumn("__in_bench", lit(1)))
+    corpus
+      .select(col(idCol), explode_outer(shingles(col(textCol), n)).as("ngram"))
+      .join(bench, Seq("ngram"), "left")
+      .groupBy(idCol)
+      .agg(count(col("ngram")).as("__total"), count(col("__in_bench")).as("__hit"))
+      .select(col(idCol),
+        when(col("__total") > 0,
+          col("__hit").cast("double") / col("__total").cast("double"))
+          .otherwise(lit(0.0)).as("contamination"))
+  }
+
+  /** Keep-one-per-cluster corpus dedup (DD7) — the decision step that turns
+    * pairwise near-dup evidence into a deduplicated training corpus:
+    * [[duplicateClusters]] labels each component, then exactly one
+    * representative row per cluster survives — the highest-`quality` row
+    * (e.g. `length(col("text"))`), tie-broken by lowest id so the pick is
+    * deterministic under re-runs and across engines. Documents with no
+    * near-dup evidence are their own cluster and always survive.
+    *
+    * Cost beyond the CC rounds: one left join of the corpus against the
+    * (cluster-member-sized, typically ≪ corpus) label table and one
+    * per-cluster top-1 — a shuffle keyed by cluster id whose per-key width
+    * is the cluster size, never corpus size.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, quality: Column,
+      pairs: DataFrame, a: String, b: String): DataFrame = {
+    val clusters = duplicateClusters(pairs, a, b)
+    val labeled = docs
+      .join(clusters, docs(idCol) === clusters("member"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), docs(idCol)))
+      .drop("member")
+    graft.operators.Relational.latestPerGroup(labeled, Seq("cluster_id"),
+      Seq(quality.desc, col(idCol).asc))
   }
 
   /** Connected components by alternating large-star/small-star edge

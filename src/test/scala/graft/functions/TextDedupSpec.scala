@@ -121,6 +121,37 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
   }
 
+  test("contamination: near-dup of the benchmark scores high, unrelated ~0") {
+    val bench = docs.filter(col("doc_id") === 1L)
+    val scores = DedupFunctions
+      .contaminationScores(docs, "doc_id", "text", bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) == 1.0) // the benchmark doc itself
+    assert(scores(2L) > 0.7, s"near-dup scored ${scores(2L)}") // one word differs
+    assert(scores(3L) == 0.0 && scores(4L) == 0.0 && scores(5L) == 0.0)
+    // a doc shorter than n words has no n-grams and scores 0, not NaN/null
+    val tiny = Seq((9L, "two words")).toDF("doc_id", "text")
+    val s9 = DedupFunctions
+      .contaminationScores(tiny, "doc_id", "text", bench, "text", n = 3)
+      .collect()
+    assert(s9.length == 1 && s9(0).getDouble(1) == 0.0)
+  }
+
+  test("dedupCorpus keeps one representative per cluster, singletons survive") {
+    val docs = Seq(
+      (1L, "aaaa"), (2L, "aaaa!"), // near-dup cluster {1,2}; 2 is longer
+      (3L, "bb"), (4L, "cccc")     // singletons, no pair evidence
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val kept = DedupFunctions
+      .dedupCorpus(docs, "doc_id", length(col("text")), pairs, "id_a", "id_b")
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster {1,2} labeled by min member 1; representative is doc 2
+    // (longest text); 3 and 4 are their own clusters
+    assert(kept == Map(2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("deep-chain component falls back to star contraction in O(log n) rounds") {
     // A 1000-node path has diameter 999: min-label propagation would need
     // 999 rounds (its default cap is 20), and star contraction's own cap
