@@ -385,6 +385,45 @@ object Oracles {
         |                  ELSE '40000000' END
         |ORDER BY doc_id""".stripMargin,
 
+    "q_samp3_pack_sequences" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |              CASE WHEN length(trim(text)) = 0 THEN 0
+        |                   ELSE len(string_split_regex(trim(text), '\s+')) END AS tok,
+        |              doc_id % 8 AS shard
+        |            FROM documents),
+        |  s AS (SELECT doc_id, shard,
+        |               sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                 - tok AS st
+        |        FROM t)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |       CAST(floor(st / 512) AS BIGINT) AS seq,
+        |       CAST(st % 512 AS BIGINT) AS seq_offset
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_txt8_repetition" ->
+      raw"""WITH nw AS (SELECT doc_id,
+        |              string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+        |            FROM documents),
+        |  wc AS (SELECT doc_id, g, count(*) AS c
+        |         FROM (SELECT doc_id, unnest(w) AS g FROM nw) GROUP BY 1, 2),
+        |  ws AS (SELECT doc_id, sum(c) AS tw, count(*) AS uw, max(c) AS tc
+        |         FROM wc GROUP BY 1),
+        |  bc AS (SELECT doc_id, g, count(*) AS c
+        |         FROM (SELECT doc_id,
+        |                 unnest(list_transform(
+        |                   generate_series(1, greatest(len(w) - 1, 0)),
+        |                   i -> w[i] || ' ' || w[i+1])) AS g
+        |               FROM nw) GROUP BY 1, 2),
+        |  bs AS (SELECT doc_id, sum(c) AS tb, count(*) AS ub FROM bc GROUP BY 1)
+        |SELECT d.doc_id,
+        |       1.0 - CAST(uw AS DOUBLE) / CAST(tw AS DOUBLE) AS dup_word_frac,
+        |       CAST(tc AS DOUBLE) / CAST(tw AS DOUBLE) AS top_word_frac,
+        |       COALESCE(1.0 - CAST(ub AS DOUBLE) / CAST(tb AS DOUBLE), 0.0)
+        |         AS dup_bigram_frac
+        |FROM documents d LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dd7_dedup_corpus" ->
       raw"""WITH RECURSIVE
         |  l AS (SELECT doc_id AS id_a, text AS ta, lang FROM documents WHERE doc_id % 50 = 0),

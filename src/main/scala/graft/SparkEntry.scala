@@ -449,6 +449,22 @@ object SparkEntry {
         Map("en" -> 0.5, "es" -> 0.75), default = 0.25, seed = "s2")
       .orderBy("doc_id")
 
+  /** SAMP3 — sequence packing: concat-then-chunk layout of the tokenized
+    * corpus into 512-token training sequences across 8 shards. */
+  private def samp3(t: Tables): DataFrame =
+    SampleFunctions.packSequences(
+        t.documents.select("doc_id", "text"), "doc_id",
+        TextFunctions.tokenCount(col("text")), budgetTokens = 512L,
+        numShards = 8)
+      .orderBy("doc_id")
+
+  /** TXT8 — repetition signals (dup-word / top-word / dup-bigram
+    * fractions): the boilerplate and degenerate-text filters of published
+    * corpus-quality pipelines. */
+  private def txt8(t: Tables): DataFrame =
+    TextFunctions.repetitionSignals(t.documents, "doc_id", "text")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- D: dedup
 
   /** DD1 — exact dedup via content-hash groups. */
@@ -604,7 +620,9 @@ object SparkEntry {
       "q_dd7_dedup_corpus" -> q(dd7),
       "q_samp1_train_test_split" -> q(samp1),
       "q_samp2_stratified_sample" -> q(samp2),
+      "q_samp3_pack_sequences" -> q(samp3),
       "q_txt7_contamination" -> q(txt7),
+      "q_txt8_repetition" -> q(txt8),
       "q_dd4_simhash" -> q(dd4),
       "q_dd5_embed_neardup" -> q(dd5),
       "q_sim1_cosine_topk" -> q(sim1),

@@ -29,14 +29,20 @@ object DedupFunctions {
     * array per position — O(n²) per document, measurably pathological on
     * long documents. Positions past the end null-propagate through concat
     * and are filtered. */
-  def shingles(text: Column, n: Int): Column =
+  /** All word `n`-grams of the normalized text, in order and WITH
+    * repeats — the raw sequence [[repetitionSignals]]-style counting needs;
+    * [[shingles]] is the distinct set view of the same construction. */
+  def ngramsAll(text: Column, n: Int): Column =
     ExprUtils.evalOnce(split(normalize(text), " ")) { w =>
       val chained = (1 until n).foldLeft(w) { (acc, j) =>
         zip_with(acc, slice(w, lit(j + 1), greatest(size(w) - j, lit(1))),
           (a, b) => concat(a, lit(" "), b))
       }
-      array_distinct(filter(chained, x => x.isNotNull))
+      filter(chained, x => x.isNotNull)
     }
+
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(ngramsAll(text, n))
 
   /** Word-set Jaccard similarity of two texts (exact). Word sets are bound
     * once (evalOnce) so intersection/union don't re-tokenize. */
@@ -203,22 +209,20 @@ object DedupFunctions {
       .distinct().persist(lvl)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist(lvl)
-    val labelType = pairs.schema(pairs.schema.fieldIndex(a)).dataType
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("label"),
-          lit(null).cast(labelType).as("__old"))
+        .select(edges("src").as("node"), col("label"))
       // Every node has exactly ONE row in `labels`, so riding the previous
-      // label through the min-aggregation as `__old` (null on the neighbor
-      // rows; min ignores nulls) makes the convergence probe a filter+count
-      // over the just-checkpointed round output — no second join of
-      // round-sized data against the previous labels.
+      // label through the min-aggregation as `__old` (null-filled on the
+      // neighbor rows; min ignores nulls) makes the convergence probe a
+      // filter+count over the just-checkpointed round output — no second
+      // join of round-sized data against the previous labels.
       val next = labels
         .select(col("node"), col("label"), col("label").as("__old"))
-        .unionByName(viaNeighbors)
+        .unionByName(viaNeighbors, allowMissingColumns = true)
         .groupBy("node").agg(min("label").as("label"), min("__old").as("__old"))
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("__old")).count()
@@ -260,7 +264,6 @@ object DedupFunctions {
     */
   def contaminationScores(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val bench = broadcast(
       benchmark.select(explode(shingles(col(benchTextCol), n)).as("ngram"))
         .distinct().withColumn("__in_bench", lit(1)))
@@ -291,8 +294,18 @@ object DedupFunctions {
   def dedupCorpus(docs: DataFrame, idCol: String, quality: Column,
       pairs: DataFrame, a: String, b: String): DataFrame = {
     val clusters = duplicateClusters(pairs, a, b)
+    // `clusters` comes out of localCheckpoint, whose leaf reports default
+    // (effectively infinite) size stats — the static planner would pick a
+    // SortMergeJoin and shuffle the whole corpus on the id before AQE
+    // could demote it. The label table is already materialized, so one
+    // cheap count decides: hint broadcast while it plausibly fits an
+    // executor (~32 B/row), fall back to the shuffle join only when the
+    // dup-labeled set is genuinely huge.
+    val maybeBroadcast =
+      if (clusters.count() <= 16L * 1000 * 1000) broadcast(clusters)
+      else clusters
     val labeled = docs
-      .join(clusters, docs(idCol) === clusters("member"), "left")
+      .join(maybeBroadcast, docs(idCol) === maybeBroadcast("member"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), docs(idCol)))
       .drop("member")
     graft.operators.Relational.latestPerGroup(labeled, Seq("cluster_id"),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline layer
@@ -134,5 +134,47 @@ object TextFunctions {
       "avg_token_len" -> (chars.cast("double") / toks.cast("double")),
       "punct_ratio" -> (punct.cast("double") / chars.cast("double")),
       "digit_ratio" -> (digits.cast("double") / chars.cast("double")))
+  }
+
+  /** Repetition signals — the boilerplate/degenerate-text filters of the
+    * published large-corpus quality pipelines (duplicate-word fraction,
+    * most-frequent-word fraction, duplicate word-bigram fraction; the
+    * Gopher-style "repetition" family):
+    *
+    *  - `dup_word_frac`   = 1 − distinct words / total words
+    *  - `top_word_frac`   = occurrences of the most frequent word / total
+    *  - `dup_bigram_frac` = 1 − distinct bigrams / total bigrams
+    *                        (0.0 for documents with fewer than two words)
+    *
+    * Per-term counting goes through explode + two-level aggregation keyed
+    * by (doc, term) — partial (map-side) aggregation absorbs the per-term
+    * duplicates before the shuffle, and nothing is ever keyed by term
+    * alone, so hot words ("the") cannot skew a reducer. A per-row HOF
+    * formulation would be O(terms²) per document (count-of-each-distinct
+    * re-scans the array) — the explode plan is linear and whole-stage
+    * codegen'd up to the aggregations.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def stats(term: Column, total: String, uniq: String, top: Option[String]) = {
+      val perTerm = df
+        .select(col(idCol), explode(term).as("__t"))
+        .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+      val aggs = Seq(sum("__c").as(total), count(lit(1)).as(uniq)) ++
+        top.map(t => max("__c").as(t))
+      perTerm.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    }
+    val words = stats(split(normalize(col(textCol)), " "), "__tw", "__uw", Some("__tc"))
+    val bigrams = stats(DedupFunctions.ngramsAll(col(textCol), 2), "__tb", "__ub", None)
+    df.select(col(idCol))
+      .join(words, Seq(idCol), "left")
+      .join(bigrams, Seq(idCol), "left")
+      .select(col(idCol),
+        (lit(1.0) - col("__uw").cast("double") / col("__tw").cast("double"))
+          .as("dup_word_frac"),
+        (col("__tc").cast("double") / col("__tw").cast("double"))
+          .as("top_word_frac"),
+        coalesce(
+          lit(1.0) - col("__ub").cast("double") / col("__tb").cast("double"),
+          lit(0.0)).as("dup_bigram_frac"))
   }
 }

@@ -39,18 +39,54 @@ class SampleFunctionsSpec extends SparkSpec {
     val rows = ids.withColumn("s",
       when(col("id") % 2 === 0, "keep_all").otherwise("rare"))
     val kept = SampleFunctions.stratifiedSample(rows, col("id"), col("s"),
-      Map("keep_all" -> 0.999999999, "rare" -> 0.1), default = 0.5, seed = "z")
+      Map("keep_all" -> 1.0, "rare" -> 0.1), default = 0.5, seed = "z")
     val byStratum = kept.groupBy("s").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(byStratum("keep_all") == 1000L)
+    assert(byStratum("keep_all") == 1000L) // frac 1.0 keeps EVERY row
     val rare = byStratum.getOrElse("rare", 0L)
     assert(rare > 50 && rare < 160, s"rare=$rare") // 1000 draws at p=0.1
   }
 
   test("hexThreshold endpoints and width") {
     assert(SampleFunctions.hexThreshold(0.0) == "00000000")
-    assert(SampleFunctions.hexThreshold(1.0) == "ffffffff")
+    // 1.0 must sort above every possible 8-hex draw — a clamped ffffffff
+    // would drop the draw==max rows under the strict '<'
+    assert(SampleFunctions.hexThreshold(1.0) == "g")
     assert(SampleFunctions.hexThreshold(0.8) == "cccccccc")
     assert(SampleFunctions.hexThreshold(0.5) == "80000000")
+  }
+
+  test("packSequences: shard, sequence index and offset are exact") {
+    // one shard so the running layout is easy to state: docs 0,1,2,3 with
+    // 3,4,5,2 tokens concat to starts 0,3,7,12; budget 5 cuts at 5,10,...
+    val docs = Seq((0L, 3L), (1L, 4L), (2L, 5L), (3L, 2L)).toDF("id", "tok")
+    val out = SampleFunctions
+      .packSequences(docs, "id", col("tok"), budgetTokens = 5L, numShards = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      0L -> ((0L, 0L)), // starts at token 0 → seq 0, offset 0
+      1L -> ((0L, 3L)), // starts at 3 → seq 0, offset 3 (straddles the cut)
+      2L -> ((1L, 2L)), // starts at 7 → seq 1, offset 2
+      3L -> ((2L, 2L)))) // starts at 12 → seq 2, offset 2
+    // sharding: id mod numShards, layout independent per shard
+    val sharded = SampleFunctions
+      .packSequences(docs, "id", col("tok"), budgetTokens = 5L, numShards = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sharded == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("null id: split lands on 'test', stratified sample never keeps it") {
+    val rows = Seq(Some(1L), None).toDF("id")
+    val labels = rows
+      .select(col("id"), SampleFunctions.splitLabel(col("id"), 0.9999, "s").as("l"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1))
+      .toMap
+    // the null draw null-propagates (as 'seed:' || id would in SQL), so the
+    // null id falls to the otherwise branch rather than hashing "seed:"
+    assert(labels(-1L) == "test")
+    val kept = SampleFunctions.stratifiedSample(
+      rows.withColumn("s", lit("x")), col("id"), col("s"),
+      Map("x" -> 0.9999), default = 0.5, seed = "z").collect()
+    assert(kept.forall(!_.isNullAt(0)))
   }
 }

@@ -137,6 +137,22 @@ class TextDedupSpec extends SparkSpec {
     assert(s9.length == 1 && s9(0).getDouble(1) == 0.0)
   }
 
+  test("repetition signals: dup/top word and dup bigram fractions are exact") {
+    val d = Seq(
+      (1L, "a a a b"),   // words 4/distinct 2 → dup .5; top 'a' 3/4;
+                          // bigrams [a a, a a, a b]: 3/distinct 2 → dup 1/3
+      (2L, "x y z"),      // all distinct → dup 0, top 1/3, bigram dup 0
+      (3L, "solo")        // one word: no bigrams → dup_bigram 0.0 (not null)
+    ).toDF("doc_id", "text")
+    val s = TextFunctions.repetitionSignals(d, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(s(1L) == ((0.5, 0.75, 1.0 - 2.0 / 3.0)))
+    assert(s(2L) == ((0.0, 1.0 / 3.0, 0.0)))
+    assert(s(3L) == ((0.0, 1.0, 0.0)))
+  }
+
   test("dedupCorpus keeps one representative per cluster, singletons survive") {
     val docs = Seq(
       (1L, "aaaa"), (2L, "aaaa!"), // near-dup cluster {1,2}; 2 is longer
