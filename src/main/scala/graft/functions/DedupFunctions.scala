@@ -298,11 +298,13 @@ object DedupFunctions {
     // (effectively infinite) size stats — the static planner would pick a
     // SortMergeJoin and shuffle the whole corpus on the id before AQE
     // could demote it. The label table is already materialized, so one
-    // cheap count decides: hint broadcast while it plausibly fits an
-    // executor (~32 B/row), fall back to the shuffle join only when the
-    // dup-labeled set is genuinely huge.
+    // cheap count decides. The cutoff budgets for what a broadcast
+    // actually costs — a driver collect bounded by
+    // spark.driver.maxResultSize plus a per-executor HashedRelation at
+    // ~50-100 B/row, not the ~16 B of raw column data — so it stays in
+    // the low millions; above it the shuffle join is the safe path.
     val maybeBroadcast =
-      if (clusters.count() <= 16L * 1000 * 1000) broadcast(clusters)
+      if (clusters.count() <= 4L * 1000 * 1000) broadcast(clusters)
       else clusters
     val labeled = docs
       .join(maybeBroadcast, docs(idCol) === maybeBroadcast("member"), "left")

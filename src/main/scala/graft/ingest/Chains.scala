@@ -20,18 +20,17 @@ import graft.functions.Amounts
   */
 object Chains {
 
-  private val payload = org.apache.spark.sql.types.DataType.fromDDL(
+  private val payload = EntityTransforms.ddl(
     """name STRING, rpc_url STRING, explorer_url STRING,
       |evm_compat BOOLEAN, evm_chain_id INT""".stripMargin)
-    .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Parse a chains dump into dimension rows: slug derived from name
-    * (AutoSlugField parity), CHECK constraint validated fail-loud. */
-  def fromJson(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.schema(payload).json(path)
-      .filter(col("name").isNotNull)
-    validated(raw)
-  }
+    * (AutoSlugField parity), CHECK constraint validated fail-loud. Reads
+    * through [[SnapshotBackfill.readSnapshot]] so both dump shapes parse —
+    * JSONL and pretty-printed array (a line-mode-only read would turn an
+    * array dump into all-null corrupt records and silently load nothing). */
+  def fromJson(spark: SparkSession, path: String): DataFrame =
+    validated(SnapshotBackfill.readSnapshot(spark, path, payload, "name"))
 
   /** Apply the evm CHECK and derive name_slug. Public so tests and other
     * loaders share the one validation. */
@@ -63,16 +62,27 @@ object Chains {
   }
 
   /** Merge chain rows into silver (keyed by unique name). Chains are a
-    * tiny dimension; the LWW merge makes reloads idempotent. */
+    * tiny dimension; the LWW merge makes reloads idempotent. Each load
+    * stamps a strictly increasing generation into `receipt_index` (max of
+    * the existing table + 1 — a trivial probe on a handful of rows), so a
+    * reload at the same `atHeight` deterministically wins over earlier
+    * loads; with a flat seq the tie would pick a shuffle-order winner and
+    * the same reload could flip table contents between runs. */
   def mergeInto(spark: SparkSession, silverDir: String, rows: DataFrame,
-      atHeight: Long = 0L): Long =
+      atHeight: Long = 0L): Long = {
+    val path = s"$silverDir/chains"
+    val gen = scala.util.Try {
+      val r = spark.read.parquet(path).agg(max(col("receipt_index"))).head
+      if (r.isNullAt(0)) 0 else r.getInt(0) + 1
+    }.getOrElse(0)
     graft.operators.MergeWriter.merge(spark,
       rows.withColumn("block_height", lit(atHeight))
         .withColumn("shard_index", lit(-1L))
-        .withColumn("receipt_index", lit(0))
+        .withColumn("receipt_index", lit(gen))
         .withColumn("action_index", lit(0)),
-      s"$silverDir/chains", Seq("name"),
+      path, Seq("name"),
       Seq("block_height", "shard_index", "receipt_index", "action_index"))
+  }
 
   /** Resolve each account's chain row — the engine form of the Account →
     * Chain FK (accounts/models.py:21-28): a null chain string means NEAR

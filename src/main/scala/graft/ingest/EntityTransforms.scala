@@ -23,7 +23,9 @@ object EntityTransforms {
     col("block_height"), col("shard_index"), col("receipt_index"),
     col("action_index"))
 
-  private def ddl(s: String): StructType =
+  /** DDL→StructType shorthand — shared by the other ingest loaders
+    * (SnapshotBackfill, Chains) so the boilerplate lives once. */
+  private[ingest] def ddl(s: String): StructType =
     DataType.fromDDL(s).asInstanceOf[StructType]
 
   private def msTs(c: Column): Column =
@@ -271,7 +273,7 @@ object EntityTransforms {
     * caller's semi-join (reference afirst() no-ops, utils.py:224-227). */
   def potConfigUpdates(events: DataFrame): DataFrame =
     events
-      .filter(col("event_name") === "update_pot_config")
+      .filter(col("event_name") === potConfigEvent)
       .withColumn("d", explode(from_json(col("event_data"),
         org.apache.spark.sql.types.ArrayType(potConfigEventPayload))))
       .filter(col("d").isNotNull && col("d.owner").isNotNull)
@@ -619,14 +621,24 @@ object EntityTransforms {
     * EMPTY (non-null) array so the coalescing merge replaces rather than
     * keeps. Arg-name tolerance: admin lists arrive as `admins` or
     * `account_ids` depending on contract version. */
+
+  /** The factory config-setter methods — ONE list shared with
+    * SilverStore's per-batch trigger probe, so the filter and the gate
+    * can never drift apart (a method present here but not in the gate
+    * would be silently dropped). */
+  val factoryConfigMethods: Seq[String] = Seq(
+    "admin_set_require_whitelist", "admin_set_protocol_config",
+    "admin_set_protocol_fee_recipient_account",
+    "admin_set_protocol_fee_basis_points",
+    "owner_set_admins", "owner_clear_admins")
+
+  /** The pot config-refresh event name — shared with SilverStore's event
+    * probe for the same no-drift reason. */
+  val potConfigEvent: String = "update_pot_config"
   def factoryConfigUpdates(actions: DataFrame): DataFrame = {
     val m = col("method_name")
     actions
-      .filter(isFactory && m.isin(
-        "admin_set_require_whitelist", "admin_set_protocol_config",
-        "admin_set_protocol_fee_recipient_account",
-        "admin_set_protocol_fee_basis_points",
-        "owner_set_admins", "owner_clear_admins"))
+      .filter(isFactory && m.isin(factoryConfigMethods: _*))
       .withColumn("a", from_json(col("args_json"), ddl(
         """require_whitelist BOOLEAN, protocol_fee_basis_points INT,
           |protocol_fee_recipient_account STRING, account_id STRING,
@@ -666,6 +678,16 @@ object EntityTransforms {
     delta("owner_add_admins", asAdd = true)
       .unionByName(delta("owner_remove_admins", asAdd = false))
   }
+
+  /** Account-discovery rows from a factory config update — the
+    * reference's update_configs get_or_creates each admin and the fee
+    * recipient account (pots/models.py:72-105; factory owner/admin parity
+    * with the pot-side [[potConfigAccounts]]). */
+  def factoryConfigAccounts(cfg: DataFrame): DataFrame =
+    cfg.select(Seq(explode(concat(
+      coalesce(col("admins"), array().cast("array<string>")),
+      array(col("protocol_fee_recipient")))).as("id")) ++ seqCols: _*)
+      .filter(col("id").isNotNull)
 
   /** Accounts-table discovery rows for admins/deployers added via array
     * patches (reference aget_or_creates each: utils.py:813-814, 824-825). */

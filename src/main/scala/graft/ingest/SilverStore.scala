@@ -285,12 +285,9 @@ final class SilverStore(spark: SparkSession, dir: String) {
       val listRemoveHit = has("owner_remove_admins", "lists")
       val nadabotAddHit = has("owner_add_admins", "nadabot")
       val deployerAddHit = has("admin_add_whitelisted_deployers", "factory")
-      val potCfgHit = eventsPresent("update_pot_config")
-      val factoryCfgHit = Seq(
-        "admin_set_require_whitelist", "admin_set_protocol_config",
-        "admin_set_protocol_fee_recipient_account",
-        "admin_set_protocol_fee_basis_points",
-        "owner_set_admins", "owner_clear_admins").exists(has(_, "factory"))
+      val potCfgHit = eventsPresent(EntityTransforms.potConfigEvent)
+      val factoryCfgHit =
+        EntityTransforms.factoryConfigMethods.exists(has(_, "factory"))
       val factoryAdminPatchHit =
         has("owner_add_admins", "factory") || has("owner_remove_admins", "factory")
       val handlerActsHit = has("new", "pot") || applyHit ||
@@ -311,11 +308,15 @@ final class SilverStore(spark: SparkSession, dir: String) {
         if (need || !exists(name))
           tasks += (name -> (() =>
             SilverStore.mergeEntity(spark, dir, name, df, keys, seqCols)))
+      // Keep-first tables go through the same mergeEntity router as every
+      // other write (keepFirstTables is the single semantics authority);
+      // `first` only names the intent at the call site.
       def first(name: String, df: => DataFrame, keys: Seq[String],
-          need: Boolean = true): Unit =
-        if (need || !exists(name))
-          tasks += (name -> (() =>
-            MergeWriter.insertIgnoreConflicts(spark, df, path(name), keys, seq)))
+          need: Boolean = true): Unit = {
+        require(SilverStore.keepFirstTables(name),
+          s"first($name): table not registered in keepFirstTables")
+        lww(name, df, keys, need = need)
+      }
 
       lww("donations", dons.drop("__receiver"), naturalKeys("donations"),
         need = donateHit)
@@ -365,11 +366,13 @@ final class SilverStore(spark: SparkSession, dir: String) {
           .unionByName(patchAccounts(factoryDeployerAdds(acts)))
           .unionByName(patchAccounts(factoryAdminPatches(acts)))
           .unionByName(potConfigAccounts(potCfg))
+          .unionByName(factoryConfigAccounts(factoryCfg))
           .withColumn("near_social_profile_data", lit(null).cast("string"))
           .unionByName(socialProfileUpdates(acts)),
         naturalKeys("accounts"),
         need = donateHit || nadabotAddHit || deployerAddHit ||
-          factoryAdminPatchHit || potCfgHit || has("set", "social"))
+          factoryAdminPatchHit || potCfgHit || factoryCfgHit ||
+          has("set", "social"))
       // Reference semantics: aupdate_or_create on (action_result, type) —
       // a repeated key UPDATES signer/timestamp/tx_hash (last writer wins).
       lww("activities",

@@ -28,8 +28,7 @@ import graft.functions.Amounts
 object SnapshotBackfill {
 
   private def ddl(s: String): org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.DataType.fromDDL(s)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    EntityTransforms.ddl(s)
 
   /** Synthetic ingest-seq for snapshot rows: at the snapshot height with
     * shard_index = -1, so a real stream row at the same height (shard >= 0)
@@ -44,7 +43,7 @@ object SnapshotBackfill {
     * array layouts: a per-line read of an indented array yields all-null
     * rows under a user schema, which would silently no-op the backfill —
     * detect that and fall back to multiLine. */
-  private def readSnapshot(spark: SparkSession, path: String,
+  private[ingest] def readSnapshot(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType, keyCol: String): DataFrame = {
     val lineMode = spark.read.schema(schema).json(path)
       .filter(col(keyCol).isNotNull)
@@ -357,11 +356,9 @@ object SnapshotBackfill {
         col("protocol_fee_recipient_account").as("protocol_fee_recipient"),
         col("require_whitelist")), snapshotHeight)
 
-  private val tokenMetadataPayload =
-    org.apache.spark.sql.types.DataType.fromDDL(
-      """account STRING, name STRING, symbol STRING, icon STRING,
-        |decimals INT, coingecko_id STRING""".stripMargin)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  private val tokenMetadataPayload = ddl(
+    """account STRING, name STRING, symbol STRING, icon STRING,
+      |decimals INT, coingecko_id STRING""".stripMargin)
 
   /** ft_metadata snapshot → full token rows (S6). The reference fetches
     * `ft_metadata` over RPC per newly seen FT token (utils.py:925-941);

@@ -35,6 +35,37 @@ class ChainsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Chains.validated(bad2))
   }
 
+  test("pretty-printed array dump parses (multiLine fallback)") {
+    val dir = tmpDir("chains-json-arr")
+    Files.write(Paths.get(dir, "chains.json"),
+      """[
+        |  {"name": "NEAR Protocol", "rpc_url": "https://rpc.mainnet.near.org",
+        |   "explorer_url": "https://nearblocks.io", "evm_compat": false},
+        |  {"name": "Base", "rpc_url": "https://mainnet.base.org",
+        |   "explorer_url": "https://basescan.org", "evm_compat": true,
+        |   "evm_chain_id": 8453}
+        |]""".stripMargin.getBytes)
+    // a line-mode-only read would yield all-null corrupt records here and
+    // silently load an empty dimension
+    assert(Chains.fromJson(spark, s"$dir/chains.json").count() == 2)
+  }
+
+  test("reload at the same height deterministically wins (load generation)") {
+    val silverDir = tmpDir("chains-reload")
+    Chains.mergeInto(spark, silverDir, Chains.defaultRows(spark))
+    val updated = Chains.validated(Seq(
+      ("NEAR", "https://rpc.other.example", "https://nearblocks.io",
+        false, null.asInstanceOf[java.lang.Integer]))
+      .toDF("name", "rpc_url", "explorer_url", "evm_compat", "evm_chain_id"))
+    assert(Chains.mergeInto(spark, silverDir, updated) == 1)
+    val row = spark.read.parquet(s"$silverDir/chains").head()
+    // same (height, shard, action) seq as the seed — only the per-load
+    // generation in receipt_index breaks the tie, so the reload's value
+    // must win every run, not per shuffle order
+    assert(row.getAs[String]("rpc_url") == "https://rpc.other.example")
+    assert(row.getAs[Int]("receipt_index") == 1)
+  }
+
   test("seed + merge idempotent; account.chain resolves with NEAR default") {
     val silverDir = tmpDir("chains-silver")
     assert(Chains.mergeInto(spark, silverDir, Chains.defaultRows(spark)) == 1)

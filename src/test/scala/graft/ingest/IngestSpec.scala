@@ -252,8 +252,14 @@ class IngestSpec extends SparkSpec {
     assert(f.getAs[String]("protocol_fee_recipient") == "fowner.near")
     assert(f.getAs[scala.collection.Seq[String]]("whitelisted_deployers").toSeq ==
       Seq("dep1.near", "dep2.near"))
-    // added admin discovered as an account
-    assert(silver.table("accounts").filter(col("id") === "fadm3.near").count() == 1)
+    // account discovery parity with the reference's update_configs
+    // (pots/models.py:72-105): BOTH the whole-array owner_set_admins
+    // admins (fadm1/fadm2, block 108) and the delta-added admin (fadm3,
+    // block 109) get accounts rows — the whole-array path used to
+    // produce none
+    assert(silver.table("accounts")
+      .filter(col("id").isin("fadm1.near", "fadm2.near", "fadm3.near"))
+      .count() == 3)
   }
 
   test("application status updated by later review (sequential effect §7.4-2)") {
