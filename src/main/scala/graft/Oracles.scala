@@ -478,5 +478,35 @@ object Oracles {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_hash,
         |       CAST(strlen(text) % 640 AS BIGINT) AS fake_width
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The fake codec derives n_frames/width/height from the byte length
+    // alone (BinaryPipeline.FakeCodec): frames = 1 + n%13, w = 64 + n%577,
+    // h = 64 + (n/7)%421 — integer-exact, so the oracle replays the decode
+    // arithmetic and checks the sampling grid / resize planning bit-for-bit.
+    "q_mm2_frame_sample" ->
+      """WITH m AS (SELECT doc_id, 1 + (strlen(text) % 13) AS frames
+        |           FROM documents)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx
+        |FROM (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(generate_series(0, 3),
+        |          i -> (i * frames) // 4))) AS f
+        |      FROM m)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_mm3_resize_meta" ->
+      """WITH d AS (SELECT doc_id,
+        |             64 + (strlen(text) % 577) AS w,
+        |             64 + ((strlen(text) // 7) % 421) AS h
+        |           FROM documents)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(CASE WHEN w <= 256 AND h <= 256 THEN w
+        |                 WHEN w * 256 >= h * 256 THEN 256
+        |                 ELSE greatest(1, (w * 256) // h) END AS BIGINT)
+        |         AS resize_w,
+        |       CAST(CASE WHEN w <= 256 AND h <= 256 THEN h
+        |                 WHEN w * 256 >= h * 256
+        |                   THEN greatest(1, (h * 256) // w)
+        |                 ELSE 256 END AS BIGINT) AS resize_h
+        |FROM d ORDER BY doc_id""".stripMargin)
 }

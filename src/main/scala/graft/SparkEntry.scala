@@ -568,6 +568,33 @@ object SparkEntry {
       .select("doc_id", "n_bytes", "content_hash", "fake_width")
       .orderBy("doc_id")
 
+  /** MM2 — uniform frame sampling through the REAL decode plumbing
+    * (mapPartitions batch decode → array-expression grid → explode): 4
+    * sampled frame indices per clip. The fake codec's frame count is pure
+    * arithmetic on the byte length, so the oracle reproduces it exactly. */
+  private def mm2(t: Tables): DataFrame =
+    graft.multimodal.BinaryPipeline.sampleFrames(
+        graft.multimodal.BinaryPipeline.decodeMedia(
+          graft.multimodal.BinaryPipeline.withPayload(
+            t.documents.select("doc_id", "text"), "text")),
+        k = 4)
+      .select(col("doc_id"), col("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** MM3 — aspect-preserving resize planning to fit 256×256, through the
+    * same decode plumbing; integer-exact target dims. */
+  private def mm3(t: Tables): DataFrame =
+    graft.multimodal.BinaryPipeline.resizeMeta(
+        graft.multimodal.BinaryPipeline.decodeMedia(
+          graft.multimodal.BinaryPipeline.withPayload(
+            t.documents.select("doc_id", "text"), "text")),
+        maxW = 256, maxH = 256)
+      .select(col("doc_id"),
+        col("media_meta.width").cast("int").as("width"),
+        col("media_meta.height").cast("int").as("height"),
+        col("resize_w"), col("resize_h"))
+      .orderBy("doc_id")
+
   // ================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
@@ -628,7 +655,9 @@ object SparkEntry {
       "q_sim1_cosine_topk" -> q(sim1),
       "q_sim2_lsh_ann" -> q(sim2),
       "q_sim3_ivf_ann" -> q(sim3),
-      "q_mm1_binary_meta" -> q(mm1))
+      "q_mm1_binary_meta" -> q(mm1),
+      "q_mm2_frame_sample" -> q(mm2),
+      "q_mm3_resize_meta" -> q(mm3))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql

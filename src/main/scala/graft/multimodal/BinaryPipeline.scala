@@ -74,6 +74,47 @@ object BinaryPipeline {
     }(encoder)
   }
 
+  /** Uniform frame sampling — one row per (media row, sampled frame):
+    * `k` indices spread evenly over `[0, n_frames)` (the standard
+    * `i·n/k` grid; fewer when the clip has fewer frames than `k`). The
+    * row explosion, its partition cost and the downstream schema are the
+    * real plumbing; extracting the frame bytes is the codec kernel a
+    * production deployment swaps in ([[FakeCodec]] caveat above). Pure
+    * codegen'd array expressions — no shuffle; output size is bounded by
+    * `k · rows`, never by frame counts. */
+  def sampleFrames(df: DataFrame, k: Int,
+      metaCol: String = "media_meta"): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    val nf = col(s"$metaCol.n_frames").cast("long")
+    df.withColumn("frame_idx",
+      explode(array_distinct(transform(
+        sequence(lit(0L), lit((k - 1).toLong)),
+        i => floor(i * nf / lit(k.toLong)).cast("long")))))
+  }
+
+  /** Aspect-preserving resize planning: target dimensions that fit
+    * `(maxW, maxH)` without upscaling, computed with integer-exact
+    * arithmetic (so any engine reproduces them bit-for-bit — the q_mm3
+    * oracle recomputes the same CASE in DuckDB). This is the metadata
+    * half of resize; the pixel transform itself is the stubbed codec
+    * kernel. Codegen'd per-row arithmetic: scan-bound at 100 TB. */
+  def resizeMeta(df: DataFrame, maxW: Int, maxH: Int,
+      metaCol: String = "media_meta"): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"bounds ($maxW, $maxH) must be positive")
+    val w = col(s"$metaCol.width").cast("long")
+    val h = col(s"$metaCol.height").cast("long")
+    val fits = w <= maxW && h <= maxH
+    val wLimited = w * maxH >= h * maxW
+    df
+      .withColumn("resize_w",
+        when(fits, w).otherwise(when(wLimited, lit(maxW.toLong))
+          .otherwise(greatest(lit(1L), floor(w * maxH / h).cast("long")))))
+      .withColumn("resize_h",
+        when(fits, h).otherwise(when(wLimited,
+          greatest(lit(1L), floor(h * maxW / w).cast("long")))
+          .otherwise(lit(maxH.toLong))))
+  }
+
   /** Size-aware repartition: media rows are large, so partition by
     * cumulative payload bytes rather than row count. */
   def repartitionByBytes(df: DataFrame, payloadCol: String,

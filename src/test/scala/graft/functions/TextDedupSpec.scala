@@ -270,4 +270,36 @@ class TextDedupSpec extends SparkSpec {
     val again = BinaryPipeline.decodeMedia(media).select(col("media_meta.*")).head()
     assert(m == again)
   }
+
+  test("frame sampling: even grid, capped by clip length, no duplicates") {
+    import graft.multimodal.BinaryPipeline
+    // meta-only frame: n_frames is what sampleFrames reads
+    def clip(id: Long, frames: Int) = (id, frames)
+    val clips = Seq(clip(1L, 10), clip(2L, 2), clip(3L, 1))
+      .toDF("media_id", "nf")
+      .withColumn("media_meta", struct(col("nf").as("n_frames")))
+    val out = BinaryPipeline.sampleFrames(clips, k = 4)
+      .groupBy("media_id").agg(collect_list("frame_idx").as("f"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).sorted.toList).toMap
+    assert(out(1L) == List(0L, 2L, 5L, 7L)) // i*10/4 grid
+    assert(out(2L) == List(0L, 1L)) // k > frames → every frame, once
+    assert(out(3L) == List(0L))
+  }
+
+  test("resize planning: aspect preserved, fit-only (never upscales)") {
+    import graft.multimodal.BinaryPipeline
+    val imgs = Seq(
+      (1L, 640, 480), // wide, must shrink to 256×192
+      (2L, 480, 640), // tall → 192×256
+      (3L, 100, 50)   // already fits → untouched
+    ).toDF("media_id", "w", "h")
+      .withColumn("media_meta", struct(col("w").as("width"), col("h").as("height")))
+    val out = BinaryPipeline.resizeMeta(imgs, 256, 256)
+      .select("media_id", "resize_w", "resize_h").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((256L, 192L)))
+    assert(out(2L) == ((192L, 256L)))
+    assert(out(3L) == ((100L, 50L)))
+  }
 }
