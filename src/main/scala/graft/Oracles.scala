@@ -424,6 +424,48 @@ object Oracles {
         |FROM documents d LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // The funnel's stages reuse the exact formulations proven by
+    // q_txt1 (token count), q_txt8 (dup_word_frac), q_txt7
+    // (contamination), q_dd1 (fingerprint) and q_samp1 (split draw);
+    // fingerprint dedup runs WITHIN the filtered set, matching the
+    // engine's latestPerGroup over the already-filtered frame.
+    "q_cur1_curation_funnel" ->
+      raw"""WITH nw AS (SELECT doc_id,
+        |              string_split($norm, ' ') AS w
+        |            FROM documents),
+        |  wc AS (SELECT doc_id, g, count(*) AS c
+        |         FROM (SELECT doc_id, unnest(w) AS g FROM nw) GROUP BY 1, 2),
+        |  ws AS (SELECT doc_id,
+        |           1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dwf
+        |         FROM wc GROUP BY 1),
+        |  nd AS (SELECT doc_id, list_distinct(list_transform(
+        |           generate_series(1, greatest(len(w) - 2, 0)),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngrams
+        |         FROM nw),
+        |  b AS (SELECT DISTINCT unnest(ngrams) AS ngram FROM nd WHERE doc_id % 97 = 0),
+        |  d AS (SELECT doc_id, unnest(ngrams) AS ngram FROM nd),
+        |  agg AS (SELECT d.doc_id, count(*) AS total, count(b.ngram) AS hit
+        |          FROM d LEFT JOIN b USING (ngram) GROUP BY d.doc_id),
+        |  cont AS (SELECT doc_id,
+        |             CASE WHEN coalesce(total, 0) > 0
+        |                  THEN CAST(hit AS DOUBLE) / CAST(total AS DOUBLE)
+        |                  ELSE 0.0 END AS contamination
+        |           FROM documents LEFT JOIN agg USING (doc_id)),
+        |  base AS (SELECT doc_id, md5($norm) AS fp
+        |           FROM documents JOIN ws USING (doc_id) JOIN cont USING (doc_id)
+        |           WHERE lang = 'en'
+        |             AND (CASE WHEN length(trim(text)) = 0 THEN 0
+        |                       ELSE len(string_split_regex(trim(text), '\s+'))
+        |                  END) BETWEEN 20 AND 80
+        |             AND dwf <= 0.6 AND contamination < 0.5),
+        |  uniq AS (SELECT doc_id,
+        |             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        |           FROM base)
+        |SELECT doc_id FROM uniq
+        |WHERE rk = 1
+        |  AND substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dd7_dedup_corpus" ->
       raw"""WITH RECURSIVE
         |  l AS (SELECT doc_id AS id_a, text AS ta, lang FROM documents WHERE doc_id % 50 = 0),

@@ -40,6 +40,9 @@ object PlanAudit {
       // oracle-parity output ordering, not part of the operator)
       "q_samp2_stratified_sample" -> Seq("codegen id", "!Window",
         "!HashAggregate", "!Join"),
+      // frame sampling is scan → batch decode → explode → sort: the
+      // per-clip grid must never become a join, aggregate or window
+      "q_mm2_frame_sample" -> Seq("!Window", "!HashAggregate", "!Join"),
       "q_j6_asof_join" -> Seq("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"))
 
     var bad = 0

@@ -465,6 +465,34 @@ object SparkEntry {
     TextFunctions.repetitionSignals(t.documents, "doc_id", "text")
       .orderBy("doc_id")
 
+  /** CUR1 — the curation funnel, end to end: language gate → token-count
+    * band → repetition filter → benchmark decontamination → exact dedup
+    * (keep lowest id per fingerprint, decided WITHIN the filtered set) →
+    * deterministic 80% train split. Every stage is an already-oracled
+    * operator; this query proves they compose — the oracle replays the
+    * whole funnel in DuckDB and must keep the exact same documents. */
+  private def cur1(t: Tables): DataFrame = {
+    val docs = t.documents
+    val rep = TextFunctions.repetitionSignals(docs, "doc_id", "text")
+      .select(col("doc_id"), col("dup_word_frac"))
+    val cont = DedupFunctions.contaminationScores(
+      docs, "doc_id", "text",
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0), "text", n = 3)
+    val base = docs
+      .filter(col("lang") === "en")
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .filter(col("n_tokens").between(20, 80))
+      .join(rep, Seq("doc_id"))
+      .filter(col("dup_word_frac") <= 0.6)
+      .join(cont, Seq("doc_id"))
+      .filter(col("contamination") < 0.5)
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+    Relational.latestPerGroup(base, Seq("fp"), Seq(col("doc_id").asc))
+      .filter(SampleFunctions.splitLabel(col("doc_id"), 0.8, "cur") === "train")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- D: dedup
 
   /** DD1 — exact dedup via content-hash groups. */
@@ -650,6 +678,7 @@ object SparkEntry {
       "q_samp3_pack_sequences" -> q(samp3),
       "q_txt7_contamination" -> q(txt7),
       "q_txt8_repetition" -> q(txt8),
+      "q_cur1_curation_funnel" -> q(cur1),
       "q_dd4_simhash" -> q(dd4),
       "q_dd5_embed_neardup" -> q(dd5),
       "q_sim1_cosine_topk" -> q(sim1),
