@@ -86,10 +86,15 @@ object BinaryPipeline {
       metaCol: String = "media_meta"): DataFrame = {
     require(k > 0, s"k $k must be positive")
     val nf = col(s"$metaCol.n_frames").cast("long")
+    // A frameless clip (real codecs CAN return 0 — corrupt video, still
+    // image; null meta likewise) must contribute zero rows, not an index
+    // into a frame that doesn't exist: explode of the empty array drops
+    // the row.
     df.withColumn("frame_idx",
-      explode(array_distinct(transform(
+      explode(when(nf > 0, array_distinct(transform(
         sequence(lit(0L), lit((k - 1).toLong)),
-        i => floor(i * nf / lit(k.toLong)).cast("long")))))
+        i => floor(i * nf / lit(k.toLong)).cast("long"))))
+        .otherwise(array().cast("array<long>"))))
   }
 
   /** Aspect-preserving resize planning: target dimensions that fit

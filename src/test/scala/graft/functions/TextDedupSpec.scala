@@ -275,7 +275,7 @@ class TextDedupSpec extends SparkSpec {
     import graft.multimodal.BinaryPipeline
     // meta-only frame: n_frames is what sampleFrames reads
     def clip(id: Long, frames: Int) = (id, frames)
-    val clips = Seq(clip(1L, 10), clip(2L, 2), clip(3L, 1))
+    val clips = Seq(clip(1L, 10), clip(2L, 2), clip(3L, 1), clip(4L, 0))
       .toDF("media_id", "nf")
       .withColumn("media_meta", struct(col("nf").as("n_frames")))
     val out = BinaryPipeline.sampleFrames(clips, k = 4)
@@ -285,6 +285,9 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1L) == List(0L, 2L, 5L, 7L)) // i*10/4 grid
     assert(out(2L) == List(0L, 1L)) // k > frames → every frame, once
     assert(out(3L) == List(0L))
+    // a frameless clip (real codecs can return 0) contributes NO rows —
+    // frame_idx 0 would index a frame that doesn't exist
+    assert(!out.contains(4L))
   }
 
   test("resize planning: aspect preserved, fit-only (never upscales)") {
