@@ -527,7 +527,7 @@ object Oracles {
     // h = 64 + (n/7)%421 — integer-exact, so the oracle replays the decode
     // arithmetic and checks the sampling grid / resize planning bit-for-bit.
     "q_mm2_frame_sample" ->
-      """WITH m AS (SELECT doc_id, 1 + (strlen(text) % 13) AS frames
+      """WITH m AS (SELECT doc_id, 1 + (coalesce(strlen(text), 0) % 13) AS frames
         |           FROM documents)
         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx
         |FROM (SELECT doc_id,
@@ -538,8 +538,8 @@ object Oracles {
 
     "q_mm3_resize_meta" ->
       """WITH d AS (SELECT doc_id,
-        |             64 + (strlen(text) % 577) AS w,
-        |             64 + ((strlen(text) // 7) % 421) AS h
+        |             64 + (coalesce(strlen(text), 0) % 577) AS w,
+        |             64 + ((coalesce(strlen(text), 0) // 7) % 421) AS h
         |           FROM documents)
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |       CAST(CASE WHEN w <= 256 AND h <= 256 THEN w

@@ -484,7 +484,11 @@ object SparkEntry {
       .filter(col("lang") === "en")
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
       .filter(col("n_tokens").between(20, 80))
-    val rep = TextFunctions.repetitionSignals(eligible, "doc_id", "text")
+    // withBigrams=false: only dup_word_frac is consumed, and the bigram
+    // explode+aggregate+join would otherwise run just to be discarded
+    // (no left-join elimination in Catalyst)
+    val rep = TextFunctions.repetitionSignals(
+        eligible, "doc_id", "text", withBigrams = false)
       .select(col("doc_id"), col("dup_word_frac"))
     val cont = DedupFunctions.contaminationScores(
       eligible, "doc_id", "text",

@@ -153,8 +153,14 @@ object TextFunctions {
     * formulation would be O(terms²) per document (count-of-each-distinct
     * re-scans the array) — the explode plan is linear and whole-stage
     * codegen'd up to the aggregations.
+    *
+    * `withBigrams = false` omits `dup_bigram_frac` AND its entire
+    * explode+aggregate+join pipeline — Catalyst has no left-join
+    * elimination, so a caller that only needs the word-level signals
+    * would otherwise still pay the bigram shuffle just to discard it.
     */
-  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      withBigrams: Boolean = true): DataFrame = {
     def stats(term: Column, total: String, uniq: String, top: Option[String]) = {
       val perTerm = df
         .select(col(idCol), explode(term).as("__t"))
@@ -164,17 +170,20 @@ object TextFunctions {
       perTerm.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
     }
     val words = stats(split(normalize(col(textCol)), " "), "__tw", "__uw", Some("__tc"))
-    val bigrams = stats(DedupFunctions.ngramsAll(col(textCol), 2), "__tb", "__ub", None)
-    df.select(col(idCol))
-      .join(words, Seq(idCol), "left")
-      .join(bigrams, Seq(idCol), "left")
-      .select(col(idCol),
-        (lit(1.0) - col("__uw").cast("double") / col("__tw").cast("double"))
-          .as("dup_word_frac"),
-        (col("__tc").cast("double") / col("__tw").cast("double"))
-          .as("top_word_frac"),
-        coalesce(
-          lit(1.0) - col("__ub").cast("double") / col("__tb").cast("double"),
-          lit(0.0)).as("dup_bigram_frac"))
+    val wordSignals = Seq(
+      (lit(1.0) - col("__uw").cast("double") / col("__tw").cast("double"))
+        .as("dup_word_frac"),
+      (col("__tc").cast("double") / col("__tw").cast("double"))
+        .as("top_word_frac"))
+    val base = df.select(col(idCol)).join(words, Seq(idCol), "left")
+    if (!withBigrams) base.select(col(idCol) +: wordSignals: _*)
+    else {
+      val bigrams = stats(DedupFunctions.ngramsAll(col(textCol), 2), "__tb", "__ub", None)
+      base.join(bigrams, Seq(idCol), "left")
+        .select(col(idCol) +: wordSignals :+
+          coalesce(
+            lit(1.0) - col("__ub").cast("double") / col("__tb").cast("double"),
+            lit(0.0)).as("dup_bigram_frac"): _*)
+    }
   }
 }

@@ -93,31 +93,44 @@ object BinaryPipeline {
     df.withColumn("frame_idx",
       explode(when(nf > 0, array_distinct(transform(
         sequence(lit(0L), lit((k - 1).toLong)),
-        i => floor(i * nf / lit(k.toLong)).cast("long"))))
+        i => call_function("div", i * nf, lit(k.toLong)))))
         .otherwise(array().cast("array<long>"))))
   }
 
   /** Aspect-preserving resize planning: target dimensions that fit
     * `(maxW, maxH)` without upscaling, computed with integer-exact
-    * arithmetic (so any engine reproduces them bit-for-bit — the q_mm3
-    * oracle recomputes the same CASE in DuckDB). This is the metadata
-    * half of resize; the pixel transform itself is the stubbed codec
-    * kernel. Codegen'd per-row arithmetic: scan-bound at 100 TB. */
+    * arithmetic — SQL `div` (IntegralDivide), never a double-typed `/`,
+    * so any engine reproduces them bit-for-bit at ANY input magnitude
+    * (the q_mm3 oracle recomputes the same CASE with DuckDB's `//`).
+    * A row whose decode failed (null metadata, null or non-positive
+    * dimension) gets NULL resize dims — a plan must never be fabricated
+    * for an image we couldn't measure; downstream skips on NULL, the
+    * same contract as [[sampleFrames]] dropping frameless clips. This
+    * is the metadata half of resize; the pixel transform itself is the
+    * stubbed codec kernel. Codegen'd per-row arithmetic: scan-bound at
+    * 100 TB. */
   def resizeMeta(df: DataFrame, maxW: Int, maxH: Int,
       metaCol: String = "media_meta"): DataFrame = {
     require(maxW > 0 && maxH > 0, s"bounds ($maxW, $maxH) must be positive")
     val w = col(s"$metaCol.width").cast("long")
     val h = col(s"$metaCol.height").cast("long")
+    // null w/h makes the predicate NULL, which falls through to the
+    // trailing otherwise(NULL) — no isNull checks needed
+    val measurable = w > 0 && h > 0
     val fits = w <= maxW && h <= maxH
     val wLimited = w * maxH >= h * maxW
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
     df
       .withColumn("resize_w",
-        when(fits, w).otherwise(when(wLimited, lit(maxW.toLong))
-          .otherwise(greatest(lit(1L), floor(w * maxH / h).cast("long")))))
+        when(measurable && fits, w)
+          .when(measurable && wLimited, lit(maxW.toLong))
+          .when(measurable, greatest(lit(1L), idiv(w * maxH, h)))
+          .otherwise(lit(null).cast("long")))
       .withColumn("resize_h",
-        when(fits, h).otherwise(when(wLimited,
-          greatest(lit(1L), floor(h * maxW / w).cast("long")))
-          .otherwise(lit(maxH.toLong))))
+        when(measurable && fits, h)
+          .when(measurable && wLimited, greatest(lit(1L), idiv(h * maxW, w)))
+          .when(measurable, lit(maxH.toLong))
+          .otherwise(lit(null).cast("long")))
   }
 
   /** Size-aware repartition: media rows are large, so partition by

