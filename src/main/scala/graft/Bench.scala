@@ -34,9 +34,21 @@ object Bench {
     // instantly would otherwise record a tiny min and read as a speedup);
     // only successful passes enter the min, and a query with zero
     // successful passes reports a null time plus its error.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated allowlist for targeted perf work
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q_sim3_ivf_ann,q_dd6_dup_clusters);
+    // absent = full suite, which is what the driver runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to passes).flatMap { _ =>
+        // Outside the timed region: release localCheckpoint blocks left by
+        // the previous pass — the ContextCleaner frees them only once the
+        // RDDs are garbage-collected, and letting them pile up inflates
+        // later passes (memory pressure, GC pauses inside timed work).
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>

@@ -204,13 +204,23 @@ object DedupFunctions {
   def duplicateClusters(pairs: DataFrame, a: String, b: String,
       maxIters: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
+    // Symmetrize with a single scan (explode of both directions) — the
+    // upstream pair plan is often an expensive similarity join, and a
+    // two-scan union would execute it twice before the persist.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(a).as("src"), col(b).as("dst")),
+        struct(col(b).as("src"), col(a).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().persist(lvl)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).persist(lvl)
+    // Round 0 analytically: with identity starting labels, the first
+    // propagate round is exactly label₀(u) = min(u ∪ Γ(u)) — one groupBy
+    // over the cached edges instead of a join against an identity table.
+    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
+      .persist(lvl)
     var changed = 1L
-    var i = 0
+    var i = 1
     while (changed > 0 && i < maxIters) {
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("node"))
@@ -230,18 +240,21 @@ object DedupFunctions {
       labels = next.drop("__old").persist(lvl)
       i += 1
     }
-    edges.unpersist()
     // A component deeper than maxIters would leave partial labels that
     // masquerade as a correct clustering. Min-label propagation is the
     // cheap path for the shallow components near-dup graphs actually have;
-    // when a pathological chain exhausts the round cap, hand the whole
-    // input to the O(log n)-round star-contraction algorithm instead of
-    // failing (or throwing spuriously when the final round happened to
-    // reach fixpoint exactly at the cap).
+    // when a pathological chain exhausts the round cap, hand the input to
+    // the O(log n)-round star-contraction algorithm instead of failing
+    // (or throwing spuriously when the final round happened to reach
+    // fixpoint exactly at the cap). The cached symmetric edge set is an
+    // equivalent pair list, so the expensive upstream plan is not re-run.
     if (changed > 0) {
       labels.unpersist()
-      return duplicateClustersStar(pairs, a, b)
+      val viaStar = duplicateClustersStar(edges, "src", "dst")
+      edges.unpersist()
+      return viaStar
     }
+    edges.unpersist()
     val out = labels
       .select(col("node").as("member"), col("label").as("cluster_id"))
       .localCheckpoint(true)
@@ -335,8 +348,13 @@ object DedupFunctions {
   def duplicateClustersStar(pairs: DataFrame, a: String, b: String,
       maxIters: Int = 60): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var edges = pairs
-      .select(greatest(col(a), col(b)).as("hi"), least(col(a), col(b)).as("lo"))
+    // One scan of the upstream pair plan, total: it is consumed here for
+    // the edge set and twice more below for the self-only membership
+    // union, and (on the fallback path) has already been paid once by
+    // duplicateClusters — often an expensive similarity join.
+    val p = pairs.select(col(a).as("pa"), col(b).as("pb")).localCheckpoint(true)
+    var edges = p
+      .select(greatest(col("pa"), col("pb")).as("hi"), least(col("pa"), col("pb")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
       .persist(lvl)
     var converged = false
@@ -378,8 +396,8 @@ object DedupFunctions {
       .select(col("hi").as("member"), col("lo").as("cluster_id"))
       .unionByName(edges.select(col("lo").as("member"), col("lo").as("cluster_id")))
       .distinct()
-    val selfOnly = pairs
-      .select(col(a).as("member")).unionByName(pairs.select(col(b).as("member")))
+    val selfOnly = p
+      .select(col("pa").as("member")).unionByName(p.select(col("pb").as("member")))
       .distinct()
       .join(starMembers.select("member"), Seq("member"), "left_anti")
       .withColumn("cluster_id", col("member"))

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search: brute-force cosine top-k (exact baseline)
@@ -103,38 +102,36 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus into
     * cells; a query scans only its `nprobe` nearest cells. The classic
-    * trade: recall grows with nprobe, cost with cells scanned. Centroids
-    * are trained once (seeded KMeans on a sample) and reused — at 100 TB
-    * the assignment pass is one scan and queries touch nprobe/nlist of the
-    * corpus. */
+    * trade: recall grows with nprobe, cost with cells scanned.
+    *
+    * The coarse quantizer is trained on a bounded deterministic sample
+    * (≤ `fitSampleRows`) ON THE DRIVER — the standard IVF pattern: a
+    * quantizer needs a few thousand vectors per cell, never the corpus, so
+    * a sample that small is a sequential in-memory Lloyd's loop, not
+    * `maxIter` rounds of distributed jobs whose per-round scheduling
+    * overhead dwarfs the arithmetic. The DATA passes stay distributed and
+    * scale-shaped: one codegen'd argmax scan assigns cells (16·dim flops
+    * per row, no shuffle), and queries touch nprobe/nlist of the corpus
+    * via a broadcast equi-join on the cell id.
+    *
+    * Spherical k-means (unit centroids, max-dot assignment), so the
+    * quantizer's geometry is the same cosine used for the final ranking.
+    * Everything is seeded and sequentially folded — bit-stable across
+    * runs, partitionings and retries. */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       maxIter: Int = 10, fitSampleRows: Int = 100000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val corpusVec = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
-      .withColumn("features", array_to_vector(col("cv").cast("array<double>")))
-    // Random init: k-means|| costs several extra passes and adds nothing
-    // for IVF cell quality at these k values.
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .setInitMode("random")
-      .setFeaturesCol("features").setPredictionCol("cell")
-    // Train on a capped deterministic sample: centroid quality needs a few
-    // thousand vectors per cell, not the corpus — a full-corpus fit is
-    // maxIter complete passes before the first query, which is the one
-    // cost here that would grow with data volume. The seeded hash-mod
-    // filter is stable across runs (no RNG state, unlike df.sample).
-    val fitSet = {
-      // The sampling rate comes from the UN-projected corpus: count(*)
-      // over the raw scan column-prunes to metadata weight, instead of
-      // paying a full vector-decode pass just to pick the rate. The filter
-      // sits below the array_to_vector projection, so the fit path decodes
-      // vectors only for sampled rows.
-      val n = corpus.count()
-      if (n <= fitSampleRows) corpusVec
+    val corpusSel = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+    // Deterministic bounded fit sample. The rate comes from a count(*)
+    // over the raw corpus (metadata-weight, column-pruned — no vector
+    // decode); the seeded hash-mod filter is stable across runs (no RNG
+    // state, unlike df.sample) and prunes below the vector projection, so
+    // only sampled rows are decoded and collected.
+    val n = corpus.count()
+    val sampled =
+      if (n <= fitSampleRows) corpusSel
       else {
         // Ceil division lands the filter alone at/under the cap in
         // expectation; the ordered limit is a deterministic guard over the
@@ -142,30 +139,96 @@ object Similarity {
         // scan-order pick.
         val keepOneIn = (n + fitSampleRows - 1) / fitSampleRows
         val h = xxhash64(col("neighbor_id"), lit(seed))
-        corpusVec
-          .filter(pmod(h, lit(keepOneIn)) === 0)
+        corpusSel.filter(pmod(h, lit(keepOneIn)) === 0)
           .orderBy(h.asc, col("neighbor_id").asc)
           .limit(fitSampleRows)
       }
-    }
-    val model = km.fit(fitSet)
-    val assigned = model.transform(corpusVec).select("neighbor_id", "cv", "cell")
+    // Collect in id order so the sequential centroid folds see a fixed
+    // operand order — float addition is not associative, and bit-stable
+    // centroids are what make the whole operator replay-identical.
+    val sampleVecs: Array[Array[Double]] = sampled
+      .orderBy("neighbor_id")
+      .select(col("cv").cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+      .filter(v => v != null && v.exists(_ != 0.0))
+      .map { v =>
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / nrm)
+      }
+    if (sampleVecs.isEmpty)
+      // Degenerate corpus (empty or all-zero vectors): no quantizer can be
+      // trained; exact brute force is both correct and the same cost.
+      return cosineTopK(queries, corpus, qId, qVec, cId, cVec, k)
 
-    // Broadcast centroids as array<array<float>> and rank cells per query
-    // with the same cosine kernel; explode the top-nprobe cells.
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
+    // Seeded driver-side spherical Lloyd's: assign by max dot (== cosine,
+    // inputs are unit), recenter to the normalized mean, keep the previous
+    // centroid for cells that empty out. Ties break to the lowest cell id.
+    val kk = math.min(nlist, sampleVecs.length)
+    val dim = sampleVecs.head.length
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(sampleVecs.indices.toVector).take(kk)
+      .map(sampleVecs(_)).toArray
+    var assign = Array.fill(sampleVecs.length)(-1)
+    var iter = 0
+    var moved = true
+    while (moved && iter < maxIter) {
+      moved = false
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val cnts = new Array[Int](kk)
+      var vi = 0
+      while (vi < sampleVecs.length) {
+        val v = sampleVecs(vi)
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var ci = 0
+        while (ci < kk) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += v(j) * centroids(ci)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = ci }
+          ci += 1
+        }
+        if (assign(vi) != best) { assign(vi) = best; moved = true }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        cnts(best) += 1
+        vi += 1
+      }
+      centroids = centroids.indices.map { ci =>
+        if (cnts(ci) == 0) centroids(ci)
+        else {
+          val s = sums(ci)
+          val nrm = math.sqrt(s.map(x => x * x).sum)
+          if (nrm == 0.0) centroids(ci) else s.map(_ / nrm)
+        }
+      }.toArray
+      iter += 1
     }
-    val centroidDf = broadcast(
-      corpus.sparkSession.createDataFrame(centroids).toDF("cell", "centroid"))
+
+    // Centroids ride into the plan as one array<array<float>> literal;
+    // cell assignment is a per-row argmax over it — a codegen'd map, the
+    // only full-corpus pass, no shuffle. NaN cosines (zero-norm rows) are
+    // floored below the cosine range so argmax stays total and the row
+    // still lands in a cell deterministically.
+    val centroidArr = array(centroids.map(c => lit(c.map(_.toFloat))): _*)
+    def cellSims(vec: Column): Column =
+      transform(centroidArr, ct => nanvl(cosine(vec, ct), lit(-2.0)))
+    val cellOf = ExprUtils.evalOnce(cellSims(col("cv"))) { sims =>
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }
+    val assigned = corpusSel.withColumn("cell", cellOf)
+
+    // Query side: rank all kk cells with the same kernel inside one row
+    // (sort by (-sim, cell) — desc sim, asc cell tie-break), explode the
+    // top-nprobe. No window, no shuffle; queries are small by contract.
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
-    val qCells = q.crossJoin(centroidDf)
-      .withColumn("cell_sim", cosine(col("qv"), col("centroid")))
-    val wc = Window.partitionBy(col("query_id"))
-      .orderBy(col("cell_sim").desc, col("cell").asc)
-    val probed = qCells.withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= nprobe)
-      .select("query_id", "qv", "cell")
+    val probedCells = ExprUtils.evalOnce(cellSims(col("qv"))) { sims =>
+      transform(
+        slice(array_sort(zip_with(sims, sequence(lit(0), lit(kk - 1)),
+          (s, i) => struct((-s).as("ns"), i.as("i")))), 1, math.min(nprobe, kk)),
+        x => x.getField("i").cast("int"))
+    }
+    val probed = q.select(col("query_id"), col("qv"),
+      explode(probedCells).as("cell"))
 
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
