@@ -424,6 +424,73 @@ object Oracles {
         |FROM documents d LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // Line-dedup: the 3-word line synthesis regex is the same pattern the
+    // Spark query runs (Java regex $1 ↔ RE2 \1 replacement syntax; both
+    // engines replace globally with the flag/default). Zipped unnests give
+    // (line, position) pairs; doc-frequency by the line itself groups
+    // identically to the engine's 128-bit line fingerprint.
+    "q_txt9_line_dedup" ->
+      raw"""WITH w AS (SELECT doc_id,
+        |              regexp_replace(text, '((\S+ ){3})', '\1' || chr(10), 'g') AS t2
+        |            FROM documents),
+        |  e AS (SELECT doc_id,
+        |          unnest(string_split(t2, chr(10))) AS line,
+        |          unnest(generate_series(1, len(string_split(t2, chr(10))))) AS pos
+        |        FROM w),
+        |  f AS (SELECT line, count(DISTINCT doc_id) AS df FROM e GROUP BY 1),
+        |  k AS (SELECT doc_id, pos, line FROM e JOIN f USING (line) WHERE df <= 2),
+        |  r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+        |               count(*) AS n_kept
+        |        FROM k GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |       COALESCE(text_dedup, '') AS text_dedup,
+        |       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_lines_kept,
+        |       CAST(len(string_split(t2, chr(10))) - COALESCE(n_kept, 0) AS BIGINT)
+        |         AS n_lines_dropped
+        |FROM w LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Surprisal is integer-exact by design (whole bits from binary-string
+    // lengths, exact integer sum, one final double division) — that is
+    // what lets this oracle hash-match: a cross-engine ln()/log2() is not
+    // guaranteed bit-identical.
+    "q_txt10_surprisal" ->
+      s"""WITH nw AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+         |  wc AS (SELECT doc_id, g, count(*) AS c
+         |         FROM (SELECT doc_id, unnest(w) AS g FROM nw) GROUP BY 1, 2),
+         |  fq AS (SELECT g, CAST(sum(c) AS BIGINT) AS cw FROM wc GROUP BY 1),
+         |  tt AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM fq),
+         |  sc AS (SELECT doc_id,
+         |           CAST(sum(c * ((length(bin(n)) - 1) - (length(bin(cw)) - 1))) AS DOUBLE)
+         |             / CAST(sum(c) AS DOUBLE) AS surprisal_bits
+         |         FROM wc JOIN fq USING (g) CROSS JOIN tt
+         |         GROUP BY doc_id)
+         |SELECT doc_id, surprisal_bits
+         |FROM documents LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Keep fractions derive from per-domain supply with the exact same
+    // IEEE operation order as SampleFunctions.targetMixture (n/t → min →
+    // scale·t/n → min(1, ·) → floor(frac·2³²) → 8-hex threshold), so the
+    // kept set matches row-for-row.
+    "q_samp4_target_mixture" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents
+        |           WHERE lang IN ('en', 'es', 'de') GROUP BY 1),
+        |  s AS (SELECT min(n / t) AS scale
+        |        FROM (SELECT n, CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3
+        |                        ELSE 0.2 END AS t FROM c)),
+        |  f AS (SELECT lang,
+        |          least(1.0, scale * CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3
+        |                             ELSE 0.2 END / n) AS frac
+        |        FROM c CROSS JOIN s),
+        |  th AS (SELECT lang,
+        |           CASE WHEN frac >= 1.0 THEN 'g'
+        |                ELSE lower(lpad(hex(CAST(floor(frac * 4294967296) AS BIGINT)), 8, '0'))
+        |           END AS threshold
+        |         FROM f)
+        |SELECT doc_id, lang FROM documents JOIN th USING (lang)
+        |WHERE substr(md5('s4:' || CAST(doc_id AS VARCHAR)), 1, 8) < threshold
+        |ORDER BY doc_id""".stripMargin,
+
     // The funnel's stages reuse the exact formulations proven by
     // q_txt1 (token count), q_txt8 (dup_word_frac), q_txt7
     // (contamination), q_dd1 (fingerprint) and q_samp1 (split draw);

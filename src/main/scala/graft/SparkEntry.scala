@@ -465,6 +465,56 @@ object SparkEntry {
     TextFunctions.repetitionSignals(t.documents, "doc_id", "text")
       .orderBy("doc_id")
 
+  /** TXT9 — C4-style line-level dedup: lines occurring in more than 2
+    * distinct documents are boilerplate and are scrubbed from all of
+    * them; documents are rebuilt from the surviving lines in order. The
+    * fixture corpus has no newlines, so the query manufactures 3-word
+    * lines first (same precedent as q_txt6's synthetic PII) — the same
+    * regex runs in the oracle. */
+  private def txt9(t: Tables): DataFrame =
+    TextFunctions.dedupLines(
+        t.documents.withColumn("text",
+          regexp_replace(col("text"), "((\\S+ ){3})", "$1\n")),
+        "doc_id", "text", maxDocFreq = 2)
+      .orderBy("doc_id")
+
+  /** TXT10 — corpus-LM surprisal quality score: average whole-bit
+    * information content per token under the corpus's own unigram
+    * distribution (the cheap perplexity-filter stand-in). Integer-exact
+    * by construction, so the oracle reproduces it bit-for-bit. */
+  private def txt10(t: Tables): DataFrame =
+    TextFunctions.unigramSurprisal(t.documents, "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** SAMP4 — downsample to a target domain mixture (50% en / 30% es /
+    * 20% de; other languages dropped): the data-mixing step of corpus
+    * assembly. Keep fractions derive from the actual per-domain supply;
+    * the draw is the deterministic content-hash draw. */
+  private def samp4(t: Tables): DataFrame =
+    SampleFunctions.targetMixture(
+        t.documents.select("doc_id", "lang"), col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2), seed = "s4")
+      .orderBy("doc_id")
+
+  /** DD8 — SimHash banded near-dup pairs: 64-bit signatures, 4×16-bit
+    * bands, exact popcount verify at Hamming ≤ 3 (pigeonhole-complete
+    * within the radius). No SQL oracle: rows-only + bit-parity specs. */
+  private def dd8(t: Tables): DataFrame =
+    DedupFunctions.simHashNearDupPairs(t.documents, "doc_id", "text",
+        maxHamming = 3, bands = 4)
+      .orderBy("id_a", "id_b")
+
+  /** DD9 — incremental near-dup: every ~10th document plays the "new
+    * batch" and is LSH-checked against the rest (the standing corpus);
+    * matches at Jaccard ≥ 0.5 are reported. No SQL oracle: rows-only +
+    * spec. */
+  private def dd9(t: Tables): DataFrame =
+    DedupFunctions.minHashNearDupAgainst(
+        t.documents.filter(pmod(col("doc_id"), lit(10)) === 7),
+        t.documents.filter(pmod(col("doc_id"), lit(10)) =!= 7),
+        "doc_id", "text", shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+      .orderBy("id_new", "id_corpus")
+
   /** CUR1 — the curation funnel, end to end: language gate → token-count
     * band → repetition filter → benchmark decontamination → exact dedup
     * (keep lowest id per fingerprint, decided WITHIN the filtered set) →
@@ -690,6 +740,11 @@ object SparkEntry {
       "q_samp3_pack_sequences" -> q(samp3),
       "q_txt7_contamination" -> q(txt7),
       "q_txt8_repetition" -> q(txt8),
+      "q_txt9_line_dedup" -> q(txt9),
+      "q_txt10_surprisal" -> q(txt10),
+      "q_samp4_target_mixture" -> q(samp4),
+      "q_dd8_simhash_pairs" -> q(dd8),
+      "q_dd9_incremental_neardup" -> q(dd9),
       "q_cur1_curation_funnel" -> q(cur1),
       "q_dd4_simhash" -> q(dd4),
       "q_dd5_embed_neardup" -> q(dd5),

@@ -182,6 +182,102 @@ object DedupFunctions {
     result
   }
 
+  /** SimHash near-duplicate pairs via banded Hamming search: split each
+    * 64-bit simhash into `bands` equal-width keys; by pigeonhole, two
+    * signatures within Hamming distance < `bands` share at least one whole
+    * band, so the candidate join is an EQUI-join on (band, key) — never an
+    * all-pairs scan — and candidates are verified with the exact popcount.
+    * `maxHamming < bands` keeps that guarantee (recall 1.0 within the
+    * radius); the classic 64-bit/4-band/≤3-Hamming configuration is the
+    * default. Same scale shape as [[minHashNearDupPairs]]: signatures are
+    * computed once (persisted), the pair shuffle carries only ids, and
+    * hot buckets are AQE-splittable. */
+  def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands $bands must divide 64")
+    require(0 <= maxHamming && maxHamming < bands,
+      s"maxHamming $maxHamming must be < bands $bands for the pigeonhole guarantee")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = docs
+      .select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+      .persist(lvl)
+    val bandRows = base.select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.cast("int").as("band"),
+            call_function("shiftrightunsigned", col("sig"), (b * width).cast("int"))
+              .bitwiseAND(lit(mask)).as("key")))).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val pairs = bandRows.alias("a")
+      .join(bandRows.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val result = pairs
+      .join(base.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .localCheckpoint(true)
+    base.unpersist()
+    result
+  }
+
+  /** Incremental near-duplicate check of a NEW batch against an EXISTING
+    * corpus — the shape a continuously-fed training pipeline actually
+    * runs: not all-pairs over (corpus ∪ batch), but batch-side signatures
+    * LSH-joined against the corpus's, so cost scales with the batch and
+    * the bucket collision rate, never with corpus². Returns
+    * (id_new, id_corpus, jaccard_sim) for every corpus document the new
+    * document is a near-duplicate of (≥ `threshold`); new documents with
+    * no match simply don't appear — an anti-join of the batch against the
+    * result is the "safe to ingest" set.
+    *
+    * At production scale the corpus side's signatures/band keys are
+    * computed once and PERSISTED as a table (they are deterministic —
+    * same text, same signature); this function recomputes them from text
+    * so it stays self-contained, and documents that contract. */
+  def minHashNearDupAgainst(
+      newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def prep(df: DataFrame, side: String): (DataFrame, DataFrame) = {
+      val base = df
+        .select(col(idCol).as(s"id_$side"), shingles(col(textCol), shingleN).as(s"sh_$side"))
+        .filter(size(col(s"sh_$side")) > 0)
+        .persist(lvl)
+      val bandRows = base
+        .select(col(s"id_$side"),
+          explode(lshBandKeys(minHashSignature(col(s"sh_$side"), k), bands, k / bands)).as("bk"))
+        .select(col(s"id_$side"), col("bk.band"), col("bk.key"))
+      (base, bandRows)
+    }
+    val (newBase, newBands) = prep(newDocs, "new")
+    val (corpusBase, corpusBands) = prep(corpus, "corpus")
+    val pairs = newBands.join(corpusBands, Seq("band", "key"))
+      .select(col("id_new"), col("id_corpus"))
+      .distinct()
+    val setSim = ExprUtils.evalOnce(size(array_intersect(col("sh_new"), col("sh_corpus")))) { inter =>
+      inter.cast("double") /
+        (size(col("sh_new")) + size(col("sh_corpus")) - inter).cast("double")
+    }
+    val result = pairs
+      .join(newBase, Seq("id_new"))
+      .join(corpusBase, Seq("id_corpus"))
+      .withColumn("jaccard_sim", setSim)
+      .filter(col("jaccard_sim") >= threshold)
+      .select("id_new", "id_corpus", "jaccard_sim")
+      .localCheckpoint(true)
+    newBase.unpersist()
+    corpusBase.unpersist()
+    result
+  }
+
   /** Connected components over a near-duplicate pair graph: one
     * `cluster_id` (the component's minimum member id) per document — the
     * step that turns pairwise near-dup evidence (Jaccard/MinHash/embedding

@@ -63,6 +63,42 @@ object SampleFunctions {
     df.filter(hashDraw(id, seed) < threshold)
   }
 
+  /** Deterministic downsample to a TARGET DOMAIN MIXTURE — the data-mixing
+    * step of training-corpus assembly ("make the corpus 50% web, 30% code,
+    * 20% papers"). Computes the largest corpus achievable under `target`
+    * given the per-domain supply, then keeps exactly the per-domain
+    * fraction that lands it: scale S = min_d n_d/t_d (the binding domain
+    * survives whole), keep fraction f_d = S·t_d/n_d. Domains not in
+    * `target` are dropped. The draw itself is the same content-hash draw
+    * as [[stratifiedSample]] — re-run/engine/partitioning stable.
+    *
+    * Cost: one count aggregation over the domain column (domains are few
+    * by definition — the collect is bounded), then a single codegen'd
+    * filter; no shuffle of the data itself.
+    *
+    * Fails loud when a target domain has no rows at all — the requested
+    * mixture is unachievable and silently returning an empty corpus would
+    * masquerade as a clean run. */
+  def targetMixture(df: DataFrame, id: Column, domain: Column,
+      target: Map[String, Double], seed: String): DataFrame = {
+    require(target.nonEmpty, "target mixture is empty")
+    require(target.values.forall(t => t > 0.0 && t <= 1.0),
+      s"target weights must be in (0,1]: $target")
+    require(math.abs(target.values.sum - 1.0) < 1e-9,
+      s"target weights must sum to 1: $target")
+    val counts = df.groupBy(domain.cast("string").as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = target.keys.filterNot(counts.contains)
+    require(missing.isEmpty,
+      s"target domains absent from the data: ${missing.mkString(", ")}")
+    val scale = target.map { case (d, t) => counts(d).toDouble / t }.min
+    val fracs = target.map { case (d, t) =>
+      d -> math.min(1.0, scale * t / counts(d).toDouble)
+    }
+    stratifiedSample(df, id, domain, fracs, default = 0.0, seed)
+  }
+
   /** Sequence packing — the concat-then-chunk layout step that turns a
     * tokenized corpus into fixed-budget training sequences (GPT-style
     * packing: documents are laid end-to-end and cut every `budgetTokens`;

@@ -136,6 +136,87 @@ object TextFunctions {
       "digit_ratio" -> (digits.cast("double") / chars.cast("double")))
   }
 
+  /** Line-level deduplication (the C4/CCNet-style boilerplate scrub):
+    * drop every line that occurs in more than `maxDocFreq` distinct
+    * documents — navigation chrome, license headers, cookie banners —
+    * and reassemble each document from its surviving lines in original
+    * order. Returns (id, text_dedup, n_lines_kept, n_lines_dropped);
+    * a document whose every line was boilerplate survives with empty
+    * text (the caller decides whether to drop it), never disappears.
+    *
+    * Scale shape: one posexplode scan, a doc-frequency aggregation keyed
+    * by a 128-bit line fingerprint (narrow shuffle rows; the distinct
+    * pre-pass spreads hot boilerplate lines across reducers by (doc,
+    * line) before anything is keyed by line alone), one equi-join back,
+    * and a per-document rebuild whose state is bounded by document
+    * length. Line ORDER inside a document is restored by position, so
+    * the result is partition-layout independent.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq $maxDocFreq must be >= 1")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__lfp", md5(col("__line").cast("binary")))
+    val docFreq = lines.select(col(idCol), col("__lfp")).distinct()
+      .groupBy("__lfp").agg(count(lit(1)).as("__df"))
+    val kept = lines.join(docFreq, Seq("__lfp"))
+      .filter(col("__df") <= maxDocFreq)
+    val rebuilt = kept.groupBy(idCol).agg(
+      concat_ws("\n",
+        transform(
+          array_sort(collect_list(struct(col("__pos").as("p"), col("__line").as("l")))),
+          x => x.getField("l"))).as("text_dedup"),
+      count(lit(1)).as("n_lines_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("__total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("__total") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_dropped"))
+  }
+
+  /** Corpus-LM surprisal quality score: the average per-token information
+    * content of a document under the corpus's own unigram distribution —
+    * the cheap stand-in for the perplexity filters of published pipelines
+    * (high = rare-word-heavy / noisy, low = stopword soup; both tails get
+    * reviewed). Two aggregation passes over one explode: per-(doc, word)
+    * counts (nothing is keyed by a word alone before this, so hot words
+    * cannot skew a reducer), corpus word totals from those, then one join
+    * back and a per-document fold.
+    *
+    * Deliberately integer-exact: surprisal is measured in WHOLE bits,
+    * `floor(log2 N) − floor(log2 c_w)`, computed from binary-string
+    * lengths — no transcendental functions, so any engine reproduces the
+    * score bit-for-bit (a cross-engine `ln()` is not guaranteed
+    * bit-identical, and this score gates training data where audits must
+    * reproduce exactly). The final average is an exact integer sum divided
+    * as double. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def floorLog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    val words = df.select(col(idCol),
+      explode(split(normalize(col(textCol)), " ")).as("__w"))
+    val perDocWord = words.groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val freq = perDocWord.groupBy("__w").agg(sum("__c").as("__cw"))
+    val total = freq.agg(sum("__cw").as("__n"))
+    val scored = perDocWord.join(freq, Seq("__w"))
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(
+        sum(col("__c") * (floorLog2(col("__n")) - floorLog2(col("__cw"))))
+          .as("__bits"),
+        sum(col("__c")).as("__nd"))
+      .select(col(idCol),
+        (col("__bits").cast("double") / col("__nd").cast("double"))
+          .as("surprisal_bits"))
+    // Blank documents tokenize to one empty word like every other engine's
+    // split(' ') does; they score like any token. Docs never vanish.
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
   /** Repetition signals — the boilerplate/degenerate-text filters of the
     * published large-corpus quality pipelines (duplicate-word fraction,
     * most-frequent-word fraction, duplicate word-bigram fraction; the

@@ -14,7 +14,8 @@ class ContractSpec extends AnyFunSuite {
   test("rows-only queries are the expected, documented set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
-      "q_dd3_minhash_lsh", "q_dd4_simhash", "q_sim2_lsh_ann",
+      "q_dd3_minhash_lsh", "q_dd4_simhash", "q_dd8_simhash_pairs",
+      "q_dd9_incremental_neardup", "q_sim2_lsh_ann",
       "q_sim3_ivf_ann", "q_a7_approx_distinct", "q_txt5_winnowing"),
       s"unexpected rows-only set: $rowsOnly")
   }

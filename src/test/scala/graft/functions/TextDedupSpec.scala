@@ -361,4 +361,102 @@ class TextDedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     assert(w == full)
   }
+
+  test("dedupLines drops cross-doc boilerplate, keeps order, never loses a doc") {
+    val d = Seq(
+      (1L, "unique alpha\ncookie banner\nunique beta"),
+      (2L, "cookie banner\nown content two"),
+      (3L, "three starts\ncookie banner\nthree ends"),
+      (4L, "cookie banner"), // all-boilerplate doc must survive, empty
+      (5L, "fully original\nlines only")
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.dedupLines(d, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "cookie banner" occurs in 4 docs > 2 → scrubbed everywhere
+    assert(out(1L) == (("unique alpha\nunique beta", 2L, 1L)))
+    assert(out(2L) == (("own content two", 1L, 1L)))
+    assert(out(3L) == (("three starts\nthree ends", 2L, 1L)))
+    assert(out(4L) == (("", 0L, 1L)))
+    assert(out(5L) == (("fully original\nlines only", 2L, 0L)))
+  }
+
+  test("dedupLines keeps within-doc repeats when doc frequency is low") {
+    val d = Seq((1L, "chorus\nchorus\nverse")).toDF("doc_id", "text")
+    val out = TextFunctions.dedupLines(d, "doc_id", "text", maxDocFreq = 1).head()
+    // "chorus" is in only ONE distinct doc — both occurrences stay
+    assert(out.getString(1) == "chorus\nchorus\nverse")
+    assert(out.getLong(2) == 3L && out.getLong(3) == 0L)
+  }
+
+  test("unigramSurprisal: hand-computed whole-bit scores") {
+    // corpus: a=2, b=2, c=1, N=5; floorlog2: N→2, 2→1, 1→0
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextFunctions.unigramSurprisal(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc1: (2-1)+(2-1)+(2-1) = 3 bits over 3 tokens = 1.0
+    assert(out(1L) == 1.0)
+    // doc2: (2-1)+(2-0) = 3 bits over 2 tokens = 1.5
+    assert(out(2L) == 1.5)
+  }
+
+  test("targetMixture: binding domain survives whole, others downsample, rest dropped") {
+    val rows = (1L to 100L).map(i => (i, "en")) ++
+      (101L to 110L).map(i => (i, "es")) ++
+      (111L to 120L).map(i => (i, "fr"))
+    val d = rows.toDF("doc_id", "lang")
+    val out = SampleFunctions.targetMixture(d, col("doc_id"), col("lang"),
+      Map("en" -> 0.5, "es" -> 0.5), seed = "tm")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // scale = min(100/0.5, 10/0.5) = 20 → es keeps all 10, en ~10 of 100
+    assert(byLang("es") == 10)
+    assert(byLang.getOrElse("fr", 0) == 0)
+    assert(byLang("en") > 0 && byLang("en") < 100)
+    // deterministic: second run identical
+    val again = SampleFunctions.targetMixture(d, col("doc_id"), col("lang"),
+      Map("en" -> 0.5, "es" -> 0.5), seed = "tm")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("targetMixture fails loud on an unachievable mixture") {
+    val d = Seq((1L, "en")).toDF("doc_id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      SampleFunctions.targetMixture(d, col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "zz" -> 0.5), seed = "tm")
+    }
+    assert(e.getMessage.contains("zz"))
+  }
+
+  test("simHashNearDupPairs: exact dup found at hamming 0, unrelated absent") {
+    val withDup = docs.union(Seq(
+      (99L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text"))
+    val pairs = DedupFunctions.simHashNearDupPairs(withDup, "doc_id", "text",
+      maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 99L, 0L)))
+    // cross-language docs are far in hamming space — no pair with doc 4/5
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simHashNearDupPairs enforces the pigeonhole precondition") {
+    intercept[IllegalArgumentException] {
+      DedupFunctions.simHashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 4, bands = 4)
+    }
+  }
+
+  test("minHashNearDupAgainst: new batch matches its corpus near-dup only") {
+    val corpus = docs.filter(col("doc_id") =!= 2L)
+    val batch = docs.filter(col("doc_id") === 2L || col("doc_id") === 3L)
+    // doc 2 near-dups corpus doc 1; doc 3 exists in BOTH (self-match at 1.0)
+    val out = DedupFunctions.minHashNearDupAgainst(batch, corpus,
+      "doc_id", "text", shingleN = 3, k = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists(m => m._1 == 2L && m._2 == 1L && m._3 >= 0.5))
+    assert(out.contains((3L, 3L, 1.0)))
+    assert(out.length == 2)
+  }
 }
