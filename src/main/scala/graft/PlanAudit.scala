@@ -43,7 +43,21 @@ object PlanAudit {
       // frame sampling is scan → batch decode → explode → sort: the
       // per-clip grid must never become a join, aggregate or window
       "q_mm2_frame_sample" -> Seq("!Window", "!HashAggregate", "!Join"),
-      "q_j6_asof_join" -> Seq("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"))
+      "q_j6_asof_join" -> Seq("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+      // line dedup: doc-frequency and rebuild are hash-keyed aggregations
+      // and the join back is an equi-join — never a cartesian, never a
+      // window over the whole corpus
+      "q_txt9_line_dedup" -> Seq("HashAggregate", "!CartesianProduct",
+        "!Window"),
+      // surprisal: per-(doc,word) pre-aggregation before anything is
+      // keyed by word alone; the 1-row total broadcasts (BNLJ on one row
+      // is a broadcast, not a cartesian)
+      "q_txt10_surprisal" -> Seq("HashAggregate", "!CartesianProduct",
+        "!Window"),
+      // mixture sampling compiles to one codegen'd hash+compare filter —
+      // the supply counts were resolved before this plan exists
+      "q_samp4_target_mixture" -> Seq("codegen id", "!Window",
+        "!HashAggregate", "!Join"))
 
     var bad = 0
     checks.foreach { case (name, patterns) =>

@@ -1,0 +1,188 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.functions.{DedupFunctions, TextFunctions}
+import graft.operators.{LocalTableIO, Relational, TableIO}
+
+/** Streaming corpus curation gate — the continuously-fed form of the
+  * batch curation funnel (q_cur1): documents arrive as a stream, each
+  * micro-batch is quality-gated, deduplicated within itself, and checked
+  * for near-duplicates against everything the corpus has already
+  * accepted; survivors are appended to the corpus store together with
+  * their MinHash signatures.
+  *
+  * The per-batch cost is the design point. The standing corpus is
+  * consulted ONLY through its signature store — `k` longs per accepted
+  * document, ~3 orders of magnitude smaller than the text — so a batch
+  * pays: one scan of itself, a band-key equi-join against the stored
+  * band keys, and a signature-agreement verify on the candidates. The
+  * corpus TEXT is never re-read; cost scales with the batch and the
+  * collision rate, never with corpus size. (Near-dup verification is the
+  * standard signature-agreement estimate of Jaccard; an exact-Jaccard
+  * re-verify against fetched candidate texts can be layered on a
+  * doc_id-bucketed corpus store, which prunes that fetch to candidate
+  * buckets.)
+  *
+  * Replay safety: every write lands in `<table>/batch=<id>` (overwritten
+  * whole on replay, deterministic content), and a batch reads only store
+  * partitions with `batch < id` — a crash between the writes of batch N
+  * can leave partial N-output, but the re-run of N never sees it as
+  * corpus and overwrites it wholesale. Effective exactly-once on top of
+  * foreachBatch's at-least-once, the same contract as the block-ingest
+  * merge.
+  */
+object CorpusGate {
+
+  /** Curation knobs. `threshold` applies to the signature-agreement
+    * Jaccard estimate (fraction of equal MinHash components). */
+  final case class Config(
+      minTokens: Int = 3,
+      maxTokens: Int = 100000,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5)
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Fraction of agreeing MinHash components — the standard unbiased
+    * estimator of Jaccard similarity between the underlying sets. */
+  def sigAgreement(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(a).cast("double")
+
+  /** Store partitions strictly BELOW `beforeBatch` — replay isolation.
+    * Listing goes through the [[TableIO]] seam (same portability seam as
+    * MergeWriter: swap for an HDFS/object-store implementation at
+    * cluster scale). */
+  private def readStore(spark: SparkSession, dir: String, schema: StructType,
+      beforeBatch: Long, io: TableIO = LocalTableIO): DataFrame = {
+    val batchDirs = io.listDir(dir).collect {
+      case (name, true) if name.startsWith("batch=") &&
+        name.stripPrefix("batch=").toLong < beforeBatch => s"$dir/$name"
+    }
+    if (batchDirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(batchDirs: _*)
+  }
+
+  private val sigSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sig", ArrayType(LongType))))
+
+  /** One micro-batch through the gate. Also the BATCH-mode entry point —
+    * a backfill calls this directly with increasing batch ids. */
+  def curateBatch(batch: DataFrame, storeDir: String, batchId: Long,
+      cfg: Config = Config()): Unit = {
+    val spark = batch.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    // 1. Quality gates — cheap per-row filters first, so everything
+    //    downstream (shingling, signatures, joins) runs on the survivors.
+    val toks = TextFunctions.tokenCount(col("text"))
+    val gated = batch
+      .filter(toks >= cfg.minTokens && toks <= cfg.maxTokens)
+
+    // 2. Exact dedup within the batch (lowest id survives).
+    val exact = Relational.latestPerGroup(
+        gated.withColumn("__fp", TextFunctions.fingerprint(col("text"))),
+        Seq("__fp"), Seq(col("doc_id").asc))
+      .drop("__fp")
+
+    // 3. Signatures once per batch — every later step is signature-only.
+    val signed = exact
+      .withColumn("sig", DedupFunctions.minHashSignature(
+        DedupFunctions.shingles(col("text"), cfg.shingleN), cfg.k))
+      .persist(lvl)
+    val bandRows = signed.select(col("doc_id"), col("sig"),
+        explode(DedupFunctions.lshBandKeys(col("sig"), cfg.bands, cfg.k / cfg.bands)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+      .persist(lvl)
+
+    // 4. Within-batch near-dup: any document with a SMALLER near-dup in
+    //    the same batch is dropped (the aggressive streaming variant —
+    //    one anti-join, no connected-components loop per micro-batch;
+    //    the batch-mode keep-one-per-cluster decision is dedupCorpus).
+    val batchPairs = bandRows.alias("a")
+      .join(bandRows.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        sigAgreement(col("a.sig"), col("b.sig")).as("est"))
+      .filter(col("est") >= cfg.threshold)
+    val batchDupIds = batchPairs.select(col("id_b").as("doc_id")).distinct()
+
+    // 5. Near-dup against the standing corpus via the signature store:
+    //    band-key equi-join, then signature agreement on candidates.
+    val storeSigs = readStore(spark, s"$storeDir/sigs", sigSchema, batchId)
+      .persist(lvl)
+    val storeBands = storeSigs.select(col("doc_id").as("corpus_id"), col("sig").as("corpus_sig"),
+        explode(DedupFunctions.lshBandKeys(col("sig"), cfg.bands, cfg.k / cfg.bands)).as("bk"))
+      .select(col("corpus_id"), col("corpus_sig"), col("bk.band"), col("bk.key"))
+    val corpusDupIds = bandRows
+      .join(storeBands, Seq("band", "key"))
+      .filter(sigAgreement(col("sig"), col("corpus_sig")) >= cfg.threshold)
+      .select("doc_id").distinct()
+
+    val survivors = signed
+      .join(batchDupIds, Seq("doc_id"), "left_anti")
+      .join(corpusDupIds, Seq("doc_id"), "left_anti")
+      .persist(lvl)
+
+    // 6. Replay-idempotent writes: whole-partition overwrite per batch id.
+    survivors.select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$storeDir/corpus/batch=$batchId")
+    survivors.select("doc_id", "sig")
+      .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
+
+    // 7. Funnel accounting — what the batch came in as and where rows
+    //    fell out; one tiny row per batch, the operational surface a
+    //    pipeline owner actually watches.
+    val nIn = batch.count()
+    val nGated = gated.count()
+    val nExact = exact.count()
+    val nAfterBatchDedup = nExact - batchDupIds.count()
+    val nSurvivors = survivors.count()
+    import spark.implicits._
+    Seq((batchId, nIn, nIn - nGated, nGated - nExact,
+        nExact - nAfterBatchDedup, nAfterBatchDedup - nSurvivors, nSurvivors))
+      .toDF("batch_id", "n_in", "n_quality_dropped", "n_exact_dup",
+        "n_batch_near_dup", "n_corpus_near_dup", "n_survivors")
+      .write.mode("overwrite").parquet(s"$storeDir/stats/batch=$batchId")
+
+    signed.unpersist()
+    bandRows.unpersist()
+    storeSigs.unpersist()
+    survivors.unpersist()
+  }
+
+  /** Stream JSONL documents from `inDir` through the gate into
+    * `storeDir`, checkpointed at `ckptDir`. */
+  def start(spark: SparkSession, inDir: String, storeDir: String,
+      ckptDir: String, cfg: Config = Config(),
+      availableNow: Boolean = false): StreamingQuery = {
+    val stream = spark.readStream.schema(docSchema).json(inDir)
+    val writer = stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: DataFrame, id: Long) => curateBatch(b, storeDir, id, cfg) }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** The accepted corpus as a DataFrame (all batches). */
+  def corpus(spark: SparkSession, storeDir: String): DataFrame =
+    readStore(spark, s"$storeDir/corpus", docSchema, Long.MaxValue)
+
+  def stats(spark: SparkSession, storeDir: String): DataFrame =
+    readStore(spark, s"$storeDir/stats", StructType(Seq(
+      StructField("batch_id", LongType), StructField("n_in", LongType),
+      StructField("n_quality_dropped", LongType), StructField("n_exact_dup", LongType),
+      StructField("n_batch_near_dup", LongType), StructField("n_corpus_near_dup", LongType),
+      StructField("n_survivors", LongType))), Long.MaxValue)
+}
