@@ -491,6 +491,33 @@ object Oracles {
         |WHERE substr(md5('s4:' || CAST(doc_id AS VARCHAR)), 1, 8) < threshold
         |ORDER BY doc_id""".stripMargin,
 
+    // Quantization parity: floor(x+0.5) rounding is spelled out on both
+    // sides (Spark round() is HALF_UP, DuckDB's rounds half away from
+    // zero — an implicit round() would diverge); every other step is one
+    // IEEE double op in the same order. Spark floor() returns BIGINT and
+    // DuckDB's returns DOUBLE — both re-promote to double in the
+    // following least(), same value.
+    "q_sim4_quantize" ->
+      """WITH v AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |  m AS (SELECT vec_id, e, list_min(e) AS mn,
+        |               (list_max(e) - list_min(e)) / 255.0 AS sc FROM v),
+        |  c AS (SELECT vec_id, e, mn, sc,
+        |          list_transform(e, x -> CAST(CASE WHEN sc = 0 THEN -128
+        |              ELSE least(floor((x - mn) / sc + 0.5), 255.0) - 128
+        |            END AS BIGINT)) AS codes
+        |        FROM m),
+        |  r AS (SELECT vec_id, sc, codes,
+        |          list_transform(codes, cc -> mn + (CAST(cc AS DOUBLE) + 128.0) * sc) AS recon,
+        |          e
+        |        FROM c)
+        |SELECT vec_id, sc AS scale,
+        |       CAST(codes[1] AS BIGINT) AS code0,
+        |       list_max(list_transform(generate_series(1, len(e)),
+        |         i -> abs(recon[i] - e[i]))) AS max_abs_err
+        |FROM r ORDER BY vec_id""".stripMargin,
+
     // The funnel's stages reuse the exact formulations proven by
     // q_txt1 (token count), q_txt8 (dup_word_frac), q_txt7
     // (contamination), q_dd1 (fingerprint) and q_samp1 (split draw);

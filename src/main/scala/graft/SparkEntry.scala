@@ -644,6 +644,30 @@ object SparkEntry {
         k = 5, nlist = 8, nprobe = 3, maxIter = 4)
       .orderBy("query_id", "rank")
 
+  /** SIM4 — per-vector int8 affine quantization + reconstruction error:
+    * the 4×-storage lever of a billion-vector store. Every step is plain
+    * IEEE double with explicit floor(x+0.5) rounding, so the oracle
+    * reproduces codes AND error bit-for-bit. */
+  private def sim4(t: Tables): DataFrame =
+    t.embeddings
+      .withColumn("q", Similarity.quantizeInt8(col("embedding")))
+      .withColumn("recon", Similarity.dequantizeInt8(col("q")))
+      .select(col("vec_id"),
+        col("q.scale").as("scale"),
+        element_at(col("q.codes"), 1).cast("long").as("code0"),
+        array_max(zip_with(col("recon"), col("embedding").cast("array<double>"),
+          (r, x) => abs(r - x))).as("max_abs_err"))
+      .orderBy("vec_id")
+
+  /** DD10 — SemDeDup-style semantic dedup: quantizer cells → within-cell
+    * cosine near-dup graph → one representative per component (lowest
+    * id). Cells come from the seeded driver-side quantizer, so no SQL
+    * oracle: rows-only + spec. */
+  private def dd10(t: Tables): DataFrame =
+    Similarity.semanticDedup(t.embeddings, "vec_id", "embedding",
+        threshold = 0.9, nlist = 8, maxIter = 4)
+      .orderBy("vec_id")
+
   // ---------------------------------------------------------------- M: multimodal
 
   /** MM1 — opaque binary column plumbing: payload bytes + typed metadata
@@ -751,6 +775,8 @@ object SparkEntry {
       "q_sim1_cosine_topk" -> q(sim1),
       "q_sim2_lsh_ann" -> q(sim2),
       "q_sim3_ivf_ann" -> q(sim3),
+      "q_sim4_quantize" -> q(sim4),
+      "q_dd10_semantic_dedup" -> q(dd10),
       "q_mm1_binary_meta" -> q(mm1),
       "q_mm2_frame_sample" -> q(mm2),
       "q_mm3_resize_meta" -> q(mm3))

@@ -118,12 +118,17 @@ object Similarity {
     * quantizer's geometry is the same cosine used for the final ranking.
     * Everything is seeded and sequentially folded — bit-stable across
     * runs, partitionings and retries. */
-  def ivfTopK(
-      queries: DataFrame, corpus: DataFrame,
-      qId: String, qVec: String, cId: String, cVec: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-      maxIter: Int = 10, fitSampleRows: Int = 100000): DataFrame = {
-    val corpusSel = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+  /** Train spherical k-means centroids on a bounded deterministic sample
+    * collected to the driver — the shared coarse quantizer of [[ivfTopK]]
+    * and [[semanticDedup]]. Returns up to `nlist` UNIT centroids; empty
+    * for a degenerate corpus (no rows / all-zero vectors). Seeded and
+    * sequentially folded — bit-stable across runs, partitionings and
+    * retries. */
+  def trainSphericalCentroids(
+      corpus: DataFrame, cId: String, cVec: String,
+      nlist: Int, seed: Long = 42L, maxIter: Int = 10,
+      fitSampleRows: Int = 100000): Array[Array[Double]] = {
+    val corpusSel = corpus.select(col(cId).as("__id"), col(cVec).as("__v"))
     // Deterministic bounded fit sample. The rate comes from a count(*)
     // over the raw corpus (metadata-weight, column-pruned — no vector
     // decode); the seeded hash-mod filter is stable across runs (no RNG
@@ -138,17 +143,17 @@ object Similarity {
         // (sample-sized) hash-variance overshoot, not an arbitrary
         // scan-order pick.
         val keepOneIn = (n + fitSampleRows - 1) / fitSampleRows
-        val h = xxhash64(col("neighbor_id"), lit(seed))
+        val h = xxhash64(col("__id"), lit(seed))
         corpusSel.filter(pmod(h, lit(keepOneIn)) === 0)
-          .orderBy(h.asc, col("neighbor_id").asc)
+          .orderBy(h.asc, col("__id").asc)
           .limit(fitSampleRows)
       }
     // Collect in id order so the sequential centroid folds see a fixed
     // operand order — float addition is not associative, and bit-stable
     // centroids are what make the whole operator replay-identical.
     val sampleVecs: Array[Array[Double]] = sampled
-      .orderBy("neighbor_id")
-      .select(col("cv").cast("array<double>"))
+      .orderBy("__id")
+      .select(col("__v").cast("array<double>"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
       .filter(v => v != null && v.exists(_ != 0.0))
@@ -156,10 +161,7 @@ object Similarity {
         val nrm = math.sqrt(v.map(x => x * x).sum)
         v.map(_ / nrm)
       }
-    if (sampleVecs.isEmpty)
-      // Degenerate corpus (empty or all-zero vectors): no quantizer can be
-      // trained; exact brute force is both correct and the same cost.
-      return cosineTopK(queries, corpus, qId, qVec, cId, cVec, k)
+    if (sampleVecs.isEmpty) return Array.empty
 
     // Seeded driver-side spherical Lloyd's: assign by max dot (== cosine,
     // inputs are unit), recenter to the normalized mean, keep the previous
@@ -203,25 +205,46 @@ object Similarity {
       }.toArray
       iter += 1
     }
+    centroids
+  }
 
-    // Centroids ride into the plan as one array<array<float>> literal;
-    // cell assignment is a per-row argmax over it — a codegen'd map, the
-    // only full-corpus pass, no shuffle. NaN cosines (zero-norm rows) are
-    // floored below the cosine range so argmax stays total and the row
-    // still lands in a cell deterministically.
+  /** Per-vector similarities to every centroid, as one literal-backed
+    * codegen'd map expression (no shuffle, no join). NaN cosines
+    * (zero-norm rows) are floored below the cosine range so downstream
+    * argmax/sorts stay total and deterministic. */
+  private def centroidSims(vec: Column, centroids: Array[Array[Double]]): Column = {
     val centroidArr = array(centroids.map(c => lit(c.map(_.toFloat))): _*)
-    def cellSims(vec: Column): Column =
-      transform(centroidArr, ct => nanvl(cosine(vec, ct), lit(-2.0)))
-    val cellOf = ExprUtils.evalOnce(cellSims(col("cv"))) { sims =>
+    transform(centroidArr, ct => nanvl(cosine(vec, ct), lit(-2.0)))
+  }
+
+  /** Nearest-centroid cell id (argmax cosine, ties to the lowest cell) —
+    * the quantizer's assignment expression: per-row map work, the only
+    * full-corpus pass a cell-partitioned operator needs. */
+  def assignCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    ExprUtils.evalOnce(centroidSims(vec, centroids)) { sims =>
       (array_position(sims, array_max(sims)) - 1).cast("int")
     }
-    val assigned = corpusSel.withColumn("cell", cellOf)
+
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      maxIter: Int = 10, fitSampleRows: Int = 100000): DataFrame = {
+    val corpusSel = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+    val centroids = trainSphericalCentroids(corpus, cId, cVec,
+      nlist, seed, maxIter, fitSampleRows)
+    if (centroids.isEmpty)
+      // Degenerate corpus (empty or all-zero vectors): no quantizer can be
+      // trained; exact brute force is both correct and the same cost.
+      return cosineTopK(queries, corpus, qId, qVec, cId, cVec, k)
+    val kk = centroids.length
+    val assigned = corpusSel.withColumn("cell", assignCell(col("cv"), centroids))
 
     // Query side: rank all kk cells with the same kernel inside one row
     // (sort by (-sim, cell) — desc sim, asc cell tie-break), explode the
     // top-nprobe. No window, no shuffle; queries are small by contract.
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
-    val probedCells = ExprUtils.evalOnce(cellSims(col("qv"))) { sims =>
+    val probedCells = ExprUtils.evalOnce(centroidSims(col("qv"), centroids)) { sims =>
       transform(
         slice(array_sort(zip_with(sims, sequence(lit(0), lit(kk - 1)),
           (s, i) => struct((-s).as("ns"), i.as("i")))), 1, math.min(nprobe, kk)),
@@ -249,4 +272,64 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  /** SemDeDup-style semantic dedup: quantizer cells bucket the corpus,
+    * within-cell cosine pairs above `threshold` form the near-dup graph,
+    * connected components pick one surviving representative per semantic
+    * cluster (lowest id — deterministic). The published recipe: embedding
+    * clustering makes the pairwise step tractable (pairs only form inside
+    * a cell, never across the corpus) at the price of missing cross-cell
+    * near-dups — the standard recall/cost trade, same as IVF's nprobe.
+    * Returns (id, cluster_id, kept) for every corpus row. */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, seed: Long = 42L,
+      maxIter: Int = 10, fitSampleRows: Int = 100000): DataFrame = {
+    val centroids = trainSphericalCentroids(corpus, idCol, vecCol,
+      nlist, seed, maxIter, fitSampleRows)
+    val withCell =
+      if (centroids.isEmpty)
+        // Degenerate corpus: one bucket; the pairwise step is tiny anyway.
+        corpus.select(col(idCol), col(vecCol)).withColumn("cell", lit(0))
+      else
+        corpus.select(col(idCol), col(vecCol))
+          .withColumn("cell", assignCell(col(vecCol), centroids))
+    val pairs = embeddingNearDupPairs(withCell, idCol, vecCol, "cell", threshold)
+    val clusters = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
+    corpus.select(col(idCol))
+      .join(clusters, col(idCol) === col("member"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("kept", col(idCol) === col("cluster_id"))
+  }
+
+  /** Per-vector affine int8 quantization — the storage lever for
+    * billion-vector stores (4 bytes/dim float → 1 byte/dim + 2 doubles):
+    * codes c_i = round((x_i − min)/scale) − 128 packed as tinyint, with
+    * scale = (max − min)/255. Dequantization is min + (c+128)·scale.
+    * Pure codegen'd array expressions; every arithmetic step is plain
+    * IEEE double with an explicit floor(x+0.5) rounding, so any engine
+    * reproduces codes AND reconstruction bit-for-bit (the q_sim4 oracle
+    * replays it in DuckDB). Constant vectors (scale 0) code to -128 and
+    * reconstruct exactly to the constant. */
+  def quantizeInt8(vec: Column): Column =
+    ExprUtils.evalOnce(vec.cast("array<double>")) { v =>
+      ExprUtils.evalOnce(array_min(v)) { mn =>
+        ExprUtils.evalOnce((array_max(v) - mn) / lit(255.0)) { sc =>
+          struct(
+            sc.as("scale"),
+            mn.as("zero"),
+            transform(v, x =>
+              when(sc === 0.0, lit(-128))
+                .otherwise(least(floor((x - mn) / sc + 0.5), lit(255.0)) - 128)
+                .cast("tinyint")).as("codes"))
+        }
+      }
+    }
+
+  /** Reconstruct an [[quantizeInt8]] struct back to array<double>. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c =>
+      q.getField("zero") +
+        (c.cast("double") + 128.0) * q.getField("scale"))
 }

@@ -15,8 +15,9 @@ class ContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "q_dd3_minhash_lsh", "q_dd4_simhash", "q_dd8_simhash_pairs",
-      "q_dd9_incremental_neardup", "q_sim2_lsh_ann",
-      "q_sim3_ivf_ann", "q_a7_approx_distinct", "q_txt5_winnowing"),
+      "q_dd9_incremental_neardup", "q_dd10_semantic_dedup",
+      "q_sim2_lsh_ann", "q_sim3_ivf_ann", "q_a7_approx_distinct",
+      "q_txt5_winnowing"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -448,6 +448,43 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: error bounded by scale/2, constants exact, roundtrip shape") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.5f, 1.0f, -1.0f)),
+      (2L, Array(3.0f, 3.0f, 3.0f, 3.0f)), // constant → scale 0, exact
+      (3L, Array(-2.5f, 7.25f, 0.0f, 4.125f))
+    ).toDF("vec_id", "embedding")
+    val out = vecs
+      .withColumn("q", Similarity.quantizeInt8(col("embedding")))
+      .withColumn("recon", Similarity.dequantizeInt8(col("q")))
+      .select(col("vec_id"), col("q.scale"),
+        array_max(zip_with(col("recon"), col("embedding").cast("array<double>"),
+          (r, x) => abs(r - x))).as("err"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    out.foreach { case (id, (scale, err)) =>
+      assert(err <= scale * 0.5 + 1e-12, s"vec $id err $err > scale/2 $scale")
+    }
+    assert(out(2L) == ((0.0, 0.0))) // constant vector reconstructs exactly
+  }
+
+  test("semanticDedup: near-identical vectors collapse to one representative") {
+    // Two tight clusters plus one loner; within-cluster cosine ≈ 1.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f, 0.0f)),
+      (2L, Array(1.0f, 0.02f, 0.0f)),  // near-dup of 1
+      (5L, Array(0.0f, 1.0f, 0.01f)),
+      (6L, Array(0.0f, 1.0f, 0.02f)),  // near-dup of 5
+      (9L, Array(-1.0f, 0.5f, -0.5f))  // loner
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.99, nlist = 2, maxIter = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 5L, 6L, 9L)) // nothing vanishes
+    assert(out(1L) == ((1L, true)) && out(2L) == ((1L, false)))
+    assert(out(5L) == ((5L, true)) && out(6L) == ((5L, false)))
+    assert(out(9L) == ((9L, true)))
+  }
+
   test("minHashNearDupAgainst: new batch matches its corpus near-dup only") {
     val corpus = docs.filter(col("doc_id") =!= 2L)
     val batch = docs.filter(col("doc_id") === 2L || col("doc_id") === 3L)
