@@ -142,6 +142,9 @@ object DedupFunctions {
       k: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k $k must be divisible by bands $bands — a truncated band width " +
+        "silently drops signature components from every band key")
     // The candidate-pair shuffle carries only (id_a, id_b); shingle sets are
     // joined back afterwards so each pair is verified exactly once and the
     // wide array payload never rides through the distinct.
@@ -203,6 +206,11 @@ object DedupFunctions {
     val base = docs
       .select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
       .persist(lvl)
+    // Unlike the minhash variant, bandRows is NOT persisted here: deriving
+    // a band key from the cached 64-bit signature is a shift+mask, so
+    // recomputing it on each side of the self-join is cheaper than caching
+    // the exploded frame (the minhash band key embeds the signature
+    // computation, which IS worth caching).
     val bandRows = base.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.cast("int").as("band"),
@@ -245,6 +253,9 @@ object DedupFunctions {
       idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k $k must be divisible by bands $bands — a truncated band width " +
+        "silently drops signature components from every band key")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def prep(df: DataFrame, side: String): (DataFrame, DataFrame) = {
       val base = df

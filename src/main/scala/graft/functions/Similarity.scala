@@ -155,8 +155,9 @@ object Similarity {
       .orderBy("__id")
       .select(col("__v").cast("array<double>"))
       .collect()
+      .filter(!_.isNullAt(0)) // null vectors can't train (before getSeq!)
       .map(_.getSeq[Double](0).toArray)
-      .filter(v => v != null && v.exists(_ != 0.0))
+      .filter(_.exists(_ != 0.0))
       .map { v =>
         val nrm = math.sqrt(v.map(x => x * x).sum)
         v.map(_ / nrm)
@@ -287,15 +288,22 @@ object Similarity {
       maxIter: Int = 10, fitSampleRows: Int = 100000): DataFrame = {
     val centroids = trainSphericalCentroids(corpus, idCol, vecCol,
       nlist, seed, maxIter, fitSampleRows)
-    val withCell =
+    // Persisted: the pair self-join consumes it on both sides, and the
+    // argmax assignment kernel must stay the ONE full-corpus pass it is
+    // documented to be, not one per join side.
+    val withCell = (
       if (centroids.isEmpty)
         // Degenerate corpus: one bucket; the pairwise step is tiny anyway.
         corpus.select(col(idCol), col(vecCol)).withColumn("cell", lit(0))
       else
         corpus.select(col(idCol), col(vecCol))
           .withColumn("cell", assignCell(col(vecCol), centroids))
+      ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = embeddingNearDupPairs(withCell, idCol, vecCol, "cell", threshold)
+    // duplicateClusters materializes its edge set eagerly, so pairs (and
+    // with it withCell) are fully consumed when it returns.
     val clusters = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
+    withCell.unpersist()
     corpus.select(col(idCol))
       .join(clusters, col(idCol) === col("member"), "left")
       .select(col(idCol),

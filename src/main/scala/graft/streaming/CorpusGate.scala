@@ -45,7 +45,13 @@ object CorpusGate {
       shingleN: Int = 3,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5)
+      threshold: Double = 0.5) {
+    require(k % bands == 0,
+      s"k $k must be divisible by bands $bands — a truncated band width " +
+        "silently drops signature components from every band key")
+    require(minTokens >= 1 && maxTokens >= minTokens,
+      s"token band [$minTokens, $maxTokens] is not a valid range")
+  }
 
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -86,9 +92,17 @@ object CorpusGate {
 
     // 1. Quality gates — cheap per-row filters first, so everything
     //    downstream (shingling, signatures, joins) runs on the survivors.
+    //    The gate predicate is evaluated ONCE per row; in/out counts for
+    //    the stats row fall out of the same scan instead of re-running
+    //    the filter per counter.
     val toks = TextFunctions.tokenCount(col("text"))
-    val gated = batch
-      .filter(toks >= cfg.minTokens && toks <= cfg.maxTokens)
+    val gatePred = toks >= cfg.minTokens && toks <= cfg.maxTokens
+    val gateCounts = batch.agg(
+      count(lit(1)).as("n_in"),
+      count(when(gatePred, 1)).as("n_gated")).head()
+    val nIn = gateCounts.getLong(0)
+    val nGated = gateCounts.getLong(1)
+    val gated = batch.filter(gatePred)
 
     // 2. Exact dedup within the batch (lowest id survives).
     val exact = Relational.latestPerGroup(
@@ -97,11 +111,21 @@ object CorpusGate {
       .drop("__fp")
 
     // 3. Signatures once per batch — every later step is signature-only.
+    //    Documents too short to shingle (fewer than shingleN words —
+    //    possible whenever minTokens < shingleN) get NO signature: they
+    //    can't be near-dup-checked, they bypass the near-dup stages as
+    //    their own survivors, and their degenerate all-MaxValue signature
+    //    must never reach the band join where every such doc would
+    //    mass-match every other at estimate 1.0.
     val signed = exact
-      .withColumn("sig", DedupFunctions.minHashSignature(
-        DedupFunctions.shingles(col("text"), cfg.shingleN), cfg.k))
+      .withColumn("__sh", DedupFunctions.shingles(col("text"), cfg.shingleN))
+      .withColumn("sig",
+        when(size(col("__sh")) > 0,
+          DedupFunctions.minHashSignature(col("__sh"), cfg.k)))
+      .drop("__sh")
       .persist(lvl)
-    val bandRows = signed.select(col("doc_id"), col("sig"),
+    val bandRows = signed.filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"),
         explode(DedupFunctions.lshBandKeys(col("sig"), cfg.bands, cfg.k / cfg.bands)).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
       .persist(lvl)
@@ -123,7 +147,8 @@ object CorpusGate {
     //    band-key equi-join, then signature agreement on candidates.
     val storeSigs = readStore(spark, s"$storeDir/sigs", sigSchema, batchId)
       .persist(lvl)
-    val storeBands = storeSigs.select(col("doc_id").as("corpus_id"), col("sig").as("corpus_sig"),
+    val storeBands = storeSigs.filter(col("sig").isNotNull)
+      .select(col("doc_id").as("corpus_id"), col("sig").as("corpus_sig"),
         explode(DedupFunctions.lshBandKeys(col("sig"), cfg.bands, cfg.k / cfg.bands)).as("bk"))
       .select(col("corpus_id"), col("corpus_sig"), col("bk.band"), col("bk.key"))
     val corpusDupIds = bandRows
@@ -139,15 +164,17 @@ object CorpusGate {
     // 6. Replay-idempotent writes: whole-partition overwrite per batch id.
     survivors.select("doc_id", "text")
       .write.mode("overwrite").parquet(s"$storeDir/corpus/batch=$batchId")
-    survivors.select("doc_id", "sig")
+    // Unsigned (too-short) survivors contribute nothing to future band
+    // joins — don't store their null signatures.
+    survivors.filter(col("sig").isNotNull).select("doc_id", "sig")
       .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
 
     // 7. Funnel accounting — what the batch came in as and where rows
     //    fell out; one tiny row per batch, the operational surface a
-    //    pipeline owner actually watches.
-    val nIn = batch.count()
-    val nGated = gated.count()
-    val nExact = exact.count()
+    //    pipeline owner actually watches. Counts come from the persisted
+    //    frames / the single gate scan above — no stage is re-run for a
+    //    counter.
+    val nExact = signed.count()
     val nAfterBatchDedup = nExact - batchDupIds.count()
     val nSurvivors = survivors.count()
     import spark.implicits._

@@ -467,6 +467,18 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) == ((0.0, 0.0))) // constant vector reconstructs exactly
   }
 
+  test("IVF/semanticDedup tolerate null embeddings in the fit sample") {
+    val vecs = Seq(
+      (1L, Some(Array(1.0f, 0.0f))),
+      (2L, None),
+      (3L, Some(Array(0.9f, 0.1f)))
+    ).toDF("vec_id", "embedding")
+    // must not NPE while training; the null row simply can't train
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.99, nlist = 2, maxIter = 3)
+    assert(out.count() == 3)
+  }
+
   test("semanticDedup: near-identical vectors collapse to one representative") {
     // Two tight clusters plus one loner; within-cluster cosine ≈ 1.
     val vecs = Seq(

@@ -81,4 +81,29 @@ class CorpusGateSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(afterReplay == Set(1L, 5L, 21L))
   }
+
+  test("docs too short to shingle survive and never mass-match each other") {
+    val store = tmpDir("gate-short-store")
+    import spark.implicits._
+    // minTokens=1 admits one-word docs that produce ZERO 3-shingles; the
+    // degenerate empty-set signature must not make them 'near-dups' of
+    // each other (or of anything in a later batch).
+    val cfg = CorpusGate.Config(minTokens = 1)
+    CorpusGate.curateBatch(
+      Seq(1L -> "alpha", 2L -> "beta", 3L -> longA).toDF("doc_id", "text"),
+      store, batchId = 0L, cfg)
+    CorpusGate.curateBatch(
+      Seq(10L -> "gamma", 11L -> longANear).toDF("doc_id", "text"),
+      store, batchId = 1L, cfg)
+    val kept = CorpusGate.corpus(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // all three short docs keep; 11 is caught as a near-dup of corpus 3
+    assert(kept == Set(1L, 2L, 3L, 10L))
+  }
+
+  test("config validation fails loud on truncating band widths") {
+    intercept[IllegalArgumentException] {
+      CorpusGate.Config(k = 16, bands = 5)
+    }
+  }
 }
