@@ -2,10 +2,72 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Prints physical plans for headline queries and greps them for the
-  * properties we require at scale (pushdown, broadcast, codegen,
-  * top-k-as-TakeOrdered). Run: sbt "runMain graft.PlanAudit [sfDir]". */
+/** Physical-plan shape assertions for the headline queries — the
+  * properties that make them survive a 100 TB scale-up (pushdown,
+  * broadcast where a side is small, top-k as TakeOrdered, bounded
+  * aggregates instead of global windows, whole-stage codegen).
+  * Run standalone (`sbt "runMain graft.PlanAudit [sfDir]"`) or from
+  * PlanAuditSpec, which makes any plan regression fail `sbt test`. */
 object PlanAudit {
+
+  /** query name → required plan patterns; a "!pat" entry asserts the
+    * pattern is ABSENT from the formatted physical plan. */
+  val checks: Seq[(String, Seq[String])] = Seq(
+    "q_p2_eq_filter" -> Seq("PushedFilters: \\[.*EqualTo", "codegen id"),
+    "q_p6_interval" -> Seq("PushedFilters: \\[.*GreaterThan", "codegen id"),
+    "q_j1_fk_expand" -> Seq("BroadcastHashJoin", "codegen id"),
+    "q_j2_exists_semi" -> Seq("LeftSemi", "PushedFilters: \\[.*GreaterThan"),
+    "q_o2_topk" -> Seq("TakeOrderedAndProject"),
+    "q_a2_account_rollup" -> Seq("HashAggregate", "codegen id"),
+    // top-k must be the bounded aggregate (map-side partial), never a
+    // per-query Window funneling the corpus through one reducer
+    "q_sim1_cosine_topk" -> Seq("BroadcastNestedLoopJoin|BroadcastHashJoin",
+      "ObjectHashAggregate", "!Window"),
+    "q_dd2_jaccard_pairs" -> Seq("!Window"),
+    // benchmark side must broadcast — the corpus must never shuffle on
+    // the exploded n-gram key
+    "q_txt7_contamination" -> Seq("BroadcastHashJoin", "!SortMergeJoin"),
+    // the split is one codegen'd hash+compare per row: no join, no
+    // aggregate, no window anywhere in the plan (the trailing orderBy is
+    // oracle-parity output ordering, not part of the operator)
+    "q_samp2_stratified_sample" -> Seq("codegen id", "!Window",
+      "!HashAggregate", "!Join"),
+    // frame sampling is scan → batch decode → explode → sort: the
+    // per-clip grid must never become a join, aggregate or window
+    "q_mm2_frame_sample" -> Seq("!Window", "!HashAggregate", "!Join"),
+    "q_j6_asof_join" -> Seq("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+    // line dedup: doc-frequency and rebuild are hash-keyed aggregations
+    // and the join back is an equi-join — never a cartesian, never a
+    // window over the whole corpus
+    "q_txt9_line_dedup" -> Seq("HashAggregate", "!CartesianProduct",
+      "!Window"),
+    // surprisal: per-(doc,word) pre-aggregation before anything is
+    // keyed by word alone; the 1-row total broadcasts (BNLJ on one row
+    // is a broadcast, not a cartesian)
+    "q_txt10_surprisal" -> Seq("HashAggregate", "!CartesianProduct",
+      "!Window"),
+    // mixture sampling compiles to one codegen'd hash+compare filter —
+    // the supply counts were resolved before this plan exists
+    "q_samp4_target_mixture" -> Seq("codegen id", "!Window",
+      "!HashAggregate", "!Join"),
+    // quantization + reconstruction error is pure per-row array math
+    "q_sim4_quantize" -> Seq("codegen id", "!Window", "!HashAggregate",
+      "!Join"))
+
+  /** Run every check; returns (name, missing-patterns) for failures. */
+  def audit(spark: SparkSession, sfDir: String): Seq[(String, Seq[String])] =
+    checks.flatMap { case (name, patterns) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // "!pat" asserts the pattern is ABSENT from the plan.
+      val missing = patterns.filterNot { p =>
+        if (p.startsWith("!")) p.drop(1).r.findFirstIn(plan).isEmpty
+        else p.r.findFirstIn(plan).isDefined
+      }
+      if (missing.isEmpty) None else Some((name, missing))
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -19,64 +81,15 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    val checks: Seq[(String, Seq[String])] = Seq(
-      "q_p2_eq_filter" -> Seq("PushedFilters: \\[.*EqualTo", "codegen id"),
-      "q_p6_interval" -> Seq("PushedFilters: \\[.*GreaterThan", "codegen id"),
-      "q_j1_fk_expand" -> Seq("BroadcastHashJoin", "codegen id"),
-      "q_j2_exists_semi" -> Seq("LeftSemi", "PushedFilters: \\[.*GreaterThan"),
-      "q_o2_topk" -> Seq("TakeOrderedAndProject"),
-      "q_a2_account_rollup" -> Seq("HashAggregate", "codegen id"),
-      // top-k must be the bounded aggregate (map-side partial), never a
-      // per-query Window funneling the corpus through one reducer
-      "q_sim1_cosine_topk" -> Seq("BroadcastNestedLoopJoin|BroadcastHashJoin",
-        "ObjectHashAggregate", "!Window"),
-      "q_dd2_jaccard_pairs" -> Seq("!Window"),
-      // benchmark side must broadcast — the corpus must never shuffle on
-      // the exploded n-gram key
-      "q_txt7_contamination" -> Seq("BroadcastHashJoin", "!SortMergeJoin"),
-      // the split is one codegen'd hash+compare per row: no join, no
-      // aggregate, no window anywhere in the plan (the trailing orderBy is
-      // oracle-parity output ordering, not part of the operator)
-      "q_samp2_stratified_sample" -> Seq("codegen id", "!Window",
-        "!HashAggregate", "!Join"),
-      // frame sampling is scan → batch decode → explode → sort: the
-      // per-clip grid must never become a join, aggregate or window
-      "q_mm2_frame_sample" -> Seq("!Window", "!HashAggregate", "!Join"),
-      "q_j6_asof_join" -> Seq("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
-      // line dedup: doc-frequency and rebuild are hash-keyed aggregations
-      // and the join back is an equi-join — never a cartesian, never a
-      // window over the whole corpus
-      "q_txt9_line_dedup" -> Seq("HashAggregate", "!CartesianProduct",
-        "!Window"),
-      // surprisal: per-(doc,word) pre-aggregation before anything is
-      // keyed by word alone; the 1-row total broadcasts (BNLJ on one row
-      // is a broadcast, not a cartesian)
-      "q_txt10_surprisal" -> Seq("HashAggregate", "!CartesianProduct",
-        "!Window"),
-      // mixture sampling compiles to one codegen'd hash+compare filter —
-      // the supply counts were resolved before this plan exists
-      "q_samp4_target_mixture" -> Seq("codegen id", "!Window",
-        "!HashAggregate", "!Join"))
-
-    var bad = 0
-    checks.foreach { case (name, patterns) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      // "!pat" asserts the pattern is ABSENT from the plan.
-      val missing = patterns.filterNot { p =>
-        if (p.startsWith("!")) p.drop(1).r.findFirstIn(plan).isEmpty
-        else p.r.findFirstIn(plan).isDefined
-      }
-      if (missing.isEmpty) println(s"[audit] OK   $name")
-      else {
-        bad += 1
-        println(s"[audit] MISS $name -> ${missing.mkString("; ")}")
-        println(plan.linesIterator.take(40).mkString("\n"))
+    val misses = audit(spark, sfDir)
+    checks.foreach { case (name, _) =>
+      misses.find(_._1 == name) match {
+        case None => println(s"[audit] OK   $name")
+        case Some((_, missing)) =>
+          println(s"[audit] MISS $name -> ${missing.mkString("; ")}")
       }
     }
-    println(s"[audit] done, $bad misses")
+    println(s"[audit] done, ${misses.size} misses")
     spark.stop()
   }
 }
