@@ -518,6 +518,38 @@ object Oracles {
         |         i -> abs(recon[i] - e[i]))) AS max_abs_err
         |FROM r ORDER BY vec_id""".stripMargin,
 
+    // The report's percentiles use the counting ("type 1" / lower
+    // quantile) construction — smallest value whose cumulative count
+    // reaches ceil(p·n) — which is integer-exact on both engines, unlike
+    // interpolated percentile()/quantile_cont whose float interpolation
+    // is not guaranteed bit-identical. Window peers don't matter: the
+    // cumulative sum runs over the DISTINCT (lang, tok) table.
+    "q_rep1_corpus_report" ->
+      s"""WITH b AS (SELECT lang,
+         |             CASE WHEN length(trim(text)) = 0 THEN 0
+         |                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok,
+         |             md5($norm) AS fp
+         |           FROM documents),
+         |  c AS (SELECT lang, tok, count(*) AS c FROM b GROUP BY 1, 2),
+         |  cc AS (SELECT lang, tok,
+         |           sum(c) OVER (PARTITION BY lang ORDER BY tok
+         |             ROWS UNBOUNDED PRECEDING) AS cum,
+         |           sum(c) OVER (PARTITION BY lang) AS tot
+         |         FROM c),
+         |  p AS (SELECT lang,
+         |          CAST(min(CASE WHEN cum >= ceil(tot * 0.5) THEN tok END) AS BIGINT)
+         |            AS median_tokens,
+         |          CAST(min(CASE WHEN cum >= ceil(tot * 0.9) THEN tok END) AS BIGINT)
+         |            AS p90_tokens
+         |        FROM cc GROUP BY 1),
+         |  a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(tok) AS BIGINT) AS total_tokens,
+         |          CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+         |        FROM b GROUP BY 1)
+         |SELECT a.lang, n_docs, total_tokens, median_tokens, p90_tokens, n_unique,
+         |       CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac
+         |FROM a JOIN p USING (lang) ORDER BY lang""".stripMargin,
+
     // The funnel's stages reuse the exact formulations proven by
     // q_txt1 (token count), q_txt8 (dup_word_frac), q_txt7
     // (contamination), q_dd1 (fingerprint) and q_samp1 (split draw);

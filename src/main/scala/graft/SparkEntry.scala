@@ -515,6 +515,31 @@ object SparkEntry {
         "doc_id", "text", shingleN = 3, k = 16, bands = 4, threshold = 0.5)
       .orderBy("id_new", "id_corpus")
 
+  /** REP1 — corpus report card, per language: doc/token totals, exact
+    * discrete token-count percentiles (counting construction — state
+    * bounded by distinct values, not rows), exact-dup fraction. The
+    * operational dashboard a corpus owner reads after every pipeline
+    * run. */
+  private def rep1(t: Tables): DataFrame = {
+    val base = t.documents
+      .withColumn("tok", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+    val pcts = Relational.discretePercentiles(base, Seq("lang"), "tok",
+      Seq("median_tokens" -> 0.5, "p90_tokens" -> 0.9))
+    base.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tok").as("total_tokens"),
+        countDistinct("fp").as("n_unique"))
+      .join(pcts, Seq("lang"))
+      .withColumn("dup_frac",
+        (col("n_docs") - col("n_unique")).cast("double") /
+          col("n_docs").cast("double"))
+      .select("lang", "n_docs", "total_tokens", "median_tokens",
+        "p90_tokens", "n_unique", "dup_frac")
+      .orderBy("lang")
+  }
+
   /** CUR1 — the curation funnel, end to end: language gate → token-count
     * band → repetition filter → benchmark decontamination → exact dedup
     * (keep lowest id per fingerprint, decided WITHIN the filtered set) →
@@ -767,6 +792,7 @@ object SparkEntry {
       "q_txt9_line_dedup" -> q(txt9),
       "q_txt10_surprisal" -> q(txt10),
       "q_samp4_target_mixture" -> q(samp4),
+      "q_rep1_corpus_report" -> q(rep1),
       "q_dd8_simhash_pairs" -> q(dd8),
       "q_dd9_incremental_neardup" -> q(dd9),
       "q_cur1_curation_funnel" -> q(cur1),

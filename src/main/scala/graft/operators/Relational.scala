@@ -140,4 +140,35 @@ object Relational {
     */
   def pseudoRandomPickPerGroup(df: DataFrame, group: Seq[String], key: Column): DataFrame =
     latestPerGroup(df, group, Seq(md5(key.cast("binary")).asc, key.asc))
+
+  /** EXACT per-group percentiles for discrete value domains (token
+    * counts, lengths, scores quantized to integers) — the scale-correct
+    * alternative to `percentile()`: a counting construction whose state
+    * is bounded by DISTINCT values per group, not rows per group, so a
+    * billion-row group costs the same as a thousand-row one. The value
+    * picked is the smallest v whose cumulative count reaches ⌈p·n⌉ (the
+    * lower / "type 1" quantile — integer-exact, no interpolation, so any
+    * engine reproduces it bit-for-bit).
+    *
+    * Plan shape: one (group, value) pre-aggregation (map-side combined;
+    * nothing is keyed by value alone), a cumulative window over the
+    * distinct-value table (bounded, never the raw rows), one final
+    * per-group fold. `ps` maps output column name → percentile. */
+  def discretePercentiles(df: DataFrame, keys: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "no percentiles requested")
+    require(ps.forall { case (_, p) => p > 0.0 && p <= 1.0 },
+      s"percentiles must be in (0,1]: $ps")
+    val counts = df.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val wt = Window.partitionBy(keys.map(col): _*)
+    val cum = counts
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__tot", sum("__c").over(wt))
+    val aggs = ps.map { case (name, p) =>
+      min(when(col("__cum") >= ceil(col("__tot") * lit(p)), col(valueCol))).as(name)
+    }
+    cum.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

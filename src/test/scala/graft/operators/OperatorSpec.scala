@@ -107,4 +107,17 @@ class OperatorSpec extends SparkSpec {
     // continuing FROM a null key walks the null-key tie-break correctly
     assert(ids(Some(Seq(null, "c"))) == Seq("d"))
   }
+
+  test("discretePercentiles: lower quantile by counting, per group, hand-checked") {
+    // g=a values: 1,2,2,3,10 (n=5): p50 → ceil(2.5)=3rd smallest = 2;
+    //                               p90 → ceil(4.5)=5th smallest = 10.
+    // g=b values: 7 (n=1): every percentile is 7.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L), ("a", 10L),
+      ("b", 7L)).toDF("g", "v")
+    val out = Relational.discretePercentiles(df, Seq("g"), "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("a") == ((2L, 10L)))
+    assert(out("b") == ((7L, 7L)))
+  }
 }
