@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.operators.Relational
+
+/** Randomized properties checked against independent driver-side
+  * reference implementations (union-find, sorted quantiles, a literal
+  * Scala reimplementation of line-dedup) — the strongest evidence the
+  * distributed formulations compute the mathematical object they claim.
+  * ScalaCheck generators sampled with fixed seeds (the scalatest bridge
+  * artifact isn't in the offline cache), so failures reproduce exactly. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // ---------------------------------------------------------------- CC
+
+  /** Driver-side union-find: component min-id per member. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    val members = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    members.map(m => m -> find(m)).toMap
+  }
+
+  private val graphGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.chooseNum(2, 30)
+    m <- Gen.chooseNum(1, 60)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0L, n.toLong)
+      b <- Gen.chooseNum(0L, n.toLong)
+    } yield (a, b))
+  } yield edges
+
+  test("duplicateClusters == union-find on random graphs (both algorithms)") {
+    (1L to 5L).foreach { seed =>
+      val edges = sample(graphGen, seed)
+      val expected = unionFind(edges)
+      val pairs = edges.toDF("id_a", "id_b")
+      val minLabel = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = DedupFunctions.duplicateClustersStar(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(minLabel == expected, s"min-label mismatch on graph seed=$seed")
+      assert(star == expected, s"star-contraction mismatch on graph seed=$seed")
+    }
+  }
+
+  // ---------------------------------------------------------------- quantize
+
+  private val vecGen: Gen[Array[Float]] = for {
+    d <- Gen.chooseNum(1, 8)
+    v <- Gen.listOfN(d, Gen.chooseNum(-1000.0f, 1000.0f))
+  } yield v.toArray
+
+  test("int8 quantization: reconstruction error <= scale/2 on random vectors") {
+    val vecs = (1L to 20L).map(s => (s, sample(vecGen, s)))
+    val out = vecs.toDF("vec_id", "embedding")
+      .withColumn("q", Similarity.quantizeInt8(col("embedding")))
+      .withColumn("recon", Similarity.dequantizeInt8(col("q")))
+      .select(col("vec_id"), col("q.scale"),
+        array_max(zip_with(col("recon"), col("embedding").cast("array<double>"),
+          (r, x) => abs(r - x))).as("err"))
+      .collect()
+    out.foreach { r =>
+      val (scale, err) = (r.getDouble(1), r.getDouble(2))
+      assert(err <= scale * 0.5 + 1e-9,
+        s"vec ${r.getLong(0)}: err $err > scale/2 of $scale")
+    }
+  }
+
+  // ---------------------------------------------------------------- percentiles
+
+  test("discretePercentiles == sorted lower quantile on random data") {
+    val dataGen = Gen.listOfN(60, for {
+      g <- Gen.oneOf("x", "y", "z")
+      v <- Gen.chooseNum(0L, 20L)
+    } yield (g, v))
+    (1L to 4L).foreach { seed =>
+      val rows = sample(dataGen, seed)
+      val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99)
+      val got = Relational.discretePercentiles(rows.toDF("g", "v"), Seq("g"), "v", ps)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      rows.groupBy(_._1).foreach { case (g, grp) =>
+        val sorted = grp.map(_._2).sorted
+        def ref(p: Double) = sorted(math.ceil(sorted.size * p).toInt - 1)
+        assert(got(g) == ((ref(0.25), ref(0.5), ref(0.99))),
+          s"group $g seed=$seed: ${got(g)} vs sorted $sorted")
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- line dedup
+
+  test("dedupLines == literal per-doc filter of over-frequent lines") {
+    val docGen = Gen.listOfN(12, for {
+      id <- Gen.chooseNum(0L, 11L)
+      nLines <- Gen.chooseNum(1, 5)
+      lines <- Gen.listOfN(nLines, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+    } yield (id, lines.mkString("\n")))
+    (1L to 3L).foreach { seed =>
+      val docs = sample(docGen, seed).groupBy(_._1).map { case (id, g) => (id, g.head._2) }.toSeq
+      val maxDf = 2
+      val docFreq = docs.flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      val expected = docs.map { case (id, t) =>
+        val kept = t.split("\n", -1).filter(l => docFreq(l) <= maxDf)
+        id -> ((kept.mkString("\n"), kept.length.toLong,
+          (t.split("\n", -1).length - kept.length).toLong))
+      }.toMap
+      val got = TextFunctions.dedupLines(docs.toDF("doc_id", "text"),
+          "doc_id", "text", maxDf)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+}
