@@ -314,12 +314,22 @@ object DedupFunctions {
     // Symmetrize with a single scan (explode of both directions) — the
     // upstream pair plan is often an expensive similarity join, and a
     // two-scan union would execute it twice before the persist.
-    val edges = pairs
+    val edgesRaw = pairs
       .select(explode(array(
         struct(col(a).as("src"), col(b).as("dst")),
         struct(col(b).as("src"), col(a).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().persist(lvl)
+      .distinct().localCheckpoint(true)
+    // Size the loop's map parallelism to the graph: every round re-scans
+    // the cached edge set, and scheduling a full session's worth of tasks
+    // per round over a small dup graph costs more than the arithmetic.
+    // Large graphs keep full parallelism (the cap), so nothing changes at
+    // cluster scale.
+    val parts = math.max(2, math.min(
+      edgesRaw.rdd.getNumPartitions, (edgesRaw.count() / 20000L).toInt))
+    // A coalesce VIEW over the checkpointed blocks: no second copy, each
+    // round reads the cache through `parts` tasks.
+    val edges = edgesRaw.coalesce(parts)
     // Round 0 analytically: with identity starting labels, the first
     // propagate round is exactly label₀(u) = min(u ∪ Γ(u)) — one groupBy
     // over the cached edges instead of a join against an identity table.
@@ -357,11 +367,8 @@ object DedupFunctions {
     // equivalent pair list, so the expensive upstream plan is not re-run.
     if (changed > 0) {
       labels.unpersist()
-      val viaStar = duplicateClustersStar(edges, "src", "dst")
-      edges.unpersist()
-      return viaStar
+      return duplicateClustersStar(edges, "src", "dst")
     }
-    edges.unpersist()
     val out = labels
       .select(col("node").as("member"), col("label").as("cluster_id"))
       .localCheckpoint(true)
