@@ -54,8 +54,10 @@ object PlanAudit {
     "q_sim4_quantize" -> Seq("codegen id", "!Window", "!HashAggregate",
       "!Join"))
 
-  /** Run every check; returns (name, missing-patterns) for failures. */
-  def audit(spark: SparkSession, sfDir: String): Seq[(String, Seq[String])] =
+  /** Run every check; returns (name, missing-patterns, plan-excerpt) for
+    * failures — the excerpt is what diagnoses a CI-only regression
+    * without re-running the query by hand. */
+  def audit(spark: SparkSession, sfDir: String): Seq[(String, Seq[String], String)] =
     checks.flatMap { case (name, patterns) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
@@ -65,7 +67,8 @@ object PlanAudit {
         if (p.startsWith("!")) p.drop(1).r.findFirstIn(plan).isEmpty
         else p.r.findFirstIn(plan).isDefined
       }
-      if (missing.isEmpty) None else Some((name, missing))
+      if (missing.isEmpty) None
+      else Some((name, missing, plan.linesIterator.take(40).mkString("\n")))
     }
 
   def main(args: Array[String]): Unit = {
@@ -85,8 +88,9 @@ object PlanAudit {
     checks.foreach { case (name, _) =>
       misses.find(_._1 == name) match {
         case None => println(s"[audit] OK   $name")
-        case Some((_, missing)) =>
+        case Some((_, missing, excerpt)) =>
           println(s"[audit] MISS $name -> ${missing.mkString("; ")}")
+          println(excerpt)
       }
     }
     println(s"[audit] done, ${misses.size} misses")

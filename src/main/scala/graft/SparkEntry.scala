@@ -521,16 +521,21 @@ object SparkEntry {
     * operational dashboard a corpus owner reads after every pipeline
     * run. */
   private def rep1(t: Tables): DataFrame = {
-    val base = t.documents
-      .withColumn("tok", TextFunctions.tokenCount(col("text")).cast("long"))
+    // Two scans, each computing exactly one heavy expression: the
+    // percentile branch carries doc/token totals out of its own counts
+    // table (the `totals` rider), so only the distinct-fingerprint branch
+    // re-reads the corpus — never a scan that tokenizes AND fingerprints
+    // just to throw one of them away.
+    val pcts = Relational.discretePercentiles(
+      t.documents.withColumn("tok",
+        TextFunctions.tokenCount(col("text")).cast("long")),
+      Seq("lang"), "tok",
+      Seq("median_tokens" -> 0.5, "p90_tokens" -> 0.9),
+      totals = Some(("n_docs", "total_tokens")))
+    t.documents
       .withColumn("fp", TextFunctions.fingerprint(col("text")))
-    val pcts = Relational.discretePercentiles(base, Seq("lang"), "tok",
-      Seq("median_tokens" -> 0.5, "p90_tokens" -> 0.9))
-    base.groupBy("lang")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("tok").as("total_tokens"),
-        countDistinct("fp").as("n_unique"))
+      .groupBy("lang")
+      .agg(countDistinct("fp").as("n_unique"))
       .join(pcts, Seq("lang"))
       .withColumn("dup_frac",
         (col("n_docs") - col("n_unique")).cast("double") /

@@ -319,16 +319,17 @@ object DedupFunctions {
         struct(col(a).as("src"), col(b).as("dst")),
         struct(col(b).as("src"), col(a).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().persist(lvl)
     // Size the loop's map parallelism to the graph: every round re-scans
     // the cached edge set, and scheduling a full session's worth of tasks
     // per round over a small dup graph costs more than the arithmetic.
     // Large graphs keep full parallelism (the cap), so nothing changes at
-    // cluster scale.
+    // cluster scale. persist (not localCheckpoint) so the blocks are
+    // released deterministically on exit, not at the next driver GC.
     val parts = math.max(2, math.min(
       edgesRaw.rdd.getNumPartitions, (edgesRaw.count() / 20000L).toInt))
-    // A coalesce VIEW over the checkpointed blocks: no second copy, each
-    // round reads the cache through `parts` tasks.
+    // A coalesce VIEW over the cached blocks: no second copy, each round
+    // reads the cache through `parts` tasks.
     val edges = edgesRaw.coalesce(parts)
     // Round 0 analytically: with identity starting labels, the first
     // propagate round is exactly label₀(u) = min(u ∪ Γ(u)) — one groupBy
@@ -367,11 +368,16 @@ object DedupFunctions {
     // equivalent pair list, so the expensive upstream plan is not re-run.
     if (changed > 0) {
       labels.unpersist()
-      return duplicateClustersStar(edges, "src", "dst")
+      // star checkpoints its input eagerly on entry, so the cached edge
+      // set is fully consumed when it returns
+      val viaStar = duplicateClustersStar(edges, "src", "dst")
+      edgesRaw.unpersist()
+      return viaStar
     }
     val out = labels
       .select(col("node").as("member"), col("label").as("cluster_id"))
       .localCheckpoint(true)
+    edgesRaw.unpersist()
     labels.unpersist()
     out
   }

@@ -147,19 +147,33 @@ object Relational {
     * is bounded by DISTINCT values per group, not rows per group, so a
     * billion-row group costs the same as a thousand-row one. The value
     * picked is the smallest v whose cumulative count reaches ⌈p·n⌉ (the
-    * lower / "type 1" quantile — integer-exact, no interpolation, so any
-    * engine reproduces it bit-for-bit).
+    * lower / "type 1" quantile — no interpolation). The rank threshold
+    * is computed in EXACT decimal arithmetic on the shortest decimal
+    * representation of `p` (p = 0.07 means exactly 7/100 — never the
+    * 0.07000…01 of its binary double), so the contract holds at any n
+    * and any engine reproduces it bit-for-bit (DuckDB's literal math is
+    * already decimal-exact; a double-typed ceil would drift from it on
+    * boundary-crossing n·p).
+    *
+    * NULL values carry no rank information and are excluded — every
+    * percentile is over the non-null values (a NULL would otherwise sort
+    * first and shift every rank).
     *
     * Plan shape: one (group, value) pre-aggregation (map-side combined;
     * nothing is keyed by value alone), a cumulative window over the
     * distinct-value table (bounded, never the raw rows), one final
-    * per-group fold. `ps` maps output column name → percentile. */
+    * per-group fold. `ps` maps output column name → percentile.
+    * `totals` optionally names two extra output columns — non-null row
+    * count and value sum per group — derived from the counts table for
+    * free, saving callers a second full scan of the input. */
   def discretePercentiles(df: DataFrame, keys: Seq[String], valueCol: String,
-      ps: Seq[(String, Double)]): DataFrame = {
+      ps: Seq[(String, Double)],
+      totals: Option[(String, String)] = None): DataFrame = {
     require(ps.nonEmpty, "no percentiles requested")
     require(ps.forall { case (_, p) => p > 0.0 && p <= 1.0 },
       s"percentiles must be in (0,1]: $ps")
-    val counts = df.groupBy((keys :+ valueCol).map(col): _*)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy((keys :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
     val wt = Window.partitionBy(keys.map(col): _*)
@@ -167,7 +181,13 @@ object Relational {
       .withColumn("__cum", sum("__c").over(w))
       .withColumn("__tot", sum("__c").over(wt))
     val aggs = ps.map { case (name, p) =>
-      min(when(col("__cum") >= ceil(col("__tot") * lit(p)), col(valueCol))).as(name)
+      // BigDecimal.valueOf uses the double's shortest decimal form —
+      // exact decimal multiply + ceil, matching DuckDB's literal typing.
+      val threshold = ceil(col("__tot") * lit(java.math.BigDecimal.valueOf(p)))
+      min(when(col("__cum") >= threshold, col(valueCol))).as(name)
+    } ++ totals.toSeq.flatMap { case (nRowsCol, sumCol) =>
+      Seq(sum("__c").as(nRowsCol),
+        sum(col(valueCol) * col("__c")).as(sumCol))
     }
     cum.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }

@@ -19,8 +19,8 @@ class PlanAuditSpec extends SparkSpec {
     session.conf.set("spark.sql.adaptive.enabled", "false")
     session.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val misses = PlanAudit.audit(session, sfDir)
-    assert(misses.isEmpty, misses.map { case (n, ps) =>
-      s"$n missing: ${ps.mkString("; ")}"
+    assert(misses.isEmpty, misses.map { case (n, ps, excerpt) =>
+      s"$n missing: ${ps.mkString("; ")}\n$excerpt"
     }.mkString("\n"))
   }
 }

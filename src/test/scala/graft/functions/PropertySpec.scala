@@ -97,7 +97,10 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
       rows.groupBy(_._1).foreach { case (g, grp) =>
         val sorted = grp.map(_._2).sorted
-        def ref(p: Double) = sorted(math.ceil(sorted.size * p).toInt - 1)
+        // decimal-exact rank, same convention as the operator
+        def ref(p: Double) = sorted(
+          (BigDecimal(sorted.size) * BigDecimal.valueOf(p))
+            .setScale(0, BigDecimal.RoundingMode.CEILING).toInt - 1)
         assert(got(g) == ((ref(0.25), ref(0.5), ref(0.99))),
           s"group $g seed=$seed: ${got(g)} vs sorted $sorted")
       }

@@ -120,4 +120,22 @@ class OperatorSpec extends SparkSpec {
     assert(out("a") == ((2L, 10L)))
     assert(out("b") == ((7L, 7L)))
   }
+
+  test("discretePercentiles: decimal-exact threshold, null exclusion, totals rider") {
+    // p = 0.07 over 100 rows must mean rank ceil(7) = 7, not the
+    // ceil(7.000000000000001) = 8 of double arithmetic: values 1..100,
+    // p07 = 7.
+    val hundred = (1L to 100L).map(("g", _)).toDF("g", "v")
+    val p07 = Relational.discretePercentiles(hundred, Seq("g"), "v",
+      Seq("p07" -> 0.07)).head().getLong(1)
+    assert(p07 == 7L)
+    // nulls carry no rank: percentiles are over the non-null values, and
+    // the totals rider counts/sums only those
+    val withNull = Seq(("g", Some(1L)), ("g", Some(2L)), ("g", Some(3L)),
+      ("g", None)).toDF("g", "v")
+    val r = Relational.discretePercentiles(withNull, Seq("g"), "v",
+      Seq("p75" -> 0.75), totals = Some(("n", "s"))).head()
+    assert(r.getLong(1) == 3L) // ceil(0.75·3)=3rd of [1,2,3]
+    assert(r.getLong(2) == 3L && r.getLong(3) == 6L)
+  }
 }
