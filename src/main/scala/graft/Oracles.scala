@@ -518,6 +518,39 @@ object Oracles {
         |         i -> abs(recon[i] - e[i]))) AS max_abs_err
         |FROM r ORDER BY vec_id""".stripMargin,
 
+    // Card redaction: candidates are bound to (original, digits-only)
+    // struct pairs so the Luhn fold reads each digit string once; the
+    // checksum arithmetic is pure integers, the conditional redaction is
+    // a fold of exact-string replaces — both engines leftmost-greedy
+    // match the same RE2-safe candidate pattern.
+    "q_txt11_card_redact" ->
+      raw"""WITH w AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 2 = 0 THEN ' ' ELSE '-' END AS sep,
+        |              text FROM documents),
+        |  x AS (SELECT doc_id,
+        |          text || ' card 4111' || sep || '1111' || sep || '1111' || sep || '1111'
+        |               || ' ref 1234' || sep || '5678' || sep || '9012' || sep || '3456' AS t2
+        |        FROM w),
+        |  c AS (SELECT doc_id, t2,
+        |          list_transform(
+        |            list_filter(
+        |              list_transform(
+        |                list_distinct(regexp_extract_all(t2, '[0-9](?:[ -]?[0-9]){12,18}')),
+        |                s -> struct_pack(orig := s, ds := regexp_replace(s, '[^0-9]', '', 'g'))),
+        |              p -> list_sum(list_transform(generate_series(1, length(p.ds)),
+        |                     i -> CASE WHEN i % 2 = 0
+        |                          THEN CASE WHEN CAST(p.ds[length(p.ds)-i+1] AS INT) * 2 > 9
+        |                               THEN CAST(p.ds[length(p.ds)-i+1] AS INT) * 2 - 9
+        |                               ELSE CAST(p.ds[length(p.ds)-i+1] AS INT) * 2 END
+        |                          ELSE CAST(p.ds[length(p.ds)-i+1] AS INT) END)) % 10 = 0),
+        |            p -> p.orig) AS valid
+        |        FROM x)
+        |SELECT doc_id,
+        |       list_reduce(list_prepend(t2, valid),
+        |         (acc, v) -> replace(acc, v, '<CARD>')) AS redacted,
+        |       CAST(len(valid) AS BIGINT) AS n_cards
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // The report's percentiles use the counting ("type 1" / lower
     // quantile) construction — smallest value whose cumulative count
     // reaches ceil(p·n) — which is integer-exact on both engines, unlike

@@ -515,6 +515,26 @@ object SparkEntry {
         "doc_id", "text", shingleN = 3, k = 16, bands = 4, threshold = 0.5)
       .orderBy("id_new", "id_corpus")
 
+  /** TXT11 — Luhn-validated card redaction: candidate digit runs are
+    * checksum-VALIDATED before redaction (a bare regex over-redacts
+    * order ids and phone numbers). Each document gets one valid and one
+    * invalid synthetic card (separator varies by doc — q_txt6
+    * precedent); only the valid one may be redacted. */
+  private def txt11(t: Tables): DataFrame = {
+    val sep = when(pmod(col("doc_id"), lit(2)) === 0, lit(" ")).otherwise(lit("-"))
+    val t2 = concat(col("text"),
+      lit(" card 4111"), sep, lit("1111"), sep, lit("1111"), sep, lit("1111"),
+      lit(" ref 1234"), sep, lit("5678"), sep, lit("9012"), sep, lit("3456"))
+    t.documents.select(col("doc_id"), t2.as("t2"))
+      .select(col("doc_id"),
+        TextFunctions.redactCards(col("t2")).as("redacted"),
+        size(filter(
+          array_distinct(regexp_extract_all(col("t2"),
+            lit(TextFunctions.CardRe), lit(0))),
+          c => TextFunctions.luhnValid(c))).cast("long").as("n_cards"))
+      .orderBy("doc_id")
+  }
+
   /** REP1 — corpus report card, per language: doc/token totals, exact
     * discrete token-count percentiles (counting construction — state
     * bounded by distinct values, not rows), exact-dup fraction. The
@@ -798,6 +818,7 @@ object SparkEntry {
       "q_txt10_surprisal" -> q(txt10),
       "q_samp4_target_mixture" -> q(samp4),
       "q_rep1_corpus_report" -> q(rep1),
+      "q_txt11_card_redact" -> q(txt11),
       "q_dd8_simhash_pairs" -> q(dd8),
       "q_dd9_incremental_neardup" -> q(dd9),
       "q_cur1_curation_funnel" -> q(cur1),

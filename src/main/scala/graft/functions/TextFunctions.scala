@@ -46,6 +46,43 @@ object TextFunctions {
       n(PhoneRe, afterIp).as("phones"))
   }
 
+  /** Candidate payment-card number: 13-19 digits with optional single
+    * space/dash separators (RE2-safe — no lookarounds). Candidates are
+    * VALIDATED with [[luhnValid]] before redaction: a bare digit-run
+    * regex over-redacts order ids, timestamps and phone numbers. */
+  val CardRe = "[0-9](?:[ -]?[0-9]){12,18}"
+
+  /** Luhn checksum over the digits of `s` (separators ignored): the
+    * public mod-10 scheme every card number satisfies. Pure HOF fold —
+    * each digit read once, right-to-left, every second digit doubled
+    * with the >9 ⇒ −9 reduction. Engine-portable integer arithmetic. */
+  def luhnValid(s: Column): Column =
+    ExprUtils.evalOnce(regexp_replace(s, "[^0-9]", "")) { ds =>
+      ExprUtils.evalOnce(length(ds)) { n =>
+        (n > 0) && aggregate(
+          sequence(lit(1), n),
+          lit(0),
+          (acc, i) => {
+            val d = call_function("substr", ds, n - i + 1, lit(1)).cast("int")
+            val dbl = d * 2
+            acc + when(i % 2 === 0,
+              when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(d)
+          }) % 10 === 0
+      }
+    }
+
+  /** Redact Luhn-VALID card numbers to `<CARD>`; Luhn-invalid digit runs
+    * are left untouched. regexp_replace cannot replace per-match
+    * conditionally, so: extract distinct candidates, filter by checksum,
+    * fold exact-string replace over the validated set — all codegen'd
+    * array expressions, one pass over candidates per row. */
+  def redactCards(text: Column): Column =
+    ExprUtils.evalOnce(
+      filter(array_distinct(regexp_extract_all(text, lit(CardRe), lit(0))),
+        c => luhnValid(c))) { valid =>
+      aggregate(valid, text, (acc, c) => replace(acc, c, lit("<CARD>")))
+    }
+
   /** Whitespace token count; empty/blank text counts 0. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))

@@ -448,6 +448,29 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("luhnValid: known-valid numbers pass, off-by-one fails, separators ignored") {
+    val cases = Seq(
+      ("4111111111111111", true),   // classic Visa test number
+      ("4111111111111112", false),  // off-by-one check digit
+      ("4111-1111 1111,1111", true), // separators stripped before checksum
+      ("79927398713", true),        // the published Luhn example
+      ("79927398714", false),
+      ("no digits at all", false)
+    ).toDF("s", "expected")
+    val wrong = cases
+      .withColumn("got", TextFunctions.luhnValid(col("s")))
+      .filter(col("got") =!= col("expected"))
+    assert(wrong.isEmpty, wrong.collect().mkString(", "))
+  }
+
+  test("redactCards: Luhn-valid runs redacted, invalid runs untouched") {
+    val out = Seq((1L,
+      "pay 4111 1111 1111 1111 ref 1234 5678 9012 3456 order 12345"))
+      .toDF("id", "t")
+      .select(TextFunctions.redactCards(col("t"))).head().getString(0)
+    assert(out == "pay <CARD> ref 1234 5678 9012 3456 order 12345")
+  }
+
   test("int8 quantization: error bounded by scale/2, constants exact, roundtrip shape") {
     val vecs = Seq(
       (1L, Array(0.0f, 0.5f, 1.0f, -1.0f)),
