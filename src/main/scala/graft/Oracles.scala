@@ -522,7 +522,10 @@ object Oracles {
     // struct pairs so the Luhn fold reads each digit string once; the
     // checksum arithmetic is pure integers, the conditional redaction is
     // a fold of exact-string replaces — both engines leftmost-greedy
-    // match the same RE2-safe candidate pattern.
+    // match the same RE2-safe candidate pattern. The fold order is made
+    // explicit on BOTH sides (longest first, ties lexicographic): DuckDB's
+    // list_distinct does not guarantee element order, so an implicit order
+    // could diverge when one validated candidate contains another.
     "q_txt11_card_redact" ->
       raw"""WITH w AS (SELECT doc_id,
         |              CASE WHEN doc_id % 2 = 0 THEN ' ' ELSE '-' END AS sep,
@@ -533,17 +536,19 @@ object Oracles {
         |        FROM w),
         |  c AS (SELECT doc_id, t2,
         |          list_transform(
-        |            list_filter(
-        |              list_transform(
-        |                list_distinct(regexp_extract_all(t2, '[0-9](?:[ -]?[0-9]){12,18}')),
-        |                s -> struct_pack(orig := s, ds := regexp_replace(s, '[^0-9]', '', 'g'))),
-        |              p -> list_sum(list_transform(generate_series(1, length(p.ds)),
-        |                     i -> CASE WHEN i % 2 = 0
-        |                          THEN CASE WHEN CAST(p.ds[length(p.ds)-i+1] AS INT) * 2 > 9
-        |                               THEN CAST(p.ds[length(p.ds)-i+1] AS INT) * 2 - 9
-        |                               ELSE CAST(p.ds[length(p.ds)-i+1] AS INT) * 2 END
-        |                          ELSE CAST(p.ds[length(p.ds)-i+1] AS INT) END)) % 10 = 0),
-        |            p -> p.orig) AS valid
+        |            list_sort(list_transform(
+        |              list_filter(
+        |                list_transform(
+        |                  list_distinct(regexp_extract_all(t2, '[0-9](?:[ -]?[0-9]){12,18}')),
+        |                  s -> struct_pack(orig := s, ds := regexp_replace(s, '[^0-9]', '', 'g'))),
+        |                p -> list_sum(list_transform(generate_series(1, length(p.ds)),
+        |                       i -> CASE WHEN i % 2 = 0
+        |                            THEN CASE WHEN CAST(p.ds[length(p.ds)-i+1] AS INT) * 2 > 9
+        |                                 THEN CAST(p.ds[length(p.ds)-i+1] AS INT) * 2 - 9
+        |                                 ELSE CAST(p.ds[length(p.ds)-i+1] AS INT) * 2 END
+        |                            ELSE CAST(p.ds[length(p.ds)-i+1] AS INT) END)) % 10 = 0),
+        |              p -> struct_pack(k := -length(p.orig), o := p.orig))),
+        |            s -> s.o) AS valid
         |        FROM x)
         |SELECT doc_id,
         |       list_reduce(list_prepend(t2, valid),

@@ -105,7 +105,9 @@ object Similarity {
     * trade: recall grows with nprobe, cost with cells scanned.
     *
     * The coarse quantizer is trained on a bounded deterministic sample
-    * (≤ `fitSampleRows`) ON THE DRIVER — the standard IVF pattern: a
+    * (≤ `fitSampleRows` rows AND ≤ `fitSampleBudgetDoubles` total doubles,
+    * so the driver collect stays ~constant-memory as the vector dim grows)
+    * ON THE DRIVER — the standard IVF pattern: a
     * quantizer needs a few thousand vectors per cell, never the corpus, so
     * a sample that small is a sequential in-memory Lloyd's loop, not
     * `maxIter` rounds of distributed jobs whose per-round scheduling
@@ -127,7 +129,8 @@ object Similarity {
   def trainSphericalCentroids(
       corpus: DataFrame, cId: String, cVec: String,
       nlist: Int, seed: Long = 42L, maxIter: Int = 10,
-      fitSampleRows: Int = 100000): Array[Array[Double]] = {
+      fitSampleRows: Int = 100000,
+      fitSampleBudgetDoubles: Long = 16000000L): Array[Array[Double]] = {
     val corpusSel = corpus.select(col(cId).as("__id"), col(cVec).as("__v"))
     // Deterministic bounded fit sample. The rate comes from a count(*)
     // over the raw corpus (metadata-weight, column-pruned — no vector
@@ -135,18 +138,29 @@ object Similarity {
     // state, unlike df.sample) and prunes below the vector projection, so
     // only sampled rows are decoded and collected.
     val n = corpus.count()
+    // The collect is bounded by rows*dim, not rows alone: at dim 768-1536
+    // a 100k-row sample is ~0.6-1.2 GB of boxed vectors on the driver.
+    // Probe the dim from a single row (limit-1 scan) and shrink the
+    // effective row cap so sampled payload stays under the doubles budget
+    // (default 16M doubles ~ 128 MB raw).
+    val probedDim = corpusSel.filter(col("__v").isNotNull)
+      .select(size(col("__v"))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    val effSampleRows =
+      if (probedDim <= 0) fitSampleRows
+      else math.max(nlist, math.min(
+        fitSampleRows.toLong, fitSampleBudgetDoubles / probedDim).toInt)
     val sampled =
-      if (n <= fitSampleRows) corpusSel
+      if (n <= effSampleRows) corpusSel
       else {
         // Ceil division lands the filter alone at/under the cap in
         // expectation; the ordered limit is a deterministic guard over the
         // (sample-sized) hash-variance overshoot, not an arbitrary
         // scan-order pick.
-        val keepOneIn = (n + fitSampleRows - 1) / fitSampleRows
+        val keepOneIn = (n + effSampleRows - 1) / effSampleRows
         val h = xxhash64(col("__id"), lit(seed))
         corpusSel.filter(pmod(h, lit(keepOneIn)) === 0)
           .orderBy(h.asc, col("__id").asc)
-          .limit(fitSampleRows)
+          .limit(effSampleRows)
       }
     // Collect in id order so the sequential centroid folds see a fixed
     // operand order — float addition is not associative, and bit-stable

@@ -75,11 +75,21 @@ object TextFunctions {
     * are left untouched. regexp_replace cannot replace per-match
     * conditionally, so: extract distinct candidates, filter by checksum,
     * fold exact-string replace over the validated set — all codegen'd
-    * array expressions, one pass over candidates per row. */
+    * array expressions, one pass over candidates per row.
+    *
+    * The fold order is made EXPLICIT — longest candidate first, ties
+    * lexicographic — so when one validated candidate is a substring of
+    * another the outcome never depends on extraction order (and any
+    * engine replaying the oracle sorts the same way). */
   def redactCards(text: Column): Column =
     ExprUtils.evalOnce(
-      filter(array_distinct(regexp_extract_all(text, lit(CardRe), lit(0))),
-        c => luhnValid(c))) { valid =>
+      array_sort(
+        filter(array_distinct(regexp_extract_all(text, lit(CardRe), lit(0))),
+          c => luhnValid(c)),
+        (l, r) =>
+          when(length(l) > length(r), -1)
+            .when(length(l) < length(r), 1)
+            .when(l < r, -1).when(l > r, 1).otherwise(0))) { valid =>
       aggregate(valid, text, (acc, c) => replace(acc, c, lit("<CARD>")))
     }
 
@@ -192,8 +202,13 @@ object TextFunctions {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       maxDocFreq: Int): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq $maxDocFreq must be >= 1")
+    // NULL text behaves as the empty document: split(null) is null and
+    // size(null) is -1 under the legacy sizeOfNull conf, which would emit
+    // n_lines_dropped = -1 — coalesce on BOTH scans keeps the count
+    // contract (kept + dropped = total) for null rows.
+    val textOrEmpty = coalesce(col(textCol), lit(""))
     val lines = df.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+        posexplode(split(textOrEmpty, "\n")).as(Seq("__pos", "__line")))
       .withColumn("__lfp", md5(col("__line").cast("binary")))
     val docFreq = lines.select(col(idCol), col("__lfp")).distinct()
       .groupBy("__lfp").agg(count(lit(1)).as("__df"))
@@ -206,7 +221,7 @@ object TextFunctions {
           x => x.getField("l"))).as("text_dedup"),
       count(lit(1)).as("n_lines_kept"))
     df.select(col(idCol),
-        size(split(col(textCol), "\n")).cast("long").as("__total"))
+        size(split(textOrEmpty, "\n")).cast("long").as("__total"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"),

@@ -69,9 +69,13 @@ object CorpusGate {
     * cluster scale). */
   private def readStore(spark: SparkSession, dir: String, schema: StructType,
       beforeBatch: Long, io: TableIO = LocalTableIO): DataFrame = {
+    // toLongOption: a non-numeric suffix (leftover temp dir, a manual
+    // "batch=0.bak" copy) must be skipped, not throw and poison every
+    // subsequent micro-batch of the gate.
     val batchDirs = io.listDir(dir).collect {
       case (name, true) if name.startsWith("batch=") &&
-        name.stripPrefix("batch=").toLong < beforeBatch => s"$dir/$name"
+        name.stripPrefix("batch=").toLongOption.exists(_ < beforeBatch) =>
+        s"$dir/$name"
     }
     if (batchDirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

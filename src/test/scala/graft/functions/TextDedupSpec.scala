@@ -389,6 +389,20 @@ class TextDedupSpec extends SparkSpec {
     assert(out.getLong(2) == 3L && out.getLong(3) == 0L)
   }
 
+  test("dedupLines: NULL text behaves as empty doc, counts stay consistent") {
+    // Without the coalesce, size(split(null)) = -1 under the legacy
+    // sizeOfNull conf → n_lines_dropped = -1, violating kept+dropped=total.
+    val d = Seq((1L, Some("keep me")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.dedupLines(d, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("keep me", 1L, 0L)))
+    // null → one empty line, df("") = 1 ≤ 2, so it is KEPT as ""
+    assert(out(2L) == (("", 1L, 0L)))
+    out.values.foreach { case (_, kept, dropped) => assert(kept >= 0 && dropped >= 0) }
+  }
+
   test("unigramSurprisal: hand-computed whole-bit scores") {
     // corpus: a=2, b=2, c=1, N=5; floorlog2: N→2, 2→1, 1→0
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
@@ -469,6 +483,19 @@ class TextDedupSpec extends SparkSpec {
       .toDF("id", "t")
       .select(TextFunctions.redactCards(col("t"))).head().getString(0)
     assert(out == "pay <CARD> ref 1234 5678 9012 3456 order 12345")
+  }
+
+  test("redactCards: longest-first fold when one valid candidate prefixes another") {
+    // "4111 1111 1111 1111" (16 digits) and "4111 1111 1111 11113"
+    // (17 digits) are BOTH Luhn-valid and the shorter is a string prefix
+    // of the longer. Extraction order puts the shorter first here; a
+    // naive fold in that order would leave "<CARD>3" behind. The explicit
+    // longest-first sort makes the outcome order-independent.
+    val out = Seq((1L,
+      "pay 4111 1111 1111 1111 and 4111 1111 1111 11113 end"))
+      .toDF("id", "t")
+      .select(TextFunctions.redactCards(col("t"))).head().getString(0)
+    assert(out == "pay <CARD> and <CARD> end")
   }
 
   test("int8 quantization: error bounded by scale/2, constants exact, roundtrip shape") {

@@ -106,4 +106,25 @@ class CorpusGateSpec extends SparkSpec {
       CorpusGate.Config(k = 16, bands = 5)
     }
   }
+
+  test("store listing skips non-numeric batch= directories instead of throwing") {
+    val store = tmpDir("gate-badname-store")
+    import spark.implicits._
+    CorpusGate.curateBatch(
+      Seq(1L -> longA, 2L -> longB).toDF("doc_id", "text"),
+      store, batchId = 0L)
+    // A leftover manual copy / temp dir that matches the prefix but not
+    // the numeric suffix must be skipped, not fail every later batch.
+    Files.createDirectories(Paths.get(store, "corpus", "batch=0.bak"))
+    Files.createDirectories(Paths.get(store, "sigs", "batch=tmp"))
+    val kept = CorpusGate.corpus(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+    // and the next batch's store read still works
+    CorpusGate.curateBatch(
+      Seq(10L -> longC).toDF("doc_id", "text"), store, batchId = 1L)
+    val after = CorpusGate.corpus(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 2L, 10L))
+  }
 }
