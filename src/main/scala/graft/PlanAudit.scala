@@ -18,6 +18,9 @@ object PlanAudit {
     "q_j1_fk_expand" -> Seq("BroadcastHashJoin", "codegen id"),
     "q_j2_exists_semi" -> Seq("LeftSemi", "PushedFilters: \\[.*GreaterThan"),
     "q_o2_topk" -> Seq("TakeOrderedAndProject"),
+    // offset pagination must be the bounded per-partition top-(page·size)
+    // heap, never a global row_number window through one reducer
+    "q_o3_page_slice" -> Seq("TakeOrderedAndProject", "!Window"),
     "q_a2_account_rollup" -> Seq("HashAggregate", "codegen id"),
     // top-k must be the bounded aggregate (map-side partial), never a
     // per-query Window funneling the corpus through one reducer

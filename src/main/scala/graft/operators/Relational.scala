@@ -51,17 +51,24 @@ object Relational {
     latestPerGroup(df, keys, seq.map(_.desc))
 
   /** Deterministic page slice (reference: PageNumberPagination,
-    * api/pagination.py:8-24; default page_size 30). Implemented with a
-    * global row_number window: correct at any scale, but a global sort —
-    * the query layer only applies it after filters have cut the set down,
-    * and the gold tables keep cached counts (SURVEY §7.4-6).
+    * api/pagination.py:8-24; default page_size 30). `order` must be a
+    * total order (include a unique tie-break) for stable pages.
+    *
+    * Implemented as sort + offset + limit, which Catalyst plans as ONE
+    * `TakeOrderedAndProject(limit = page·size, offset)` — each partition
+    * keeps a bounded top-(page·size) heap and the driver merges those
+    * few rows. No global row_number window (the previous shape), which
+    * funneled the ENTIRE input through a single-partition sort: offset
+    * pagination stays O(page·size) per partition at any table size.
+    * Deep offsets still pay page·size heap entries everywhere — that is
+    * inherent to offset semantics; [[keysetSlice]] is the constant-cost
+    * scale path.
     */
   def pageSlice(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): DataFrame = {
-    val w = Window.orderBy(order: _*)
-    val lo = (page - 1).toLong * pageSize
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > lo && col("__rn") <= lo + pageSize)
-      .drop("__rn")
+    require(page >= 1, s"page $page must be >= 1")
+    require(pageSize >= 1, s"pageSize $pageSize must be >= 1")
+    val lo = math.multiplyExact(page - 1, pageSize) // overflow = fail loud
+    df.orderBy(order: _*).offset(lo).limit(pageSize)
   }
 
   /** Keyset (seek) pagination — the scale path that replaces pageSlice's

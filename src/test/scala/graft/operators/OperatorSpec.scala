@@ -69,9 +69,17 @@ class OperatorSpec extends SparkSpec {
       Map("k" -> "new", "j" -> "only"))
 
     val nums = (1 to 100).toDF("n")
-    val page = Relational.pageSlice(nums, Seq(col("n").asc), page = 4, pageSize = 10)
-      .collect().map(_.getInt(0))
-    assert(page.toSeq == (31 to 40))
+    val paged = Relational.pageSlice(nums, Seq(col("n").asc), page = 4, pageSize = 10)
+    assert(paged.collect().map(_.getInt(0)).toSeq == (31 to 40))
+    // the slice must plan as one bounded TakeOrderedAndProject, not a
+    // global row_number window through a single reducer
+    val plan = paged.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+    // a page past the end is empty, a ragged last page is partial
+    assert(Relational.pageSlice(nums, Seq(col("n").asc), 11, 10).isEmpty)
+    assert(Relational.pageSlice(nums, Seq(col("n").asc), 7, 15)
+      .collect().map(_.getInt(0)).toSeq == (91 to 100))
   }
 
   test("saltedJoin equals plain join under skew") {
