@@ -12,6 +12,26 @@ object Oracles {
 
   private val norm = raw"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
 
+  /** Placeholder Verify substitutes with the run's output directory.
+    * Signature-replay oracles read an engine-specific intermediate
+    * (minhash/simhash signatures, IVF centroids, k-gram hashes) back from
+    * the query's OWN parquet output — those values are trusted input
+    * (covered by bit-parity specs) — and independently re-derive
+    * everything downstream of them, so the derived rows hash-mismatch on
+    * any divergence in band logic, candidate generation, verification
+    * arithmetic, ranking or clustering. */
+  private val OUT = "$" + "{OUT}"
+
+  /** Word 3-gram shingle set per document — the DuckDB replay of
+    * DedupFunctions.shingles(text, 3) (normalize → split → n-grams →
+    * distinct), shared by the minhash-verify oracles. */
+  private val shingles3Sql: String =
+    raw"""SELECT doc_id, list_distinct(list_transform(
+      |          generate_series(1, greatest(len(w) - 2, 0)),
+      |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |        FROM (SELECT doc_id, string_split($norm, ' ') AS w
+      |              FROM documents)""".stripMargin
+
   /** Inner-product of two DOUBLE[] as a strictly left-to-right fold —
     * bit-compatible with Spark's aggregate(zip_with(...)) evaluation. */
   private def dotSql(a: String, b: String): String =
@@ -714,5 +734,226 @@ object Oracles {
         |                 WHEN w * 256 >= h * 256
         |                   THEN greatest(1, (h * 256) // w)
         |                 ELSE 256 END AS BIGINT) AS resize_h
-        |FROM d ORDER BY doc_id""".stripMargin)
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // HLL estimates are inherently approximate; the oracle echoes the
+    // Spark value iff it is within a relative-error gate of DuckDB's
+    // EXACT distinct count (3σ of the default 5% rsd), else it emits the
+    // exact count and forces a hash mismatch.
+    "q_a7_approx_distinct" ->
+      s"""WITH s AS (SELECT approx_parts, approx_orders
+         |           FROM read_parquet('$OUT/q_a7_approx_distinct/*.parquet')),
+         |  x AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS np,
+         |               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS no
+         |        FROM lineitem)
+         |SELECT CASE WHEN abs(approx_parts - np) <= 0.15 * np
+         |            THEN approx_parts ELSE np END AS approx_parts,
+         |       CASE WHEN abs(approx_orders - no) <= 0.15 * no
+         |            THEN approx_orders ELSE no END AS approx_orders
+         |FROM s, x""".stripMargin,
+
+    // Signature replay: minhash signatures (k=16, 4 bands of 4) are
+    // trusted input read back from the Spark output; candidates are
+    // re-derived via band-SLICE equality (equal slices ⇔ equal band keys)
+    // and re-verified with exact 3-gram Jaccard computed from the raw
+    // documents table — candidate completeness, the verify join and the
+    // similarity arithmetic are all independently checked.
+    "q_dd3_minhash_lsh" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_dd3_minhash_lsh/*.parquet')),
+         |  s AS (SELECT doc_id, sig FROM o WHERE section = 'sig'),
+         |  cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |           FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |            AND (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+         |                 OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])),
+         |  sh AS ($shingles3Sql),
+         |  p AS (SELECT id_a, id_b,
+         |          CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+         |            / CAST(len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)) AS DOUBLE)
+         |            AS jaccard_sim
+         |        FROM cand JOIN sh x ON x.doc_id = cand.id_a
+         |                  JOIN sh y ON y.doc_id = cand.id_b)
+         |SELECT 'sig' AS section, doc_id, sig, CAST(NULL AS BIGINT) AS id_a,
+         |       CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS jaccard_sim
+         |FROM s
+         |UNION ALL
+         |SELECT 'pair', NULL, NULL, id_a, id_b, jaccard_sim
+         |FROM p WHERE jaccard_sim >= 0.2
+         |ORDER BY section, doc_id, id_a, id_b""".stripMargin,
+
+    // Band keys and the anchor Hamming distance are derived from the
+    // echoed signature with engine-portable bit arithmetic (arithmetic
+    // shift + mask extracts the same 16-bit fields as Spark's unsigned
+    // shift; the fill bits die under the mask).
+    "q_dd4_simhash" ->
+      s"""SELECT doc_id, simhash,
+         |       CAST((simhash >> 0) & 65535 AS BIGINT) AS band0,
+         |       CAST((simhash >> 16) & 65535 AS BIGINT) AS band1,
+         |       CAST((simhash >> 32) & 65535 AS BIGINT) AS band2,
+         |       CAST((simhash >> 48) & 65535 AS BIGINT) AS band3,
+         |       CAST(bit_count(xor(simhash, 25214903917)) AS BIGINT) AS anchor_dist
+         |FROM read_parquet('$OUT/q_dd4_simhash/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+
+    // The oracle brute-forces ALL Hamming<=3 pairs from the echoed
+    // signatures (feasible at fixture scale) — by the pigeonhole
+    // guarantee the banded equi-join must find exactly this set, so this
+    // checks the banding's completeness, not just its soundness.
+    "q_dd8_simhash_pairs" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_dd8_simhash_pairs/*.parquet')),
+         |  s AS (SELECT doc_id, simhash FROM o WHERE section = 'sig'),
+         |  p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |        FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+         |SELECT 'sig' AS section, doc_id, simhash, CAST(NULL AS BIGINT) AS id_a,
+         |       CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS BIGINT) AS hamming
+         |FROM s
+         |UNION ALL
+         |SELECT 'pair', NULL, NULL, id_a, id_b, hamming FROM p
+         |ORDER BY section, doc_id, id_a, id_b""".stripMargin,
+
+    // Same replay as q_dd3 with batch/corpus roles re-derived from the
+    // doc_id split (new = doc_id%10=7), candidates crossing roles only.
+    "q_dd9_incremental_neardup" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_dd9_incremental_neardup/*.parquet')),
+         |  s AS (SELECT doc_id, sig FROM o WHERE section = 'sig'),
+         |  n AS (SELECT * FROM s WHERE doc_id % 10 = 7),
+         |  c AS (SELECT * FROM s WHERE doc_id % 10 <> 7),
+         |  cand AS (SELECT n.doc_id AS id_new, c.doc_id AS id_corpus
+         |           FROM n JOIN c ON
+         |             (n.sig[1:4] = c.sig[1:4] OR n.sig[5:8] = c.sig[5:8]
+         |              OR n.sig[9:12] = c.sig[9:12] OR n.sig[13:16] = c.sig[13:16])),
+         |  sh AS ($shingles3Sql),
+         |  p AS (SELECT id_new, id_corpus,
+         |          CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+         |            / CAST(len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)) AS DOUBLE)
+         |            AS jaccard_sim
+         |        FROM cand JOIN sh x ON x.doc_id = cand.id_new
+         |                  JOIN sh y ON y.doc_id = cand.id_corpus)
+         |SELECT 'sig' AS section, doc_id, sig, CAST(NULL AS BIGINT) AS id_new,
+         |       CAST(NULL AS BIGINT) AS id_corpus, CAST(NULL AS DOUBLE) AS jaccard_sim
+         |FROM s
+         |UNION ALL
+         |SELECT 'pair', NULL, NULL, id_new, id_corpus, jaccard_sim
+         |FROM p WHERE jaccard_sim >= 0.5
+         |ORDER BY section, doc_id, id_new, id_corpus""".stripMargin,
+
+    // Only the centroid VALUES are trusted input (echoed at the float
+    // precision the kernel computes with); cell assignment (argmax
+    // cosine, ties to the lowest cell, NaN/zero-norm floored to -2),
+    // the within-cell cosine pair graph, connected components and the
+    // keep-one decision are all re-derived from the embeddings table.
+    "q_dd10_semantic_dedup" ->
+      s"""WITH RECURSIVE o AS (SELECT * FROM read_parquet('$OUT/q_dd10_semantic_dedup/*.parquet')),
+         |  cent AS (SELECT cell, centroid FROM o WHERE section = 'centroid'),
+         |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |  sims AS (SELECT e.vec_id, cent.cell,
+         |             coalesce(${cosSql("e.v", "cent.centroid")}, -2.0) AS s0
+         |           FROM e CROSS JOIN cent),
+         |  sims2 AS (SELECT vec_id, cell,
+         |              CASE WHEN isnan(s0) THEN -2.0 ELSE s0 END AS s FROM sims),
+         |  asg AS (SELECT vec_id, cell FROM (
+         |            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |              ORDER BY s DESC, cell ASC) AS rn FROM sims2)
+         |          WHERE rn = 1),
+         |  pr AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |         FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |              JOIN e a ON a.vec_id = x.vec_id
+         |              JOIN e b ON b.vec_id = y.vec_id
+         |         WHERE ${cosSql("a.v", "b.v")} >= 0.9),
+         |  edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |            UNION SELECT id_b, id_a FROM pr),
+         |  cc(node, label) AS (
+         |    SELECT src, src FROM (SELECT DISTINCT src FROM edges) t0
+         |    UNION
+         |    SELECT e2.dst, cc.label FROM cc JOIN edges e2 ON cc.node = e2.src),
+         |  lab AS (SELECT node, MIN(label) AS cl FROM cc GROUP BY node),
+         |  d AS (SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+         |          CAST(coalesce(lab.cl, asg.vec_id) AS BIGINT) AS cluster_id,
+         |          coalesce(lab.cl, asg.vec_id) = asg.vec_id AS kept
+         |        FROM asg LEFT JOIN lab ON lab.node = asg.vec_id)
+         |SELECT 'centroid' AS section, cell, centroid,
+         |       CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS cluster_id,
+         |       CAST(NULL AS BOOLEAN) AS kept
+         |FROM cent
+         |UNION ALL
+         |SELECT 'doc', cell, NULL, vec_id, cluster_id, kept FROM d
+         |ORDER BY section, cell, vec_id""".stripMargin,
+
+    // Corpus signatures are trusted input; bucket candidates (signature
+    // equality), the cosine rerank from the embeddings table and the
+    // top-k cut (cos desc, id asc — the topKByScore contract) are
+    // re-derived.
+    "q_sim2_lsh_ann" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim2_lsh_ann/*.parquet')),
+         |  s AS (SELECT vec_id, sig FROM o WHERE section = 'sig'),
+         |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |  q AS (SELECT vec_id AS query_id, sig FROM s WHERE vec_id < 8),
+         |  cand AS (SELECT q.query_id, s.vec_id AS neighbor_id
+         |           FROM q JOIN s ON q.sig = s.sig AND s.vec_id <> q.query_id),
+         |  sc AS (SELECT query_id, neighbor_id, ${cosSql("qe.v", "ne.v")} AS cos_sim
+         |         FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |                   JOIN e ne ON ne.vec_id = cand.neighbor_id),
+         |  r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM sc)
+         |SELECT 'sig' AS section, vec_id, sig, CAST(NULL AS BIGINT) AS query_id,
+         |       CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS BIGINT) AS rank,
+         |       CAST(NULL AS DOUBLE) AS cos_sim
+         |FROM s
+         |UNION ALL
+         |SELECT 'topk', NULL, NULL, query_id, neighbor_id, CAST(rank AS BIGINT), cos_sim
+         |FROM r WHERE rank <= 5
+         |ORDER BY section, vec_id, query_id, rank""".stripMargin,
+
+    // Only the centroids are trusted input: corpus cell assignment, probe
+    // selection (top-nprobe cells by cosine, ties to the lowest cell),
+    // the in-cell rerank and the top-k cut are all re-derived.
+    "q_sim3_ivf_ann" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim3_ivf_ann/*.parquet')),
+         |  cent AS (SELECT cell, centroid FROM o WHERE section = 'centroid'),
+         |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |  sims AS (SELECT e.vec_id, cent.cell,
+         |             coalesce(${cosSql("e.v", "cent.centroid")}, -2.0) AS s0
+         |           FROM e CROSS JOIN cent),
+         |  sims2 AS (SELECT vec_id, cell,
+         |              CASE WHEN isnan(s0) THEN -2.0 ELSE s0 END AS s FROM sims),
+         |  asg AS (SELECT vec_id, cell FROM (
+         |            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |              ORDER BY s DESC, cell ASC) AS rn FROM sims2)
+         |          WHERE rn = 1),
+         |  probe AS (SELECT vec_id AS query_id, cell FROM (
+         |              SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, cell ASC) AS rn FROM sims2
+         |              WHERE vec_id < 8)
+         |            WHERE rn <= 3),
+         |  cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |           FROM probe p JOIN asg a ON a.cell = p.cell
+         |           WHERE a.vec_id <> p.query_id),
+         |  sc AS (SELECT query_id, neighbor_id, ${cosSql("qe.v", "ne.v")} AS cos_sim
+         |         FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |                   JOIN e ne ON ne.vec_id = cand.neighbor_id),
+         |  r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM sc)
+         |SELECT 'centroid' AS section, cell, centroid, CAST(NULL AS BIGINT) AS query_id,
+         |       CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS BIGINT) AS rank,
+         |       CAST(NULL AS DOUBLE) AS cos_sim
+         |FROM cent
+         |UNION ALL
+         |SELECT 'topk', NULL, NULL, query_id, neighbor_id, CAST(rank AS BIGINT), cos_sim
+         |FROM r WHERE rank <= 5
+         |ORDER BY section, cell, query_id, rank""".stripMargin,
+
+    // The k-gram hash sequence is trusted input; the window-min
+    // selection (windows of 4, truncated tail windows like Spark's
+    // slice), distinct+sort and the count are re-derived.
+    "q_txt5_winnowing" ->
+      s"""WITH o AS (SELECT doc_id, kgram_hashes
+         |           FROM read_parquet('$OUT/q_txt5_winnowing/*.parquet')),
+         |  f AS (SELECT doc_id, kgram_hashes,
+         |          list_sort(list_distinct(list_transform(
+         |            generate_series(1, greatest(len(kgram_hashes) - 3, 1)),
+         |            j -> list_min(kgram_hashes[j:j+3])))) AS fps
+         |        FROM o)
+         |SELECT doc_id, kgram_hashes, fps, CAST(len(fps) AS BIGINT) AS n_fingerprints
+         |FROM f ORDER BY doc_id""".stripMargin)
 }

@@ -387,12 +387,17 @@ object SparkEntry {
       .select("doc_id", "bpeish_tokens")
       .orderBy("doc_id")
 
-  /** TXT5 — winnowing (rolling-hash) fingerprints: shared-fingerprint
-    * counts between planted near-dup pairs (no SQL oracle: rows-only). */
+  /** TXT5 — winnowing (rolling-hash) fingerprints. The k-gram hash
+    * sequence is materialized alongside the selected fingerprints; the
+    * DuckDB oracle replays the window-min selection, the distinct-sort
+    * and the count from the hashes — only the hash VALUES are
+    * engine-specific trusted input. */
   private def txt5(t: Tables): DataFrame =
     t.documents
-      .withColumn("fps", TextFunctions.winnowingFingerprints(col("text")))
-      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"))
+      .withColumn("kgram_hashes", TextFunctions.winnowingKgramHashes(col("text")))
+      .withColumn("fps", TextFunctions.winnowingFromHashes(col("kgram_hashes")))
+      .select(col("doc_id"), col("kgram_hashes"), col("fps"),
+        size(col("fps")).cast("long").as("n_fingerprints"))
       .orderBy("doc_id")
 
   /** TXT6 — PII redaction before a corpus ships to training. The corpus
@@ -498,22 +503,47 @@ object SparkEntry {
 
   /** DD8 — SimHash banded near-dup pairs: 64-bit signatures, 4×16-bit
     * bands, exact popcount verify at Hamming ≤ 3 (pigeonhole-complete
-    * within the radius). No SQL oracle: rows-only + bit-parity specs. */
-  private def dd8(t: Tables): DataFrame =
-    DedupFunctions.simHashNearDupPairs(t.documents, "doc_id", "text",
-        maxHamming = 3, bands = 4)
-      .orderBy("id_a", "id_b")
+    * within the radius). The output carries the signatures (section
+    * 'sig') and the pairs (section 'pair'); the DuckDB oracle brute-force
+    * recomputes ALL Hamming ≤ 3 pairs from the signatures — the strongest
+    * possible check of the banding's completeness guarantee, feasible
+    * exactly because the oracle runs at fixture scale. */
+  private def dd8(t: Tables): DataFrame = {
+    val sigs = DedupFunctions.simHashSignatures(t.documents, "doc_id", "text")
+      .localCheckpoint(true)
+    val pairs = DedupFunctions.simHashNearDupPairsFromSignatures(
+      sigs, maxHamming = 3, bands = 4)
+    val nl = lit(null).cast("long")
+    sigs.select(lit("sig").as("section"), col("id").as("doc_id"),
+        col("sig").as("simhash"), nl.as("id_a"), nl.as("id_b"),
+        nl.as("hamming"))
+      .unionByName(pairs.select(lit("pair").as("section"), nl.as("doc_id"),
+        nl.as("simhash"), col("id_a"), col("id_b"), col("hamming")))
+      .orderBy("section", "doc_id", "id_a", "id_b")
+  }
 
   /** DD9 — incremental near-dup: every ~10th document plays the "new
     * batch" and is LSH-checked against the rest (the standing corpus);
-    * matches at Jaccard ≥ 0.5 are reported. No SQL oracle: rows-only +
-    * spec. */
-  private def dd9(t: Tables): DataFrame =
-    DedupFunctions.minHashNearDupAgainst(
-        t.documents.filter(pmod(col("doc_id"), lit(10)) === 7),
-        t.documents.filter(pmod(col("doc_id"), lit(10)) =!= 7),
-        "doc_id", "text", shingleN = 3, k = 16, bands = 4, threshold = 0.5)
-      .orderBy("id_new", "id_corpus")
+    * matches at Jaccard ≥ 0.5 are reported. Signatures ride along in
+    * section 'sig' (the batch/corpus split is doc_id-derived, so the
+    * oracle re-derives the roles), and DuckDB replays band-slice
+    * candidates + exact Jaccard from the documents table. */
+  private def dd9(t: Tables): DataFrame = {
+    val sigs = DedupFunctions.minHashSignatures(
+      t.documents, "doc_id", "text", shingleN = 3, k = 16).localCheckpoint(true)
+    val pairs = DedupFunctions.minHashNearDupAgainstFromSignatures(
+      sigs.filter(pmod(col("id"), lit(10)) === 7),
+      sigs.filter(pmod(col("id"), lit(10)) =!= 7),
+      k = 16, bands = 4, threshold = 0.5)
+    val nl = lit(null).cast("long")
+    sigs.select(lit("sig").as("section"), col("id").as("doc_id"), col("sig"),
+        nl.as("id_new"), nl.as("id_corpus"),
+        lit(null).cast("double").as("jaccard_sim"))
+      .unionByName(pairs.select(lit("pair").as("section"), nl.as("doc_id"),
+        lit(null).cast("array<bigint>").as("sig"),
+        col("id_new"), col("id_corpus"), col("jaccard_sim")))
+      .orderBy("section", "doc_id", "id_new", "id_corpus")
+  }
 
   /** TXT11 — Luhn-validated card redaction: candidate digit runs are
     * checksum-VALIDATED before redaction (a bare regex over-redacts
@@ -650,17 +680,44 @@ object SparkEntry {
       .select(col("doc_id"), col("cluster_id"))
       .orderBy("doc_id")
 
-  /** DD3 — MinHash+LSH near-dup candidates (no SQL oracle: rows-only). */
-  private def dd3(t: Tables): DataFrame =
-    DedupFunctions.minHashNearDupPairs(t.documents, "doc_id", "text",
-        shingleN = 3, k = 16, bands = 4, threshold = 0.2)
-      .orderBy("id_a", "id_b")
+  /** DD3 — MinHash+LSH near-dup pairs, oracle-checked end to end: the
+    * output carries BOTH the per-doc signatures (section 'sig' — the
+    * engine-specific intermediate, verified by bit-parity specs) and the
+    * derived pairs (section 'pair'). The DuckDB oracle reads the
+    * signatures back and independently replays everything downstream —
+    * band-slice candidate generation AND the exact-Jaccard verify from
+    * the raw documents table — so a missed pair, a phantom pair, or a
+    * wrong similarity all hash-mismatch. */
+  private def dd3(t: Tables): DataFrame = {
+    // localCheckpoint: the signature table feeds both the output's sig
+    // section and the pair derivation — compute shingle+minhash once.
+    val sigs = DedupFunctions.minHashSignatures(
+      t.documents, "doc_id", "text", shingleN = 3, k = 16).localCheckpoint(true)
+    val pairs = DedupFunctions.minHashNearDupPairsFromSignatures(
+      sigs, k = 16, bands = 4, threshold = 0.2)
+    val nl = lit(null).cast("long")
+    sigs.select(lit("sig").as("section"), col("id").as("doc_id"), col("sig"),
+        nl.as("id_a"), nl.as("id_b"), lit(null).cast("double").as("jaccard_sim"))
+      .unionByName(pairs.select(lit("pair").as("section"), nl.as("doc_id"),
+        lit(null).cast("array<bigint>").as("sig"),
+        col("id_a"), col("id_b"), col("jaccard_sim")))
+      .orderBy("section", "doc_id", "id_a", "id_b")
+  }
 
-  /** DD4 — SimHash signatures (no SQL oracle: rows-only). */
+  /** DD4 — SimHash signatures + band split: the 16-bit band keys and the
+    * anchor Hamming distance are DERIVED from the signature by the DuckDB
+    * oracle (shift/mask/xor/popcount are engine-portable), so the banded
+    * search's bit logic is cross-checked even though the signature itself
+    * is engine-specific (bit-parity specs cover it). */
   private def dd4(t: Tables): DataFrame =
     t.documents
       .withColumn("simhash", DedupFunctions.simHash(col("text")))
-      .select("doc_id", "simhash")
+      .select(Seq(col("doc_id"), col("simhash")) ++
+        (0 until 4).map(b =>
+          call_function("shiftrightunsigned", col("simhash"), lit(16 * b))
+            .bitwiseAND(lit(0xFFFFL)).as(s"band$b")) :+
+        DedupFunctions.hamming64(col("simhash"), lit(0x5DEECE66DL))
+          .cast("long").as("anchor_dist"): _*)
       .orderBy("doc_id")
 
   /** DD5 — embedding-cosine near-dup pairs within label buckets. */
@@ -679,20 +736,59 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rank")
 
-  /** SIM2 — LSH-bucketed ANN (scale path; no SQL oracle: rows-only). */
-  private def sim2(t: Tables): DataFrame =
-    Similarity.lshAnnTopK(
-        t.embeddings.filter(col("vec_id") < 8), t.embeddings,
-        "vec_id", "embedding", "vec_id", "embedding", k = 5, planes = 6)
-      .orderBy("query_id", "rank")
+  /** SIM2 — LSH-bucketed ANN (scale path). The corpus signatures ride
+    * along in section 'sig' (queries are the vec_id<8 subset of the same
+    * table, so their signatures are the same rows); the DuckDB oracle
+    * replays the bucket equi-join, the cosine rerank (from the embeddings
+    * base table) and the top-k cut. */
+  private def sim2(t: Tables): DataFrame = {
+    val c = t.embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("sig", Similarity.rhpSignature(col("cv"), 6))
+      .localCheckpoint(true)
+    val res = Similarity.lshAnnTopKFromSignatures(
+      c.filter(col("neighbor_id") < 8)
+        .select(col("neighbor_id").as("query_id"), col("cv").as("qv"), col("sig")),
+      c, k = 5)
+    val nl = lit(null).cast("long")
+    c.select(lit("sig").as("section"), col("neighbor_id").as("vec_id"),
+        col("sig"), nl.as("query_id"), nl.as("neighbor_id"),
+        nl.as("rank"), lit(null).cast("double").as("cos_sim"))
+      .unionByName(res.select(lit("topk").as("section"), nl.as("vec_id"),
+        nl.as("sig"), col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos_sim")))
+      .orderBy("section", "vec_id", "query_id", "rank")
+  }
 
-  /** SIM3 — IVF ANN (seeded-KMeans cells + probe; rows-only). */
-  private def sim3(t: Tables): DataFrame =
-    Similarity.ivfTopK(
-        t.embeddings.filter(col("vec_id") < 8), t.embeddings,
-        "vec_id", "embedding", "vec_id", "embedding",
-        k = 5, nlist = 8, nprobe = 3, maxIter = 4)
-      .orderBy("query_id", "rank")
+  /** SIM3 — IVF ANN: seeded driver-side quantizer, distributed assignment
+    * + probe. The trained centroids ride along in section 'centroid'
+    * (float-rounded exactly as the assignment kernel sees them); the
+    * DuckDB oracle re-derives cell assignment, probe selection, rerank
+    * and top-k from the embeddings base table — only the centroid VALUES
+    * are trusted input. */
+  private def sim3(t: Tables): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    val cents = Similarity.trainSphericalCentroids(
+      t.embeddings, "vec_id", "embedding", nlist = 8, maxIter = 4)
+    val res = Similarity.ivfTopKWithCentroids(
+      t.embeddings.filter(col("vec_id") < 8), t.embeddings,
+      "vec_id", "embedding", "vec_id", "embedding",
+      cents, k = 5, nprobe = 3)
+    // Centroids are echoed at the FLOAT precision the cosine kernel
+    // actually computes with (centroidSims materializes float literals).
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat.toDouble)) }.toSeq
+      .toDF("cell", "centroid")
+    val nl = lit(null).cast("long")
+    centRows.select(lit("centroid").as("section"), col("cell"), col("centroid"),
+        nl.as("query_id"), nl.as("neighbor_id"), nl.as("rank"),
+        lit(null).cast("double").as("cos_sim"))
+      .unionByName(res.select(lit("topk").as("section"), nl.as("cell"),
+        lit(null).cast("array<double>").as("centroid"),
+        col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim")))
+      .orderBy("section", "cell", "query_id", "rank")
+  }
 
   /** SIM4 — per-vector int8 affine quantization + reconstruction error:
     * the 4×-storage lever of a billion-vector store. Every step is plain
@@ -711,12 +807,30 @@ object SparkEntry {
 
   /** DD10 — SemDeDup-style semantic dedup: quantizer cells → within-cell
     * cosine near-dup graph → one representative per component (lowest
-    * id). Cells come from the seeded driver-side quantizer, so no SQL
-    * oracle: rows-only + spec. */
-  private def dd10(t: Tables): DataFrame =
-    Similarity.semanticDedup(t.embeddings, "vec_id", "embedding",
-        threshold = 0.9, nlist = 8, maxIter = 4)
-      .orderBy("vec_id")
+    * id). The trained centroids ride along in section 'centroid'; the
+    * DuckDB oracle re-derives cell assignment, the within-cell cosine
+    * pair graph, connected components (recursive CTE) and the keep-one
+    * decision from the embeddings base table. */
+  private def dd10(t: Tables): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    val cents = Similarity.trainSphericalCentroids(
+      t.embeddings, "vec_id", "embedding", nlist = 8, maxIter = 4)
+    val sem = Similarity.semanticDedupWithCentroids(
+      t.embeddings, "vec_id", "embedding", threshold = 0.9, cents)
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat.toDouble)) }.toSeq
+      .toDF("cell", "centroid")
+    val nl = lit(null).cast("long")
+    centRows.select(lit("centroid").as("section"), col("cell"), col("centroid"),
+        nl.as("vec_id"), nl.as("cluster_id"),
+        lit(null).cast("boolean").as("kept"))
+      .unionByName(sem.select(lit("doc").as("section"),
+        col("cell").cast("long").as("cell"),
+        lit(null).cast("array<double>").as("centroid"),
+        col("vec_id"), col("cluster_id"), col("kept")))
+      .orderBy("section", "cell", "vec_id")
+  }
 
   // ---------------------------------------------------------------- M: multimodal
 

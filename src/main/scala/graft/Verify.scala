@@ -38,8 +38,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // "${OUT}" in oracle SQL resolves to this run's output directory:
+    // signature-replay oracles read an engine-specific intermediate
+    // (minhash/simhash signatures, IVF centroids, k-gram hashes) back
+    // from the query's own parquet output and independently re-derive
+    // everything downstream of it. The same DuckDB process provably
+    // reads these files — it already reads them for the result compare.
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("${OUT}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -141,7 +141,29 @@ object DedupFunctions {
       shingleN: Int = 3,
       k: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    minHashNearDupPairsFromSignatures(
+      minHashSignatures(docs, idCol, textCol, shingleN, k), k, bands, threshold)
+
+  /** MinHash signature table `(id, sh, sig)` — the production
+    * "materialize signatures once" step: signatures are deterministic
+    * (same text ⇒ same signature), so at scale this is computed once and
+    * persisted, and every near-dup pass joins against the stored table
+    * instead of re-shingling the corpus. Documents too short to shingle
+    * (fewer than `shingleN` words) are dropped: they cannot be
+    * signature-compared. */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32): DataFrame =
+    docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), k))
+
+  /** [[minHashNearDupPairs]] over a pre-built [[minHashSignatures]] table
+    * — everything downstream of the signatures: band split, bucket
+    * equi-join, exact-Jaccard verify. */
+  def minHashNearDupPairsFromSignatures(sigs: DataFrame,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k $k must be divisible by bands $bands — a truncated band width " +
         "silently drops signature components from every band key")
@@ -152,13 +174,12 @@ object DedupFunctions {
     // joins); shingling + signatures are the CPU-heavy part, so persist
     // them rather than recompute per consumer. At 100 TB this is the
     // standard "materialize signatures once" step (checkpoint to storage).
-    val base = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val base = sigs
+      .select(col("id"), col("sh"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandRows = base
       .select(col("id"),
-        explode(lshBandKeys(minHashSignature(col("sh"), k), bands, k / bands)).as("bk"))
+        explode(lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = bandRows.alias("a")
@@ -196,6 +217,18 @@ object DedupFunctions {
     * computed once (persisted), the pair shuffle carries only ids, and
     * hot buckets are AQE-splittable. */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    simHashNearDupPairsFromSignatures(
+      simHashSignatures(docs, idCol, textCol), maxHamming, bands)
+
+  /** SimHash signature table `(id, sig)` — same materialize-once contract
+    * as [[minHashSignatures]]. */
+  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+
+  /** [[simHashNearDupPairs]] over a pre-built [[simHashSignatures]] table
+    * — band split, bucket equi-join, exact popcount verify. */
+  def simHashNearDupPairsFromSignatures(sigs: DataFrame,
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(bands > 0 && 64 % bands == 0, s"bands $bands must divide 64")
     require(0 <= maxHamming && maxHamming < bands,
@@ -203,8 +236,8 @@ object DedupFunctions {
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val base = docs
-      .select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val base = sigs
+      .select(col("id"), col("sig"))
       .persist(lvl)
     // Unlike the minhash variant, bandRows is NOT persisted here: deriving
     // a band key from the cached 64-bit signature is a shift+mask, so
@@ -252,24 +285,38 @@ object DedupFunctions {
       newDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    minHashNearDupAgainstFromSignatures(
+      minHashSignatures(newDocs, idCol, textCol, shingleN, k),
+      minHashSignatures(corpus, idCol, textCol, shingleN, k),
+      k, bands, threshold)
+
+  /** [[minHashNearDupAgainst]] over pre-built [[minHashSignatures]]
+    * tables for the batch and the corpus — the shape production actually
+    * runs, with the corpus side's signatures persisted as a table. */
+  def minHashNearDupAgainstFromSignatures(
+      newSigs: DataFrame, corpusSigs: DataFrame,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k $k must be divisible by bands $bands — a truncated band width " +
         "silently drops signature components from every band key")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def prep(df: DataFrame, side: String): (DataFrame, DataFrame) = {
-      val base = df
-        .select(col(idCol).as(s"id_$side"), shingles(col(textCol), shingleN).as(s"sh_$side"))
-        .filter(size(col(s"sh_$side")) > 0)
+    def prep(sigs: DataFrame, side: String): (DataFrame, DataFrame) = {
+      // sig is renamed per side so the two verify joins never collide on
+      // a shared column name; base stays the persisted frame (unpersist
+      // at the end must hit the cached plan, not a projection of it).
+      val base = sigs
+        .select(col("id").as(s"id_$side"), col("sh").as(s"sh_$side"),
+          col("sig").as(s"sig_$side"))
         .persist(lvl)
       val bandRows = base
         .select(col(s"id_$side"),
-          explode(lshBandKeys(minHashSignature(col(s"sh_$side"), k), bands, k / bands)).as("bk"))
+          explode(lshBandKeys(col(s"sig_$side"), bands, k / bands)).as("bk"))
         .select(col(s"id_$side"), col("bk.band"), col("bk.key"))
       (base, bandRows)
     }
-    val (newBase, newBands) = prep(newDocs, "new")
-    val (corpusBase, corpusBands) = prep(corpus, "corpus")
+    val (newBase, newBands) = prep(newSigs, "new")
+    val (corpusBase, corpusBands) = prep(corpusSigs, "corpus")
     val pairs = newBands.join(corpusBands, Seq("band", "key"))
       .select(col("id_new"), col("id_corpus"))
       .distinct()

@@ -88,13 +88,20 @@ object Similarity {
   def lshAnnTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
-      k: Int, planes: Int = 12): DataFrame = {
-    val q = broadcast(
+      k: Int, planes: Int = 12): DataFrame =
+    lshAnnTopKFromSignatures(
       queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
-        .withColumn("sig", rhpSignature(col("qv"), planes)))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
-      .withColumn("sig", rhpSignature(col("cv"), planes))
-    val scored = c.join(q, Seq("sig"))
+        .withColumn("sig", rhpSignature(col("qv"), planes)),
+      corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+        .withColumn("sig", rhpSignature(col("cv"), planes)),
+      k)
+
+  /** [[lshAnnTopK]] over pre-signed sides — `q` as (query_id, qv, sig),
+    * `c` as (neighbor_id, cv, sig). At scale the corpus side's signatures
+    * are computed once and stored; this is everything downstream of them:
+    * bucket equi-join, rerank, bounded top-k. */
+  def lshAnnTopKFromSignatures(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
+    val scored = c.join(broadcast(q), Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
     topKPerQuery(scored, k)
@@ -245,13 +252,26 @@ object Similarity {
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       maxIter: Int = 10, fitSampleRows: Int = 100000): DataFrame = {
-    val corpusSel = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
     val centroids = trainSphericalCentroids(corpus, cId, cVec,
       nlist, seed, maxIter, fitSampleRows)
     if (centroids.isEmpty)
       // Degenerate corpus (empty or all-zero vectors): no quantizer can be
       // trained; exact brute force is both correct and the same cost.
       return cosineTopK(queries, corpus, qId, qVec, cId, cVec, k)
+    ivfTopKWithCentroids(queries, corpus, qId, qVec, cId, cVec,
+      centroids, k, nprobe)
+  }
+
+  /** [[ivfTopK]] with an externally-trained quantizer — everything
+    * downstream of the centroids: cell assignment, probe selection,
+    * in-cell rerank, bounded top-k. `centroids` must be non-empty unit
+    * vectors (the [[trainSphericalCentroids]] contract). */
+  def ivfTopKWithCentroids(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopKWithCentroids needs a trained quantizer")
+    val corpusSel = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
     val kk = centroids.length
     val assigned = corpusSel.withColumn("cell", assignCell(col("cv"), centroids))
 
@@ -302,6 +322,18 @@ object Similarity {
       maxIter: Int = 10, fitSampleRows: Int = 100000): DataFrame = {
     val centroids = trainSphericalCentroids(corpus, idCol, vecCol,
       nlist, seed, maxIter, fitSampleRows)
+    semanticDedupWithCentroids(corpus, idCol, vecCol, threshold, centroids)
+      .drop("cell")
+  }
+
+  /** [[semanticDedup]] with an externally-trained quantizer — everything
+    * downstream of the centroids: cell assignment, within-cell near-dup
+    * graph, connected components, keep-one decision. Returns
+    * (id, cell, cluster_id, kept); empty `centroids` (degenerate corpus)
+    * falls back to a single cell. */
+  def semanticDedupWithCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroids: Array[Array[Double]]): DataFrame = {
     // Persisted: the pair self-join consumes it on both sides, and the
     // argmax assignment kernel must stay the ONE full-corpus pass it is
     // documented to be, not one per join side.
@@ -314,15 +346,18 @@ object Similarity {
           .withColumn("cell", assignCell(col(vecCol), centroids))
       ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = embeddingNearDupPairs(withCell, idCol, vecCol, "cell", threshold)
-    // duplicateClusters materializes its edge set eagerly, so pairs (and
-    // with it withCell) are fully consumed when it returns.
+    // duplicateClusters materializes its edge set eagerly, so pairs is
+    // fully consumed when it returns; withCell stays persisted for the
+    // final cell projection below and is released after it materializes.
     val clusters = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
-    withCell.unpersist()
-    corpus.select(col(idCol))
+    val result = withCell.select(col(idCol), col("cell"))
       .join(clusters, col(idCol) === col("member"), "left")
-      .select(col(idCol),
+      .select(col(idCol), col("cell"),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .withColumn("kept", col(idCol) === col("cluster_id"))
+      .localCheckpoint(true)
+    withCell.unpersist()
+    result
   }
 
   /** Per-vector affine int8 quantization — the storage lever for

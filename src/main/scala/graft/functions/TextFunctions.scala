@@ -123,16 +123,28 @@ object TextFunctions {
     * sorted). The normalized text and the k-gram hash array are each bound
     * once (evalOnce); total work O(n·k + n·w) per doc. */
   def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    winnowingFromHashes(winnowingKgramHashes(text, k), w)
+
+  /** The rolling character k-gram hash sequence winnowing selects from —
+    * exposed separately so the hash array can be materialized once (and
+    * so an oracle can replay the engine-portable window-min selection
+    * below on it). */
+  def winnowingKgramHashes(text: Column, k: Int = 5): Column =
     ExprUtils.evalOnce(normalize(text)) { norm =>
-      val kgramHashes = transform(
+      transform(
         sequence(lit(0), greatest(length(norm) - k + 1, lit(1)) - 1),
         i => xxhash64(call_function("substr", norm, i + 1, lit(k))))
-      ExprUtils.evalOnce(kgramHashes) { hs =>
-        val windows = transform(
-          sequence(lit(0), greatest(size(hs) - w + 1, lit(1)) - 1),
-          j => array_min(slice(hs, j + 1, lit(w))))
-        array_sort(array_distinct(windows))
-      }
+    }
+
+  /** Window-min fingerprint selection over a k-gram hash sequence: keep
+    * the minimum of each sliding window of `w` hashes, distinct, sorted.
+    * Pure integer array logic — any engine replays it from the hashes. */
+  def winnowingFromHashes(kgramHashes: Column, w: Int = 4): Column =
+    ExprUtils.evalOnce(kgramHashes) { hs =>
+      val windows = transform(
+        sequence(lit(0), greatest(size(hs) - w + 1, lit(1)) - 1),
+        j => array_min(slice(hs, j + 1, lit(w))))
+      array_sort(array_distinct(windows))
     }
   def normalize(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))

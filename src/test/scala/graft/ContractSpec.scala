@@ -11,14 +11,20 @@ class ContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("rows-only queries are the expected, documented set") {
+  test("every query has an oracle (signature-replay closed the rows-only set)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set(
-      "q_dd3_minhash_lsh", "q_dd4_simhash", "q_dd8_simhash_pairs",
-      "q_dd9_incremental_neardup", "q_dd10_semantic_dedup",
-      "q_sim2_lsh_ann", "q_sim3_ivf_ann", "q_a7_approx_distinct",
-      "q_txt5_winnowing"),
-      s"unexpected rows-only set: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("signature-replay oracles read only their OWN query's output") {
+    // The ${OUT} placeholder must reference the same query's parquet —
+    // cross-query reads would create hidden eval-order dependencies.
+    val re = raw"\$$\{OUT\}/([a-z0-9_]+)/".r
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      re.findAllMatchIn(sql).foreach { m =>
+        assert(m.group(1) == k, s"$k oracle reads ${m.group(1)}'s output")
+      }
+    }
   }
 
   test("oracle SQL has no tabs/control chars that could break json transport") {
