@@ -347,25 +347,39 @@ object Oracles {
         |SELECT id_a, id_b, jaccard_sim FROM s WHERE jaccard_sim >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Signature replay (same trusted-input scheme as q_dd3) + recursive
+    // CTE connected components: candidates from band-slice equality,
+    // exact 3-gram Jaccard verify from the documents table, min-label
+    // components — the full cluster derivation is re-computed.
     "q_dd6_dup_clusters" ->
-      raw"""WITH RECURSIVE
-        |  l AS (SELECT doc_id AS id_a, text AS ta, lang FROM documents WHERE doc_id % 50 = 0),
-        |  r AS (SELECT doc_id AS id_b, text AS tb, lang FROM documents),
-        |  p AS (SELECT id_a, id_b,
-        |               list_distinct(string_split(lower(regexp_replace(trim(ta), '\s+', ' ', 'g')), ' ')) AS wa,
-        |               list_distinct(string_split(lower(regexp_replace(trim(tb), '\s+', ' ', 'g')), ' ')) AS wb
-        |        FROM l JOIN r USING (lang) WHERE id_b > id_a),
-        |  s AS (SELECT id_a, id_b FROM p
-        |        WHERE CAST(len(list_intersect(wa, wb)) AS DOUBLE)
-        |                / CAST(len(list_distinct(list_concat(wa, wb))) AS DOUBLE) >= 0.5),
-        |  edges AS (SELECT id_a AS src, id_b AS dst FROM s
-        |            UNION SELECT id_b, id_a FROM s),
-        |  cc(node, label) AS (
-        |    SELECT src, src FROM (SELECT DISTINCT src FROM edges) t0
-        |    UNION
-        |    SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src)
-        |SELECT node AS member, CAST(MIN(label) AS BIGINT) AS cluster_id
-        |FROM cc GROUP BY node ORDER BY member""".stripMargin,
+      s"""WITH RECURSIVE
+         |  o AS (SELECT * FROM read_parquet('$OUT/q_dd6_dup_clusters/*.parquet')),
+         |  s AS (SELECT doc_id, sig FROM o WHERE section = 'sig'),
+         |  cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |           FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |            AND (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+         |                 OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])),
+         |  sh AS ($shingles3Sql),
+         |  ver AS (SELECT id_a, id_b FROM cand
+         |          JOIN sh x ON x.doc_id = cand.id_a
+         |          JOIN sh y ON y.doc_id = cand.id_b
+         |          WHERE CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+         |            / CAST(len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)) AS DOUBLE)
+         |            >= 0.5),
+         |  edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+         |            UNION SELECT id_b, id_a FROM ver),
+         |  cc(node, label) AS (
+         |    SELECT src, src FROM (SELECT DISTINCT src FROM edges) t0
+         |    UNION
+         |    SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+         |  cl AS (SELECT node AS member, CAST(MIN(label) AS BIGINT) AS cluster_id
+         |         FROM cc GROUP BY node)
+         |SELECT 'sig' AS section, doc_id, sig, CAST(NULL AS BIGINT) AS member,
+         |       CAST(NULL AS BIGINT) AS cluster_id
+         |FROM s
+         |UNION ALL
+         |SELECT 'cluster', NULL, NULL, member, cluster_id FROM cl
+         |ORDER BY section, doc_id, member""".stripMargin,
 
     "q_txt7_contamination" ->
       raw"""WITH nd AS (SELECT doc_id,
@@ -650,34 +664,44 @@ object Oracles {
         |  AND substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
         |ORDER BY doc_id""".stripMargin,
 
+    // Same signature replay + CC as q_dd6, then the keep-one decision is
+    // re-derived: longest text first, lowest id on ties, one row per
+    // cluster (singletons represent themselves).
     "q_dd7_dedup_corpus" ->
-      raw"""WITH RECURSIVE
-        |  l AS (SELECT doc_id AS id_a, text AS ta, lang FROM documents WHERE doc_id % 50 = 0),
-        |  r AS (SELECT doc_id AS id_b, text AS tb, lang FROM documents),
-        |  p AS (SELECT id_a, id_b,
-        |               list_distinct(string_split(lower(regexp_replace(trim(ta), '\s+', ' ', 'g')), ' ')) AS wa,
-        |               list_distinct(string_split(lower(regexp_replace(trim(tb), '\s+', ' ', 'g')), ' ')) AS wb
-        |        FROM l JOIN r USING (lang) WHERE id_b > id_a),
-        |  s AS (SELECT id_a, id_b FROM p
-        |        WHERE CAST(len(list_intersect(wa, wb)) AS DOUBLE)
-        |                / CAST(len(list_distinct(list_concat(wa, wb))) AS DOUBLE) >= 0.5),
-        |  edges AS (SELECT id_a AS src, id_b AS dst FROM s
-        |            UNION SELECT id_b, id_a FROM s),
-        |  cc(node, label) AS (
-        |    SELECT src, src FROM (SELECT DISTINCT src FROM edges) t0
-        |    UNION
-        |    SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
-        |  lab AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node),
-        |  labeled AS (SELECT d.doc_id,
-        |                     CAST(COALESCE(lab.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
-        |                     length(d.text) AS q
-        |              FROM documents d LEFT JOIN lab ON d.doc_id = lab.node),
-        |  ranked AS (SELECT doc_id, cluster_id,
-        |                    ROW_NUMBER() OVER (PARTITION BY cluster_id
-        |                      ORDER BY q DESC, doc_id ASC) AS rk
-        |             FROM labeled)
-        |SELECT doc_id, cluster_id FROM ranked WHERE rk = 1
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE
+         |  o AS (SELECT * FROM read_parquet('$OUT/q_dd7_dedup_corpus/*.parquet')),
+         |  s AS (SELECT doc_id, sig FROM o WHERE section = 'sig'),
+         |  cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |           FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |            AND (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+         |                 OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])),
+         |  sh AS ($shingles3Sql),
+         |  ver AS (SELECT id_a, id_b FROM cand
+         |          JOIN sh x ON x.doc_id = cand.id_a
+         |          JOIN sh y ON y.doc_id = cand.id_b
+         |          WHERE CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+         |            / CAST(len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)) AS DOUBLE)
+         |            >= 0.5),
+         |  edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+         |            UNION SELECT id_b, id_a FROM ver),
+         |  cc(node, label) AS (
+         |    SELECT src, src FROM (SELECT DISTINCT src FROM edges) t0
+         |    UNION
+         |    SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+         |  lab AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node),
+         |  labeled AS (SELECT d.doc_id,
+         |                     CAST(COALESCE(lab.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+         |                     length(d.text) AS q
+         |              FROM documents d LEFT JOIN lab ON d.doc_id = lab.node),
+         |  ranked AS (SELECT doc_id, cluster_id,
+         |                    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |                      ORDER BY q DESC, doc_id ASC) AS rk
+         |             FROM labeled)
+         |SELECT 'sig' AS section, doc_id, sig, CAST(NULL AS BIGINT) AS cluster_id
+         |FROM s
+         |UNION ALL
+         |SELECT 'rep', doc_id, NULL, cluster_id FROM ranked WHERE rk = 1
+         |ORDER BY section, doc_id""".stripMargin,
 
     "q_dd5_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label

@@ -27,6 +27,11 @@ object PlanAudit {
     "q_sim1_cosine_topk" -> Seq("BroadcastNestedLoopJoin|BroadcastHashJoin",
       "ObjectHashAggregate", "!Window"),
     "q_dd2_jaccard_pairs" -> Seq("!Window"),
+    // cluster inputs come from the banded LSH candidate machinery — no
+    // shuffle may ever be keyed on the low-cardinality lang column, whose
+    // dominant bucket is a near-cartesian self-join at corpus scale
+    "q_dd6_dup_clusters" -> Seq("!hashpartitioning\\(lang", "!Window"),
+    "q_dd7_dedup_corpus" -> Seq("!hashpartitioning\\(lang"),
     // benchmark side must broadcast — the corpus must never shuffle on
     // the exploded n-gram key
     "q_txt7_contamination" -> Seq("BroadcastHashJoin", "!SortMergeJoin"),

@@ -662,23 +662,46 @@ object SparkEntry {
   private def dd2(t: Tables): DataFrame =
     dd2Pairs(t).orderBy("id_a", "id_b")
 
-  /** DD6 — duplicate clusters: connected components over the DD2 pair
-    * graph (min member id labels each component). Pairwise evidence →
-    * keep-one-per-cluster decisions. */
-  private def dd6(t: Tables): DataFrame =
-    DedupFunctions.duplicateClusters(dd2Pairs(t), "id_a", "id_b")
-      .orderBy("member")
+  /** DD6 — duplicate clusters: connected components over the MinHash+LSH
+    * near-dup pair graph (min member id labels each component). The pair
+    * source is the banded candidate machinery with exact-Jaccard verify —
+    * NOT a blocking join on a low-cardinality column like lang, whose
+    * dominant bucket becomes a near-cartesian self-join at corpus scale.
+    * Signatures ride along in section 'sig'; the oracle replays
+    * candidates, verify and the connected components (recursive CTE). */
+  private def dd6(t: Tables): DataFrame = {
+    val sigs = DedupFunctions.minHashSignatures(
+      t.documents, "doc_id", "text", shingleN = 3, k = 16).localCheckpoint(true)
+    val pairs = DedupFunctions.minHashNearDupPairsFromSignatures(
+      sigs, k = 16, bands = 4, threshold = 0.5)
+    val clusters = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
+    val nl = lit(null).cast("long")
+    sigs.select(lit("sig").as("section"), col("id").as("doc_id"), col("sig"),
+        nl.as("member"), nl.as("cluster_id"))
+      .unionByName(clusters.select(lit("cluster").as("section"),
+        nl.as("doc_id"), lit(null).cast("array<bigint>").as("sig"),
+        col("member"), col("cluster_id")))
+      .orderBy("section", "doc_id", "member")
+  }
 
-  /** DD7 — keep-one-per-cluster corpus dedup: the same Jaccard evidence as
-    * DD2/DD6 folded into the end decision — one surviving representative
-    * per near-dup cluster (longest text, tie-break lowest id), singletons
-    * untouched. */
-  private def dd7(t: Tables): DataFrame =
-    DedupFunctions.dedupCorpus(
+  /** DD7 — keep-one-per-cluster corpus dedup over the same LSH pair
+    * evidence as DD6: one surviving representative per near-dup cluster
+    * (longest text, tie-break lowest id), singletons untouched. */
+  private def dd7(t: Tables): DataFrame = {
+    val sigs = DedupFunctions.minHashSignatures(
+      t.documents, "doc_id", "text", shingleN = 3, k = 16).localCheckpoint(true)
+    val pairs = DedupFunctions.minHashNearDupPairsFromSignatures(
+      sigs, k = 16, bands = 4, threshold = 0.5)
+    val reps = DedupFunctions.dedupCorpus(
         t.documents.select("doc_id", "text"), "doc_id", length(col("text")),
-        dd2Pairs(t), "id_a", "id_b")
+        pairs, "id_a", "id_b")
       .select(col("doc_id"), col("cluster_id"))
-      .orderBy("doc_id")
+    sigs.select(lit("sig").as("section"), col("id").as("doc_id"), col("sig"),
+        lit(null).cast("long").as("cluster_id"))
+      .unionByName(reps.select(lit("rep").as("section"), col("doc_id"),
+        lit(null).cast("array<bigint>").as("sig"), col("cluster_id")))
+      .orderBy("section", "doc_id")
+  }
 
   /** DD3 — MinHash+LSH near-dup pairs, oracle-checked end to end: the
     * output carries BOTH the per-doc signatures (section 'sig' — the
