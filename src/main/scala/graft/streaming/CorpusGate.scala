@@ -19,13 +19,17 @@ import graft.operators.{LocalTableIO, Relational, TableIO}
   * consulted ONLY through its signature store — `k` longs per accepted
   * document, ~3 orders of magnitude smaller than the text — so a batch
   * pays: one scan of itself, a band-key equi-join against the stored
-  * band keys, and a signature-agreement verify on the candidates. The
-  * corpus TEXT is never re-read; cost scales with the batch and the
-  * collision rate, never with corpus size. (Near-dup verification is the
-  * standard signature-agreement estimate of Jaccard; an exact-Jaccard
-  * re-verify against fetched candidate texts can be layered on a
-  * doc_id-bucketed corpus store, which prunes that fetch to candidate
-  * buckets.)
+  * band keys, and a signature-agreement verify on the candidates.
+  *
+  * Near-dup decisions are two-tier: the signature-agreement estimate of
+  * Jaccard decides candidates that are CLEARLY above or below the
+  * threshold (beyond `verifyMargin`), and only the borderline band —
+  * where a k-component estimate has real variance — is re-verified with
+  * EXACT Jaccard. Within a batch the texts are already in hand; against
+  * the corpus, only the borderline candidates' texts are fetched back
+  * from the store via an id semi-join (on a doc_id-bucketed store this
+  * prunes to candidate buckets), so the fetch scales with the borderline
+  * collision count, never with corpus size.
   *
   * Replay safety: every write lands in `<table>/batch=<id>` (overwritten
   * whole on replay, deterministic content), and a batch reads only store
@@ -37,20 +41,27 @@ import graft.operators.{LocalTableIO, Relational, TableIO}
   */
 object CorpusGate {
 
-  /** Curation knobs. `threshold` applies to the signature-agreement
-    * Jaccard estimate (fraction of equal MinHash components). */
+  /** Curation knobs. `threshold` is the Jaccard near-dup threshold;
+    * candidates whose signature-agreement ESTIMATE lands within
+    * `verifyMargin` of it are re-verified with exact Jaccard (estimates
+    * beyond the margin decide directly). `verifyMargin = 0` disables the
+    * exact tier (pure-estimate decisions); a margin ≥ max(threshold,
+    * 1 - threshold) verifies every candidate. */
   final case class Config(
       minTokens: Int = 3,
       maxTokens: Int = 100000,
       shingleN: Int = 3,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5) {
+      threshold: Double = 0.5,
+      verifyMargin: Double = 0.25) {
     require(k % bands == 0,
       s"k $k must be divisible by bands $bands — a truncated band width " +
         "silently drops signature components from every band key")
     require(minTokens >= 1 && maxTokens >= minTokens,
       s"token band [$minTokens, $maxTokens] is not a valid range")
+    require(verifyMargin >= 0.0,
+      s"verifyMargin $verifyMargin must be non-negative")
   }
 
   val docSchema: StructType = StructType(Seq(
@@ -122,11 +133,10 @@ object CorpusGate {
     //    must never reach the band join where every such doc would
     //    mass-match every other at estimate 1.0.
     val signed = exact
-      .withColumn("__sh", DedupFunctions.shingles(col("text"), cfg.shingleN))
+      .withColumn("sh", DedupFunctions.shingles(col("text"), cfg.shingleN))
       .withColumn("sig",
-        when(size(col("__sh")) > 0,
-          DedupFunctions.minHashSignature(col("__sh"), cfg.k)))
-      .drop("__sh")
+        when(size(col("sh")) > 0,
+          DedupFunctions.minHashSignature(col("sh"), cfg.k)))
       .persist(lvl)
     val bandRows = signed.filter(col("sig").isNotNull)
       .select(col("doc_id"), col("sig"),
@@ -138,27 +148,66 @@ object CorpusGate {
     //    the same batch is dropped (the aggressive streaming variant —
     //    one anti-join, no connected-components loop per micro-batch;
     //    the batch-mode keep-one-per-cluster decision is dedupCorpus).
+    //    Two-tier decision: the estimate decides clear cases; borderline
+    //    estimates are re-verified with exact Jaccard over the shingle
+    //    sets already in hand (the pair shuffle stays narrow — ids and
+    //    one double — and shingles join back only for borderline pairs).
     val batchPairs = bandRows.alias("a")
       .join(bandRows.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         sigAgreement(col("a.sig"), col("b.sig")).as("est"))
-      .filter(col("est") >= cfg.threshold)
-    val batchDupIds = batchPairs.select(col("id_b").as("doc_id")).distinct()
+    val batchClear = batchPairs
+      .filter(col("est") >= cfg.threshold + cfg.verifyMargin)
+      .select(col("id_b").as("doc_id"))
+    val batchBorder = batchPairs
+      .filter(col("est") >= cfg.threshold - cfg.verifyMargin &&
+        col("est") < cfg.threshold + cfg.verifyMargin)
+      .select("id_a", "id_b").distinct()
+    val batchVerified = batchBorder
+      .join(signed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(signed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(DedupFunctions.jaccardOfSets(col("sh_a"), col("sh_b")) >= cfg.threshold)
+      .select(col("id_b").as("doc_id"))
+    val batchDupIds = batchClear.union(batchVerified).distinct()
 
     // 5. Near-dup against the standing corpus via the signature store:
     //    band-key equi-join, then signature agreement on candidates.
+    //    Clear estimates decide; borderline candidates fetch ONLY their
+    //    matched corpus documents' texts back (an id semi-join — pruned
+    //    to candidate buckets on a doc_id-bucketed store) and re-verify
+    //    with exact Jaccard. The fetch scales with the borderline
+    //    collision count, never with corpus size.
     val storeSigs = readStore(spark, s"$storeDir/sigs", sigSchema, batchId)
       .persist(lvl)
     val storeBands = storeSigs.filter(col("sig").isNotNull)
       .select(col("doc_id").as("corpus_id"), col("sig").as("corpus_sig"),
         explode(DedupFunctions.lshBandKeys(col("sig"), cfg.bands, cfg.k / cfg.bands)).as("bk"))
       .select(col("corpus_id"), col("corpus_sig"), col("bk.band"), col("bk.key"))
-    val corpusDupIds = bandRows
+    val corpusCand = bandRows
       .join(storeBands, Seq("band", "key"))
-      .filter(sigAgreement(col("sig"), col("corpus_sig")) >= cfg.threshold)
-      .select("doc_id").distinct()
+      .select(col("doc_id"), col("corpus_id"),
+        sigAgreement(col("sig"), col("corpus_sig")).as("est"))
+    val corpusClear = corpusCand
+      .filter(col("est") >= cfg.threshold + cfg.verifyMargin)
+      .select("doc_id")
+    val corpusBorder = corpusCand
+      .filter(col("est") >= cfg.threshold - cfg.verifyMargin &&
+        col("est") < cfg.threshold + cfg.verifyMargin)
+      .select("doc_id", "corpus_id").distinct()
+      .persist(lvl)
+    val borderTexts = readStore(spark, s"$storeDir/corpus", docSchema, batchId)
+      .join(corpusBorder.select(col("corpus_id")).distinct(),
+        col("doc_id") === col("corpus_id"), "left_semi")
+    val corpusVerified = corpusBorder
+      .join(signed.select(col("doc_id"), col("sh")), Seq("doc_id"))
+      .join(borderTexts.select(col("doc_id").as("corpus_id"),
+          DedupFunctions.shingles(col("text"), cfg.shingleN).as("sh_c")),
+        Seq("corpus_id"))
+      .filter(DedupFunctions.jaccardOfSets(col("sh"), col("sh_c")) >= cfg.threshold)
+      .select("doc_id")
+    val corpusDupIds = corpusClear.union(corpusVerified).distinct()
 
     val survivors = signed
       .join(batchDupIds, Seq("doc_id"), "left_anti")
@@ -191,6 +240,7 @@ object CorpusGate {
     signed.unpersist()
     bandRows.unpersist()
     storeSigs.unpersist()
+    corpusBorder.unpersist()
     survivors.unpersist()
   }
 

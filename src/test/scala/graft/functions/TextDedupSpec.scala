@@ -24,6 +24,35 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("band-collision false positives are filtered by the exact-Jaccard verify") {
+    // k=16, bands=16 (one row per band): ANY agreeing signature component
+    // makes a pair a band candidate, so candidates abound at true Jaccard
+    // ~0.28 — far below the 0.5 threshold — and every one of them must be
+    // killed by the exact verify, not reported.
+    val a = (0 until 40).map(i => s"a$i").mkString(" ")
+    val lowSim = (0 until 20).map { v =>
+      (100L + v,
+        ((0 until 18).map(i => s"a$i") ++ (18 until 40).map(i => s"q${v}z$i"))
+          .mkString(" "))
+    }
+    val corpus = (Seq(0L -> a) ++ lowSim).toDF("doc_id", "text")
+    val sigs = DedupFunctions.minHashSignatures(corpus, "doc_id", "text",
+      shingleN = 3, k = 16)
+    // candidates DO exist at this band width…
+    val bandRows = sigs.select(col("id"),
+      explode(DedupFunctions.lshBandKeys(col("sig"), 16, 1)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val nCand = bandRows.alias("x").join(bandRows.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select("x.id", "y.id").distinct().count()
+    assert(nCand > 0, "fixture produced no band collisions to filter")
+    // …and none survives the exact verify
+    val pairs = DedupFunctions.minHashNearDupPairsFromSignatures(
+      sigs, k = 16, bands = 16, threshold = 0.5)
+    assert(pairs.isEmpty, pairs.collect().mkString(", "))
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val hs = docs.withColumn("h", DedupFunctions.simHash(col("text")))
       .select("doc_id", "h").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

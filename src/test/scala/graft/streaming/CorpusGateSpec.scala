@@ -107,6 +107,63 @@ class CorpusGateSpec extends SparkSpec {
     }
   }
 
+  test("borderline estimates are corrected by the exact-Jaccard verify tier") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.DedupFunctions
+    // Base doc A (40 distinct words) vs variants sharing a prefix of m
+    // words: true 3-shingle Jaccard is (m-2)/(78-m) — fixed per m — while
+    // the k=16 signature-agreement estimate varies with hash luck. One
+    // Spark pass scores every variant; we pick deterministic over- and
+    // under-estimates. bands=16 (1 row/band) so any agreeing component
+    // already makes the pair a band candidate.
+    val aText = (0 until 40).map(i => s"a$i").mkString(" ")
+    def variant(v: Int, m: Int): String =
+      ((0 until m).map(i => s"a$i") ++ (m until 40).map(i => s"x${v}z$i"))
+        .mkString(" ")
+    val cands = (0 until 60).map(v => (v.toLong, variant(v, 25))) ++ // jacc .434
+      (60 until 120).map(v => (v.toLong, variant(v, 28)))            // jacc .520
+    val scored = cands.toDF("v", "b").withColumn("a", lit(aText))
+      .select(col("v"),
+        CorpusGate.sigAgreement(
+          DedupFunctions.minHashSignature(DedupFunctions.shingles(col("a"), 3), 16),
+          DedupFunctions.minHashSignature(DedupFunctions.shingles(col("b"), 3), 16))
+          .as("est"),
+        DedupFunctions.jaccardOfSets(
+          DedupFunctions.shingles(col("a"), 3),
+          DedupFunctions.shingles(col("b"), 3)).as("exact"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // over-estimate: truly below threshold, estimate at/above it (a pure
+    // estimate gate would drop the doc) but inside the borderline band
+    val fp = scored.find { case (_, est, ex) => ex < 0.5 && est >= 0.5 && est < 0.75 }
+    // under-estimate: truly at/above threshold, estimate below it (a pure
+    // estimate gate would keep the dup) but inside the borderline band
+    val fn = scored.find { case (_, est, ex) => ex >= 0.5 && est < 0.5 && est >= 0.25 }
+    assert(fp.nonEmpty && fn.nonEmpty,
+      s"fixture search found fp=$fp fn=$fn over ${scored.length} variants")
+    val noVerify = CorpusGate.Config(bands = 16, verifyMargin = 0.0)
+    val verify = CorpusGate.Config(bands = 16) // default margin 0.25
+
+    def corpusAfter(cfg: CorpusGate.Config, v: Long, tag: String): Set[Long] = {
+      val store = tmpDir(s"gate-tier-$tag")
+      CorpusGate.curateBatch(Seq(0L -> aText).toDF("doc_id", "text"), store, 0L, cfg)
+      CorpusGate.curateBatch(
+        Seq(v -> cands.find(_._1 == v).get._2).toDF("doc_id", "text"), store, 1L, cfg)
+      CorpusGate.corpus(spark, store).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    val fpId = fp.get._1
+    // over-estimate: pure estimate wrongly drops the non-dup…
+    assert(corpusAfter(noVerify, fpId, "fp-raw") == Set(0L))
+    // …the exact verify keeps it
+    assert(corpusAfter(verify, fpId, "fp-ver") == Set(0L, fpId))
+    val fnId = fn.get._1
+    // under-estimate: pure estimate misses the true dup…
+    assert(corpusAfter(noVerify, fnId, "fn-raw") == Set(0L, fnId))
+    // …the exact verify catches it
+    assert(corpusAfter(verify, fnId, "fn-ver") == Set(0L))
+  }
+
   test("store listing skips non-numeric batch= directories instead of throwing") {
     val store = tmpDir("gate-badname-store")
     import spark.implicits._
