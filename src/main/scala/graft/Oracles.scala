@@ -724,11 +724,41 @@ object Oracles {
          |SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
+    // The oracle reconstructs the SAME real PNG/JPEG header bytes from
+    // doc_id arithmetic and emits the dimensions that were encoded into
+    // them — a single misread byte in the pure-JVM header parser (or a
+    // byte-construction divergence) mismatches width/height/n_bytes/hash.
+    // Text rows replay the documented fake-codec arithmetic.
     "q_mm1_binary_meta" ->
-      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |       md5(text) AS content_hash,
-        |       CAST(strlen(text) % 640 AS BIGINT) AS fake_width
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, text, doc_id % 3 AS m,
+        |             100 + doc_id % 500 AS pw, 80 + doc_id % 400 AS ph,
+        |             64 + doc_id % 1000 AS jw, 48 + doc_id % 600 AS jh,
+        |             strlen(text) AS n
+        |           FROM documents),
+        |  p AS (SELECT doc_id, m, pw, ph, jw, jh, n,
+        |          CASE WHEN m = 0 THEN from_hex(
+        |                 '89504e470d0a1a0a0000000d49484452'
+        |                 || lpad(lower(hex(pw)), 8, '0')
+        |                 || lpad(lower(hex(ph)), 8, '0')
+        |                 || '080600000000000000')
+        |               WHEN m = 1 THEN from_hex(
+        |                 'ffd8ffe000104a46494600010100004800480000ffc0001108'
+        |                 || lpad(lower(hex(jh)), 4, '0')
+        |                 || lpad(lower(hex(jw)), 4, '0')
+        |                 || '03012200021101031101')
+        |               ELSE encode(text) END AS payload
+        |        FROM d)
+        |SELECT doc_id,
+        |       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+        |       md5(lower(hex(payload))) AS content_hash,
+        |       CAST(CASE m WHEN 0 THEN pw WHEN 1 THEN jw
+        |                 ELSE 64 + (n % 577) END AS BIGINT) AS width,
+        |       CAST(CASE m WHEN 0 THEN ph WHEN 1 THEN jh
+        |                 ELSE 64 + ((n // 7) % 421) END AS BIGINT) AS height,
+        |       CASE WHEN m = 0 THEN 'image/png'
+        |            WHEN m = 1 THEN 'image/jpeg'
+        |            WHEN n % 2 = 0 THEN 'fake/png' ELSE 'fake/jpeg' END AS format
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // The fake codec derives n_frames/width/height from the byte length
     // alone (BinaryPipeline.FakeCodec): frames = 1 + n%13, w = 64 + n%577,

@@ -857,17 +857,40 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- M: multimodal
 
-  /** MM1 — opaque binary column plumbing: payload bytes + typed metadata
-    * (decode step is a deterministic fake — see
-    * graft.multimodal; real codecs are out of scope in this container). */
-  private def mm1(t: Tables): DataFrame =
-    t.documents
-      .withColumn("payload", col("text").cast("binary"))
-      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
-      .withColumn("content_hash", md5(col("payload")))
-      .withColumn("fake_width", pmod(col("n_bytes"), lit(640)).cast("long"))
-      .select("doc_id", "n_bytes", "content_hash", "fake_width")
+  /** MM1 — opaque binary column plumbing with REAL header decode: a
+    * third of the rows carry genuine PNG bytes (signature + IHDR), a
+    * third genuine JPEG bytes (SOI → APP0 → SOF0), the rest raw text
+    * (fake-codec fallback). Dimensions are doc_id-derived, so the oracle
+    * reconstructs the same bytes and the expected dimensions — if the
+    * pure-JVM header parser misread a single byte, width/height would
+    * mismatch. content_hash is md5 over the HEX encoding (engine-portable;
+    * DuckDB's md5 cannot hash raw blobs). */
+  private def mm1(t: Tables): DataFrame = {
+    val m = pmod(col("doc_id"), lit(3))
+    val pw = (lit(100) + pmod(col("doc_id"), lit(500))).cast("long")
+    val ph = (lit(80) + pmod(col("doc_id"), lit(400))).cast("long")
+    val jw = (lit(64) + pmod(col("doc_id"), lit(1000))).cast("long")
+    val jh = (lit(48) + pmod(col("doc_id"), lit(600))).cast("long")
+    val pngHex = concat(lit("89504e470d0a1a0a0000000d49484452"),
+      lpad(lower(hex(pw)), 8, "0"), lpad(lower(hex(ph)), 8, "0"),
+      lit("080600000000000000"))
+    val jpgHex = concat(
+      lit("ffd8ffe000104a46494600010100004800480000ffc0001108"),
+      lpad(lower(hex(jh)), 4, "0"), lpad(lower(hex(jw)), 4, "0"),
+      lit("03012200021101031101"))
+    val payload = when(m === 0, unhex(pngHex))
+      .when(m === 1, unhex(jpgHex))
+      .otherwise(col("text").cast("binary"))
+    graft.multimodal.BinaryPipeline.decodeMedia(
+        t.documents.select("doc_id", "text").withColumn("payload", payload))
+      .select(col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        md5(lower(hex(col("payload")))).as("content_hash"),
+        col("media_meta.width").cast("long").as("width"),
+        col("media_meta.height").cast("long").as("height"),
+        col("media_meta.format").as("format"))
       .orderBy("doc_id")
+  }
 
   /** The shared decode front of the mm2/mm3 queries: documents text as
     * the stand-in payload, run through the real batch-decode plumbing. */

@@ -300,6 +300,36 @@ class TextDedupSpec extends SparkSpec {
     assert(m == again)
   }
 
+  test("header codec: real PNG/JPEG dimensions decoded, other bytes fall back to fake") {
+    import graft.multimodal.BinaryPipeline.{FakeCodec, HeaderCodec}
+    def bytes(hexStr: String): Array[Byte] =
+      hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // the canonical 1x1 transparent PNG (public fixture bytes)
+    val png1x1 = bytes(
+      "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489" +
+        "0000000d49444154789c6360000000020001e221bc330000000049454e44ae426082")
+    assert(HeaderCodec.decode(png1x1) == ((1, 1, 1, "image/png")))
+    // minimal JPEG: SOI, APP0 (JFIF), SOF0 with 300x200 — the walk must
+    // skip APP0 by its length field to reach the frame header
+    val jpeg = bytes(
+      "ffd8ffe000104a46494600010100004800480000" +
+        "ffc000110800c8012c03012200021101031101")
+    assert(HeaderCodec.decode(jpeg) == ((300, 200, 1, "image/jpeg")))
+    // corrupt/truncated/foreign bytes fall back to the deterministic fake
+    val truncatedPng = png1x1.take(20)
+    assert(HeaderCodec.decode(truncatedPng) == FakeCodec.decode(truncatedPng))
+    val truncatedJpeg = jpeg.take(6) // APP0 length overruns the buffer
+    assert(HeaderCodec.decode(truncatedJpeg) == FakeCodec.decode(truncatedJpeg))
+    val text = "plain old text".getBytes("UTF-8")
+    assert(HeaderCodec.decode(text) == FakeCodec.decode(text))
+    assert(HeaderCodec.decode(null) == FakeCodec.decode(null))
+    // zero dimensions are not trusted (a real decoder would reject them)
+    val pngZeroW = bytes(
+      "89504e470d0a1a0a0000000d49484452" + "00000000" + "00000001" +
+        "080600000000000000")
+    assert(HeaderCodec.decode(pngZeroW) == FakeCodec.decode(pngZeroW))
+  }
+
   test("frame sampling: even grid, capped by clip length, no duplicates") {
     import graft.multimodal.BinaryPipeline
     // meta-only frame: n_frames is what sampleFrames reads
