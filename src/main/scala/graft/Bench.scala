@@ -75,7 +75,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.count(_._2.isEmpty)
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the full per-query JSON as an artifact: the driver retains
+    // only a truncated stdout tail, which makes round-over-round timing
+    // diffs impossible for most queries. The file survives in the repo
+    // checkout (committed per round) so every query is diffable.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")), line)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -43,7 +43,11 @@ object PlanAudit {
     // frame sampling is scan → batch decode → explode → sort: the
     // per-clip grid must never become a join, aggregate or window
     "q_mm2_frame_sample" -> Seq("!Window", "!HashAggregate", "!Join"),
-    "q_j6_asof_join" -> Seq("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+    // the as-of join must bind on its equi keys (time tolerance as a
+    // post-condition) — never a nested-loop/cartesian over the range
+    // predicate, which is quadratic in the key's row count
+    "q_j6_asof_join" -> Seq("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!BroadcastNestedLoopJoin", "!CartesianProduct"),
     // line dedup: doc-frequency and rebuild are hash-keyed aggregations
     // and the join back is an equi-join — never a cartesian, never a
     // window over the whole corpus
@@ -60,7 +64,17 @@ object PlanAudit {
       "!HashAggregate", "!Join"),
     // quantization + reconstruction error is pure per-row array math
     "q_sim4_quantize" -> Seq("codegen id", "!Window", "!HashAggregate",
-      "!Join"))
+      "!Join"),
+    // curation funnel: the lang equality must reach the scan, the
+    // contamination benchmark side must broadcast, and nothing may
+    // cartesian
+    "q_cur1_curation_funnel" -> Seq("PushedFilters: \\[.*EqualTo\\(lang",
+      "BroadcastHashJoin", "!CartesianProduct"),
+    // percentile report: every window runs over the DISTINCT (lang, tok)
+    // table partitioned by lang — bounded state; no window may ever be
+    // global (empty partition spec = whole table through one task)
+    "q_rep1_corpus_report" -> Seq("windowspecdefinition\\(lang",
+      "HashAggregate", "!windowspecdefinition\\(tok"))
 
   /** Run every check; returns (name, missing-patterns, plan-excerpt) for
     * failures — the excerpt is what diagnoses a CI-only regression
