@@ -131,4 +131,61 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"seed=$seed")
     }
   }
+
+  test("winnowingFromHashes == sliding window-min reference on random hash arrays") {
+    def winnowRef(hs: Seq[Long], w: Int): Seq[Long] = {
+      val nWin = math.max(hs.length - w + 1, 1)
+      (0 until nWin).map(j => hs.slice(j, j + w).min).distinct.sorted
+    }
+    val arrGen = Gen.listOfN(20, for {
+      n <- Gen.chooseNum(1, 25) // incl. arrays shorter than the window
+      hs <- Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    } yield hs)
+    (1L to 3L).foreach { seed =>
+      val arrays = sample(arrGen, seed).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val expected = arrays.map { case (i, h) => i -> winnowRef(h, 4) }.toMap
+      val got = arrays.toDF("id", "hs")
+        .select(col("id"), TextFunctions.winnowingFromHashes(col("hs"), 4).as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("header codec: random encoded dimensions round-trip; random bytes fall back") {
+    import graft.multimodal.BinaryPipeline.{FakeCodec, HeaderCodec}
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def hex(v: Long, digits: Int): String =
+      ("%0" + digits + "x").format(v)
+    val pngDims = Gen.listOfN(25, for {
+      w <- Gen.chooseNum(1, Int.MaxValue)
+      h <- Gen.chooseNum(1, Int.MaxValue)
+    } yield (w, h))
+    sample(pngDims, 7L).foreach { case (w, h) =>
+      val b = hexBytes("89504e470d0a1a0a0000000d49484452" +
+        hex(w.toLong, 8) + hex(h.toLong, 8) + "080600000000000000")
+      assert(HeaderCodec.decode(b) == ((w, h, 1, "image/png")), s"png $w x $h")
+    }
+    val jpgDims = Gen.listOfN(25, for {
+      w <- Gen.chooseNum(1, 65535)
+      h <- Gen.chooseNum(1, 65535)
+    } yield (w, h))
+    sample(jpgDims, 8L).foreach { case (w, h) =>
+      val b = hexBytes("ffd8ffe000104a46494600010100004800480000ffc0001108" +
+        hex(h.toLong, 4) + hex(w.toLong, 4) + "03012200021101031101")
+      assert(HeaderCodec.decode(b) == ((w, h, 1, "image/jpeg")), s"jpeg $w x $h")
+    }
+    val junkGen = Gen.listOfN(40, for {
+      n <- Gen.chooseNum(0, 64)
+      bs <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield bs.toArray)
+    sample(junkGen, 9L).foreach { b =>
+      val d = HeaderCodec.decode(b)
+      // junk must never crash and, unless it happens to be a well-formed
+      // header, must equal the deterministic fake
+      if (!b.startsWith(Array[Byte](0x89.toByte, 0x50)) &&
+        !(b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte))
+        assert(d == FakeCodec.decode(b))
+    }
+  }
 }
