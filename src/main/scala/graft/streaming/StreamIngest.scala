@@ -58,4 +58,35 @@ object StreamIngest {
     val blocks = spark.read.schema(Schemas.blockMessage).json(inputDir)
     new SilverStore(spark, silverDir).applyBatch(blocks)
   }
+
+  /** Streaming ingest through [[LakeSource]] — the cursor-true adapter
+    * shape: offsets ARE block heights (the reference's Postgres
+    * BlockHeight cursor, indexer_app/tasks.py:95-111), block fetch
+    * parallelizes across executors behind the [[BlockFetcher]] seam, and
+    * the payload is parsed with the same block-message schema as the
+    * file path. `fetcherOptions` must carry the fetcher config (e.g.
+    * `fetcher.dir`, or `fetcher.class` for an S3 implementation) and may
+    * set `startHeight` / `maxBlocksPerTrigger` / `fetchPartitions`. */
+  def startFromLake(
+      spark: SparkSession,
+      fetcherOptions: Map[String, String],
+      silverDir: String,
+      checkpointDir: String,
+      availableNow: Boolean = false): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val silver = new SilverStore(spark, silverDir)
+    val stream = spark.readStream
+      .format(classOf[LakeSourceProvider].getName)
+      .options(fetcherOptions)
+      .load()
+      .select(from_json(col("value"), Schemas.blockMessage).as("b"))
+      .select("b.*")
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { silver.applyBatch(batch); () }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
 }
