@@ -892,6 +892,77 @@ object Oracles {
          |FROM p WHERE jaccard_sim >= 0.5
          |ORDER BY section, doc_id, id_new, id_corpus""".stripMargin,
 
+    // Domain-level curation is fully re-derivable: stats, verdicts and
+    // survivors all recompute from the documents table (exact bigint
+    // sums; ratios are single double divisions — bit-equal cross-engine).
+    "q_cur2_source_filter" ->
+      raw"""WITH t AS (SELECT doc_id, source,
+        |            CASE WHEN length(trim(text)) = 0 THEN 0
+        |                 ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        |          FROM documents),
+        |  s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |          CAST(SUM(CASE WHEN tok < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |          CAST(SUM(tok) AS BIGINT) AS sum_tok
+        |        FROM t GROUP BY source),
+        |  s2 AS (SELECT source, n_docs, n_short,
+        |           CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) AS short_frac,
+        |           CAST(sum_tok AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_tokens
+        |         FROM s)
+        |SELECT 'src' AS section, source, n_docs, n_short, short_frac,
+        |       avg_tokens, CAST(NULL AS BIGINT) AS doc_id
+        |FROM s2
+        |UNION ALL
+        |SELECT 'doc', t.source, NULL, NULL, NULL, NULL, t.doc_id
+        |FROM t JOIN s2 ON t.source = s2.source
+        |WHERE s2.short_frac <= 0.22
+        |ORDER BY section, source, doc_id""".stripMargin,
+
+    // Keyword search replays exactly: the fixed-point log2 (msb position
+    // from bin() length + linear interpolation on the next ten bits) is
+    // pure 64-bit integer multiply/shift, scores are bigint sums, and
+    // the rank tie-break (score DESC, doc ASC) is total — no
+    // transcendentals, no float comparisons anywhere.
+    "q_srch1_keyword_topk" ->
+      raw"""WITH q AS (SELECT doc_id AS qid,
+        |            array_to_string((string_split($norm, ' '))[1:5], ' ') AS qt
+        |          FROM documents WHERE doc_id % 100 = 3),
+        |  qterm AS (SELECT DISTINCT qid, unnest(string_split(qt, ' ')) AS t FROM q),
+        |  w AS (SELECT doc_id AS d, unnest(string_split($norm, ' ')) AS t
+        |        FROM documents),
+        |  tf AS (SELECT d, t, CAST(count(*) AS BIGINT) AS tf FROM w
+        |         WHERE t IN (SELECT t FROM qterm) GROUP BY 1, 2),
+        |  dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |  n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |  il AS (SELECT dft.t, dft.df,
+        |           (1024 * (length(bin(n.n)) - 1)
+        |              + ((n.n * 1024) >> (length(bin(n.n)) - 1)) - 1024)
+        |           - (1024 * (length(bin(dft.df)) - 1)
+        |              + ((dft.df * 1024) >> (length(bin(dft.df)) - 1)) - 1024)
+        |           AS idf
+        |         FROM dft CROSS JOIN n),
+        |  sc AS (SELECT qterm.qid, tf.d,
+        |           CAST(SUM(tf.tf * il.idf) AS BIGINT) AS s
+        |         FROM tf JOIN qterm USING (t) JOIN il USING (t)
+        |         GROUP BY 1, 2),
+        |  rk AS (SELECT qid, d, s,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, d ASC) AS rn
+        |         FROM sc WHERE s > 0)
+        |SELECT qid AS query_id, CAST(rn AS BIGINT) AS "rank", d AS doc_id,
+        |       s AS score
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // The bloom filter is an accelerator, not a semantic: the operator's
+    // contract is exactly batch ∖ corpus by md5 content fingerprint, so
+    // the oracle is a plain anti-join — nothing probabilistic to replay.
+    "q_dd11_bloom_gate" ->
+      s"""WITH corpus AS (SELECT md5($norm) AS fp FROM documents WHERE doc_id % 5 <> 0),
+         |  batch AS (SELECT doc_id, md5($norm) AS fp FROM documents WHERE doc_id % 5 = 0
+         |            UNION ALL
+         |            SELECT doc_id + 1000000, md5($norm) FROM documents WHERE doc_id % 7 = 0)
+         |SELECT b.doc_id, b.fp FROM batch b
+         |ANTI JOIN corpus c ON b.fp = c.fp
+         |ORDER BY b.doc_id""".stripMargin,
+
     // Only the centroid VALUES are trusted input (echoed at the float
     // precision the kernel computes with); cell assignment (argmax
     // cosine, ties to the lowest cell, NaN/zero-norm floored to -2),

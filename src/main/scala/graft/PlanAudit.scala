@@ -32,6 +32,11 @@ object PlanAudit {
     // dominant bucket is a near-cartesian self-join at corpus scale
     "q_dd6_dup_clusters" -> Seq("!hashpartitioning\\(lang", "!Window"),
     "q_dd7_dedup_corpus" -> Seq("!hashpartitioning\\(lang"),
+    // the bloom gate must survive optimization as a map-side Filter on
+    // the batch (the codegen'd probe expression appears in the plan) and
+    // the verify must stay an equi anti-join on the 128-bit fingerprint
+    "q_dd11_bloom_gate" -> Seq("bloommightcontainlong", "LeftAnti",
+      "!CartesianProduct", "!Window"),
     // benchmark side must broadcast — the corpus must never shuffle on
     // the exploded n-gram key
     "q_txt7_contamination" -> Seq("BroadcastHashJoin", "!SortMergeJoin"),
@@ -70,6 +75,15 @@ object PlanAudit {
     // cartesian
     "q_cur1_curation_funnel" -> Seq("PushedFilters: \\[.*EqualTo\\(lang",
       "BroadcastHashJoin", "!CartesianProduct"),
+    // domain gate: the per-source verdict table (|sources| rows) must
+    // broadcast back as a semi-join — the corpus never shuffles on source
+    "q_cur2_source_filter" -> Seq("LeftSemi", "BroadcastHashJoin",
+      "!CartesianProduct", "!Window"),
+    // keyword search: ranking is the bounded top-k aggregate (map-side
+    // partial state of k rows per query), query terms broadcast — never
+    // a window over raw score rows, never a corpus-side SMJ
+    "q_srch1_keyword_topk" -> Seq("ObjectHashAggregate",
+      "BroadcastHashJoin", "!Window", "!CartesianProduct"),
     // percentile report: every window runs over the DISTINCT (lang, tok)
     // table partitioned by lang — bounded state; no window may ever be
     // global (empty partition spec = whole table through one task)

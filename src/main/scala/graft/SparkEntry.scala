@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Amounts, DedupFunctions, SampleFunctions, Similarity, TextFunctions}
+import graft.functions.{Amounts, DedupFunctions, DomainFunctions, SampleFunctions, SearchFunctions, Similarity, TextFunctions}
 import graft.operators.{AsOfJoin, Relational}
 
 /** Driver contract — the operator-inventory correctness surface.
@@ -545,6 +545,31 @@ object SparkEntry {
       .orderBy("section", "doc_id", "id_new", "id_corpus")
   }
 
+  /** DD11 — bloom-gated incremental EXACT dedup: the batch (every 5th
+    * doc, plus re-submitted copies of every 7th doc under fresh ids)
+    * is deduplicated against the standing corpus (the other 4/5)
+    * WITHOUT a corpus-sized join: one bloom build over the corpus
+    * fingerprint store gates the batch map-side, and only
+    * bloom-positive rows reach the 128-bit verify anti-join. The
+    * result is exactly batch ∖ corpus by content fingerprint — bloom
+    * internals never leak into the answer, so the oracle is a plain
+    * anti-join on the md5 fingerprint. */
+  private def dd11(t: Tables): DataFrame = {
+    val corpus = t.documents.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = t.documents.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(t.documents.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .localCheckpoint(true)
+    val store = DedupFunctions.fingerprintStore(corpus, "doc_id", "text")
+      .localCheckpoint(true)
+    val bloom = DedupFunctions.fingerprintBloom(store,
+      expectedItems = math.max(store.count(), 1L), fpp = 0.01)
+    DedupFunctions.bloomGatedNewDocs(batch, "doc_id", "text", store, bloom)
+      .select(col("id").as("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
   /** TXT11 — Luhn-validated card redaction: candidate digit runs are
     * checksum-VALIDATED before redaction (a bare regex over-redacts
     * order ids and phone numbers). Each document gets one valid and one
@@ -633,6 +658,45 @@ object SparkEntry {
       .filter(SampleFunctions.splitLabel(col("doc_id"), 0.8, "cur") === "train")
       .select("doc_id")
       .orderBy("doc_id")
+  }
+
+  /** CUR2 — domain-level curation (judge the domain, not just the page):
+    * per-source stats ride in section 'src'; section 'doc' holds the
+    * documents that survive dropping EVERY source whose short-doc
+    * fraction (tokens < 30) exceeds 0.22. Fully re-derivable — the
+    * oracle recomputes stats, verdicts and survivors from the documents
+    * table; nothing is echoed. */
+  private def cur2(t: Tables): DataFrame = {
+    val stats = DomainFunctions.sourceStats(t.documents, "source", "text",
+      minTokens = 30)
+    val kept = DomainFunctions.filterBySourceQuality(t.documents, "source",
+      "text", minTokens = 30, maxShortFrac = 0.22)
+    val nl = lit(null)
+    stats.select(lit("src").as("section"), col("source"), col("n_docs"),
+        col("n_short"), col("short_frac"), col("avg_tokens"),
+        nl.cast("long").as("doc_id"))
+      .unionByName(kept.select(lit("doc").as("section"), col("source"),
+        nl.cast("long").as("n_docs"), nl.cast("long").as("n_short"),
+        nl.cast("double").as("short_frac"), nl.cast("double").as("avg_tokens"),
+        col("doc_id")))
+      .orderBy("section", "source", "doc_id")
+  }
+
+  /** SRCH1 — inverted-index keyword search: every ~100th document's
+    * first five (normalized) words form a query; the corpus answers all
+    * queries in one pass with integer TF-IDF top-5 (whole-bit idf — no
+    * transcendentals, so the oracle re-derives every score exactly).
+    * Query terms broadcast-semi-join the exploded corpus before any
+    * shuffle; ranking is the bounded top-k aggregate, never a window
+    * over raw rows. */
+  private def srch1(t: Tables): DataFrame = {
+    val queries = t.documents.filter(pmod(col("doc_id"), lit(100)) === 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(TextFunctions.normalize(col("text")), " "),
+          1, 5), " ").as("qtext"))
+    SearchFunctions.keywordTopK(t.documents, "doc_id", "text",
+        queries, "query_id", "qtext", k = 5)
+      .orderBy("query_id", "rank")
   }
 
   // ---------------------------------------------------------------- D: dedup
@@ -981,7 +1045,10 @@ object SparkEntry {
       "q_txt11_card_redact" -> q(txt11),
       "q_dd8_simhash_pairs" -> q(dd8),
       "q_dd9_incremental_neardup" -> q(dd9),
+      "q_dd11_bloom_gate" -> q(dd11),
       "q_cur1_curation_funnel" -> q(cur1),
+      "q_cur2_source_filter" -> q(cur2),
+      "q_srch1_keyword_topk" -> q(srch1),
       "q_dd4_simhash" -> q(dd4),
       "q_dd5_embed_neardup" -> q(dd5),
       "q_sim1_cosine_topk" -> q(sim1),

@@ -572,4 +572,76 @@ object DedupFunctions {
     edges.unpersist()
     out
   }
+
+  // ---------------------------------------------- Bloom-gated exact dedup
+
+  /** Fast 64-bit content fingerprint (xxhash64 of normalized text) — the
+    * bloom KEY for [[bloomGatedNewDocs]]. The 128-bit md5 fingerprint
+    * ([[TextFunctions.fingerprint]]) stays the identity that the verify
+    * join and the oracle use; the 64-bit key only gates admission, so an
+    * xxhash64 collision costs one extra verify probe, never a wrong
+    * answer. */
+  def fingerprint64(text: Column): Column = xxhash64(normalize(text))
+
+  /** The standing corpus's fingerprint store `(id, fp64, fp)` — ~40 B/doc,
+    * i.e. tiny next to the text it stands for. Persist this once (it is
+    * the same artifact family as the CorpusGate signature store) and
+    * every later batch deduplicates against IT, never against the corpus
+    * text. */
+  def fingerprintStore(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      fingerprint64(col(textCol)).as("fp64"),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+
+  /** One distributed pass over the fingerprint store → a driver-side bloom
+    * filter of its 64-bit keys (partial filters built per partition,
+    * OR-merged on the driver — `DataFrameStatFunctions.bloomFilter`).
+    *
+    * Sizing (public formula): bits ≈ n·ln(1/p)/ln²2 ≈ 9.6 bits/key at
+    * p=1%. 10^9 corpus docs ⇒ ~1.2 GB — build ONCE, persist with
+    * `BloomFilter.writeTo`, and reuse across every incoming batch; at
+    * 10^10+ keys shard the filter by fingerprint prefix and gate each
+    * batch partition against its shard. The filter is an accelerator
+    * only — correctness never depends on its size or fpp. */
+  def fingerprintBloom(store: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    // An empty store must yield a VALID empty filter (every probe false):
+    // Spark's aggregation short-circuits zero rows into a zero-value
+    // filter whose bit array is null and whose probes NPE.
+    if (store.isEmpty)
+      org.apache.spark.util.sketch.BloomFilter.create(math.max(expectedItems, 1L), fpp)
+    else store.stat.bloomFilter(col("fp64"), math.max(expectedItems, 1L), fpp)
+
+  /** Bloom-gated incremental EXACT dedup — "which of these new documents
+    * has the corpus never seen?", answered without rescanning (or even
+    * shuffling against) the corpus:
+    *
+    *   1. bloom-NEGATIVE batch rows are definitely new (no false
+    *      negatives) — they skip the join entirely, map-side;
+    *   2. bloom-POSITIVE rows (true dups + fpp false positives) are the
+    *      only rows that reach the verify anti-join against the
+    *      fingerprint store, on the full 128-bit fingerprint.
+    *
+    * The result is EXACTLY `batch ∖ corpus` by md5-fingerprint identity —
+    * the filter only decides how little work the verify join does. At
+    * 100 TB the shuffle-side input of the join is `fpp × |batch|` plus
+    * true duplicates, not |batch|, and the corpus contributes only its
+    * fingerprint store. Returns the new docs as `(id, fp)`.
+    *
+    * `batch` is scanned by both branches — callers with a non-trivial
+    * batch plan should persist/localCheckpoint it first (the batch is the
+    * incremental delta, small by definition).
+    */
+  def bloomGatedNewDocs(batch: DataFrame, idCol: String, textCol: String,
+      store: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val fps = batch.select(col(idCol).as("id"),
+      fingerprint64(col(textCol)).as("fp64"),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val might = graft.plans.expressions.bloomMightContain(bloom, col("fp64"))
+    val definitelyNew = fps.filter(!might)
+    val survivors = fps.filter(might)
+      .join(store.select("fp"), Seq("fp"), "left_anti")
+    definitelyNew.select("id", "fp").unionByName(survivors.select("id", "fp"))
+  }
 }

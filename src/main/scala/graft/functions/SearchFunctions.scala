@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.expressions
+
+/** Keyword relevance search over the corpus — the inverted-index TF-IDF
+  * top-k that a curation/inspection workbench runs ("show me the k
+  * documents most about these terms"). Batch-oriented: a (small) table of
+  * queries is answered in one pass over the corpus.
+  *
+  * Scoring is the ENGINE-PORTABLE integer variant this repo uses wherever
+  * a score gates data (same rationale as
+  * [[TextFunctions.unigramSurprisal]]): idf in 1/1024ths of a bit via a
+  * FIXED-POINT log2 — msb position from binary-string length plus linear
+  * interpolation on the next ten bits, all integer multiply/shift, no
+  * transcendentals (max error ~0.086 bit, far below ranking resolution;
+  * whole-bit flooring would be too coarse: a term in 80% of documents
+  * still deserves weight log2(1/0.8) ≈ 0.32 bit, not zero). Scores are
+  * bigint-exact, so any engine reproduces the ranking bit-for-bit. A
+  * term present in every document weighs exactly 0 (the classic
+  * stopword-vanishing property of idf), and only documents with positive
+  * evidence rank.
+  *
+  * Scale shape (100 TB): query terms broadcast and semi-join the exploded
+  * corpus BEFORE anything aggregates, so the only rows that ever shuffle
+  * are query-term occurrences — the corpus's other words die map-side.
+  * Per-query-term document frequencies derive from those hits (a
+  * |q-terms| × df table, broadcast back), and the final per-(query, doc)
+  * scores fold into the bounded [[expressions.topKByScore]] aggregate —
+  * k rows of state per query on every executor, never a window, never a
+  * global sort.
+  */
+object SearchFunctions {
+  import TextFunctions.normalize
+
+  /** Fixed-point log2 in 1/1024ths of a bit: `1024·m + (x·1024 >> m) −
+    * 1024` where m = msb position = `length(bin(x)) − 1`. Piecewise
+    * linear between powers of two, exactly `1024·log2(x)` AT powers of
+    * two, strictly monotone, pure integer — bit-identical on any engine
+    * with 64-bit integer shifts. Requires x ≥ 1 (df and N always are). */
+  private def ilog2x1024(x: Column): Column = {
+    val m = (length(bin(x)) - 1).cast("int")
+    lit(1024L) * m.cast("long") +
+      call_function("shiftright", x.cast("long") * lit(1024L), m) - lit(1024L)
+  }
+
+  /** Top-k corpus documents per query by integer TF-IDF; ties broken by
+    * ascending document id. Output: (qidCol, rank, idCol, score). */
+  def keywordTopK(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qTextCol: String,
+      k: Int): DataFrame = {
+    val words = corpus.select(col(idCol).as("__doc"),
+      explode(split(normalize(col(textCol)), " ")).as("__t"))
+    val qTerms = queries.select(col(qidCol).as("__q"),
+        explode(split(normalize(col(qTextCol)), " ")).as("__t"))
+      .distinct()
+    // Kill every non-query word before the first shuffle.
+    val hitWords = words.join(broadcast(qTerms.select("__t").distinct()),
+      Seq("__t"), "left_semi")
+    val tf = hitWords.groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
+    val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val nDocs = corpus.agg(count(lit(1)).as("__n"))
+    tf.join(broadcast(qTerms), Seq("__t"))
+      .join(broadcast(dfT), Seq("__t"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__w",
+        col("__tf") * (ilog2x1024(col("__n")) - ilog2x1024(col("__df"))))
+      .groupBy("__q", "__doc").agg(sum("__w").as("__s"))
+      .filter(col("__s") > 0)
+      .groupBy("__q")
+      .agg(expressions.topKByScore(col("__s").cast("double"),
+        col("__doc"), k).as("__top"))
+      .select(col("__q").as(qidCol), posexplode(col("__top")))
+      .select(col(qidCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), col("col.score").cast("long").as("score"))
+  }
+}

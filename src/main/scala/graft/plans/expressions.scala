@@ -274,6 +274,48 @@ object expressions {
       copy(score = newChildren(0), id = newChildren(1))
   }
 
+  /** mightContain(bloomFilter, key) over a bigint key, codegen'd.
+    *
+    * The filter object rides the expression into the generated code via
+    * `CodegenContext.addReferenceObj` — the same mechanism Spark's own
+    * runtime row-level filtering uses for its injected bloom probes
+    * (`BloomFilterMightContain`, an internal expression this deliberately
+    * does not depend on). `BloomFilterImpl` is `java.io.Serializable`, so
+    * the reference ships with the task closure; at the multi-GB filter
+    * sizes of a 10^10-key corpus the filter should instead be persisted
+    * and re-read per executor — the [[graft.functions.DedupFunctions]]
+    * call site documents that sizing trade-off.
+    *
+    * No false negatives by construction: a `false` here is PROOF the key
+    * was never put in the filter, which is what makes the bloom-gated
+    * anti-join exact after its verify step.
+    */
+  case class BloomMightContainLong(child: Expression,
+      filter: org.apache.spark.util.sketch.BloomFilter)
+      extends UnaryExpression {
+
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain expects a bigint key, got ${child.dataType.sql}")
+
+    override def nullSafeEval(v: Any): Any =
+      filter.mightContainLong(v.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bf = ctx.addReferenceObj("bloomFilter", filter,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bf.mightContainLong($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------- Column surface
 
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -285,6 +327,11 @@ object expressions {
 
   def simHash64(words: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(words)))
+
+  /** Codegen'd bloom-filter membership probe over a bigint key column. */
+  def bloomMightContain(filter: org.apache.spark.util.sketch.BloomFilter,
+      key: Column): Column =
+    Bridge.column(BloomMightContainLong(Bridge.expression(key), filter))
 
   /** Bounded top-k aggregate column: array of the k best (score, id) pairs,
     * best-first (score desc, id asc). */

@@ -188,4 +188,47 @@ class PropertySpec extends SparkSpec {
         assert(d == FakeCodec.decode(b))
     }
   }
+
+  // ------------------------------------------- fixed-point log2 (search)
+
+  test("fixed-point ilog2 tracks log2 within 0.09 bit and is monotone") {
+    def ilRef(x: Long): Long = {
+      val m = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      1024L * m + ((x * 1024L) >> m) - 1024L
+    }
+    val xs = sample(Gen.listOfN(300, Gen.chooseNum(1L, 1L << 52)), 10L).distinct.sorted
+    // Spark column formulation == driver reference, element for element
+    val spark = xs.toDF("x").select(
+        col("x"),
+        (lit(1024L) * (length(bin(col("x"))) - 1).cast("long") +
+          call_function("shiftright", col("x") * lit(1024L),
+            (length(bin(col("x"))) - 1).cast("int")) - lit(1024L)).as("il"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      assert(spark(x) == ilRef(x), s"column vs reference at $x")
+      // linear-interpolation max error 1 − (1 + ln ln 2)/ln 2 ≈ 0.08607,
+      // plus up to 1/1024 from the fixed-point grid
+      val err = math.abs(ilRef(x) / 1024.0 - math.log(x.toDouble) / math.log(2.0))
+      assert(err <= 0.0871, s"approximation error $err at $x")
+    }
+    // non-decreasing (above m = 10 the 1/1024-bit grid quantizes
+    // neighbouring integers onto the same step, so not strictly so)
+    xs.zip(xs.tail).foreach { case (a, b) =>
+      assert(ilRef(a) <= ilRef(b), s"monotonicity broken at ($a, $b)")
+    }
+    // exact at powers of two
+    (0 to 52).foreach(m => assert(ilRef(1L << m) == 1024L * m))
+  }
+
+  // --------------------------------------------------- bloom (no false neg)
+
+  test("bloom filter never false-negatives inserted keys (random sets)") {
+    val keysGen = Gen.listOfN(500, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    (11L to 13L).foreach { seed =>
+      val keys = sample(keysGen, seed)
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(64, 0.3) // undersized on purpose
+      keys.foreach(bf.putLong)
+      keys.foreach(k => assert(bf.mightContainLong(k), s"false negative at $k"))
+    }
+  }
 }
