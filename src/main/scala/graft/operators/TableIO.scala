@@ -26,6 +26,16 @@ trait TableIO {
   def readString(path: String): Option[String]
   /** Write-then-rename so readers never observe a torn small file. */
   def writeStringAtomic(path: String, content: String): Unit
+
+  /** Small binary artifacts (e.g. the corpus gate's incremental bloom
+    * filter) ride the same atomic write-then-rename contract. The
+    * defaults tunnel through the string primitives as base64 so existing
+    * implementations of the seam stay correct unchanged; implementations
+    * with native byte IO should override. */
+  def readBytes(path: String): Option[Array[Byte]] =
+    readString(path).map(java.util.Base64.getDecoder.decode)
+  def writeBytesAtomic(path: String, bytes: Array[Byte]): Unit =
+    writeStringAtomic(path, java.util.Base64.getEncoder.encodeToString(bytes))
 }
 
 /** Local-filesystem implementation over `java.nio`. */
@@ -67,6 +77,17 @@ object LocalTableIO extends TableIO {
   def writeStringAtomic(path: String, content: String): Unit = {
     val tmp = p(path + ".tmp")
     Files.write(tmp, content.getBytes("UTF-8"))
+    Files.move(tmp, p(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def readBytes(path: String): Option[Array[Byte]] =
+    if (!Files.exists(p(path))) None
+    else scala.util.Try(Files.readAllBytes(p(path))).toOption
+
+  override def writeBytesAtomic(path: String, bytes: Array[Byte]): Unit = {
+    val tmp = p(path + ".tmp")
+    Files.write(tmp, bytes)
     Files.move(tmp, p(path), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }

@@ -20,6 +20,11 @@ import graft.operators.{LocalTableIO, Relational, TableIO}
   * document, ~3 orders of magnitude smaller than the text — so a batch
   * pays: one scan of itself, a band-key equi-join against the stored
   * band keys, and a signature-agreement verify on the candidates.
+  * Exact re-submits don't even reach that machinery: an incrementally
+  * maintained bloom filter over accepted fingerprints (one small
+  * artifact per batch, previous filter ∪ new survivors — never a corpus
+  * scan) drops them map-side, with bloom-positives verified on the full
+  * fingerprint against the fingerprint store.
   *
   * Near-dup decisions are two-tier: the signature-agreement estimate of
   * Jaccard decides candidates that are CLEARLY above or below the
@@ -46,7 +51,13 @@ object CorpusGate {
     * `verifyMargin` of it are re-verified with exact Jaccard (estimates
     * beyond the margin decide directly). `verifyMargin = 0` disables the
     * exact tier (pure-estimate decisions); a margin ≥ max(threshold,
-    * 1 - threshold) verifies every candidate. */
+    * 1 - threshold) verifies every candidate.
+    *
+    * `bloomExpectedItems`/`bloomFpp` size the incrementally-maintained
+    * exact-dedup bloom filter (see step 2b). Sizing is FIXED by config so
+    * per-batch filters stay merge-compatible; a corpus outgrowing
+    * `bloomExpectedItems` only degrades the false-positive rate (more
+    * verify-join work), never correctness. */
   final case class Config(
       minTokens: Int = 3,
       maxTokens: Int = 100000,
@@ -54,7 +65,9 @@ object CorpusGate {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      verifyMargin: Double = 0.25) {
+      verifyMargin: Double = 0.25,
+      bloomExpectedItems: Long = 1L << 20,
+      bloomFpp: Double = 0.01) {
     require(k % bands == 0,
       s"k $k must be divisible by bands $bands — a truncated band width " +
         "silently drops signature components from every band key")
@@ -98,10 +111,34 @@ object CorpusGate {
     StructField("doc_id", LongType),
     StructField("sig", ArrayType(LongType))))
 
+  private val fpsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("fp64", LongType),
+    StructField("fp", StringType)))
+
+  /** The accepted corpus's exact-dedup bloom filter as of the largest
+    * batch BELOW `beforeBatch` — the incremental artifact chain: batch N
+    * writes (filter of N−1) ∪ (N's survivors), so reading one small file
+    * replaces any corpus-sized scan. Missing chain (first batch, or a
+    * replay of batch 0) starts fresh from config sizing. */
+  private def readBloom(storeDir: String, beforeBatch: Long, cfg: Config,
+      io: TableIO): org.apache.spark.util.sketch.BloomFilter = {
+    val prev = io.listDir(s"$storeDir/bloom").collect {
+      case (name, false) if name.startsWith("batch=") &&
+        name.stripPrefix("batch=").toLongOption.exists(_ < beforeBatch) =>
+        name.stripPrefix("batch=").toLong
+    }.maxOption
+    prev.flatMap(id => io.readBytes(s"$storeDir/bloom/batch=$id"))
+      .map(b => org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+      .getOrElse(org.apache.spark.util.sketch.BloomFilter.create(
+        cfg.bloomExpectedItems, cfg.bloomFpp))
+  }
+
   /** One micro-batch through the gate. Also the BATCH-mode entry point —
     * a backfill calls this directly with increasing batch ids. */
   def curateBatch(batch: DataFrame, storeDir: String, batchId: Long,
-      cfg: Config = Config()): Unit = {
+      cfg: Config = Config(), io: TableIO = LocalTableIO): Unit = {
     val spark = batch.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -123,7 +160,26 @@ object CorpusGate {
     val exact = Relational.latestPerGroup(
         gated.withColumn("__fp", TextFunctions.fingerprint(col("text"))),
         Seq("__fp"), Seq(col("doc_id").asc))
-      .drop("__fp")
+      .withColumn("__fp64", DedupFunctions.fingerprint64(col("text")))
+      .persist(lvl)
+
+    // 2b. Exact dedup AGAINST the corpus — the bloom tier. The
+    //    incrementally-maintained filter (previous batch's artifact ∪
+    //    its survivors, one small file) proves most rows were never
+    //    accepted before: bloom-negatives pass map-side with NO join
+    //    (no false negatives), and only bloom-positives — true re-submits
+    //    plus fpp false positives — verify on the full 128-bit
+    //    fingerprint against the fingerprint store. Catching exact
+    //    re-submits here keeps them out of shingling, signatures and the
+    //    band joins entirely; the near-dup machinery below only ever
+    //    works on genuinely new content.
+    val bloom = readBloom(storeDir, batchId, cfg, io)
+    val mightDup = graft.plans.expressions.bloomMightContain(bloom, col("__fp64"))
+    val fpsStore = readStore(spark, s"$storeDir/fps", fpsSchema, batchId, io)
+    val freshRows = exact.filter(!mightDup)
+    val verifiedRows = exact.filter(mightDup)
+      .join(fpsStore.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+    val newContent = freshRows.unionByName(verifiedRows.select(freshRows.columns.map(col): _*))
 
     // 3. Signatures once per batch — every later step is signature-only.
     //    Documents too short to shingle (fewer than shingleN words —
@@ -132,7 +188,7 @@ object CorpusGate {
     //    their own survivors, and their degenerate all-MaxValue signature
     //    must never reach the band join where every such doc would
     //    mass-match every other at estimate 1.0.
-    val signed = exact
+    val signed = newContent
       .withColumn("sh", DedupFunctions.shingles(col("text"), cfg.shingleN))
       .withColumn("sig",
         when(size(col("sh")) > 0,
@@ -179,7 +235,7 @@ object CorpusGate {
     //    to candidate buckets on a doc_id-bucketed store) and re-verify
     //    with exact Jaccard. The fetch scales with the borderline
     //    collision count, never with corpus size.
-    val storeSigs = readStore(spark, s"$storeDir/sigs", sigSchema, batchId)
+    val storeSigs = readStore(spark, s"$storeDir/sigs", sigSchema, batchId, io)
       .persist(lvl)
     val storeBands = storeSigs.filter(col("sig").isNotNull)
       .select(col("doc_id").as("corpus_id"), col("sig").as("corpus_sig"),
@@ -197,7 +253,7 @@ object CorpusGate {
         col("est") < cfg.threshold + cfg.verifyMargin)
       .select("doc_id", "corpus_id").distinct()
       .persist(lvl)
-    val borderTexts = readStore(spark, s"$storeDir/corpus", docSchema, batchId)
+    val borderTexts = readStore(spark, s"$storeDir/corpus", docSchema, batchId, io)
       .join(corpusBorder.select(col("corpus_id")).distinct(),
         col("doc_id") === col("corpus_id"), "left_semi")
     val corpusVerified = corpusBorder
@@ -221,22 +277,43 @@ object CorpusGate {
     // joins — don't store their null signatures.
     survivors.filter(col("sig").isNotNull).select("doc_id", "sig")
       .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
+    // Fingerprints feed the NEXT batches' bloom-positive verify joins.
+    survivors.select(col("doc_id"), col("__fp64").as("fp64"), col("__fp").as("fp"))
+      .write.mode("overwrite").parquet(s"$storeDir/fps/batch=$batchId")
+    // Advance the incremental filter chain: (filter of batch-1) ∪ (this
+    // batch's survivors). One distributed pass over the SURVIVORS only —
+    // never the corpus — then one small artifact write; sizing is pinned
+    // by config so the per-batch partials stay merge-compatible. Replays
+    // rebuild the identical artifact from the identical inputs.
+    val nSurvivors = survivors.count()
+    val merged =
+      if (nSurvivors == 0) bloom
+      else bloom.mergeInPlace(survivors.stat.bloomFilter(
+        col("__fp64"), cfg.bloomExpectedItems, cfg.bloomFpp))
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    io.createDirectories(s"$storeDir/bloom")
+    io.writeBytesAtomic(s"$storeDir/bloom/batch=$batchId", bos.toByteArray)
 
     // 7. Funnel accounting — what the batch came in as and where rows
     //    fell out; one tiny row per batch, the operational surface a
     //    pipeline owner actually watches. Counts come from the persisted
     //    frames / the single gate scan above — no stage is re-run for a
     //    counter.
-    val nExact = signed.count()
-    val nAfterBatchDedup = nExact - batchDupIds.count()
-    val nSurvivors = survivors.count()
+    val nAfterExact = exact.count()
+    val nAfterCorpusExact = signed.count()
+    val nAfterBatchDedup = nAfterCorpusExact - batchDupIds.count()
     import spark.implicits._
-    Seq((batchId, nIn, nIn - nGated, nGated - nExact,
-        nExact - nAfterBatchDedup, nAfterBatchDedup - nSurvivors, nSurvivors))
+    Seq((batchId, nIn, nIn - nGated, nGated - nAfterExact,
+        nAfterExact - nAfterCorpusExact,
+        nAfterCorpusExact - nAfterBatchDedup, nAfterBatchDedup - nSurvivors,
+        nSurvivors))
       .toDF("batch_id", "n_in", "n_quality_dropped", "n_exact_dup",
-        "n_batch_near_dup", "n_corpus_near_dup", "n_survivors")
+        "n_corpus_exact_dup", "n_batch_near_dup", "n_corpus_near_dup",
+        "n_survivors")
       .write.mode("overwrite").parquet(s"$storeDir/stats/batch=$batchId")
 
+    exact.unpersist()
     signed.unpersist()
     bandRows.unpersist()
     storeSigs.unpersist()
@@ -264,6 +341,7 @@ object CorpusGate {
     readStore(spark, s"$storeDir/stats", StructType(Seq(
       StructField("batch_id", LongType), StructField("n_in", LongType),
       StructField("n_quality_dropped", LongType), StructField("n_exact_dup", LongType),
+      StructField("n_corpus_exact_dup", LongType),
       StructField("n_batch_near_dup", LongType), StructField("n_corpus_near_dup", LongType),
       StructField("n_survivors", LongType))), Long.MaxValue)
 }

@@ -164,6 +164,56 @@ class CorpusGateSpec extends SparkSpec {
     assert(corpusAfter(verify, fnId, "fn-ver") == Set(0L))
   }
 
+  test("exact re-submits are caught by the bloom tier, not the near-dup path") {
+    val store = tmpDir("gate-bloom-store")
+    import spark.implicits._
+    CorpusGate.curateBatch(
+      Seq(1L -> longA, 5L -> longB).toDF("doc_id", "text"), store, 0L)
+    // 30 is doc 1's text re-submitted (plus trailing whitespace — the
+    // fingerprint normalizes it away); 31 is fresh content
+    CorpusGate.curateBatch(
+      Seq(30L -> (longA + " "), 31L -> longC).toDF("doc_id", "text"), store, 1L)
+    val kept = CorpusGate.corpus(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 31L))
+    val st = CorpusGate.stats(spark, store).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the drop is accounted to the EXACT tier — it never reached the
+    // band joins — and the near-dup counter stays clean
+    assert(st(1L).getAs[Long]("n_corpus_exact_dup") == 1L)
+    assert(st(1L).getAs[Long]("n_corpus_near_dup") == 0L)
+    assert(st(1L).getAs[Long]("n_survivors") == 1L)
+    // one filter artifact per batch — the incremental chain
+    assert(Files.exists(Paths.get(store, "bloom", "batch=0")))
+    assert(Files.exists(Paths.get(store, "bloom", "batch=1")))
+    // replaying batch 1 rebuilds identical state: corpus unchanged
+    CorpusGate.curateBatch(
+      Seq(30L -> (longA + " "), 31L -> longC).toDF("doc_id", "text"), store, 1L)
+    val afterReplay = CorpusGate.corpus(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterReplay == Set(1L, 5L, 31L))
+  }
+
+  test("a saturated bloom filter only costs verify work, never answers") {
+    val store = tmpDir("gate-bloom-sat")
+    import spark.implicits._
+    // expectedItems=1 at fpp=0.5: the filter saturates immediately and
+    // answers "might contain" for nearly everything — every such row
+    // goes through the fingerprint-store verify and the result must be
+    // IDENTICAL to a well-sized filter's.
+    val cfg = CorpusGate.Config(bloomExpectedItems = 1, bloomFpp = 0.5)
+    CorpusGate.curateBatch(
+      Seq(1L -> longA, 5L -> longB).toDF("doc_id", "text"), store, 0L, cfg)
+    CorpusGate.curateBatch(
+      Seq(30L -> longA, 31L -> longC).toDF("doc_id", "text"), store, 1L, cfg)
+    val kept = CorpusGate.corpus(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 31L))
+    val st = CorpusGate.stats(spark, store).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(st(1L).getAs[Long]("n_corpus_exact_dup") == 1L)
+  }
+
   test("store listing skips non-numeric batch= directories instead of throwing") {
     val store = tmpDir("gate-badname-store")
     import spark.implicits._
