@@ -892,6 +892,52 @@ object Oracles {
          |FROM p WHERE jaccard_sim >= 0.5
          |ORDER BY section, doc_id, id_new, id_corpus""".stripMargin,
 
+    // GK-sketch percentiles: the approximate value is echoed iff it lies
+    // inside the exact quantile bracket [q(p-0.02), q(p+0.02)] — the
+    // sketch's rank-error guarantee (1/accuracy = 0.01) with margin.
+    "q_a9_approx_percentile" ->
+      s"""WITH o AS (SELECT event_type, p50, p95
+         |           FROM read_parquet('$OUT/q_a9_approx_percentile/*.parquet')),
+         |  x AS (SELECT event_type,
+         |          quantile_disc(value, 0.48) AS q50lo, quantile_disc(value, 0.52) AS q50hi,
+         |          quantile_disc(value, 0.93) AS q95lo, quantile_disc(value, 0.97) AS q95hi,
+         |          quantile_disc(value, 0.50) AS e50, quantile_disc(value, 0.95) AS e95
+         |        FROM events GROUP BY 1)
+         |SELECT o.event_type,
+         |       CASE WHEN o.p50 BETWEEN x.q50lo AND x.q50hi THEN o.p50 ELSE x.e50 END AS p50,
+         |       CASE WHEN o.p95 BETWEEN x.q95lo AND x.q95hi THEN o.p95 ELSE x.e95 END AS p95
+         |FROM o JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // Profiler: exact per-column replay; min/max render through
+    // portably-stringified types only (ints, strings, dates).
+    "q_prof1_table_profile" -> {
+      def one(c: String, expr: String): String =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(count(*) - count($expr) AS BIGINT) AS n_nulls,
+           |       CAST(count(DISTINCT $expr) AS BIGINT) AS n_distinct,
+           |       CAST(min($expr) AS VARCHAR) AS min_value,
+           |       CAST(max($expr) AS VARCHAR) AS max_value
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey" -> "l_orderkey", "l_partkey" -> "l_partkey",
+        "l_suppkey" -> "l_suppkey", "l_returnflag" -> "l_returnflag",
+        "l_linestatus" -> "l_linestatus",
+        "l_shipdate_d" -> "CAST(l_shipdate AS DATE)")
+        .map { case (c, e) => one(c, e) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+    // NFC canonicalization: both engines implement the standard Unicode
+    // composition algorithm — outputs must match byte-for-byte, and the
+    // two combining marks vanish from the character count.
+    "q_txt12_nfc_normalize" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber' AS raw
+         |           FROM documents)
+         |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+         |       CAST(length(raw) AS BIGINT) AS len_raw,
+         |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
+         |FROM d ORDER BY doc_id""".stripMargin,
+
     // Domain-level curation is fully re-derivable: stats, verdicts and
     // survivors all recompute from the documents table (exact bigint
     // sums; ratios are single double divisions — bit-equal cross-engine).

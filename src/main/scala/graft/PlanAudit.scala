@@ -79,6 +79,14 @@ object PlanAudit {
     // broadcast back as a semi-join — the corpus never shuffles on source
     "q_cur2_source_filter" -> Seq("LeftSemi", "BroadcastHashJoin",
       "!CartesianProduct", "!Window"),
+    // sketch percentiles: mergeable imperative aggregate, never a sort
+    // or window over raw events
+    "q_a9_approx_percentile" -> Seq("ObjectHashAggregate", "!Window",
+      "!Join"),
+    // profiler: ONE aggregation pass — no join, no window, no per-column
+    // scans (the per-column rows explode out of a 1-row aggregate)
+    "q_prof1_table_profile" -> Seq("HashAggregate|SortAggregate", "!Join",
+      "!Window"),
     // keyword search: ranking is the bounded top-k aggregate (map-side
     // partial state of k rows per query), query terms broadcast — never
     // a window over raw score rows, never a corpus-side SMJ

@@ -352,6 +352,47 @@ object SparkEntry {
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       approx_count_distinct(col("l_orderkey")).as("approx_orders"))
 
+  /** A9 — approximate percentiles (Greenwald-Khanna sketch,
+    * `percentile_approx`): p50/p95 of event value per type at accuracy
+    * 100 (rank error ≤ 1/100). Mergeable sketch partials — the
+    * cluster-scale alternative to exact sorts. The oracle echoes each
+    * approximate value iff it lies inside the exact quantile BRACKET
+    * [q(p−0.02), q(p+0.02)] (the published rank-error guarantee with
+    * margin), else substitutes the exact percentile and fails the hash
+    * compare. */
+  private def a9(t: Tables): DataFrame =
+    t.events.groupBy("event_type").agg(
+      percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(100)).as("p"))
+      .select(col("event_type"), col("p")(0).as("p50"), col("p")(1).as("p95"))
+      .orderBy("event_type")
+
+  /** PROF1 — table profiler: per-column null/distinct/min/max in one
+    * pass (single 1-row aggregate exploded into per-column rows).
+    * Columns are restricted to portably-rendered types; the timestamp
+    * ships as a UTC date. */
+  private def prof1(t: Tables): DataFrame =
+    graft.functions.Profiler.profile(
+        t.lineitem.withColumn("l_shipdate_d", to_date(col("l_shipdate"))),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_linestatus", "l_shipdate_d"))
+      .orderBy("column")
+
+  /** TXT12 — Unicode canonicalization: decomposed accent sequences
+    * (e + U+0301, u + U+0308) appended to every document compose to the
+    * precomposed forms under the native NFC expression — two combining
+    * marks vanish from the length, and the bytes match DuckDB's
+    * `nfc_normalize` exactly. */
+  private def txt12(t: Tables): DataFrame = {
+    // explicit escapes: the appended tail must carry the DECOMPOSED
+    // combining-mark sequences, and must survive any editor normalization
+    val decorated = concat(col("text"), lit(" cafe\u0301 u\u0308ber"))
+    t.documents.select(col("doc_id"),
+        TextFunctions.nfc(decorated).as("nfc_text"),
+        length(decorated).cast("long").as("len_raw"),
+        length(TextFunctions.nfc(decorated)).cast("long").as("len_nfc"))
+      .orderBy("doc_id")
+  }
+
   /** SET — union + except on keys (ignore_conflicts / discovery,
     * SURVEY §2.8). */
   private def set1(t: Tables): DataFrame =
@@ -1021,6 +1062,9 @@ object SparkEntry {
       "q_w1_hourly_window" -> q(w1),
       "q_w2_running_sum" -> q(w2),
       "q_a7_approx_distinct" -> q(a7),
+      "q_a9_approx_percentile" -> q(a9),
+      "q_prof1_table_profile" -> q(prof1),
+      "q_txt12_nfc_normalize" -> q(txt12),
       "q_set_union_except" -> q(set1),
       "q_txt1_quality" -> q(txt1),
       "q_txt2_langid" -> q(txt2),

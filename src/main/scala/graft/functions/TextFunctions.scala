@@ -154,6 +154,14 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(normalize(text).cast("binary"))
 
+  /** Unicode NFC canonical composition (native codegen'd expression —
+    * Spark has no built-in). Byte-different encodings of the same text
+    * ("café" precomposed vs e + combining acute) MUST collapse before
+    * any fingerprint/shingle/dedup step sees them; the JDK implements
+    * the standard Unicode algorithm, so output matches any conformant
+    * engine byte-for-byte. */
+  def nfc(text: Column): Column = graft.plans.expressions.nfcNormalize(text)
+
   /** Tiny per-language stopword profiles for the n-gram/stopword-heuristic
     * language ID. Public knowledge (most-frequent function words). */
   val stopwordProfiles: Seq[(String, Seq[String])] = Seq(

@@ -316,6 +316,40 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Unicode NFC normalization (canonical composition), codegen'd.
+    *
+    * Text pipelines must canonicalize before ANY fingerprint/shingle/
+    * dedup step: "café" with a precomposed é and "café" with e +
+    * combining acute are byte-different but the same text — without NFC
+    * they dodge exact dedup and skew shingles. Spark has no built-in for
+    * this; the JDK's `java.text.Normalizer` implements the Unicode
+    * standard algorithm, so results match any conformant engine (e.g.
+    * DuckDB's `nfc_normalize`) byte-for-byte. */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize expects a string, got ${child.dataType.sql}")
+
+    override def nullSafeEval(v: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(v.toString, java.text.Normalizer.Form.NFC))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  java.text.Normalizer.normalize($c.toString(),
+           |    java.text.Normalizer.Form.NFC));""".stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------- Column surface
 
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -332,6 +366,10 @@ object expressions {
   def bloomMightContain(filter: org.apache.spark.util.sketch.BloomFilter,
       key: Column): Column =
     Bridge.column(BloomMightContainLong(Bridge.expression(key), filter))
+
+  /** Codegen'd Unicode NFC canonical composition. */
+  def nfcNormalize(s: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(s)))
 
   /** Bounded top-k aggregate column: array of the k best (score, id) pairs,
     * best-first (score desc, id asc). */

@@ -220,6 +220,26 @@ class PropertySpec extends SparkSpec {
     (0 to 52).foreach(m => assert(ilRef(1L << m) == 1024L * m))
   }
 
+  // ----------------------------------------------------------- NFC compose
+
+  test("NFC expression == JDK Normalizer on random combining sequences") {
+    val marks = Seq('\u0301', '\u0308', '\u0300', '\u0327', '\u030A')
+    val gen = Gen.listOfN(200, for {
+      n <- Gen.chooseNum(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf(Gen.oneOf("aeiouncs AEOU".toSeq), Gen.oneOf(marks)))
+    } yield cs.mkString)
+    val xs = sample(gen, 14L)
+    val got = xs.toDF("s")
+      .select(col("s"), TextFunctions.nfc(col("s")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    xs.foreach { s =>
+      val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(got(s) == want, s"NFC mismatch on ${s.map(_.toInt.toHexString)}")
+      // idempotence: normalizing normalized text is the identity
+      assert(java.text.Normalizer.normalize(want, java.text.Normalizer.Form.NFC) == want)
+    }
+  }
+
   // --------------------------------------------------- bloom (no false neg)
 
   test("bloom filter never false-negatives inserted keys (random sets)") {
