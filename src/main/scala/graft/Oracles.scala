@@ -892,6 +892,42 @@ object Oracles {
          |FROM p WHERE jaccard_sim >= 0.5
          |ORDER BY section, doc_id, id_new, id_corpus""".stripMargin,
 
+    // Audio header decode: every field (rate, channels, declared sample
+    // count, integer-division duration) re-derives from the doc_id
+    // arithmetic that built the WAV header bytes — a single misread
+    // little-endian byte in the parser mismatches. Non-WAV rows must
+    // come back NULL, never invented.
+    "q_mm4_audio_meta" ->
+      """WITH d AS (SELECT doc_id, text, doc_id % 3 AS m,
+        |            8000 + (doc_id % 5) * 4000 AS rate,
+        |            1 + doc_id % 2 AS ch
+        |          FROM documents),
+        |  e AS (SELECT doc_id, text, m, rate, ch, ch * 2 AS ba,
+        |          ((doc_id % 1000) + 1) * 100 * (ch * 2) AS data_size
+        |        FROM d)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN m <> 2 THEN 44 ELSE strlen(text) END AS BIGINT) AS n_bytes,
+        |       CAST(CASE WHEN m <> 2 THEN rate END AS BIGINT) AS sample_rate,
+        |       CAST(CASE WHEN m <> 2 THEN ch END AS BIGINT) AS channels,
+        |       CAST(CASE WHEN m <> 2 THEN data_size // ba END AS BIGINT) AS n_samples,
+        |       CAST(CASE WHEN m <> 2 THEN ((data_size // ba) * 1000) // rate END AS BIGINT) AS duration_ms,
+        |       CASE WHEN m <> 2 THEN 'audio/x-wav'
+        |            ELSE 'application/octet-stream' END AS format
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    // k-per-group sampling replays exactly: the rank is the md5-hex draw
+    // (fixed-width hex orders like the 48-bit number it encodes), ties
+    // break to the lower id on both engines.
+    "q_samp5_group_sample" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |            substr(md5('s5:' || CAST(doc_id AS VARCHAR)), 1, 12) AS draw
+        |          FROM documents),
+        |  r AS (SELECT lang, doc_id,
+        |          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rn
+        |        FROM d)
+        |SELECT lang, doc_id AS sample_id FROM r WHERE rn <= 3
+        |ORDER BY lang, sample_id""".stripMargin,
+
     // GK-sketch percentiles: the approximate value is echoed iff it lies
     // inside the exact quantile bracket [q(p-0.02), q(p+0.02)] — the
     // sketch's rank-error guarantee (1/accuracy = 0.01) with margin.

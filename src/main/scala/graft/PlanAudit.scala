@@ -79,6 +79,10 @@ object PlanAudit {
     // broadcast back as a semi-join — the corpus never shuffles on source
     "q_cur2_source_filter" -> Seq("LeftSemi", "BroadcastHashJoin",
       "!CartesianProduct", "!Window"),
+    // k-per-group sample: bounded top-k aggregate state, never a window
+    // ranking raw rows
+    "q_samp5_group_sample" -> Seq("ObjectHashAggregate", "!Window",
+      "!Join"),
     // sketch percentiles: mergeable imperative aggregate, never a sort
     // or window over raw events
     "q_a9_approx_percentile" -> Seq("ObjectHashAggregate", "!Window",

@@ -352,6 +352,17 @@ object SparkEntry {
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       approx_count_distinct(col("l_orderkey")).as("approx_orders"))
 
+  /** SAMP5 — deterministic k-per-group sample: 3 documents per language
+    * by content-hash rank, via the bounded top-k aggregate (k rows of
+    * state per group — never a window over raw rows). The 48-bit draw is
+    * double-exact and hex-orderable, so DuckDB replays the exact same
+    * selection. */
+  private def samp5(t: Tables): DataFrame =
+    SampleFunctions.samplePerGroup(
+        t.documents.select("lang", "doc_id"), Seq("lang"), col("doc_id"),
+        k = 3, seed = "s5")
+      .orderBy("lang", "sample_id")
+
   /** A9 — approximate percentiles (Greenwald-Khanna sketch,
     * `percentile_approx`): p50/p95 of event value per type at accuracy
     * 100 (rank error ≤ 1/100). Mergeable sketch partials — the
@@ -997,6 +1008,50 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** MM4 — audio metadata through the REAL RIFF/WAVE header parser: two
+    * thirds of the rows carry genuine WAV headers (RIFF → fmt → data,
+    * little-endian fields built by hex construction) with doc_id-derived
+    * rate/channels/length; the rest are raw text (null-meta fallback —
+    * no invented sample rates). Duration is integer-exact division. A
+    * single misread little-endian byte mismatches the oracle, which
+    * re-derives every field from the doc_id arithmetic. */
+  private def mm4(t: Tables): DataFrame = {
+    def le16(x: Column): Column = {
+      val h = lpad(lower(hex(x)), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le32(x: Column): Column = {
+      val h = lpad(lower(hex(x)), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val m = pmod(col("doc_id"), lit(3))
+    val rate = (lit(8000) + pmod(col("doc_id"), lit(5)) * lit(4000)).cast("long")
+    val ch = (lit(1) + pmod(col("doc_id"), lit(2))).cast("long")
+    val blockAlign = ch * lit(2L) // 16-bit PCM
+    val byteRate = rate * blockAlign
+    val dataSize = ((pmod(col("doc_id"), lit(1000)) + 1) * lit(100L) * blockAlign).cast("long")
+    val wavHex = concat(
+      lit("52494646"), le32(dataSize + 36), lit("57415645"), // RIFF size WAVE
+      lit("666d7420"), le32(lit(16L)),                       // "fmt " 16
+      le16(lit(1L)), le16(ch), le32(rate), le32(byteRate),   // PCM, ch, rates
+      le16(blockAlign), le16(lit(16L)),                      // align, bits
+      lit("64617461"), le32(dataSize))                       // "data" size
+    val payload = when(m =!= 2, unhex(wavHex)).otherwise(col("text").cast("binary"))
+    graft.multimodal.BinaryPipeline.decodeAudio(
+        t.documents.select("doc_id", "text").withColumn("payload", payload))
+      .select(col("doc_id"),
+        col("audio_meta.n_bytes").as("n_bytes"),
+        col("audio_meta.sample_rate").cast("long").as("sample_rate"),
+        col("audio_meta.channels").cast("long").as("channels"),
+        col("audio_meta.n_samples").as("n_samples"),
+        when(col("audio_meta.sample_rate").isNotNull,
+          call_function("div", col("audio_meta.n_samples") * 1000L,
+            col("audio_meta.sample_rate").cast("long"))).as("duration_ms"),
+        col("audio_meta.format").as("format"))
+      .orderBy("doc_id")
+  }
+
   /** The shared decode front of the mm2/mm3 queries: documents text as
     * the stand-in payload, run through the real batch-decode plumbing. */
   private def decodedDocs(t: Tables): DataFrame =
@@ -1085,6 +1140,7 @@ object SparkEntry {
       "q_txt9_line_dedup" -> q(txt9),
       "q_txt10_surprisal" -> q(txt10),
       "q_samp4_target_mixture" -> q(samp4),
+      "q_samp5_group_sample" -> q(samp5),
       "q_rep1_corpus_report" -> q(rep1),
       "q_txt11_card_redact" -> q(txt11),
       "q_dd8_simhash_pairs" -> q(dd8),
@@ -1102,7 +1158,8 @@ object SparkEntry {
       "q_dd10_semantic_dedup" -> q(dd10),
       "q_mm1_binary_meta" -> q(mm1),
       "q_mm2_frame_sample" -> q(mm2),
-      "q_mm3_resize_meta" -> q(mm3))
+      "q_mm3_resize_meta" -> q(mm3),
+      "q_mm4_audio_meta" -> q(mm4))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -126,4 +126,27 @@ object SampleFunctions {
         floor(col("__start") / lit(budgetTokens.toDouble)).cast("long").as("seq"),
         (col("__start") % lit(budgetTokens)).as("seq_offset"))
   }
+
+  /** Deterministic k-per-group sample — "give me k examples from every
+    * language / domain / quality bucket", the inspection-and-eval
+    * sampling step of corpus work. Each row draws a 48-bit content-hash
+    * rank (same family as [[hashDraw]] — stable under repartition,
+    * retries and engines); the k smallest draws per group win through
+    * the bounded top-k aggregate — k rows of state per group on every
+    * executor, map-side partials, never a window over raw rows. 48 bits
+    * fit a double exactly, and fixed-width hex compares like the number
+    * it encodes, so an oracle replays the ordering from the same md5
+    * hex. Ties (a 48-bit collision) break to the lower id on both
+    * sides. Output: group columns + `sample_id`. */
+  def samplePerGroup(df: DataFrame, groupCols: Seq[String], id: Column,
+      k: Int, seed: String): DataFrame = {
+    require(k > 0, s"sample size k=$k must be positive")
+    val draw = substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 12)
+    // negate: topKByScore keeps the HIGHEST scores; we want smallest draws
+    val score = -conv(draw, 16, 10).cast("double")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.plans.expressions.topKByScore(score, id, k).as("__top"))
+      .select(groupCols.map(col) :+ explode(col("__top")).as("__p"): _*)
+      .select(groupCols.map(col) :+ col("__p.id").as("sample_id"): _*)
+  }
 }

@@ -120,6 +120,93 @@ object BinaryPipeline {
     }
   }
 
+  /** Real pure-JVM WAV (RIFF/WAVE) header decode — the audio modality's
+    * analogue of [[HeaderCodec]]: the PCM format chunk ("fmt ") and the
+    * declared data-chunk size give sample rate, channels, bit depth and
+    * sample count without touching a single sample (public RIFF layout,
+    * little-endian fields; no native libs). Bytes that aren't RIFF/WAVE,
+    * or whose chunk walk is structurally broken, yield None. */
+  object WavCodec {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+        (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
+
+    /** (sample_rate, channels, bits_per_sample, n_samples). The data
+      * chunk's DECLARED size counts even when the samples aren't
+      * attached — this is header decode, the same contract as image
+      * dimensions from IHDR/SOF. */
+    def decode(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+        return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // (ch, rate, bits, blockAlign)
+      var dataSize: Option[Long] = None
+      while (i + 8 <= b.length && (fmt.isEmpty || dataSize.isEmpty)) {
+        val id = tag(b, i)
+        val size = le32(b, i + 4)
+        if (id == "fmt ") {
+          if (size < 16 || i + 8 + 16 > b.length) return None
+          fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt,
+            le16(b, i + 22), le16(b, i + 20)))
+        } else if (id == "data") dataSize = Some(size)
+        // chunks are word-aligned; a declared-but-absent data body just
+        // ends the walk via the loop bound
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      for {
+        (ch, rate, bits, blockAlign) <- fmt
+        ds <- dataSize
+        if ch > 0 && rate > 0 && blockAlign > 0
+      } yield (rate, ch, bits, ds / blockAlign)
+    }
+  }
+
+  /** Typed metadata emitted by audio decode. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("content_hash", StringType),
+    StructField("n_bytes", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("format", StringType)))
+
+  /** Audio decode over partition-sized batches — same iterator contract
+    * as [[decodeMedia]], same codec seam. Non-WAV bytes get NULL audio
+    * fields and format 'application/octet-stream': unlike image
+    * dimensions there is no meaningful fake for a sample rate, and
+    * downstream (duration math, resampling plans) must skip on NULL
+    * rather than compute on an invented value. */
+  def decodeAudio(df: DataFrame, payloadCol: String = "payload",
+      codec: Array[Byte] => Option[(Int, Int, Int, Long)] = WavCodec.decode): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("audio_meta", audioMetaSchema))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        md5.reset()
+        val hash = if (bytes == null) null
+        else md5.digest(bytes).map("%02x".format(_)).mkString
+        val nBytes = if (bytes == null) 0L else bytes.length.toLong
+        val meta = codec(bytes) match {
+          case Some((rate, ch, bits, nSamples)) =>
+            Row(hash, nBytes, rate, ch, bits, nSamples, "audio/x-wav")
+          case None =>
+            Row(hash, nBytes, null, null, null, null, "application/octet-stream")
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(encoder)
+  }
+
   /** Attach a binary payload column (here derived from text for the
     * harness `documents` table; in production this IS the stored bytes). */
   def withPayload(df: DataFrame, sourceCol: String): DataFrame =

@@ -75,6 +75,36 @@ class SampleFunctionsSpec extends SparkSpec {
     assert(sharded == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("samplePerGroup: k per group by hash rank, matching a driver reference") {
+    import java.security.MessageDigest
+    def draw(id: Long): String = MessageDigest.getInstance("MD5")
+      .digest(s"g5:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val rows = (0L until 40L).map(i => (if (i % 2 == 0) "a" else "b", i))
+    val expected = rows.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).sortBy(i => (draw(i), i)).take(3).toSet
+    }
+    val got = SampleFunctions.samplePerGroup(
+        rows.toDF("g", "id"), Seq("g"), col("id"), k = 3, seed = "g5")
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(1)).toSet }
+    assert(got === expected)
+    // repartitioning must not change the selection
+    val gotShuffled = SampleFunctions.samplePerGroup(
+        rows.toDF("g", "id").repartition(7), Seq("g"), col("id"), k = 3, seed = "g5")
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(1)).toSet }
+    assert(gotShuffled === expected)
+  }
+
+  test("samplePerGroup: groups smaller than k return whole groups") {
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 3L))
+    val got = SampleFunctions.samplePerGroup(
+        rows.toDF("g", "id"), Seq("g"), col("id"), k = 5, seed = "s")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === rows.toSet)
+  }
+
   test("null id: split lands on 'test', stratified sample never keeps it") {
     val rows = Seq(Some(1L), None).toDF("id")
     val labels = rows

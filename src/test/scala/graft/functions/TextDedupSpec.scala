@@ -300,6 +300,35 @@ class TextDedupSpec extends SparkSpec {
     assert(m == again)
   }
 
+  test("wav codec: canonical 44-byte header decoded; junk and truncation yield None") {
+    import graft.multimodal.BinaryPipeline.WavCodec
+    def bytes(hexStr: String): Array[Byte] =
+      hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // canonical PCM header: 44100 Hz stereo 16-bit, data size 400 bytes
+    // → 100 samples (blockAlign 4). Little-endian fields throughout.
+    val wav = bytes(
+      "52494646" + "b4010000" + "57415645" + // RIFF 436 WAVE
+        "666d7420" + "10000000" +             // fmt , 16
+        "0100" + "0200" + "44ac0000" + "10b10200" + // PCM, 2ch, 44100, 176400
+        "0400" + "1000" +                     // blockAlign 4, 16 bits
+        "64617461" + "90010000")              // data, 400
+    assert(WavCodec.decode(wav) == Some((44100, 2, 16, 100L)))
+    // declared data size counts even with no sample bytes attached —
+    // header decode, the same contract as image dimensions
+    assert(WavCodec.decode(wav ++ Array.fill[Byte](400)(0)) == Some((44100, 2, 16, 100L)))
+    // junk/truncation/nulls refuse rather than invent a sample rate
+    assert(WavCodec.decode("RIFFxxxxWAVE".getBytes("US-ASCII")) == None)
+    assert(WavCodec.decode(wav.take(20)) == None)
+    assert(WavCodec.decode("not audio at all".getBytes("UTF-8")) == None)
+    assert(WavCodec.decode(null) == None)
+    // a zero block-align must not divide-by-zero into an answer
+    val zeroAlign = bytes(
+      "52494646" + "b4010000" + "57415645" + "666d7420" + "10000000" +
+        "0100" + "0200" + "44ac0000" + "10b10200" + "0000" + "1000" +
+        "64617461" + "90010000")
+    assert(WavCodec.decode(zeroAlign) == None)
+  }
+
   test("header codec: real PNG/JPEG dimensions decoded, other bytes fall back to fake") {
     import graft.multimodal.BinaryPipeline.{FakeCodec, HeaderCodec}
     def bytes(hexStr: String): Array[Byte] =
