@@ -116,6 +116,13 @@ object CorpusGate {
     StructField("fp64", LongType),
     StructField("fp", StringType)))
 
+  private val statsSchema = StructType(Seq(
+    StructField("batch_id", LongType), StructField("n_in", LongType),
+    StructField("n_quality_dropped", LongType), StructField("n_exact_dup", LongType),
+    StructField("n_corpus_exact_dup", LongType),
+    StructField("n_batch_near_dup", LongType), StructField("n_corpus_near_dup", LongType),
+    StructField("n_survivors", LongType)))
+
   /** The accepted corpus's exact-dedup bloom filter as of the largest
     * batch BELOW `beforeBatch` — the incremental artifact chain: batch N
     * writes (filter of N−1) ∪ (N's survivors), so reading one small file
@@ -141,6 +148,10 @@ object CorpusGate {
       cfg: Config = Config(), io: TableIO = LocalTableIO): Unit = {
     val spark = batch.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Finish any compaction swap a crash interrupted BEFORE reading the
+    // stores (four marker probes — cheap when nothing is pending).
+    Seq("corpus", "sigs", "fps", "stats")
+      .foreach(sub => healCompaction(s"$storeDir/$sub", io))
 
     // 1. Quality gates — cheap per-row filters first, so everything
     //    downstream (shingling, signatures, joins) runs on the survivors.
@@ -333,15 +344,91 @@ object CorpusGate {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  // ------------------------------------------------------------ compaction
+
+  /** Numeric batch ids present under `dir`. */
+  private def batchIds(dir: String, io: TableIO): Seq[Long] =
+    io.listDir(dir).flatMap { case (name, _) =>
+      if (name.startsWith("batch=")) name.stripPrefix("batch=").toLongOption
+      else None
+    }
+
+  /** Compact every per-batch partition with id ≤ `upToBatch` into ONE
+    * partition named `batch=<upToBatch>` — the small-files answer for a
+    * long-running gate (thousands of micro-batches = thousands of tiny
+    * parquet directories; scan cost and file-listing latency grow with
+    * file count, not data size). Batch ids above `upToBatch` are
+    * untouched, so the `batch < id` replay contract still holds for
+    * every future batch; the bloom chain keeps only its newest artifact
+    * ≤ `upToBatch` (which by construction contains all of them).
+    *
+    * Crash safety is the MergeWriter sidecar discipline per sub-store:
+    * the consolidated partition is fully written under a non-numeric
+    * name (readers SKIP non-numeric suffixes), a `compact.pending`
+    * marker commits the intent, and only then are source partitions
+    * dropped and the new partition swapped in; [[curateBatch]] heals an
+    * interrupted swap before reading anything. MUST run between batches
+    * (the gate is a sequential foreachBatch pipeline — there is no
+    * concurrent reader to race).
+    *
+    * `numFiles` sizes the consolidated partition (1 is right locally;
+    * at cluster scale pick ≈ consolidated-bytes / 128 MB). */
+  def compact(spark: SparkSession, storeDir: String, upToBatch: Long,
+      numFiles: Int = 1, io: TableIO = LocalTableIO): Unit = {
+    Seq("corpus" -> docSchema, "sigs" -> sigSchema, "fps" -> fpsSchema,
+      "stats" -> statsSchema).foreach { case (sub, schema) =>
+      compactTable(spark, s"$storeDir/$sub", schema, upToBatch, numFiles, io)
+    }
+    // bloom chain: the newest artifact ≤ upToBatch subsumes the older ones
+    val blooms = batchIds(s"$storeDir/bloom", io).filter(_ <= upToBatch)
+    if (blooms.nonEmpty) {
+      val keep = blooms.max
+      blooms.filter(_ != keep).foreach(id =>
+        io.deleteRecursively(s"$storeDir/bloom/batch=$id"))
+    }
+  }
+
+  private def compactTable(spark: SparkSession, dir: String,
+      schema: StructType, upTo: Long, numFiles: Int, io: TableIO): Unit = {
+    healCompaction(dir, io)
+    val srcs = batchIds(dir, io).filter(_ <= upTo).sorted
+    if (srcs.size <= 1) return // nothing to consolidate
+    val tmp = s"$dir/batch=$upTo.compacting" // non-numeric suffix: invisible
+    io.deleteRecursively(tmp)
+    spark.read.schema(schema)
+      .parquet(srcs.map(id => s"$dir/batch=$id"): _*)
+      .coalesce(math.max(numFiles, 1))
+      .write.mode("overwrite").parquet(tmp)
+    // Commit point: from here the swap must complete (heal finishes it).
+    io.writeStringAtomic(s"$dir/compact.pending", upTo.toString)
+    finishCompaction(dir, upTo, io)
+  }
+
+  /** The post-commit half of the swap; idempotent, so heal can re-run it
+    * from any crash point. */
+  private def finishCompaction(dir: String, upTo: Long, io: TableIO): Unit = {
+    val tmp = s"$dir/batch=$upTo.compacting"
+    if (io.exists(tmp)) {
+      batchIds(dir, io).filter(_ <= upTo).foreach(id =>
+        io.deleteRecursively(s"$dir/batch=$id"))
+      io.atomicMove(tmp, s"$dir/batch=$upTo")
+    } else {
+      // the move already happened; only stale sources may remain
+      batchIds(dir, io).filter(_ < upTo).foreach(id =>
+        io.deleteRecursively(s"$dir/batch=$id"))
+    }
+    io.deleteRecursively(s"$dir/compact.pending")
+  }
+
+  /** Complete an interrupted compaction swap (no-op when none pending). */
+  private def healCompaction(dir: String, io: TableIO): Unit =
+    io.readString(s"$dir/compact.pending").flatMap(_.trim.toLongOption)
+      .foreach(upTo => finishCompaction(dir, upTo, io))
+
   /** The accepted corpus as a DataFrame (all batches). */
   def corpus(spark: SparkSession, storeDir: String): DataFrame =
     readStore(spark, s"$storeDir/corpus", docSchema, Long.MaxValue)
 
   def stats(spark: SparkSession, storeDir: String): DataFrame =
-    readStore(spark, s"$storeDir/stats", StructType(Seq(
-      StructField("batch_id", LongType), StructField("n_in", LongType),
-      StructField("n_quality_dropped", LongType), StructField("n_exact_dup", LongType),
-      StructField("n_corpus_exact_dup", LongType),
-      StructField("n_batch_near_dup", LongType), StructField("n_corpus_near_dup", LongType),
-      StructField("n_survivors", LongType))), Long.MaxValue)
+    readStore(spark, s"$storeDir/stats", statsSchema, Long.MaxValue)
 }

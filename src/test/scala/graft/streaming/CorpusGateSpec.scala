@@ -214,6 +214,71 @@ class CorpusGateSpec extends SparkSpec {
     assert(st(1L).getAs[Long]("n_corpus_exact_dup") == 1L)
   }
 
+  test("compaction folds per-batch partitions into one, preserving every answer") {
+    val store = tmpDir("gate-compact-store")
+    import spark.implicits._
+    CorpusGate.curateBatch(
+      Seq(1L -> longA, 2L -> longANear, 5L -> longB).toDF("doc_id", "text"), store, 0L)
+    CorpusGate.curateBatch(Seq(10L -> longC).toDF("doc_id", "text"), store, 1L)
+    CorpusGate.curateBatch(Seq(11L -> longB).toDF("doc_id", "text"), store, 2L)
+    val corpusBefore = CorpusGate.corpus(spark, store)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val statsBefore = CorpusGate.stats(spark, store)
+      .collect().map(_.toSeq).toSet
+
+    CorpusGate.compact(spark, store, upToBatch = 2L)
+
+    // one partition per sub-store, nothing but batch=2
+    Seq("corpus", "sigs", "fps", "stats", "bloom").foreach { sub =>
+      val names = java.nio.file.Files.list(Paths.get(store, sub))
+        .toArray.map(_.toString.split('/').last).filter(_.startsWith("batch="))
+      assert(names.toSeq == Seq("batch=2"), s"$sub: ${names.toSeq}")
+    }
+    // every answer preserved: corpus rows, per-batch stats rows
+    assert(CorpusGate.corpus(spark, store)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == corpusBefore)
+    assert(CorpusGate.stats(spark, store)
+      .collect().map(_.toSeq).toSet == statsBefore)
+
+    // the gate still works on the compacted store: exact + near dedup
+    // against the consolidated corpus, fresh content accepted
+    CorpusGate.curateBatch(
+      Seq(20L -> longA, 21L -> longANear,
+        22L -> "entirely new sentence about bloom filters and compaction work")
+        .toDF("doc_id", "text"), store, 3L)
+    val kept = CorpusGate.corpus(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 10L, 22L))
+    val st3 = CorpusGate.stats(spark, store).collect()
+      .map(r => r.getLong(0) -> r).toMap.apply(3L)
+    assert(st3.getAs[Long]("n_corpus_exact_dup") == 1L) // 20 = exact re-submit
+    assert(st3.getAs[Long]("n_corpus_near_dup") == 1L)  // 21 = near-dup of 1
+  }
+
+  test("an interrupted compaction swap heals before the next batch reads") {
+    val store = tmpDir("gate-compact-heal")
+    import spark.implicits._
+    CorpusGate.curateBatch(Seq(1L -> longA).toDF("doc_id", "text"), store, 0L)
+    CorpusGate.curateBatch(Seq(2L -> longB).toDF("doc_id", "text"), store, 1L)
+    // Simulate a crash AFTER the commit point of the corpus sub-store's
+    // swap: consolidated data fully written under the invisible name,
+    // marker present, sources still in place.
+    val dir = Paths.get(store, "corpus")
+    val docs = CorpusGate.corpus(spark, store)
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$store/corpus/batch=1.compacting")
+    Files.write(dir.resolve("compact.pending"), "1".getBytes("UTF-8"))
+    // the next batch heals first, then reads a consistent store
+    CorpusGate.curateBatch(Seq(3L -> longC).toDF("doc_id", "text"), store, 2L)
+    assert(!Files.exists(dir.resolve("compact.pending")))
+    assert(!Files.exists(dir.resolve("batch=1.compacting")))
+    val names = java.nio.file.Files.list(dir)
+      .toArray.map(_.toString.split('/').last).filter(_.startsWith("batch="))
+    assert(names.toSeq.sorted == Seq("batch=1", "batch=2"))
+    assert(CorpusGate.corpus(spark, store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
   test("store listing skips non-numeric batch= directories instead of throwing") {
     val store = tmpDir("gate-badname-store")
     import spark.implicits._
