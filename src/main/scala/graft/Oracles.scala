@@ -41,6 +41,11 @@ object Oracles {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
 
+  /** Squared L2 of two DOUBLE[] as a strictly left-to-right fold —
+    * bit-compatible with Similarity.l2Sq's aggregate(zip_with(...)). */
+  private def l2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+
   private val langProfiles = Seq(
     "en" -> Seq(" the ", " and ", " of "),
     "es" -> Seq(" el ", " la ", " de "),
@@ -891,6 +896,42 @@ object Oracles {
          |SELECT 'pair', NULL, NULL, id_new, id_corpus, jaccard_sim
          |FROM p WHERE jaccard_sim >= 0.5
          |ORDER BY section, doc_id, id_new, id_corpus""".stripMargin,
+
+    // Product quantization: only the codebooks are trusted input; codes
+    // (per-subspace argmin with lowest-cell ties) and reconstruction
+    // errors (the ADC distance) re-derive from the embeddings table by
+    // slice + left-fold replay.
+    "q_sim5_pq" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim5_pq/*.parquet')),
+         |  cb AS (SELECT sub, cell, centroid FROM o WHERE section = 'codebook'),
+         |  sd AS (SELECT len(centroid) AS w FROM cb LIMIT 1),
+         |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |  sl AS (SELECT e.vec_id, cb.sub, cb.cell, cb.centroid,
+         |           list_slice(e.v, CAST(cb.sub * sd.w + 1 AS BIGINT),
+         |             CAST((cb.sub + 1) * sd.w AS BIGINT)) AS sv
+         |         FROM e CROSS JOIN cb CROSS JOIN sd),
+         |  d AS (SELECT vec_id, sub, cell, ${l2Sql("sv", "centroid")} AS dist
+         |        FROM sl),
+         |  asg AS (SELECT vec_id, sub, cell FROM (
+         |            SELECT vec_id, sub, cell, ROW_NUMBER() OVER (
+         |              PARTITION BY vec_id, sub ORDER BY dist ASC, cell ASC) AS rn
+         |            FROM d)
+         |          WHERE rn = 1),
+         |  codes AS (SELECT vec_id, list(cell ORDER BY sub) AS codes
+         |            FROM asg GROUP BY 1),
+         |  recon AS (SELECT a.vec_id, flatten(list(c2.centroid ORDER BY a.sub)) AS r
+         |            FROM asg a JOIN cb c2 ON a.sub = c2.sub AND a.cell = c2.cell
+         |            GROUP BY 1),
+         |  errs AS (SELECT e.vec_id, ${l2Sql("e.v", "recon.r")} AS err
+         |           FROM e JOIN recon USING (vec_id))
+         |SELECT 'codebook' AS section, sub, cell, centroid,
+         |       CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT[]) AS codes,
+         |       CAST(NULL AS DOUBLE) AS err
+         |FROM cb
+         |UNION ALL
+         |SELECT 'vec', NULL, NULL, NULL, c.vec_id, c.codes, errs.err
+         |FROM codes c JOIN errs USING (vec_id)
+         |ORDER BY section, sub, cell, vec_id""".stripMargin,
 
     // Audio header decode: every field (rate, channels, declared sample
     // count, integer-division duration) re-derives from the doc_id

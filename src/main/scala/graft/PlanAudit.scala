@@ -70,6 +70,10 @@ object PlanAudit {
     // quantization + reconstruction error is pure per-row array math
     "q_sim4_quantize" -> Seq("codegen id", "!Window", "!HashAggregate",
       "!Join"),
+    // PQ: encode/decode/error are literal-backed per-row map passes over
+    // the corpus — no join, no window, no aggregate anywhere
+    "q_sim5_pq" -> Seq("!Window", "!Join", "!HashAggregate",
+      "!CartesianProduct"),
     // curation funnel: the lang equality must reach the scan, the
     // contamination benchmark side must broadcast, and nothing may
     // cartesian

@@ -971,6 +971,38 @@ object SparkEntry {
       .orderBy("section", "cell", "vec_id")
   }
 
+  /** SIM5 — product quantization: m=4 subspaces × k=16 L2 centroids
+    * (driver-trained over the bounded deterministic sample), every
+    * embedding becomes 4 codes — 64× smaller than its float32 form —
+    * plus its exact reconstruction error (which IS the ADC distance to
+    * the decoded point). Only the codebooks are echoed; the codes and
+    * errors re-derive in DuckDB by argmin + left-fold replay, so a
+    * misassigned subspace or a drifted fold order mismatches. */
+  private def sim5(t: Tables): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    val cbs = Similarity.trainPqCodebooks(
+      t.embeddings, "vec_id", "embedding", m = 4, k = 16, maxIter = 4)
+    val coded = t.embeddings
+      .withColumn("codes", Similarity.pqEncode(col("embedding"), cbs))
+      .withColumn("err",
+        Similarity.l2Sq(col("embedding").cast("array<double>"),
+          Similarity.pqDecode(col("codes"), cbs)))
+      .select("vec_id", "codes", "err")
+    val cbRows = cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, ci) => (s.toLong, ci.toLong, c.toSeq) }
+    }.toSeq.toDF("sub", "cell", "centroid")
+    val nl = lit(null).cast("long")
+    cbRows.select(lit("codebook").as("section"), col("sub"), col("cell"),
+        col("centroid"), nl.as("vec_id"),
+        lit(null).cast("array<bigint>").as("codes"),
+        lit(null).cast("double").as("err"))
+      .unionByName(coded.select(lit("vec").as("section"), nl.as("sub"),
+        nl.as("cell"), lit(null).cast("array<double>").as("centroid"),
+        col("vec_id"), col("codes").cast("array<bigint>"), col("err")))
+      .orderBy("section", "sub", "cell", "vec_id")
+  }
+
   // ---------------------------------------------------------------- M: multimodal
 
   /** MM1 — opaque binary column plumbing with REAL header decode: a
@@ -1155,6 +1187,7 @@ object SparkEntry {
       "q_sim2_lsh_ann" -> q(sim2),
       "q_sim3_ivf_ann" -> q(sim3),
       "q_sim4_quantize" -> q(sim4),
+      "q_sim5_pq" -> q(sim5),
       "q_dd10_semantic_dedup" -> q(dd10),
       "q_mm1_binary_meta" -> q(mm1),
       "q_mm2_frame_sample" -> q(mm2),

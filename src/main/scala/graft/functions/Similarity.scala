@@ -133,28 +133,27 @@ object Similarity {
     * for a degenerate corpus (no rows / all-zero vectors). Seeded and
     * sequentially folded — bit-stable across runs, partitionings and
     * retries. */
-  def trainSphericalCentroids(
-      corpus: DataFrame, cId: String, cVec: String,
-      nlist: Int, seed: Long = 42L, maxIter: Int = 10,
-      fitSampleRows: Int = 100000,
-      fitSampleBudgetDoubles: Long = 16000000L): Array[Array[Double]] = {
+  /** Deterministic bounded fit sample, collected in id order (the
+    * sequential trainer folds must see a fixed operand order — float
+    * addition is not associative, and bit-stable centroids are what make
+    * the quantizer operators replay-identical). The rate comes from a
+    * count(*) over the raw corpus (metadata-weight, column-pruned); the
+    * seeded hash-mod filter is stable across runs (no RNG state, unlike
+    * df.sample) and prunes below the vector projection, so only sampled
+    * rows are decoded and collected. The collect is bounded by rows×dim,
+    * not rows alone: the dim is probed with a limit-1 scan and the row
+    * cap shrinks to the doubles budget (default 16M ≈ 128 MB raw), so
+    * 768-1536-dim embeddings cannot OOM the driver. */
+  private def fitSampleVectors(corpus: DataFrame, cId: String, cVec: String,
+      minRows: Int, seed: Long, fitSampleRows: Int,
+      fitSampleBudgetDoubles: Long): Array[Array[Double]] = {
     val corpusSel = corpus.select(col(cId).as("__id"), col(cVec).as("__v"))
-    // Deterministic bounded fit sample. The rate comes from a count(*)
-    // over the raw corpus (metadata-weight, column-pruned — no vector
-    // decode); the seeded hash-mod filter is stable across runs (no RNG
-    // state, unlike df.sample) and prunes below the vector projection, so
-    // only sampled rows are decoded and collected.
     val n = corpus.count()
-    // The collect is bounded by rows*dim, not rows alone: at dim 768-1536
-    // a 100k-row sample is ~0.6-1.2 GB of boxed vectors on the driver.
-    // Probe the dim from a single row (limit-1 scan) and shrink the
-    // effective row cap so sampled payload stays under the doubles budget
-    // (default 16M doubles ~ 128 MB raw).
     val probedDim = corpusSel.filter(col("__v").isNotNull)
       .select(size(col("__v"))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
     val effSampleRows =
       if (probedDim <= 0) fitSampleRows
-      else math.max(nlist, math.min(
+      else math.max(minRows, math.min(
         fitSampleRows.toLong, fitSampleBudgetDoubles / probedDim).toInt)
     val sampled =
       if (n <= effSampleRows) corpusSel
@@ -169,15 +168,22 @@ object Similarity {
           .orderBy(h.asc, col("__id").asc)
           .limit(effSampleRows)
       }
-    // Collect in id order so the sequential centroid folds see a fixed
-    // operand order — float addition is not associative, and bit-stable
-    // centroids are what make the whole operator replay-identical.
-    val sampleVecs: Array[Array[Double]] = sampled
+    sampled
       .orderBy("__id")
       .select(col("__v").cast("array<double>"))
       .collect()
       .filter(!_.isNullAt(0)) // null vectors can't train (before getSeq!)
       .map(_.getSeq[Double](0).toArray)
+  }
+
+  def trainSphericalCentroids(
+      corpus: DataFrame, cId: String, cVec: String,
+      nlist: Int, seed: Long = 42L, maxIter: Int = 10,
+      fitSampleRows: Int = 100000,
+      fitSampleBudgetDoubles: Long = 16000000L): Array[Array[Double]] = {
+    val sampleVecs: Array[Array[Double]] =
+      fitSampleVectors(corpus, cId, cVec, nlist, seed, fitSampleRows,
+        fitSampleBudgetDoubles)
       .filter(_.exists(_ != 0.0))
       .map { v =>
         val nrm = math.sqrt(v.map(x => x * x).sum)
@@ -389,4 +395,122 @@ object Similarity {
     transform(q.getField("codes"), c =>
       q.getField("zero") +
         (c.cast("double") + 128.0) * q.getField("scale"))
+
+  // ------------------------------------------------- product quantization
+
+  /** Squared L2 distance over double arrays, strict left-to-right fold
+    * (engine-replayable for the same reason as [[dot]]). */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantization codebooks — the storage lever PAST int8:
+    * the vector splits into `m` subspaces and each subvector is replaced
+    * by the id of its nearest of `k` per-subspace centroids, so a
+    * 64-dim float vector (256 B) becomes m=4 codes (4 B) — 64×. The
+    * PQ approximation `||q − decode(codes)||²` equals the classic
+    * asymmetric-distance (ADC) sum by construction, so search over codes
+    * needs only the codebooks (tiny, broadcast) and the code columns.
+    *
+    * Training is per-subspace seeded L2 Lloyd's ON THE DRIVER over the
+    * same bounded deterministic sample discipline as
+    * [[trainSphericalCentroids]] — no distributed fit jobs; the
+    * corpus-sized encode pass is one codegen-friendly argmin scan,
+    * shuffle-free. Returns m × k' × (dim/m) (k' ≤ k when the sample is
+    * small); empty when the corpus has no usable vectors. */
+  def trainPqCodebooks(corpus: DataFrame, cId: String, cVec: String,
+      m: Int = 4, k: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+      fitSampleRows: Int = 100000,
+      fitSampleBudgetDoubles: Long = 16000000L): Array[Array[Array[Double]]] = {
+    require(m > 0 && k > 0, s"m=$m, k=$k must be positive")
+    val sample = fitSampleVectors(corpus, cId, cVec, k, seed, fitSampleRows,
+      fitSampleBudgetDoubles)
+    if (sample.isEmpty) return Array.empty
+    val dim = sample.head.length
+    require(dim % m == 0, s"vector dim $dim is not divisible by m=$m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val vecs = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      kMeansL2(vecs, k, seed + s, maxIter)
+    }
+  }
+
+  /** Seeded driver-side plain-L2 Lloyd's (assignment by min squared
+    * distance, ties to the lowest cell; recenter to the mean; empty
+    * cells keep their previous centroid). */
+  private def kMeansL2(vecs: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int): Array[Array[Double]] = {
+    // Seed from DISTINCT vectors: duplicate seeds would tie every
+    // assignment to the lower cell, starve the twin forever, and waste a
+    // centroid. k' shrinks when the data has fewer distinct points.
+    val distinctIdx = vecs.zipWithIndex
+      .groupBy(_._1.toSeq).map(_._2.head._2).toVector.sorted
+    val kk = math.min(k, distinctIdx.length)
+    val dim = vecs.head.length
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(distinctIdx).take(kk)
+      .map(vecs(_)).toArray
+    var assign = Array.fill(vecs.length)(-1)
+    var iter = 0
+    var moved = true
+    while (moved && iter < maxIter) {
+      moved = false
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val cnts = new Array[Int](kk)
+      var vi = 0
+      while (vi < vecs.length) {
+        val v = vecs(vi)
+        var best = 0; var bestD = Double.PositiveInfinity
+        var ci = 0
+        while (ci < kk) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - centroids(ci)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        if (assign(vi) != best) { assign(vi) = best; moved = true }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        cnts(best) += 1
+        vi += 1
+      }
+      centroids = centroids.indices.map { ci =>
+        if (cnts(ci) == 0) centroids(ci)
+        else sums(ci).map(_ / cnts(ci))
+      }.toArray
+      iter += 1
+    }
+    centroids
+  }
+
+  /** PQ encode: per subspace, the id of the L2-nearest centroid (ties to
+    * the lowest id — `array_position` finds the FIRST minimum). One
+    * literal-backed map pass per row, no shuffle, no join. Output
+    * array<int> of length m. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    require(codebooks.nonEmpty, "empty codebooks")
+    val sub = codebooks.head.head.length
+    val codes = codebooks.zipWithIndex.map { case (cb, s) =>
+      val cbLit = array(cb.map(c => lit(c)): _*)
+      ExprUtils.evalOnce(slice(vec.cast("array<double>"), s * sub + 1, sub)) { sv =>
+        ExprUtils.evalOnce(transform(cbLit, ct => l2Sq(sv, ct))) { dists =>
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }
+      }
+    }
+    array(codes: _*)
+  }
+
+  /** PQ decode: concatenate the coded centroids back into a full vector
+    * (the ADC reference point — `l2Sq(query, pqDecode(...))` IS the
+    * asymmetric distance). */
+  def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    require(codebooks.nonEmpty, "empty codebooks")
+    val parts = codebooks.zipWithIndex.map { case (cb, s) =>
+      val cbLit = array(cb.map(c => lit(c)): _*)
+      element_at(cbLit, element_at(codes, s + 1) + 1)
+    }
+    flatten(array(parts: _*))
+  }
 }

@@ -605,6 +605,60 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) == ((0.0, 0.0))) // constant vector reconstructs exactly
   }
 
+  test("PQ: encode ties to the lowest cell, decode is the coded centroid") {
+    // hand-built codebooks: m=2 subspaces of width 2, two centroids each
+    val cbs: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(2.0, 2.0)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f, 0.0f)), // sub0 EQUIDISTANT → cell 0; sub1 exact → 0
+      (2L, Array(2.0f, 2.0f, 0.0f, 1.0f))  // sub0 → 1; sub1 → 1
+    ).toDF("vec_id", "embedding")
+    val out = vecs
+      .withColumn("codes", Similarity.pqEncode(col("embedding"), cbs))
+      .withColumn("recon", Similarity.pqDecode(col("codes"), cbs))
+      .select("vec_id", "codes", "recon")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toList, r.getSeq[Double](2).toList))).toMap
+    assert(out(1L) == ((List(0, 0), List(0.0, 0.0, 1.0, 0.0))))
+    assert(out(2L) == ((List(1, 1), List(2.0, 2.0, 0.0, 1.0))))
+  }
+
+  test("PQ: training is deterministic and exact when centroids can cover the data") {
+    // 4 distinct subvector patterns per subspace, k=4 ⇒ every subvector
+    // is its own centroid after convergence: reconstruction error 0.
+    val base = Seq(
+      Array(0.0f, 0.0f, 9.0f, 9.0f), Array(1.0f, 5.0f, 8.0f, 2.0f),
+      Array(6.0f, 1.0f, 3.0f, 7.0f), Array(4.0f, 4.0f, 1.0f, 1.0f))
+    val vecs = (0L until 40L).map(i => (i, base((i % 4).toInt)))
+      .toDF("vec_id", "embedding")
+    val cbs = Similarity.trainPqCodebooks(vecs, "vec_id", "embedding",
+      m = 2, k = 4, maxIter = 8)
+    assert(cbs.length == 2 && cbs.forall(_.forall(_.length == 2)))
+    val errs = vecs
+      .withColumn("codes", Similarity.pqEncode(col("embedding"), cbs))
+      .withColumn("err", Similarity.l2Sq(col("embedding").cast("array<double>"),
+        Similarity.pqDecode(col("codes"), cbs)))
+      .select("err").collect().map(_.getDouble(0))
+    assert(errs.forall(_ == 0.0), s"max err ${errs.max}")
+    // repartitioning the training input must not change the codebooks
+    val cbs2 = Similarity.trainPqCodebooks(vecs.repartition(7), "vec_id",
+      "embedding", m = 2, k = 4, maxIter = 8)
+    assert(cbs.map(_.map(_.toSeq).toSeq).toSeq == cbs2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("PQ: indivisible dims fail loud; null vectors don't break training") {
+    val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.trainPqCodebooks(vecs, "vec_id", "embedding", m = 2, k = 2)
+    }
+    val withNull = Seq((1L, Some(Array(1.0f, 2.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val cbs = Similarity.trainPqCodebooks(withNull, "vec_id", "embedding",
+      m = 1, k = 2)
+    assert(cbs.nonEmpty)
+  }
+
   test("IVF/semanticDedup tolerate null embeddings in the fit sample") {
     val vecs = Seq(
       (1L, Some(Array(1.0f, 0.0f))),
