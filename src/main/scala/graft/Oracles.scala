@@ -933,6 +933,44 @@ object Oracles {
          |FROM codes c JOIN errs USING (vec_id)
          |ORDER BY section, sub, cell, vec_id""".stripMargin,
 
+    // PQ ANN: codebooks echoed; codes, reconstructions, every asymmetric
+    // distance and the full ranking re-derive by the same slice/argmin/
+    // left-fold replay as q_sim5 (ties to the lower neighbor id).
+    "q_sim6_pq_ann" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim6_pq_ann/*.parquet')),
+         |  cb AS (SELECT sub, cell, centroid FROM o WHERE section = 'codebook'),
+         |  sd AS (SELECT len(centroid) AS w FROM cb LIMIT 1),
+         |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |  sl AS (SELECT e.vec_id, cb.sub, cb.cell, cb.centroid,
+         |           list_slice(e.v, CAST(cb.sub * sd.w + 1 AS BIGINT),
+         |             CAST((cb.sub + 1) * sd.w AS BIGINT)) AS sv
+         |         FROM e CROSS JOIN cb CROSS JOIN sd),
+         |  d AS (SELECT vec_id, sub, cell, ${l2Sql("sv", "centroid")} AS dist
+         |        FROM sl),
+         |  asg AS (SELECT vec_id, sub, cell FROM (
+         |            SELECT vec_id, sub, cell, ROW_NUMBER() OVER (
+         |              PARTITION BY vec_id, sub ORDER BY dist ASC, cell ASC) AS rn
+         |            FROM d)
+         |          WHERE rn = 1),
+         |  recon AS (SELECT a.vec_id, flatten(list(c2.centroid ORDER BY a.sub)) AS r
+         |            FROM asg a JOIN cb c2 ON a.sub = c2.sub AND a.cell = c2.cell
+         |            GROUP BY 1),
+         |  qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |  dist AS (SELECT qs.query_id, r.vec_id AS neighbor_id,
+         |             ${l2Sql("qs.qv", "r.r")} AS dist
+         |           FROM qs CROSS JOIN recon r),
+         |  rk AS (SELECT query_id, neighbor_id, dist, ROW_NUMBER() OVER (
+         |           PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rn
+         |         FROM dist)
+         |SELECT 'codebook' AS section, sub, cell, centroid,
+         |       CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS "rank",
+         |       CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS dist
+         |FROM cb
+         |UNION ALL
+         |SELECT 'topk', NULL, NULL, NULL, query_id, rn, neighbor_id, dist
+         |FROM rk WHERE rn <= 5
+         |ORDER BY section, sub, cell, query_id, "rank"""".stripMargin,
+
     // Audio header decode: every field (rate, channels, declared sample
     // count, integer-division duration) re-derives from the doc_id
     // arithmetic that built the WAV header bytes — a single misread

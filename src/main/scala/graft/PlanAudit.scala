@@ -74,6 +74,10 @@ object PlanAudit {
     // the corpus — no join, no window, no aggregate anywhere
     "q_sim5_pq" -> Seq("!Window", "!Join", "!HashAggregate",
       "!CartesianProduct"),
+    // PQ ANN: queries broadcast over the coded corpus, ranking in the
+    // bounded top-k aggregate — never a window, never a raw cartesian
+    "q_sim6_pq_ann" -> Seq("BroadcastNestedLoopJoin|BroadcastHashJoin",
+      "ObjectHashAggregate", "!Window", "!CartesianProduct"),
     // curation funnel: the lang equality must reach the scan, the
     // contamination benchmark side must broadcast, and nothing may
     // cartesian

@@ -1003,6 +1003,36 @@ object SparkEntry {
       .orderBy("section", "sub", "cell", "vec_id")
   }
 
+  /** SIM6 — PQ ANN (asymmetric distance): the first 8 vectors query the
+    * coded corpus; distance is exactly `l2Sq(q, decode(codes))`, so the
+    * oracle replays codes, reconstructions, every distance and the full
+    * ranking (ties to the lower neighbor id) from the echoed codebooks
+    * alone. Ranking is the bounded top-k aggregate — never a window
+    * over raw distances. */
+  private def sim6(t: Tables): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    val cbs = Similarity.trainPqCodebooks(
+      t.embeddings, "vec_id", "embedding", m = 4, k = 16, maxIter = 4)
+    val coded = t.embeddings
+      .withColumn("codes", Similarity.pqEncode(col("embedding"), cbs))
+      .select("vec_id", "codes")
+    val res = Similarity.pqTopK(
+      t.embeddings.filter(col("vec_id") < 8), "vec_id", "embedding",
+      coded, "vec_id", "codes", cbs, k = 5)
+    val cbRows = cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, ci) => (s.toLong, ci.toLong, c.toSeq) }
+    }.toSeq.toDF("sub", "cell", "centroid")
+    val nl = lit(null).cast("long")
+    cbRows.select(lit("codebook").as("section"), col("sub"), col("cell"),
+        col("centroid"), nl.as("query_id"), nl.as("rank"),
+        nl.as("neighbor_id"), lit(null).cast("double").as("dist"))
+      .unionByName(res.select(lit("topk").as("section"), nl.as("sub"),
+        nl.as("cell"), lit(null).cast("array<double>").as("centroid"),
+        col("query_id"), col("rank"), col("neighbor_id"), col("dist")))
+      .orderBy("section", "sub", "cell", "query_id", "rank")
+  }
+
   // ---------------------------------------------------------------- M: multimodal
 
   /** MM1 — opaque binary column plumbing with REAL header decode: a
@@ -1188,6 +1218,7 @@ object SparkEntry {
       "q_sim3_ivf_ann" -> q(sim3),
       "q_sim4_quantize" -> q(sim4),
       "q_sim5_pq" -> q(sim5),
+      "q_sim6_pq_ann" -> q(sim6),
       "q_dd10_semantic_dedup" -> q(dd10),
       "q_mm1_binary_meta" -> q(mm1),
       "q_mm2_frame_sample" -> q(mm2),

@@ -513,4 +513,30 @@ object Similarity {
     }
     flatten(array(parts: _*))
   }
+
+  /** ANN top-k over PQ codes by asymmetric distance: each (small,
+    * broadcast) query scans the coded corpus once — the corpus
+    * contributes 4-byte codes, never its float vectors — and ranking
+    * folds into the bounded top-k aggregate (k rows of state per query
+    * per executor, map-side partials, no window, no sort of raw
+    * distances). Ties break to the lower neighbor id. The distance here
+    * is literally `l2Sq(q, decode(codes))`; a production kernel
+    * precomputes the per-query k×m lookup table and sums table entries —
+    * the SAME value by construction, so this formulation is the
+    * replayable semantic spec of that kernel. */
+  def pqTopK(queries: DataFrame, qId: String, qVec: String,
+      codedCorpus: DataFrame, cId: String, codesCol: String,
+      codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      col(qVec).cast("array<double>").as("__qv")))
+    codedCorpus.select(col(cId).as("__cid"), col(codesCol).as("__codes"))
+      .crossJoin(q)
+      .withColumn("__dist", l2Sq(col("__qv"), pqDecode(col("__codes"), codebooks)))
+      .groupBy("query_id")
+      .agg(graft.plans.expressions.topKByScore(-col("__dist"), col("__cid"), k)
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), (-col("col.score")).as("dist"))
+  }
 }

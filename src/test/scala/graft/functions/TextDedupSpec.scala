@@ -647,6 +647,30 @@ class TextDedupSpec extends SparkSpec {
     assert(cbs.map(_.map(_.toSeq).toSeq).toSeq == cbs2.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("PQ ANN: self-match ranks first at distance 0; k bounds the list") {
+    val base = Seq(
+      Array(0.0f, 0.0f, 9.0f, 9.0f), Array(1.0f, 5.0f, 8.0f, 2.0f),
+      Array(6.0f, 1.0f, 3.0f, 7.0f), Array(4.0f, 4.0f, 1.0f, 1.0f))
+    val vecs = (0L until 20L).map(i => (i, base((i % 4).toInt)))
+      .toDF("vec_id", "embedding")
+    val cbs = Similarity.trainPqCodebooks(vecs, "vec_id", "embedding",
+      m = 2, k = 4, maxIter = 8)
+    val coded = vecs
+      .withColumn("codes", Similarity.pqEncode(col("embedding"), cbs))
+      .select("vec_id", "codes")
+    val res = Similarity.pqTopK(vecs.filter(col("vec_id") < 2), "vec_id",
+        "embedding", coded, "vec_id", "codes", cbs, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(res.count(_._1 == 0L) == 6 && res.count(_._1 == 1L) == 6)
+    // exact-coverage codebooks ⇒ a query's own pattern reconstructs
+    // exactly: its 5 pattern-twins (ids ≡ query mod 4) occupy the first
+    // ranks at distance 0, ordered by ascending id (the tie-break)
+    val q0 = res.filter(_._1 == 0L).sortBy(_._2)
+    assert(q0.take(5).map(_._3).toSeq == Seq(0L, 4L, 8L, 12L, 16L))
+    assert(q0.take(5).forall(_._4 == 0.0))
+    assert(q0(5)._4 > 0.0, "rank 6 is a different pattern at positive distance")
+  }
+
   test("PQ: indivisible dims fail loud; null vectors don't break training") {
     val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
