@@ -75,7 +75,23 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.count(_._2.isEmpty)
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // Plan fingerprint per query: md5 of the physical plan string with
+    // run-varying ids (expr #ids, plan_id, object addresses) stripped —
+    // a changed fingerprint between rounds means the PLAN changed, which
+    // turns an unexplained timing delta into a diffable regression.
+    val plans = selected.map { case (name, fn) =>
+      val h = try {
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+          .replaceAll("#\\d+", "#")
+          .replaceAll("plan_id=\\d+", "plan_id=")
+          .replaceAll("@[0-9a-f]+", "@")
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(p.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        "\"" + d + "\""
+      } catch { case _: Throwable => "null" }
+      s"\"" + name + "\":" + h
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"errors":$errs,"plans":$plans,"sf":"$sfDir"}"""
     println(line)
     // Persist the full per-query JSON as an artifact: the driver retains
     // only a truncated stdout tail, which makes round-over-round timing
