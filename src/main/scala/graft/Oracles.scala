@@ -933,6 +933,30 @@ object Oracles {
          |FROM codes c JOIN errs USING (vec_id)
          |ORDER BY section, sub, cell, vec_id""".stripMargin,
 
+    // Sessionization replays exactly: integer-microsecond gaps, a
+    // unique (us, event_id) window order on both engines, explicit ROWS
+    // frame for the running session index.
+    "q_w3_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |  l AS (SELECT user_id, event_id, us,
+        |          LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |        FROM e),
+        |  n AS (SELECT user_id, event_id, us,
+        |          CASE WHEN prev IS NULL OR us - prev > 86400000000 THEN 1
+        |               ELSE 0 END AS nw
+        |        FROM l),
+        |  s AS (SELECT user_id, us,
+        |          SUM(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+        |        FROM n)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(MIN(us) AS BIGINT) AS start_us,
+        |       CAST(MAX(us) AS BIGINT) AS end_us,
+        |       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+        |FROM s GROUP BY 1, 2
+        |ORDER BY user_id, session_idx""".stripMargin,
+
     // PQ ANN: codebooks echoed; codes, reconstructions, every asymmetric
     // distance and the full ranking re-derive by the same slice/argmin/
     // left-fold replay as q_sim5 (ties to the lower neighbor id).

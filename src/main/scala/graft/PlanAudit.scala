@@ -87,6 +87,11 @@ object PlanAudit {
     // broadcast back as a semi-join — the corpus never shuffles on source
     "q_cur2_source_filter" -> Seq("LeftSemi", "BroadcastHashJoin",
       "!CartesianProduct", "!Window"),
+    // sessionization: every window partitions BY USER — an empty
+    // partition spec (global window) would funnel the table through one
+    // task
+    "q_w3_sessionize" -> Seq("windowspecdefinition\\(user_id",
+      "!windowspecdefinition\\(ts"),
     // k-per-group sample: bounded top-k aggregate state, never a window
     // ranking raw rows
     "q_samp5_group_sample" -> Seq("ObjectHashAggregate", "!Window",

@@ -363,6 +363,32 @@ object SparkEntry {
         k = 3, seed = "s5")
       .orderBy("lang", "sample_id")
 
+  /** W3 — batch sessionization (gaps-and-islands): a user's events break
+    * into activity episodes at >24 h silences (the fixture's natural
+    * cadence; the threshold is a parameter in production). Both windows
+    * partition BY USER — state is bounded by one user's events, never
+    * the table (the q_o3 lesson: an empty partition spec funnels the
+    * world through one task). All arithmetic is integer microseconds —
+    * exact on any engine. */
+  private def w3(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t.events
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__us") - col("__prev") > lit(86400L * 1000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(w))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__us")).as("start_us"), max(col("__us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .select("user_id", "session_idx", "n_events", "start_us", "end_us",
+        "duration_us")
+      .orderBy("user_id", "session_idx")
+  }
+
   /** A9 — approximate percentiles (Greenwald-Khanna sketch,
     * `percentile_approx`): p50/p95 of event value per type at accuracy
     * 100 (rank error ≤ 1/100). Mergeable sketch partials — the
@@ -1178,6 +1204,7 @@ object SparkEntry {
       "q_o5_random_pick" -> q(o5),
       "q_w1_hourly_window" -> q(w1),
       "q_w2_running_sum" -> q(w2),
+      "q_w3_sessionize" -> q(w3),
       "q_a7_approx_distinct" -> q(a7),
       "q_a9_approx_percentile" -> q(a9),
       "q_prof1_table_profile" -> q(prof1),
