@@ -359,11 +359,12 @@ object Oracles {
     "q_dd6_dup_clusters" ->
       s"""WITH RECURSIVE
          |  o AS (SELECT * FROM read_parquet('$OUT/q_dd6_dup_clusters/*.parquet')),
-         |  s AS (SELECT doc_id, sig FROM o WHERE section = 'sig'),
+         |  s AS (SELECT doc_id, sig, CAST(sig AS BIGINT[]) AS sa
+         |        FROM o WHERE section = 'sig'),
          |  cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |           FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |            AND (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
-         |                 OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])),
+         |            AND (a.sa[1:4] = b.sa[1:4] OR a.sa[5:8] = b.sa[5:8]
+         |                 OR a.sa[9:12] = b.sa[9:12] OR a.sa[13:16] = b.sa[13:16])),
          |  sh AS ($shingles3Sql),
          |  ver AS (SELECT id_a, id_b FROM cand
          |          JOIN sh x ON x.doc_id = cand.id_a
@@ -675,11 +676,12 @@ object Oracles {
     "q_dd7_dedup_corpus" ->
       s"""WITH RECURSIVE
          |  o AS (SELECT * FROM read_parquet('$OUT/q_dd7_dedup_corpus/*.parquet')),
-         |  s AS (SELECT doc_id, sig FROM o WHERE section = 'sig'),
+         |  s AS (SELECT doc_id, sig, CAST(sig AS BIGINT[]) AS sa
+         |        FROM o WHERE section = 'sig'),
          |  cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |           FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |            AND (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
-         |                 OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])),
+         |            AND (a.sa[1:4] = b.sa[1:4] OR a.sa[5:8] = b.sa[5:8]
+         |                 OR a.sa[9:12] = b.sa[9:12] OR a.sa[13:16] = b.sa[13:16])),
          |  sh AS ($shingles3Sql),
          |  ver AS (SELECT id_a, id_b FROM cand
          |          JOIN sh x ON x.doc_id = cand.id_a
@@ -819,11 +821,12 @@ object Oracles {
     // similarity arithmetic are all independently checked.
     "q_dd3_minhash_lsh" ->
       s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_dd3_minhash_lsh/*.parquet')),
-         |  s AS (SELECT doc_id, sig FROM o WHERE section = 'sig'),
+         |  s AS (SELECT doc_id, sig, CAST(sig AS BIGINT[]) AS sa
+         |        FROM o WHERE section = 'sig'),
          |  cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |           FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |            AND (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
-         |                 OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])),
+         |            AND (a.sa[1:4] = b.sa[1:4] OR a.sa[5:8] = b.sa[5:8]
+         |                 OR a.sa[9:12] = b.sa[9:12] OR a.sa[13:16] = b.sa[13:16])),
          |  sh AS ($shingles3Sql),
          |  p AS (SELECT id_a, id_b,
          |          CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
@@ -875,13 +878,14 @@ object Oracles {
     // doc_id split (new = doc_id%10=7), candidates crossing roles only.
     "q_dd9_incremental_neardup" ->
       s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_dd9_incremental_neardup/*.parquet')),
-         |  s AS (SELECT doc_id, sig FROM o WHERE section = 'sig'),
+         |  s AS (SELECT doc_id, sig, CAST(sig AS BIGINT[]) AS sa
+         |        FROM o WHERE section = 'sig'),
          |  n AS (SELECT * FROM s WHERE doc_id % 10 = 7),
          |  c AS (SELECT * FROM s WHERE doc_id % 10 <> 7),
          |  cand AS (SELECT n.doc_id AS id_new, c.doc_id AS id_corpus
          |           FROM n JOIN c ON
-         |             (n.sig[1:4] = c.sig[1:4] OR n.sig[5:8] = c.sig[5:8]
-         |              OR n.sig[9:12] = c.sig[9:12] OR n.sig[13:16] = c.sig[13:16])),
+         |             (n.sa[1:4] = c.sa[1:4] OR n.sa[5:8] = c.sa[5:8]
+         |              OR n.sa[9:12] = c.sa[9:12] OR n.sa[13:16] = c.sa[13:16])),
          |  sh AS ($shingles3Sql),
          |  p AS (SELECT id_new, id_corpus,
          |          CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
@@ -903,14 +907,15 @@ object Oracles {
     // slice + left-fold replay.
     "q_sim5_pq" ->
       s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim5_pq/*.parquet')),
-         |  cb AS (SELECT sub, cell, centroid FROM o WHERE section = 'codebook'),
-         |  sd AS (SELECT len(centroid) AS w FROM cb LIMIT 1),
+         |  cb AS (SELECT sub, cell, centroid, CAST(centroid AS DOUBLE[]) AS cv
+         |         FROM o WHERE section = 'codebook'),
+         |  sd AS (SELECT len(cv) AS w FROM cb LIMIT 1),
          |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |  sl AS (SELECT e.vec_id, cb.sub, cb.cell, cb.centroid,
+         |  sl AS (SELECT e.vec_id, cb.sub, cb.cell, cb.cv,
          |           list_slice(e.v, CAST(cb.sub * sd.w + 1 AS BIGINT),
          |             CAST((cb.sub + 1) * sd.w AS BIGINT)) AS sv
          |         FROM e CROSS JOIN cb CROSS JOIN sd),
-         |  d AS (SELECT vec_id, sub, cell, ${l2Sql("sv", "centroid")} AS dist
+         |  d AS (SELECT vec_id, sub, cell, ${l2Sql("sv", "cv")} AS dist
          |        FROM sl),
          |  asg AS (SELECT vec_id, sub, cell FROM (
          |            SELECT vec_id, sub, cell, ROW_NUMBER() OVER (
@@ -919,17 +924,17 @@ object Oracles {
          |          WHERE rn = 1),
          |  codes AS (SELECT vec_id, list(cell ORDER BY sub) AS codes
          |            FROM asg GROUP BY 1),
-         |  recon AS (SELECT a.vec_id, flatten(list(c2.centroid ORDER BY a.sub)) AS r
+         |  recon AS (SELECT a.vec_id, flatten(list(c2.cv ORDER BY a.sub)) AS r
          |            FROM asg a JOIN cb c2 ON a.sub = c2.sub AND a.cell = c2.cell
          |            GROUP BY 1),
          |  errs AS (SELECT e.vec_id, ${l2Sql("e.v", "recon.r")} AS err
          |           FROM e JOIN recon USING (vec_id))
          |SELECT 'codebook' AS section, sub, cell, centroid,
-         |       CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT[]) AS codes,
+         |       CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS VARCHAR) AS codes,
          |       CAST(NULL AS DOUBLE) AS err
          |FROM cb
          |UNION ALL
-         |SELECT 'vec', NULL, NULL, NULL, c.vec_id, c.codes, errs.err
+         |SELECT 'vec', NULL, NULL, NULL, c.vec_id, to_json(c.codes)::VARCHAR, errs.err
          |FROM codes c JOIN errs USING (vec_id)
          |ORDER BY section, sub, cell, vec_id""".stripMargin,
 
@@ -962,21 +967,22 @@ object Oracles {
     // left-fold replay as q_sim5 (ties to the lower neighbor id).
     "q_sim6_pq_ann" ->
       s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim6_pq_ann/*.parquet')),
-         |  cb AS (SELECT sub, cell, centroid FROM o WHERE section = 'codebook'),
-         |  sd AS (SELECT len(centroid) AS w FROM cb LIMIT 1),
+         |  cb AS (SELECT sub, cell, centroid, CAST(centroid AS DOUBLE[]) AS cv
+         |         FROM o WHERE section = 'codebook'),
+         |  sd AS (SELECT len(cv) AS w FROM cb LIMIT 1),
          |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |  sl AS (SELECT e.vec_id, cb.sub, cb.cell, cb.centroid,
+         |  sl AS (SELECT e.vec_id, cb.sub, cb.cell, cb.cv,
          |           list_slice(e.v, CAST(cb.sub * sd.w + 1 AS BIGINT),
          |             CAST((cb.sub + 1) * sd.w AS BIGINT)) AS sv
          |         FROM e CROSS JOIN cb CROSS JOIN sd),
-         |  d AS (SELECT vec_id, sub, cell, ${l2Sql("sv", "centroid")} AS dist
+         |  d AS (SELECT vec_id, sub, cell, ${l2Sql("sv", "cv")} AS dist
          |        FROM sl),
          |  asg AS (SELECT vec_id, sub, cell FROM (
          |            SELECT vec_id, sub, cell, ROW_NUMBER() OVER (
          |              PARTITION BY vec_id, sub ORDER BY dist ASC, cell ASC) AS rn
          |            FROM d)
          |          WHERE rn = 1),
-         |  recon AS (SELECT a.vec_id, flatten(list(c2.centroid ORDER BY a.sub)) AS r
+         |  recon AS (SELECT a.vec_id, flatten(list(c2.cv ORDER BY a.sub)) AS r
          |            FROM asg a JOIN cb c2 ON a.sub = c2.sub AND a.cell = c2.cell
          |            GROUP BY 1),
          |  qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
@@ -1155,10 +1161,11 @@ object Oracles {
     // keep-one decision are all re-derived from the embeddings table.
     "q_dd10_semantic_dedup" ->
       s"""WITH RECURSIVE o AS (SELECT * FROM read_parquet('$OUT/q_dd10_semantic_dedup/*.parquet')),
-         |  cent AS (SELECT cell, centroid FROM o WHERE section = 'centroid'),
+         |  cent AS (SELECT cell, centroid, CAST(centroid AS DOUBLE[]) AS cv
+         |           FROM o WHERE section = 'centroid'),
          |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |  sims AS (SELECT e.vec_id, cent.cell,
-         |             coalesce(${cosSql("e.v", "cent.centroid")}, -2.0) AS s0
+         |             coalesce(${cosSql("e.v", "cent.cv")}, -2.0) AS s0
          |           FROM e CROSS JOIN cent),
          |  sims2 AS (SELECT vec_id, cell,
          |              CASE WHEN isnan(s0) THEN -2.0 ELSE s0 END AS s FROM sims),
@@ -1220,10 +1227,11 @@ object Oracles {
     // the in-cell rerank and the top-k cut are all re-derived.
     "q_sim3_ivf_ann" ->
       s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim3_ivf_ann/*.parquet')),
-         |  cent AS (SELECT cell, centroid FROM o WHERE section = 'centroid'),
+         |  cent AS (SELECT cell, centroid, CAST(centroid AS DOUBLE[]) AS cv
+         |           FROM o WHERE section = 'centroid'),
          |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |  sims AS (SELECT e.vec_id, cent.cell,
-         |             coalesce(${cosSql("e.v", "cent.centroid")}, -2.0) AS s0
+         |             coalesce(${cosSql("e.v", "cent.cv")}, -2.0) AS s0
          |           FROM e CROSS JOIN cent),
          |  sims2 AS (SELECT vec_id, cell,
          |              CASE WHEN isnan(s0) THEN -2.0 ELSE s0 END AS s FROM sims),
@@ -1257,13 +1265,15 @@ object Oracles {
     // selection (windows of 4, truncated tail windows like Spark's
     // slice), distinct+sort and the count are re-derived.
     "q_txt5_winnowing" ->
-      s"""WITH o AS (SELECT doc_id, kgram_hashes
+      s"""WITH o AS (SELECT doc_id, kgram_hashes,
+         |             CAST(kgram_hashes AS BIGINT[]) AS kh
          |           FROM read_parquet('$OUT/q_txt5_winnowing/*.parquet')),
          |  f AS (SELECT doc_id, kgram_hashes,
          |          list_sort(list_distinct(list_transform(
-         |            generate_series(1, greatest(len(kgram_hashes) - 3, 1)),
-         |            j -> list_min(kgram_hashes[j:j+3])))) AS fps
+         |            generate_series(1, greatest(len(kh) - 3, 1)),
+         |            j -> list_min(kh[j:j+3])))) AS fps
          |        FROM o)
-         |SELECT doc_id, kgram_hashes, fps, CAST(len(fps) AS BIGINT) AS n_fingerprints
+         |SELECT doc_id, kgram_hashes, to_json(fps)::VARCHAR AS fps,
+         |       CAST(len(fps) AS BIGINT) AS n_fingerprints
          |FROM f ORDER BY doc_id""".stripMargin)
 }

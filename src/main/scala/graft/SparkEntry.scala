@@ -469,12 +469,17 @@ object SparkEntry {
     * sequence is materialized alongside the selected fingerprints; the
     * DuckDB oracle replays the window-min selection, the distinct-sort
     * and the count from the hashes — only the hash VALUES are
-    * engine-specific trusted input. */
+    * engine-specific trusted input. Array columns ship as canonical
+    * compact JSON strings (`[1,2,3]`) — the harness comparator sorts
+    * rows in pandas, which cannot order raw array cells; integer-list
+    * JSON renders identically in Spark and DuckDB. */
   private def txt5(t: Tables): DataFrame =
     t.documents
       .withColumn("kgram_hashes", TextFunctions.winnowingKgramHashes(col("text")))
       .withColumn("fps", TextFunctions.winnowingFromHashes(col("kgram_hashes")))
-      .select(col("doc_id"), col("kgram_hashes"), col("fps"),
+      .select(col("doc_id"),
+        to_json(col("kgram_hashes")).as("kgram_hashes"),
+        to_json(col("fps")).as("fps"),
         size(col("fps")).cast("long").as("n_fingerprints"))
       .orderBy("doc_id")
 
@@ -588,7 +593,7 @@ object SparkEntry {
     * exactly because the oracle runs at fixture scale. */
   private def dd8(t: Tables): DataFrame = {
     val sigs = DedupFunctions.simHashSignatures(t.documents, "doc_id", "text")
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = DedupFunctions.simHashNearDupPairsFromSignatures(
       sigs, maxHamming = 3, bands = 4)
     val nl = lit(null).cast("long")
@@ -608,17 +613,18 @@ object SparkEntry {
     * candidates + exact Jaccard from the documents table. */
   private def dd9(t: Tables): DataFrame = {
     val sigs = DedupFunctions.minHashSignatures(
-      t.documents, "doc_id", "text", shingleN = 3, k = 16).localCheckpoint(true)
+      t.documents, "doc_id", "text", shingleN = 3, k = 16).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = DedupFunctions.minHashNearDupAgainstFromSignatures(
       sigs.filter(pmod(col("id"), lit(10)) === 7),
       sigs.filter(pmod(col("id"), lit(10)) =!= 7),
       k = 16, bands = 4, threshold = 0.5)
     val nl = lit(null).cast("long")
-    sigs.select(lit("sig").as("section"), col("id").as("doc_id"), col("sig"),
+    sigs.select(lit("sig").as("section"), col("id").as("doc_id"),
+        to_json(col("sig")).as("sig"),
         nl.as("id_new"), nl.as("id_corpus"),
         lit(null).cast("double").as("jaccard_sim"))
       .unionByName(pairs.select(lit("pair").as("section"), nl.as("doc_id"),
-        lit(null).cast("array<bigint>").as("sig"),
+        lit(null).cast("string").as("sig"),
         col("id_new"), col("id_corpus"), col("jaccard_sim")))
       .orderBy("section", "doc_id", "id_new", "id_corpus")
   }
@@ -638,9 +644,9 @@ object SparkEntry {
       .select(col("doc_id"), col("text"))
       .unionByName(t.documents.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val store = DedupFunctions.fingerprintStore(corpus, "doc_id", "text")
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = DedupFunctions.fingerprintBloom(store,
       expectedItems = math.max(store.count(), 1L), fpp = 0.01)
     DedupFunctions.bloomGatedNewDocs(batch, "doc_id", "text", store, bloom)
@@ -762,8 +768,9 @@ object SparkEntry {
 
   /** SRCH1 — inverted-index keyword search: every ~100th document's
     * first five (normalized) words form a query; the corpus answers all
-    * queries in one pass with integer TF-IDF top-5 (whole-bit idf — no
-    * transcendentals, so the oracle re-derives every score exactly).
+    * queries in one pass with integer TF-IDF top-5 (fixed-point idf in
+    * 1/1024ths of a bit — integer-exact, no transcendentals, so the
+    * oracle re-derives every score exactly).
     * Query terms broadcast-semi-join the exploded corpus before any
     * shuffle; ranking is the bounded top-k aggregate, never a window
     * over raw rows. */
@@ -813,15 +820,16 @@ object SparkEntry {
     * candidates, verify and the connected components (recursive CTE). */
   private def dd6(t: Tables): DataFrame = {
     val sigs = DedupFunctions.minHashSignatures(
-      t.documents, "doc_id", "text", shingleN = 3, k = 16).localCheckpoint(true)
+      t.documents, "doc_id", "text", shingleN = 3, k = 16).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = DedupFunctions.minHashNearDupPairsFromSignatures(
       sigs, k = 16, bands = 4, threshold = 0.5)
     val clusters = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
     val nl = lit(null).cast("long")
-    sigs.select(lit("sig").as("section"), col("id").as("doc_id"), col("sig"),
+    sigs.select(lit("sig").as("section"), col("id").as("doc_id"),
+        to_json(col("sig")).as("sig"),
         nl.as("member"), nl.as("cluster_id"))
       .unionByName(clusters.select(lit("cluster").as("section"),
-        nl.as("doc_id"), lit(null).cast("array<bigint>").as("sig"),
+        nl.as("doc_id"), lit(null).cast("string").as("sig"),
         col("member"), col("cluster_id")))
       .orderBy("section", "doc_id", "member")
   }
@@ -831,17 +839,18 @@ object SparkEntry {
     * (longest text, tie-break lowest id), singletons untouched. */
   private def dd7(t: Tables): DataFrame = {
     val sigs = DedupFunctions.minHashSignatures(
-      t.documents, "doc_id", "text", shingleN = 3, k = 16).localCheckpoint(true)
+      t.documents, "doc_id", "text", shingleN = 3, k = 16).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = DedupFunctions.minHashNearDupPairsFromSignatures(
       sigs, k = 16, bands = 4, threshold = 0.5)
     val reps = DedupFunctions.dedupCorpus(
         t.documents.select("doc_id", "text"), "doc_id", length(col("text")),
         pairs, "id_a", "id_b")
       .select(col("doc_id"), col("cluster_id"))
-    sigs.select(lit("sig").as("section"), col("id").as("doc_id"), col("sig"),
+    sigs.select(lit("sig").as("section"), col("id").as("doc_id"),
+        to_json(col("sig")).as("sig"),
         lit(null).cast("long").as("cluster_id"))
       .unionByName(reps.select(lit("rep").as("section"), col("doc_id"),
-        lit(null).cast("array<bigint>").as("sig"), col("cluster_id")))
+        lit(null).cast("string").as("sig"), col("cluster_id")))
       .orderBy("section", "doc_id")
   }
 
@@ -854,17 +863,18 @@ object SparkEntry {
     * the raw documents table — so a missed pair, a phantom pair, or a
     * wrong similarity all hash-mismatch. */
   private def dd3(t: Tables): DataFrame = {
-    // localCheckpoint: the signature table feeds both the output's sig
-    // section and the pair derivation — compute shingle+minhash once.
+    // persist: the signature table feeds both the output's sig section
+    // and the pair derivation — compute shingle+minhash once.
     val sigs = DedupFunctions.minHashSignatures(
-      t.documents, "doc_id", "text", shingleN = 3, k = 16).localCheckpoint(true)
+      t.documents, "doc_id", "text", shingleN = 3, k = 16).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = DedupFunctions.minHashNearDupPairsFromSignatures(
       sigs, k = 16, bands = 4, threshold = 0.2)
     val nl = lit(null).cast("long")
-    sigs.select(lit("sig").as("section"), col("id").as("doc_id"), col("sig"),
+    sigs.select(lit("sig").as("section"), col("id").as("doc_id"),
+        to_json(col("sig")).as("sig"),
         nl.as("id_a"), nl.as("id_b"), lit(null).cast("double").as("jaccard_sim"))
       .unionByName(pairs.select(lit("pair").as("section"), nl.as("doc_id"),
-        lit(null).cast("array<bigint>").as("sig"),
+        lit(null).cast("string").as("sig"),
         col("id_a"), col("id_b"), col("jaccard_sim")))
       .orderBy("section", "doc_id", "id_a", "id_b")
   }
@@ -910,7 +920,7 @@ object SparkEntry {
     val c = t.embeddings
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       .withColumn("sig", Similarity.rhpSignature(col("cv"), 6))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val res = Similarity.lshAnnTopKFromSignatures(
       c.filter(col("neighbor_id") < 8)
         .select(col("neighbor_id").as("query_id"), col("cv").as("qv"), col("sig")),
@@ -946,11 +956,12 @@ object SparkEntry {
       .map { case (c, i) => (i.toLong, c.map(_.toFloat.toDouble)) }.toSeq
       .toDF("cell", "centroid")
     val nl = lit(null).cast("long")
-    centRows.select(lit("centroid").as("section"), col("cell"), col("centroid"),
+    centRows.select(lit("centroid").as("section"), col("cell"),
+        to_json(col("centroid")).as("centroid"),
         nl.as("query_id"), nl.as("neighbor_id"), nl.as("rank"),
         lit(null).cast("double").as("cos_sim"))
       .unionByName(res.select(lit("topk").as("section"), nl.as("cell"),
-        lit(null).cast("array<double>").as("centroid"),
+        lit(null).cast("string").as("centroid"),
         col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim")))
       .orderBy("section", "cell", "query_id", "rank")
   }
@@ -987,12 +998,13 @@ object SparkEntry {
       .map { case (c, i) => (i.toLong, c.map(_.toFloat.toDouble)) }.toSeq
       .toDF("cell", "centroid")
     val nl = lit(null).cast("long")
-    centRows.select(lit("centroid").as("section"), col("cell"), col("centroid"),
+    centRows.select(lit("centroid").as("section"), col("cell"),
+        to_json(col("centroid")).as("centroid"),
         nl.as("vec_id"), nl.as("cluster_id"),
         lit(null).cast("boolean").as("kept"))
       .unionByName(sem.select(lit("doc").as("section"),
         col("cell").cast("long").as("cell"),
-        lit(null).cast("array<double>").as("centroid"),
+        lit(null).cast("string").as("centroid"),
         col("vec_id"), col("cluster_id"), col("kept")))
       .orderBy("section", "cell", "vec_id")
   }
@@ -1020,12 +1032,13 @@ object SparkEntry {
     }.toSeq.toDF("sub", "cell", "centroid")
     val nl = lit(null).cast("long")
     cbRows.select(lit("codebook").as("section"), col("sub"), col("cell"),
-        col("centroid"), nl.as("vec_id"),
-        lit(null).cast("array<bigint>").as("codes"),
+        to_json(col("centroid")).as("centroid"), nl.as("vec_id"),
+        lit(null).cast("string").as("codes"),
         lit(null).cast("double").as("err"))
       .unionByName(coded.select(lit("vec").as("section"), nl.as("sub"),
-        nl.as("cell"), lit(null).cast("array<double>").as("centroid"),
-        col("vec_id"), col("codes").cast("array<bigint>"), col("err")))
+        nl.as("cell"), lit(null).cast("string").as("centroid"),
+        col("vec_id"), to_json(col("codes").cast("array<bigint>")).as("codes"),
+        col("err")))
       .orderBy("section", "sub", "cell", "vec_id")
   }
 
@@ -1051,10 +1064,10 @@ object SparkEntry {
     }.toSeq.toDF("sub", "cell", "centroid")
     val nl = lit(null).cast("long")
     cbRows.select(lit("codebook").as("section"), col("sub"), col("cell"),
-        col("centroid"), nl.as("query_id"), nl.as("rank"),
+        to_json(col("centroid")).as("centroid"), nl.as("query_id"), nl.as("rank"),
         nl.as("neighbor_id"), lit(null).cast("double").as("dist"))
       .unionByName(res.select(lit("topk").as("section"), nl.as("sub"),
-        nl.as("cell"), lit(null).cast("array<double>").as("centroid"),
+        nl.as("cell"), lit(null).cast("string").as("centroid"),
         col("query_id"), col("rank"), col("neighbor_id"), col("dist")))
       .orderBy("section", "sub", "cell", "query_id", "rank")
   }
