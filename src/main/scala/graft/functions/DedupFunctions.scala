@@ -167,21 +167,39 @@ object DedupFunctions {
     require(bands > 0 && k % bands == 0,
       s"k $k must be divisible by bands $bands — a truncated band width " +
         "silently drops signature components from every band key")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = sigs
+      .select(col("id"), col("sh"), col("sig"))
+      .persist(lvl)
+    // EXACT-DUPLICATE COLLAPSE before banding — the band-bucket skew
+    // guard. The degenerate 100 TB input is millions of documents with
+    // IDENTICAL content (empty pages, boilerplate): they all land in the
+    // same band buckets, and a direct bucket self-join is quadratic in
+    // the bucket. Identical shingle sets are collapsed to one
+    // representative (min id) BEFORE banding, so the banded join sees
+    // each distinct content once and its cost is bounded by distinct
+    // near-dup density, not by copy count. Member pairs are expanded
+    // back afterwards, which is semantics-preserving: equal shingle
+    // sets ⇒ equal signatures/band keys/candidates, equal verify
+    // results against any third set, and pairwise Jaccard exactly 1.
+    val reps = base.groupBy(col("sh"))
+      .agg(min(col("id")).as("id"), first(col("sig")).as("sig"),
+        count(lit(1)).as("gsz"))
+      .persist(lvl)
+    // membership map id -> representative id (gsz rides along so the
+    // intra-group expansion can skip the singleton majority)
+    val mem = base.select(col("id"), col("sh"))
+      .join(reps.select(col("sh"), col("id").as("rid"), col("gsz")), Seq("sh"))
+      .select(col("id"), col("rid"), col("gsz"))
+      .persist(lvl)
     // The candidate-pair shuffle carries only (id_a, id_b); shingle sets are
     // joined back afterwards so each pair is verified exactly once and the
     // wide array payload never rides through the distinct.
-    // base and bandRows are each consumed twice (self-join / two verify
-    // joins); shingling + signatures are the CPU-heavy part, so persist
-    // them rather than recompute per consumer. At 100 TB this is the
-    // standard "materialize signatures once" step (checkpoint to storage).
-    val base = sigs
-      .select(col("id"), col("sh"), col("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandRows = base
+    val bandRows = reps
       .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     val pairs = bandRows.alias("a")
       .join(bandRows.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -191,17 +209,37 @@ object DedupFunctions {
     val setSim = ExprUtils.evalOnce(size(array_intersect(col("ta"), col("tb")))) { ia =>
       ia.cast("double") / (size(col("ta")) + size(col("tb")) - ia).cast("double")
     }
-    val result = pairs
-      .join(base.select(col("id").as("id_a"), col("sh").as("ta")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("sh").as("tb")), Seq("id_b"))
+    val verified = pairs
+      .join(reps.select(col("id").as("id_a"), col("sh").as("ta")), Seq("id_a"))
+      .join(reps.select(col("id").as("id_b"), col("sh").as("tb")), Seq("id_b"))
       .withColumn("jaccard_sim", setSim)
       .filter(col("jaccard_sim") >= threshold)
       .select("id_a", "id_b", "jaccard_sim")
-      // Materialize (lineage-free) so the persisted intermediates can be
-      // released before returning — otherwise every call leaks cached
-      // blocks for the rest of the session.
-      .localCheckpoint(true)
+    // Expansion: every verified representative pair holds for every
+    // member combination (identical content); members of the same group
+    // are pairwise duplicates at Jaccard exactly 1. Output size is the
+    // true pair count — inherent to the all-pairs contract — but no
+    // JOIN is quadratic in a bucket any more.
+    val cross = verified
+      .join(mem.select(col("rid").as("id_a"), col("id").as("ma")), Seq("id_a"))
+      .join(mem.select(col("rid").as("id_b"), col("id").as("mb")), Seq("id_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard_sim"))
+    val dupMembers = mem.filter(col("gsz") > 1)
+    val intra = dupMembers.alias("x")
+      .join(dupMembers.alias("y"),
+        col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("jaccard_sim"))
+    // Materialize (MEMORY_AND_DISK keeps the lineage, so an executor
+    // loss recomputes instead of killing the job — unlike
+    // localCheckpoint) so the persisted intermediates can be released
+    // before returning.
+    val result = cross.unionByName(intra).persist(lvl)
+    result.count()
     base.unpersist()
+    reps.unpersist()
+    mem.unpersist()
     bandRows.unpersist()
     result
   }
@@ -239,12 +277,28 @@ object DedupFunctions {
     val base = sigs
       .select(col("id"), col("sig"))
       .persist(lvl)
-    // Unlike the minhash variant, bandRows is NOT persisted here: deriving
-    // a band key from the cached 64-bit signature is a shift+mask, so
-    // recomputing it on each side of the self-join is cheaper than caching
-    // the exploded frame (the minhash band key embeds the signature
-    // computation, which IS worth caching).
-    val bandRows = base.select(col("id"),
+    // EXACT-DUPLICATE COLLAPSE before banding (band-bucket skew guard,
+    // same argument as the minhash variant): equal 64-bit signatures
+    // land in every band bucket together, so a million identical
+    // boilerplate documents would make the bucket self-join quadratic.
+    // Collapsing equal signatures to one representative bounds the join
+    // by DISTINCT signature density; expansion is semantics-preserving
+    // because Hamming(s, x) is a function of the signature alone and
+    // equal signatures are at Hamming 0 ≤ maxHamming of each other.
+    val reps = base.groupBy(col("sig"))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("gsz"))
+      .persist(lvl)
+    val mem = base
+      .join(reps.select(col("sig"), col("id").as("rid"), col("gsz")), Seq("sig"))
+      .select(col("id"), col("rid"), col("gsz"))
+      .persist(lvl)
+    // bandRows is NOT persisted: deriving a band key from the cached
+    // 64-bit signature is a shift+mask, so recomputing it on each side
+    // of the self-join is cheaper than caching the exploded frame (the
+    // minhash band key embeds the signature computation, which IS worth
+    // caching).
+    val bandRows = reps.select(col("id"), col("sig"))
+      .select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.cast("int").as("band"),
             call_function("shiftrightunsigned", col("sig"), (b * width).cast("int"))
@@ -256,14 +310,31 @@ object DedupFunctions {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val result = pairs
-      .join(base.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+    val verified = pairs
+      .join(reps.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(reps.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
-      .localCheckpoint(true)
+    val cross = verified
+      .join(mem.select(col("rid").as("id_a"), col("id").as("ma")), Seq("id_a"))
+      .join(mem.select(col("rid").as("id_b"), col("id").as("mb")), Seq("id_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    val dupMembers = mem.filter(col("gsz") > 1)
+    val intra = dupMembers.alias("x")
+      .join(dupMembers.alias("y"),
+        col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(0L).as("hamming"))
+    // Materialize with lineage intact (persist, not localCheckpoint —
+    // executor loss recomputes instead of failing the job), then release
+    // the intermediates.
+    val result = cross.unionByName(intra).persist(lvl)
+    result.count()
     base.unpersist()
+    reps.unpersist()
+    mem.unpersist()
     result
   }
 
@@ -324,13 +395,17 @@ object DedupFunctions {
       inter.cast("double") /
         (size(col("sh_new")) + size(col("sh_corpus")) - inter).cast("double")
     }
+    // Materialize with lineage intact (persist, not localCheckpoint — an
+    // executor loss recomputes instead of failing the job), then release
+    // the per-side caches.
     val result = pairs
       .join(newBase, Seq("id_new"))
       .join(corpusBase, Seq("id_corpus"))
       .withColumn("jaccard_sim", setSim)
       .filter(col("jaccard_sim") >= threshold)
       .select("id_new", "id_corpus", "jaccard_sim")
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
     newBase.unpersist()
     corpusBase.unpersist()
     result
@@ -421,9 +496,12 @@ object DedupFunctions {
       edgesRaw.unpersist()
       return viaStar
     }
+    // persist (lineage intact) rather than localCheckpoint for the final
+    // output: executor loss downstream recomputes instead of failing.
     val out = labels
       .select(col("node").as("member"), col("label").as("cluster_id"))
-      .localCheckpoint(true)
+      .persist(lvl)
+    out.count()
     edgesRaw.unpersist()
     labels.unpersist()
     out
@@ -568,7 +646,10 @@ object DedupFunctions {
       .distinct()
       .join(starMembers.select("member"), Seq("member"), "left_anti")
       .withColumn("cluster_id", col("member"))
-    val out = starMembers.unionByName(selfOnly).localCheckpoint(true)
+    // persist (lineage intact) rather than localCheckpoint for the final
+    // output: executor loss downstream recomputes instead of failing.
+    val out = starMembers.unionByName(selfOnly).persist(lvl)
+    out.count()
     edges.unpersist()
     out
   }

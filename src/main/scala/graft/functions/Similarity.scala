@@ -301,17 +301,56 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted to
-    * an equi-bucket (e.g. a label or LSH signature) to avoid O(n²). */
+    * an equi-bucket (e.g. a label or LSH signature) to avoid O(n²).
+    *
+    * Hot-bucket skew guard: identical embeddings (zero vectors, default or
+    * failed encodes, exact re-submissions) pile into ONE bucket and would
+    * make the self-join quadratic in copy count at corpus scale. Rows with
+    * an identical (bucket, vector) are collapsed to one representative
+    * (min id) BEFORE the join, and member pairs are expanded back after —
+    * semantics-preserving because cosine is a pure function of the two
+    * vectors: every expanded pair carries exactly the value the direct
+    * join would have computed, and intra-group pairs carry the kernel's
+    * own cos(v,v) (computed, not a 1.0 literal — the oracle replays the
+    * same IEEE arithmetic and sqrt(x)·sqrt(x) ≠ x in general). The join
+    * is thereby bounded by DISTINCT vector density per bucket; output
+    * size is the true pair count, inherent to the contract. */
   def embeddingNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String, bucketCol: String,
       threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"), col(bucketCol).as("bk"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col(bucketCol).as("bk"))
-    a.join(b, Seq("bk"))
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(bucketCol).as("bk"))
+    val reps = base.groupBy(col("bk"), col("v"))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("gsz"))
+    val mem = base
+      .join(reps.select(col("bk"), col("v"), col("id").as("rid"), col("gsz")),
+        Seq("bk", "v"))
+      .select(col("id"), col("rid"), col("gsz"))
+    val a = reps.select(col("id").as("id_a"), col("v").as("va"), col("bk"))
+    val b = reps.select(col("id").as("id_b"), col("v").as("vb"), col("bk"))
+    val repPairs = a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
+    val cross = repPairs
+      .join(mem.select(col("rid").as("id_a"), col("id").as("ma")), Seq("id_a"))
+      .join(mem.select(col("rid").as("id_b"), col("id").as("mb")), Seq("id_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("cos_sim"))
+    val dupReps = reps.filter(col("gsz") > 1)
+      .withColumn("self_sim", cosine(col("v"), col("v")))
+      .filter(col("self_sim") >= threshold)
+      .select(col("id").as("rid"), col("self_sim"))
+    val dupMembers = mem.filter(col("gsz") > 1)
+    val intra = dupMembers.alias("x")
+      .join(dupMembers.alias("y"),
+        col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.rid").as("rid"))
+      .join(dupReps, Seq("rid"))
+      .select(col("id_a"), col("id_b"), col("self_sim").as("cos_sim"))
+    cross.unionByName(intra)
   }
 
   /** SemDeDup-style semantic dedup: quantizer cells bucket the corpus,
@@ -356,12 +395,16 @@ object Similarity {
     // fully consumed when it returns; withCell stays persisted for the
     // final cell projection below and is released after it materializes.
     val clusters = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
+    // Materialize with lineage intact (persist, not localCheckpoint — an
+    // executor loss recomputes instead of failing the job), then release
+    // the cell-assignment cache.
     val result = withCell.select(col(idCol), col("cell"))
       .join(clusters, col(idCol) === col("member"), "left")
       .select(col(idCol), col("cell"),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .withColumn("kept", col(idCol) === col("cluster_id"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
     withCell.unpersist()
     result
   }

@@ -142,20 +142,27 @@ object BinaryPipeline {
     def decode(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
       if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
         return None
-      var i = 12
+      // Long index + unsigned chunk size: a declared size >= 2^31 must
+      // not wrap negative (Int math would loop forever on 0xFFFFFFF7 or
+      // index out of bounds) — the walk either strictly advances or the
+      // bytes are structurally broken and yield None.
+      var i = 12L
       var fmt: Option[(Int, Int, Int, Int)] = None // (ch, rate, bits, blockAlign)
       var dataSize: Option[Long] = None
       while (i + 8 <= b.length && (fmt.isEmpty || dataSize.isEmpty)) {
-        val id = tag(b, i)
-        val size = le32(b, i + 4)
+        val at = i.toInt
+        val id = tag(b, at)
+        val size = le32(b, at + 4) // unsigned 32-bit, 0..2^32-1
         if (id == "fmt ") {
           if (size < 16 || i + 8 + 16 > b.length) return None
-          fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt,
-            le16(b, i + 22), le16(b, i + 20)))
+          fmt = Some((le16(b, at + 10), le32(b, at + 12).toInt,
+            le16(b, at + 22), le16(b, at + 20)))
         } else if (id == "data") dataSize = Some(size)
         // chunks are word-aligned; a declared-but-absent data body just
         // ends the walk via the loop bound
-        i += 8 + size.toInt + (size.toInt & 1)
+        val next = i + 8L + size + (size & 1L)
+        if (next <= i) return None
+        i = next
       }
       for {
         (ch, rate, bits, blockAlign) <- fmt

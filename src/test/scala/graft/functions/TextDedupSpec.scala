@@ -327,6 +327,20 @@ class TextDedupSpec extends SparkSpec {
         "0100" + "0200" + "44ac0000" + "10b10200" + "0000" + "1000" +
         "64617461" + "90010000")
     assert(WavCodec.decode(zeroAlign) == None)
+    // unsigned chunk sizes ≥ 2^31: with Int math, 0xFFFFFFF7 made the
+    // walk increment 0 (infinite loop in an executor task) and 0x7FFFFFFF
+    // drove the index negative (ArrayIndexOutOfBounds). Both must
+    // terminate with None — structurally broken, never hang or throw.
+    val hugeChunk = bytes(
+      "52494646" + "b4010000" + "57415645" +
+        "6a756e6b" + "f7ffffff" +             // junk chunk, size 0xFFFFFFF7
+        "64617461" + "90010000")
+    assert(WavCodec.decode(hugeChunk) == None)
+    val maxIntChunk = bytes(
+      "52494646" + "b4010000" + "57415645" +
+        "6a756e6b" + "ffffff7f" +             // junk chunk, size 0x7FFFFFFF
+        "64617461" + "90010000")
+    assert(WavCodec.decode(maxIntChunk) == None)
   }
 
   test("header codec: real PNG/JPEG dimensions decoded, other bytes fall back to fake") {
@@ -711,6 +725,83 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1L) == ((1L, true)) && out(2L) == ((1L, false)))
     assert(out(5L) == ((5L, true)) && out(6L) == ((5L, false)))
     assert(out(9L) == ((9L, true)))
+  }
+
+  test("minhash flood of identical docs: collapsed banding still reports every pair (skew guard)") {
+    // The 100 TB degenerate input: many documents with IDENTICAL content.
+    // The banded self-join must see ONE representative per distinct
+    // content (bounded join), while the output still carries the full
+    // all-pairs contract: every copy pairs with every copy at Jaccard
+    // exactly 1, and a near-dup of the content pairs with EVERY copy.
+    val n = 200
+    val boiler = "lorem ipsum boilerplate text repeated across the entire crawl corpus every day"
+    val near = boiler.replace("day", "night")
+    val d = ((1 to n).map(i => (i.toLong, boiler)) ++ Seq(
+      (1000L, near),
+      (2000L, "completely unrelated content about distributed query planning")))
+      .toDF("doc_id", "text")
+    val pairs = DedupFunctions.minHashNearDupPairs(d, "doc_id", "text",
+      shingleN = 3, k = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val intra = pairs.filter(p => p._1 <= n && p._2 <= n)
+    assert(intra.length == n * (n - 1) / 2)
+    assert(intra.forall(_._3 == 1.0))
+    val cross = pairs.filter(_._2 == 1000L)
+    assert(cross.length == n) // the near-dup matched every copy
+    assert(cross.map(_._3).distinct.length == 1)
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(!pairs.exists(p => p._1 == 2000L || p._2 == 2000L))
+    assert(pairs.length == intra.length + cross.length)
+  }
+
+  test("simhash flood of identical docs: signature collapse preserves the pair set (skew guard)") {
+    val n = 150
+    val boiler = "the same cookie banner boilerplate sentence appears on every single crawled page"
+    val d = ((1 to n).map(i => (i.toLong, boiler)) :+
+      (900L -> "spark catalyst rewrites logical plans into physical execution strategies"))
+      .toDF("doc_id", "text")
+    val pairs = DedupFunctions.simHashNearDupPairs(d, "doc_id", "text",
+      maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val intra = pairs.filter(p => p._1 <= n && p._2 <= n)
+    assert(intra.length == n * (n - 1) / 2)
+    assert(intra.forall(_._3 == 0L)) // identical content = Hamming 0
+  }
+
+  test("embedding hot bucket of identical vectors: collapse preserves pairs and kernel values (skew guard)") {
+    val m = 120
+    val v = Array(0.6f, 0.8f, 0.0f)
+    val w = Array(0.6f, 0.79f, 0.01f) // near-dup of v
+    val u = Array(-1.0f, 0.3f, 0.9f)  // far from both
+    val df = ((1 to m).map(i => (i.toLong, v, "b")) ++
+      Seq((500L, w, "b"), (600L, u, "b"))).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.embeddingNearDupPairs(df, "vec_id", "embedding",
+        "label", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val intra = pairs.filter(p => p._1 <= m && p._2 <= m)
+    assert(intra.length == m * (m - 1) / 2)
+    // ONE value for every identical pair, computed by the cosine kernel
+    // (NOT an assumed 1.0 literal — sqrt(x)·sqrt(x) need not equal x)
+    assert(intra.map(_._3).distinct.length == 1)
+    assert(intra.head._3 >= 0.9)
+    val cross = pairs.filter(p => p._1 == 500L || p._2 == 500L)
+    assert(cross.length == m) // the near-dup pairs with every copy
+    assert(cross.map(_._3).distinct.length == 1)
+    assert(!pairs.exists(p => p._1 == 600L || p._2 == 600L))
+  }
+
+  test("semantic dedup on a single-cell-dominant corpus keeps one representative (skew guard)") {
+    val m = 150
+    val hot = Array(1.0f, 0.0f, 0.0f)
+    val df = ((1 to m).map(i => i.toLong -> hot) :+ (901L -> Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.9, nlist = 2, maxIter = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(res.length == m + 1)
+    val kept = res.filter(_._3).map(_._1).toSet
+    assert(kept == Set(1L, 901L))
+    assert(res.filter(_._1 <= m).forall(_._2 == 1L)) // one cluster, min-id label
   }
 
   test("minHashNearDupAgainst: new batch matches its corpus near-dup only") {
