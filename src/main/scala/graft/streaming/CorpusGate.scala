@@ -362,6 +362,17 @@ object CorpusGate {
     * every future batch; the bloom chain keeps only its newest artifact
     * ≤ `upToBatch` (which by construction contains all of them).
     *
+    * `upToBatch` is CLAMPED strictly below the newest stored batch id:
+    * after a crash between the foreachBatch write and the checkpoint
+    * commit, Structured Streaming REPLAYS that newest id on restart —
+    * the replay overwrites `batch=<id>` (fine: idempotent rewrite of its
+    * own partition) and reads the store strictly below `<id>`. Had the
+    * consolidated partition been named `batch=<id>`, the replay would
+    * overwrite ALL prior history with one batch's survivors and read an
+    * empty store, silently re-admitting duplicates. Consolidating only
+    * up to `<newest> - 1` makes compaction safe to run at ANY point
+    * between batches, including the restart window.
+    *
     * Crash safety is the MergeWriter sidecar discipline per sub-store:
     * the consolidated partition is fully written under a non-numeric
     * name (readers SKIP non-numeric suffixes), a `compact.pending`
@@ -375,12 +386,20 @@ object CorpusGate {
     * at cluster scale pick ≈ consolidated-bytes / 128 MB). */
   def compact(spark: SparkSession, storeDir: String, upToBatch: Long,
       numFiles: Int = 1, io: TableIO = LocalTableIO): Unit = {
-    Seq("corpus" -> docSchema, "sigs" -> sigSchema, "fps" -> fpsSchema,
-      "stats" -> statsSchema).foreach { case (sub, schema) =>
-      compactTable(spark, s"$storeDir/$sub", schema, upToBatch, numFiles, io)
+    val subs = Seq("corpus" -> docSchema, "sigs" -> sigSchema,
+      "fps" -> fpsSchema, "stats" -> statsSchema)
+    val newest = subs.map(_._1)
+      .flatMap(sub => batchIds(s"$storeDir/$sub", io)) match {
+      case Nil => return // empty store: nothing to consolidate
+      case ids => ids.max
     }
-    // bloom chain: the newest artifact ≤ upToBatch subsumes the older ones
-    val blooms = batchIds(s"$storeDir/bloom", io).filter(_ <= upToBatch)
+    val safeUpTo = math.min(upToBatch, newest - 1) // see scaladoc: replay safety
+    if (safeUpTo < 0) return
+    subs.foreach { case (sub, schema) =>
+      compactTable(spark, s"$storeDir/$sub", schema, safeUpTo, numFiles, io)
+    }
+    // bloom chain: the newest artifact ≤ safeUpTo subsumes the older ones
+    val blooms = batchIds(s"$storeDir/bloom", io).filter(_ <= safeUpTo)
     if (blooms.nonEmpty) {
       val keep = blooms.max
       blooms.filter(_ != keep).foreach(id =>

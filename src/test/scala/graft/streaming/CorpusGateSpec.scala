@@ -228,11 +228,13 @@ class CorpusGateSpec extends SparkSpec {
 
     CorpusGate.compact(spark, store, upToBatch = 2L)
 
-    // one partition per sub-store, nothing but batch=2
+    // batch=2 is the newest stored id, so compaction clamps to 1: the
+    // frontier partition stays replayable, everything below folds into one
     Seq("corpus", "sigs", "fps", "stats", "bloom").foreach { sub =>
       val names = java.nio.file.Files.list(Paths.get(store, sub))
         .toArray.map(_.toString.split('/').last).filter(_.startsWith("batch="))
-      assert(names.toSeq == Seq("batch=2"), s"$sub: ${names.toSeq}")
+        .toSeq.sorted
+      assert(names == Seq("batch=1", "batch=2"), s"$sub: $names")
     }
     // every answer preserved: corpus rows, per-batch stats rows
     assert(CorpusGate.corpus(spark, store)
@@ -253,6 +255,30 @@ class CorpusGateSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r).toMap.apply(3L)
     assert(st3.getAs[Long]("n_corpus_exact_dup") == 1L) // 20 = exact re-submit
     assert(st3.getAs[Long]("n_corpus_near_dup") == 1L)  // 21 = near-dup of 1
+  }
+
+  test("compaction during the restart window survives a replay of the newest batch") {
+    // Crash-before-commit: batch 2 wrote its partitions but the stream
+    // checkpoint never committed, so the restart REPLAYS batch 2. If
+    // compact(upToBatch=2) had consolidated under batch=2, the replay's
+    // overwrite would wipe all prior history and its strict `< 2` read
+    // would see an empty store. The clamp must make this sequence safe.
+    val store = tmpDir("gate-compact-replay")
+    import spark.implicits._
+    CorpusGate.curateBatch(
+      Seq(1L -> longA, 5L -> longB).toDF("doc_id", "text"), store, 0L)
+    CorpusGate.curateBatch(Seq(10L -> longC).toDF("doc_id", "text"), store, 1L)
+    val batch2 = Seq(11L -> longANear, 12L -> longB).toDF("doc_id", "text")
+    CorpusGate.curateBatch(batch2, store, 2L) // written, "uncommitted"
+    // maintenance compaction lands in the restart window, asking for
+    // everything — the clamp must hold it to batch 1
+    CorpusGate.compact(spark, store, upToBatch = Long.MaxValue)
+    CorpusGate.curateBatch(batch2, store, 2L) // the replay
+    val kept = CorpusGate.corpus(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // full history intact, and the replayed batch still deduplicates
+    // against it: 11 is a near-dup of 1, 12 an exact dup of 5
+    assert(kept == Set(1L, 5L, 10L))
   }
 
   test("an interrupted compaction swap heals before the next batch reads") {
