@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** DRF-serializer-shaped JSON output (S8; SURVEY §7.4-5).
   *
@@ -31,6 +32,41 @@ object Serializers {
   def isoTs(c: Column): Column =
     date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
 
+  /** Rewrite a nested embed struct to DRF's rendering rules, preserving
+    * field order: every decimal field becomes a two-decimal-place STRING
+    * (the API's decimals are all TwoDecimalPlacesField USD values,
+    * accounts/serializers.py:67-78, pots/serializers.py:12-13), every
+    * timestamp becomes DRF ISO-8601, arrays-of-structs (pot admins) and
+    * nested structs (source_metadata) recurse. A null embed stays an
+    * explicit null, never a struct of nulls. Known deviation: the
+    * `near_social_profile_data` JSON blob is stored and re-emitted as a
+    * STRING, where DRF inlines it as an object — the schemaless blob has
+    * no Spark type to round-trip through. */
+  def drfStruct(c: Column, st: StructType): Column =
+    when(c.isNotNull,
+      struct(st.fields.toSeq.map(f =>
+        drfValue(c.getField(f.name), f.dataType).as(f.name)): _*))
+      .otherwise(lit(null).cast(drfType(st)))
+
+  private def drfValue(c: Column, dt: DataType): Column = dt match {
+    case _: DecimalType => usdString(c)
+    case TimestampType | TimestampNTZType => isoTs(c)
+    case st: StructType => drfStruct(c, st)
+    case ArrayType(st: StructType, _) =>
+      when(c.isNotNull, transform(c, x => drfStruct(x, st)))
+    case _ => c
+  }
+
+  /** The post-rewrite type (decimals/timestamps → string) so null embeds
+    * cast to the SAME struct type as present ones. */
+  private def drfType(dt: DataType): DataType = dt match {
+    case _: DecimalType | TimestampType | TimestampNTZType => StringType
+    case st: StructType =>
+      StructType(st.fields.map(f => f.copy(dataType = drfType(f.dataType))))
+    case ArrayType(e, n) => ArrayType(drfType(e), n)
+    case other => other
+  }
+
   /** Donation row → DRF-shaped JSON object string in DonationSerializer's
     * Meta.fields order (donations/serializers.py:18-49). Nested objects —
     * donor/recipient/referrer/chef account structs, token struct, pot
@@ -41,7 +77,14 @@ object Serializers {
     * the chain identity. */
   def donationJson(df: DataFrame): DataFrame = {
     val cols = df.columns.toSet
-    val token = if (cols.contains("token")) col("token") else col("ft")
+    // STRUCT embeds render through the DRF rewrite (string decimals, ISO
+    // timestamps, recursive); flat FK strings pass through unchanged.
+    def embed(name: String): Column = df.schema(name).dataType match {
+      case st: StructType => drfStruct(col(name), st).as(name)
+      case _ => col(name)
+    }
+    val token =
+      if (cols.contains("token")) embed("token") else col("ft").as("token")
     df.withColumn("json", to_json(struct(
       col("on_chain_id"),
       col("total_amount"),
@@ -58,12 +101,12 @@ object Serializers {
       col("chef_fee"),
       usdString(col("chef_fee_usd")).as("chef_fee_usd"),
       col("tx_hash"),
-      col("donor"),
-      token.as("token"),
-      col("pot"),
-      col("recipient"),
-      col("referrer"),
-      col("chef")),
+      embed("donor"),
+      token,
+      embed("pot"),
+      embed("recipient"),
+      embed("referrer"),
+      embed("chef")),
       Map("ignoreNullFields" -> "false")))
   }
 

@@ -210,6 +210,89 @@ class QueryServiceSpec extends SparkSpec {
     assert(env.startsWith("{\"count\": 31, \"next\": \"?page=2\", \"previous\": null,"))
   }
 
+  test("golden byte-parity: donation JSON matches the reference serializer example") {
+    // SIMPLE_DONATION_EXAMPLE (donations/serializers.py:52-82) rebuilt as
+    // a typed row and asserted BYTE-EQUAL through Serializers.donationJson.
+    // Documented deviations from the hand-written Swagger example: the DB
+    // surrogate `id` is omitted (on_chain_id is the chain identity) and
+    // timestamps render 6-digit micros — the reference's own pot example
+    // ("2024-02-16T17:45:03.600845Z", pots/serializers.py:127) shows DRF
+    // emits micros; the donation example hand-truncated to millis.
+    val accountDdl =
+      """STRUCT<id: STRING, total_donations_in_usd: DECIMAL(20,2),
+        |total_donations_out_usd: DECIMAL(20,2),
+        |total_matching_pool_allocations_usd: DECIMAL(20,2),
+        |donors_count: BIGINT, near_social_profile_data: STRING>"""
+        .stripMargin.replace("\n", " ")
+    val account = expr(
+      """named_struct(
+        |'id', 'user.near',
+        |'total_donations_in_usd', CAST(740.00 AS DECIMAL(20,2)),
+        |'total_donations_out_usd', CAST(1234.56 AS DECIMAL(20,2)),
+        |'total_matching_pool_allocations_usd', CAST(800.01 AS DECIMAL(20,2)),
+        |'donors_count', CAST(321 AS BIGINT),
+        |'near_social_profile_data', CAST(NULL AS STRING))""".stripMargin)
+    val fee = "10000000000000000000000"
+    val d = Seq(1).toDF("x")
+      .withColumn("on_chain_id", lit(156L))
+      .withColumn("total_amount", lit("1000000000000000000000000"))
+      .withColumn("total_amount_usd", lit(1.17).cast("decimal(20,2)"))
+      .withColumn("net_amount", lit("1000000000000000000000000"))
+      .withColumn("net_amount_usd", lit(1.02).cast("decimal(20,2)"))
+      .withColumn("matching_pool", lit(false))
+      .withColumn("message", lit(null).cast("string"))
+      .withColumn("donated_at",
+        lit(java.sql.Timestamp.valueOf("2024-06-05 18:08:40.751")))
+      .withColumn("protocol_fee", lit(fee))
+      .withColumn("protocol_fee_usd", lit(0.27).cast("decimal(20,2)"))
+      .withColumn("referrer_fee", lit(fee))
+      .withColumn("referrer_fee_usd", lit(0.27).cast("decimal(20,2)"))
+      .withColumn("chef_fee", lit(null).cast("string"))
+      .withColumn("chef_fee_usd", lit(null).cast("decimal(20,2)"))
+      .withColumn("tx_hash", lit("EVMQsXorrrxPLHfK9UnbzFUy1SVYWvc8hwSGQZs4RbTk"))
+      .withColumn("donor", account)
+      .withColumn("token", expr("named_struct('id', 'near', 'decimals', 24)"))
+      .withColumn("pot", expr(
+        """named_struct(
+          |'account', 'some-pot.v1.potfactory.potlock.near',
+          |'deployed_at', TIMESTAMP '2024-02-16 17:45:03.600845',
+          |'source_metadata', named_struct(
+          |  'link', 'https://github.com/PotLock/core',
+          |  'version', '0.1.0',
+          |  'commit_hash', '2db43b1182eb97d34e1b67f21b44c7084b364358'),
+          |'name', 'My Pot Name',
+          |'total_matching_pool', '10000000000000000000',
+          |'total_matching_pool_usd', CAST(100.17 AS DECIMAL(20,2)))"""
+          .stripMargin).withField("admins", array(account)))
+      .withColumn("recipient", account)
+      .withColumn("referrer", account)
+      .withColumn("chef", lit(null).cast(accountDdl))
+    val json = Serializers.donationJson(d).head().getAs[String]("json")
+    val acctJson = """{"id":"user.near","total_donations_in_usd":"740.00",""" +
+      """"total_donations_out_usd":"1234.56",""" +
+      """"total_matching_pool_allocations_usd":"800.01","donors_count":321,""" +
+      """"near_social_profile_data":null}"""
+    val golden =
+      """{"on_chain_id":156,"total_amount":"1000000000000000000000000",""" +
+        """"total_amount_usd":"1.17","net_amount":"1000000000000000000000000",""" +
+        """"net_amount_usd":"1.02","matching_pool":false,"message":null,""" +
+        """"donated_at":"2024-06-05T18:08:40.751000Z",""" +
+        s""""protocol_fee":"$fee","protocol_fee_usd":"0.27",""" +
+        s""""referrer_fee":"$fee","referrer_fee_usd":"0.27",""" +
+        """"chef_fee":null,"chef_fee_usd":null,""" +
+        """"tx_hash":"EVMQsXorrrxPLHfK9UnbzFUy1SVYWvc8hwSGQZs4RbTk",""" +
+        s""""donor":$acctJson,"token":{"id":"near","decimals":24},""" +
+        """"pot":{"account":"some-pot.v1.potfactory.potlock.near",""" +
+        """"deployed_at":"2024-02-16T17:45:03.600845Z",""" +
+        """"source_metadata":{"link":"https://github.com/PotLock/core",""" +
+        """"version":"0.1.0",""" +
+        """"commit_hash":"2db43b1182eb97d34e1b67f21b44c7084b364358"},""" +
+        """"name":"My Pot Name","total_matching_pool":"10000000000000000000",""" +
+        s""""total_matching_pool_usd":"100.17","admins":[$acctJson]},""" +
+        s""""recipient":$acctJson,"referrer":$acctJson,"chef":null}"""
+    assert(json == golden)
+  }
+
   test("keyset pagination: page-number parity, no global window (O3 scale path)") {
     // Walk all three keyset pages and compare against the page-number form.
     val k1 = qs.accountsListKeyset(None, 2).select("id").collect().map(_.getString(0))
