@@ -112,6 +112,15 @@ final class SilverStore(spark: SparkSession, dir: String) {
   def exists(name: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(path(name)))
 
+  /** The blacklist as the reference's query surface sees it. The
+    * reference HARD-deletes rows on `unblacklist_account`
+    * (indexer_app/utils.py:104-114); the engine keeps an auditable LWW
+    * soft delete (`active=false`, EntityTransforms.blacklistActions) and
+    * equivalence is restored at read time by this tombstone-aware view —
+    * any future blacklist endpoint must read THIS, not the raw table. */
+  def activeBlacklist(): DataFrame =
+    table("nadabot_blacklist").filter(org.apache.spark.sql.functions.col("active"))
+
   /** Apply add/remove deltas to an array column — the engine's form of the
     * reference's M2M `aadd`/`remove` (utils.py:785-805, 808-817, 820-828),
     * which LWW row-replace cannot express. `patches` rows carry the entity

@@ -164,4 +164,8 @@ object Fixtures {
   def blacklistEventLog(accounts: Seq[String], reason: String): String =
     s"""EVENT_JSON:{"standard":"nadabot","version":"1.0.0","event":"blacklist_account",""" +
       s""""data":[{"accounts":[${accounts.map("\"" + _ + "\"").mkString(",")}],"reason":"$reason"}]}"""
+
+  def unblacklistEventLog(accounts: Seq[String]): String =
+    s"""EVENT_JSON:{"standard":"nadabot","version":"1.0.0","event":"unblacklist_account",""" +
+      s""""data":[{"accounts":[${accounts.map("\"" + _ + "\"").mkString(",")}]}]}"""
 }

@@ -90,6 +90,7 @@ class IngestSpec extends SparkSpec {
             groupEventLog(3, "G", "\"Highest\"", Seq(1, 2)),
             groupEventLog(4, "H", """{"IncreasingReturns": 10}""", Seq(2)),
             blacklistEventLog(Seq("bad.near"), "spam"),
+            blacklistEventLog(Seq("temp.near"), "oops"),
             // the contract id-13 bug: two distinct providers, same emitted
             // id, plus one well-behaved provider (utils.py:1104-1111)
             providerEventLog(13, "P-first"),
@@ -160,7 +161,13 @@ class IngestSpec extends SparkSpec {
           resultJson = Some("\"ok\""), receiptId = "rW", signer = "fowner.near"),
         receipt(factoryAccount, "admin_set_require_whitelist",
           """{"require_whitelist": false}""",
-          resultJson = Some("\"ok\""), receiptId = "rX", signer = "fowner.near"))))
+          resultJson = Some("\"ok\""), receiptId = "rX", signer = "fowner.near"))),
+      // block 110: unblacklist of the block-104 temp.near entry
+      // (handle_registry_unblacklist_action, utils.py:104-114)
+      110L -> (Seq(
+        receipt(nadabotAccount, "whatever", "{}", resultJson = Some("\"ok\""),
+          receiptId = "rBL", logs = Seq(
+            unblacklistEventLog(Seq("temp.near")))))))
 
   private lazy val counts: Map[String, Long] = {
     val in = tmpDir("bronze")
@@ -297,8 +304,23 @@ class IngestSpec extends SparkSpec {
     assert(gs(0).isNullAt(gs(0).fieldIndex("rule_val")))
     assert(gs(1).getAs[String]("rule_type") == "IncreasingReturns")
     assert(gs(1).getAs[Int]("rule_val") == 10)
-    val bl = silver.table("nadabot_blacklist").head()
-    assert(bl.getAs[String]("account") == "bad.near" && bl.getAs[Boolean]("active"))
+    val bl = silver.table("nadabot_blacklist")
+      .filter(col("account") === "bad.near").head()
+    assert(bl.getAs[Boolean]("active"))
+  }
+
+  test("unblacklist: query surface matches the reference's hard delete") {
+    counts
+    // The reference DELETES the BlackList row (utils.py:104-114); the
+    // engine soft-deletes via LWW (active=false) and exposes the
+    // reference-equivalent state through the tombstone-aware reader.
+    // temp.near was blacklisted in block 104 and unblacklisted in 110.
+    val all = silver.table("nadabot_blacklist")
+    val temp = all.filter(col("account") === "temp.near").head()
+    assert(!temp.getAs[Boolean]("active")) // audit row retained, inactive
+    val active = silver.activeBlacklist().select("account")
+      .collect().map(_.getString(0)).toSet
+    assert(active == Set("bad.near")) // what the reference DB would contain
   }
 
   test("block_height cursor parity row (S2)") {
