@@ -1275,5 +1275,56 @@ object Oracles {
          |        FROM o)
          |SELECT doc_id, kgram_hashes, to_json(fps)::VARCHAR AS fps,
          |       CAST(len(fps) AS BIGINT) AS n_fingerprints
-         |FROM f ORDER BY doc_id""".stripMargin)
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_srch2_top_terms" ->
+      raw"""WITH w AS (SELECT unnest(string_split(
+        |              lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS term
+        |            FROM documents),
+        |  c AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+        |        FROM w WHERE length(term) > 0 GROUP BY 1),
+        |  r AS (SELECT term, n,
+        |          ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rk FROM c)
+        |SELECT term, n FROM r WHERE rk <= 25 ORDER BY n DESC, term""".stripMargin,
+
+    // The raw URLs rebuild from the same doc_id arithmetic as the query,
+    // then every canonicalization rule replays in DuckDB string ops:
+    // fragment drop, scheme/host lowercase, default-port strip, tracking
+    // param removal, param sort, trailing-slash strip.
+    "q_cur3_url_dedup" ->
+      raw"""WITH u AS (SELECT doc_id,
+        |              'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) ||
+        |              '.COM:443/Articles/item' || CAST(doc_id % 29 AS VARCHAR) ||
+        |              CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |              CASE WHEN doc_id % 2 = 0
+        |                   THEN '?b=' || CAST(doc_id % 3 AS VARCHAR) ||
+        |                        '&utm_source=feed' || CAST(doc_id % 7 AS VARCHAR) || '&a=1'
+        |                   ELSE '?a=1&fbclid=x' || CAST(doc_id % 11 AS VARCHAR) ||
+        |                        '&b=' || CAST(doc_id % 3 AS VARCHAR) END ||
+        |              '#sec' || CAST(doc_id % 4 AS VARCHAR) AS raw
+        |            FROM documents),
+        |  p AS (SELECT doc_id, regexp_replace(raw, '#.*$$', '') AS nf FROM u),
+        |  parts AS (SELECT doc_id,
+        |              lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |              lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+        |              regexp_replace(regexp_extract(nf,
+        |                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$$', '') AS path,
+        |              regexp_extract(nf, '\?([^#]*)', 1) AS query
+        |            FROM p),
+        |  canon AS (SELECT doc_id,
+        |              scheme || '://' ||
+        |              (CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$$', '')
+        |                    WHEN scheme = 'http' THEN regexp_replace(host0, ':80$$', '')
+        |                    ELSE host0 END) || path ||
+        |              (CASE WHEN qp IS NULL OR qp = '' THEN '' ELSE '?' || qp END)
+        |                AS url_canonical
+        |            FROM (SELECT doc_id, scheme, host0, path,
+        |                    array_to_string(list_sort(list_filter(
+        |                      string_split(query, '&'),
+        |                      x -> x <> '' AND NOT regexp_matches(x,
+        |                        '^(utm_[^=]*|fbclid|gclid)='))), '&') AS qp
+        |                  FROM parts))
+        |SELECT url_canonical, CAST(MIN(doc_id) AS BIGINT) AS kept_id,
+        |       CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
+        |FROM canon GROUP BY 1 ORDER BY url_canonical""".stripMargin)
 }

@@ -113,7 +113,16 @@ object PlanAudit {
     // table partitioned by lang — bounded state; no window may ever be
     // global (empty partition spec = whole table through one task)
     "q_rep1_corpus_report" -> Seq("windowspecdefinition\\(lang",
-      "HashAggregate", "!windowspecdefinition\\(tok"))
+      "HashAggregate", "!windowspecdefinition\\(tok"),
+    // vocab head: two-level count (map-side partial combine on term) with
+    // the cut as the bounded per-partition heap — never a global window
+    // ranking the vocabulary
+    "q_srch2_top_terms" -> Seq("HashAggregate", "TakeOrderedAndProject",
+      "!Window", "!Join"),
+    // URL dedup: canonicalization is per-row codegen'd string work and
+    // the keep-one is ONE hash aggregation on the canonical key
+    "q_cur3_url_dedup" -> Seq("HashAggregate", "codegen id", "!Window",
+      "!Join"))
 
   /** Run every check; returns (name, missing-patterns, plan-excerpt) for
     * failures — the excerpt is what diagnoses a CI-only regression

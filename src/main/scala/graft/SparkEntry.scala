@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Amounts, DedupFunctions, DomainFunctions, SampleFunctions, SearchFunctions, Similarity, TextFunctions}
+import graft.functions.{Amounts, DedupFunctions, DomainFunctions, FrequentItems, SampleFunctions, SearchFunctions, Similarity, TextFunctions}
 import graft.operators.{AsOfJoin, Relational}
 
 /** Driver contract — the operator-inventory correctness surface.
@@ -784,6 +784,45 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** SRCH2 — exact corpus-wide top-25 terms: vocabulary head / boilerplate
+    * discovery. Two-level count (map-side partial combine on term) +
+    * bounded TakeOrderedAndProject cut, ties to the smaller term. The
+    * Misra-Gries sketch (FrequentItems.misraGries) is the vocab-scale
+    * path where even the term shuffle must go — its estimates are
+    * merge-order-dependent inside the N/(m+1) guarantee band, so the
+    * sketch is spec-verified and the exact form is what the hash gate
+    * replays. */
+  private def srch2(t: Tables): DataFrame =
+    FrequentItems.topTermsExact(t.documents, "text", k = 25)
+      .orderBy(col("n").desc, col("term"))
+
+  /** CUR3 — crawl dedup by canonical URL, the pre-content dedup tier.
+    * The corpus carries no URL column, so each row synthesizes one from
+    * doc_id arithmetic (same precedent as q_txt6's planted PII) with the
+    * full noise menu — upper-case scheme/host, default :443 port,
+    * tracking params, shuffled parameter order, trailing slash, fragment
+    * — and the oracle rebuilds the identical raw URLs and replays the
+    * canonicalization rules with DuckDB string ops. Refetch collisions
+    * are planted by construction (path and surviving params derive from
+    * doc_id mod classes). */
+  private def cur3(t: Tables): DataFrame = {
+    val d = col("doc_id")
+    val raw = concat(
+      lit("HTTPS://WWW.Example"), pmod(d, lit(5)).cast("string"),
+      lit(".COM:443/Articles/item"), pmod(d, lit(29)).cast("string"),
+      when(pmod(d, lit(2)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(d, lit(2)) === 0,
+        concat(lit("?b="), pmod(d, lit(3)).cast("string"),
+          lit("&utm_source=feed"), pmod(d, lit(7)).cast("string"),
+          lit("&a=1")))
+        .otherwise(concat(lit("?a=1&fbclid=x"), pmod(d, lit(11)).cast("string"),
+          lit("&b="), pmod(d, lit(3)).cast("string"))),
+      lit("#sec"), pmod(d, lit(4)).cast("string"))
+    DomainFunctions.dedupByCanonicalUrl(
+        t.documents.select(d.as("doc_id"), raw.as("url")), "doc_id", "url")
+      .orderBy("url_canonical")
+  }
+
   // ---------------------------------------------------------------- D: dedup
 
   /** DD1 — exact dedup via content-hash groups. */
@@ -1250,7 +1289,9 @@ object SparkEntry {
       "q_dd11_bloom_gate" -> q(dd11),
       "q_cur1_curation_funnel" -> q(cur1),
       "q_cur2_source_filter" -> q(cur2),
+      "q_cur3_url_dedup" -> q(cur3),
       "q_srch1_keyword_topk" -> q(srch1),
+      "q_srch2_top_terms" -> q(srch2),
       "q_dd4_simhash" -> q(dd4),
       "q_dd5_embed_neardup" -> q(dd5),
       "q_sim1_cosine_topk" -> q(sim1),

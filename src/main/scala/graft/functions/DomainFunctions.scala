@@ -50,4 +50,49 @@ object DomainFunctions {
     docs.join(
       broadcast(passingSources(docs, srcCol, textCol, minTokens, maxShortFrac)),
       Seq(srcCol), "left_semi")
+
+  /** URL canonicalization — the key function of crawl-level dedup (the
+    * same page is fetched under scheme/host case variants, default
+    * ports, tracking parameters, shuffled query order, trailing slashes
+    * and fragments; CommonCrawl-style pipelines dedup by canonical URL
+    * before any content pass). Rules, all engine-portable string ops so
+    * the DuckDB oracle replays them bit-for-bit:
+    *
+    *  - scheme and host lowercase (path/query stay case-sensitive, per
+    *    URL semantics);
+    *  - default port stripped (:80 for http, :443 for https);
+    *  - fragment dropped;
+    *  - tracking parameters dropped (utm_*, fbclid, gclid);
+    *  - surviving query parameters sorted;
+    *  - trailing path slash stripped.
+    *
+    * Per-row and codegen'd (regex + array ops) — no shuffle, no UDF. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .otherwise(host0)
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/$", "")
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = array_join(
+      array_sort(filter(split(query, "&"), p =>
+        p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)="))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
+  /** Crawl dedup by canonical URL: one row per canonical form with the
+    * kept fetch (lowest id) and the duplicate count — the pre-content
+    * dedup tier that removes refetches before any text ever shuffles.
+    * Groups on the canonical string; cost is one hash aggregation. */
+  def dedupByCanonicalUrl(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), canonicalizeUrl(col(urlCol)).as("url_canonical"))
+      .groupBy("url_canonical")
+      .agg(min(col("id")).as("kept_id"),
+        (count(lit(1)) - 1).cast("long").as("n_dups"))
 }
