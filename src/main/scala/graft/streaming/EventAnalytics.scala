@@ -23,6 +23,24 @@ object EventAnalytics {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Windowed trending terms: per event-time window, a bounded
+    * Misra-Gries summary of the term column — "what's trending this
+    * hour" over an unbounded stream with O(windows × capacity) state.
+    * The sketch aggregator is MERGEABLE, so Structured Streaming's
+    * incremental state updates are exactly its merge operation, and the
+    * watermark GCs closed windows. Estimates carry the usual
+    * N/(capacity+1) one-sided error; when capacity ≥ distinct terms in
+    * the window the counts are exact regardless of merge order. */
+  def trendingTerms(events: DataFrame, tsCol: String, termCol: String,
+      windowLength: String, capacity: Int,
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLength))
+      .agg(graft.functions.FrequentItems.misraGries(col(termCol), capacity)
+        .as("top_terms"))
+      .select(col("window.start").as("window_start"), col("top_terms"))
+
   /** Streaming exact-dedup — the streaming form of DD1 for at-least-once
     * upstreams: duplicates of a key arriving within the watermark horizon
     * are suppressed, and the key's state expires with the watermark, so

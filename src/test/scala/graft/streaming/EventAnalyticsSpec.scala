@@ -38,6 +38,39 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(streamed.except(batch.select(col("hour"), col("event_type"), col("n"))).count() == 0)
   }
 
+  test("streaming trending terms: per-window Misra-Gries summary, exact when capacity suffices") {
+    def ts(min: Int) = new java.sql.Timestamp(1718000000000L + min * 60000L)
+    // hour 1: "alpha" dominates; hour 2: "beta" dominates
+    val rows = (Seq.fill(6)("alpha") ++ Seq("gamma", "delta")).zipWithIndex
+      .map { case (t, i) => (ts(i), t) } ++
+      (Seq.fill(5)("beta") ++ Seq("gamma")).zipWithIndex
+        .map { case (t, i) => (ts(70 + i), t) }
+    val events = rows.toDF("ts", "term")
+    val dir = tmpDir("trend-src")
+    events.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val q = EventAnalytics.trendingTerms(stream, "ts", "term",
+        windowLength = "1 hour", capacity = 8)
+      .writeStream.format("memory").queryName("trending")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val byWindow = spark.table("trending").collect().map { r =>
+      r.getTimestamp(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => e.getString(0) -> e.getLong(1))
+    }.toMap
+    assert(byWindow.size == 2)
+    val Seq(w1, w2) = byWindow.keys.toSeq.sortBy(_.getTime)
+    // capacity 8 > distinct terms per window ⇒ exact counts, best-first
+    assert(byWindow(w1).head == ("alpha" -> 6L))
+    assert(byWindow(w1).toMap == Map("alpha" -> 6L, "gamma" -> 1L, "delta" -> 1L))
+    assert(byWindow(w2).head == ("beta" -> 5L))
+    assert(byWindow(w2).toMap == Map("beta" -> 5L, "gamma" -> 1L))
+  }
+
   test("streaming dedup within watermark suppresses at-least-once replays") {
     def ts(min: Int) = new java.sql.Timestamp(1718000000000L + min * 60000L)
     val events = Seq(
