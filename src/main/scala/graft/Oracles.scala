@@ -1287,6 +1287,37 @@ object Oracles {
         |          ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rk FROM c)
         |SELECT term, n FROM r WHERE rk <= 25 ORDER BY n DESC, term""".stripMargin,
 
+    // Same n-gram machinery as q_txt7, inner-joined for the hit pairs.
+    "q_txt13_contamination_hits" ->
+      raw"""WITH nd AS (SELECT doc_id,
+        |              list_distinct(list_transform(
+        |                generate_series(1, greatest(len(w) - 2, 0)),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngrams
+        |            FROM (SELECT doc_id,
+        |                    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+        |                  FROM documents)),
+        |  b AS (SELECT DISTINCT unnest(ngrams) AS ngram FROM nd WHERE doc_id % 97 = 0),
+        |  d AS (SELECT doc_id, unnest(ngrams) AS ngram FROM nd)
+        |SELECT doc_id, ngram FROM d JOIN b USING (ngram)
+        |ORDER BY doc_id, ngram""".stripMargin,
+
+    // Windows rebuild from the same (event_type, day) arithmetic as the
+    // query; the oracle's join is the plain BETWEEN form the bin-bucketed
+    // equi-join must exactly reproduce.
+    "q_j9_interval_join" ->
+      """WITH ev AS (SELECT event_id, ts, event_type FROM events),
+        |  d AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS day FROM ev),
+        |  w AS (SELECT event_type,
+        |          epoch_us(day) + (length(event_type) % 12) * 3600000000 AS ws,
+        |          epoch_us(day) + (length(event_type) % 12 + 2) * 3600000000 AS we
+        |        FROM d)
+        |SELECT e.event_id, e.event_type,
+        |       CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+        |       CAST(w.ws AS BIGINT) AS window_start_us
+        |FROM ev e JOIN w ON e.event_type = w.event_type
+        |  AND epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
+        |ORDER BY event_id""".stripMargin,
+
     // The raw URLs rebuild from the same doc_id arithmetic as the query,
     // then every canonicalization rule replays in DuckDB string ops:
     // fragment drop, scheme/host lowercase, default-port strip, tracking

@@ -122,7 +122,16 @@ object PlanAudit {
     // URL dedup: canonicalization is per-row codegen'd string work and
     // the keep-one is ONE hash aggregation on the canonical key
     "q_cur3_url_dedup" -> Seq("HashAggregate", "codegen id", "!Window",
-      "!Join"))
+      "!Join"),
+    // contamination evidence: the benchmark n-gram union must broadcast —
+    // the corpus must never shuffle (or SMJ) on the exploded n-gram key
+    "q_txt13_contamination_hits" -> Seq("BroadcastHashJoin",
+      "!SortMergeJoin", "!CartesianProduct"),
+    // interval join: the range predicate must ride a (key, bin) EQUI-join
+    // — a nested loop or cartesian over time bounds is quadratic per key
+    "q_j9_interval_join" -> Seq(
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!BroadcastNestedLoopJoin", "!CartesianProduct"))
 
   /** Run every check; returns (name, missing-patterns, plan-excerpt) for
     * failures — the excerpt is what diagnoses a CI-only regression

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Amounts, DedupFunctions, DomainFunctions, FrequentItems, SampleFunctions, SearchFunctions, Similarity, TextFunctions}
-import graft.operators.{AsOfJoin, Relational}
+import graft.operators.{AsOfJoin, IntervalJoin, Relational}
 
 /** Driver contract — the operator-inventory correctness surface.
   *
@@ -823,6 +823,43 @@ object SparkEntry {
       .orderBy("url_canonical")
   }
 
+  /** TXT13 — contamination EVIDENCE: the distinct (doc, benchmark-3-gram)
+    * hits behind q_txt7's scores, the span-level audit a decontamination
+    * pass reports (targeted scrubbing instead of whole-document drops).
+    * Benchmark n-gram union broadcasts; the corpus never shuffles on the
+    * n-gram key. */
+  private def txt13(t: Tables): DataFrame =
+    DedupFunctions.contaminationHits(
+        t.documents, "doc_id", "text",
+        t.documents.filter(pmod(col("doc_id"), lit(97)) === 0), "text", n = 3)
+      .orderBy("doc_id", "ngram")
+
+  /** J9 — point-in-interval join as a bin-bucketed EQUI-join (the range
+    * join that must never plan as a nested loop): events matched to a
+    * per-(event_type, day) maintenance window synthesized from the events
+    * table itself — 2 hours starting at hour (len(event_type) mod 12) —
+    * with hour-wide bins, so the join is hash-keyed on (type, bin) and
+    * the exact half-open bounds verify candidates. Micros ride as
+    * bigints end-to-end, so no timezone ever renders. */
+  private def j9(t: Tables): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = t.events.select(col("event_id"), col("ts"), col("event_type"))
+    val wins = ev
+      .select(col("event_type"), date_trunc("day", col("ts")).as("__day"))
+      .distinct()
+      .withColumn("w_start", timestamp_micros(unix_micros(col("__day")) +
+        pmod(length(col("event_type")), lit(12)).cast("long") * hourUs))
+      .withColumn("w_end",
+        timestamp_micros(unix_micros(col("w_start")) + 2L * hourUs))
+      .select("event_type", "w_start", "w_end")
+    IntervalJoin.pointInInterval(ev, "ts", wins, "w_start", "w_end",
+        Seq("event_type"), binMicros = hourUs)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("w_start")).as("window_start_us"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- D: dedup
 
   /** DD1 — exact dedup via content-hash groups. */
@@ -1292,6 +1329,8 @@ object SparkEntry {
       "q_cur3_url_dedup" -> q(cur3),
       "q_srch1_keyword_topk" -> q(srch1),
       "q_srch2_top_terms" -> q(srch2),
+      "q_txt13_contamination_hits" -> q(txt13),
+      "q_j9_interval_join" -> q(j9),
       "q_dd4_simhash" -> q(dd4),
       "q_dd5_embed_neardup" -> q(dd5),
       "q_sim1_cosine_topk" -> q(sim1),

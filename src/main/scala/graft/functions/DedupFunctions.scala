@@ -536,6 +536,26 @@ object DedupFunctions {
           .otherwise(lit(0.0)).as("contamination"))
   }
 
+  /** Contamination EVIDENCE — the distinct (doc, n-gram) hits behind
+    * [[contaminationScores]]: WHICH benchmark n-grams each document
+    * shares, the span-level audit trail a decontamination pass reports
+    * (so a human can see why a document was dropped, and targeted
+    * scrubbing can remove the offending spans instead of the document).
+    * Same scale shape as the score pass: the benchmark n-gram union
+    * broadcasts (eval sets are small by definition) and the corpus side
+    * streams through a map-side hash join — the corpus never shuffles on
+    * the n-gram key; output size is the true hit count. */
+  def contaminationHits(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    val bench = broadcast(
+      benchmark.select(explode(shingles(col(benchTextCol), n)).as("ngram"))
+        .distinct())
+    corpus
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("ngram"))
+      .join(bench, Seq("ngram"))
+      .select(col(idCol), col("ngram"))
+  }
+
   /** Keep-one-per-cluster corpus dedup (DD7) — the decision step that turns
     * pairwise near-dup evidence into a deduplicated training corpus:
     * [[duplicateClusters]] labels each component, then exactly one
