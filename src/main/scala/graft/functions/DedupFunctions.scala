@@ -168,9 +168,6 @@ object DedupFunctions {
       s"k $k must be divisible by bands $bands — a truncated band width " +
         "silently drops signature components from every band key")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val base = sigs
-      .select(col("id"), col("sh"), col("sig"))
-      .persist(lvl)
     // EXACT-DUPLICATE COLLAPSE before banding — the band-bucket skew
     // guard. The degenerate 100 TB input is millions of documents with
     // IDENTICAL content (empty pages, boilerplate): they all land in the
@@ -182,14 +179,23 @@ object DedupFunctions {
     // back afterwards, which is semantics-preserving: equal shingle
     // sets ⇒ equal signatures/band keys/candidates, equal verify
     // results against any third set, and pairwise Jaccard exactly 1.
-    val reps = base.groupBy(col("sh"))
-      .agg(min(col("id")).as("id"), first(col("sig")).as("sig"),
-        count(lit(1)).as("gsz"))
+    // The collapse keys on a 128-bit content fingerprint of the shingle
+    // array (md5 of canonical JSON — the exact-dedup identity contract),
+    // not the array itself: shingle sets are kilobytes, and the groupBy
+    // + membership join would otherwise hash and compare them as keys.
+    val base = sigs
+      .select(col("id"), col("sh"), col("sig"))
+      .withColumn("shkey", md5(to_json(col("sh")).cast("binary")))
+      .persist(lvl)
+    val reps = base.groupBy(col("shkey"))
+      .agg(min(col("id")).as("id"), first(col("sh")).as("sh"),
+        first(col("sig")).as("sig"), count(lit(1)).as("gsz"))
       .persist(lvl)
     // membership map id -> representative id (gsz rides along so the
     // intra-group expansion can skip the singleton majority)
-    val mem = base.select(col("id"), col("sh"))
-      .join(reps.select(col("sh"), col("id").as("rid"), col("gsz")), Seq("sh"))
+    val mem = base.select(col("id"), col("shkey"))
+      .join(reps.select(col("shkey"), col("id").as("rid"), col("gsz")),
+        Seq("shkey"))
       .select(col("id"), col("rid"), col("gsz"))
       .persist(lvl)
     // The candidate-pair shuffle carries only (id_a, id_b); shingle sets are

@@ -318,13 +318,22 @@ object Similarity {
   def embeddingNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String, bucketCol: String,
       threshold: Double): DataFrame = {
+    // The collapse key is a 128-bit content fingerprint of the vector
+    // (md5 of its canonical JSON — the same md5-as-identity contract as
+    // exact text dedup), NOT the raw vector: at 768 float dims the
+    // vector is a ~3 KB join key, and hashing/comparing it in the
+    // groupBy and membership join would dominate the shuffle. -0.0/0.0
+    // render differently and stay distinct — a missed collapse is only
+    // a little extra work, never a wrong pair.
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      col(bucketCol).as("bk"))
-    val reps = base.groupBy(col("bk"), col("v"))
-      .agg(min(col("id")).as("id"), count(lit(1)).as("gsz"))
-    val mem = base
-      .join(reps.select(col("bk"), col("v"), col("id").as("rid"), col("gsz")),
-        Seq("bk", "v"))
+        col(bucketCol).as("bk"))
+      .withColumn("vkey", md5(to_json(col("v")).cast("binary")))
+    val reps = base.groupBy(col("bk"), col("vkey"))
+      .agg(min(col("id")).as("id"), first(col("v")).as("v"),
+        count(lit(1)).as("gsz"))
+    val mem = base.select(col("id"), col("bk"), col("vkey"))
+      .join(reps.select(col("bk"), col("vkey"), col("id").as("rid"),
+        col("gsz")), Seq("bk", "vkey"))
       .select(col("id"), col("rid"), col("gsz"))
     val a = reps.select(col("id").as("id_a"), col("v").as("va"), col("bk"))
     val b = reps.select(col("id").as("id_b"), col("v").as("vb"), col("bk"))
