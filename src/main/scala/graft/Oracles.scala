@@ -1318,6 +1318,21 @@ object Oracles {
         |  AND epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
         |ORDER BY event_id""".stripMargin,
 
+    // Funnel: the oracle's join is the naive "purchase within an hour of
+    // a view" BETWEEN form the bin-bucketed equi-join must reproduce.
+    "q_w4_funnel" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS vu FROM events
+        |           WHERE event_type = 'view'),
+        |  p AS (SELECT user_id, epoch_us(ts) AS pu FROM events
+        |        WHERE event_type = 'purchase'),
+        |  conv AS (SELECT v.user_id, vu // 86400000000 AS day_key
+        |           FROM v JOIN p ON v.user_id = p.user_id
+        |            AND p.pu >= v.vu AND p.pu < v.vu + 3600000000)
+        |SELECT CAST(day_key AS BIGINT) AS day_key,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS converted_users,
+        |       CAST(count(*) AS BIGINT) AS n_conversions
+        |FROM conv GROUP BY 1 ORDER BY day_key""".stripMargin,
+
     // The raw URLs rebuild from the same doc_id arithmetic as the query,
     // then every canonicalization rule replays in DuckDB string ops:
     // fragment drop, scheme/host lowercase, default-port strip, tracking

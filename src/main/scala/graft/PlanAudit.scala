@@ -131,6 +131,11 @@ object PlanAudit {
     // — a nested loop or cartesian over time bounds is quadratic per key
     "q_j9_interval_join" -> Seq(
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+    // funnel: the conversion match must ride the same (user, bin)
+    // equi-join — never a per-user nested loop over time bounds
+    "q_w4_funnel" -> Seq(
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
       "!BroadcastNestedLoopJoin", "!CartesianProduct"))
 
   /** Run every check; returns (name, missing-patterns, plan-excerpt) for

@@ -860,6 +860,28 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** W4 — funnel conversion (view → purchase within 1 hour, per user):
+    * event-sequence analysis as a COMPOSITION of the interval bin join —
+    * each view opens a [ts, ts+1h) window keyed by user, purchases are
+    * the points, and the equi-(user, bin) join with exact bounds verify
+    * replaces the nested-loop "purchases after views" self-join that is
+    * quadratic per user at scale. Daily rollup keys on an integer day
+    * index (micros / 86400e6), so no timezone renders. */
+  private def w4(t: Tables): DataFrame = {
+    val hourUs = 3600000000L
+    val views = t.events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withColumn("w_end", timestamp_micros(unix_micros(col("view_ts")) + hourUs))
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    IntervalJoin.pointInInterval(purchases, "ts", views,
+        "view_ts", "w_end", Seq("user_id"), binMicros = hourUs)
+      .groupBy(expr("unix_micros(view_ts) div 86400000000").as("day_key"))
+      .agg(countDistinct(col("user_id")).as("converted_users"),
+        count(lit(1)).as("n_conversions"))
+      .orderBy("day_key")
+  }
+
   // ---------------------------------------------------------------- D: dedup
 
   /** DD1 — exact dedup via content-hash groups. */
@@ -1331,6 +1353,7 @@ object SparkEntry {
       "q_srch2_top_terms" -> q(srch2),
       "q_txt13_contamination_hits" -> q(txt13),
       "q_j9_interval_join" -> q(j9),
+      "q_w4_funnel" -> q(w4),
       "q_dd4_simhash" -> q(dd4),
       "q_dd5_embed_neardup" -> q(dd5),
       "q_sim1_cosine_topk" -> q(sim1),
