@@ -901,6 +901,48 @@ object Oracles {
          |FROM p WHERE jaccard_sim >= 0.5
          |ORDER BY section, doc_id, id_new, id_corpus""".stripMargin,
 
+    // Repeated-span dedup: only the per-doc k-gram hash sequences are
+    // trusted input. DuckDB replays the leftmost window-min position
+    // selection, both deterministic skew caps (10 smallest positions per
+    // (doc, hash); hash document-frequency 2..50), the exact substring
+    // verify against the raw documents table, and the per-pair counts.
+    "q_dd12_substring_dup" ->
+      s"""WITH o AS (SELECT doc_id, kgram_hashes,
+         |             CAST(kgram_hashes AS BIGINT[]) AS kh
+         |           FROM read_parquet('$OUT/q_dd12_substring_dup/*.parquet')
+         |           WHERE section = 'sig'),
+         |  d AS (SELECT doc_id,
+         |          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+         |        FROM documents),
+         |  selpos AS (SELECT doc_id, kh, list_distinct(list_transform(
+         |               generate_series(1, greatest(len(kh) - 15, 1)),
+         |               j -> j - 1 + list_position(kh[j:j+15], list_min(kh[j:j+15])))) AS ps
+         |             FROM o),
+         |  sel0 AS (SELECT doc_id AS id, kh, unnest(ps) AS p FROM selpos),
+         |  sel AS (SELECT s.id, s.p, s.kh[s.p] AS h, substr(d.norm, s.p, 20) AS gram
+         |          FROM sel0 s JOIN d ON d.doc_id = s.id),
+         |  keep AS (SELECT id, h, (list_sort(list(p)))[1:10] AS pk
+         |           FROM sel GROUP BY id, h),
+         |  capped AS (SELECT s.id, s.h, s.p, s.gram
+         |             FROM sel s JOIN keep k2 ON s.id = k2.id AND s.h = k2.h
+         |             WHERE list_contains(k2.pk, s.p)),
+         |  shared AS (SELECT h FROM (SELECT h, count(DISTINCT id) AS nd
+         |                            FROM capped GROUP BY h)
+         |             WHERE nd BETWEEN 2 AND 50),
+         |  cs AS (SELECT c.* FROM capped c JOIN shared USING (h)),
+         |  p2 AS (SELECT x.id AS id_a, y.id AS id_b,
+         |           CAST(count(*) AS BIGINT) AS n_shared
+         |         FROM cs x JOIN cs y
+         |           ON x.h = y.h AND x.id < y.id AND x.gram = y.gram
+         |         GROUP BY 1, 2)
+         |SELECT 'sig' AS section, doc_id, kgram_hashes,
+         |       CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+         |       CAST(NULL AS BIGINT) AS n_shared
+         |FROM o
+         |UNION ALL
+         |SELECT 'pair', NULL, NULL, id_a, id_b, n_shared FROM p2
+         |ORDER BY section, doc_id, id_a, id_b""".stripMargin,
+
     // Product quantization: only the codebooks are trusted input; codes
     // (per-subspace argmin with lowest-cell ties) and reconstruction
     // errors (the ADC distance) re-derive from the embeddings table by

@@ -136,6 +136,11 @@ object PlanAudit {
     // equi-join — never a per-user nested loop over time bounds
     "q_w4_funnel" -> Seq(
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+    // repeated-span dedup: candidates must form ONLY inside fingerprint
+    // buckets (equi-join on the hash) — never an all-pairs comparison
+    "q_dd12_substring_dup" -> Seq(
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
       "!BroadcastNestedLoopJoin", "!CartesianProduct"))
 
   /** Run every check; returns (name, missing-patterns, plan-excerpt) for

@@ -654,6 +654,39 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DD12 — repeated-SPAN (substring-granular) dedup: cross-document
+    * shared spans found via winnowing-selected k-gram positions with
+    * exact character verification (the distributed re-expression of
+    * suffix-array ExactSubstr dedup — see
+    * [[graft.functions.DedupFunctions.sharedSpanPairs]]). Per-doc k-gram
+    * hash sequences ride along in section 'sig' as the one
+    * engine-specific trusted input; the DuckDB oracle replays the
+    * window-min position selection, both deterministic skew caps, the
+    * substring verify against the raw documents table, and the per-pair
+    * counts — a missed span, a phantom span, or a wrong count all
+    * hash-mismatch. */
+  private def dd12(t: Tables): DataFrame = {
+    // k=20, w=16: the coverage guarantee fires on any shared span of
+    // ≥ w + k − 1 = 35 characters — long enough to be duplication
+    // evidence, not a common phrase (5-char grams pair half the corpus).
+    // The sig echo and the pair derivation each recompute the hash pass:
+    // measured FASTER than persisting the fingerprint table (the kh
+    // column is one bigint PER CHARACTER — caching it costs ~2× the
+    // codegen'd xxhash64 recompute at sf0.1: 6.0 s cached vs 3.0 s).
+    val fps = DedupFunctions.spanFingerprints(t.documents, "doc_id", "text", k = 20)
+    val pairs = DedupFunctions.sharedSpanPairsFromFingerprints(
+      fps, k = 20, w = 16, maxDocsPerHash = 50, maxPosPerDocHash = 10)
+    val nl = lit(null).cast("long")
+    fps
+      .select(lit("sig").as("section"), col("id").as("doc_id"),
+        to_json(col("kh")).as("kgram_hashes"),
+        nl.as("id_a"), nl.as("id_b"), nl.as("n_shared"))
+      .unionByName(pairs.select(lit("pair").as("section"), nl.as("doc_id"),
+        lit(null).cast("string").as("kgram_hashes"),
+        col("id_a"), col("id_b"), col("n_shared")))
+      .orderBy("section", "doc_id", "id_a", "id_b")
+  }
+
   /** TXT11 — Luhn-validated card redaction: candidate digit runs are
     * checksum-VALIDATED before redaction (a bare regex over-redacts
     * order ids and phone numbers). Each document gets one valid and one
@@ -1354,6 +1387,7 @@ object SparkEntry {
       "q_txt13_contamination_hits" -> q(txt13),
       "q_j9_interval_join" -> q(j9),
       "q_w4_funnel" -> q(w4),
+      "q_dd12_substring_dup" -> q(dd12),
       "q_dd4_simhash" -> q(dd4),
       "q_dd5_embed_neardup" -> q(dd5),
       "q_sim1_cosine_topk" -> q(sim1),

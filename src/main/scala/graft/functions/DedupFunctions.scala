@@ -751,4 +751,82 @@ object DedupFunctions {
       .join(store.select("fp"), Seq("fp"), "left_anti")
     definitelyNew.select("id", "fp").unionByName(survivors.select("id", "fp"))
   }
+
+  /** Cross-document repeated-SPAN detection — the substring-granular
+    * dedup from "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022, reference suffix-array ExactSubstr),
+    * re-expressed for a distributed engine: instead of a monolithic
+    * suffix array over the concatenated corpus, winnowing-selected
+    * k-gram fingerprints bucket candidate positions (two documents
+    * sharing any span of ≥ w + k − 1 characters are GUARANTEED to share
+    * a selected fingerprint — the winnowing coverage property), and
+    * every bucket-local candidate is exact-verified by comparing the
+    * actual k-gram characters, so hash collisions cannot produce a
+    * phantom match. Returns one row per unordered doc pair:
+    * `(id_a, id_b, n_shared)` = the count of verified shared selected
+    * position pairs.
+    *
+    * 100 TB design: cost is O(corpus) for fingerprinting (≈ 2/(w+1)
+    * selected positions per character), then strictly bucket-local
+    * joins. Two deterministic skew guards keep degenerate buckets
+    * bounded — and both are pure functions of the data, so an external
+    * oracle replays them exactly:
+    *   - per (doc, hash): keep only the `maxPosPerDocHash` smallest
+    *     positions (caps internally-repetitive documents — "ab ab ab…"
+    *     selects the same hash at hundreds of positions);
+    *   - per hash: drop hashes selected in more than `maxDocsPerHash`
+    *     documents (boilerplate/empty-string guard — the same rationale
+    *     as the LSH band-bucket collapse, but a hard cap: a k-gram in
+    *     half the corpus is boilerplate, not duplication evidence).
+    * Worst-case bucket after both caps: maxDocsPerHash·maxPosPerDocHash
+    * rows ⇒ pair generation is O(buckets · cap²), never O(n²).
+    */
+  def sharedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4,
+      maxDocsPerHash: Int = 50, maxPosPerDocHash: Int = 10): DataFrame =
+    sharedSpanPairsFromFingerprints(
+      spanFingerprints(docs, idCol, textCol, k), k, w,
+      maxDocsPerHash, maxPosPerDocHash)
+
+  /** The per-document `(id, norm, kh)` table [[sharedSpanPairs]] derives
+    * from — exposed separately (the minHashSignatures /
+    * FromSignatures split) so a caller that also ECHOES the hash
+    * sequences computes the O(n·k) hashing pass once. */
+  def spanFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      normalize(col(textCol)).as("norm"),
+      TextFunctions.winnowingKgramHashes(col(textCol), k).as("kh"))
+
+  /** See [[sharedSpanPairs]]; `fps` is [[spanFingerprints]] output. */
+  def sharedSpanPairsFromFingerprints(base: DataFrame, k: Int, w: Int,
+      maxDocsPerHash: Int, maxPosPerDocHash: Int): DataFrame = {
+    // One projection: explode selected positions and immediately cut the
+    // k-char gram — the full document text never crosses a shuffle.
+    val sel = base
+      .select(col("id"), col("kh"), col("norm"),
+        explode(TextFunctions.winnowingSelectedPositions(col("kh"), w)).as("p"))
+      .select(col("id"), col("p"),
+        element_at(col("kh"), col("p")).as("h"),
+        col("norm").substr(col("p"), lit(k)).as("gram"))
+    // Skew guard 1: smallest maxPosPerDocHash positions per (doc, hash).
+    // p is unique within the group, so the struct sort is total and the
+    // gram rides along without a re-join against the document text.
+    val capped = sel.groupBy("id", "h")
+      .agg(slice(array_sort(collect_list(struct(col("p"), col("gram")))),
+        1, maxPosPerDocHash).as("pg"))
+      .select(col("id"), col("h"), explode(col("pg")).as("pg"))
+      .select(col("id"), col("h"), col("pg.p").as("p"), col("pg.gram").as("gram"))
+    // Skew guard 2: document frequency band per hash — ≥ 2 (a hash in one
+    // document forms no cross-doc pair) and ≤ maxDocsPerHash.
+    val shared = capped.groupBy("h").agg(countDistinct("id").as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDocsPerHash)
+      .select("h")
+    val s = capped.join(shared, Seq("h"))
+    s.as("x").join(s.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .filter(col("x.gram") === col("y.gram")) // exact verify: no hash trust
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

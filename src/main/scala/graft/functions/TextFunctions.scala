@@ -146,6 +146,23 @@ object TextFunctions {
         j => array_min(slice(hs, j + 1, lit(w))))
       array_sort(array_distinct(windows))
     }
+  /** Winnowing selection with POSITIONS retained: the 1-based index into
+    * the k-gram hash sequence of each window's minimum (leftmost on ties),
+    * distinct. Where [[winnowingFromHashes]] keeps only the selected hash
+    * VALUES, this keeps where they came from, so a shared fingerprint can
+    * be traced to the exact characters it covers (`substr(norm, p, k)`)
+    * and exact-verified. Pure integer array logic — any engine replays it
+    * from the hashes (leftmost-min is `array_position` of the window min
+    * in both Spark and DuckDB). */
+  def winnowingSelectedPositions(kgramHashes: Column, w: Int = 4): Column =
+    ExprUtils.evalOnce(kgramHashes) { hs =>
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(hs) - w + 1, lit(1)) - 1),
+        j => (j + array_position(
+          slice(hs, j + 1, lit(w)),
+          array_min(slice(hs, j + 1, lit(w))))).cast("int")))
+    }
+
   def normalize(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
 

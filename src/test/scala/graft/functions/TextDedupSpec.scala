@@ -804,6 +804,61 @@ class TextDedupSpec extends SparkSpec {
     assert(res.filter(_._1 <= m).forall(_._2 == 1L)) // one cluster, min-id label
   }
 
+  test("sharedSpanPairs: planted shared span is found, disjoint docs are not paired") {
+    val span = "this exact forty-character span is copied verbatim between the two documents"
+    val d = Seq(
+      (1L, s"unique preamble alpha $span unique coda alpha"),
+      (2L, s"a totally different opening beta $span and a different ending beta"),
+      (3L, "no shared material here at all just original prose about query engines"))
+      .toDF("doc_id", "text")
+    val pairs = DedupFunctions.sharedSpanPairs(d, "doc_id", "text",
+        k = 20, w = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 >= 1) // at least one verified shared fingerprint
+  }
+
+  test("sharedSpanPairs: winnowing coverage guarantee on spans >= w+k-1") {
+    // A shared span of exactly w + k - 1 = 35 normalized characters MUST
+    // produce a pair (the window of w k-gram hashes it spans selects at
+    // least one fingerprint, identically in both docs).
+    val span35 = "abcdefghij0123456789klmnopqrst12345"
+    assert(span35.length == 35)
+    val d = Seq(
+      (10L, s"left-context-one $span35 right-one"),
+      (20L, s"other-left-context $span35 other-right"))
+      .toDF("doc_id", "text")
+    val pairs = DedupFunctions.sharedSpanPairs(d, "doc_id", "text",
+        k = 20, w = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((10L, 20L)))
+  }
+
+  test("sharedSpanPairs: boilerplate in too many docs is dropped, caps bound the bucket (skew guard)") {
+    val n = 80 // > maxDocsPerHash = 50
+    // fully identical docs: every selected hash lands in all n docs, so
+    // the doc-frequency cap drops every one of them — the classic
+    // crawl-mirror flood cannot go quadratic
+    val boiler = "identical cookie banner boilerplate repeated on every crawled page here"
+    val flood = (1 to n).map(i => (i.toLong, boiler))
+    // an internally-repetitive doc: the same long phrase looped many times
+    val loop = "the very same repeated phrase echoes again and again forever "
+    val d = (flood ++ Seq(
+      (500L, loop * 40),
+      (501L, loop * 40)))
+      .toDF("doc_id", "text")
+    val pairs = DedupFunctions.sharedSpanPairs(d, "doc_id", "text",
+        k = 20, w = 16, maxDocsPerHash = 50, maxPosPerDocHash = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the 80-doc boilerplate hash is over the doc-frequency cap: no
+    // quadratic 80×80 pair fan-out from it
+    assert(!pairs.exists(p => p._1 <= n && p._2 <= n))
+    // the looped pair IS found, but the per-(doc,hash) position cap
+    // bounds the count: <= 10×10 per shared hash, never positions²
+    val lp = pairs.filter(p => p._1 == 500L && p._2 == 501L)
+    assert(lp.length == 1 && lp.head._3 >= 1)
+  }
+
   test("minHashNearDupAgainst: new batch matches its corpus near-dup only") {
     val corpus = docs.filter(col("doc_id") =!= 2L)
     val batch = docs.filter(col("doc_id") === 2L || col("doc_id") === 3L)
