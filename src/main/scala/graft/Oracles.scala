@@ -1113,6 +1113,19 @@ object Oracles {
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
 
+    // Skew planner: pure integer arithmetic (ppm share, ceil-division
+    // salt factor); the top-20 cut tie-breaks on user_id so both
+    // engines select the identical row set.
+    "q_prof2_skew_salt" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1),
+        |  n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+        |SELECT user_id, cnt,
+        |       CAST(cnt * 1000000 // n.n AS BIGINT) AS share_ppm,
+        |       CAST(greatest(1, (cnt + 63) // 64) AS BIGINT) AS salt
+        |FROM c CROSS JOIN n
+        |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
+
     // NFC canonicalization: both engines implement the standard Unicode
     // composition algorithm — outputs must match byte-for-byte, and the
     // two combining marks vanish from the character count.

@@ -141,7 +141,12 @@ object PlanAudit {
     // buckets (equi-join on the hash) — never an all-pairs comparison
     "q_dd12_substring_dup" -> Seq(
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
-      "!BroadcastNestedLoopJoin", "!CartesianProduct"))
+      "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+    // skew planner: partial agg + bounded top-k heap; the 1-row total
+    // joins broadcast — no global sort, no window, no shuffled join
+    "q_prof2_skew_salt" -> Seq(
+      "TakeOrderedAndProject", "BroadcastNestedLoopJoin|BroadcastHashJoin",
+      "!Window", "!SortMergeJoin"))
 
   /** Run every check; returns (name, missing-patterns, plan-excerpt) for
     * failures — the excerpt is what diagnoses a CI-only regression

@@ -414,6 +414,25 @@ object SparkEntry {
           "l_linestatus", "l_shipdate_d"))
       .orderBy("column")
 
+  /** PROF2 — join-key skew planner: the pre-flight diagnosis a 100 TB
+    * pipeline runs BEFORE a big shuffle join — per-key row counts for
+    * the hottest keys, each key's corpus share (integer ppm, portable),
+    * and the salting factor `ceil(cnt / 64)` that would split the key's
+    * rows into ≤64-row sub-buckets. Pure integer arithmetic end to end;
+    * the top-20 selection ties-breaks on key so the cut is
+    * deterministic, and the plan is a partial-agg shuffle plus a
+    * TakeOrderedAndProject — no global sort, no window. */
+  private def prof2(t: Tables): DataFrame = {
+    val counts = t.events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val total = t.events.agg(count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(total))
+      .select(col("user_id"), col("cnt"),
+        expr("cnt * 1000000 div n").as("share_ppm"),
+        greatest(lit(1L), expr("(cnt + 63) div 64")).as("salt"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(20)
+  }
+
   /** TXT12 — Unicode canonicalization: decomposed accent sequences
     * (e + U+0301, u + U+0308) appended to every document compose to the
     * precomposed forms under the native NFC expression — two combining
@@ -1352,6 +1371,7 @@ object SparkEntry {
       "q_a7_approx_distinct" -> q(a7),
       "q_a9_approx_percentile" -> q(a9),
       "q_prof1_table_profile" -> q(prof1),
+      "q_prof2_skew_salt" -> q(prof2),
       "q_txt12_nfc_normalize" -> q(txt12),
       "q_set_union_except" -> q(set1),
       "q_txt1_quality" -> q(txt1),
