@@ -731,6 +731,20 @@ object Oracles {
          |SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
+    // MIPS: raw inner product (left-fold, bit-compatible with Spark's
+    // aggregate(zip_with)), top-5 per query with (score desc, id asc).
+    "q_sim7_mips" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 8),
+         |     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+         |           FROM embeddings),
+         |     s AS (SELECT query_id, neighbor_id, ${dotSql("qv", "cv")} AS dot
+         |           FROM q, c WHERE neighbor_id != query_id),
+         |     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY dot DESC, neighbor_id ASC) AS rank FROM s)
+         |SELECT query_id, neighbor_id, rank, dot FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
     // The oracle reconstructs the SAME real PNG/JPEG header bytes from
     // doc_id arithmetic and emits the dimensions that were encoded into
     // them — a single misread byte in the pure-JVM header parser (or a

@@ -26,6 +26,9 @@ object PlanAudit {
     // per-query Window funneling the corpus through one reducer
     "q_sim1_cosine_topk" -> Seq("BroadcastNestedLoopJoin|BroadcastHashJoin",
       "ObjectHashAggregate", "!Window"),
+    // MIPS: same contract as sim1 — queries broadcast, bounded top-k agg
+    "q_sim7_mips" -> Seq("BroadcastNestedLoopJoin|BroadcastHashJoin",
+      "ObjectHashAggregate", "!Window"),
     "q_dd2_jaccard_pairs" -> Seq("!Window"),
     // cluster inputs come from the banded LSH candidate machinery — no
     // shuffle may ever be keyed on the low-cardinality lang column, whose

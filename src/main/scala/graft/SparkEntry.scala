@@ -1061,6 +1061,19 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rank")
 
+  /** SIM7 — exact maximum-inner-product top-k (MIPS): retrieval scoring
+    * for un-normalized embeddings, where magnitude is part of the score
+    * and cosine would mis-rank. Same plan shape as sim1 (queries
+    * broadcast, one corpus scan, bounded k-heaps); the approximate scale
+    * path is the norm-augmentation reduction onto the cosine ANN
+    * indexes ([[graft.functions.Similarity.mipsAugmentCorpus]],
+    * property-tested for order equivalence). */
+  private def sim7(t: Tables): DataFrame =
+    Similarity.mipsTopK(
+        t.embeddings.filter(col("vec_id") < 8), t.embeddings,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+
   /** SIM2 — LSH-bucketed ANN (scale path). The corpus signatures ride
     * along in section 'sig' (queries are the vec_id<8 subset of the same
     * table, so their signatures are the same rows); the DuckDB oracle
@@ -1411,6 +1424,7 @@ object SparkEntry {
       "q_dd4_simhash" -> q(dd4),
       "q_dd5_embed_neardup" -> q(dd5),
       "q_sim1_cosine_topk" -> q(sim1),
+      "q_sim7_mips" -> q(sim7),
       "q_sim2_lsh_ann" -> q(sim2),
       "q_sim3_ivf_ann" -> q(sim3),
       "q_sim4_quantize" -> q(sim4),

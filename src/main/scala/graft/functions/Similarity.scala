@@ -64,6 +64,38 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Exact maximum-inner-product top-k (MIPS) — the retrieval scoring for
+    * un-normalized embeddings (recommendation / learned-retrieval models,
+    * where vector magnitude IS part of the score and cosine would be
+    * wrong). Same scale shape as [[cosineTopK]]: queries broadcast, one
+    * corpus scan, bounded per-partition k-heaps — no shuffle of scored
+    * candidates. Output column `dot` is the raw inner product. */
+  def mipsTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")))
+    topKPerQuery(scored, k).withColumnRenamed("cos_sim", "dot")
+  }
+
+  /** Norm-augmented MIPS→cosine reduction (the public asymmetric
+    * transform: Neyshabur & Srebro 2015): corpus vectors gain the
+    * coordinate sqrt(M² − ‖x‖²) (M ≥ every corpus norm), queries gain a
+    * literal 0. In the augmented space all corpus vectors have norm M,
+    * so cosine ORDER against an augmented query equals inner-product
+    * order in the original space — which plugs MIPS into any
+    * cosine-based ANN index ([[rhpSignature]] buckets, IVF cells). */
+  def mipsAugmentCorpus(vec: Column, maxNorm: Column): Column =
+    concat(transform(vec, x => x.cast("float")),
+      array(sqrt(greatest(maxNorm * maxNorm - dot(vec, vec), lit(0.0)))
+        .cast("float")))
+
+  def mipsAugmentQuery(vec: Column): Column =
+    concat(transform(vec, x => x.cast("float")), array(lit(0.0f)))
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
     * a hash-derived value in [-0.5, 0.5). Public random-projection LSH
     * construction with hash-based planes so no RNG state is needed. */

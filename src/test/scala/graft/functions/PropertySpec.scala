@@ -151,6 +151,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MIPS norm-augmentation: cosine order in augmented space == inner-product order (random vectors)") {
+    // The asymmetric-transform identity the ANN scale path rests on:
+    // with corpus x -> [x; sqrt(M^2 - |x|^2)] and query q -> [q; 0],
+    // cosine(q', x') = (q . x) / (|q| . M) — strictly monotone in q . x,
+    // so the neighbor RANKING is identical.
+    val vecGen = for {
+      d <- Gen.const(6)
+      q <- Gen.listOfN(d, Gen.chooseNum(-5.0, 5.0).map(_.toFloat))
+      n <- Gen.chooseNum(8, 16)
+      xs <- Gen.listOfN(n, Gen.listOfN(d, Gen.chooseNum(-5.0, 5.0).map(_.toFloat)))
+    } yield (q, xs)
+    (1L to 3L).foreach { seed =>
+      val (qv, xs) = sample(Gen.listOfN(1, vecGen), seed).head
+      val corpus = xs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val queries = Seq((1000L, qv.toArray)).toDF("vec_id", "embedding")
+      val maxNorm = math.sqrt(xs.map(v => v.map(x => x.toDouble * x).sum).max)
+      val byDot = Similarity.mipsTopK(queries, corpus,
+          "vec_id", "embedding", "vec_id", "embedding", k = xs.length)
+        .orderBy("rank").collect().map(_.getLong(1)).toSeq
+      val aug = corpus.select(col("vec_id"),
+        Similarity.mipsAugmentCorpus(col("embedding"), lit(maxNorm)).as("embedding"))
+      val qAug = queries.select(col("vec_id"),
+        Similarity.mipsAugmentQuery(col("embedding")).as("embedding"))
+      val byCos = Similarity.cosineTopK(qAug, aug,
+          "vec_id", "embedding", "vec_id", "embedding", k = xs.length)
+        .orderBy("rank").collect().map(_.getLong(1)).toSeq
+      assert(byDot == byCos, s"seed=$seed")
+    }
+  }
+
+  test("winnowingSelectedPositions: values at selected positions == selected fingerprints; leftmost argmin reference") {
+    // Two invariants on random hash arrays:
+    //  1. equivalence — the hash VALUES at the selected positions are
+    //     exactly winnowingFromHashes' selected fingerprint set;
+    //  2. reference — positions match a literal leftmost-window-argmin.
+    def posRef(hs: Seq[Long], w: Int): Seq[Int] = {
+      val nWin = math.max(hs.length - w + 1, 1)
+      (0 until nWin).map { j =>
+        val win = hs.slice(j, j + w)
+        j + win.indexOf(win.min) + 1 // 1-based absolute
+      }.distinct.sorted
+    }
+    val arrGen = Gen.listOfN(20, for {
+      n <- Gen.chooseNum(1, 25)
+      // narrow hash domain so ties/repeats actually occur
+      hs <- Gen.listOfN(n, Gen.chooseNum(0L, 6L))
+    } yield hs)
+    (1L to 3L).foreach { seed =>
+      val arrays = sample(arrGen, seed).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val got = arrays.toDF("id", "hs")
+        .select(col("id"),
+          TextFunctions.winnowingSelectedPositions(col("hs"), 4).as("ps"),
+          TextFunctions.winnowingFromHashes(col("hs"), 4).as("fps"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getSeq[Int](1).toSeq, r.getSeq[Long](2).toSeq))).toMap
+      arrays.foreach { case (i, hs) =>
+        val (ps, fps) = got(i)
+        assert(ps.sorted == posRef(hs, 4), s"seed=$seed id=$i positions")
+        assert(ps.map(p => hs(p - 1)).distinct.sorted == fps,
+          s"seed=$seed id=$i values-at-positions != fingerprints")
+      }
+    }
+  }
+
   test("header codec: random encoded dimensions round-trip; random bytes fall back") {
     import graft.multimodal.BinaryPipeline.{FakeCodec, HeaderCodec}
     def hexBytes(s: String): Array[Byte] =
