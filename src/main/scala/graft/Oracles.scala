@@ -1402,6 +1402,18 @@ object Oracles {
         |       CAST(count(*) AS BIGINT) AS n_conversions
         |FROM conv GROUP BY 1 ORDER BY day_key""".stripMargin,
 
+    // Retention: distinct (user, day) activity, per-user min day as the
+    // cohort, integer day arithmetic end to end.
+    "q_w5_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             epoch_us(ts) // 86400000000 AS day FROM events),
+        |  f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+        |       CAST(a.day - f.cohort_day AS BIGINT) AS offset_days,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin,
+
     // The raw URLs rebuild from the same doc_id arithmetic as the query,
     // then every canonicalization rule replays in DuckDB string ops:
     // fragment drop, scheme/host lowercase, default-port strip, tracking

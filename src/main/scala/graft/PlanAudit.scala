@@ -149,7 +149,12 @@ object PlanAudit {
     // joins broadcast — no global sort, no window, no shuffled join
     "q_prof2_skew_salt" -> Seq(
       "TakeOrderedAndProject", "BroadcastNestedLoopJoin|BroadcastHashJoin",
-      "!Window", "!SortMergeJoin"))
+      "!Window", "!SortMergeJoin"),
+    // retention: per-user aggregates + a user-keyed equi-join — never a
+    // first-seen window over raw events
+    "q_w5_retention" -> Seq(
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "!Window",
+      "!CartesianProduct"))
 
   /** Run every check; returns (name, missing-patterns, plan-excerpt) for
     * failures — the excerpt is what diagnoses a CI-only regression

@@ -934,6 +934,23 @@ object SparkEntry {
       .orderBy("day_key")
   }
 
+  /** W5 — cohort retention: users grouped by first-seen day; for each
+    * day offset, how many of the cohort were active again. No window
+    * functions: first-seen is a per-user min aggregate, activity is a
+    * distinct (user, day) projection, and the cohort join is a
+    * user-keyed equi-join — every step shuffles on a high-cardinality
+    * key and scales linearly in events. Day keys are integer
+    * micros-div-day, so no timezone renders. */
+  private def w5(t: Tables): DataFrame = {
+    val dayKey = expr("unix_micros(ts) div 86400000000")
+    val activity = t.events.select(col("user_id"), dayKey.as("day")).distinct()
+    val firsts = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
+    activity.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
   // ---------------------------------------------------------------- D: dedup
 
   /** DD1 — exact dedup via content-hash groups. */
@@ -1420,6 +1437,7 @@ object SparkEntry {
       "q_txt13_contamination_hits" -> q(txt13),
       "q_j9_interval_join" -> q(j9),
       "q_w4_funnel" -> q(w4),
+      "q_w5_retention" -> q(w5),
       "q_dd12_substring_dup" -> q(dd12),
       "q_dd4_simhash" -> q(dd4),
       "q_dd5_embed_neardup" -> q(dd5),
