@@ -957,6 +957,51 @@ object Oracles {
          |SELECT 'pair', NULL, NULL, id_a, id_b, n_shared FROM p2
          |ORDER BY section, doc_id, id_a, id_b""".stripMargin,
 
+    // CDC chunk dedup: only the boundary positions are trusted input.
+    // DuckDB rebuilds each chunk (start/length/substring), fingerprints
+    // it with md5, and re-derives the cross-doc sharing stats.
+    "q_dd13_cdc_chunks" ->
+      s"""WITH o AS (SELECT doc_id, bounds, CAST(bounds AS INTEGER[]) AS bs
+         |           FROM read_parquet('$OUT/q_dd13_cdc_chunks/*.parquet')
+         |           WHERE section = 'bounds'),
+         |  d AS (SELECT doc_id,
+         |          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+         |        FROM documents),
+         |  j AS (SELECT o.doc_id, o.bs, d.norm, length(d.norm) AS L
+         |        FROM o JOIN d USING (doc_id)),
+         |  e AS (SELECT doc_id, norm, bs,
+         |          CASE WHEN L = 0 THEN bs
+         |               WHEN len(bs) > 0 AND bs[-1] = L THEN bs
+         |               ELSE list_append(bs, L) END AS ends
+         |        FROM j),
+         |  cl AS (SELECT doc_id, norm, list_transform(range(1, len(ends)+1),
+         |           i -> struct_pack(idx := i,
+         |                  st := CASE WHEN i = 1 THEN 1 ELSE bs[i-1] + 1 END,
+         |                  en := ends[i])) AS chs
+         |         FROM e),
+         |  u AS (SELECT doc_id, norm, unnest(chs) AS ch FROM cl),
+         |  ch AS (SELECT doc_id, CAST(ch.idx AS BIGINT) AS chunk_idx,
+         |           CAST(ch.st AS BIGINT) AS start,
+         |           CAST(ch.en - ch.st + 1 AS BIGINT) AS chunk_len,
+         |           md5(substr(norm, ch.st, ch.en - ch.st + 1)) AS chunk_md5
+         |         FROM u),
+         |  sh AS (SELECT chunk_md5,
+         |           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |           CAST(count(*) AS BIGINT) AS n_occ
+         |         FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT 'bounds' AS section, doc_id, bounds,
+         |       CAST(NULL AS BIGINT) AS chunk_idx, CAST(NULL AS BIGINT) AS start,
+         |       CAST(NULL AS BIGINT) AS chunk_len, CAST(NULL AS VARCHAR) AS chunk_md5,
+         |       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_occ
+         |FROM o
+         |UNION ALL
+         |SELECT 'chunk', doc_id, NULL, chunk_idx, start, chunk_len, chunk_md5,
+         |       NULL, NULL FROM ch
+         |UNION ALL
+         |SELECT 'share', NULL, NULL, NULL, NULL, NULL, chunk_md5, n_docs, n_occ
+         |FROM sh
+         |ORDER BY section, doc_id, chunk_idx, chunk_md5""".stripMargin,
+
     // Product quantization: only the codebooks are trusted input; codes
     // (per-subspace argmin with lowest-cell ties) and reconstruction
     // errors (the ADC distance) re-derive from the embeddings table by

@@ -706,6 +706,38 @@ object SparkEntry {
       .orderBy("section", "doc_id", "id_a", "id_b")
   }
 
+  /** DD13 — content-defined chunking dedup (the LBFS/rsync/FastCDC
+    * family): rolling-hash chunk boundaries make chunk identity
+    * shift-RESISTANT — an insertion perturbs only the chunk it lands
+    * in, so near-identical documents share every other chunk and
+    * shared bytes surface from a plain groupBy on the chunk
+    * fingerprint, never a pairwise comparison. Only the boundary
+    * positions are trusted input (section 'bounds', the rolling hash is
+    * engine-specific); chunk extraction, md5 fingerprints, and the
+    * cross-doc sharing stats all re-derive in DuckDB from the raw
+    * documents table. */
+  private def dd13(t: Tables): DataFrame = {
+    val chunks = DedupFunctions.cdcChunks(t.documents, "doc_id", "text")
+    val share = chunks.groupBy("chunk_md5")
+      .agg(countDistinct("id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+    val nl = lit(null).cast("long")
+    val ns = lit(null).cast("string")
+    t.documents
+      .select(lit("bounds").as("section"), col("doc_id"),
+        to_json(TextFunctions.cdcBoundaries(col("text"))).as("bounds"),
+        nl.as("chunk_idx"), nl.as("start"), nl.as("chunk_len"),
+        ns.as("chunk_md5"), nl.as("n_docs"), nl.as("n_occ"))
+      .unionByName(chunks.select(lit("chunk").as("section"),
+        col("id").as("doc_id"), ns.as("bounds"),
+        col("chunk_idx"), col("start"), col("chunk_len"), col("chunk_md5"),
+        nl.as("n_docs"), nl.as("n_occ")))
+      .unionByName(share.select(lit("share").as("section"), nl.as("doc_id"),
+        ns.as("bounds"), nl.as("chunk_idx"), nl.as("start"),
+        nl.as("chunk_len"), col("chunk_md5"), col("n_docs"), col("n_occ")))
+      .orderBy("section", "doc_id", "chunk_idx", "chunk_md5")
+  }
+
   /** TXT11 — Luhn-validated card redaction: candidate digit runs are
     * checksum-VALIDATED before redaction (a bare regex over-redacts
     * order ids and phone numbers). Each document gets one valid and one
@@ -1439,6 +1471,7 @@ object SparkEntry {
       "q_w4_funnel" -> q(w4),
       "q_w5_retention" -> q(w5),
       "q_dd12_substring_dup" -> q(dd12),
+      "q_dd13_cdc_chunks" -> q(dd13),
       "q_dd4_simhash" -> q(dd4),
       "q_dd5_embed_neardup" -> q(dd5),
       "q_sim1_cosine_topk" -> q(sim1),

@@ -752,6 +752,41 @@ object DedupFunctions {
     definitelyNew.select("id", "fp").unionByName(survivors.select("id", "fp"))
   }
 
+  /** Per-document content-defined chunks: one row per chunk with its
+    * 1-based start, length, and md5 fingerprint of the chunk text.
+    * Boundaries come from [[TextFunctions.cdcBoundaries]]; the tail
+    * after the last boundary becomes a final partial chunk. Chunk
+    * fingerprints are the unit of shift-resistant storage/crawl dedup:
+    * two near-identical documents (one insertion apart) share every
+    * chunk except the one the edit landed in, so shared bytes are
+    * found WITHOUT any pairwise document comparison — a groupBy on the
+    * chunk fingerprint. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 16, maxLen: Int = 256, maskBits: Int = 6): DataFrame = {
+    val norm = normalize(col(textCol))
+    val withB = docs.select(col(idCol).as("id"), norm.as("norm"),
+      TextFunctions.cdcBoundaries(col(textCol), minLen, maxLen, maskBits)
+        .as("bs"))
+    // complete-chunk ends, plus the document end if a partial tail exists
+    val ends = when(length(col("norm")) === 0, col("bs"))
+      .when(size(col("bs")) > 0 &&
+        element_at(col("bs"), -1) === length(col("norm")), col("bs"))
+      .otherwise(concat(col("bs"), array(length(col("norm")))))
+    withB.select(col("id"), col("norm"), ends.as("ends"), col("bs"))
+      .select(col("id"), col("norm"), col("bs"),
+        posexplode(col("ends")))
+      .select(col("id"),
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        when(col("pos") === 0, lit(1))
+          .otherwise(element_at(col("bs"), col("pos")) + 1).as("start"),
+        col("col").as("end"), col("norm"))
+      .select(col("id"), col("chunk_idx"),
+        col("start").cast("long").as("start"),
+        (col("end") - col("start") + 1).cast("long").as("chunk_len"),
+        md5(col("norm").substr(col("start"),
+          col("end") - col("start") + 1).cast("binary")).as("chunk_md5"))
+  }
+
   /** Cross-document repeated-SPAN detection — the substring-granular
     * dedup from "Deduplicating Training Data Makes Language Models
     * Better" (Lee et al. 2022, reference suffix-array ExactSubstr),

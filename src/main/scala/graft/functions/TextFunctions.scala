@@ -163,6 +163,59 @@ object TextFunctions {
           array_min(slice(hs, j + 1, lit(w))))).cast("int")))
     }
 
+  /** Content-defined chunk boundaries (the LBFS/rsync/FastCDC family,
+    * gear-style): a rolling hash folds left-to-right over the normalized
+    * characters — `h' = 2·h + xxhash64(char)` (the shift ages a
+    * character out of influence after 64 steps) — and a position ends a
+    * chunk when the low `maskBits` bits of the hash are zero and the
+    * chunk has reached `minLen` (or unconditionally at `maxLen`). The
+    * hash resets at each boundary, so once two documents share a
+    * boundary, every following boundary over shared content is
+    * IDENTICAL — an insertion perturbs only the chunk it lands in,
+    * which is what makes chunk dedup shift-resistant where fixed-size
+    * blocking is not. Returns the 1-based END positions of complete
+    * chunks (the tail after the last boundary is the caller's partial
+    * chunk). Average chunk length ≈ 2^maskBits past the minimum. Pure
+    * higher-order-function fold — no UDF, fully codegen-compatible. */
+  def cdcBoundaries(text: Column,
+      minLen: Int = 16, maxLen: Int = 256, maskBits: Int = 6): Column =
+    graft.plans.expressions.cdcBoundaries(normalize(text),
+      minLen, maxLen, maskBits)
+
+  /** The higher-order-function formulation of [[cdcBoundaries]] — the
+    * executable specification the native expression is bit-parity-tested
+    * against (same precedent as simHash/minHash HOF twins). Interpreted
+    * struct-per-character fold: correct, but ~2× the whole query's cost
+    * at sf0.1, hence the native default. */
+  def cdcBoundariesHof(text: Column,
+      minLen: Int = 16, maxLen: Int = 256, maskBits: Int = 6): Column =
+    // split-on-empty keeps a trailing "" element (limit -1) — drop it,
+    // or the fold would take one phantom step past the last character
+    ExprUtils.evalOnce(filter(split(normalize(text), ""),
+        c => length(c) > 0)) { chars =>
+      val mask = (1L << maskBits) - 1
+      val init = struct(lit(0L).as("h"), lit(0).as("since"),
+        lit(0).as("pos"), lit(Array.empty[Int]).as("bs"))
+      aggregate(chars, init, (acc, c) => {
+        // 48-bit rolling state + 32-bit gear value: the shift-and-add
+        // stays inside a long under ANSI arithmetic (no overflow), the
+        // boundary test reads only the low maskBits bits, and a
+        // character still ages out of influence after 48 shifts
+        val h2 = pmod(acc.getField("h") * 2 +
+          pmod(xxhash64(c), lit(1L << 32)), lit(1L << 48))
+        val since2 = acc.getField("since") + 1
+        val pos2 = acc.getField("pos") + 1
+        val isB = (h2.bitwiseAND(lit(mask)) === 0 && since2 >= minLen) ||
+          since2 >= maxLen
+        struct(
+          when(isB, lit(0L)).otherwise(h2).as("h"),
+          when(isB, lit(0)).otherwise(since2).as("since"),
+          pos2.as("pos"),
+          when(isB, concat(acc.getField("bs"), array(pos2)))
+            .otherwise(acc.getField("bs")).as("bs"))
+      }, acc => acc.getField("bs"))
+    }
+
   def normalize(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
 

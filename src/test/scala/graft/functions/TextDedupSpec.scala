@@ -221,6 +221,16 @@ class TextDedupSpec extends SparkSpec {
       DedupFunctions.simHashHof(col("text")).as("b"))
     assert(sh.filter(col("a") =!= col("b")).count() == 0)
 
+    // CDC boundaries: native JVM loop vs the HOF fold, including a doc
+    // with multi-byte code points and one long enough to hit maxLen
+    val cdcDocs = docs.select(col("text"))
+      .unionByName(Seq("héllo wörld ünïcode çhars répeated ".repeat(30),
+        "x".repeat(1000)).toDF("text"))
+    val cb = cdcDocs.select(
+      TextFunctions.cdcBoundaries(col("text")).as("a"),
+      TextFunctions.cdcBoundariesHof(col("text")).as("b"))
+    assert(cb.filter(col("a") =!= col("b")).count() == 0)
+
     val vecs = Seq((Array(0.3f, -0.7f, 0.64f, 0.11f), Array(0.5f, 0.2f, -0.9f, 0.33f)))
       .toDF("a", "b")
     val cs = vecs.select(
@@ -857,6 +867,38 @@ class TextDedupSpec extends SparkSpec {
     // bounds the count: <= 10×10 per shared hash, never positions²
     val lp = pairs.filter(p => p._1 == 500L && p._2 == 501L)
     assert(lp.length == 1 && lp.head._3 >= 1)
+  }
+
+  test("cdcChunks: chunks reassemble the text, respect length bounds, and resist shifts") {
+    // deterministic pseudo-random text long enough for many chunks
+    val body = (1 to 400).map(i => ((i * 2654435761L) % 997).toString).mkString(" ")
+    val shifted = "inserted prefix edit " + body
+    val d = Seq((1L, body), (2L, shifted)).toDF("doc_id", "text")
+    val ch = DedupFunctions.cdcChunks(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val byDoc = ch.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // 1. chunks tile the document exactly: starts/lengths are contiguous
+    //    from 1 to the normalized length, no gaps or overlaps
+    byDoc.foreach { case (_, cs) =>
+      cs.foldLeft(1L) { case (expectStart, (_, _, start, len, _)) =>
+        assert(start == expectStart); assert(len > 0); start + len
+      }
+    }
+    // 2. every complete (non-final) chunk obeys [minLen, maxLen]
+    byDoc.foreach { case (_, cs) =>
+      cs.init.foreach { case (_, _, _, len, _) =>
+        assert(len >= 16 && len <= 256)
+      }
+    }
+    // 3. shift-resistance: the insertion perturbs only a bounded prefix —
+    //    the two documents share almost all chunk fingerprints, and the
+    //    shared count dwarfs what fixed-size blocking would keep (0)
+    val h1 = byDoc(1L).map(_._5).toSet
+    val h2 = byDoc(2L).map(_._5).toSet
+    val shared = h1.intersect(h2).size
+    assert(shared >= byDoc(1L).length - 3,
+      s"only $shared of ${byDoc(1L).length} chunks survived a prefix insertion")
   }
 
   test("minHashNearDupAgainst: new batch matches its corpus near-dup only") {
