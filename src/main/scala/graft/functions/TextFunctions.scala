@@ -130,6 +130,13 @@ object TextFunctions {
     * so an oracle can replay the engine-portable window-min selection
     * below on it). */
   def winnowingKgramHashes(text: Column, k: Int = 5): Column =
+    graft.plans.expressions.kgramHashes(normalize(text), k)
+
+  /** HOF twin of [[winnowingKgramHashes]] — the executable spec the
+    * native expression is bit-parity-tested against (one substring copy
+    * per position in interpreted transform; the native loop is the
+    * production path). */
+  def winnowingKgramHashesHof(text: Column, k: Int = 5): Column =
     ExprUtils.evalOnce(normalize(text)) { norm =>
       transform(
         sequence(lit(0), greatest(length(norm) - k + 1, lit(1)) - 1),
@@ -155,6 +162,15 @@ object TextFunctions {
     * from the hashes (leftmost-min is `array_position` of the window min
     * in both Spark and DuckDB). */
   def winnowingSelectedPositions(kgramHashes: Column, w: Int = 4): Column =
+    graft.plans.expressions.winnowingPositions(kgramHashes, w)
+
+  /** HOF twin of [[winnowingSelectedPositions]] (double window slice,
+    * O(n·w)) — kept as the executable spec for the native monotonic-deque
+    * expression's bit-parity test. Window argmin positions are
+    * non-decreasing as the window slides, so `array_distinct` of the
+    * window sequence is already ascending — same order as the native
+    * sorted-set output. */
+  def winnowingSelectedPositionsHof(kgramHashes: Column, w: Int = 4): Column =
     ExprUtils.evalOnce(kgramHashes) { hs =>
       array_distinct(transform(
         sequence(lit(0), greatest(size(hs) - w + 1, lit(1)) - 1),

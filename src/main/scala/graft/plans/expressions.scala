@@ -226,6 +226,101 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Rolling character k-gram xxhash64 sequence over a (pre-normalized)
+    * string — native twin of the HOF in
+    * [[graft.functions.TextFunctions.winnowingKgramHashesHof]]:
+    * hash(i) = xxhash64(substr(norm, i+1, k)) for i in 0..max(len−k, 0),
+    * identical values (the oracle contract: these are echoed and
+    * replayed), one JVM loop instead of an interpreted transform with a
+    * substring copy per position. */
+  case class KgramHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kgram_hashes expects a string, got ${child.dataType.sql}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val n = s.numChars()
+      val m = math.max(n - k + 1, 1)
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        // UTF8String.substringSQL is the engine's substr: code-point
+        // indexed, length-clamped — matches substr(norm, i+1, k)
+        out(i) = XxHash64Function.hash(
+          s.substringSQL(i + 1, k), StringType, 42L)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Winnowing window-min POSITIONS (leftmost argmin per w-window,
+    * 1-based, distinct, ascending) — native twin of
+    * [[graft.functions.TextFunctions.winnowingSelectedPositionsHof]].
+    * The HOF slices every window twice (O(n·w)); this is the monotonic
+    * deque sliding-window minimum, O(n), with the same leftmost-on-ties
+    * choice (strict `<` keeps the earliest equal element at the front). */
+  case class WinnowingPositions(child: Expression, w: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnowing_positions expects array<bigint>, got ${t.sql}")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) { hs(i) = arr.getLong(i); i += 1 }
+      val nWin = math.max(n - w + 1, 1)
+      val sel = new java.util.TreeSet[Integer]()
+      // monotonic deque of indices; head = leftmost minimum of the window
+      val dq = new java.util.ArrayDeque[Int]()
+      var j = 0
+      while (j < math.min(n, nWin + w - 1)) {
+        // drop tail elements strictly greater: equal elements stay, so
+        // the deque head is always the EARLIEST minimum (leftmost tie)
+        while (!dq.isEmpty && hs(dq.peekLast()) > hs(j)) dq.pollLast()
+        dq.addLast(j)
+        val winStart = j - w + 1
+        if (dq.peekFirst() < winStart) dq.pollFirst()
+        if (j >= w - 1 || j == n - 1) {
+          // complete window ending at j, or the single clamped window of
+          // an array shorter than w
+          sel.add(dq.peekFirst() + 1)
+        }
+        j += 1
+      }
+      val out = new Array[Int](sel.size())
+      val it = sel.iterator()
+      var p = 0
+      while (it.hasNext) { out(p) = it.next(); p += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Bounded top-k aggregate: keeps the k best (score, id) entries ordered
     * by score DESC, id ASC. The scale story is the whole point: used as
     * `groupBy(query).agg(top_k(...))`, partial aggregation
@@ -423,6 +518,12 @@ object expressions {
       minLen: Int, maxLen: Int, maskBits: Int): Column =
     Bridge.column(CdcBoundaries(Bridge.expression(normText),
       minLen, maxLen, maskBits))
+
+  def kgramHashes(normText: Column, k: Int): Column =
+    Bridge.column(KgramHashes(Bridge.expression(normText), k))
+
+  def winnowingPositions(hashes: Column, w: Int): Column =
+    Bridge.column(WinnowingPositions(Bridge.expression(hashes), w))
 
   /** Codegen'd bloom-filter membership probe over a bigint key column. */
   def bloomMightContain(filter: org.apache.spark.util.sketch.BloomFilter,

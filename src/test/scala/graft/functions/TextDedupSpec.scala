@@ -221,6 +221,30 @@ class TextDedupSpec extends SparkSpec {
       DedupFunctions.simHashHof(col("text")).as("b"))
     assert(sh.filter(col("a") =!= col("b")).count() == 0)
 
+    // k-gram hashes + winnowing positions: native loops vs HOF twins —
+    // including short-doc clamping, multi-byte code points, and
+    // tie-heavy hash arrays (repeated text) for the leftmost-argmin rule
+    val wDocs = docs.select(col("text"))
+      .unionByName(Seq("ab", "ünï", "repeat repeat repeat repeat repeat",
+        "x".repeat(80)).toDF("text"))
+    val wk = wDocs.select(
+      TextFunctions.winnowingKgramHashes(col("text"), 5).as("a"),
+      TextFunctions.winnowingKgramHashesHof(col("text"), 5).as("b"))
+    assert(wk.filter(col("a") =!= col("b")).count() == 0)
+    val wp = wDocs.select(
+      TextFunctions.winnowingKgramHashes(col("text"), 5).as("kh"))
+      .select(
+        TextFunctions.winnowingSelectedPositions(col("kh"), 4).as("a"),
+        TextFunctions.winnowingSelectedPositionsHof(col("kh"), 4).as("b"))
+    assert(wp.filter(col("a") =!= col("b")).count() == 0)
+    // the dd12 shape: k=20, w=16
+    val wp2 = wDocs.select(
+      TextFunctions.winnowingKgramHashes(col("text"), 20).as("kh"))
+      .select(
+        TextFunctions.winnowingSelectedPositions(col("kh"), 16).as("a"),
+        TextFunctions.winnowingSelectedPositionsHof(col("kh"), 16).as("b"))
+    assert(wp2.filter(col("a") =!= col("b")).count() == 0)
+
     // CDC boundaries: native JVM loop vs the HOF fold, including a doc
     // with multi-byte code points and one long enough to hit maxLen
     val cdcDocs = docs.select(col("text"))
