@@ -1336,6 +1336,52 @@ object Oracles {
          |FROM r WHERE rank <= 5
          |ORDER BY section, vec_id, query_id, rank""".stripMargin,
 
+    // ANN recall: both retrieval paths replay — the exact cosine top-5
+    // from the embeddings table, the approximate side from the echoed
+    // signatures — then the intersection and integer recall arithmetic.
+    "q_sim8_ann_recall" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim8_ann_recall/*.parquet')),
+         |  s AS (SELECT planes, vec_id, sig FROM o WHERE section = 'sig'),
+         |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |  q AS (SELECT planes, vec_id AS query_id, sig FROM s WHERE vec_id < 8),
+         |  cand AS (SELECT q.planes, q.query_id, s.vec_id AS neighbor_id
+         |           FROM q JOIN s ON q.planes = s.planes AND q.sig = s.sig
+         |                        AND s.vec_id <> q.query_id),
+         |  asc_ AS (SELECT planes, query_id, neighbor_id,
+         |             ${cosSql("qe.v", "ne.v")} AS cs
+         |           FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |                     JOIN e ne ON ne.vec_id = cand.neighbor_id),
+         |  ar AS (SELECT planes, query_id, neighbor_id FROM (
+         |           SELECT *, ROW_NUMBER() OVER (PARTITION BY planes, query_id
+         |             ORDER BY cs DESC, neighbor_id ASC) AS rk FROM asc_)
+         |         WHERE rk <= 5),
+         |  ex AS (SELECT query_id, neighbor_id FROM (
+         |           SELECT qe.vec_id AS query_id, ne.vec_id AS neighbor_id,
+         |             ROW_NUMBER() OVER (PARTITION BY qe.vec_id
+         |               ORDER BY ${cosSql("qe.v", "ne.v")} DESC, ne.vec_id ASC) AS rk
+         |           FROM e qe JOIN e ne ON ne.vec_id <> qe.vec_id
+         |           WHERE qe.vec_id < 8)
+         |         WHERE rk <= 5),
+         |  pl AS (SELECT DISTINCT planes FROM s),
+         |  rec AS (SELECT pl.planes, ex.query_id,
+         |            CAST(count(*) AS BIGINT) AS n_exact,
+         |            CAST(count(ar.neighbor_id) AS BIGINT) AS n_hit
+         |          FROM ex CROSS JOIN pl
+         |          LEFT JOIN ar ON ar.planes = pl.planes
+         |                      AND ar.query_id = ex.query_id
+         |                      AND ar.neighbor_id = ex.neighbor_id
+         |          GROUP BY 1, 2)
+         |SELECT 'sig' AS section, planes, vec_id, sig,
+         |       CAST(NULL AS BIGINT) AS query_id,
+         |       CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS n_hit,
+         |       CAST(NULL AS BIGINT) AS recall_pct
+         |FROM s
+         |UNION ALL
+         |SELECT 'recall', planes, NULL, NULL, query_id, n_exact, n_hit,
+         |       CAST(n_hit * 100 // n_exact AS BIGINT)
+         |FROM rec
+         |ORDER BY section, planes, vec_id, query_id""".stripMargin,
+
     // Only the centroids are trusted input: corpus cell assignment, probe
     // selection (top-nprobe cells by cosine, ties to the lowest cell),
     // the in-cell rerank and the top-k cut are all re-derived.

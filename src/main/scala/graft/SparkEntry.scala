@@ -1123,6 +1123,52 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rank")
 
+  /** SIM8 — ANN index quality: recall@5 of the LSH-bucketed path
+    * against the exact cosine top-5, per query — the evaluation a
+    * pipeline runs BEFORE trusting an approximate index at 100 TB.
+    * Pure composition: the exact side is sim1's broadcast scan, the
+    * approximate side is sim2's bucket join, the comparison is a
+    * left-semi join on (query, neighbor). Signatures ride in section
+    * 'sig' (the one engine-specific input); the oracle replays BOTH
+    * retrieval paths and the integer recall arithmetic. */
+  private def sim8(t: Tables): DataFrame = {
+    val exact = Similarity.cosineTopK(
+        t.embeddings.filter(col("vec_id") < 8), t.embeddings,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nl = lit(null).cast("long")
+    // Recall at two index granularities: fewer hyperplanes = bigger
+    // buckets = more candidates = higher recall, and the measured curve
+    // is what picks the production operating point.
+    val perPlanes = Seq(4, 6).map { planes =>
+      val c = t.embeddings
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .withColumn("sig", Similarity.rhpSignature(col("cv"), planes))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val approx = Similarity.lshAnnTopKFromSignatures(
+        c.filter(col("neighbor_id") < 8)
+          .select(col("neighbor_id").as("query_id"), col("cv").as("qv"), col("sig")),
+        c, k = 5).select("query_id", "neighbor_id")
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      val recall = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_pct", expr("n_hit * 100 div n_exact"))
+      c.select(lit("sig").as("section"), lit(planes.toLong).as("planes"),
+          col("neighbor_id").as("vec_id"), col("sig"),
+          nl.as("query_id"), nl.as("n_exact"), nl.as("n_hit"),
+          nl.as("recall_pct"))
+        .unionByName(recall.select(lit("recall").as("section"),
+          lit(planes.toLong).as("planes"), nl.as("vec_id"), nl.as("sig"),
+          col("query_id"), col("n_exact"), col("n_hit"), col("recall_pct")))
+    }
+    perPlanes.reduce(_ unionByName _)
+      .orderBy("section", "planes", "vec_id", "query_id")
+  }
+
   /** SIM2 — LSH-bucketed ANN (scale path). The corpus signatures ride
     * along in section 'sig' (queries are the vec_id<8 subset of the same
     * table, so their signatures are the same rows); the DuckDB oracle
@@ -1476,6 +1522,7 @@ object SparkEntry {
       "q_dd5_embed_neardup" -> q(dd5),
       "q_sim1_cosine_topk" -> q(sim1),
       "q_sim7_mips" -> q(sim7),
+      "q_sim8_ann_recall" -> q(sim8),
       "q_sim2_lsh_ann" -> q(sim2),
       "q_sim3_ivf_ann" -> q(sim3),
       "q_sim4_quantize" -> q(sim4),
