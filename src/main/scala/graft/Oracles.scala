@@ -1382,6 +1382,65 @@ object Oracles {
          |FROM rec
          |ORDER BY section, planes, vec_id, query_id""".stripMargin,
 
+    // Multi-probe LSH: probe sets are integer signature arithmetic
+    // (sig XOR one-bit flips), so both probing strategies replay fully.
+    "q_sim9_multiprobe" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim9_multiprobe/*.parquet')),
+         |  s AS (SELECT vec_id, sig FROM o WHERE section = 'sig'),
+         |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |  q AS (SELECT vec_id AS query_id, sig FROM s WHERE vec_id < 8),
+         |  qp AS (SELECT query_id, sig FROM q
+         |         UNION
+         |         SELECT query_id, xor(sig, 1 << b) AS sig
+         |         FROM q CROSS JOIN (SELECT unnest(range(0, 6)) AS b)),
+         |  c1 AS (SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+         |         FROM q JOIN s ON q.sig = s.sig AND s.vec_id <> q.query_id),
+         |  cm AS (SELECT DISTINCT qp.query_id, s.vec_id AS neighbor_id
+         |         FROM qp JOIN s ON qp.sig = s.sig AND s.vec_id <> qp.query_id),
+         |  r1 AS (SELECT query_id, neighbor_id FROM (
+         |           SELECT c1.query_id, c1.neighbor_id,
+         |             ROW_NUMBER() OVER (PARTITION BY c1.query_id
+         |               ORDER BY ${cosSql("qe.v", "ne.v")} DESC, c1.neighbor_id ASC) AS rk
+         |           FROM c1 JOIN e qe ON qe.vec_id = c1.query_id
+         |                   JOIN e ne ON ne.vec_id = c1.neighbor_id)
+         |         WHERE rk <= 5),
+         |  rm AS (SELECT query_id, neighbor_id FROM (
+         |           SELECT cm.query_id, cm.neighbor_id,
+         |             ROW_NUMBER() OVER (PARTITION BY cm.query_id
+         |               ORDER BY ${cosSql("qe.v", "ne.v")} DESC, cm.neighbor_id ASC) AS rk
+         |           FROM cm JOIN e qe ON qe.vec_id = cm.query_id
+         |                   JOIN e ne ON ne.vec_id = cm.neighbor_id)
+         |         WHERE rk <= 5),
+         |  ex AS (SELECT query_id, neighbor_id FROM (
+         |           SELECT qe.vec_id AS query_id, ne.vec_id AS neighbor_id,
+         |             ROW_NUMBER() OVER (PARTITION BY qe.vec_id
+         |               ORDER BY ${cosSql("qe.v", "ne.v")} DESC, ne.vec_id ASC) AS rk
+         |           FROM e qe JOIN e ne ON ne.vec_id <> qe.vec_id
+         |           WHERE qe.vec_id < 8)
+         |         WHERE rk <= 5),
+         |  rec AS (SELECT 'single' AS method, ex.query_id,
+         |            CAST(count(*) AS BIGINT) AS n_exact,
+         |            CAST(count(r1.neighbor_id) AS BIGINT) AS n_hit
+         |          FROM ex LEFT JOIN r1 ON r1.query_id = ex.query_id
+         |                              AND r1.neighbor_id = ex.neighbor_id
+         |          GROUP BY 2
+         |          UNION ALL
+         |          SELECT 'multiprobe', ex.query_id,
+         |            CAST(count(*) AS BIGINT),
+         |            CAST(count(rm.neighbor_id) AS BIGINT)
+         |          FROM ex LEFT JOIN rm ON rm.query_id = ex.query_id
+         |                              AND rm.neighbor_id = ex.neighbor_id
+         |          GROUP BY 2)
+         |SELECT 'sig' AS section, vec_id, sig, CAST(NULL AS VARCHAR) AS method,
+         |       CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS n_exact,
+         |       CAST(NULL AS BIGINT) AS n_hit, CAST(NULL AS BIGINT) AS recall_pct
+         |FROM s
+         |UNION ALL
+         |SELECT 'recall', NULL, NULL, method, query_id, n_exact, n_hit,
+         |       CAST(n_hit * 100 // n_exact AS BIGINT)
+         |FROM rec
+         |ORDER BY section, vec_id, method, query_id""".stripMargin,
+
     // Only the centroids are trusted input: corpus cell assignment, probe
     // selection (top-nprobe cells by cosine, ties to the lowest cell),
     // the in-cell rerank and the top-k cut are all re-derived.

@@ -1169,6 +1169,49 @@ object SparkEntry {
       .orderBy("section", "planes", "vec_id", "query_id")
   }
 
+  /** SIM9 — multi-probe LSH vs single-probe, same index: recall@5 per
+    * query under both probing strategies on the SAME 6-plane
+    * signatures. The fix for the recall sim8 exposes — probe the
+    * `planes` one-bit-flip neighbor buckets — without coarsening the
+    * index for every query. Probe-set derivation is integer signature
+    * arithmetic, so the oracle replays both strategies end to end. */
+  private def sim9(t: Tables): DataFrame = {
+    val planes = 6
+    val c = t.embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("sig", Similarity.rhpSignature(col("cv"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = c.filter(col("neighbor_id") < 8)
+      .select(col("neighbor_id").as("query_id"), col("cv").as("qv"), col("sig"))
+    val exact = Similarity.cosineTopK(
+        t.embeddings.filter(col("vec_id") < 8), t.embeddings,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def recallOf(approx: DataFrame, method: String): DataFrame = {
+      val hits = exact.join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(method).as("method"), col("query_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_pct", expr("n_hit * 100 div n_exact"))
+    }
+    val single = recallOf(Similarity.lshAnnTopKFromSignatures(q, c, k = 5), "single")
+    val multi = recallOf(
+      Similarity.lshMultiProbeTopKFromSignatures(q, c, k = 5, planes), "multiprobe")
+    val nl = lit(null).cast("long")
+    c.select(lit("sig").as("section"), col("neighbor_id").as("vec_id"),
+        col("sig"), lit(null).cast("string").as("method"),
+        nl.as("query_id"), nl.as("n_exact"), nl.as("n_hit"), nl.as("recall_pct"))
+      .unionByName(single.unionByName(multi)
+        .select(lit("recall").as("section"), nl.as("vec_id"), nl.as("sig"),
+          col("method"), col("query_id"), col("n_exact"), col("n_hit"),
+          col("recall_pct")))
+      .orderBy("section", "vec_id", "method", "query_id")
+  }
+
   /** SIM2 — LSH-bucketed ANN (scale path). The corpus signatures ride
     * along in section 'sig' (queries are the vec_id<8 subset of the same
     * table, so their signatures are the same rows); the DuckDB oracle
@@ -1523,6 +1566,7 @@ object SparkEntry {
       "q_sim1_cosine_topk" -> q(sim1),
       "q_sim7_mips" -> q(sim7),
       "q_sim8_ann_recall" -> q(sim8),
+      "q_sim9_multiprobe" -> q(sim9),
       "q_sim2_lsh_ann" -> q(sim2),
       "q_sim3_ivf_ann" -> q(sim3),
       "q_sim4_quantize" -> q(sim4),

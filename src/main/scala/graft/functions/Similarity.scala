@@ -139,6 +139,31 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Multi-probe LSH (the public Lv et al. 2007 idea, 1-bit probing):
+    * besides its own bucket, each query probes the `planes` neighboring
+    * buckets whose signature differs in exactly one hyperplane bit —
+    * the buckets a near neighbor most likely fell into when it landed
+    * just on the other side of one plane. Recall rises roughly
+    * (planes+1)-fold in candidates WITHOUT rebuilding the index or
+    * coarsening it for everyone; cost stays bucket-local and the probe
+    * set is pure integer signature arithmetic (replayable by any
+    * engine). A candidate reachable via several probes is deduplicated
+    * before the rerank, so the top-k contract is unchanged. */
+  def lshMultiProbeTopKFromSignatures(q: DataFrame, c: DataFrame,
+      k: Int, planes: Int): DataFrame = {
+    val probes = q.select(col("query_id"), col("qv"),
+        explode(concat(array(col("sig")),
+          transform(sequence(lit(0), lit(planes - 1)),
+            b => col("sig").bitwiseXOR(call_function("shiftleft", lit(1L), b)))))
+          .as("sig"))
+    val scored = c.join(broadcast(probes), Seq("sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus into
     * cells; a query scans only its `nprobe` nearest cells. The classic
     * trade: recall grows with nprobe, cost with cells scanned.

@@ -925,6 +925,40 @@ class TextDedupSpec extends SparkSpec {
       s"only $shared of ${byDoc(1L).length} chunks survived a prefix insertion")
   }
 
+  test("multi-probe LSH finds the one-bit-away neighbor single-probe misses") {
+    // The hyperplanes are hash-derived, so which perturbation flips
+    // exactly one sign bit can't be eyeballed — generate a fan of small
+    // perturbations of a base vector, compute their signatures, and
+    // pick the first that lands EXACTLY one plane away (deterministic:
+    // same hashes every run).
+    val base = Array(1.0f, 0.02f, 0.0f, 0.1f)
+    val fan = (1 to 100).map(i =>
+      (i.toLong, Array(1.0f, 0.02f - 0.004f * i, 0.05f * (i % 3), 0.1f)))
+    val fanSigs = (fan :+ (0L, base)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.rhpSignature(col("embedding"), 6).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneAway = fan.find(v =>
+      java.lang.Long.bitCount(fanSigs(v._1) ^ fanSigs(0L)) == 1)
+    assert(oneAway.isDefined, "no perturbation landed one plane away")
+    val vecs = Seq(
+      (1L, base),
+      (100L, oneAway.get._2),              // near, exactly one plane flips
+      (200L, Array(-0.5f, 0.9f, -0.7f, 0.2f))) // far
+      .toDF("vec_id", "embedding")
+    val c = vecs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+      .withColumn("sig", Similarity.rhpSignature(col("cv"), 6))
+    val q = c.filter(col("neighbor_id") === 1L)
+      .select(col("neighbor_id").as("query_id"), col("cv").as("qv"), col("sig"))
+    val single = Similarity.lshAnnTopKFromSignatures(q, c, k = 5)
+      .collect().map(_.getLong(1)).toSet
+    val multi = Similarity.lshMultiProbeTopKFromSignatures(q, c, k = 5, planes = 6)
+      .collect().map(_.getLong(1)).toSet
+    assert(!single.contains(100L))
+    assert(multi.contains(100L))
+    assert(single.subsetOf(multi)) // probing only ever ADDS candidates
+  }
+
   test("minHashNearDupAgainst: new batch matches its corpus near-dup only") {
     val corpus = docs.filter(col("doc_id") =!= 2L)
     val batch = docs.filter(col("doc_id") === 2L || col("doc_id") === 3L)
