@@ -47,19 +47,52 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // Plan fingerprint: md5 of the physical plan string with run-varying
-    // ids (expr #ids, plan_id, object addresses) stripped — a changed
-    // fingerprint between rounds means the PLAN changed, which turns an
-    // unexplained timing delta into a diffable regression. Captured
-    // PRE-execution (AQE rewrites executedPlan's toString once the query
-    // has run, and earlier rounds' committed fingerprints are
-    // pre-execution strings).
-    def fingerprintOf(df: org.apache.spark.sql.DataFrame): Option[String] =
+    // Plan fingerprint: md5 of the OPERATOR-TOKEN TREE — one
+    // `depth:NodeName` line per physical operator — not the full plan
+    // string. A changed fingerprint between rounds means the plan SHAPE
+    // changed (join strategy, an extra Exchange, aggregate mode — the
+    // things the plan audits pin), which turns an unexplained timing
+    // delta into a diffable regression. The full string is NOT stable
+    // run-to-run even after id-stripping: JVM lambda identities
+    // (MapPartitions closures), AQE stage numbers, the materialization
+    // state of shared cached relations, and Spark's hash-set-ordered
+    // Expand keys (RewriteDistinctAggregates) all vary without the plan
+    // meaningfully changing — round 7 measured 6/89 queries flapping.
+    // Cached-relation INNER plans are excluded for the same reason: the
+    // stored subtree reflects whether/how the cache materialized, not
+    // what this query will do. Captured from queryExecution.sparkPlan —
+    // the pre-AQE physical plan — because executedPlan's toString swaps
+    // in QueryStage wrappers for any exchange a SHARED persisted input
+    // already materialized, so its shape depends on execution history
+    // even before this query runs.
+    // Debug surface: SPARK_GRAFT_PLAN_DUMP_DIR=<dir> writes the token
+    // tree per query, so an unstable fingerprint diffs to the exact
+    // run-varying token (tools/fpdiff.py flags, this locates).
+    val planDumpDir = sys.env.get("SPARK_GRAFT_PLAN_DUMP_DIR")
+    def fingerprintOf(df: org.apache.spark.sql.DataFrame,
+        name: String): Option[String] =
       try {
-        val p = df.queryExecution.executedPlan.toString
-          .replaceAll("#\\d+", "#")
-          .replaceAll("plan_id=\\d+", "plan_id=")
-          .replaceAll("@[0-9a-f]+", "@")
+        val tok = "^([\\s:+|\\-]*)(?:\\*\\(\\d+\\)\\s*)?([A-Za-z][A-Za-z0-9_.$]*)".r
+        val sb = new StringBuilder
+        var skipDeeperThan = -1
+        df.queryExecution.sparkPlan.toString.linesIterator.foreach { ln =>
+          tok.findFirstMatchIn(ln).foreach { m =>
+            val depth = m.group(1).length
+            val op = m.group(2)
+            if (skipDeeperThan >= 0 && depth > skipDeeperThan) ()
+            else {
+              skipDeeperThan = -1
+              sb.append(depth).append(':').append(op).append('\n')
+              if (op == "InMemoryRelation") skipDeeperThan = depth
+            }
+          }
+        }
+        val p = sb.toString
+        planDumpDir.foreach { dir =>
+          new java.io.File(dir).mkdirs()
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$dir/$name.plan.txt"), p)
+        }
         Some(java.security.MessageDigest.getInstance("MD5")
           .digest(p.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12))
       } catch { case _: Throwable => None }
@@ -80,7 +113,7 @@ object Bench {
           // driver-side fit/sample work of sim3/sim5/sim6/dd11 just to
           // stringify a plan. Planning is cached on queryExecution, so
           // count() below reuses it — no extra timed work beyond the md5.
-          if (fp.isEmpty) fp = fingerprintOf(df)
+          if (fp.isEmpty) fp = fingerprintOf(df, name)
           df.count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
