@@ -1480,6 +1480,65 @@ object Oracles {
          |FROM r WHERE rank <= 5
          |ORDER BY section, cell, query_id, rank""".stripMargin,
 
+    // IVF recall sweep: centroids trusted; cell assignment, all three
+    // probe depths, reranks and the recall arithmetic re-derive.
+    "q_sim10_ivf_recall" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim10_ivf_recall/*.parquet')),
+         |  cent AS (SELECT cell, centroid, CAST(centroid AS DOUBLE[]) AS cv
+         |           FROM o WHERE section = 'centroid'),
+         |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |  sims AS (SELECT e.vec_id, cent.cell,
+         |             coalesce(${cosSql("e.v", "cent.cv")}, -2.0) AS s0
+         |           FROM e CROSS JOIN cent),
+         |  sims2 AS (SELECT vec_id, cell,
+         |              CASE WHEN isnan(s0) THEN -2.0 ELSE s0 END AS s FROM sims),
+         |  asg AS (SELECT vec_id, cell FROM (
+         |            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |              ORDER BY s DESC, cell ASC) AS rn FROM sims2)
+         |          WHERE rn = 1),
+         |  pr AS (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |           ORDER BY s DESC, cell ASC) AS rn FROM sims2
+         |         WHERE vec_id < 8),
+         |  probe AS (SELECT np.np, pr.vec_id AS query_id, pr.cell
+         |            FROM pr CROSS JOIN (SELECT unnest([1, 2, 4]) AS np) np
+         |            WHERE pr.rn <= np.np),
+         |  cand AS (SELECT p.np, p.query_id, a.vec_id AS neighbor_id
+         |           FROM probe p JOIN asg a ON a.cell = p.cell
+         |           WHERE a.vec_id <> p.query_id),
+         |  sc AS (SELECT np, query_id, neighbor_id,
+         |           ${cosSql("qe.v", "ne.v")} AS cs
+         |         FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |                   JOIN e ne ON ne.vec_id = cand.neighbor_id),
+         |  ap AS (SELECT np, query_id, neighbor_id FROM (
+         |           SELECT *, ROW_NUMBER() OVER (PARTITION BY np, query_id
+         |             ORDER BY cs DESC, neighbor_id ASC) AS rk FROM sc)
+         |         WHERE rk <= 5),
+         |  ex AS (SELECT query_id, neighbor_id FROM (
+         |           SELECT qe.vec_id AS query_id, ne.vec_id AS neighbor_id,
+         |             ROW_NUMBER() OVER (PARTITION BY qe.vec_id
+         |               ORDER BY ${cosSql("qe.v", "ne.v")} DESC, ne.vec_id ASC) AS rk
+         |           FROM e qe JOIN e ne ON ne.vec_id <> qe.vec_id
+         |           WHERE qe.vec_id < 8)
+         |         WHERE rk <= 5),
+         |  npl AS (SELECT unnest([1, 2, 4]) AS np),
+         |  rec AS (SELECT npl.np, ex.query_id,
+         |            CAST(count(*) AS BIGINT) AS n_exact,
+         |            CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit
+         |          FROM ex CROSS JOIN npl
+         |          LEFT JOIN ap ON ap.np = npl.np AND ap.query_id = ex.query_id
+         |                      AND ap.neighbor_id = ex.neighbor_id
+         |          GROUP BY 1, 2)
+         |SELECT 'centroid' AS section, cell, centroid,
+         |       CAST(NULL AS BIGINT) AS nprobe, CAST(NULL AS BIGINT) AS query_id,
+         |       CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS n_hit,
+         |       CAST(NULL AS BIGINT) AS recall_pct
+         |FROM cent
+         |UNION ALL
+         |SELECT 'recall', NULL, NULL, CAST(np AS BIGINT), query_id, n_exact, n_hit,
+         |       CAST(n_hit * 100 // n_exact AS BIGINT)
+         |FROM rec
+         |ORDER BY section, cell, nprobe, query_id""".stripMargin,
+
     // The k-gram hash sequence is trusted input; the window-min
     // selection (windows of 4, truncated tail windows like Spark's
     // slice), distinct+sort and the count are re-derived.

@@ -1267,6 +1267,49 @@ object SparkEntry {
       .orderBy("section", "cell", "query_id", "rank")
   }
 
+  /** SIM10 — IVF recall vs nprobe: recall@5 of the IVF path at
+    * nprobe ∈ {1, 2, 4} against the exact cosine top-5, one shared
+    * quantizer — the cells-scanned-vs-recall curve that completes the
+    * evaluation story across both ANN families (sim8/sim9 cover LSH).
+    * Only the centroids are trusted input; the oracle replays cell
+    * assignment, all three probe depths, reranks, and the recall
+    * arithmetic. */
+  private def sim10(t: Tables): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    val cents = Similarity.trainSphericalCentroids(
+      t.embeddings, "vec_id", "embedding", nlist = 8, maxIter = 4)
+    val exact = Similarity.cosineTopK(
+        t.embeddings.filter(col("vec_id") < 8), t.embeddings,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nl = lit(null).cast("long")
+    val recalls = Seq(1, 2, 4).map { np =>
+      val approx = Similarity.ivfTopKWithCentroids(
+        t.embeddings.filter(col("vec_id") < 8), t.embeddings,
+        "vec_id", "embedding", "vec_id", "embedding", cents, k = 5, nprobe = np)
+      val hits = exact.join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(np.toLong).as("nprobe"), col("query_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_pct", expr("n_hit * 100 div n_exact"))
+    }.reduce(_ unionByName _)
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat.toDouble)) }.toSeq
+      .toDF("cell", "centroid")
+    centRows.select(lit("centroid").as("section"), col("cell"),
+        to_json(col("centroid")).as("centroid"), nl.as("nprobe"),
+        nl.as("query_id"), nl.as("n_exact"), nl.as("n_hit"), nl.as("recall_pct"))
+      .unionByName(recalls.select(lit("recall").as("section"), nl.as("cell"),
+        lit(null).cast("string").as("centroid"), col("nprobe"),
+        col("query_id"), col("n_exact"), col("n_hit"), col("recall_pct")))
+      .orderBy("section", "cell", "nprobe", "query_id")
+  }
+
   /** SIM4 — per-vector int8 affine quantization + reconstruction error:
     * the 4×-storage lever of a billion-vector store. Every step is plain
     * IEEE double with explicit floor(x+0.5) rounding, so the oracle
@@ -1567,6 +1610,7 @@ object SparkEntry {
       "q_sim7_mips" -> q(sim7),
       "q_sim8_ann_recall" -> q(sim8),
       "q_sim9_multiprobe" -> q(sim9),
+      "q_sim10_ivf_recall" -> q(sim10),
       "q_sim2_lsh_ann" -> q(sim2),
       "q_sim3_ivf_ann" -> q(sim3),
       "q_sim4_quantize" -> q(sim4),
