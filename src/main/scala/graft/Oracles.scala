@@ -888,6 +888,43 @@ object Oracles {
          |SELECT 'pair', NULL, NULL, id_a, id_b, hamming FROM p
          |ORDER BY section, doc_id, id_a, id_b""".stripMargin,
 
+    // Ensemble consensus: both detection families replay independently
+    // from their echoed signatures (band-slice candidates + exact
+    // Jaccard; banded Hamming brute force), then intersect.
+    "q_dd14_ensemble_consensus" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_dd14_ensemble_consensus/*.parquet')),
+         |  ms AS (SELECT doc_id, mh_sig, CAST(mh_sig AS BIGINT[]) AS sa
+         |         FROM o WHERE section = 'mh'),
+         |  ss AS (SELECT doc_id, simhash FROM o WHERE section = 'sh'),
+         |  cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |           FROM ms a JOIN ms b ON a.doc_id < b.doc_id
+         |            AND (a.sa[1:4] = b.sa[1:4] OR a.sa[5:8] = b.sa[5:8]
+         |                 OR a.sa[9:12] = b.sa[9:12] OR a.sa[13:16] = b.sa[13:16])),
+         |  shg AS ($shingles3Sql),
+         |  mp AS (SELECT id_a, id_b,
+         |           CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+         |             / CAST(len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)) AS DOUBLE)
+         |             AS jaccard_sim
+         |         FROM cand JOIN shg x ON x.doc_id = cand.id_a
+         |                   JOIN shg y ON y.doc_id = cand.id_b),
+         |  sp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |         FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+         |         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |  cons AS (SELECT mp.id_a, mp.id_b, mp.jaccard_sim, sp.hamming
+         |           FROM mp JOIN sp ON sp.id_a = mp.id_a AND sp.id_b = mp.id_b
+         |           WHERE mp.jaccard_sim >= 0.5)
+         |SELECT 'mh' AS section, doc_id, mh_sig, CAST(NULL AS BIGINT) AS simhash,
+         |       CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+         |       CAST(NULL AS DOUBLE) AS jaccard_sim, CAST(NULL AS BIGINT) AS hamming
+         |FROM ms
+         |UNION ALL
+         |SELECT 'sh', doc_id, NULL, simhash, NULL, NULL, NULL, NULL FROM ss
+         |UNION ALL
+         |SELECT 'pair', NULL, NULL, NULL, id_a, id_b, jaccard_sim, hamming
+         |FROM cons
+         |ORDER BY section, doc_id, id_a, id_b""".stripMargin,
+
     // Same replay as q_dd3 with batch/corpus roles re-derived from the
     // doc_id split (new = doc_id%10=7), candidates crossing roles only.
     "q_dd9_incremental_neardup" ->

@@ -738,6 +738,40 @@ object SparkEntry {
       .orderBy("section", "doc_id", "chunk_idx", "chunk_md5")
   }
 
+  /** DD14 — ensemble dedup consensus: a pair must be confirmed by BOTH
+    * independent near-dup families — MinHash+LSH with exact-Jaccard
+    * verify (shingle evidence) AND banded SimHash within Hamming ≤ 3
+    * (term-frequency evidence) — before it counts. Stacking orthogonal
+    * detectors is the standard precision lever when a false merge is
+    * costly (deleting a non-duplicate training document); the join of
+    * the two verified pair sets is tiny, so the consensus step is free
+    * at scale. Both signature families are echoed; the oracle replays
+    * both detection paths and intersects them. */
+  private def dd14(t: Tables): DataFrame = {
+    val mh = DedupFunctions.minHashSignatures(
+      t.documents, "doc_id", "text", shingleN = 3, k = 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mhPairs = DedupFunctions.minHashNearDupPairsFromSignatures(
+      mh, k = 16, bands = 4, threshold = 0.5)
+    val sh = DedupFunctions.simHashSignatures(t.documents, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shPairs = DedupFunctions.simHashNearDupPairsFromSignatures(
+      sh, maxHamming = 3, bands = 4)
+    val consensus = mhPairs.join(shPairs, Seq("id_a", "id_b"))
+    val nl = lit(null).cast("long")
+    val nd = lit(null).cast("double")
+    mh.select(lit("mh").as("section"), col("id").as("doc_id"),
+        to_json(col("sig")).as("mh_sig"), nl.as("simhash"),
+        nl.as("id_a"), nl.as("id_b"), nd.as("jaccard_sim"), nl.as("hamming"))
+      .unionByName(sh.select(lit("sh").as("section"), col("id").as("doc_id"),
+        lit(null).cast("string").as("mh_sig"), col("sig").as("simhash"),
+        nl.as("id_a"), nl.as("id_b"), nd.as("jaccard_sim"), nl.as("hamming")))
+      .unionByName(consensus.select(lit("pair").as("section"), nl.as("doc_id"),
+        lit(null).cast("string").as("mh_sig"), nl.as("simhash"),
+        col("id_a"), col("id_b"), col("jaccard_sim"), col("hamming")))
+      .orderBy("section", "doc_id", "id_a", "id_b")
+  }
+
   /** TXT11 — Luhn-validated card redaction: candidate digit runs are
     * checksum-VALIDATED before redaction (a bare regex over-redacts
     * order ids and phone numbers). Each document gets one valid and one
@@ -1604,6 +1638,7 @@ object SparkEntry {
       "q_w5_retention" -> q(w5),
       "q_dd12_substring_dup" -> q(dd12),
       "q_dd13_cdc_chunks" -> q(dd13),
+      "q_dd14_ensemble_consensus" -> q(dd14),
       "q_dd4_simhash" -> q(dd4),
       "q_dd5_embed_neardup" -> q(dd5),
       "q_sim1_cosine_topk" -> q(sim1),
