@@ -247,6 +247,12 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |ORDER BY o_orderkey LIMIT 30 OFFSET 60""".stripMargin,
 
+    // Keyset page 2 must equal offset page 2 on a static table — the
+    // oracle states the contract in its simplest form.
+    "q_o6_keyset_page" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 25 OFFSET 25""".stripMargin,
+
     "q_o5_random_pick" ->
       """SELECT c_mktsegment, c_custkey FROM
         |(SELECT c_mktsegment, c_custkey,

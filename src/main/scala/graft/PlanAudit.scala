@@ -154,7 +154,10 @@ object PlanAudit {
     // first-seen window over raw events
     "q_w5_retention" -> Seq(
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "!Window",
-      "!CartesianProduct"))
+      "!CartesianProduct"),
+    // keyset page: bounded top-k after the continuation filter — never
+    // a global sort or a row_number window
+    "q_o6_keyset_page" -> Seq("TakeOrderedAndProject", "!Window"))
 
   /** Run every check; returns (name, missing-patterns, plan-excerpt) for
     * failures — the excerpt is what diagnoses a CI-only regression

@@ -315,6 +315,26 @@ object SparkEntry {
     Relational.pageSlice(t.orders, Seq(col("o_orderkey").asc), page = 3, pageSize = 30)
       .select("o_orderkey", "o_custkey", "o_orderstatus")
 
+  /** O6 — keyset (cursor) pagination, the 100 TB pagination path: page
+    * 2 is fetched by the lexicographic continuation predicate from page
+    * 1's last row, NOT by offset — offset N forces the engine to
+    * produce and discard N rows on every page, keyset stays
+    * TakeOrderedAndProject regardless of depth. The cursor read is one
+    * page-sized driver collect (the documented bounded-metadata
+    * pattern). Oracle contract: on a static table, keyset page 2
+    * equals offset page 2 — which is exactly what the DuckDB oracle
+    * computes. */
+  private def o6(t: Tables): DataFrame = {
+    val order = Seq((col("o_orderdate"), false), (col("o_orderkey"), true))
+    val page1 = Relational.keysetSlice(t.orders, order, None, 25)
+      .select("o_orderdate", "o_orderkey").collect()
+    val last = page1.last
+    Relational.keysetSlice(t.orders, order,
+        Some(Seq(last.get(0), last.get(1))), 25)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+  }
+
   /** O5/F10 — seeded pseudo-random pick per group
     * (random_registration, lists/api.py:216-223). */
   private def o5(t: Tables): DataFrame =
@@ -1592,6 +1612,7 @@ object SparkEntry {
       "q_a8_median" -> q(a8),
       "q_o2_topk" -> q(o2),
       "q_o3_page_slice" -> q(o3),
+      "q_o6_keyset_page" -> q(o6),
       "q_o5_random_pick" -> q(o5),
       "q_w1_hourly_window" -> q(w1),
       "q_w2_running_sum" -> q(w2),
