@@ -33,6 +33,10 @@ object Demo {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // naive parquet timestamps (timestamp[us], no UTC flag) read as
+      // TIMESTAMP (session-local, pinned UTC) — matching DuckDB and the
+      // watermark/unix_micros surfaces, not TIMESTAMP_NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -182,6 +182,10 @@ object PlanAudit {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // naive parquet timestamps (timestamp[us], no UTC flag) read as
+      // TIMESTAMP (session-local, pinned UTC) — matching DuckDB and the
+      // watermark/unix_micros surfaces, not TIMESTAMP_NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // AQE off here: its pre-execution plan hides codegen annotations;
       // production sessions keep AQE on (Verify/Bench).
       .config("spark.sql.adaptive.enabled", "false")

@@ -13,6 +13,10 @@ object PlanDump {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      // naive parquet timestamps (timestamp[us], no UTC flag) read as
+      // TIMESTAMP (session-local, pinned UTC) — matching DuckDB and the
+      // watermark/unix_micros surfaces, not TIMESTAMP_NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -9,6 +9,10 @@ object Smoke {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // naive parquet timestamps (timestamp[us], no UTC flag) read as
+      // TIMESTAMP (session-local, pinned UTC) — matching DuckDB and the
+      // watermark/unix_micros surfaces, not TIMESTAMP_NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

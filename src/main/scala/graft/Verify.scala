@@ -16,6 +16,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // naive parquet timestamps (timestamp[us], no UTC flag) read as
+      // TIMESTAMP (session-local, pinned UTC) — matching DuckDB and the
+      // watermark/unix_micros surfaces, not TIMESTAMP_NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // µs parquet timestamps so the DuckDB oracle reads identical values
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -27,8 +31,23 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Echoed TIMESTAMP columns are session-local (UTC); written as-is
+        // they'd carry parquet's isAdjustedToUTC flag while the DuckDB
+        // oracle (reading the naive testdata) yields naive values — the
+        // driver's pandas compare then sees tz-aware vs naive. Cast to
+        // TIMESTAMP_NTZ: identical wall-clock under the pinned-UTC
+        // session, naive on disk, matching the oracle byte-for-byte.
+        val naive = df.select(df.schema.fields.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            org.apache.spark.sql.functions.col(f.name)
+              .cast("timestamp_ntz").as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }.toIndexedSeq: _*)
+        naive.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -18,6 +18,10 @@ object SparkSpec {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.sql.session.timeZone", "UTC")
+    // naive parquet timestamps (timestamp[us], no UTC flag) read as
+    // TIMESTAMP (session-local, pinned UTC) — matching DuckDB and the
+    // watermark/unix_micros surfaces, not TIMESTAMP_NTZ
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
