@@ -157,7 +157,53 @@ object PlanAudit {
       "!CartesianProduct"),
     // keyset page: bounded top-k after the continuation filter — never
     // a global sort or a row_number window
-    "q_o6_keyset_page" -> Seq("TakeOrderedAndProject", "!Window"))
+    "q_o6_keyset_page" -> Seq("TakeOrderedAndProject", "!Window"),
+    // hourly rollup: plain hash aggregation with map-side partials —
+    // never an event-time window function or a join
+    "q_w1_hourly_window" -> Seq("HashAggregate", "codegen id", "!Window",
+      "!Join"),
+    // MinHash LSH: candidates form ONLY inside (band, slice) buckets —
+    // the equi-join family, never an all-pairs nested loop
+    "q_dd3_minhash_lsh" -> Seq("!CartesianProduct",
+      "!BroadcastNestedLoopJoin", "!Window"),
+    // embedding near-dup: pairs form inside label buckets via an
+    // equi-join — never an all-pairs comparison of the corpus
+    "q_dd5_embed_neardup" -> Seq(
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+    // banded SimHash pairs: same bucket-only contract as dd3
+    "q_dd8_simhash_pairs" -> Seq("!CartesianProduct",
+      "!BroadcastNestedLoopJoin", "!Window"),
+    // incremental near-dup: batch-vs-corpus candidates ride band-slice
+    // equi-joins; cost must stay ∝ batch, never corpus²
+    "q_dd9_incremental_neardup" -> Seq("!CartesianProduct",
+      "!BroadcastNestedLoopJoin", "!Window"),
+    // SemDeDup: pairs form within quantizer cells only — the cell id is
+    // an equi-join key, never a corpus-wide cross comparison
+    "q_dd10_semantic_dedup" -> Seq("!CartesianProduct", "!Window"),
+    // CDC chunk dedup: sharing stats are ONE hash aggregation on the
+    // chunk fingerprint — no join, no window, no pairwise anything
+    "q_dd13_cdc_chunks" -> Seq("HashAggregate", "!Join",
+      "!CartesianProduct", "!Window"),
+    // ensemble consensus: both pair families and their intersection are
+    // equi-joins — never a nested loop
+    "q_dd14_ensemble_consensus" -> Seq("!CartesianProduct",
+      "!BroadcastNestedLoopJoin", "!Window"),
+    // LSH ANN: bucket equi-join (queries broadcast) + bounded top-k
+    // aggregate — never a window, never a raw cross join
+    "q_sim2_lsh_ann" -> Seq("BroadcastHashJoin", "ObjectHashAggregate",
+      "!Window", "!CartesianProduct"),
+    // IVF ANN: probe-cell equi-join + bounded top-k aggregate; the
+    // corpus assignment scan is shuffle-free per-row math
+    "q_sim3_ivf_ann" -> Seq("BroadcastHashJoin", "ObjectHashAggregate",
+      "!Window", "!CartesianProduct"),
+    // multi-probe: probe-set explode rides the same bucket equi-join
+    // (the exact-side BNLJ is the broadcast baseline, allowed)
+    "q_sim9_multiprobe" -> Seq("ObjectHashAggregate", "!Window",
+      "!CartesianProduct"),
+    // IVF recall sweep: every retrieval path is bucket/broadcast-bound
+    "q_sim10_ivf_recall" -> Seq("ObjectHashAggregate", "!Window",
+      "!CartesianProduct"))
 
   /** Run every check; returns (name, missing-patterns, plan-excerpt) for
     * failures — the excerpt is what diagnoses a CI-only regression
