@@ -1240,6 +1240,51 @@ object Oracles {
          |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    // HTML synthesis AND extraction both replay: the page skeleton is
+    // pure doc_id string arithmetic and every extraction regex is
+    // RE2-safe (lazy [\s\S]*? spans, no lookaround), so DuckDB runs the
+    // identical patterns with the 'g' flag.
+    "q_txt14_html_extract" ->
+      raw"""WITH h AS (SELECT doc_id,
+        |            '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |            || '</title><style>body{margin:0}</style><script>var v='
+        |            || CAST(doc_id % 97 AS VARCHAR)
+        |            || ';</script></head><body><nav><a href="/home">Home</a> <a href="/about">About</a></nav><div id="main"><p>'
+        |            || text || '</p><p>5 &lt; 6 &amp; 7 &gt; 4</p>'
+        |            || CASE WHEN doc_id % 3 = 0
+        |                    THEN '<a href="/more">see more</a>' ELSE '' END
+        |            || '</div><footer>&copy; site '
+        |            || CAST(doc_id % 10 AS VARCHAR)
+        |            || '</footer></body></html>' AS html
+        |          FROM documents),
+        |  m AS (SELECT doc_id, html,
+        |          trim(regexp_replace(
+        |            regexp_replace(regexp_replace(regexp_replace(
+        |            regexp_replace(regexp_replace(regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(regexp_replace(regexp_replace(
+        |                regexp_replace(regexp_replace(regexp_replace(
+        |                regexp_replace(html,
+        |                  '(?i)<head(\s[^>]*)?>[\s\S]*?</head\s*>', ' ', 'g'),
+        |                  '(?i)<script(\s[^>]*)?>[\s\S]*?</script\s*>', ' ', 'g'),
+        |                  '(?i)<style(\s[^>]*)?>[\s\S]*?</style\s*>', ' ', 'g'),
+        |                  '(?i)<nav(\s[^>]*)?>[\s\S]*?</nav\s*>', ' ', 'g'),
+        |                  '(?i)<header(\s[^>]*)?>[\s\S]*?</header\s*>', ' ', 'g'),
+        |                  '(?i)<footer(\s[^>]*)?>[\s\S]*?</footer\s*>', ' ', 'g'),
+        |                  '(?i)<aside(\s[^>]*)?>[\s\S]*?</aside\s*>', ' ', 'g'),
+        |                '<[^>]*>', ' ', 'g'),
+        |              '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |              '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+        |              '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |            '\s+', ' ', 'g')) AS main_text
+        |        FROM h)
+        |SELECT doc_id,
+        |       regexp_extract(html, '(?i)<title[^>]*>([\s\S]*?)</title>', 1) AS title,
+        |       main_text,
+        |       CAST(len(regexp_extract_all(html, '(?i)<a\s[^>]*href')) AS BIGINT) AS n_links,
+        |       CAST(length(main_text) * 100 // length(html) AS BIGINT) AS content_pct
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // Domain-level curation is fully re-derivable: stats, verdicts and
     // survivors all recompute from the documents table (exact bigint
     // sums; ratios are single double divisions — bit-equal cross-engine).

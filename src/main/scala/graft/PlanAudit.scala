@@ -158,6 +158,10 @@ object PlanAudit {
     // keyset page: bounded top-k after the continuation filter — never
     // a global sort or a row_number window
     "q_o6_keyset_page" -> Seq("TakeOrderedAndProject", "!Window"),
+    // HTML extraction: one codegen'd regexp chain per row — no join,
+    // window or aggregate may ever appear
+    "q_txt14_html_extract" -> Seq("codegen id", "!Join", "!Window",
+      "!HashAggregate"),
     // hourly rollup: plain hash aggregation with map-side partials —
     // never an event-time window function or a join
     "q_w1_hourly_window" -> Seq("HashAggregate", "codegen id", "!Window",

@@ -559,6 +559,40 @@ object SparkEntry {
         t.documents.filter(pmod(col("doc_id"), lit(97)) === 0), "text", n = 3)
       .orderBy("doc_id")
 
+  /** TXT14 — HTML main-content extraction: the corpus is plain text, so
+    * each document is first wrapped in a deterministic doc_id-derived
+    * page skeleton (title, style/script payload, nav chrome, footer, a
+    * conditional extra link, entity-encoded punctuation — q_txt6's
+    * synthesis precedent), then the extraction chain recovers the main
+    * text: boilerplate blocks dropped, tags stripped, entities decoded,
+    * whitespace collapsed. Link count and main-to-page length ratio are
+    * the link-density / text-density quality signals. Every regex is
+    * RE2-safe and the DuckDB oracle replays synthesis AND extraction. */
+  private def txt14(t: Tables): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>body{margin:0}</style><script>var v="),
+      pmod(col("doc_id"), lit(97)).cast("string"),
+      lit(";</script></head><body><nav><a href=\"/home\">Home</a> " +
+        "<a href=\"/about\">About</a></nav><div id=\"main\"><p>"),
+      col("text"),
+      lit("</p><p>5 &lt; 6 &amp; 7 &gt; 4</p>"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("<a href=\"/more\">see more</a>")).otherwise(lit("")),
+      lit("</div><footer>&copy; site "),
+      pmod(col("doc_id"), lit(10)).cast("string"),
+      lit("</footer></body></html>"))
+    t.documents
+      .withColumn("html", html)
+      .withColumn("main_text", TextFunctions.htmlMainText(col("html")))
+      .select(col("doc_id"),
+        TextFunctions.htmlTitle(col("html")).as("title"),
+        col("main_text"),
+        TextFunctions.htmlLinkCount(col("html")).cast("long").as("n_links"),
+        expr("length(main_text) * 100 div length(html)").as("content_pct"))
+      .orderBy("doc_id")
+  }
+
   /** SAMP1 — deterministic 80/20 train/test split: hash-of-id draw, stable
     * under re-runs/repartitioning and reproducible by any engine with md5
     * (the oracle recomputes the identical expression in DuckDB). */
@@ -1622,6 +1656,7 @@ object SparkEntry {
       "q_prof1_table_profile" -> q(prof1),
       "q_prof2_skew_salt" -> q(prof2),
       "q_txt12_nfc_normalize" -> q(txt12),
+      "q_txt14_html_extract" -> q(txt14),
       "q_set_union_except" -> q(set1),
       "q_txt1_quality" -> q(txt1),
       "q_txt2_langid" -> q(txt2),

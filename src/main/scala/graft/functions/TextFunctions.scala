@@ -232,6 +232,44 @@ object TextFunctions {
       }, acc => acc.getField("bs"))
     }
 
+  /** Tags whose whole element is dropped (with contents) before tag
+    * stripping: executable/presentation payload (script, style) and site
+    * chrome (nav, header, footer, aside) — the cheap deterministic core
+    * of main-content extraction (the jusText/trafilatura family's first
+    * pass). Block patterns are RE2-safe ([\s\S]*? lazy spans, no
+    * lookaround), so the DuckDB oracle replays them verbatim. Nested
+    * same-tag blocks are out of scope (regex, not a parser) — the
+    * documented limitation of the regex tier. */
+  val HtmlBoilerplateTags: Seq[String] =
+    Seq("head", "script", "style", "nav", "header", "footer", "aside")
+
+  /** `<title>` contents (first match, empty string when absent). */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "(?i)<title[^>]*>([\\s\\S]*?)</title>", 1)
+
+  /** Count of anchor tags carrying an href — a link-density input (high
+    * link share marks navigation/listing pages, a standard quality cut). */
+  def htmlLinkCount(html: Column): Column =
+    size(regexp_extract_all(html, lit("(?i)<a\\s[^>]*href"), lit(0)))
+
+  /** Main-content text of an HTML document: boilerplate blocks dropped,
+    * remaining tags stripped, the five predefined XML/HTML entities (+
+    * nbsp) decoded, whitespace collapsed. Pure codegen'd regexp chain —
+    * per-row map work, scan-bound at 100 TB. */
+  def htmlMainText(html: Column): Column = {
+    // the open tag must end right after the name or continue with an
+    // attribute — <head> must never match <header> (nor vice versa)
+    val noBlocks = HtmlBoilerplateTags.foldLeft(html) { (c, t) =>
+      regexp_replace(c, s"(?i)<$t(\\s[^>]*)?>[\\s\\S]*?</$t\\s*>", " ")
+    }
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    // &amp; decodes LAST or "&amp;lt;" would double-decode
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def normalize(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
 

@@ -17,6 +17,27 @@ class TextDedupSpec extends SparkSpec {
     (5L, "el gato y el perro juegan en la casa de la abuela con el niño")
   ).toDF("doc_id", "text")
 
+  test("html extraction: boilerplate dropped, tags stripped, entities decoded (TXT14)") {
+    val page = Seq((1L,
+      """<html><head><title>My Page</title><style>p{color:red}</style>
+        |<script>var x = 1 < 2;</script></head>
+        |<body><NAV><a href="/a">A</a> <a href="/b">B</a></NAV>
+        |<div id="main"><p>Tom &amp; Jerry say 1 &lt; 2 &mdash;</p>
+        |<a href="/c">read on</a></div>
+        |<footer>&copy; 2026</footer></body></html>""".stripMargin))
+      .toDF("doc_id", "html")
+    val out = page.select(
+      TextFunctions.htmlTitle(col("html")).as("title"),
+      TextFunctions.htmlMainText(col("html")).as("main"),
+      TextFunctions.htmlLinkCount(col("html")).as("links")).head()
+    assert(out.getString(0) === "My Page")
+    // script/style payload and nav/footer chrome gone (case-insensitive
+    // block match), main survives with entities decoded; the unknown
+    // entity &mdash; passes through untouched
+    assert(out.getString(1) === "Tom & Jerry say 1 < 2 &mdash; read on")
+    assert(out.getInt(2) === 3)
+  }
+
   test("minhash LSH recovers the planted near-dup pair, nothing else") {
     val pairs = DedupFunctions.minHashNearDupPairs(docs, "doc_id", "text",
       shingleN = 3, k = 16, bands = 8, threshold = 0.5)
