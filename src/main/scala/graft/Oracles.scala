@@ -1181,6 +1181,32 @@ object Oracles {
         |SELECT lang, doc_id AS sample_id FROM r WHERE rn <= 3
         |ORDER BY lang, sample_id""".stripMargin,
 
+    // Shard manifest: assignment (md5 mod), token counts, and the
+    // order-independent fingerprint xor all re-derive exactly — a
+    // dropped/duplicated doc or a divergent checksum hash-mismatches.
+    "q_samp6_shard_manifest" ->
+      raw"""WITH a AS (SELECT doc_id,
+        |            CAST(('0x' || substr(md5('shard16:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 16 AS shard,
+        |            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tok,
+        |            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |          FROM documents),
+        |  m AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(tok) AS BIGINT) AS sum_tokens,
+        |          bit_xor(CAST(('0x' || substr(fp, 1, 15)) AS BIGINT)) AS content_xor,
+        |          min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |        FROM a GROUP BY shard)
+        |SELECT 'doc' AS section, doc_id, shard,
+        |       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS sum_tokens,
+        |       CAST(NULL AS BIGINT) AS content_xor,
+        |       CAST(NULL AS BIGINT) AS min_doc, CAST(NULL AS BIGINT) AS max_doc
+        |FROM a
+        |UNION ALL
+        |SELECT 'shard', NULL, shard, n_docs, sum_tokens, content_xor,
+        |       min_doc, max_doc
+        |FROM m
+        |ORDER BY section, doc_id, shard""".stripMargin,
+
     // GK-sketch percentiles: the approximate value is echoed iff it lies
     // inside the exact quantile bracket [q(p-0.02), q(p+0.02)] — the
     // sketch's rank-error guarantee (1/accuracy = 0.01) with margin.

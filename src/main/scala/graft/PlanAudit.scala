@@ -158,6 +158,9 @@ object PlanAudit {
     // keyset page: bounded top-k after the continuation filter — never
     // a global sort or a row_number window
     "q_o6_keyset_page" -> Seq("TakeOrderedAndProject", "!Window"),
+    // shard manifest: per-row assignment + ONE hash aggregation keyed
+    // by shard (bounded xor/sum state) — no window, no join
+    "q_samp6_shard_manifest" -> Seq("HashAggregate", "!Window", "!Join"),
     // HTML extraction: one codegen'd regexp chain per row — no join,
     // window or aggregate may ever appear
     "q_txt14_html_extract" -> Seq("codegen id", "!Join", "!Window",

@@ -383,6 +383,38 @@ object SparkEntry {
         k = 3, seed = "s5")
       .orderBy("lang", "sample_id")
 
+  /** SAMP6 — training-export shard manifest: every document gets a
+    * deterministic 16-way shard (md5 draw — reconstructible from the id
+    * alone, no counter, no global shuffle) and each shard gets its
+    * bookkeeping row: doc count, token sum, id range, and an
+    * ORDER-INDEPENDENT 60-bit xor of the content fingerprints — the
+    * checksum a consumer re-derives to detect a dropped/duplicated/
+    * corrupted document without sorting anything (xor state is one
+    * bigint per shard at any corpus size, where a sorted-concat digest
+    * would hold the shard in memory). Assignment and manifest both
+    * replay in DuckDB (hex→int is one CAST, bit_xor is an aggregate). */
+  private def samp6(t: Tables): DataFrame = {
+    val assigned = t.documents.select(col("doc_id"),
+      SampleFunctions.shardAssign(col("doc_id"), 16, "shard16").as("shard"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("tok"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val manifest = assigned.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("tok")).as("sum_tokens"),
+      expr("bit_xor(cast(conv(substring(fp, 1, 15), 16, 10) as bigint))")
+        .as("content_xor"),
+      min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    val nl = lit(null).cast("long")
+    assigned
+      .select(lit("doc").as("section"), col("doc_id"), col("shard"),
+        nl.as("n_docs"), nl.as("sum_tokens"), nl.as("content_xor"),
+        nl.as("min_doc"), nl.as("max_doc"))
+      .unionByName(manifest.select(lit("shard").as("section"),
+        nl.as("doc_id"), col("shard"), col("n_docs"), col("sum_tokens"),
+        col("content_xor"), col("min_doc"), col("max_doc")))
+      .orderBy("section", "doc_id", "shard")
+  }
+
   /** W3 — batch sessionization (gaps-and-islands): a user's events break
     * into activity episodes at >24 h silences (the fixture's natural
     * cadence; the threshold is a parameter in production). Both windows
@@ -1678,6 +1710,7 @@ object SparkEntry {
       "q_txt10_surprisal" -> q(txt10),
       "q_samp4_target_mixture" -> q(samp4),
       "q_samp5_group_sample" -> q(samp5),
+      "q_samp6_shard_manifest" -> q(samp6),
       "q_rep1_corpus_report" -> q(rep1),
       "q_txt11_card_redact" -> q(txt11),
       "q_dd8_simhash_pairs" -> q(dd8),

@@ -138,6 +138,18 @@ object SampleFunctions {
     * it encodes, so an oracle replays the ordering from the same md5
     * hex. Ties (a 48-bit collision) break to the lower id on both
     * sides. Output: group columns + `sample_id`. */
+  /** Deterministic shard id in [0, numShards): 16-bit md5 draw mod the
+    * shard count. Stable under repartition/retry/engine (the same
+    * hex→int mod is one CAST in DuckDB), uniform in expectation — the
+    * assignment step of a training-data export, where a shard must be
+    * reconstructible from the id alone (no global shuffle, no counter). */
+  def shardAssign(id: Column, numShards: Int, seed: String): Column = {
+    require(numShards > 0 && numShards <= 65536,
+      s"numShards $numShards outside (0, 65536]")
+    conv(substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 4),
+      16, 10).cast("long") % numShards
+  }
+
   def samplePerGroup(df: DataFrame, groupCols: Seq[String], id: Column,
       k: Int, seed: String): DataFrame = {
     require(k > 0, s"sample size k=$k must be positive")

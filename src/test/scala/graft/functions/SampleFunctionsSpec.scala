@@ -105,6 +105,29 @@ class SampleFunctionsSpec extends SparkSpec {
     assert(got === rows.toSet)
   }
 
+  test("shardAssign: stable under repartition, in range, roughly uniform") {
+    def shards(parts: Int) = ids.repartition(parts)
+      .select(col("id"), SampleFunctions.shardAssign(col("id"), 16, "sh").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s1 = shards(1)
+    assert(s1 == shards(17))
+    assert(s1.values.forall(s => s >= 0 && s < 16))
+    // 2000 ids over 16 shards: every shard populated, none dominant
+    val sizes = s1.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size == 16 && sizes.min > 60 && sizes.max < 200)
+  }
+
+  test("shard xor checksum flags a dropped document, ignores order") {
+    val fps = (0L until 50L).map(i => i -> f"${i * 2654435761L}%015x")
+    def xorOf(rows: Seq[(Long, String)]) = rows.map { case (_, h) =>
+      java.lang.Long.parseLong(h, 16)
+    }.foldLeft(0L)(_ ^ _)
+    assert(xorOf(fps) == xorOf(scala.util.Random.shuffle(fps)))
+    // drop a doc with a NON-ZERO hash (id 0 hashes to 0, invisible to xor
+    // — the one blind spot of the checksum, also true of any additive one)
+    assert(xorOf(fps) != xorOf(fps.filterNot(_._1 == 7L)))
+  }
+
   test("null id: split lands on 'test', stratified sample never keeps it") {
     val rows = Seq(Some(1L), None).toDF("id")
     val labels = rows
