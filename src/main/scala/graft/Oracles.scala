@@ -1741,6 +1741,31 @@ object Oracles {
     // then every canonicalization rule replays in DuckDB string ops:
     // fragment drop, scheme/host lowercase, default-port strip, tracking
     // param removal, param sort, trailing-slash strip.
+    // Snapshot diff: both snapshots, the fingerprint full-outer join and
+    // the status classification replay exactly from the documents table.
+    "q_cur4_snapshot_diff" ->
+      raw"""WITH o AS (SELECT doc_id, md5($norm) AS fp_old FROM documents),
+        |  n AS (SELECT doc_id,
+        |          md5(lower(regexp_replace(trim(
+        |            CASE WHEN doc_id % 20 = 5 THEN text || ' [rev2]'
+        |                 ELSE text END), '\s+', ' ', 'g'))) AS fp_new
+        |        FROM documents WHERE doc_id % 15 <> 3
+        |        UNION ALL
+        |        SELECT doc_id + 2000000, md5($norm)
+        |        FROM documents WHERE doc_id % 25 = 0),
+        |  d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |          CASE WHEN o.fp_old IS NULL THEN 'added'
+        |               WHEN n.fp_new IS NULL THEN 'removed'
+        |               WHEN o.fp_old <> n.fp_new THEN 'changed'
+        |               ELSE 'unchanged' END AS status
+        |        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT 'doc' AS section, doc_id, status, CAST(NULL AS BIGINT) AS n
+        |FROM d WHERE status <> 'unchanged'
+        |UNION ALL
+        |SELECT 'stat', NULL, status, CAST(count(*) AS BIGINT)
+        |FROM d GROUP BY status
+        |ORDER BY section, doc_id, status""".stripMargin,
+
     "q_cur3_url_dedup" ->
       raw"""WITH u AS (SELECT doc_id,
         |              'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) ||

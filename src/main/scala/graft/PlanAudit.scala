@@ -158,6 +158,11 @@ object PlanAudit {
     // keyset page: bounded top-k after the continuation filter — never
     // a global sort or a row_number window
     "q_o6_keyset_page" -> Seq("TakeOrderedAndProject", "!Window"),
+    // snapshot diff: the crawl delta is ONE full-outer EQUI-join of
+    // (id, fingerprint) pairs — text never shuffles, and a full outer
+    // can never be a nested loop
+    "q_cur4_snapshot_diff" -> Seq("SortMergeJoin|ShuffledHashJoin",
+      "HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"),
     // shard manifest: per-row assignment + ONE hash aggregation keyed
     // by shard (bounded xor/sum state) — no window, no join
     "q_samp6_shard_manifest" -> Seq("HashAggregate", "!Window", "!Join"),

@@ -1027,6 +1027,43 @@ object SparkEntry {
       .orderBy("url_canonical")
   }
 
+  /** CUR4 — corpus snapshot diff: the crawl-delta computation between
+    * two corpus versions. The "new" snapshot is synthesized from the
+    * fixture (every 15th doc dropped, every 20th revised, every 25th
+    * re-added under a fresh id — q_txt6's synthesis precedent), then
+    * the diff is ONE full-outer equi-join of (id, fingerprint) pairs:
+    * added / removed / changed classify from fingerprint nullness and
+    * inequality, and per-status counts summarize. At 100 TB only ids
+    * and 128-bit fingerprints move through the join — document text
+    * never shuffles — which is what makes per-crawl delta processing
+    * (ingest only `added`+`changed` downstream) affordable. */
+  private def cur4(t: Tables): DataFrame = {
+    val d = col("doc_id")
+    val old = t.documents.select(d,
+      TextFunctions.fingerprint(col("text")).as("fp_old"))
+    val neu = t.documents
+      .filter(pmod(d, lit(15)) =!= 3)
+      .select(d, when(pmod(d, lit(20)) === 5,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
+        .as("text"))
+      .unionByName(t.documents.filter(pmod(d, lit(25)) === 0)
+        .select((d + 2000000).as("doc_id"), col("text")))
+      .select(d, TextFunctions.fingerprint(col("text")).as("fp_new"))
+    val diff = old.join(neu, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+    val stats = diff.groupBy("status").agg(count(lit(1)).as("n"))
+    diff.filter(col("status") =!= "unchanged")
+      .select(lit("doc").as("section"), col("doc_id"), col("status"),
+        lit(null).cast("long").as("n"))
+      .unionByName(stats.select(lit("stat").as("section"),
+        lit(null).cast("long").as("doc_id"), col("status"), col("n")))
+      .orderBy("section", "doc_id", "status")
+  }
+
   /** TXT13 — contamination EVIDENCE: the distinct (doc, benchmark-3-gram)
     * hits behind q_txt7's scores, the span-level audit a decontamination
     * pass reports (targeted scrubbing instead of whole-document drops).
@@ -1719,6 +1756,7 @@ object SparkEntry {
       "q_cur1_curation_funnel" -> q(cur1),
       "q_cur2_source_filter" -> q(cur2),
       "q_cur3_url_dedup" -> q(cur3),
+      "q_cur4_snapshot_diff" -> q(cur4),
       "q_srch1_keyword_topk" -> q(srch1),
       "q_srch2_top_terms" -> q(srch2),
       "q_txt13_contamination_hits" -> q(txt13),
