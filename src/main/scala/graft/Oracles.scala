@@ -1558,6 +1558,39 @@ object Oracles {
     // Only the centroids are trusted input: corpus cell assignment, probe
     // selection (top-nprobe cells by cosine, ties to the lowest cell),
     // the in-cell rerank and the top-k cut are all re-derived.
+    // Index maintenance: assignment (argmax with the NaN→-2 floor and
+    // lowest-cell tie-break), occupancy and the integer similarity sums
+    // all re-derive from the echoed centroids — no division anywhere, so
+    // there is no trunc-vs-floor hazard.
+    "q_sim11_index_maintenance" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim11_index_maintenance/*.parquet')),
+         |  cent AS (SELECT cell, centroid, CAST(centroid AS DOUBLE[]) AS cv
+         |           FROM o WHERE section = 'centroid'),
+         |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |          CASE WHEN vec_id % 10 = 0 THEN 'batch' ELSE 'corpus' END AS role
+         |        FROM embeddings),
+         |  sims AS (SELECT e.vec_id, e.role, cent.cell,
+         |             coalesce(${cosSql("e.v", "cent.cv")}, -2.0) AS s0
+         |           FROM e CROSS JOIN cent),
+         |  sims2 AS (SELECT vec_id, role, cell,
+         |              CASE WHEN isnan(s0) THEN -2.0 ELSE s0 END AS s FROM sims),
+         |  asg AS (SELECT vec_id, role, cell, s FROM (
+         |            SELECT vec_id, role, cell, s,
+         |              ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, cell ASC) AS rn FROM sims2)
+         |          WHERE rn = 1),
+         |  st AS (SELECT role, CAST(cell AS BIGINT) AS cell,
+         |           CAST(count(*) AS BIGINT) AS n,
+         |           CAST(SUM(CAST(floor(s * 1e6) AS BIGINT)) AS BIGINT) AS sum_sim_ppm
+         |         FROM asg GROUP BY 1, 2)
+         |SELECT 'centroid' AS section, cell, centroid,
+         |       CAST(NULL AS VARCHAR) AS role, CAST(NULL AS BIGINT) AS n,
+         |       CAST(NULL AS BIGINT) AS sum_sim_ppm
+         |FROM cent
+         |UNION ALL
+         |SELECT 'cells', cell, NULL, role, n, sum_sim_ppm FROM st
+         |ORDER BY section, cell, role""".stripMargin,
+
     "q_sim3_ivf_ann" ->
       s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim3_ivf_ann/*.parquet')),
          |  cent AS (SELECT cell, centroid, CAST(centroid AS DOUBLE[]) AS cv
@@ -1696,6 +1729,19 @@ object Oracles {
     // Windows rebuild from the same (event_type, day) arithmetic as the
     // query; the oracle's join is the plain BETWEEN form the bin-bucketed
     // equi-join must exactly reproduce.
+    // Salted join: the oracle is the PLAIN equi-join — salting is
+    // internal shuffle mechanics and must never change the result.
+    // Threshold = exact DECIMAL(18,2) sum cast double / bigint count,
+    // one IEEE division on both engines.
+    "q_j10_salted_join" ->
+      """WITH d AS (SELECT event_type,
+        |            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |              / COUNT(*) AS avg_value
+        |          FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value > d.avg_value AS above_avg
+        |FROM events e JOIN d USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
     "q_j9_interval_join" ->
       """WITH ev AS (SELECT event_id, ts, event_type FROM events),
         |  d AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS day FROM ev),

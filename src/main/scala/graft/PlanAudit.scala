@@ -158,6 +158,12 @@ object PlanAudit {
     // keyset page: bounded top-k after the continuation filter — never
     // a global sort or a row_number window
     "q_o6_keyset_page" -> Seq("TakeOrderedAndProject", "!Window"),
+    // salted join: the exchange must run on (key, salt) — the salt
+    // column in the hashpartitioning IS the skew spread — and the join
+    // stays the shuffled equi-join the salt exists for
+    "q_j10_salted_join" -> Seq("SortMergeJoin|ShuffledHashJoin",
+      "hashpartitioning\\([^)]*__salt", "!CartesianProduct",
+      "!BroadcastNestedLoopJoin"),
     // snapshot diff: the crawl delta is ONE full-outer EQUI-join of
     // (id, fingerprint) pairs — text never shuffles, and a full outer
     // can never be a nested loop
@@ -215,7 +221,12 @@ object PlanAudit {
       "!CartesianProduct"),
     // IVF recall sweep: every retrieval path is bucket/broadcast-bound
     "q_sim10_ivf_recall" -> Seq("ObjectHashAggregate", "!Window",
-      "!CartesianProduct"))
+      "!CartesianProduct"),
+    // index maintenance: assignment is a literal-backed per-row map
+    // pass + ONE hash aggregation on (cell) per role — no join of the
+    // vectors, no window
+    "q_sim11_index_maintenance" -> Seq("HashAggregate", "!Window",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin"))
 
   /** Run every check; returns (name, missing-patterns, plan-excerpt) for
     * failures — the excerpt is what diagnoses a CI-only regression

@@ -1064,6 +1064,32 @@ object SparkEntry {
       .orderBy("section", "doc_id", "status")
   }
 
+  /** J10 — salted skew join, EXECUTED end to end: events (all rows of a
+    * hot event_type land on one reducer in a naive shuffle) join their
+    * per-type mean-value threshold through
+    * [[graft.operators.Relational.saltedJoin]] — the left key gains a
+    * deterministic-per-row salt, the 5-row dim side explodes ×8, and the
+    * shuffle runs on (type, salt) so one hot key spreads over 8
+    * reducers. The SALT NEVER LEAKS: the oracle is the PLAIN equi-join
+    * (salting is internal mechanics, not semantics), which is exactly
+    * the operator's contract. The merge hint pins the shuffled-join
+    * shape the salt exists for (at fixture scale AQE would broadcast
+    * the dim and no salted exchange would be observable; at 100 TB the
+    * dim side of a pathological key is itself too big to broadcast).
+    * Threshold arithmetic is exact-decimal sum / bigint count — one
+    * IEEE division on both engines. */
+  private def j10(t: Tables): DataFrame = {
+    val dim = t.events.groupBy(col("event_type").as("t_event_type"))
+      .agg((sum(col("value").cast(dec182)).cast("double") /
+        count(lit(1))).as("avg_value"))
+    Relational.saltedJoin(
+        t.events.select("event_id", "event_type", "value"),
+        dim.hint("merge"), "event_type", "t_event_type", salts = 8)
+      .select(col("event_id"), col("event_type"),
+        (col("value") > col("avg_value")).as("above_avg"))
+      .orderBy("event_id")
+  }
+
   /** TXT13 — contamination EVIDENCE: the distinct (doc, benchmark-3-gram)
     * hits behind q_txt7's scores, the span-level audit a decontamination
     * pass reports (targeted scrubbing instead of whole-document drops).
@@ -1424,6 +1450,48 @@ object SparkEntry {
       .orderBy("section", "cell", "query_id", "rank")
   }
 
+  /** SIM11 — IVF index MAINTENANCE: the quantizer trains on the
+    * standing corpus (90% of vectors), then a new batch (the other 10%)
+    * is assigned to the EXISTING cells without a refit — the
+    * incremental path an index lives on between rebuilds. Per (cell,
+    * role) the output carries occupancy and the summed in-cell
+    * similarity (floor(sim·10⁶) — integer state, so the sum is exact
+    * and order-independent cross-engine; no division, so no
+    * trunc-vs-floor divergence on a negative mean): batch occupancy
+    * piling into few cells = imbalance, batch similarity sums trending
+    * low = distribution drift — the two refit triggers. Only the
+    * centroids are trusted input; assignment and both statistics replay
+    * in DuckDB. */
+  private def sim11(t: Tables): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    val corpus = t.embeddings.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val batch = t.embeddings.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val cents = Similarity.trainSphericalCentroids(
+      corpus, "vec_id", "embedding", nlist = 8, maxIter = 4)
+    def cellStats(df: DataFrame, role: String) =
+      df.select(Similarity.assignCellWithSim(col("embedding"), cents).as("a"))
+        .select(col("a.cell").cast("long").as("cell"),
+          floor(col("a.sim") * lit(1e6)).cast("long").as("sim_ppm"))
+        .groupBy("cell").agg(count(lit(1)).as("n"),
+          sum(col("sim_ppm")).as("sum_sim_ppm"))
+        .select(lit(role).as("role"), col("cell"), col("n"),
+          col("sum_sim_ppm"))
+    val stats = cellStats(corpus, "corpus")
+      .unionByName(cellStats(batch, "batch"))
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat.toDouble)) }.toSeq
+      .toDF("cell", "centroid")
+    val nl = lit(null).cast("long")
+    centRows.select(lit("centroid").as("section"), col("cell"),
+        to_json(col("centroid")).as("centroid"),
+        lit(null).cast("string").as("role"), nl.as("n"), nl.as("sum_sim_ppm"))
+      .unionByName(stats.select(lit("cells").as("section"), col("cell"),
+        lit(null).cast("string").as("centroid"), col("role"), col("n"),
+        col("sum_sim_ppm")))
+      .orderBy("section", "cell", "role")
+  }
+
   /** SIM10 — IVF recall vs nprobe: recall@5 of the IVF path at
     * nprobe ∈ {1, 2, 4} against the exact cosine top-5, one shared
     * quantizer — the cells-scanned-vs-recall curve that completes the
@@ -1761,6 +1829,7 @@ object SparkEntry {
       "q_srch2_top_terms" -> q(srch2),
       "q_txt13_contamination_hits" -> q(txt13),
       "q_j9_interval_join" -> q(j9),
+      "q_j10_salted_join" -> q(j10),
       "q_w4_funnel" -> q(w4),
       "q_w5_retention" -> q(w5),
       "q_dd12_substring_dup" -> q(dd12),
@@ -1773,6 +1842,7 @@ object SparkEntry {
       "q_sim8_ann_recall" -> q(sim8),
       "q_sim9_multiprobe" -> q(sim9),
       "q_sim10_ivf_recall" -> q(sim10),
+      "q_sim11_index_maintenance" -> q(sim11),
       "q_sim2_lsh_ann" -> q(sim2),
       "q_sim3_ivf_ann" -> q(sim3),
       "q_sim4_quantize" -> q(sim4),

@@ -310,6 +310,18 @@ object Similarity {
       (array_position(sims, array_max(sims)) - 1).cast("int")
     }
 
+  /** [[assignCell]] plus the winning similarity, as one struct from one
+    * sims evaluation — the assignment-QUALITY observation an index
+    * maintenance pass aggregates (mean in-cell similarity dropping on a
+    * new batch = distribution drift; the quantizer needs a refit). */
+  def assignCellWithSim(vec: Column, centroids: Array[Array[Double]]): Column =
+    ExprUtils.evalOnce(centroidSims(vec, centroids)) { sims =>
+      ExprUtils.evalOnce(array_max(sims)) { best =>
+        struct((array_position(sims, best) - 1).cast("int").as("cell"),
+          best.as("sim"))
+      }
+    }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
