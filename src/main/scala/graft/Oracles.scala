@@ -1181,6 +1181,34 @@ object Oracles {
         |SELECT lang, doc_id AS sample_id FROM r WHERE rn <= 3
         |ORDER BY lang, sample_id""".stripMargin,
 
+    // Temperature mixture: the whole weight chain replays — sqrt is
+    // IEEE-exact, weights are integer-quantized BEFORE the sum, and the
+    // keep decision is an integer threshold compare on the md5 draw.
+    // Double ops appear in the identical order as the Spark plan.
+    "q_samp7_temperature_mix" ->
+      raw"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY lang),
+        |  t AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM documents),
+        |  d AS (SELECT lang, n, big_n,
+        |          CAST(floor(sqrt(CAST(n AS DOUBLE) / big_n) * 1e9) AS BIGINT) AS w
+        |        FROM c CROSS JOIN t),
+        |  ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM d),
+        |  d3 AS (SELECT lang, n, w,
+        |           CAST(floor(least(1.0,
+        |             ((CAST(w AS DOUBLE) / wsum) * CAST(big_n * 3 // 5 AS DOUBLE)) / n)
+        |             * 4294967296.0) AS BIGINT) AS thresh
+        |         FROM d CROSS JOIN ws),
+        |  k AS (SELECT doc_id, doc.lang FROM documents doc JOIN d3 USING (lang)
+        |        WHERE CAST(('0x' || substr(md5('t7:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |              < thresh)
+        |SELECT 'doc' AS section, doc_id, lang,
+        |       CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS w,
+        |       CAST(NULL AS BIGINT) AS thresh
+        |FROM k
+        |UNION ALL
+        |SELECT 'lang', NULL, lang, n, w, thresh FROM d3
+        |ORDER BY section, doc_id, lang""".stripMargin,
+
     // Shard manifest: assignment (md5 mod), token counts, and the
     // order-independent fingerprint xor all re-derive exactly — a
     // dropped/duplicated doc or a divergent checksum hash-mismatches.

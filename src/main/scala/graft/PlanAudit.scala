@@ -169,6 +169,10 @@ object PlanAudit {
     // can never be a nested loop
     "q_cur4_snapshot_diff" -> Seq("SortMergeJoin|ShuffledHashJoin",
       "HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+    // temperature mixture: the lang dims broadcast back (tiny
+    // aggregates) — the corpus is never shuffled or sort-merge-joined
+    "q_samp7_temperature_mix" -> Seq("BroadcastHashJoin", "!SortMergeJoin",
+      "!Window", "!CartesianProduct"),
     // shard manifest: per-row assignment + ONE hash aggregation keyed
     // by shard (bounded xor/sum state) — no window, no join
     "q_samp6_shard_manifest" -> Seq("HashAggregate", "!Window", "!Join"),

@@ -415,6 +415,46 @@ object SparkEntry {
       .orderBy("section", "doc_id", "shard")
   }
 
+  /** SAMP7 — temperature-flattened language mixture (the UniMax /
+    * multilingual-rebalance family): sample so language shares follow
+    * p^α with α = 0.5 — head languages down-weighted, tail languages
+    * kept — targeting 3/5 of the corpus. α = 0.5 makes the weight an
+    * IEEE `sqrt` (exact on every engine, unlike a general `pow`), and
+    * every cross-engine-fragile step is integer-pinned: weights
+    * quantize to floor(sqrt(p)·10⁹) BEFORE the (order-sensitive) sum,
+    * and the per-language keep fraction becomes a 32-bit threshold the
+    * md5 draw compares against — the q_samp1 machinery. The language
+    * dims are tiny 1-row/`|langs|`-row aggregates that BROADCAST back;
+    * the corpus itself is touched by one count pass and one filter
+    * pass, never shuffled. */
+  private def samp7(t: Tables): DataFrame = {
+    val docs = t.documents.select("doc_id", "lang")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val tot = docs.agg(count(lit(1)).as("big_n"))
+    val dim = counts.crossJoin(broadcast(tot))
+      .withColumn("w",
+        floor(sqrt(col("n").cast("double") / col("big_n")) * lit(1e9))
+          .cast("long"))
+    val wsum = dim.agg(sum(col("w")).as("wsum"))
+    val dim2 = dim.crossJoin(broadcast(wsum))
+      .withColumn("target_n",
+        (col("w").cast("double") / col("wsum")) *
+          expr("cast(big_n * 3 div 5 as double)"))
+      .withColumn("f", least(lit(1.0), col("target_n") / col("n")))
+      .withColumn("thresh",
+        floor(col("f") * lit(4294967296.0)).cast("long"))
+    val kept = docs.join(broadcast(dim2.select("lang", "thresh")), Seq("lang"))
+      .filter(conv(substring(md5(concat(lit("t7:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        < col("thresh"))
+    val nl = lit(null).cast("long")
+    kept.select(lit("doc").as("section"), col("doc_id"), col("lang"),
+        nl.as("n"), nl.as("w"), nl.as("thresh"))
+      .unionByName(dim2.select(lit("lang").as("section"), nl.as("doc_id"),
+        col("lang"), col("n"), col("w"), col("thresh")))
+      .orderBy("section", "doc_id", "lang")
+  }
+
   /** W3 — batch sessionization (gaps-and-islands): a user's events break
     * into activity episodes at >24 h silences (the fixture's natural
     * cadence; the threshold is a parameter in production). Both windows
@@ -1816,6 +1856,7 @@ object SparkEntry {
       "q_samp4_target_mixture" -> q(samp4),
       "q_samp5_group_sample" -> q(samp5),
       "q_samp6_shard_manifest" -> q(samp6),
+      "q_samp7_temperature_mix" -> q(samp7),
       "q_rep1_corpus_report" -> q(rep1),
       "q_txt11_card_redact" -> q(txt11),
       "q_dd8_simhash_pairs" -> q(dd8),
