@@ -1398,6 +1398,43 @@ object Oracles {
         |       s AS score
         |FROM rk WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
+    // BM25: all-integer replay — fixed-point idf (Lucene form, halves
+    // cancel), avgdl/length-ratio/saturation denominator in thousandths,
+    // one positive integer division per (query, term, doc).
+    "q_srch3_bm25" ->
+      raw"""WITH q AS (SELECT doc_id AS qid,
+        |            array_to_string((string_split($norm, ' '))[1:5], ' ') AS qt
+        |          FROM documents WHERE doc_id % 100 = 3),
+        |  qterm AS (SELECT DISTINCT qid, unnest(string_split(qt, ' ')) AS t FROM q),
+        |  wd AS (SELECT doc_id AS d, string_split($norm, ' ') AS ws FROM documents),
+        |  w AS (SELECT d, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS t FROM wd),
+        |  tf AS (SELECT d, dl, t, CAST(count(*) AS BIGINT) AS tf FROM w
+        |         WHERE t IN (SELECT t FROM qterm) GROUP BY 1, 2, 3),
+        |  dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |  st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |           CAST(SUM(len(ws)) AS BIGINT) AS tl FROM wd),
+        |  il AS (SELECT dft.t, dft.df,
+        |           (1024 * (length(bin(2 * st.n + 2)) - 1)
+        |              + (((2 * st.n + 2) * 1024) >> (length(bin(2 * st.n + 2)) - 1)) - 1024)
+        |           - (1024 * (length(bin(2 * dft.df + 1)) - 1)
+        |              + (((2 * dft.df + 1) * 1024) >> (length(bin(2 * dft.df + 1)) - 1)) - 1024)
+        |           AS idf,
+        |           greatest(st.tl * 1000 // st.n, 1) AS avgdl1000
+        |         FROM dft CROSS JOIN st),
+        |  sc AS (SELECT qterm.qid, tf.d,
+        |           CAST(SUM((il.idf * tf.tf * 2200 * 1000) //
+        |             (tf.tf * 1000 + (1200 * (250 +
+        |               (750 * ((tf.dl * 1000000) // il.avgdl1000)) // 1000)) // 1000))
+        |           AS BIGINT) AS s
+        |         FROM tf JOIN qterm USING (t) JOIN il USING (t)
+        |         GROUP BY 1, 2),
+        |  rk AS (SELECT qid, d, s,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, d ASC) AS rn
+        |         FROM sc WHERE s > 0)
+        |SELECT qid AS query_id, CAST(rn AS BIGINT) AS "rank", d AS doc_id,
+        |       s AS score
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
     // The bloom filter is an accelerator, not a semantic: the operator's
     // contract is exactly batch ∖ corpus by md5 content fingerprint, so
     // the oracle is a plain anti-join — nothing probabilistic to replay.

@@ -112,6 +112,10 @@ object PlanAudit {
     // a window over raw score rows, never a corpus-side SMJ
     "q_srch1_keyword_topk" -> Seq("ObjectHashAggregate",
       "BroadcastHashJoin", "!Window", "!CartesianProduct"),
+    // BM25: same contract as srch1 — terms broadcast pre-shuffle,
+    // bounded top-k aggregate, never a window or corpus-side SMJ
+    "q_srch3_bm25" -> Seq("ObjectHashAggregate", "BroadcastHashJoin",
+      "!Window", "!CartesianProduct"),
     // percentile report: every window runs over the DISTINCT (lang, tok)
     // table partitioned by lang — bounded state; no window may ever be
     // global (empty partition spec = whole table through one task)

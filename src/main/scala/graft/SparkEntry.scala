@@ -1028,6 +1028,21 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** SRCH3 — BM25 top-k (same query workload as srch1): TF saturation +
+    * length normalization over the integer-pinned fixed-point pipeline —
+    * see [[graft.functions.SearchFunctions.bm25TopK]]. The scoring
+    * differences against srch1's raw TF-IDF are the point: long
+    * documents stop winning on volume, repeated terms saturate. */
+  private def srch3(t: Tables): DataFrame = {
+    val queries = t.documents.filter(pmod(col("doc_id"), lit(100)) === 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(TextFunctions.normalize(col("text")), " "),
+          1, 5), " ").as("qtext"))
+    SearchFunctions.bm25TopK(t.documents, "doc_id", "text",
+        queries, "query_id", "qtext", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** SRCH2 — exact corpus-wide top-25 terms: vocabulary head / boilerplate
     * discovery. Two-level count (map-side partial combine on term) +
     * bounded TakeOrderedAndProject cut, ties to the smaller term. The
@@ -1868,6 +1883,7 @@ object SparkEntry {
       "q_cur4_snapshot_diff" -> q(cur4),
       "q_srch1_keyword_topk" -> q(srch1),
       "q_srch2_top_terms" -> q(srch2),
+      "q_srch3_bm25" -> q(srch3),
       "q_txt13_contamination_hits" -> q(txt13),
       "q_j9_interval_join" -> q(j9),
       "q_j10_salted_join" -> q(j10),

@@ -46,6 +46,61 @@ object SearchFunctions {
       call_function("shiftright", x.cast("long") * lit(1024L), m) - lit(1024L)
   }
 
+  /** Top-k per query by INTEGER-PINNED BM25 (k1 = 1.2, b = 0.75), the
+    * standard probabilistic ranking function — TF saturation (a 50th
+    * occurrence adds almost nothing) and document-length normalization
+    * (long documents stop winning on raw term volume), which plain
+    * TF-IDF ([[keywordTopK]]) lacks. Every fractional quantity is
+    * fixed-point so any engine reproduces the ranking bit-for-bit:
+    * Lucene-style always-positive idf log2((N+1)/(df+0.5)) as
+    * `ilog2x1024(2N+2) − ilog2x1024(2df+1)` (halves cancel in the
+    * ratio), avgdl and the length ratio in thousandths, the saturation
+    * denominator in thousandths, ONE integer division per (query, term,
+    * doc) — truncation consistent cross-engine because every operand is
+    * positive. Same scale shape as [[keywordTopK]]: non-query words die
+    * map-side, per-term dims broadcast, ranking is the bounded top-k
+    * aggregate. Output: (qidCol, rank, idCol, score). */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qTextCol: String,
+      k: Int): DataFrame = {
+    val words = corpus.select(col(idCol).as("__doc"),
+      size(split(normalize(col(textCol)), " ")).cast("long").as("__dl"),
+      explode(split(normalize(col(textCol)), " ")).as("__t"))
+    val qTerms = queries.select(col(qidCol).as("__q"),
+        explode(split(normalize(col(qTextCol)), " ")).as("__t"))
+      .distinct()
+    val hitWords = words.join(broadcast(qTerms.select("__t").distinct()),
+      Seq("__t"), "left_semi")
+    // __dl is functionally dependent on __doc — carrying it as a group
+    // key costs nothing and saves a corpus-sized join for lengths.
+    val tf = hitWords.groupBy("__doc", "__dl", "__t")
+      .agg(count(lit(1)).as("__tf"))
+    val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val stats = corpus
+      .select(size(split(normalize(col(textCol)), " ")).cast("long").as("__l"))
+      .agg(count(lit(1)).as("__n"), sum("__l").as("__tl"))
+    tf.join(broadcast(qTerms), Seq("__t"))
+      .join(broadcast(dfT), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf1024",
+        ilog2x1024(lit(2L) * col("__n") + lit(2L)) -
+          ilog2x1024(lit(2L) * col("__df") + lit(1L)))
+      .withColumn("__avgdl1000", expr("greatest(__tl * 1000 div __n, 1)"))
+      .withColumn("__lr1000", expr("(__dl * 1000000) div __avgdl1000"))
+      .withColumn("__norm1000", expr("250 + (750 * __lr1000) div 1000"))
+      .withColumn("__den1000", expr("__tf * 1000 + (1200 * __norm1000) div 1000"))
+      .withColumn("__w",
+        expr("(__idf1024 * __tf * 2200 * 1000) div __den1000"))
+      .groupBy("__q", "__doc").agg(sum("__w").as("__s"))
+      .filter(col("__s") > 0)
+      .groupBy("__q")
+      .agg(expressions.topKByScore(col("__s").cast("double"),
+        col("__doc"), k).as("__top"))
+      .select(col("__q").as(qidCol), posexplode(col("__top")))
+      .select(col(qidCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), col("col.score").cast("long").as("score"))
+  }
+
   /** Top-k corpus documents per query by integer TF-IDF; ties broken by
     * ascending document id. Output: (qidCol, rank, idCol, score). */
   def keywordTopK(corpus: DataFrame, idCol: String, textCol: String,
