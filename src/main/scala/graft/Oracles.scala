@@ -756,6 +756,39 @@ object Oracles {
     // them — a single misread byte in the pure-JVM header parser (or a
     // byte-construction divergence) mismatches width/height/n_bytes/hash.
     // Text rows replay the documented fake-codec arithmetic.
+    // Frame dedup: clip synthesis, frame segmentation, the boilerplate
+    // guard, bucket pairing and the majority-share flag all replay.
+    "q_mm5_frame_dedup" ->
+      raw"""WITH clips AS (SELECT doc_id, text FROM documents
+        |              UNION ALL
+        |              SELECT doc_id + 3000000, text FROM documents
+        |              WHERE doc_id % 10 = 2),
+        |  g AS (SELECT doc_id, text,
+        |          CAST(1 + length(text) % 13 AS BIGINT) AS nf,
+        |          greatest(length(text) // CAST(1 + length(text) % 13 AS BIGINT), 1) AS stride
+        |        FROM clips),
+        |  fr AS (SELECT DISTINCT doc_id,
+        |           md5(substr(text, CAST(i * stride + 1 AS INT), CAST(stride AS INT))) AS fh
+        |         FROM g, unnest(generate_series(0, nf - 1)) AS u(i)),
+        |  common AS (SELECT fh FROM fr GROUP BY fh HAVING count(DISTINCT doc_id) > 50),
+        |  kept AS (SELECT doc_id, fh FROM fr ANTI JOIN common USING (fh)),
+        |  cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfd
+        |          FROM kept GROUP BY doc_id),
+        |  p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |          CAST(count(*) AS BIGINT) AS n_shared
+        |        FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT 'clip' AS section, doc_id, nfd AS n_frames,
+        |       CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |       CAST(NULL AS BIGINT) AS n_shared, CAST(NULL AS BOOLEAN) AS is_dup
+        |FROM cnt
+        |UNION ALL
+        |SELECT 'pair', NULL, NULL, p.id_a, p.id_b, p.n_shared,
+        |       p.n_shared * 2 >= ca.nfd + cb.nfd
+        |FROM p JOIN cnt ca ON ca.doc_id = p.id_a
+        |       JOIN cnt cb ON cb.doc_id = p.id_b
+        |ORDER BY section, doc_id, id_a, id_b""".stripMargin,
+
     "q_mm1_binary_meta" ->
       """WITH d AS (SELECT doc_id, text, doc_id % 3 AS m,
         |             100 + doc_id % 500 AS pw, 80 + doc_id % 400 AS ph,

@@ -112,6 +112,10 @@ object PlanAudit {
     // a window over raw score rows, never a corpus-side SMJ
     "q_srch1_keyword_topk" -> Seq("ObjectHashAggregate",
       "BroadcastHashJoin", "!Window", "!CartesianProduct"),
+    // frame dedup: candidate clip pairs form ONLY inside frame-hash
+    // buckets (equi-join on the hash) — never all-pairs, never a window
+    "q_mm5_frame_dedup" -> Seq("!CartesianProduct",
+      "!BroadcastNestedLoopJoin", "!Window"),
     // BM25: same contract as srch1 — terms broadcast pre-shuffle,
     // bounded top-k aggregate, never a window or corpus-side SMJ
     "q_srch3_bm25" -> Seq("ObjectHashAggregate", "BroadcastHashJoin",

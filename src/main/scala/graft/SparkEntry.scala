@@ -1793,6 +1793,63 @@ object SparkEntry {
       .select(col("doc_id"), col("frame_idx"))
       .orderBy("doc_id", "frame_idx")
 
+  /** MM5 — video/clip near-dup via FRAME-HASH bucketing, the standard
+    * video-dedup recipe (hash every frame, bucket clips by shared
+    * hashes, flag pairs sharing a majority): every 10th clip gets a
+    * "re-encode" under a fresh id (identical content — the planted
+    * duplicates), frames are deterministic content segments (chars
+    * `[i·stride, (i+1)·stride)`, n_frames = 1 + len mod 13 — the
+    * documented stand-in for decoded frame bytes; the pixel decode is
+    * the stubbed codec seam), and candidate pairs form ONLY inside
+    * frame-hash buckets — never an all-pairs clip comparison. Frame
+    * hashes seen in > 50 clips are dropped before pairing (the
+    * boilerplate-frame guard: intros/logos would otherwise bucket the
+    * whole catalog together — same deterministic-cap pattern as dd12's
+    * skew guards, a pure data function the oracle replays). Internal
+    * repeats collapse per clip, so `is_dup` compares distinct-frame
+    * sets: 2·shared ≥ |A| + |B|. */
+  private def mm5(t: Tables): DataFrame = {
+    val base = t.documents.select(col("doc_id"), col("text"))
+    val clips = base.unionByName(
+      base.filter(pmod(col("doc_id"), lit(10)) === 2)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+    val frames = clips
+      .select(col("doc_id"), col("text"),
+        (lit(1L) + pmod(length(col("text")), lit(13)).cast("long")).as("nf"))
+      .withColumn("stride", expr("greatest(length(text) div nf, 1)"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0L, nf - 1)")).as("frame_idx"),
+        col("text"), col("stride"))
+      .select(col("doc_id"),
+        expr("md5(cast(substr(text, cast(frame_idx * stride + 1 as int)," +
+          " cast(stride as int)) as binary))").as("fh"))
+      .distinct()
+    val common = frames.groupBy("fh")
+      .agg(countDistinct(col("doc_id")).as("ncl"))
+      .filter(col("ncl") > 50).select("fh")
+    val kept = frames.join(common, Seq("fh"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("nfd"))
+    val a = kept.select(col("doc_id").as("id_a"), col("fh"))
+    val b = kept.select(col("doc_id").as("id_b"), col("fh"))
+    val pairs = a.join(b, Seq("fh")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .join(counts.select(col("doc_id").as("id_a"), col("nfd").as("nf_a")),
+        Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("nfd").as("nf_b")),
+        Seq("id_b"))
+      .withColumn("is_dup",
+        col("n_shared") * 2 >= col("nf_a") + col("nf_b"))
+    val nl = lit(null).cast("long")
+    counts.select(lit("clip").as("section"), col("doc_id"),
+        col("nfd").as("n_frames"), nl.as("id_a"), nl.as("id_b"),
+        nl.as("n_shared"), lit(null).cast("boolean").as("is_dup"))
+      .unionByName(pairs.select(lit("pair").as("section"), nl.as("doc_id"),
+        nl.as("n_frames"), col("id_a"), col("id_b"), col("n_shared"),
+        col("is_dup")))
+      .orderBy("section", "doc_id", "id_a", "id_b")
+  }
+
   /** MM3 — aspect-preserving resize planning to fit 256×256, through the
     * same decode plumbing; integer-exact target dims. */
   private def mm3(t: Tables): DataFrame =
@@ -1909,7 +1966,8 @@ object SparkEntry {
       "q_mm1_binary_meta" -> q(mm1),
       "q_mm2_frame_sample" -> q(mm2),
       "q_mm3_resize_meta" -> q(mm3),
-      "q_mm4_audio_meta" -> q(mm4))
+      "q_mm4_audio_meta" -> q(mm4),
+      "q_mm5_frame_dedup" -> q(mm5))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql
