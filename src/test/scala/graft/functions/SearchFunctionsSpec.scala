@@ -50,4 +50,35 @@ class SearchFunctionsSpec extends SparkSpec {
   test("unknown query terms simply never match") {
     assert(run(Seq((12L, "zebra quark")), k = 5) === Seq.empty)
   }
+
+  private def bm25(corpus: Seq[(Long, String)], q: String): Map[Long, Long] =
+    SearchFunctions.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        Seq((1L, q)).toDF("query_id", "qtext"), "query_id", "qtext", k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (_, _, d, s) => d -> s }.toMap
+
+  test("bm25: term frequency saturates (doubling tf far less than doubles the score)") {
+    // equal-length docs isolate the saturation term from length norm
+    val docs = Seq(
+      (1L, "apple pad1 pad2 pad3 pad4 pad5 pad6 pad7"),
+      (2L, "apple apple pad2 pad3 pad4 pad5 pad6 pad7"),
+      (3L, "apple apple apple apple pad4 pad5 pad6 pad7"),
+      (4L, "none0 pad1 pad2 pad3 pad4 pad5 pad6 pad7"))
+    val s = bm25(docs, "apple")
+    assert(s(2L) > s(1L) && s(3L) > s(2L), s"monotone: $s")
+    // tf 1→2 must gain MORE than tf 2→4 (diminishing returns), and
+    // 4× tf must stay well under 4× score
+    assert(s(2L) - s(1L) > s(3L) - s(2L), s"concave: $s")
+    assert(s(3L) < 3L * s(1L), s"saturated: $s")
+  }
+
+  test("bm25: length normalization ranks the denser document first") {
+    // same tf=1, but doc 2 buries the term in 4x the length
+    val docs = Seq(
+      (1L, "apple pad1 pad2 pad3"),
+      (2L, "apple " + (1 to 15).map(i => s"pad$i").mkString(" ")),
+      (3L, "zzz zzz zzz zzz"))
+    val s = bm25(docs, "apple")
+    assert(s(1L) > s(2L), s"shorter doc must score higher: $s")
+  }
 }
