@@ -298,7 +298,7 @@ object Similarity {
     * (zero-norm rows) are floored below the cosine range so downstream
     * argmax/sorts stay total and deterministic. */
   private def centroidSims(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val centroidArr = array(centroids.map(c => lit(c.map(_.toFloat))): _*)
+    val centroidArr = array(centroids.toIndexedSeq.map(c => lit(c.map(_.toFloat))): _*)
     transform(centroidArr, ct => nanvl(cosine(vec, ct), lit(-2.0)))
   }
 
@@ -613,14 +613,14 @@ object Similarity {
     require(codebooks.nonEmpty, "empty codebooks")
     val sub = codebooks.head.head.length
     val codes = codebooks.zipWithIndex.map { case (cb, s) =>
-      val cbLit = array(cb.map(c => lit(c)): _*)
+      val cbLit = array(cb.toIndexedSeq.map(c => lit(c)): _*)
       ExprUtils.evalOnce(slice(vec.cast("array<double>"), s * sub + 1, sub)) { sv =>
         ExprUtils.evalOnce(transform(cbLit, ct => l2Sq(sv, ct))) { dists =>
           (array_position(dists, array_min(dists)) - 1).cast("int")
         }
       }
     }
-    array(codes: _*)
+    array(codes.toIndexedSeq: _*)
   }
 
   /** PQ decode: concatenate the coded centroids back into a full vector
@@ -629,10 +629,10 @@ object Similarity {
   def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column = {
     require(codebooks.nonEmpty, "empty codebooks")
     val parts = codebooks.zipWithIndex.map { case (cb, s) =>
-      val cbLit = array(cb.map(c => lit(c)): _*)
+      val cbLit = array(cb.toIndexedSeq.map(c => lit(c)): _*)
       element_at(cbLit, element_at(codes, s + 1) + 1)
     }
-    flatten(array(parts: _*))
+    flatten(array(parts.toIndexedSeq: _*))
   }
 
   /** ANN top-k over PQ codes by asymmetric distance: each (small,

@@ -72,7 +72,7 @@ object Chains {
       atHeight: Long = 0L): Long = {
     val path = s"$silverDir/chains"
     val gen = scala.util.Try {
-      val r = spark.read.parquet(path).agg(max(col("receipt_index"))).head
+      val r = spark.read.parquet(path).agg(max(col("receipt_index"))).head()
       if (r.isNullAt(0)) 0 else r.getInt(0) + 1
     }.getOrElse(0)
     graft.operators.MergeWriter.merge(spark,

@@ -310,7 +310,7 @@ object BinaryPipeline {
   def repartitionByBytes(df: DataFrame, payloadCol: String,
       targetPartitionBytes: Long = 128L << 20): DataFrame = {
     val totalBytes = df.agg(coalesce(sum(octet_length(col(payloadCol))), lit(0L)))
-      .head.getLong(0)
+      .head().getLong(0)
     val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
     df.repartition(parts)
   }

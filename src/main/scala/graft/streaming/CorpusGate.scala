@@ -190,7 +190,7 @@ object CorpusGate {
     val freshRows = exact.filter(!mightDup)
     val verifiedRows = exact.filter(mightDup)
       .join(fpsStore.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
-    val newContent = freshRows.unionByName(verifiedRows.select(freshRows.columns.map(col): _*))
+    val newContent = freshRows.unionByName(verifiedRows.select(freshRows.columns.toIndexedSeq.map(col): _*))
 
     // 3. Signatures once per batch — every later step is signature-only.
     //    Documents too short to shingle (fewer than shingleN words —
