@@ -18,7 +18,21 @@ import graft.operators.Relational
   * Serializer FK expansion (J1) uses broadcast left joins — dimension
   * tables (accounts, tokens, pots) are small relative to facts.
   */
+object QueryService {
+  /** Pagination envelope ({count, next, previous, results} — the
+    * reference's DRF shape). Top-level (companion) so pattern matches
+    * need no outer-instance check. */
+  final case class Page(count: Long, page: Int, pageSize: Int,
+      results: DataFrame) {
+    def hasNext: Boolean = page.toLong * pageSize < count
+    def hasPrevious: Boolean = page > 1
+    /** Nested-JSON rows (S8): the DRF-serializer-shaped output. */
+    def toJsonRows(): Array[String] = results.toJSON.collect()
+  }
+}
+
 final class QueryService(t0: String => DataFrame) {
+  import QueryService.Page
 
   /** Table loader, hardened against physical-layout leakage: the silver
     * store's synthetic partition columns (__pdate/__pbucket) are dropped
@@ -34,13 +48,6 @@ final class QueryService(t0: String => DataFrame) {
   }
 
   val DefaultPageSize = 30
-
-  final case class Page(count: Long, page: Int, pageSize: Int, results: DataFrame) {
-    def hasNext: Boolean = page.toLong * pageSize < count
-    def hasPrevious: Boolean = page > 1
-    /** Nested-JSON rows (S8): the DRF-serializer-shaped output. */
-    def toJsonRows(): Array[String] = results.toJSON.collect()
-  }
 
   private def paginate(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): Page =
     Page(df.count(), page, pageSize,
