@@ -1247,7 +1247,7 @@ object Oracles {
     // dropped/duplicated doc or a divergent checksum hash-mismatches.
     "q_samp6_shard_manifest" ->
       raw"""WITH a AS (SELECT doc_id,
-        |            CAST(('0x' || substr(md5('shard16:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 16 AS shard,
+        |            CAST(('0x' || substr(md5('shard16:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard,
         |            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |                 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tok,
         |            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp

@@ -444,9 +444,10 @@ object SparkEntry {
       .withColumn("thresh",
         floor(col("f") * lit(4294967296.0)).cast("long"))
     val kept = docs.join(broadcast(dim2.select("lang", "thresh")), Seq("lang"))
-      .filter(conv(substring(md5(concat(lit("t7:"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
-        < col("thresh"))
+      // the shared 32-bit draw (q_samp1's convention), numeric because
+      // the threshold is computed IN the plan, not driver-side hex
+      .filter(conv(SampleFunctions.hashDraw(col("doc_id"), "t7"), 16, 10)
+        .cast("long") < col("thresh"))
     val nl = lit(null).cast("long")
     kept.select(lit("doc").as("section"), col("doc_id"), col("lang"),
         nl.as("n"), nl.as("w"), nl.as("thresh"))
@@ -1122,8 +1123,11 @@ object SparkEntry {
   /** J10 — salted skew join, EXECUTED end to end: events (all rows of a
     * hot event_type land on one reducer in a naive shuffle) join their
     * per-type mean-value threshold through
-    * [[graft.operators.Relational.saltedJoin]] — the left key gains a
-    * deterministic-per-row salt, the 5-row dim side explodes ×8, and the
+    * [[graft.operators.Relational.saltedJoin]] — each left row gains a
+    * salt in [0, 8) (an xxhash64 over key + row position: ARBITRARY per
+    * row, and free to differ across reruns/partitionings, because the
+    * dim side carries every salt value — the result is salt-independent
+    * by construction), the 5-row dim side explodes ×8, and the
     * shuffle runs on (type, salt) so one hot key spreads over 8
     * reducers. The SALT NEVER LEAKS: the oracle is the PLAIN equi-join
     * (salting is internal mechanics, not semantics), which is exactly

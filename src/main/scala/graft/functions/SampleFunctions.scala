@@ -127,6 +127,20 @@ object SampleFunctions {
         (col("__start") % lit(budgetTokens)).as("seq_offset"))
   }
 
+  /** Deterministic shard id in [0, numShards): the 32-bit [[hashDraw]]
+    * mod the shard count. Stable under repartition/retry/engine (the
+    * same hex→int mod is one CAST in DuckDB), uniform to within the
+    * 32-bit modulo bias — ≤ numShards/2³² ≈ 1.5e-5 at the 65536 cap
+    * (a 16-bit draw would skew 2× whenever numShards doesn't divide
+    * 65536) — the assignment step of a training-data export, where a
+    * shard must be reconstructible from the id alone (no global
+    * shuffle, no counter). */
+  def shardAssign(id: Column, numShards: Int, seed: String): Column = {
+    require(numShards > 0 && numShards <= 65536,
+      s"numShards $numShards outside (0, 65536]")
+    conv(hashDraw(id, seed), 16, 10).cast("long") % numShards
+  }
+
   /** Deterministic k-per-group sample — "give me k examples from every
     * language / domain / quality bucket", the inspection-and-eval
     * sampling step of corpus work. Each row draws a 48-bit content-hash
@@ -138,18 +152,6 @@ object SampleFunctions {
     * it encodes, so an oracle replays the ordering from the same md5
     * hex. Ties (a 48-bit collision) break to the lower id on both
     * sides. Output: group columns + `sample_id`. */
-  /** Deterministic shard id in [0, numShards): 16-bit md5 draw mod the
-    * shard count. Stable under repartition/retry/engine (the same
-    * hex→int mod is one CAST in DuckDB), uniform in expectation — the
-    * assignment step of a training-data export, where a shard must be
-    * reconstructible from the id alone (no global shuffle, no counter). */
-  def shardAssign(id: Column, numShards: Int, seed: String): Column = {
-    require(numShards > 0 && numShards <= 65536,
-      s"numShards $numShards outside (0, 65536]")
-    conv(substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 4),
-      16, 10).cast("long") % numShards
-  }
-
   def samplePerGroup(df: DataFrame, groupCols: Seq[String], id: Column,
       k: Int, seed: String): DataFrame = {
     require(k > 0, s"sample size k=$k must be positive")
