@@ -104,10 +104,14 @@ object Bench {
       var err: Option[String] = None
       var fp: Option[String] = None
       val times = (1 to passes).flatMap { _ =>
-        // Outside the timed region: release localCheckpoint blocks left by
-        // the previous pass — the ContextCleaner frees them only once the
-        // RDDs are garbage-collected, and letting them pile up inflates
-        // later passes (memory pressure, GC pauses inside timed work).
+        // Outside the timed region: release cache blocks left by the
+        // previous pass/query — persisted intermediates from the query
+        // builders (dd3/dd8/mm5/…) and localCheckpoint RDDs (the
+        // ContextCleaner frees those only once garbage-collected).
+        // Letting them pile up inflates later passes (memory pressure,
+        // GC pauses inside timed work), and every pass should start from
+        // a cold cache anyway.
+        spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
         try {

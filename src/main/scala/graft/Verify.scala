@@ -39,11 +39,24 @@ object Verify {
         // driver's pandas compare then sees tz-aware vs naive. Cast to
         // TIMESTAMP_NTZ: identical wall-clock under the pinned-UTC
         // session, naive on disk, matching the oracle byte-for-byte.
+        // The rewrite recurses through structs/arrays/maps so a query
+        // echoing timestamps nested inside containers gets the same
+        // treatment as a top-level column.
+        import org.apache.spark.sql.types._
+        def ntz(dt: DataType): DataType = dt match {
+          case TimestampType => TimestampNTZType
+          case s: StructType =>
+            StructType(s.fields.map(f => f.copy(dataType = ntz(f.dataType))))
+          case a: ArrayType  => a.copy(elementType = ntz(a.elementType))
+          case m: MapType    =>
+            m.copy(keyType = ntz(m.keyType), valueType = ntz(m.valueType))
+          case other         => other
+        }
         val naive = df.select(df.schema.fields.map { f =>
-          if (f.dataType == org.apache.spark.sql.types.TimestampType)
-            org.apache.spark.sql.functions.col(f.name)
-              .cast("timestamp_ntz").as(f.name)
+          val target = ntz(f.dataType)
+          if (target == f.dataType) org.apache.spark.sql.functions.col(f.name)
           else org.apache.spark.sql.functions.col(f.name)
+            .cast(target).as(f.name)
         }.toIndexedSeq: _*)
         naive.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -51,6 +64,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally
+        // Release intermediates persisted inside the query builders
+        // (dd3/dd8/mm5/…): left cached, a 100-query sweep accumulates
+        // every query's cache blocks in one session.
+        spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -59,7 +59,13 @@ object SearchFunctions {
     * doc) — truncation consistent cross-engine because every operand is
     * positive. Same scale shape as [[keywordTopK]]: non-query words die
     * map-side, per-term dims broadcast, ranking is the bounded top-k
-    * aggregate. Output: (qidCol, rank, idCol, score). */
+    * aggregate. One bound on the bit-for-bit claim: the final top-k
+    * routes the long score through a double-keyed aggregate, so scores
+    * above 2^53 could collapse adjacent values and mis-rank ties. With
+    * idf ≤ ~64·1024 and per-term weights ~tf·idf·2200 that needs a
+    * single document repeating one query term ~10^10 times — unreachable
+    * for real text, but the pinning guarantee formally holds only for
+    * scores < 2^53. Output: (qidCol, rank, idCol, score). */
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qTextCol: String,
       k: Int): DataFrame = {

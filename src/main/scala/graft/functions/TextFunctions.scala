@@ -238,8 +238,10 @@ object TextFunctions {
     * of main-content extraction (the jusText/trafilatura family's first
     * pass). Block patterns are RE2-safe ([\s\S]*? lazy spans, no
     * lookaround), so the DuckDB oracle replays them verbatim. Nested
-    * same-tag blocks are out of scope (regex, not a parser) — the
-    * documented limitation of the regex tier. */
+    * same-tag blocks are out of scope (regex, not a parser), and so is a
+    * closing tag inside a string literal — a `"</script>"` payload in JS
+    * ends the lazy match early, leaving the rest of the block in the
+    * output. Both are documented limitations of the regex tier. */
   val HtmlBoilerplateTags: Seq[String] =
     Seq("head", "script", "style", "nav", "header", "footer", "aside")
 

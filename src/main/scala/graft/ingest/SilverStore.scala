@@ -336,14 +336,20 @@ final class SilverStore(spark: SparkSession, dir: String) {
       // discovery below must see the same gating (the reference creates
       // owner/chef/admin accounts only after the pot lookup succeeds).
       //
-      // MATERIALIZED EAGERLY (localCheckpoint) before any merge task runs:
+      // MATERIALIZED EAGERLY (persist + count) before any merge task runs:
       // the semi-join scans the pots/pot_factories tables, and the merge
       // pool below atomically SWAPS those same directories — a lazy plan
       // holding the pre-swap file listing would hit FileNotFoundException
       // when a sibling task (accounts, phase-2 patches) executes it after
-      // the swap. Config updates are event-sized, so the checkpoint is a
-      // small driver-triggered job, and gating on the event probe means a
-      // batch with no config traffic never scans the dimension at all.
+      // the swap. persist(MEMORY_AND_DISK) rather than localCheckpoint:
+      // lineage stays intact, so a lost executor recomputes the block
+      // instead of killing the batch (the recompute re-reads the pre-swap
+      // listing, so it is only fault-tolerant until the owning merge
+      // lands — but config updates are event-sized, so MEMORY_AND_DISK
+      // loss is both unlikely and cheap, and the old localCheckpoint
+      // deterministically died on ANY executor loss). Gating on the event
+      // probe means a batch with no config traffic never scans the
+      // dimension at all. Both frames are unpersisted in the finally.
       val potDeployRows = potDeploys(acts)
       val potCfg = {
         val upd = potConfigUpdates(evts)
@@ -352,7 +358,10 @@ final class SilverStore(spark: SparkSession, dir: String) {
           val known = potDeployRows.select("account").unionByName(
             if (exists("pots")) table("pots").select("account")
             else spark.emptyDataFrame.select(lit("").as("account")).limit(0))
-          upd.join(known, Seq("account"), "left_semi").localCheckpoint(true)
+          val cfg = upd.join(known, Seq("account"), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cfg.count() // eager: materialize before any directory swap
+          cfg
         }
       }
       val factoryDeployRows = potFactories(acts)
@@ -363,7 +372,10 @@ final class SilverStore(spark: SparkSession, dir: String) {
           val known = factoryDeployRows.select("account").unionByName(
             if (exists("pot_factories")) table("pot_factories").select("account")
             else spark.emptyDataFrame.select(lit("").as("account")).limit(0))
-          upd.join(known, Seq("account"), "left_semi").localCheckpoint(true)
+          val cfg = upd.join(known, Seq("account"), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cfg.count() // eager: materialize before any directory swap
+          cfg
         }
       }
       // Accounts: discovery rows (id only) + social-profile updates merge
@@ -543,6 +555,7 @@ final class SilverStore(spark: SparkSession, dir: String) {
           .foreach(counts("pot_factories") = _)
       }
 
+      potCfg.unpersist(); factoryCfg.unpersist(); dons.unpersist()
       counts.toMap
     } finally {
       receipts.unpersist(); acts.unpersist(); evts.unpersist()
