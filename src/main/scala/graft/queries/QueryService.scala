@@ -356,17 +356,50 @@ final class QueryService(t0: String => DataFrame) {
         Right(paginate(f, Seq(col("submitted_at").desc, col("pot").asc), page, pageSize))
     }
 
+  /** Keyset form of [[accountPotApplications]]
+    * (?after=<submitted_at,pot>). */
+  def accountPotApplicationsKeyset(id: String, status: Option[String],
+      after: Option[(java.sql.Timestamp, String)],
+      pageSize: Int = DefaultPageSize): Either[String, DataFrame] =
+    status.filterNot(Schemas.applicationStatuses.contains) match {
+      case Some(bad) => Left(s"Invalid status: $bad")
+      case None =>
+        val base = t("pot_applications").filter(col("applicant") === id)
+        val f = status.map(s => base.filter(col("status") === s)).getOrElse(base)
+        Right(Relational.keysetSlice(f,
+          Seq((col("submitted_at"), false), (col("pot"), true)),
+          after.map { case (ts, p) => Seq(ts, p) }, pageSize))
+    }
+
   /** GET /v1/accounts/{id}/donations_received (accounts/api.py:275-313). */
   def accountDonationsReceived(id: String, page: Int = 1,
       pageSize: Int = DefaultPageSize): Page =
     paginate(donationExpanded.filter(col("recipient.id") === id),
       Seq(col("donated_at").desc, col("on_chain_id").asc), page, pageSize)
 
+  /** Keyset form of [[accountDonationsReceived]]
+    * (?after=<donated_at,on_chain_id>). */
+  def accountDonationsReceivedKeyset(id: String,
+      after: Option[(java.sql.Timestamp, Long)],
+      pageSize: Int = DefaultPageSize): DataFrame =
+    Relational.keysetSlice(donationExpanded.filter(col("recipient.id") === id),
+      Seq((col("donated_at"), false), (col("on_chain_id"), true)),
+      after.map { case (ts, oid) => Seq(ts, oid) }, pageSize)
+
   /** GET /v1/accounts/{id}/donations_sent (accounts/api.py:316-354). */
   def accountDonationsSent(id: String, page: Int = 1,
       pageSize: Int = DefaultPageSize): Page =
     paginate(donationExpanded.filter(col("donor.id") === id),
       Seq(col("donated_at").desc, col("on_chain_id").asc), page, pageSize)
+
+  /** Keyset form of [[accountDonationsSent]]
+    * (?after=<donated_at,on_chain_id>). */
+  def accountDonationsSentKeyset(id: String,
+      after: Option[(java.sql.Timestamp, Long)],
+      pageSize: Int = DefaultPageSize): DataFrame =
+    Relational.keysetSlice(donationExpanded.filter(col("donor.id") === id),
+      Seq((col("donated_at"), false), (col("on_chain_id"), true)),
+      after.map { case (ts, oid) => Seq(ts, oid) }, pageSize)
 
   /** GET /v1/accounts/{id}/payouts_received (accounts/api.py:357-395):
     * P4 null predicate on paid_at. */
@@ -375,6 +408,15 @@ final class QueryService(t0: String => DataFrame) {
     paginate(
       t("pot_payouts").filter(col("recipient") === id && col("paid_at").isNotNull),
       Seq(col("paid_at").desc, col("pot").asc), page, pageSize)
+
+  /** Keyset form of [[accountPayoutsReceived]] (?after=<paid_at,pot>). */
+  def accountPayoutsReceivedKeyset(id: String,
+      after: Option[(java.sql.Timestamp, String)],
+      pageSize: Int = DefaultPageSize): DataFrame =
+    Relational.keysetSlice(
+      t("pot_payouts").filter(col("recipient") === id && col("paid_at").isNotNull),
+      Seq((col("paid_at"), false), (col("pot"), true)),
+      after.map { case (ts, p) => Seq(ts, p) }, pageSize)
 
   /** GET /v1/accounts/{id}/list-registrations [?status]
     * (accounts/api.py:398-443). */
@@ -387,6 +429,21 @@ final class QueryService(t0: String => DataFrame) {
         val f = status.map(s => base.filter(col("status") === s)).getOrElse(base)
         Right(paginate(f, Seq(col("submitted_at").desc, col("on_chain_id").asc),
           page, pageSize))
+    }
+
+  /** Keyset form of [[accountListRegistrations]]
+    * (?after=<submitted_at,on_chain_id>). */
+  def accountListRegistrationsKeyset(id: String, status: Option[String],
+      after: Option[(java.sql.Timestamp, Long)],
+      pageSize: Int = DefaultPageSize): Either[String, DataFrame] =
+    status.filterNot(Schemas.registrationStatuses.contains) match {
+      case Some(bad) => Left(s"Invalid status: $bad")
+      case None =>
+        val base = t("list_registrations").filter(col("registrant") === id)
+        val f = status.map(s => base.filter(col("status") === s)).getOrElse(base)
+        Right(Relational.keysetSlice(f,
+          Seq((col("submitted_at"), false), (col("on_chain_id"), true)),
+          after.map { case (ts, oid) => Seq(ts, oid) }, pageSize))
     }
 
   /** GET /v1/donors [?sort=most_donated_usd] (accounts/api.py:50-92):
@@ -412,6 +469,12 @@ final class QueryService(t0: String => DataFrame) {
   def listsList(page: Int = 1, pageSize: Int = DefaultPageSize): Page =
     paginate(t("lists"), Seq(col("on_chain_id").asc), page, pageSize)
 
+  /** Keyset form of [[listsList]] (?after=<last on_chain_id>). */
+  def listsListKeyset(after: Option[Long],
+      pageSize: Int = DefaultPageSize): DataFrame =
+    Relational.keysetSlice(t("lists"), Seq((col("on_chain_id"), true)),
+      after.map(Seq(_)), pageSize)
+
   /** GET /v1/lists/{id} (lists/api.py:64-98). */
   def listDetail(id: Long): DataFrame =
     t("lists").filter(col("on_chain_id") === id)
@@ -422,6 +485,27 @@ final class QueryService(t0: String => DataFrame) {
   def listRegistrations(listId: Long, status: Option[String],
       category: Option[String], page: Int = 1,
       pageSize: Int = DefaultPageSize): Either[String, Page] =
+    listRegistrationsFiltered(listId, status, category).map(cat =>
+      paginate(cat, Seq(col("submitted_at").desc, col("on_chain_id").asc),
+        page, pageSize))
+
+  /** Keyset form of [[listRegistrations]] (?after=<submitted_at,on_chain_id
+    * of the previous page's last row>) — same rows, same order, but the
+    * continuation is a pushed-down predicate + TakeOrderedAndProject
+    * instead of the offset scan. */
+  def listRegistrationsKeyset(listId: Long, status: Option[String],
+      category: Option[String], after: Option[(java.sql.Timestamp, Long)],
+      pageSize: Int = DefaultPageSize): Either[String, DataFrame] =
+    listRegistrationsFiltered(listId, status, category).map(cat =>
+      Relational.keysetSlice(cat,
+        Seq((col("submitted_at"), false), (col("on_chain_id"), true)),
+        after.map { case (ts, id) => Seq(ts, id) }, pageSize))
+
+  /** Shared filter chain of the two listRegistrations forms: enum
+    * validation, list scoping, status filter, category iregex over the
+    * registrant's social profile. */
+  private def listRegistrationsFiltered(listId: Long, status: Option[String],
+      category: Option[String]): Either[String, DataFrame] =
     status.filterNot(Schemas.registrationStatuses.contains) match {
       case Some(bad) => Left(s"Invalid status: $bad")
       case None =>
@@ -441,8 +525,7 @@ final class QueryService(t0: String => DataFrame) {
               .drop("__rid", "near_social_profile_data")
           case None => st
         }
-        Right(paginate(cat, Seq(col("submitted_at").desc, col("on_chain_id").asc),
-          page, pageSize))
+        Right(cat)
     }
 
   /** GET /v1/lists/{id}/random_registration [?status]
@@ -463,9 +546,21 @@ final class QueryService(t0: String => DataFrame) {
   def potsList(page: Int = 1, pageSize: Int = DefaultPageSize): Page =
     paginate(potDim, Seq(col("account").asc), page, pageSize)
 
+  /** Keyset form of [[potsList]] (?after=<last account id>). */
+  def potsListKeyset(after: Option[String],
+      pageSize: Int = DefaultPageSize): DataFrame =
+    Relational.keysetSlice(potDim, Seq((col("account"), true)),
+      after.map(Seq(_)), pageSize)
+
   /** GET /v1/potfactories (pots/api.py:78-105). */
   def potFactoriesList(page: Int = 1, pageSize: Int = DefaultPageSize): Page =
     paginate(t("pot_factories"), Seq(col("account").asc), page, pageSize)
+
+  /** Keyset form of [[potFactoriesList]] (?after=<last account id>). */
+  def potFactoriesListKeyset(after: Option[String],
+      pageSize: Int = DefaultPageSize): DataFrame =
+    Relational.keysetSlice(t("pot_factories"), Seq((col("account"), true)),
+      after.map(Seq(_)), pageSize)
 
   /** GET /v1/pots/{id} (pots/api.py:108-139). */
   def potDetail(id: String): DataFrame =
@@ -477,11 +572,28 @@ final class QueryService(t0: String => DataFrame) {
     paginate(t("pot_applications").filter(col("pot") === potId),
       Seq(col("submitted_at").desc, col("applicant").asc), page, pageSize)
 
+  /** Keyset form of [[potApplications]]
+    * (?after=<submitted_at,applicant>). */
+  def potApplicationsKeyset(potId: String,
+      after: Option[(java.sql.Timestamp, String)],
+      pageSize: Int = DefaultPageSize): DataFrame =
+    Relational.keysetSlice(t("pot_applications").filter(col("pot") === potId),
+      Seq((col("submitted_at"), false), (col("applicant"), true)),
+      after.map { case (ts, a) => Seq(ts, a) }, pageSize)
+
   /** GET /v1/pots/{id}/donations (pots/api.py:180-215). */
   def potDonations(potId: String, page: Int = 1,
       pageSize: Int = DefaultPageSize): Page =
     paginate(donationExpanded.filter(col("pot.account") === potId),
       Seq(col("donated_at").desc, col("on_chain_id").asc), page, pageSize)
+
+  /** Keyset form of [[potDonations]] (?after=<donated_at,on_chain_id>). */
+  def potDonationsKeyset(potId: String,
+      after: Option[(java.sql.Timestamp, Long)],
+      pageSize: Int = DefaultPageSize): DataFrame =
+    Relational.keysetSlice(donationExpanded.filter(col("pot.account") === potId),
+      Seq((col("donated_at"), false), (col("on_chain_id"), true)),
+      after.map { case (ts, id) => Seq(ts, id) }, pageSize)
 
   /** GET /v1/pots/{id}/sponsors (pots/api.py:218-258): J4 distinct
     * matching-pool donors → accounts. */
@@ -496,11 +608,34 @@ final class QueryService(t0: String => DataFrame) {
       Seq(col("id").asc), page, pageSize)
   }
 
+  /** Keyset form of [[potSponsors]] (?after=<last account id>). */
+  def potSponsorsKeyset(potId: String, after: Option[String],
+      pageSize: Int = DefaultPageSize): DataFrame = {
+    val sponsorIds = donations
+      .filter(col("pot") === potId && col("matching_pool"))
+      .select(col("donor")).distinct()
+    val a = accounts
+    Relational.keysetSlice(
+      Relational.semiJoin(a, sponsorIds, a("id") === sponsorIds("donor")),
+      Seq((col("id"), true)), after.map(Seq(_)), pageSize)
+  }
+
   /** GET /v1/pots/{id}/payouts (pots/api.py:261-296). */
   def potPayouts(potId: String, page: Int = 1,
       pageSize: Int = DefaultPageSize): Page =
     paginate(t("pot_payouts").filter(col("pot") === potId),
       Seq(col("paid_at").desc_nulls_last, col("recipient").asc), page, pageSize)
+
+  /** Keyset form of [[potPayouts]] (?after=<paid_at,recipient>; a null
+    * paid_at in `after` continues correctly through keysetSlice's
+    * null-aware lexicographic predicate — unpaid payouts sort last on
+    * the descending key). */
+  def potPayoutsKeyset(potId: String,
+      after: Option[(java.sql.Timestamp, String)],
+      pageSize: Int = DefaultPageSize): DataFrame =
+    Relational.keysetSlice(t("pot_payouts").filter(col("pot") === potId),
+      Seq((col("paid_at"), false), (col("recipient"), true)),
+      after.map { case (ts, r) => Seq(ts, r) }, pageSize)
 
   // ---------------------------------------------------- misc routes
 

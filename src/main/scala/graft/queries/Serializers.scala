@@ -110,6 +110,77 @@ object Serializers {
       Map("ignoreNullFields" -> "false")))
   }
 
+  /** One field of a flat entity frame rendered under DRF rules: struct
+    * embeds and arrays-of-structs recurse through [[drfStruct]], decimals
+    * become two-decimal strings, timestamps become ISO-8601; everything
+    * else passes through. */
+  private def drfField(df: DataFrame)(name: String): Column =
+    df.schema(name).dataType match {
+      case st: StructType => drfStruct(col(name), st).as(name)
+      case ArrayType(st: StructType, _) =>
+        when(col(name).isNotNull, transform(col(name), x => drfStruct(x, st)))
+          .as(name)
+      case _: DecimalType => usdString(col(name)).as(name)
+      case TimestampType | TimestampNTZType => isoTs(col(name)).as(name)
+      case _ => col(name)
+    }
+
+  /** Entity row → DRF-shaped JSON object string with an explicit field
+    * order (a serializer's Meta.fields) — the generic engine behind the
+    * per-entity serializers below. Explicit nulls, string decimals, ISO
+    * timestamps, recursive embeds. */
+  def entityJson(df: DataFrame, fields: Seq[String]): DataFrame =
+    df.withColumn("json", to_json(struct(fields.map(drfField(df)): _*),
+      Map("ignoreNullFields" -> "false")))
+
+  /** PotSerializer Meta.fields (pots/serializers.py:15-53) minus the DB
+    * surrogate `id` the engine never materializes — `account` is the
+    * chain identity. DRF renders in declaration order; the hand-written
+    * SIMPLE_POT_EXAMPLE reorders the embeds to the tail, but the API's
+    * actual responses follow Meta.fields. */
+  val potFields: Seq[String] = Seq(
+    "account", "pot_factory", "deployer", "deployed_at", "source_metadata",
+    "owner", "admins", "chef", "name", "description",
+    "max_approved_applicants", "base_currency", "application_start",
+    "application_end", "matching_round_start", "matching_round_end",
+    "registry_provider", "min_matching_pool_donation_amount",
+    "sybil_wrapper_provider", "custom_sybil_checks",
+    "custom_min_threshold_score", "referral_fee_matching_pool_basis_points",
+    "referral_fee_public_round_basis_points", "chef_fee_basis_points",
+    "total_matching_pool", "total_matching_pool_usd",
+    "matching_pool_balance", "matching_pool_donations_count",
+    "total_public_donations", "total_public_donations_usd",
+    "public_donations_count", "cooldown_end", "cooldown_period_ms",
+    "all_paid_out", "protocol_config_provider")
+
+  /** Pot row → PotSerializer-shaped JSON (pots/serializers.py:11-58). */
+  def potJson(df: DataFrame): DataFrame = entityJson(df, potFields)
+
+  /** ListRegistrationSerializer Meta.fields (lists/serializers.py:36-55)
+    * with on_chain_id standing in for the DB surrogate `id` (same
+    * deviation as donationJson). */
+  val listRegistrationFields: Seq[String] = Seq(
+    "on_chain_id", "list", "registrant", "registered_by", "status",
+    "submitted_at", "updated_at", "registrant_notes", "admin_notes",
+    "tx_hash")
+
+  /** List-registration row → ListRegistrationSerializer-shaped JSON; the
+    * `list` embed recurses through ListSerializer's shape
+    * (lists/serializers.py:9-27). */
+  def listRegistrationJson(df: DataFrame): DataFrame =
+    entityJson(df, listRegistrationFields)
+
+  /** PotPayoutSerializer Meta.fields (pots/serializers.py:100-117) minus
+    * the DB surrogate `id`; pot/recipient/token embed as full objects
+    * (the serializer declares AccountSerializer for recipient even
+    * though the hand-written example shows a bare string). */
+  val potPayoutFields: Seq[String] = Seq(
+    "pot", "recipient", "amount", "amount_paid_usd", "token", "paid_at",
+    "tx_hash")
+
+  /** Payout row → PotPayoutSerializer-shaped JSON. */
+  def potPayoutJson(df: DataFrame): DataFrame = entityJson(df, potPayoutFields)
+
   /** Pagination envelope as a single JSON document (README.md:110-119
     * {count, next, previous, results}). */
   def envelopeJson(count: Long, next: Option[String], previous: Option[String],

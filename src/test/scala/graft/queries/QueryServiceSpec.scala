@@ -293,6 +293,180 @@ class QueryServiceSpec extends SparkSpec {
     assert(json == golden)
   }
 
+  test("golden byte-parity: pot, list registration and payout JSON match the reference serializers") {
+    // SIMPLE_POT_EXAMPLE (pots/serializers.py:124-166),
+    // SIMPLE_LIST_REGISTRATION_EXAMPLE (lists/serializers.py:86-97) and
+    // SIMPLE_PAYOUT_EXAMPLE (pots/serializers.py:239-248) rebuilt as
+    // typed rows and asserted BYTE-EQUAL through the entity serializers.
+    // Same documented deviations as the donation golden: DB surrogate
+    // `id` omitted (chain identity instead), 6-digit micros, and field
+    // order follows the serializer's Meta.fields declaration (DRF's
+    // actual render order), not the hand-reordered Swagger examples.
+    val account = expr(
+      """named_struct(
+        |'id', 'user.near',
+        |'total_donations_in_usd', CAST(740.00 AS DECIMAL(20,2)),
+        |'total_donations_out_usd', CAST(1234.56 AS DECIMAL(20,2)),
+        |'total_matching_pool_allocations_usd', CAST(800.01 AS DECIMAL(20,2)),
+        |'donors_count', CAST(321 AS BIGINT),
+        |'near_social_profile_data', CAST(NULL AS STRING))""".stripMargin)
+    val acctJson = """{"id":"user.near","total_donations_in_usd":"740.00",""" +
+      """"total_donations_out_usd":"1234.56",""" +
+      """"total_matching_pool_allocations_usd":"800.01","donors_count":321,""" +
+      """"near_social_profile_data":null}"""
+
+    val potStruct = expr(
+      """named_struct(
+        |'account', 'some-pot.v1.potfactory.potlock.near',
+        |'pot_factory', 'v1.potfactory.potlock.near',
+        |'deployer', CAST(NULL AS STRING),
+        |'deployed_at', TIMESTAMP '2024-02-16 17:45:03.600845',
+        |'source_metadata', named_struct(
+        |  'link', 'https://github.com/PotLock/core',
+        |  'version', '0.1.0',
+        |  'commit_hash', '2db43b1182eb97d34e1b67f21b44c7084b364358'),
+        |'owner', CAST(NULL AS STRING),
+        |'admins', CAST(NULL AS STRING),
+        |'chef', CAST(NULL AS STRING),
+        |'name', 'My Pot Name',
+        |'description', 'To support impactful open source software projects.',
+        |'max_approved_applicants', 50,
+        |'base_currency', 'near',
+        |'application_start', TIMESTAMP '2024-04-08 04:00:00',
+        |'application_end', TIMESTAMP '2024-04-22 03:59:00',
+        |'matching_round_start', TIMESTAMP '2024-04-22 04:00:00',
+        |'matching_round_end', TIMESTAMP '2024-05-06 03:59:00',
+        |'registry_provider', 'registry.potlock.near:is_registered',
+        |'min_matching_pool_donation_amount', '0',
+        |'sybil_wrapper_provider', 'v1.nadabot.near:is_human',
+        |'custom_sybil_checks', CAST(NULL AS STRING),
+        |'custom_min_threshold_score', CAST(NULL AS INT),
+        |'referral_fee_matching_pool_basis_points', 500,
+        |'referral_fee_public_round_basis_points', 500,
+        |'chef_fee_basis_points', 500,
+        |'total_matching_pool', '10000000000000000000',
+        |'total_matching_pool_usd', CAST(100.17 AS DECIMAL(20,2)),
+        |'matching_pool_balance', '10000000000000000000',
+        |'matching_pool_donations_count', CAST(0 AS BIGINT),
+        |'total_public_donations', '100000000000000000',
+        |'total_public_donations_usd', CAST(1.17 AS DECIMAL(20,2)),
+        |'public_donations_count', CAST(0 AS BIGINT),
+        |'cooldown_end', CAST(NULL AS TIMESTAMP),
+        |'cooldown_period_ms', CAST(NULL AS BIGINT),
+        |'all_paid_out', false,
+        |'protocol_config_provider',
+        |  'v1.potfactory.potlock.near:get_protocol_config')""".stripMargin)
+      .withField("deployer", account)
+      .withField("owner", account)
+      .withField("admins", array(account))
+      .withField("chef", account)
+    val potGolden =
+      """{"account":"some-pot.v1.potfactory.potlock.near",""" +
+        """"pot_factory":"v1.potfactory.potlock.near",""" +
+        s""""deployer":$acctJson,""" +
+        """"deployed_at":"2024-02-16T17:45:03.600845Z",""" +
+        """"source_metadata":{"link":"https://github.com/PotLock/core",""" +
+        """"version":"0.1.0",""" +
+        """"commit_hash":"2db43b1182eb97d34e1b67f21b44c7084b364358"},""" +
+        s""""owner":$acctJson,"admins":[$acctJson],"chef":$acctJson,""" +
+        """"name":"My Pot Name",""" +
+        """"description":"To support impactful open source software projects.",""" +
+        """"max_approved_applicants":50,"base_currency":"near",""" +
+        """"application_start":"2024-04-08T04:00:00.000000Z",""" +
+        """"application_end":"2024-04-22T03:59:00.000000Z",""" +
+        """"matching_round_start":"2024-04-22T04:00:00.000000Z",""" +
+        """"matching_round_end":"2024-05-06T03:59:00.000000Z",""" +
+        """"registry_provider":"registry.potlock.near:is_registered",""" +
+        """"min_matching_pool_donation_amount":"0",""" +
+        """"sybil_wrapper_provider":"v1.nadabot.near:is_human",""" +
+        """"custom_sybil_checks":null,"custom_min_threshold_score":null,""" +
+        """"referral_fee_matching_pool_basis_points":500,""" +
+        """"referral_fee_public_round_basis_points":500,""" +
+        """"chef_fee_basis_points":500,""" +
+        """"total_matching_pool":"10000000000000000000",""" +
+        """"total_matching_pool_usd":"100.17",""" +
+        """"matching_pool_balance":"10000000000000000000",""" +
+        """"matching_pool_donations_count":0,""" +
+        """"total_public_donations":"100000000000000000",""" +
+        """"total_public_donations_usd":"1.17","public_donations_count":0,""" +
+        """"cooldown_end":null,"cooldown_period_ms":null,""" +
+        """"all_paid_out":false,""" +
+        """"protocol_config_provider":"v1.potfactory.potlock.near:get_protocol_config"}"""
+
+    // pot: flatten the struct to columns, serialize, byte-compare
+    val potDf = Seq(1).toDF("x").withColumn("p", potStruct).select("p.*")
+    assert(Serializers.potJson(potDf).head().getAs[String]("json") == potGolden)
+
+    // list registration: the `list` embed recurses ListSerializer's shape
+    val listStruct = expr(
+      """named_struct(
+        |'on_chain_id', CAST(1 AS BIGINT),
+        |'owner', CAST(NULL AS STRING),
+        |'admins', CAST(NULL AS STRING),
+        |'name', 'Potlock Public Goods Registry',
+        |'description', 'The official NEAR Protocol Public Goods Registry',
+        |'cover_image_url', CAST(NULL AS STRING),
+        |'admin_only_registrations', false,
+        |'default_registration_status', 'Approved',
+        |'created_at', TIMESTAMP '2024-03-27 15:24:46.104',
+        |'updated_at', TIMESTAMP '2024-04-30 19:00:51.002')""".stripMargin)
+      .withField("owner", account)
+      .withField("admins", array(account))
+    val listGolden =
+      s"""{"on_chain_id":1,"owner":$acctJson,"admins":[$acctJson],""" +
+        """"name":"Potlock Public Goods Registry",""" +
+        """"description":"The official NEAR Protocol Public Goods Registry",""" +
+        """"cover_image_url":null,"admin_only_registrations":false,""" +
+        """"default_registration_status":"Approved",""" +
+        """"created_at":"2024-03-27T15:24:46.104000Z",""" +
+        """"updated_at":"2024-04-30T19:00:51.002000Z"}"""
+    val regDf = Seq(1).toDF("x")
+      .withColumn("on_chain_id", lit(10L))
+      .withColumn("list", listStruct)
+      .withColumn("registrant", account)
+      .withColumn("registered_by", account)
+      .withColumn("status", lit("Approved"))
+      .withColumn("submitted_at",
+        lit(java.sql.Timestamp.valueOf("2024-06-05 18:01:02.319")))
+      .withColumn("updated_at",
+        lit(java.sql.Timestamp.valueOf("2024-06-05 18:01:02.319")))
+      .withColumn("registrant_notes", lit("I'm excited to apply for this list"))
+      .withColumn("admin_notes",
+        lit("This is a great project that I want on my list."))
+      .withColumn("tx_hash", lit("EVMQsXorrrxPLHfK9UnbzFUy1SVYWvc8hwSGQZs4RbTk"))
+    val regGolden =
+      s"""{"on_chain_id":10,"list":$listGolden,"registrant":$acctJson,""" +
+        s""""registered_by":$acctJson,"status":"Approved",""" +
+        """"submitted_at":"2024-06-05T18:01:02.319000Z",""" +
+        """"updated_at":"2024-06-05T18:01:02.319000Z",""" +
+        """"registrant_notes":"I'm excited to apply for this list",""" +
+        """"admin_notes":"This is a great project that I want on my list.",""" +
+        """"tx_hash":"EVMQsXorrrxPLHfK9UnbzFUy1SVYWvc8hwSGQZs4RbTk"}"""
+    assert(Serializers.listRegistrationJson(regDf).head().getAs[String]("json")
+      == regGolden)
+
+    // payout: full PotSerializer embed + AccountSerializer recipient
+    // (the serializer's declared shape; the Swagger example hand-writes
+    // a bare recipient string)
+    val payoutDf = Seq(1).toDF("x")
+      .withColumn("pot", potStruct)
+      .withColumn("recipient", account)
+      .withColumn("amount", lit("1000000000000000000000000"))
+      .withColumn("amount_paid_usd", lit(1.27).cast("decimal(20,2)"))
+      .withColumn("token", expr("named_struct('id', 'near', 'decimals', 24)"))
+      .withColumn("paid_at",
+        lit(java.sql.Timestamp.valueOf("2024-06-05 18:12:39.014")))
+      .withColumn("tx_hash", lit("EVMQsXorrrxPLHfK9UnbzFUy1SVYWvc8hwSGQZs4RbTk"))
+    val payoutGolden =
+      s"""{"pot":$potGolden,"recipient":$acctJson,""" +
+        """"amount":"1000000000000000000000000","amount_paid_usd":"1.27",""" +
+        """"token":{"id":"near","decimals":24},""" +
+        """"paid_at":"2024-06-05T18:12:39.014000Z",""" +
+        """"tx_hash":"EVMQsXorrrxPLHfK9UnbzFUy1SVYWvc8hwSGQZs4RbTk"}"""
+    assert(Serializers.potPayoutJson(payoutDf).head().getAs[String]("json")
+      == payoutGolden)
+  }
+
   test("keyset pagination: page-number parity, no global window (O3 scale path)") {
     // Walk all three keyset pages and compare against the page-number form.
     val k1 = qs.accountsListKeyset(None, 2).select("id").collect().map(_.getString(0))
@@ -314,6 +488,107 @@ class QueryServiceSpec extends SparkSpec {
     val f2 = qs.donationsFeedKeyset(Some(last), 2)
       .select("on_chain_id").collect().map(_.getLong(0))
     assert(f1.map(_.getLong(1)).toSeq == Seq(1L, 2L) && f2.toSeq == Seq(3L))
+  }
+
+  test("keyset variants on every paginated route: offset parity + plan shape") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-06-10 00:00:00")
+
+    // lists: single page
+    assert(qs.listsListKeyset(None, 10).select("on_chain_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(qs.listsListKeyset(Some(5L), 10).count() == 0)
+
+    // list registrations: walk size-2 keyset pages, compare to offset form
+    val r1 = qs.listRegistrationsKeyset(5L, None, None, None, 2)
+      .toOption.get.select("submitted_at", "on_chain_id").collect()
+    val rAfter = (r1.last.getTimestamp(0), r1.last.getLong(1))
+    val r2 = qs.listRegistrationsKeyset(5L, None, None, Some(rAfter), 2)
+      .toOption.get.select("on_chain_id").collect().map(_.getLong(0))
+    val rPaged = (1 to 2).flatMap(p =>
+      qs.listRegistrations(5L, None, None, p, 2).toOption.get.results
+        .select("on_chain_id").collect().map(_.getLong(0)))
+    assert((r1.map(_.getLong(1)) ++ r2).toSeq == rPaged)
+    assert(qs.listRegistrationsKeyset(5L, Some("Bogus"), None, None).isLeft)
+
+    // pots / factories / sponsors: account-keyed ascending
+    assert(qs.potsListKeyset(None).select("account")
+      .collect().map(_.getString(0)).toSeq == Seq("pot1.pot.near"))
+    assert(qs.potsListKeyset(Some("pot1.pot.near")).count() == 0)
+    assert(qs.potFactoriesListKeyset(None).select("account")
+      .collect().map(_.getString(0)).toSeq == Seq("f1.near"))
+    assert(qs.potSponsorsKeyset("pot1.pot.near", None).select("id")
+      .collect().map(_.getString(0)).toSeq == Seq("donor1.near"))
+    assert(qs.potSponsorsKeyset("pot1.pot.near", Some("donor1.near")).count() == 0)
+
+    // pot applications: (submitted_at DESC, applicant ASC) continuation
+    val a1 = qs.potApplicationsKeyset("pot1.pot.near", None, 1)
+      .select("submitted_at", "applicant").collect()
+    assert(a1.map(_.getString(1)).toSeq == Seq("proj1.near"))
+    val a2 = qs.potApplicationsKeyset("pot1.pot.near",
+      Some((a1.last.getTimestamp(0), a1.last.getString(1))), 1)
+      .select("applicant").collect().map(_.getString(0))
+    assert(a2.toSeq == Seq("proj2.near"))
+
+    // pot donations: parity with the offset form, expanded shape intact
+    val d1 = qs.potDonationsKeyset("pot1.pot.near", None, 1)
+      .select("donated_at", "on_chain_id").collect()
+    val d2 = qs.potDonationsKeyset("pot1.pot.near",
+      Some((d1.last.getTimestamp(0), d1.last.getLong(1))), 1)
+      .select("on_chain_id").collect().map(_.getLong(0))
+    val dPaged = (1 to 2).flatMap(p =>
+      qs.potDonations("pot1.pot.near", p, 1).results
+        .select("on_chain_id").collect().map(_.getLong(0)))
+    assert((d1.map(_.getLong(1)) ++ d2).toSeq == dPaged)
+
+    // pot payouts: the NULL paid_at row must survive the descending
+    // continuation (sorts last; strict < alone would drop it)
+    val p1 = qs.potPayoutsKeyset("pot1.pot.near", None, 1)
+      .select("paid_at", "recipient").collect()
+    assert(p1.map(_.getString(1)).toSeq == Seq("proj1.near"))
+    val p2 = qs.potPayoutsKeyset("pot1.pot.near",
+      Some((p1.last.getTimestamp(0), p1.last.getString(1))), 1)
+      .select("recipient", "paid_at").collect()
+    assert(p2.map(_.getString(0)).toSeq == Seq("proj2.near"))
+    assert(p2.head.isNullAt(1))
+
+    // account-scoped keyset forms
+    assert(qs.accountPotApplicationsKeyset("proj1.near", None, None)
+      .toOption.get.select("pot").collect().map(_.getString(0)).toSeq ==
+      Seq("pot1.pot.near"))
+    assert(qs.accountPotApplicationsKeyset("x", Some("Nope"), None).isLeft)
+    val dr = qs.accountDonationsReceivedKeyset("proj1.near", None, 1)
+      .select("on_chain_id").collect().map(_.getLong(0))
+    val dr2 = qs.accountDonationsReceivedKeyset("proj1.near",
+      Some((ts0, dr.last)), 1).select("on_chain_id").collect().map(_.getLong(0))
+    assert(dr.toSeq == Seq(1L) && dr2.toSeq == Seq(3L))
+    assert(qs.accountDonationsSentKeyset("donor1.near", None, 10)
+      .select("on_chain_id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(qs.accountPayoutsReceivedKeyset("proj1.near", None)
+      .select("recipient").collect().map(_.getString(0)).toSeq ==
+      Seq("proj1.near"))
+    assert(qs.accountListRegistrationsKeyset("proj1.near", None, None)
+      .toOption.get.select("on_chain_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(11L))
+    assert(qs.accountListRegistrationsKeyset("proj1.near", Some("Bad"), None).isLeft)
+
+    // Plan shape on a continuation page: pushed-down predicate +
+    // TakeOrderedAndProject, never a global row_number window. The
+    // in-memory fixture can FOLD to a LocalTableScan at planning
+    // (Catalyst evaluates the whole query over a LocalRelation), so
+    // these checks run against parquet-backed copies — the production
+    // shape the assertion is actually about.
+    val pdir = tmpDir("keyset-plan")
+    Seq("pot_payouts", "list_registrations").foreach(n =>
+      tables(n).write.mode("overwrite").parquet(s"$pdir/$n"))
+    val qp = new QueryService(n => spark.read.parquet(s"$pdir/$n"))
+    Seq(
+      qp.potPayoutsKeyset("pot1.pot.near", Some((ts0, "a")), 2),
+      qp.listRegistrationsKeyset(5L, None, None, Some((ts0, 11L)), 2).toOption.get
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"))
+      assert(plan.contains("TakeOrderedAndProject"))
+    }
   }
 
   test("donation embeds full token + pot objects; pot embeds accounts (S8 parity)") {
