@@ -396,6 +396,27 @@ class TextDedupSpec extends SparkSpec {
         "6a756e6b" + "ffffff7f" +             // junk chunk, size 0x7FFFFFFF
         "64617461" + "90010000")
     assert(WavCodec.decode(maxIntChunk) == None)
+    // size exactly 2^31 (0x80000000): the sign bit of a 32-bit int — Int
+    // math would jump the index negative; the unsigned-Long walk must
+    // step past the declared body and terminate via the loop bound
+    val twoPow31Chunk = bytes(
+      "52494646" + "b4010000" + "57415645" +
+        "6a756e6b" + "00000080" +             // junk chunk, size 2^31
+        "64617461" + "90010000")
+    assert(WavCodec.decode(twoPow31Chunk) == None)
+    // a VALID fmt followed by a 2^31-sized data declaration: the walk
+    // must not hang; the declared size is accepted (header contract) and
+    // the sample count comes out of unsigned math
+    val hugeData = bytes(
+      "52494646" + "b4010000" + "57415645" + "666d7420" + "10000000" +
+        "0100" + "0200" + "44ac0000" + "10b10200" + "0400" + "1000" +
+        "64617461" + "00000080")              // data, size 2^31
+    assert(WavCodec.decode(hugeData) == Some((44100, 2, 16, 536870912L)))
+    // truncated RIFF shapes: cut inside the 12-byte preamble and cut
+    // inside a chunk header — None, never an index error
+    assert(WavCodec.decode(wav.take(11)) == None)
+    assert(WavCodec.decode(wav.take(30)) == None) // mid fmt chunk body
+    assert(WavCodec.decode(wav.take(38)) == None) // mid data-chunk header
   }
 
   test("header codec: real PNG/JPEG dimensions decoded, other bytes fall back to fake") {

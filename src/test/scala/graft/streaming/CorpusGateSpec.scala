@@ -281,6 +281,57 @@ class CorpusGateSpec extends SparkSpec {
     assert(kept == Set(1L, 5L, 10L))
   }
 
+  test("checkpoint-level crash replay: kill before commit, compact during restart, stream resumes without history loss or re-admitted dups") {
+    // The end-to-end version of the restart-window scenario, through the
+    // real Structured Streaming checkpoint machinery: batch 0 commits via
+    // the stream; batch 1's foreachBatch WRITES its partitions but the
+    // "process dies" before the checkpoint commit (simulated by calling
+    // curateBatch directly with the id the stream will assign); a
+    // maintenance compaction lands in the restart window; then the stream
+    // restarts from the checkpoint and REPLAYS batch 1 from the source
+    // file. History must survive and the replayed batch must still
+    // deduplicate against it.
+    val in = tmpDir("gate-crash-in")
+    val store = tmpDir("gate-crash-store")
+    val ckpt = tmpDir("gate-crash-ckpt")
+    import spark.implicits._
+
+    Files.write(Paths.get(in, "b1.json"),
+      jsonl(Seq(1L -> longA, 5L -> longB)).getBytes("UTF-8"))
+    val q1 = CorpusGate.start(spark, in, store, ckpt, availableNow = true)
+    assert(q1.awaitTermination(300000), "gate stream 1 did not drain")
+
+    // batch 1 arrives; the write lands, the checkpoint commit does not
+    val b2docs = Seq(11L -> longANear, 12L -> longB, 13L -> longC)
+    Files.write(Paths.get(in, "b2.json"), jsonl(b2docs).getBytes("UTF-8"))
+    CorpusGate.curateBatch(b2docs.toDF("doc_id", "text"), store, 1L)
+
+    // maintenance compaction during the restart window asks for
+    // everything; the clamp must hold it strictly below the uncommitted
+    // batch 1
+    CorpusGate.compact(spark, store, upToBatch = Long.MaxValue)
+
+    // restart: the checkpoint committed only batch 0, so the stream
+    // replays the b2 file as batch 1
+    val q2 = CorpusGate.start(spark, in, store, ckpt, availableNow = true)
+    assert(q2.awaitTermination(300000), "gate stream 2 did not drain")
+
+    // full history intact; 11 (near-dup of 1) and 12 (exact dup of 5)
+    // still rejected on the replay; 13 admitted exactly once
+    assert(CorpusGate.corpus(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 5L, 13L))
+    // accounting: one stats row per batch id, replay overwrote its own
+    val st = CorpusGate.stats(spark, store).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(st.keySet == Set(0L, 1L))
+    assert(st(1L).getAs[Long]("n_corpus_near_dup") == 1L)
+    // the exact re-submit of 5 is caught by the BLOOM tier (corpus-exact),
+    // not the within-batch exact pass
+    assert(st(1L).getAs[Long]("n_corpus_exact_dup") == 1L)
+    assert(st(1L).getAs[Long]("n_exact_dup") == 0L)
+    assert(st(1L).getAs[Long]("n_survivors") == 1L)
+  }
+
   test("an interrupted compaction swap heals before the next batch reads") {
     val store = tmpDir("gate-compact-heal")
     import spark.implicits._
