@@ -240,6 +240,55 @@ object PlanAudit {
     "q_sim11_index_maintenance" -> Seq("HashAggregate", "!Window",
       "!CartesianProduct", "!BroadcastNestedLoopJoin"))
 
+  /** AQE-ON audits for the skew paths: these EXECUTE the query under an
+    * adaptive session and assert against the FINAL adaptive plan — the
+    * plan AQE actually ran, not the compile-time plan the static checks
+    * pin. What must survive AQE's rewrites:
+    *   - q_j10: the manual salt. AQE's own skew-join splitter only
+    *     handles sort-merge joins whose skew it can observe at the
+    *     shuffle boundary; the salted exchange hashes on (key, __salt)
+    *     BEFORE AQE sees partition sizes, so the salt spread must still
+    *     be present in the executed exchanges, and the join must remain
+    *     a shuffled equi-join. The two mechanisms COMPOSE: the salt
+    *     bounds any single reducer's share of a hot key by construction
+    *     (deterministic, planner-independent), and AQE can still split
+    *     residual imbalance; neither disables the other.
+    *   - dd3/dd8 band-bucket joins: the candidate join must stay a
+    *     shuffled equi-join on the band key (AQE may coalesce partitions
+    *     or insert AQEShuffleRead — fine; it must never degrade to a
+    *     nested-loop/cartesian).
+    * Final-plan regexes are matched against explainString of the
+    * EXECUTED DataFrame (AdaptiveSparkPlan isFinalPlan=true). */
+  val adaptiveChecks: Seq[(String, Seq[String])] = Seq(
+    "q_j10_salted_join" -> Seq("isFinalPlan=true",
+      "SortMergeJoin|ShuffledHashJoin", "hashpartitioning\\([^)]*__salt",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+    "q_dd3_minhash_lsh" -> Seq("isFinalPlan=true",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+    "q_dd8_simhash_pairs" -> Seq("isFinalPlan=true",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin"))
+
+  /** Execute each adaptive check under `spark` (which must have AQE on)
+    * and match patterns against the final adaptive plan. The DataFrame's
+    * OWN plan must execute — `df.count()` would wrap it in a new
+    * aggregate QueryExecution and leave this one un-finalized — so the
+    * rows drain through toLocalIterator (small at the audit's fixture
+    * scale). Same return contract as [[audit]]. */
+  def auditAdaptive(spark: SparkSession, sfDir: String): Seq[(String, Seq[String], String)] =
+    adaptiveChecks.flatMap { case (name, patterns) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.toLocalIterator().forEachRemaining(_ => ()) // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      val missing = patterns.filterNot { p =>
+        if (p.startsWith("!")) p.drop(1).r.findFirstIn(plan).isEmpty
+        else p.r.findFirstIn(plan).isDefined
+      }
+      if (missing.isEmpty) None
+      else Some((name, missing, plan.linesIterator.take(40).mkString("\n")))
+    }
+
   /** Run every check; returns (name, missing-patterns, plan-excerpt) for
     * failures — the excerpt is what diagnoses a CI-only regression
     * without re-running the query by hand. */

@@ -23,4 +23,16 @@ class PlanAuditSpec extends SparkSpec {
       s"$n missing: ${ps.mkString("; ")}\n$excerpt"
     }.mkString("\n"))
   }
+
+  test("skew-path queries keep their guards in the FINAL adaptive plan (AQE on)") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    // the shared suite session already runs AQE on — execute and check
+    // the finalized adaptive plans (salt spread survives AQE; bucket
+    // joins never degrade to nested loops)
+    val misses = PlanAudit.auditAdaptive(spark, sfDir)
+    assert(misses.isEmpty, misses.map { case (n, ps, excerpt) =>
+      s"$n missing: ${ps.mkString("; ")}\n$excerpt"
+    }.mkString("\n"))
+  }
 }
