@@ -1,0 +1,351 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale/skew stress harness: generates a deliberately DEGENERATE corpus
+  * (~10× the sf0.1 row volume) and proves the skew guards are
+  * load-bearing on it — measured behavior, not just audited plan shape.
+  *
+  * Engineered degeneracy (the shapes a 100 TB crawl corpus actually has):
+  *   - 100,490 byte-identical documents: one hot group of 2,000 copies of
+  *     a single text plus 490 groups of 200 copies each (empty pages,
+  *     boilerplate, mirrored articles), on top of 50,000 unique
+  *     background docs. One near-dup variant per group exercises the
+  *     verify path.
+  *   - one dominant language: ~93% of the corpus is `en`.
+  *   - one hot join key: `event_type = "hot"` holds 30% of 1,000,000
+  *     events (the other 70% spreads over 20 cold types).
+  *   - one hot quantizer cell: 6,000 byte-identical embedding vectors
+  *     plus 1,500 near-copies of the same vector — ~30% of the 25,000
+  *     vectors land in ONE cell of dd10's 8-cell quantizer.
+  *
+  * Against this corpus the harness runs the exact `SparkEntry.queries`
+  * entries the skew guards protect (q_dd3, q_dd8, q_dd10, q_dd12, q_j10,
+  * q_cur1), an UNSALTED control join for j10, and a set of direct guard
+  * measurements:
+  *   - banded-join candidate counts WITH vs WITHOUT the exact-duplicate
+  *     collapse (minhash + simhash): the collapse must cut candidates by
+  *     ≥ 100× or the run fails.
+  *   - exact-dup collapse counts (documents and embedding vectors) > 0.
+  *   - dd12's `maxDocsPerHash` cap: the count of k-gram hashes whose doc
+  *     frequency exceeds the cap (each one a bucket the cap bounded).
+  *   - per-query task-time distribution (max / p50) from a listener —
+  *     the straggler evidence.
+  *
+  * Usage: `runMain graft.Stress [reportPath] [workDir]`
+  * (defaults: ./STRESS.md, /tmp/graft_stress). The corpus is generated
+  * once per workDir and reused; delete the dir to regenerate.
+  */
+object Stress {
+  // --- deterministic content generators (pure column expressions: the
+  // corpus generator follows the same scale discipline as the engine —
+  // no driver-side row materialization) ---
+  private def words(key: Column, n: Column): Column =
+    array_join(
+      transform(sequence(lit(0), n.cast("int") - 1),
+        p => concat(lit("w"), pmod(xxhash64(key, p, lit(1009L)), lit(1000L)))),
+      " ")
+
+  private def vec(key: Column): Column =
+    transform(sequence(lit(0), lit(63)),
+      j => ((pmod(xxhash64(key, j, lit(2027L)), lit(2000001L)).cast("double")
+        - 1000000.0) / 1000000.0).cast("float"))
+
+  private def generate(spark: SparkSession, dir: String): Unit = {
+    val done = new java.io.File(s"$dir/_GENERATED")
+    if (done.exists()) return
+    // documents: 50k unique background + 100k byte-identical copies
+    // (group 0 = 2,000 copies; groups 1..490 = 200 copies) + 490
+    // near-dup variants. Group texts are 40-69 words so every one passes
+    // cur1's token-count gate; background 30-119 words.
+    val bg = spark.range(0, 50000).select(
+      col("id").as("doc_id"),
+      words(col("id"), lit(30) + pmod(xxhash64(col("id"), lit(7L)), lit(90L)))
+        .as("text"),
+      when(pmod(xxhash64(col("id"), lit(11L)), lit(10L)) < 9, lit("en"))
+        .otherwise(element_at(
+          array(lit("es"), lit("de"), lit("fr"), lit("zh")),
+          (pmod(xxhash64(col("id"), lit(13L)), lit(4L)) + 1).cast("int")))
+        .as("lang"),
+      concat(lit("src"), pmod(xxhash64(col("id"), lit(17L)), lit(10L)))
+        .as("source"))
+    val dup = spark.range(0, 100000)
+      .withColumn("g", expr("case when id < 2000 then 0L else (id - 2000) div 200 + 1 end"))
+      .select(
+        (col("id") + 1000000L).as("doc_id"),
+        words(col("g") + 5000000L, lit(40) + pmod(col("g"), lit(30))).as("text"),
+        lit("en").as("lang"), lit("src0").as("source"))
+    val variants = spark.range(1, 491).select(
+      (col("id") + 2000000L).as("doc_id"),
+      concat(
+        words(col("id") + 5000000L, lit(40) + pmod(col("id"), lit(30))),
+        lit(" vx"), col("id")).as("text"),
+      lit("en").as("lang"), lit("src0").as("source"))
+    bg.unionByName(dup).unionByName(variants)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // embeddings: 17.5k unique background vectors + 6k byte-identical
+    // copies of ONE vector + 1.5k near-copies (dim 0 perturbed by up to
+    // 0.15 on a ~4.6-norm vector: cosine vs the base stays > 0.999).
+    val hot = vec(lit(-1L))
+    val bgV = spark.range(0, 17500).select(
+      col("id").as("vec_id"), vec(col("id")).as("embedding"))
+    val hotV = spark.range(17500, 23500).select(
+      col("id").as("vec_id"), hot.as("embedding"))
+    val nearV = spark.range(23500, 25000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        when(j === 0,
+          (element_at(hot, 1) + (col("id") - 23500L).cast("float") * lit(0.0001f))
+            .cast("float"))
+          .otherwise(element_at(hot, j.cast("int") + 1))).as("embedding"))
+    bgV.unionByName(hotV).unionByName(nearV)
+      .withColumn("label", pmod(col("vec_id"), lit(10L)).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // events: 1M rows, event_type "hot" holds 30%, 20 cold types share
+    // the rest.
+    spark.range(0, 1000000).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 1000000L).as("ts"),
+      pmod(xxhash64(col("id"), lit(31L)), lit(50000L)).as("user_id"),
+      when(pmod(col("id"), lit(10L)) < 3, lit("hot"))
+        .otherwise(concat(lit("t"), pmod(xxhash64(col("id"), lit(37L)), lit(20L))))
+        .as("event_type"),
+      (pmod(xxhash64(col("id"), lit(41L)), lit(10000L)).cast("double") / 100.0)
+        .as("value"),
+      lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    done.createNewFile(): Unit
+  }
+
+  /** Successful-task durations, drained per measured query. Boxed
+    * j.l.Long in the queue: a Scala-primitive element type would unbox
+    * poll()'s empty-queue null to 0L and the drain loop would never see
+    * the end. */
+  private final class TaskStats extends SparkListener {
+    private val q = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null && t.taskInfo.successful)
+        q.add(java.lang.Long.valueOf(t.taskInfo.duration)): Unit
+    def drain(): Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      var v = q.poll()
+      while (v ne null) { out += v.longValue(); v = q.poll() }
+      out.toSeq
+    }
+  }
+
+  private final case class Run(name: String, wallSec: Double, rows: Long,
+      tasks: Int, maxTaskMs: Long, p50TaskMs: Long)
+
+  private def pct(xs: Seq[Long], p: Double): Long =
+    if (xs.isEmpty) 0L
+    else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
+
+  def main(args: Array[String]): Unit = {
+    val reportPath = args.headOption.getOrElse("STRESS.md")
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_stress"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(workDir).mkdirs()
+    generate(spark, workDir)
+
+    val stats = new TaskStats
+    spark.sparkContext.addSparkListener(stats)
+    def measure(name: String)(df: => DataFrame): Run = {
+      spark.catalog.clearCache()
+      System.gc()
+      stats.drain()
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val ts = stats.drain()
+      val r = Run(name, wall, n, ts.size, ts.maxOption.getOrElse(0L), pct(ts, 0.5))
+      println(f"[stress] ${r.name}%-28s ${r.wallSec}%8.2f s ${r.rows}%12d rows " +
+        f"tasks=${r.tasks}%5d maxTask=${r.maxTaskMs}%6d ms p50Task=${r.p50TaskMs}%5d ms")
+      r
+    }
+
+    val t = Tables(spark, workDir)
+    val docs = t.documents
+    val embs = t.embeddings
+
+    // ---------------- direct guard measurements ----------------
+    println("[stress] computing guard metrics…")
+    val nDocs = docs.count()
+    val nDistinctTexts =
+      docs.select(md5(col("text").cast("binary"))).distinct().count()
+    val docCollapse = nDocs - nDistinctTexts
+
+    val nVecs = embs.count()
+    val nDistinctVecs = embs
+      .select(md5(to_json(col("embedding")).cast("binary"))).distinct().count()
+    val vecCollapse = nVecs - nDistinctVecs
+
+    // Banded-candidate arithmetic, minhash (k=16, 4 bands of 4 — the
+    // q_dd3 configuration). "naive" = the self-join the banded stage
+    // would do WITHOUT the exact-dup collapse (sum of C(n,2) over
+    // (band, key) buckets counting every copy); "guarded" = the same sum
+    // counting each distinct shingle set once — the join the engine
+    // actually runs.
+    val sigs = functions.DedupFunctions.minHashSignatures(
+        docs, "doc_id", "text", shingleN = 3, k = 16)
+      .withColumn("shkey", md5(to_json(col("sh")).cast("binary")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mhBand = (0 until 4)
+      .map(b => sigs.select(lit(b).as("band"),
+        to_json(slice(col("sig"), b * 4 + 1, 4)).as("key"), col("shkey")))
+      .reduce(_ unionByName _)
+    def pairSum(buckets: DataFrame): Long =
+      buckets.groupBy("band", "key").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2"))).collect()(0).getLong(0)
+    val mhNaive = pairSum(mhBand)
+    val mhGuarded = pairSum(mhBand.select("band", "key", "shkey").distinct())
+    sigs.unpersist()
+
+    // Same arithmetic for simhash (64-bit sig, 4 × 16-bit bands — the
+    // q_dd8 configuration; collapse keys on the signature itself).
+    val ssigs = functions.DedupFunctions.simHashSignatures(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shBand = (0 until 4)
+      .map(b => ssigs.select(lit(b).as("band"),
+        call_function("shiftrightunsigned", col("sig"), lit(16 * b))
+          .bitwiseAND(lit(0xFFFFL)).as("key"), col("sig").as("full")))
+      .reduce(_ unionByName _)
+    val shNaive = pairSum(shBand)
+    val shGuarded = pairSum(shBand.select("band", "key", "full").distinct())
+    ssigs.unpersist()
+
+    // dd12's maxDocsPerHash = 50 cap: k-gram hashes whose doc frequency
+    // exceeds the cap are buckets the cap bounded (every duplicate group
+    // is ≥ 200 docs, so each of its hashes would otherwise fan out into
+    // C(≥200·positions, 2) position pairs).
+    val hotHashes = functions.DedupFunctions
+      .spanFingerprints(docs, "doc_id", "text", k = 20)
+      .select(col("id"), explode(col("kh")).as("h"))
+      .distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 50).count()
+
+    // ---------------- the queries under stress ----------------
+    val names = Seq(
+      "q_dd3_minhash_lsh", "q_dd8_simhash_pairs", "q_dd12_substring_dup",
+      "q_dd10_semantic_dedup", "q_cur1_curation_funnel", "q_j10_salted_join")
+    val runs = names.map(n => measure(n)(SparkEntry.queries(n)(spark, workDir)))
+
+    // Unsalted control for j10: the identical merge-hinted join WITHOUT
+    // the salt — the hot key's 300k rows land on one reducer.
+    val dec182 = org.apache.spark.sql.types.DecimalType(18, 2)
+    def j10Dim = t.events.groupBy(col("event_type").as("t_event_type"))
+      .agg((sum(col("value").cast(dec182)).cast("double") /
+        count(lit(1))).as("avg_value"))
+    val control = measure("j10_unsalted_control")(
+      t.events.select("event_id", "event_type", "value")
+        .join(j10Dim.hint("merge"),
+          col("event_type") === col("t_event_type"))
+        .select(col("event_id"), col("event_type"),
+          (col("value") > col("avg_value")).as("above_avg")))
+
+    // dd10 guard evidence from the query's own output: hot-cell size and
+    // the keep-one decision. (Re-runs the query once more; cheap relative
+    // to certainty.)
+    val dd10 = SparkEntry.queries("q_dd10_semantic_dedup")(spark, workDir)
+      .filter(col("section") === "doc")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hotCell = dd10.groupBy("cell").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(1).collect()(0)
+    val dd10Kept = dd10.filter(col("kept")).count()
+    val dd10Total = dd10.count()
+    dd10.unpersist()
+
+    // ---------------- assertions: every guard load-bearing ----------------
+    def check(cond: Boolean, msg: String): Unit =
+      if (!cond) throw new AssertionError(s"STRESS FAILED: $msg")
+    // 100,490 duplicate-mass docs collapse onto 491 representatives
+    // (2,000-copy hot group + 490 × 200-copy groups): 99,509 removed.
+    check(docCollapse >= 99000, s"expected ≥99k collapsed duplicate docs, got $docCollapse")
+    // 6,000 identical vectors collapse onto 1 representative.
+    check(vecCollapse >= 5900, s"expected ≥5.9k collapsed duplicate vectors, got $vecCollapse")
+    check(mhGuarded * 100 <= mhNaive,
+      s"minhash collapse must cut banded candidates ≥100×: naive=$mhNaive guarded=$mhGuarded")
+    check(shGuarded * 100 <= shNaive,
+      s"simhash collapse must cut banded candidates ≥100×: naive=$shNaive guarded=$shGuarded")
+    check(hotHashes > 0, "dd12: no k-gram hash exceeded maxDocsPerHash — cap never engaged")
+    check(hotCell.getLong(1) >= 7000,
+      s"dd10: expected a hot quantizer cell ≥7k vectors, got ${hotCell.getLong(1)}")
+    check(dd10Kept < dd10Total,
+      "dd10: keep-one decision removed nothing on a corpus of 7.5k duplicate vectors")
+    runs.foreach(r => check(r.rows > 0, s"${r.name}: empty result under stress"))
+
+    // ---------------- report ----------------
+    val sb = new StringBuilder
+    sb ++= "# STRESS — skew/scale harness results\n\n"
+    sb ++= s"Generated by `runMain graft.Stress` on local[$cpus] " +
+      s"(shuffle.partitions=$cpus, AQE on). Corpus in `$workDir` " +
+      "(deterministic; delete to regenerate).\n\n"
+    sb ++= "## Corpus (engineered degeneracy, ~10× sf0.1 row volume)\n\n"
+    sb ++= f"- documents: $nDocs%,d rows, $nDistinctTexts%,d distinct texts → " +
+      f"**$docCollapse%,d byte-identical duplicates** (one 2,000-copy hot " +
+      "group + 490 × 200-copy groups + 490 near-dup variants); ~93% `en`.\n"
+    sb ++= f"- embeddings: $nVecs%,d vectors, $nDistinctVecs%,d distinct → " +
+      f"**$vecCollapse%,d identical copies** of one vector, plus 1,500 " +
+      "near-copies — all in one quantizer cell.\n"
+    sb ++= "- events: 1,000,000 rows; `event_type = \"hot\"` holds 30%.\n\n"
+    sb ++= "## Guard engagement (measured, not audited)\n\n"
+    sb ++= "| guard | without | with | effect |\n|---|---|---|---|\n"
+    sb ++= f"| dd3 minhash exact-dup collapse (banded candidates) | $mhNaive%,d | $mhGuarded%,d | ${mhNaive.toDouble / math.max(mhGuarded, 1)}%,.0f× fewer join probes |\n"
+    sb ++= f"| dd8 simhash exact-dup collapse (banded candidates) | $shNaive%,d | $shGuarded%,d | ${shNaive.toDouble / math.max(shGuarded, 1)}%,.0f× fewer join probes |\n"
+    sb ++= f"| dd12 maxDocsPerHash=50 cap | — | $hotHashes%,d hashes over cap | every one a bounded bucket |\n"
+    sb ++= f"| dd10 vector-fingerprint collapse | $nVecs%,d vectors | $nDistinctVecs%,d reps | hot cell ${hotCell.getLong(1)}%,d vecs; kept $dd10Kept%,d of $dd10Total%,d |\n"
+    sb ++= f"| j10 salt (8-way) vs unsalted | max task ${control.maxTaskMs}%,d ms | max task ${runs.last.maxTaskMs}%,d ms | hot key spread over 8 reducers |\n\n"
+    sb ++= "## Query runs (count() wall time; task times from listener)\n\n"
+    sb ++= "| query | wall s | output rows | tasks | max task ms | p50 task ms |\n"
+    sb ++= "|---|---|---|---|---|---|\n"
+    (runs :+ control).foreach { r =>
+      sb ++= f"| ${r.name} | ${r.wallSec}%.2f | ${r.rows}%,d | ${r.tasks}%d | ${r.maxTaskMs}%,d | ${r.p50TaskMs}%,d |\n"
+    }
+    sb ++= "\nNotes:\n"
+    sb ++= "- dd3/dd8 output the TRUE all-pairs result (inherent to the " +
+      "pair contract — ~12M rows from the planted duplicate groups); the " +
+      "guard bounds the JOIN, not the output: the banded self-join ran on " +
+      f"$mhGuarded%,d / $shGuarded%,d rep-level candidates instead of " +
+      f"$mhNaive%,d / $shNaive%,d.\n"
+    sb ++= "- The unsalted j10 control runs under AQE, whose skew-join " +
+      "split can mitigate a hot reducer at this scale; the salted path is " +
+      "for the shapes AQE cannot rewrite (see PlanAudit's AQE-on j10 check).\n"
+    sb ++= "- This harness caught two real dd10 stragglers on its first " +
+      "runs. (1) The quantizer fit trained on the raw sample, so the " +
+      "6,000-copy vector dragged most centroids onto one point and the " +
+      "corpus's whole distinct density funneled into one residual cell " +
+      "(42 s max task, 108 s wall) — fixed by deduping the normalized " +
+      "fit sample before Lloyd's (Similarity.trainSphericalCentroids), " +
+      "the fit-side twin of the operators' exact-dup collapse. (2) " +
+      "semanticDedup fed the fully EXPANDED member-pair graph into " +
+      "connected components — quadratic in duplicate-group size (the " +
+      "6,000-copy group alone contributes ~18M intra edges; 40 s CC " +
+      "straggler) — fixed by a connectivity-sufficient edge set " +
+      "(rep-level pairs + member→rep star edges, " +
+      "Similarity.nearDupConnectivityEdges), which provably yields " +
+      "identical components and min-id cluster decisions at O(members) " +
+      "edge volume. The numbers above are post-fix.\n"
+    sb ++= "- Every assertion in graft.Stress passed: collapse counts, " +
+      "≥100× candidate reduction, cap engagement, hot-cell containment, " +
+      "keep-one removal, non-empty results.\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(reportPath), sb.toString)
+    println(s"[stress] report written to $reportPath")
+    spark.stop()
+  }
+}

@@ -246,6 +246,18 @@ object Similarity {
         val nrm = math.sqrt(v.map(x => x * x).sum)
         v.map(_ / nrm)
       }
+      // DEDUP the normalized sample before Lloyd's — the fit-side twin of
+      // the operators' exact-duplicate collapse. A duplicate-heavy corpus
+      // (millions of identical default/failed-encode vectors) otherwise
+      // drags most centroids onto ONE point and funnels every distinct
+      // vector into a single residual cell, whose within-cell pair join
+      // is then quadratic in the corpus's whole distinct density — the
+      // straggler the stress harness measured (42 s max task on the
+      // degenerate corpus; balanced cells after this collapse). Cell
+      // BALANCE wants centroids spread over distinct directions, not
+      // copy mass; downstream semantics are unaffected because centroids
+      // are always echoed and cell assignment replays from them.
+      .distinctBy(_.toSeq)
     if (sampleVecs.isEmpty) return Array.empty
 
     // Seeded driver-side spherical Lloyd's: assign by max dot (== cosine,
@@ -369,31 +381,21 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold, restricted to
-    * an equi-bucket (e.g. a label or LSH signature) to avoid O(n²).
-    *
-    * Hot-bucket skew guard: identical embeddings (zero vectors, default or
-    * failed encodes, exact re-submissions) pile into ONE bucket and would
-    * make the self-join quadratic in copy count at corpus scale. Rows with
-    * an identical (bucket, vector) are collapsed to one representative
-    * (min id) BEFORE the join, and member pairs are expanded back after —
-    * semantics-preserving because cosine is a pure function of the two
-    * vectors: every expanded pair carries exactly the value the direct
-    * join would have computed, and intra-group pairs carry the kernel's
-    * own cos(v,v) (computed, not a 1.0 literal — the oracle replays the
-    * same IEEE arithmetic and sqrt(x)·sqrt(x) ≠ x in general). The join
-    * is thereby bounded by DISTINCT vector density per bucket; output
-    * size is the true pair count, inherent to the contract. */
-  def embeddingNearDupPairs(
+  /** Shared core of the embedding near-dup paths: the exact-duplicate
+    * collapse plus the rep-level within-bucket cosine pair graph.
+    * Returns (reps, mem, repPairs) where reps is one row per distinct
+    * (bucket, vector) with its min-id representative and group size, mem
+    * maps every id to its representative, and repPairs is the verified
+    * rep-level pair set. The collapse key is a 128-bit content
+    * fingerprint of the vector (md5 of its canonical JSON — the same
+    * md5-as-identity contract as exact text dedup), NOT the raw vector:
+    * at 768 float dims the vector is a ~3 KB join key, and hashing and
+    * comparing it in the groupBy and membership join would dominate the
+    * shuffle. -0.0/0.0 render differently and stay distinct — a missed
+    * collapse is only a little extra work, never a wrong pair. */
+  private def nearDupRepGraph(
       corpus: DataFrame, idCol: String, vecCol: String, bucketCol: String,
-      threshold: Double): DataFrame = {
-    // The collapse key is a 128-bit content fingerprint of the vector
-    // (md5 of its canonical JSON — the same md5-as-identity contract as
-    // exact text dedup), NOT the raw vector: at 768 float dims the
-    // vector is a ~3 KB join key, and hashing/comparing it in the
-    // groupBy and membership join would dominate the shuffle. -0.0/0.0
-    // render differently and stay distinct — a missed collapse is only
-    // a little extra work, never a wrong pair.
+      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
         col(bucketCol).as("bk"))
       .withColumn("vkey", md5(to_json(col("v")).cast("binary")))
@@ -411,6 +413,65 @@ object Similarity {
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
+    (reps, mem, repPairs)
+  }
+
+  /** CONNECTIVITY-sufficient near-dup edge set — what a keep-one consumer
+    * (connected components) needs, WITHOUT the member-level expansion
+    * whose output is inherently quadratic in duplicate-group size
+    * (C(n,2) edges from one n-copy group; the stress harness measured a
+    * 40 s CC straggler feeding the expanded graph of a 6,000-copy group
+    * into semanticDedup). Edges: the rep-level verified pairs, plus one
+    * STAR edge member→representative for every member of (a) any group
+    * whose rep appears in a verified pair — in the expanded graph those
+    * members reach the partner group through any member pair, so the
+    * star preserves exactly the same components — and (b) any
+    * multi-member group whose self-cosine passes the threshold (the
+    * expanded graph's intra-group clique; one hub edge per member keeps
+    * the component identical). Component sets — and therefore
+    * min-id cluster ids and keep-one decisions — match
+    * [[embeddingNearDupPairs]] + CC exactly, at O(reps² per bucket +
+    * members) instead of O(total pair count). */
+  private[graft] def nearDupConnectivityEdges(
+      corpus: DataFrame, idCol: String, vecCol: String, bucketCol: String,
+      threshold: Double): DataFrame = {
+    val (reps, mem, repPairs) =
+      nearDupRepGraph(corpus, idCol, vecCol, bucketCol, threshold)
+    val pairedReps = repPairs.select(col("id_a").as("rid"))
+      .unionByName(repPairs.select(col("id_b").as("rid")))
+    val selfDupReps = reps.filter(col("gsz") > 1)
+      .filter(cosine(col("v"), col("v")) >= threshold)
+      .select(col("id").as("rid"))
+    val starReps = pairedReps.unionByName(selfDupReps).distinct()
+    val star = mem.join(starReps, Seq("rid"))
+      .filter(col("id") =!= col("rid"))
+      .select(least(col("id"), col("rid")).as("id_a"),
+        greatest(col("id"), col("rid")).as("id_b"))
+    repPairs.select("id_a", "id_b").unionByName(star)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, restricted to
+    * an equi-bucket (e.g. a label or LSH signature) to avoid O(n²).
+    *
+    * Hot-bucket skew guard: identical embeddings (zero vectors, default or
+    * failed encodes, exact re-submissions) pile into ONE bucket and would
+    * make the self-join quadratic in copy count at corpus scale. Rows with
+    * an identical (bucket, vector) are collapsed to one representative
+    * (min id) BEFORE the join, and member pairs are expanded back after —
+    * semantics-preserving because cosine is a pure function of the two
+    * vectors: every expanded pair carries exactly the value the direct
+    * join would have computed, and intra-group pairs carry the kernel's
+    * own cos(v,v) (computed, not a 1.0 literal — the oracle replays the
+    * same IEEE arithmetic and sqrt(x)·sqrt(x) ≠ x in general). The join
+    * is thereby bounded by DISTINCT vector density per bucket; output
+    * size is the true pair count, inherent to the contract — a keep-one
+    * consumer that only needs connectivity should use
+    * [[nearDupConnectivityEdges]] instead. */
+  def embeddingNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String, bucketCol: String,
+      threshold: Double): DataFrame = {
+    val (reps, mem, repPairs) =
+      nearDupRepGraph(corpus, idCol, vecCol, bucketCol, threshold)
     val cross = repPairs
       .join(mem.select(col("rid").as("id_a"), col("id").as("ma")), Seq("id_a"))
       .join(mem.select(col("rid").as("id_b"), col("id").as("mb")), Seq("id_b"))
@@ -468,7 +529,14 @@ object Similarity {
         corpus.select(col(idCol), col(vecCol))
           .withColumn("cell", assignCell(col(vecCol), centroids))
       ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = embeddingNearDupPairs(withCell, idCol, vecCol, "cell", threshold)
+    // Connectivity edges, not the all-pairs expansion: CC only needs the
+    // same COMPONENTS, and the expanded pair set is quadratic in
+    // duplicate-group size (the stress harness measured a 40 s CC
+    // straggler from one 6,000-copy group's 18M intra edges). Rep-level
+    // pairs + member→rep star edges yield identical components — and
+    // identical min-id cluster ids — at O(members) edge volume.
+    val pairs = nearDupConnectivityEdges(
+      withCell, idCol, vecCol, "cell", threshold)
     // duplicateClusters materializes its edge set eagerly, so pairs is
     // fully consumed when it returns; withCell stays persisted for the
     // final cell projection below and is released after it materializes.
