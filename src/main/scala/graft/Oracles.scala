@@ -1689,6 +1689,52 @@ object Oracles {
          |SELECT 'cells', cell, NULL, role, n, sum_sim_ppm FROM st
          |ORDER BY section, cell, role""".stripMargin,
 
+    // Topic-cluster profile: centroids trusted; cell assignment, the
+    // per-cell size/char aggregates, the dominant-language pick and the
+    // integer-pinned exemplar argmax (incl. both tie-breaks) re-derive
+    // from the raw embeddings + documents tables.
+    "q_clu1_topic_profile" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_clu1_topic_profile/*.parquet')),
+         |  cent AS (SELECT cell, centroid, CAST(centroid AS DOUBLE[]) AS cv
+         |           FROM o WHERE section = 'centroid'),
+         |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |  sims AS (SELECT e.vec_id, cent.cell,
+         |             coalesce(${cosSql("e.v", "cent.cv")}, -2.0) AS s0
+         |           FROM e CROSS JOIN cent),
+         |  sims2 AS (SELECT vec_id, cell,
+         |              CASE WHEN isnan(s0) THEN -2.0 ELSE s0 END AS s FROM sims),
+         |  asg AS (SELECT vec_id, cell, s FROM (
+         |            SELECT vec_id, cell, s, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |              ORDER BY s DESC, cell ASC) AS rn FROM sims2)
+         |          WHERE rn = 1),
+         |  j AS (SELECT a.cell, d.doc_id, d.lang, d.n_chars,
+         |          CAST(floor(a.s * 1e6) AS BIGINT) AS sim_ppm
+         |        FROM asg a JOIN documents d ON d.doc_id = a.vec_id),
+         |  core AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         |           FROM j GROUP BY cell),
+         |  ex AS (SELECT cell, doc_id AS exemplar_id, sim_ppm AS exemplar_sim_ppm
+         |         FROM (SELECT cell, doc_id, sim_ppm, ROW_NUMBER() OVER (
+         |                 PARTITION BY cell ORDER BY sim_ppm DESC, doc_id ASC) AS rn
+         |               FROM j) WHERE rn = 1),
+         |  lc AS (SELECT cell, lang, CAST(count(*) AS BIGINT) AS ln
+         |         FROM j GROUP BY cell, lang),
+         |  tl AS (SELECT cell, lang AS top_lang, ln AS top_lang_n
+         |         FROM (SELECT cell, lang, ln, ROW_NUMBER() OVER (
+         |                 PARTITION BY cell ORDER BY ln DESC, lang ASC) AS rn
+         |               FROM lc) WHERE rn = 1)
+         |SELECT 'centroid' AS section, cell, centroid,
+         |       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_chars,
+         |       CAST(NULL AS VARCHAR) AS top_lang, CAST(NULL AS BIGINT) AS top_lang_n,
+         |       CAST(NULL AS BIGINT) AS exemplar_id,
+         |       CAST(NULL AS BIGINT) AS exemplar_sim_ppm
+         |FROM cent
+         |UNION ALL
+         |SELECT 'cluster', c.cell, NULL, c.n_docs, c.n_chars, t.top_lang,
+         |       t.top_lang_n, x.exemplar_id, x.exemplar_sim_ppm
+         |FROM core c JOIN tl t USING (cell) JOIN ex x USING (cell)
+         |ORDER BY section, cell""".stripMargin,
+
     "q_sim3_ivf_ann" ->
       s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim3_ivf_ann/*.parquet')),
          |  cent AS (SELECT cell, centroid, CAST(centroid AS DOUBLE[]) AS cv

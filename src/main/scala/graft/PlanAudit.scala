@@ -30,6 +30,11 @@ object PlanAudit {
     "q_sim7_mips" -> Seq("BroadcastNestedLoopJoin|BroadcastHashJoin",
       "ObjectHashAggregate", "!Window"),
     "q_dd2_jaccard_pairs" -> Seq("!Window"),
+    // cluster profile: assignment is a map pass, every statistic is a
+    // partial-aggregatable hash agg (tie-breaks ride inside struct
+    // min/max) — no Window, no per-cell sort, no cartesian
+    "q_clu1_topic_profile" -> Seq("HashAggregate", "!Window",
+      "!CartesianProduct"),
     // cluster inputs come from the banded LSH candidate machinery — no
     // shuffle may ever be keyed on the low-cardinality lang column, whose
     // dominant bucket is a near-cartesian self-join at corpus scale

@@ -1262,7 +1262,10 @@ object SparkEntry {
   private def dd6(t: Tables): DataFrame = {
     val sigs = DedupFunctions.minHashSignatures(
       t.documents, "doc_id", "text", shingleN = 3, k = 16).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = DedupFunctions.minHashNearDupPairsFromSignatures(
+    // CC only needs connectivity — the expanded member-pair set is
+    // quadratic in exact-dup group size (see minHashConnectivityEdges);
+    // components and min-id labels are provably identical.
+    val pairs = DedupFunctions.minHashConnectivityEdges(
       sigs, k = 16, bands = 4, threshold = 0.5)
     val clusters = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
     val nl = lit(null).cast("long")
@@ -1281,7 +1284,9 @@ object SparkEntry {
   private def dd7(t: Tables): DataFrame = {
     val sigs = DedupFunctions.minHashSignatures(
       t.documents, "doc_id", "text", shingleN = 3, k = 16).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = DedupFunctions.minHashNearDupPairsFromSignatures(
+    // keep-one only needs cluster membership — connectivity edges give
+    // identical components at O(members) edge volume
+    val pairs = DedupFunctions.minHashConnectivityEdges(
       sigs, k = 16, bands = 4, threshold = 0.5)
     val reps = DedupFunctions.dedupCorpus(
         t.documents.select("doc_id", "text"), "doc_id", length(col("text")),
@@ -1549,6 +1554,69 @@ object SparkEntry {
         lit(null).cast("string").as("centroid"), col("role"), col("n"),
         col("sum_sim_ppm")))
       .orderBy("section", "cell", "role")
+  }
+
+  /** CLU1 — corpus TOPIC CLUSTERING + per-cluster curation profile: the
+    * clustering-driven-curation recipe (cluster the corpus by embedding,
+    * profile each cluster, then weight/prune clusters when planning a
+    * training mixture). One spherical-k-means quantizer buckets every
+    * vector (the same argmax map pass as IVF — no shuffle), the profile
+    * joins document metadata on the id and reduces to ONE hash aggregate
+    * per statistic family keyed by the 8 cells: size, total chars, the
+    * dominant language (max count, ties to the lexicographically first
+    * lang), and the medoid-style exemplar (closest to centroid, ties to
+    * the lowest doc id). Similarities are pinned to floor(sim·10⁶)
+    * integers BEFORE comparison so argmax and the echoed value are
+    * engine-exact; the tie-breaks ride along inside min/max over structs
+    * (partial-aggregatable — no Window, no per-cell sort). Only the
+    * centroids are trusted input; the oracle replays assignment, both
+    * aggregate families and both tie-breaks from the raw tables. At
+    * 100 TB: one corpus scan for assignment, one equi-join to metadata,
+    * then 8-key hash aggs — partial aggregation collapses everything
+    * map-side. */
+  private def clu1(t: Tables): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    val cents = Similarity.trainSphericalCentroids(
+      t.embeddings, "vec_id", "embedding", nlist = 8, maxIter = 4)
+    val assigned = t.embeddings
+      .select(col("vec_id"),
+        Similarity.assignCellWithSim(col("embedding"), cents).as("a"))
+      .select(col("vec_id"), col("a.cell").cast("long").as("cell"),
+        floor(col("a.sim") * lit(1e6)).cast("long").as("sim_ppm"))
+    val joined = assigned.join(
+      t.documents.select(col("doc_id"), col("lang"), col("n_chars")),
+      assigned("vec_id") === col("doc_id"))
+    val core = joined.groupBy("cell").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        max(struct(col("sim_ppm").as("s"), (-col("doc_id")).as("nid")))
+          .as("ex"))
+      .select(col("cell"), col("n_docs"), col("n_chars"),
+        (-col("ex.nid")).as("exemplar_id"),
+        col("ex.s").as("exemplar_sim_ppm"))
+    val topLang = joined.groupBy("cell", "lang")
+      .agg(count(lit(1)).as("ln"))
+      .groupBy("cell")
+      .agg(min(struct((-col("ln")).as("nln"), col("lang").as("lang")))
+        .as("tl"))
+      .select(col("cell"), col("tl.lang").as("top_lang"),
+        (-col("tl.nln")).as("top_lang_n"))
+    val clusters = core.join(topLang, Seq("cell"))
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat.toDouble)) }.toSeq
+      .toDF("cell", "centroid")
+    val nl = lit(null).cast("long")
+    centRows.select(lit("centroid").as("section"), col("cell"),
+        to_json(col("centroid")).as("centroid"),
+        nl.as("n_docs"), nl.as("n_chars"),
+        lit(null).cast("string").as("top_lang"), nl.as("top_lang_n"),
+        nl.as("exemplar_id"), nl.as("exemplar_sim_ppm"))
+      .unionByName(clusters.select(lit("cluster").as("section"),
+        col("cell"), lit(null).cast("string").as("centroid"),
+        col("n_docs"), col("n_chars"), col("top_lang"), col("top_lang_n"),
+        col("exemplar_id"), col("exemplar_sim_ppm")))
+      .orderBy("section", "cell")
   }
 
   /** SIM10 — IVF recall vs nprobe: recall@5 of the IVF path at
@@ -1961,6 +2029,7 @@ object SparkEntry {
       "q_sim9_multiprobe" -> q(sim9),
       "q_sim10_ivf_recall" -> q(sim10),
       "q_sim11_index_maintenance" -> q(sim11),
+      "q_clu1_topic_profile" -> q(clu1),
       "q_sim2_lsh_ann" -> q(sim2),
       "q_sim3_ivf_ann" -> q(sim3),
       "q_sim4_quantize" -> q(sim4),

@@ -214,6 +214,19 @@ object Stress {
         .agg(sum(expr("n * (n - 1) div 2"))).collect()(0).getLong(0)
     val mhNaive = pairSum(mhBand)
     val mhGuarded = pairSum(mhBand.select("band", "key", "shkey").distinct())
+
+    // dd6/dd7 CC edge volume (the q_dd6/q_dd7 configuration: bands=4,
+    // threshold 0.5): the expanded member-level pair set — quadratic in
+    // exact-dup group size, the straggler class this harness first
+    // caught in dd10's CC — vs the connectivity-sufficient edge set
+    // (rep-level pairs + member→rep stars) the cluster queries consume
+    // since minHashConnectivityEdges.
+    val ccExpanded = functions.DedupFunctions
+      .minHashNearDupPairsFromSignatures(sigs, k = 16, bands = 4,
+        threshold = 0.5).count()
+    val ccConnectivity = functions.DedupFunctions
+      .minHashConnectivityEdges(sigs, k = 16, bands = 4,
+        threshold = 0.5).count()
     sigs.unpersist()
 
     // Same arithmetic for simhash (64-bit sig, 4 × 16-bit bands — the
@@ -243,7 +256,8 @@ object Stress {
     // ---------------- the queries under stress ----------------
     val names = Seq(
       "q_dd3_minhash_lsh", "q_dd8_simhash_pairs", "q_dd12_substring_dup",
-      "q_dd10_semantic_dedup", "q_cur1_curation_funnel", "q_j10_salted_join")
+      "q_dd10_semantic_dedup", "q_dd6_dup_clusters", "q_dd7_dedup_corpus",
+      "q_cur1_curation_funnel", "q_j10_salted_join")
     val runs = names.map(n => measure(n)(SparkEntry.queries(n)(spark, workDir)))
 
     // Unsalted control for j10: the identical merge-hinted join WITHOUT
@@ -284,6 +298,9 @@ object Stress {
     check(shGuarded * 100 <= shNaive,
       s"simhash collapse must cut banded candidates ≥100×: naive=$shNaive guarded=$shGuarded")
     check(hotHashes > 0, "dd12: no k-gram hash exceeded maxDocsPerHash — cap never engaged")
+    check(ccConnectivity * 50 <= ccExpanded,
+      s"dd6/dd7 connectivity edges must cut CC input ≥50×: " +
+        s"expanded=$ccExpanded connectivity=$ccConnectivity")
     check(hotCell.getLong(1) >= 7000,
       s"dd10: expected a hot quantizer cell ≥7k vectors, got ${hotCell.getLong(1)}")
     check(dd10Kept < dd10Total,
@@ -309,6 +326,7 @@ object Stress {
     sb ++= f"| dd3 minhash exact-dup collapse (banded candidates) | $mhNaive%,d | $mhGuarded%,d | ${mhNaive.toDouble / math.max(mhGuarded, 1)}%,.0f× fewer join probes |\n"
     sb ++= f"| dd8 simhash exact-dup collapse (banded candidates) | $shNaive%,d | $shGuarded%,d | ${shNaive.toDouble / math.max(shGuarded, 1)}%,.0f× fewer join probes |\n"
     sb ++= f"| dd12 maxDocsPerHash=50 cap | — | $hotHashes%,d hashes over cap | every one a bounded bucket |\n"
+    sb ++= f"| dd6/dd7 CC edge set (connectivity vs expanded pairs) | $ccExpanded%,d | $ccConnectivity%,d | ${ccExpanded.toDouble / math.max(ccConnectivity, 1)}%,.0f× fewer CC edges |\n"
     sb ++= f"| dd10 vector-fingerprint collapse | $nVecs%,d vectors | $nDistinctVecs%,d reps | hot cell ${hotCell.getLong(1)}%,d vecs; kept $dd10Kept%,d of $dd10Total%,d |\n"
     sb ++= f"| j10 salt (8-way) vs unsalted | max task ${control.maxTaskMs}%,d ms | max task ${runs.last.maxTaskMs}%,d ms | hot key spread over 8 reducers |\n\n"
     sb ++= "## Query runs (count() wall time; task times from listener)\n\n"
@@ -341,6 +359,13 @@ object Stress {
       "Similarity.nearDupConnectivityEdges), which provably yields " +
       "identical components and min-id cluster decisions at O(members) " +
       "edge volume. The numbers above are post-fix.\n"
+    sb ++= "- Round 8 extended the dd10 connectivity fix to the minhash " +
+      "cluster queries: dd6/dd7 now feed CC " +
+      "DedupFunctions.minHashConnectivityEdges (rep-level verified pairs " +
+      "+ member→rep star edges — provably identical components and " +
+      "min-id labels) instead of the expanded all-pairs set, and both " +
+      "run under this harness with the edge-volume reduction in the " +
+      "guard table above.\n"
     sb ++= "- Every assertion in graft.Stress passed: collapse counts, " +
       "≥100× candidate reduction, cap engagement, hot-cell containment, " +
       "keep-one removal, non-empty results.\n"

@@ -159,11 +159,21 @@ object DedupFunctions {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minHashSignature(col("sh"), k))
 
-  /** [[minHashNearDupPairs]] over a pre-built [[minHashSignatures]] table
-    * — everything downstream of the signatures: band split, bucket
-    * equi-join, exact-Jaccard verify. */
-  def minHashNearDupPairsFromSignatures(sigs: DataFrame,
-      k: Int, bands: Int, threshold: Double): DataFrame = {
+  /** Persisted intermediates of [[minHashRepGraph]]; the caller
+    * materializes its derived output, then calls `release()`. */
+  private final case class MinHashRepGraph(base: DataFrame, reps: DataFrame,
+      mem: DataFrame, bandRows: DataFrame, repPairs: DataFrame) {
+    def release(): Unit = {
+      base.unpersist(); reps.unpersist(); mem.unpersist(); bandRows.unpersist()
+    }
+  }
+
+  /** Shared core of the minhash near-dup paths: the exact-duplicate
+    * collapse, rep-level banded LSH candidate join and exact-Jaccard
+    * verify — everything except the final shape (member-pair expansion
+    * vs connectivity edges). */
+  private def minHashRepGraph(sigs: DataFrame,
+      k: Int, bands: Int, threshold: Double): MinHashRepGraph = {
     require(bands > 0 && k % bands == 0,
       s"k $k must be divisible by bands $bands — a truncated band width " +
         "silently drops signature components from every band key")
@@ -221,17 +231,27 @@ object DedupFunctions {
       .withColumn("jaccard_sim", setSim)
       .filter(col("jaccard_sim") >= threshold)
       .select("id_a", "id_b", "jaccard_sim")
+    MinHashRepGraph(base, reps, mem, bandRows, verified)
+  }
+
+  /** [[minHashNearDupPairs]] over a pre-built [[minHashSignatures]] table
+    * — everything downstream of the signatures: band split, bucket
+    * equi-join, exact-Jaccard verify. */
+  def minHashNearDupPairsFromSignatures(sigs: DataFrame,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val g = minHashRepGraph(sigs, k, bands, threshold)
     // Expansion: every verified representative pair holds for every
     // member combination (identical content); members of the same group
     // are pairwise duplicates at Jaccard exactly 1. Output size is the
     // true pair count — inherent to the all-pairs contract — but no
     // JOIN is quadratic in a bucket any more.
-    val cross = verified
-      .join(mem.select(col("rid").as("id_a"), col("id").as("ma")), Seq("id_a"))
-      .join(mem.select(col("rid").as("id_b"), col("id").as("mb")), Seq("id_b"))
+    val cross = g.repPairs
+      .join(g.mem.select(col("rid").as("id_a"), col("id").as("ma")), Seq("id_a"))
+      .join(g.mem.select(col("rid").as("id_b"), col("id").as("mb")), Seq("id_b"))
       .select(least(col("ma"), col("mb")).as("id_a"),
         greatest(col("ma"), col("mb")).as("id_b"), col("jaccard_sim"))
-    val dupMembers = mem.filter(col("gsz") > 1)
+    val dupMembers = g.mem.filter(col("gsz") > 1)
     val intra = dupMembers.alias("x")
       .join(dupMembers.alias("y"),
         col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
@@ -243,10 +263,39 @@ object DedupFunctions {
     // before returning.
     val result = cross.unionByName(intra).persist(lvl)
     result.count()
-    base.unpersist()
-    reps.unpersist()
-    mem.unpersist()
-    bandRows.unpersist()
+    g.release()
+    result
+  }
+
+  /** CONNECTIVITY-sufficient minhash near-dup edge set — what a
+    * cluster/keep-one consumer ([[duplicateClusters]], [[dedupCorpus]])
+    * needs, WITHOUT the member-pair expansion whose output is inherently
+    * quadratic in exact-duplicate group size (C(n,2) edges from one
+    * n-copy boilerplate group — the same straggler class the stress
+    * harness measured feeding semanticDedup's CC, fixed there with
+    * Similarity.nearDupConnectivityEdges). Edges: the rep-level verified
+    * pairs, plus one STAR edge rep→member for every member of a
+    * multi-member exact-dup group. The star preserves components exactly:
+    * identical shingle sets are pairwise Jaccard 1, so in the expanded
+    * graph every multi-member group is an unconditional clique (one hub
+    * edge per member keeps it connected), and a member reaches any
+    * partner group through its representative, which carries every
+    * verified pair. The group representative is the group's min id and
+    * the component min rides through it, so min-id cluster labels — and
+    * therefore keep-one decisions — are identical to running CC over the
+    * expanded pair set, at O(reps² per bucket + members) edge volume
+    * instead of O(true pair count). */
+  def minHashConnectivityEdges(sigs: DataFrame,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val g = minHashRepGraph(sigs, k, bands, threshold)
+    val star = g.mem
+      .filter(col("gsz") > 1).filter(col("id") =!= col("rid"))
+      .select(col("rid").as("id_a"), col("id").as("id_b"))
+    val result = g.repPairs.select("id_a", "id_b").unionByName(star)
+      .persist(lvl)
+    result.count()
+    g.release()
     result
   }
 

@@ -9,10 +9,11 @@ package graft.streaming
   * (`fetcher.class` + the full option map), because a DataSource V2
   * source can only carry strings across the driver/executor boundary —
   * each partition reader instantiates its own fetcher from the spec.
-  * An S3 implementation would wrap the usual SDK GET of
-  * `{height:012d}/block.json` (+ shard objects); this container has no
-  * egress, so [[DirBlockFetcher]] serves the same key layout from a
-  * local directory and the HTTP call is the ONLY missing piece.
+  * [[LakeFsBlockFetcher]] implements the real lake key layout
+  * (`{height:012d}/block.json` + shard objects) over the Hadoop
+  * `FileSystem` API — `file://` in tests, `s3a://` in production as
+  * pure configuration; [[DirBlockFetcher]] serves a flattened
+  * single-object layout for fixtures and backfill drops.
   */
 trait BlockFetcher extends AutoCloseable {
   /** Highest block height currently available, if any block exists. */

@@ -15,8 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
 /** DataSource V2 micro-batch source over a NEAR-Lake-style block store —
   * the REAL adapter shape for the reference's streamer loop
   * (indexer_app/tasks.py:28-111), with the store access behind the
-  * [[BlockFetcher]] seam (an S3 fetcher is the one environment-bound
-  * piece this container cannot carry).
+  * [[BlockFetcher]] seam. [[LakeFsBlockFetcher]] speaks the real lake
+  * key layout through the Hadoop FileSystem API (file:// in tests,
+  * s3a:// in production — pure configuration); [[DirBlockFetcher]] is
+  * the flat single-object fixture layout.
   *
   * Offsets ARE block heights: the stored offset replaces the reference's
   * Postgres BlockHeight cursor one-for-one, so a restart resumes exactly
@@ -30,7 +32,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * backfill-vs-latency knob); Trigger.AvailableNow pins the target
   * height at start and drains to exactly there.
   *
-  * Options: `fetcher.class` (default [[DirBlockFetcher]]),
+  * Options: `fetcher.class` (default [[DirBlockFetcher]]; set to
+  * [[LakeFsBlockFetcher]] with `fetcher.url` + optional
+  * `fetcher.hadoop.*` for a real lake store),
   * `fetcher.dir`, `startHeight` (first block to read, default 0),
   * `maxBlocksPerTrigger` (default 1000), `fetchPartitions` (default 4),
   * `fetchRetries` (default 3), `fetchBackoffMs` (default 100).

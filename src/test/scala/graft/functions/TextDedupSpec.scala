@@ -342,6 +342,41 @@ class TextDedupSpec extends SparkSpec {
     assert(cc2.toSeq == Seq(1L))
   }
 
+  test("minhash connectivity edges: identical clusters to the expanded pairs, fewer edges") {
+    // three exact-dup groups (sizes 4, 3, 2) + a near-dup bridge between
+    // the first two groups' contents + an unrelated singleton: the
+    // expanded pair graph carries every member combination (C(n,2)
+    // intra cliques + cross products), the connectivity set only stars
+    // and rep pairs — components and min-id labels must match exactly
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val aNear = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val b = "completely different content about spark query engines and columnar formats"
+    val corpus = (
+      (1L to 4L).map(i => (i, a)) ++
+      Seq((10L, aNear), (11L, aNear), (12L, aNear)) ++
+      Seq((20L, b), (21L, b)) ++
+      Seq((30L, "el gato y el perro juegan en la casa de la abuela con el niño"))
+    ).toDF("doc_id", "text")
+    val sigs = DedupFunctions.minHashSignatures(corpus, "doc_id", "text",
+      shingleN = 3, k = 16)
+    val expanded = DedupFunctions.minHashNearDupPairsFromSignatures(
+      sigs, k = 16, bands = 8, threshold = 0.5)
+    val connectivity = DedupFunctions.minHashConnectivityEdges(
+      sigs, k = 16, bands = 8, threshold = 0.5)
+    // strictly fewer edges (4+3 member group pair expansion collapses)
+    assert(connectivity.count() < expanded.count())
+    def clusters(edges: org.apache.spark.sql.DataFrame) =
+      DedupFunctions.duplicateClusters(edges, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpanded = clusters(expanded)
+    val viaConnectivity = clusters(connectivity)
+    assert(viaConnectivity == viaExpanded)
+    // the bridge merges groups a/aNear into one min-id component
+    assert(viaConnectivity(10L) == 1L && viaConnectivity(4L) == 1L)
+    assert(viaConnectivity(21L) == 20L)
+    assert(!viaConnectivity.contains(30L)) // singleton: no edges, no row
+  }
+
   test("multimodal binary pipeline: deterministic fake decode plumbing") {
     import graft.multimodal.BinaryPipeline
     val media = BinaryPipeline.withPayload(docs, "text")
