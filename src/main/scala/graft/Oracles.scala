@@ -1991,5 +1991,68 @@ object Oracles {
         |                  FROM parts))
         |SELECT url_canonical, CAST(MIN(doc_id) AS BIGINT) AS kept_id,
         |       CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
-        |FROM canon GROUP BY 1 ORDER BY url_canonical""".stripMargin)
+        |FROM canon GROUP BY 1 ORDER BY url_canonical""".stripMargin,
+
+    // Hopping windows: each event belongs to exactly 4 of the 15-min-slide
+    // 1-hour windows — replayed as a cross join with the 4 window offsets.
+    // epoch_us on a µs-cast timestamp keeps the bucket math integral.
+    "q_w6_sliding_window" ->
+      """SELECT make_timestamp(
+        |         (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000
+        |           - CAST(k.k AS BIGINT) * 900000000) AS window_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The merged incremental state must equal a from-scratch aggregate
+    // over the full history — so the oracle IS the from-scratch aggregate.
+    "q_inc1_incremental_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_gr1_pagerank" -> pageRankSql(5),
+
+    "q_txt15_chunk" ->
+      s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+         |  c AS (SELECT doc_id, ws, unnest(range(0,
+         |          1 + (greatest(len(ws) - 64, 0) + 47) // 48)) AS chunk_idx
+         |        FROM d)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |       CAST(len(list_slice(ws, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
+         |         AS BIGINT) AS chunk_tokens,
+         |       md5(array_to_string(
+         |         list_slice(ws, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' '))
+         |         AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
+
+  /** Full replay of GraphFunctions.pageRank as chained CTEs: the same
+    * integer fixed-point update, one CTE per damped round. Every division
+    * is on non-negative operands, so DuckDB's floor `//` and Spark's
+    * truncating `div` agree. */
+  private def pageRankSql(iters: Int): String = {
+    val head =
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |  edges AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 37 + 11) % nn.n AS dst FROM documents, nn
+        |    UNION ALL SELECT doc_id, (doc_id * 101 + 53) % nn.n FROM documents, nn
+        |    UNION ALL SELECT doc_id, (doc_id * 197 + 89) % nn.n FROM documents, nn) t),
+        |  deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+        |  r0 AS (SELECT doc_id AS v, 1000000000000 // nn.n AS r FROM documents, nn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |  r$i AS (SELECT d.doc_id AS v,
+         |            (1000000000000 * 15) // (nn.n * 100)
+         |              + (85 * COALESCE(s.cs, 0)) // 100 AS r
+         |          FROM documents d CROSS JOIN nn LEFT JOIN (
+         |            SELECT e.dst AS v, SUM(r.r // g.deg) AS cs
+         |            FROM edges e JOIN deg g ON e.src = g.src
+         |            JOIN r${i - 1} r ON r.v = e.src
+         |            GROUP BY 1) s ON s.v = d.doc_id)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\nSELECT v AS doc_id, CAST(r AS BIGINT) AS rank_e12 FROM r$iters ORDER BY v"
+  }
 }

@@ -243,7 +243,27 @@ object PlanAudit {
     // pass + ONE hash aggregation on (cell) per role — no join of the
     // vectors, no window
     "q_sim11_index_maintenance" -> Seq("HashAggregate", "!Window",
-      "!CartesianProduct", "!BroadcastNestedLoopJoin"))
+      "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+    // hopping windows: the 4× window assignment expands map-side
+    // (explode inside codegen) into ONE hash aggregation — never an
+    // analytic Window function or a join against a window dimension
+    "q_w6_sliding_window" -> Seq("HashAggregate", "codegen id", "!Window",
+      "!Join"),
+    // incremental maintenance: two partial aggregates merged by a THIRD
+    // hash aggregate over their union — monoid merges only; no join of
+    // base against delta, no window
+    "q_inc1_incremental_agg" -> Seq("HashAggregate", "!Window", "!Join",
+      "!CartesianProduct"),
+    // PageRank: iterations materialize inside the operator (each round's
+    // plan shape is pinned by GraphFunctionsSpec); the returned frame
+    // must read the CACHED final ranks — re-deriving five join rounds
+    // per downstream consumer would quintuple the work at scale
+    "q_gr1_pagerank" -> Seq("InMemoryTableScan", "!CartesianProduct",
+      "!Window"),
+    // chunking: tokenize → explode → slice is pure map-side codegen;
+    // no shuffle before the output sort — no join, window or aggregate
+    "q_txt15_chunk" -> Seq("codegen id", "!Join", "!Window",
+      "!HashAggregate"))
 
   /** AQE-ON audits for the skew paths: these EXECUTE the query under an
     * adaptive session and assert against the FINAL adaptive plan — the

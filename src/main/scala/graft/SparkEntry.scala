@@ -1225,6 +1225,92 @@ object SparkEntry {
       .orderBy("cohort_day", "offset_days")
   }
 
+  /** W6 — sliding (hopping) windows: 1-hour windows advancing every
+    * 15 minutes, so each event lands in exactly 4 overlapping windows.
+    * Spark's `window()` expands the assignment map-side (a 4× row
+    * multiplier BEFORE the shuffle, the standard trade for hopping
+    * aggregation); the aggregate itself is one hash shuffle on
+    * (window, type). Exact-decimal sums, cast to double at the end. */
+  private def w6(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** INC1 — incremental aggregate maintenance: the gold-table update
+    * pattern at 100 TB, where re-aggregating the full history per batch
+    * is unaffordable. The fact stream is split into a base (90%) and a
+    * delta batch (10%); per-user partials (count/sum/min/max — all
+    * mergeable monoids) are computed independently and MERGED
+    * (sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes). The
+    * oracle recomputes the aggregate from scratch over the union —
+    * merged incremental state must equal the full recompute exactly,
+    * which the decimal-pinned sums make bit-identical. */
+  private def inc1(t: Tables): DataFrame = {
+    val ev = t.events.select(col("user_id"), col("event_id"), col("ts"),
+      col("value").cast(DecimalType(18, 2)).as("v"))
+    def partial(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
+      count(lit(1)).as("n"), sum("v").as("tot"),
+      min("ts").as("first_ts"), max("ts").as("last_ts"))
+    val base = partial(ev.filter(pmod(col("event_id"), lit(10)) =!= 0))
+    val delta = partial(ev.filter(pmod(col("event_id"), lit(10)) === 0))
+    base.unionByName(delta)
+      .groupBy("user_id")
+      .agg(sum("n").as("n_events"),
+        sum("tot").cast("double").as("total_value"),
+        min("first_ts").as("first_ts"), max("last_ts").as("last_ts"))
+      .orderBy("user_id")
+  }
+
+  /** GR1 — fixed-point PageRank over a deterministic 3-out-regular link
+    * graph on the document id space (authority centrality is a published
+    * web-corpus quality signal; the iterative join-agg data flow is the
+    * graph-analytics workload class). Five damped rounds at 1e12
+    * fixed-point; every division is integer and happens before the sums,
+    * so the result is bit-identical across engines and shuffle orders —
+    * the DuckDB oracle replays all five rounds as chained CTEs. */
+  private def gr1(t: Tables): DataFrame = {
+    val nodes = t.documents.select(col("doc_id").as("v"))
+    // 1-row scalar for the modulus of the edge generator (documented
+    // driver-side count, not row data).
+    val n = nodes.count()
+    val edges = nodes.select(col("v").as("src"), explode(array(
+        pmod(col("v") * 37 + 11, lit(n)),
+        pmod(col("v") * 101 + 53, lit(n)),
+        pmod(col("v") * 197 + 89, lit(n)))).as("dst"))
+      .distinct()
+    graft.functions.GraphFunctions.pageRank(nodes, edges, iters = 5)
+      .select(col("v").as("doc_id"), col("rank").as("rank_e12"))
+      .orderBy("doc_id")
+  }
+
+  /** TXT15 — overlapping sliding-window chunking (64-token windows,
+    * stride 48): the context-window packing precursor for RAG indexing
+    * and long-document training. Pure map-side work — tokenize once,
+    * explode the chunk index range, slice — no shuffle until the
+    * output sort; at 100 TB this is scan-bound with a bounded ~1.33×
+    * row multiplier. Chunk text is echoed as md5 + token count (the
+    * identity of the chunk, without duplicating the corpus bytes). */
+  private def txt15(t: Tables): DataFrame = {
+    val W = 64; val S = 48
+    t.documents
+      .select(col("doc_id"),
+        split(TextFunctions.normalize(col("text")), " ").as("ws"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(0L, (greatest(nw - $W, 0L) + ${S - 1}) div $S)")))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"slice(ws, cast(chunk_idx * $S + 1 as int), $W)").as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("chunk_tokens"),
+        md5(array_join(col("cw"), " ").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ---------------------------------------------------------------- D: dedup
 
   /** DD1 — exact dedup via content-hash groups. */
@@ -2040,7 +2126,11 @@ object SparkEntry {
       "q_mm2_frame_sample" -> q(mm2),
       "q_mm3_resize_meta" -> q(mm3),
       "q_mm4_audio_meta" -> q(mm4),
-      "q_mm5_frame_dedup" -> q(mm5))
+      "q_mm5_frame_dedup" -> q(mm5),
+      "q_w6_sliding_window" -> q(w6),
+      "q_inc1_incremental_agg" -> q(inc1),
+      "q_gr1_pagerank" -> q(gr1),
+      "q_txt15_chunk" -> q(txt15))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql

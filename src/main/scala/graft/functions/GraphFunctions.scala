@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics over edge tables — the authority/centrality
+  * leg of corpus curation (CommonCrawl-style harmonic/PageRank
+  * centrality is a published quality signal for web corpora; the
+  * reference's account graph is the same shape at protocol scale).
+  *
+  * All arithmetic is integer fixed-point so results are bit-identical
+  * across engines and partition orders: per-edge contributions are
+  * integer-divided BEFORE the sum (each `r/deg` term is exact), and the
+  * damped update is one integer expression per node. Long sums are
+  * order-independent, so the shuffle schedule cannot perturb results.
+  */
+object GraphFunctions {
+
+  /** Fixed-point PageRank.
+    *
+    * `nodes`: one column `v` (distinct node ids). `edges`: `src`,`dst`
+    * (distinct directed edges; every src must appear in `nodes`).
+    * Returns (`v`, `rank` at `scale` fixed-point) after `iters` damped
+    * rounds: r'(v) = scale·(100−d)/(100·n) + d·Σ_{u→v} (r(u) div
+    * deg(u)) div 100, with d the damping numerator (85 ⇒ 0.85).
+    * Dangling mass is dropped (every generator node here has out-edges;
+    * documented contract, identical in the oracle replay).
+    *
+    * Scale design (100 TB): each round is one co-partitioned equi-join
+    * (rank ⋈ edges on the source key) and one aggregation by `dst` —
+    * the canonical distributed PageRank data flow. Edges and the degree
+    * table are hash-repartitioned on `src` ONCE and persisted; every
+    * iteration's join then reuses that layout (exchange on the rank
+    * side only, which is the small per-node table). Ranks persist at
+    * MEMORY_AND_DISK with lineage intact (executor-loss safe) and the
+    * previous round is unpersisted as soon as the next materializes, so
+    * peak footprint is two rank tables regardless of iteration count.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {
+    val spark = nodes.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val e = edges.repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // n is a 1-row aggregate: driver-side scalar, not row data.
+    val n = nodes.count()
+    val base = scale * (100L - dampingPct) / (100L * n)
+
+    var rank = nodes.select(col("v"), lit(scale / n).as("r"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rank.count()
+    var i = 0
+    while (i < iters) {
+      val next = round(nodes, e, deg, rank, base, dampingPct)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      rank.unpersist()
+      rank = next
+      i += 1
+    }
+    val out = rank.select(col("v"), col("r").as("rank"))
+    e.unpersist(); deg.unpersist()
+    out
+  }
+
+  /** One damped round (lazy — exposed so specs can pin the iteration's
+    * physical plan: equi-joins on `src`, one hash aggregation on `dst`,
+    * no nested loop, no window). */
+  def round(nodes: DataFrame, edges: DataFrame, deg: DataFrame,
+      rank: DataFrame, base: Long, dampingPct: Int): DataFrame = {
+    val contrib = edges
+      .join(deg, "src")
+      .join(rank.withColumnRenamed("v", "src"), "src")
+      .select(col("dst").as("v"), expr("r div deg").as("c"))
+      .groupBy("v").agg(sum("c").as("cs"))
+    nodes.select(col("v"))
+      .join(contrib, Seq("v"), "left")
+      .select(col("v"),
+        (lit(base) +
+          expr(s"($dampingPct * coalesce(cs, 0L)) div 100")).as("r"))
+  }
+}

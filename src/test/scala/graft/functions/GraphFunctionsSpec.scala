@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Fixed-point PageRank: hand-computed small-graph values (the integer
+  * update is exactly reproducible on paper), invariants, and the
+  * per-round physical plan shape. */
+class GraphFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // nodes {0,1,2}; edges 0→1, 0→2, 1→2, 2→0; scale 1000, damping 85.
+  // base = 1000*15/300 = 50, r0 = 333 each.
+  private def tiny = (
+    Seq(0L, 1L, 2L).toDF("v"),
+    Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)).toDF("src", "dst"))
+
+  test("one damped round matches the hand computation") {
+    val (nodes, edges) = tiny
+    val r = GraphFunctions.pageRank(nodes, edges, iters = 1, scale = 1000L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // contribs: v1 ← 333 div 2 = 166; v2 ← 166 + 333 = 499; v0 ← 333
+    assert(r == Map(0L -> (50 + 85 * 333 / 100),
+      1L -> (50 + 85 * 166 / 100), 2L -> (50 + 85 * 499 / 100)))
+    assert(r == Map(0L -> 333L, 1L -> 191L, 2L -> 474L))
+  }
+
+  test("two rounds keep compounding the integer update exactly") {
+    val (nodes, edges) = tiny
+    val r = GraphFunctions.pageRank(nodes, edges, iters = 2, scale = 1000L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // round 2 contribs: v1 ← 333 div 2 = 166; v2 ← 166 + 191; v0 ← 474
+    assert(r == Map(0L -> 452L, 1L -> 191L, 2L -> 353L))
+  }
+
+  test("rank mass never exceeds the scale (dangling-free graph)") {
+    val (nodes, edges) = tiny
+    val total = GraphFunctions.pageRank(nodes, edges, iters = 5,
+      scale = 1000000L).agg(sum("rank")).as[Long].head()
+    // integer truncation only ever loses mass
+    assert(total <= 1000000L && total > 900000L)
+  }
+
+  test("a round plans as src-keyed equi-joins + one dst aggregation") {
+    val (nodes, edges) = tiny
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val rank = nodes.select(col("v"), lit(333L).as("r"))
+    val plan = GraphFunctions.round(nodes, edges, deg, rank,
+        base = 50L, dampingPct = 85)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(plan).isDefined, plan)
+    assert("HashAggregate".r.findFirstIn(plan).isDefined, plan)
+    assert("CartesianProduct".r.findFirstIn(plan).isEmpty, plan)
+    assert("Window".r.findFirstIn(plan).isEmpty, plan)
+  }
+}
