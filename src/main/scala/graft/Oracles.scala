@@ -233,6 +233,14 @@ object Oracles {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    "q_a10_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
     "q_a8_median" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -2015,6 +2023,31 @@ object Oracles {
 
     "q_gr1_pagerank" -> pageRankSql(5),
 
+    // Full bigram-LM replay: same fixed-point log2 as the srch oracles,
+    // Laplace smoothing re-derived from the corpus counts. Per-bigram
+    // terms are integral, so the sum is shuffle-order-proof on both
+    // engines.
+    "q_txt16_bigram_lm" ->
+      s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+         |  bgx AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM d),
+         |  bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bgx),
+         |  pdb AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+         |          FROM bg GROUP BY 1, 2, 3),
+         |  b AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cb FROM pdb GROUP BY 1, 2),
+         |  u AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cu FROM pdb GROUP BY 1),
+         |  vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
+         |  sc AS (SELECT pdb.doc_id,
+         |           CAST(SUM(pdb.c * (${ilSql("(cu + v)")} - ${ilSql("(cb + 1)")}))
+         |             AS BIGINT) AS nll,
+         |           CAST(SUM(pdb.c) AS BIGINT) AS n
+         |         FROM pdb JOIN b USING (w1, w2) JOIN u USING (w1) CROSS JOIN vv
+         |         GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(sc.n, 0) AS n_bigrams,
+         |       COALESCE(sc.nll, 0) AS nll_total_1024,
+         |       COALESCE(sc.nll // sc.n, 0) AS nll_per_bigram_1024
+         |FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_txt15_chunk" ->
       s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
          |  c AS (SELECT doc_id, ws, unnest(range(0,
@@ -2027,6 +2060,13 @@ object Oracles {
          |         list_slice(ws, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' '))
          |         AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
+
+  /** DuckDB spelling of SearchFunctions.ilog2x1024 — fixed-point log2 in
+    * 1/1024ths of a bit from binary-string length + linear interpolation
+    * (the same formula the srch oracles inline). `x` must be a
+    * parenthesized SQL expression ≥ 1. */
+  private def ilSql(x: String): String =
+    s"(1024 * (length(bin($x)) - 1) + (($x * 1024) >> (length(bin($x)) - 1)) - 1024)"
 
   /** Full replay of GraphFunctions.pageRank as chained CTEs: the same
     * integer fixed-point update, one CTE per damped round. Every division

@@ -263,7 +263,17 @@ object PlanAudit {
     // chunking: tokenize → explode → slice is pure map-side codegen;
     // no shuffle before the output sort — no join, window or aggregate
     "q_txt15_chunk" -> Seq("codegen id", "!Join", "!Window",
-      "!HashAggregate"))
+      "!HashAggregate"),
+    // CUBE: all grouping sets in one pass — Expand + ONE aggregation,
+    // never k separate scans unioned
+    "q_a10_cube" -> Seq("Expand", "HashAggregate", "!Union", "!Join",
+      "!Window"),
+    // bigram LM: counts pre-aggregate at (doc,bigram) before anything is
+    // keyed by a term alone; count joins are term-keyed equi-joins —
+    // never a nested loop, never a window
+    "q_txt16_bigram_lm" -> Seq("HashAggregate",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!BroadcastNestedLoopJoin", "!CartesianProduct", "!Window"))
 
   /** AQE-ON audits for the skew paths: these EXECUTE the query under an
     * adaptive session and assert against the FINAL adaptive plan — the

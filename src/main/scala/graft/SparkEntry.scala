@@ -285,6 +285,17 @@ object SparkEntry {
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** A10 — CUBE aggregation: all 2^k grouping-set combinations in one
+    * pass via Catalyst's Expand (k× row replication map-side, then ONE
+    * hash aggregation — never k separate scans unioned). The dashboard
+    * cross-tab companion to A6's ROLLUP. */
+  private def a10(t: Tables): DataFrame =
+    t.orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** A8 — exact interpolated median per group. */
   private def a8(t: Tables): DataFrame =
     t.lineitem.groupBy(col("l_returnflag"))
@@ -718,6 +729,14 @@ object SparkEntry {
     * by construction, so the oracle reproduces it bit-for-bit. */
   private def txt10(t: Tables): DataFrame =
     TextFunctions.unigramSurprisal(t.documents, "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** TXT16 — bigram-LM surprisal (the CCNet-style perplexity filter one
+    * model order above q_txt10): average negative log-prob of each word
+    * transition under the corpus's own Laplace-smoothed bigram model,
+    * integer-pinned in 1/1024ths of a bit. */
+  private def txt16(t: Tables): DataFrame =
+    TextFunctions.bigramSurprisal(t.documents, "doc_id", "text")
       .orderBy("doc_id")
 
   /** SAMP4 — downsample to a target domain mixture (50% en / 30% es /
@@ -2130,7 +2149,9 @@ object SparkEntry {
       "q_w6_sliding_window" -> q(w6),
       "q_inc1_incremental_agg" -> q(inc1),
       "q_gr1_pagerank" -> q(gr1),
-      "q_txt15_chunk" -> q(txt15))
+      "q_txt15_chunk" -> q(txt15),
+      "q_txt16_bigram_lm" -> q(txt16),
+      "q_a10_cube" -> q(a10))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -257,7 +257,13 @@ object Stress {
     val names = Seq(
       "q_dd3_minhash_lsh", "q_dd8_simhash_pairs", "q_dd12_substring_dup",
       "q_dd10_semantic_dedup", "q_dd6_dup_clusters", "q_dd7_dedup_corpus",
-      "q_cur1_curation_funnel", "q_j10_salted_join")
+      "q_cur1_curation_funnel", "q_j10_salted_join",
+      // round 8: the bigram-LM filter's (doc,bigram) pre-aggregation is
+      // its hot-word guard — 93% identical docs make every bigram of the
+      // hot text a degenerate key; and PageRank's per-round join-agg
+      // must stay bounded when the modulus graph rides a 150k-node
+      // corpus with 2k-copy duplicate mass.
+      "q_txt16_bigram_lm", "q_gr1_pagerank")
     val runs = names.map(n => measure(n)(SparkEntry.queries(n)(spark, workDir)))
 
     // Unsalted control for j10: the identical merge-hinted join WITHOUT

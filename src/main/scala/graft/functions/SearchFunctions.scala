@@ -40,7 +40,7 @@ object SearchFunctions {
     * linear between powers of two, exactly `1024·log2(x)` AT powers of
     * two, strictly monotone, pure integer — bit-identical on any engine
     * with 64-bit integer shifts. Requires x ≥ 1 (df and N always are). */
-  private def ilog2x1024(x: Column): Column = {
+  private[functions] def ilog2x1024(x: Column): Column = {
     val m = (length(bin(x)) - 1).cast("int")
     lit(1024L) * m.cast("long") +
       call_function("shiftright", x.cast("long") * lit(1024L), m) - lit(1024L)

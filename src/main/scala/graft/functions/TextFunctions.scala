@@ -415,6 +415,67 @@ object TextFunctions {
     df.select(col(idCol)).join(scored, Seq(idCol), "left")
   }
 
+  /** Bigram-LM surprisal — the CCNet-style perplexity quality filter one
+    * model order up from [[unigramSurprisal]]: the average negative
+    * log-probability of each adjacent word pair under the corpus's own
+    * Laplace-smoothed bigram model,
+    * `nll(w1,w2) = log2((c(w1) + V) / (c(w1,w2) + 1))`, summed per
+    * document and averaged per bigram. Low = predictable/templated text,
+    * high = rare transitions (noise OR genuinely novel prose) — both
+    * tails are review queues, exactly how published pipelines use a
+    * KenLM score.
+    *
+    * Integer-exact in 1/1024ths of a bit via the same fixed-point log2
+    * as the search rankers (SearchFunctions.ilog2x1024) — no
+    * transcendentals, so any engine reproduces the score bit-for-bit,
+    * and per-bigram terms are divided BEFORE the sum so shuffle order
+    * cannot perturb it.
+    *
+    * Scale shape: bigram extraction is a map-side transform+explode (no
+    * shuffle); counts are two hash aggregations keyed by the
+    * high-cardinality bigram/word; the count joins are term-keyed
+    * equi-joins (vocab V rides in as a driver-side 1-row scalar). The
+    * (doc,bigram)-level pre-aggregation bounds reducer skew the same way
+    * unigramSurprisal's (doc,word) grouping does. Documents with fewer
+    * than two words surface with n_bigrams = 0 and zero scores — they
+    * never vanish. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val il = SearchFunctions.ilog2x1024 _
+    val docs = df.select(col(idCol),
+      split(normalize(col(textCol)), " ").as("__ws"))
+    val bg = docs.select(col(idCol), explode(expr(
+        """CASE WHEN size(__ws) >= 2
+          |  THEN transform(sequence(1, size(__ws) - 1),
+          |         i -> struct(element_at(__ws, i) AS w1,
+          |                     element_at(__ws, i + 1) AS w2))
+          |  ELSE array() END""".stripMargin)).as("__b"))
+      .select(col(idCol), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    val perDocBg = bg.groupBy(col(idCol), col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c"))
+    val bgCounts = perDocBg.groupBy("__w1", "__w2")
+      .agg(sum("__c").as("__cb"))
+    val uniCounts = perDocBg.groupBy("__w1").agg(sum("__c").as("__cu"))
+    // V (distinct history words) is a 1-row scalar: driver-side count,
+    // not row data — same contract as the PageRank modulus.
+    val v = uniCounts.count()
+    val scored = perDocBg
+      .join(bgCounts, Seq("__w1", "__w2"))
+      .join(uniCounts, Seq("__w1"))
+      .groupBy(idCol)
+      .agg(
+        sum(col("__c") * (il(col("__cu") + lit(v)) - il(col("__cb") + lit(1L))))
+          .as("nll_total_1024"),
+        sum(col("__c")).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"), col("nll_total_1024"),
+        expr("nll_total_1024 div n_bigrams").as("nll_per_bigram_1024"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_total_1024"), lit(0L)).as("nll_total_1024"),
+        coalesce(col("nll_per_bigram_1024"), lit(0L)).as("nll_per_bigram_1024"))
+  }
+
   /** Repetition signals — the boilerplate/degenerate-text filters of the
     * published large-corpus quality pipelines (duplicate-word fraction,
     * most-frequent-word fraction, duplicate word-bigram fraction; the

@@ -144,4 +144,27 @@ class MergeWriterSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("partitioned layout"))
   }
+
+  test("day predicates prune partitions at the scan (PartitionFilters)") {
+    val path = tmpDir("pprune") + "/facts"
+    val b = (1 to 300).map(i =>
+      (s"k$i", f"2024-06-${i % 3 + 1}%02d", 1L, s"v$i"))
+      .toDF("key", "day", "seqno", "value")
+    MergeWriter.mergePartitioned(spark, b, path, Seq("key"), Seq("seqno"), "day")
+
+    val q = spark.read.parquet(path).filter(col("day") === "2024-06-02")
+    val scan = q.queryExecution.executedPlan.toString
+    // The day predicate must land in PartitionFilters — directory-level
+    // pruning, the mechanism that keeps a date-range query from reading
+    // 100 TB of history — and must NOT survive as a post-scan Filter
+    // (which would mean every file was opened and rows discarded late).
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(scan).isDefined, scan)
+    assert(q.count() == 100)
+    // Only the matching partition's files are planned for read.
+    val read = q.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.toSeq.map(_.filePath.toString) }
+      .flatten
+    assert(read.nonEmpty && read.forall(_.contains("day=2024-06-02")), read)
+  }
 }
