@@ -1743,6 +1743,36 @@ object Oracles {
          |FROM core c JOIN tl t USING (cell) JOIN ex x USING (cell)
          |ORDER BY section, cell""".stripMargin,
 
+    // Coverage sampling: centroids trusted; assignment, the per-cell
+    // closeness ranking (sim-ppm desc, lower vec_id on ties) and the
+    // k=32 cut all re-derive from the embeddings table.
+    "q_samp8_coverage_sample" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_samp8_coverage_sample/*.parquet')),
+         |  cent AS (SELECT cell, centroid, CAST(centroid AS DOUBLE[]) AS cv
+         |           FROM o WHERE section = 'centroid'),
+         |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |  sims AS (SELECT e.vec_id, cent.cell,
+         |             coalesce(${cosSql("e.v", "cent.cv")}, -2.0) AS s0
+         |           FROM e CROSS JOIN cent),
+         |  sims2 AS (SELECT vec_id, cell,
+         |              CASE WHEN isnan(s0) THEN -2.0 ELSE s0 END AS s FROM sims),
+         |  asg AS (SELECT vec_id, cell, CAST(floor(s * 1e6) AS BIGINT) AS sim_ppm
+         |          FROM (SELECT vec_id, cell, s, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                  ORDER BY s DESC, cell ASC) AS rn FROM sims2)
+         |          WHERE rn = 1),
+         |  kept AS (SELECT cell, CAST(rn AS BIGINT) AS "rank", vec_id, sim_ppm
+         |           FROM (SELECT cell, vec_id, sim_ppm, ROW_NUMBER() OVER (
+         |                   PARTITION BY cell ORDER BY sim_ppm DESC, vec_id ASC) AS rn
+         |                 FROM asg)
+         |           WHERE rn <= 32)
+         |SELECT 'centroid' AS section, cell, centroid,
+         |       CAST(NULL AS BIGINT) AS "rank", CAST(NULL AS BIGINT) AS vec_id,
+         |       CAST(NULL AS BIGINT) AS sim_ppm
+         |FROM cent
+         |UNION ALL
+         |SELECT 'kept', cell, NULL, "rank", vec_id, sim_ppm FROM kept
+         |ORDER BY section, cell, "rank", vec_id""".stripMargin,
+
     "q_sim3_ivf_ann" ->
       s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim3_ivf_ann/*.parquet')),
          |  cent AS (SELECT cell, centroid, CAST(centroid AS DOUBLE[]) AS cv

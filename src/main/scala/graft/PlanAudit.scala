@@ -264,6 +264,11 @@ object PlanAudit {
     // no shuffle before the output sort — no join, window or aggregate
     "q_txt15_chunk" -> Seq("codegen id", "!Join", "!Window",
       "!HashAggregate"),
+    // coverage sampling: assignment is a literal-backed map pass and
+    // the per-cell cut is the bounded top-k aggregate — k rows of state
+    // per cell, never a window over the corpus, no pair formation
+    "q_samp8_coverage_sample" -> Seq("ObjectHashAggregate", "!Window",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin"),
     // CUBE: all grouping sets in one pass — Expand + ONE aggregation,
     // never k separate scans unioned
     "q_a10_cube" -> Seq("Expand", "HashAggregate", "!Union", "!Join",

@@ -1724,6 +1724,44 @@ object SparkEntry {
       .orderBy("section", "cell")
   }
 
+  /** SAMP8 — cluster-balanced coverage sampling: k representatives per
+    * quantizer cell, closest-to-centroid first — the diversity-selection
+    * step of corpus curation (cluster then sample per cluster, so no
+    * topic monopolizes the budget; the selection dual of SemDeDup's
+    * within-cell pruning). Assignment is the same literal-backed argmax
+    * map pass as clu1/dd10; the per-cell cut is the bounded topKByScore
+    * aggregate (k rows of state per cell, never a window over the
+    * corpus). Ranks are integer-ppm-pinned: ties at equal similarity go
+    * to the lower vec_id, identically in the oracle replay. */
+  private def samp8(t: Tables): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    val cents = Similarity.trainSphericalCentroids(
+      t.embeddings, "vec_id", "embedding", nlist = 8, maxIter = 4)
+    val assigned = t.embeddings
+      .select(col("vec_id"),
+        Similarity.assignCellWithSim(col("embedding"), cents).as("a"))
+      .select(col("vec_id"), col("a.cell").cast("long").as("cell"),
+        floor(col("a.sim") * lit(1e6)).cast("long").as("sim_ppm"))
+    val kept = assigned.groupBy("cell")
+      .agg(plans.expressions.topKByScore(
+        col("sim_ppm").cast("double"), col("vec_id"), 32).as("top"))
+      .select(col("cell"), posexplode(col("top")))
+      .select(col("cell"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").cast("long").as("sim_ppm"))
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat.toDouble)) }.toSeq
+      .toDF("cell", "centroid")
+    val nl = lit(null).cast("long")
+    centRows.select(lit("centroid").as("section"), col("cell"),
+        to_json(col("centroid")).as("centroid"),
+        nl.as("rank"), nl.as("vec_id"), nl.as("sim_ppm"))
+      .unionByName(kept.select(lit("kept").as("section"), col("cell"),
+        lit(null).cast("string").as("centroid"),
+        col("rank"), col("vec_id"), col("sim_ppm")))
+      .orderBy("section", "cell", "rank", "vec_id")
+  }
+
   /** SIM10 — IVF recall vs nprobe: recall@5 of the IVF path at
     * nprobe ∈ {1, 2, 4} against the exact cosine top-5, one shared
     * quantizer — the cells-scanned-vs-recall curve that completes the
@@ -2151,7 +2189,8 @@ object SparkEntry {
       "q_gr1_pagerank" -> q(gr1),
       "q_txt15_chunk" -> q(txt15),
       "q_txt16_bigram_lm" -> q(txt16),
-      "q_a10_cube" -> q(a10))
+      "q_a10_cube" -> q(a10),
+      "q_samp8_coverage_sample" -> q(samp8))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql
