@@ -181,6 +181,33 @@ object Serializers {
   /** Payout row → PotPayoutSerializer-shaped JSON. */
   def potPayoutJson(df: DataFrame): DataFrame = entityJson(df, potPayoutFields)
 
+  /** Account row → AccountSerializer-shaped JSON (accounts/
+    * serializers.py:55-78): id, the four gold stat fields, then the
+    * `near_social_profile_data` blob INLINED AS A RAW OBJECT. DRF
+    * renders the stored dict in insertion order with compact
+    * separators; the engine stores the chain-provided compact JSON
+    * verbatim, so splicing the stored bytes after the typed prefix IS
+    * DRF's rendering — this closes the deviation drfStruct documents
+    * for the schemaless blob (there a profile inside an embed still
+    * renders as a string, because a struct field has to have a type).
+    * A null blob renders as explicit `null`. */
+  def accountJson(df: DataFrame): DataFrame = {
+    val prefix = to_json(struct(
+      col("id"),
+      usdString(col("total_donations_in_usd")).as("total_donations_in_usd"),
+      usdString(col("total_donations_out_usd")).as("total_donations_out_usd"),
+      usdString(col("total_matching_pool_allocations_usd"))
+        .as("total_matching_pool_allocations_usd"),
+      col("donors_count")), Map("ignoreNullFields" -> "false"))
+    df.withColumn("__prefix", prefix)
+      .withColumn("json", concat(
+        expr("substring(__prefix, 1, length(__prefix) - 1)"),
+        lit(",\"near_social_profile_data\":"),
+        coalesce(col("near_social_profile_data"), lit("null")),
+        lit("}")))
+      .drop("__prefix")
+  }
+
   /** Pagination envelope as a single JSON document (README.md:110-119
     * {count, next, previous, results}). */
   def envelopeJson(count: Long, next: Option[String], previous: Option[String],

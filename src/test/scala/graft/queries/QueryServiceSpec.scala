@@ -293,6 +293,46 @@ class QueryServiceSpec extends SparkSpec {
     assert(json == golden)
   }
 
+  test("golden byte-parity: account JSON with inlined profile matches SIMPLE_ACCOUNT_EXAMPLE") {
+    // SIMPLE_ACCOUNT_EXAMPLE (accounts/serializers.py:81-112) rebuilt as
+    // a typed row. The near_social_profile_data blob is stored as the
+    // chain-provided compact JSON and INLINED as a raw object — DRF's
+    // rendering of the stored dict — in the example's own key order.
+    // Deviation notes: the example shows the USD decimals as strings
+    // (the engine matches that; DRF's coerce_to_string=False would emit
+    // numbers, contradicting the reference's own example).
+    val profile =
+      """{"name":"Illia","image":{"nft":{""" +
+        """"media":"https://ipfs.nftstorage.link/ipfs/bafybeie6mpnk6iya3wvwtxtogzmzpprw5734dydoeujo5esqqxmmirug6y",""" +
+        """"baseUri":"https://arweave.net/q8IenkSo5aogF-bIphzedrom24OFYGECZYUs9gEfM0A",""" +
+        """"tokenId":"8120","contractId":"citizen.bodega-lab.near"}},""" +
+        """"linktree":{"github":"ilblackdragon","twitter":"ilblackdragon",""" +
+        """"website":"near.org","telegram":""},""" +
+        """"description":"Bringing 1B users to web3","horizon_tnc":"true",""" +
+        """"backgroundImage":{"ipfs_cid":"bafkreiemktmsdhpdoomwlvfi2ztm7c5sdqdmb2z5mg4bjssoqkz7wunaoi"}}"""
+    val a = Seq(1).toDF("x")
+      .withColumn("id", lit("user.near"))
+      .withColumn("total_donations_in_usd", lit(740.00).cast("decimal(20,2)"))
+      .withColumn("total_donations_out_usd", lit(1234.56).cast("decimal(20,2)"))
+      .withColumn("total_matching_pool_allocations_usd",
+        lit(800.01).cast("decimal(20,2)"))
+      .withColumn("donors_count", lit(321L))
+      .withColumn("near_social_profile_data", lit(profile))
+    val json = Serializers.accountJson(a).head().getAs[String]("json")
+    val golden =
+      """{"id":"user.near","total_donations_in_usd":"740.00",""" +
+        """"total_donations_out_usd":"1234.56",""" +
+        """"total_matching_pool_allocations_usd":"800.01",""" +
+        s""""donors_count":321,"near_social_profile_data":$profile}"""
+    assert(json == golden)
+
+    // A null blob stays an explicit null, like every other DRF field.
+    val bare = a.withColumn("near_social_profile_data",
+      lit(null).cast("string"))
+    val bareJson = Serializers.accountJson(bare).head().getAs[String]("json")
+    assert(bareJson.endsWith(""""near_social_profile_data":null}"""))
+  }
+
   test("golden byte-parity: pot, list registration and payout JSON match the reference serializers") {
     // SIMPLE_POT_EXAMPLE (pots/serializers.py:124-166),
     // SIMPLE_LIST_REGISTRATION_EXAMPLE (lists/serializers.py:86-97) and
