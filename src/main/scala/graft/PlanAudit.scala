@@ -308,6 +308,16 @@ object PlanAudit {
       "!CartesianProduct", "!BroadcastNestedLoopJoin"),
     "q_dd8_simhash_pairs" -> Seq("isFinalPlan=true",
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+    // SemDeDup: the within-cell pair join must stay an equi-join on the
+    // cell key through AQE's rewrites (a nested loop here is the
+    // corpus-wide cross comparison the cells exist to prevent)
+    "q_dd10_semantic_dedup" -> Seq("isFinalPlan=true",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+    // winnowing substring dedup: candidates only inside fingerprint
+    // buckets — same no-degradation contract as dd3/dd8
+    "q_dd12_substring_dup" -> Seq("isFinalPlan=true",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
       "!CartesianProduct", "!BroadcastNestedLoopJoin"))
 
   /** Execute each adaptive check under `spark` (which must have AQE on)

@@ -23,6 +23,20 @@ object EventAnalytics {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Hopping (sliding) event-time windows — the streaming twin of the
+    * batch q_w6 contract: `length`-long windows advancing every `slide`,
+    * each event expanding into length/slide windows MAP-SIDE before the
+    * keyed state update. The watermark GCs windows whose end passed, so
+    * state is O(open windows × types) regardless of stream length. */
+  def slidingTypeCounts(events: DataFrame, length: String = "1 hour",
+      slide: String = "15 minutes", lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Windowed trending terms: per event-time window, a bounded
     * Misra-Gries summary of the term column — "what's trending this
     * hour" over an unbounded stream with O(windows × capacity) state.

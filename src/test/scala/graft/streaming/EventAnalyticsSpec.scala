@@ -38,6 +38,34 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(streamed.except(batch.select(col("hour"), col("event_type"), col("n"))).count() == 0)
   }
 
+  test("streaming hopping windows equal the batch 4-windows-per-event expansion") {
+    val src = graft.Tables(spark, "/root/testdata/sf0.001").events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = tmpDir("events-hop")
+    src.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(src.schema).parquet(dir)
+    val q = slidingTypeCounts(stream).writeStream
+      .format("memory").queryName("hopping")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("hopping")
+      .select(col("window_start"), col("event_type"), col("n"))
+    // batch equivalent: the same window() expansion without a watermark
+    val batch = src
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+    // every event lands in exactly 4 windows
+    assert(streamed.agg(sum("n")).as[Long].head() == src.count() * 4)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+  }
+
   test("streaming trending terms: per-window Misra-Gries summary, exact when capacity suffices") {
     def ts(min: Int) = new java.sql.Timestamp(1718000000000L + min * 60000L)
     // hour 1: "alpha" dominates; hour 2: "beta" dominates
