@@ -241,6 +241,17 @@ object Oracles {
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
 
+    // Pivot replayed as pinned conditional aggregation — the same
+    // single-pass plan shape the Spark side compiles to.
+    "q_a11_pivot" ->
+      """SELECT user_id,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_a8_median" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -264,6 +264,11 @@ object PlanAudit {
     // no shuffle before the output sort — no join, window or aggregate
     "q_txt15_chunk" -> Seq("codegen id", "!Join", "!Window",
       "!HashAggregate"),
+    // pinned-values PIVOT: aggregation passes only (no distinct-scan of
+    // the pivot column, no join, no window) — the output schema is a
+    // compile-time contract, not data-dependent
+    "q_a11_pivot" -> Seq("HashAggregate", "!Join", "!Window",
+      "!CartesianProduct"),
     // coverage sampling: assignment is a literal-backed map pass and
     // the per-cell cut is the bounded top-k aggregate — k rows of state
     // per cell, never a window over the corpus, no pair formation

@@ -296,6 +296,19 @@ object SparkEntry {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** A11 — PIVOT cross-tab: one row per user, one count column per
+    * event type. Pivot values are PINNED (the API contract's enum) so
+    * the plan is a single hash aggregation with conditional partials —
+    * pivoting on unpinned values would need a distinct-scan first AND
+    * make the output schema data-dependent, both wrong at 100 TB. */
+  private def a11(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
   /** A8 — exact interpolated median per group. */
   private def a8(t: Tables): DataFrame =
     t.lineitem.groupBy(col("l_returnflag"))
@@ -2190,7 +2203,8 @@ object SparkEntry {
       "q_txt15_chunk" -> q(txt15),
       "q_txt16_bigram_lm" -> q(txt16),
       "q_a10_cube" -> q(a10),
-      "q_samp8_coverage_sample" -> q(samp8))
+      "q_samp8_coverage_sample" -> q(samp8),
+      "q_a11_pivot" -> q(a11))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql
