@@ -885,6 +885,17 @@ object Oracles {
          |            THEN approx_orders ELSE no END AS approx_orders
          |FROM s, x""".stripMargin,
 
+    // Same echo-iff-within contract as q_a7: the merged-sketch estimate
+    // must sit within the HLL error bracket of the exact distinct count
+    // (a mismatch echoes the exact count instead → hash mismatch).
+    "q_inc2_sketch_merge" ->
+      s"""WITH s AS (SELECT approx_users
+         |           FROM read_parquet('$OUT/q_inc2_sketch_merge/*.parquet')),
+         |  x AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM events)
+         |SELECT CASE WHEN abs(approx_users - nu) <= greatest(0.05 * nu, 3)
+         |            THEN approx_users ELSE nu END AS approx_users
+         |FROM s, x""".stripMargin,
+
     // Signature replay: minhash signatures (k=16, 4 bands of 4) are
     // trusted input read back from the Spark output; candidates are
     // re-derived via band-SLICE equality (equal slices ⇔ equal band keys)
@@ -2061,6 +2072,30 @@ object Oracles {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |       min(ts) AS first_ts, max(ts) AS last_ts
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Exactness precondition documented at SparkEntry.inc3: with
+    // maxItemsTracked >> distinct users the frequent-items sketch never
+    // evicts, so the merged estimate equals the exact frequency table —
+    // the oracle recomputes it from raw rows; the k-boundary tie is
+    // broken by user_id on both engines.
+    "q_inc3_topk_sketch" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1
+        |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
+
+    // Record-linkage replay: DuckDB's levenshtein is the same unweighted
+    // edit distance as Spark's; collapse, blocking and verify are all
+    // re-derived from the raw part rows.
+    "q_er1_fuzzy_join" ->
+      """WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS cnt,
+        |                  split_part(p_name, ' ', -1) AS blk
+        |           FROM part GROUP BY 1)
+        |SELECT a.p_name AS n1, b.p_name AS n2,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+        |       a.cnt AS cnt1, b.cnt AS cnt2
+        |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_gr1_pagerank" -> pageRankSql(5),
 

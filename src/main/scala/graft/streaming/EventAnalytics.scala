@@ -66,6 +66,24 @@ object EventAnalytics {
       keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 
+  /** Declarative gap sessionization via the built-in `session_window` —
+    * the Spark-first form of [[sessionize]] when per-session output is a
+    * plain aggregate (count/sum/min/max): Catalyst owns the state store,
+    * merges overlapping windows incrementally, and the watermark closes
+    * and GCs sessions, so no hand-written state machine exists to get
+    * wrong. Use [[sessionize]] only when the per-session logic genuinely
+    * exceeds aggregate expressions. Same scale shape: one shuffle by
+    * user, state O(open sessions). */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,

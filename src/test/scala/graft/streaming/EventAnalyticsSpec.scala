@@ -121,6 +121,36 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.sorted.toSeq == Seq(1L, 2L, 3L)) // one row per event_id
   }
 
+  test("session_window sessionization equals the batch session_window aggregation") {
+    val src = graft.Tables(spark, "/root/testdata/sf0.001").events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = tmpDir("sessw-src")
+    src.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(src.schema).parquet(dir)
+    val q = sessionWindowCounts(stream, gap = "30 minutes").writeStream
+      .format("memory").queryName("sessw")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sessw")
+    // batch equivalent: same declarative session_window, no watermark
+    val batch = src
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    // and the window invariant: end = last event + gap ⇒ end - start ≥ gap
+    val bad = streamed.filter(
+      col("session_end").cast("long") - col("session_start").cast("long") <
+        30L * 60).collect()
+    assert(bad.isEmpty, s"session shorter than the gap floor: ${bad.toSeq}")
+  }
+
   test("sessionize: events split on inactivity gap, per user") {
     def ts(min: Int) = new java.sql.Timestamp(1718000000000L + min * 60000L)
     val events = Seq(
