@@ -66,6 +66,43 @@ object EventAnalytics {
       keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked STREAM-STREAM interval join — the streaming form of the
+    * reference's ±24h USD price enrichment (tokens/models.py:64-74): a
+    * transaction stream joins a price-tick stream on token within
+    * `[ts - tolerance, ts]`, both sides watermarked so each side's join
+    * state is GC'd once the other side's watermark clears the range —
+    * state is O(arrival rate × (tolerance + lateness)) regardless of
+    * stream length, the property that lets enrichment run at ingest
+    * instead of as a nightly backfill. Emits ALL in-range candidates;
+    * compose [[streamAsOfEnrich]] (or the batch AsOfJoin) for
+    * nearest-price selection. */
+  def streamIntervalEnrich(txs: DataFrame, prices: DataFrame,
+      lateness: String = "1 hour", tolerance: String = "24 hours"): DataFrame = {
+    val t = txs.withWatermark("ts", lateness)
+    val p = prices.withWatermark("price_ts", lateness)
+    t.join(p, t("token_id") === p("token_id") &&
+        p("price_ts") >= t("ts") - expr(s"INTERVAL $tolerance") &&
+        p("price_ts") <= t("ts"))
+      .select(t("token_id"), col("tx_id"), col("ts"), col("amount"),
+        col("price_ts"), col("price_usd"))
+  }
+
+  /** Streaming as-of enrichment: the interval join above chained into a
+    * per-transaction `max_by` over price_ts — nearest price at-or-before
+    * the transaction within tolerance. Two stateful operators in one
+    * append-mode pipeline (stream-stream join → streaming aggregation);
+    * the aggregation emits a transaction once the watermark passes its
+    * event time, i.e. once no in-range price tick can still arrive —
+    * exactly-once enrichment without a reconciliation pass. */
+  def streamAsOfEnrich(txs: DataFrame, prices: DataFrame,
+      lateness: String = "1 hour", tolerance: String = "24 hours"): DataFrame =
+    streamIntervalEnrich(txs, prices, lateness, tolerance)
+      .groupBy(col("token_id"), col("tx_id"), window(col("ts"), "1 hour"))
+      .agg(first(col("amount")).as("amount"),
+        max_by(col("price_usd"), col("price_ts")).as("price_usd"),
+        max(col("price_ts")).as("price_ts"))
+      .drop("window")
+
   /** Declarative gap sessionization via the built-in `session_window` —
     * the Spark-first form of [[sessionize]] when per-session output is a
     * plain aggregate (count/sum/min/max): Catalyst owns the state store,

@@ -121,6 +121,64 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.sorted.toSeq == Seq(1L, 2L, 3L)) // one row per event_id
   }
 
+  test("stream-stream interval join: every in-range price candidate, none outside") {
+    def ts(h: Int) = new java.sql.Timestamp(1718000000000L + h * 3600000L)
+    val txs = Seq((1L, "tokA", ts(30), 100.0), (2L, "tokA", ts(50), 7.0),
+      (3L, "tokB", ts(30), 5.0))
+      .toDF("tx_id", "token_id", "ts", "amount")
+    // tokA ticks at h=5 (outside 24h of h=30), h=10, h=29; tokB at h=28
+    val prices = Seq(("tokA", ts(5), 1.0), ("tokA", ts(10), 2.0),
+      ("tokA", ts(29), 3.0), ("tokB", ts(28), 4.0))
+      .toDF("token_id", "price_ts", "price_usd")
+    val (txDir, prDir) = (tmpDir("ssj-tx"), tmpDir("ssj-pr"))
+    txs.write.mode("overwrite").parquet(txDir)
+    prices.write.mode("overwrite").parquet(prDir)
+
+    val q = streamIntervalEnrich(
+        spark.readStream.schema(txs.schema).parquet(txDir),
+        spark.readStream.schema(prices.schema).parquet(prDir))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("ssj")
+      .select("tx_id", "price_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    // tx1 (tokA, h30): h10 + h29 in [h6, h30]; h5 is out of range.
+    // tx2 (tokA, h50): h29 only. tx3 (tokB, h30): h28.
+    assert(got == Set((1L, ts(10)), (1L, ts(29)), (2L, ts(29)), (3L, ts(28))))
+  }
+
+  test("stream-stream as-of enrichment picks the nearest at-or-before price") {
+    def ts(h: Int) = new java.sql.Timestamp(1718000000000L + h * 3600000L)
+    // flusher rows on BOTH streams push the watermark past the real data
+    // so the append-mode aggregation emits the real groups.
+    val txs = Seq((1L, "tokA", ts(30), 100.0), (2L, "tokA", ts(50), 7.0),
+      (99L, "tokZ", ts(500), 0.0))
+      .toDF("tx_id", "token_id", "ts", "amount")
+    val prices = Seq(("tokA", ts(10), 2.0), ("tokA", ts(29), 3.0),
+      ("tokA", ts(40), 9.0), ("tokZ", ts(500), 0.0))
+      .toDF("token_id", "price_ts", "price_usd")
+    val (txDir, prDir) = (tmpDir("asof-tx"), tmpDir("asof-pr"))
+    txs.write.mode("overwrite").parquet(txDir)
+    prices.write.mode("overwrite").parquet(prDir)
+
+    val q = streamAsOfEnrich(
+        spark.readStream.schema(txs.schema).parquet(txDir),
+        spark.readStream.schema(prices.schema).parquet(prDir),
+        lateness = "1 minute")
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("asof").filter(col("tx_id") < 99)
+      .select("tx_id", "price_usd").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // tx1 (h30): nearest at-or-before is h29 → 3.0 (h40 is in the future).
+    // tx2 (h50): h40 → 9.0 (h29 is 21h back, also in range; max_by picks h40).
+    assert(got == Map(1L -> 3.0, 2L -> 9.0))
+  }
+
   test("session_window sessionization equals the batch session_window aggregation") {
     val src = graft.Tables(spark, "/root/testdata/sf0.001").events
       .select("event_id", "ts", "user_id", "event_type", "value")
