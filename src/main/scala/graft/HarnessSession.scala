@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared builder for every measurement main (Bench, Stress,
+  * ShuffleAudit, IngestBench): the artifacts these produce are compared
+  * against each other (BENCH vs SHUFFLE.md vs STRESS.md vs
+  * INGEST_BENCH.md), so they must run under IDENTICAL session semantics —
+  * a config fix applied to one hand-rolled copy and not the others would
+  * silently make the cross-artifact numbers incomparable.
+  */
+object HarnessSession {
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      logLevel: String = "WARN"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // naive parquet timestamps (timestamp[us], no UTC flag) read as
+      // TIMESTAMP (session-local, pinned UTC) — matching DuckDB and the
+      // watermark/unix_micros surfaces, not TIMESTAMP_NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    spark
+  }
+
+  /** p-th percentile (nearest-rank on the sorted sequence), shared by the
+    * task-duration summaries in the measurement artifacts. */
+  def pct(xs: Seq[Long], p: Double): Long =
+    if (xs.isEmpty) 0L
+    else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
+}

@@ -122,16 +122,7 @@ object IngestBench {
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_ingest_bench"
     val nBlocks = if (args.length > 2) args(2).toInt else 3000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = HarnessSession.local(cpus)
 
     val base = new java.io.File(workDir)
     if (base.exists()) deleteRecursively(base)
@@ -189,9 +180,7 @@ object IngestBench {
     val (counts, tApply) = timed(new SilverStore(spark, silver2).applyBatch(blocks))
     val batchBlocksPerSec = nBlocks / tApply
 
-    def pct(xs: Seq[Long], p: Double): Long =
-      if (xs.isEmpty) 0L
-      else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
+    def pct(xs: Seq[Long], p: Double): Long = HarnessSession.pct(xs, p)
 
     val sla = blocksPerSec >= 1.0
     require(sla, f"SLA FAILED: $blocksPerSec%.2f blocks/s < 1 block/s")

@@ -2097,6 +2097,32 @@ object Oracles {
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY 1, 2""".stripMargin,
 
+    // Resample + forward-fill replay: grid from generate_series over the
+    // global hour bounds, fill via last_value IGNORE NULLS — identical
+    // frame to Spark's last(ignoreNulls).over(rowsBetween(unbounded,
+    // current)). Totals decimal-pinned before the final double cast;
+    // leading gaps stay null on both engines.
+    "q_ts1_gap_fill" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS tot,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |  b AS (SELECT min(date_trunc('hour', ts)) AS h0,
+        |               max(date_trunc('hour', ts)) AS h1 FROM events),
+        |  g AS (SELECT t.event_type, gs.hour
+        |        FROM (SELECT DISTINCT event_type FROM events) t, b,
+        |             unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS gs(hour)),
+        |  j AS (SELECT g.event_type, g.hour, h.tot,
+        |               coalesce(h.n, 0) AS n_events
+        |        FROM g LEFT JOIN h USING (event_type, hour))
+        |SELECT event_type, hour, n_events,
+        |       CAST(last_value(tot IGNORE NULLS) OVER (
+        |         PARTITION BY event_type ORDER BY hour
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS total_value,
+        |       (n_events = 0) AS is_gap
+        |FROM j ORDER BY event_type, hour""".stripMargin,
+
     "q_gr1_pagerank" -> pageRankSql(5),
 
     // Full bigram-LM replay: same fixed-point log2 as the srch oracles,

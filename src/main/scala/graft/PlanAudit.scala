@@ -276,6 +276,12 @@ object PlanAudit {
     "q_er1_fuzzy_join" -> Seq("HashAggregate",
       "SortMergeJoin|BroadcastHashJoin", "!CartesianProduct",
       "!BroadcastNestedLoopJoin", "!Window"),
+    // gap-fill: raw rows collapse to the (type,hour) aggregate FIRST;
+    // the forward-fill Window runs over the bounded grid (a deliberate,
+    // documented Window — partition is O(hours), not O(events)); the
+    // 1-row bounds aggregate broadcasts (BNLJ-on-one-row, like txt10)
+    "q_ts1_gap_fill" -> Seq("HashAggregate", "Window",
+      "!CartesianProduct"),
     // pinned-values PIVOT: aggregation passes only (no distinct-scan of
     // the pivot column, no join, no window) — the output schema is a
     // compile-time contract, not data-dependent
@@ -291,11 +297,13 @@ object PlanAudit {
     "q_a10_cube" -> Seq("Expand", "HashAggregate", "!Union", "!Join",
       "!Window"),
     // bigram LM: counts pre-aggregate at (doc,bigram) before anything is
-    // keyed by a term alone; count joins are term-keyed equi-joins —
-    // never a nested loop, never a window
+    // keyed by a term alone; count joins are term-keyed equi-joins. The
+    // vocab scalar V rides in-plan as a broadcast 1-ROW aggregate (same
+    // contract as txt10: a BNLJ on one row is a broadcast, not a
+    // cartesian) — so the check pins !CartesianProduct, not !BNLJ.
     "q_txt16_bigram_lm" -> Seq("HashAggregate",
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
-      "!BroadcastNestedLoopJoin", "!CartesianProduct", "!Window"))
+      "!CartesianProduct", "!Window"))
 
   /** AQE-ON audits for the skew paths: these EXECUTE the query under an
     * adaptive session and assert against the FINAL adaptive plan — the

@@ -306,7 +306,11 @@ object SparkEntry {
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // fill scoped to the pivoted count columns only: an unscoped fill
+      // would also rewrite a NULL user_id grouping key to 0, merging it
+      // with (or fabricating) a real user 0 and diverging from the
+      // oracle's NULL-group handling.
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy("user_id")
 
   /** A8 — exact interpolated median per group. */
@@ -1367,6 +1371,40 @@ object SparkEntry {
       .orderBy("n1", "n2")
   }
 
+  /** TS1 — time-series resample + forward-fill gap-fill: hourly grid per
+    * event_type over the table's full time range, empty hours carrying
+    * the last non-empty hour's total forward (the gap-fill every
+    * time-series store exposes; the reference's price table is exactly
+    * this shape, tokens/models.py:131-152). Scale shape: raw events
+    * collapse to the (type, hour) aggregate FIRST; the grid expansion
+    * and the forward-fill window then run over that bounded grid
+    * (types × hours), never over raw rows — at 100 TB the window's
+    * partition is O(hours), not O(events), so the analytic Window here
+    * is deliberate and bounded, unlike the per-event windows the w*
+    * audits forbid. Decimal-pinned totals; leading gaps (a type with no
+    * data yet) stay null. */
+  private def ts1(t: Tables): DataFrame = {
+    val ev = t.events.select(col("event_type"),
+      ntz(date_trunc("hour", col("ts"))).as("hour"),
+      col("value").cast(dec182).as("v"))
+    val hourly = ev.groupBy("event_type", "hour")
+      .agg(sum("v").cast(dec182).as("tot"), count(lit(1)).as("n"))
+    val bounds = ev.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("tot"), ignoreNulls = true).over(w).cast("double")
+          .as("total_value"),
+        (coalesce(col("n"), lit(0L)) === 0).as("is_gap"))
+      .orderBy("event_type", "hour")
+  }
+
   /** GR1 — fixed-point PageRank over a deterministic 3-out-regular link
     * graph on the document id space (authority centrality is a published
     * web-corpus quality signal; the iterative join-agg data flow is the
@@ -2276,7 +2314,8 @@ object SparkEntry {
       "q_a11_pivot" -> q(a11),
       "q_inc2_sketch_merge" -> q(inc2),
       "q_inc3_topk_sketch" -> q(inc3),
-      "q_er1_fuzzy_join" -> q(er1))
+      "q_er1_fuzzy_join" -> q(er1),
+      "q_ts1_gap_fill" -> q(ts1))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -142,24 +142,13 @@ object Stress {
   private final case class Run(name: String, wallSec: Double, rows: Long,
       tasks: Int, maxTaskMs: Long, p50TaskMs: Long)
 
-  private def pct(xs: Seq[Long], p: Double): Long =
-    if (xs.isEmpty) 0L
-    else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
+  private def pct(xs: Seq[Long], p: Double): Long = HarnessSession.pct(xs, p)
 
   def main(args: Array[String]): Unit = {
     val reportPath = args.headOption.getOrElse("STRESS.md")
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_stress"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = HarnessSession.local(cpus)
     new java.io.File(workDir).mkdirs()
     generate(spark, workDir)
 
@@ -172,6 +161,10 @@ object Stress {
       val t0 = System.nanoTime()
       val n = df.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      // Let straggler task-end events land before draining: the listener
+      // bus is async, and the LAST task to finish — the exact maxTaskMs
+      // evidence asserted on — is the likeliest event still in flight.
+      Thread.sleep(200)
       val ts = stats.drain()
       val r = Run(name, wall, n, ts.size, ts.maxOption.getOrElse(0L), pct(ts, 0.5))
       println(f"[stress] ${r.name}%-28s ${r.wallSec}%8.2f s ${r.rows}%12d rows " +
@@ -334,7 +327,8 @@ object Stress {
     sb ++= f"| dd12 maxDocsPerHash=50 cap | — | $hotHashes%,d hashes over cap | every one a bounded bucket |\n"
     sb ++= f"| dd6/dd7 CC edge set (connectivity vs expanded pairs) | $ccExpanded%,d | $ccConnectivity%,d | ${ccExpanded.toDouble / math.max(ccConnectivity, 1)}%,.0f× fewer CC edges |\n"
     sb ++= f"| dd10 vector-fingerprint collapse | $nVecs%,d vectors | $nDistinctVecs%,d reps | hot cell ${hotCell.getLong(1)}%,d vecs; kept $dd10Kept%,d of $dd10Total%,d |\n"
-    sb ++= f"| j10 salt (8-way) vs unsalted | max task ${control.maxTaskMs}%,d ms | max task ${runs.last.maxTaskMs}%,d ms | hot key spread over 8 reducers |\n\n"
+    val salted = runs.find(_.name == "q_j10_salted_join").get
+    sb ++= f"| j10 salt (8-way) vs unsalted | max task ${control.maxTaskMs}%,d ms | max task ${salted.maxTaskMs}%,d ms | hot key spread over 8 reducers |\n\n"
     sb ++= "## Query runs (count() wall time; task times from listener)\n\n"
     sb ++= "| query | wall s | output rows | tasks | max task ms | p50 task ms |\n"
     sb ++= "|---|---|---|---|---|---|\n"

@@ -36,6 +36,13 @@ object GraphFunctions {
     * MEMORY_AND_DISK with lineage intact (executor-loss safe) and the
     * previous round is unpersisted as soon as the next materializes, so
     * peak footprint is two rank tables regardless of iteration count.
+    *
+    * Caller contract: the RETURNED frame stays persisted — it must (the
+    * iteration chain behind it has been unpersisted, so releasing it
+    * eagerly would force a full recompute on first use). A caller
+    * invoking pageRank repeatedly in one session owns the release:
+    * `result.unpersist()` once consumed (the bench harness's per-query
+    * `clearCache()` does this for q_gr1).
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {

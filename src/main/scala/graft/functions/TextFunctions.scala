@@ -434,7 +434,8 @@ object TextFunctions {
     * Scale shape: bigram extraction is a map-side transform+explode (no
     * shuffle); counts are two hash aggregations keyed by the
     * high-cardinality bigram/word; the count joins are term-keyed
-    * equi-joins (vocab V rides in as a driver-side 1-row scalar). The
+    * equi-joins (vocab V rides in as an in-plan broadcast 1-row
+    * aggregate, so the model builds in ONE action). The
     * (doc,bigram)-level pre-aggregation bounds reducer skew the same way
     * unigramSurprisal's (doc,word) grouping does. Documents with fewer
     * than two words surface with n_bigrams = 0 and zero scores — they
@@ -455,15 +456,20 @@ object TextFunctions {
     val bgCounts = perDocBg.groupBy("__w1", "__w2")
       .agg(sum("__c").as("__cb"))
     val uniCounts = perDocBg.groupBy("__w1").agg(sum("__c").as("__cu"))
-    // V (distinct history words) is a 1-row scalar: driver-side count,
-    // not row data — same contract as the PageRank modulus.
-    val v = uniCounts.count()
+    // V (distinct history words) rides IN-PLAN as a broadcast 1-row
+    // aggregate, the same pattern as unigramSurprisal's total: a
+    // driver-side uniCounts.count() here would be a second ACTION
+    // re-running the tokenize/explode/two-level aggregation over the
+    // whole corpus just for the scalar (exchange reuse does not span
+    // actions) — doubling the query's heaviest shuffle work.
+    val vTotal = uniCounts.agg(count(lit(1)).as("__v"))
     val scored = perDocBg
       .join(bgCounts, Seq("__w1", "__w2"))
       .join(uniCounts, Seq("__w1"))
+      .crossJoin(broadcast(vTotal))
       .groupBy(idCol)
       .agg(
-        sum(col("__c") * (il(col("__cu") + lit(v)) - il(col("__cb") + lit(1L))))
+        sum(col("__c") * (il(col("__cu") + col("__v")) - il(col("__cb") + lit(1L))))
           .as("nll_total_1024"),
         sum(col("__c")).as("n_bigrams"))
       .select(col(idCol), col("n_bigrams"), col("nll_total_1024"),

@@ -260,10 +260,19 @@ final class SilverStore(spark: SparkSession, dir: String) {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evts = BlockIngest.events(receipts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Frames persisted mid-batch register here so a FAILED batch (a merge
+    // task throwing, a phase-2 patch error) releases them too: foreachBatch
+    // retries applyBatch, and cache blocks leaked per attempt would
+    // accumulate for the stream's lifetime.
+    val midBatch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def persistMidBatch(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      midBatch += p
+      p
+    }
 
     try {
-      val dons = donations(acts)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dons = persistMidBatch(donations(acts))
       val reviews = applicationReviews(acts)
 
       // One driver-side probe per batch: which handler triggers are
@@ -358,8 +367,7 @@ final class SilverStore(spark: SparkSession, dir: String) {
           val known = potDeployRows.select("account").unionByName(
             if (exists("pots")) table("pots").select("account")
             else spark.emptyDataFrame.select(lit("").as("account")).limit(0))
-          val cfg = upd.join(known, Seq("account"), "left_semi")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val cfg = persistMidBatch(upd.join(known, Seq("account"), "left_semi"))
           cfg.count() // eager: materialize before any directory swap
           cfg
         }
@@ -372,8 +380,7 @@ final class SilverStore(spark: SparkSession, dir: String) {
           val known = factoryDeployRows.select("account").unionByName(
             if (exists("pot_factories")) table("pot_factories").select("account")
             else spark.emptyDataFrame.select(lit("").as("account")).limit(0))
-          val cfg = upd.join(known, Seq("account"), "left_semi")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val cfg = persistMidBatch(upd.join(known, Seq("account"), "left_semi"))
           cfg.count() // eager: materialize before any directory swap
           cfg
         }
@@ -555,9 +562,9 @@ final class SilverStore(spark: SparkSession, dir: String) {
           .foreach(counts("pot_factories") = _)
       }
 
-      potCfg.unpersist(); factoryCfg.unpersist(); dons.unpersist()
       counts.toMap
     } finally {
+      midBatch.foreach(_.unpersist())
       receipts.unpersist(); acts.unpersist(); evts.unpersist()
     }
   }

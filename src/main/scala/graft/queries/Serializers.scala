@@ -190,7 +190,15 @@ object Serializers {
     * DRF's rendering — this closes the deviation drfStruct documents
     * for the schemaless blob (there a profile inside an embed still
     * renders as a string, because a struct field has to have a type).
-    * A null blob renders as explicit `null`. */
+    * A null blob renders as explicit `null`.
+    *
+    * Raw splice is gated on the blob LOOKING like a JSON object/array:
+    * the upstream `get_json_object($.…profile)` extraction UNQUOTES a
+    * string-scalar profile (`"profile":"hello"` arrives as bare
+    * `hello`), and any account can submit one via the social contract —
+    * spliced verbatim it would corrupt the whole JSON document. Non-
+    * object blobs are re-escaped as JSON strings instead (a deliberate
+    * deviation for scalar profiles: safe output over byte parity). */
   def accountJson(df: DataFrame): DataFrame = {
     val prefix = to_json(struct(
       col("id"),
@@ -199,13 +207,21 @@ object Serializers {
       usdString(col("total_matching_pool_allocations_usd"))
         .as("total_matching_pool_allocations_usd"),
       col("donors_count")), Map("ignoreNullFields" -> "false"))
+    // {"v":X} with Spark's own escaping; substring strips the 5-char
+    // `{"v":` prefix and trailing `}`, leaving a valid JSON value —
+    // `null` for a null blob, a quoted escaped string otherwise.
+    val wrapped = to_json(struct(col("near_social_profile_data").as("v")),
+      Map("ignoreNullFields" -> "false"))
     df.withColumn("__prefix", prefix)
+      .withColumn("__wrapped", wrapped)
       .withColumn("json", concat(
         expr("substring(__prefix, 1, length(__prefix) - 1)"),
         lit(",\"near_social_profile_data\":"),
-        coalesce(col("near_social_profile_data"), lit("null")),
+        when(substring(trim(col("near_social_profile_data")), 1, 1)
+            .isin("{", "["), col("near_social_profile_data"))
+          .otherwise(expr("substring(__wrapped, 6, length(__wrapped) - 6)")),
         lit("}")))
-      .drop("__prefix")
+      .drop("__prefix", "__wrapped")
   }
 
   /** Pagination envelope as a single JSON document (README.md:110-119

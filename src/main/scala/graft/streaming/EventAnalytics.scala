@@ -75,14 +75,18 @@ object EventAnalytics {
     * stream length, the property that lets enrichment run at ingest
     * instead of as a nightly backfill. Emits ALL in-range candidates;
     * compose [[streamAsOfEnrich]] (or the batch AsOfJoin) for
-    * nearest-price selection. */
+    * nearest-price selection. `joinType` "leftOuter" keeps transactions
+    * with NO in-range tick (null price columns, emitted once the
+    * watermark proves no tick can still arrive) — the reference stores
+    * a null USD value rather than dropping the donation. */
   def streamIntervalEnrich(txs: DataFrame, prices: DataFrame,
-      lateness: String = "1 hour", tolerance: String = "24 hours"): DataFrame = {
+      lateness: String = "1 hour", tolerance: String = "24 hours",
+      joinType: String = "inner"): DataFrame = {
     val t = txs.withWatermark("ts", lateness)
     val p = prices.withWatermark("price_ts", lateness)
     t.join(p, t("token_id") === p("token_id") &&
         p("price_ts") >= t("ts") - expr(s"INTERVAL $tolerance") &&
-        p("price_ts") <= t("ts"))
+        p("price_ts") <= t("ts"), joinType)
       .select(t("token_id"), col("tx_id"), col("ts"), col("amount"),
         col("price_ts"), col("price_usd"))
   }
@@ -93,10 +97,14 @@ object EventAnalytics {
     * append-mode pipeline (stream-stream join → streaming aggregation);
     * the aggregation emits a transaction once the watermark passes its
     * event time, i.e. once no in-range price tick can still arrive —
-    * exactly-once enrichment without a reconciliation pass. */
+    * exactly-once enrichment without a reconciliation pass. LEFT OUTER
+    * underneath, so a transaction with no tick in range (thinly-traded
+    * or brand-new token) still surfaces, with a null price — matching
+    * the batch AsOfJoin's "left" contract and the reference's
+    * null-USD storage, instead of silently vanishing. */
   def streamAsOfEnrich(txs: DataFrame, prices: DataFrame,
       lateness: String = "1 hour", tolerance: String = "24 hours"): DataFrame =
-    streamIntervalEnrich(txs, prices, lateness, tolerance)
+    streamIntervalEnrich(txs, prices, lateness, tolerance, "leftOuter")
       .groupBy(col("token_id"), col("tx_id"), window(col("ts"), "1 hour"))
       .agg(first(col("amount")).as("amount"),
         max_by(col("price_usd"), col("price_ts")).as("price_usd"),

@@ -331,6 +331,19 @@ class QueryServiceSpec extends SparkSpec {
       lit(null).cast("string"))
     val bareJson = Serializers.accountJson(bare).head().getAs[String]("json")
     assert(bareJson.endsWith(""""near_social_profile_data":null}"""))
+
+    // A string-scalar profile (any account can submit one via the social
+    // contract; get_json_object unquotes it) must NOT splice raw — that
+    // would corrupt the document. It re-escapes as a JSON string.
+    val scalar = a.withColumn("near_social_profile_data",
+      lit("""hello "world"\path"""))
+    val scalarJson =
+      Serializers.accountJson(scalar).head().getAs[String]("json")
+    assert(scalarJson.endsWith(
+      """"near_social_profile_data":"hello \"world\"\\path"}"""))
+    // The document as a whole stays parseable JSON.
+    assert(spark.range(1).select(
+      from_json(lit(scalarJson), schema_of_json(lit(scalarJson)))).count() == 1)
   }
 
   test("golden byte-parity: pot, list registration and payout JSON match the reference serializers") {

@@ -153,8 +153,9 @@ class EventAnalyticsSpec extends SparkSpec {
     def ts(h: Int) = new java.sql.Timestamp(1718000000000L + h * 3600000L)
     // flusher rows on BOTH streams push the watermark past the real data
     // so the append-mode aggregation emits the real groups.
+    // tx 3 (tokC) has no price tick at all — must surface with null price
     val txs = Seq((1L, "tokA", ts(30), 100.0), (2L, "tokA", ts(50), 7.0),
-      (99L, "tokZ", ts(500), 0.0))
+      (3L, "tokC", ts(30), 5.0), (99L, "tokZ", ts(500), 0.0))
       .toDF("tx_id", "token_id", "ts", "amount")
     val prices = Seq(("tokA", ts(10), 2.0), ("tokA", ts(29), 3.0),
       ("tokA", ts(40), 9.0), ("tokZ", ts(500), 0.0))
@@ -173,10 +174,11 @@ class EventAnalyticsSpec extends SparkSpec {
 
     val got = spark.table("asof").filter(col("tx_id") < 99)
       .select("tx_id", "price_usd").collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
     // tx1 (h30): nearest at-or-before is h29 → 3.0 (h40 is in the future).
     // tx2 (h50): h40 → 9.0 (h29 is 21h back, also in range; max_by picks h40).
-    assert(got == Map(1L -> 3.0, 2L -> 9.0))
+    // tx3 (tokC, no tick): kept by the left-outer join, null price.
+    assert(got == Map(1L -> Some(3.0), 2L -> Some(9.0), 3L -> None))
   }
 
   test("session_window sessionization equals the batch session_window aggregation") {
