@@ -2125,6 +2125,85 @@ object Oracles {
 
     "q_gr1_pagerank" -> pageRankSql(5),
 
+    // Full replay of the degree-ordered triangle enumeration: same
+    // generator as gr1, symmetrize, degree, orient by (deg, id) row
+    // comparison, wedge self-join ordered by the same total order,
+    // close, fan the 3 corners out, count. All-integer — engine-exact.
+    "q_gr2_triangles" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |  de AS (SELECT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 37 + 11) % nn.n AS dst FROM documents, nn
+        |    UNION ALL SELECT doc_id, (doc_id * 101 + 53) % nn.n FROM documents, nn
+        |    UNION ALL SELECT doc_id, (doc_id * 197 + 89) % nn.n FROM documents, nn) t),
+        |  ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |         FROM de WHERE src <> dst),
+        |  dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |           SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) e GROUP BY 1),
+        |  oe AS (SELECT CASE WHEN (da.deg, ue.a) < (db.deg, ue.b)
+        |                     THEN ue.a ELSE ue.b END AS src,
+        |                CASE WHEN (da.deg, ue.a) < (db.deg, ue.b)
+        |                     THEN ue.b ELSE ue.a END AS dst,
+        |                CASE WHEN (da.deg, ue.a) < (db.deg, ue.b)
+        |                     THEN db.deg ELSE da.deg END AS ddeg
+        |         FROM ue JOIN dg da ON da.v = ue.a JOIN dg db ON db.v = ue.b),
+        |  tri AS (SELECT w1.src AS u, w1.dst AS tv, w2.dst AS tw
+        |          FROM oe w1 JOIN oe w2 ON w1.src = w2.src
+        |            AND (w1.ddeg, w1.dst) < (w2.ddeg, w2.dst)
+        |          JOIN oe e ON e.src = w1.dst AND e.dst = w2.dst),
+        |  tc AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS nt FROM (
+        |           SELECT u AS x FROM tri UNION ALL SELECT tv FROM tri
+        |           UNION ALL SELECT tw FROM tri) f GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(dg.deg, 0) AS degree,
+        |       COALESCE(tc.nt, 0) AS n_triangles
+        |FROM documents d LEFT JOIN dg ON dg.v = d.doc_id
+        |LEFT JOIN tc ON tc.v = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Rolling z-score replay: identical 24-hour PRECEDING frame, the
+    // same division-free integer z² inequality. DuckDB's SUM over
+    // BIGINT widens to HUGEINT → cast back before the arithmetic.
+    "q_ts2_anomaly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |                  CAST(floor(SUM(CAST(value AS DECIMAL(18,2)))) AS BIGINT) AS x
+        |           FROM events GROUP BY 1, 2),
+        |  w AS (SELECT event_type, hour, x,
+        |          CAST(count(x) OVER win AS BIGINT) AS n,
+        |          CAST(COALESCE(SUM(x) OVER win, 0) AS BIGINT) AS s1,
+        |          CAST(COALESCE(SUM(x * x) OVER win, 0) AS BIGINT) AS s2
+        |        FROM h WINDOW win AS (PARTITION BY event_type ORDER BY hour
+        |          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour, x, n, s1, s2,
+        |       CASE WHEN n >= 12 THEN
+        |         (n * x - s1) * (n * x - s1) > 9 * (n * s2 - s1 * s1)
+        |       ELSE NULL END AS is_anomaly
+        |FROM w ORDER BY event_type, hour""".stripMargin,
+
+    // Group-wise OLS replay from the same two-level aggregation; both
+    // engines truncate integer division toward zero (Spark `div`,
+    // DuckDB `//` — verified on negative operands), so ppm slopes agree
+    // bit-for-bit including declining trends.
+    "q_a12_trend_ols" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |                 CAST(floor(SUM(CAST(value AS DECIMAL(18,2)))) AS BIGINT) AS y
+        |               FROM events GROUP BY 1, 2),
+        |  fd AS (SELECT user_id, min(day) AS d0 FROM daily GROUP BY 1),
+        |  xy AS (SELECT daily.user_id,
+        |                CAST(date_diff('day', fd.d0, daily.day) AS BIGINT) AS x, y
+        |         FROM daily JOIN fd USING (user_id)),
+        |  m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |               CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |               CAST(SUM(x * y) AS BIGINT) AS sxy
+        |        FROM xy GROUP BY 1)
+        |SELECT user_id, n AS n_days, sx, sy, sxx, sxy,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |            ELSE (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+        |       END AS slope_ppm,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |            ELSE (1000000 * (sy * sxx - sx * sxy)) // (n * sxx - sx * sx)
+        |       END AS intercept_ppm
+        |FROM m ORDER BY user_id""".stripMargin,
+
     // Full bigram-LM replay: same fixed-point log2 as the srch oracles,
     // Laplace smoothing re-derived from the corpus counts. Per-bigram
     // terms are integral, so the sum is shuffle-order-proof on both

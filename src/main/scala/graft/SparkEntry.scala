@@ -1427,6 +1427,104 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** GR2 — per-node triangle counts over the same deterministic link
+    * graph as gr1, symmetrized to an undirected simple graph (triangle
+    * density ≈ clustering coefficient numerator — a published
+    * link-farm/community signal for web-corpus curation). The heavy
+    * lifting and the 100 TB story (degree-ordered orientation bounding
+    * the wedge join's fan-out at O(√m) per node) live in
+    * GraphFunctions.triangleCounts; the oracle replays the whole
+    * enumeration — symmetrize, degree, orient, wedge, close — in SQL.
+    * All-integer counts: bit-identical across engines. */
+  private def gr2(t: Tables): DataFrame = {
+    val nodes = t.documents.select(col("doc_id").as("v"))
+    val n = nodes.count() // 1-row scalar modulus, as in gr1
+    val directed = nodes.select(col("v").as("src"), explode(array(
+        pmod(col("v") * 37 + 11, lit(n)),
+        pmod(col("v") * 101 + 53, lit(n)),
+        pmod(col("v") * 197 + 89, lit(n)))).as("dst"))
+    val undirected = directed.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    graft.functions.GraphFunctions.triangleCounts(nodes, undirected)
+      .select(col("v").as("doc_id"), col("degree"), col("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  /** TS2 — rolling z-score anomaly detection over the hourly series:
+    * for each (event_type, hour), the hour's total is flagged when it
+    * sits more than 3 sigma from the mean of the 24 PRECEDING hours
+    * (the streaming-telemetry outlier monitor every observability
+    * pipeline runs; the reference's 5-minute beat-job stats are the
+    * same rolling-aggregate shape, base/celery.py:27-43). The z-test
+    * is algebraically cleared of division and sqrt so it is ALL-INTEGER:
+    * z² > 9  ⇔  (n·x − s1)² > 9·(n·s2 − s1²) with s1,s2 the window's
+    * sum and sum-of-squares over whole-dollar totals — bit-identical
+    * across engines, no float tolerance anywhere. Scale shape: raw
+    * events collapse to the (type, hour) aggregate FIRST; the window
+    * runs over that bounded grid (types × hours), never over raw rows —
+    * same deliberate bounded-Window contract as ts1. Warm-up hours
+    * (fewer than 12 prior observations) report NULL, not false. */
+  private def ts2(t: Tables): DataFrame = {
+    val hourly = t.events
+      .select(col("event_type"), ntz(date_trunc("hour", col("ts"))).as("hour"),
+        col("value").cast(dec182).as("v"))
+      .groupBy("event_type", "hour")
+      .agg(floor(sum("v")).cast("long").as("x"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-24, -1)
+    hourly
+      .select(col("event_type"), col("hour"), col("x"),
+        count(col("x")).over(w).as("n"),
+        coalesce(sum(col("x")).over(w), lit(0L)).as("s1"),
+        coalesce(sum(col("x") * col("x")).over(w), lit(0L)).as("s2"))
+      .withColumn("is_anomaly",
+        when(col("n") >= 12,
+          (col("n") * col("x") - col("s1")) * (col("n") * col("x") - col("s1"))
+            > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
+          .otherwise(lit(null).cast("boolean")))
+      .orderBy("event_type", "hour")
+  }
+
+  /** A12 — group-wise OLS trend: per-user least-squares slope and
+    * intercept of daily spend vs day index (the per-entity trend scan
+    * behind churn/growth detection; the closed-form normal equations
+    * make OLS a pure aggregation — the textbook "regression as a
+    * groupBy" distributed formulation, no iteration). Day indexes are
+    * rebased per user (x = day − first day), so every moment is a small
+    * integer; slope/intercept are pinned to ppm via integer division
+    * (Spark `div` and DuckDB `//` both truncate toward zero, verified,
+    * so negative slopes agree bit-for-bit). Users with a single active
+    * day have zero x-variance → NULL slope, not a division error.
+    * Scale shape: two chained hash aggregations (events→daily,
+    * daily→moments) plus one broadcast-size join for the rebase —
+    * partial aggregation collapses everything map-side; no window. */
+  private def a12(t: Tables): DataFrame = {
+    val daily = t.events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value").cast(dec182).as("v"))
+      .groupBy("user_id", "day")
+      .agg(floor(sum("v")).cast("long").as("y"))
+    val first = daily.groupBy("user_id").agg(min("day").as("d0"))
+    val xy = daily.join(first, "user_id")
+      .select(col("user_id"), datediff(col("day"), col("d0")).cast("long").as("x"),
+        col("y"))
+    val m = xy.groupBy("user_id").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    m.select(col("user_id"), col("n").as("n_days"),
+        col("sx"), col("sy"), col("sxx"), col("sxy"),
+        when(den === 0, lit(null).cast("long")).otherwise(
+          expr("(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"))
+          .as("slope_ppm"),
+        when(den === 0, lit(null).cast("long")).otherwise(
+          expr("(1000000 * (sy * sxx - sx * sxy)) div (n * sxx - sx * sx)"))
+          .as("intercept_ppm"))
+      .orderBy("user_id")
+  }
+
   /** TXT15 — overlapping sliding-window chunking (64-token windows,
     * stride 48): the context-window packing precursor for RAG indexing
     * and long-document training. Pure map-side work — tokenize once,
@@ -2315,7 +2413,10 @@ object SparkEntry {
       "q_inc2_sketch_merge" -> q(inc2),
       "q_inc3_topk_sketch" -> q(inc3),
       "q_er1_fuzzy_join" -> q(er1),
-      "q_ts1_gap_fill" -> q(ts1))
+      "q_ts1_gap_fill" -> q(ts1),
+      "q_gr2_triangles" -> q(gr2),
+      "q_ts2_anomaly" -> q(ts2),
+      "q_a12_trend_ols" -> q(a12))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql
