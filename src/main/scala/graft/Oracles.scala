@@ -960,6 +960,24 @@ object Oracles {
     // Ensemble consensus: both detection families replay independently
     // from their echoed signatures (band-slice candidates + exact
     // Jaccard; banded Hamming brute force), then intersect.
+    // INDEPENDENT brute-force gold standard for the prefix-filter join:
+    // every within-language pair is scanned and exact-verified — no
+    // prefix trick on this side — so a hash match proves the AllPairs
+    // completeness theorem held on the data (no missed pair, none
+    // invented). Same truncating-division ppm pin as the Spark side.
+    "q_dd15_allpairs" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |             list_distinct(string_split($norm, ' ')) AS ws
+         |           FROM documents),
+         |  p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |          CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter,
+         |          CAST(len(a.ws) AS BIGINT) AS na, CAST(len(b.ws) AS BIGINT) AS nb
+         |        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, inter, (na + nb - inter) AS uni,
+         |       (1000000 * inter) // (na + nb - inter) AS jac_ppm
+         |FROM p WHERE inter * 5 >= (na + nb - inter) * 4
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q_dd14_ensemble_consensus" ->
       s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_dd14_ensemble_consensus/*.parquet')),
          |  ms AS (SELECT doc_id, mh_sig, CAST(mh_sig AS BIGINT[]) AS sa
@@ -2177,6 +2195,26 @@ object Oracles {
         |         (n * x - s1) * (n * x - s1) > 9 * (n * s2 - s1 * s1)
         |       ELSE NULL END AS is_anomaly
         |FROM w ORDER BY event_type, hour""".stripMargin,
+
+    // EWMA recurrence replay: the truncating fixed-point update has no
+    // closed form, so the oracle walks it with a recursive CTE — one
+    // level per day, joined on rn = rn + 1 within each series. Integer
+    // and non-negative throughout, so // and div agree.
+    "q_ts3_ewma" ->
+      """WITH RECURSIVE h AS (
+        |    SELECT event_type, CAST(ts AS DATE) AS day,
+        |           CAST(floor(SUM(CAST(value AS DECIMAL(18,2)))) AS BIGINT) AS x
+        |    FROM events GROUP BY 1, 2),
+        |  r AS (SELECT event_type, day, x,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |        FROM h),
+        |  e AS (SELECT event_type, day, x, rn, x AS ew FROM r WHERE rn = 1
+        |        UNION ALL
+        |        SELECT r.event_type, r.day, r.x, r.rn, (r.x + 7 * e.ew) // 8
+        |        FROM r JOIN e ON r.event_type = e.event_type
+        |          AND r.rn = e.rn + 1)
+        |SELECT event_type, day, x, ew AS ewma8
+        |FROM e ORDER BY event_type, day""".stripMargin,
 
     // Group-wise OLS replay from the same two-level aggregation; both
     // engines truncate integer division toward zero (Spark `div`,

@@ -303,7 +303,42 @@ object PlanAudit {
     // cartesian) — so the check pins !CartesianProduct, not !BNLJ.
     "q_txt16_bigram_lm" -> Seq("HashAggregate",
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
-      "!CartesianProduct", "!Window"))
+      "!CartesianProduct", "!Window"),
+    // triangles: orientation/wedge/closure are all hash equi-joins and
+    // the counts hash-aggregate — no window, no cartesian, no
+    // nested-loop anywhere (the degree-ordered fan-out bound only holds
+    // if the wedge join really is an equi-join on the pivot key)
+    "q_gr2_triangles" -> Seq("HashAggregate",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin", "!Window"),
+    // anomaly scan: raw events collapse to the (type,hour) aggregate
+    // FIRST; the rolling frame is a deliberate bounded Window over that
+    // grid, partitioned by type — same contract as ts1
+    "q_ts2_anomaly" -> Seq("HashAggregate", "Window",
+      "windowspecdefinition\\(event_type", "!Join", "!CartesianProduct"),
+    // EWMA: daily hash agg FIRST, then the fold inside ONE
+    // ObjectHashAggregate row per type (bounded O(days) state) — no
+    // analytic Window, no join, never a scan over raw events per step
+    "q_ts3_ewma" -> Seq("HashAggregate", "ObjectHashAggregate", "!Window",
+      "!Join", "!CartesianProduct"),
+    // group-wise OLS: two chained hash aggregations + one equi-join for
+    // the per-user rebase — closed-form regression, no window, no
+    // iteration, no cartesian
+    "q_a12_trend_ols" -> Seq("HashAggregate",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!Window", "!CartesianProduct"),
+    // all-pairs prefix filter: candidates form ONLY on (block, token)
+    // equality and verification is id-keyed equi-joins — the whole
+    // point is that nothing ever cartesians and nothing windows. No
+    // shuffle may ever key on the block column ALONE (the
+    // dominant-language shuffle would be the dd6 anti-pattern); the
+    // candidate join's composite (blk, tok) key is fine — the rare
+    // token is what spreads it
+    "q_dd15_allpairs" -> Seq("HashAggregate",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin", "!Window",
+      "!hashpartitioning\\(blk#\\d+, \\d+\\)",
+      "!hashpartitioning\\(lang"))
 
   /** AQE-ON audits for the skew paths: these EXECUTE the query under an
     * adaptive session and assert against the FINAL adaptive plan — the

@@ -935,6 +935,22 @@ object SparkEntry {
       .orderBy("section", "doc_id", "id_a", "id_b")
   }
 
+  /** DD15 — EXACT all-pairs Jaccard ≥ 0.8 self-join via prefix
+    * filtering (AllPairs/PPJoin), blocked by language: the deterministic
+    * complement to dd3's MinHash LSH — zero probabilistic misses, every
+    * qualifying pair returned, yet still sub-quadratic because
+    * candidates only form on rare-token prefix collisions (rarest-first
+    * global token order; stopwords sort to the suffix and never emit a
+    * candidate). The oracle is the INDEPENDENT gold standard: a full
+    * brute-force within-language pair scan in DuckDB — so this query
+    * proves the prefix filter's completeness (no pair missed) AND
+    * precision (no pair invented) on real data, not just by theorem.
+    * Scale design in DedupFunctions.allPairsJaccard. */
+  private def dd15(t: Tables): DataFrame =
+    DedupFunctions.allPairsJaccard(t.documents, "doc_id", "text",
+        blockCol = "lang", tauNum = 4, tauDen = 5)
+      .orderBy("id_a", "id_b")
+
   /** TXT11 — Luhn-validated card redaction: candidate digit runs are
     * checksum-VALIDATED before redaction (a bare regex over-redacts
     * order ids and phone numbers). Each document gets one valid and one
@@ -1485,6 +1501,39 @@ object SparkEntry {
             > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
           .otherwise(lit(null).cast("boolean")))
       .orderBy("event_type", "hour")
+  }
+
+  /** TS3 — fixed-point EWMA smoothing of the daily series (α = 1/8):
+    * e₀ = x₀, e_t = (x_t + 7·e_{t−1}) div 8 over whole-dollar daily
+    * totals — the telemetry smoother behind every "trend line" panel,
+    * and a recurrence that has NO closed form once each step truncates,
+    * so it is a genuine sequential-scan operator, not a disguised
+    * window sum. All-integer and non-negative, so Spark `div` and
+    * DuckDB `//` agree exactly; the oracle replays the recurrence as a
+    * recursive CTE. Scale shape: raw events collapse to the
+    * (type, day) aggregate FIRST (hash agg, partial map-side); the fold
+    * then runs inside one ObjectHashAggregate row per type whose state
+    * is the bounded day series — O(days) per key, never O(events), the
+    * same bounded-state contract as ts1/ts2's grid windows. */
+  private def ts3(t: Tables): DataFrame = {
+    val daily = t.events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast(dec182).as("v"))
+      .groupBy("event_type", "day")
+      .agg(floor(sum("v")).cast("long").as("x"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(s,
+          |  cast(array() as array<struct<day:date,x:bigint,ewma8:bigint>>),
+          |  (acc, e) -> array_append(acc, named_struct(
+          |    'day', e.day, 'x', e.x,
+          |    'ewma8', if(size(acc) = 0, e.x,
+          |      (e.x + 7 * element_at(acc, -1).ewma8) div 8))))""".stripMargin))
+        .as("r"))
+      .select(col("event_type"), col("r.day").as("day"), col("r.x").as("x"),
+        col("r.ewma8").as("ewma8"))
+      .orderBy("event_type", "day")
   }
 
   /** A12 — group-wise OLS trend: per-user least-squares slope and
@@ -2415,7 +2464,9 @@ object SparkEntry {
       "q_er1_fuzzy_join" -> q(er1),
       "q_ts1_gap_fill" -> q(ts1),
       "q_gr2_triangles" -> q(gr2),
+      "q_dd15_allpairs" -> q(dd15),
       "q_ts2_anomaly" -> q(ts2),
+      "q_ts3_ewma" -> q(ts3),
       "q_a12_trend_ols" -> q(a12))
   }
 

@@ -60,6 +60,68 @@ object DedupFunctions {
       inter.cast("double") / (size(sa) + size(sb) - inter).cast("double")
     }
 
+  /** EXACT all-pairs Jaccard self-join via prefix filtering — the
+    * deterministic complement to MinHash LSH: every pair with
+    * J ≥ tauNum/tauDen inside a block is returned, no probabilistic
+    * misses (the AllPairs/PPJoin family of set-similarity joins,
+    * Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public algorithms).
+    *
+    * How it stays sub-quadratic at 100 TB: tokens are globally ordered
+    * rarest-first by document frequency; a document of n tokens only
+    * emits its first p = n − ⌈τ·n⌉ + 1 tokens in that order as join
+    * keys. Completeness theorem: two sets with Jaccard ≥ τ MUST share
+    * at least one token inside both probing prefixes, so candidates form
+    * ONLY on rare-token equality — stopword-scale tokens sort to the
+    * suffix and never generate a single candidate. A length filter
+    * (τ·|a| ≤ |b| ≤ |a|/τ) rides on the candidate join, then exact
+    * verification by one array_intersect per surviving DISTINCT pair.
+    * Data flow: df-count (one hash agg on token), rank join (equi-join
+    * on token), per-doc local sort, prefix explode, candidate equi-join
+    * on (block, token), two id-keyed joins for verification — every step
+    * a hash shuffle, no cartesian anywhere.
+    *
+    * Returns (id_a, id_b, inter, uni, jac_ppm), id_a < id_b, pairs
+    * within the same `blockCol` value only. jac_ppm is integer-pinned
+    * (truncating division — identical in DuckDB), so the result is
+    * engine-exact and brute-force-verifiable. */
+  def allPairsJaccard(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
+    val toks = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      explode(wordSet(col(textCol))).as("tok"))
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Rarest-first total order: (df, token) is unique per doc since the
+    // word set is distinct, so every doc sorts its tokens identically.
+    val ordered = toks.join(df, "tok")
+      .groupBy("id", "blk")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("id"), col("blk"),
+        expr("transform(st, s -> s.tok)").as("toks"),
+        size(col("st")).cast("long").as("n"))
+    val pFx = s"n - (($tauNum * n + ${tauDen - 1}) div $tauDen) + 1"
+    val pre = ordered.select(col("id"), col("blk"), col("n"),
+      explode(expr(s"slice(toks, 1, cast($pFx as int))")).as("tok"))
+    val cand = pre.select(col("blk"), col("tok"), col("id").as("id_a"),
+        col("n").as("na"))
+      .join(pre.select(col("blk"), col("tok"), col("id").as("id_b"),
+        col("n").as("nb")), Seq("blk", "tok"))
+      .filter(col("id_a") < col("id_b") &&
+        col("nb") * tauDen >= col("na") * tauNum &&
+        col("na") * tauDen >= col("nb") * tauNum)
+      .select("id_a", "id_b").distinct()
+    val sets = ordered.select(col("id"), col("toks"), col("n"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("toks").as("ta"),
+        col("n").as("na2")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("toks").as("tb"),
+        col("n").as("nb2")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", col("na2") + col("nb2") - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        expr("(1000000 * inter) div uni").as("jac_ppm"))
+  }
+
   /** MinHash signature: k permutations simulated by re-hashing a single
     * 64-bit base hash per shingle with the permutation index (standard
     * public construction). Single pass: each shingle *string* is hashed

@@ -42,6 +42,40 @@ class GraphFunctionsSpec extends SparkSpec {
     assert(total <= 1000000L && total > 900000L)
   }
 
+  test("triangleCounts: K4 has 4 triangles, 3 per node") {
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("v")
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L)).toDF("a", "b")
+    val r = GraphFunctions.triangleCounts(nodes, edges)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSet == Set((0L, 3L, 3L), (1L, 3L, 3L), (2L, 3L, 3L),
+      (3L, 3L, 3L)))
+  }
+
+  test("triangleCounts: star + one closing edge, isolated node is zeroed") {
+    // hub 0 — {1,2,3}; extra edge 1—2 closes exactly one triangle
+    // (0,1,2); node 4 is isolated.
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("v")
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("a", "b")
+    val r = GraphFunctions.triangleCounts(nodes, edges)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map(0L -> (3L, 1L), 1L -> (2L, 1L), 2L -> (2L, 1L),
+      3L -> (1L, 0L), 4L -> (0L, 0L)))
+  }
+
+  test("triangleCounts: hub out-degree is bounded by the orientation") {
+    // A 1-hub star with 50 leaves: the hub's (deg,id) is the LARGEST,
+    // so every edge orients leaf→hub and the hub's out-degree is 0 —
+    // the wedge self-join fans out from leaves (out-degree 1), never
+    // from the hub. Triangle-free, all zeros.
+    val nodes = (0L to 50L).toDF("v")
+    val edges = (1L to 50L).map(i => (0L.min(i), 0L.max(i)))
+      .toDF("a", "b")
+    val r = GraphFunctions.triangleCounts(nodes, edges)
+    assert(r.agg(sum("n_triangles")).as[Long].head() == 0L)
+    assert(r.filter(col("v") === 0L).select("degree").as[Long].head() == 50L)
+  }
+
   test("a round plans as src-keyed equi-joins + one dst aggregation") {
     val (nodes, edges) = tiny
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))

@@ -74,6 +74,37 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.isEmpty, pairs.collect().mkString(", "))
   }
 
+  test("allPairsJaccard: complete and precise vs brute force (DD15)") {
+    // One block; thresholds chosen so the near-dup pair (1,2) qualifies
+    // at tau = 0.6 and nothing else does. Brute force computed over the
+    // SAME word sets inside Spark — independent of the prefix path.
+    val blocked = docs.withColumn("blk", lit("x"))
+    val got = DedupFunctions.allPairsJaccard(blocked, "doc_id", "text",
+        "blk", tauNum = 3, tauDen = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sets = blocked.select(col("doc_id"),
+      DedupFunctions.wordSet(col("text")).as("ws"))
+    val brute = sets.as("a").join(sets.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        size(array_intersect(col("a.ws"), col("b.ws"))).as("i"),
+        (size(col("a.ws")) + size(col("b.ws"))).as("s"))
+      .filter(col("i") * 5 >= (col("s") - col("i")) * 3)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("allPairsJaccard: pairs never cross a block boundary") {
+    val a = "shared words alpha beta gamma delta epsilon zeta"
+    val two = Seq((1L, a, "b1"), (2L, a, "b2"), (3L, a, "b1"))
+      .toDF("doc_id", "text", "blk")
+    val got = DedupFunctions.allPairsJaccard(two, "doc_id", "text",
+        "blk", tauNum = 4, tauDen = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L))) // identical text, but 2 is in another block
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val hs = docs.withColumn("h", DedupFunctions.simHash(col("text")))
       .select("doc_id", "h").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
