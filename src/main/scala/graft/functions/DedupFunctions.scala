@@ -66,19 +66,29 @@ object DedupFunctions {
     * misses (the AllPairs/PPJoin family of set-similarity joins,
     * Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public algorithms).
     *
-    * How it stays sub-quadratic at 100 TB: tokens are globally ordered
-    * rarest-first by document frequency; a document of n tokens only
-    * emits its first p = n − ⌈τ·n⌉ + 1 tokens in that order as join
-    * keys. Completeness theorem: two sets with Jaccard ≥ τ MUST share
-    * at least one token inside both probing prefixes, so candidates form
-    * ONLY on rare-token equality — stopword-scale tokens sort to the
-    * suffix and never generate a single candidate. A length filter
-    * (τ·|a| ≤ |b| ≤ |a|/τ) rides on the candidate join, then exact
-    * verification by one array_intersect per surviving DISTINCT pair.
+    * How it stays sub-quadratic at 100 TB — four stacked guards:
+    * (1) EXACT-DUP COLLAPSE: identical (block, token set) docs collapse
+    * to one representative before any pairwise step (the dd3/dd10
+    * discipline), so duplicate mass costs O(group) not O(group²) in the
+    * candidate/verify machinery; membership expansion restores the
+    * exact pair answer at the end. (2) PREFIX FILTER: tokens are
+    * globally ordered rarest-first by doc frequency; a doc of n tokens
+    * emits only its first p = n − ⌈τ·n⌉ + 1 tokens as join keys.
+    * Completeness theorem: two sets with Jaccard ≥ τ MUST share a token
+    * inside both probing prefixes, so candidates form ONLY on
+    * rare-token equality — stopword-scale tokens sort to the suffix and
+    * never generate a single candidate. (3) LENGTH FILTER
+    * (τ·|a| ≤ |b| ≤ |a|/τ) on the candidate join. (4) POSITIONAL
+    * FILTER (PPJoin): each shared prefix occurrence at sorted positions
+    * (i, j) upper-bounds the overlap by min(i,j)+1+min(na−i−1,nb−j−1);
+    * pairs whose tightest bound cannot reach the τ-required overlap are
+    * pruned before verification. Exact verification is then one
+    * array_intersect per surviving representative pair.
     * Data flow: df-count (one hash agg on token), rank join (equi-join
     * on token), per-doc local sort, prefix explode, candidate equi-join
-    * on (block, token), two id-keyed joins for verification — every step
-    * a hash shuffle, no cartesian anywhere.
+    * on (block, token), pair-min aggregation, id-keyed verification
+    * joins, fp-keyed membership expansion — every step a hash shuffle,
+    * no cartesian anywhere.
     *
     * Returns (id_a, id_b, inter, uni, jac_ppm), id_a < id_b, pairs
     * within the same `blockCol` value only. jac_ppm is integer-pinned
@@ -87,37 +97,90 @@ object DedupFunctions {
   def allPairsJaccard(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
-    val toks = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      explode(wordSet(col(textCol))).as("tok"))
+    val base = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      wordSet(col(textCol)).as("ws"))
+    // Exact-duplicate collapse FIRST (the dd3/dd10 discipline): docs
+    // with an identical (block, token set) collapse to one
+    // representative before any pairwise machinery, so a 100k-copy
+    // boilerplate group costs ONE prefix emission and ZERO
+    // verifications instead of C(100k, 2). Identical sets rejoin the
+    // output by membership expansion below — the exact answer is
+    // unchanged (such pairs have J = 1 ≥ τ always).
+    val fped = base.withColumn("fp",
+      xxhash64(col("blk"), to_json(array_sort(col("ws")))))
+    val members = fped.select(col("fp"), col("id"))
+    val groups = fped.groupBy("fp").agg(min("id").as("id"),
+      count(lit(1)).as("cnt"))
+    val reps = groups.join(fped.drop("fp"), Seq("id"))
+    val toks = reps.select(col("id"), col("blk"), col("fp"),
+      explode(col("ws")).as("tok"))
+    // Doc frequency among representatives — any GLOBAL total order
+    // preserves completeness; rarest-first among reps is what bounds
+    // candidate fan-out.
     val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // Rarest-first total order: (df, token) is unique per doc since the
-    // word set is distinct, so every doc sorts its tokens identically.
+    // (df, token) is unique per doc since the word set is distinct, so
+    // every doc sorts its tokens identically.
     val ordered = toks.join(df, "tok")
-      .groupBy("id", "blk")
+      .groupBy("id", "blk", "fp")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
-      .select(col("id"), col("blk"),
+      .select(col("id"), col("blk"), col("fp"),
         expr("transform(st, s -> s.tok)").as("toks"),
         size(col("st")).cast("long").as("n"))
     val pFx = s"n - (($tauNum * n + ${tauDen - 1}) div $tauDen) + 1"
-    val pre = ordered.select(col("id"), col("blk"), col("n"),
-      explode(expr(s"slice(toks, 1, cast($pFx as int))")).as("tok"))
-    val cand = pre.select(col("blk"), col("tok"), col("id").as("id_a"),
-        col("n").as("na"))
-      .join(pre.select(col("blk"), col("tok"), col("id").as("id_b"),
-        col("n").as("nb")), Seq("blk", "tok"))
-      .filter(col("id_a") < col("id_b") &&
+    val pre = ordered.selectExpr("id", "blk", "fp", "n",
+      s"posexplode(slice(toks, 1, cast($pFx as int))) as (i, tok)")
+    val cand = pre.select(col("blk"), col("tok"), col("id").as("ra"),
+        col("fp").as("fa"), col("n").as("na"), col("i").as("ia"))
+      .join(pre.select(col("blk"), col("tok"), col("id").as("rb"),
+        col("fp").as("fb"), col("n").as("nb"), col("i").as("ib")),
+        Seq("blk", "tok"))
+      .filter(col("ra") < col("rb") &&
         col("nb") * tauDen >= col("na") * tauNum &&
         col("na") * tauDen >= col("nb") * tauNum)
-      .select("id_a", "id_b").distinct()
+    // Positional filter (PPJoin): a token at sorted positions (i, j)
+    // bounds the overlap by min(i, j) + 1 + min(na−i−1, nb−j−1)
+    // (shared tokens before it are confined to both prefixes-before,
+    // shared after to both suffixes-after; positions 0-based). J ≥ τ
+    // needs overlap ≥ τ/(1+τ)·(na+nb); prune pairs whose TIGHTEST
+    // occurrence bound can't reach it — integer-exact on both sides.
+    val rp = cand
+      .withColumn("ub", least(col("ia"), col("ib")) + 1 +
+        least(col("na") - col("ia") - 1, col("nb") - col("ib") - 1))
+      .groupBy("ra", "rb", "fa", "fb", "na", "nb").agg(min("ub").as("ub"))
+      .filter(col("ub") * (tauNum + tauDen) >=
+        lit(tauNum) * (col("na") + col("nb")))
+      .select("ra", "rb", "fa", "fb")
     val sets = ordered.select(col("id"), col("toks"), col("n"))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("toks").as("ta"),
-        col("n").as("na2")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("toks").as("tb"),
-        col("n").as("nb2")), "id_b")
+    val verified = rp
+      .join(sets.select(col("id").as("ra"), col("toks").as("ta"),
+        col("n").as("nva")), "ra")
+      .join(sets.select(col("id").as("rb"), col("toks").as("tb"),
+        col("n").as("nvb")), "rb")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .withColumn("uni", col("na2") + col("nb2") - col("inter"))
+      .withColumn("uni", col("nva") + col("nvb") - col("inter"))
       .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("fa"), col("fb"), col("inter"), col("uni"))
+    // Membership expansion: every member pair across two qualifying
+    // rep groups (same inter/uni — the sets are identical within a
+    // group), plus all within-group pairs at J = 1. The expansion is
+    // the TRUE answer's size — consumers who want a compact corpus
+    // view should use the duplicate-group operators instead.
+    val cross = verified
+      .join(members.select(col("fp").as("fa"), col("id").as("ma")), "fa")
+      .join(members.select(col("fp").as("fb"), col("id").as("mb")), "fb")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"),
+        col("inter"), col("uni"))
+    val dupGroups = groups.filter(col("cnt") >= 2)
+      .join(ordered.select(col("id"), col("n")), "id")
+      .select(col("fp"), col("n"))
+    val within = dupGroups
+      .join(members.select(col("fp"), col("id").as("ma")), "fp")
+      .join(members.select(col("fp"), col("id").as("mb")), "fp")
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("id_a"), col("mb").as("id_b"),
+        col("n").as("inter"), col("n").as("uni"))
+    cross.unionByName(within)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         expr("(1000000 * inter) div uni").as("jac_ppm"))
   }

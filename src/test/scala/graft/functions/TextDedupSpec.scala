@@ -95,6 +95,26 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("allPairsJaccard: exact-dup collapse + expansion restores every pair") {
+    // 3 identical docs + 1 near-dup + 1 unrelated: the identical trio
+    // collapses to one representative internally, but the output must
+    // still contain all C(3,2) within-group pairs at J=1 AND the 3
+    // cross pairs rep-group × near-dup, each with the same inter/uni.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs5 = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (4L, base + " extra"), // J = 10/11 ≈ 0.909
+      (5L, "totally unrelated words nothing shared here at all now")
+    ).toDF("doc_id", "text").withColumn("blk", lit("x"))
+    val got = DedupFunctions.allPairsJaccard(docs5, "doc_id", "text",
+        "blk", tauNum = 4, tauDen = 5)
+      .select("id_a", "id_b", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 10L, 10L), (1L, 3L, 10L, 10L), (2L, 3L, 10L, 10L),
+      (1L, 4L, 10L, 11L), (2L, 4L, 10L, 11L), (3L, 4L, 10L, 11L)))
+  }
+
   test("allPairsJaccard: pairs never cross a block boundary") {
     val a = "shared words alpha beta gamma delta epsilon zeta"
     val two = Seq((1L, a, "b1"), (2L, a, "b2"), (3L, a, "b1"))
