@@ -960,6 +960,35 @@ object Oracles {
     // Ensemble consensus: both detection families replay independently
     // from their echoed signatures (band-slice candidates + exact
     // Jaccard; banded Hamming brute force), then intersect.
+    // Full Zipf-fit replay: same term counts, same (count DESC, term)
+    // rank, same fixed-point log2, same milli-pinned OLS with the
+    // two-step intercept from the already-truncated slope. Truncating
+    // division on both engines, negative slopes included.
+    "q_txt17_zipf" ->
+      s"""WITH tm AS (SELECT lang AS grp, unnest(string_split($norm, ' ')) AS t
+         |            FROM documents),
+         |  tc AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM tm GROUP BY 1, 2),
+         |  rk AS (SELECT grp, cnt,
+         |           row_number() OVER (PARTITION BY grp
+         |             ORDER BY cnt DESC, t) AS rank
+         |         FROM tc),
+         |  pt AS (SELECT grp, ${ilSql("rank")} AS x, ${ilSql("cnt")} AS y
+         |         FROM rk WHERE rank <= 500),
+         |  m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |          CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |          CAST(SUM(x * y) AS BIGINT) AS sxy
+         |        FROM pt GROUP BY 1),
+         |  sl AS (SELECT *, CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+         |           ELSE (1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+         |         END AS slope_milli FROM m)
+         |SELECT grp AS lang, n AS n_terms, sx, sy, sxx, sxy, slope_milli,
+         |       CASE WHEN slope_milli IS NULL THEN NULL
+         |            ELSE (1000 * sy - slope_milli * sx) // n
+         |       END AS intercept_milli
+         |FROM sl ORDER BY lang""".stripMargin,
+
     // INDEPENDENT brute-force gold standard for the prefix-filter join:
     // every within-language pair is scanned and exact-verified — no
     // prefix trick on this side — so a hash match proves the AllPairs

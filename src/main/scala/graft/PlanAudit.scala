@@ -316,6 +316,12 @@ object PlanAudit {
     // grid, partitioned by type — same contract as ts1
     "q_ts2_anomaly" -> Seq("HashAggregate", "Window",
       "windowspecdefinition\\(event_type", "!Join", "!CartesianProduct"),
+    // Zipf fit: corpus rows collapse to (group, term) counts FIRST; the
+    // rank Window partitions by group over the VOCABULARY-sized
+    // aggregate (bounded, ts1 contract), and the fit is one more hash
+    // aggregation — no join anywhere
+    "q_txt17_zipf" -> Seq("HashAggregate", "windowspecdefinition\\(grp",
+      "!Join", "!CartesianProduct"),
     // EWMA: daily hash agg FIRST, then the fold inside ONE
     // ObjectHashAggregate row per type (bounded O(days) state) — no
     // analytic Window, no join, never a scan over raw events per step

@@ -935,6 +935,20 @@ object SparkEntry {
       .orderBy("section", "doc_id", "id_a", "id_b")
   }
 
+  /** TXT17 — Zipf power-law fit per language: OLS slope of fixed-point
+    * log2(term count) vs log2(rank) over each language's top-500 terms
+    * (natural text sits near slope −1; template/boilerplate mass
+    * flattens the head, duplication steepens it — a vocabulary-level
+    * corpus-quality diagnostic to pair with txt1's per-doc scores).
+    * Mechanics and the 100 TB shape in SearchFunctions.zipfFit; the
+    * oracle replays the whole fit including the shared fixed-point
+    * log2 and the two-step intercept. */
+  private def txt17(t: Tables): DataFrame =
+    SearchFunctions.zipfFit(t.documents, "text", "lang", topN = 500)
+      .select(col("grp").as("lang"), col("n_terms"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"), col("slope_milli"), col("intercept_milli"))
+      .orderBy("lang")
+
   /** DD15 — EXACT all-pairs Jaccard ≥ 0.8 self-join via prefix
     * filtering (AllPairs/PPJoin), blocked by language: the deterministic
     * complement to dd3's MinHash LSH — zero probabilistic misses, every
@@ -2465,6 +2479,7 @@ object SparkEntry {
       "q_ts1_gap_fill" -> q(ts1),
       "q_gr2_triangles" -> q(gr2),
       "q_dd15_allpairs" -> q(dd15),
+      "q_txt17_zipf" -> q(txt17),
       "q_ts2_anomaly" -> q(ts2),
       "q_ts3_ewma" -> q(ts3),
       "q_a12_trend_ols" -> q(a12))

@@ -53,6 +53,52 @@ object Stress {
       j => ((pmod(xxhash64(key, j, lit(2027L)), lit(2000001L)).cast("double")
         - 1000000.0) / 1000000.0).cast("float"))
 
+  /** Zipf(1)-distributed token ranks over `vocab` types (log-uniform
+    * rank = floor(vocab^u)): the heavy-tailed vocabulary real text has.
+    * The main stress corpus's 1,000-token uniform vocabulary is the
+    * documented WORST case for prefix filtering — with no rare tokens,
+    * every token is a stopword and the prefix filter cannot
+    * discriminate (that corpus is what dd3's LSH is for). dd15 is
+    * stressed on the realistic shape instead: duplicate mass + Zipf
+    * vocabulary. */
+  private def zipfWords(key: Column, n: Column, vocab: Long): Column =
+    array_join(
+      transform(sequence(lit(0), n.cast("int") - 1),
+        p => concat(lit("z"),
+          floor(pow(lit(vocab.toDouble),
+            pmod(xxhash64(key, p, lit(3041L)), lit(1000000L))
+              .cast("double") / 1000000.0)).cast("long"))),
+      " ")
+
+  /** dd15 stress corpus (separate flag: additive to cached workDirs):
+    * 30k unique Zipf-vocab docs + 20k byte-identical duplicate mass
+    * (one 2,000-copy hot group + 90 × 200-copy groups) + 91 near-dup
+    * variants (one extra token per group text). */
+  private def generate15(spark: SparkSession, dir: String): Unit = {
+    val done = new java.io.File(s"$dir/_GENERATED15")
+    if (done.exists()) return
+    val bg = spark.range(0, 30000).select(
+      col("id").as("doc_id"),
+      zipfWords(col("id"), lit(40) + pmod(xxhash64(col("id"), lit(7L)),
+        lit(40L)), 30000L).as("text"))
+    val dup = spark.range(0, 20000)
+      .withColumn("g",
+        expr("case when id < 2000 then 0L else (id - 2000) div 200 + 1 end"))
+      .select((col("id") + 1000000L).as("doc_id"),
+        zipfWords(col("g") + 7000000L, lit(40) + pmod(col("g"), lit(30)),
+          30000L).as("text"))
+    val variants = spark.range(0, 91).select(
+      (col("id") + 2000000L).as("doc_id"),
+      concat(zipfWords(col("id") + 7000000L, lit(40) + pmod(col("id"),
+        lit(30)), 30000L), lit(" vx"), col("id")).as("text"))
+    bg.unionByName(dup).unionByName(variants)
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents15.parquet")
+    done.createNewFile(): Unit
+  }
+
   private def generate(spark: SparkSession, dir: String): Unit = {
     val done = new java.io.File(s"$dir/_GENERATED")
     if (done.exists()) return
@@ -151,6 +197,7 @@ object Stress {
     val spark = HarnessSession.local(cpus)
     new java.io.File(workDir).mkdirs()
     generate(spark, workDir)
+    generate15(spark, workDir)
 
     val stats = new TaskStats
     spark.sparkContext.addSparkListener(stats)
@@ -246,6 +293,35 @@ object Stress {
       .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 50).count()
 
+    // dd15 prefix-filter guard arithmetic on the Zipf corpus: sum of
+    // C(n,2) over (block, prefix-token) buckets — the candidate probes
+    // the equi-join would form — WITHOUT vs WITH the exact-dup
+    // collapse. Each side computes its own rarest-first order (df over
+    // its own doc set), mirroring what each pipeline would run.
+    val d15 = spark.read.parquet(s"$workDir/documents15.parquet")
+    def prefixBuckets(docs: DataFrame): DataFrame = {
+      val base = docs.select(col("doc_id").as("id"), col("lang").as("blk"),
+        functions.DedupFunctions.wordSet(col("text")).as("ws"))
+      val toks = base.select(col("id"), col("blk"), explode(col("ws")).as("tok"))
+      val tdf = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      toks.join(tdf, "tok").groupBy("id", "blk")
+        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+        .select(col("blk"), expr("transform(st, s -> s.tok)").as("toks"),
+          size(col("st")).cast("long").as("n"))
+        .selectExpr("blk as band",
+          "explode(slice(toks, 1, cast(n - ((4 * n + 4) div 5) + 1 as int))) as key")
+    }
+    val d15Reps = d15
+      .withColumn("fp", xxhash64(col("lang"),
+        to_json(array_sort(functions.DedupFunctions.wordSet(col("text"))))))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .join(d15, Seq("doc_id"))
+    val apNaive = pairSum(prefixBuckets(d15))
+    val apGuarded = pairSum(prefixBuckets(d15Reps))
+    val dd15Run = measure("dd15_zipf_allpairs")(
+      functions.DedupFunctions.allPairsJaccard(d15, "doc_id", "text",
+        "lang", tauNum = 4, tauDen = 5))
+
     // ---------------- the queries under stress ----------------
     val names = Seq(
       "q_dd3_minhash_lsh", "q_dd8_simhash_pairs", "q_dd12_substring_dup",
@@ -305,6 +381,15 @@ object Stress {
     check(dd10Kept < dd10Total,
       "dd10: keep-one decision removed nothing on a corpus of 7.5k duplicate vectors")
     runs.foreach(r => check(r.rows > 0, s"${r.name}: empty result under stress"))
+    // dd15: the collapse must cut prefix-join probes ≥10× (duplicate
+    // mass is 40% of the corpus concentrated in 91 groups; measured
+    // ~17× on this corpus), and the output must contain at least the
+    // full expansion of the planted duplicate groups:
+    // C(2000,2) + 90·C(200,2) = 3,790,000 pairs.
+    check(apGuarded * 10 <= apNaive,
+      s"dd15 collapse must cut prefix candidates ≥10×: naive=$apNaive guarded=$apGuarded")
+    check(dd15Run.rows >= 3790000L,
+      s"dd15: expected ≥3.79M expanded pairs, got ${dd15Run.rows}")
 
     // ---------------- report ----------------
     val sb = new StringBuilder
@@ -327,12 +412,13 @@ object Stress {
     sb ++= f"| dd12 maxDocsPerHash=50 cap | — | $hotHashes%,d hashes over cap | every one a bounded bucket |\n"
     sb ++= f"| dd6/dd7 CC edge set (connectivity vs expanded pairs) | $ccExpanded%,d | $ccConnectivity%,d | ${ccExpanded.toDouble / math.max(ccConnectivity, 1)}%,.0f× fewer CC edges |\n"
     sb ++= f"| dd10 vector-fingerprint collapse | $nVecs%,d vectors | $nDistinctVecs%,d reps | hot cell ${hotCell.getLong(1)}%,d vecs; kept $dd10Kept%,d of $dd10Total%,d |\n"
+    sb ++= f"| dd15 exact-dup collapse (prefix-join probes, Zipf corpus) | $apNaive%,d | $apGuarded%,d | ${apNaive.toDouble / math.max(apGuarded, 1)}%,.0f× fewer join probes |\n"
     val salted = runs.find(_.name == "q_j10_salted_join").get
     sb ++= f"| j10 salt (8-way) vs unsalted | max task ${control.maxTaskMs}%,d ms | max task ${salted.maxTaskMs}%,d ms | hot key spread over 8 reducers |\n\n"
     sb ++= "## Query runs (count() wall time; task times from listener)\n\n"
     sb ++= "| query | wall s | output rows | tasks | max task ms | p50 task ms |\n"
     sb ++= "|---|---|---|---|---|---|\n"
-    (runs :+ control).foreach { r =>
+    (runs :+ dd15Run :+ control).foreach { r =>
       sb ++= f"| ${r.name} | ${r.wallSec}%.2f | ${r.rows}%,d | ${r.tasks}%d | ${r.maxTaskMs}%,d | ${r.p50TaskMs}%,d |\n"
     }
     sb ++= "\nNotes:\n"
@@ -366,9 +452,21 @@ object Stress {
       "min-id labels) instead of the expanded all-pairs set, and both " +
       "run under this harness with the edge-volume reduction in the " +
       "guard table above.\n"
+    sb ++= "- dd15 (exact all-pairs prefix filter) is stressed on its own " +
+      "50,091-doc corpus: 40% byte-identical duplicate mass in 91 groups " +
+      "over a Zipf(1) 30,000-type vocabulary — the heavy-tailed shape " +
+      "real text has and the contract the prefix filter is designed for. " +
+      "Its output is the TRUE pair expansion (≥3.79M rows from the " +
+      "planted groups alone); the collapse bounds the JOIN. The main " +
+      "corpus's uniform 1,000-token vocabulary is the documented " +
+      "out-of-contract worst case for prefix filtering (every token is a " +
+      "stopword, nothing is rare) — that degenerate shape is what the " +
+      "banded-LSH family (dd3/dd8) is for, which is why both operator " +
+      "families exist.\n"
     sb ++= "- Every assertion in graft.Stress passed: collapse counts, " +
-      "≥100× candidate reduction, cap engagement, hot-cell containment, " +
-      "keep-one removal, non-empty results.\n"
+      "≥100× candidate reduction (≥10× for dd15's prefix probes), cap " +
+      "engagement, hot-cell containment, keep-one removal, non-empty " +
+      "results, dd15's full duplicate-group expansion present.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(reportPath), sb.toString)
     println(s"[stress] report written to $reportPath")
     spark.stop()

@@ -137,4 +137,51 @@ object SearchFunctions {
       .select(col(qidCol), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as(idCol), col("col.score").cast("long").as("score"))
   }
+
+  /** Zipf power-law fit of the term-frequency ranking, per group: OLS
+    * slope of fixed-point log2(count) vs log2(rank) over each group's
+    * `topN` most frequent terms. Natural text follows Zipf with slope
+    * ≈ −1; a slope far off it is a published corpus-quality signal
+    * (boilerplate/template mass flattens the head, duplication steepens
+    * it) — the vocabulary-statistics leg of a corpus report.
+    *
+    * Everything is integer: ranks and counts go through the shared
+    * fixed-point [[ilog2x1024]], the regression is the same
+    * moments-as-aggregation formulation as the OLS trend operator, and
+    * slope/intercept are milli-pinned with truncating division (Spark
+    * `div` ≡ DuckDB `//`, negative slopes included). The intercept is
+    * the DEFINED two-step b = (1000·Σy − slope_milli·Σx) div n —
+    * evaluating it from the already-truncated slope keeps every operand
+    * within i64 (the single-step closed form overflows at Σy·Σxx
+    * scale). Groups whose top-N collapses to one rank (degenerate
+    * x-variance) report NULL.
+    *
+    * Scale shape: one hash aggregation to (group, term) counts; the
+    * rank Window partitions by GROUP over the *vocabulary-sized*
+    * aggregate (bounded like ts1's grid — never a window over corpus
+    * rows); the fit is one more hash aggregation. */
+  def zipfFit(docs: DataFrame, textCol: String, groupCol: String,
+      topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(groupCol).as("grp"),
+        explode(split(TextFunctions.normalize(col(textCol)), " ")).as("t"))
+      .groupBy("grp", "t").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("grp").orderBy(col("cnt").desc, col("t"))
+    val pts = terms.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("grp"), ilog2x1024(col("rank")).as("x"),
+        ilog2x1024(col("cnt")).as("y"))
+    val m = pts.groupBy("grp").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    m.select(col("grp"), col("n").as("n_terms"),
+        col("sx"), col("sy"), col("sxx"), col("sxy"),
+        when(den === 0, lit(null).cast("long")).otherwise(
+          expr("(1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"))
+          .as("slope_milli"))
+      .withColumn("intercept_milli",
+        when(col("slope_milli").isNull, lit(null).cast("long")).otherwise(
+          expr("(1000 * sy - slope_milli * sx) div n_terms")))
+  }
 }

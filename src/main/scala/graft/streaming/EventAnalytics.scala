@@ -130,9 +130,97 @@ object EventAnalytics {
         col("session_window.end").as("session_end"), col("n_events"))
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class ValEvent(event_type: String, ts: java.sql.Timestamp,
+      value: Double)
+  /** open: hourStartMs → accumulated cents (bounded by the lateness
+    * horizon); ring: newest-first closed (hourStartMs, wholeDollars),
+    * capped; ewma: the running fixed-point smoothed value. */
+  final case class AnomState(open: Map[Long, Long],
+      ring: List[(Long, Long)], ewma: Option[Long])
+  final case class HourStat(event_type: String, hour: java.sql.Timestamp,
+      x: Long, ewma8: Long, n_prior: Long, is_anomaly: Option[Boolean])
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Streaming hourly anomaly monitor — the streaming twin of the batch
+    * `q_ts2_anomaly` + `q_ts3_ewma` pair: per event type, hourly totals
+    * accumulate in state until the WATERMARK proves the hour complete,
+    * then the closed hour is scored against the trailing `ringSize`
+    * closed hours with the same division-free integer z² test
+    * ((n·x−s1)² > 9·(n·s2−s1²), flagged only past `minPriors`
+    * observations) and folded into the same truncating fixed-point
+    * EWMA (e' = (x + 7e) div 8). Each hour is emitted EXACTLY ONCE, at
+    * the moment the watermark passes its end — no reconciliation pass,
+    * no recomputation (the streaming-correctness property the batch
+    * pair cannot give you).
+    *
+    * State per event type is O(1): the open-hour accumulator map is
+    * bounded by the lateness horizon (watermark closes anything older)
+    * and the ring is capped at `ringSize` — total state scales with
+    * DISTINCT EVENT TYPES, not events. Rows arriving for an
+    * already-closed hour (later than the watermark allowed) are
+    * dropped, the same late-data contract as the windowed aggregates.
+    * Closure happens on data batches AND on event-time timeouts, so a
+    * type that goes quiet still closes its last open hours. */
+  def streamHourlyAnomaly(events: Dataset[ValEvent],
+      lateness: String = "1 hour", minPriors: Int = 12,
+      ringSize: Int = 24): Dataset[HourStat] = {
+    import events.sparkSession.implicits._
+    val HOUR = 3600000L
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, HourStat](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, rows: Iterator[ValEvent], state: GroupState[AnomState]) =>
+          val (st, out) = anomalyStep(etype, state.getOption, rows,
+            state.getCurrentWatermarkMs(), minPriors, ringSize)
+          state.update(st)
+          if (st.open.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(st.open.keys.min + HOUR,
+                state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
+  /** One watermark-driven transition of [[streamHourlyAnomaly]]'s state
+    * machine — exposed so the closure/drop/scoring logic is unit-testable
+    * without streaming machinery. Pure function of (state, rows,
+    * watermark). */
+  private[streaming] def anomalyStep(etype: String, st0: Option[AnomState],
+      rows: Iterator[ValEvent], wm: Long, minPriors: Int,
+      ringSize: Int): (AnomState, Seq[HourStat]) = {
+    val HOUR = 3600000L
+    var st = st0.getOrElse(AnomState(Map.empty, Nil, None))
+    val newestClosed = st.ring.headOption.map(_._1).getOrElse(Long.MinValue)
+    rows.foreach { e =>
+      val h = Math.floorDiv(e.ts.getTime, HOUR) * HOUR
+      if (h > newestClosed) {
+        val cents = Math.round(e.value * 100.0)
+        st = st.copy(open =
+          st.open.updated(h, st.open.getOrElse(h, 0L) + cents))
+      }
+    }
+    val closable = st.open.keys.filter(_ + HOUR <= wm).toSeq.sorted
+    val out = closable.map { h =>
+      val x = Math.floorDiv(st.open(h), 100L) // whole dollars
+      val prior = st.ring
+      val n = prior.size.toLong
+      val s1 = prior.iterator.map(_._2).sum
+      val s2 = prior.iterator.map(p => p._2 * p._2).sum
+      val anomaly = if (n >= minPriors)
+        Some((n * x - s1) * (n * x - s1) > 9L * (n * s2 - s1 * s1))
+      else None
+      // Long `/` truncates toward zero — same as the batch `div`.
+      val e = st.ewma.map(p => (x + 7 * p) / 8).getOrElse(x)
+      st = AnomState(st.open - h, ((h, x) :: st.ring).take(ringSize),
+        Some(e))
+      HourStat(etype, new java.sql.Timestamp(h), x, e, n, anomaly)
+    }
+    (st, out)
+  }
 
   /** Gap-based sessionization: a session closes after `gapMs` of user
     * inactivity in EVENT time — the timeout is an event-time timestamp

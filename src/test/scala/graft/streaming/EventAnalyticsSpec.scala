@@ -211,6 +211,68 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(bad.isEmpty, s"session shorter than the gap floor: ${bad.toSeq}")
   }
 
+  test("streaming anomaly monitor: spike flagged once priors suffice, EWMA folds") {
+    val H0 = 1718064000000L // hour-aligned
+    def ts(h: Int) = new java.sql.Timestamp(H0 + h * 3600000L)
+    // 12 calm hours at $800, a $10,000 spike at h12, calm again at h13,
+    // plus a far sentinel (h20) that drives the watermark past h13's
+    // close (lateness 1h ⇒ watermark = h19).
+    val events = ((0 to 11).map(h => ValEvent("a", ts(h), 800.0)) ++
+      Seq(ValEvent("a", ts(12), 10000.0), ValEvent("a", ts(13), 800.0),
+        ValEvent("a", ts(20), 1.0))).toDS()
+    val dir = tmpDir("anom-src")
+    events.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+      .as[ValEvent]
+    val q = streamHourlyAnomaly(stream).writeStream
+      .format("memory").queryName("anom")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+
+    val got = spark.table("anom").as[HourStat].collect()
+      .sortBy(_.hour.getTime)
+    // h0..h13 closed exactly once each; h20 stays open.
+    assert(got.length == 14)
+    assert(got.map(_.hour).toSeq == (0 to 13).map(ts))
+    // Warm-up: fewer than 12 priors → no verdict, EWMA steady at 800.
+    (0 to 11).foreach { h =>
+      assert(got(h).is_anomaly.isEmpty && got(h).ewma8 == 800L &&
+        got(h).n_prior == h.toLong)
+    }
+    // Spike: 12 constant priors → zero variance, any deviation flags;
+    // EWMA folds to (10000 + 7·800) / 8 = 1950.
+    assert(got(12).is_anomaly.contains(true) && got(12).x == 10000L &&
+      got(12).ewma8 == 1950L && got(12).n_prior == 12L)
+    // Return to calm is NOT anomalous (the spike inflated the variance).
+    assert(got(13).is_anomaly.contains(false) && got(13).n_prior == 13L)
+    assert(got(13).ewma8 == (800L + 7 * 1950L) / 8)
+  }
+
+  test("anomaly state machine: late rows for a closed hour are dropped") {
+    val H0 = 1718064000000L
+    val HOUR = 3600000L
+    def ts(h: Int, min: Int = 0) =
+      new java.sql.Timestamp(H0 + h * HOUR + min * 60000L)
+    // Step 1: h0 accumulates and closes (watermark at h4).
+    val (st1, out1) = EventAnalytics.anomalyStep("b", None,
+      Iterator(ValEvent("b", ts(0), 700.0), ValEvent("b", ts(0, 20), 100.0)),
+      wm = H0 + 4 * HOUR, minPriors = 12, ringSize = 24)
+    assert(out1.map(s => (s.hour.getTime, s.x)) == Seq((H0, 800L)))
+    assert(st1.ring == List((H0, 800L)) && st1.open.isEmpty)
+    // Step 2: a replay for the closed h0 arrives late — it must be
+    // DROPPED (no re-emission, no state mutation), while a fresh h5 row
+    // accumulates normally and closes once the watermark passes.
+    val (st2, out2) = EventAnalytics.anomalyStep("b", Some(st1),
+      Iterator(ValEvent("b", ts(0, 30), 9999.0), ValEvent("b", ts(5), 50.0)),
+      wm = H0 + 7 * HOUR, minPriors = 12, ringSize = 24)
+    assert(out2.map(s => (s.hour.getTime, s.x)) == Seq((H0 + 5 * HOUR, 50L)))
+    assert(st2.ring.head == (H0 + 5 * HOUR, 50L) &&
+      st2.ring.contains((H0, 800L)) && st2.open.isEmpty)
+    // EWMA folded across the two closures: (50 + 7*800)/8 = 706.
+    assert(st2.ewma.contains((50L + 7 * 800L) / 8))
+  }
+
   test("sessionize: events split on inactivity gap, per user") {
     def ts(min: Int) = new java.sql.Timestamp(1718000000000L + min * 60000L)
     val events = Seq(
