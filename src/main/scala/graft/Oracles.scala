@@ -960,6 +960,17 @@ object Oracles {
     // Ensemble consensus: both detection families replay independently
     // from their echoed signatures (band-slice candidates + exact
     // Jaccard; banded Hamming brute force), then intersect.
+    // Layout-independent replay of the bucketed join: a plain
+    // join-aggregate — bucketing changes WHERE bytes move, never what
+    // the join computes.
+    "q_j11_bucketed_join" ->
+      """SELECT o.o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Full Zipf-fit replay: same term counts, same (count DESC, term)
     // rank, same fixed-point log2, same milli-pinned OLS with the
     // two-step intercept from the already-truncated slope. Truncating

@@ -316,6 +316,15 @@ object PlanAudit {
     // grid, partitioned by type — same contract as ts1
     "q_ts2_anomaly" -> Seq("HashAggregate", "Window",
       "windowspecdefinition\\(event_type", "!Join", "!CartesianProduct"),
+    // bucketed co-located join: the WHOLE POINT is that neither join
+    // key ever appears under an Exchange — the bucketed scans'
+    // HashPartitioning satisfies the join's distribution requirement
+    // (the aggregate's exchange on o_orderpriority is expected and
+    // unmatched by these patterns)
+    "q_j11_bucketed_join" -> Seq("SortMergeJoin|ShuffledHashJoin",
+      "!hashpartitioning\\(o_orderkey",
+      "!hashpartitioning\\(l_orderkey",
+      "!BroadcastHashJoin", "!CartesianProduct"),
     // Zipf fit: corpus rows collapse to (group, term) counts FIRST; the
     // rank Window partitions by group over the VOCABULARY-sized
     // aggregate (bounded, ts1 contract), and the fit is one more hash

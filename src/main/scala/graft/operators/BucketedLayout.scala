@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Bucketed table layout — the storage-side half of shuffle elimination.
+  *
+  * A join between two tables bucketed on their join keys with the SAME
+  * bucket count is co-located: each scan reports
+  * `HashPartitioning(bucketCol, n)` and Catalyst drops both exchanges, so
+  * the join moves ZERO bytes over the network regardless of table size.
+  * This is the layout discipline a 100 TB silver store lives by: fact
+  * tables bucketed on their natural join key (orders/lineitem on the
+  * order key, entity tables on the account key) pay the partitioning
+  * cost ONCE at write time and every downstream merge/join reuses it —
+  * the at-rest analogue of the reference's Postgres indexes
+  * (donations/models.py's FK indexes), but eliminating data movement
+  * rather than page reads.
+  *
+  * Mechanics: rows are repartitioned to the bucket spec BEFORE the write
+  * (Spark's bucket hash is the same Murmur3 the exchange uses), so each
+  * task holds exactly one bucket and each bucket lands in ONE file —
+  * which also lets the scan expose the within-bucket sort order and skip
+  * the sort in front of a sort-merge join. Tables are EXTERNAL (explicit
+  * path): the files are the durable artifact; the catalog entry is
+  * session-local metadata.
+  */
+object BucketedLayout {
+
+  /** Write `df` as an external bucketed+sorted parquet table at `path`,
+    * registered as `table` in the session catalog (replacing any prior
+    * registration). One file per bucket. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      keyCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(buckets, col(keyCol))
+      .write.format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** Equi-join of two registered bucketed tables on their bucket keys.
+    * With matching bucket counts this plans WITHOUT an exchange on
+    * either side (asserted by PlanAudit/spec — the property this whole
+    * file exists for). Merge-hinted: both sides are fact-scale by
+    * contract (that is why they were bucketed), so the plan must be the
+    * one a 100 TB run gets — at toy scale the optimizer would otherwise
+    * broadcast the smaller fact and the audit would be measuring a plan
+    * that cannot exist in production. */
+  def cooperativeJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.hint("merge").join(r, l(leftKey) === r(rightKey))
+  }
+}
