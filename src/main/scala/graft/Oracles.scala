@@ -960,6 +960,40 @@ object Oracles {
     // Ensemble consensus: both detection families replay independently
     // from their echoed signatures (band-slice candidates + exact
     // Jaccard; banded Hamming brute force), then intersect.
+    // Star-join replay — decimal-pinned revenue, same date interval and
+    // region filter; join order is the optimizer's business on both
+    // engines, the result is order-independent.
+    "q_j12_star_join" ->
+      """SELECT n.n_name,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+        |         AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Lag-delta replay: identical per-type frame, truncating // for the
+    // basis-point change (negative deltas agree — verified).
+    "q_w7_lag_delta" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |                  CAST(floor(SUM(CAST(value AS DECIMAL(18,2)))) AS BIGINT) AS x
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour, x,
+        |       lag(x) OVER w AS prev,
+        |       x - lag(x) OVER w AS delta,
+        |       CASE WHEN lag(x) OVER w > 0
+        |            THEN (10000 * (x - lag(x) OVER w)) // (lag(x) OVER w)
+        |            ELSE NULL END AS delta_bp
+        |FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+        |ORDER BY event_type, hour""".stripMargin,
+
     // Layout-independent replay of the bucketed join: a plain
     // join-aggregate — bucketing changes WHERE bytes move, never what
     // the join computes.

@@ -316,6 +316,15 @@ object PlanAudit {
     // grid, partitioned by type — same contract as ts1
     "q_ts2_anomaly" -> Seq("HashAggregate", "Window",
       "windowspecdefinition\\(event_type", "!Join", "!CartesianProduct"),
+    // star join: dimension chain broadcasts, both selective predicates
+    // reach their scans, nothing cartesians
+    "q_j12_star_join" -> Seq("BroadcastHashJoin",
+      "PushedFilters: \\[.*EqualTo\\(r_name",
+      "PushedFilters: \\[.*GreaterThanOrEqual\\(o_orderdate",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+    // lag deltas: agg-first grid, per-type bounded Window (ts1 contract)
+    "q_w7_lag_delta" -> Seq("HashAggregate", "Window",
+      "windowspecdefinition\\(event_type", "!Join", "!CartesianProduct"),
     // bucketed co-located join: the WHOLE POINT is that neither join
     // key ever appears under an Exchange — the bucketed scans'
     // HashPartitioning satisfies the join's distribution requirement

@@ -935,6 +935,67 @@ object SparkEntry {
       .orderBy("section", "doc_id", "id_a", "id_b")
   }
 
+  /** J12 — multi-way star join (the TPC-H Q5 shape): lineitem ⋈ orders
+    * is the fact-fact edge; customer → nation → region is the dimension
+    * chain, every hop BROADCAST (dims are small by definition — that is
+    * what makes them dims), with the region-name equality and the
+    * order-date interval pushed into their scans. Revenue =
+    * Σ price·(1−discount), decimal-pinned cents before the final double.
+    * At 100 TB this is the canonical plan: one shuffle for the fact
+    * edge, zero for the dimension chain, partial aggregation map-side.
+    * Plan-audited: BroadcastHashJoin chain, pushed filters, no
+    * cartesian. */
+  private def j12(t: Tables): DataFrame = {
+    val dims = t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"))
+    // price(2dp) × (1−disc)(2dp) is EXACT at 4 decimals — kept unrounded
+    // (a per-row 2dp rounding would sit on .xx50 ties, where engines'
+    // tie-breaking differs); the sum of exact 4dp decimals is exact.
+    val facts = t.lineitem
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(dec182) *
+          (lit(1).cast(dec182) - col("l_discount").cast(dec182)))
+          .cast(DecimalType(30, 4)).as("rev"))
+      .join(t.orders.filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    facts.join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_items"),
+        sum("rev").cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** W7 — hour-over-hour deltas via lag: per event type, the change and
+    * basis-point change of each hour's total against the previous
+    * OBSERVED hour (the diff panel every metrics dashboard draws).
+    * Integer-pinned: whole-dollar totals, bp = (10000·Δ) div prev
+    * (truncating division, verified identical in DuckDB, negative
+    * deltas included). Same bounded-Window contract as ts1/ts2: raw
+    * events collapse to the (type, hour) grid FIRST, lag runs over that
+    * aggregate partitioned by type. */
+  private def w7(t: Tables): DataFrame = {
+    val hourly = t.events
+      .select(col("event_type"), ntz(date_trunc("hour", col("ts"))).as("hour"),
+        col("value").cast(dec182).as("v"))
+      .groupBy("event_type", "hour")
+      .agg(floor(sum("v")).cast("long").as("x"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    hourly
+      .withColumn("prev", lag(col("x"), 1).over(w))
+      .withColumn("delta", col("x") - col("prev"))
+      .withColumn("delta_bp",
+        when(col("prev") > 0, expr("(10000 * (x - prev)) div prev"))
+          .otherwise(lit(null).cast("long")))
+      .orderBy("event_type", "hour")
+  }
+
   /** J11 — co-located join over BUCKETED table layout: orders and
     * lineitem are written bucketed (16 buckets, sorted) on their join
     * keys, then joined with ZERO exchange on either side — the scan's
@@ -2511,6 +2572,8 @@ object SparkEntry {
       "q_dd15_allpairs" -> q(dd15),
       "q_txt17_zipf" -> q(txt17),
       "q_j11_bucketed_join" -> q(j11),
+      "q_j12_star_join" -> q(j12),
+      "q_w7_lag_delta" -> q(w7),
       "q_ts2_anomaly" -> q(ts2),
       "q_ts3_ewma" -> q(ts3),
       "q_a12_trend_ols" -> q(a12))
