@@ -1052,6 +1052,23 @@ object Oracles {
          |FROM p WHERE inter * 5 >= (na + nb - inter) * 4
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Independent brute force for the incremental prefix-filter probe:
+    // full batch × corpus within-language scan, exact-verified.
+    "q_dd16_incremental_allpairs" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |             list_distinct(string_split($norm, ' ')) AS ws
+         |           FROM documents),
+         |  b AS (SELECT * FROM d WHERE doc_id % 10 = 3),
+         |  c AS (SELECT * FROM d WHERE doc_id % 10 <> 3),
+         |  p AS (SELECT b.doc_id AS id_new, c.doc_id AS id_corpus,
+         |          CAST(len(list_intersect(b.ws, c.ws)) AS BIGINT) AS inter,
+         |          CAST(len(b.ws) AS BIGINT) AS na, CAST(len(c.ws) AS BIGINT) AS nb
+         |        FROM b JOIN c ON b.lang = c.lang)
+         |SELECT id_new, id_corpus, inter, (na + nb - inter) AS uni,
+         |       (1000000 * inter) // (na + nb - inter) AS jac_ppm
+         |FROM p WHERE inter * 5 >= (na + nb - inter) * 4
+         |ORDER BY id_new, id_corpus""".stripMargin,
+
     "q_dd14_ensemble_consensus" ->
       s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_dd14_ensemble_consensus/*.parquet')),
          |  ms AS (SELECT doc_id, mh_sig, CAST(mh_sig AS BIGINT[]) AS sa

@@ -362,6 +362,13 @@ object PlanAudit {
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
       "!CartesianProduct", "!BroadcastNestedLoopJoin", "!Window",
       "!hashpartitioning\\(blk#\\d+, \\d+\\)",
+      "!hashpartitioning\\(lang"),
+    // incremental all-pairs probe: same contract as dd15 — every step
+    // an equi-join/hash agg, nothing keyed on the block column alone
+    "q_dd16_incremental_allpairs" -> Seq("HashAggregate",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin", "!Window",
+      "!hashpartitioning\\(blk#\\d+, \\d+\\)",
       "!hashpartitioning\\(lang"))
 
   /** AQE-ON audits for the skew paths: these EXECUTE the query under an

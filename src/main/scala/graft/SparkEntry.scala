@@ -1056,6 +1056,23 @@ object SparkEntry {
         blockCol = "lang", tauNum = 4, tauDen = 5)
       .orderBy("id_a", "id_b")
 
+  /** DD16 — incremental EXACT all-pairs: the arriving batch (every
+    * 10th doc) probed against the standing corpus at τ = 0.8 with the
+    * prefix-filter machinery — the exact-dedup twin of dd9's minhash
+    * incremental path and the ingestion-time form of dd15 (work scales
+    * with the batch; the corpus is never self-joined). Shared
+    * rarest-first order over both sides makes the completeness theorem
+    * hold across the sets; the oracle is the independent brute-force
+    * batch × corpus scan, so the incremental path's exactness is
+    * measured, not assumed. */
+  private def dd16(t: Tables): DataFrame = {
+    val batch = t.documents.filter(pmod(col("doc_id"), lit(10)) === 3)
+    val corpus = t.documents.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+    DedupFunctions.allPairsJaccardAgainst(batch, corpus, "doc_id", "text",
+        blockCol = "lang", tauNum = 4, tauDen = 5)
+      .orderBy("id_new", "id_corpus")
+  }
+
   /** TXT11 — Luhn-validated card redaction: candidate digit runs are
     * checksum-VALIDATED before redaction (a bare regex over-redacts
     * order ids and phone numbers). Each document gets one valid and one
@@ -2573,6 +2590,7 @@ object SparkEntry {
       "q_txt17_zipf" -> q(txt17),
       "q_j11_bucketed_join" -> q(j11),
       "q_j12_star_join" -> q(j12),
+      "q_dd16_incremental_allpairs" -> q(dd16),
       "q_w7_lag_delta" -> q(w7),
       "q_ts2_anomaly" -> q(ts2),
       "q_ts3_ewma" -> q(ts3),

@@ -185,6 +185,82 @@ object DedupFunctions {
         expr("(1000000 * inter) div uni").as("jac_ppm"))
   }
 
+  /** Incremental form of [[allPairsJaccard]]: EXACT τ-Jaccard probe of a
+    * new `batch` against the standing `corpus` (the exact-dedup twin of
+    * the minhash `minHashNearDupAgainstFromSignatures` path) — at
+    * ingestion time the arriving batch is checked against the corpus
+    * without any batch- or corpus-internal pairing. Same four guards as
+    * the self-join; the ONE structural requirement is a SHARED
+    * rarest-first order: document frequency is counted over the UNION
+    * of both sides' representatives, so batch and corpus sort their
+    * tokens identically and the prefix-overlap completeness theorem
+    * applies across the sets. Work scales with the BATCH (its prefix
+    * emissions probe the corpus prefix index) — the corpus is never
+    * self-joined.
+    *
+    * Returns (id_new, id_corpus, inter, uni, jac_ppm). */
+  def allPairsJaccardAgainst(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, blockCol: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
+    def prep(docs: DataFrame) = {
+      val base = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        wordSet(col(textCol)).as("ws"))
+      val fped = base.withColumn("fp",
+        xxhash64(col("blk"), to_json(array_sort(col("ws")))))
+      val members = fped.select(col("fp"), col("id"))
+      val reps = fped.groupBy("fp").agg(min("id").as("id"))
+        .join(fped.drop("fp"), Seq("id"))
+      (members, reps)
+    }
+    val (mb, rb) = prep(batch)
+    val (mc, rc) = prep(corpus)
+    val df = rb.select(col("id"), col("ws"))
+      .unionByName(rc.select(col("id"), col("ws")))
+      .select(explode(col("ws")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    def ordered(reps: DataFrame) = reps
+      .select(col("id"), col("blk"), col("fp"), explode(col("ws")).as("tok"))
+      .join(df, "tok")
+      .groupBy("id", "blk", "fp")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("id"), col("blk"), col("fp"),
+        expr("transform(st, s -> s.tok)").as("toks"),
+        size(col("st")).cast("long").as("n"))
+    val ob = ordered(rb); val oc = ordered(rc)
+    val pFx = s"n - (($tauNum * n + ${tauDen - 1}) div $tauDen) + 1"
+    def pre(o: DataFrame) = o.selectExpr("id", "blk", "fp", "n",
+      s"posexplode(slice(toks, 1, cast($pFx as int))) as (i, tok)")
+    val cand = pre(ob).select(col("blk"), col("tok"), col("id").as("rn"),
+        col("fp").as("fn"), col("n").as("nn"), col("i").as("in"))
+      .join(pre(oc).select(col("blk"), col("tok"), col("id").as("rc"),
+        col("fp").as("fc"), col("n").as("nc"), col("i").as("ic")),
+        Seq("blk", "tok"))
+      .filter(col("nc") * tauDen >= col("nn") * tauNum &&
+        col("nn") * tauDen >= col("nc") * tauNum)
+    val rp = cand
+      .withColumn("ub", least(col("in"), col("ic")) + 1 +
+        least(col("nn") - col("in") - 1, col("nc") - col("ic") - 1))
+      .groupBy("rn", "rc", "fn", "fc", "nn", "nc").agg(min("ub").as("ub"))
+      .filter(col("ub") * (tauNum + tauDen) >=
+        lit(tauNum) * (col("nn") + col("nc")))
+      .select("rn", "rc", "fn", "fc")
+    val verified = rp
+      .join(ob.select(col("id").as("rn"), col("toks").as("ta"),
+        col("n").as("nva")), "rn")
+      .join(oc.select(col("id").as("rc"), col("toks").as("tb"),
+        col("n").as("nvb")), "rc")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", col("nva") + col("nvb") - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("fn"), col("fc"), col("inter"), col("uni"))
+    verified
+      .join(mb.select(col("fp").as("fn"), col("id").as("id_new")), "fn")
+      .join(mc.select(col("fp").as("fc"), col("id").as("id_corpus")), "fc")
+      .select(col("id_new"), col("id_corpus"), col("inter"), col("uni"),
+        expr("(1000000 * inter) div uni").as("jac_ppm"))
+  }
+
   /** MinHash signature: k permutations simulated by re-hashing a single
     * 64-bit base hash per shingle with the permutation index (standard
     * public construction). Single pass: each shingle *string* is hashed
