@@ -1940,6 +1940,51 @@ object Oracles {
          |FROM r WHERE rank <= 5
          |ORDER BY section, cell, query_id, rank""".stripMargin,
 
+    // Filtered ANN replay: sim3's machinery with the label predicate on
+    // the CORPUS side only — assignment/candidates/rerank all re-derive
+    // over the qualifying subset; queries stay unfiltered.
+    "q_sim12_filtered_ann" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim12_filtered_ann/*.parquet')),
+         |  cent AS (SELECT cell, centroid, CAST(centroid AS DOUBLE[]) AS cv
+         |           FROM o WHERE section = 'centroid'),
+         |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |  ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |         FROM embeddings WHERE label < 3),
+         |  simsf AS (SELECT ef.vec_id, cent.cell,
+         |              coalesce(${cosSql("ef.v", "cent.cv")}, -2.0) AS s0
+         |            FROM ef CROSS JOIN cent),
+         |  simsf2 AS (SELECT vec_id, cell,
+         |               CASE WHEN isnan(s0) THEN -2.0 ELSE s0 END AS s FROM simsf),
+         |  asg AS (SELECT vec_id, cell FROM (
+         |            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |              ORDER BY s DESC, cell ASC) AS rn FROM simsf2)
+         |          WHERE rn = 1),
+         |  simsq AS (SELECT e.vec_id, cent.cell,
+         |              coalesce(${cosSql("e.v", "cent.cv")}, -2.0) AS s0
+         |            FROM e CROSS JOIN cent WHERE e.vec_id < 8),
+         |  simsq2 AS (SELECT vec_id, cell,
+         |               CASE WHEN isnan(s0) THEN -2.0 ELSE s0 END AS s FROM simsq),
+         |  probe AS (SELECT vec_id AS query_id, cell FROM (
+         |              SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, cell ASC) AS rn FROM simsq2)
+         |            WHERE rn <= 3),
+         |  cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |           FROM probe p JOIN asg a ON a.cell = p.cell
+         |           WHERE a.vec_id <> p.query_id),
+         |  sc AS (SELECT query_id, neighbor_id, ${cosSql("qe.v", "ne.v")} AS cos_sim
+         |         FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |                   JOIN ef ne ON ne.vec_id = cand.neighbor_id),
+         |  r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM sc)
+         |SELECT 'centroid' AS section, cell, centroid, CAST(NULL AS BIGINT) AS query_id,
+         |       CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS BIGINT) AS rank,
+         |       CAST(NULL AS DOUBLE) AS cos_sim
+         |FROM cent
+         |UNION ALL
+         |SELECT 'topk', NULL, NULL, query_id, neighbor_id, CAST(rank AS BIGINT), cos_sim
+         |FROM r WHERE rank <= 5
+         |ORDER BY section, cell, query_id, rank""".stripMargin,
+
     // IVF recall sweep: centroids trusted; cell assignment, all three
     // probe depths, reranks and the recall arithmetic re-derive.
     "q_sim10_ivf_recall" ->

@@ -232,6 +232,12 @@ object PlanAudit {
     // corpus assignment scan is shuffle-free per-row math
     "q_sim3_ivf_ann" -> Seq("BroadcastHashJoin", "ObjectHashAggregate",
       "!Window", "!CartesianProduct"),
+    // filtered ANN: the label predicate must reach the corpus parquet
+    // scan (pre-filtering — the candidate lists shrink before distance
+    // math); retrieval contract otherwise identical to sim3
+    "q_sim12_filtered_ann" -> Seq("PushedFilters: \\[.*LessThan\\(label",
+      "BroadcastHashJoin", "ObjectHashAggregate", "!Window",
+      "!CartesianProduct"),
     // multi-probe: probe-set explode rides the same bucket equi-join
     // (the exact-side BNLJ is the broadcast baseline, allowed)
     "q_sim9_multiprobe" -> Seq("ObjectHashAggregate", "!Window",

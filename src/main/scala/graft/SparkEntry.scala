@@ -2008,6 +2008,42 @@ object SparkEntry {
       .orderBy("section", "cell", "query_id", "rank")
   }
 
+  /** SIM12 — FILTERED ANN: the metadata-predicate vector search every
+    * production index serves ("nearest neighbors among label < 3") —
+    * the standing IVF index (quantizer trained on the FULL corpus, as
+    * an index is) probed with the predicate PRE-FILTERING the corpus
+    * side, so the label filter reaches the parquet scan (plan-audited
+    * pushdown) and cell candidate lists shrink before any distance
+    * math. Pre-filtering keeps recall semantics exact over the
+    * qualifying subset — post-filtering a top-k would silently return
+    * fewer than k; cell assignment is per-vector, so filtering before
+    * or after assignment is provably identical. Echo contract and
+    * oracle replay are sim3's with the predicate applied to the
+    * corpus CTE only. */
+  private def sim12(t: Tables): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    val cents = Similarity.trainSphericalCentroids(
+      t.embeddings, "vec_id", "embedding", nlist = 8, maxIter = 4)
+    val res = Similarity.ivfTopKWithCentroids(
+      t.embeddings.filter(col("vec_id") < 8),
+      t.embeddings.filter(col("label") < 3),
+      "vec_id", "embedding", "vec_id", "embedding",
+      cents, k = 5, nprobe = 3)
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat.toDouble)) }.toSeq
+      .toDF("cell", "centroid")
+    val nl = lit(null).cast("long")
+    centRows.select(lit("centroid").as("section"), col("cell"),
+        to_json(col("centroid")).as("centroid"),
+        nl.as("query_id"), nl.as("neighbor_id"), nl.as("rank"),
+        lit(null).cast("double").as("cos_sim"))
+      .unionByName(res.select(lit("topk").as("section"), nl.as("cell"),
+        lit(null).cast("string").as("centroid"),
+        col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim")))
+      .orderBy("section", "cell", "query_id", "rank")
+  }
+
   /** SIM11 — IVF index MAINTENANCE: the quantizer trains on the
     * standing corpus (90% of vectors), then a new batch (the other 10%)
     * is assigned to the EXISTING cells without a refit — the
@@ -2591,6 +2627,7 @@ object SparkEntry {
       "q_j11_bucketed_join" -> q(j11),
       "q_j12_star_join" -> q(j12),
       "q_dd16_incremental_allpairs" -> q(dd16),
+      "q_sim12_filtered_ann" -> q(sim12),
       "q_w7_lag_delta" -> q(w7),
       "q_ts2_anomaly" -> q(ts2),
       "q_ts3_ewma" -> q(ts3),
