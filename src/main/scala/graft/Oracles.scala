@@ -1005,6 +1005,35 @@ object Oracles {
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // KL-drift replay: same per-language unigram counts, same add-one
+    // smoothing, same fixed-point log2 and final truncating
+    // normalization. Batch-only languages (no corpus reference)
+    // excluded on both engines.
+    "q_txt18_kl_drift" ->
+      s"""WITH tm AS (SELECT doc_id, lang,
+         |              unnest(string_split($norm, ' ')) AS t
+         |            FROM documents),
+         |  cb AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+         |         FROM tm WHERE doc_id % 10 = 3 GROUP BY 1, 2),
+         |  cc AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+         |         FROM tm WHERE doc_id % 10 <> 3 GROUP BY 1, 2),
+         |  np AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS np FROM cb GROUP BY 1),
+         |  nqv AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nq,
+         |            CAST(count(*) AS BIGINT) AS v FROM cc GROUP BY 1),
+         |  sc AS (SELECT np.lang, np.np, nqv.nq, nqv.v
+         |         FROM np JOIN nqv USING (lang) WHERE nqv.nq > 0),
+         |  j AS (SELECT cb.lang, sc.np, sc.nq, sc.v,
+         |          cb.c * (${ilSql("(cb.c * (sc.nq + sc.v))")}
+         |            - ${ilSql("((COALESCE(cc.c, 0) + 1) * sc.np)")}) AS term_kl
+         |        FROM cb JOIN sc ON sc.lang = cb.lang
+         |        LEFT JOIN cc ON cc.lang = cb.lang AND cc.t = cb.t)
+         |SELECT lang, np AS n_batch_tokens, nq AS n_corpus_tokens,
+         |       v AS corpus_vocab,
+         |       CAST(SUM(term_kl) AS BIGINT) AS kl_num_1024,
+         |       (1000 * CAST(SUM(term_kl) AS BIGINT)) // (1024 * np)
+         |         AS kl_milli_bits
+         |FROM j GROUP BY 1, 2, 3, 4 ORDER BY lang""".stripMargin,
+
     // Full Zipf-fit replay: same term counts, same (count DESC, term)
     // rank, same fixed-point log2, same milli-pinned OLS with the
     // two-step intercept from the already-truncated slope. Truncating
@@ -2313,6 +2342,11 @@ object Oracles {
         |LEFT JOIN tc ON tc.v = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // k-core replay: the same symmetrized generator graph, every peel
+    // round as a chained CTE (alive_{i+1} = degree-within-alive_i ≥ k),
+    // final degrees within the surviving subgraph. All-integer.
+    "q_gr3_kcore" -> kCoreSql(k = 3, rounds = 5),
+
     // Rolling z-score replay: identical 24-hour PRECEDING frame, the
     // same division-free integer z² inequality. DuckDB's SUM over
     // BIGINT widens to HUGEINT → cast back before the arithmetic.
@@ -2422,6 +2456,47 @@ object Oracles {
     * parenthesized SQL expression ≥ 1. */
   private def ilSql(x: String): String =
     s"(1024 * (length(bin($x)) - 1) + (($x * 1024) >> (length(bin($x)) - 1)) - 1024)"
+
+  /** Full replay of GraphFunctions.kCore as chained CTEs: one alive-set
+    * CTE per peel round (degree counted within the survivors, filter
+    * ≥ k), then final degrees within the surviving subgraph. */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |  de AS (SELECT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 37 + 11) % nn.n AS dst FROM documents, nn
+        |    UNION ALL SELECT doc_id, (doc_id * 101 + 53) % nn.n FROM documents, nn
+        |    UNION ALL SELECT doc_id, (doc_id * 197 + 89) % nn.n FROM documents, nn) t),
+        |  ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |         FROM de WHERE src <> dst),
+        |  al0 AS MATERIALIZED (SELECT doc_id AS v FROM documents)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s""",
+         |  dg${i - 1} AS MATERIALIZED (SELECT x AS v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |      SELECT ue.a AS x FROM ue
+         |        JOIN al${i - 1} p ON p.v = ue.a JOIN al${i - 1} q ON q.v = ue.b
+         |      UNION ALL
+         |      SELECT ue.b FROM ue
+         |        JOIN al${i - 1} p ON p.v = ue.a JOIN al${i - 1} q ON q.v = ue.b) f
+         |    GROUP BY 1),
+         |  al$i AS MATERIALIZED (SELECT v FROM dg${i - 1} WHERE deg >= $k)""".stripMargin
+    }.mkString
+    head + peels +
+      s""",
+         |  fd AS MATERIALIZED (SELECT x AS v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |      SELECT ue.a AS x FROM ue
+         |        JOIN al$rounds p ON p.v = ue.a JOIN al$rounds q ON q.v = ue.b
+         |      UNION ALL
+         |      SELECT ue.b FROM ue
+         |        JOIN al$rounds p ON p.v = ue.a JOIN al$rounds q ON q.v = ue.b) f
+         |    GROUP BY 1)
+         |SELECT d.doc_id, (al.v IS NOT NULL) AS in_core,
+         |       COALESCE(fd.deg, 0) AS core_degree
+         |FROM documents d
+         |LEFT JOIN al$rounds al ON al.v = d.doc_id
+         |LEFT JOIN fd ON fd.v = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Full replay of GraphFunctions.pageRank as chained CTEs: the same
     * integer fixed-point update, one CTE per damped round. Every division

@@ -317,6 +317,11 @@ object PlanAudit {
     "q_gr2_triangles" -> Seq("HashAggregate",
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
       "!CartesianProduct", "!BroadcastNestedLoopJoin", "!Window"),
+    // k-core: alive sets materialize per round inside the operator (the
+    // returned frame reads the cached final set, gr1 contract); every
+    // restriction is an equi-join, the degree count a hash agg
+    "q_gr3_kcore" -> Seq("InMemoryTableScan", "HashAggregate",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin", "!Window"),
     // anomaly scan: raw events collapse to the (type,hour) aggregate
     // FIRST; the rolling frame is a deliberate bounded Window over that
     // grid, partitioned by type — same contract as ts1
@@ -340,6 +345,13 @@ object PlanAudit {
       "!hashpartitioning\\(o_orderkey",
       "!hashpartitioning\\(l_orderkey",
       "!BroadcastHashJoin", "!CartesianProduct"),
+    // KL drift: both sides collapse to (lang, term) counts before the
+    // term-keyed equi-join; per-lang scalars broadcast — no window, no
+    // cartesian, nothing keyed on lang alone... except the bounded
+    // per-lang scalar tables (5 rows), which is why lang-shuffle is NOT
+    // asserted here; the corpus-sized frames join on (lang, term)
+    "q_txt18_kl_drift" -> Seq("HashAggregate", "BroadcastHashJoin",
+      "!Window", "!CartesianProduct"),
     // Zipf fit: corpus rows collapse to (group, term) counts FIRST; the
     // rank Window partitions by group over the VOCABULARY-sized
     // aggregate (bounded, ts1 contract), and the fit is one more hash

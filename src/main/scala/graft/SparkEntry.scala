@@ -1040,6 +1040,53 @@ object SparkEntry {
         col("sxx"), col("sxy"), col("slope_milli"), col("intercept_milli"))
       .orderBy("lang")
 
+  /** TXT18 — distribution drift of an arriving batch vs the standing
+    * corpus: per language, the KL divergence of the batch's unigram
+    * distribution from the corpus's (add-one smoothed), fixed-point —
+    * the domain-shift monitor a continuously-fed training pipeline runs
+    * on every batch before admitting it (a spike = the crawl started
+    * pulling a different distribution). All-integer: KL·Np in
+    * 1/1024ths of a bit via the shared fixed-point log2 —
+    * Σ_t cb·(ilog2(cb·(Nq+V)) − ilog2((cc+1)·Np)) — per-term terms are
+    * integral so the sum is shuffle-order-proof; the milli-bit
+    * normalization divides once at the end (truncating, both engines).
+    * Only batch terms contribute (p=0 terms add zero), so the sum is
+    * over the BATCH vocabulary — work scales with the batch. Scale
+    * shape: two (lang, term) hash aggregations, one term-keyed
+    * equi-join, per-lang scalars ride a broadcast join. */
+  private def txt18(t: Tables): DataFrame = {
+    val batch = t.documents.filter(pmod(col("doc_id"), lit(10)) === 3)
+    val corpus = t.documents.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+    def termCounts(df: DataFrame) = df
+      .select(col("lang"),
+        explode(split(TextFunctions.normalize(col("text")), " ")).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+    val cb = termCounts(batch)
+    val cc = termCounts(corpus)
+    val np = cb.groupBy("lang").agg(sum("c").as("np"))
+    val nqv = cc.groupBy("lang")
+      .agg(sum("c").as("nq"), count(lit(1)).as("v"))
+    // A language present in the batch but absent from the corpus has no
+    // reference distribution to diverge from — excluded identically in
+    // the oracle (smoothing needs nq, v ≥ 1).
+    val scal = np.join(nqv, Seq("lang")).filter(col("nq") > 0)
+    val joined = cb
+      .join(cc.select(col("lang"), col("t"), col("c").as("ccnt")),
+        Seq("lang", "t"), "left")
+      .join(broadcast(scal), Seq("lang"))
+      .select(col("lang"), col("np"), col("nq"), col("v"),
+        (col("c") * (SearchFunctions.ilog2_1024(col("c") * (col("nq") + col("v")))
+          - SearchFunctions.ilog2_1024(
+            (coalesce(col("ccnt"), lit(0L)) + 1) * col("np")))).as("term_kl"))
+    joined.groupBy("lang", "np", "nq", "v")
+      .agg(sum("term_kl").as("kl_num_1024"))
+      .select(col("lang"), col("np").as("n_batch_tokens"),
+        col("nq").as("n_corpus_tokens"), col("v").as("corpus_vocab"),
+        col("kl_num_1024"),
+        expr("(1000 * kl_num_1024) div (1024 * np)").as("kl_milli_bits"))
+      .orderBy("lang")
+  }
+
   /** DD15 — EXACT all-pairs Jaccard ≥ 0.8 self-join via prefix
     * filtering (AllPairs/PPJoin), blocked by language: the deterministic
     * complement to dd3's MinHash LSH — zero probabilistic misses, every
@@ -1587,6 +1634,30 @@ object SparkEntry {
       .distinct()
     graft.functions.GraphFunctions.triangleCounts(nodes, undirected)
       .select(col("v").as("doc_id"), col("degree"), col("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  /** GR3 — k-core peeling (k = 3, 5 rounds) over the gr1/gr2 link
+    * graph: the dense-backbone extraction that complements PageRank's
+    * authority ranking and gr2's triangle density (k-core membership is
+    * a standard link-farm/community-core signal). Fixed rounds make the
+    * result a pure graph function; the oracle replays every peel as
+    * chained CTEs. Peeling CASCADES are the point: a node can survive
+    * round 1 and die in round 3 because its neighbors were peeled —
+    * iteration is semantically load-bearing, not an optimization. */
+  private def gr3(t: Tables): DataFrame = {
+    val nodes = t.documents.select(col("doc_id").as("v"))
+    val n = nodes.count() // 1-row scalar modulus, as in gr1/gr2
+    val undirected = nodes.select(col("v").as("src"), explode(array(
+        pmod(col("v") * 37 + 11, lit(n)),
+        pmod(col("v") * 101 + 53, lit(n)),
+        pmod(col("v") * 197 + 89, lit(n)))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    graft.functions.GraphFunctions.kCore(nodes, undirected, k = 3, rounds = 5)
+      .select(col("v").as("doc_id"), col("in_core"), col("core_degree"))
       .orderBy("doc_id")
   }
 
@@ -2628,6 +2699,8 @@ object SparkEntry {
       "q_j12_star_join" -> q(j12),
       "q_dd16_incremental_allpairs" -> q(dd16),
       "q_sim12_filtered_ann" -> q(sim12),
+      "q_txt18_kl_drift" -> q(txt18),
+      "q_gr3_kcore" -> q(gr3),
       "q_w7_lag_delta" -> q(w7),
       "q_ts2_anomaly" -> q(ts2),
       "q_ts3_ewma" -> q(ts3),

@@ -133,6 +133,55 @@ object GraphFunctions {
         coalesce(col("nt"), lit(0L)).as("n_triangles"))
   }
 
+  /** k-core peeling (fixed `rounds` — the oracle-replayable form, same
+    * contract as [[pageRank]]'s fixed iterations): each round removes
+    * every node whose degree within the surviving subgraph is < k; what
+    * remains after enough rounds is the k-core — the dense backbone
+    * (link-farm/community cores; the complement of PageRank's
+    * authority view and gr2's triangle density). A fixed round count
+    * makes the result a pure function of the graph (production would
+    * iterate to fixpoint with a convergence check — each round is
+    * deterministic, so the cap only bounds how deep a peeling CASCADE
+    * can propagate; peeling is monotone, so extra rounds never
+    * resurrect a node).
+    *
+    * Returns (v, in_core, core_degree): membership after `rounds`
+    * peels and the degree within the FINAL surviving subgraph (0 for
+    * peeled/isolated nodes). Scale shape per round: two semi-join-like
+    * equi-joins restricting the edge list to survivors + one hash
+    * aggregation — alive sets persist(MEMORY_AND_DISK) and ping-pong
+    * like pageRank's ranks, so peak footprint is two alive tables.
+    * All-integer counts: engine-exact. */
+  def kCore(nodes: DataFrame, edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var alive = nodes.select(col("v")).persist(StorageLevel.MEMORY_AND_DISK)
+    alive.count()
+    def degreesWithin(a: DataFrame): DataFrame = e
+      .join(a.select(col("v").as("a")), "a")
+      .join(a.select(col("v").as("b")), "b")
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    var i = 0
+    while (i < rounds) {
+      val next = degreesWithin(alive).filter(col("deg") >= k)
+        .select("v").persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      alive.unpersist()
+      alive = next
+      i += 1
+    }
+    val finalDeg = degreesWithin(alive)
+    val out = nodes.select(col("v"))
+      .join(alive.withColumn("in_core", lit(true)), Seq("v"), "left")
+      .join(finalDeg, Seq("v"), "left")
+      .select(col("v"), coalesce(col("in_core"), lit(false)).as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("core_degree"))
+    e.unpersist()
+    out
+  }
+
   /** One damped round (lazy — exposed so specs can pin the iteration's
     * physical plan: equi-joins on `src`, one hash aggregation on `dst`,
     * no nested loop, no window). */

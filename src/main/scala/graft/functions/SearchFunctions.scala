@@ -138,6 +138,10 @@ object SearchFunctions {
         col("col.id").as(idCol), col("col.score").cast("long").as("score"))
   }
 
+  /** Public face of [[ilog2x1024]] for the query layer's fixed-point
+    * scoring compositions (KL drift, custom rankers). `x` must be ≥ 1. */
+  def ilog2_1024(x: Column): Column = ilog2x1024(x)
+
   /** Zipf power-law fit of the term-frequency ranking, per group: OLS
     * slope of fixed-point log2(count) vs log2(rank) over each group's
     * `topN` most frequent terms. Natural text follows Zipf with slope

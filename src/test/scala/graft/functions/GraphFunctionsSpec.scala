@@ -76,6 +76,38 @@ class GraphFunctionsSpec extends SparkSpec {
     assert(r.filter(col("v") === 0L).select("degree").as[Long].head() == 50L)
   }
 
+  test("kCore: pendant chain peels in a cascade, K4 core survives") {
+    // K4 on {0,1,2,3} + chain 3—4—5—6. Round 1 peels 6 (deg 1) and 5
+    // (deg 2) and 4 (deg 2): all chain nodes die the SAME round because
+    // degrees are measured before any removal. K4 keeps degree 3.
+    // Node 3 has degree 4 in round 1 (K4 + chain edge), 3 afterwards.
+    val nodes = (0L to 6L).toDF("v")
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val r = GraphFunctions.kCore(nodes, edges, k = 3, rounds = 5)
+      .collect().map(x => x.getLong(0) -> (x.getBoolean(1), x.getLong(2)))
+      .toMap
+    assert(r == Map(0L -> (true, 3L), 1L -> (true, 3L), 2L -> (true, 3L),
+      3L -> (true, 3L), 4L -> (false, 0L), 5L -> (false, 0L),
+      6L -> (false, 0L)))
+  }
+
+  test("kCore: multi-round cascade — survivor of round 1 dies in round 2") {
+    // Triangle {0,1,2} with 3 attached to all of {0,1,2} (K4 again),
+    // plus 4 attached to {3, 5, 6} and 5—6 edge: 4 has degree 3 in
+    // round 1 (3, 5, 6), but 5 (deg 2) and 6 (deg 2) peel in round 1,
+    // so 4 drops to degree 1 and peels in round 2 — proving the
+    // iteration is load-bearing.
+    val nodes = (0L to 6L).toDF("v")
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val one = GraphFunctions.kCore(nodes, edges, k = 3, rounds = 1)
+      .filter(col("v") === 4L).select("in_core").collect()(0).getBoolean(0)
+    val two = GraphFunctions.kCore(nodes, edges, k = 3, rounds = 2)
+      .filter(col("v") === 4L).select("in_core").collect()(0).getBoolean(0)
+    assert(one && !two)
+  }
+
   test("a round plans as src-keyed equi-joins + one dst aggregation") {
     val (nodes, edges) = tiny
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
