@@ -1081,6 +1081,42 @@ object Oracles {
          |FROM p WHERE inter * 5 >= (na + nb - inter) * 4
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Calibration: exact pairs re-derived from raw text by brute force
+    // (dd15's independence standard); estimates re-derived from the
+    // ECHOED signatures with an explicit 16-term match count.
+    "q_dd17_minhash_calibration" -> {
+      val matchSum = (1 to 16)
+        .map(i => s"(CASE WHEN x.sa[$i] = y.sa[$i] THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_dd17_minhash_calibration/*.parquet')),
+         |  s AS (SELECT doc_id, sig, CAST(sig AS BIGINT[]) AS sa
+         |        FROM o WHERE section = 'sig'),
+         |  d AS (SELECT doc_id, lang,
+         |          list_distinct(string_split($norm, ' ')) AS ws
+         |        FROM documents),
+         |  ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |           CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter,
+         |           CAST(len(a.ws) AS BIGINT) AS na, CAST(len(b.ws) AS BIGINT) AS nb
+         |         FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+         |  exq AS (SELECT id_a, id_b,
+         |            (1000000 * inter) // (na + nb - inter) AS jac_ppm
+         |          FROM ex WHERE inter * 5 >= (na + nb - inter) * 4),
+         |  p AS (SELECT exq.id_a, exq.id_b, exq.jac_ppm,
+         |          CAST($matchSum AS BIGINT) AS matches
+         |        FROM exq JOIN s x ON x.doc_id = exq.id_a
+         |                 JOIN s y ON y.doc_id = exq.id_b)
+         |SELECT 'sig' AS section, doc_id, sig, CAST(NULL AS BIGINT) AS id_a,
+         |       CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS BIGINT) AS jac_ppm,
+         |       CAST(NULL AS BIGINT) AS matches, CAST(NULL AS BIGINT) AS est_ppm,
+         |       CAST(NULL AS BIGINT) AS err_ppm
+         |FROM s
+         |UNION ALL
+         |SELECT 'pair', NULL, NULL, id_a, id_b, jac_ppm, matches,
+         |       matches * 62500, matches * 62500 - jac_ppm
+         |FROM p
+         |ORDER BY section, doc_id, id_a, id_b""".stripMargin
+    },
+
     // Independent brute force for the incremental prefix-filter probe:
     // full batch × corpus within-language scan, exact-verified.
     "q_dd16_incremental_allpairs" ->

@@ -381,6 +381,10 @@ object PlanAudit {
       "!CartesianProduct", "!BroadcastNestedLoopJoin", "!Window",
       "!hashpartitioning\\(blk#\\d+, \\d+\\)",
       "!hashpartitioning\\(lang"),
+    // calibration: the exact-pair machinery (dd15 contract) + two
+    // id-keyed signature joins — nothing cartesians, nothing windows
+    "q_dd17_minhash_calibration" -> Seq("HashAggregate",
+      "!CartesianProduct", "!Window", "!hashpartitioning\\(lang"),
     // incremental all-pairs probe: same contract as dd15 — every step
     // an equi-join/hash agg, nothing keyed on the block column alone
     "q_dd16_incremental_allpairs" -> Seq("HashAggregate",

@@ -1120,6 +1120,42 @@ object SparkEntry {
       .orderBy("id_new", "id_corpus")
   }
 
+  /** DD17 — MinHash CALIBRATION against exact ground truth: for every
+    * pair the EXACT prefix-filter join proves is a τ ≥ 0.8 near-dup,
+    * the 16-perm MinHash estimate (matching-minima / 16) is computed
+    * from the signatures and the signed error recorded — the
+    * measurement that tells you what an LSH threshold actually MEANS on
+    * your corpus before you bet a dedup pass on it (ties the dd3
+    * approximate family to the dd15 exact family). Integer-pinned:
+    * est_ppm = matches·62500; err_ppm = est_ppm − jac_ppm. Signatures
+    * are echoed; the oracle re-derives the exact pairs from raw text by
+    * brute force and the estimates from the echoed signatures. */
+  private def dd17(t: Tables): DataFrame = {
+    val exact = DedupFunctions.allPairsJaccard(t.documents, "doc_id",
+      "text", blockCol = "lang", tauNum = 4, tauDen = 5)
+    val sigs = DedupFunctions.minHashSignatures(
+      t.documents, "doc_id", "text", shingleN = 3, k = 16)
+      .select(col("id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matches = expr(
+      "aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1L, 0L)), 0L, (a, v) -> a + v)")
+    val pairs = exact
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
+      .withColumn("matches", matches)
+      .withColumn("est_ppm", col("matches") * 62500L)
+      .withColumn("err_ppm", col("est_ppm") - col("jac_ppm"))
+    val nl = lit(null).cast("long")
+    sigs.select(lit("sig").as("section"), col("id").as("doc_id"),
+        to_json(col("sig")).as("sig"), nl.as("id_a"), nl.as("id_b"),
+        nl.as("jac_ppm"), nl.as("matches"), nl.as("est_ppm"),
+        nl.as("err_ppm"))
+      .unionByName(pairs.select(lit("pair").as("section"), nl.as("doc_id"),
+        lit(null).cast("string").as("sig"), col("id_a"), col("id_b"),
+        col("jac_ppm"), col("matches"), col("est_ppm"), col("err_ppm")))
+      .orderBy("section", "doc_id", "id_a", "id_b")
+  }
+
   /** TXT11 — Luhn-validated card redaction: candidate digit runs are
     * checksum-VALIDATED before redaction (a bare regex over-redacts
     * order ids and phone numbers). Each document gets one valid and one
@@ -2701,6 +2737,7 @@ object SparkEntry {
       "q_sim12_filtered_ann" -> q(sim12),
       "q_txt18_kl_drift" -> q(txt18),
       "q_gr3_kcore" -> q(gr3),
+      "q_dd17_minhash_calibration" -> q(dd17),
       "q_w7_lag_delta" -> q(w7),
       "q_ts2_anomaly" -> q(ts2),
       "q_ts3_ewma" -> q(ts3),
