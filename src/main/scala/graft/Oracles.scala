@@ -2349,11 +2349,9 @@ object Oracles {
     // comparison, wedge self-join ordered by the same total order,
     // close, fan the 3 corners out, count. All-integer — engine-exact.
     "q_gr2_triangles" ->
-      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |  de AS (SELECT src, dst FROM (
-        |    SELECT doc_id AS src, (doc_id * 37 + 11) % nn.n AS dst FROM documents, nn
-        |    UNION ALL SELECT doc_id, (doc_id * 101 + 53) % nn.n FROM documents, nn
-        |    UNION ALL SELECT doc_id, (doc_id * 197 + 89) % nn.n FROM documents, nn) t),
+        |    $linkGenSql) t),
         |  ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         |         FROM de WHERE src <> dst),
         |  dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
@@ -2438,15 +2436,15 @@ object Oracles {
         |               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
         |               CAST(SUM(x * x) AS BIGINT) AS sxx,
         |               CAST(SUM(x * y) AS BIGINT) AS sxy
-        |        FROM xy GROUP BY 1)
-        |SELECT user_id, n AS n_days, sx, sy, sxx, sxy,
-        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-        |            ELSE (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
-        |       END AS slope_ppm,
-        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-        |            ELSE (1000000 * (sy * sxx - sx * sxy)) // (n * sxx - sx * sx)
+        |        FROM xy GROUP BY 1),
+        |  sl AS (SELECT *, CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |           ELSE (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+        |         END AS slope_ppm FROM m)
+        |SELECT user_id, n AS n_days, sx, sy, sxx, sxy, slope_ppm,
+        |       CASE WHEN slope_ppm IS NULL THEN NULL
+        |            ELSE (1000000 * sy - slope_ppm * sx) // n
         |       END AS intercept_ppm
-        |FROM m ORDER BY user_id""".stripMargin,
+        |FROM sl ORDER BY user_id""".stripMargin,
 
     // Full bigram-LM replay: same fixed-point log2 as the srch oracles,
     // Laplace smoothing re-derived from the corpus counts. Per-bigram
@@ -2493,16 +2491,22 @@ object Oracles {
   private def ilSql(x: String): String =
     s"(1024 * (length(bin($x)) - 1) + (($x * 1024) >> (length(bin($x)) - 1)) - 1024)"
 
+  /** The gr1/gr2/gr3 link-graph generator — ONE SQL spelling, shared by
+    * all three graph oracles (mirrors SparkEntry.linkGraphDirected;
+    * keep the two in sync). Expects an `nn(n)` CTE in scope. */
+  private def linkGenSql =
+    """SELECT doc_id AS src, (doc_id * 37 + 11) % nn.n AS dst FROM documents, nn
+      |    UNION ALL SELECT doc_id, (doc_id * 101 + 53) % nn.n FROM documents, nn
+      |    UNION ALL SELECT doc_id, (doc_id * 197 + 89) % nn.n FROM documents, nn""".stripMargin
+
   /** Full replay of GraphFunctions.kCore as chained CTEs: one alive-set
     * CTE per peel round (degree counted within the survivors, filter
     * ≥ k), then final degrees within the surviving subgraph. */
   private def kCoreSql(k: Int, rounds: Int): String = {
     val head =
-      """WITH nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      s"""WITH nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |  de AS (SELECT src, dst FROM (
-        |    SELECT doc_id AS src, (doc_id * 37 + 11) % nn.n AS dst FROM documents, nn
-        |    UNION ALL SELECT doc_id, (doc_id * 101 + 53) % nn.n FROM documents, nn
-        |    UNION ALL SELECT doc_id, (doc_id * 197 + 89) % nn.n FROM documents, nn) t),
+        |    $linkGenSql) t),
         |  ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         |         FROM de WHERE src <> dst),
         |  al0 AS MATERIALIZED (SELECT doc_id AS v FROM documents)""".stripMargin
@@ -2540,11 +2544,9 @@ object Oracles {
     * truncating `div` agree. */
   private def pageRankSql(iters: Int): String = {
     val head =
-      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |  edges AS (SELECT DISTINCT src, dst FROM (
-        |    SELECT doc_id AS src, (doc_id * 37 + 11) % nn.n AS dst FROM documents, nn
-        |    UNION ALL SELECT doc_id, (doc_id * 101 + 53) % nn.n FROM documents, nn
-        |    UNION ALL SELECT doc_id, (doc_id * 197 + 89) % nn.n FROM documents, nn) t),
+        |    $linkGenSql) t),
         |  deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
         |  r0 AS (SELECT doc_id AS v, 1000000000000 // nn.n AS r FROM documents, nn)""".stripMargin
     val rounds = (1 to iters).map { i =>

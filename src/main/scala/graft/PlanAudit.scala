@@ -327,9 +327,12 @@ object PlanAudit {
     // grid, partitioned by type — same contract as ts1
     "q_ts2_anomaly" -> Seq("HashAggregate", "Window",
       "windowspecdefinition\\(event_type", "!Join", "!CartesianProduct"),
-    // star join: dimension chain broadcasts, both selective predicates
+    // star join: nation/region broadcast, the customer edge is a
+    // shuffled fact-fact equi-join (merge-hinted — the production
+    // shape; customer scales with the data), both selective predicates
     // reach their scans, nothing cartesians
     "q_j12_star_join" -> Seq("BroadcastHashJoin",
+      "SortMergeJoin|ShuffledHashJoin",
       "PushedFilters: \\[.*EqualTo\\(r_name",
       "PushedFilters: \\[.*GreaterThanOrEqual\\(o_orderdate",
       "!CartesianProduct", "!BroadcastNestedLoopJoin"),

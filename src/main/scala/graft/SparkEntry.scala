@@ -936,15 +936,16 @@ object SparkEntry {
   }
 
   /** J12 — multi-way star join (the TPC-H Q5 shape): lineitem ⋈ orders
-    * is the fact-fact edge; customer → nation → region is the dimension
-    * chain, every hop BROADCAST (dims are small by definition — that is
-    * what makes them dims), with the region-name equality and the
-    * order-date interval pushed into their scans. Revenue =
-    * Σ price·(1−discount), decimal-pinned cents before the final double.
-    * At 100 TB this is the canonical plan: one shuffle for the fact
-    * edge, zero for the dimension chain, partial aggregation map-side.
-    * Plan-audited: BroadcastHashJoin chain, pushed filters, no
-    * cartesian. */
+    * and orders ⋈ customer are FACT-FACT edges (customer scales with
+    * the data — canonical Q5 shuffles it), so the customer join is
+    * merge-hinted to pin the production plan at toy scale (the j11
+    * discipline); nation and region are the true small dimensions and
+    * BROADCAST, with the region-name equality and the order-date
+    * interval pushed into their scans. Revenue = Σ price·(1−discount),
+    * exact at 4 decimals. At 100 TB: two fact shuffles, zero movement
+    * for the dimension chain, partial aggregation map-side.
+    * Plan-audited: BHJ for the dims, shuffled equi-join for customer,
+    * pushed filters, no cartesian. */
   private def j12(t: Tables): DataFrame = {
     val dims = t.customer.select(col("c_custkey"), col("c_nationkey"))
       .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"),
@@ -965,7 +966,7 @@ object SparkEntry {
           col("o_orderdate") < lit("1998-01-01"))
         .select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-    facts.join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+    facts.join(dims.hint("merge"), col("o_custkey") === col("c_custkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_items"),
         sum("rev").cast("double").as("revenue"))
@@ -1008,8 +1009,12 @@ object SparkEntry {
     * layout-independent — the oracle is a plain join-aggregate. */
   private def j11(t: Tables): DataFrame = {
     val spark = t.orders.sparkSession
-    val base = java.nio.file.Files.createTempDirectory("graft_bucketed")
-      .toString
+    // Fixed, reused location (mode=overwrite replaces it per run): a
+    // fresh temp dir per DataFrame construction would leak a full
+    // bucketed copy of both tables on every Verify/Bench/PlanAudit
+    // invocation. Harness runs are sequential by contract; a real
+    // deployment would write the layout once into the lake.
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
     BucketedLayout.writeBucketed(
       t.orders.select("o_orderkey", "o_orderpriority"),
       "graft_b_orders", s"$base/b_orders", "o_orderkey", 16)
@@ -1626,6 +1631,24 @@ object SparkEntry {
       .orderBy("event_type", "hour")
   }
 
+  /** The gr1/gr2/gr3 link graph — ONE definition (the oracles replay
+    * the same three hash lines via Oracles.linkGenSql; keep in sync).
+    * Deterministic 3-out-regular on the doc-id space mod `n`. */
+  private def linkGraphDirected(nodes: DataFrame, n: Long): DataFrame =
+    nodes.select(col("v").as("src"), explode(array(
+      pmod(col("v") * 37 + 11, lit(n)),
+      pmod(col("v") * 101 + 53, lit(n)),
+      pmod(col("v") * 197 + 89, lit(n)))).as("dst"))
+
+  /** Symmetrized simple-graph view of [[linkGraphDirected]]: no self
+    * loops, canonical (a < b) distinct edges. */
+  private def linkGraphUndirected(nodes: DataFrame, n: Long): DataFrame =
+    linkGraphDirected(nodes, n)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
   /** GR1 — fixed-point PageRank over a deterministic 3-out-regular link
     * graph on the document id space (authority centrality is a published
     * web-corpus quality signal; the iterative join-agg data flow is the
@@ -1638,11 +1661,7 @@ object SparkEntry {
     // 1-row scalar for the modulus of the edge generator (documented
     // driver-side count, not row data).
     val n = nodes.count()
-    val edges = nodes.select(col("v").as("src"), explode(array(
-        pmod(col("v") * 37 + 11, lit(n)),
-        pmod(col("v") * 101 + 53, lit(n)),
-        pmod(col("v") * 197 + 89, lit(n)))).as("dst"))
-      .distinct()
+    val edges = linkGraphDirected(nodes, n).distinct()
     graft.functions.GraphFunctions.pageRank(nodes, edges, iters = 5)
       .select(col("v").as("doc_id"), col("rank").as("rank_e12"))
       .orderBy("doc_id")
@@ -1660,15 +1679,8 @@ object SparkEntry {
   private def gr2(t: Tables): DataFrame = {
     val nodes = t.documents.select(col("doc_id").as("v"))
     val n = nodes.count() // 1-row scalar modulus, as in gr1
-    val directed = nodes.select(col("v").as("src"), explode(array(
-        pmod(col("v") * 37 + 11, lit(n)),
-        pmod(col("v") * 101 + 53, lit(n)),
-        pmod(col("v") * 197 + 89, lit(n)))).as("dst"))
-    val undirected = directed.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-    graft.functions.GraphFunctions.triangleCounts(nodes, undirected)
+    graft.functions.GraphFunctions.triangleCounts(nodes,
+        linkGraphUndirected(nodes, n))
       .select(col("v").as("doc_id"), col("degree"), col("n_triangles"))
       .orderBy("doc_id")
   }
@@ -1684,15 +1696,8 @@ object SparkEntry {
   private def gr3(t: Tables): DataFrame = {
     val nodes = t.documents.select(col("doc_id").as("v"))
     val n = nodes.count() // 1-row scalar modulus, as in gr1/gr2
-    val undirected = nodes.select(col("v").as("src"), explode(array(
-        pmod(col("v") * 37 + 11, lit(n)),
-        pmod(col("v") * 101 + 53, lit(n)),
-        pmod(col("v") * 197 + 89, lit(n)))).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-    graft.functions.GraphFunctions.kCore(nodes, undirected, k = 3, rounds = 5)
+    graft.functions.GraphFunctions.kCore(nodes,
+        linkGraphUndirected(nodes, n), k = 3, rounds = 5)
       .select(col("v").as("doc_id"), col("in_core"), col("core_degree"))
       .orderBy("doc_id")
   }
@@ -1796,10 +1801,13 @@ object SparkEntry {
         col("sx"), col("sy"), col("sxx"), col("sxy"),
         when(den === 0, lit(null).cast("long")).otherwise(
           expr("(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"))
-          .as("slope_ppm"),
-        when(den === 0, lit(null).cast("long")).otherwise(
-          expr("(1000000 * (sy * sxx - sx * sxy)) div (n * sxx - sx * sx)"))
-          .as("intercept_ppm"))
+          .as("slope_ppm"))
+      // Two-step intercept from the already-truncated slope (the zipfFit
+      // discipline): the single-step closed form multiplies Σy·Σxx by
+      // 10⁶ and overflows i64 at realistic per-user history scale.
+      .withColumn("intercept_ppm",
+        when(col("slope_ppm").isNull, lit(null).cast("long")).otherwise(
+          expr("(1000000 * sy - slope_ppm * sx) div n_days")))
       .orderBy("user_id")
   }
 

@@ -197,7 +197,13 @@ object EventAnalytics {
     val newestClosed = st.ring.headOption.map(_._1).getOrElse(Long.MinValue)
     rows.foreach { e =>
       val h = Math.floorDiv(e.ts.getTime, HOUR) * HOUR
-      if (h > newestClosed) {
+      // Two late-data gates (Spark does NOT pre-filter rows below the
+      // watermark for flatMapGroupsWithState): an hour this key already
+      // closed, AND an hour whose end the watermark has already passed —
+      // without the second, a row arriving far beyond the lateness
+      // horizon for an hour that never had on-time data would open it
+      // retroactively and emit a spurious partial-hour total.
+      if (h > newestClosed && h + HOUR > wm) {
         val cents = Math.round(e.value * 100.0)
         st = st.copy(open =
           st.open.updated(h, st.open.getOrElse(h, 0L) + cents))

@@ -65,12 +65,22 @@ class GraphFunctionsSpec extends SparkSpec {
 
   test("triangleCounts: hub out-degree is bounded by the orientation") {
     // A 1-hub star with 50 leaves: the hub's (deg,id) is the LARGEST,
-    // so every edge orients leaf→hub and the hub's out-degree is 0 —
+    // so every edge orients leaf→hub and the hub's OUT-degree is 0 —
     // the wedge self-join fans out from leaves (out-degree 1), never
-    // from the hub. Triangle-free, all zeros.
+    // from the hub. Asserted on the orientation itself: a reversed
+    // ordering (hub out-degree 50 ⇒ quadratic wedge fan-out) fails
+    // here even though the star is triangle-free either way.
     val nodes = (0L to 50L).toDF("v")
     val edges = (1L to 50L).map(i => (0L.min(i), 0L.max(i)))
       .toDF("a", "b")
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val outDeg = GraphFunctions.orientByDegree(edges, deg)
+      .groupBy("src").agg(count(lit(1)).as("od"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!outDeg.contains(0L)) // the hub emits NO wedge-side edges
+    assert(outDeg.values.forall(_ == 1L)) // every leaf emits exactly one
     val r = GraphFunctions.triangleCounts(nodes, edges)
     assert(r.agg(sum("n_triangles")).as[Long].head() == 0L)
     assert(r.filter(col("v") === 0L).select("degree").as[Long].head() == 50L)

@@ -254,23 +254,35 @@ class EventAnalyticsSpec extends SparkSpec {
     val HOUR = 3600000L
     def ts(h: Int, min: Int = 0) =
       new java.sql.Timestamp(H0 + h * HOUR + min * 60000L)
-    // Step 1: h0 accumulates and closes (watermark at h4).
-    val (st1, out1) = EventAnalytics.anomalyStep("b", None,
+    // Step 1: h0 accumulates while the watermark hasn't reached it
+    // (batch-N rows are gated by the batch-(N−1) watermark)…
+    val (st1a, out1a) = EventAnalytics.anomalyStep("b", None,
       Iterator(ValEvent("b", ts(0), 700.0), ValEvent("b", ts(0, 20), 100.0)),
-      wm = H0 + 4 * HOUR, minPriors = 12, ringSize = 24)
+      wm = 0L, minPriors = 12, ringSize = 24)
+    assert(out1a.isEmpty && st1a.open == Map(H0 -> 80000L))
+    // …and closes on the next step once the watermark passes its end.
+    val (st1, out1) = EventAnalytics.anomalyStep("b", Some(st1a),
+      Iterator.empty, wm = H0 + 4 * HOUR, minPriors = 12, ringSize = 24)
     assert(out1.map(s => (s.hour.getTime, s.x)) == Seq((H0, 800L)))
     assert(st1.ring == List((H0, 800L)) && st1.open.isEmpty)
-    // Step 2: a replay for the closed h0 arrives late — it must be
-    // DROPPED (no re-emission, no state mutation), while a fresh h5 row
-    // accumulates normally and closes once the watermark passes.
+    // Step 2: a replay for the closed h0 arrives late — dropped by the
+    // closed-hour gate. An h2 row whose hour-end the watermark ALREADY
+    // passed (h2+1h ≤ wm=h7) — dropped by the watermark gate even
+    // though h2 was never closed (no on-time data): without that gate
+    // it would open retroactively and emit a spurious partial hour.
+    // A fresh h8 row (ahead of the watermark) accumulates normally.
     val (st2, out2) = EventAnalytics.anomalyStep("b", Some(st1),
-      Iterator(ValEvent("b", ts(0, 30), 9999.0), ValEvent("b", ts(5), 50.0)),
+      Iterator(ValEvent("b", ts(0, 30), 9999.0), ValEvent("b", ts(2), 111.0),
+        ValEvent("b", ts(8), 50.0)),
       wm = H0 + 7 * HOUR, minPriors = 12, ringSize = 24)
-    assert(out2.map(s => (s.hour.getTime, s.x)) == Seq((H0 + 5 * HOUR, 50L)))
-    assert(st2.ring.head == (H0 + 5 * HOUR, 50L) &&
-      st2.ring.contains((H0, 800L)) && st2.open.isEmpty)
+    assert(out2.isEmpty && st2.open == Map(H0 + 8 * HOUR -> 5000L))
+    val (st3, out3) = EventAnalytics.anomalyStep("b", Some(st2),
+      Iterator.empty, wm = H0 + 10 * HOUR, minPriors = 12, ringSize = 24)
+    assert(out3.map(s => (s.hour.getTime, s.x)) == Seq((H0 + 8 * HOUR, 50L)))
+    assert(st3.ring.head == (H0 + 8 * HOUR, 50L) &&
+      st3.ring.contains((H0, 800L)) && st3.open.isEmpty)
     // EWMA folded across the two closures: (50 + 7*800)/8 = 706.
-    assert(st2.ewma.contains((50L + 7 * 800L) / 8))
+    assert(st3.ewma.contains((50L + 7 * 800L) / 8))
   }
 
   test("sessionize: events split on inactivity gap, per user") {
