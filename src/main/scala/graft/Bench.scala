@@ -100,7 +100,7 @@ object Bench {
       // (min-of-3 reads pass 1 cold, passes 2-3 cache-warm), and
       // clearing per-pass inflates the whole board ~1.4× against prior
       // rounds' numbers.
-      spark.catalog.clearCache()
+      SparkEntry.releaseTracked(); spark.catalog.clearCache()
       val times = (1 to passes).flatMap { _ =>
         // Outside the timed region: let the ContextCleaner release
         // dropped RDDs before the next timed pass.

@@ -2379,7 +2379,10 @@ object Oracles {
     // k-core replay: the same symmetrized generator graph, every peel
     // round as a chained CTE (alive_{i+1} = degree-within-alive_i ≥ k),
     // final degrees within the surviving subgraph. All-integer.
-    "q_gr3_kcore" -> kCoreSql(k = 3, rounds = 5),
+    // rounds here = the OPERATOR'S CAP (kCore converges and exits early;
+    // no-op rounds past the fixpoint leave these CTEs unchanged, and a
+    // deeper-than-cap graph truncates both engines at the same round).
+    "q_gr3_kcore" -> kCoreSql(k = 3, rounds = 16),
 
     // Rolling z-score replay: identical 24-hour PRECEDING frame, the
     // same division-free integer z² inequality. DuckDB's SUM over

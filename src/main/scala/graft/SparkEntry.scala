@@ -42,6 +42,22 @@ object SparkEntry {
   private val dec182 = DecimalType(18, 2)
   private def dsum(c: Column): Column = sum(c.cast(dec182)).cast("double")
 
+  /** Materialized-handle registry. `queries()` must hand the harness a
+    * bare DataFrame, but the iterative operators (pageRank, kCore,
+    * duplicateClusters, dedupCorpus) return a
+    * [[graft.operators.Materialized]] whose caches must outlive the
+    * frame's consumption — so the query builders `track` the handle here
+    * and the harness calls [[releaseTracked]] after each query's result
+    * is consumed. Library consumers never touch this: they hold the
+    * handle and call `.release()` directly. */
+  private val tracked =
+    scala.collection.mutable.ArrayBuffer.empty[graft.operators.Materialized]
+  def track(m: graft.operators.Materialized): DataFrame =
+    tracked.synchronized { tracked += m; m.df }
+  def releaseTracked(): Unit = tracked.synchronized {
+    tracked.foreach(_.release()); tracked.clear()
+  }
+
   /** Constructed timestamps go out as TIMESTAMP_NTZ so parquet stores naive
     * (un-adjusted) values matching the DuckDB oracle; session TZ is UTC so
     * the wall-clock value is unchanged. */
@@ -1009,20 +1025,25 @@ object SparkEntry {
     * layout-independent — the oracle is a plain join-aggregate. */
   private def j11(t: Tables): DataFrame = {
     val spark = t.orders.sparkSession
-    // Fixed, reused location (mode=overwrite replaces it per run): a
-    // fresh temp dir per DataFrame construction would leak a full
-    // bucketed copy of both tables on every Verify/Bench/PlanAudit
-    // invocation. Harness runs are sequential by contract; a real
-    // deployment would write the layout once into the lake.
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+    // Fixed location PER SPARK APP (mode=overwrite replaces it per run
+    // within the app): a fresh temp dir per DataFrame construction would
+    // leak a full bucketed copy of both tables on every Verify/Bench/
+    // PlanAudit invocation, while a path shared ACROSS processes would
+    // let two concurrent harness runs overwrite each other's files
+    // mid-scan — the applicationId namespaces both the directory and
+    // the catalog names. A real deployment writes the layout once into
+    // the lake.
+    val appNs = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_]", "_")
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$appNs"
     BucketedLayout.writeBucketed(
       t.orders.select("o_orderkey", "o_orderpriority"),
-      "graft_b_orders", s"$base/b_orders", "o_orderkey", 16)
+      s"graft_b_orders_$appNs", s"$base/b_orders", "o_orderkey", 16)
     BucketedLayout.writeBucketed(
       t.lineitem.select("l_orderkey", "l_quantity", "l_extendedprice"),
-      "graft_b_lineitem", s"$base/b_lineitem", "l_orderkey", 16)
-    BucketedLayout.cooperativeJoin(spark, "graft_b_orders",
-        "graft_b_lineitem", "o_orderkey", "l_orderkey")
+      s"graft_b_lineitem_$appNs", s"$base/b_lineitem", "l_orderkey", 16)
+    BucketedLayout.cooperativeJoin(spark, s"graft_b_orders_$appNs",
+        s"graft_b_lineitem_$appNs", "o_orderkey", "l_orderkey")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_quantity").cast(dec182)).cast("double").as("sum_qty"),
@@ -1662,7 +1683,7 @@ object SparkEntry {
     // driver-side count, not row data).
     val n = nodes.count()
     val edges = linkGraphDirected(nodes, n).distinct()
-    graft.functions.GraphFunctions.pageRank(nodes, edges, iters = 5)
+    track(graft.functions.GraphFunctions.pageRank(nodes, edges, iters = 5))
       .select(col("v").as("doc_id"), col("rank").as("rank_e12"))
       .orderBy("doc_id")
   }
@@ -1685,19 +1706,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** GR3 — k-core peeling (k = 3, 5 rounds) over the gr1/gr2 link
-    * graph: the dense-backbone extraction that complements PageRank's
-    * authority ranking and gr2's triangle density (k-core membership is
-    * a standard link-farm/community-core signal). Fixed rounds make the
-    * result a pure graph function; the oracle replays every peel as
-    * chained CTEs. Peeling CASCADES are the point: a node can survive
-    * round 1 and die in round 3 because its neighbors were peeled —
-    * iteration is semantically load-bearing, not an optimization. */
+  /** GR3 — k-core peeling TO CONVERGENCE (k = 3, cap 16) over the
+    * gr1/gr2 link graph: the dense-backbone extraction that complements
+    * PageRank's authority ranking and gr2's triangle density (k-core
+    * membership is a standard link-farm/community-core signal). The
+    * operator exits at the first nothing-peeled round (the k-core's
+    * defining fixpoint) and only the CAP is pinned: the oracle replays
+    * exactly `cap` peel rounds as chained CTEs, which matches in every
+    * case — converged within the cap, the extra oracle rounds are
+    * no-ops; deeper than the cap, both engines stop at the same round.
+    * Peeling CASCADES are the point: a node can survive round 1 and die
+    * in round 3 because its neighbors were peeled — iteration is
+    * semantically load-bearing, not an optimization. */
   private def gr3(t: Tables): DataFrame = {
     val nodes = t.documents.select(col("doc_id").as("v"))
     val n = nodes.count() // 1-row scalar modulus, as in gr1/gr2
-    graft.functions.GraphFunctions.kCore(nodes,
-        linkGraphUndirected(nodes, n), k = 3, rounds = 5)
+    track(graft.functions.GraphFunctions.kCore(nodes,
+        linkGraphUndirected(nodes, n), k = 3, rounds = 16))
       .select(col("v").as("doc_id"), col("in_core"), col("core_degree"))
       .orderBy("doc_id")
   }
@@ -1876,7 +1901,7 @@ object SparkEntry {
     // components and min-id labels are provably identical.
     val pairs = DedupFunctions.minHashConnectivityEdges(
       sigs, k = 16, bands = 4, threshold = 0.5)
-    val clusters = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
+    val clusters = track(DedupFunctions.duplicateClusters(pairs, "id_a", "id_b"))
     val nl = lit(null).cast("long")
     sigs.select(lit("sig").as("section"), col("id").as("doc_id"),
         to_json(col("sig")).as("sig"),
@@ -1897,9 +1922,9 @@ object SparkEntry {
     // identical components at O(members) edge volume
     val pairs = DedupFunctions.minHashConnectivityEdges(
       sigs, k = 16, bands = 4, threshold = 0.5)
-    val reps = DedupFunctions.dedupCorpus(
+    val reps = track(DedupFunctions.dedupCorpus(
         t.documents.select("doc_id", "text"), "doc_id", length(col("text")),
-        pairs, "id_a", "id_b")
+        pairs, "id_a", "id_b"))
       .select(col("doc_id"), col("cluster_id"))
     sigs.select(lit("sig").as("section"), col("id").as("doc_id"),
         to_json(col("sig")).as("sig"),

@@ -202,7 +202,7 @@ object Stress {
     val stats = new TaskStats
     spark.sparkContext.addSparkListener(stats)
     def measure(name: String)(df: => DataFrame): Run = {
-      spark.catalog.clearCache()
+      SparkEntry.releaseTracked(); spark.catalog.clearCache()
       System.gc()
       stats.drain()
       val t0 = System.nanoTime()

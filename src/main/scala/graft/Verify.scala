@@ -68,7 +68,7 @@ object Verify {
         // Release intermediates persisted inside the query builders
         // (dd3/dd8/mm5/…): left cached, a 100-query sweep accumulates
         // every query's cache blocks in one session.
-        spark.catalog.clearCache()
+        SparkEntry.releaseTracked(); spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

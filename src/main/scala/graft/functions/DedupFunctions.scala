@@ -182,6 +182,9 @@ object DedupFunctions {
         col("n").as("inter"), col("n").as("uni"))
     cross.unionByName(within)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        // uni ≥ 1 by construction: normalize/split maps even empty text
+        // to the single "" token, so no word set is ever empty — if that
+        // tokenization contract ever changes, guard uni = 0 here.
         expr("(1000000 * inter) div uni").as("jac_ppm"))
   }
 
@@ -258,6 +261,9 @@ object DedupFunctions {
       .join(mb.select(col("fp").as("fn"), col("id").as("id_new")), "fn")
       .join(mc.select(col("fp").as("fc"), col("id").as("id_corpus")), "fc")
       .select(col("id_new"), col("id_corpus"), col("inter"), col("uni"),
+        // uni ≥ 1 by construction: normalize/split maps even empty text
+        // to the single "" token, so no word set is ever empty — if that
+        // tokenization contract ever changes, guard uni = 0 here.
         expr("(1000000 * inter) div uni").as("jac_ppm"))
   }
 
@@ -685,9 +691,14 @@ object DedupFunctions {
     * plan doesn't double each iteration; fault tolerance is not needed
     * because the loop re-derives from immutable inputs. The per-round
     * convergence count is a scalar driver read, not a data collect.
-    */
+    *
+    * Returns a [[graft.operators.Materialized]]: the label frame stays
+    * persisted (the round chain behind it is gone, so an eager release
+    * would re-run the loop on first use); consume `.df`, then
+    * `.release()` — the managed replacement for the old
+    * caller-must-clearCache contract. */
   def duplicateClusters(pairs: DataFrame, a: String, b: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20): graft.operators.Materialized = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Symmetrize with a single scan (explode of both directions) — the
     // upstream pair plan is often an expensive similarity join, and a
@@ -760,7 +771,8 @@ object DedupFunctions {
     out.count()
     edgesRaw.unpersist()
     labels.unpersist()
-    out
+    graft.operators.Materialized(out, Seq(out),
+      Map("rounds_run" -> i.toLong))
   }
 
   /** Benchmark-contamination scores (the decontamination pass of a
@@ -826,8 +838,9 @@ object DedupFunctions {
     * is the cluster size, never corpus size.
     */
   def dedupCorpus(docs: DataFrame, idCol: String, quality: Column,
-      pairs: DataFrame, a: String, b: String): DataFrame = {
-    val clusters = duplicateClusters(pairs, a, b)
+      pairs: DataFrame, a: String, b: String): graft.operators.Materialized = {
+    val cm = duplicateClusters(pairs, a, b)
+    val clusters = cm.df
     // `clusters` comes out of localCheckpoint, whose leaf reports default
     // (effectively infinite) size stats — the static planner would pick a
     // SortMergeJoin and shuffle the whole corpus on the id before AQE
@@ -844,8 +857,14 @@ object DedupFunctions {
       .join(maybeBroadcast, docs(idCol) === maybeBroadcast("member"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), docs(idCol)))
       .drop("member")
-    graft.operators.Relational.latestPerGroup(labeled, Seq("cluster_id"),
-      Seq(quality.desc, col(idCol).asc))
+    // The keep-one result is returned LAZY (the caller composes it); the
+    // cluster labels it joins stay persisted under this handle — release
+    // after the result is consumed (releasing earlier is safe but
+    // recomputes the CC labels from their checkpoint blocks on use).
+    graft.operators.Materialized(
+      graft.operators.Relational.latestPerGroup(labeled, Seq("cluster_id"),
+        Seq(quality.desc, col(idCol).asc)),
+      Seq(clusters), cm.info)
   }
 
   /** Connected components by alternating large-star/small-star edge
@@ -867,7 +886,7 @@ object DedupFunctions {
     * a count plus an anti-join count on round-sized data.
     */
   def duplicateClustersStar(pairs: DataFrame, a: String, b: String,
-      maxIters: Int = 60): DataFrame = {
+      maxIters: Int = 60): graft.operators.Materialized = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // One scan of the upstream pair plan, total: it is consumed here for
     // the edge set and twice more below for the self-only membership
@@ -927,7 +946,8 @@ object DedupFunctions {
     val out = starMembers.unionByName(selfOnly).persist(lvl)
     out.count()
     edges.unpersist()
-    out
+    graft.operators.Materialized(out, Seq(out),
+      Map("rounds_run" -> i.toLong))
   }
 
   // ---------------------------------------------- Bloom-gated exact dedup

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.operators.Materialized
+
 /** Iterative graph analytics over edge tables — the authority/centrality
   * leg of corpus curation (CommonCrawl-style harmonic/PageRank
   * centrality is a published quality signal for web corpora; the
@@ -37,15 +39,14 @@ object GraphFunctions {
     * previous round is unpersisted as soon as the next materializes, so
     * peak footprint is two rank tables regardless of iteration count.
     *
-    * Caller contract: the RETURNED frame stays persisted — it must (the
-    * iteration chain behind it has been unpersisted, so releasing it
-    * eagerly would force a full recompute on first use). A caller
-    * invoking pageRank repeatedly in one session owns the release:
-    * `result.unpersist()` once consumed (the bench harness's per-query
-    * `clearCache()` does this for q_gr1).
+    * The returned [[Materialized]] keeps the final rank table persisted
+    * (the iteration chain behind it has been unpersisted round by round,
+    * so an eager release would force a full recompute on first use);
+    * the caller consumes `.df` and then calls `.release()` — no
+    * session-wide `clearCache()` needed for hygiene.
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
-      scale: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {
+      scale: Long = 1000000000000L, dampingPct: Int = 85): Materialized = {
     val spark = nodes.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -71,7 +72,7 @@ object GraphFunctions {
     }
     val out = rank.select(col("v"), col("r").as("rank"))
     e.unpersist(); deg.unpersist()
-    out
+    Materialized(out, Seq(rank), Map("iters_run" -> iters.toLong))
   }
 
   /** Per-node triangle counts over an undirected simple graph — the
@@ -142,58 +143,77 @@ object GraphFunctions {
       when(aFirst, col("degb")).otherwise(col("dega")).as("ddeg"))
   }
 
-  /** k-core peeling (fixed `rounds` — the oracle-replayable form, same
-    * contract as [[pageRank]]'s fixed iterations): each round removes
-    * every node whose degree within the surviving subgraph is < k; what
-    * remains after enough rounds is the k-core — the dense backbone
-    * (link-farm/community cores; the complement of PageRank's
-    * authority view and gr2's triangle density). A fixed round count
-    * makes the result a pure function of the graph (production would
-    * iterate to fixpoint with a convergence check — each round is
-    * deterministic, so the cap only bounds how deep a peeling CASCADE
-    * can propagate; peeling is monotone, so extra rounds never
-    * resurrect a node).
+  /** k-core peeling TO CONVERGENCE, `rounds`-capped: each round removes
+    * every node whose degree within the surviving subgraph is < k; the
+    * loop exits as soon as a round peels nothing — at that point the
+    * alive set IS the k-core (peeling is monotone: a round that removes
+    * no node proves every survivor has degree ≥ k among survivors, the
+    * k-core's defining fixpoint; extra rounds are no-ops). `rounds`
+    * stays as a CAP bounding how deep a peeling cascade may propagate —
+    * a cap below the graph's peel depth returns the partially-peeled
+    * set, NOT the k-core (the `info` fields below make that observable
+    * instead of silent). The fixpoint exit costs nothing extra: the
+    * per-round count was already paid to materialize the alive set.
     *
-    * Returns (v, in_core, core_degree): membership after `rounds`
-    * peels and the degree within the FINAL surviving subgraph (0 for
-    * peeled/isolated nodes). Scale shape per round: two semi-join-like
+    * The dense backbone this extracts (link-farm/community cores) is
+    * the complement of PageRank's authority view and gr2's triangle
+    * density.
+    *
+    * Returns (v, in_core, core_degree): membership in the converged
+    * (or cap-truncated) surviving set and the degree within that FINAL
+    * subgraph (0 for peeled/isolated nodes). `info("rounds_run")`
+    * counts executed rounds INCLUDING the final nothing-peeled probe
+    * round; `info("converged")` is 1 iff the fixpoint was reached
+    * within the cap. Scale shape per round: two semi-join-like
     * equi-joins restricting the edge list to survivors + one hash
     * aggregation — alive sets persist(MEMORY_AND_DISK) and ping-pong
     * like pageRank's ranks, so peak footprint is two alive tables.
     * All-integer counts: engine-exact. */
   def kCore(nodes: DataFrame, edges: DataFrame, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int): Materialized = {
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
     var alive = nodes.select(col("v")).persist(StorageLevel.MEMORY_AND_DISK)
-    alive.count()
+    var aliveCount = alive.count()
     def degreesWithin(a: DataFrame): DataFrame = e
       .join(a.select(col("v").as("a")), "a")
       .join(a.select(col("v").as("b")), "b")
       .select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     var i = 0
-    while (i < rounds) {
+    var converged = false
+    while (i < rounds && !converged) {
       val next = degreesWithin(alive).filter(col("deg") >= k)
         .select("v").persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      alive.unpersist()
-      alive = next
+      val c = next.count()
       i += 1
+      if (c == aliveCount) {
+        // next ⊆ alive by construction, so equal counts ⇒ equal sets:
+        // nothing peeled, fixpoint reached. Keep the CURRENT alive set
+        // (identical contents, already persisted) and drop the probe.
+        converged = true
+        next.unpersist()
+      } else {
+        alive.unpersist()
+        alive = next
+        aliveCount = c
+        // An emptied alive set is trivially the fixpoint — no probe
+        // round needed (nothing can reappear to peel).
+        if (aliveCount == 0L) converged = true
+      }
     }
     val finalDeg = degreesWithin(alive)
     // `e` and the final `alive` stay persisted: the returned frame's
     // final-degree computation reads BOTH, so an eager unpersist here
     // would force the edge build to re-execute on the caller's first
-    // action — and would also break the CacheManager's plan-matched
-    // reuse that repeated constructions (bench min-of-3 passes) rely
-    // on. Caller contract is pageRank's: the per-query clearCache in
-    // the harness releases everything once the result is consumed.
-    nodes.select(col("v"))
+    // action. The Materialized handle owns their release.
+    val out = nodes.select(col("v"))
       .join(alive.withColumn("in_core", lit(true)), Seq("v"), "left")
       .join(finalDeg, Seq("v"), "left")
       .select(col("v"), coalesce(col("in_core"), lit(false)).as("in_core"),
         coalesce(col("deg"), lit(0L)).as("core_degree"))
+    Materialized(out, Seq(e, alive),
+      Map("rounds_run" -> i.toLong, "converged" -> (if (converged) 1L else 0L)))
   }
 
   /** One damped round (lazy — exposed so specs can pin the iteration's

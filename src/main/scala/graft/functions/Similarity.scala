@@ -540,18 +540,20 @@ object Similarity {
     // duplicateClusters materializes its edge set eagerly, so pairs is
     // fully consumed when it returns; withCell stays persisted for the
     // final cell projection below and is released after it materializes.
-    val clusters = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
+    val cm = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
     // Materialize with lineage intact (persist, not localCheckpoint — an
     // executor loss recomputes instead of failing the job), then release
-    // the cell-assignment cache.
+    // the cell-assignment cache AND the cluster-label cache — the result
+    // is already materialized, so neither is needed again.
     val result = withCell.select(col(idCol), col("cell"))
-      .join(clusters, col(idCol) === col("member"), "left")
+      .join(cm.df, col(idCol) === col("member"), "left")
       .select(col(idCol), col("cell"),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .withColumn("kept", col(idCol) === col("cluster_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
     withCell.unpersist()
+    cm.release()
     result
   }
 

@@ -33,6 +33,10 @@ object BucketedLayout {
   def writeBucketed(df: DataFrame, table: String, path: String,
       keyCol: String, buckets: Int): Unit = {
     val spark = df.sparkSession
+    // The name is interpolated into SQL below — refuse anything but a
+    // plain identifier rather than trusting callers forever.
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"writeBucketed: table name '$table' is not a plain identifier")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     df.repartition(buckets, col(keyCol))
       .write.format("parquet")

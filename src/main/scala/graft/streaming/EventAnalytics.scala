@@ -19,7 +19,12 @@ object EventAnalytics {
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // DECIMAL(18,2) under the sum: exact and order-independent, and
+      // bit-identical to the batch twin (w6/ts1's decimal-pinned sums) —
+      // a raw double sum would float with the state-update order.
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 
@@ -33,7 +38,11 @@ object EventAnalytics {
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), length, slide), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // Decimal-pinned sum: exact, order-independent, and row-identical
+      // to the batch q_w6 twin (see STREAM_PARITY.md).
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -110,6 +119,38 @@ object EventAnalytics {
         max_by(col("price_usd"), col("price_ts")).as("price_usd"),
         max(col("price_ts")).as("price_ts"))
       .drop("window")
+
+  /** Streaming NEAREST-in-±tolerance enrichment — the streaming twin of
+    * the batch AsOfJoin/q_j6 contract (nearest by |Δt| within ±tolerance,
+    * ties by right-side id ascending, INNER): a watermarked stream-stream
+    * interval join over `[ts − tolerance, ts + tolerance]` chained into a
+    * per-transaction `min_by` over (|Δt|, right id) — two stateful
+    * operators in one append-mode pipeline, emitted exactly once when the
+    * watermark proves no nearer right row can still arrive. Both join
+    * states are GC'd by the watermark range analysis, so state is
+    * O(arrival rate × (tolerance + lateness)) regardless of stream
+    * length. Output columns match q_j6: (purchase_id, view_id, delta_us,
+    * usd_value) — STREAM_PARITY.md asserts row-identity against the
+    * oracle-green batch query. */
+  def streamNearestEnrich(txs: DataFrame, prices: DataFrame,
+      lateness: String = "1 hour", tolerance: String = "24 hours"): DataFrame = {
+    val t = txs.withWatermark("ts", lateness)
+    val p = prices.withWatermark("price_ts", lateness)
+    t.join(p, t("token_id") === p("token_id") &&
+        p("price_ts") >= t("ts") - expr(s"INTERVAL $tolerance") &&
+        p("price_ts") <= t("ts") + expr(s"INTERVAL $tolerance"))
+      .withColumn("__delta_us",
+        abs(unix_micros(col("ts")) - unix_micros(col("price_ts"))))
+      .groupBy(col("token_id"), col("tx_id"), window(col("ts"), "1 hour"))
+      .agg(
+        min_by(struct(col("price_id"), col("__delta_us"), col("price_usd")),
+          struct(col("__delta_us"), col("price_id"))).as("__best"),
+        first(col("amount")).as("amount"))
+      .select(col("tx_id").as("purchase_id"),
+        col("__best.price_id").as("view_id"),
+        col("__best.__delta_us").as("delta_us"),
+        (col("amount") * col("__best.price_usd")).as("usd_value"))
+  }
 
   /** Declarative gap sessionization via the built-in `session_window` —
     * the Spark-first form of [[sessionize]] when per-session output is a
@@ -204,7 +245,15 @@ object EventAnalytics {
       // horizon for an hour that never had on-time data would open it
       // retroactively and emit a spurious partial-hour total.
       if (h > newestClosed && h + HOUR > wm) {
-        val cents = Math.round(e.value * 100.0)
+        // Per-event cents exactly as the batch twin's cast: Spark's
+        // double→DECIMAL(18,2) goes through BigDecimal.valueOf (the
+        // canonical decimal string) then HALF_UP — Math.round would
+        // instead round half toward +∞ and diverge on negatives and
+        // on values like 2.675 whose binary expansion sits below the
+        // decimal midpoint.
+        val cents = java.math.BigDecimal.valueOf(e.value)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
         st = st.copy(open =
           st.open.updated(h, st.open.getOrElse(h, 0L) + cents))
       }

@@ -19,7 +19,7 @@ class GraphFunctionsSpec extends SparkSpec {
   test("one damped round matches the hand computation") {
     val (nodes, edges) = tiny
     val r = GraphFunctions.pageRank(nodes, edges, iters = 1, scale = 1000L)
-      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      .df.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     // contribs: v1 ← 333 div 2 = 166; v2 ← 166 + 333 = 499; v0 ← 333
     assert(r == Map(0L -> (50 + 85 * 333 / 100),
       1L -> (50 + 85 * 166 / 100), 2L -> (50 + 85 * 499 / 100)))
@@ -29,7 +29,7 @@ class GraphFunctionsSpec extends SparkSpec {
   test("two rounds keep compounding the integer update exactly") {
     val (nodes, edges) = tiny
     val r = GraphFunctions.pageRank(nodes, edges, iters = 2, scale = 1000L)
-      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      .df.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     // round 2 contribs: v1 ← 333 div 2 = 166; v2 ← 166 + 191; v0 ← 474
     assert(r == Map(0L -> 452L, 1L -> 191L, 2L -> 353L))
   }
@@ -37,7 +37,7 @@ class GraphFunctionsSpec extends SparkSpec {
   test("rank mass never exceeds the scale (dangling-free graph)") {
     val (nodes, edges) = tiny
     val total = GraphFunctions.pageRank(nodes, edges, iters = 5,
-      scale = 1000000L).agg(sum("rank")).as[Long].head()
+      scale = 1000000L).df.agg(sum("rank")).as[Long].head()
     // integer truncation only ever loses mass
     assert(total <= 1000000L && total > 900000L)
   }
@@ -95,7 +95,7 @@ class GraphFunctionsSpec extends SparkSpec {
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
       (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
     val r = GraphFunctions.kCore(nodes, edges, k = 3, rounds = 5)
-      .collect().map(x => x.getLong(0) -> (x.getBoolean(1), x.getLong(2)))
+      .df.collect().map(x => x.getLong(0) -> (x.getBoolean(1), x.getLong(2)))
       .toMap
     assert(r == Map(0L -> (true, 3L), 1L -> (true, 3L), 2L -> (true, 3L),
       3L -> (true, 3L), 4L -> (false, 0L), 5L -> (false, 0L),
@@ -112,10 +112,48 @@ class GraphFunctionsSpec extends SparkSpec {
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
       (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
     val one = GraphFunctions.kCore(nodes, edges, k = 3, rounds = 1)
-      .filter(col("v") === 4L).select("in_core").collect()(0).getBoolean(0)
+      .df.filter(col("v") === 4L).select("in_core").collect()(0).getBoolean(0)
     val two = GraphFunctions.kCore(nodes, edges, k = 3, rounds = 2)
-      .filter(col("v") === 4L).select("in_core").collect()(0).getBoolean(0)
+      .df.filter(col("v") === 4L).select("in_core").collect()(0).getBoolean(0)
     assert(one && !two)
+  }
+
+  test("kCore: convergence exit on a deep peel chain (empty core)") {
+    // Path 0—1—…—11 with k = 2: each round peels exactly the two current
+    // endpoints, so the cascade needs 6 rounds to empty the set — a peel
+    // DEPTH far beyond the old fixed default. With a generous cap the
+    // loop must stop right after the emptying round (an empty set is
+    // trivially the fixpoint) and report convergence, not run to the cap.
+    val nodes = (0L to 11L).toDF("v")
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val m = GraphFunctions.kCore(nodes, edges, k = 2, rounds = 64)
+    assert(m.df.filter(col("in_core")).count() == 0L)
+    assert(m.info("converged") == 1L)
+    assert(m.info("rounds_run") == 6L)
+    m.release()
+  }
+
+  test("kCore: fixpoint exit fires only at the true fixpoint; cap truncates") {
+    // K4 {0,1,2,3} + node 4 on {3,5,6} + edge 5—6: round 1 peels 5,6
+    // (deg 2), round 2 peels 4 (only neighbor 3 left), round 3 peels
+    // nothing — the exit must fire at round 3 exactly, leaving the K4.
+    val nodes = (0L to 6L).toDF("v")
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val m = GraphFunctions.kCore(nodes, edges, k = 3, rounds = 64)
+    assert(m.info("converged") == 1L)
+    assert(m.info("rounds_run") == 3L)
+    assert(m.df.filter(col("in_core")).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L, 3L))
+    m.release()
+    // A cap below the peel depth returns the partially-peeled set and
+    // says so: node 4 survives round 1 only because 5/6 peel in the same
+    // round it is measured — and converged = 0 flags the truncation.
+    val capped = GraphFunctions.kCore(nodes, edges, k = 3, rounds = 1)
+    assert(capped.info("converged") == 0L)
+    assert(capped.df.filter(col("v") === 4L).select("in_core")
+      .head().getBoolean(0))
+    capped.release()
   }
 
   test("a round plans as src-keyed equi-joins + one dst aggregation") {

@@ -52,9 +52,9 @@ class PropertySpec extends SparkSpec {
       val expected = unionFind(edges)
       val pairs = edges.toDF("id_a", "id_b")
       val minLabel = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val star = DedupFunctions.duplicateClustersStar(pairs, "id_a", "id_b")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(minLabel == expected, s"min-label mismatch on graph seed=$seed")
       assert(star == expected, s"star-contraction mismatch on graph seed=$seed")
     }

@@ -215,8 +215,8 @@ class TextDedupSpec extends SparkSpec {
       (10L, 11L), (20L, 21L), (30L, 30L)).toDF("a", "b")
     def toMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val prop = toMap(DedupFunctions.duplicateClusters(pairs, "a", "b"))
-    val star = toMap(DedupFunctions.duplicateClustersStar(pairs, "a", "b"))
+    val prop = toMap(DedupFunctions.duplicateClusters(pairs, "a", "b").df)
+    val star = toMap(DedupFunctions.duplicateClustersStar(pairs, "a", "b").df)
     assert(star == prop)
     assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
@@ -262,7 +262,7 @@ class TextDedupSpec extends SparkSpec {
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
     val kept = DedupFunctions
       .dedupCorpus(docs, "doc_id", length(col("text")), pairs, "id_a", "id_b")
-      .select("doc_id", "cluster_id").collect()
+      .df.select("doc_id", "cluster_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // cluster {1,2} labeled by min member 1; representative is doc 2
     // (longest text); 3 and 4 are their own clusters
@@ -277,7 +277,7 @@ class TextDedupSpec extends SparkSpec {
     // contraction rate.
     val chain = (0L until 999L).map(i => (i, i + 1)).toDF("a", "b")
     val labels = DedupFunctions.duplicateClusters(chain, "a", "b")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .df.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.length == 1000)
     assert(labels.forall(_._2 == 0L))
   }
@@ -382,14 +382,14 @@ class TextDedupSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
       (20L, 21L)).toDF("id_a", "id_b")
     val cc = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
     // a deeper chain needs more propagation rounds but still converges
     val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("id_a", "id_b")
     val cc2 = DedupFunctions.duplicateClusters(chain, "id_a", "id_b")
-      .collect().map(r => r.getLong(1)).distinct
+      .df.collect().map(r => r.getLong(1)).distinct
     assert(cc2.toSeq == Seq(1L))
   }
 
@@ -418,7 +418,7 @@ class TextDedupSpec extends SparkSpec {
     assert(connectivity.count() < expanded.count())
     def clusters(edges: org.apache.spark.sql.DataFrame) =
       DedupFunctions.duplicateClusters(edges, "id_a", "id_b")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaExpanded = clusters(expanded)
     val viaConnectivity = clusters(connectivity)
     assert(viaConnectivity == viaExpanded)
