@@ -182,6 +182,48 @@ object IngestBench {
 
     def pct(xs: Seq[Long], p: Double): Long = HarnessSession.pct(xs, p)
 
+    // ---- 3. live-tail latency curve: small triggers against the WARM
+    //      store. A production tail chasing NEAR's ~1 block/s cadence
+    //      runs tiny triggers where per-batch overhead (the gated entity
+    //      merges) dominates — the regime the 250-block throughput number
+    //      above cannot speak for. Each trigger size appends fresh blocks
+    //      to the SAME lake and resumes the SAME checkpoint, so every
+    //      batch merges into the 3000-block-old store — the steady-state
+    //      shape, not a cold bootstrap. Batch counts stay ≤ 100 so the
+    //      runtime's recentProgress buffer retains every sample.
+    case class Tail(trigger: Int, blocks: Int, wall: Double,
+        batches: Int, p50: Long, p95: Long, max: Long) {
+      def rate: Double = blocks / wall
+    }
+    var nextH = startHeight + nBlocks
+    val tails = Seq(1 -> 60, 10 -> 200, 50 -> 600, 250 -> 750).map {
+      case (trig, n) =>
+        (0 until n).foreach { i =>
+          val h = nextH + i
+          Files.write(Paths.get(lake, f"$h%012d.json"),
+            blockJson(h).getBytes("UTF-8")): Unit
+        }
+        nextH += n
+        val s0 = System.nanoTime()
+        val tq = StreamIngest.startFromLake(spark,
+          Map("fetcher.dir" -> lake, "startHeight" -> startHeight.toString,
+            "maxBlocksPerTrigger" -> trig.toString,
+            "fetchPartitions" -> "8"),
+          silver, ckpt, availableNow = true)
+        require(tq.awaitTermination(1800000),
+          s"tail stream (trigger=$trig) did not drain")
+        val wall = (System.nanoTime() - s0) / 1e9
+        val ms = tq.recentProgress.toSeq.filter(_.numInputRows > 0)
+          .map(p => p.durationMs.getOrDefault("addBatch", 0L).toLong)
+        Tail(trig, n, wall, ms.size, pct(ms, 0.5), pct(ms, 0.95),
+          ms.maxOption.getOrElse(0L))
+    }
+    val cursorAfterTails = store.table("block_height").head()
+      .getAs[Long]("block_height")
+    require(cursorAfterTails == nextH - 1,
+      s"tail cursor $cursorAfterTails != last block ${nextH - 1}")
+    val smallestOk = tails.filter(_.rate >= 1.0).map(_.trigger).minOption
+
     val sla = blocksPerSec >= 1.0
     require(sla, f"SLA FAILED: $blocksPerSec%.2f blocks/s < 1 block/s")
 
@@ -211,6 +253,26 @@ object IngestBench {
     sb ++= f"Batch-backfill mode moves $batchBlocksPerSec%.0f blocks/s " +
       "(one mega-batch amortizes the per-trigger overhead) — the spot/" +
       "backfill path for catching up a lagging cursor.\n\n"
+    sb ++= "## Live-tail latency vs trigger size (warm store, checkpoint resume)\n\n"
+    sb ++= "The tail regime: fresh blocks appended to the same lake, same " +
+      "checkpoint, every batch merging into the already-populated store. " +
+      "Per-batch addBatch latency is the cursor lag a live consumer sees.\n\n"
+    sb ++= "| blocks/trigger | blocks | batches | sustained blocks/s | addBatch p50 ms | p95 ms | max ms |\n"
+    sb ++= "|---|---|---|---|---|---|---|\n"
+    tails.foreach { t =>
+      sb ++= f"| ${t.trigger}%d | ${t.blocks}%d | ${t.batches}%d " +
+        f"| ${t.rate}%.1f | ${t.p50}%,d | ${t.p95}%,d | ${t.max}%,d |\n"
+    }
+    sb ++= (smallestOk match {
+      case Some(trig) =>
+        f"\n**Smallest trigger sustaining ≥ 1 block/s: $trig%d " +
+          "block(s)/batch** — the per-stage timers the reference keeps " +
+          "around handle_streamer_message (tasks.py:53-91), answered for " +
+          "the tail regime.\n\n"
+      case None =>
+        "\n**No measured trigger sustained ≥ 1 block/s** — live tailing " +
+          "needs batching above the measured sizes.\n\n"
+    })
     sb ++= "At 100 TB the same plan holds: block fetch parallelizes across " +
       "executors behind the BlockFetcher seam (fetchPartitions), every " +
       "merge is a hash-keyed LWW MERGE gated on the batch's traffic, and " +

@@ -1,0 +1,411 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.streaming.{CorpusGate, EventAnalytics}
+
+/** Streaming-vs-batch parity harness — drives the sf0.1 `events` table
+  * through every streaming operator as a REAL Structured Streaming run
+  * (file source, one file per micro-batch, watermarks live) and asserts
+  * the final output is row-identical to the oracle-green batch twin:
+  *
+  *  - slidingTypeCounts      ≡ q_w6_sliding_window
+  *  - hourlyTypeCounts       ≡ q_w1_hourly_window
+  *  - sessionize             ≡ q_w3_sessionize
+  *  - sessionWindowCounts    ≡ q_w3_sessionize (start/lastTs/count view)
+  *  - streamHourlyAnomaly    ≡ q_ts2_anomaly (+ the ts3 EWMA recurrence
+  *                             replayed at hourly grain)
+  *  - streamNearestEnrich    ≡ q_j6_asof_join
+  *  - CorpusGate (streamed)  ≡ CorpusGate batch backfill, batch-for-batch
+  *
+  * This is the evidence class the batch oracle cannot give: the streaming
+  * plane (the reference's PRIMARY plane — the NEAR lake consumer,
+  * indexer_app/tasks.py:28-93 — is a stream) producing byte-equal results
+  * to the queries the DuckDB oracle has already hash-verified.
+  *
+  * Replay mechanics: events are split into `Chunks` time-range files
+  * (sorted by ts, contiguous ranges), written with ascending modification
+  * times so the file source replays them in order — the same in-order
+  * block-height arrival the lake consumer sees in production; within-file
+  * disorder exercises the state machinery, and the late-data DROP paths
+  * are covered separately by EventAnalyticsSpec's late fixtures. Two
+  * far-future sentinel files (excluded from every comparison) push the
+  * watermark past all real event time so every open window, session and
+  * hour provably closes through the watermark path rather than through a
+  * harness backdoor.
+  *
+  * Writes STREAM_PARITY.md; exits nonzero on any mismatch.
+  */
+object StreamParity {
+
+  private val Chunks = 8
+  private val Flush = "__flush"
+
+  private val evSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  final case class Row(op: String, twin: String, streamRows: Long,
+      batchRows: Long, diffRows: Long, secs: Double) {
+    def ok: Boolean = diffRows == 0 && streamRows == batchRows
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outMd = args.lift(1).getOrElse("STREAM_PARITY.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val work = Files.createTempDirectory("stream_parity")
+    val evDir = work.resolve("events").toString
+
+    // ---- stage the event stream: time-range chunks + sentinel files ----
+    val events = spark.read.schema(evSchema)
+      .parquet(s"$sfDir/events.parquet")
+    val total = events.count()
+    val maxTsMs = events.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val wOrd = Window.orderBy(col("ts").asc, col("event_id").asc)
+    val chunkCol = (((row_number().over(wOrd) - 1) * Chunks) / total)
+      .cast("int")
+    val withChunk = events.withColumn("__chunk", chunkCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withChunk.count()
+    (0 until Chunks).foreach { i =>
+      writeOneFile(withChunk.filter(col("__chunk") === i).drop("__chunk"),
+        "parquet", Paths.get(evDir, f"chunk-$i%02d.parquet"),
+        1700000000000L + i * 60000L)
+    }
+    withChunk.unpersist()
+    // Sentinels: a pure-watermark row for the type/user operators plus
+    // purchase/view rows so BOTH filtered sides of the as-of join see
+    // their watermark advance. Two files: the second gives the runtime a
+    // data-bearing batch in which the first file's watermark fires every
+    // registered event-time timeout.
+    Seq(0, 1).foreach { s =>
+      val fTs = new java.sql.Timestamp(maxTsMs + (48 + 48 * s) * 3600 * 1000L)
+      writeOneFile(
+        Seq((-1L - 10 * s, fTs, -1L, Flush, 0.0, null),
+          (-2L - 10 * s, fTs, -1L, "purchase", 0.0, null),
+          (-3L - 10 * s, fTs, -1L, "view", 0.0, null))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        "parquet", Paths.get(evDir, s"chunk-9$s.parquet"),
+        1700000000000L + (Chunks + s) * 60000L)
+    }
+
+    def evStream: DataFrame = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", 1).parquet(evDir)
+    // The windowed/keyed operators get the real rows plus only the
+    // watermark sentinel; the as-of join gets the purchase/view sentinels.
+    def evTyped: DataFrame = evStream
+      .filter(col("event_id") >= 0 || col("event_type") === Flush)
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    def batchQ(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+    // ---------------------------------------------- sliding windows ≡ w6
+    {
+      val (out, secs) = runStream(spark,
+        EventAnalytics.slidingTypeCounts(evTyped, "1 hour", "15 minutes",
+          "1 hour"), "p_sliding")
+      val s = out.filter(col("event_type") =!= Flush)
+        .select(unix_micros(col("window_start")).as("wus"), col("event_type"),
+          col("n"), col("total_value"))
+      val b = batchQ("q_w6_sliding_window")
+        .select(unix_micros(col("window_start")).as("wus"), col("event_type"),
+          col("n"), col("total_value"))
+      rows += diff("slidingTypeCounts", "q_w6_sliding_window", s, b, secs)
+    }
+
+    // ---------------------------------------------- hourly windows ≡ w1
+    {
+      val (out, secs) = runStream(spark,
+        EventAnalytics.hourlyTypeCounts(evTyped, "1 hour"), "p_hourly")
+      val s = out.filter(col("event_type") =!= Flush)
+        .select(unix_micros(col("hour")).as("hus"), col("event_type"),
+          col("n"), col("total_value"))
+      val b = batchQ("q_w1_hourly_window")
+        .select(unix_micros(col("hour").cast("timestamp")).as("hus"),
+          col("event_type"), col("n"), col("total_value"))
+      rows += diff("hourlyTypeCounts", "q_w1_hourly_window", s, b, secs)
+    }
+
+    // ------------------------------------------------- sessionize ≡ w3
+    val w3 = batchQ("q_w3_sessionize")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    w3.count()
+    locally {
+      val ds = evTyped.select(col("user_id"), col("ts"), col("event_type"))
+        .as[EventAnalytics.Event]
+      val (out, secs) = runStream(spark,
+        EventAnalytics.sessionize(ds, 86400000L, "1 hour").toDF(), "p_sessionize")
+      val wIdx = Window.partitionBy("user_id").orderBy("session_start")
+      val s = out.filter(col("user_id") >= 0)
+        .withColumn("session_idx", row_number().over(wIdx).cast("long"))
+        .select(col("user_id"), col("session_idx"),
+          col("n_events").cast("long").as("n_events"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+      rows += diff("sessionize", "q_w3_sessionize", s, w3, secs)
+    }
+
+    // ---------------------------------------- session_window view ≡ w3
+    {
+      // Gap 24h + 1µs: session_window merges on STRICT < gap, the batch
+      // sessionization splits on STRICT > 24h — the one-microsecond pad
+      // makes the boundary semantics identical.
+      val (out, secs) = runStream(spark,
+        EventAnalytics.sessionWindowCounts(evTyped,
+          gap = "24 hours 1 microsecond", lateness = "1 hour"), "p_sesswin")
+      val s = out.filter(col("user_id") >= 0)
+        .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+          (unix_micros(col("session_end")) - lit(86400000001L)).as("last_us"),
+          col("n_events"))
+      val b = w3.select(col("user_id"), col("start_us"),
+        col("end_us").as("last_us"), col("n_events"))
+      rows += diff("sessionWindowCounts", "q_w3_sessionize", s, b, secs)
+    }
+
+    // ------------------------------- hourly anomaly ≡ ts2 (+hourly ts3)
+    val ts2 = batchQ("q_ts2_anomaly")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ts2.count()
+    locally {
+      val ds = evTyped.select(col("event_type"), col("ts"), col("value"))
+        .as[EventAnalytics.ValEvent]
+      val (out, secs) = runStream(spark,
+        EventAnalytics.streamHourlyAnomaly(ds, "1 hour", minPriors = 12,
+          ringSize = 24).toDF(), "p_anomaly")
+      val stream = out.filter(col("event_type") =!= Flush)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = stream.select(col("event_type"),
+        unix_micros(col("hour")).as("hus"), col("x"),
+        col("n_prior").as("n"), col("is_anomaly"))
+      val b = ts2.select(col("event_type"),
+        unix_micros(col("hour").cast("timestamp")).as("hus"), col("x"),
+        col("n"), col("is_anomaly"))
+      rows += diff("streamHourlyAnomaly", "q_ts2_anomaly", s, b, secs)
+      // EWMA leg: the oracle-green ts3 recurrence (e' = (x + 7e) div 8,
+      // truncating) replayed over ts2's hourly grid — the batch twin of
+      // the monitor's smoothed column.
+      val ewmaB = ts2
+        .select(col("event_type"), col("hour").cast("timestamp").as("hour"),
+          col("x"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("hour"), col("x")))).as("s"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(s,
+            |  cast(array() as array<struct<hour:timestamp,x:bigint,ewma8:bigint>>),
+            |  (acc, e) -> array_append(acc, named_struct(
+            |    'hour', e.hour, 'x', e.x,
+            |    'ewma8', if(size(acc) = 0, e.x,
+            |      (e.x + 7 * element_at(acc, -1).ewma8) div 8))))""".stripMargin))
+          .as("r"))
+        .select(col("event_type"), unix_micros(col("r.hour")).as("hus"),
+          col("r.ewma8").as("ewma8"))
+      val ewmaS = stream.select(col("event_type"),
+        unix_micros(col("hour")).as("hus"), col("ewma8"))
+      rows += diff("streamHourlyAnomaly.ewma8", "ts3 recurrence @hourly",
+        ewmaS, ewmaB, 0.0)
+      stream.unpersist()
+    }
+
+    // -------------------------------------------- nearest as-of ≡ j6
+    {
+      val txs = evStream
+        .filter(col("event_id") >= 0 || col("event_id") <= -2)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("token_id"), col("event_id").as("tx_id"),
+          col("ts"), col("value").as("amount"))
+      val prices = evStream
+        .filter(col("event_id") >= 0 || col("event_id") <= -2)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("token_id"), col("event_id").as("price_id"),
+          col("ts").as("price_ts"), col("value").as("price_usd"))
+      val (out, secs) = runStream(spark,
+        EventAnalytics.streamNearestEnrich(txs, prices, "1 hour", "24 hours"),
+        "p_asof")
+      val s = out.filter(col("purchase_id") >= 0)
+      val b = batchQ("q_j6_asof_join")
+        .select(col("purchase_id"), col("view_id"), col("delta_us"),
+          col("usd_value"))
+      rows += diff("streamNearestEnrich", "q_j6_asof_join", s, b, secs)
+    }
+    w3.unpersist(); ts2.unpersist()
+
+    // ------------------------------ CorpusGate: stream ≡ batch backfill
+    {
+      val docDir = work.resolve("docs").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val dTotal = docs.count()
+      val dw = Window.orderBy(col("doc_id").asc)
+      val dChunk = docs
+        .withColumn("__chunk",
+          (((row_number().over(dw) - 1) * Chunks) / dTotal).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dChunk.count()
+      (0 until Chunks).foreach { i =>
+        writeOneFile(
+          dChunk.filter(col("__chunk") === i)
+            .select(to_json(struct(col("doc_id"), col("text"))).as("value")),
+          "text", Paths.get(docDir, f"chunk-$i%02d.json"),
+          1700000000000L + i * 60000L)
+      }
+      val cfg = CorpusGate.Config()
+      val storeS = work.resolve("gate_stream").toString
+      val storeB = work.resolve("gate_batch").toString
+      val t0 = System.nanoTime()
+      CorpusGate.start(spark, docDir, storeS,
+          work.resolve("gate_ckpt").toString, cfg, availableNow = true,
+          maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // Batch backfill: the same files, in the same order, through the
+      // same gate body — driven by a plain loop instead of the stream.
+      (0 until Chunks).foreach { i =>
+        CorpusGate.curateBatch(
+          spark.read.schema(CorpusGate.docSchema)
+            .json(s"$docDir/chunk-0$i.json"),
+          storeB, i, cfg)
+      }
+      dChunk.unpersist()
+      // Batch-for-batch identity across every store artifact (the batch
+      // partition column rides along, so a row landing in the WRONG
+      // micro-batch also fails).
+      def store(base: String, sub: String, cols: Seq[String]): DataFrame =
+        spark.read.parquet(s"$base/$sub")
+          .select((cols :+ "batch").map(col): _*)
+      Seq(
+        ("CorpusGate.corpus", "corpus", Seq("doc_id", "text")),
+        ("CorpusGate.sigs", "sigs", Seq("doc_id", "sig")),
+        ("CorpusGate.fps", "fps", Seq("doc_id", "fp64", "fp")),
+        ("CorpusGate.stats", "stats",
+          Seq("batch_id", "n_in", "n_quality_dropped", "n_exact_dup",
+            "n_corpus_exact_dup", "n_batch_near_dup", "n_corpus_near_dup",
+            "n_survivors"))
+      ).foreach { case (label, sub, cols) =>
+        rows += diff(label, "batch backfill, same batches",
+          store(storeS, sub, cols), store(storeB, sub, cols),
+          if (sub == "corpus") secs else 0.0)
+      }
+    }
+
+    render(outMd, sfDir, rows.toSeq)
+    val bad = rows.filterNot(_.ok)
+    println(s"[stream-parity] ${rows.size - bad.size}/${rows.size} identical")
+    bad.foreach(r => println(s"[stream-parity] MISMATCH ${r.op}: " +
+      s"stream=${r.streamRows} batch=${r.batchRows} diff=${r.diffRows}"))
+    spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
+  }
+
+  /** Run a streaming frame to completion (file source, AvailableNow, one
+    * file per micro-batch) into a memory sink; returns (result, secs). */
+  private def runStream(spark: SparkSession, df: DataFrame,
+      name: String): (DataFrame, Double) = {
+    val t0 = System.nanoTime()
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (spark.table(name), (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Row-level symmetric difference under multiset semantics. */
+  private def diff(op: String, twin: String, s: DataFrame, b: DataFrame,
+      secs: Double): Row = {
+    val cols: Seq[Column] = s.columns.sorted.toSeq.map(col)
+    val ss = s.select(cols: _*)
+    val bb = b.select(cols: _*)
+    Row(op, twin, ss.count(), bb.count(),
+      ss.exceptAll(bb).count() + bb.exceptAll(ss).count(), secs)
+  }
+
+  /** Write `df` as ONE file at `dest` with a pinned modification time
+    * (the file source replays files oldest-modtime-first). */
+  private def writeOneFile(df: DataFrame, fmt: String, dest: Path,
+      modTime: Long): Unit = {
+    val tmp = Files.createTempDirectory("sp_chunk").toString
+    fmt match {
+      case "parquet" => df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      case "text"    => df.coalesce(1).write.mode("overwrite").text(tmp)
+    }
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    Files.createDirectories(dest.getParent)
+    Files.move(part.toPath, dest)
+    dest.toFile.setLastModified(modTime)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  private def render(outMd: String, sfDir: String, rows: Seq[Row]): Unit = {
+    val sb = new StringBuilder
+    sb.append("# STREAM_PARITY — streaming plane vs the batch oracle\n\n")
+    sb.append(s"Generated by `graft.StreamParity` over `$sfDir` " +
+      s"(${java.time.LocalDate.now()}).\n\n")
+    sb.append(
+      """Every streaming operator is driven as a REAL Structured Streaming run —
+        |file source over time-range chunk files (ascending modification times,
+        |one file per micro-batch, watermarks live, two far-future sentinel
+        |files proving closure happens through the watermark path) — and its
+        |final output compared row-for-row (multiset `exceptAll`, both
+        |directions) against the oracle-green batch twin computed directly by
+        |`SparkEntry.queries`. The CorpusGate rows compare the STREAMED store
+        |against a batch backfill replaying the identical files through
+        |`curateBatch` — batch-for-batch, including the funnel stats.
+        |
+        |In-order replay matches production (the lake consumer sees ascending
+        |block heights); the late-data DROP paths are covered by
+        |EventAnalyticsSpec's late fixtures, not here.
+        |""".stripMargin)
+    sb.append("\n| operator | batch twin | stream rows | batch rows | diff | identical | stream wall s |\n")
+    sb.append("|---|---|---|---|---|---|---|\n")
+    rows.foreach { r =>
+      sb.append(s"| ${r.op} | ${r.twin} | ${r.streamRows} | ${r.batchRows} " +
+        s"| ${r.diffRows} | ${if (r.ok) "YES" else "**NO**"} " +
+        s"| ${if (r.secs == 0.0) "—" else f"${r.secs}%.1f"} |\n")
+    }
+    sb.append(
+      """
+        |Notes:
+        |
+        |- `sessionWindowCounts` runs with gap = 24h + 1 µs: the built-in
+        |  `session_window` merges on strict `< gap` while the batch
+        |  sessionization splits on strict `> 24 h`; the one-microsecond pad
+        |  aligns the boundary case exactly.
+        |- `streamHourlyAnomaly`'s per-event cents use the same
+        |  `BigDecimal.valueOf → HALF_UP(2)` rounding as the batch
+        |  `double → DECIMAL(18,2)` cast, so hourly totals are bit-identical.
+        |- `streamNearestEnrich` is the streaming form of the q_j6 contract
+        |  (nearest |Δt| within ±24 h, ties by right id): a watermarked
+        |  stream-stream interval join chained into a per-transaction min_by —
+        |  two stateful operators, append mode, exactly-once emission.
+        |- CorpusGate stream-vs-backfill is the honest parity claim for the
+        |  gate: its corpus-vs-batch near-dup decisions depend on batch
+        |  BOUNDARIES by design (a document admitted in batch N suppresses
+        |  near-dups in batch N+1 but not vice versa), so only runs with the
+        |  same batch partitioning are comparable — and they must then be
+        |  byte-identical, which is what this asserts.
+        |""".stripMargin)
+    Files.write(Paths.get(outMd), sb.toString.getBytes("UTF-8"))
+    println(s"[stream-parity] wrote $outMd")
+  }
+}

@@ -332,8 +332,91 @@ object Stress {
       // hot text a degenerate key; and PageRank's per-round join-agg
       // must stay bounded when the modulus graph rides a 150k-node
       // corpus with 2k-copy duplicate mass.
-      "q_txt16_bigram_lm", "q_gr1_pagerank")
+      "q_txt16_bigram_lm", "q_gr1_pagerank",
+      // round 9: the ANN RETRIEVAL paths under the hot-cell corpus (the
+      // fit was stress-fixed in round 8; these drive the probe/rerank).
+      "q_sim3_ivf_ann", "q_sim6_pq_ann")
     val runs = names.map(n => measure(n)(SparkEntry.queries(n)(spark, workDir)))
+
+    // ---------------- graph stress: hub-heavy topology ----------------
+    // One node incident on ~30% of edges — the link-farm/superhub shape
+    // a web graph actually has, and the input on which a naive wedge
+    // enumeration (Σ C(deg,2)) is quadratic in the hub degree. The
+    // degree-ordered orientation must bound every out-degree at O(√m)
+    // and cut the wedge candidates by orders of magnitude.
+    val nG = 100000L
+    val gBg = spark.range(0, 200000).select(
+      pmod(xxhash64(col("id"), lit(61L)), lit(nG)).as("x"),
+      pmod(xxhash64(col("id"), lit(67L)), lit(nG)).as("y"))
+    // The hub is adjacent to EVERY other node (deterministic — random
+    // draws collapse under distinct()): ~100k of ~300k edges, and every
+    // background edge closes a triangle through the hub.
+    val gHub = spark.range(1, nG).select(lit(0L).as("x"), col("id").as("y"))
+    val gEdges = gBg.unionByName(gHub)
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mEdges = gEdges.count()
+    val gNodes = spark.range(0, nG).select(col("id").as("v"))
+    val hubDeg = gEdges.filter(col("a") === 0L || col("b") === 0L).count()
+    val gDeg = gEdges.select(col("a").as("v"))
+      .unionAll(gEdges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val naiveWedges = gDeg.agg(sum(expr("deg * (deg - 1) div 2")))
+      .head().getLong(0)
+    // The orientation's out-degree arithmetic (triangleCounts' internal
+    // orientByDegree, replayed): every edge directed from its
+    // (deg,id)-smaller endpoint.
+    val gWithDeg = gEdges
+      .join(gDeg.select(col("v").as("a"), col("deg").as("dega")), "a")
+      .join(gDeg.select(col("v").as("b"), col("deg").as("degb")), "b")
+    val gAFirst = struct(col("dega"), col("a")) < struct(col("degb"), col("b"))
+    val gOutDeg = gWithDeg
+      .select(when(gAFirst, col("a")).otherwise(col("b")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("od"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxOutDeg = gOutDeg.agg(max("od")).head().getLong(0)
+    val orientedWedges = gOutDeg.agg(sum(expr("od * (od - 1) div 2")))
+      .head().getLong(0)
+    gOutDeg.unpersist()
+    val gr2Run = measure("gr2_hub_triangles")(
+      functions.GraphFunctions.triangleCounts(gNodes, gEdges))
+    var kcInfo: Map[String, Long] = Map.empty
+    val gr3Run = measure("gr3_hub_kcore") {
+      val m = functions.GraphFunctions.kCore(gNodes, gEdges, k = 3,
+        rounds = 32)
+      kcInfo = m.info
+      SparkEntry.track(m) // released by the next measure()'s releaseTracked
+    }
+    gEdges.unpersist()
+
+    // ---------------- ANN probe stress (sim3's IVF configuration) -----
+    // The quantizer fit is already stress-fixed (dedup before Lloyd's);
+    // this measures the PROBE side on the hot-cell corpus: cell-size
+    // distribution after assignment, and the candidate volume the 8
+    // queries' nprobe=3 probe actually scans vs brute force.
+    val annCents = functions.Similarity.trainSphericalCentroids(
+      embs, "vec_id", "embedding", nlist = 8, maxIter = 4)
+    val cellSizes = embs
+      .withColumn("cell", functions.Similarity.assignCell(col("embedding"), annCents))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxCell = cellSizes.values.max
+    val queryVecs = embs.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray.map(_.toDouble))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+    }
+    val probeCand = queryVecs.map { q =>
+      annCents.zipWithIndex.map { case (c, ci) => (cos(q, c), ci) }
+        .sortBy(-_._1).take(3)
+        .map { case (_, ci) => cellSizes.getOrElse(ci, 0L) }.sum
+    }.sum
+    val bruteCand = queryVecs.length.toLong * nVecs
 
     // Unsalted control for j10: the identical merge-hinted join WITHOUT
     // the salt — the hot key's 300k rows land on one reducer.
@@ -390,6 +473,32 @@ object Stress {
       s"dd15 collapse must cut prefix candidates ≥10×: naive=$apNaive guarded=$apGuarded")
     check(dd15Run.rows >= 3790000L,
       s"dd15: expected ≥3.79M expanded pairs, got ${dd15Run.rows}")
+    // gr2/gr3 on the hub graph: the hub must actually hold ~30% of edges
+    // (the stress premise), the orientation must bound EVERY out-degree
+    // at O(√m) — the property that keeps the wedge join's fan-out linear
+    // when a naive enumeration is quadratic in the hub degree — and the
+    // k-core loop must CONVERGE (fixpoint exit), not run to its cap.
+    check(hubDeg * 10L >= mEdges * 3L,
+      s"hub holds ${hubDeg}/$mEdges edges — premise broken (<30%)")
+    check(maxOutDeg <= 4L * math.sqrt(2.0 * mEdges).toLong,
+      s"orientation out-degree $maxOutDeg exceeds O(√m) bound " +
+        s"(m=$mEdges, bound=${4L * math.sqrt(2.0 * mEdges).toLong})")
+    check(orientedWedges * 100L <= naiveWedges,
+      s"orientation must cut wedge candidates ≥100×: " +
+        s"naive=$naiveWedges oriented=$orientedWedges")
+    check(kcInfo.getOrElse("converged", 0L) == 1L &&
+      kcInfo.getOrElse("rounds_run", 99L) < 32L,
+      s"gr3 hub k-core did not converge within the cap: $kcInfo")
+    check(gr2Run.rows == nG && gr3Run.rows == nG,
+      s"graph runs must cover every node: gr2=${gr2Run.rows} gr3=${gr3Run.rows}")
+    // sim3's probe: the hot mass must be contained in one cell (not
+    // smeared by a degenerate fit) and the nprobe=3 probe must scan
+    // materially less than brute force even with 30% of the corpus in
+    // one cell.
+    check(maxCell >= 7000L,
+      s"ANN probe: expected the hot mass contained in one cell ≥7k, got $maxCell")
+    check(probeCand * 2 <= bruteCand,
+      s"ANN probe must scan <half of brute force: probe=$probeCand brute=$bruteCand")
 
     // ---------------- report ----------------
     val sb = new StringBuilder
@@ -414,11 +523,14 @@ object Stress {
     sb ++= f"| dd10 vector-fingerprint collapse | $nVecs%,d vectors | $nDistinctVecs%,d reps | hot cell ${hotCell.getLong(1)}%,d vecs; kept $dd10Kept%,d of $dd10Total%,d |\n"
     sb ++= f"| dd15 exact-dup collapse (prefix-join probes, Zipf corpus) | $apNaive%,d | $apGuarded%,d | ${apNaive.toDouble / math.max(apGuarded, 1)}%,.0f× fewer join probes |\n"
     val salted = runs.find(_.name == "q_j10_salted_join").get
-    sb ++= f"| j10 salt (8-way) vs unsalted | max task ${control.maxTaskMs}%,d ms | max task ${salted.maxTaskMs}%,d ms | hot key spread over 8 reducers |\n\n"
+    sb ++= f"| j10 salt (8-way) vs unsalted | max task ${control.maxTaskMs}%,d ms | max task ${salted.maxTaskMs}%,d ms | hot key spread over 8 reducers |\n"
+    sb ++= f"| gr2 degree-ordered orientation (wedge candidates, hub graph) | $naiveWedges%,d | $orientedWedges%,d | ${naiveWedges.toDouble / math.max(orientedWedges, 1)}%,.0f× fewer wedges; max out-degree $maxOutDeg%,d on m=$mEdges%,d |\n"
+    sb ++= f"| gr3 k-core convergence exit (hub graph, cap 32) | 32-round cap | ${kcInfo.getOrElse("rounds_run", -1L)}%d rounds run | fixpoint exit engaged (converged=${kcInfo.getOrElse("converged", -1L)}%d) |\n"
+    sb ++= f"| sim3 IVF probe (nprobe=3 of nlist=8, hot cell $maxCell%,d vecs) | $bruteCand%,d brute-force probes | $probeCand%,d probed | ${bruteCand.toDouble / math.max(probeCand, 1)}%.1f× fewer candidates |\n\n"
     sb ++= "## Query runs (count() wall time; task times from listener)\n\n"
     sb ++= "| query | wall s | output rows | tasks | max task ms | p50 task ms |\n"
     sb ++= "|---|---|---|---|---|---|\n"
-    (runs :+ dd15Run :+ control).foreach { r =>
+    (runs :+ dd15Run :+ gr2Run :+ gr3Run :+ control).foreach { r =>
       sb ++= f"| ${r.name} | ${r.wallSec}%.2f | ${r.rows}%,d | ${r.tasks}%d | ${r.maxTaskMs}%,d | ${r.p50TaskMs}%,d |\n"
     }
     sb ++= "\nNotes:\n"
@@ -463,10 +575,19 @@ object Stress {
       "stopword, nothing is rare) — that degenerate shape is what the " +
       "banded-LSH family (dd3/dd8) is for, which is why both operator " +
       "families exist.\n"
+    sb ++= "- Round 9 adds the graph and retrieval stress classes: gr2/gr3 " +
+      f"run on a hub-heavy graph (node 0 on $hubDeg%,d of $mEdges%,d edges " +
+      "≈ 30%) where the degree-ordered orientation's O(√m) out-degree " +
+      "bound is what keeps the wedge join linear; gr3's k-core uses the " +
+      "convergence exit (fixpoint, cap as a backstop); sim3/sim6 drive " +
+      "the IVF/PQ RETRIEVAL paths over the hot-cell corpus with the probe " +
+      "candidate volume measured directly against brute force.\n"
     sb ++= "- Every assertion in graft.Stress passed: collapse counts, " +
       "≥100× candidate reduction (≥10× for dd15's prefix probes), cap " +
       "engagement, hot-cell containment, keep-one removal, non-empty " +
-      "results, dd15's full duplicate-group expansion present.\n"
+      "results, dd15's full duplicate-group expansion, the orientation's " +
+      "out-degree bound and ≥100× wedge cut, k-core convergence within " +
+      "the cap, and the IVF probe scanning <half of brute force.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(reportPath), sb.toString)
     println(s"[stress] report written to $reportPath")
     spark.stop()

@@ -35,10 +35,35 @@ object GoldRefresh {
     // re-execute the as-of-join lineage from scratch.
     val enriched = spark.read.parquet(s"$silverDir/donations_enriched")
 
-    // 2. Stats tables.
-    write(Stats.accountStats(accounts, enriched, payouts), s"$silverDir/account_stats")
+    // 2. Stats tables. account_stats lands BUCKETED on id with the same
+    //    spec as the silver accounts table (SilverStore.bucketSpec), so
+    //    the query plane's accounts⋈account_stats join — the subplan
+    //    behind every account embed and the donors route — is co-located
+    //    and plans with zero exchange on either side.
+    val (statKey, statBuckets) = SilverStore.bucketSpec("accounts")
+    writeBucketed(Stats.accountStats(accounts, enriched, payouts),
+      s"$silverDir/account_stats", statKey, statBuckets)
     write(Stats.potStats(enriched), s"$silverDir/pot_stats")
     write(Stats.globalStats(enriched, payouts), s"$silverDir/global_stats")
+  }
+
+  /** [[write]] with a bucketed layout: files carry bucket ids so readers
+    * can re-declare the layout (BucketedLayout.registerExternal) and join
+    * exchange-free on `keyCol`. Zero-row frames keep the flat write (a
+    * bucketed writer emits no data files for them). */
+  private def writeBucketed(df: DataFrame, path: String, keyCol: String,
+      buckets: Int): Unit = {
+    if (df.isEmpty) return write(df, path)
+    val spark = df.sparkSession
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = path + ".tmp-" + uid
+    val tmpTable = s"graft_gold_bucketed_$uid"
+    df.repartition(buckets, org.apache.spark.sql.functions.col(keyCol))
+      .write.format("parquet").option("path", tmp)
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .mode("overwrite").saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files stay
+    swapIn(tmp, path)
   }
 
   private def write(df: DataFrame, path: String): Unit = {
@@ -49,6 +74,11 @@ object GoldRefresh {
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val tmp = path + ".tmp-" + uid
     df.write.mode("overwrite").parquet(tmp)
+    swapIn(tmp, path)
+  }
+
+  private def swapIn(tmp: String, path: String): Unit = {
+    val uid = tmp.substring(tmp.lastIndexOf("-") + 1)
     val p = java.nio.file.Paths.get(path)
     val old = java.nio.file.Paths.get(path + ".old-" + uid)
     if (java.nio.file.Files.exists(p))

@@ -67,6 +67,24 @@ object SilverStore {
       concat(lit("b"),
         pmod(xxhash64(col("type"), col("action_result")), lit(32)).cast("string"))))
 
+  /** Tables kept in BUCKETED layout at rest (column, bucket count) — the
+    * join-side storage discipline: `accounts` is THE dimension every
+    * query-plane join touches (donor/recipient/chef/referrer embeds, the
+    * donors J2 semi-join, the accounts⋈account_stats stats join), and
+    * the gold refresh writes `account_stats` bucketed with the SAME spec,
+    * so those joins plan with zero exchange on either side
+    * (BucketedLayout's q_j11 contract applied to the silver store;
+    * reference analogue: the accounts PK index behind
+    * accounts/api.py:310's prefetch). The bucket column must be immutable
+    * per natural key — `id` IS the key. `donations` stays DATE-partitioned
+    * instead: its merge cost story (a batch rewrites only the partitions
+    * it touches) outweighs one saved exchange, and its account joins
+    * broadcast the bucketed dimension anyway. Bucket count is small at
+    * test scale; production picks ≈ table-bytes / 1 GB once at layout
+    * time. */
+  val bucketSpec: Map[String, (String, Int)] = Map(
+    "accounts" -> ("id", 16))
+
   /** Single merge dispatch shared by the streaming path and
     * SnapshotBackfill: unbounded tables go through the partition-scoped
     * writer, everything else through the full-table LWW merge. Using one
@@ -88,8 +106,13 @@ object SilverStore {
         else
           MergeWriter.mergePartitioned(spark, withP, s"$dir/$name", keys,
             seqCols, pcol)
-      case None =>
-        MergeWriter.merge(spark, df, s"$dir/$name", keys, seqCols)
+      case None => bucketSpec.get(name) match {
+        case Some((bcol, n)) =>
+          MergeWriter.mergeBucketed(spark, df, s"$dir/$name", keys, seqCols,
+            bcol, n)
+        case None =>
+          MergeWriter.merge(spark, df, s"$dir/$name", keys, seqCols)
+      }
     }
 }
 
@@ -101,12 +124,31 @@ final class SilverStore(spark: SparkSession, dir: String) {
 
   /** Read a silver table. Synthetic partition columns (__pdate/__pbucket)
     * are physical-layout detail and are hidden from readers — they would
-    * otherwise leak into the API JSON surface and the gold tables. */
+    * otherwise leak into the API JSON surface and the gold tables.
+    * Bucketed tables come back through a session-catalog registration so
+    * their scans report the bucket HashPartitioning (exchange-free joins
+    * on the bucket key); the registration is metadata-only and refreshed
+    * per read (schemas evolve across merges). A table still in its flat
+    * bootstrap layout reads as plain parquet. */
   def table(name: String): DataFrame = {
-    val df = spark.read.parquet(path(name))
-    SilverStore.partitionSpec.get(name) match {
-      case Some((pcol, _)) if df.columns.contains(pcol) => df.drop(pcol)
-      case _ => df
+    val p = path(name)
+    SilverStore.bucketSpec.get(name) match {
+      case Some((bcol, n))
+          if graft.operators.BucketedLayout.looksBucketed(p) =>
+        // Catalog names are session-global; namespace by store dir so two
+        // SilverStores in one session (tests, migration jobs) can't serve
+        // each other's files.
+        val tbl = s"graft_silver_${name}_" +
+          Integer.toHexString(dir.hashCode).replace('-', 'n')
+        graft.operators.BucketedLayout.registerExternal(
+          spark, tbl, p, spark.read.parquet(p).schema, bcol, n)
+        spark.table(tbl)
+      case _ =>
+        val df = spark.read.parquet(p)
+        SilverStore.partitionSpec.get(name) match {
+          case Some((pcol, _)) if df.columns.contains(pcol) => df.drop(pcol)
+          case _ => df
+        }
     }
   }
   def exists(name: String): Boolean =

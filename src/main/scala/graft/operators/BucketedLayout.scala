@@ -47,6 +47,40 @@ object BucketedLayout {
       .saveAsTable(table)
   }
 
+  /** Register (or refresh) an EXTERNAL bucketed parquet table over an
+    * existing directory laid out by [[writeBucketed]] /
+    * MergeWriter.mergeBucketed — the read-side half of the layout: a
+    * fresh session holds no catalog state, so readers re-declare the
+    * bucket metadata over the durable files (metadata-only DDL; the
+    * files are untouched). Scans of the registered table then report
+    * `HashPartitioning(keyCol, buckets)` and joins on the key drop their
+    * exchanges. */
+  def registerExternal(spark: SparkSession, table: String, path: String,
+      schema: org.apache.spark.sql.types.StructType, keyCol: String,
+      buckets: Int): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"registerExternal: table name '$table' is not a plain identifier")
+    require(keyCol.matches("[A-Za-z0-9_]+"),
+      s"registerExternal: key column '$keyCol' is not a plain identifier")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING PARQUET " +
+      s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS " +
+      s"LOCATION '$path'")
+  }
+
+  /** Whether the files at `path` carry bucket ids in their names
+    * (`part-…_00003.…parquet`) — i.e. were written through a bucketed
+    * writer. Registering bucket metadata over NON-bucketed files would
+    * make every read fail ("invalid bucket file"), so readers probe this
+    * before declaring the layout (a flat bootstrap table reads as plain
+    * parquet until its first bucketed merge rewrites it). */
+  def looksBucketed(path: String): Boolean = {
+    val dir = new java.io.File(path)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    val parts = files.filter(f => f.isFile && f.getName.startsWith("part-"))
+    parts.nonEmpty && parts.forall(_.getName.matches("part-.*_\\d{5}\\..*"))
+  }
+
   /** Equi-join of two registered bucketed tables on their bucket keys.
     * With matching bucket counts this plans WITHOUT an exchange on
     * either side (asserted by PlanAudit/spec — the property this whole

@@ -116,6 +116,63 @@ object MergeWriter {
     n
   }
 
+  /** LWW merge that writes the merged table in BUCKETED layout — the
+    * storage discipline that makes every downstream join on `bucketCol`
+    * exchange-free (BucketedLayout's contract): the dimension tables the
+    * query plane joins constantly (accounts, and the gold account_stats
+    * bucketed the same way) pay their partitioning once per merge instead
+    * of once per query. Same LWW/backfill semantics as [[merge]]; the
+    * write path goes through a temporary catalog table (bucketBy is a
+    * table-write-only API), the files swap in with the same rename-aside
+    * protocol, and the temporary catalog entry is dropped (external:
+    * metadata only). Readers re-declare the layout with
+    * [[BucketedLayout.registerExternal]]. Rows are repartitioned to the
+    * bucket spec before the write, so each bucket lands in ONE file and
+    * scans can also reuse the within-bucket sort. */
+  def mergeBucketed(
+      spark: SparkSession,
+      incoming: DataFrame,
+      path: String,
+      keys: Seq[String],
+      seq: Seq[String],
+      bucketCol: String,
+      buckets: Int,
+      coalesceUpdates: Boolean = true): Long = {
+    val existing: Option[DataFrame] =
+      if (io.exists(path)) Some(spark.read.parquet(path)) else None
+    val unioned = existing match {
+      case Some(old) => old.unionByName(incoming, allowMissingColumns = true)
+      case None => incoming
+    }
+    val merged0 =
+      if (coalesceUpdates) backfillNulls(unioned, keys, seq) else unioned
+    val merged = Relational.lwwDedup(merged0, keys, seq.map(col))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = merged.count()
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = path + ".tmp-" + uid
+    val tmpTable = s"graft_merge_bucketed_$uid"
+    // A zero-row bucketed write produces no data files; readers probe
+    // looksBucketed() and fall back to plain parquet, so keep the flat
+    // bootstrap write for the empty case (same contract as
+    // mergePartitioned's empty-batch bootstrap).
+    if (n == 0) {
+      merged.unpersist()
+      return merge(spark, incoming, path, keys, seq, coalesceUpdates)
+    }
+    merged.repartition(buckets, col(bucketCol))
+      .write.format("parquet").option("path", tmp)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .mode("overwrite").saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files stay
+    merged.unpersist()
+    val old = path + ".old-" + uid
+    if (io.exists(path)) io.atomicMove(path, old)
+    io.atomicMove(tmp, path)
+    io.deleteRecursively(old)
+    n
+  }
+
   /** Partition-scoped LWW merge — the 100 TB path. The table is laid out
     * as `path/<partitionCol>=<value>/...`; only partitions present in the
     * incoming batch are read, merged and atomically swapped. A steady

@@ -29,6 +29,19 @@ object QueryService {
     /** Nested-JSON rows (S8): the DRF-serializer-shaped output. */
     def toJsonRows(): Array[String] = results.toJSON.collect()
   }
+
+  /** The reference's 400 enum-validation message, byte-for-byte
+    * (`{"message": f"Invalid status value: {status_param}"}` —
+    * accounts/api.py:267,438; lists/api.py:154,211). Rendered through
+    * [[Serializers.errorJson]] for the full body. */
+  def invalidStatusMessage(bad: String): String =
+    s"Invalid status value: $bad"
+
+  /** The reference's 404 message, byte-for-byte
+    * (`{"message": f"Account with ID {account_id} not found."}` —
+    * accounts/api.py:157; lists/api.py:95; pots/api.py:137). */
+  def notFoundMessage(entity: String, id: Any): String =
+    s"$entity with ID $id not found."
 }
 
 final class QueryService(t0: String => DataFrame) {
@@ -349,7 +362,7 @@ final class QueryService(t0: String => DataFrame) {
   def accountPotApplications(id: String, status: Option[String],
       page: Int = 1, pageSize: Int = DefaultPageSize): Either[String, Page] =
     status.filterNot(Schemas.applicationStatuses.contains) match {
-      case Some(bad) => Left(s"Invalid status: $bad")
+      case Some(bad) => Left(QueryService.invalidStatusMessage(bad))
       case None =>
         val base = t("pot_applications").filter(col("applicant") === id)
         val f = status.map(s => base.filter(col("status") === s)).getOrElse(base)
@@ -362,7 +375,7 @@ final class QueryService(t0: String => DataFrame) {
       after: Option[(java.sql.Timestamp, String)],
       pageSize: Int = DefaultPageSize): Either[String, DataFrame] =
     status.filterNot(Schemas.applicationStatuses.contains) match {
-      case Some(bad) => Left(s"Invalid status: $bad")
+      case Some(bad) => Left(QueryService.invalidStatusMessage(bad))
       case None =>
         val base = t("pot_applications").filter(col("applicant") === id)
         val f = status.map(s => base.filter(col("status") === s)).getOrElse(base)
@@ -423,7 +436,7 @@ final class QueryService(t0: String => DataFrame) {
   def accountListRegistrations(id: String, status: Option[String],
       page: Int = 1, pageSize: Int = DefaultPageSize): Either[String, Page] =
     status.filterNot(Schemas.registrationStatuses.contains) match {
-      case Some(bad) => Left(s"Invalid status: $bad")
+      case Some(bad) => Left(QueryService.invalidStatusMessage(bad))
       case None =>
         val base = t("list_registrations").filter(col("registrant") === id)
         val f = status.map(s => base.filter(col("status") === s)).getOrElse(base)
@@ -437,7 +450,7 @@ final class QueryService(t0: String => DataFrame) {
       after: Option[(java.sql.Timestamp, Long)],
       pageSize: Int = DefaultPageSize): Either[String, DataFrame] =
     status.filterNot(Schemas.registrationStatuses.contains) match {
-      case Some(bad) => Left(s"Invalid status: $bad")
+      case Some(bad) => Left(QueryService.invalidStatusMessage(bad))
       case None =>
         val base = t("list_registrations").filter(col("registrant") === id)
         val f = status.map(s => base.filter(col("status") === s)).getOrElse(base)
@@ -507,7 +520,7 @@ final class QueryService(t0: String => DataFrame) {
   private def listRegistrationsFiltered(listId: Long, status: Option[String],
       category: Option[String]): Either[String, DataFrame] =
     status.filterNot(Schemas.registrationStatuses.contains) match {
-      case Some(bad) => Left(s"Invalid status: $bad")
+      case Some(bad) => Left(QueryService.invalidStatusMessage(bad))
       case None =>
         val base = t("list_registrations").filter(col("list_id") === listId)
         val st = status.map(s => base.filter(col("status") === s)).getOrElse(base)

@@ -231,4 +231,23 @@ object Serializers {
     def opt(s: Option[String]) = s.map("\"" + _ + "\"").getOrElse("null")
     s"""{"count": $count, "next": ${opt(next)}, "previous": ${opt(previous)}, "results": [${resultsJson.mkString(",")}]}"""
   }
+
+  /** The reference's error body — `Response({"message": ...})` rendered
+    * as one JSON document (accounts/api.py:157,267; lists/api.py:95,154;
+    * pots/api.py:137). Pairs with [[graft.queries.QueryService.Page]]'s
+    * envelope the way DRF pairs its error Responses with paginated ones;
+    * the message is escaped so ids containing quotes/control characters
+    * cannot break the document. */
+  def errorJson(message: String): String = {
+    val esc = message.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    s"""{"message": "$esc"}"""
+  }
 }

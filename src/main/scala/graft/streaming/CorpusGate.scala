@@ -333,11 +333,18 @@ object CorpusGate {
   }
 
   /** Stream JSONL documents from `inDir` through the gate into
-    * `storeDir`, checkpointed at `ckptDir`. */
+    * `storeDir`, checkpointed at `ckptDir`. `maxFilesPerTrigger` caps the
+    * files per micro-batch (source-order replay — the stream-vs-batch
+    * parity harness uses 1 so the micro-batch boundaries are exactly the
+    * input files); None lets the source take everything available. */
   def start(spark: SparkSession, inDir: String, storeDir: String,
       ckptDir: String, cfg: Config = Config(),
-      availableNow: Boolean = false): StreamingQuery = {
-    val stream = spark.readStream.schema(docSchema).json(inDir)
+      availableNow: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(docSchema)
+    val stream = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader).json(inDir)
     val writer = stream.writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (b: DataFrame, id: Long) => curateBatch(b, storeDir, id, cfg) }

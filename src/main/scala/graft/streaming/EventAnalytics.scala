@@ -141,7 +141,7 @@ object EventAnalytics {
         p("price_ts") <= t("ts") + expr(s"INTERVAL $tolerance"))
       .withColumn("__delta_us",
         abs(unix_micros(col("ts")) - unix_micros(col("price_ts"))))
-      .groupBy(col("token_id"), col("tx_id"), window(col("ts"), "1 hour"))
+      .groupBy(t("token_id"), col("tx_id"), window(col("ts"), "1 hour"))
       .agg(
         min_by(struct(col("price_id"), col("__delta_us"), col("price_usd")),
           struct(col("__delta_us"), col("price_id"))).as("__best"),
@@ -180,6 +180,7 @@ object EventAnalytics {
       ring: List[(Long, Long)], ewma: Option[Long])
   final case class HourStat(event_type: String, hour: java.sql.Timestamp,
       x: Long, ewma8: Long, n_prior: Long, is_anomaly: Option[Boolean])
+  /** Session bounds in MICROSECONDS since epoch (see [[tsMicros]]). */
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int)
@@ -277,15 +278,30 @@ object EventAnalytics {
     (st, out)
   }
 
+  /** Microsecond epoch of a Timestamp (getTime alone is MILLIS and would
+    * truncate the µs precision the event-time column carries — the batch
+    * twin computes in exact micros, so the state machine must too). */
+  private def tsMicros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def microsTs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
   /** Gap-based sessionization: a session closes after `gapMs` of user
     * inactivity in EVENT time — the timeout is an event-time timestamp
     * driven by the watermark, so ingest stalls/lag do not spuriously split
-    * sessions (a processing-time timeout would). State per user is O(1);
-    * the shuffle is one hash partition by user — scales with distinct
-    * users, not events. */
+    * sessions (a processing-time timeout would). All gap arithmetic runs
+    * in exact MICROSECONDS (session bounds are row-identical to the batch
+    * q_w3 twin — STREAM_PARITY.md); only the timeout registration rounds
+    * up to the API's millisecond grain. State per user is O(1); the
+    * shuffle is one hash partition by user — scales with distinct users,
+    * not events. */
   def sessionize(events: Dataset[Event], gapMs: Long,
       lateness: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
@@ -296,21 +312,19 @@ object EventAnalytics {
             val s = state.get
             state.remove()
             Iterator(Session(userId,
-              new java.sql.Timestamp(s.sessionStart),
-              new java.sql.Timestamp(s.lastTs), s.nEvents))
+              microsTs(s.sessionStart), microsTs(s.lastTs), s.nEvents))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => tsMicros(e.ts))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsMicros(e.ts)
               cur match {
-                case Some(s) if t - s.lastTs <= gapMs =>
+                case Some(s) if t - s.lastTs <= gapUs =>
                   cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
                 case Some(s) =>
                   closed ::= Session(userId,
-                    new java.sql.Timestamp(s.sessionStart),
-                    new java.sql.Timestamp(s.lastTs), s.nEvents)
+                    microsTs(s.sessionStart), microsTs(s.lastTs), s.nEvents)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
@@ -318,9 +332,11 @@ object EventAnalytics {
             }
             cur.foreach { s =>
               state.update(s)
-              // Close when the watermark passes lastTs+gap; clamp to stay
+              // Close when the watermark passes lastTs+gap (rounded UP to
+              // the timeout API's ms grain — never early); clamp to stay
               // ahead of the current watermark as the API requires.
-              val target = math.max(s.lastTs + gapMs,
+              val target = math.max(
+                Math.floorDiv(s.lastTs + gapUs, 1000L) + 1L,
                 state.getCurrentWatermarkMs() + 1)
               state.setTimeoutTimestamp(target)
             }

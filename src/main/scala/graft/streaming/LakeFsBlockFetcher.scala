@@ -33,6 +33,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Options: `fetcher.url` (base URI, required); `fetcher.layout` —
   * `lake` (default, the per-height directory layout above) or `flat`
   * ([[DirBlockFetcher]]'s `{height:012d}.json` single-object layout);
+  * `fetcher.expectShards` (min shard objects per block — partial
+  * uploads throw retryably instead of assembling a truncated block);
   * `fetcher.hadoop.*` pass-through.
   *
   * Scale notes, mirrored from the reference's streamer:
@@ -79,23 +81,65 @@ final class LakeFsBlockFetcher(options: JMap[String, String])
     base.getFileSystem(conf)
   }
 
+  /** Minimum shard objects a lake-layout block must expose before
+    * `fetch` accepts it. Object stores make a height's directory (and
+    * `block.json`) visible while shard objects are still uploading; an
+    * unguarded assembly would return a PARTIAL block — silent data loss,
+    * the worst failure mode a cursor-true consumer has. Deployments know
+    * their chain's shard count (fixed per protocol epoch on NEAR); with
+    * the option set, a block exposing fewer shard files THROWS a
+    * retryable IOException, so [[BlockFetcher.fetchWithRetry]] re-reads
+    * until the upload completes (or the batch fails loudly — a failed
+    * batch is a retry, a skipped shard is data loss). Unset (0) keeps
+    * the permissive behavior for fixtures/backfills with ragged shard
+    * counts. */
+  private val expectShards: Int =
+    Option(options.get("fetcher.expectShards")).flatMap(_.toIntOption)
+      .getOrElse(0)
+
+  /** How many head heights [[latestHeight]] may probe for completeness
+    * before giving up (each probe is one existence check). */
+  private val headProbe = 64
+
   private def heightOf(name: String): Option[Long] =
     (if (name.endsWith(".json")) name.stripSuffix(".json") else name)
       .toLongOption
 
+  /** Highest ADMISSIBLE height. Listing a prefix on an object store can
+    * surface a height whose objects are still uploading (the directory
+    * marker / first object lands before `block.json`); admitting it
+    * would make the reader see a chain gap and skip it forever — data
+    * loss, not lateness. So in lake layout the head of the listing is
+    * probed for completeness: the answer is the highest of the top
+    * `headProbe` listed heights whose `block.json` is visible (heights
+    * below the answer that lack `block.json` are genuine chain gaps by
+    * the lake's in-order write discipline). An entirely incomplete head
+    * window returns None — the stream idles one trigger and re-lists,
+    * which beats silently skipping an in-flight block. */
   override def latestHeight(): Option[Long] = {
     if (!fs.exists(base)) return None
     val it = fs.listStatusIterator(base)
-    var max = Option.empty[Long]
+    // Bounded top-k of listed heights (the listing can be huge; only the
+    // head needs completeness probing).
+    val top = new java.util.PriorityQueue[java.lang.Long](headProbe + 1)
     while (it.hasNext) {
       val st = it.next()
       val ok = if (lakeLayout) st.isDirectory
         else st.isFile && st.getPath.getName.endsWith(".json")
       if (ok) heightOf(st.getPath.getName).foreach { h =>
-        if (max.forall(_ < h)) max = Some(h)
+        top.add(h)
+        if (top.size > headProbe) top.poll(): Unit
       }
     }
-    max
+    if (top.isEmpty) return None
+    val candidates = {
+      val a = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (!top.isEmpty) a += top.poll().longValue()
+      a.sorted(Ordering[Long].reverse)
+    }
+    if (!lakeLayout) return candidates.headOption
+    candidates.find(h =>
+      fs.exists(new Path(new Path(base, f"$h%012d"), "block.json")))
   }
 
   private def readAll(p: Path): String = {
@@ -123,6 +167,11 @@ final class LakeFsBlockFetcher(options: JMap[String, String])
         n.stripPrefix("shard_").stripSuffix(".json").toLongOption
           .foreach(id => shardPaths += ((id, st.getPath)))
     }
+    if (expectShards > 0 && shardPaths.size < expectShards)
+      throw new java.io.IOException(
+        s"partial block at height $height: ${shardPaths.size} of " +
+          s"$expectShards shard objects visible (upload in flight?) — " +
+          "retryable")
     val shards = shardPaths.sortBy(_._1).map(p => readAll(p._2))
     // Each part is a complete JSON document, so the streamer message
     // assembles by concatenation — no parse/reserialize round trip.

@@ -89,6 +89,76 @@ class QueryServiceSpec extends SparkSpec {
     assert(p3.results.count() == 1 && !p3.hasNext && p3.hasPrevious)
   }
 
+  test("golden negative paths: 400 enum-validation bodies byte-match the reference") {
+    // Every status-validated route rejects a bogus enum with the
+    // reference's EXACT body: {"message": "Invalid status value: <p>"}
+    // (accounts/api.py:263-269,434-440; lists/api.py:151-156,208-213),
+    // rendered by Serializers.errorJson from the route's Left.
+    val golden = """{"message": "Invalid status value: NotAStatus"}"""
+    val lefts = Seq(
+      qs.accountPotApplications("proj1.near", Some("NotAStatus")).left,
+      qs.accountListRegistrations("proj1.near", Some("NotAStatus")).left,
+      qs.listRegistrations(5L, Some("NotAStatus"), None).left,
+      qs.accountPotApplicationsKeyset("proj1.near", Some("NotAStatus"),
+        None).left,
+      qs.accountListRegistrationsKeyset("proj1.near", Some("NotAStatus"),
+        None).left,
+      qs.listRegistrationsKeyset(5L, Some("NotAStatus"), None, None).left)
+    lefts.foreach { l =>
+      val body = Serializers.errorJson(l.toOption.get)
+      assert(body == golden, body)
+    }
+    // A VALID status must never produce the error shape.
+    assert(qs.accountPotApplications("proj1.near", Some("Approved")).isRight)
+    // The 404 family (account/list/pot detail misses) renders the same
+    // reference bodies byte-for-byte.
+    assert(Serializers.errorJson(
+      QueryService.notFoundMessage("Account", "ghost.near")) ==
+      """{"message": "Account with ID ghost.near not found."}""")
+    assert(Serializers.errorJson(QueryService.notFoundMessage("List", 404L)) ==
+      """{"message": "List with ID 404 not found."}""")
+    assert(Serializers.errorJson(
+      QueryService.notFoundMessage("Pot", "nope.pot.near")) ==
+      """{"message": "Pot with ID nope.pot.near not found."}""")
+    // and the detail routes actually report the miss (empty frame) the
+    // API layer maps onto those bodies
+    assert(qs.accountDetail("ghost.near").isEmpty)
+    assert(qs.listDetail(404L).isEmpty)
+    assert(qs.potDetail("nope.pot.near").isEmpty)
+    // a message with JSON metacharacters cannot break the document
+    assert(Serializers.errorJson("""bad "quo\te""") ==
+      """{"message": "bad \"quo\\te"}""")
+  }
+
+  test("golden negative paths: empty-page envelope on every paginated route") {
+    // DRF renders an empty page as
+    // {"count": 0, "next": null, "previous": null, "results": []} —
+    // every paginated route against miss criteria must produce exactly
+    // that envelope through Page → envelopeJson.
+    val golden = """{"count": 0, "next": null, "previous": null, "results": []}"""
+    val now = java.sql.Timestamp.valueOf("2024-06-15 00:00:00")
+    val empties = Seq(
+      qs.accountActivePots("ghost.near", live = false, now),
+      qs.accountDonationsReceived("ghost.near"),
+      qs.accountDonationsSent("ghost.near"),
+      qs.accountPayoutsReceived("ghost.near"),
+      qs.potApplications("nope.pot.near"),
+      qs.potDonations("nope.pot.near"),
+      qs.potSponsors("nope.pot.near"),
+      qs.potPayouts("nope.pot.near"),
+      qs.accountPotApplications("ghost.near", None).toOption.get,
+      qs.accountListRegistrations("ghost.near", None).toOption.get,
+      qs.listRegistrations(404L, None, None).toOption.get,
+      // valid enum value that matches nothing: filter, not error
+      qs.listRegistrations(5L, Some("Rejected"), None).toOption.get)
+    empties.foreach { p =>
+      assert(p.count == 0 && !p.hasNext && !p.hasPrevious)
+      val env = Serializers.envelopeJson(p.count, None, None,
+        p.toJsonRows().toSeq)
+      assert(env == golden, env)
+    }
+  }
+
   test("donors semi-join + most_donated sort (J2/O2)") {
     val d = qs.donors(sortMostDonated = true)
     val ids = d.results.select("id").collect().map(_.getString(0)).toSeq

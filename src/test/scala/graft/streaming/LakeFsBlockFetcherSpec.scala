@@ -112,6 +112,101 @@ class LakeFsBlockFetcherSpec extends SparkSpec {
     assert(hadoop.fetch(401L).isEmpty)
   }
 
+  // ------------------------- S3-semantics fault injection -------------------------
+  // Real egress is sandbox-blocked; these simulate the object-store
+  // failure modes over the same FS seam the s3a:// deployment runs:
+  // throttling storms, listing a height whose objects are still
+  // uploading, and partial multi-shard visibility.
+
+  test("throttling storm within the retry budget is absorbed; past it the batch FAILS, never skips") {
+    val lake = tmpDir("lakefs-flaky")
+    val r = receipt("donate.potlock.near", "donate", "{}",
+      resultJson = Some(directDonationResult(41, "a.near",
+        "1000000000000000000000000", "0", "proj.near", 700)),
+      receiptId = "r700")
+    writeLakeBlock(lake, 700L, 700000000000L, Seq(0L -> Seq(r)))
+    writeLakeBlock(lake, 701L, 701000000000L, Seq(0L -> Nil))
+
+    def opts(failures: Int, retries: Int) = Map(
+      "fetcher.class" -> classOf[FlakyBlockFetcher].getName,
+      "flaky.delegate" -> classOf[LakeFsBlockFetcher].getName,
+      "flaky.failures" -> failures.toString,
+      "fetcher.url" -> ("file://" + lake), "startHeight" -> "700",
+      "fetchRetries" -> retries.toString, "fetchBackoffMs" -> "10")
+
+    // 2 failures per height, 4 attempts: the storm is absorbed.
+    FlakyBlockFetcher.reset()
+    val silverOk = tmpDir("lakefs-flaky-silver")
+    val q1 = StreamIngest.startFromLake(spark, opts(failures = 2, retries = 4),
+      silverOk, tmpDir("lakefs-flaky-ckpt"), availableNow = true)
+    assert(q1.awaitTermination(300000), "flaky stream did not drain")
+    val silver = new SilverStore(spark, silverOk)
+    assert(silver.table("donations").count() == 1)
+    assert(silver.table("block_height").head()
+      .getAs[Long]("block_height") == 701)
+
+    // 10 failures per height, 3 attempts (and Spark task retries are 1
+    // in local mode): the batch must FAIL LOUDLY — a skipped block would
+    // be silent data loss, which is the one unacceptable outcome.
+    FlakyBlockFetcher.reset()
+    val silverBad = tmpDir("lakefs-flaky2-silver")
+    val q2 = StreamIngest.startFromLake(spark, opts(failures = 10, retries = 3),
+      silverBad, tmpDir("lakefs-flaky2-ckpt"), availableNow = true)
+    val failed =
+      try { q2.awaitTermination(300000); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+    assert(failed, "storm past the retry budget must fail the query")
+    // Nothing was silently committed as complete.
+    assert(!new SilverStore(spark, silverBad).exists("block_height") ||
+      new SilverStore(spark, silverBad).table("donations").count() == 0)
+    FlakyBlockFetcher.reset()
+  }
+
+  test("an in-flight head height (no block.json yet) is not admitted by latestHeight") {
+    val dir = tmpDir("lakefs-inflight")
+    writeLakeBlock(dir, 800L, 1L, Seq(0L -> Nil))
+    // heights 801..803 appear in the listing but their block.json has
+    // not landed (multi-object upload in flight) — admitting any of them
+    // would let the reader mark an in-flight block as a chain gap and
+    // skip it forever.
+    Seq(801L, 802L, 803L).foreach { h =>
+      Files.createDirectories(Paths.get(dir, f"$h%012d"))
+    }
+    val f = fetcher("file://" + dir)
+    assert(f.latestHeight().contains(800L))
+    // the upload completes → the head advances
+    Files.write(Paths.get(dir, f"${803L}%012d").resolve("block.json"),
+      """{"header": {"height": 803, "timestamp": 3}}""".getBytes("UTF-8"))
+    assert(f.latestHeight().contains(803L))
+  }
+
+  test("partial multi-shard block: expectShards makes fetch throw retryably until the upload completes") {
+    val dir = tmpDir("lakefs-partial")
+    val d = Paths.get(dir, f"${900L}%012d")
+    Files.createDirectories(d)
+    Files.write(d.resolve("block.json"),
+      """{"header": {"height": 900, "timestamp": 9}}""".getBytes("UTF-8"))
+    Files.write(d.resolve("shard_0.json"),
+      """{"shard_id": 0, "receipt_execution_outcomes": []}""".getBytes("UTF-8"))
+
+    val strict = fetcher("file://" + dir, "fetcher.expectShards" -> "2")
+    intercept[java.io.IOException] { strict.fetch(900L) }
+    // retry wrapper: still throws after the budget (the LAST failure
+    // propagates — a failed batch is a retry, a skipped shard is loss)
+    intercept[java.io.IOException] {
+      BlockFetcher.fetchWithRetry(strict, 900L, attempts = 2, backoffMs = 1)
+    }
+    // the second shard lands → the same fetcher serves the full block
+    Files.write(d.resolve("shard_1.json"),
+      """{"shard_id": 1, "receipt_execution_outcomes": []}""".getBytes("UTF-8"))
+    val msg = BlockFetcher.fetchWithRetry(strict, 900L, attempts = 2,
+      backoffMs = 1).get
+    assert(msg.contains("\"shard_id\": 0") && msg.contains("\"shard_id\": 1"))
+    // permissive default (fixtures/backfills): partial assembly allowed
+    val lax = fetcher("file://" + dir)
+    assert(lax.fetch(900L).nonEmpty)
+  }
+
   test("end-to-end: LakeSource stream over file:// lake layout, gap skipped, cursor lands") {
     val lake = tmpDir("lakefs-stream-in")
     val silverDir = tmpDir("lakefs-stream-silver")
