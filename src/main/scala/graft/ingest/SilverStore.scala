@@ -85,6 +85,17 @@ object SilverStore {
   val bucketSpec: Map[String, (String, Int)] = Map(
     "accounts" -> ("id", 16))
 
+  /** Bucket layout WITHIN the partition-scoped tables (column, count) —
+    * the two disciplines compose: `donations` keeps its date-partitioned
+    * merge scoping (a batch rewrites only the dates it touches) AND each
+    * partition's files are donor-bucketed, so the scan reports the donor
+    * HashPartitioning and the donors J2 semi-join / per-donor rollups
+    * run with zero exchange on the donations side too. `donor` is
+    * immutable per natural key (chain state), the bucket-column contract.
+    * Bucket count matches `accounts`' so the two sides co-partition. */
+  val partitionBucketSpec: Map[String, (String, Int)] = Map(
+    "donations" -> ("donor", 16))
+
   /** Single merge dispatch shared by the streaming path and
     * SnapshotBackfill: unbounded tables go through the partition-scoped
     * writer, everything else through the full-table LWW merge. Using one
@@ -105,7 +116,7 @@ object SilverStore {
           MergeWriter.merge(spark, withP, s"$dir/$name", keys, seqCols)
         else
           MergeWriter.mergePartitioned(spark, withP, s"$dir/$name", keys,
-            seqCols, pcol)
+            seqCols, pcol, bucket = partitionBucketSpec.get(name))
       case None => bucketSpec.get(name) match {
         case Some((bcol, n)) =>
           MergeWriter.mergeBucketed(spark, df, s"$dir/$name", keys, seqCols,
@@ -132,17 +143,27 @@ final class SilverStore(spark: SparkSession, dir: String) {
     * bootstrap layout reads as plain parquet. */
   def table(name: String): DataFrame = {
     val p = path(name)
-    SilverStore.bucketSpec.get(name) match {
-      case Some((bcol, n))
+    // Catalog names are session-global; namespace by store dir so two
+    // SilverStores in one session (tests, migration jobs) can't serve
+    // each other's files.
+    def catalogName = s"graft_silver_${name}_" +
+      Integer.toHexString(dir.hashCode).replace('-', 'n')
+    (SilverStore.bucketSpec.get(name), SilverStore.partitionSpec.get(name),
+      SilverStore.partitionBucketSpec.get(name)) match {
+      case (Some((bcol, n)), _, _)
           if graft.operators.BucketedLayout.looksBucketed(p) =>
-        // Catalog names are session-global; namespace by store dir so two
-        // SilverStores in one session (tests, migration jobs) can't serve
-        // each other's files.
-        val tbl = s"graft_silver_${name}_" +
-          Integer.toHexString(dir.hashCode).replace('-', 'n')
         graft.operators.BucketedLayout.registerExternal(
-          spark, tbl, p, spark.read.parquet(p).schema, bcol, n)
-        spark.table(tbl)
+          spark, catalogName, p, spark.read.parquet(p).schema, bcol, n)
+        spark.table(catalogName)
+      case (_, Some((pcol, _)), Some((bcol, n)))
+          if MergeWriter.bucketedPartitionLayout(p) =>
+        // Partitioned AND bucketed: register with both specs so the scan
+        // reports the bucket HashPartitioning; partitions are recovered
+        // from the directories (the merge path mutates them out-of-band).
+        // The synthetic partition column stays hidden from readers.
+        graft.operators.BucketedLayout.registerExternalPartitioned(
+          spark, catalogName, p, spark.read.parquet(p).schema, pcol, bcol, n)
+        spark.table(catalogName).drop(pcol)
       case _ =>
         val df = spark.read.parquet(p)
         SilverStore.partitionSpec.get(name) match {

@@ -68,6 +68,33 @@ object BucketedLayout {
       s"LOCATION '$path'")
   }
 
+  /** [[registerExternal]] for a PARTITIONED bucketed table: the schema's
+    * `partitionCol` moves into the PARTITIONED BY clause and the on-disk
+    * partition directories are recovered into the catalog, so the scan
+    * gets BOTH partition pruning and the bucket HashPartitioning.
+    * Re-run after out-of-band partition mutations (the merge writer
+    * swaps partition dirs directly). */
+  def registerExternalPartitioned(spark: SparkSession, table: String,
+      path: String, schema: org.apache.spark.sql.types.StructType,
+      partitionCol: String, keyCol: String, buckets: Int): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"registerExternalPartitioned: table name '$table' is not a plain identifier")
+    require(keyCol.matches("[A-Za-z0-9_]+") &&
+      partitionCol.matches("[A-Za-z0-9_]+"),
+      s"registerExternalPartitioned: '$keyCol'/'$partitionCol' must be plain identifiers")
+    // Partition column last, per datasource-table convention.
+    val dataDdl = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == partitionCol)).toDDL
+    val pType = schema.fields.find(_.name == partitionCol)
+      .map(_.dataType.sql).getOrElse("STRING")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"CREATE TABLE $table ($dataDdl, $partitionCol $pType) " +
+      s"USING PARQUET PARTITIONED BY ($partitionCol) " +
+      s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS " +
+      s"LOCATION '$path'")
+    spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS"): Unit
+  }
+
   /** Whether the files at `path` carry bucket ids in their names
     * (`part-…_00003.…parquet`) — i.e. were written through a bucketed
     * writer. Registering bucket metadata over NON-bucketed files would

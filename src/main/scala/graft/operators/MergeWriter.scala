@@ -192,7 +192,8 @@ object MergeWriter {
       keys: Seq[String],
       seq: Seq[String],
       partitionCol: String,
-      coalesceUpdates: Boolean = true): Long = {
+      coalesceUpdates: Boolean = true,
+      bucket: Option[(String, Int)] = None): Long = {
 
     val affected: Seq[Any] = incoming.select(partitionCol).distinct()
       .collect().map(_.get(0)).toSeq
@@ -216,10 +217,15 @@ object MergeWriter {
     // table, or a table written before partitioning was enabled — can't be
     // partition-pruned and would leave stale root files shadowing the
     // partition dirs. Migrate it wholesale: merge the FULL table and
-    // rewrite as partitioned, once.
-    if (exists && hasRootDataFiles(path))
+    // rewrite as partitioned, once. A partitioned-but-UNBUCKETED table
+    // receiving its first bucketed merge migrates the same way: a
+    // partition-scoped write would leave MIXED file naming (bucketed
+    // files in touched partitions, plain in the rest), which no bucketed
+    // reader can serve.
+    if (exists && (hasRootDataFiles(path) ||
+        bucket.exists(_ => !bucketedPartitionLayout(path))))
       return migrateToPartitioned(spark, incoming, path, keys, seq,
-        partitionCol, coalesceUpdates)
+        partitionCol, coalesceUpdates, bucket)
     val existingAffected: Option[DataFrame] =
       if (exists)
         Some(spark.read.parquet(path)
@@ -249,7 +255,7 @@ object MergeWriter {
 
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val tmp = path + ".tmp-" + uid
-    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    writePartitionedTmp(spark, merged, tmp, partitionCol, bucket, uid)
     merged.unpersist()
 
     // Sidecar-before-swap protocol (see [[currentCounts]] for why): the
@@ -346,6 +352,38 @@ object MergeWriter {
     io.writeStringAtomic(sidecarPath(path), json)
   }
 
+  /** Write `df` under `tmp` partitioned by `partitionCol`, optionally in
+    * bucketed layout (bucketBy is a table-write-only API, so the bucketed
+    * branch routes through a temporary EXTERNAL catalog entry that is
+    * dropped immediately — metadata only, the files stay). Rows are
+    * repartitioned to the bucket spec so each (partition, bucket) lands
+    * in one file. */
+  private def writePartitionedTmp(spark: SparkSession, df: DataFrame,
+      tmp: String, partitionCol: String, bucket: Option[(String, Int)],
+      uid: String): Unit = bucket match {
+    case Some((bcol, n)) =>
+      val tmpTable = s"graft_merge_pb_$uid"
+      df.repartition(n, col(bcol))
+        .write.format("parquet").option("path", tmp)
+        .partitionBy(partitionCol).bucketBy(n, bcol).sortBy(bcol)
+        .mode("overwrite").saveAsTable(tmpTable)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable"): Unit // external: files stay
+    case None =>
+      df.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+  }
+
+  /** Whether every partition directory under `path` holds only
+    * bucket-id-named data files (`part-…_00003.…`) — i.e. the table is
+    * uniformly in bucketed layout. Mixed naming (a partition-scoped
+    * merge into a previously unbucketed table) must be rejected: a
+    * bucketed reader over it would mis-assign rows to buckets. */
+  def bucketedPartitionLayout(path: String): Boolean = {
+    val dirs = io.listDir(path).collect {
+      case (n, true) if n.contains("=") => n }
+    dirs.nonEmpty && dirs.forall(d =>
+      BucketedLayout.looksBucketed(s"$path/$d"))
+  }
+
   private def hasRootDataFiles(path: String): Boolean =
     io.listDir(path).exists { case (n, isDir) =>
       !isDir && n.endsWith(".parquet") }
@@ -360,7 +398,8 @@ object MergeWriter {
       keys: Seq[String],
       seq: Seq[String],
       partitionCol: String,
-      coalesceUpdates: Boolean): Long = {
+      coalesceUpdates: Boolean,
+      bucket: Option[(String, Int)] = None): Long = {
     val unioned = spark.read.parquet(path)
       .unionByName(incoming, allowMissingColumns = true)
     val merged0 =
@@ -379,7 +418,7 @@ object MergeWriter {
       .map(r => (s"$partitionCol=${r.get(0)}", r.getLong(1))).toMap
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val tmp = path + ".tmp-" + uid
-    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    writePartitionedTmp(spark, merged, tmp, partitionCol, bucket, uid)
     merged.unpersist()
     // same sidecar-before-swap, marker-after-swap discipline as the
     // steady-state path

@@ -56,6 +56,64 @@ class BucketedSilverSpec extends SparkSpec {
     assert("hashpartitioning\\(id#".r.findFirstIn(aggPlan).isEmpty, aggPlan)
   }
 
+  private def donationRows(rows: Seq[(Long, String, String, String, Long)]) =
+    rows.map { case (oid, pot, donor, day, h) =>
+      (oid, pot, donor, java.sql.Timestamp.valueOf(s"$day 00:00:00"),
+        h, 0L, 0L, 0L)
+    }.toDF("on_chain_id", "pot", "donor", "donated_at",
+      "block_height", "shard_index", "receipt_index", "action_index")
+
+  test("donations: date-partitioned AND donor-bucketed — scoped merges keep both layouts") {
+    val dir = tmpDir("bsilver3")
+    val silver = new SilverStore(spark, dir)
+    SilverStore.mergeEntity(spark, dir, "donations",
+      donationRows(Seq(
+        (1L, "pot1", "alice.near", "2024-06-01", 1L),
+        (2L, "pot1", "bob.near", "2024-06-01", 1L),
+        (3L, "pot1", "alice.near", "2024-06-02", 1L))),
+      SilverStore.naturalKeys("donations"), seqCols)
+    val p = s"$dir/donations"
+    assert(MergeWriter.bucketedPartitionLayout(p))
+    assert(new java.io.File(s"$p/__pdate=d2024-06-01").exists())
+
+    val day1Before = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$p/__pdate=d2024-06-01"))
+      .toArray.map(_.toString).sorted.toSeq
+
+    // Batch 2 touches only 2024-06-02 (donation 3 re-merged at a later
+    // seq + a new one): day-1's files must stay byte-identical — the
+    // partition-scoped merge contract survives the bucketed layout.
+    SilverStore.mergeEntity(spark, dir, "donations",
+      donationRows(Seq(
+        (3L, "pot1", "alice.near", "2024-06-02", 2L),
+        (4L, "pot1", "carol.near", "2024-06-02", 2L))),
+      SilverStore.naturalKeys("donations"), seqCols)
+    assert(MergeWriter.bucketedPartitionLayout(p))
+    val day1After = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$p/__pdate=d2024-06-01"))
+      .toArray.map(_.toString).sorted.toSeq
+    assert(day1After == day1Before)
+
+    val out = silver.table("donations")
+    assert(!out.columns.contains("__pdate")) // layout detail stays hidden
+    assert(out.count() == 4)
+    assert(out.filter(col("on_chain_id") === 3L).head()
+      .getAs[Long]("block_height") == 2L) // LWW across the scoped merge
+    // The read is a BUCKETED scan: a per-donor rollup aggregates with no
+    // exchange on donor.
+    val aggPlan = out.groupBy("donor").count().queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("Bucketed: true".r.findFirstIn(aggPlan).isDefined, aggPlan)
+    assert("hashpartitioning\\(donor#".r.findFirstIn(aggPlan).isEmpty, aggPlan)
+    // and the raw partitioned read still PRUNES on the date key
+    val prunePlan = spark.read.parquet(p)
+      .filter(col("__pdate") === "d2024-06-02")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PartitionFilters: \\[.*__pdate".r.findFirstIn(prunePlan).isDefined,
+      prunePlan)
+  }
+
   test("donors route over bucketed accounts/account_stats: no exchange on id; flat control exchanges") {
     val dir = tmpDir("bsilver2")
     val silver = new SilverStore(spark, dir)
@@ -72,8 +130,14 @@ class BucketedSilverSpec extends SparkSpec {
     BucketedLayout.writeBucketed(stats, "b_stats_spec",
       tmpDir("bstats") + "/account_stats", "id", 16)
 
-    val donations = Seq(("alice.near", 5.0), ("bob.near", 7.0))
-      .toDF("donor", "amt")
+    // Donations through the silver store too: date-partitioned,
+    // donor-bucketed — so the J2 semi-join's DONATIONS side is also
+    // exchange-free.
+    SilverStore.mergeEntity(spark, dir, "donations",
+      donationRows(Seq(
+        (1L, "pot1", "alice.near", "2024-06-01", 1L),
+        (2L, "pot1", "bob.near", "2024-06-01", 1L))),
+      SilverStore.naturalKeys("donations"), seqCols)
     val statsFlat = tmpDir("bstatsflat") + "/account_stats"
     stats.write.parquet(statsFlat)
 
@@ -85,7 +149,9 @@ class BucketedSilverSpec extends SparkSpec {
         case "account_stats" =>
           if (flat) spark.read.parquet(statsFlat)
           else spark.table("b_stats_spec")
-        case "donations" => donations
+        case "donations" =>
+          if (flat) spark.read.parquet(s"$dir/donations").drop("__pdate")
+          else silver.table("donations")
         case other => sys.error(s"unexpected table $other")
       })
 
@@ -93,15 +159,15 @@ class BucketedSilverSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       // The production shape (broadcast disabled): the J2 semi-join needs
-      // accounts distributed by id and the stats join needs both sides by
-      // id — the bucketed scans satisfy BOTH, so `id` never appears under
-      // a hashpartitioning exchange. The donations side (not bucketed)
-      // exchanges on donor, which is expected and allowed.
+      // accounts by id and donations by donor, the stats join needs both
+      // sides by id — the bucketed scans satisfy ALL of them, so neither
+      // join key ever appears under a hashpartitioning exchange.
       val page = service(flat = false).donors(sortMostDonated = true,
         page = 1, pageSize = 10)
       val plan = page.results.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert("hashpartitioning\\(id#".r.findFirstIn(plan).isEmpty, plan)
+      assert("hashpartitioning\\(donor#".r.findFirstIn(plan).isEmpty, plan)
       assert("Bucketed: true".r.findFirstIn(plan).isDefined, plan)
       // Results are layout-independent: bob first (most donated out).
       val ids = page.results.select("id").collect().map(_.getString(0)).toSeq
