@@ -187,6 +187,20 @@ object Oracles {
         |SELECT purchase_id, view_id, delta_us, usd_value FROM j WHERE rn = 1
         |ORDER BY purchase_id""".stripMargin,
 
+    "q_j13_asof_before" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT * FROM events WHERE event_type = 'view'),
+        |     j AS (SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |                  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us,
+        |                  p.value * v.value AS usd_value,
+        |                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |                    ORDER BY (epoch_us(p.ts) - epoch_us(v.ts)) ASC NULLS LAST,
+        |                             v.event_id ASC NULLS LAST) AS rn
+        |           FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |            AND epoch_us(p.ts) - epoch_us(v.ts) BETWEEN 0 AND 86400000000)
+        |SELECT purchase_id, view_id, lag_us, usd_value FROM j WHERE rn = 1
+        |ORDER BY purchase_id""".stripMargin,
+
     "q_j7_latest_per_group" ->
       """SELECT user_id, event_id, ts, event_type FROM
         |(SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
@@ -1638,6 +1652,19 @@ object Oracles {
     // BM25: all-integer replay — fixed-point idf (Lucene form, halves
     // cancel), avgdl/length-ratio/saturation denominator in thousandths,
     // one positive integer division per (query, term, doc).
+    // Capacity (16) exceeds the distinct-term count (5), so the
+    // Misra-Gries summary is exact and replayable as plain per-window
+    // counts ranked (count desc, term asc).
+    "q_srch4_trending_terms" ->
+      """SELECT window_start, term, cnt, rnk FROM (
+        |  SELECT date_trunc('hour', ts) AS window_start,
+        |         event_type AS term,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+        |           ORDER BY COUNT(*) DESC, event_type ASC) AS rnk
+        |  FROM events GROUP BY 1, 2)
+        |ORDER BY window_start, rnk""".stripMargin,
+
     "q_srch3_bm25" ->
       raw"""WITH q AS (SELECT doc_id AS qid,
         |            array_to_string((string_split($norm, ' '))[1:5], ' ') AS qt

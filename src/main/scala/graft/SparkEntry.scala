@@ -246,6 +246,27 @@ object SparkEntry {
       .orderBy("purchase_id")
   }
 
+  /** J13 — backward ("at-or-before") as-of join with a 24 h lookback and
+    * LEFT semantics (tokens/models.py:64-74 price lookup; the batch twin
+    * of the streaming EventAnalytics.streamAsOfEnrich, whose row-identity
+    * to this contract STREAM_PARITY.md asserts): for each purchase, the
+    * latest prior view of the same user within 24 h, purchases with no
+    * in-window view kept with null enrichment. */
+  private def j13(t: Tables): DataFrame = {
+    val purchases = t.events.filter(col("event_type") === "purchase")
+    val views = t.events.filter(col("event_type") === "view")
+    AsOfJoin.before(purchases, views,
+        Seq("user_id"), Seq("user_id"), "ts", "ts",
+        lookback = 86400L, leftId = "event_id", rightTieBreak = "event_id",
+        joinType = "left")
+      .select(
+        col("l.event_id").as("purchase_id"),
+        col("r.event_id").as("view_id"),
+        col("__lag_us").as("lag_us"),
+        (col("l.value") * col("r.value")).as("usd_value"))
+      .orderBy("purchase_id")
+  }
+
   /** J7 — latest-per-group (most recent price, tokens/models.py:56-57). */
   private def j7(t: Tables): DataFrame =
     Relational.latestPerGroup(t.events,
@@ -1317,6 +1338,27 @@ object SparkEntry {
     * see [[graft.functions.SearchFunctions.bm25TopK]]. The scoring
     * differences against srch1's raw TF-IDF are the point: long
     * documents stop winning on volume, repeated terms saturate. */
+  /** SRCH4 — per-hour trending terms via the Misra-Gries sketch run as a
+    * windowed aggregate (the batch twin of the streaming
+    * EventAnalytics.trendingTerms — STREAM_PARITY.md asserts the
+    * incremental per-micro-batch merges land on this exact summary).
+    * Capacity 16 ≥ the 5 distinct event types, so the sketch is EXACT
+    * here and the oracle can replay it as plain per-window counts ranked
+    * (count desc, term asc) — the hash gate that licenses the sketch's
+    * deterministic output contract. At vocab scale the same plan holds:
+    * one map-side-combined shuffle on the window key, O(capacity) state
+    * per window, never a per-term shuffle. */
+  private def srch4(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(FrequentItems.misraGries(col("event_type"), 16).as("tt"))
+      .select(col("window.start").as("ws"),
+        posexplode(col("tt")).as(Seq("pos", "e")))
+      .select(ntz(col("ws")).as("window_start"),
+        col("e._1").as("term"), col("e._2").as("cnt"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("window_start", "rnk")
+
   private def srch3(t: Tables): DataFrame = {
     val queries = t.documents.filter(pmod(col("doc_id"), lit(100)) === 3)
       .select(col("doc_id").as("query_id"),
@@ -2666,6 +2708,7 @@ object SparkEntry {
       "q_j4_distinct_semi" -> q(j4),
       "q_j5_global_stats" -> q(j5),
       "q_j6_asof_join" -> q(j6),
+      "q_j13_asof_before" -> q(j13),
       "q_j7_latest_per_group" -> q(j7),
       "q_j8_anti_discover" -> q(j8),
       "q_a2_account_rollup" -> q(a2),
@@ -2721,6 +2764,7 @@ object SparkEntry {
       "q_srch1_keyword_topk" -> q(srch1),
       "q_srch2_top_terms" -> q(srch2),
       "q_srch3_bm25" -> q(srch3),
+      "q_srch4_trending_terms" -> q(srch4),
       "q_txt13_contamination_hits" -> q(txt13),
       "q_j9_interval_join" -> q(j9),
       "q_j10_salted_join" -> q(j10),

@@ -22,6 +22,10 @@ import graft.streaming.{CorpusGate, EventAnalytics}
   *  - streamHourlyAnomaly    ≡ q_ts2_anomaly (+ the ts3 EWMA recurrence
   *                             replayed at hourly grain)
   *  - streamNearestEnrich    ≡ q_j6_asof_join
+  *  - streamAsOfEnrich       ≡ the at-or-before max_by batch formulation
+  *  - trendingTerms          ≡ the same Misra-Gries aggregator in batch
+  *                             (capacity ≥ distinct terms ⇒ exact)
+  *  - dedupWithinWatermark   ≡ batch distinct (horizon ≥ data span)
   *  - CorpusGate (streamed)  ≡ CorpusGate batch backfill, batch-for-batch
   *
   * This is the evidence class the batch oracle cannot give: the streaming
@@ -33,12 +37,25 @@ import graft.streaming.{CorpusGate, EventAnalytics}
   * (sorted by ts, contiguous ranges), written with ascending modification
   * times so the file source replays them in order — the same in-order
   * block-height arrival the lake consumer sees in production; within-file
-  * disorder exercises the state machinery, and the late-data DROP paths
-  * are covered separately by EventAnalyticsSpec's late fixtures. Two
-  * far-future sentinel files (excluded from every comparison) push the
-  * watermark past all real event time so every open window, session and
-  * hour provably closes through the watermark path rather than through a
-  * harness backdoor.
+  * disorder exercises the state machinery. Two far-future sentinel files
+  * (excluded from every comparison) push the watermark past all real
+  * event time so every open window, session and hour provably closes
+  * through the watermark path rather than through a harness backdoor.
+  *
+  * A second OUT-OF-ORDER section replays the same chunks pair-swapped
+  * (arrival order 1,0,3,2,…) with the watermark delay sized to cover the
+  * induced two-chunk event-time regression — the claim that each
+  * watermark-tolerant operator is ARRIVAL-ORDER INVARIANT within its
+  * lateness horizon, not merely correct on sorted input. A final
+  * `late.` scenario holds a slice of the earliest chunk back until the
+  * watermark has provably passed it and asserts the emitted result
+  * equals the batch twin WITHOUT the held-back rows — the late-data
+  * DROP contract measured at sf0.1 rather than on fixture rows.
+  * `sessionize` (the custom state machine) is deliberately absent from
+  * the out-of-order section: its cross-batch contract is the in-order
+  * arrival production provides (ascending block heights); within-batch
+  * disorder it sorts, and that is the claim the in-order section pins.
+  * The built-in `sessionWindowCounts` IS order-invariant and runs here.
   *
   * Writes STREAM_PARITY.md; exits nonzero on any mismatch.
   */
@@ -81,6 +98,7 @@ object StreamParity {
       .parquet(s"$sfDir/events.parquet")
     val total = events.count()
     val maxTsMs = events.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val minTsMs = events.agg(min(unix_millis(col("ts")))).head().getLong(0)
     val wOrd = Window.orderBy(col("ts").asc, col("event_id").asc)
     val chunkCol = (((row_number().over(wOrd) - 1) * Chunks) / total)
       .cast("int")
@@ -92,25 +110,82 @@ object StreamParity {
         "parquet", Paths.get(evDir, f"chunk-$i%02d.parquet"),
         1700000000000L + i * 60000L)
     }
-    withChunk.unpersist()
     // Sentinels: a pure-watermark row for the type/user operators plus
     // purchase/view rows so BOTH filtered sides of the as-of join see
     // their watermark advance. Two files: the second gives the runtime a
     // data-bearing batch in which the first file's watermark fires every
-    // registered event-time timeout.
-    Seq(0, 1).foreach { s =>
-      val fTs = new java.sql.Timestamp(maxTsMs + (48 + 48 * s) * 3600 * 1000L)
-      writeOneFile(
-        Seq((-1L - 10 * s, fTs, -1L, Flush, 0.0, null),
-          (-2L - 10 * s, fTs, -1L, "purchase", 0.0, null),
-          (-3L - 10 * s, fTs, -1L, "view", 0.0, null))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-        "parquet", Paths.get(evDir, s"chunk-9$s.parquet"),
-        1700000000000L + (Chunks + s) * 60000L)
-    }
+    // registered event-time timeout. `hoursOut` places them past the
+    // section's watermark delay so the final watermark clears every
+    // real window end.
+    def writeSentinels(dir: String, pos0: Int, hoursOut: Int): Unit =
+      Seq(0, 1).foreach { s =>
+        val fTs = new java.sql.Timestamp(
+          maxTsMs + (hoursOut + 24 * s) * 3600 * 1000L)
+        writeOneFile(
+          Seq((-1L - 10 * s, fTs, -1L, Flush, 0.0, null.asInstanceOf[String]),
+            (-2L - 10 * s, fTs, -1L, "purchase", 0.0, null.asInstanceOf[String]),
+            (-3L - 10 * s, fTs, -1L, "view", 0.0, null.asInstanceOf[String]))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          "parquet", Paths.get(dir, s"chunk-9$s.parquet"),
+          1700000000000L + (pos0 + s) * 60000L)
+      }
+    writeSentinels(evDir, Chunks, 48)
 
-    def evStream: DataFrame = spark.readStream.schema(evSchema)
-      .option("maxFilesPerTrigger", 1).parquet(evDir)
+    // ---- out-of-order stage: the SAME chunk files, pair-swapped --------
+    // Arrival 1,0,3,2,…: before chunk 2k arrives the stream has already
+    // seen chunk 2k+1, so the watermark sits at max(chunk 2k+1) − delay —
+    // an event-time regression of up to TWO chunk spans. OooDelay covers
+    // it (asserted, so a corpus change fails loudly instead of silently
+    // dropping rows); sentinels sit past maxTs + delay so every window
+    // still provably closes through the watermark path.
+    val OooDelay = "8 days"
+    val oooDelayMs = 8L * 24 * 3600 * 1000
+    require(oooDelayMs > 2 * (maxTsMs - minTsMs) / Chunks + 3600 * 1000L,
+      s"OooDelay must cover the pair-swap regression: delay=${oooDelayMs}ms " +
+        s"span=${maxTsMs - minTsMs}ms chunks=$Chunks")
+    val evOooDir = work.resolve("events_ooo").toString
+    Files.createDirectories(Paths.get(evOooDir))
+    (0 until Chunks).map(i => if (i % 2 == 0) i + 1 else i - 1)
+      .zipWithIndex.foreach { case (chunk, pos) =>
+        val dst = Paths.get(evOooDir, f"chunk-$chunk%02d.parquet")
+        Files.copy(Paths.get(evDir, f"chunk-$chunk%02d.parquet"), dst)
+        dst.toFile.setLastModified(1700000000000L + pos * 60000L)
+      }
+    writeSentinels(evOooDir, Chunks, 216)
+
+    // ---- late-drop stage: chunks in order, but a slice of chunk 0 held
+    // back until after chunk 7 — by then the watermark has provably
+    // passed every held-back hour (asserted), so the operator must DROP
+    // exactly those rows and the result must equal the batch twin
+    // computed WITHOUT them.
+    val lateIds: Array[Long] = withChunk
+      .filter(col("__chunk") === 0 && pmod(col("event_id"), lit(37)) === 0)
+      .select("event_id").as[Long].collect()
+    require((maxTsMs - oooDelayMs) >
+      minTsMs + (maxTsMs - minTsMs) / Chunks + 2 * 3600 * 1000L,
+      "held-back slice must be beyond the watermark when it arrives")
+    val evLateDir = work.resolve("events_late").toString
+    Files.createDirectories(Paths.get(evLateDir))
+    writeOneFile(withChunk
+        .filter(col("__chunk") === 0 &&
+          !col("event_id").isInCollection(lateIds)).drop("__chunk"),
+      "parquet", Paths.get(evLateDir, "chunk-00.parquet"), 1700000000000L)
+    (1 until Chunks).foreach { i =>
+      val dst = Paths.get(evLateDir, f"chunk-$i%02d.parquet")
+      Files.copy(Paths.get(evDir, f"chunk-$i%02d.parquet"), dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    writeOneFile(withChunk
+        .filter(col("__chunk") === 0 &&
+          col("event_id").isInCollection(lateIds)).drop("__chunk"),
+      "parquet", Paths.get(evLateDir, s"chunk-late.parquet"),
+      1700000000000L + Chunks * 60000L)
+    writeSentinels(evLateDir, Chunks + 1, 216)
+    withChunk.unpersist()
+
+    def evStreamFrom(dir: String): DataFrame = spark.readStream
+      .schema(evSchema).option("maxFilesPerTrigger", 1).parquet(dir)
+    def evStream: DataFrame = evStreamFrom(evDir)
     // The windowed/keyed operators get the real rows plus only the
     // watermark sentinel; the as-of join gets the purchase/view sentinels.
     def evTyped: DataFrame = evStream
@@ -205,21 +280,7 @@ object StreamParity {
       // EWMA leg: the oracle-green ts3 recurrence (e' = (x + 7e) div 8,
       // truncating) replayed over ts2's hourly grid — the batch twin of
       // the monitor's smoothed column.
-      val ewmaB = ts2
-        .select(col("event_type"), col("hour").cast("timestamp").as("hour"),
-          col("x"))
-        .groupBy("event_type")
-        .agg(sort_array(collect_list(struct(col("hour"), col("x")))).as("s"))
-        .select(col("event_type"), explode(expr(
-          """aggregate(s,
-            |  cast(array() as array<struct<hour:timestamp,x:bigint,ewma8:bigint>>),
-            |  (acc, e) -> array_append(acc, named_struct(
-            |    'hour', e.hour, 'x', e.x,
-            |    'ewma8', if(size(acc) = 0, e.x,
-            |      (e.x + 7 * element_at(acc, -1).ewma8) div 8))))""".stripMargin))
-          .as("r"))
-        .select(col("event_type"), unix_micros(col("r.hour")).as("hus"),
-          col("r.ewma8").as("ewma8"))
+      val ewmaB = ewmaTwin(ts2)
       val ewmaS = stream.select(col("event_type"),
         unix_micros(col("hour")).as("hus"), col("ewma8"))
       rows += diff("streamHourlyAnomaly.ewma8", "ts3 recurrence @hourly",
@@ -247,6 +308,222 @@ object StreamParity {
         .select(col("purchase_id"), col("view_id"), col("delta_us"),
           col("usd_value"))
       rows += diff("streamNearestEnrich", "q_j6_asof_join", s, b, secs)
+    }
+
+    // --------------------------- at-or-before as-of enrich ≡ batch max_by
+    {
+      // No (user_id, ts) ties exist in the data (verified by the batch
+      // distinct below equaling the raw count), so the max_by pick is
+      // deterministic on both planes.
+      val txs = evStream
+        .filter(col("event_id") >= 0 || col("event_id") <= -2)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("token_id"), col("event_id").as("tx_id"),
+          col("ts"), col("value").as("amount"))
+      val prices = evStream
+        .filter(col("event_id") >= 0 || col("event_id") <= -2)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("token_id"), col("ts").as("price_ts"),
+          col("value").as("price_usd"))
+      val (out, secs) = runStream(spark,
+        EventAnalytics.streamAsOfEnrich(txs, prices, "1 hour", "24 hours"),
+        "p_asof_before")
+      val s = out.filter(col("tx_id") >= 0)
+      val ev = spark.read.schema(evSchema).parquet(s"$sfDir/events.parquet")
+      val bTx = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("token_id"), col("event_id").as("tx_id"),
+          col("ts"), col("value").as("amount"))
+      val bPx = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("p_token"), col("ts").as("price_ts"),
+          col("value").as("price_usd"))
+      val b = bTx.join(bPx,
+          col("token_id") === col("p_token") &&
+            col("price_ts") >= col("ts") - expr("INTERVAL 24 hours") &&
+            col("price_ts") <= col("ts"), "left")
+        .groupBy(col("token_id"), col("tx_id"))
+        .agg(first(col("amount")).as("amount"),
+          max_by(col("price_usd"), col("price_ts")).as("price_usd"),
+          max(col("price_ts")).as("price_ts"))
+      rows += diff("streamAsOfEnrich", "at-or-before max_by (batch)", s, b,
+        secs)
+    }
+
+    // --------------------------- trending terms ≡ batch Misra-Gries
+    {
+      // capacity 16 ≥ the 5 distinct event types, so the sketch is EXACT
+      // and its (count desc, term) output order deterministic — the
+      // incremental streaming merges must land on the identical summary.
+      val (out, secs) = runStream(spark,
+        EventAnalytics.trendingTerms(evTyped, "ts", "event_type", "1 hour",
+          capacity = 16, lateness = "1 hour"), "p_trending")
+      val s = out.filter(unix_millis(col("window_start")) <= maxTsMs)
+      val ev = spark.read.schema(evSchema).parquet(s"$sfDir/events.parquet")
+      val b = ev.groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.functions.FrequentItems.misraGries(col("event_type"), 16)
+          .as("top_terms"))
+        .select(col("window.start").as("window_start"), col("top_terms"))
+      rows += diff("trendingTerms", "Misra-Gries aggregate (batch)", s, b,
+        secs)
+    }
+
+    // --------------------------- watermarked dedup ≡ batch distinct
+    {
+      // With the horizon covering the whole 30-day replay, the
+      // within-watermark semantics coincide with a global dedup: exactly
+      // one row must be emitted per (user_id, event_type) key. The
+      // surviving ROW among same-key arrivals in one micro-batch is
+      // runtime-order-dependent by the operator's contract, so the
+      // comparison is over the emitted KEY multiset (which also proves
+      // no duplicate key was re-emitted across batches).
+      val (out, secs) = runStream(spark,
+        EventAnalytics.dedupWithinWatermark(evTyped, "ts", "60 days",
+          Seq("user_id", "event_type")), "p_dedup")
+      val s = out.filter(col("user_id") >= 0)
+        .select("user_id", "event_type")
+      val b = spark.read.schema(evSchema).parquet(s"$sfDir/events.parquet")
+        .select("user_id", "event_type").distinct()
+      rows += diff("dedupWithinWatermark", "distinct keys (batch)", s, b,
+        secs)
+    }
+
+    // ================= OUT-OF-ORDER replay: pair-swapped chunk arrival =
+    // Same batch twins as above; the only things that change are the
+    // arrival order (1,0,3,2,…) and the watermark delay (OooDelay covers
+    // the induced regression). Identity here is the arrival-order
+    // invariance claim: within the lateness horizon, state accumulation
+    // and watermark-driven closure commute with disorder.
+    def oooTyped: DataFrame = evStreamFrom(evOooDir)
+      .filter(col("event_id") >= 0 || col("event_type") === Flush)
+
+    locally {
+      val (out, secs) = runStream(spark,
+        EventAnalytics.hourlyTypeCounts(oooTyped, OooDelay), "o_hourly")
+      val s = out.filter(col("event_type") =!= Flush)
+        .select(unix_micros(col("hour")).as("hus"), col("event_type"),
+          col("n"), col("total_value"))
+      val b = batchQ("q_w1_hourly_window")
+        .select(unix_micros(col("hour").cast("timestamp")).as("hus"),
+          col("event_type"), col("n"), col("total_value"))
+      rows += diff("ooo.hourlyTypeCounts", "q_w1_hourly_window", s, b, secs)
+    }
+
+    locally {
+      val (out, secs) = runStream(spark,
+        EventAnalytics.slidingTypeCounts(oooTyped, "1 hour", "15 minutes",
+          OooDelay), "o_sliding")
+      val s = out.filter(col("event_type") =!= Flush)
+        .select(unix_micros(col("window_start")).as("wus"), col("event_type"),
+          col("n"), col("total_value"))
+      val b = batchQ("q_w6_sliding_window")
+        .select(unix_micros(col("window_start")).as("wus"), col("event_type"),
+          col("n"), col("total_value"))
+      rows += diff("ooo.slidingTypeCounts", "q_w6_sliding_window", s, b, secs)
+    }
+
+    locally {
+      val (out, secs) = runStream(spark,
+        EventAnalytics.sessionWindowCounts(oooTyped,
+          gap = "24 hours 1 microsecond", lateness = OooDelay), "o_sesswin")
+      val s = out.filter(col("user_id") >= 0)
+        .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+          (unix_micros(col("session_end")) - lit(86400000001L)).as("last_us"),
+          col("n_events"))
+      val b = w3.select(col("user_id"), col("start_us"),
+        col("end_us").as("last_us"), col("n_events"))
+      rows += diff("ooo.sessionWindowCounts", "q_w3_sessionize", s, b, secs)
+    }
+
+    locally {
+      val ds = oooTyped.select(col("event_type"), col("ts"), col("value"))
+        .as[EventAnalytics.ValEvent]
+      val (out, secs) = runStream(spark,
+        EventAnalytics.streamHourlyAnomaly(ds, OooDelay, minPriors = 12,
+          ringSize = 24).toDF(), "o_anomaly")
+      val s = out.filter(col("event_type") =!= Flush)
+        .select(col("event_type"), unix_micros(col("hour")).as("hus"),
+          col("x"), col("n_prior").as("n"), col("is_anomaly"), col("ewma8"))
+      // x/n/anomaly AND the EWMA leg in one frame: hour closure order is
+      // ascending regardless of arrival order (the watermark is
+      // monotonic and closable hours emit sorted), so ring and EWMA
+      // state walk the identical hour sequence.
+      val b = ts2.select(col("event_type"),
+          unix_micros(col("hour").cast("timestamp")).as("hus"), col("x"),
+          col("n"), col("is_anomaly"))
+        .join(ewmaTwin(ts2), Seq("event_type", "hus"))
+      rows += diff("ooo.streamHourlyAnomaly", "q_ts2_anomaly + ts3@hourly",
+        s, b, secs)
+    }
+
+    locally {
+      val (out, secs) = runStream(spark,
+        EventAnalytics.trendingTerms(oooTyped, "ts", "event_type", "1 hour",
+          capacity = 16, lateness = OooDelay), "o_trending")
+      val s = out.filter(unix_millis(col("window_start")) <= maxTsMs)
+      val ev = spark.read.schema(evSchema).parquet(s"$sfDir/events.parquet")
+      val b = ev.groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.functions.FrequentItems.misraGries(col("event_type"), 16)
+          .as("top_terms"))
+        .select(col("window.start").as("window_start"), col("top_terms"))
+      rows += diff("ooo.trendingTerms", "Misra-Gries aggregate (batch)",
+        s, b, secs)
+    }
+
+    locally {
+      val (out, secs) = runStream(spark,
+        EventAnalytics.dedupWithinWatermark(oooTyped, "ts", "60 days",
+          Seq("user_id", "event_type")), "o_dedup")
+      val s = out.filter(col("user_id") >= 0)
+        .select("user_id", "event_type")
+      val b = spark.read.schema(evSchema).parquet(s"$sfDir/events.parquet")
+        .select("user_id", "event_type").distinct()
+      rows += diff("ooo.dedupWithinWatermark", "distinct keys (batch)", s, b,
+        secs)
+    }
+
+    locally {
+      val txs = evStreamFrom(evOooDir)
+        .filter(col("event_id") >= 0 || col("event_id") <= -2)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("token_id"), col("event_id").as("tx_id"),
+          col("ts"), col("value").as("amount"))
+      val prices = evStreamFrom(evOooDir)
+        .filter(col("event_id") >= 0 || col("event_id") <= -2)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("token_id"), col("event_id").as("price_id"),
+          col("ts").as("price_ts"), col("value").as("price_usd"))
+      val (out, secs) = runStream(spark,
+        EventAnalytics.streamNearestEnrich(txs, prices, OooDelay, "24 hours"),
+        "o_asof")
+      val s = out.filter(col("purchase_id") >= 0)
+      val b = batchQ("q_j6_asof_join")
+        .select(col("purchase_id"), col("view_id"), col("delta_us"),
+          col("usd_value"))
+      rows += diff("ooo.streamNearestEnrich", "q_j6_asof_join", s, b, secs)
+    }
+
+    // ========================== late-drop: beyond-horizon rows DROPPED =
+    // The held-back chunk-0 slice arrives after chunk 7, when the
+    // watermark (maxTs − OooDelay) has long passed every held-back hour;
+    // the emitted result must equal the batch twin WITHOUT those rows —
+    // the drop contract measured on the full corpus, with the twin
+    // computed by the SAME operator body run as a batch query (the
+    // watermark is a no-op in batch mode).
+    locally {
+      val lateTyped = evStreamFrom(evLateDir)
+        .filter(col("event_id") >= 0 || col("event_type") === Flush)
+      val (out, secs) = runStream(spark,
+        EventAnalytics.hourlyTypeCounts(lateTyped, OooDelay), "o_late")
+      val s = out.filter(col("event_type") =!= Flush)
+        .select(unix_micros(col("hour")).as("hus"), col("event_type"),
+          col("n"), col("total_value"))
+      val survivors = spark.read.schema(evSchema)
+        .parquet(s"$sfDir/events.parquet")
+        .filter(!col("event_id").isInCollection(lateIds))
+      val b = EventAnalytics.hourlyTypeCounts(survivors, OooDelay)
+        .select(unix_micros(col("hour")).as("hus"), col("event_type"),
+          col("n"), col("total_value"))
+      rows += diff(s"late.hourlyTypeCounts (−${lateIds.length} held-back)",
+        "batch twin minus held-back rows", s, b, secs)
     }
     w3.unpersist(); ts2.unpersist()
 
@@ -317,6 +594,25 @@ object StreamParity {
     if (bad.nonEmpty) sys.exit(1)
   }
 
+  /** Batch twin of the anomaly monitor's EWMA column: the ts3 recurrence
+    * (e' = (x + 7e) div 8, truncating) replayed over ts2's hourly grid.
+    * Output: (event_type, hus, ewma8). */
+  private def ewmaTwin(ts2: DataFrame): DataFrame = ts2
+    .select(col("event_type"), col("hour").cast("timestamp").as("hour"),
+      col("x"))
+    .groupBy("event_type")
+    .agg(sort_array(collect_list(struct(col("hour"), col("x")))).as("s"))
+    .select(col("event_type"), explode(expr(
+      """aggregate(s,
+        |  cast(array() as array<struct<hour:timestamp,x:bigint,ewma8:bigint>>),
+        |  (acc, e) -> array_append(acc, named_struct(
+        |    'hour', e.hour, 'x', e.x,
+        |    'ewma8', if(size(acc) = 0, e.x,
+        |      (e.x + 7 * element_at(acc, -1).ewma8) div 8))))""".stripMargin))
+      .as("r"))
+    .select(col("event_type"), unix_micros(col("r.hour")).as("hus"),
+      col("r.ewma8").as("ewma8"))
+
   /** Run a streaming frame to completion (file source, AvailableNow, one
     * file per micro-batch) into a memory sink; returns (result, secs). */
   private def runStream(spark: SparkSession, df: DataFrame,
@@ -372,9 +668,16 @@ object StreamParity {
         |against a batch backfill replaying the identical files through
         |`curateBatch` — batch-for-batch, including the funnel stats.
         |
-        |In-order replay matches production (the lake consumer sees ascending
-        |block heights); the late-data DROP paths are covered by
-        |EventAnalyticsSpec's late fixtures, not here.
+        |Three sections share the table: plain rows replay the chunks IN
+        |ORDER (the ascending-block-height arrival the lake consumer sees
+        |in production); `ooo.` rows replay the SAME chunks pair-swapped
+        |(arrival 1,0,3,2,…) with the watermark delay sized to cover the
+        |induced two-chunk event-time regression — the claim that every
+        |watermark-tolerant operator is arrival-order invariant within its
+        |lateness horizon; the `late.` row holds a slice of the earliest
+        |chunk back until the watermark has provably passed it and asserts
+        |the result equals the batch twin WITHOUT the held-back rows (the
+        |beyond-horizon DROP contract, measured at sf0.1).
         |""".stripMargin)
     sb.append("\n| operator | batch twin | stream rows | batch rows | diff | identical | stream wall s |\n")
     sb.append("|---|---|---|---|---|---|---|\n")
@@ -398,6 +701,29 @@ object StreamParity {
         |  (nearest |Δt| within ±24 h, ties by right id): a watermarked
         |  stream-stream interval join chained into a per-transaction min_by —
         |  two stateful operators, append mode, exactly-once emission.
+        |- `streamAsOfEnrich` is the at-or-before variant (latest price with
+        |  `price_ts <= ts` inside the 24 h lookback): a watermarked interval
+        |  join chained into a per-transaction `max_by(price_usd, price_ts)`.
+        |  No (token, ts) price ties exist in the replay, so the pick is
+        |  deterministic on both planes.
+        |- `trendingTerms` runs with capacity 16 ≥ the 5 distinct event types,
+        |  so the Misra-Gries summary is exact and the parity claim is that the
+        |  INCREMENTAL per-batch sketch merges land on the identical
+        |  (count desc, term) summary the one-shot batch aggregate produces.
+        |- `dedupWithinWatermark` runs with the 60-day horizon covering the
+        |  whole 30-day replay, so within-watermark semantics coincide with a
+        |  global dedup; the compared set is the emitted KEY multiset (exactly
+        |  one row per (user_id, event_type), no key re-emitted across
+        |  batches). Which physical row survives among same-batch arrivals is
+        |  runtime-order-dependent by the operator's contract.
+        |- `sessionize` (the custom state machine) is deliberately absent
+        |  from the `ooo.` section: its cross-batch contract is the in-order
+        |  arrival production provides (ascending block heights); disorder
+        |  WITHIN a batch it sorts, which the in-order rows exercise. The
+        |  built-in `sessionWindowCounts` is order-invariant and runs in
+        |  both sections.
+        |- CorpusGate is order-DEPENDENT by design (batch boundaries decide
+        |  near-dup suppression), so it has no `ooo.` row.
         |- CorpusGate stream-vs-backfill is the honest parity claim for the
         |  gate: its corpus-vs-batch near-dup decisions depend on batch
         |  BOUNDARIES by design (a document admitted in batch N suppresses

@@ -71,4 +71,57 @@ object AsOfJoin {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Backward ("at-or-before") as-of join: for each fact row, the LATEST
+    * lookup row with `rightTime <= leftTime` inside a bounded lookback —
+    * the classic price-lookup semantics (DuckDB's ASOF JOIN, Pandas
+    * merge_asof), and the batch twin of the streaming
+    * `EventAnalytics.streamAsOfEnrich`. Deterministic refinement of the
+    * reference's "a first row in the window" pick (tokens/models.py:64-74):
+    * smallest lag wins, ties by right-side key ascending.
+    *
+    * Same scale shape as [[nearest]]: equi-join on the partition key plus
+    * a range predicate — one shuffle per side, broadcastable dimension,
+    * AQE skew handling intact. The bounded `lookback` is what keeps the
+    * join state finite; an unbounded as-of would force a full-history
+    * range join.
+    *
+    * @param lookback max (leftTime − rightTime) in seconds, ≥ 0
+    * @param joinType "left" keeps fact rows with no in-window lookup row
+    *                 (null right columns) — the enrichment contract
+    */
+  def before(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      lookback: Long,
+      leftId: String,
+      rightTieBreak: String,
+      joinType: String = "inner"): DataFrame = {
+
+    val l = left.alias("l")
+    val r = right.alias("r")
+    val keyCond = leftKeys.zip(rightKeys).map { case (lk, rk) =>
+      col(s"l.$lk") === col(s"r.$rk")
+    }.reduce(_ && _)
+    // Signed lag in microseconds: 0 ≤ lag ≤ lookback admits only
+    // at-or-before rows; exact integer arithmetic, portable to the
+    // DuckDB oracle (epoch_us).
+    val lag = unix_micros(col(s"l.$leftTime")) - unix_micros(col(s"r.$rightTime"))
+    val joined = l.join(r,
+        keyCond && lag >= 0L && lag <= lookback * 1000000L, joinType)
+      .withColumn("__lag_us", lag)
+
+    // Smallest lag = most recent at-or-before row; matched rows (non-null
+    // lag) outrank a left-join's null row.
+    val w = Window.partitionBy(col(s"l.$leftId"))
+      .orderBy(col("__lag_us").asc_nulls_last,
+        col(s"r.$rightTieBreak").asc_nulls_last)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

@@ -52,6 +52,42 @@ class OperatorSpec extends SparkSpec {
     assert(out == Map("d1" -> Some(1.5), "d2" -> None)) // no row vanished
   }
 
+  test("asof before: latest at-or-before within lookback; future rows never match (J13)") {
+    val donations = Seq(
+      ("d1", "near", java.sql.Timestamp.valueOf("2024-06-10 12:00:00"))
+    ).toDF("id", "token", "ts")
+    val prices = Seq(
+      ("near", java.sql.Timestamp.valueOf("2024-06-10 11:00:00"), 1.0), // -1h  <- latest before
+      ("near", java.sql.Timestamp.valueOf("2024-06-10 02:00:00"), 2.0), // -10h
+      ("near", java.sql.Timestamp.valueOf("2024-06-10 12:30:00"), 3.0), // +30m: AFTER, excluded
+      ("near", java.sql.Timestamp.valueOf("2024-06-09 11:00:00"), 4.0)  // -25h: beyond lookback
+    ).toDF("token", "pts", "price")
+    val rows = AsOfJoin.before(donations, prices,
+        Seq("token"), Seq("token"), "ts", "pts",
+        lookback = 86400, leftId = "id", rightTieBreak = "pts")
+      .select(col("l.id"), col("r.price"), col("__lag_us")).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getDouble(1) == 1.0) // -1h beats -10h; +30m and -25h excluded
+    assert(rows(0).getLong(2) == 3600L * 1000000)
+  }
+
+  test("asof before: exact-timestamp row matches at lag 0; left keeps unmatched") {
+    val donations = Seq(
+      ("d1", "near", java.sql.Timestamp.valueOf("2024-06-10 12:00:00")),
+      ("d2", "cold", java.sql.Timestamp.valueOf("2024-06-10 12:00:00"))
+    ).toDF("id", "token", "ts")
+    val prices = Seq(
+      ("near", java.sql.Timestamp.valueOf("2024-06-10 12:00:00"), 5.0), // lag 0 admitted
+      ("cold", java.sql.Timestamp.valueOf("2024-06-10 13:00:00"), 9.0)  // future only
+    ).toDF("token", "pts", "price")
+    val out = AsOfJoin.before(donations, prices, Seq("token"), Seq("token"),
+        "ts", "pts", 86400, "id", "pts", joinType = "left")
+      .select(col("l.id"), col("r.price")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map("d1" -> Some(5.0), "d2" -> None))
+  }
+
   test("mergePartitioned rejects partition values needing Hive escaping") {
     val df = Seq(("k", "2024-06-01 00:00:00", 1L)).toDF("key", "day", "seqno")
     val e = intercept[IllegalArgumentException] {
