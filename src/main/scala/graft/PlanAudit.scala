@@ -61,6 +61,16 @@ object PlanAudit {
     // predicate, which is quadratic in the key's row count
     "q_j6_asof_join" -> Seq("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
       "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+    // backward as-of: same contract as j6 — the lookback predicate rides
+    // the equi-join on the key, never a nested-loop over the range
+    "q_j13_asof_before" -> Seq(
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+    // trending terms: ONE map-side-combined sketch aggregation on the
+    // window key (O(capacity) state), the per-term rows explode out of
+    // the summary — never a join, never a per-term window ranking
+    "q_srch4_trending_terms" -> Seq("ObjectHashAggregate", "!Join",
+      "!Window", "!CartesianProduct"),
     // line dedup: doc-frequency and rebuild are hash-keyed aggregations
     // and the join back is an equi-join — never a cartesian, never a
     // window over the whole corpus

@@ -525,6 +525,42 @@ object StreamParity {
       rows += diff(s"late.hourlyTypeCounts (−${lateIds.length} held-back)",
         "batch twin minus held-back rows", s, b, secs)
     }
+
+    // ==================== kill-and-resume: exactly-once through restart =
+    // A REAL durable sink (parquet + checkpoint) killed mid-run — the
+    // first query is stopped after a wall-clock budget, cutting it at
+    // whatever micro-batch it happens to be in — then restarted from the
+    // checkpoint to completion. The final sink contents must equal the
+    // oracle-green batch twin EXACTLY: no lost batch (checkpoint resume),
+    // no doubled batch (the file sink's commit log), wherever the cut
+    // landed. The cut point is deliberately nondeterministic; the result
+    // identity must hold for every cut, which is the exactly-once claim.
+    locally {
+      val ckpt = work.resolve("resume_ckpt").toString
+      val sink = work.resolve("resume_sink").toString
+      def start() = EventAnalytics.hourlyTypeCounts(evTyped, "1 hour")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      val t0 = System.nanoTime()
+      val q1 = start()
+      q1.awaitTermination(2500)
+      q1.stop()
+      val committed = Option(new java.io.File(s"$ckpt/offsets").listFiles())
+        .map(_.count(f => f.getName.forall(_.isDigit))).getOrElse(0)
+      val q2 = start()
+      q2.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val s = spark.read.parquet(sink)
+        .filter(col("event_type") =!= Flush)
+        .select(unix_micros(col("hour")).as("hus"), col("event_type"),
+          col("n"), col("total_value"))
+      val b = batchQ("q_w1_hourly_window")
+        .select(unix_micros(col("hour").cast("timestamp")).as("hus"),
+          col("event_type"), col("n"), col("total_value"))
+      rows += diff(s"resume.hourlyTypeCounts (killed @batch $committed)",
+        "q_w1_hourly_window", s, b, secs)
+    }
     w3.unpersist(); ts2.unpersist()
 
     // ------------------------------ CorpusGate: stream ≡ batch backfill
@@ -582,6 +618,44 @@ object StreamParity {
         rows += diff(label, "batch backfill, same batches",
           store(storeS, sub, cols), store(storeB, sub, cols),
           if (sub == "corpus") secs else 0.0)
+      }
+
+      // Kill-and-resume of the gate itself: the store writes are
+      // replay-idempotent (whole-partition overwrite per batch id; a
+      // batch reads only partitions strictly below its own), so a query
+      // killed at an arbitrary micro-batch and restarted from its
+      // checkpoint must land on the byte-identical store. The cut is
+      // wall-clock (nondeterministic batch); identity must hold for any
+      // cut — that is the claim.
+      locally {
+        val storeR = work.resolve("gate_resume").toString
+        val ckptR = work.resolve("gate_resume_ckpt").toString
+        val t1 = System.nanoTime()
+        val q1 = CorpusGate.start(spark, docDir, storeR, ckptR, cfg,
+          availableNow = true, maxFilesPerTrigger = Some(1))
+        q1.awaitTermination(10000)
+        q1.stop()
+        val committed = Option(
+            new java.io.File(s"$ckptR/offsets").listFiles())
+          .map(_.count(f => f.getName.forall(_.isDigit))).getOrElse(0)
+        CorpusGate.start(spark, docDir, storeR, ckptR, cfg,
+          availableNow = true, maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+        val rSecs = (System.nanoTime() - t1) / 1e9
+        rows += diff(s"CorpusGate.resume.corpus (killed @batch $committed)",
+          "batch backfill, same batches",
+          store(storeR, "corpus", Seq("doc_id", "text")),
+          store(storeB, "corpus", Seq("doc_id", "text")), rSecs)
+        rows += diff(s"CorpusGate.resume.stats (killed @batch $committed)",
+          "batch backfill, same batches",
+          store(storeR, "stats",
+            Seq("batch_id", "n_in", "n_quality_dropped", "n_exact_dup",
+              "n_corpus_exact_dup", "n_batch_near_dup", "n_corpus_near_dup",
+              "n_survivors")),
+          store(storeB, "stats",
+            Seq("batch_id", "n_in", "n_quality_dropped", "n_exact_dup",
+              "n_corpus_exact_dup", "n_batch_near_dup", "n_corpus_near_dup",
+              "n_survivors")), 0.0)
       }
     }
 
@@ -677,7 +751,12 @@ object StreamParity {
         |lateness horizon; the `late.` row holds a slice of the earliest
         |chunk back until the watermark has provably passed it and asserts
         |the result equals the batch twin WITHOUT the held-back rows (the
-        |beyond-horizon DROP contract, measured at sf0.1).
+        |beyond-horizon DROP contract, measured at sf0.1). The `resume.`
+        |row drives a DURABLE sink (parquet + checkpoint), kills the query
+        |mid-run at a wall-clock cut, restarts it from the checkpoint, and
+        |asserts the final sink still equals the batch twin — no batch
+        |lost, none doubled, wherever the cut landed (exactly-once through
+        |restart; the cut batch is recorded in the row label).
         |""".stripMargin)
     sb.append("\n| operator | batch twin | stream rows | batch rows | diff | identical | stream wall s |\n")
     sb.append("|---|---|---|---|---|---|---|\n")

@@ -418,6 +418,60 @@ object Stress {
     }.sum
     val bruteCand = queryVecs.length.toLong * nVecs
 
+    // ---------------- as-of join stress: hot-key temporal join --------
+    // One user on ~30% of BOTH sides — the shape the reference's price
+    // enrichment actually has (the native token carries most donations,
+    // tokens/models.py:64-74). A key-only equi-join compares
+    // |T_hot| × |P_hot| row pairs inside ONE sort-merge group (quadratic
+    // in key heat); the tolerance-bucketed join (AsOfJoin's default)
+    // keys the shuffle by (user, floor(t/tolerance)) so comparisons are
+    // bounded per time slice. Both forms must return IDENTICAL rows —
+    // the guard is a physical rewrite, not a semantics change.
+    val asofTol = 3600L // seconds; window = ±1 h over a 30-day span
+    val asofSpanUs = 30L * 86400L * 1000000L
+    def asofSide(seed: Long, idOff: Long): DataFrame =
+      spark.range(0, 50000).select(
+        (col("id") + idOff).as("event_id"),
+        when(pmod(xxhash64(col("id"), lit(seed)), lit(10L)) < 3, lit(0L))
+          .otherwise(pmod(xxhash64(col("id"), lit(seed + 1)), lit(7000L)) + 1)
+          .as("user_id"),
+        timestamp_micros(pmod(xxhash64(col("id"), lit(seed + 2)),
+          lit(asofSpanUs))).as("ts"),
+        (pmod(xxhash64(col("id"), lit(seed + 3)), lit(1000L)).cast("double")
+          / 100.0).as("value"))
+    def asofT = asofSide(101L, 0L)
+    def asofP = asofSide(211L, 10000000L)
+    val asofHotT = asofT.filter(col("user_id") === 0L).count()
+    // Analytic comparison volume: what each join's equal-key groups
+    // multiply out to. Key-only: Σ_u |T_u|·|P_u|. Bucketed:
+    // Σ_{u,b} |T_ub| · Σ_{b'∈{b−1,b,b+1}} |P_ub'|.
+    val asofNaiveCmp = asofT.groupBy("user_id").agg(count(lit(1)).as("tc"))
+      .join(asofP.groupBy("user_id").agg(count(lit(1)).as("pc")), "user_id")
+      .agg(sum(col("tc") * col("pc"))).head().getLong(0)
+    val asofBUs = asofTol * 1000000L
+    val asofBucketCmp = {
+      def sideB(df: DataFrame, cnt: String) = df.groupBy(col("user_id"),
+          call_function("div", unix_micros(col("ts")), lit(asofBUs)).as("b"))
+        .agg(count(lit(1)).as(cnt))
+      sideB(asofT, "tc")
+        .select(col("user_id"),
+          explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"),
+          col("tc"))
+        .join(sideB(asofP, "pc"), Seq("user_id", "b"))
+        .agg(sum(col("tc") * col("pc"))).head().getLong(0)
+    }
+    def asofRun(bucketed: Boolean): DataFrame =
+      operators.AsOfJoin.nearest(asofT, asofP, Seq("user_id"), Seq("user_id"),
+        "ts", "ts", tolerance = asofTol, leftId = "event_id",
+        rightTieBreak = "event_id", timeBucketed = bucketed)
+    val asofBRun = measure("asof_hot_bucketed")(asofRun(bucketed = true))
+    val asofURun = measure("asof_hot_unbucketed_ctl")(asofRun(bucketed = false))
+    val asofPick = (df: DataFrame) => df.select(col("l.event_id"),
+      col("r.event_id").as("rid"), col("__delta_us"))
+    val asofDiff = asofPick(asofRun(true)).exceptAll(asofPick(asofRun(false)))
+      .count() +
+      asofPick(asofRun(false)).exceptAll(asofPick(asofRun(true))).count()
+
     // Unsalted control for j10: the identical merge-hinted join WITHOUT
     // the salt — the hot key's 300k rows land on one reducer.
     val dec182 = org.apache.spark.sql.types.DecimalType(18, 2)
@@ -499,6 +553,16 @@ object Stress {
       s"ANN probe: expected the hot mass contained in one cell ≥7k, got $maxCell")
     check(probeCand * 2 <= bruteCand,
       s"ANN probe must scan <half of brute force: probe=$probeCand brute=$bruteCand")
+    // as-of: premise (hot user ≥25% of a side), guard (≥20× comparison
+    // cut), and RESULT IDENTITY between the two physical forms.
+    check(asofHotT * 4 >= 50000L,
+      s"as-of premise broken: hot user holds $asofHotT/50000 tx rows (<25%)")
+    check(asofBucketCmp * 20 <= asofNaiveCmp,
+      s"time-bucketed as-of must cut comparisons ≥20×: " +
+        s"naive=$asofNaiveCmp bucketed=$asofBucketCmp")
+    check(asofDiff == 0 && asofBRun.rows == asofURun.rows,
+      s"bucketed as-of result differs from key-only control: diff=$asofDiff " +
+        s"rows ${asofBRun.rows} vs ${asofURun.rows}")
 
     // ---------------- report ----------------
     val sb = new StringBuilder
@@ -526,11 +590,13 @@ object Stress {
     sb ++= f"| j10 salt (8-way) vs unsalted | max task ${control.maxTaskMs}%,d ms | max task ${salted.maxTaskMs}%,d ms | hot key spread over 8 reducers |\n"
     sb ++= f"| gr2 degree-ordered orientation (wedge candidates, hub graph) | $naiveWedges%,d | $orientedWedges%,d | ${naiveWedges.toDouble / math.max(orientedWedges, 1)}%,.0f× fewer wedges; max out-degree $maxOutDeg%,d on m=$mEdges%,d |\n"
     sb ++= f"| gr3 k-core convergence exit (hub graph, cap 32) | 32-round cap | ${kcInfo.getOrElse("rounds_run", -1L)}%d rounds run | fixpoint exit engaged (converged=${kcInfo.getOrElse("converged", -1L)}%d) |\n"
-    sb ++= f"| sim3 IVF probe (nprobe=3 of nlist=8, hot cell $maxCell%,d vecs) | $bruteCand%,d brute-force probes | $probeCand%,d probed | ${bruteCand.toDouble / math.max(probeCand, 1)}%.1f× fewer candidates |\n\n"
+    sb ++= f"| sim3 IVF probe (nprobe=3 of nlist=8, hot cell $maxCell%,d vecs) | $bruteCand%,d brute-force probes | $probeCand%,d probed | ${bruteCand.toDouble / math.max(probeCand, 1)}%.1f× fewer candidates |\n"
+    sb ++= f"| j6/j13 time-bucketed as-of (join comparisons, hot-user ±1 h) | $asofNaiveCmp%,d | $asofBucketCmp%,d | ${asofNaiveCmp.toDouble / math.max(asofBucketCmp, 1)}%,.0f× fewer; result identity verified (diff=$asofDiff) |\n\n"
     sb ++= "## Query runs (count() wall time; task times from listener)\n\n"
     sb ++= "| query | wall s | output rows | tasks | max task ms | p50 task ms |\n"
     sb ++= "|---|---|---|---|---|---|\n"
-    (runs :+ dd15Run :+ gr2Run :+ gr3Run :+ control).foreach { r =>
+    (runs :+ dd15Run :+ gr2Run :+ gr3Run :+ asofBRun :+ asofURun :+ control)
+      .foreach { r =>
       sb ++= f"| ${r.name} | ${r.wallSec}%.2f | ${r.rows}%,d | ${r.tasks}%d | ${r.maxTaskMs}%,d | ${r.p50TaskMs}%,d |\n"
     }
     sb ++= "\nNotes:\n"
@@ -582,12 +648,23 @@ object Stress {
       "convergence exit (fixpoint, cap as a backstop); sim3/sim6 drive " +
       "the IVF/PQ RETRIEVAL paths over the hot-cell corpus with the probe " +
       "candidate volume measured directly against brute force.\n"
+    sb ++= "- The as-of rows measure the TIME-BUCKET guard now default in " +
+      "AsOfJoin (q_j6/q_j13 and the gold USD enrichment): on a corpus " +
+      "where one user holds 30% of both join sides, the key-only form " +
+      f"multiplies $asofNaiveCmp%,d row pairs inside one sort-merge group " +
+      f"while the (key, floor(t/tolerance)) form touches $asofBucketCmp%,d " +
+      "— and the two return byte-identical results (checked both " +
+      "directions), so the guard is purely physical. The left side " +
+      "shuffles 3× (nearest) / 2× (before) probe rows for it; at " +
+      "reference scale the dimension broadcasts and neither form " +
+      "shuffles the fact side.\n"
     sb ++= "- Every assertion in graft.Stress passed: collapse counts, " +
       "≥100× candidate reduction (≥10× for dd15's prefix probes), cap " +
       "engagement, hot-cell containment, keep-one removal, non-empty " +
       "results, dd15's full duplicate-group expansion, the orientation's " +
       "out-degree bound and ≥100× wedge cut, k-core convergence within " +
-      "the cap, and the IVF probe scanning <half of brute force.\n"
+      "the cap, the IVF probe scanning <half of brute force, and the " +
+      "as-of comparison cut with result identity.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(reportPath), sb.toString)
     println(s"[stress] report written to $reportPath")
     spark.stop()

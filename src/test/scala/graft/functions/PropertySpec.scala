@@ -46,6 +46,48 @@ class PropertySpec extends SparkSpec {
     } yield (a, b))
   } yield edges
 
+  test("as-of time-bucketing is purely physical: bucketed == key-only on random data incl. pre-1970 times") {
+    // Random (key, time) corpora with hot keys, ties, and NEGATIVE epoch
+    // micros (pre-1970): the truncating `div` bucket function still
+    // satisfies the probe-coverage theorem (trunc(x/L) is monotone and
+    // shifts by exactly 1 per ±L), so the candidate sets — and therefore
+    // the rn = 1 winners — must be identical in all four
+    // (nearest|before) × (inner|left) combinations.
+    val gen = for {
+      n <- Gen.chooseNum(30, 120)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0L, 3L) // few keys: dense collisions
+        t <- Gen.chooseNum(-5000000000L, 5000000000L) // ±5000 s around epoch
+        } yield (k, t))
+    } yield rows
+    def frame(rows: Seq[(Long, Long)], idOff: Long) =
+      rows.zipWithIndex.map { case ((k, t), i) =>
+        (idOff + i, k, new java.sql.Timestamp(t / 1000L)) // µs → ms grain
+      }.toDF("id", "key", "ts")
+    Seq(7L, 23L, 51L).foreach { seed =>
+      val l = frame(sample(gen, seed), 0L)
+      val r = frame(sample(gen, seed + 1000), 1000000L)
+      Seq("inner", "left").foreach { jt =>
+        def pick(df: org.apache.spark.sql.DataFrame, d: String) =
+          df.select(col("l.id"), col("r.id").as("rid"), col(d))
+        val nB = pick(graft.operators.AsOfJoin.nearest(l, r, Seq("key"),
+          Seq("key"), "ts", "ts", 600L, "id", "id", jt), "__delta_us")
+        val nU = pick(graft.operators.AsOfJoin.nearest(l, r, Seq("key"),
+          Seq("key"), "ts", "ts", 600L, "id", "id", jt,
+          timeBucketed = false), "__delta_us")
+        assert(nB.exceptAll(nU).isEmpty && nU.exceptAll(nB).isEmpty,
+          s"nearest/$jt seed=$seed diverged")
+        val bB = pick(graft.operators.AsOfJoin.before(l, r, Seq("key"),
+          Seq("key"), "ts", "ts", 600L, "id", "id", jt), "__lag_us")
+        val bU = pick(graft.operators.AsOfJoin.before(l, r, Seq("key"),
+          Seq("key"), "ts", "ts", 600L, "id", "id", jt,
+          timeBucketed = false), "__lag_us")
+        assert(bB.exceptAll(bU).isEmpty && bU.exceptAll(bB).isEmpty,
+          s"before/$jt seed=$seed diverged")
+      }
+    }
+  }
+
   test("duplicateClusters == union-find on random graphs (both algorithms)") {
     (1L to 5L).foreach { seed =>
       val edges = sample(graphGen, seed)
