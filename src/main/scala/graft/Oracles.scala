@@ -1969,6 +1969,39 @@ object Oracles {
     // Coverage sampling: centroids trusted; assignment, the per-cell
     // closeness ranking (sim-ppm desc, lower vec_id on ties) and the
     // k=32 cut all re-derive from the embeddings table.
+    // DSIR importance selection: FULL replay — md5-hashed unigram+bigram
+    // buckets, add-1-smoothed fixed-point log-prob ratio target-vs-raw,
+    // integral per-occurrence terms (shuffle-order-proof sums), top-100
+    // by (logw desc, doc_id). Nothing engine-specific rides through.
+    "q_samp9_dsir" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split($norm, ' ') AS ws
+         |           FROM documents),
+         |  uni AS (SELECT doc_id, lang, unnest(ws) AS f FROM d),
+         |  bgx AS (SELECT doc_id, lang, unnest(range(1, len(ws))) AS i, ws FROM d),
+         |  bg AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS f FROM bgx),
+         |  fa AS (SELECT * FROM uni UNION ALL SELECT * FROM bg),
+         |  fb AS (SELECT doc_id, lang,
+         |           CAST(('0x' || substr(md5('dsir:' || f), 1, 8)) AS BIGINT)
+         |             % 1024 AS b
+         |         FROM fa),
+         |  pf AS (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+         |         FROM fb GROUP BY 1, 2, 3),
+         |  cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr,
+         |           CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END)
+         |             AS BIGINT) AS ct
+         |         FROM pf GROUP BY 1),
+         |  tt AS (SELECT CAST(SUM(cr) AS BIGINT) AS totr,
+         |                CAST(SUM(ct) AS BIGINT) AS tott FROM cb),
+         |  w AS (SELECT b, (${ilSql("(ct + 1)")} - ${ilSql("(tott + 1024)")})
+         |            - (${ilSql("(cr + 1)")} - ${ilSql("(totr + 1024)")}) AS wb
+         |        FROM cb CROSS JOIN tt),
+         |  dw AS (SELECT pf.doc_id, pf.lang,
+         |           CAST(SUM(pf.c * w.wb) AS BIGINT) AS logw_1024,
+         |           CAST(SUM(pf.c) AS BIGINT) AS n_features
+         |         FROM pf JOIN w USING (b) GROUP BY 1, 2)
+         |SELECT doc_id, lang, logw_1024, n_features FROM dw
+         |ORDER BY logw_1024 DESC, doc_id LIMIT 100""".stripMargin,
+
     "q_samp8_coverage_sample" ->
       s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_samp8_coverage_sample/*.parquet')),
          |  cent AS (SELECT cell, centroid, CAST(centroid AS DOUBLE[]) AS cv

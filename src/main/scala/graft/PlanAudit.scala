@@ -196,6 +196,11 @@ object PlanAudit {
     // aggregates) — the corpus is never shuffled or sort-merge-joined
     "q_samp7_temperature_mix" -> Seq("BroadcastHashJoin", "!SortMergeJoin",
       "!Window", "!CartesianProduct"),
+    // DSIR selection: the ≤numBuckets weight table broadcasts back onto
+    // the (doc, bucket) pre-aggregation, selection is bounded top-k —
+    // the corpus is never sort-merge-joined, windowed, or globally sorted
+    "q_samp9_dsir" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject",
+      "!SortMergeJoin", "!Window", "!CartesianProduct"),
     // shard manifest: per-row assignment + ONE hash aggregation keyed
     // by shard (bounded xor/sum state) — no window, no join
     "q_samp6_shard_manifest" -> Seq("HashAggregate", "!Window", "!Join"),

@@ -2369,6 +2369,24 @@ object SparkEntry {
       .orderBy("section", "cell", "rank", "vec_id")
   }
 
+  /** SAMP9 — DSIR-style importance selection (Xie et al. 2023): score
+    * every document by the hashed-unigram+bigram LM ratio between a
+    * TARGET slice (here: the English docs — "select data that looks like
+    * the target") and the raw corpus, then keep the top 100 by
+    * fixed-point log-weight. The full chain — md5 feature hashing,
+    * add-1-smoothed bucket counts, ilog2x1024 log-probabilities,
+    * integral per-occurrence terms — replays bit-for-bit in the oracle;
+    * selection is ORDER BY + LIMIT (TakeOrderedAndProject), the weight
+    * table broadcasts, and the corpus never shuffles on a feature key
+    * (plan-audited). */
+  private def samp9(t: Tables): DataFrame =
+    SampleFunctions.dsirLogWeights(t.documents, "doc_id", "text",
+        isTarget = col("lang") === "en", numBuckets = 1024, seed = "dsir",
+        passthrough = Seq("lang"))
+      .orderBy(col("logw_1024").desc, col("doc_id").asc)
+      .limit(100)
+      .select("doc_id", "lang", "logw_1024", "n_features")
+
   /** SIM10 — IVF recall vs nprobe: recall@5 of the IVF path at
     * nprobe ∈ {1, 2, 4} against the exact cosine top-5, one shared
     * quantizer — the cells-scanned-vs-recall curve that completes the
@@ -2800,6 +2818,7 @@ object SparkEntry {
       "q_txt16_bigram_lm" -> q(txt16),
       "q_a10_cube" -> q(a10),
       "q_samp8_coverage_sample" -> q(samp8),
+      "q_samp9_dsir" -> q(samp9),
       "q_a11_pivot" -> q(a11),
       "q_inc2_sketch_merge" -> q(inc2),
       "q_inc3_topk_sketch" -> q(inc3),

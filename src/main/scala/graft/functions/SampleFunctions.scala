@@ -163,4 +163,82 @@ object SampleFunctions {
       .select(groupCols.map(col) :+ explode(col("__top")).as("__p"): _*)
       .select(groupCols.map(col) :+ col("__p.id").as("sample_id"): _*)
   }
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much more
+    * likely its hashed-n-gram bag is under a TARGET distribution than
+    * under the raw-corpus distribution — the standard recipe for "select
+    * pretraining data that looks like the high-quality target" at corpus
+    * scale, where a real LM forward pass per document is unaffordable.
+    *
+    * Model: unigram + bigram features over the normalized word stream,
+    * hashed into `numBuckets` buckets (the paper's hashed generative
+    * model); per-bucket add-1-smoothed log-probabilities under the
+    * target slice (`isTarget`) and under the whole corpus; a document's
+    * log-weight is the sum over its feature OCCURRENCES of
+    * `log p_target(b) − log p_raw(b)`. Everything is integer
+    * fixed-point: the hash is the md5 family every sampling op here
+    * replays cross-engine, the log is [[SearchFunctions.ilog2x1024]]
+    * (1/1024ths of a bit), and per-feature terms are integral BEFORE
+    * summation — so the weights, and any top-k selection over them, are
+    * bit-identical on any engine (the DuckDB oracle replays the whole
+    * chain).
+    *
+    * Scale shape (100 TB): feature explode is map-side; the
+    * (doc, bucket) pre-aggregation bounds reducer skew the way the
+    * bigram-LM does; bucket statistics are ONE aggregation with
+    * `numBuckets`-bounded state; the weight table (≤ numBuckets rows)
+    * broadcasts back, so the corpus never shuffles on a feature key;
+    * the per-doc sum is the only corpus-scale shuffle. Selection
+    * composes as `ORDER BY logw DESC LIMIT k` — TakeOrderedAndProject,
+    * never a global sort.
+    *
+    * Output: passthrough columns + `logw_1024` (fixed-point log₂ weight)
+    * + `n_features` (occurrence count). Empty text still carries its
+    * single ""-token unigram, so every input row surfaces. */
+  def dsirLogWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      numBuckets: Int,
+      seed: String,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= (1 << 20),
+      s"numBuckets $numBuckets outside (0, 2^20]")
+    import SearchFunctions.ilog2x1024
+    val ws = split(TextFunctions.normalize(col(textCol)), " ")
+    // Adjacent-pair bigrams, space-joined (the oracle's ws[i]||' '||ws[i+1]);
+    // zip of the array against its own tail — a one-word doc contributes
+    // no bigram (slice of length 0), never a wrapped pair.
+    val bigrams = when(size(col("__ws")) < 2, array().cast("array<string>"))
+      .otherwise(expr(
+        "zip_with(slice(__ws, 1, size(__ws) - 1), " +
+          "slice(__ws, 2, size(__ws) - 1), (a, b) -> concat(a, ' ', b))"))
+    val keyCols = (idCol +: passthrough).map(col)
+    val feats = df.withColumn("__ws", ws)
+      .select(keyCols ++ Seq(isTarget.as("__t"),
+        explode(concat(col("__ws"), bigrams)).as("__f")): _*)
+    val bucket =
+      conv(substring(md5(concat(lit(seed + ":"), col("__f"))), 1, 8), 16, 10)
+        .cast("long") % numBuckets
+    // (doc, bucket)-level pre-aggregation: bounds reducer skew AND is the
+    // input to both the bucket stats and the per-doc weight sum.
+    val pf = feats.select(keyCols ++ Seq(col("__t"), bucket.as("__b")): _*)
+      .groupBy(keyCols ++ Seq(col("__t"), col("__b")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cb = pf.groupBy(col("__b")).agg(
+      sum(col("__c")).as("__cr"),
+      sum(when(col("__t"), col("__c")).otherwise(0L)).as("__ct"))
+    val tot = cb.agg(sum(col("__cr")).as("__totr"), sum(col("__ct")).as("__tott"))
+    val d = lit(numBuckets.toLong)
+    val weights = cb.crossJoin(broadcast(tot)).select(col("__b"),
+      ((ilog2x1024(col("__ct") + 1L) - ilog2x1024(col("__tott") + d)) -
+        (ilog2x1024(col("__cr") + 1L) - ilog2x1024(col("__totr") + d)))
+        .as("__w"))
+    pf.join(broadcast(weights), "__b")
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__c") * col("__w")).as("logw_1024"),
+        sum(col("__c")).as("n_features"))
+  }
 }

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Maintenance plane for MergeWriter-laid-out tables: small-file
+  * compaction and orphan vacuum. The reference never needs either
+  * (Postgres compacts itself, vacuums itself — autovacuum); a parquet
+  * lake at 100 TB needs both as explicit operators:
+  *
+  *  - A live tail running small triggers (INGEST_BENCH.md's 1-block
+  *    regime) rewrites its hot date partitions every few seconds, each
+  *    rewrite fanning out to shuffle-partition-count files; a bulk
+  *    backfill written by another engine can leave thousands of
+  *    row-group-sized fragments per partition. Every later scan pays
+  *    per-file open cost (on object stores, a GET per file) — the
+  *    classic small-files problem. [[compact]] rewrites only the
+  *    partitions whose file count exceeds what their byte size needs.
+  *
+  *  - The rename-aside swap protocol (MergeWriter.writeAndSwap and the
+  *    partition-scoped variant) is crash-SAFE — a kill between renames
+  *    never loses the live table — but not crash-CLEAN: it can strand
+  *    sibling `<table>.tmp-<uid>` / `<table>.old-<uid>…` directories
+  *    that hold a full copy of the data they were swapping. [[vacuum]]
+  *    removes them once they are older than a grace period (the grace
+  *    is what keeps an IN-FLIGHT merge's tmp dir safe; size it well
+  *    above the longest merge, e.g. hours).
+  *
+  * Both operators preserve MergeWriter's layout contracts exactly:
+  * bucketed file sets (flat or per-partition) are never rewritten — the
+  * bucketed writer already lands one file per bucket, and renaming
+  * bucket-id-carrying files would corrupt the layout readers declare via
+  * BucketedLayout.registerExternal. Partition-scoped rewrites reuse the
+  * same rename-aside discipline as the merges, so a crash mid-compaction
+  * leaves every partition either fully old or fully new, and the counts
+  * sidecar stays valid throughout (compaction moves bytes, never rows).
+  *
+  * Single-writer assumption, same as the merge paths: one maintenance or
+  * merge job per table at a time (the ingest loop's gate).
+  */
+object Maintenance {
+
+  /** What [[compact]] did. `skippedBucketed` counts partitions (or the
+    * flat root) left alone because their files carry bucket ids. */
+  case class CompactReport(
+      examined: Int,
+      rewritten: Int,
+      skippedBucketed: Int,
+      filesBefore: Long,
+      filesAfter: Long,
+      bytes: Long)
+
+  /** Data files = parquet parts; `_SUCCESS`/dot-sidecars are not
+    * compaction input. */
+  private def dataFiles(dir: String): Seq[(String, Long)] =
+    MergeWriter.io.fileSizes(dir).filterNot { case (n, _) =>
+      n.startsWith("_") || n.startsWith(".") }
+
+  /** Rewrite table fragments at `path` so each partition holds
+    * `ceil(bytes / targetFileBytes)` files instead of one per writer
+    * task. Flat tables rewrite through the same atomic whole-table swap
+    * as [[MergeWriter.merge]]; partitioned tables rewrite ONLY the
+    * partitions that are over-fragmented, each through its own
+    * rename-aside swap (a steady stream leaves cold partitions
+    * untouched — the maintenance cost tracks the hot set, not table
+    * history). `coalesce` (not `repartition`) does the narrowing: no
+    * shuffle, the rewrite is a read + write of just the bytes it
+    * compacts. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): CompactReport = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val io = MergeWriter.io
+    if (!io.exists(path))
+      return CompactReport(0, 0, 0, 0L, 0L, 0L)
+
+    val partDirs = io.listDir(path).collect {
+      case (n, true) if n.contains("=") => n }
+
+    if (partDirs.isEmpty) {
+      // Flat layout (bootstrap tables, mergeBucketed output).
+      val files = dataFiles(path)
+      if (files.isEmpty) return CompactReport(1, 0, 0, 0L, 0L, 0L)
+      if (BucketedLayout.looksBucketed(path))
+        return CompactReport(1, 0, 1, files.size.toLong, files.size.toLong, 0L)
+      val bytes = files.map(_._2).sum
+      val need = needFiles(bytes, targetFileBytes)
+      if (files.size <= need)
+        return CompactReport(1, 0, 0, files.size.toLong, files.size.toLong, 0L)
+      val df = spark.read.parquet(path).coalesce(need)
+      MergeWriter.writeAndSwap(df, path)
+      CompactReport(1, 1, 0, files.size.toLong,
+        dataFiles(path).size.toLong, bytes)
+    } else {
+      var rewritten = 0; var skipped = 0
+      var before = 0L; var after = 0L; var movedBytes = 0L
+      partDirs.foreach { dirName =>
+        val dir = s"$path/$dirName"
+        val files = dataFiles(dir)
+        before += files.size
+        if (files.nonEmpty && BucketedLayout.looksBucketed(dir)) {
+          skipped += 1; after += files.size
+        } else if (files.nonEmpty) {
+          val bytes = files.map(_._2).sum
+          val need = needFiles(bytes, targetFileBytes)
+          if (files.size > need) {
+            // Hive-style partition files don't carry the partition
+            // column, and the rewrite puts the same dir back in place,
+            // so reading the dir directly is exact.
+            val uid = java.util.UUID.randomUUID().toString.take(8)
+            val tmp = s"$path.tmp-$uid"
+            spark.read.parquet(dir).coalesce(need)
+              .write.mode("overwrite").parquet(s"$tmp/$dirName")
+            // Same aside-dir naming as the partition-scoped merge: the
+            // recovery copy sits NEXT TO the table dir, never inside it
+            // (inside would corrupt partition discovery).
+            val old = s"$path.old-$uid-$dirName"
+            io.atomicMove(dir, old)
+            io.atomicMove(s"$tmp/$dirName", dir)
+            io.deleteRecursively(old)
+            io.deleteRecursively(tmp)
+            rewritten += 1; movedBytes += bytes
+            after += dataFiles(dir).size
+          } else after += files.size
+        }
+      }
+      CompactReport(partDirs.size, rewritten, skipped, before, after,
+        movedBytes)
+    }
+  }
+
+  private def needFiles(bytes: Long, target: Long): Int =
+    math.max(1L, (bytes + target - 1) / target).toInt
+
+  /** Delete crash-stranded swap artifacts next to table `path`:
+    * sibling `<table>.tmp-<uid>` (a write that never swapped in),
+    * `<table>.old-<uid>…` (an aside copy whose delete never ran), and
+    * torn `.tmp` halves of the sidecar/marker small-file writes — but
+    * only those last modified more than `graceMs` ago, so the tmp dir
+    * of an in-flight merge (or a concurrent compaction's aside) is
+    * never touched. Returns the deleted paths. */
+  def vacuum(path: String, graceMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val io = MergeWriter.io
+    val slash = path.lastIndexOf('/')
+    require(slash > 0, s"vacuum needs an absolute table path, got $path")
+    val parent = path.substring(0, slash)
+    val base = path.substring(slash + 1)
+    val smallFileTmp =
+      Set(s"$base.counts.json.tmp", s"$base.swapuid.tmp")
+    val doomed = io.listDir(parent).collect {
+      case (n, _) if n.startsWith(s"$base.tmp-") ||
+        n.startsWith(s"$base.old-") || smallFileTmp(n) => n
+    }.filter { n =>
+      val mtime = io.lastModifiedMs(s"$parent/$n")
+      mtime > 0L && nowMs - mtime >= graceMs
+    }
+    doomed.map { n =>
+      val full = s"$parent/$n"
+      io.deleteRecursively(full)
+      full
+    }
+  }
+}

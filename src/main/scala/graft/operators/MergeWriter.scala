@@ -75,7 +75,7 @@ object MergeWriter {
     * leaves the `.old-` copy recoverable, and readers never observe a
     * half-deleted directory (a delete-then-move swap loses the live table
     * if the process dies between the two steps). */
-  private def writeAndSwap(df: DataFrame, path: String): Unit = {
+  private[operators] def writeAndSwap(df: DataFrame, path: String): Unit = {
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val tmp = path + ".tmp-" + uid
     df.write.mode("overwrite").parquet(tmp)

@@ -26,6 +26,13 @@ trait TableIO {
   def readString(path: String): Option[String]
   /** Write-then-rename so readers never observe a torn small file. */
   def writeStringAtomic(path: String, content: String): Unit
+  /** (name, size bytes) for each direct child FILE; empty if `path` is
+    * not a directory. The maintenance plane (compaction targets) needs
+    * sizes, not just names. */
+  def fileSizes(path: String): Seq[(String, Long)]
+  /** Last-modified epoch millis of `path`, 0 if it does not exist. The
+    * vacuum grace period rests on this. */
+  def lastModifiedMs(path: String): Long
 
   /** Small binary artifacts (e.g. the corpus gate's incremental bloom
     * filter) ride the same atomic write-then-rename contract. The
@@ -69,6 +76,25 @@ object LocalTableIO extends TableIO {
       Files.walk(p(path)).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
     }
+
+  def fileSizes(path: String): Seq[(String, Long)] = {
+    if (!Files.isDirectory(p(path))) return Nil
+    val s = Files.list(p(path))
+    try {
+      val b = Seq.newBuilder[(String, Long)]
+      val it = s.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (Files.isRegularFile(f))
+          b += ((f.getFileName.toString, Files.size(f)))
+      }
+      b.result()
+    } finally s.close()
+  }
+
+  def lastModifiedMs(path: String): Long =
+    if (!Files.exists(p(path))) 0L
+    else scala.util.Try(Files.getLastModifiedTime(p(path)).toMillis).getOrElse(0L)
 
   def readString(path: String): Option[String] =
     if (!Files.exists(p(path))) None

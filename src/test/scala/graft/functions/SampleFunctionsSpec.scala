@@ -142,4 +142,62 @@ class SampleFunctionsSpec extends SparkSpec {
       Map("x" -> 0.9999), default = 0.5, seed = "z").collect()
     assert(kept.forall(!_.isNullAt(0)))
   }
+
+  test("dsirLogWeights matches a driver-side integer replay exactly") {
+    // Independent reference: same model re-derived in plain Scala with
+    // its own md5 + integer-log code — any drift in hashing, smoothing,
+    // explode shape or fixed-point math breaks the equality.
+    val docs = Seq(
+      (0L, "the cat sat on the mat", true),
+      (1L, "the dog sat on the log", true),
+      (2L, "der hund sitzt auf dem", false),
+      (3L, "le chat est sur le tapis", false),
+      (4L, "the cat sat", false), // target-like words, non-target doc
+      (5L, "", false) // empty text → single "" unigram
+    ).toDF("doc_id", "text", "tgt")
+    val d = 64
+    def ilog(x: Long): Long = {
+      val m = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      1024L * m + ((x * 1024L) >> m) - 1024L
+    }
+    def feats(text: String): Seq[String] = {
+      val ws = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1).toSeq
+      ws ++ ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    def bucket(f: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir:$f".getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % d
+    }
+    val rows = Seq((0L, true), (1L, true), (2L, false), (3L, false),
+      (4L, false), (5L, false))
+    val texts = Map(0L -> "the cat sat on the mat",
+      1L -> "the dog sat on the log", 2L -> "der hund sitzt auf dem",
+      3L -> "le chat est sur le tapis", 4L -> "the cat sat", 5L -> "")
+    val occ = rows.flatMap { case (id, t) =>
+      feats(texts(id)).map(f => (id, t, bucket(f))) }
+    val cr = occ.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ct = occ.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val totr = occ.size.toLong
+    val tott = occ.count(_._2).toLong
+    val w: Map[Long, Long] = cr.map { case (b, r) =>
+      b -> ((ilog(ct.getOrElse(b, 0L) + 1) - ilog(tott + d)) -
+        (ilog(r + 1) - ilog(totr + d))) }
+    val expected = occ.groupBy(_._1).view.mapValues { os =>
+      (os.map(o => w(o._3)).sum, os.size.toLong) }.toMap
+
+    val got = SampleFunctions.dsirLogWeights(docs, "doc_id", "text",
+        col("tgt"), numBuckets = d, seed = "dsir")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    // Target-vocabulary doc 4 must outscore the non-target-vocabulary
+    // docs — the selection property the operator exists for.
+    assert(got(4L)._1 > got(2L)._1 && got(4L)._1 > got(3L)._1)
+    // Stable under repartition (content hashing, no RNG state).
+    val re = SampleFunctions.dsirLogWeights(docs.repartition(7), "doc_id",
+        "text", col("tgt"), numBuckets = d, seed = "dsir")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(re == expected)
+  }
 }

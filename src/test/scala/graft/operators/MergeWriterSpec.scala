@@ -87,6 +87,8 @@ class MergeWriterSpec extends SparkSpec {
       def deleteRecursively(p: String) = t(LocalTableIO.deleteRecursively(p))
       def readString(p: String) = t(LocalTableIO.readString(p))
       def writeStringAtomic(p: String, c: String) = t(LocalTableIO.writeStringAtomic(p, c))
+      def fileSizes(p: String) = t(LocalTableIO.fileSizes(p))
+      def lastModifiedMs(p: String) = t(LocalTableIO.lastModifiedMs(p))
     }
     val prev = MergeWriter.io
     try {
