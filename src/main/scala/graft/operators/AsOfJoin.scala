@@ -143,7 +143,11 @@ object AsOfJoin {
     val inRange = d >= 0L && d <= boundUs
 
     val joined =
-      if (!timeBucketed) {
+      // boundUs = 0 (exact-timestamp as-of) can't form buckets — `div`
+      // by zero yields null buckets and every probe would miss — so the
+      // degenerate bound routes through the plain equi-join, where
+      // d >= 0 && d <= 0 admits exactly the timestamp-equal rows.
+      if (!timeBucketed || boundUs <= 0L) {
         l.join(r, keyCond && inRange, joinType)
       } else {
         // Event times are epoch µs (non-negative), so integer `div`

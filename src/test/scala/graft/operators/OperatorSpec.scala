@@ -88,6 +88,29 @@ class OperatorSpec extends SparkSpec {
     assert(out == Map("d1" -> Some(5.0), "d2" -> None))
   }
 
+  test("asof with zero tolerance/lookback matches exact timestamps only") {
+    // The degenerate bound can't form time buckets (bucket width 0), so
+    // it must route around the hot-key guard instead of silently losing
+    // every match to a null bucket key.
+    val donations = Seq(
+      ("d1", "near", java.sql.Timestamp.valueOf("2024-06-10 12:00:00")),
+      ("d2", "near", java.sql.Timestamp.valueOf("2024-06-10 12:00:01"))
+    ).toDF("id", "token", "ts")
+    val prices = Seq(
+      ("near", java.sql.Timestamp.valueOf("2024-06-10 12:00:00"), 5.0)
+    ).toDF("token", "pts", "price")
+    val near = AsOfJoin.nearest(donations, prices, Seq("token"), Seq("token"),
+        "ts", "pts", tolerance = 0, leftId = "id", rightTieBreak = "pts")
+      .select(col("l.id"), col("r.price")).collect()
+    assert(near.map(r => r.getString(0) -> r.getDouble(1)).toMap ==
+      Map("d1" -> 5.0)) // d2 is 1s off: excluded at tolerance 0
+    val bef = AsOfJoin.before(donations, prices, Seq("token"), Seq("token"),
+        "ts", "pts", lookback = 0, leftId = "id", rightTieBreak = "pts")
+      .select(col("l.id"), col("r.price")).collect()
+    assert(bef.map(r => r.getString(0) -> r.getDouble(1)).toMap ==
+      Map("d1" -> 5.0))
+  }
+
   test("mergePartitioned rejects partition values needing Hive escaping") {
     val df = Seq(("k", "2024-06-01 00:00:00", 1L)).toDF("key", "day", "seqno")
     val e = intercept[IllegalArgumentException] {
