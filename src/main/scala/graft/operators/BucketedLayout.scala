@@ -102,10 +102,13 @@ object BucketedLayout {
     * before declaring the layout (a flat bootstrap table reads as plain
     * parquet until its first bucketed merge rewrites it). */
   def looksBucketed(path: String): Boolean = {
-    val dir = new java.io.File(path)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-    val parts = files.filter(f => f.isFile && f.getName.startsWith("part-"))
-    parts.nonEmpty && parts.forall(_.getName.matches("part-.*_\\d{5}\\..*"))
+    // Through the TableIO seam (not java.io.File): the probe must answer
+    // the same on every deployment the store runs on — a local-FS-only
+    // probe would return false over s3a/HDFS and silently downgrade every
+    // bucketed read to a plain (exchange-paying) parquet scan.
+    val parts = MergeWriter.io.fileSizes(path).map(_._1)
+      .filter(_.startsWith("part-"))
+    parts.nonEmpty && parts.forall(_.matches("part-.*_\\d{5}\\..*"))
   }
 
   /** Equi-join of two registered bucketed tables on their bucket keys.
