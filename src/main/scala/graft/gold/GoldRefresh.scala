@@ -78,18 +78,16 @@ object GoldRefresh {
   }
 
   private def swapIn(tmp: String, path: String): Unit = {
+    // Through the TableIO seam so the gold plane swaps atomically on the
+    // same filesystems the silver store runs on (local nio here would
+    // throw on an s3a/HDFS deployment); also puts the stranded-artifact
+    // naming under Maintenance.vacuum's cleanup contract.
     val uid = tmp.substring(tmp.lastIndexOf("-") + 1)
-    val p = java.nio.file.Paths.get(path)
-    val old = java.nio.file.Paths.get(path + ".old-" + uid)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.move(p, old,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    if (java.nio.file.Files.exists(old)) {
-      java.nio.file.Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-    }
+    val io = graft.operators.MergeWriter.io
+    val old = path + ".old-" + uid
+    if (io.exists(path)) io.atomicMove(path, old)
+    io.atomicMove(tmp, path)
+    io.deleteRecursively(old)
   }
 
   def main(args: Array[String]): Unit = {
