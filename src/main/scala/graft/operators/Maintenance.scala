@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Maintenance plane for MergeWriter-laid-out tables: small-file
   * compaction and orphan vacuum. The reference never needs either
@@ -64,11 +65,26 @@ object Maintenance {
     * untouched — the maintenance cost tracks the hot set, not table
     * history). `coalesce` (not `repartition`) does the narrowing: no
     * shuffle, the rewrite is a read + write of just the bytes it
-    * compacts. */
+    * compacts.
+    *
+    * `sortCol` upgrades the rewrite from packing to CLUSTERING: rewritten
+    * data is range-repartitioned and sorted on the column, so the parquet
+    * footer min/max statistics become disjoint across files and row
+    * groups and a later range/point predicate on that column skips
+    * everything outside its range at the scan — the data-skipping layout
+    * for the dominant access pattern (time-range scans over event/fact
+    * tables; the reference indexes the same columns, e.g. donated_at,
+    * for the same reason — donations/models.py's indexed timestamps).
+    * The trade is explicit: clustering pays ONE range shuffle of the
+    * bytes it rewrites (sampled range partitioner, so output files stay
+    * byte-balanced even under value skew), packing pays none. Compaction
+    * still triggers on fragmentation only — an already-compact partition
+    * is not rewritten just to sort it. */
   def compact(
       spark: SparkSession,
       path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): CompactReport = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortCol: Option[String] = None): CompactReport = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val io = MergeWriter.io
     if (!io.exists(path))
@@ -87,8 +103,7 @@ object Maintenance {
       val need = needFiles(bytes, targetFileBytes)
       if (files.size <= need)
         return CompactReport(1, 0, 0, files.size.toLong, files.size.toLong, 0L)
-      val df = spark.read.parquet(path).coalesce(need)
-      MergeWriter.writeAndSwap(df, path)
+      MergeWriter.writeAndSwap(narrow(spark.read.parquet(path), need, sortCol), path)
       CompactReport(1, 1, 0, files.size.toLong,
         dataFiles(path).size.toLong, bytes)
     } else {
@@ -109,7 +124,7 @@ object Maintenance {
             // so reading the dir directly is exact.
             val uid = java.util.UUID.randomUUID().toString.take(8)
             val tmp = s"$path.tmp-$uid"
-            spark.read.parquet(dir).coalesce(need)
+            narrow(spark.read.parquet(dir), need, sortCol)
               .write.mode("overwrite").parquet(s"$tmp/$dirName")
             // Same aside-dir naming as the partition-scoped merge: the
             // recovery copy sits NEXT TO the table dir, never inside it
@@ -131,6 +146,20 @@ object Maintenance {
 
   private def needFiles(bytes: Long, target: Long): Int =
     math.max(1L, (bytes + target - 1) / target).toInt
+
+  /** Narrow `df` to `need` output files: shuffle-free `coalesce` for
+    * plain packing, range-repartition + in-partition sort for a
+    * clustered (min/max-skippable) layout. The sort key is appended as a
+    * tie within partitions so parquet row-group stats are monotone even
+    * inside one file. */
+  private def narrow(df: DataFrame, need: Int,
+      sortCol: Option[String]): DataFrame = sortCol match {
+    case Some(c) =>
+      require(df.columns.contains(c),
+        s"compact sortCol '$c' is not a column of the table")
+      df.repartitionByRange(need, col(c)).sortWithinPartitions(col(c))
+    case None => df.coalesce(need)
+  }
 
   /** Delete crash-stranded swap artifacts next to table `path`:
     * sibling `<table>.tmp-<uid>` (a write that never swapped in),

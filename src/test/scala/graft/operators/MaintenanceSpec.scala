@@ -108,6 +108,73 @@ class MaintenanceSpec extends SparkSpec {
     assert(dataFiles(s"$part/day=2024-06-01").toSet == beforeP)
   }
 
+  /** Rows the scan MATERIALIZED to answer `df` (the scan node's
+    * numOutputRows SQL metric, read after execution) — the direct
+    * observation of parquet row-group pruning: a skipped row group never
+    * surfaces a row here, while post-scan Filter rows do. AQE is
+    * disabled for the measurement so the scan leaf is reachable without
+    * descending into query stages. */
+  private def scanRowsOf(mk: => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.Row, Long) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = mk
+      // collect(), not head(): head wraps the frame in a NEW limit query
+      // execution, so the plan inspected below would never have run.
+      val row = d.collect()(0)
+      (row, d.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("clustered compact (sortCol): a range predicate reads a fraction of the packed layout") {
+    // Same fragmented input twice: one compacts by packing (coalesce),
+    // one by clustering on ts (range-repartition + sort). Rows must be
+    // identical; a narrow ts slice must then read far fewer bytes from
+    // the clustered layout (disjoint parquet min/max stats skip the
+    // non-matching files/row groups at the scan).
+    val packed = tmpDir("cpack") + "/t"
+    val clustered = tmpDir("cclus") + "/t"
+    val rows = spark.range(0, 300000).select(col("id"),
+      (pmod(hash(col("id")), lit(30)).cast("long") * 1000000L + col("id"))
+        .as("ts"),
+      concat(lit("x" * 40), col("id")).as("pad"))
+    rows.repartition(16).write.parquet(packed)   // arrival-shuffled: every
+    rows.repartition(16).write.parquet(clustered) // fragment spans all of ts
+    val bytes = Option(new java.io.File(packed).listFiles()).get
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.length()).sum
+    val target = math.max(1L, bytes / 10) // ~10 output files either way
+
+    val rp = Maintenance.compact(spark, packed, targetFileBytes = target)
+    val rc = Maintenance.compact(spark, clustered, targetFileBytes = target,
+      sortCol = Some("ts"))
+    assert(rp.rewritten == 1 && rc.rewritten == 1)
+
+    val checksum = (p: String) => spark.read.parquet(p)
+      .agg(sum(col("id") * col("ts")), count(lit(1))).head()
+    assert(checksum(clustered) == checksum(packed)) // clustering moved rows, lost none
+
+    // One of the 30 ts buckets ≈ 3.3% of rows; the slice answer must be
+    // layout-independent while the rows the scan materializes must not.
+    def slice(p: String): (Long, Long) = {
+      val (row, scanned) = scanRowsOf(spark.read.parquet(p)
+        .filter(col("ts") >= 3000000L && col("ts") < 4000000L)
+        .agg(sum(length(col("pad"))).as("s")))
+      (row.getLong(0), scanned)
+    }
+    val (packedAns, packedScan) = slice(packed)
+    val (clusAns, clusScan) = slice(clustered)
+    assert(packedAns == clusAns && packedAns > 0)
+    // Packed files all span the full ts range: no row group is skippable,
+    // the scan materializes everything. Clustered files hold disjoint ts
+    // ranges: the scan only surfaces the matching bucket's neighborhood.
+    assert(packedScan == 300000L, s"packed scan materialized $packedScan")
+    assert(clusScan * 3 < packedScan,
+      s"clustered scan materialized $clusScan of $packedScan — skipping not engaged")
+  }
+
   test("vacuum removes stranded swap artifacts past grace, spares fresh and live") {
     val dir = tmpDir("vac")
     val path = s"$dir/t"
