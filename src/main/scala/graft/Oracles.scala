@@ -2444,6 +2444,30 @@ object Oracles {
     // deeper-than-cap graph truncates both engines at the same round).
     "q_gr3_kcore" -> kCoreSql(k = 3, rounds = 16),
 
+    // Radius-2 harmonic centrality replay: same symmetrized generator
+    // graph; distance-1 is the adjacency, distance-2 the distinct wedge
+    // pairs minus self minus adjacency. Integer 1/840ths fixed-point.
+    "q_gr4_harmonic" ->
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |  de AS (SELECT src, dst FROM (
+        |    $linkGenSql) t),
+        |  ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |         FROM de WHERE src <> dst),
+        |  adj AS (SELECT a AS v, b AS u FROM ue UNION ALL SELECT b, a FROM ue),
+        |  d2 AS (SELECT DISTINCT x.v, y.u FROM adj x JOIN adj y ON x.u = y.v
+        |         WHERE x.v <> y.u
+        |           AND NOT EXISTS (SELECT 1 FROM adj a
+        |                           WHERE a.v = x.v AND a.u = y.u)),
+        |  c1 AS (SELECT v, CAST(count(*) AS BIGINT) AS n1 FROM adj GROUP BY 1),
+        |  c2 AS (SELECT v, CAST(count(*) AS BIGINT) AS n2 FROM d2 GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(c1.n1, 0) AS n1, COALESCE(c2.n2, 0) AS n2,
+        |       COALESCE(c1.n1, 0) * 840 + COALESCE(c2.n2, 0) * 420
+        |         AS harmonic_x840
+        |FROM documents d
+        |LEFT JOIN c1 ON c1.v = d.doc_id
+        |LEFT JOIN c2 ON c2.v = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // Rolling z-score replay: identical 24-hour PRECEDING frame, the
     // same division-free integer z² inequality. DuckDB's SUM over
     // BIGINT widens to HUGEINT → cast back before the arithmetic.

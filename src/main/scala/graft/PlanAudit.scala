@@ -337,6 +337,11 @@ object PlanAudit {
     // restriction is an equi-join, the degree count a hash agg
     "q_gr3_kcore" -> Seq("InMemoryTableScan", "HashAggregate",
       "!CartesianProduct", "!BroadcastNestedLoopJoin", "!Window"),
+    // harmonic r2: the wedge expansion is an equi-join on the pivot,
+    // the distance-1 subtraction a LeftAnti equi-join, counts hash aggs
+    "q_gr4_harmonic" -> Seq("HashAggregate", "LeftAnti",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin", "!Window"),
     // anomaly scan: raw events collapse to the (type,hour) aggregate
     // FIRST; the rolling frame is a deliberate bounded Window over that
     // grid, partitioned by type — same contract as ts1

@@ -1769,6 +1769,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** GR4 — exact radius-2 truncated harmonic centrality over the
+    * gr1/gr2/gr3 link graph: h(v) = Σ 1/dist over the distance-≤2
+    * neighborhood, the centrality the web-corpus-quality literature
+    * uses (harmonic rather than closeness because it is defined on
+    * disconnected graphs). Integer fixed-point in 1/840ths —
+    * n1·840 + n2·420 — so the result is engine-exact; the per-radius
+    * counts surface alongside. The exact form's cost IS the
+    * distance-≤2 pair set (Σ deg² wedges), fine on the bounded-degree
+    * generator graph and the ground-truth side of a HyperBall-style
+    * sketch on hub graphs — the sim8/dd17 exact-vs-approx pairing. */
+  private def gr4(t: Tables): DataFrame = {
+    val nodes = t.documents.select(col("doc_id").as("v"))
+    val n = nodes.count() // 1-row scalar modulus, as in gr1/gr2/gr3
+    graft.functions.GraphFunctions.harmonicR2(nodes,
+        linkGraphUndirected(nodes, n))
+      .select(col("v").as("doc_id"), col("n1"), col("n2"),
+        col("harmonic_x840"))
+      .orderBy("doc_id")
+  }
+
   /** TS2 — rolling z-score anomaly detection over the hourly series:
     * for each (event_type, hour), the hour's total is flagged when it
     * sits more than 3 sigma from the mean of the 24 PRECEDING hours
@@ -2833,6 +2853,7 @@ object SparkEntry {
       "q_sim12_filtered_ann" -> q(sim12),
       "q_txt18_kl_drift" -> q(txt18),
       "q_gr3_kcore" -> q(gr3),
+      "q_gr4_harmonic" -> q(gr4),
       "q_dd17_minhash_calibration" -> q(dd17),
       "q_w7_lag_delta" -> q(w7),
       "q_ts2_anomaly" -> q(ts2),

@@ -126,6 +126,48 @@ object GraphFunctions {
         coalesce(col("nt"), lit(0L)).as("n_triangles"))
   }
 
+  /** Exact radius-2 truncated harmonic centrality over an undirected
+    * simple graph (canonical `(a, b)` edges, a < b): per node,
+    * `h(v) = Σ_{u : 0 < dist(u,v) ≤ 2} 1 / dist(u,v)` — the centrality
+    * the web-corpus-quality literature actually uses (harmonic, not
+    * closeness, because it is defined on disconnected graphs; the
+    * radius-2 truncation is what makes the EXACT form computable —
+    * distance-1 is the adjacency, distance-2 is one wedge join).
+    * Output is integer fixed-point in 1/840ths (840 = lcm(1..8), so
+    * the per-distance division is exact): `harmonic_x840 =
+    * n1 * 840 + n2 * 420` with the per-radius neighbor counts
+    * alongside — bit-identical across engines and shuffle orders.
+    *
+    * Scale shape: the wedge join's output is the distance-≤2 pair set
+    * itself — inherently Σ deg(w)² over pivots, so the exact form is
+    * for graphs with bounded degree (the generator graphs here) or as
+    * the CALIBRATION ground truth for a sketch-based neighborhood
+    * function (HyperBall-style) on hub-heavy graphs, the same
+    * exact-vs-approx pairing sim8/dd17 use. Both joins are equi-joins
+    * on node ids; the distinct and the anti-join (drop pairs already at
+    * distance 1) shuffle the pair set once each. */
+  def harmonicR2(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // Adjacency in both directions; rows unique because canonical
+    // (a < b) edges are.
+    val adj = edges.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("u")))
+    val d2 = adj.select(col("v"), col("u").as("w"))
+      .join(adj.select(col("v").as("w"), col("u")), "w")
+      .filter(col("v") =!= col("u"))
+      .select(col("v"), col("u")).distinct()
+      .join(adj, Seq("v", "u"), "left_anti") // exactly distance 2
+    val n1 = adj.groupBy("v").agg(count(lit(1)).as("n1"))
+    val n2 = d2.groupBy("v").agg(count(lit(1)).as("n2"))
+    nodes.select(col("v"))
+      .join(n1, Seq("v"), "left")
+      .join(n2, Seq("v"), "left")
+      .select(col("v"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+      .withColumn("harmonic_x840",
+        col("n1") * lit(840L) + col("n2") * lit(420L))
+  }
+
   /** The load-bearing step of [[triangleCounts]], exposed so its
     * defining property — every out-degree O(√m) on ANY graph — is
     * directly testable: each canonical edge (a < b) is directed from

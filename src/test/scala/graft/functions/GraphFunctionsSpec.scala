@@ -156,6 +156,28 @@ class GraphFunctionsSpec extends SparkSpec {
     capped.release()
   }
 
+  test("harmonicR2: path graph hand values; isolated node zeroed; triangle has no distance-2") {
+    // Path 1-2-3-4-5 plus isolated 6 (canonical a < b edges).
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("v")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val r = GraphFunctions.harmonicR2(nodes, edges).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    // v=3: n1 = {2,4}, n2 = {1,5}; ends: n1 = 1, n2 = 1.
+    assert(r(3L) == ((2L, 2L, 2L * 840 + 2L * 420)))
+    assert(r(1L) == ((1L, 1L, 840L + 420L)) && r(1L) == r(5L))
+    assert(r(2L) == ((2L, 1L, 2L * 840 + 420L)) && r(2L) == r(4L))
+    assert(r(6L) == ((0L, 0L, 0L))) // isolated: no neighborhood at all
+
+    // Triangle: every non-self pair is at distance 1 — the wedge pairs
+    // must all be swallowed by the distance-1 anti-join, never double
+    // counted at distance 2.
+    val tri = GraphFunctions.harmonicR2(Seq(0L, 1L, 2L).toDF("v"),
+        Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("a", "b")).collect()
+      .map(x => (x.getLong(1), x.getLong(2))).toSet
+    assert(tri == Set((2L, 0L)))
+  }
+
   test("a round plans as src-keyed equi-joins + one dst aggregation") {
     val (nodes, edges) = tiny
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
