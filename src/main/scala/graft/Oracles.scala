@@ -2468,6 +2468,55 @@ object Oracles {
         |LEFT JOIN c2 ON c2.v = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // KMV neighborhood sketches replayed round by round: k smallest
+    // md5-derived 32-bit hashes per node (row_number ≤ k), round 2 =
+    // k-min of round-1 sketches propagated over the adjacency (+self).
+    // Estimates all-integer: exact count below k, else
+    // (k−1)·2³² // (kth+1). Exact ball sizes from the gr4 CTEs.
+    "q_gr5_kmv_neighborhood" ->
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |  de AS (SELECT src, dst FROM (
+        |    $linkGenSql) t),
+        |  ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |         FROM de WHERE src <> dst),
+        |  adj AS (SELECT a AS v, b AS u FROM ue UNION ALL SELECT b, a FROM ue),
+        |  adjs AS (SELECT v, u FROM adj
+        |           UNION ALL SELECT doc_id, doc_id FROM documents),
+        |  hh AS (SELECT DISTINCT v,
+        |           CAST(('0x' || substr(md5('gr5:' || CAST(u AS VARCHAR)), 1, 8))
+        |             AS BIGINT) AS h
+        |         FROM adjs),
+        |  s1 AS (SELECT v, h FROM (
+        |           SELECT v, h, row_number() OVER (PARTITION BY v ORDER BY h)
+        |             AS rn FROM hh) r WHERE rn <= 16),
+        |  p2 AS (SELECT DISTINCT a.v, s.h FROM adjs a JOIN s1 s ON s.v = a.u),
+        |  s2 AS (SELECT v, h FROM (
+        |           SELECT v, h, row_number() OVER (PARTITION BY v ORDER BY h)
+        |             AS rn FROM p2) r WHERE rn <= 16),
+        |  e1 AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+        |                CAST(max(h) AS BIGINT) AS kth FROM s1 GROUP BY 1),
+        |  e2 AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+        |                CAST(max(h) AS BIGINT) AS kth FROM s2 GROUP BY 1),
+        |  d2 AS (SELECT DISTINCT x.v, y.u FROM adj x JOIN adj y ON x.u = y.v
+        |         WHERE x.v <> y.u
+        |           AND NOT EXISTS (SELECT 1 FROM adj a
+        |                           WHERE a.v = x.v AND a.u = y.u)),
+        |  c1 AS (SELECT v, CAST(count(*) AS BIGINT) AS n1 FROM adj GROUP BY 1),
+        |  c2 AS (SELECT v, CAST(count(*) AS BIGINT) AS n2 FROM d2 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN e1.c < 16 THEN e1.c
+        |            ELSE 64424509440 // (e1.kth + 1) END AS BIGINT) AS ball1_est,
+        |  CAST(CASE WHEN e2.c < 16 THEN e2.c
+        |            ELSE 64424509440 // (e2.kth + 1) END AS BIGINT) AS ball2_est,
+        |  COALESCE(c1.n1, 0) + 1 AS ball1_exact,
+        |  COALESCE(c1.n1, 0) + COALESCE(c2.n2, 0) + 1 AS ball2_exact
+        |FROM documents d
+        |JOIN e1 ON e1.v = d.doc_id
+        |JOIN e2 ON e2.v = d.doc_id
+        |LEFT JOIN c1 ON c1.v = d.doc_id
+        |LEFT JOIN c2 ON c2.v = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // Rolling z-score replay: identical 24-hour PRECEDING frame, the
     // same division-free integer z² inequality. DuckDB's SUM over
     // BIGINT widens to HUGEINT → cast back before the arithmetic.

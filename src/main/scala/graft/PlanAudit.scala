@@ -342,6 +342,12 @@ object PlanAudit {
     "q_gr4_harmonic" -> Seq("HashAggregate", "LeftAnti",
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
       "!CartesianProduct", "!BroadcastNestedLoopJoin", "!Window"),
+    // kmv neighborhood: sketch rounds are equi-join + hash re-agg
+    // (objecthashagg for the collect_set k-min) — never a window or a
+    // pair-set materialization
+    "q_gr5_kmv_neighborhood" -> Seq("HashAggregate",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!CartesianProduct", "!BroadcastNestedLoopJoin", "!Window"),
     // anomaly scan: raw events collapse to the (type,hour) aggregate
     // FIRST; the rolling frame is a deliberate bounded Window over that
     // grid, partitioned by type — same contract as ts1

@@ -1789,6 +1789,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** GR5 — KMV-sketch neighborhood function CALIBRATED against gr4's
+    * exact radius-2 truth (HyperBall's data flow with a k-minimum-values
+    * sketch; the scale path for neighborhood/centrality estimation when
+    * the exact pair set is unaffordable — sketch state is O(nodes·k)
+    * per round no matter how large the balls grow). Per node: the
+    * sketch estimates for |ball(v,1)| and |ball(v,2)| next to the exact
+    * counts, so the estimator's error distribution is measured on real
+    * ground truth — the dd17/sim8 exact-vs-approx pairing. All draws
+    * are md5-derived 32-bit integers and every estimate is integer
+    * arithmetic, so the oracle replays the sketches bit-exactly. */
+  private def gr5(t: Tables): DataFrame = {
+    val nodes = t.documents.select(col("doc_id").as("v"))
+    val n = nodes.count() // 1-row scalar modulus, as in gr1..gr4
+    val ue = linkGraphUndirected(nodes, n)
+    val est = graft.functions.GraphFunctions.kmvNeighborhood(nodes, ue,
+      k = 16, seed = "gr5")
+    graft.functions.GraphFunctions.harmonicR2(nodes, ue)
+      .join(est, "v")
+      .select(col("v").as("doc_id"),
+        col("ball1_est"), col("ball2_est"),
+        (col("n1") + 1L).as("ball1_exact"),
+        (col("n1") + col("n2") + 1L).as("ball2_exact"))
+      .orderBy("doc_id")
+  }
+
   /** TS2 — rolling z-score anomaly detection over the hourly series:
     * for each (event_type, hour), the hour's total is flagged when it
     * sits more than 3 sigma from the mean of the 24 PRECEDING hours
@@ -2854,6 +2879,7 @@ object SparkEntry {
       "q_txt18_kl_drift" -> q(txt18),
       "q_gr3_kcore" -> q(gr3),
       "q_gr4_harmonic" -> q(gr4),
+      "q_gr5_kmv_neighborhood" -> q(gr5),
       "q_dd17_minhash_calibration" -> q(dd17),
       "q_w7_lag_delta" -> q(w7),
       "q_ts2_anomaly" -> q(ts2),

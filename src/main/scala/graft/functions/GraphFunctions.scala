@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -166,6 +166,51 @@ object GraphFunctions {
         coalesce(col("n2"), lit(0L)).as("n2"))
       .withColumn("harmonic_x840",
         col("n1") * lit(840L) + col("n2") * lit(420L))
+  }
+
+  /** Sketch-based neighborhood function (HyperBall's data flow with a
+    * KMV distinct-count sketch instead of HyperLogLog): per node, the
+    * estimated |ball(v, r)| for r = 1, 2 over an undirected simple
+    * graph, where ball includes the node itself. The KMV sketch of a
+    * set is its k smallest md5-derived 32-bit hashes — MERGEABLE
+    * (kmin(A ∪ B) = kmin(kmin(A) ∪ kmin(B))), so round r is one
+    * edge join + a k-min re-aggregation of round r−1's sketches:
+    * per-round state is O(nodes · k) regardless of how large the balls
+    * grow, which is the whole point at 100 TB (the exact form's state
+    * is the ball pair set itself — [[harmonicR2]]). Estimates are
+    * deterministic integers: a sketch smaller than k IS the exact
+    * count; a full sketch estimates (k−1) · 2³² div (kth-min + 1)
+    * (+1 so a zero hash cannot divide by zero) — the md5 draw and the
+    * integer arithmetic replay bit-identically in the oracle, the
+    * sampling ops' engine-portable-draw discipline.
+    *
+    * Output: (v, ball1_est, ball2_est). Calibration against the exact
+    * radius-2 truth is the companion query's job (gr5 joins
+    * [[harmonicR2]]'s counts — the sim8/dd17 exact-vs-approx pairing).
+    */
+  def kmvNeighborhood(nodes: DataFrame, edges: DataFrame, k: Int,
+      seed: String): DataFrame = {
+    require(k >= 2 && k <= 1024, s"kmv k $k outside [2, 1024]")
+    val adjS = edges.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("u")))
+      .unionAll(nodes.select(col("v"), col("v").as("u"))) // self: ball ∋ v
+    val h = conv(substring(
+        md5(concat(lit(seed + ":"), col("u").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    def kmin(df: DataFrame): DataFrame = df.groupBy("v")
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("sk"))
+    val s1 = kmin(adjS.select(col("v"), h.as("h")))
+    val s2 = kmin(adjS
+      .join(s1.select(col("v").as("u"), col("sk")), "u")
+      .select(col("v"), explode(col("sk")).as("h")))
+    val num = (k - 1).toLong * 4294967296L
+    // `div` (not `/`) keeps the estimate in exact integer arithmetic.
+    def est(skName: String): Column =
+      when(size(col(skName)) < k, size(col(skName)).cast("long"))
+        .otherwise(expr(
+          s"CAST(${num}L div (element_at($skName, $k) + 1L) AS BIGINT)"))
+    s1.withColumn("ball1_est", est("sk")).drop("sk")
+      .join(s2.withColumn("ball2_est", est("sk")).drop("sk"), "v")
   }
 
   /** The load-bearing step of [[triangleCounts]], exposed so its

@@ -178,6 +178,31 @@ class GraphFunctionsSpec extends SparkSpec {
     assert(tri == Set((2L, 0L)))
   }
 
+  test("kmvNeighborhood: below-k sketches are exact ball sizes; estimates land in the KMV error band") {
+    // Path 1-2-3: every ball is far below k=16, so the sketch IS the
+    // distinct-hash set and the estimate the exact ball size.
+    val nodes = Seq(1L, 2L, 3L).toDF("v")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = GraphFunctions.kmvNeighborhood(nodes, edges, k = 16, seed = "t")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    assert(r(1L) == ((2L, 3L))) // ball1 {1,2}, ball2 {1,2,3}
+    assert(r(2L) == ((3L, 3L)))
+    assert(r(3L) == ((2L, 3L)))
+
+    // Star K1,200: the hub's ball1 is 201 nodes — well above k, so the
+    // estimate path runs. KMV with k=16 has σ ≈ (k−2)^(−1/2) ≈ 27%;
+    // a [1/2, 2×] band is ~3.7σ. Determinism: two runs bit-equal.
+    val hubNodes = (0L to 200L).toDF("v")
+    val hubEdges = (1L to 200L).map(i => (0L, i)).toDF("a", "b")
+    def hubRun() = GraphFunctions
+      .kmvNeighborhood(hubNodes, hubEdges, k = 16, seed = "t")
+      .filter(col("v") === 0L).collect().map(x => x.getLong(1)).head
+    val est = hubRun()
+    assert(est >= 100L && est <= 402L, s"hub ball1 estimate $est off band")
+    assert(hubRun() == est) // deterministic draw: replayable
+  }
+
   test("a round plans as src-keyed equi-joins + one dst aggregation") {
     val (nodes, edges) = tiny
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
