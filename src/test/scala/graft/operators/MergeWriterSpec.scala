@@ -147,6 +147,54 @@ class MergeWriterSpec extends SparkSpec {
     assert(e.getMessage.contains("partitioned layout"))
   }
 
+  test("schema evolves across merges: new column null-backfills, updates never erase it") {
+    // The ingest plane's 30 handlers evolve independently; the store
+    // must absorb a batch that ADDS a column (old rows read null), a
+    // batch that OMITS it (rows keep nulls), and — the LWW subtlety —
+    // an UPDATE to a row that does not carry the column must not erase
+    // the value an earlier version wrote (backfillNulls' contract).
+    val path = tmpDir("evo") + "/t"
+    MergeWriter.merge(spark, Seq(("k1", 1L, "a")).toDF("key", "seqno", "v"),
+      path, Seq("key"), Seq("seqno"))
+
+    // b2 introduces `extra`.
+    MergeWriter.merge(spark,
+      Seq(("k2", 1L, "b", 42L)).toDF("key", "seqno", "v", "extra"),
+      path, Seq("key"), Seq("seqno"))
+    val afterAdd = spark.read.parquet(path)
+    assert(afterAdd.columns.toSet == Set("key", "seqno", "v", "extra"))
+    assert(afterAdd.filter(col("key") === "k1").head().isNullAt(
+      afterAdd.columns.indexOf("extra")))
+
+    // b3 omits it again; b4 UPDATES k2 without carrying it.
+    MergeWriter.merge(spark, Seq(("k3", 1L, "c")).toDF("key", "seqno", "v"),
+      path, Seq("key"), Seq("seqno"))
+    MergeWriter.merge(spark, Seq(("k2", 2L, "b2")).toDF("key", "seqno", "v"),
+      path, Seq("key"), Seq("seqno"))
+    val out = spark.read.parquet(path)
+      .select("key", "seqno", "v", "extra").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(out == Map(
+      "k1" -> ((1L, "a", None)),
+      "k2" -> ((2L, "b2", Some(42L))), // update won, extra backfilled
+      "k3" -> ((1L, "c", None))))
+
+    // Same contract through the bucketed writer (the accounts layout).
+    val bpath = tmpDir("evob") + "/t"
+    MergeWriter.mergeBucketed(spark,
+      Seq(("k1", 1L, "a")).toDF("key", "seqno", "v"),
+      bpath, Seq("key"), Seq("seqno"), "key", 4)
+    MergeWriter.mergeBucketed(spark,
+      Seq(("k1", 2L, "a2", 7L)).toDF("key", "seqno", "v", "extra"),
+      bpath, Seq("key"), Seq("seqno"), "key", 4)
+    val brow = spark.read.parquet(bpath)
+      .select("key", "seqno", "v", "extra").head()
+    assert((brow.getString(0), brow.getLong(1), brow.getString(2),
+      brow.getLong(3)) == (("k1", 2L, "a2", 7L)))
+  }
+
   test("day predicates prune partitions at the scan (PartitionFilters)") {
     val path = tmpDir("pprune") + "/facts"
     val b = (1 to 300).map(i =>
