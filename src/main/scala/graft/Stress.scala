@@ -389,6 +389,18 @@ object Stress {
       kcInfo = m.info
       SparkEntry.track(m) // released by the next measure()'s releaseTracked
     }
+    // KMV neighborhood on the SAME hub graph: the sketch's defining
+    // claim is hub-immunity — per-round state is nodes·k slots no
+    // matter that the hub's 2-hop ball is the entire graph (the exact
+    // pair materialization here would be ~Σ deg² ≈ the hub degree
+    // squared ≈ 10^10 rows). The hub's own ball-1 estimate doubles as
+    // an accuracy probe against known truth (= every node).
+    val gr5Run = measure("gr5_hub_kmv")(
+      functions.GraphFunctions.kmvNeighborhood(gNodes, gEdges, k = 16,
+        seed = "gr5"))
+    val hubBall1Est = functions.GraphFunctions
+      .kmvNeighborhood(gNodes, gEdges, k = 16, seed = "gr5")
+      .filter(col("v") === 0L).select("ball1_est").head().getLong(0)
     gEdges.unpersist()
 
     // ---------------- ANN probe stress (sim3's IVF configuration) -----
@@ -545,6 +557,14 @@ object Stress {
       s"gr3 hub k-core did not converge within the cap: $kcInfo")
     check(gr2Run.rows == nG && gr3Run.rows == nG,
       s"graph runs must cover every node: gr2=${gr2Run.rows} gr3=${gr3Run.rows}")
+    check(gr5Run.rows == nG,
+      s"gr5 KMV must estimate every node: ${gr5Run.rows} of $nG")
+    // The hub's true ball-1 is the whole graph (it is adjacent to every
+    // node); a [÷2, ×2] band is ~3.7σ for KMV at k=16 — and the draw is
+    // deterministic, so this is a fixed property of the corpus, not a
+    // flaky sample.
+    check(hubBall1Est * 2L >= nG && hubBall1Est <= nG * 2L,
+      s"hub ball1 estimate $hubBall1Est vs true $nG out of the KMV band")
     // sim3's probe: the hot mass must be contained in one cell (not
     // smeared by a degenerate fit) and the nprobe=3 probe must scan
     // materially less than brute force even with 30% of the corpus in
@@ -590,12 +610,14 @@ object Stress {
     sb ++= f"| j10 salt (8-way) vs unsalted | max task ${control.maxTaskMs}%,d ms | max task ${salted.maxTaskMs}%,d ms | hot key spread over 8 reducers |\n"
     sb ++= f"| gr2 degree-ordered orientation (wedge candidates, hub graph) | $naiveWedges%,d | $orientedWedges%,d | ${naiveWedges.toDouble / math.max(orientedWedges, 1)}%,.0f× fewer wedges; max out-degree $maxOutDeg%,d on m=$mEdges%,d |\n"
     sb ++= f"| gr3 k-core convergence exit (hub graph, cap 32) | 32-round cap | ${kcInfo.getOrElse("rounds_run", -1L)}%d rounds run | fixpoint exit engaged (converged=${kcInfo.getOrElse("converged", -1L)}%d) |\n"
+    sb ++= f"| gr5 KMV neighborhood vs exact 2-hop pair set (hub graph) | ${naiveWedges * 2}%,d wedge pairs | ${nG * 16}%,d sketch slots | hub ball-1 estimate $hubBall1Est%,d vs true $nG%,d |\n"
     sb ++= f"| sim3 IVF probe (nprobe=3 of nlist=8, hot cell $maxCell%,d vecs) | $bruteCand%,d brute-force probes | $probeCand%,d probed | ${bruteCand.toDouble / math.max(probeCand, 1)}%.1f× fewer candidates |\n"
     sb ++= f"| j6/j13 time-bucketed as-of (join comparisons, hot-user ±1 h) | $asofNaiveCmp%,d | $asofBucketCmp%,d | ${asofNaiveCmp.toDouble / math.max(asofBucketCmp, 1)}%,.0f× fewer; result identity verified (diff=$asofDiff) |\n\n"
     sb ++= "## Query runs (count() wall time; task times from listener)\n\n"
     sb ++= "| query | wall s | output rows | tasks | max task ms | p50 task ms |\n"
     sb ++= "|---|---|---|---|---|---|\n"
-    (runs :+ dd15Run :+ gr2Run :+ gr3Run :+ asofBRun :+ asofURun :+ control)
+    (runs :+ dd15Run :+ gr2Run :+ gr3Run :+ gr5Run :+ asofBRun :+ asofURun
+        :+ control)
       .foreach { r =>
       sb ++= f"| ${r.name} | ${r.wallSec}%.2f | ${r.rows}%,d | ${r.tasks}%d | ${r.maxTaskMs}%,d | ${r.p50TaskMs}%,d |\n"
     }
