@@ -1463,6 +1463,28 @@ object Oracles {
     // Shard manifest: assignment (md5 mod), token counts, and the
     // order-independent fingerprint xor all re-derive exactly — a
     // dropped/duplicated doc or a divergent checksum hash-mismatches.
+    // Token-budget shard cutting: the same md5-draw corpus order and
+    // start-offset rule; the engine's two-level distributed prefix sum
+    // collapses to ONE global running-sum window on a single node —
+    // identical arithmetic, so the replay is exact.
+    "q_samp10_token_shards" ->
+      raw"""WITH a AS (SELECT doc_id,
+        |            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                 ELSE len(string_split_regex(trim(text), '\s+')) END
+        |              AS BIGINT) AS n_tokens,
+        |            substr(md5('samp10:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |              AS draw
+        |          FROM documents),
+        |  c AS (SELECT doc_id, n_tokens,
+        |          CAST(COALESCE(SUM(n_tokens) OVER (
+        |            ORDER BY draw, doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS BIGINT) AS offset_tokens
+        |        FROM a)
+        |SELECT doc_id, n_tokens, offset_tokens,
+        |       CAST(offset_tokens // 4096 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_samp6_shard_manifest" ->
       raw"""WITH a AS (SELECT doc_id,
         |            CAST(('0x' || substr(md5('shard16:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard,

@@ -204,6 +204,11 @@ object PlanAudit {
     // shard manifest: per-row assignment + ONE hash aggregation keyed
     // by shard (bounded xor/sum state) — no window, no join
     "q_samp6_shard_manifest" -> Seq("HashAggregate", "!Window", "!Join"),
+    // token-shard prefix sum: the corpus-scale running total windows
+    // PARTITIONED BY the draw bucket (never one global partition over
+    // raw rows); the 256-row offset table comes back as a broadcast
+    "q_samp10_token_shards" -> Seq("windowspecdefinition\\(__b",
+      "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"),
     // HTML extraction: one codegen'd regexp chain per row — no join,
     // window or aggregate may ever appear
     "q_txt14_html_extract" -> Seq("codegen id", "!Join", "!Window",

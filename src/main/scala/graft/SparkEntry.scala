@@ -2432,6 +2432,23 @@ object SparkEntry {
       .limit(100)
       .select("doc_id", "lang", "logw_1024", "n_features")
 
+  /** SAMP10 — token-budgeted shard cutting (the export-plane step
+    * samp6's count-balanced shards cannot provide: training exports
+    * budget TOKENS, and document length skews count-balanced shards).
+    * Corpus order is the deterministic md5 draw (ties by id); a doc's
+    * shard is the budget slice its cumulative start offset falls in.
+    * The running total is a DISTRIBUTED two-level prefix sum (256
+    * draw-prefix buckets: bucket totals → bounded 256-row offset
+    * window, broadcast back; within-bucket running sums partitioned by
+    * bucket) — nothing windows the corpus in one partition; the oracle
+    * replays the same order with one global window, which is exactly
+    * the single-node collapse of the same prefix sum. */
+  private def samp10(t: Tables): DataFrame =
+    SampleFunctions.packShardsByBudget(t.documents, "doc_id",
+        TextFunctions.tokenCount(col("text")), budgetTokens = 4096L,
+        seed = "samp10")
+      .orderBy("doc_id")
+
   /** SIM10 — IVF recall vs nprobe: recall@5 of the IVF path at
     * nprobe ∈ {1, 2, 4} against the exact cosine top-5, one shared
     * quantizer — the cells-scanned-vs-recall curve that completes the
@@ -2864,6 +2881,7 @@ object SparkEntry {
       "q_a10_cube" -> q(a10),
       "q_samp8_coverage_sample" -> q(samp8),
       "q_samp9_dsir" -> q(samp9),
+      "q_samp10_token_shards" -> q(samp10),
       "q_a11_pivot" -> q(a11),
       "q_inc2_sketch_merge" -> q(inc2),
       "q_inc3_topk_sketch" -> q(inc3),

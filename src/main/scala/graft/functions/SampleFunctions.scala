@@ -127,6 +127,51 @@ object SampleFunctions {
         (col("__start") % lit(budgetTokens)).as("seq_offset"))
   }
 
+  /** Token-budgeted shard CUTTING over a deterministic corpus order —
+    * the export-plane primitive [[shardAssign]] cannot give: shards of
+    * ≈`budgetTokens` each (count-balanced shards skew by document
+    * length; training exports budget TOKENS). Documents are laid out in
+    * [[hashDraw]] order (ties by id) and a document belongs to the
+    * shard its cumulative START offset falls in — so the boundary
+    * sequence, hence every assignment, is a pure function of the
+    * corpus, reproducible by any engine.
+    *
+    * Scale shape — a DISTRIBUTED PREFIX SUM, not a global-order window:
+    * the draw's first two hex chars are 256 buckets that are prefixes
+    * of the order itself (fixed-width hex sorts like the number), so
+    * the running total decomposes into (a) per-bucket token totals → a
+    * 256-row cumulative offset table (bounded window, broadcast back)
+    * plus (b) a within-bucket running sum whose window partition is
+    * ~corpus/256 — the agg-before-window discipline; nothing ever
+    * sorts or windows the corpus in one partition. More buckets =
+    * a longer draw prefix, same two levels.
+    *
+    * Output: id, `n_tokens`, `offset_tokens` (tokens strictly before
+    * the doc in corpus order), `shard` = offset div budget. */
+  def packShardsByBudget(df: DataFrame, idCol: String, tokens: Column,
+      budgetTokens: Long, seed: String): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens $budgetTokens must be positive")
+    val base = df.select(col(idCol), tokens.cast("long").as("n_tokens"),
+        hashDraw(col(idCol), seed).as("__draw"))
+      .withColumn("__b", substring(col("__draw"), 1, 2))
+    val offW = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ 256 rows: the one intentionally-global window, bounded by
+    // construction (same contract as ts1/ts2's agg-before-window).
+    val offsets = base.groupBy("__b").agg(sum("n_tokens").as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(offW), lit(0L)))
+      .select("__b", "__off")
+    val w = Window.partitionBy("__b")
+      .orderBy(col("__draw"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "__b")
+      .withColumn("offset_tokens",
+        col("__off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("offset_tokens"),
+        expr(s"CAST(offset_tokens div ${budgetTokens}L AS BIGINT)")
+          .as("shard"))
+  }
+
   /** Deterministic shard id in [0, numShards): the 32-bit [[hashDraw]]
     * mod the shard count. Stable under repartition/retry/engine (the
     * same hex→int mod is one CAST in DuckDB), uniform to within the

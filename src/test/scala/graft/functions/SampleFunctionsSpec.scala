@@ -143,6 +143,42 @@ class SampleFunctionsSpec extends SparkSpec {
     assert(kept.forall(!_.isNullAt(0)))
   }
 
+  test("packShardsByBudget: two-level prefix sum equals the global cumsum; budgets respected") {
+    // 2,000 docs with deterministic pseudo-random token counts; the
+    // operator's bucket-decomposed running total must equal a direct
+    // driver-side cumulative sum over the same (draw, id) order.
+    val docs = ids.select(col("id"),
+      (pmod(xxhash64(col("id")), lit(97L)) + 1L).as("tok"))
+    val out = SampleFunctions.packShardsByBudget(docs, "id", col("tok"),
+        budgetTokens = 1000L, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): String = md.digest(s"t:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val ordered = out.sortBy(x => (draw(x._1), x._1))
+    var cum = 0L
+    ordered.foreach { case (_, tok, offset, shard) =>
+      assert(offset == cum, s"offset $offset != driver cumsum $cum")
+      assert(shard == cum / 1000L)
+      cum += tok
+    }
+    // Interior shards hold ≥ budget − max_tok tokens: no premature cut.
+    val byShard = ordered.groupBy(_._4).toSeq.sortBy(_._1)
+    val maxTok = ordered.map(_._2).max
+    byShard.dropRight(1).foreach { case (s, rows) =>
+      val tot = rows.map(_._2).sum
+      assert(tot + maxTok >= 1000L, s"shard $s undersized: $tot")
+    }
+    // Stability under repartition (the prefix sum must not depend on
+    // physical layout).
+    val again = SampleFunctions.packShardsByBudget(docs.repartition(13),
+        "id", col("tok"), budgetTokens = 1000L, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.forall { case (id, _, off, _) => again(id) == off })
+  }
+
   test("dsirLogWeights matches a driver-side integer replay exactly") {
     // Independent reference: same model re-derived in plain Scala with
     // its own md5 + integer-log code — any drift in hashing, smoothing,
