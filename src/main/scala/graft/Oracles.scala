@@ -1463,6 +1463,8 @@ object Oracles {
     // Shard manifest: assignment (md5 mod), token counts, and the
     // order-independent fingerprint xor all re-derive exactly — a
     // dropped/duplicated doc or a divergent checksum hash-mismatches.
+    "q_txt19_bpe_merges" -> bpeMergesSql(6),
+
     // Token-budget shard cutting: the same md5-draw corpus order and
     // start-offset rule; the engine's two-level distributed prefix sum
     // collapses to ONE global running-sum window on a single node —
@@ -2660,6 +2662,49 @@ object Oracles {
   /** Full replay of GraphFunctions.kCore as chained CTEs: one alive-set
     * CTE per peel round (degree counted within the survivors, filter
     * ≥ k), then final degrees within the surviving subgraph. */
+  /** BPE merge-learning replay: every round is (pair counts over the
+    * current vocab encodings) → (argmax with the md5 tie-break) →
+    * (left-to-right greedy fold applying the merge), chained as CTEs.
+    * `list_reduce` here and `aggregate` in the engine run the SAME
+    * accumulator logic on chr(31)-joined symbol strings, so "aaa" with
+    * merge (a,a) folds to [aa, a] on both sides. */
+  private def bpeMergesSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= raw"""WITH vw AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      |    FROM (SELECT unnest(string_split($norm, ' ')) AS w
+      |          FROM documents) tw
+      |    WHERE regexp_full_match(w, '[a-z0-9]+')
+      |    GROUP BY w),
+      |  v0 AS (SELECT array_to_string(string_split(w, ''), chr(31)) AS enc,
+      |                cnt
+      |         FROM vw)""".stripMargin
+    for (r <- 1 to n) {
+      val pv = s"v${r - 1}"
+      sb ++= s""",
+      |  g$r AS (SELECT unnest(range(1, len(sy))) AS i, sy, cnt
+      |          FROM (SELECT string_split(enc, chr(31)) AS sy, cnt
+      |                FROM $pv) s$r),
+      |  p$r AS (SELECT sy[i] AS l, sy[i + 1] AS r2,
+      |                 CAST(SUM(cnt) AS BIGINT) AS c
+      |          FROM g$r GROUP BY 1, 2),
+      |  b$r AS (SELECT l, r2, c FROM p$r
+      |          ORDER BY c DESC, md5(l || chr(31) || r2) LIMIT 1),
+      |  v$r AS (SELECT list_reduce(string_split(v.enc, chr(31)), (acc, x) ->
+      |            CASE WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l))
+      |                  AND x = b.r2
+      |                 THEN substr(acc, 1, length(acc) - length(b.l))
+      |                      || b.l || b.r2
+      |                 ELSE acc || chr(31) || x END) AS enc, v.cnt
+      |          FROM $pv v CROSS JOIN b$r b)""".stripMargin
+    }
+    sb ++= "\n" + (1 to n).map(r =>
+      s"SELECT $r AS merge_rank, l AS pair_left, r2 AS pair_right, " +
+        s"l || r2 AS merged, c AS weight FROM b$r")
+      .mkString("\nUNION ALL ")
+    sb ++= "\nORDER BY merge_rank"
+    sb.toString
+  }
+
   private def kCoreSql(k: Int, rounds: Int): String = {
     val head =
       s"""WITH nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),

@@ -2432,6 +2432,19 @@ object SparkEntry {
       .limit(100)
       .select("doc_id", "lang", "logw_1024", "n_features")
 
+  /** TXT19 — BPE merge LEARNING (tokenizer training's core loop) over
+    * the documents corpus: the 6 most frequent adjacent symbol-pair
+    * merges, learned iteratively (pair counts recomputed after every
+    * fusion — iteration is semantic, exactly like gr1's rounds). The
+    * corpus collapses to distinct words+counts ONCE; every round then
+    * runs at vocabulary scale (Heaps' law: ≪ corpus). The oracle
+    * replays all 6 rounds as chained CTEs with the identical
+    * left-to-right greedy fold (list_reduce ≙ aggregate) and md5
+    * tie-break, so the learned table matches bit-for-bit. */
+  private def txt19(t: Tables): DataFrame =
+    TextFunctions.learnBpeMerges(t.documents, "text", nMerges = 6)
+      .orderBy("merge_rank")
+
   /** SAMP10 — token-budgeted shard cutting (the export-plane step
     * samp6's count-balanced shards cannot provide: training exports
     * budget TOKENS, and document length skews count-balanced shards).
@@ -2882,6 +2895,7 @@ object SparkEntry {
       "q_samp8_coverage_sample" -> q(samp8),
       "q_samp9_dsir" -> q(samp9),
       "q_samp10_token_shards" -> q(samp10),
+      "q_txt19_bpe_merges" -> q(txt19),
       "q_a11_pivot" -> q(a11),
       "q_inc2_sketch_merge" -> q(inc2),
       "q_inc3_topk_sketch" -> q(inc3),

@@ -275,6 +275,96 @@ object TextFunctions {
   def normalize(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
 
+  /** BPE merge LEARNING over the corpus (tokenizer training's core
+    * loop, Sennrich et al. 2016): repeatedly find the most frequent
+    * adjacent symbol pair across the vocabulary and fuse it, returning
+    * the learned merge table (rank, pair, fused symbol, weighted pair
+    * count). The txt4 tokenizer APPLIES merges; this learns them.
+    *
+    * Scale shape — the defining trick: the corpus-scale work is ONE
+    * aggregation (distinct words with occurrence counts); every merge
+    * round then runs on the VOCABULARY (≪ corpus — Heaps' law), so N
+    * rounds cost N vocab-scale passes, not N corpus scans. Per round:
+    * one pair-count aggregation + a 1-row argmax (bounded driver read,
+    * the pageRank-scalar pattern) + one map-side fold rewriting each
+    * word's symbol string; vocab persists ping-pong like pageRank's
+    * ranks.
+    *
+    * Engine-exact by construction: symbol sequences are chr(31)-joined
+    * strings; the merge applies as a LEFT-TO-RIGHT greedy fold
+    * (`aggregate` here, `list_reduce` in the oracle — same
+    * accumulator logic, so "aaa" + merge(a,a) → [aa, a] in both);
+    * argmax ties break on md5 of the pair (collation-free). Learning
+    * runs over the ASCII word core (`[a-z0-9]+` after [[normalize]]) —
+    * the standard pre-tokenizer split, and what keeps char indexing
+    * and ordering identical across engines. */
+  def learnBpeMerges(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"nMerges $nMerges outside [1, 64]")
+    val spark = docs.sparkSession
+    val SEP = "\u001f"
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var vocab = docs
+      .select(explode(split(normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat_ws(SEP, split(col("w"), "")).as("enc"), col("cnt"))
+      .persist(lvl)
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      // Positional pair counts (repeats within a word each count, the
+      // standard formulation) → deterministic argmax: 1 row to the
+      // driver, never row data.
+      val best = vocab
+        .select(split(col("enc"), SEP).as("sy"), col("cnt"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1), " +
+            "(a, b) -> struct(a AS l, b AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc,
+          md5(concat(col("l"), lit(SEP), col("r")).cast("binary")).asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val l = best(0).getString(0)
+        val rt = best(0).getString(1)
+        merges += ((r + 1, l, rt, best(0).getLong(2)))
+        // Greedy left-to-right fold; the merge rides in as literal
+        // columns so symbols never interpolate into SQL text.
+        val next = vocab
+          .withColumn("__l", lit(l)).withColumn("__r", lit(rt))
+          .withColumn("enc", expr(
+            "aggregate(slice(split(enc, char(31)), 2, " +
+              "size(split(enc, char(31))) - 1), " +
+              "element_at(split(enc, char(31)), 1), " +
+              "(acc, x) -> CASE WHEN (acc = __l " +
+              "OR endswith(acc, concat(char(31), __l))) AND x = __r " +
+              "THEN concat(substring(acc, 1, length(acc) - length(__l)), " +
+              "__l, __r) " +
+              "ELSE concat(acc, char(31), x) END)"))
+          .select("enc", "cnt")
+          .persist(lvl)
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        r += 1
+      }
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "pair_left", "pair_right", "weight")
+      .select(col("merge_rank"), col("pair_left"), col("pair_right"),
+        concat(col("pair_left"), col("pair_right")).as("merged"),
+        col("weight"))
+  }
+
   /** 128-bit content fingerprint (md5 of normalized text). Used for exact
     * dedup grouping: identical normalized content ⇒ identical fingerprint. */
   def fingerprint(text: Column): Column =

@@ -17,6 +17,29 @@ class TextDedupSpec extends SparkSpec {
     (5L, "el gato y el perro juegan en la casa de la abuela con el niño")
   ).toDF("doc_id", "text")
 
+  test("learnBpeMerges: hand-computed merge sequence, greedy fold, early stop (TXT19)") {
+    // Corpus: "aaab"×4 (one via lowercasing "AAAB") and "ab"×2, plus
+    // non-ASCII/punctuated words the learner must ignore. Round 1:
+    // (a,a) appears 2×4=8 times (overlaps count positionally), (a,b)
+    // 4+2=6 → merge (a,a)→aa w=8; the GREEDY fold turns aaab into
+    // [aa, a, b] — never the overlapping [aa, aa]. Round 2: (a,b)
+    // 4+2=6 beats (aa,a) 4 → merge (a,b) w=6. Round 3: aaab is
+    // [aa, ab] → (aa,ab) w=4. Round 4: every word is one symbol —
+    // learning STOPS at 3 merges though 5 were asked.
+    val corpus = Seq(
+      (1L, "aaab AAAB ab héllo x-y"),
+      (2L, "aaab ab aaab")
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.learnBpeMerges(corpus, "text", nMerges = 5)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", "aa", 8L),
+      (2, "a", "b", "ab", 6L),
+      (3, "aa", "ab", "aaab", 4L)))
+  }
+
   test("html extraction: boilerplate dropped, tags stripped, entities decoded (TXT14)") {
     val page = Seq((1L,
       """<html><head><title>My Page</title><style>p{color:red}</style>
