@@ -1464,6 +1464,7 @@ object Oracles {
     // order-independent fingerprint xor all re-derive exactly — a
     // dropped/duplicated doc or a divergent checksum hash-mismatches.
     "q_txt19_bpe_merges" -> bpeMergesSql(6),
+    "q_txt20_bpe_vocab" -> bpeVocabSql(6),
 
     // Token-budget shard cutting: the same md5-draw corpus order and
     // start-offset rule; the engine's two-level distributed prefix sum
@@ -2668,14 +2669,15 @@ object Oracles {
     * `list_reduce` here and `aggregate` in the engine run the SAME
     * accumulator logic on chr(31)-joined symbol strings, so "aaa" with
     * merge (a,a) folds to [aa, a] on both sides. */
-  private def bpeMergesSql(n: Int): String = {
+  private def bpeChainSql(n: Int): String = {
     val sb = new StringBuilder
     sb ++= raw"""WITH vw AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
       |    FROM (SELECT unnest(string_split($norm, ' ')) AS w
       |          FROM documents) tw
       |    WHERE regexp_full_match(w, '[a-z0-9]+')
       |    GROUP BY w),
-      |  v0 AS (SELECT array_to_string(string_split(w, ''), chr(31)) AS enc,
+      |  v0 AS (SELECT w,
+      |                array_to_string(string_split(w, ''), chr(31)) AS enc,
       |                cnt
       |         FROM vw)""".stripMargin
     for (r <- 1 to n) {
@@ -2689,7 +2691,8 @@ object Oracles {
       |          FROM g$r GROUP BY 1, 2),
       |  b$r AS (SELECT l, r2, c FROM p$r
       |          ORDER BY c DESC, md5(l || chr(31) || r2) LIMIT 1),
-      |  v$r AS (SELECT list_reduce(string_split(v.enc, chr(31)), (acc, x) ->
+      |  v$r AS (SELECT v.w,
+      |            list_reduce(string_split(v.enc, chr(31)), (acc, x) ->
       |            CASE WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l))
       |                  AND x = b.r2
       |                 THEN substr(acc, 1, length(acc) - length(b.l))
@@ -2697,13 +2700,25 @@ object Oracles {
       |                 ELSE acc || chr(31) || x END) AS enc, v.cnt
       |          FROM $pv v CROSS JOIN b$r b)""".stripMargin
     }
-    sb ++= "\n" + (1 to n).map(r =>
-      s"SELECT $r AS merge_rank, l AS pair_left, r2 AS pair_right, " +
-        s"l || r2 AS merged, c AS weight FROM b$r")
-      .mkString("\nUNION ALL ")
-    sb ++= "\nORDER BY merge_rank"
     sb.toString
   }
+
+  private def bpeMergesSql(n: Int): String =
+    bpeChainSql(n) + "\n" + (1 to n).map(r =>
+      s"SELECT $r AS merge_rank, l AS pair_left, r2 AS pair_right, " +
+        s"l || r2 AS merged, c AS weight FROM b$r")
+      .mkString("\nUNION ALL ") +
+      "\nORDER BY merge_rank"
+
+  /** The learned tokenizer applied to the vocabulary: the chain's final
+    * encodings, segmented with spaces. */
+  private def bpeVocabSql(n: Int): String =
+    bpeChainSql(n) +
+      s"""
+      |SELECT w AS word, cnt AS n_occurrences,
+      |       CAST(len(string_split(enc, chr(31))) AS BIGINT) AS n_tokens,
+      |       replace(enc, chr(31), ' ') AS segmented
+      |FROM v$n ORDER BY word""".stripMargin
 
   private def kCoreSql(k: Int, rounds: Int): String = {
     val head =

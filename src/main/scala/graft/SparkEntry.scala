@@ -2445,6 +2445,15 @@ object SparkEntry {
     TextFunctions.learnBpeMerges(t.documents, "text", nMerges = 6)
       .orderBy("merge_rank")
 
+  /** TXT20 — the learned tokenizer APPLIED (train→apply end-to-end):
+    * each vocabulary word segmented under txt19's merges, with token
+    * counts. Application is a static chain of the same greedy fold —
+    * no iteration at eval time; tokenizing the full corpus is then a
+    * broadcast vocab join onto exploded words. */
+  private def txt20(t: Tables): DataFrame =
+    TextFunctions.bpeVocabulary(t.documents, "text", nMerges = 6)
+      .orderBy("word")
+
   /** SAMP10 — token-budgeted shard cutting (the export-plane step
     * samp6's count-balanced shards cannot provide: training exports
     * budget TOKENS, and document length skews count-balanced shards).
@@ -2896,6 +2905,7 @@ object SparkEntry {
       "q_samp9_dsir" -> q(samp9),
       "q_samp10_token_shards" -> q(samp10),
       "q_txt19_bpe_merges" -> q(txt19),
+      "q_txt20_bpe_vocab" -> q(txt20),
       "q_a11_pivot" -> q(a11),
       "q_inc2_sketch_merge" -> q(inc2),
       "q_inc3_topk_sketch" -> q(inc3),

@@ -300,17 +300,71 @@ object TextFunctions {
     * and ordering identical across engines. */
   def learnBpeMerges(docs: DataFrame, textCol: String,
       nMerges: Int): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 64,
-      s"nMerges $nMerges outside [1, 64]")
     val spark = docs.sparkSession
-    val SEP = "\u001f"
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var vocab = docs
-      .select(explode(split(normalize(col(textCol)), " ")).as("w"))
+    import spark.implicits._
+    bpeLearn(docs, textCol, nMerges)
+      .toDF("merge_rank", "pair_left", "pair_right", "weight")
+      .select(col("merge_rank"), col("pair_left"), col("pair_right"),
+        concat(col("pair_left"), col("pair_right")).as("merged"),
+        col("weight"))
+  }
+
+  /** The learned tokenizer APPLIED: each vocabulary word with its
+    * occurrence count, token count, and segmentation under the merges
+    * [[learnBpeMerges]] learns from the SAME corpus - train-then-apply
+    * in one call. Application is a STATIC chain of the same greedy
+    * fold, one stage per learned merge, evaluated lazily over the base
+    * vocabulary (no iteration at eval time - learning's argmax loop
+    * already fixed the merges as fold literals). `segmented` joins
+    * symbols with spaces (symbols are `[a-z0-9]+` substrings, so the
+    * space is unambiguous). Tokenizing the FULL corpus is then a
+    * broadcast join of this vocabulary onto exploded words - word
+    * tokenization is a pure vocab lookup by construction. */
+  def bpeVocabulary(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    val fin = bpeLearn(docs, textCol, nMerges)
+      .foldLeft(baseBpeVocab(docs, textCol)) {
+        case (df, (_, l, r, _)) => foldBpeMerge(df, l, r)
+      }
+    fin.select(col("w").as("word"), col("cnt").as("n_occurrences"),
+      size(split(col("enc"), BpeSep)).cast("long").as("n_tokens"),
+      replace(col("enc"), lit(BpeSep), lit(" ")).as("segmented"))
+  }
+
+  private val BpeSep = "\u001f"
+
+  /** Distinct ASCII-core words with counts, char-split into
+    * [[BpeSep]]-joined symbol strings - the ONE corpus-scale step of
+    * BPE learning. */
+  private def baseBpeVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(normalize(col(textCol)), " ")).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(concat_ws(SEP, split(col("w"), "")).as("enc"), col("cnt"))
-      .persist(lvl)
+      .select(col("w"), concat_ws(BpeSep, split(col("w"), "")).as("enc"),
+        col("cnt"))
+
+  /** One greedy left-to-right fold applying merge (l, r); the merge
+    * rides in as literal columns so symbols never interpolate into SQL
+    * text. */
+  private def foldBpeMerge(df: DataFrame, l: String, r: String): DataFrame =
+    df.withColumn("__l", lit(l)).withColumn("__r", lit(r))
+      .withColumn("enc", expr(
+        "aggregate(slice(split(enc, char(31)), 2, " +
+          "size(split(enc, char(31))) - 1), " +
+          "element_at(split(enc, char(31)), 1), " +
+          "(acc, x) -> CASE WHEN (acc = __l " +
+          "OR endswith(acc, concat(char(31), __l))) AND x = __r " +
+          "THEN concat(substring(acc, 1, length(acc) - length(__l)), " +
+          "__l, __r) " +
+          "ELSE concat(acc, char(31), x) END)"))
+      .select("w", "enc", "cnt")
+
+  private def bpeLearn(docs: DataFrame, textCol: String,
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"nMerges $nMerges outside [1, 64]")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var vocab = baseBpeVocab(docs, textCol).persist(lvl)
     vocab.count()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
@@ -318,10 +372,10 @@ object TextFunctions {
     var done = false
     while (r < nMerges && !done) {
       // Positional pair counts (repeats within a word each count, the
-      // standard formulation) → deterministic argmax: 1 row to the
+      // standard formulation) -> deterministic argmax: 1 row to the
       // driver, never row data.
       val best = vocab
-        .select(split(col("enc"), SEP).as("sy"), col("cnt"))
+        .select(split(col("enc"), BpeSep).as("sy"), col("cnt"))
         .filter(size(col("sy")) >= 2)
         .select(col("cnt"), explode(expr(
           "zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1), " +
@@ -329,28 +383,14 @@ object TextFunctions {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("cnt").as("c"))
         .orderBy(col("c").desc,
-          md5(concat(col("l"), lit(SEP), col("r")).cast("binary")).asc)
+          md5(concat(col("l"), lit(BpeSep), col("r")).cast("binary")).asc)
         .limit(1).collect()
       if (best.isEmpty) done = true
       else {
         val l = best(0).getString(0)
         val rt = best(0).getString(1)
         merges += ((r + 1, l, rt, best(0).getLong(2)))
-        // Greedy left-to-right fold; the merge rides in as literal
-        // columns so symbols never interpolate into SQL text.
-        val next = vocab
-          .withColumn("__l", lit(l)).withColumn("__r", lit(rt))
-          .withColumn("enc", expr(
-            "aggregate(slice(split(enc, char(31)), 2, " +
-              "size(split(enc, char(31))) - 1), " +
-              "element_at(split(enc, char(31)), 1), " +
-              "(acc, x) -> CASE WHEN (acc = __l " +
-              "OR endswith(acc, concat(char(31), __l))) AND x = __r " +
-              "THEN concat(substring(acc, 1, length(acc) - length(__l)), " +
-              "__l, __r) " +
-              "ELSE concat(acc, char(31), x) END)"))
-          .select("enc", "cnt")
-          .persist(lvl)
+        val next = foldBpeMerge(vocab, l, rt).persist(lvl)
         next.count()
         vocab.unpersist()
         vocab = next
@@ -358,11 +398,7 @@ object TextFunctions {
       }
     }
     vocab.unpersist()
-    import spark.implicits._
-    merges.toSeq.toDF("merge_rank", "pair_left", "pair_right", "weight")
-      .select(col("merge_rank"), col("pair_left"), col("pair_right"),
-        concat(col("pair_left"), col("pair_right")).as("merged"),
-        col("weight"))
+    merges.toSeq
   }
 
   /** 128-bit content fingerprint (md5 of normalized text). Used for exact

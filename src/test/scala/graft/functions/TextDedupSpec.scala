@@ -40,6 +40,21 @@ class TextDedupSpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 4L)))
   }
 
+  test("bpeVocabulary: segmentation under the learned merges matches the fold by hand (TXT20)") {
+    val corpus = Seq(
+      (1L, "aaab AAAB ab héllo x-y"),
+      (2L, "aaab ab aaab")
+    ).toDF("doc_id", "text")
+    // Merges learned: (a,a)→aa, (a,b)→ab, (aa,ab)→aaab (see TXT19
+    // test). Applying all three: aaab → [aaab] (1 token), ab → [ab].
+    val got = TextFunctions.bpeVocabulary(corpus, "text", nMerges = 5)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("aaab", 4L, 1L, "aaab"),
+      ("ab", 2L, 1L, "ab")))
+  }
+
   test("html extraction: boilerplate dropped, tags stripped, entities decoded (TXT14)") {
     val page = Seq((1L,
       """<html><head><title>My Page</title><style>p{color:red}</style>
