@@ -23,6 +23,12 @@ object HarnessSession {
       // watermark/unix_micros surfaces, not TIMESTAMP_NTZ
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write timestamps as physical INT64 micros, not legacy INT96:
+      // parquet predicate pushdown / row-group min-max pruning only
+      // exist for INT64-backed timestamps, and the silver store's
+      // clustered layouts rely on that for time-slice scans (Verify
+      // pins the same value for the oracle dumps)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)

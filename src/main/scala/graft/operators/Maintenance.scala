@@ -79,13 +79,23 @@ object Maintenance {
     * bytes it rewrites (sampled range partitioner, so output files stay
     * byte-balanced even under value skew), packing pays none. Compaction
     * still triggers on fragmentation only — an already-compact partition
-    * is not rewritten just to sort it. */
+    * is not rewritten just to sort it.
+    *
+    * `targetFiles` pins the output file count per rewritten unit
+    * directly, overriding the byte-derived `ceil(bytes/targetFileBytes)`.
+    * The byte rule mis-sizes exactly when compaction matters most: a
+    * badly fragmented partition's bytes are mostly per-file footer
+    * overhead, so the byte-derived count can EXCEED the fragment count
+    * and skip the fold entirely. Production sizes by bytes; benches and
+    * small stores pin the count. */
   def compact(
       spark: SparkSession,
       path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      sortCol: Option[String] = None): CompactReport = {
+      sortCol: Option[String] = None,
+      targetFiles: Option[Int] = None): CompactReport = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(targetFiles.forall(_ > 0), "targetFiles must be positive")
     val io = MergeWriter.io
     if (!io.exists(path))
       return CompactReport(0, 0, 0, 0L, 0L, 0L)
@@ -100,7 +110,7 @@ object Maintenance {
       if (BucketedLayout.looksBucketed(path))
         return CompactReport(1, 0, 1, files.size.toLong, files.size.toLong, 0L)
       val bytes = files.map(_._2).sum
-      val need = needFiles(bytes, targetFileBytes)
+      val need = targetFiles.getOrElse(needFiles(bytes, targetFileBytes))
       if (files.size <= need)
         return CompactReport(1, 0, 0, files.size.toLong, files.size.toLong, 0L)
       MergeWriter.writeAndSwap(narrow(spark.read.parquet(path), need, sortCol), path)
@@ -117,7 +127,7 @@ object Maintenance {
           skipped += 1; after += files.size
         } else if (files.nonEmpty) {
           val bytes = files.map(_._2).sum
-          val need = needFiles(bytes, targetFileBytes)
+          val need = targetFiles.getOrElse(needFiles(bytes, targetFileBytes))
           if (files.size > need) {
             // Hive-style partition files don't carry the partition
             // column, and the rewrite puts the same dir back in place,

@@ -52,6 +52,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 20000)
   }
 
+  test("targetFiles pins the output count where the byte rule would skip the fold") {
+    // A badly fragmented table's bytes are mostly per-file footer
+    // overhead, so a small byte target can compute need ≥ the fragment
+    // count and skip compaction entirely — the override exists for
+    // exactly this shape (and for pinning a clustered range-file count).
+    val path = tmpDir("ctfiles") + "/t"
+    spark.range(0, 400).select(col("id"), (col("id") % 5).as("v"))
+      .repartition(16).write.parquet(path)
+    assert(dataFiles(path).size == 16)
+    val bytes = Option(new java.io.File(path).listFiles()).get
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.length()).sum
+    // Byte rule with this target computes need ≥ 16 → would skip.
+    val tinyTarget = bytes / 20
+    val skipped = Maintenance.compact(spark, path, targetFileBytes = tinyTarget)
+    assert(skipped.rewritten == 0 && skipped.filesAfter == 16)
+    // The pinned count folds regardless, clustered on id.
+    val r = Maintenance.compact(spark, path, targetFileBytes = tinyTarget,
+      sortCol = Some("id"), targetFiles = Some(3))
+    assert(r.rewritten == 1 && r.filesAfter == 3, r.toString)
+    assert(spark.read.parquet(path).count() == 400)
+    // Rerun at the same pin: already compact, no rewrite.
+    val r2 = Maintenance.compact(spark, path, targetFiles = Some(3))
+    assert(r2.rewritten == 0 && r2.filesAfter == 3)
+  }
+
   test("partitioned compact rewrites only over-fragmented partitions; sidecar stays valid (no heal rescan)") {
     val path = tmpDir("cpart") + "/t"
     val b1 = (1 to 40).map(i => (s"k$i", f"2024-06-${i % 2 + 1}%02d", 1L, i))
