@@ -351,11 +351,22 @@ final class SilverStore(spark: SparkSession, dir: String) {
         .when(col("receiver_id") === c.donate, "donate")
         .when(col("receiver_id") === c.social, "social")
         .otherwise("other")
-      val methodsPresent: Set[(String, String)] = acts
-        .select(col("method_name"), cls.as("cls")).distinct()
-        .collect().map(r => (r.getString(0), r.getString(1))).toSet
-      val eventsPresent: Set[String] = evts
-        .select("event_name").distinct().collect().map(_.getString(0)).toSet
+      // Both probes ride ONE Spark job: methods and events union into a
+      // single distinct+collect (the "__event" class can't collide with a
+      // receiver class). At single-block live-tail triggers the per-batch
+      // job count IS the latency, so sequential driver probes are paid
+      // once, not twice.
+      val probeRows = acts
+        .select(col("method_name").as("k"), cls.as("cls"))
+        .unionByName(evts.select(col("event_name").as("k"),
+          lit("__event").as("cls")))
+        .distinct().collect()
+      val methodsPresent: Set[(String, String)] = probeRows
+        .collect { case r if r.getString(1) != "__event" =>
+          (r.getString(0), r.getString(1)) }.toSet
+      val eventsPresent: Set[String] = probeRows
+        .collect { case r if r.getString(1) == "__event" => r.getString(0) }
+        .toSet
       def has(m: String, classes: String*): Boolean =
         classes.exists(cl => methodsPresent((m, cl)))
       val donateHit = Seq("donate", "handle_protocol_fee_callback",

@@ -129,6 +129,22 @@ object MergeWriter {
     * [[BucketedLayout.registerExternal]]. Rows are repartitioned to the
     * bucket spec before the write, so each bucket lands in ONE file and
     * scans can also reuse the within-bucket sort. */
+  /** Bucket id a row lands in under Spark's bucketed writer — the SAME
+    * Murmur3(seed 42) + pmod that both the bucketBy write path and a
+    * shuffle exchange use (`HashPartitioning.partitionIdExpression`), so
+    * a batch maps to its at-rest buckets without writing anything.
+    * Equivalence is property-tested in MergeWriterSpec against file
+    * names the real writer produced. */
+  private[operators] def bucketIdExpr(bucketCol: String, buckets: Int) =
+    pmod(hash(col(bucketCol)), lit(buckets))
+
+  private val BucketFileName = "part-.*_(\\d{5})\\..*".r
+  private[operators] def bucketIdOfFile(name: String): Option[Int] =
+    name match {
+      case BucketFileName(id) => Some(id.toInt)
+      case _ => None
+    }
+
   def mergeBucketed(
       spark: SparkSession,
       incoming: DataFrame,
@@ -138,6 +154,24 @@ object MergeWriter {
       bucketCol: String,
       buckets: Int,
       coalesceUpdates: Boolean = true): Long = {
+    // BUCKET-SCOPED path — mergePartitioned's analogue for flat bucketed
+    // dimensions, and the 100 TB discipline: only the buckets the batch
+    // hashes into are read, merged and file-swapped, so a micro-batch's
+    // merge cost scales with the batch's bucket span, never the
+    // dimension's size (the full rewrite below is O(table) per batch —
+    // ruinous for a live tail trickling single blocks into a large
+    // accounts dimension). Requirements: the table already IS uniformly
+    // bucketed on disk, and the batch adds no new columns (a scoped
+    // write with a wider schema would leave MIXED file schemas that a
+    // plain reader resolves from one arbitrary footer). Anything else —
+    // bootstrap, layout migration, schema widening — takes the full
+    // rewrite: a one-off migration cost, never steady-state.
+    if (io.exists(path) && BucketedLayout.looksBucketed(path)) {
+      val tableSchema = spark.read.parquet(path).schema
+      if (incoming.columns.toSet.subsetOf(tableSchema.fieldNames.toSet))
+        return mergeBucketedScoped(spark, incoming, path, keys, seq,
+          bucketCol, buckets, coalesceUpdates, tableSchema)
+    }
     val existing: Option[DataFrame] =
       if (io.exists(path)) Some(spark.read.parquet(path)) else None
     val unioned = existing match {
@@ -148,7 +182,12 @@ object MergeWriter {
       if (coalesceUpdates) backfillNulls(unioned, keys, seq) else unioned
     val merged = Relational.lwwDedup(merged0, keys, seq.map(col))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = merged.count()
+    // Per-bucket counts double as the total AND seed the counts sidecar,
+    // so the next (scoped) merge never pays a heal scan.
+    val perBucket: Map[String, Long] = merged
+      .groupBy(bucketIdExpr(bucketCol, buckets)).count()
+      .collect().map(r => (s"bucket=${r.get(0)}", r.getLong(1))).toMap
+    val n = perBucket.values.sum
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val tmp = path + ".tmp-" + uid
     val tmpTable = s"graft_merge_bucketed_$uid"
@@ -166,11 +205,133 @@ object MergeWriter {
       .mode("overwrite").saveAsTable(tmpTable)
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files stay
     merged.unpersist()
+    writeCountsSidecar(path, perBucket, uid)
     val old = path + ".old-" + uid
     if (io.exists(path)) io.atomicMove(path, old)
     io.atomicMove(tmp, path)
     io.deleteRecursively(old)
+    writeSwapMarker(path, uid)
     n
+  }
+
+  /** Merge `incoming` into ONLY the buckets it hashes into: read those
+    * buckets' files, LWW-merge, rewrite them through a bucketed tmp
+    * write (empty buckets produce no files, so the tmp holds exactly the
+    * affected buckets' replacements) and swap at FILE granularity — the
+    * one-file-per-bucket invariant holds because each affected bucket's
+    * old file is replaced by its merged successor. Counts ride the same
+    * sidecar-before-swap / marker-after protocol as mergePartitioned:
+    * any crash inside the swap window leaves the uids disagreeing and
+    * the next reader recounts. */
+  private def mergeBucketedScoped(
+      spark: SparkSession,
+      incoming: DataFrame,
+      path: String,
+      keys: Seq[String],
+      seq: Seq[String],
+      bucketCol: String,
+      buckets: Int,
+      coalesceUpdates: Boolean,
+      tableSchema: org.apache.spark.sql.types.StructType): Long = {
+    // Driver-small by construction: bounded by the bucket count, never
+    // data volume.
+    val affected: Seq[Int] = incoming
+      .select(bucketIdExpr(bucketCol, buckets).as("__b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    // affected empty ⟺ incoming empty (bucket id is never null): leave
+    // the table untouched, report the current total from the sidecar.
+    if (affected.isEmpty)
+      return currentBucketCounts(spark, path, bucketCol, buckets).values.sum
+
+    val affectedNames = affected.map(b => s"bucket=$b").toSet
+    val oldFiles: Seq[String] = io.fileSizes(path).map(_._1)
+      .filter(f => bucketIdOfFile(f).exists(affected.contains))
+    val oldBase: DataFrame =
+      if (oldFiles.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          tableSchema)
+      else spark.read.schema(tableSchema)
+        .parquet(oldFiles.map(f => s"$path/$f"): _*)
+    // Union through the TABLE's schema (incoming may be missing columns;
+    // never wider — the dispatcher checked), so the rewritten files
+    // carry exactly the same column set as the untouched buckets.
+    val unioned = oldBase.unionByName(incoming, allowMissingColumns = true)
+    val filled =
+      if (coalesceUpdates) backfillNulls(unioned, keys, seq) else unioned
+    val merged = Relational.lwwDedup(filled, keys, seq.map(col))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mergedPerBucket: Map[String, Long] = merged
+      .groupBy(bucketIdExpr(bucketCol, buckets)).count()
+      .collect().map(r => (s"bucket=${r.get(0)}", r.getLong(1))).toMap
+    // The scoped write is only sound if every merged row hashes back into
+    // an affected bucket — guaranteed when bucketCol is key-determined
+    // (the layout contract); guard it anyway.
+    require(mergedPerBucket.keySet.subsetOf(affectedNames),
+      s"scoped bucketed merge leaked rows outside ${affectedNames.toSeq.sorted}")
+
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = path + ".tmp-" + uid
+    val tmpTable = s"graft_merge_bucketed_$uid"
+    merged.repartition(buckets, col(bucketCol))
+      .write.format("parquet").option("path", tmp)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .mode("overwrite").saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files stay
+    merged.unpersist()
+
+    val newCounts = currentBucketCounts(spark, path, bucketCol, buckets) ++
+      mergedPerBucket
+    writeCountsSidecar(path, newCounts, uid)
+
+    // File-granular swap, same rename-aside discipline as the partition
+    // swap: old bucket files move ASIDE first (a crash leaves them
+    // recoverable, and a reader never sees old+new files of one bucket
+    // double-counted), then the replacements move in. Checksum siblings
+    // (`.part-…crc` on checksummed filesystems) travel with their data
+    // file so the live dir never accumulates stale checksums that a
+    // same-named future file could trip over.
+    def moveWithCrc(srcDir: String, dstDir: String, f: String): Unit = {
+      io.atomicMove(s"$srcDir/$f", s"$dstDir/$f")
+      val crc = s".$f.crc"
+      if (io.exists(s"$srcDir/$crc"))
+        io.atomicMove(s"$srcDir/$crc", s"$dstDir/$crc")
+    }
+    val aside = path + ".old-" + uid
+    io.createDirectories(aside)
+    oldFiles.foreach(f => moveWithCrc(path, aside, f))
+    io.fileSizes(tmp).map(_._1).filter(f => bucketIdOfFile(f).nonEmpty)
+      .foreach(f => moveWithCrc(tmp, path, f))
+    io.deleteRecursively(aside)
+    io.deleteRecursively(tmp)
+    writeSwapMarker(path, uid)
+    newCounts.values.sum
+  }
+
+  /** Per-bucket row counts for a flat bucketed table, from the counts
+    * sidecar when valid (uid matches the swap marker AND the sidecar's
+    * bucket set matches the files on disk), else healed by one grouped
+    * count over the table — seed cost, never steady-state. */
+  private def currentBucketCounts(spark: SparkSession, path: String,
+      bucketCol: String, buckets: Int): Map[String, Long] = {
+    if (!io.exists(path)) return Map.empty
+    val diskBuckets: Set[String] = io.fileSizes(path).map(_._1)
+      .flatMap(bucketIdOfFile).map(b => s"bucket=$b").toSet
+    if (diskBuckets.isEmpty) return Map.empty
+    val markerUid = io.readString(swapMarkerPath(path))
+    val valid = readCountsSidecar(path).collect {
+      case (counts, sidecarUid)
+        if sidecarUid.nonEmpty && markerUid.contains(sidecarUid) &&
+          counts.keySet == diskBuckets => counts
+    }
+    valid.getOrElse {
+      val counted = spark.read.parquet(path)
+        .groupBy(bucketIdExpr(bucketCol, buckets)).count()
+        .collect().map(r => (s"bucket=${r.get(0)}", r.getLong(1))).toMap
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      writeCountsSidecar(path, counted, uid)
+      writeSwapMarker(path, uid)
+      counted
+    }
   }
 
   /** Partition-scoped LWW merge — the 100 TB path. The table is laid out
@@ -240,7 +401,11 @@ object MergeWriter {
     // quarantined) merges nothing: leave the table untouched and report the
     // current total from the sidecar. With no table yet, bootstrap a flat
     // schema-only table (readable; migrated on the first real merge).
-    if (incoming.isEmpty)
+    // Emptiness is read off the already-collected partition list — null
+    // partition values were rejected above, so `affected` empty ⟺ the
+    // batch has no rows (saves one Spark job per merge, which matters at
+    // single-block live-tail triggers).
+    if (affected.isEmpty)
       return if (exists) currentCounts(spark, path, partitionCol).values.sum
       else merge(spark, incoming, path, keys, seq, coalesceUpdates)
     val merged = {

@@ -195,6 +195,82 @@ class MergeWriterSpec extends SparkSpec {
       brow.getLong(3)) == (("k1", 2L, "a2", 7L)))
   }
 
+  test("bucket-scoped merge rewrites only the batch's buckets (accounts discipline)") {
+    val path = tmpDir("bscope") + "/t"
+    val seed = (1 to 200).map(i => (s"k$i", 1L, s"v$i"))
+      .toDF("key", "seqno", "v")
+    MergeWriter.mergeBucketed(spark, seed, path,
+      Seq("key"), Seq("seqno"), "key", 8)
+    def files(): Set[String] = MergeWriter.io.fileSizes(path).map(_._1)
+      .filter(_.startsWith("part-")).toSet
+    def bid(f: String): Int =
+      "_(\\d{5})\\.".r.findFirstMatchIn(f).get.group(1).toInt
+    val before = files()
+    assert(before.map(bid).size == before.size, "one file per bucket")
+
+    // An update + an insert; the batch's bucket span via the SAME hash
+    // the writer uses.
+    val batch = Seq(("k5", 2L, "v5b"), ("k900", 1L, "new"))
+      .toDF("key", "seqno", "v")
+    val touched = batch.select(pmod(hash(col("key")), lit(8)))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val n = MergeWriter.mergeBucketed(spark, batch, path,
+      Seq("key"), Seq("seqno"), "key", 8)
+    assert(n == 201)
+    val after = files()
+    // Untouched buckets keep their exact files (names are write-unique,
+    // so identical names prove the files were never rewritten).
+    assert(before.filterNot(f => touched.contains(bid(f))) ==
+      after.filterNot(f => touched.contains(bid(f))))
+    // Touched buckets were replaced; one file per bucket still holds.
+    assert(after.groupBy(bid).forall(_._2.size == 1))
+    assert(before.filter(f => touched.contains(bid(f)))
+      .intersect(after) == Set.empty)
+
+    // The writer's file naming and pmod(hash) agree row by row — the
+    // Murmur3(42) equivalence the scoped read relies on.
+    val schema = spark.read.parquet(path).schema
+    after.foreach { f =>
+      val bad = spark.read.schema(schema).parquet(s"$path/$f")
+        .filter(pmod(hash(col("key")), lit(8)) =!= bid(f)).count()
+      assert(bad == 0L, s"$f holds rows of a different bucket")
+    }
+
+    // LWW semantics through the scoped path, incl. null-backfill: an
+    // update that does not carry `v` must not erase it.
+    val up = Seq(("k5", 3L, Option.empty[String])).toDF("key", "seqno", "v")
+    MergeWriter.mergeBucketed(spark, up, path,
+      Seq("key"), Seq("seqno"), "key", 8)
+    val out = spark.read.parquet(path)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(out("k5") == ((3L, "v5b")))
+    assert(out("k900") == ((1L, "new")))
+    assert(out("k7") == ((1L, "v7")))
+    assert(out.size == 201)
+  }
+
+  test("bucket counts sidecar crash window heals by recount") {
+    val path = tmpDir("bheal") + "/t"
+    MergeWriter.mergeBucketed(spark,
+      (1 to 50).map(i => (s"k$i", 1L, s"v$i")).toDF("key", "seqno", "v"),
+      path, Seq("key"), Seq("seqno"), "key", 4)
+    // Simulate a crash between the sidecar write and the marker write:
+    // the uids disagree, so the sidecar must NOT be trusted.
+    Files.writeString(Paths.get(path + ".swapuid"), "deadbeef")
+    val empty = spark.emptyDataset[(String, Long, String)]
+      .toDF("key", "seqno", "v")
+    // An empty scoped merge reports the current total — which now has to
+    // come from a recount, not the stale sidecar.
+    val n = MergeWriter.mergeBucketed(spark, empty, path,
+      Seq("key"), Seq("seqno"), "key", 4)
+    assert(n == 50L)
+    // The heal re-seeded the sidecar: a second empty merge trusts it.
+    val n2 = MergeWriter.mergeBucketed(spark, empty, path,
+      Seq("key"), Seq("seqno"), "key", 4)
+    assert(n2 == 50L)
+  }
+
   test("day predicates prune partitions at the scan (PartitionFilters)") {
     val path = tmpDir("pprune") + "/facts"
     val b = (1 to 300).map(i =>
