@@ -214,23 +214,41 @@ final class QueryService(t0: String => DataFrame) {
     * subplan instead of rebuilding the accounts⋈stats join per embed. */
   private lazy val potDim: DataFrame = {
     val p0 = pots
+    // Gold stats override the pot row's own handler-written copies (the
+    // silver pots table carries total_public_donations etc. from config
+    // events), with the silver value as fallback where gold has no row
+    // (a pot with no indexed donations) — the reference's shape exactly:
+    // handlers write the Pot model fields and the beat job overwrites
+    // them (base/celery.py:27-49). Gold columns ride a __g_ prefix so
+    // the join can never turn same-named columns ambiguous.
+    val potStatCols = Seq(
+      "total_matching_pool" -> "string",
+      "total_matching_pool_usd" -> "decimal(20,2)",
+      "matching_pool_donations_count" -> "bigint",
+      "total_public_donations" -> "string",
+      "total_public_donations_usd" -> "decimal(20,2)",
+      "public_donations_count" -> "bigint")
     val withStats = opt("pot_stats") match {
       case Some(st) =>
-        p0.join(
+        val joined = p0.join(
           broadcast(st.select(col("pot").as("account"),
             colOr(st, "total_matching_pool_dec", "decimal(38,0)")
-              .cast("string").as("total_matching_pool"),
+              .cast("string").as("__g_total_matching_pool"),
             colOr(st, "total_matching_pool_usd", "decimal(20,2)")
-              .as("total_matching_pool_usd"),
+              .as("__g_total_matching_pool_usd"),
             colOr(st, "matching_pool_donations_count", "bigint")
-              .as("matching_pool_donations_count"),
+              .as("__g_matching_pool_donations_count"),
             colOr(st, "total_public_donations_dec", "decimal(38,0)")
-              .cast("string").as("total_public_donations"),
+              .cast("string").as("__g_total_public_donations"),
             colOr(st, "total_public_donations_usd", "decimal(20,2)")
-              .as("total_public_donations_usd"),
+              .as("__g_total_public_donations_usd"),
             colOr(st, "public_donations_count", "bigint")
-              .as("public_donations_count"))),
+              .as("__g_public_donations_count"))),
           Seq("account"), "left")
+        potStatCols.foldLeft(joined) { case (df, (n, tp)) =>
+          df.withColumn(n,
+            coalesce(col(s"__g_$n"), colOr(df, n, tp).cast(tp)))
+        }.drop(potStatCols.map { case (n, _) => s"__g_$n" }: _*)
       case None => p0
     }
     val withFks = Seq("deployer", "owner", "chef")
@@ -302,8 +320,19 @@ final class QueryService(t0: String => DataFrame) {
     }
   }
 
-  private def donationExpanded: DataFrame = {
-    val d = donations
+  private def donationExpanded: DataFrame = donationExpandedWhere(identity)
+
+  /** Donation rows with every serializer embed expanded. `pre` filters
+    * the RAW donation columns BEFORE the embed joins: the expanded
+    * struct's id IS the raw FK by construction (expandAccount builds the
+    * struct around df(fk), expandPot around df("pot"), null FK → null
+    * struct), so filtering donor/recipient/pot pre-expansion is
+    * semantically identical to filtering the struct field afterwards —
+    * and it reaches the parquet scan (donor-bucketed at rest) instead of
+    * running the dimension joins over the whole fact table first. At
+    * 100 TB that ordering is the route. */
+  private def donationExpandedWhere(pre: DataFrame => DataFrame): DataFrame = {
+    val d = pre(donations)
     val withAccounts = Seq("donor", "recipient", "referrer", "chef")
       .filter(d.columns.contains)
       .foldLeft(d)(expandAccount)
@@ -387,7 +416,7 @@ final class QueryService(t0: String => DataFrame) {
   /** GET /v1/accounts/{id}/donations_received (accounts/api.py:275-313). */
   def accountDonationsReceived(id: String, page: Int = 1,
       pageSize: Int = DefaultPageSize): Page =
-    paginate(donationExpanded.filter(col("recipient.id") === id),
+    paginate(donationExpandedWhere(_.filter(col("recipient") === id)),
       Seq(col("donated_at").desc, col("on_chain_id").asc), page, pageSize)
 
   /** Keyset form of [[accountDonationsReceived]]
@@ -395,14 +424,14 @@ final class QueryService(t0: String => DataFrame) {
   def accountDonationsReceivedKeyset(id: String,
       after: Option[(java.sql.Timestamp, Long)],
       pageSize: Int = DefaultPageSize): DataFrame =
-    Relational.keysetSlice(donationExpanded.filter(col("recipient.id") === id),
+    Relational.keysetSlice(donationExpandedWhere(_.filter(col("recipient") === id)),
       Seq((col("donated_at"), false), (col("on_chain_id"), true)),
       after.map { case (ts, oid) => Seq(ts, oid) }, pageSize)
 
   /** GET /v1/accounts/{id}/donations_sent (accounts/api.py:316-354). */
   def accountDonationsSent(id: String, page: Int = 1,
       pageSize: Int = DefaultPageSize): Page =
-    paginate(donationExpanded.filter(col("donor.id") === id),
+    paginate(donationExpandedWhere(_.filter(col("donor") === id)),
       Seq(col("donated_at").desc, col("on_chain_id").asc), page, pageSize)
 
   /** Keyset form of [[accountDonationsSent]]
@@ -410,7 +439,7 @@ final class QueryService(t0: String => DataFrame) {
   def accountDonationsSentKeyset(id: String,
       after: Option[(java.sql.Timestamp, Long)],
       pageSize: Int = DefaultPageSize): DataFrame =
-    Relational.keysetSlice(donationExpanded.filter(col("donor.id") === id),
+    Relational.keysetSlice(donationExpandedWhere(_.filter(col("donor") === id)),
       Seq((col("donated_at"), false), (col("on_chain_id"), true)),
       after.map { case (ts, oid) => Seq(ts, oid) }, pageSize)
 
@@ -597,14 +626,14 @@ final class QueryService(t0: String => DataFrame) {
   /** GET /v1/pots/{id}/donations (pots/api.py:180-215). */
   def potDonations(potId: String, page: Int = 1,
       pageSize: Int = DefaultPageSize): Page =
-    paginate(donationExpanded.filter(col("pot.account") === potId),
+    paginate(donationExpandedWhere(_.filter(col("pot") === potId)),
       Seq(col("donated_at").desc, col("on_chain_id").asc), page, pageSize)
 
   /** Keyset form of [[potDonations]] (?after=<donated_at,on_chain_id>). */
   def potDonationsKeyset(potId: String,
       after: Option[(java.sql.Timestamp, Long)],
       pageSize: Int = DefaultPageSize): DataFrame =
-    Relational.keysetSlice(donationExpanded.filter(col("pot.account") === potId),
+    Relational.keysetSlice(donationExpandedWhere(_.filter(col("pot") === potId)),
       Seq((col("donated_at"), false), (col("on_chain_id"), true)),
       after.map { case (ts, id) => Seq(ts, id) }, pageSize)
 

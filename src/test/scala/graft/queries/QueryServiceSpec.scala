@@ -89,6 +89,35 @@ class QueryServiceSpec extends SparkSpec {
     assert(p3.results.count() == 1 && !p3.hasNext && p3.hasPrevious)
   }
 
+  test("potDim: gold stats override the pot row's own copies, silver fills gold gaps") {
+    // A real-ingest pots table carries total_public_donations etc. from
+    // config events (Schemas.pot), and gold pot_stats recomputes the
+    // same names — the join must coalesce (gold first), never turn the
+    // shared names ambiguous. The reference's shape: handlers write the
+    // Pot model fields, the beat job overwrites them.
+    val pots2 = Seq(
+      ("pot1.pot.near", "999", 9L),
+      ("pot2.pot.near", "777", 7L)
+    ).toDF("account", "total_public_donations", "public_donations_count")
+    val potStats = Seq(("pot1.pot.near", 123L, 3L))
+      .toDF("pot", "gold_dec", "public_donations_count")
+      .withColumn("total_public_donations_dec",
+        col("gold_dec").cast("decimal(38,0)"))
+      .drop("gold_dec")
+    val m = Map(
+      "accounts" -> Seq(("owner.near", null.asInstanceOf[String]))
+        .toDF("id", "near_social_profile_data"),
+      "pots" -> pots2,
+      "pot_stats" -> potStats)
+    val q2 = new QueryService(m(_))
+    val p1 = q2.potDetail("pot1.pot.near")
+      .select("total_public_donations", "public_donations_count").head()
+    assert(p1.getString(0) == "123" && p1.getLong(1) == 3L) // gold wins
+    val p2 = q2.potDetail("pot2.pot.near")
+      .select("total_public_donations", "public_donations_count").head()
+    assert(p2.getString(0) == "777" && p2.getLong(1) == 7L) // silver fills
+  }
+
   test("golden negative paths: 400 enum-validation bodies byte-match the reference") {
     // Every status-validated route rejects a bogus enum with the
     // reference's EXACT body: {"message": "Invalid status value: <p>"}
