@@ -126,13 +126,27 @@ object Relational {
   def saltedJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      salts: Int, joinType: String = "inner"): DataFrame = {
+      salts: Int, joinType: String = "inner",
+      saltCols: Seq[Column] = Nil): DataFrame = {
     // Right/full outer would emit `salts` null-padded copies of every
     // unmatched right key (the right side is exploded) — reject upfront.
     require(Set("inner", "left", "left_outer", "left_semi", "cross").contains(joinType),
       s"saltedJoin supports left-preserving joins only, got $joinType")
+    // The salt is CONTENT-DETERMINISTIC (xxhash64 over every left column,
+    // or the caller's `saltCols`), NOT monotonically_increasing_id/rand:
+    // those mark the map stage INDETERMINATE, and on a fetch failure at
+    // cluster scale Spark must rerun indeterminate stages wholesale —
+    // aborting the job outright when already-committed result partitions
+    // depend on one (the SPARK-23207 class). The join result never
+    // depends on the salt value (the dim side carries every salt), so
+    // determinism costs nothing semantically; the one trade-off is that
+    // byte-identical duplicate left rows share a salt — spreading is then
+    // bounded by full-row duplicate multiplicity, and a caller whose skew
+    // IS identical rows passes a discriminating column set via saltCols.
+    val spread = if (saltCols.nonEmpty) saltCols
+                 else left.columns.toIndexedSeq.map(col)
     val l = left.withColumn("__salt",
-      pmod(xxhash64(col(leftKey), monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(spread: _*), lit(salts)).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"), joinType)

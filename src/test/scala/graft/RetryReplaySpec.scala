@@ -1,0 +1,181 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DedupFunctions, GraphFunctions, SampleFunctions}
+import graft.operators.{MergeWriter, Relational}
+
+/** Re-execution determinism: the task-retry replay suite.
+  *
+  * At 1000 executors task failures are ROUTINE (preemption, OOM kills,
+  * disk faults), and Spark's recovery contract is "re-run the task" — so
+  * every distributed claim this repo makes ("content-hash draws",
+  * "shuffle-order-proof", "retry-stable") is ultimately a claim that a
+  * re-executed task reproduces its lost output exactly. A violation is
+  * silent corruption: the job succeeds, some rows came from attempt 0 and
+  * some from attempt 1, and nothing downstream can tell.
+  *
+  * The suite injects a failure into the FIRST attempt of every task of an
+  * operator's input scan (the shared session master is `local[4, 2]`:
+  * maxFailures=2 grants exactly one retry), runs the operator to
+  * completion through real scheduler retries, and asserts the result is
+  * row-identical to the failure-free run. Each test also asserts the
+  * injection actually fired — a vacuous pass (no task failed) is a test
+  * bug, not evidence.
+  *
+  * Operators chosen for their distinct re-execution risk surfaces:
+  * windowed prefix sums (packShardsByBudget), iterative persisted loops
+  * (pageRank, minhash LSH with exact-dup collapse), salted shuffles
+  * (saltedJoin — whose salt is content-deterministic for exactly this
+  * reason; see its scaladoc on indeterminate stages), seeded per-group
+  * picks, LWW aggregation, and the merge WRITE path (task commit
+  * protocol: a retried write task must not double-commit rows).
+  */
+class RetryReplaySpec extends SparkSpec {
+  import RetryReplaySpec._
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toIndexedSeq
+
+  /** Run `op` failure-free and under first-attempt task failure; assert
+    * identical results and that the injection actually fired. */
+  private def assertRetryInvariant(tag: String, input: DataFrame,
+      op: DataFrame => DataFrame): Unit = {
+    val expected = rows(op(input))
+    assert(expected.nonEmpty, s"$tag: degenerate fixture — empty result")
+    injected.removeIf(_.startsWith(s"$tag/"))
+    val actual = rows(op(flakyOnce(input, tag)))
+    assert(countFor(tag) > 0, s"$tag: no task failure was injected — " +
+      "the retry path never ran and this test proved nothing")
+    assert(actual == expected,
+      s"$tag: result changed under task retry " +
+        s"(${countFor(tag)} injected failures)")
+  }
+
+  test("packShardsByBudget: two-level prefix sum identical under task retry") {
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      (pmod(col("id"), lit(50)) + 1).as("toks"))
+    assertRetryInvariant("shards", docs,
+      d => SampleFunctions.packShardsByBudget(d, "doc_id", col("toks"),
+        budgetTokens = 200L, seed = "retry"))
+  }
+
+  test("minhash LSH near-dup pairs: iterative persisted pipeline identical under task retry") {
+    // 20 distinct contents × 15 copies: exercises the exact-dup collapse,
+    // rep-level banding, candidate join, verify and member expansion.
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      concat(lit("the quick brown fox jumps over the lazy dog variant "),
+        pmod(col("id"), lit(20))).as("text"))
+    assertRetryInvariant("minhash", docs,
+      d => DedupFunctions.minHashNearDupPairs(d, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.5))
+  }
+
+  test("pageRank: persisted ping-pong iteration identical under task retry") {
+    val nodes = spark.range(100).select(col("id").as("v"))
+    val edges = spark.range(100).select(col("id").as("src"),
+        pmod(col("id") * 7 + 3, lit(100)).as("dst"))
+      .union(spark.range(100).select(col("id").as("src"),
+        pmod(col("id") * 13 + 1, lit(100)).as("dst")))
+    // Only the edge side is wrapped (nodes is consumed by a driver-side
+    // count — a 1-row action retried like any other task).
+    val expected = {
+      val m = GraphFunctions.pageRank(nodes, edges, iters = 3)
+      val r = rows(m.df); m.release(); r
+    }
+    injected.removeIf(_.startsWith("pagerank/"))
+    val actual = {
+      val m = GraphFunctions.pageRank(nodes, flakyOnce(edges, "pagerank"),
+        iters = 3)
+      val r = rows(m.df); m.release(); r
+    }
+    assert(countFor("pagerank") > 0, "no task failure was injected")
+    assert(actual == expected, "pageRank changed under task retry")
+  }
+
+  test("saltedJoin: content-deterministic salt equals plain join under task retry") {
+    val facts = spark.range(2000).select(col("id").as("fact_id"),
+      when(pmod(col("id"), lit(10)) < 7, lit("hot")) // 70% one key
+        .otherwise(concat(lit("k"), pmod(col("id"), lit(10)))).as("key"),
+      (col("id") * 3).as("v"))
+    val dims = spark.range(10).select(
+      when(col("id") < 1, lit("hot"))
+        .otherwise(concat(lit("k"), col("id"))).as("dkey"),
+      col("id").as("w"))
+    val plain = rows(facts.join(dims, facts("key") === dims("dkey")))
+    injected.removeIf(_.startsWith("salted/"))
+    val salted = rows(Relational.saltedJoin(
+      flakyOnce(facts, "salted"), dims, "key", "dkey", salts = 8))
+    assert(countFor("salted") > 0, "no task failure was injected")
+    assert(salted == plain, "saltedJoin diverged from the plain join under retry")
+  }
+
+  test("seeded per-group pick and LWW latest-per-group identical under task retry") {
+    val evs = spark.range(500).select(col("id").as("ev"),
+      pmod(col("id"), lit(13)).as("grp"),
+      pmod(col("id") * 17, lit(97)).as("seq"))
+    assertRetryInvariant("pick", evs,
+      d => Relational.pseudoRandomPickPerGroup(d, Seq("grp"),
+        col("ev").cast("string")))
+    assertRetryInvariant("lww", evs,
+      d => Relational.latestPerGroup(d, Seq("grp"),
+        Seq(col("seq").desc, col("ev").asc)))
+  }
+
+  test("MergeWriter.merge: write path commits exactly once under task retry") {
+    val dir = tmpDir("retry-merge")
+    val pathPlain = s"$dir/plain"
+    val pathFlaky = s"$dir/flaky"
+    val base = spark.range(400).select(col("id").as("k"),
+      lit(1L).as("seq"), concat(lit("v"), col("id")).as("payload"))
+    val update = spark.range(200).select((col("id") * 2).as("k"),
+      lit(2L).as("seq"), concat(lit("u"), col("id")).as("payload"))
+    MergeWriter.merge(spark, base, pathPlain, Seq("k"), Seq("seq")): Unit
+    MergeWriter.merge(spark, update, pathPlain, Seq("k"), Seq("seq")): Unit
+    injected.removeIf(_.startsWith("merge/"))
+    MergeWriter.merge(spark, flakyOnce(base, "merge"), pathFlaky,
+      Seq("k"), Seq("seq")): Unit
+    MergeWriter.merge(spark, flakyOnce(update, "merge"), pathFlaky,
+      Seq("k"), Seq("seq")): Unit
+    assert(countFor("merge") > 0, "no task failure was injected")
+    val plain = rows(spark.read.parquet(pathPlain))
+    val flaky = rows(spark.read.parquet(pathFlaky))
+    assert(flaky == plain,
+      "merged table changed when the incoming batch's tasks were retried")
+  }
+}
+
+object RetryReplaySpec {
+  /** Injection log: one entry per failed task attempt, keyed
+    * `tag/stageId/partitionId/attempt`. Local-mode executors share the
+    * JVM, so a static set observes executor-side throws directly. */
+  val injected: java.util.Set[String] = ConcurrentHashMap.newKeySet[String]()
+
+  def countFor(tag: String): Int = {
+    val it = injected.iterator()
+    var n = 0
+    while (it.hasNext) { if (it.next().startsWith(s"$tag/")) n += 1 }
+    n
+  }
+
+  /** Pass-through over `df` whose every task FAILS its first attempt
+    * (attempt 0 throws before yielding a row; the scheduler's retry —
+    * attempt 1 — passes rows through untouched). Inserted upstream of an
+    * operator it forces the whole input through real task-retry recovery. */
+  def flakyOnce(df: DataFrame, tag: String): DataFrame = {
+    implicit val enc = Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0) {
+        injected.add(s"$tag/${tc.stageId()}/${tc.partitionId()}/0"): Unit
+        throw new RuntimeException(
+          s"graft-retry-injection $tag (deliberate first-attempt failure)")
+      }
+      it
+    }
+  }
+}

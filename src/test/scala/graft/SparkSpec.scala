@@ -12,8 +12,12 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
+  // local[4, 2]: 4 threads, maxFailures=2 — identical semantics to
+  // local[4] unless a task throws, in which case it gets ONE retry.
+  // RetryReplaySpec depends on the retry budget to inject first-attempt
+  // task failures; a deterministic bug still fails (both attempts throw).
   lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
