@@ -2027,6 +2027,56 @@ object Oracles {
          |SELECT doc_id, lang, logw_1024, n_features FROM dw
          |ORDER BY logw_1024 DESC, doc_id LIMIT 100""".stripMargin,
 
+    // NB quality classifier: FULL replay — same md5 feature hashing as
+    // dsir (shared featurizer contract), per-class add-1-smoothed bucket
+    // counts from the TRAIN split only (LEFT JOIN ≙ the engine's
+    // materialized full-bucket model: unseen buckets get the smoothing
+    // weight), add-1 log-prior over train doc counts, held-out scoring,
+    // Bayes decision at 0, top-100 by (score desc, doc_id).
+    "q_cls1_nb_quality" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split($norm, ' ') AS ws
+         |           FROM documents),
+         |  uni AS (SELECT doc_id, lang, unnest(ws) AS f FROM d),
+         |  bgx AS (SELECT doc_id, lang, unnest(range(1, len(ws))) AS i, ws FROM d),
+         |  bg AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS f FROM bgx),
+         |  fa AS (SELECT * FROM uni UNION ALL SELECT * FROM bg),
+         |  fb AS (SELECT doc_id, lang,
+         |           CAST(('0x' || substr(md5('nbq:' || f), 1, 8)) AS BIGINT)
+         |             % 1024 AS b
+         |         FROM fa),
+         |  cb AS (SELECT b,
+         |           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS cp,
+         |           CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+         |             AS BIGINT) AS cn
+         |         FROM fb WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |  tt AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp,
+         |                CAST(SUM(cn) AS BIGINT) AS tn FROM cb),
+         |  pf AS (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+         |         FROM fb WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+         |  pj AS (SELECT pf.doc_id, pf.lang, pf.c,
+         |           coalesce(cb.cp, 0) AS cp, coalesce(cb.cn, 0) AS cn
+         |         FROM pf LEFT JOIN cb USING (b)),
+         |  wj AS (SELECT doc_id, lang, c,
+         |           (${ilSql("(cp + 1)")} - ${ilSql("(tp + 1024)")})
+         |             - (${ilSql("(cn + 1)")} - ${ilSql("(tn + 1024)")}) AS wb
+         |         FROM pj CROSS JOIN tt),
+         |  pr AS (SELECT ${ilSql("(np + 1)")} - ${ilSql("(nn + 1)")} AS prior
+         |         FROM (SELECT
+         |             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS np,
+         |             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+         |               AS BIGINT) AS nn
+         |           FROM documents WHERE doc_id % 5 <> 0)),
+         |  dw AS (SELECT doc_id, lang,
+         |           CAST(SUM(c * wb) AS BIGINT) AS ll,
+         |           CAST(SUM(c) AS BIGINT) AS n_features
+         |         FROM wj GROUP BY 1, 2)
+         |SELECT doc_id, lang, CAST(ll + prior AS BIGINT) AS score_1024,
+         |       n_features, (ll + prior) > 0 AS predicted_positive
+         |FROM dw CROSS JOIN pr
+         |ORDER BY score_1024 DESC, doc_id LIMIT 100""".stripMargin,
+
     "q_samp8_coverage_sample" ->
       s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_samp8_coverage_sample/*.parquet')),
          |  cent AS (SELECT cell, centroid, CAST(centroid AS DOUBLE[]) AS cv

@@ -201,6 +201,11 @@ object PlanAudit {
     // the corpus is never sort-merge-joined, windowed, or globally sorted
     "q_samp9_dsir" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject",
       "!SortMergeJoin", "!Window", "!CartesianProduct"),
+    // NB quality classifier: the ≤(numBuckets+1)-row model broadcasts
+    // onto the held-out (doc, bucket) pre-aggregation — the corpus
+    // never shuffles on a feature key — and selection is bounded top-k
+    "q_cls1_nb_quality" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject",
+      "!SortMergeJoin", "!Window", "!CartesianProduct"),
     // shard manifest: per-row assignment + ONE hash aggregation keyed
     // by shard (bounded xor/sum state) — no window, no join
     "q_samp6_shard_manifest" -> Seq("HashAggregate", "!Window", "!Join"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Amounts, DedupFunctions, DomainFunctions, FrequentItems, SampleFunctions, SearchFunctions, Similarity, TextFunctions}
+import graft.functions.{Amounts, ClassifierFunctions, DedupFunctions, DomainFunctions, FrequentItems, SampleFunctions, SearchFunctions, Similarity, TextFunctions}
 import graft.operators.{AsOfJoin, BucketedLayout, IntervalJoin, Relational}
 
 /** Driver contract — the operator-inventory correctness surface.
@@ -1449,10 +1449,10 @@ object SparkEntry {
     * hot event_type land on one reducer in a naive shuffle) join their
     * per-type mean-value threshold through
     * [[graft.operators.Relational.saltedJoin]] — each left row gains a
-    * salt in [0, 8) (an xxhash64 over key + row position: ARBITRARY per
-    * row, and free to differ across reruns/partitionings, because the
-    * dim side carries every salt value — the result is salt-independent
-    * by construction), the 5-row dim side explodes ×8, and the
+    * salt in [0, 8) (an xxhash64 over the row's columns: deterministic
+    * under retry/repartition, and the result is salt-independent by
+    * construction because the dim side carries every salt value — see
+    * the operator's scaladoc), the 5-row dim side explodes ×8, and the
     * shuffle runs on (type, salt) so one hot key spreads over 8
     * reducers. The SALT NEVER LEAKS: the oracle is the PLAIN equi-join
     * (salting is internal mechanics, not semantics), which is exactly
@@ -2432,6 +2432,34 @@ object SparkEntry {
       .limit(100)
       .select("doc_id", "lang", "logw_1024", "n_features")
 
+  /** CLS1 — learned quality filter, the classifier recipe of production
+    * corpus curation (CCNet's fastText filter; GPT-3's "looks like a
+    * trusted corpus" scorer): train a multinomial Naive Bayes model on a
+    * LABELED 80% split (positive = English — the "target distribution"
+    * proxy this testdata affords), score the HELD-OUT 20%, keep the top
+    * 100 by log-odds. Unlike samp9's DSIR (same-corpus fit+score in one
+    * pass), train and inference here are separate phases over disjoint
+    * data and the model is a persistable ≤1025-row table — the shape
+    * where one curated labeled set filters every incoming crawl batch.
+    * All arithmetic is counting + ilog2x1024 fixed-point with integral
+    * per-occurrence terms, so the oracle replays the ENTIRE chain —
+    * hashing, smoothing, prior, decision threshold — bit-for-bit.
+    * Plan: train is one bucket-bounded agg; the model broadcasts;
+    * the held-out corpus never shuffles on a feature key; selection is
+    * TakeOrderedAndProject. */
+  private def cls1(t: Tables): DataFrame = {
+    val train = t.documents.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val heldout = t.documents.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val model = ClassifierFunctions.trainNbLogModel(train, "text",
+      isPositive = col("lang") === "en", numBuckets = 1024, seed = "nbq")
+    ClassifierFunctions.nbScore(heldout, "doc_id", "text", model,
+        numBuckets = 1024, seed = "nbq", passthrough = Seq("lang"))
+      .orderBy(col("score_1024").desc, col("doc_id").asc)
+      .limit(100)
+      .select("doc_id", "lang", "score_1024", "n_features",
+        "predicted_positive")
+  }
+
   /** TXT19 — BPE merge LEARNING (tokenizer training's core loop) over
     * the documents corpus: the 6 most frequent adjacent symbol-pair
     * merges, learned iteratively (pair counts recomputed after every
@@ -2926,7 +2954,8 @@ object SparkEntry {
       "q_w7_lag_delta" -> q(w7),
       "q_ts2_anomaly" -> q(ts2),
       "q_ts3_ewma" -> q(ts3),
-      "q_a12_trend_ols" -> q(a12))
+      "q_a12_trend_ols" -> q(a12),
+      "q_cls1_nb_quality" -> q(cls1))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql

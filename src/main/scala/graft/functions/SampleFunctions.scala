@@ -252,24 +252,12 @@ object SampleFunctions {
     require(numBuckets > 0 && numBuckets <= (1 << 20),
       s"numBuckets $numBuckets outside (0, 2^20]")
     import SearchFunctions.ilog2x1024
-    val ws = split(TextFunctions.normalize(col(textCol)), " ")
-    // Adjacent-pair bigrams, space-joined (the oracle's ws[i]||' '||ws[i+1]);
-    // zip of the array against its own tail — a one-word doc contributes
-    // no bigram (slice of length 0), never a wrapped pair.
-    val bigrams = when(size(col("__ws")) < 2, array().cast("array<string>"))
-      .otherwise(expr(
-        "zip_with(slice(__ws, 1, size(__ws) - 1), " +
-          "slice(__ws, 2, size(__ws) - 1), (a, b) -> concat(a, ' ', b))"))
     val keyCols = (idCol +: passthrough).map(col)
-    val feats = df.withColumn("__ws", ws)
-      .select(keyCols ++ Seq(isTarget.as("__t"),
-        explode(concat(col("__ws"), bigrams)).as("__f")): _*)
-    val bucket =
-      conv(substring(md5(concat(lit(seed + ":"), col("__f"))), 1, 8), 16, 10)
-        .cast("long") % numBuckets
+    val withB = hashedNgramBuckets(df, textCol,
+      keyCols :+ isTarget.as("__t"), numBuckets, seed)
     // (doc, bucket)-level pre-aggregation: bounds reducer skew AND is the
     // input to both the bucket stats and the per-doc weight sum.
-    val pf = feats.select(keyCols ++ Seq(col("__t"), bucket.as("__b")): _*)
+    val pf = withB
       .groupBy(keyCols ++ Seq(col("__t"), col("__b")): _*)
       .agg(count(lit(1)).as("__c"))
     val cb = pf.groupBy(col("__b")).agg(
@@ -285,5 +273,29 @@ object SampleFunctions {
       .groupBy(keyCols: _*)
       .agg(sum(col("__c") * col("__w")).as("logw_1024"),
         sum(col("__c")).as("n_features"))
+  }
+
+  /** Shared hashed-n-gram featurizer of [[dsirLogWeights]] and
+    * [[ClassifierFunctions]]: one row per unigram+bigram OCCURRENCE,
+    * `carry` columns plus `__b` = md5-hashed feature bucket. The feature
+    * definition (normalize → split; adjacent-pair space-joined bigrams —
+    * a one-word doc contributes no bigram, never a wrapped pair; bucket
+    * = first 8 md5 hex chars of "seed:feature" mod numBuckets) is a
+    * cross-engine contract: every oracle replays it as
+    * `CAST(('0x' || substr(md5(seed || ':' || f), 1, 8)) AS BIGINT) % B`.
+    * Keep the two spellings in sync. */
+  private[functions] def hashedNgramBuckets(df: DataFrame, textCol: String,
+      carry: Seq[Column], numBuckets: Int, seed: String): DataFrame = {
+    val ws = split(TextFunctions.normalize(col(textCol)), " ")
+    val bigrams = when(size(col("__ws")) < 2, array().cast("array<string>"))
+      .otherwise(expr(
+        "zip_with(slice(__ws, 1, size(__ws) - 1), " +
+          "slice(__ws, 2, size(__ws) - 1), (a, b) -> concat(a, ' ', b))"))
+    val feats = df.withColumn("__ws", ws)
+      .select(carry :+ explode(concat(col("__ws"), bigrams)).as("__f"): _*)
+    val bucket =
+      conv(substring(md5(concat(lit(seed + ":"), col("__f"))), 1, 8), 16, 10)
+        .cast("long") % numBuckets
+    feats.withColumn("__b", bucket).drop("__f")
   }
 }
