@@ -2077,6 +2077,69 @@ object Oracles {
          |FROM dw CROSS JOIN pr
          |ORDER BY score_1024 DESC, doc_id LIMIT 100""".stripMargin,
 
+    // Classifier calibration: the SAME replayed chain as q_cls1 (train
+    // split, smoothing, prior, decision), folded to the held-out
+    // confusion matrix + ppm rates with guarded denominators.
+    "q_cls2_nb_eval" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split($norm, ' ') AS ws
+         |           FROM documents),
+         |  uni AS (SELECT doc_id, lang, unnest(ws) AS f FROM d),
+         |  bgx AS (SELECT doc_id, lang, unnest(range(1, len(ws))) AS i, ws FROM d),
+         |  bg AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS f FROM bgx),
+         |  fa AS (SELECT * FROM uni UNION ALL SELECT * FROM bg),
+         |  fb AS (SELECT doc_id, lang,
+         |           CAST(('0x' || substr(md5('nbq:' || f), 1, 8)) AS BIGINT)
+         |             % 1024 AS b
+         |         FROM fa),
+         |  cb AS (SELECT b,
+         |           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS cp,
+         |           CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+         |             AS BIGINT) AS cn
+         |         FROM fb WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |  tt AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp0,
+         |                CAST(SUM(cn) AS BIGINT) AS tn0 FROM cb),
+         |  pf AS (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+         |         FROM fb WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+         |  pj AS (SELECT pf.doc_id, pf.lang, pf.c,
+         |           coalesce(cb.cp, 0) AS cp, coalesce(cb.cn, 0) AS cn
+         |         FROM pf LEFT JOIN cb USING (b)),
+         |  wj AS (SELECT doc_id, lang, c,
+         |           (${ilSql("(cp + 1)")} - ${ilSql("(tp0 + 1024)")})
+         |             - (${ilSql("(cn + 1)")} - ${ilSql("(tn0 + 1024)")}) AS wb
+         |         FROM pj CROSS JOIN tt),
+         |  pr AS (SELECT ${ilSql("(np + 1)")} - ${ilSql("(nn + 1)")} AS prior
+         |         FROM (SELECT
+         |             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS np,
+         |             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+         |               AS BIGINT) AS nn
+         |           FROM documents WHERE doc_id % 5 <> 0)),
+         |  dw AS (SELECT doc_id, lang, CAST(SUM(c * wb) AS BIGINT) AS ll
+         |         FROM wj GROUP BY 1, 2),
+         |  dec AS (SELECT lang = 'en' AS truth, (ll + prior) > 0 AS pred
+         |          FROM dw CROSS JOIN pr),
+         |  cm AS (SELECT
+         |      CAST(SUM(CASE WHEN truth AND pred THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS tp,
+         |      CAST(SUM(CASE WHEN NOT truth AND pred THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS fp,
+         |      CAST(SUM(CASE WHEN truth AND NOT pred THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS fn,
+         |      CAST(SUM(CASE WHEN NOT truth AND NOT pred THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS tn
+         |    FROM dec)
+         |SELECT tp, fp, fn, tn,
+         |  CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
+         |    AS accuracy_ppm,
+         |  CASE WHEN tp + fp > 0
+         |    THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END
+         |    AS precision_ppm,
+         |  CASE WHEN tp + fn > 0
+         |    THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END
+         |    AS recall_ppm
+         |FROM cm""".stripMargin,
+
     "q_samp8_coverage_sample" ->
       s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_samp8_coverage_sample/*.parquet')),
          |  cent AS (SELECT cell, centroid, CAST(centroid AS DOUBLE[]) AS cv

@@ -206,6 +206,10 @@ object PlanAudit {
     // never shuffles on a feature key — and selection is bounded top-k
     "q_cls1_nb_quality" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject",
       "!SortMergeJoin", "!Window", "!CartesianProduct"),
+    // classifier calibration: cls1's scoring plan folded to a 4-counter
+    // confusion aggregate — still broadcast-joined, never windowed
+    "q_cls2_nb_eval" -> Seq("BroadcastHashJoin", "HashAggregate",
+      "!SortMergeJoin", "!Window"),
     // shard manifest: per-row assignment + ONE hash aggregation keyed
     // by shard (bounded xor/sum state) — no window, no join
     "q_samp6_shard_manifest" -> Seq("HashAggregate", "!Window", "!Join"),

@@ -2460,6 +2460,42 @@ object SparkEntry {
         "predicted_positive")
   }
 
+  /** CLS2 — classifier CALIBRATION against ground truth, the dd17/sim8
+    * pattern applied to the learned filter: the q_cls1 model's held-out
+    * confusion matrix plus integer-ppm accuracy/precision/recall against
+    * the true label its proxy was built from. A quality filter deployed
+    * over 100 TB is only as good as its measured error rates — this is
+    * the query that prices the model before anyone gates a corpus with
+    * it. Rates are integer ppm with guarded denominators (an empty
+    * predicted-positive class yields NULL precision, not a crash), so
+    * both engines agree bit-exactly. One extra 4-counter aggregate over
+    * cls1's scoring plan; nothing new shuffles. */
+  private def cls2(t: Tables): DataFrame = {
+    val train = t.documents.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val heldout = t.documents.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val model = ClassifierFunctions.trainNbLogModel(train, "text",
+      isPositive = col("lang") === "en", numBuckets = 1024, seed = "nbq")
+    val truth = col("lang") === "en"
+    ClassifierFunctions.nbScore(heldout, "doc_id", "text", model,
+        numBuckets = 1024, seed = "nbq", passthrough = Seq("lang"))
+      .agg(
+        sum(when(truth && col("predicted_positive"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(!truth && col("predicted_positive"), 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(truth && !col("predicted_positive"), 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(!truth && !col("predicted_positive"), 1L).otherwise(0L))
+          .as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(tp + tn) * 1000000 div (tp + fp + fn + tn)")
+          .as("accuracy_ppm"),
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000 div (tp + fp)")).as("precision_ppm"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 1000000 div (tp + fn)")).as("recall_ppm"))
+  }
+
   /** TXT19 — BPE merge LEARNING (tokenizer training's core loop) over
     * the documents corpus: the 6 most frequent adjacent symbol-pair
     * merges, learned iteratively (pair counts recomputed after every
@@ -2955,7 +2991,8 @@ object SparkEntry {
       "q_ts2_anomaly" -> q(ts2),
       "q_ts3_ewma" -> q(ts3),
       "q_a12_trend_ols" -> q(a12),
-      "q_cls1_nb_quality" -> q(cls1))
+      "q_cls1_nb_quality" -> q(cls1),
+      "q_cls2_nb_eval" -> q(cls2))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql

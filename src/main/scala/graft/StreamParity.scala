@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import graft.functions.ClassifierFunctions
 import graft.streaming.{CorpusGate, EventAnalytics}
 
 /** Streaming-vs-batch parity harness — drives the sf0.1 `events` table
@@ -656,6 +657,46 @@ object StreamParity {
             Seq("batch_id", "n_in", "n_quality_dropped", "n_exact_dup",
               "n_corpus_exact_dup", "n_batch_near_dup", "n_corpus_near_dup",
               "n_survivors")), 0.0)
+      }
+
+      // -------------------- streaming inference: batch-trained NB model
+      // The production classifier shape end-to-end: the quality model is
+      // trained ONCE in batch on the labeled slice, PERSISTED as its
+      // parquet table, and every arriving micro-batch is scored through
+      // the same broadcast join — train-batch / serve-stream. Scoring is
+      // stateless per document given the model, so the appended stream
+      // sink must equal batch inference with the same persisted model
+      // over the same held-out docs — including every fixed-point score
+      // and Bayes decision bit.
+      locally {
+        val allDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val modelPath = work.resolve("nb_model").toString
+        ClassifierFunctions.trainNbLogModel(
+            allDocs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text",
+            isPositive = col("lang") === "en",
+            numBuckets = 1024, seed = "nbq")
+          .write.parquet(modelPath)
+        val model = spark.read.parquet(modelPath)
+        val sinkDir = work.resolve("nb_scored").toString
+        val t2 = System.nanoTime()
+        spark.readStream.schema(CorpusGate.docSchema)
+          .option("maxFilesPerTrigger", 1).json(docDir)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", work.resolve("nb_ckpt").toString)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            ClassifierFunctions.nbScore(
+                b.filter(pmod(col("doc_id"), lit(5)) === 0),
+                "doc_id", "text", model, numBuckets = 1024, seed = "nbq")
+              .write.mode("append").parquet(sinkDir)
+          }
+          .start().awaitTermination()
+        val nbSecs = (System.nanoTime() - t2) / 1e9
+        val batchTwin = ClassifierFunctions.nbScore(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", model, numBuckets = 1024, seed = "nbq")
+        rows += diff("nbScore (persisted model, per micro-batch)",
+          "batch nbScore, same persisted model",
+          spark.read.parquet(sinkDir), batchTwin, nbSecs)
       }
     }
 

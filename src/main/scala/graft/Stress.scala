@@ -335,7 +335,12 @@ object Stress {
       "q_txt16_bigram_lm", "q_gr1_pagerank",
       // round 9: the ANN RETRIEVAL paths under the hot-cell corpus (the
       // fit was stress-fixed in round 8; these drive the probe/rerank).
-      "q_sim3_ivf_ann", "q_sim6_pq_ann")
+      "q_sim3_ivf_ann", "q_sim6_pq_ann",
+      // round 9: the NB classifier under duplicate mass — 99.5k
+      // byte-identical docs make every feature of the hot text a
+      // degenerate (doc,bucket) key family; the pre-agg before the
+      // broadcast model join is the guard that has to hold.
+      "q_cls1_nb_quality")
     val runs = names.map(n => measure(n)(SparkEntry.queries(n)(spark, workDir)))
 
     // ---------------- graph stress: hub-heavy topology ----------------
