@@ -339,6 +339,21 @@ final class QueryService(t0: String => DataFrame) {
     expandPot(expandToken(withAccounts))
   }
 
+  /** Paginated donation route body. The envelope's `count` is priced on
+    * the RAW filtered facts, not the expanded frame — DRF's own shape
+    * (pagination counts the queryset BEFORE serialization): every embed
+    * is a key-unique LEFT join (accounts.id / pots.account / tokens.id
+    * are the stores' natural merge keys), so expansion preserves
+    * cardinality exactly and the count job never pays the dimension
+    * joins — at 100 TB the count is a bucketed-scan aggregate, not a
+    * six-join plan. Only the returned page slice runs the embeds. */
+  private def paginateDonations(pre: DataFrame => DataFrame,
+      page: Int, pageSize: Int): Page =
+    Page(pre(donations).count(), page, pageSize,
+      Relational.pageSlice(donationExpandedWhere(pre),
+        Seq(col("donated_at").desc, col("on_chain_id").asc),
+        page, pageSize))
+
   // ---------------------------------------------------- accounts routes
 
   /** GET /v1/accounts (accounts/api.py:95-123): scan, order id. */
@@ -416,8 +431,7 @@ final class QueryService(t0: String => DataFrame) {
   /** GET /v1/accounts/{id}/donations_received (accounts/api.py:275-313). */
   def accountDonationsReceived(id: String, page: Int = 1,
       pageSize: Int = DefaultPageSize): Page =
-    paginate(donationExpandedWhere(_.filter(col("recipient") === id)),
-      Seq(col("donated_at").desc, col("on_chain_id").asc), page, pageSize)
+    paginateDonations(_.filter(col("recipient") === id), page, pageSize)
 
   /** Keyset form of [[accountDonationsReceived]]
     * (?after=<donated_at,on_chain_id>). */
@@ -431,8 +445,7 @@ final class QueryService(t0: String => DataFrame) {
   /** GET /v1/accounts/{id}/donations_sent (accounts/api.py:316-354). */
   def accountDonationsSent(id: String, page: Int = 1,
       pageSize: Int = DefaultPageSize): Page =
-    paginate(donationExpandedWhere(_.filter(col("donor") === id)),
-      Seq(col("donated_at").desc, col("on_chain_id").asc), page, pageSize)
+    paginateDonations(_.filter(col("donor") === id), page, pageSize)
 
   /** Keyset form of [[accountDonationsSent]]
     * (?after=<donated_at,on_chain_id>). */
@@ -626,8 +639,7 @@ final class QueryService(t0: String => DataFrame) {
   /** GET /v1/pots/{id}/donations (pots/api.py:180-215). */
   def potDonations(potId: String, page: Int = 1,
       pageSize: Int = DefaultPageSize): Page =
-    paginate(donationExpandedWhere(_.filter(col("pot") === potId)),
-      Seq(col("donated_at").desc, col("on_chain_id").asc), page, pageSize)
+    paginateDonations(_.filter(col("pot") === potId), page, pageSize)
 
   /** Keyset form of [[potDonations]] (?after=<donated_at,on_chain_id>). */
   def potDonationsKeyset(potId: String,

@@ -81,6 +81,33 @@ class QueryServiceSpec extends SparkSpec {
 
   private lazy val qs = new QueryService(tables(_))
 
+  test("donation route count is priced on the raw facts and survives dangling embed FKs") {
+    // The envelope count runs on the pre-expansion filtered facts (DRF
+    // counts the queryset before serialization); the invariant making
+    // that exact is that every embed is a key-unique LEFT join. Pin it
+    // with a donation whose donor has NO accounts row: the row must
+    // still be counted AND still appear in the page (donor struct built
+    // around the FK with null stats/profile), never dropped by an embed
+    // join.
+    val t2 = tables.updated("donations", tables("donations").unionByName(
+      Seq((9L, "ghost.near", "proj1.near", null.asInstanceOf[String], false,
+        java.sql.Timestamp.valueOf("2024-06-11 00:00:00")))
+        .toDF("on_chain_id", "donor", "recipient", "pot", "matching_pool",
+          "donated_at")
+        .withColumn("total_amount_usd", lit(1.0).cast("decimal(20,2)"))
+        .withColumn("total_amount_dec", lit(1L).cast("decimal(38,0)"))
+        .withColumn("ft", lit("near"))))
+    val qs2 = new QueryService(t2(_))
+    val p = qs2.accountDonationsReceived("proj1.near")
+    assert(p.count == 3, s"raw-fact count must include the dangling-FK row, got ${p.count}")
+    assert(p.results.count() == 3)
+    val ghost = p.results.filter(col("on_chain_id") === 9L)
+      .select(col("donor.id"), col("donor.near_social_profile_data"))
+      .collect()
+    assert(ghost.length == 1 && ghost.head.getString(0) == "ghost.near"
+      && ghost.head.isNullAt(1))
+  }
+
   test("pagination envelope: count + slice + next/previous (O3/A4)") {
     val p1 = qs.accountsList(page = 1, pageSize = 2)
     assert(p1.count == 5 && p1.results.count() == 2)
