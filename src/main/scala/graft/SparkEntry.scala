@@ -2450,8 +2450,14 @@ object SparkEntry {
   private def cls1(t: Tables): DataFrame = {
     val train = t.documents.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val heldout = t.documents.filter(pmod(col("doc_id"), lit(5)) === 0)
+    // The model feeds TWO broadcast builds in nbScore (weights + prior);
+    // unpersisted, each would re-run the training aggregation — two
+    // scans of the labeled slice at 100 TB. The ≤1025-row model persists
+    // instead (production callers write it to parquet — the
+    // STREAM_PARITY shape; the query harness clears caches per query).
     val model = ClassifierFunctions.trainNbLogModel(train, "text",
-      isPositive = col("lang") === "en", numBuckets = 1024, seed = "nbq")
+        isPositive = col("lang") === "en", numBuckets = 1024, seed = "nbq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ClassifierFunctions.nbScore(heldout, "doc_id", "text", model,
         numBuckets = 1024, seed = "nbq", passthrough = Seq("lang"))
       .orderBy(col("score_1024").desc, col("doc_id").asc)
@@ -2473,8 +2479,10 @@ object SparkEntry {
   private def cls2(t: Tables): DataFrame = {
     val train = t.documents.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val heldout = t.documents.filter(pmod(col("doc_id"), lit(5)) === 0)
+    // Same persist rationale as cls1: two broadcast builds, one train.
     val model = ClassifierFunctions.trainNbLogModel(train, "text",
-      isPositive = col("lang") === "en", numBuckets = 1024, seed = "nbq")
+        isPositive = col("lang") === "en", numBuckets = 1024, seed = "nbq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val truth = col("lang") === "en"
     ClassifierFunctions.nbScore(heldout, "doc_id", "text", model,
         numBuckets = 1024, seed = "nbq", passthrough = Seq("lang"))

@@ -599,7 +599,12 @@ final class QueryService(t0: String => DataFrame) {
     * objects embedded for deployer/owner/chef/admins
     * (pots/serializers.py:55-58). */
   def potsList(page: Int = 1, pageSize: Int = DefaultPageSize): Page =
-    paginate(potDim, Seq(col("account").asc), page, pageSize)
+    // Count on the raw pots table: potDim only adds key-unique LEFT
+    // joins (gold stats by account; deployer/owner/chef account embeds
+    // by id) — same count-before-serialize contract as the donation
+    // routes (paginateDonations).
+    Page(pots.count(), page, pageSize,
+      Relational.pageSlice(potDim, Seq(col("account").asc), page, pageSize))
 
   /** Keyset form of [[potsList]] (?after=<last account id>). */
   def potsListKeyset(after: Option[String],

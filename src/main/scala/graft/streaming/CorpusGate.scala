@@ -159,7 +159,16 @@ object CorpusGate {
     //    the stats row fall out of the same scan instead of re-running
     //    the filter per counter.
     val toks = TextFunctions.tokenCount(col("text"))
-    val gatePred = toks >= cfg.minTokens && toks <= cfg.maxTokens
+    // Validity is part of the gate: a crawl feed ALWAYS contains
+    // undecodable records (malformed JSON lines surface from a
+    // PERMISSIVE source as all-null rows; schema drift surfaces as a
+    // null column), and a null doc_id would otherwise ride the whole
+    // pipeline into the store where it can never be deduplicated or
+    // fetched back by id. Dropped here, counted as quality-dropped —
+    // the explicit contract, not an accident of null-predicate
+    // semantics.
+    val gatePred = col("doc_id").isNotNull && col("text").isNotNull &&
+      toks >= cfg.minTokens && toks <= cfg.maxTokens
     val gateCounts = batch.agg(
       count(lit(1)).as("n_in"),
       count(when(gatePred, 1)).as("n_gated")).head()

@@ -82,6 +82,34 @@ class CorpusGateSpec extends SparkSpec {
     assert(afterReplay == Set(1L, 5L, 21L))
   }
 
+  test("undecodable crawl records are quality-dropped, never stored") {
+    val in = tmpDir("hostile-in")
+    val store = tmpDir("hostile-store")
+    val ckpt = tmpDir("hostile-ckpt")
+    // A real crawl chunk: valid docs interleaved with a truncated JSON
+    // line, a record missing text, a record missing doc_id, and a line
+    // that is not JSON at all — the PERMISSIVE source surfaces all four
+    // as null-bearing rows, which the gate must drop and ACCOUNT as
+    // quality drops (a null doc_id reaching the store could never be
+    // deduplicated or fetched back by id).
+    Files.write(Paths.get(in, "b1.json"), Seq(
+      s"""{"doc_id": 1, "text": "$longA"}""",
+      """{"doc_id": 2, "text": """,
+      """{"doc_id": 3}""",
+      s"""{"text": "$longB"}""",
+      """%%% not json at all %%%""",
+      s"""{"doc_id": 4, "text": "$longC"}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val q = CorpusGate.start(spark, in, store, ckpt, availableNow = true)
+    assert(q.awaitTermination(300000), "gate stream did not drain")
+    assert(CorpusGate.corpus(spark, store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    val st = spark.read.parquet(s"$store/stats").collect().head
+    assert(st.getAs[Long]("n_in") == 6L)
+    assert(st.getAs[Long]("n_quality_dropped") == 4L)
+    assert(st.getAs[Long]("n_survivors") == 2L)
+  }
+
   test("docs too short to shingle survive and never mass-match each other") {
     val store = tmpDir("gate-short-store")
     import spark.implicits._
