@@ -45,38 +45,71 @@ object ClassifierFunctions {
     * `log((n_pos_docs+1)/(n_neg_docs+1))`. All values are fixed-point
     * 1/1024ths of a bit (log₂). */
   def trainNbLogModel(labeled: DataFrame, textCol: String,
+      isPositive: Column, numBuckets: Int, seed: String): DataFrame =
+    nbModelFromCounts(
+      trainNbCounts(labeled, textCol, isPositive, numBuckets, seed),
+      numBuckets)
+
+  /** INCREMENTAL training — NB's sufficient statistics are ADDITIVE, so
+    * the count table is a mergeable summary (the inc1/inc2 partial-agg
+    * contract applied to the classifier): each labeled batch folds to
+    * its own counts with one aggregation, count tables merge by plain
+    * summation, and [[nbModelFromCounts]] turns any merged table into
+    * the same model [[trainNbLogModel]] would produce on the unioned
+    * data — bit-for-bit, because counting commutes and the fixed-point
+    * log runs only at derivation time. At 100 TB this is the retrain
+    * path: a new labeled batch costs one scan of ITSELF, never of
+    * labeled history.
+    *
+    * Count table: `(b, cp, cn)` per OCCURRENCE for every bucket
+    * 0..numBuckets-1, plus row `b = -1` holding per-class DOC counts. */
+  def trainNbCounts(labeled: DataFrame, textCol: String,
       isPositive: Column, numBuckets: Int, seed: String): DataFrame = {
     require(numBuckets > 0 && numBuckets <= (1 << 20),
       s"numBuckets $numBuckets outside (0, 2^20]")
     val spark = labeled.sparkSession
     val withB = SampleFunctions.hashedNgramBuckets(labeled, textCol,
       Seq(isPositive.as("__t")), numBuckets, seed)
-    // Per-class occurrence counts per bucket: ONE aggregation,
-    // numBuckets-bounded state, map-side combined.
     val cb = withB.groupBy(col("__b")).agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("__cp"),
       sum(when(col("__t"), 0L).otherwise(1L)).as("__cn"))
-    // Materialize every bucket (left join from the full range) so the
-    // model is total over the feature space.
     val full = spark.range(numBuckets.toLong).select(col("id").as("b"))
       .join(broadcast(cb), col("b") === col("__b"), "left")
       .select(col("b"),
-        coalesce(col("__cp"), lit(0L)).as("__cp"),
-        coalesce(col("__cn"), lit(0L)).as("__cn"))
-    val tot = cb.agg(
-      coalesce(sum(col("__cp")), lit(0L)).as("__tp"),
-      coalesce(sum(col("__cn")), lit(0L)).as("__tn"))
+        coalesce(col("__cp"), lit(0L)).as("cp"),
+        coalesce(col("__cn"), lit(0L)).as("cn"))
+    val docCounts = labeled.agg(
+        sum(when(isPositive, 1L).otherwise(0L)).as("cp"),
+        sum(when(isPositive, 0L).otherwise(1L)).as("cn"))
+      .select(lit(-1L).as("b"), col("cp"), col("cn"))
+    full.unionByName(docCounts)
+  }
+
+  /** Merge any number of [[trainNbCounts]] tables: plain per-bucket
+    * summation (the doc-count row merges by the same rule). Associative
+    * and commutative — fold daily batches, or a tree of them. */
+  def mergeNbCounts(counts: Seq[DataFrame]): DataFrame = {
+    require(counts.nonEmpty, "nothing to merge")
+    counts.reduce(_.unionByName(_)).groupBy(col("b"))
+      .agg(sum(col("cp")).as("cp"), sum(col("cn")).as("cn"))
+  }
+
+  /** Derive the [[trainNbLogModel]]-shaped model from a (possibly
+    * merged) count table — identical output to training on the unioned
+    * labeled data. */
+  def nbModelFromCounts(counts: DataFrame, numBuckets: Int): DataFrame = {
+    val buckets = counts.filter(col("b") >= 0)
+    val tot = buckets.agg(
+      coalesce(sum(col("cp")), lit(0L)).as("__tp"),
+      coalesce(sum(col("cn")), lit(0L)).as("__tn"))
     val d = lit(numBuckets.toLong)
-    val weights = full.crossJoin(broadcast(tot)).select(col("b"),
-      ((ilog2x1024(col("__cp") + 1L) - ilog2x1024(col("__tp") + d)) -
-        (ilog2x1024(col("__cn") + 1L) - ilog2x1024(col("__tn") + d)))
+    val weights = buckets.crossJoin(broadcast(tot)).select(col("b"),
+      ((ilog2x1024(col("cp") + 1L) - ilog2x1024(col("__tp") + d)) -
+        (ilog2x1024(col("cn") + 1L) - ilog2x1024(col("__tn") + d)))
         .as("w_1024"))
-    val prior = labeled.agg(
-        sum(when(isPositive, 1L).otherwise(0L)).as("__np"),
-        sum(when(isPositive, 0L).otherwise(1L)).as("__nn"))
-      .select(lit(-1L).as("b"),
-        (ilog2x1024(col("__np") + 1L) - ilog2x1024(col("__nn") + 1L))
-          .as("w_1024"))
+    val prior = counts.filter(col("b") === -1L).select(lit(-1L).as("b"),
+      (ilog2x1024(col("cp") + 1L) - ilog2x1024(col("cn") + 1L))
+        .as("w_1024"))
     weights.unionByName(prior)
   }
 

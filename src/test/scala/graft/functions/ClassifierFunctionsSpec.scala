@@ -83,6 +83,25 @@ class ClassifierFunctionsSpec extends SparkSpec {
     assert(score(persisted) == score(model(train)))
   }
 
+  test("incremental training: merged batch counts yield the exact union model") {
+    // NB's sufficient statistics are additive: training per batch and
+    // merging count tables must be BIT-IDENTICAL to training once on
+    // the union — the retrain-without-history contract.
+    val batch1 = train.filter(col("doc_id") <= 2L)
+    val batch2 = train.filter(col("doc_id") > 2L)
+    def counts(d: DataFrame) = ClassifierFunctions.trainNbCounts(
+      d, "text", col("quality"), B, "t")
+    val merged = ClassifierFunctions.mergeNbCounts(
+      Seq(counts(batch1), counts(batch2)))
+    val fromMerged = ClassifierFunctions.nbModelFromCounts(merged, B)
+      .collect().map(_.toString).sorted.toSeq
+    val fromUnion = model(train)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromMerged == fromUnion)
+    // The merged counts table stays total: numBuckets + the doc-count row.
+    assert(merged.count() == B + 1)
+  }
+
   test("prior reflects class imbalance through add-1 log-odds") {
     val skewed = train.union(Seq(
       (5L, "good extra positive words", true),
