@@ -126,6 +126,56 @@ class RetryReplaySpec extends SparkSpec {
         Seq(col("seq").desc, col("ev").asc)))
   }
 
+  test("stateful streaming (sessionize) emits identically under task retry") {
+    // The state-store risk surface: a micro-batch task that fails after
+    // partially updating per-group session state must, on retry, land on
+    // the same committed state and emissions — Spark's state store
+    // versions per batch, and this drives that contract through real
+    // retries in BOTH micro-batches of a two-batch run.
+    import spark.implicits._
+    import graft.streaming.EventAnalytics
+    import graft.streaming.EventAnalytics.{Event, Session}
+    def ts(min: Int) = new java.sql.Timestamp(1718000000000L + min * 60000L)
+    val dir = tmpDir("retry-sess")
+    def writeFile(evs: Seq[Event], name: String, mtime: Long): Unit = {
+      val sub = tmpDir(s"retry-sess-$name")
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(dir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dest): Unit
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime)): Unit
+    }
+    writeFile(Seq(Event(1, ts(0), "click"), Event(1, ts(10), "click"),
+      Event(2, ts(5), "view")), "b1", 1700000000000L)
+    writeFile(Seq(Event(1, ts(60), "view"), Event(1, ts(65), "click"),
+      Event(3, ts(62), "view")), "b2", 1700000060000L)
+    val schema = Seq.empty[Event].toDS().schema
+    def run(flaky: Boolean, sink: String): Set[(Long, Long, Long, Long)] = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val in = (if (flaky) flakyOnce(src.toDF(), "sess") else src.toDF())
+        .as[Event]
+      val q = EventAnalytics.sessionize(in, gapMs = 30 * 60000L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(300000), s"$sink did not drain")
+      spark.table(sink).as[Session].collect()
+        .map(s => (s.user_id, s.session_start.getTime,
+          s.session_end.getTime, s.n_events.toLong)).toSet
+    }
+    val expected = run(flaky = false, "sess_plain")
+    assert(expected.nonEmpty)
+    injected.removeIf(_.startsWith("sess/"))
+    val actual = run(flaky = true, "sess_flaky")
+    assert(countFor("sess") > 0, "no task failure was injected")
+    assert(actual == expected,
+      "stateful stream emissions changed under task retry")
+  }
+
   test("MergeWriter.merge: write path commits exactly once under task retry") {
     val dir = tmpDir("retry-merge")
     val pathPlain = s"$dir/plain"
