@@ -111,8 +111,31 @@ final class QueryService(t0: String => DataFrame) {
     * embed; donations/serializers.py:44-49). An id with no account row
     * still embeds as {id, nulls…} (parity with the reference, where the
     * FK row always exists). */
-  private def expandAccount(df: DataFrame, fk: String): DataFrame = {
-    val dim0 = accountDim
+  private def expandAccount(df: DataFrame, fk: String): DataFrame =
+    expandAccountImpl(df, fk, bounded = false)
+
+  /** Page-scoped account embed: `df` is a BOUNDED page (≤ pageSize
+    * rows), so the account dim is first pruned to the page's FK ids by
+    * a broadcast left-semi join — the ids push into the accounts scan
+    * as a runtime filter (the store is bucketed AND sorted on id at
+    * rest, so parquet row groups skip) — and only that ≤page-sized dim
+    * slice broadcasts back for the left-outer embed. Nothing unbounded
+    * is ever broadcast, at ANY corpus size: the Spark spelling of the
+    * reference's prefetch_related (accounts/api.py:310). The unbounded
+    * variant above broadcasts the whole dim — correct for the
+    * reference-scale dims and for pre-slice expansion, a driver OOM on
+    * a 100 TB accounts table. */
+  private def expandAccountBounded(df: DataFrame, fk: String): DataFrame =
+    expandAccountImpl(df, fk, bounded = true)
+
+  private def expandAccountImpl(df: DataFrame, fk: String,
+      bounded: Boolean): DataFrame = {
+    val dim0 =
+      if (bounded)
+        accountDim.join(
+          broadcast(df.select(df(fk).as("__pk")).na.drop().distinct()),
+          accountDim("id") === col("__pk"), "left_semi")
+      else accountDim
     val obj = s"__${fk}_obj"
     val dim = broadcast(dim0.select(
       col("id").as(s"__${fk}_id"),
@@ -320,39 +343,56 @@ final class QueryService(t0: String => DataFrame) {
     }
   }
 
-  private def donationExpanded: DataFrame = donationExpandedWhere(identity)
+  // Donation routes never expand pre-slice anymore: filters hit the raw
+  // donor-bucketed scan, the slice bounds the rows, and embeds run only
+  // on the surviving page (paginateDonations / donationKeyset /
+  // expandDonationPage below) — the expanded struct's id IS the raw FK
+  // by construction, so raw-column filtering is semantically identical
+  // to filtering the struct field after expansion.
 
-  /** Donation rows with every serializer embed expanded. `pre` filters
-    * the RAW donation columns BEFORE the embed joins: the expanded
-    * struct's id IS the raw FK by construction (expandAccount builds the
-    * struct around df(fk), expandPot around df("pot"), null FK → null
-    * struct), so filtering donor/recipient/pot pre-expansion is
-    * semantically identical to filtering the struct field afterwards —
-    * and it reaches the parquet scan (donor-bucketed at rest) instead of
-    * running the dimension joins over the whole fact table first. At
-    * 100 TB that ordering is the route. */
-  private def donationExpandedWhere(pre: DataFrame => DataFrame): DataFrame = {
-    val d = pre(donations)
+  private val donationOrder =
+    Seq(col("donated_at").desc, col("on_chain_id").asc)
+
+  /** Embed expansion for a BOUNDED page of donation rows: account
+    * embeds through [[expandAccountBounded]] (dim pruned to the page's
+    * ids — see its scaladoc for the 100 TB contract); token/pot dims
+    * are metadata-bounded and keep the plain broadcast embed. Joins
+    * scramble row order, so the page re-sorts (≤ pageSize rows). */
+  private def expandDonationPage(pageRows: DataFrame): DataFrame = {
     val withAccounts = Seq("donor", "recipient", "referrer", "chef")
-      .filter(d.columns.contains)
-      .foldLeft(d)(expandAccount)
-    expandPot(expandToken(withAccounts))
+      .filter(pageRows.columns.contains)
+      .foldLeft(pageRows)(expandAccountBounded)
+    expandPot(expandToken(withAccounts)).orderBy(donationOrder: _*)
   }
 
-  /** Paginated donation route body. The envelope's `count` is priced on
-    * the RAW filtered facts, not the expanded frame — DRF's own shape
-    * (pagination counts the queryset BEFORE serialization): every embed
-    * is a key-unique LEFT join (accounts.id / pots.account / tokens.id
-    * are the stores' natural merge keys), so expansion preserves
-    * cardinality exactly and the count job never pays the dimension
-    * joins — at 100 TB the count is a bucketed-scan aggregate, not a
-    * six-join plan. Only the returned page slice runs the embeds. */
+  /** Paginated donation route body — BOTH request jobs run on the raw
+    * filtered facts, with serializer embeds only on the returned page:
+    *
+    *  - the envelope's `count` is priced on the raw facts (DRF's own
+    *    shape: pagination counts the queryset BEFORE serialization);
+    *    every embed is a key-unique LEFT join, so expansion preserves
+    *    cardinality exactly.
+    *  - the page SLICES the raw facts first (TakeOrdered over the
+    *    donor-bucketed scan), then [[expandDonationPage]] embeds the
+    *    ≤ pageSize surviving rows — so the dimension joins never see
+    *    the fact table, and the account dim is never broadcast
+    *    unbounded (the 100 TB OOM the pre-slice expansion would hit). */
   private def paginateDonations(pre: DataFrame => DataFrame,
-      page: Int, pageSize: Int): Page =
-    Page(pre(donations).count(), page, pageSize,
-      Relational.pageSlice(donationExpandedWhere(pre),
-        Seq(col("donated_at").desc, col("on_chain_id").asc),
-        page, pageSize))
+      page: Int, pageSize: Int): Page = {
+    val raw = pre(donations)
+    Page(raw.count(), page, pageSize,
+      expandDonationPage(
+        Relational.pageSlice(raw, donationOrder, page, pageSize)))
+  }
+
+  /** Keyset donation route body: continuation slice on the raw facts,
+    * embeds on the surviving page (same contract as
+    * [[paginateDonations]]). */
+  private def donationKeyset(pre: DataFrame => DataFrame,
+      after: Option[Seq[Any]], pageSize: Int): DataFrame =
+    expandDonationPage(Relational.keysetSlice(pre(donations),
+      Seq((col("donated_at"), false), (col("on_chain_id"), true)),
+      after, pageSize))
 
   // ---------------------------------------------------- accounts routes
 
@@ -375,8 +415,7 @@ final class QueryService(t0: String => DataFrame) {
     * tie-break) — shows the multi-key descending continuation. */
   def donationsFeedKeyset(after: Option[(java.sql.Timestamp, Long)],
       pageSize: Int = DefaultPageSize): DataFrame =
-    Relational.keysetSlice(donationExpanded,
-      Seq((col("donated_at"), false), (col("on_chain_id"), true)),
+    donationKeyset(identity,
       after.map { case (ts, id) => Seq(ts, id) }, pageSize)
 
   /** GET /v1/accounts/{id} (accounts/api.py:126-160). */
@@ -438,8 +477,7 @@ final class QueryService(t0: String => DataFrame) {
   def accountDonationsReceivedKeyset(id: String,
       after: Option[(java.sql.Timestamp, Long)],
       pageSize: Int = DefaultPageSize): DataFrame =
-    Relational.keysetSlice(donationExpandedWhere(_.filter(col("recipient") === id)),
-      Seq((col("donated_at"), false), (col("on_chain_id"), true)),
+    donationKeyset(_.filter(col("recipient") === id),
       after.map { case (ts, oid) => Seq(ts, oid) }, pageSize)
 
   /** GET /v1/accounts/{id}/donations_sent (accounts/api.py:316-354). */
@@ -452,8 +490,7 @@ final class QueryService(t0: String => DataFrame) {
   def accountDonationsSentKeyset(id: String,
       after: Option[(java.sql.Timestamp, Long)],
       pageSize: Int = DefaultPageSize): DataFrame =
-    Relational.keysetSlice(donationExpandedWhere(_.filter(col("donor") === id)),
-      Seq((col("donated_at"), false), (col("on_chain_id"), true)),
+    donationKeyset(_.filter(col("donor") === id),
       after.map { case (ts, oid) => Seq(ts, oid) }, pageSize)
 
   /** GET /v1/accounts/{id}/payouts_received (accounts/api.py:357-395):
@@ -650,8 +687,7 @@ final class QueryService(t0: String => DataFrame) {
   def potDonationsKeyset(potId: String,
       after: Option[(java.sql.Timestamp, Long)],
       pageSize: Int = DefaultPageSize): DataFrame =
-    Relational.keysetSlice(donationExpandedWhere(_.filter(col("pot") === potId)),
-      Seq((col("donated_at"), false), (col("on_chain_id"), true)),
+    donationKeyset(_.filter(col("pot") === potId),
       after.map { case (ts, id) => Seq(ts, id) }, pageSize)
 
   /** GET /v1/pots/{id}/sponsors (pots/api.py:218-258): J4 distinct
