@@ -176,6 +176,33 @@ class RetryReplaySpec extends SparkSpec {
       "stateful stream emissions changed under task retry")
   }
 
+  test("bucket-scoped merge commits exactly once under task retry") {
+    // The round's bucket-scoped LWW path: batch 2 rewrites ONLY the
+    // buckets it hashes into, so a retried task must neither double a
+    // bucket's rows nor leave a half-swapped bucket behind.
+    val dir = tmpDir("retry-bmerge")
+    val base = spark.range(500).select(col("id").as("k"), lit(1L).as("seq"),
+      concat(lit("v"), col("id")).as("payload"))
+    val update = spark.range(120).select((col("id") * 4).as("k"),
+      lit(2L).as("seq"), concat(lit("u"), col("id")).as("payload"))
+    def build(path: String, wrap: DataFrame => DataFrame): Unit = {
+      MergeWriter.mergeBucketed(spark, wrap(base), path,
+        Seq("k"), Seq("seq"), "k", 8): Unit
+      assert(graft.operators.BucketedLayout.looksBucketed(path),
+        "bootstrap merge must establish the bucketed layout so the " +
+          "second call provably takes the bucket-SCOPED path")
+      MergeWriter.mergeBucketed(spark, wrap(update), path,
+        Seq("k"), Seq("seq"), "k", 8): Unit
+    }
+    build(s"$dir/plain", identity)
+    injected.removeIf(_.startsWith("bmerge/"))
+    build(s"$dir/flaky", df => flakyOnce(df, "bmerge"))
+    assert(countFor("bmerge") > 0, "no task failure was injected")
+    assert(rows(spark.read.parquet(s"$dir/flaky")) ==
+      rows(spark.read.parquet(s"$dir/plain")),
+      "bucket-scoped merged table changed under task retry")
+  }
+
   test("MergeWriter.merge: write path commits exactly once under task retry") {
     val dir = tmpDir("retry-merge")
     val pathPlain = s"$dir/plain"
