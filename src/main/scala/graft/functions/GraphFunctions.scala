@@ -1,6 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -168,6 +170,69 @@ object GraphFunctions {
         col("n1") * lit(840L) + col("n2") * lit(420L))
   }
 
+  /** Bounded k-minimum-values buffer: the k smallest DISTINCT Longs seen,
+    * kept as a sorted ascending array that NEVER exceeds k entries —
+    * insert is a binary search + bounded copy, merge is a linear k-min
+    * of two already-k-bounded sorted arrays (the Misra-Gries /
+    * topKByScore bounded-state discipline). This is what makes
+    * [[kmvNeighborhood]]'s per-group state O(k) even at a 10⁷-degree
+    * hub: an unbounded `collect_set` would materialize the hub's entire
+    * neighbor hash set on one reducer before truncating. k-min is
+    * associative and commutative over distinct values, so any merge
+    * tree yields byte-identical sketches — hash-gate safe. */
+  final case class KMinDistinct(k: Int)
+      extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(k >= 1, "k-min capacity must be positive")
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) buf // already present — KMV is over distinct values
+      else {
+        val ins = -pos - 1
+        if (buf.length < k) {
+          val out = new Array[Long](buf.length + 1)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+          out
+        } else if (ins < k) { // displaces the current max
+          val out = new Array[Long](k)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+          out
+        } else buf // not among the k smallest
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(k, a.length + b.length))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val take =
+          if (j >= b.length) { val x = a(i); i += 1; x }
+          else if (i >= a.length) { val x = b(j); j += 1; x }
+          else if (a(i) < b(j)) { val x = a(i); i += 1; x }
+          else if (b(j) < a(i)) { val x = b(j); j += 1; x }
+          else { val x = a(i); i += 1; j += 1; x } // same hash in both
+        out(n) = take; n += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(buf: Array[Long]): Seq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(buf)
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      Encoders.kryo[Array[Long]]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Sketch-based neighborhood function (HyperBall's data flow with a
     * KMV distinct-count sketch instead of HyperLogLog): per node, the
     * estimated |ball(v, r)| for r = 1, 2 over an undirected simple
@@ -177,7 +242,11 @@ object GraphFunctions {
     * edge join + a k-min re-aggregation of round r−1's sketches:
     * per-round state is O(nodes · k) regardless of how large the balls
     * grow, which is the whole point at 100 TB (the exact form's state
-    * is the ball pair set itself — [[harmonicR2]]). Estimates are
+    * is the ball pair set itself — [[harmonicR2]]). The k-min itself is
+    * the bounded [[KMinDistinct]] aggregator, so even a single hub
+    * node's aggregation buffer holds at most k hashes at any moment —
+    * partial (map-side) combines already run k-bounded before the
+    * exchange. Estimates are
     * deterministic integers: a sketch smaller than k IS the exact
     * count; a full sketch estimates (k−1) · 2³² div (kth-min + 1)
     * (+1 so a zero hash cannot divide by zero) — the md5 draw and the
@@ -197,8 +266,9 @@ object GraphFunctions {
     val h = conv(substring(
         md5(concat(lit(seed + ":"), col("u").cast("string"))), 1, 8),
       16, 10).cast("long")
+    val kminAgg = udaf(KMinDistinct(k), Encoders.scalaLong)
     def kmin(df: DataFrame): DataFrame = df.groupBy("v")
-      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("sk"))
+      .agg(kminAgg(col("h")).as("sk"))
     val s1 = kmin(adjS.select(col("v"), h.as("h")))
     val s2 = kmin(adjS
       .join(s1.select(col("v").as("u"), col("sk")), "u")

@@ -203,6 +203,45 @@ class GraphFunctionsSpec extends SparkSpec {
     assert(hubRun() == est) // deterministic draw: replayable
   }
 
+  test("KMinDistinct: buffer stays ≤ k through a 10⁶-degree hub; result is exactly sorted-distinct-take-k; any merge tree agrees") {
+    val k = 16
+    val agg = GraphFunctions.KMinDistinct(k)
+    // A million distinct hash draws into ONE group — the hub shape the
+    // old collect_set formulation materialized in full. The buffer must
+    // never exceed k entries at ANY point in the fold.
+    def mix(i: Long): Long = {
+      val x = (i + 1L) * 0x9E3779B97F4A7C15L
+      (x ^ (x >>> 31)) & 0xFFFFFFFFL // 32-bit domain like the md5 draw
+    }
+    var buf = agg.zero
+    var i = 0L
+    var maxLen = 0
+    while (i < 1000000L) {
+      buf = agg.reduce(buf, mix(i))
+      if (buf.length > maxLen) maxLen = buf.length
+      i += 1
+    }
+    assert(maxLen <= k, s"buffer grew to $maxLen > k=$k")
+    // Exactness: the fold's answer IS the k smallest distinct values.
+    val expect = (0L until 1000000L).map(mix).distinct.sorted.take(k)
+    assert(buf.toSeq == expect)
+
+    // Merge-tree invariance (the mergeable-summary contract): fold the
+    // same stream in 7 chunks with duplicates across chunks, merge
+    // left-to-right and as a balanced tree — both equal the flat fold.
+    val stream = (0L until 5000L).map(j => mix(j % 1700L)) // heavy dupes
+    val flat = stream.foldLeft(agg.zero)(agg.reduce)
+    val chunks = stream.grouped(715).toSeq
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    val leftFold = chunks.reduce(agg.merge)
+    val tree = chunks.grouped(2).toSeq
+      .map(g => if (g.size == 2) agg.merge(g(0), g(1)) else g(0))
+      .reduce(agg.merge)
+    assert(leftFold.toSeq == flat.toSeq)
+    assert(tree.toSeq == flat.toSeq)
+    assert(flat.length <= k)
+  }
+
   test("a round plans as src-keyed equi-joins + one dst aggregation") {
     val (nodes, edges) = tiny
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
