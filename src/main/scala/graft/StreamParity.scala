@@ -537,21 +537,43 @@ object StreamParity {
     // landed. The cut point is deliberately nondeterministic; the result
     // identity must hold for every cut, which is the exactly-once claim.
     locally {
-      val ckpt = work.resolve("resume_ckpt").toString
-      val sink = work.resolve("resume_sink").toString
-      def start() = EventAnalytics.hourlyTypeCounts(evTyped, "1 hour")
-        .writeStream.format("parquet").option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      val t0 = System.nanoTime()
-      val q1 = start()
-      q1.awaitTermination(2500)
-      q1.stop()
-      val committed = Option(new java.io.File(s"$ckpt/offsets").listFiles())
-        .map(_.count(f => f.getName.forall(_.isDigit))).getOrElse(0)
-      val q2 = start()
-      q2.awaitTermination()
-      val secs = (System.nanoTime() - t0) / 1e9
+      // NON-VACUOUS cut required: on a fast machine AvailableNow can
+      // drain every batch inside the wall-clock budget (restart = no-op),
+      // or the stop can land before batch 0 commits (restart = full run,
+      // no resume exercised). Either way the exactly-once-through-restart
+      // claim would pass without being tested — the same vacuity
+      // RetryReplaySpec rejects by asserting its injection fired. So the
+      // committed-batch count at the cut is REQUIRED to sit strictly
+      // between 0 and the total; budgets shrink/grow across fresh
+      // checkpoint dirs until a mid-run cut is achieved.
+      def commitCount(ckpt: String): Int =
+        Option(new java.io.File(s"$ckpt/commits").listFiles())
+          .map(_.count(f => f.getName.forall(_.isDigit))).getOrElse(0)
+      val budgets = Seq(2500L, 1000L, 400L, 150L, 5000L)
+      var attempt = 0
+      var cut = 0; var total = 0; var secs = 0.0; var sink = ""
+      while (attempt < budgets.length && !(cut > 0 && cut < total)) {
+        val ckpt = work.resolve(s"resume_ckpt_$attempt").toString
+        sink = work.resolve(s"resume_sink_$attempt").toString
+        def start() = EventAnalytics.hourlyTypeCounts(evTyped, "1 hour")
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        val t0 = System.nanoTime()
+        val q1 = start()
+        q1.awaitTermination(budgets(attempt))
+        q1.stop()
+        cut = commitCount(ckpt)
+        val q2 = start()
+        q2.awaitTermination()
+        secs = (System.nanoTime() - t0) / 1e9
+        total = commitCount(ckpt)
+        attempt += 1
+      }
+      require(cut > 0 && cut < total,
+        s"kill-and-resume never achieved a mid-run cut (last: $cut of " +
+          s"$total batches committed before the stop) — the restart " +
+          "would be vacuous; widen the budget ladder")
       val s = spark.read.parquet(sink)
         .filter(col("event_type") =!= Flush)
         .select(unix_micros(col("hour")).as("hus"), col("event_type"),
@@ -559,7 +581,7 @@ object StreamParity {
       val b = batchQ("q_w1_hourly_window")
         .select(unix_micros(col("hour").cast("timestamp")).as("hus"),
           col("event_type"), col("n"), col("total_value"))
-      rows += diff(s"resume.hourlyTypeCounts (killed @batch $committed)",
+      rows += diff(s"resume.hourlyTypeCounts (killed @batch $cut of $total)",
         "q_w1_hourly_window", s, b, secs)
     }
     w3.unpersist(); ts2.unpersist()

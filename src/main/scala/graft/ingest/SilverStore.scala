@@ -125,6 +125,32 @@ object SilverStore {
           MergeWriter.merge(spark, df, s"$dir/$name", keys, seqCols)
       }
     }
+
+  // Registration freshness: catalogName → the swap-marker uid it was
+  // registered against. Each merge path stamps a new uid after its swap
+  // lands, so uid-unchanged ⟺ the on-disk layout and schema are the ones
+  // already registered. Per-name monitors serialize the DROP/CREATE DDL
+  // (catalog names are session-global; two threads of one session reading
+  // the same table must not race the re-registration).
+  private val registeredUid =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val registerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[ingest] def registerCached(spark: SparkSession,
+      catalogName: String, tablePath: String)(register: => Unit): Unit = {
+    val lock = registerLocks.computeIfAbsent(catalogName, _ => new Object)
+    lock.synchronized {
+      val uid = MergeWriter.io
+        .readString(MergeWriter.swapMarkerPath(tablePath)).getOrElse("")
+      val fresh = uid.nonEmpty && uid == registeredUid.get(catalogName) &&
+        spark.catalog.tableExists(catalogName)
+      if (!fresh) {
+        register
+        registeredUid.put(catalogName, uid): Unit
+      }
+    }
+  }
 }
 
 final class SilverStore(spark: SparkSession, dir: String) {
@@ -138,8 +164,14 @@ final class SilverStore(spark: SparkSession, dir: String) {
     * otherwise leak into the API JSON surface and the gold tables.
     * Bucketed tables come back through a session-catalog registration so
     * their scans report the bucket HashPartitioning (exchange-free joins
-    * on the bucket key); the registration is metadata-only and refreshed
-    * per read (schemas evolve across merges). A table still in its flat
+    * on the bucket key). The registration is CACHED per catalog name and
+    * refreshed only when the table's swap-marker uid changes (every merge
+    * path stamps one): re-running DROP/CREATE + a schema-inferring
+    * parquet read on every access would both race concurrent readers of
+    * the same store (a query analyzed between another caller's DROP and
+    * CREATE fails on a missing table) and pay a footer scan per read.
+    * The DDL itself runs under a per-name lock, so two threads refreshing
+    * the same registration serialize. A table still in its flat
     * bootstrap layout reads as plain parquet. */
   def table(name: String): DataFrame = {
     val p = path(name)
@@ -152,8 +184,10 @@ final class SilverStore(spark: SparkSession, dir: String) {
       SilverStore.partitionBucketSpec.get(name)) match {
       case (Some((bcol, n)), _, _)
           if graft.operators.BucketedLayout.looksBucketed(p) =>
-        graft.operators.BucketedLayout.registerExternal(
-          spark, catalogName, p, spark.read.parquet(p).schema, bcol, n)
+        SilverStore.registerCached(spark, catalogName, p) {
+          graft.operators.BucketedLayout.registerExternal(
+            spark, catalogName, p, spark.read.parquet(p).schema, bcol, n)
+        }
         spark.table(catalogName)
       case (_, Some((pcol, _)), Some((bcol, n)))
           if MergeWriter.bucketedPartitionLayout(p) =>
@@ -161,8 +195,10 @@ final class SilverStore(spark: SparkSession, dir: String) {
         // reports the bucket HashPartitioning; partitions are recovered
         // from the directories (the merge path mutates them out-of-band).
         // The synthetic partition column stays hidden from readers.
-        graft.operators.BucketedLayout.registerExternalPartitioned(
-          spark, catalogName, p, spark.read.parquet(p).schema, pcol, bcol, n)
+        SilverStore.registerCached(spark, catalogName, p) {
+          graft.operators.BucketedLayout.registerExternalPartitioned(
+            spark, catalogName, p, spark.read.parquet(p).schema, pcol, bcol, n)
+        }
         spark.table(catalogName).drop(pcol)
       case _ =>
         val df = spark.read.parquet(p)

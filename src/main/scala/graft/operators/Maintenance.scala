@@ -171,15 +171,41 @@ object Maintenance {
     case None => df.coalesce(need)
   }
 
+  /** What [[vacuumInspect]] decided: `deleted` artifacts were removed;
+    * `quarantined` artifacts were SPARED because the swap they belong to
+    * shows evidence of never completing — they may hold the only copy of
+    * the affected data and need manual recovery, not deletion. */
+  case class VacuumReport(deleted: Seq[String], quarantined: Seq[String])
+
   /** Delete crash-stranded swap artifacts next to table `path`:
     * sibling `<table>.tmp-<uid>` (a write that never swapped in),
     * `<table>.old-<uid>…` (an aside copy whose delete never ran), and
     * torn `.tmp` halves of the sidecar/marker small-file writes — but
     * only those last modified more than `graceMs` ago, so the tmp dir
     * of an in-flight merge (or a concurrent compaction's aside) is
-    * never touched. Returns the deleted paths. */
-  def vacuum(path: String, graceMs: Long,
-      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    * never touched.
+    *
+    * Age alone is NOT sufficient: after a crash between the rename-aside
+    * and move-in steps, the aside/tmp dir holds the ONLY copy of the
+    * affected data — the very recoverability the swap protocol's
+    * crash-safe claim rests on — and a vacuum past the grace period must
+    * not destroy it while the table is still missing those rows. So a
+    * data artifact (`.tmp-`/`.old-`) is deleted only when the swap it
+    * belongs to verifiably COMPLETED; it is quarantined (returned, not
+    * deleted) when any completion check fails:
+    *  - the live table dir is missing entirely (whole-table swap died
+    *    between its two renames);
+    *  - the counts-sidecar uid and swap-marker uid disagree — the
+    *    sidecar-before-swap / marker-after protocol's crash detector
+    *    (partition- and bucket-scoped merges);
+    *  - the artifact names a partition (`<table>.old-<uid>-<dir>`, or a
+    *    partition subdir inside a tmp) whose live partition dir is
+    *    missing — a compaction's per-partition swap has no sidecar
+    *    update, so the uid check alone cannot see its crash window.
+    * Torn small-file `.tmp` halves are always safe to drop: the atomic
+    * string writes they belong to are never the only copy of row data. */
+  def vacuumInspect(path: String, graceMs: Long,
+      nowMs: Long = System.currentTimeMillis()): VacuumReport = {
     val io = MergeWriter.io
     val slash = path.lastIndexOf('/')
     require(slash > 0, s"vacuum needs an absolute table path, got $path")
@@ -187,17 +213,51 @@ object Maintenance {
     val base = path.substring(slash + 1)
     val smallFileTmp =
       Set(s"$base.counts.json.tmp", s"$base.swapuid.tmp")
-    val doomed = io.listDir(parent).collect {
+    val aged = io.listDir(parent).collect {
       case (n, _) if n.startsWith(s"$base.tmp-") ||
         n.startsWith(s"$base.old-") || smallFileTmp(n) => n
     }.filter { n =>
       val mtime = io.lastModifiedMs(s"$parent/$n")
       mtime > 0L && nowMs - mtime >= graceMs
     }
-    doomed.map { n =>
-      val full = s"$parent/$n"
-      io.deleteRecursively(full)
-      full
+
+    val liveMissing = !io.exists(path)
+    val uidMismatch = (for {
+      marker <- io.readString(MergeWriter.swapMarkerPath(path))
+      (_, sidecarUid) <- MergeWriter.readCountsSidecar(path)
+      if sidecarUid.nonEmpty
+    } yield marker != sidecarUid).getOrElse(false)
+    // Partition dir named in an aside (`<base>.old-<uid8>-<dir>`), if any.
+    def asidePartition(n: String): Option[String] = {
+      val rest = n.stripPrefix(s"$base.old-")
+      if (rest.length > 9 && rest.charAt(8) == '-')
+        Some(rest.substring(9)).filter(_.contains("="))
+      else None
     }
+    def swapIncomplete(n: String): Boolean =
+      liveMissing || uidMismatch || {
+        if (n.startsWith(s"$base.old-"))
+          asidePartition(n).exists(d => !io.exists(s"$path/$d"))
+        else if (n.startsWith(s"$base.tmp-"))
+          // a tmp's partition subdirs must all have live counterparts
+          io.listDir(s"$parent/$n").exists { case (d, isDir) =>
+            isDir && d.contains("=") && !io.exists(s"$path/$d") }
+        else false
+      }
+
+    val (spared, doomed) = aged.partition(n =>
+      !smallFileTmp(n) && swapIncomplete(n))
+    VacuumReport(
+      doomed.map { n =>
+        val full = s"$parent/$n"
+        io.deleteRecursively(full)
+        full
+      },
+      spared.map(n => s"$parent/$n"))
   }
+
+  /** [[vacuumInspect]]'s deletions alone — the original contract. */
+  def vacuum(path: String, graceMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    vacuumInspect(path, graceMs, nowMs).deleted
 }

@@ -374,6 +374,17 @@ object MergeWriter {
     }
 
     val exists = io.exists(path)
+    // Mirror of the unbucketed→bucketed migration below: a PLAIN merge
+    // (bucket=None) into an already bucketed-partitioned table would put
+    // plain-named files into the touched partitions, silently flipping
+    // bucketedPartitionLayout to false and degrading every later read to
+    // an exchange-paying plain scan with no error anywhere. The caller's
+    // bucket spec and the on-disk layout must agree — fail loudly.
+    require(!(exists && bucket.isEmpty && bucketedPartitionLayout(path)),
+      s"mergePartitioned: $path is bucketed-partitioned on disk but the " +
+        "merge passed no bucket spec; a plain write would silently " +
+        "degrade the table's bucketed layout (pass the table's bucket " +
+        "spec, or migrate deliberately)")
     // A flat (unpartitioned) layout at `path` — the empty-batch bootstrap
     // table, or a table written before partitioning was enabled — can't be
     // partition-pruned and would leave stale root files shadowing the
@@ -493,12 +504,14 @@ object MergeWriter {
   }
 
   private def sidecarPath(path: String): String = path + ".counts.json"
-  private def swapMarkerPath(path: String): String = path + ".swapuid"
+  private[graft] def swapMarkerPath(path: String): String =
+    path + ".swapuid"
 
   private def writeSwapMarker(path: String, uid: String): Unit =
     io.writeStringAtomic(swapMarkerPath(path), uid)
 
-  private def readCountsSidecar(path: String): Option[(Map[String, Long], String)] =
+  private[operators] def readCountsSidecar(
+      path: String): Option[(Map[String, Long], String)] =
     io.readString(sidecarPath(path)).flatMap { txt =>
       scala.util.Try {
         val counts = "\"([^\"]+)\":\\s*(\\d+)".r.findAllMatchIn(txt)

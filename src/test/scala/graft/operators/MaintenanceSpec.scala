@@ -204,8 +204,10 @@ class MaintenanceSpec extends SparkSpec {
   test("vacuum removes stranded swap artifacts past grace, spares fresh and live") {
     val dir = tmpDir("vac")
     val path = s"$dir/t"
-    Seq(("k1", 1L)).toDF("key", "seqno")
-      .write.parquet(path)
+    // Partitioned table so the partition-aside artifact below has a live
+    // counterpart (completed swap → deletable).
+    Seq(("k1", "2024-06-01", 1L)).toDF("key", "day", "seqno")
+      .write.partitionBy("day").parquet(path)
 
     // Stranded artifacts of every species the swap protocol can leave.
     Files.createDirectories(Paths.get(s"$path.tmp-dead0001"))
@@ -226,6 +228,60 @@ class MaintenanceSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$path.tmp-dead0001")))
     assert(!Files.exists(Paths.get(s"$path.counts.json.tmp")))
     assert(spark.read.parquet(path).count() == 1)
+  }
+
+  test("vacuum quarantines (never deletes) artifacts of an incomplete swap") {
+    // Case 1: live table missing — a whole-table swap died between its
+    // two renames, so the aside holds the ONLY copy. Age must not kill it.
+    locally {
+      val dir = tmpDir("vacq1")
+      val path = s"$dir/t"
+      Seq(("k1", 1L)).toDF("key", "seqno").write
+        .parquet(s"$path.old-dead0001") // the aside IS the data
+      val r = Maintenance.vacuumInspect(path, graceMs = 0L)
+      assert(r.deleted.isEmpty && r.quarantined == Seq(s"$path.old-dead0001"))
+      assert(Files.exists(Paths.get(s"$path.old-dead0001")))
+    }
+
+    // Case 2: sidecar/marker uid disagreement — the partition-scoped
+    // crash detector fired; asides AND tmps stay, torn small files go.
+    locally {
+      val dir = tmpDir("vacq2")
+      val path = s"$dir/t"
+      val b = Seq(("k1", "2024-06-01", 1L)).toDF("key", "day", "seqno")
+      MergeWriter.mergePartitioned(spark, b, path, Seq("key"), Seq("seqno"), "day")
+      // Simulate a crash inside the swap window: the sidecar was written
+      // with the new uid, the marker still carries the old one.
+      MergeWriter.io.writeStringAtomic(s"$path.swapuid", "stale999")
+      Files.createDirectories(Paths.get(s"$path.old-dead0002-day=2024-06-01"))
+      Files.createDirectories(Paths.get(s"$path.tmp-dead0003"))
+      Files.write(Paths.get(s"$path.counts.json.tmp"), "torn".getBytes)
+      val r = Maintenance.vacuumInspect(path, graceMs = 0L)
+      assert(r.deleted == Seq(s"$path.counts.json.tmp"), r.toString)
+      assert(r.quarantined.toSet == Set(s"$path.old-dead0002-day=2024-06-01",
+        s"$path.tmp-dead0003"))
+      assert(Files.exists(Paths.get(s"$path.old-dead0002-day=2024-06-01")))
+    }
+
+    // Case 3: a partition aside whose live partition dir is MISSING (a
+    // compaction's per-partition swap has no sidecar, so only the
+    // live-partition probe can see its crash) — quarantined; the same
+    // species with a live counterpart deletes.
+    locally {
+      val dir = tmpDir("vacq3")
+      val path = s"$dir/t"
+      Seq(("k1", "2024-06-01", 1L)).toDF("key", "day", "seqno")
+        .write.partitionBy("day").parquet(path)
+      Files.createDirectories(Paths.get(s"$path.old-dead0004-day=2024-06-01"))
+      Files.createDirectories(Paths.get(s"$path.old-dead0005-day=2024-06-02"))
+      // A tmp whose partition subdir has no live counterpart: the
+      // compaction died after the rename-aside, before the move-in.
+      Files.createDirectories(Paths.get(s"$path.tmp-dead0006/day=2024-06-03"))
+      val r = Maintenance.vacuumInspect(path, graceMs = 0L)
+      assert(r.deleted == Seq(s"$path.old-dead0004-day=2024-06-01"))
+      assert(r.quarantined.toSet == Set(s"$path.old-dead0005-day=2024-06-02",
+        s"$path.tmp-dead0006"))
+    }
   }
 
   test("compact leftover tmp (kill mid-compaction) never shadows reads; vacuum clears it") {

@@ -136,6 +136,28 @@ class MergeWriterSpec extends SparkSpec {
     assert(healed.contains(s""""__swap_uid":"$markerUid""""))
   }
 
+  test("a plain merge into a bucketed-partitioned table is refused (layout-mix guard, both directions)") {
+    val path = tmpDir("pbmix") + "/t"
+    val b = Seq(("k1", "2024-06-01", 1L, "v1")).toDF("key", "day", "seqno", "value")
+    MergeWriter.mergePartitioned(spark, b, path, Seq("key"), Seq("seqno"),
+      "day", bucket = Some(("key", 4)))
+    assert(MergeWriter.bucketedPartitionLayout(path))
+    // bucket=None into the bucketed table: without the guard this would
+    // silently write plain-named files into day=2024-06-01 and flip
+    // bucketedPartitionLayout to false for every later read.
+    val b2 = Seq(("k1", "2024-06-01", 2L, "v2")).toDF("key", "day", "seqno", "value")
+    val e = intercept[IllegalArgumentException] {
+      MergeWriter.mergePartitioned(spark, b2, path, Seq("key"), Seq("seqno"), "day")
+    }
+    assert(e.getMessage.contains("bucketed-partitioned"))
+    assert(MergeWriter.bucketedPartitionLayout(path)) // layout untouched
+    // The matching spec still merges fine.
+    val n = MergeWriter.mergePartitioned(spark, b2, path, Seq("key"),
+      Seq("seqno"), "day", bucket = Some(("key", 4)))
+    assert(n == 1)
+    assert(spark.read.parquet(path).head().getAs[String]("value") == "v2")
+  }
+
   test("replaceRows refuses a partition-laid-out target (flat-only contract)") {
     val path = tmpDir("pflat") + "/t"
     val b = Seq(("k1", "2024-06-01", 1L, "v1")).toDF("key", "day", "seqno", "value")
