@@ -1,52 +1,645 @@
 package graft.gold
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.ingest.{Schemas, SilverStore}
+import graft.operators.MergeWriter
 
 /** The gold-layer refresh job — operational equivalent of the reference's
-  * 5-minute Celery beat (base/celery.py:27-49): recompute USD enrichment,
-  * account/pot stats and global stats from silver, writing gold tables
-  * next to them. Run on a cron/trigger: `sbt "runMain graft.gold.GoldRefresh
-  * <silverDir>"`. Each job is a bounded number of shuffles (SURVEY §3.3).
+  * 5-minute Celery beat (base/celery.py:27-49): USD enrichment,
+  * account/pot stats and global stats derived from silver.
+  *
+  * Two modes:
+  *
+  *  - [[refresh]] (full rebuild): recompute everything from silver. The
+  *    bootstrap path, and the fallback whenever incremental preconditions
+  *    fail (missing state, token-metadata change, flat layouts).
+  *
+  *  - [[refreshIncremental]]: the 100 TB path. The merge writers journal
+  *    which date partitions / buckets each batch touched
+  *    (MergeWriter.readDirty); the refresh re-enriches ONLY those date
+  *    partitions, diffs old-vs-new enriched rows into ±1-weighted delta
+  *    aggregates, and folds the deltas into STANDING mergeable state
+  *    tables (MergeWriter.mergeAdditiveBucketed — the q_inc1 partial-agg
+  *    discipline made durable). Final stats tables are then rebuilt only
+  *    for the affected keys and LWW-merged bucket-scoped into the gold
+  *    tables. Per refresh, cost scales with the batch's partition/key
+  *    span — never the corpus (the reference's beat job recomputes per
+  *    account in Python; a full recompute at 100 TB is unaffordable).
+  *
+  * Exactness: every stat is built from mergeable monoids — long counts,
+  * fixed-scale decimal sums (associative, no rounding), and distinct
+  * counts carried as pair/key STATE rows (distinct-donor count per
+  * recipient = pair-row count, an exact monoid where countDistinct is
+  * not). Incremental output is bit-identical to a full rebuild —
+  * GoldSpec pins it across multi-batch ingests.
+  *
+  * Crash safety (the swap protocol's discipline extended to a
+  * multi-table update): delta aggregates are STAGED to disk before any
+  * mutation; every state/final table update is fenced by a generation
+  * marker; a crashed refresh resumes from the staged deltas and skips
+  * already-applied steps, so additive state is applied exactly once.
+  *
+  * Contracts (documented, reference-matched): price history rows are
+  * append-only observations (tokens/models.py's historical price cache —
+  * a price arrival re-enriches the null-USD partitions it can now
+  * price); token-decimals changes are rare metadata loads and take the
+  * full-rebuild path; payouts are a pot-scale table and their stats leg
+  * recomputes whole (cheap at any corpus size).
   */
 object GoldRefresh {
 
-  def refresh(spark: SparkSession, silverDir: String): Unit = {
+  /** sum(Usd(20,2)) per Spark's decimal widening — finals must carry the
+    * exact types the one-shot Stats.* aggregations produce. */
+  private val UsdSum = DecimalType(30, 2)
+  private val DecSum = DecimalType(38, 0)
+
+  case class Report(mode: String, generation: Long, reEnriched: Int,
+      affectedIds: Long)
+
+  // ------------------------------------------------------------------ IO
+  private def io = MergeWriter.io
+  private def uidOf(path: String): String =
+    io.readString(MergeWriter.swapMarkerPath(path)).getOrElse("")
+
+  private final case class Meta(generation: Long, uids: Map[String, String],
+      nullUsdParts: Set[String]) {
+    def render: String =
+      (Seq(s"generation=$generation",
+        s"null_usd_parts=${nullUsdParts.toSeq.sorted.mkString(";")}") ++
+        uids.toSeq.sorted.map { case (k, v) => s"uid.$k=$v" }).mkString("\n")
+  }
+
+  private def metaPath(silverDir: String) = s"$silverDir/gold_meta"
+
+  private def readMeta(silverDir: String): Option[Meta] =
+    io.readString(metaPath(silverDir)).map { txt =>
+      val kv = txt.split('\n').flatMap { l =>
+        val i = l.indexOf('=')
+        if (i < 0) None else Some(l.take(i) -> l.drop(i + 1))
+      }.toMap
+      Meta(kv.getOrElse("generation", "0").toLong,
+        kv.collect { case (k, v) if k.startsWith("uid.") => k.drop(4) -> v },
+        kv.getOrElse("null_usd_parts", "").split(';').filter(_.nonEmpty).toSet)
+    }
+
+  private def tablePaths(silverDir: String): Map[String, String] = Map(
+    "donations" -> s"$silverDir/donations",
+    "token_prices" -> s"$silverDir/token_prices",
+    "tokens" -> s"$silverDir/tokens",
+    "accounts" -> s"$silverDir/accounts",
+    "pot_payouts" -> s"$silverDir/pot_payouts")
+
+  private def stateDir(silverDir: String) = s"$silverDir/gold_state"
+
+  /** Generation fence for a state/final table: `<table>.goldgen` holds
+    * "gen|rowsBefore|rowsAfter|distinctBefore|distinctAfter" after the
+    * table absorbed generation `gen` — a resumed refresh skips the merge
+    * and reuses the recorded counter deltas. */
+  private def genPath(table: String) = table + ".goldgen"
+  private def readGen(table: String): Option[(Long, MergeWriter.AdditiveMergeStats)] =
+    io.readString(genPath(table)).flatMap { s =>
+      s.split('|') match {
+        case Array(g, a, b, c, d) => Some((g.toLong,
+          MergeWriter.AdditiveMergeStats(a.toLong, b.toLong, c.toLong, d.toLong)))
+        case _ => None
+      }
+    }
+  private def writeGen(table: String, gen: Long,
+      st: MergeWriter.AdditiveMergeStats): Unit =
+    io.writeStringAtomic(genPath(table),
+      s"$gen|${st.rowsBefore}|${st.rowsAfter}|${st.distinctBefore}|${st.distinctAfter}")
+
+  // ------------------------------------------------- delta construction
+  /** Null-preserving signed sum over ±1-weighted facts: null when no
+    * non-null contribution exists on either side (so an all-null state
+    * stays null, matching the one-shot aggregate), else the exact
+    * pos − neg difference cast to the state's declared type. */
+  private def signedSum(c: Column, t: DecimalType): Column = {
+    val pos = sum(when(col("__w") === 1, c))
+    val neg = sum(when(col("__w") === -1, c))
+    when(pos.isNull && neg.isNull, lit(null).cast(t))
+      .otherwise((coalesce(pos, lit(0)) - coalesce(neg, lit(0))).cast(t))
+  }
+  private def signedCount(filter: Column): Column =
+    coalesce(sum(when(filter, col("__w"))), lit(0L)).cast(LongType)
+
+  private def recvDelta(facts: DataFrame): DataFrame = facts
+    .groupBy(col("recipient"), col("donor"))
+    .agg(signedCount(lit(true)).as("n"),
+      signedSum(col("total_amount_usd"), UsdSum).as("usd"))
+    .select("recipient", "donor", "n", "usd")
+
+  private def donorDelta(facts: DataFrame): DataFrame = facts
+    .groupBy(col("donor"))
+    .agg(signedCount(lit(true)).as("n"),
+      signedSum(col("total_amount_usd"), UsdSum).as("usd"),
+      signedCount(col("matching_pool")).as("mn"),
+      signedSum(when(col("matching_pool"), col("total_amount_usd")), UsdSum)
+        .as("musd"))
+    .select("donor", "n", "usd", "mn", "musd")
+
+  private def potDelta(facts: DataFrame): DataFrame = facts
+    .filter(col("pot").isNotNull)
+    .groupBy(col("pot"))
+    .agg(signedCount(lit(true)).as("n"),
+      signedSum(when(col("matching_pool"), col("total_amount_dec")), DecSum)
+        .as("total_matching_pool_dec"),
+      signedSum(when(col("matching_pool"), col("total_amount_usd")), UsdSum)
+        .as("total_matching_pool_usd"),
+      signedCount(col("matching_pool")).as("matching_pool_donations_count"),
+      signedSum(when(!col("matching_pool"), col("total_amount_dec")), DecSum)
+        .as("total_public_donations_dec"),
+      signedSum(when(!col("matching_pool"), col("total_amount_usd")), UsdSum)
+        .as("total_public_donations_usd"),
+      signedCount(!col("matching_pool")).as("public_donations_count"))
+    .select("pot", "n", "total_matching_pool_dec", "total_matching_pool_usd",
+      "matching_pool_donations_count", "total_public_donations_dec",
+      "total_public_donations_usd", "public_donations_count")
+
+  // ------------------------------------------------------ state merges
+  private def applyStates(spark: SparkSession, silverDir: String, gen: Long,
+      staging: String): Map[String, MergeWriter.AdditiveMergeStats] = {
+    val sd = stateDir(silverDir)
+    val (bcol, buckets) = SilverStore.bucketSpec("accounts")
+    require(bcol == "id") // states co-bucket with the accounts dimension
+    def one(name: String, keys: Seq[String], addCols: Seq[String],
+        bucketCol: String, distinctCol: String): (String, MergeWriter.AdditiveMergeStats) = {
+      val table = s"$sd/$name"
+      readGen(table) match {
+        case Some((g, st)) if g == gen => name -> st // already applied
+        case _ =>
+          val delta = spark.read.parquet(s"$staging/${name}_delta")
+          val st = MergeWriter.mergeAdditiveBucketed(spark, delta, table,
+            keys, addCols, liveCol = "n", bucketCol, buckets, distinctCol)
+          writeGen(table, gen, st)
+          name -> st
+      }
+    }
+    Map(
+      one("recv_pairs", Seq("recipient", "donor"), Seq("n", "usd"),
+        "recipient", "recipient"),
+      one("donor_state", Seq("donor"), Seq("n", "usd", "mn", "musd"),
+        "donor", "donor"),
+      one("pot_state", Seq("pot"),
+        Seq("n", "total_matching_pool_dec", "total_matching_pool_usd",
+          "matching_pool_donations_count", "total_public_donations_dec",
+          "total_public_donations_usd", "public_donations_count"),
+        "pot", "pot"))
+  }
+
+  // ---------------------------------------------- finals (from states)
+  /** Bucket-file-pruned slice of a bucketed state table: reads only the
+    * bucket files the (small) key set hashes into, then semi-joins. On a
+    * flat/missing table, plain read (bootstrap-scale only). */
+  private def stateSlice(spark: SparkSession, path: String, idCol: String,
+      ids: DataFrame, buckets: Int, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val base: DataFrame =
+      if (!io.exists(path))
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else if (!graft.operators.BucketedLayout.looksBucketed(path))
+        spark.read.schema(schema).parquet(path)
+      else {
+        val bucketIds = ids
+          .select(MergeWriter.bucketIdExpr(idCol, buckets).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val files = io.fileSizes(path).map(_._1)
+          .filter(f => MergeWriter.bucketIdOfFile(f).exists(bucketIds.contains))
+        if (files.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
+      }
+    base.join(broadcast(ids.select(col(ids.columns.head).as(idCol)).distinct()),
+      Seq(idCol), "left_semi")
+  }
+
+  private def recvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("recipient", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("donor", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n", LongType),
+    org.apache.spark.sql.types.StructField("usd", UsdSum)))
+  private def donorSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("donor", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n", LongType),
+    org.apache.spark.sql.types.StructField("usd", UsdSum),
+    org.apache.spark.sql.types.StructField("mn", LongType),
+    org.apache.spark.sql.types.StructField("musd", UsdSum)))
+
+  /** account_stats rows for exactly `ids` (one column `id`), rebuilt from
+    * the standing states — the same outer-join shape as Stats.accountStats
+    * but over state rows instead of raw facts. */
+  private def accountRowsFor(spark: SparkSession, silverDir: String,
+      ids: DataFrame, gen: Long): DataFrame = {
+    val sd = stateDir(silverDir)
+    val (_, buckets) = SilverStore.bucketSpec("accounts")
+    val recv = stateSlice(spark, s"$sd/recv_pairs", "recipient", ids, buckets,
+      recvSchema)
+      .groupBy(col("recipient").as("id"))
+      .agg(count(col("donor")).as("donors_count"),
+        sum(col("usd")).cast(UsdSum).as("total_donations_in_usd"))
+    val donor = stateSlice(spark, s"$sd/donor_state", "donor", ids, buckets,
+      donorSchema)
+    val sent = donor.select(col("donor").as("id"),
+      col("usd").as("total_donations_out_usd"))
+    val matched = donor.filter(col("mn") > 0).select(col("donor").as("id"),
+      col("musd").as("total_matching_pool_allocations_usd"))
+    val paid = paidState(spark, silverDir)
+      .join(broadcast(ids.select(col(ids.columns.head).as("id")).distinct()),
+        Seq("id"), "left_semi")
+    ids.select(col(ids.columns.head).as("id")).distinct()
+      .join(recv, Seq("id"), "left")
+      .join(sent, Seq("id"), "left")
+      .join(matched, Seq("id"), "left")
+      .join(paid, Seq("id"), "left")
+      .na.fill(0, Seq("donors_count"))
+      .withColumn("__gen", lit(gen))
+  }
+
+  private def paidStatePath(silverDir: String) = s"${stateDir(silverDir)}/paid"
+  private def paidState(spark: SparkSession, silverDir: String): DataFrame = {
+    val p = paidStatePath(silverDir)
+    if (io.exists(p)) spark.read.parquet(p)
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("total_payouts_received_usd", UsdSum))))
+  }
+  private def computePaid(payouts: DataFrame): DataFrame = payouts
+    .filter(col("paid_at").isNotNull)
+    .groupBy(col("recipient").as("id"))
+    .agg(sum(col("amount_paid_usd")).cast(UsdSum)
+      .as("total_payouts_received_usd"))
+
+  private def potStatsFromState(spark: SparkSession, silverDir: String): DataFrame =
+    spark.read.parquet(s"${stateDir(silverDir)}/pot_state")
+      .select(col("pot"), col("total_matching_pool_dec"),
+        col("total_matching_pool_usd"), col("matching_pool_donations_count"),
+        col("total_public_donations_dec"), col("total_public_donations_usd"),
+        col("public_donations_count"))
+
+  // ------------------------------------------------------- full rebuild
+  /** Full recompute: enrichment over all of silver, states rebuilt from
+    * the enriched facts, finals from states. The bootstrap path and the
+    * fallback for incremental preconditions. */
+  def refresh(spark: SparkSession, silverDir: String): Unit =
+    fullRebuild(spark, silverDir): Unit
+
+  private def fullRebuild(spark: SparkSession, silverDir: String): Report = {
     val silver = new SilverStore(spark, silverDir)
     def tableOrEmpty(name: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
       if (silver.exists(name)) silver.table(name)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-    val donations0 = tableOrEmpty("donations", Schemas.donation)
+    val paths = tablePaths(silverDir)
+    // Input uids snapshotted BEFORE reading (single-writer per table, as
+    // the merges assume; a concurrent batch would re-dirty its partitions
+    // and the next refresh absorbs it).
+    val uids = paths.map { case (k, p) => k -> uidOf(p) }
+    val dirtySnapshot = MergeWriter.readDirty(paths("donations"))
+    val dirtyAcctSnapshot = MergeWriter.readDirty(paths("accounts"))
+
     val payouts = tableOrEmpty("pot_payouts", Schemas.potPayout)
-    val accounts = tableOrEmpty("accounts", Schemas.account)
     val tokens = tableOrEmpty("tokens", Schemas.token)
     val prices = tableOrEmpty("token_prices", Schemas.tokenHistoricalPrice)
 
-    // 1. USD enrichment (J6/F3): as-of price join; donations lacking a
-    //    price inside ±24h keep null USD (re-enriched next run — the
-    //    deterministic form of the reference's backfill-on-null loop).
+    // Raw read keeps the physical __pdate partition column (hidden by
+    // silver.table) so the enriched table inherits the date layout the
+    // incremental path swaps partition-by-partition.
+    val donations0: DataFrame =
+      if (silver.exists("donations")) spark.read.parquet(paths("donations"))
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.donation)
+
     val enrichedPlan =
       if (prices.isEmpty) donations0
       else Stats.enrichDonationsUsd(donations0, prices, tokens)
-    write(enrichedPlan, s"$silverDir/donations_enriched")
-    // Read the materialized table back: the stats jobs would otherwise each
-    // re-execute the as-of-join lineage from scratch.
-    val enriched = spark.read.parquet(s"$silverDir/donations_enriched")
+    val enrichedPath = s"$silverDir/donations_enriched"
+    val partitioned = donations0.columns.contains("__pdate")
+    if (partitioned) writePartitioned(enrichedPlan, enrichedPath)
+    else write(enrichedPlan, enrichedPath)
+    val enriched = spark.read.parquet(enrichedPath)
 
-    // 2. Stats tables. account_stats lands BUCKETED on id with the same
-    //    spec as the silver accounts table (SilverStore.bucketSpec), so
-    //    the query plane's accounts⋈account_stats join — the subplan
-    //    behind every account embed and the donors route — is co-located
-    //    and plans with zero exchange on either side.
+    // States from scratch: one +1-weighted pass through the additive
+    // merge's bootstrap path (fresh dirs), so full and incremental share
+    // every aggregation expression.
+    val sd = stateDir(silverDir)
+    val facts = enriched.withColumn("__w", lit(1))
+    Seq("recv_pairs", "donor_state", "pot_state", "paid").foreach { n =>
+      io.deleteRecursively(s"$sd/$n")
+      Seq(".goldgen", ".counts.json", ".swapuid", ".dirty").foreach { s =>
+        if (io.exists(s"$sd/$n$s")) io.deleteRecursively(s"$sd/$n$s") }
+    }
+    io.createDirectories(sd)
+    val (_, buckets) = SilverStore.bucketSpec("accounts")
+    val gen = readMeta(silverDir).map(_.generation).getOrElse(0L) + 1L
+    val stRecv = MergeWriter.mergeAdditiveBucketed(spark, recvDelta(facts),
+      s"$sd/recv_pairs", Seq("recipient", "donor"), Seq("n", "usd"), "n",
+      "recipient", buckets, "recipient")
+    writeGen(s"$sd/recv_pairs", gen, stRecv)
+    val stDonor = MergeWriter.mergeAdditiveBucketed(spark, donorDelta(facts),
+      s"$sd/donor_state", Seq("donor"), Seq("n", "usd", "mn", "musd"), "n",
+      "donor", buckets, "donor")
+    writeGen(s"$sd/donor_state", gen, stDonor)
+    val stPot = MergeWriter.mergeAdditiveBucketed(spark, potDelta(facts),
+      s"$sd/pot_state", Seq("pot"),
+      Seq("n", "total_matching_pool_dec", "total_matching_pool_usd",
+        "matching_pool_donations_count", "total_public_donations_dec",
+        "total_public_donations_usd", "public_donations_count"), "n",
+      "pot", buckets, "pot")
+    writeGen(s"$sd/pot_state", gen, stPot)
+    write(computePaid(payouts), paidStatePath(silverDir))
+
+    // Finals. account_stats is rebuilt whole (all account ids) through
+    // the SAME row constructor the incremental path uses, then written
+    // through the bucketed merge path so sidecar/marker/layout are in
+    // place for later scoped merges.
+    val accounts = tableOrEmpty("accounts", Schemas.account)
+    val statsPath = s"$silverDir/account_stats"
+    Seq("", ".counts.json", ".swapuid", ".dirty").foreach { s =>
+      if (io.exists(s"$statsPath$s")) io.deleteRecursively(s"$statsPath$s") }
+    val allRows = accountRowsFor(spark, silverDir, accounts.select("id"), gen)
     val (statKey, statBuckets) = SilverStore.bucketSpec("accounts")
-    writeBucketed(Stats.accountStats(accounts, enriched, payouts),
-      s"$silverDir/account_stats", statKey, statBuckets)
-    write(Stats.potStats(enriched), s"$silverDir/pot_stats")
-    write(Stats.globalStats(enriched, payouts), s"$silverDir/global_stats")
+    MergeWriter.mergeBucketed(spark, allRows, statsPath, Seq("id"),
+      Seq("__gen"), statKey, statBuckets, coalesceUpdates = false): Unit
+    write(potStatsFromState(spark, silverDir), s"$silverDir/pot_stats")
+
+    // Global stats from the state merges' exact counters + payout leg.
+    val payoutsUsd = payouts.filter(col("paid_at").isNotNull)
+      .agg(sum(col("amount_paid_usd")).cast(UsdSum).as("v")).head().getDecimal(0)
+    val totals = facts.agg(
+      count(lit(1)).as("c"),
+      sum(col("total_amount_usd")).cast(UsdSum).as("u")).head()
+    writeGlobal(spark, silverDir, totals.getLong(0),
+      Option(totals.getDecimal(1)),
+      stDonor.distinctAfter, stRecv.distinctAfter, Option(payoutsUsd))
+
+    // Null-USD partition tracking for targeted price re-enrichment.
+    val nullParts: Set[String] =
+      if (!partitioned) Set.empty
+      else enriched.filter(col("total_amount_usd").isNull)
+        .select(col("__pdate").cast("string")).distinct()
+        .collect().map(r => s"__pdate=${r.getString(0)}").toSet
+
+    io.writeStringAtomic(metaPath(silverDir),
+      Meta(gen, uids, nullParts).render)
+    MergeWriter.consumeDirty(paths("donations"), dirtySnapshot)
+    MergeWriter.consumeDirty(paths("accounts"), dirtyAcctSnapshot)
+    Report("full", gen, -1, -1L)
   }
 
+  private def writeGlobal(spark: SparkSession, silverDir: String,
+      donationsCount: Long, donationsUsd: Option[java.math.BigDecimal],
+      donorsCount: Long, recipientsCount: Long,
+      payoutsUsd: Option[java.math.BigDecimal]): Unit = {
+    import spark.implicits._
+    val df = Seq((donationsCount, donationsUsd.orNull, donorsCount,
+        recipientsCount, payoutsUsd.orNull))
+      .toDF("total_donations_count", "total_donations_usd",
+        "total_donors_count", "total_recipients_count", "total_payouts_usd")
+      .select(col("total_donations_count"),
+        col("total_donations_usd").cast(UsdSum),
+        col("total_donors_count"), col("total_recipients_count"),
+        col("total_payouts_usd").cast(UsdSum))
+    write(df, s"$silverDir/global_stats")
+  }
+
+  // -------------------------------------------------------- incremental
+  /** Incremental refresh; falls back to [[refresh]] when preconditions
+    * fail (no standing state, token-metadata change, flat layouts). */
+  def refreshIncremental(spark: SparkSession, silverDir: String): Report = {
+    val paths = tablePaths(silverDir)
+    val enrichedPath = s"$silverDir/donations_enriched"
+    val sd = stateDir(silverDir)
+    val metaOpt = readMeta(silverDir)
+    val uidsNow = paths.map { case (k, p) => k -> uidOf(p) }
+
+    def changed(meta: Meta, k: String): Boolean = {
+      val prev = meta.uids.getOrElse(k, "")
+      prev.isEmpty || uidsNow(k).isEmpty || prev != uidsNow(k)
+    }
+
+    val fallback = metaOpt.isEmpty ||
+      changed(metaOpt.get, "tokens") ||
+      !io.exists(enrichedPath) ||
+      !io.listDir(enrichedPath).exists { case (n, d) => d && n.startsWith("__pdate=") } ||
+      !Seq("recv_pairs", "donor_state", "pot_state").forall(n => io.exists(s"$sd/$n"))
+    if (fallback) return fullRebuild(spark, silverDir)
+    val meta = metaOpt.get
+
+    val dirtySnapshot = MergeWriter.readDirty(paths("donations"))
+    val dirtyAcctSnapshot = MergeWriter.readDirty(paths("accounts"))
+    val pricesChanged = changed(meta, "token_prices")
+    val payoutsChanged = changed(meta, "pot_payouts")
+    val accountsChanged = dirtyAcctSnapshot.nonEmpty || changed(meta, "accounts")
+    val reEnrich: Set[String] =
+      dirtySnapshot ++ (if (pricesChanged) meta.nullUsdParts else Set.empty)
+    if (reEnrich.isEmpty && !payoutsChanged && !accountsChanged)
+      return Report("noop", meta.generation, 0, 0L)
+
+    val gen = meta.generation + 1L
+    val staging = s"$sd/delta_gen_$gen"
+    // Stale staging from a run whose commit DID land is impossible
+    // (commit deletes it); staging for an older gen means a crash after
+    // the meta write — drop it.
+    io.listDir(sd).collect {
+      case (n, true) if n.startsWith("delta_gen_") &&
+        n.stripPrefix("delta_gen_").toLong <= meta.generation => n
+    }.foreach(n => io.deleteRecursively(s"$sd/$n"))
+
+    val silver = new SilverStore(spark, silverDir)
+    if (!io.exists(staging)) {
+      // ---- stage: enrich touched partitions + persist delta aggregates
+      val tmpStage = s"$staging.tmp"
+      io.deleteRecursively(tmpStage)
+      io.createDirectories(tmpStage)
+      val partVals = reEnrich.toSeq.sorted.map(_.stripPrefix("__pdate="))
+      val tokens = if (silver.exists("tokens")) silver.table("tokens")
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.token)
+      val prices = if (silver.exists("token_prices")) silver.table("token_prices")
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.tokenHistoricalPrice)
+      val slice = spark.read.parquet(paths("donations"))
+        .filter(col("__pdate").isin(partVals: _*))
+      val newEnriched =
+        if (prices.isEmpty) slice
+        else Stats.enrichDonationsUsd(slice, prices, tokens)
+      val enrTmp = s"$enrichedPath.tmp-gen$gen"
+      io.deleteRecursively(enrTmp)
+      if (partVals.nonEmpty)
+        newEnriched.write.mode("overwrite").partitionBy("__pdate").parquet(enrTmp)
+      val oldSlice = spark.read.parquet(enrichedPath)
+        .filter(col("__pdate").isin(partVals: _*))
+      val newSlice =
+        if (partVals.nonEmpty) spark.read.parquet(enrTmp)
+        else oldSlice.limit(0)
+      val facts = oldSlice.withColumn("__w", lit(-1))
+        .unionByName(newSlice.withColumn("__w", lit(1)))
+      recvDelta(facts).write.parquet(s"$tmpStage/recv_pairs_delta")
+      donorDelta(facts).write.parquet(s"$tmpStage/donor_state_delta")
+      potDelta(facts).write.parquet(s"$tmpStage/pot_state_delta")
+      // Null-USD membership of the rewritten partitions (for the next
+      // price-arrival re-enrichment).
+      val nullNow: Set[String] = newSlice
+        .filter(col("total_amount_usd").isNull)
+        .select(col("__pdate").cast("string")).distinct()
+        .collect().map(r => s"__pdate=${r.getString(0)}").toSet
+      // Payout leg staged as data (idempotent resume needs the DIFF
+      // against the pre-refresh paid state, which the commit replaces).
+      if (payoutsChanged) {
+        val payouts = if (silver.exists("pot_payouts")) silver.table("pot_payouts")
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.potPayout)
+        val newPaid = computePaid(payouts)
+        newPaid.write.parquet(s"$tmpStage/paid_new")
+        val oldPaid = paidState(spark, silverDir)
+        newPaid.select(col("id"), col("total_payouts_received_usd").as("nv"))
+          .join(oldPaid.select(col("id"), col("total_payouts_received_usd").as("ov")),
+            Seq("id"), "full_outer")
+          .filter(!(col("nv") <=> col("ov")))
+          .select("id")
+          .write.parquet(s"$tmpStage/paid_affected")
+      }
+      io.writeStringAtomic(s"$tmpStage/manifest",
+        (Seq(s"enr_tmp=$enrTmp",
+          s"parts=${reEnrich.toSeq.sorted.mkString(";")}",
+          s"null_parts=${nullNow.toSeq.sorted.mkString(";")}",
+          s"payouts_changed=$payoutsChanged",
+          s"dirty_donations=${dirtySnapshot.toSeq.sorted.mkString(";")}",
+          s"dirty_accounts=${dirtyAcctSnapshot.toSeq.sorted.mkString(";")}")
+          .mkString("\n")))
+      io.atomicMove(tmpStage, staging)
+    }
+
+    // ---- apply (crash-resumable from here purely off the staging dir)
+    val manifest = io.readString(s"$staging/manifest").get.split('\n')
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    def setOf(k: String) =
+      manifest.getOrElse(k, "").split(';').filter(_.nonEmpty).toSet
+    val parts = setOf("parts")
+    val enrTmp = manifest("enr_tmp")
+    val stagedPayoutsChanged = manifest("payouts_changed").toBoolean
+
+    // Enriched partition swap — idempotent: a partition whose tmp dir is
+    // gone was already swapped by the pre-crash run.
+    parts.toSeq.sorted.foreach { dirName =>
+      val src = s"$enrTmp/$dirName"
+      val dst = s"$enrichedPath/$dirName"
+      if (io.exists(src)) {
+        val aside = s"$enrichedPath.old-gen$gen-$dirName"
+        if (io.exists(dst)) io.atomicMove(dst, aside)
+        io.atomicMove(src, dst)
+        io.deleteRecursively(aside)
+      } else if (!io.exists(dst)) {
+        // A batch can create a BRAND-NEW date partition; nothing to swap
+        // only if the new side was empty for it (gated rows) — fine.
+      }
+    }
+
+    val stats = applyStates(spark, silverDir, gen, staging)
+
+    // Affected ids: keys the deltas touched + payout diffs + accounts
+    // newly created since the last refresh (their dirty buckets).
+    val recvIds = spark.read.parquet(s"$staging/recv_pairs_delta")
+      .select(col("recipient").as("id")).na.drop()
+    val donorIds = spark.read.parquet(s"$staging/donor_state_delta")
+      .select(col("donor").as("id")).na.drop()
+    val paidIds =
+      if (stagedPayoutsChanged)
+        spark.read.parquet(s"$staging/paid_affected").select("id")
+      else recvIds.limit(0)
+    val (statKey, statBuckets) = SilverStore.bucketSpec("accounts")
+    val newAccountIds: DataFrame =
+      if (dirtyAcctSnapshot.nonEmpty) {
+        val acctSchema = spark.read.parquet(paths("accounts")).schema
+        val bucketIds: Set[Int] = dirtyAcctSnapshot
+          .flatMap(n => scala.util.Try(n.stripPrefix("bucket=").toInt).toOption)
+        def sliceFiles(p: String, schema: org.apache.spark.sql.types.StructType) = {
+          val fs = io.fileSizes(p).map(_._1)
+            .filter(f => MergeWriter.bucketIdOfFile(f).exists(bucketIds.contains))
+          if (fs.isEmpty)
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          else spark.read.schema(schema).parquet(fs.map(f => s"$p/$f"): _*)
+        }
+        val statsPath = s"$silverDir/account_stats"
+        val statsSchema = spark.read.parquet(statsPath).schema
+        sliceFiles(paths("accounts"), acctSchema).select("id")
+          .join(sliceFiles(statsPath, statsSchema).select("id"), Seq("id"), "left_anti")
+      } else recvIds.limit(0)
+    val affected = recvIds.unionByName(donorIds).unionByName(paidIds)
+      .unionByName(newAccountIds).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nAffected = affected.count()
+
+    // Payout state replacement (fenced: the diff was staged, so a resumed
+    // run replaying this write is idempotent).
+    if (stagedPayoutsChanged)
+      write(spark.read.parquet(s"$staging/paid_new"), paidStatePath(silverDir))
+
+    // account_stats: affected rows rebuilt from states, LWW-merged by
+    // generation — bucket-scoped, so the write cost follows the batch too.
+    val statsPath = s"$silverDir/account_stats"
+    if (!readGen(statsPath).exists(_._1 == gen)) {
+      if (nAffected > 0L) {
+        val rows = accountRowsFor(spark, silverDir, affected, gen)
+        MergeWriter.mergeBucketed(spark, rows, statsPath, Seq("id"),
+          Seq("__gen"), statKey, statBuckets, coalesceUpdates = false): Unit
+      }
+      writeGen(statsPath, gen, MergeWriter.AdditiveMergeStats(0, 0, 0, 0))
+    }
+
+    // pot_stats: state table IS the stats (plus liveness); rewrite whole —
+    // bounded by pot count, never donations.
+    val potPath = s"$silverDir/pot_stats"
+    if (!readGen(potPath).exists(_._1 == gen)) {
+      write(potStatsFromState(spark, silverDir), potPath)
+      writeGen(potPath, gen, MergeWriter.AdditiveMergeStats(0, 0, 0, 0))
+    }
+
+    // global_stats: previous row + exact counter deltas from the state
+    // merges (distinct counts move only inside affected buckets).
+    val globalPath = s"$silverDir/global_stats"
+    if (!readGen(globalPath).exists(_._1 == gen)) {
+      val prev = spark.read.parquet(globalPath).head()
+      val dDelta = spark.read.parquet(s"$staging/donor_state_delta")
+        .agg(coalesce(sum("n"), lit(0L)).as("c"),
+          sum("usd").cast(UsdSum).as("u")).head()
+      val newCount = prev.getAs[Long]("total_donations_count") + dDelta.getLong(0)
+      val prevUsd = Option(prev.getAs[java.math.BigDecimal]("total_donations_usd"))
+      val deltaUsd = Option(dDelta.getDecimal(1))
+      val newUsd = (prevUsd, deltaUsd) match {
+        case (None, d) => d
+        case (p, None) => p
+        case (Some(p), Some(d)) => Some(p.add(d))
+      }
+      val donorStats = stats("donor_state")
+      val recvStats = stats("recv_pairs")
+      val newDonors = prev.getAs[Long]("total_donors_count") +
+        (donorStats.distinctAfter - donorStats.distinctBefore)
+      val newRecipients = prev.getAs[Long]("total_recipients_count") +
+        (recvStats.distinctAfter - recvStats.distinctBefore)
+      val newPayouts =
+        if (stagedPayoutsChanged)
+          Option(spark.read.parquet(s"$staging/paid_new")
+            .agg(sum("total_payouts_received_usd").cast(UsdSum)).head().getDecimal(0))
+        else Option(prev.getAs[java.math.BigDecimal]("total_payouts_usd"))
+      writeGlobal(spark, silverDir, newCount, newUsd, newDonors,
+        newRecipients, newPayouts)
+      writeGen(globalPath, gen, MergeWriter.AdditiveMergeStats(0, 0, 0, 0))
+    }
+    affected.unpersist()
+
+    // ---- commit: meta, journal consumption, staging cleanup.
+    val newNullParts = (meta.nullUsdParts -- parts) ++ setOf("null_parts")
+    io.writeStringAtomic(metaPath(silverDir),
+      Meta(gen, uidsNow, newNullParts).render)
+    MergeWriter.consumeDirty(paths("donations"), setOf("dirty_donations"))
+    MergeWriter.consumeDirty(paths("accounts"), setOf("dirty_accounts"))
+    io.deleteRecursively(staging)
+    io.deleteRecursively(enrTmp)
+    Report("incremental", gen, parts.size, nAffected)
+  }
+
+  // ------------------------------------------------------------ writers
   /** [[write]] with a bucketed layout: files carry bucket ids so readers
     * can re-declare the layout (BucketedLayout.registerExternal) and join
     * exchange-free on `keyCol`. Zero-row frames keep the flat write (a
@@ -77,6 +670,13 @@ object GoldRefresh {
     swapIn(tmp, path)
   }
 
+  private def writePartitioned(df: DataFrame, path: String): Unit = {
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = path + ".tmp-" + uid
+    df.write.mode("overwrite").partitionBy("__pdate").parquet(tmp)
+    swapIn(tmp, path)
+  }
+
   private def swapIn(tmp: String, path: String): Unit = {
     // Through the TableIO seam so the gold plane swaps atomically on the
     // same filesystems the silver store runs on (local nio here would
@@ -91,7 +691,8 @@ object GoldRefresh {
   }
 
   def main(args: Array[String]): Unit = {
-    val silverDir = args.headOption.getOrElse(sys.error("usage: GoldRefresh <silverDir>"))
+    val silverDir = args.headOption.getOrElse(sys.error("usage: GoldRefresh <silverDir> [--full]"))
+    val full = args.contains("--full")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions",
@@ -105,7 +706,8 @@ object GoldRefresh {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    refresh(spark, silverDir)
+    if (full) refresh(spark, silverDir)
+    else refreshIncremental(spark, silverDir): Unit
     spark.stop()
   }
 }

@@ -83,6 +83,49 @@ object MergeWriter {
     if (io.exists(path)) io.atomicMove(path, old)
     io.atomicMove(tmp, path)
     io.deleteRecursively(old)
+    // Flat swaps stamp the marker too: downstream change detection (the
+    // gold plane's input-uid comparison, SilverStore's registration
+    // cache) reads one small file instead of hashing table contents.
+    writeSwapMarker(path, uid)
+  }
+
+  // ------------------------------------------------------------------
+  // Dirty-set journal: every merge path records WHICH partitions/buckets
+  // it touched in `<table>.dirty` (newline-separated dir/bucket names,
+  // atomic rewrite). Incremental consumers (GoldRefresh) read the set,
+  // re-derive only those slices, and clear it. Appends happen BEFORE the
+  // swap: a merge that crashes mid-swap leaves its slices marked (a
+  // consumer re-deriving an unchanged slice is a no-op delta; a missing
+  // mark would silently leave gold stale forever). Single-writer per
+  // table, same assumption as the merges themselves; the journal is
+  // bounded by the table's partition/bucket count, not data volume.
+  // ------------------------------------------------------------------
+  private[graft] def dirtyPath(path: String): String = path + ".dirty"
+
+  private[operators] def appendDirty(path: String,
+      names: Iterable[String]): Unit = {
+    if (names.isEmpty) return
+    val existing = readDirty(path)
+    val union = existing ++ names
+    if (union != existing)
+      io.writeStringAtomic(dirtyPath(path), union.toSeq.sorted.mkString("\n"))
+  }
+
+  def readDirty(path: String): Set[String] =
+    io.readString(dirtyPath(path))
+      .map(_.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  def clearDirty(path: String): Unit =
+    if (io.exists(dirtyPath(path))) io.writeStringAtomic(dirtyPath(path), "")
+
+  /** Remove exactly `names` from the journal — the consumer's commit.
+    * Names recorded AFTER the consumer snapshotted the set survive for
+    * the next cycle (ingest appending concurrently never loses dirt). */
+  def consumeDirty(path: String, names: Set[String]): Unit = {
+    if (names.isEmpty) return
+    val rest = readDirty(path) -- names
+    io.writeStringAtomic(dirtyPath(path), rest.toSeq.sorted.mkString("\n"))
   }
 
   /** Replace whole rows by natural key: a row in `replacement` overwrites
@@ -135,11 +178,11 @@ object MergeWriter {
     * a batch maps to its at-rest buckets without writing anything.
     * Equivalence is property-tested in MergeWriterSpec against file
     * names the real writer produced. */
-  private[operators] def bucketIdExpr(bucketCol: String, buckets: Int) =
+  private[graft] def bucketIdExpr(bucketCol: String, buckets: Int) =
     pmod(hash(col(bucketCol)), lit(buckets))
 
   private val BucketFileName = "part-.*_(\\d{5})\\..*".r
-  private[operators] def bucketIdOfFile(name: String): Option[Int] =
+  private[graft] def bucketIdOfFile(name: String): Option[Int] =
     name match {
       case BucketFileName(id) => Some(id.toInt)
       case _ => None
@@ -206,6 +249,7 @@ object MergeWriter {
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files stay
     merged.unpersist()
     writeCountsSidecar(path, perBucket, uid)
+    appendDirty(path, perBucket.keys)
     val old = path + ".old-" + uid
     if (io.exists(path)) io.atomicMove(path, old)
     io.atomicMove(tmp, path)
@@ -282,14 +326,22 @@ object MergeWriter {
     val newCounts = currentBucketCounts(spark, path, bucketCol, buckets) ++
       mergedPerBucket
     writeCountsSidecar(path, newCounts, uid)
+    appendDirty(path, affectedNames)
 
-    // File-granular swap, same rename-aside discipline as the partition
-    // swap: old bucket files move ASIDE first (a crash leaves them
-    // recoverable, and a reader never sees old+new files of one bucket
-    // double-counted), then the replacements move in. Checksum siblings
-    // (`.part-…crc` on checksummed filesystems) travel with their data
-    // file so the live dir never accumulates stale checksums that a
-    // same-named future file could trip over.
+    swapBucketFiles(path, tmp, uid, oldFiles)
+    writeSwapMarker(path, uid)
+    newCounts.values.sum
+  }
+
+  /** File-granular swap, same rename-aside discipline as the partition
+    * swap: old bucket files move ASIDE first (a crash leaves them
+    * recoverable, and a reader never sees old+new files of one bucket
+    * double-counted), then the replacements move in. Checksum siblings
+    * (`.part-…crc` on checksummed filesystems) travel with their data
+    * file so the live dir never accumulates stale checksums that a
+    * same-named future file could trip over. */
+  private def swapBucketFiles(path: String, tmp: String, uid: String,
+      oldFiles: Seq[String]): Unit = {
     def moveWithCrc(srcDir: String, dstDir: String, f: String): Unit = {
       io.atomicMove(s"$srcDir/$f", s"$dstDir/$f")
       val crc = s".$f.crc"
@@ -303,8 +355,153 @@ object MergeWriter {
       .foreach(f => moveWithCrc(tmp, path, f))
     io.deleteRecursively(aside)
     io.deleteRecursively(tmp)
+  }
+
+  /** What [[mergeAdditiveBucketed]] observed INSIDE the affected buckets:
+    * row and distinct-key counts before/after the merge. Incremental
+    * consumers turn these into exact global-counter deltas (e.g. distinct
+    * donors after = before + (distinctAfter − distinctBefore)) without
+    * ever scanning the unaffected buckets. */
+  case class AdditiveMergeStats(
+      rowsBefore: Long,
+      rowsAfter: Long,
+      distinctBefore: Long,
+      distinctAfter: Long)
+
+  /** ADDITIVE bucket-scoped merge — the standing-state maintenance
+    * primitive for incremental view maintenance (gold refresh): rows
+    * sharing `keys` are combined by SUMMING `addCols` (mergeable-monoid
+    * state, the q_inc1 discipline made durable), and a row whose
+    * `liveCol` nets to ≤ 0 is dropped (its key has no surviving facts).
+    * Unlike the LWW merges, deltas may carry NEGATIVE contributions —
+    * the Δ⁻ of a rewritten fact partition — so state absorbs updates,
+    * not just appends.
+    *
+    * Only the buckets the delta hashes into are read, re-summed and
+    * file-swapped (same tmp-write/sidecar-before/marker-after/rename-
+    * aside protocol as the LWW scoped path): per refresh, state cost
+    * scales with the batch's key span, never the state's size. The
+    * delta's columns must be exactly the table's (keys ++ addCols);
+    * summed columns are cast back to their declared types so the state
+    * schema never drifts across merges (Spark widens decimal sums).
+    * Decimal/long addition is associative and commutative, so any
+    * arrival order yields bit-identical state. */
+  def mergeAdditiveBucketed(
+      spark: SparkSession,
+      delta: DataFrame,
+      path: String,
+      keys: Seq[String],
+      addCols: Seq[String],
+      liveCol: String,
+      bucketCol: String,
+      buckets: Int,
+      distinctCol: String): AdditiveMergeStats = {
+    require(addCols.contains(liveCol), s"liveCol $liveCol not in addCols")
+    require(keys.contains(bucketCol), s"bucketCol $bucketCol not in keys")
+    require(delta.columns.toSet == (keys ++ addCols).toSet,
+      s"additive delta columns ${delta.columns.toSeq} != ${keys ++ addCols}")
+    val declared: Map[String, org.apache.spark.sql.types.DataType] =
+      delta.schema.fields.map(f => f.name -> f.dataType).toMap
+    def resum(df: DataFrame): DataFrame = df
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(addCols.head)).cast(declared(addCols.head)).as(addCols.head),
+        addCols.tail.map(c => sum(col(c)).cast(declared(c)).as(c)): _*)
+      .select((keys ++ addCols).map(col): _*) // pin column order = schema
+
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), countDistinct(col(distinctCol))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val scoped = io.exists(path) && BucketedLayout.looksBucketed(path)
+    if (!scoped) {
+      // Bootstrap (or still-flat bootstrap table): fold everything once,
+      // write bucketed. An empty result keeps a flat schema-only table so
+      // readers never hit "unable to infer schema".
+      val base: DataFrame =
+        if (io.exists(path)) spark.read.schema(delta.schema).parquet(path)
+        else spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), delta.schema)
+      val merged = resum(base.unionByName(delta))
+        .filter(col(liveCol) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perBucket: Map[String, Long] = merged
+        .groupBy(bucketIdExpr(bucketCol, buckets)).count()
+        .collect().map(r => (s"bucket=${r.get(0)}", r.getLong(1))).toMap
+      val (rowsAfter, distinctAfter) = stats(merged)
+      if (rowsAfter == 0L) {
+        writeAndSwap(merged, path)
+        merged.unpersist()
+        return AdditiveMergeStats(0L, 0L, 0L, 0L)
+      }
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = path + ".tmp-" + uid
+      val tmpTable = s"graft_merge_add_$uid"
+      merged.repartition(buckets, col(bucketCol))
+        .write.format("parquet").option("path", tmp)
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .mode("overwrite").saveAsTable(tmpTable)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files stay
+      merged.unpersist()
+      writeCountsSidecar(path, perBucket, uid)
+      val old = path + ".old-" + uid
+      if (io.exists(path)) io.atomicMove(path, old)
+      io.atomicMove(tmp, path)
+      io.deleteRecursively(old)
+      writeSwapMarker(path, uid)
+      return AdditiveMergeStats(0L, rowsAfter, 0L, distinctAfter)
+    }
+
+    val tableSchema = spark.read.parquet(path).schema
+    require(tableSchema.fieldNames.toSet == delta.columns.toSet,
+      s"additive state at $path has columns ${tableSchema.fieldNames.toSeq}; " +
+        s"delta carries ${delta.columns.toSeq}")
+    val dAgg = resum(delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val affected: Seq[Int] = dAgg
+      .select(bucketIdExpr(bucketCol, buckets).as("__b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.isEmpty) {
+      dAgg.unpersist()
+      return AdditiveMergeStats(0L, 0L, 0L, 0L)
+    }
+    val affectedNames = affected.map(b => s"bucket=$b").toSet
+    val oldFiles: Seq[String] = io.fileSizes(path).map(_._1)
+      .filter(f => bucketIdOfFile(f).exists(affected.contains))
+    val oldBase: DataFrame =
+      if (oldFiles.isEmpty) spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), tableSchema)
+      else spark.read.schema(tableSchema)
+        .parquet(oldFiles.map(f => s"$path/$f"): _*)
+    val (rowsBefore, distinctBefore) = stats(oldBase)
+    val merged = resum(oldBase.unionByName(dAgg))
+      .filter(col(liveCol) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mergedPerBucket: Map[String, Long] = merged
+      .groupBy(bucketIdExpr(bucketCol, buckets)).count()
+      .collect().map(r => (s"bucket=${r.get(0)}", r.getLong(1))).toMap
+    require(mergedPerBucket.keySet.subsetOf(affectedNames),
+      s"additive scoped merge leaked rows outside ${affectedNames.toSeq.sorted}")
+    val (rowsAfter, distinctAfter) = stats(merged)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = path + ".tmp-" + uid
+    val tmpTable = s"graft_merge_add_$uid"
+    merged.repartition(buckets, col(bucketCol))
+      .write.format("parquet").option("path", tmp)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .mode("overwrite").saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files stay
+    merged.unpersist(); dAgg.unpersist()
+    // An affected bucket can legitimately EMPTY (all its keys netted to
+    // zero): drop its stale sidecar entry rather than carrying a count
+    // for a bucket with no file (which would force a heal scan later).
+    val newCounts = (currentBucketCounts(spark, path, bucketCol, buckets) --
+      affectedNames) ++ mergedPerBucket
+    writeCountsSidecar(path, newCounts, uid)
+    appendDirty(path, affectedNames)
+    swapBucketFiles(path, tmp, uid, oldFiles)
     writeSwapMarker(path, uid)
-    newCounts.values.sum
+    AdditiveMergeStats(rowsBefore, rowsAfter, distinctBefore, distinctAfter)
   }
 
   /** Per-bucket row counts for a flat bucketed table, from the counts
@@ -441,6 +638,7 @@ object MergeWriter {
     // next reader recounts instead of trusting stale per-partition counts.
     val newCounts = currentCounts(spark, path, partitionCol) ++ mergedPerPart
     writeCountsSidecar(path, newCounts, uid)
+    appendDirty(path, mergedPerPart.keys)
 
     io.createDirectories(path)
     affected.foreach { v =>
@@ -601,6 +799,7 @@ object MergeWriter {
     // same sidecar-before-swap, marker-after-swap discipline as the
     // steady-state path
     writeCountsSidecar(path, perPart, uid)
+    appendDirty(path, perPart.keys)
     val old = path + ".old-" + uid
     io.atomicMove(path, old)
     io.atomicMove(tmp, path)
