@@ -202,7 +202,11 @@ object GoldRefresh {
       else if (!graft.operators.BucketedLayout.looksBucketed(path))
         spark.read.schema(schema).parquet(path)
       else {
+        // `ids` is a one-column key frame whose column name varies by
+        // caller ("id"); rename to idCol before hashing (same rename the
+        // semi-join below does) — bucketIdExpr resolves idCol by name.
         val bucketIds = ids
+          .select(col(ids.columns.head).as(idCol))
           .select(MergeWriter.bucketIdExpr(idCol, buckets).as("__b"))
           .distinct().collect().map(_.getInt(0)).toSet
         val files = io.fileSizes(path).map(_._1)
