@@ -11,11 +11,14 @@ import graft.operators.MergeWriter
   * 5-minute Celery beat (base/celery.py:27-49): USD enrichment,
   * account/pot stats and global stats derived from silver.
   *
-  * Two modes:
+  * Two modes behind one entry point ([[refresh]] dispatches):
   *
-  *  - [[refresh]] (full rebuild): recompute everything from silver. The
-  *    bootstrap path, and the fallback whenever incremental preconditions
-  *    fail (missing state, token-metadata change, flat layouts).
+  *  - [[refreshFull]] (full rebuild): recompute everything from silver.
+  *    The bootstrap path, and the fallback whenever incremental
+  *    preconditions fail (missing state, token-metadata change, flat
+  *    layouts). Its first mutation invalidates the gold meta, so a crash
+  *    anywhere inside it re-runs full — never a resume into incremental
+  *    over half-rebuilt state.
   *
   *  - [[refreshIncremental]]: the 100 TB path. The merge writers journal
   *    which date partitions / buckets each batch touched
@@ -33,8 +36,9 @@ import graft.operators.MergeWriter
   * fixed-scale decimal sums (associative, no rounding), and distinct
   * counts carried as pair/key STATE rows (distinct-donor count per
   * recipient = pair-row count, an exact monoid where countDistinct is
-  * not). Incremental output is bit-identical to a full rebuild —
-  * GoldSpec pins it across multi-batch ingests.
+  * not). Incremental output is bit-identical to a full rebuild at the
+  * same inputs — GoldSpec pins it across multi-batch ingests, including
+  * late price arrivals and account-only batches.
   *
   * Crash safety (the swap protocol's discipline extended to a
   * multi-table update): delta aggregates are STAGED to disk before any
@@ -43,11 +47,14 @@ import graft.operators.MergeWriter
   * already-applied steps, so additive state is applied exactly once.
   *
   * Contracts (documented, reference-matched): price history rows are
-  * append-only observations (tokens/models.py's historical price cache —
-  * a price arrival re-enriches the null-USD partitions it can now
-  * price); token-decimals changes are rare metadata loads and take the
-  * full-rebuild path; payouts are a pot-scale table and their stats leg
-  * recomputes whole (cheap at any corpus size).
+  * LWW-merged observations (tokens/models.py's historical price cache) —
+  * a price arrival/update is diffed against a standing `prices_seen`
+  * snapshot and re-enriches every date partition within the as-of ±24h
+  * reach of the delta (so a closer late price corrects already-priced
+  * donations, not just null ones); token-decimals changes are rare
+  * metadata loads and take the full-rebuild path; payouts are a
+  * pot-scale table and their stats leg recomputes whole (cheap at any
+  * corpus size).
   */
 object GoldRefresh {
 
@@ -64,11 +71,31 @@ object GoldRefresh {
   private def uidOf(path: String): String =
     io.readString(MergeWriter.swapMarkerPath(path)).getOrElse("")
 
-  private final case class Meta(generation: Long, uids: Map[String, String],
-      nullUsdParts: Set[String]) {
+  /** Content signature of what enrichment DEPENDS on in the tokens
+    * dimension — (account, decimals) pairs, order-independent xor of row
+    * hashes. The table's swap uid rotates on every LWW merge, including
+    * the per-batch stub merges that change nothing, and a spurious
+    * "tokens changed" would force a full rebuild per batch; the signature
+    * moves only when a decimals mapping actually moves. One scan of a
+    * dimension-scale table per refresh. */
+  private def tokensSig(tokens: DataFrame): String =
+    tokens.selectExpr(
+      "coalesce(bit_xor(xxhash64(account, decimals)), 0L) AS s")
+      .head().getLong(0).toString
+
+  /** Same content-signature treatment for the price history: the table is
+    * loaded by writers that don't maintain swap markers (plain parquet
+    * overwrites from the price backfill), so a marker uid would read as
+    * "" and force pricesChanged on every refresh forever. One scan of a
+    * dimension-scale table per refresh. */
+  private def pricesSig(prices: DataFrame): String =
+    prices.selectExpr(
+      "coalesce(bit_xor(xxhash64(token, timestamp, price_usd)), 0L) AS s")
+      .head().getLong(0).toString
+
+  private final case class Meta(generation: Long, uids: Map[String, String]) {
     def render: String =
-      (Seq(s"generation=$generation",
-        s"null_usd_parts=${nullUsdParts.toSeq.sorted.mkString(";")}") ++
+      (Seq(s"generation=$generation") ++
         uids.toSeq.sorted.map { case (k, v) => s"uid.$k=$v" }).mkString("\n")
   }
 
@@ -81,8 +108,7 @@ object GoldRefresh {
         if (i < 0) None else Some(l.take(i) -> l.drop(i + 1))
       }.toMap
       Meta(kv.getOrElse("generation", "0").toLong,
-        kv.collect { case (k, v) if k.startsWith("uid.") => k.drop(4) -> v },
-        kv.getOrElse("null_usd_parts", "").split(';').filter(_.nonEmpty).toSet)
+        kv.collect { case (k, v) if k.startsWith("uid.") => k.drop(4) -> v })
     }
 
   private def tablePaths(silverDir: String): Map[String, String] = Map(
@@ -168,13 +194,22 @@ object GoldRefresh {
     def one(name: String, keys: Seq[String], addCols: Seq[String],
         bucketCol: String, distinctCol: String): (String, MergeWriter.AdditiveMergeStats) = {
       val table = s"$sd/$name"
+      val token = s"gen$gen"
       readGen(table) match {
-        case Some((g, st)) if g == gen => name -> st // already applied
+        case Some((g, st)) if g == gen => // already applied + fenced
+          MergeWriter.clearApplyManifest(table, token)
+          name -> st
         case _ =>
+          // Two-phase apply: a crash between the merge and the gen fence
+          // leaves the staged post-state manifest, and the resumed call
+          // RE-COMMITS it instead of re-deriving the merge (which would
+          // fold the delta in twice).
           val delta = spark.read.parquet(s"$staging/${name}_delta")
-          val st = MergeWriter.mergeAdditiveBucketed(spark, delta, table,
-            keys, addCols, liveCol = "n", bucketCol, buckets, distinctCol)
+          val st = MergeWriter.applyAdditiveBucketed(spark, delta, table,
+            keys, addCols, liveCol = "n", bucketCol, buckets, distinctCol,
+            token)
           writeGen(table, gen, st)
+          MergeWriter.clearApplyManifest(table, token)
           name -> st
       }
     }
@@ -262,6 +297,28 @@ object GoldRefresh {
   }
 
   private def paidStatePath(silverDir: String) = s"${stateDir(silverDir)}/paid"
+  private def pricesSeenPath(silverDir: String) =
+    s"${stateDir(silverDir)}/prices_seen"
+
+  /** Swap a fully-built bucketed table (dir + counts/marker sidecars +
+    * dirty journal) from its `.tmp-<uid>` name to the live name. The dir
+    * rename is the atomic visibility flip; sidecar moves follow (readers
+    * validate the counts sidecar's uid against the swap marker, so a torn
+    * sidecar window degrades to a heal scan, never to wrong data). */
+  private def swapTableWithSidecars(tmpBase: String, path: String): Unit = {
+    val uid = tmpBase.substring(tmpBase.lastIndexOf("-") + 1)
+    val old = s"$path.old-$uid"
+    if (io.exists(path)) io.atomicMove(path, old)
+    io.atomicMove(tmpBase, path)
+    Seq(".counts.json", ".swapuid").foreach { s =>
+      if (io.exists(s"$path$s")) io.deleteRecursively(s"$path$s")
+      if (io.exists(s"$tmpBase$s")) io.atomicMove(s"$tmpBase$s", s"$path$s")
+    }
+    MergeWriter.clearDirty(path)
+    if (io.exists(MergeWriter.dirtyDir(tmpBase)))
+      io.atomicMove(MergeWriter.dirtyDir(tmpBase), MergeWriter.dirtyDir(path))
+    io.deleteRecursively(old)
+  }
   private def paidState(spark: SparkSession, silverDir: String): DataFrame = {
     val p = paidStatePath(silverDir)
     if (io.exists(p)) spark.read.parquet(p)
@@ -283,12 +340,20 @@ object GoldRefresh {
         col("total_public_donations_dec"), col("total_public_donations_usd"),
         col("public_donations_count"))
 
-  // ------------------------------------------------------- full rebuild
-  /** Full recompute: enrichment over all of silver, states rebuilt from
-    * the enriched facts, finals from states. The bootstrap path and the
-    * fallback for incremental preconditions. */
+  // ----------------------------------------------------------- dispatch
+  /** The production entry point (the reference's 5-minute beat):
+    * incremental whenever standing state exists; [[refreshIncremental]]
+    * itself falls back to a full rebuild on missing meta/state/layout or
+    * a token-metadata change, so this is safe to call unconditionally. */
   def refresh(spark: SparkSession, silverDir: String): Unit =
-    fullRebuild(spark, silverDir): Unit
+    refreshIncremental(spark, silverDir): Unit
+
+  /** Explicit full recompute: enrichment over all of silver, states
+    * rebuilt from the enriched facts, finals from states. The bootstrap
+    * path, the `--full` operational override, and the incremental
+    * fallback. */
+  def refreshFull(spark: SparkSession, silverDir: String): Report =
+    fullRebuild(spark, silverDir)
 
   private def fullRebuild(spark: SparkSession, silverDir: String): Report = {
     val silver = new SilverStore(spark, silverDir)
@@ -299,14 +364,29 @@ object GoldRefresh {
     val paths = tablePaths(silverDir)
     // Input uids snapshotted BEFORE reading (single-writer per table, as
     // the merges assume; a concurrent batch would re-dirty its partitions
-    // and the next refresh absorbs it).
-    val uids = paths.map { case (k, p) => k -> uidOf(p) }
-    val dirtySnapshot = MergeWriter.readDirty(paths("donations"))
-    val dirtyAcctSnapshot = MergeWriter.readDirty(paths("accounts"))
+    // and the next refresh absorbs it). The tokens entry is a CONTENT
+    // signature, not the swap uid — see tokensSig.
+    val uids0 = paths.map { case (k, p) => k -> uidOf(p) }
+    val dirtySnapshot = MergeWriter.snapshotDirty(paths("donations"))
+    val dirtyAcctSnapshot = MergeWriter.snapshotDirty(paths("accounts"))
+
+    // Generation read BEFORE the fence below deletes the meta.
+    val gen = readMeta(silverDir).map(_.generation).getOrElse(0L) + 1L
+
+    // In-progress fence — FIRST mutation: a full rebuild tears standing
+    // state down in place, so a crash anywhere inside it must send the
+    // next run back HERE, never into refreshIncremental over half-rebuilt
+    // state (deltas would compute against a re-swapped enriched table and
+    // silently drop every untouched account's stats row). Invalidating
+    // the meta before any other write makes that dispatch automatic.
+    if (io.exists(metaPath(silverDir)))
+      io.deleteRecursively(metaPath(silverDir))
 
     val payouts = tableOrEmpty("pot_payouts", Schemas.potPayout)
     val tokens = tableOrEmpty("tokens", Schemas.token)
     val prices = tableOrEmpty("token_prices", Schemas.tokenHistoricalPrice)
+    val uids = uids0 ++ Map("tokens" -> tokensSig(tokens),
+      "token_prices" -> pricesSig(prices))
 
     // Raw read keeps the physical __pdate partition column (hidden by
     // silver.table) so the enriched table inherits the date layout the
@@ -330,14 +410,26 @@ object GoldRefresh {
     // every aggregation expression.
     val sd = stateDir(silverDir)
     val facts = enriched.withColumn("__w", lit(1))
-    Seq("recv_pairs", "donor_state", "pot_state", "paid").foreach { n =>
-      io.deleteRecursively(s"$sd/$n")
-      Seq(".goldgen", ".counts.json", ".swapuid", ".dirty").foreach { s =>
-        if (io.exists(s"$sd/$n$s")) io.deleteRecursively(s"$sd/$n$s") }
-    }
+    Seq("recv_pairs", "donor_state", "pot_state", "paid", "prices_seen")
+      .foreach { n =>
+        io.deleteRecursively(s"$sd/$n")
+        Seq(".goldgen", ".counts.json", ".swapuid", ".dirty", ".dirty.d")
+          .foreach { s =>
+            if (io.exists(s"$sd/$n$s")) io.deleteRecursively(s"$sd/$n$s") }
+      }
+    // Stranded incremental artifacts (apply manifests, tmp/aside dirs,
+    // delta staging) from a crashed run this rebuild supersedes.
+    io.listDir(sd).collect {
+      case (n, _) if n.contains(".apply-") || n.contains(".tmp-") ||
+        n.contains(".old-") || n.startsWith("delta_gen_") => n
+    }.foreach(n => io.deleteRecursively(s"$sd/$n"))
+    // Final-table generation fences are per-incremental-run resume state;
+    // a full rebuild starts a fresh fence history.
+    Seq("account_stats", "pot_stats", "global_stats").foreach { n =>
+      if (io.exists(s"$silverDir/$n.goldgen"))
+        io.deleteRecursively(s"$silverDir/$n.goldgen") }
     io.createDirectories(sd)
     val (_, buckets) = SilverStore.bucketSpec("accounts")
-    val gen = readMeta(silverDir).map(_.generation).getOrElse(0L) + 1L
     val stRecv = MergeWriter.mergeAdditiveBucketed(spark, recvDelta(facts),
       s"$sd/recv_pairs", Seq("recipient", "donor"), Seq("n", "usd"), "n",
       "recipient", buckets, "recipient")
@@ -354,19 +446,31 @@ object GoldRefresh {
       "pot", buckets, "pot")
     writeGen(s"$sd/pot_state", gen, stPot)
     write(computePaid(payouts), paidStatePath(silverDir))
+    // Price snapshot for the incremental path's overlap re-enrichment:
+    // the next refresh diffs current prices against this to find NEW (or
+    // LWW-updated) price observations and re-enriches only the date
+    // partitions within the as-of ±24h reach of them.
+    write(prices.select(col("token"), col("timestamp"), col("price_usd")),
+      pricesSeenPath(silverDir))
 
     // Finals. account_stats is rebuilt whole (all account ids) through
-    // the SAME row constructor the incremental path uses, then written
-    // through the bucketed merge path so sidecar/marker/layout are in
-    // place for later scoped merges.
+    // the SAME row constructor the incremental path uses, built in a tmp
+    // table (full bucketed layout + sidecars via the merge path's
+    // bootstrap) and swapped in — readers keep the previous stats for the
+    // whole rebuild and flip in one rename (a delete-then-merge leaves
+    // account_stats absent while the rebuild runs).
     val accounts = tableOrEmpty("accounts", Schemas.account)
     val statsPath = s"$silverDir/account_stats"
-    Seq("", ".counts.json", ".swapuid", ".dirty").foreach { s =>
-      if (io.exists(s"$statsPath$s")) io.deleteRecursively(s"$statsPath$s") }
+    io.listDir(silverDir).collect {
+      case (n, _) if n.startsWith("account_stats.tmp-") ||
+        n.startsWith("account_stats.old-") => n
+    }.foreach(n => io.deleteRecursively(s"$silverDir/$n"))
     val allRows = accountRowsFor(spark, silverDir, accounts.select("id"), gen)
     val (statKey, statBuckets) = SilverStore.bucketSpec("accounts")
-    MergeWriter.mergeBucketed(spark, allRows, statsPath, Seq("id"),
+    val statsTmp = s"$statsPath.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    MergeWriter.mergeBucketed(spark, allRows, statsTmp, Seq("id"),
       Seq("__gen"), statKey, statBuckets, coalesceUpdates = false): Unit
+    swapTableWithSidecars(statsTmp, statsPath)
     write(potStatsFromState(spark, silverDir), s"$silverDir/pot_stats")
 
     // Global stats from the state merges' exact counters + payout leg.
@@ -379,15 +483,7 @@ object GoldRefresh {
       Option(totals.getDecimal(1)),
       stDonor.distinctAfter, stRecv.distinctAfter, Option(payoutsUsd))
 
-    // Null-USD partition tracking for targeted price re-enrichment.
-    val nullParts: Set[String] =
-      if (!partitioned) Set.empty
-      else enriched.filter(col("total_amount_usd").isNull)
-        .select(col("__pdate").cast("string")).distinct()
-        .collect().map(r => s"__pdate=${r.getString(0)}").toSet
-
-    io.writeStringAtomic(metaPath(silverDir),
-      Meta(gen, uids, nullParts).render)
+    io.writeStringAtomic(metaPath(silverDir), Meta(gen, uids).render)
     MergeWriter.consumeDirty(paths("donations"), dirtySnapshot)
     MergeWriter.consumeDirty(paths("accounts"), dirtyAcctSnapshot)
     Report("full", gen, -1, -1L)
@@ -417,31 +513,30 @@ object GoldRefresh {
     val enrichedPath = s"$silverDir/donations_enriched"
     val sd = stateDir(silverDir)
     val metaOpt = readMeta(silverDir)
-    val uidsNow = paths.map { case (k, p) => k -> uidOf(p) }
+    val silver = new SilverStore(spark, silverDir)
+    val tokensNow =
+      if (silver.exists("tokens")) silver.table("tokens")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.token)
+    val pricesNow =
+      if (silver.exists("token_prices")) silver.table("token_prices")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.tokenHistoricalPrice)
+    val uidsNow = paths.map { case (k, p) => k -> uidOf(p) } ++
+      Map("tokens" -> tokensSig(tokensNow),
+        "token_prices" -> pricesSig(pricesNow))
 
     def changed(meta: Meta, k: String): Boolean = {
       val prev = meta.uids.getOrElse(k, "")
       prev.isEmpty || uidsNow(k).isEmpty || prev != uidsNow(k)
     }
 
-    val fallback = metaOpt.isEmpty ||
-      changed(metaOpt.get, "tokens") ||
-      !io.exists(enrichedPath) ||
-      !io.listDir(enrichedPath).exists { case (n, d) => d && n.startsWith("__pdate=") } ||
-      !Seq("recv_pairs", "donor_state", "pot_state").forall(n => io.exists(s"$sd/$n"))
-    if (fallback) return fullRebuild(spark, silverDir)
+    if (metaOpt.isEmpty) {
+      println("GoldRefresh: incremental preconditions failed (no-meta) — full rebuild")
+      return fullRebuild(spark, silverDir)
+    }
     val meta = metaOpt.get
-
-    val dirtySnapshot = MergeWriter.readDirty(paths("donations"))
-    val dirtyAcctSnapshot = MergeWriter.readDirty(paths("accounts"))
-    val pricesChanged = changed(meta, "token_prices")
-    val payoutsChanged = changed(meta, "pot_payouts")
-    val accountsChanged = dirtyAcctSnapshot.nonEmpty || changed(meta, "accounts")
-    val reEnrich: Set[String] =
-      dirtySnapshot ++ (if (pricesChanged) meta.nullUsdParts else Set.empty)
-    if (reEnrich.isEmpty && !payoutsChanged && !accountsChanged)
-      return Report("noop", meta.generation, 0, 0L)
-
     val gen = meta.generation + 1L
     val staging = s"$sd/delta_gen_$gen"
     // Stale staging from a run whose commit DID land is impossible
@@ -452,17 +547,82 @@ object GoldRefresh {
         n.stripPrefix("delta_gen_").toLong <= meta.generation => n
     }.foreach(n => io.deleteRecursively(s"$sd/$n"))
 
-    val silver = new SilverStore(spark, silverDir)
-    if (!io.exists(staging)) {
+    // A standing staging dir for THIS generation means a prior run crashed
+    // mid-apply: resume the apply phase purely off the staged manifest.
+    // The live-layout precondition probes below are invalid mid-swap (the
+    // enriched table's partitions may be in flight), so they run only when
+    // a fresh cycle is about to stage.
+    val resuming = io.exists(staging)
+    if (!resuming) {
+      val fallbackReason: Option[String] =
+        if (changed(meta, "tokens")) Some("tokens-changed")
+        else if (!io.exists(enrichedPath)) Some("no-enriched")
+        else if (!io.listDir(enrichedPath).exists { case (n, d) =>
+          d && n.startsWith("__pdate=") }) Some("flat-enriched")
+        else if (!io.exists(s"$silverDir/account_stats")) Some("no-account-stats")
+        else Seq("recv_pairs", "donor_state", "pot_state")
+          .find(n => !io.exists(s"$sd/$n")).map(n => s"no-state:$n")
+      fallbackReason match {
+        case Some(r) =>
+          println(s"GoldRefresh: incremental preconditions failed ($r) — full rebuild")
+          return fullRebuild(spark, silverDir)
+        case None =>
+      }
+    }
+
+    val dirtySnapshot = MergeWriter.snapshotDirty(paths("donations"))
+    val dirtyAcctSnapshot = MergeWriter.snapshotDirty(paths("accounts"))
+    val pricesChanged = changed(meta, "token_prices")
+    val payoutsChanged = changed(meta, "pot_payouts")
+    val accountsChanged = dirtyAcctSnapshot.nonEmpty || changed(meta, "accounts")
+    if (!resuming && dirtySnapshot.names.isEmpty && !pricesChanged &&
+        !payoutsChanged && !accountsChanged)
+      return Report("noop", meta.generation, 0, 0L)
+
+    if (!resuming) {
       // ---- stage: enrich touched partitions + persist delta aggregates
       val tmpStage = s"$staging.tmp"
       io.deleteRecursively(tmpStage)
       io.createDirectories(tmpStage)
-      val partVals = reEnrich.toSeq.sorted.map(_.stripPrefix("__pdate="))
       val tokens = if (silver.exists("tokens")) silver.table("tokens")
         else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.token)
-      val prices = if (silver.exists("token_prices")) silver.table("token_prices")
+      // Materialize the price snapshot FIRST and use it for both the
+      // enrichment and the seen diff — a price row merging mid-staging is
+      // then either wholly inside this refresh or wholly in the next one
+      // (uid mismatch re-detects it), never half-absorbed.
+      val prices0 = if (silver.exists("token_prices")) silver.table("token_prices")
         else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.tokenHistoricalPrice)
+      prices0.select(col("token"), col("timestamp"), col("price_usd"))
+        .write.parquet(s"$tmpStage/prices_snapshot")
+      val prices = spark.read.parquet(s"$tmpStage/prices_snapshot")
+      // Price-arrival overlap: a NEW (or LWW-updated) price observation
+      // can flip the as-of NEAREST choice for any donation within ±24h of
+      // it. A donation at date partition d has timestamps in [d, d+1d),
+      // so a price at timestamp t reaches partitions {date(t)-1, date(t),
+      // date(t)+1} — re-enrich those that exist, in addition to the
+      // batch-dirty ones. Exact, and bounded by the prices DELTA (a
+      // dimension-scale diff), never the donations corpus.
+      val overlapParts: Set[String] =
+        if (!pricesChanged) Set.empty
+        else {
+          val seen =
+            if (io.exists(pricesSeenPath(silverDir)))
+              spark.read.parquet(pricesSeenPath(silverDir))
+            else prices.limit(0)
+          val newP = prices.except(seen)
+          val dates = newP.select(to_date(col("timestamp")).as("d"))
+            .select(explode(array(date_sub(col("d"), 1), col("d"),
+              date_add(col("d"), 1))).as("d"))
+            .distinct().collect()
+            // SilverStore's donation layout prefixes the date with "d"
+            // (partitionSpec) — partition names are `__pdate=dyyyy-MM-dd`.
+            .map(r => s"__pdate=d${r.getDate(0)}").toSet
+          val existingParts = io.listDir(enrichedPath).collect {
+            case (n, true) if n.startsWith("__pdate=") => n }.toSet
+          dates.intersect(existingParts)
+        }
+      val reEnrich: Set[String] = dirtySnapshot.names ++ overlapParts
+      val partVals = reEnrich.toSeq.sorted.map(_.stripPrefix("__pdate="))
       val slice = spark.read.parquet(paths("donations"))
         .filter(col("__pdate").isin(partVals: _*))
       val newEnriched =
@@ -482,12 +642,6 @@ object GoldRefresh {
       recvDelta(facts).write.parquet(s"$tmpStage/recv_pairs_delta")
       donorDelta(facts).write.parquet(s"$tmpStage/donor_state_delta")
       potDelta(facts).write.parquet(s"$tmpStage/pot_state_delta")
-      // Null-USD membership of the rewritten partitions (for the next
-      // price-arrival re-enrichment).
-      val nullNow: Set[String] = newSlice
-        .filter(col("total_amount_usd").isNull)
-        .select(col("__pdate").cast("string")).distinct()
-        .collect().map(r => s"__pdate=${r.getString(0)}").toSet
       // Payout leg staged as data (idempotent resume needs the DIFF
       // against the pre-refresh paid state, which the commit replaces).
       if (payoutsChanged) {
@@ -503,14 +657,20 @@ object GoldRefresh {
           .select("id")
           .write.parquet(s"$tmpStage/paid_affected")
       }
+      // Everything the apply/commit phases need is STAGED — a resumed run
+      // must commit what staging saw (uids, journal entry files), not
+      // whatever the inputs look like post-crash.
       io.writeStringAtomic(s"$tmpStage/manifest",
         (Seq(s"enr_tmp=$enrTmp",
           s"parts=${reEnrich.toSeq.sorted.mkString(";")}",
-          s"null_parts=${nullNow.toSeq.sorted.mkString(";")}",
           s"payouts_changed=$payoutsChanged",
-          s"dirty_donations=${dirtySnapshot.toSeq.sorted.mkString(";")}",
-          s"dirty_accounts=${dirtyAcctSnapshot.toSeq.sorted.mkString(";")}")
-          .mkString("\n")))
+          s"prices_changed=$pricesChanged",
+          s"dirty_donations=${dirtySnapshot.names.toSeq.sorted.mkString(";")}",
+          s"dirty_accounts=${dirtyAcctSnapshot.names.toSeq.sorted.mkString(";")}",
+          s"dirtyfiles_donations=${dirtySnapshot.files.toSeq.sorted.mkString(";")}",
+          s"dirtyfiles_accounts=${dirtyAcctSnapshot.files.toSeq.sorted.mkString(";")}") ++
+          uidsNow.toSeq.sorted.map { case (k, v) => s"uid.$k=$v" })
+          .mkString("\n"))
       io.atomicMove(tmpStage, staging)
     }
 
@@ -522,20 +682,25 @@ object GoldRefresh {
     val parts = setOf("parts")
     val enrTmp = manifest("enr_tmp")
     val stagedPayoutsChanged = manifest("payouts_changed").toBoolean
+    val stagedPricesChanged = manifest("prices_changed").toBoolean
+    val stagedDirtyAccts = setOf("dirty_accounts")
 
     // Enriched partition swap — idempotent: a partition whose tmp dir is
     // gone was already swapped by the pre-crash run.
     parts.toSeq.sorted.foreach { dirName =>
       val src = s"$enrTmp/$dirName"
       val dst = s"$enrichedPath/$dirName"
+      val aside = s"$enrichedPath.old-gen$gen-$dirName"
       if (io.exists(src)) {
-        val aside = s"$enrichedPath.old-gen$gen-$dirName"
         if (io.exists(dst)) io.atomicMove(dst, aside)
         io.atomicMove(src, dst)
         io.deleteRecursively(aside)
-      } else if (!io.exists(dst)) {
-        // A batch can create a BRAND-NEW date partition; nothing to swap
-        // only if the new side was empty for it (gated rows) — fine.
+      } else {
+        // Already swapped by a pre-crash run (a crash between its
+        // src→dst move and the aside delete leaves the aside behind), or
+        // a BRAND-NEW date partition whose new side was empty (gated
+        // rows) — either way only the stale aside needs cleanup.
+        if (io.exists(aside)) io.deleteRecursively(aside)
       }
     }
 
@@ -553,9 +718,9 @@ object GoldRefresh {
       else recvIds.limit(0)
     val (statKey, statBuckets) = SilverStore.bucketSpec("accounts")
     val newAccountIds: DataFrame =
-      if (dirtyAcctSnapshot.nonEmpty) {
+      if (stagedDirtyAccts.nonEmpty) {
         val acctSchema = spark.read.parquet(paths("accounts")).schema
-        val bucketIds: Set[Int] = dirtyAcctSnapshot
+        val bucketIds: Set[Int] = stagedDirtyAccts
           .flatMap(n => scala.util.Try(n.stripPrefix("bucket=").toInt).toOption)
         def sliceFiles(p: String, schema: org.apache.spark.sql.types.StructType) = {
           val fs = io.fileSizes(p).map(_._1)
@@ -632,12 +797,19 @@ object GoldRefresh {
     }
     affected.unpersist()
 
-    // ---- commit: meta, journal consumption, staging cleanup.
-    val newNullParts = (meta.nullUsdParts -- parts) ++ setOf("null_parts")
-    io.writeStringAtomic(metaPath(silverDir),
-      Meta(gen, uidsNow, newNullParts).render)
-    MergeWriter.consumeDirty(paths("donations"), setOf("dirty_donations"))
-    MergeWriter.consumeDirty(paths("accounts"), setOf("dirty_accounts"))
+    // ---- commit: price-seen snapshot, meta (from the STAGED uids — a
+    // resumed run must not absorb input changes staging never saw),
+    // journal consumption (exactly the staged entry files), cleanup.
+    if (stagedPricesChanged)
+      write(spark.read.parquet(s"$staging/prices_snapshot"),
+        pricesSeenPath(silverDir))
+    val stagedUids = manifest.collect {
+      case (k, v) if k.startsWith("uid.") => k.drop(4) -> v }
+    io.writeStringAtomic(metaPath(silverDir), Meta(gen, stagedUids).render)
+    MergeWriter.consumeDirty(paths("donations"), MergeWriter.DirtySnapshot(
+      setOf("dirtyfiles_donations"), setOf("dirty_donations")))
+    MergeWriter.consumeDirty(paths("accounts"), MergeWriter.DirtySnapshot(
+      setOf("dirtyfiles_accounts"), stagedDirtyAccts))
     io.deleteRecursively(staging)
     io.deleteRecursively(enrTmp)
     Report("incremental", gen, parts.size, nAffected)
@@ -710,7 +882,7 @@ object GoldRefresh {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (full) refresh(spark, silverDir)
+    if (full) refreshFull(spark, silverDir): Unit
     else refreshIncremental(spark, silverDir): Unit
     spark.stop()
   }

@@ -517,6 +517,32 @@ object EntityTransforms {
         col("r.admin_notes").as("admin_notes"),
         col("receipt_id").as("tx_hash")) ++ seqCols: _*)
 
+  /** Account-discovery rows from the lists contract: create_list
+    * get_or_creates owner, signer, receiver and each admin
+    * (utils.py:361-369); register_batch bulk-creates every registrant plus
+    * the signer (utils.py:396-422 — registered_by is persisted as an
+    * Account FK on the row, so it is discovered too). */
+  def listAccounts(actions: DataFrame): DataFrame = {
+    val onLists = actions.filter(col("receiver_id") === contracts.lists &&
+      col("result_json").isNotNull && trim(col("result_json")) =!= "null")
+    val creates = onLists
+      .filter(col("method_name") === "create_list")
+      .withColumn("p", from_json(col("result_json"), listPayload))
+      .filter(col("p.id").isNotNull)
+      .select(Seq(explode(concat(
+        array(col("p.owner"), col("signer_id"), col("receiver_id")),
+        coalesce(col("p.admins"), array().cast("array<string>")))).as("id"))
+        ++ seqCols: _*)
+    val regs = onLists
+      .filter(col("method_name") === "register_batch")
+      .withColumn("r", explode(from_json(col("result_json"),
+        org.apache.spark.sql.types.ArrayType(registrationPayload))))
+      .filter(col("r.id").isNotNull)
+      .select(Seq(explode(array(col("r.registrant_id"),
+        col("r.registered_by"), col("signer_id"))).as("id")) ++ seqCols: _*)
+    creates.unionByName(regs).filter(col("id").isNotNull)
+  }
+
   /** handle_list_registration_update (utils.py:449-471). */
   def registrationUpdates(actions: DataFrame): DataFrame =
     actions

@@ -411,6 +411,8 @@ final class SilverStore(spark: SparkSession, dir: String) {
       val applyHit = has("apply", "pot") || has("assert_can_apply_callback", "pot")
       val reviewHit = has("chef_set_application_status", "pot")
       val listRemoveHit = has("owner_remove_admins", "lists")
+      val listAcctHit = has("create_list", "lists") ||
+        has("register_batch", "lists")
       val nadabotAddHit = has("owner_add_admins", "nadabot")
       val deployerAddHit = has("admin_add_whitelisted_deployers", "factory")
       val potCfgHit = eventsPresent(EntityTransforms.potConfigEvent)
@@ -505,12 +507,13 @@ final class SilverStore(spark: SparkSession, dir: String) {
           .unionByName(patchAccounts(factoryAdminPatches(acts)))
           .unionByName(potConfigAccounts(potCfg))
           .unionByName(factoryConfigAccounts(factoryCfg))
+          .unionByName(listAccounts(acts))
           .withColumn("near_social_profile_data", lit(null).cast("string"))
           .unionByName(socialProfileUpdates(acts)),
         naturalKeys("accounts"),
         need = donateHit || nadabotAddHit || deployerAddHit ||
           factoryAdminPatchHit || potCfgHit || factoryCfgHit ||
-          has("set", "social"))
+          listAcctHit || has("set", "social"))
       // Reference semantics: aupdate_or_create on (action_result, type) —
       // a repeated key UPDATES signer/timestamp/tx_hash (last writer wins).
       lww("activities",

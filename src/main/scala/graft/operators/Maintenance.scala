@@ -227,11 +227,15 @@ object Maintenance {
       (_, sidecarUid) <- MergeWriter.readCountsSidecar(path)
       if sidecarUid.nonEmpty
     } yield marker != sidecarUid).getOrElse(false)
-    // Partition dir named in an aside (`<base>.old-<uid8>-<dir>`), if any.
+    // Partition dir named in an aside (`<base>.old-<uid>-<dir>`), if
+    // any. The uid segment is dash-free (an 8-char uuid prefix, or the
+    // gold plane's `gen<N>` markers), so it ends at the FIRST dash; the
+    // remainder must look like a partition dir (`col=value` — values may
+    // themselves contain dashes, e.g. dates).
     def asidePartition(n: String): Option[String] = {
       val rest = n.stripPrefix(s"$base.old-")
-      if (rest.length > 9 && rest.charAt(8) == '-')
-        Some(rest.substring(9)).filter(_.contains("="))
+      val i = rest.indexOf('-')
+      if (i > 0) Some(rest.substring(i + 1)).filter(_.contains("="))
       else None
     }
     def swapIncomplete(n: String): Boolean =

@@ -91,41 +91,77 @@ object MergeWriter {
 
   // ------------------------------------------------------------------
   // Dirty-set journal: every merge path records WHICH partitions/buckets
-  // it touched in `<table>.dirty` (newline-separated dir/bucket names,
-  // atomic rewrite). Incremental consumers (GoldRefresh) read the set,
-  // re-derive only those slices, and clear it. Appends happen BEFORE the
+  // it touched as one append-only entry file under `<table>.dirty.d/`
+  // (newline-separated dir/bucket names, unique file per batch, atomic
+  // write). Incremental consumers (GoldRefresh) snapshot the entry FILES,
+  // union their names, re-derive only those slices, and delete exactly
+  // the files they snapshotted — so an ingest batch landing between the
+  // consumer's snapshot and its commit is never lost (a shared
+  // read-modify-write file would drop it). Appends happen BEFORE the
   // swap: a merge that crashes mid-swap leaves its slices marked (a
   // consumer re-deriving an unchanged slice is a no-op delta; a missing
-  // mark would silently leave gold stale forever). Single-writer per
-  // table, same assumption as the merges themselves; the journal is
-  // bounded by the table's partition/bucket count, not data volume.
+  // mark would silently leave gold stale forever). The journal is bounded
+  // by batch count between refreshes × touched-slice names — both small.
   // ------------------------------------------------------------------
   private[graft] def dirtyPath(path: String): String = path + ".dirty"
+  private[graft] def dirtyDir(path: String): String = path + ".dirty.d"
+  /** Snapshot handle for the legacy single-file journal (pre-append-only
+    * layouts); consumeDirty clears that file when the handle is present. */
+  private[graft] val LegacyDirtyEntry = "<legacy>"
+
+  /** The consumer's view: the names marked dirty plus the entry files
+    * carrying them (the consumption handles). */
+  final case class DirtySnapshot(files: Set[String], names: Set[String]) {
+    def nonEmpty: Boolean = names.nonEmpty
+  }
 
   private[operators] def appendDirty(path: String,
       names: Iterable[String]): Unit = {
     if (names.isEmpty) return
-    val existing = readDirty(path)
-    val union = existing ++ names
-    if (union != existing)
-      io.writeStringAtomic(dirtyPath(path), union.toSeq.sorted.mkString("\n"))
+    val dd = dirtyDir(path)
+    io.createDirectories(dd)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    io.writeStringAtomic(s"$dd/append-$uid",
+      names.toSeq.distinct.sorted.mkString("\n"))
   }
 
-  def readDirty(path: String): Set[String] =
-    io.readString(dirtyPath(path))
-      .map(_.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
+  private def parseNames(txt: String): Set[String] =
+    txt.split('\n').map(_.trim).filter(_.nonEmpty).toSet
+
+  def snapshotDirty(path: String): DirtySnapshot = {
+    val dd = dirtyDir(path)
+    val entries =
+      if (io.exists(dd))
+        io.listDir(dd).collect { case (n, false) if n.startsWith("append-") => n }
+      else Seq.empty
+    val names = entries.flatMap(f =>
+      io.readString(s"$dd/$f").map(parseNames).getOrElse(Set.empty)).toSet
+    val legacy = io.readString(dirtyPath(path)).map(parseNames)
       .getOrElse(Set.empty)
+    DirtySnapshot(
+      entries.toSet ++ (if (legacy.nonEmpty) Set(LegacyDirtyEntry) else Set.empty),
+      names ++ legacy)
+  }
 
-  def clearDirty(path: String): Unit =
-    if (io.exists(dirtyPath(path))) io.writeStringAtomic(dirtyPath(path), "")
+  def readDirty(path: String): Set[String] = snapshotDirty(path).names
 
-  /** Remove exactly `names` from the journal — the consumer's commit.
-    * Names recorded AFTER the consumer snapshotted the set survive for
-    * the next cycle (ingest appending concurrently never loses dirt). */
-  def consumeDirty(path: String, names: Set[String]): Unit = {
-    if (names.isEmpty) return
-    val rest = readDirty(path) -- names
-    io.writeStringAtomic(dirtyPath(path), rest.toSeq.sorted.mkString("\n"))
+  def clearDirty(path: String): Unit = {
+    if (io.exists(dirtyPath(path))) io.deleteRecursively(dirtyPath(path))
+    if (io.exists(dirtyDir(path))) io.deleteRecursively(dirtyDir(path))
+  }
+
+  /** Delete exactly the entry files a [[snapshotDirty]] returned — the
+    * consumer's commit. Entries appended AFTER the snapshot are untouched
+    * files and survive for the next cycle; deleting an already-deleted
+    * entry is a no-op, so a crash-resumed consumer can re-commit. */
+  def consumeDirty(path: String, snapshot: DirtySnapshot): Unit = {
+    snapshot.files.foreach {
+      case LegacyDirtyEntry =>
+        if (io.exists(dirtyPath(path))) io.deleteRecursively(dirtyPath(path))
+      case f =>
+        val p = s"${dirtyDir(path)}/$f"
+        if (io.exists(p)) io.deleteRecursively(p)
+    }
   }
 
   /** Replace whole rows by natural key: a row in `replacement` overwrites
@@ -396,6 +432,131 @@ object MergeWriter {
       bucketCol: String,
       buckets: Int,
       distinctCol: String): AdditiveMergeStats = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val st = applyAdditiveBucketed(spark, delta, path, keys, addCols,
+      liveCol, bucketCol, buckets, distinctCol, token)
+    clearApplyManifest(path, token)
+    st
+  }
+
+  /** Two-phase, crash-resumable form of [[mergeAdditiveBucketed]] for
+    * consumers that record a generation fence AFTER the merge (the gold
+    * refresh): the post-state is STAGED (tmp files + an atomic manifest
+    * at `<path>.apply-<token>`) without touching the live table, then
+    * COMMITTED with conditional, individually-idempotent moves. A run
+    * resumed after a crash anywhere inside the commit finds the manifest
+    * and RE-COMMITS the staged post-state — it never re-derives the merge
+    * from a possibly half-swapped table, which would apply the delta
+    * twice. The caller's protocol: apply → record its own fence (e.g.
+    * generation marker) → [[clearApplyManifest]]. `token` must be unique
+    * per logical apply of this table (the gold plane uses `gen<N>`). */
+  def applyAdditiveBucketed(
+      spark: SparkSession,
+      delta: DataFrame,
+      path: String,
+      keys: Seq[String],
+      addCols: Seq[String],
+      liveCol: String,
+      bucketCol: String,
+      buckets: Int,
+      distinctCol: String,
+      token: String): AdditiveMergeStats =
+    io.readString(applyManifestPath(path, token)) match {
+      case Some(txt) => commitStagedAdditive(path, parseApplyManifest(txt))
+      case None =>
+        stageAdditive(spark, delta, path, keys, addCols, liveCol, bucketCol,
+            buckets, distinctCol, token) match {
+          case None => AdditiveMergeStats(0L, 0L, 0L, 0L)
+          case Some(m) => commitStagedAdditive(path, m)
+        }
+    }
+
+  private[graft] def applyManifestPath(path: String, token: String): String =
+    s"$path.apply-$token"
+
+  def clearApplyManifest(path: String, token: String): Unit = {
+    val mf = applyManifestPath(path, token)
+    if (io.exists(mf)) io.deleteRecursively(mf)
+  }
+
+  private final case class ApplyManifest(mode: String, uid: String,
+      tmp: String, oldFiles: Seq[String], counts: Map[String, Long],
+      dirty: Set[String], stats: AdditiveMergeStats)
+
+  private def renderApplyManifest(m: ApplyManifest): String = Seq(
+    s"mode=${m.mode}", s"uid=${m.uid}", s"tmp=${m.tmp}",
+    s"old=${m.oldFiles.mkString(";")}",
+    s"counts=${m.counts.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }.mkString(";")}",
+    s"dirty=${m.dirty.toSeq.sorted.mkString(";")}",
+    s"stats=${m.stats.rowsBefore}|${m.stats.rowsAfter}|${m.stats.distinctBefore}|${m.stats.distinctAfter}")
+    .mkString("\n")
+
+  private def parseApplyManifest(txt: String): ApplyManifest = {
+    val kv = txt.split('\n').map { l =>
+      val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    val Array(a, b, c, d) = kv("stats").split('|')
+    ApplyManifest(kv("mode"), kv("uid"), kv("tmp"),
+      kv("old").split(';').filter(_.nonEmpty).toSeq,
+      kv("counts").split(';').filter(_.nonEmpty).map { s =>
+        val i = s.lastIndexOf(':'); s.take(i) -> s.drop(i + 1).toLong }.toMap,
+      kv("dirty").split(';').filter(_.nonEmpty).toSet,
+      AdditiveMergeStats(a.toLong, b.toLong, c.toLong, d.toLong))
+  }
+
+  /** Commit a staged additive post-state. Every step is conditional on
+    * what is still on disk, so re-running after a crash at ANY point
+    * converges to the same final layout; sidecar/marker/journal rewrites
+    * are idempotent by content. */
+  private def commitStagedAdditive(path: String,
+      m: ApplyManifest): AdditiveMergeStats = {
+    def moveWithCrc(srcDir: String, dstDir: String, f: String): Unit = {
+      io.atomicMove(s"$srcDir/$f", s"$dstDir/$f")
+      val crc = s".$f.crc"
+      if (io.exists(s"$srcDir/$crc"))
+        io.atomicMove(s"$srcDir/$crc", s"$dstDir/$crc")
+    }
+    val aside = path + ".old-" + m.uid
+    if (m.mode == "bootstrap") {
+      if (io.exists(m.tmp)) {
+        if (io.exists(path)) {
+          if (io.exists(aside)) io.deleteRecursively(aside)
+          io.atomicMove(path, aside)
+        }
+        io.atomicMove(m.tmp, path)
+      }
+      io.deleteRecursively(aside)
+    } else {
+      io.createDirectories(aside)
+      m.oldFiles.foreach { f =>
+        if (io.exists(s"$path/$f")) moveWithCrc(path, aside, f) }
+      if (io.exists(m.tmp))
+        io.fileSizes(m.tmp).map(_._1).filter(f => bucketIdOfFile(f).nonEmpty)
+          .foreach(f => moveWithCrc(m.tmp, path, f))
+      io.deleteRecursively(aside)
+      io.deleteRecursively(m.tmp)
+    }
+    if (m.counts.nonEmpty) writeCountsSidecar(path, m.counts, m.uid)
+    else if (io.exists(sidecarPath(path))) io.deleteRecursively(sidecarPath(path))
+    appendDirty(path, m.dirty)
+    writeSwapMarker(path, m.uid)
+    m.stats
+  }
+
+  /** Stage the additive merge's post-state under a tmp dir + manifest.
+    * Mutates NOTHING under the live table; the atomic manifest write is
+    * the staging commit point (manifest present ⇒ tmp complete). Returns
+    * None when the delta nets to no affected buckets. */
+  private def stageAdditive(
+      spark: SparkSession,
+      delta: DataFrame,
+      path: String,
+      keys: Seq[String],
+      addCols: Seq[String],
+      liveCol: String,
+      bucketCol: String,
+      buckets: Int,
+      distinctCol: String,
+      token: String): Option[ApplyManifest] = {
     require(addCols.contains(liveCol), s"liveCol $liveCol not in addCols")
     require(keys.contains(bucketCol), s"bucketCol $bucketCol not in keys")
     require(delta.columns.toSet == (keys ++ addCols).toSet,
@@ -414,10 +575,17 @@ object MergeWriter {
     }
 
     val scoped = io.exists(path) && BucketedLayout.looksBucketed(path)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = path + ".tmp-" + uid
+    def stageManifest(m: ApplyManifest): Some[ApplyManifest] = {
+      io.writeStringAtomic(applyManifestPath(path, token),
+        renderApplyManifest(m))
+      Some(m)
+    }
     if (!scoped) {
       // Bootstrap (or still-flat bootstrap table): fold everything once,
-      // write bucketed. An empty result keeps a flat schema-only table so
-      // readers never hit "unable to infer schema".
+      // stage bucketed. An empty result stages a flat schema-only table
+      // so readers never hit "unable to infer schema".
       val base: DataFrame =
         if (io.exists(path)) spark.read.schema(delta.schema).parquet(path)
         else spark.createDataFrame(
@@ -430,12 +598,11 @@ object MergeWriter {
         .collect().map(r => (s"bucket=${r.get(0)}", r.getLong(1))).toMap
       val (rowsAfter, distinctAfter) = stats(merged)
       if (rowsAfter == 0L) {
-        writeAndSwap(merged, path)
+        merged.write.mode("overwrite").parquet(tmp)
         merged.unpersist()
-        return AdditiveMergeStats(0L, 0L, 0L, 0L)
+        return stageManifest(ApplyManifest("bootstrap", uid, tmp, Nil,
+          Map.empty, Set.empty, AdditiveMergeStats(0L, 0L, 0L, 0L)))
       }
-      val uid = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = path + ".tmp-" + uid
       val tmpTable = s"graft_merge_add_$uid"
       merged.repartition(buckets, col(bucketCol))
         .write.format("parquet").option("path", tmp)
@@ -443,13 +610,9 @@ object MergeWriter {
         .mode("overwrite").saveAsTable(tmpTable)
       spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files stay
       merged.unpersist()
-      writeCountsSidecar(path, perBucket, uid)
-      val old = path + ".old-" + uid
-      if (io.exists(path)) io.atomicMove(path, old)
-      io.atomicMove(tmp, path)
-      io.deleteRecursively(old)
-      writeSwapMarker(path, uid)
-      return AdditiveMergeStats(0L, rowsAfter, 0L, distinctAfter)
+      return stageManifest(ApplyManifest("bootstrap", uid, tmp, Nil,
+        perBucket, Set.empty,
+        AdditiveMergeStats(0L, rowsAfter, 0L, distinctAfter)))
     }
 
     val tableSchema = spark.read.parquet(path).schema
@@ -463,7 +626,7 @@ object MergeWriter {
       .distinct().collect().map(_.getInt(0)).sorted.toSeq
     if (affected.isEmpty) {
       dAgg.unpersist()
-      return AdditiveMergeStats(0L, 0L, 0L, 0L)
+      return None
     }
     val affectedNames = affected.map(b => s"bucket=$b").toSet
     val oldFiles: Seq[String] = io.fileSizes(path).map(_._1)
@@ -483,8 +646,6 @@ object MergeWriter {
     require(mergedPerBucket.keySet.subsetOf(affectedNames),
       s"additive scoped merge leaked rows outside ${affectedNames.toSeq.sorted}")
     val (rowsAfter, distinctAfter) = stats(merged)
-    val uid = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = path + ".tmp-" + uid
     val tmpTable = s"graft_merge_add_$uid"
     merged.repartition(buckets, col(bucketCol))
       .write.format("parquet").option("path", tmp)
@@ -497,11 +658,9 @@ object MergeWriter {
     // for a bucket with no file (which would force a heal scan later).
     val newCounts = (currentBucketCounts(spark, path, bucketCol, buckets) --
       affectedNames) ++ mergedPerBucket
-    writeCountsSidecar(path, newCounts, uid)
-    appendDirty(path, affectedNames)
-    swapBucketFiles(path, tmp, uid, oldFiles)
-    writeSwapMarker(path, uid)
-    AdditiveMergeStats(rowsBefore, rowsAfter, distinctBefore, distinctAfter)
+    stageManifest(ApplyManifest("scoped", uid, tmp, oldFiles, newCounts,
+      affectedNames,
+      AdditiveMergeStats(rowsBefore, rowsAfter, distinctBefore, distinctAfter)))
   }
 
   /** Per-bucket row counts for a flat bucketed table, from the counts

@@ -113,4 +113,203 @@ class GoldSpec extends SparkSpec {
     assert(tok.getAs[Int]("decimals") == 6)
     assert(tok.getAs[String]("symbol") == "USDC")
   }
+
+  // ------------------------------------------------------------------
+  // Incremental refresh: bit-identity vs full rebuild, crash windows.
+  // ------------------------------------------------------------------
+
+  private val t1 = 1718000000001L                 // 2024-06-10
+  private val t2 = t1 + 3L * 24 * 3600 * 1000     // 2024-06-13
+
+  private def batch1: Seq[String] = Seq(
+    block(500, 1718000000000000000L, Seq(
+      receipt(potAccount, "new",
+        potNewArgs("owner.near", Seq("a1.near"), "My Pot"),
+        resultJson = Some("\"ok\""), receiptId = "p1"),
+      receipt("donate.potlock.near", "donate", "{}",
+        resultJson = Some(directDonationResult(1, "whale.near",
+          "100000000000000000000000000", "0", "sea.near", t1)),
+        receiptId = "r1"))),
+    block(501, 1718000001000000000L, Seq(
+      receipt(potAccount, "donate", "{}",
+        resultJson = Some(potDonationResult(7, "donor2.near",
+          "50000000000000000000000000", "49000000000000000000000000",
+          "1000000000000000000000000", matchingPool = true, projectId = None,
+          donatedAtMs = t1 + 1000L)), receiptId = "r2"))))
+
+  private def batch2: Seq[String] = Seq(
+    block(600, 1718300000000000000L, Seq(
+      receipt("donate.potlock.near", "donate", "{}",
+        resultJson = Some(directDonationResult(2, "minnow.near",
+          "2000000000000000000000000000", "0", "reef.near", t2)),
+        receiptId = "r3"),
+      receipt(potAccount, "chef_set_payouts",
+        """{"payouts": [{"project_id": "proj1.near", "amount": "7000000000000000000000000"}]}""",
+        resultJson = Some("\"ok\""), receiptId = "r4", signer = "chef.near"))))
+
+  private def batch3: Seq[String] = Seq(
+    block(700, 1718400000000000000L, Seq(
+      receipt("lists.potlock.near", "create_list", "{}",
+        resultJson = Some(listCreateResult(9, "fresh.near")),
+        receiptId = "r5"))))
+
+  private def ingest(bs: Seq[String], silverDir: String, tag: String): Unit = {
+    val in = tmpDir(s"inc-in-$tag")
+    Files.write(Paths.get(in, "b.json"), bs.mkString("\n").getBytes)
+    StreamIngest.backfill(spark, in, silverDir)
+  }
+
+  private def writePrices(dir: String, rows: Seq[(Long, String)]): Unit =
+    rows.map { case (ms, p) =>
+      ("near", new java.sql.Timestamp(ms), new java.math.BigDecimal(p)) }
+      .toDF("token", "timestamp", "price_usd")
+      .write.mode("overwrite").parquet(s"$dir/token_prices")
+
+  private val prices1 = Seq(t1 + 3600000L -> "5.00")
+  // A later price CLOSER to the batch-1 donations (must re-price them),
+  // plus one covering batch 2's day.
+  private val prices2 = Seq(t1 + 3600000L -> "5.00",
+    t1 + 1800000L -> "7.00", t2 + 60000L -> "6.00")
+
+  private def buildOracle(): String = {
+    val oracle = tmpDir("inc-oracle")
+    ingest(batch1 ++ batch2 ++ batch3, oracle, "oracle")
+    writePrices(oracle, prices2)
+    GoldRefresh.refreshFull(spark, oracle)
+    oracle
+  }
+
+  private def rowsOf(dir: String, t: String): Seq[String] = {
+    val df0 = spark.read.parquet(s"$dir/$t")
+    val df = if (df0.columns.contains("__gen")) df0.drop("__gen") else df0
+    df.select(df.columns.sorted.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  private def assertGoldEqual(live: String, oracle: String): Unit =
+    for (t <- Seq("donations_enriched", "account_stats", "pot_stats",
+        "global_stats"))
+      assert(rowsOf(live, t) == rowsOf(oracle, t), s"table $t diverged")
+
+  test("incremental refresh is bit-identical to a full rebuild across batches") {
+    val live = tmpDir("inc-live")
+    ingest(batch1, live, "b1")
+    writePrices(live, prices1)
+    GoldRefresh.refresh(spark, live) // bootstrap → full
+
+    ingest(batch2, live, "b2")
+    writePrices(live, prices2)
+    val r2 = GoldRefresh.refreshIncremental(spark, live)
+    assert(r2.mode == "incremental", s"expected incremental, got $r2")
+
+    ingest(batch3, live, "b3") // account-only batch (no donations)
+    val r3 = GoldRefresh.refreshIncremental(spark, live)
+    assert(r3.mode == "incremental", s"expected incremental, got $r3")
+
+    val oracle = buildOracle()
+    assertGoldEqual(live, oracle)
+
+    // The late CLOSER price actually re-priced the already-priced batch-1
+    // donation (7 USD/NEAR × 100 NEAR), not just null-USD rows.
+    val d1 = spark.read.parquet(s"$live/donations_enriched")
+      .filter(col("on_chain_id") === 1).head()
+    assert(d1.getAs[java.math.BigDecimal]("total_amount_usd")
+      .doubleValue() == 700.0)
+    // Account-only batch surfaced the new account in account_stats.
+    assert(spark.read.parquet(s"$live/account_stats")
+      .filter(col("id") === "fresh.near").count() == 1)
+    // And a refresh with nothing new is a noop that leaves gold alone.
+    val r4 = GoldRefresh.refreshIncremental(spark, live)
+    assert(r4.mode == "noop", s"expected noop, got $r4")
+    assertGoldEqual(live, oracle)
+  }
+
+  /** IO delegate that throws once when a mutation matches the armed
+    * predicate — simulates a crash at an exact protocol step; reads are
+    * never interrupted (a crash can't corrupt a read). */
+  private object CrashIO extends graft.operators.TableIO {
+    import graft.operators.LocalTableIO
+    @volatile var armed: String => Boolean = _ => false
+    private def guard(op: String): Unit =
+      if (armed(op)) { armed = _ => false; throw new RuntimeException(s"crash at $op") }
+    def exists(p: String) = LocalTableIO.exists(p)
+    def listDir(p: String) = LocalTableIO.listDir(p)
+    def atomicMove(s: String, d: String) = {
+      guard(s"mv:$d"); LocalTableIO.atomicMove(s, d) }
+    def createDirectories(p: String) = LocalTableIO.createDirectories(p)
+    def deleteRecursively(p: String) = {
+      guard(s"rm:$p"); LocalTableIO.deleteRecursively(p) }
+    def readString(p: String) = LocalTableIO.readString(p)
+    def writeStringAtomic(p: String, c: String) = {
+      guard(s"w:$p"); LocalTableIO.writeStringAtomic(p, c) }
+    def fileSizes(p: String) = LocalTableIO.fileSizes(p)
+    def lastModifiedMs(p: String) = LocalTableIO.lastModifiedMs(p)
+  }
+
+  test("incremental refresh survives crashes at every protocol window") {
+    val live = tmpDir("inc-crash-live")
+    ingest(batch1, live, "cb1")
+    writePrices(live, prices1)
+    GoldRefresh.refresh(spark, live)
+    ingest(batch2, live, "cb2")
+    writePrices(live, prices2)
+    ingest(batch3, live, "cb3")
+
+    val prev = graft.operators.MergeWriter.io
+    try {
+      graft.operators.MergeWriter.io = CrashIO
+      // 1. crash mid enriched-partition swap (after staging committed)
+      CrashIO.armed = op => op.startsWith("mv:") &&
+        op.contains("donations_enriched/__pdate=")
+      intercept[RuntimeException](GoldRefresh.refreshIncremental(spark, live))
+      // 2. resume crashes INSIDE the state commit (marker write) — the
+      //    staged post-state manifest must make the re-commit exact-once
+      CrashIO.armed = op => op == s"w:$live/gold_state/recv_pairs.swapuid"
+      intercept[RuntimeException](GoldRefresh.refreshIncremental(spark, live))
+      // 3. resume crashes between a state commit and its gen fence
+      CrashIO.armed = op => op == s"w:$live/gold_state/donor_state.goldgen"
+      intercept[RuntimeException](GoldRefresh.refreshIncremental(spark, live))
+      // 4. resume crashes right before the meta commit
+      CrashIO.armed = op => op == s"w:$live/gold_meta"
+      intercept[RuntimeException](GoldRefresh.refreshIncremental(spark, live))
+      // 5. final resume completes
+      val r = GoldRefresh.refreshIncremental(spark, live)
+      assert(r.mode == "incremental", s"expected incremental, got $r")
+    } finally graft.operators.MergeWriter.io = prev
+
+    assertGoldEqual(live, buildOracle())
+  }
+
+  test("a crashed full rebuild re-runs full, and readers keep the old stats") {
+    val live = tmpDir("full-crash-live")
+    ingest(batch1, live, "fb1")
+    writePrices(live, prices1)
+    GoldRefresh.refresh(spark, live)
+    val statsBefore = rowsOf(live, "account_stats")
+
+    ingest(batch2, live, "fb2")
+    writePrices(live, prices2)
+    val prev = graft.operators.MergeWriter.io
+    try {
+      graft.operators.MergeWriter.io = CrashIO
+      // Crash a FULL rebuild while the states are being torn down /
+      // rebuilt — before account_stats is touched.
+      CrashIO.armed = op => op == s"w:$live/gold_state/recv_pairs.goldgen"
+      intercept[RuntimeException](GoldRefresh.refreshFull(spark, live))
+    } finally graft.operators.MergeWriter.io = prev
+
+    // The fence invalidated the meta, so the crashed rebuild cannot be
+    // resumed incrementally over half-rebuilt state...
+    assert(!graft.operators.MergeWriter.io.exists(s"$live/gold_meta"))
+    // ...and account_stats stayed readable with its pre-crash content
+    // (the rebuild writes into a tmp table and swaps, never deletes live).
+    assert(rowsOf(live, "account_stats") == statsBefore)
+
+    // The production dispatch recovers by re-running full.
+    GoldRefresh.refresh(spark, live)
+    ingest(batch3, live, "fb3")
+    val r = GoldRefresh.refreshIncremental(spark, live)
+    assert(r.mode == "incremental", s"expected incremental, got $r")
+    assertGoldEqual(live, buildOracle())
+  }
 }
