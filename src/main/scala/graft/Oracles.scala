@@ -213,6 +213,68 @@ object Oracles {
         |                  WHERE l_partkey = p_partkey AND l_quantity >= 48)
         |ORDER BY p_partkey""".stripMargin,
 
+    // The gold-refresh gate: the Spark side runs the PRODUCTION
+    // GoldRefresh job (silver merges → bootstrap full → incremental with
+    // late prices) over donations deterministically mapped from `orders`;
+    // DuckDB replays the final stats directly off `orders` — amounts are
+    // whole NEAR, price is an exact integer function of the calendar day,
+    // and every donation's as-of price lands at delta 0.
+    "q_gold_refresh" ->
+      """WITH don AS (
+        |  SELECT 'c' || CAST(o_custkey % 200 AS VARCHAR) AS donor,
+        |         'r' || CAST(o_orderkey % 97 AS VARCHAR) AS recipient,
+        |         (o_orderkey % 4 = 0) AS matching_pool,
+        |         CAST(CAST((o_orderkey % 1000) + 1 AS DECIMAL(18,0)) *
+        |              ((EXTRACT(day FROM o_orderdate) % 5) + 1)
+        |              AS DECIMAL(20,2)) AS usd
+        |  FROM orders),
+        |ids AS (SELECT DISTINCT donor AS id FROM don
+        |        UNION SELECT DISTINCT recipient FROM don),
+        |recv AS (SELECT recipient AS id, COUNT(DISTINCT donor) AS dc,
+        |                SUM(usd) AS in_usd FROM don GROUP BY 1),
+        |sent AS (SELECT donor AS id, SUM(usd) AS out_usd FROM don GROUP BY 1),
+        |mat  AS (SELECT donor AS id, SUM(usd) AS m_usd FROM don
+        |         WHERE matching_pool GROUP BY 1),
+        |paid AS (SELECT 'r' || CAST(r AS VARCHAR) AS id,
+        |                CAST((r % 90) + 10 AS DECIMAL(20,2)) AS p_usd
+        |         FROM (SELECT DISTINCT o_orderkey % 97 AS r FROM orders) t
+        |         WHERE r % 3 = 0)
+        |SELECT ids.id,
+        |       CAST(COALESCE(recv.dc, 0) AS BIGINT) AS donors_count,
+        |       CAST(recv.in_usd AS DOUBLE) AS in_usd,
+        |       CAST(sent.out_usd AS DOUBLE) AS out_usd,
+        |       CAST(mat.m_usd AS DOUBLE) AS matching_usd,
+        |       CAST(paid.p_usd AS DOUBLE) AS payouts_usd
+        |FROM ids LEFT JOIN recv ON ids.id = recv.id
+        |         LEFT JOIN sent ON ids.id = sent.id
+        |         LEFT JOIN mat  ON ids.id = mat.id
+        |         LEFT JOIN paid ON ids.id = paid.id
+        |ORDER BY ids.id""".stripMargin,
+
+    "q_gold_pot_stats" ->
+      """WITH don AS (
+        |  SELECT 'pot' || CAST(o_orderkey % 7 AS VARCHAR) AS pot,
+        |         (o_orderkey % 4 = 0) AS matching_pool,
+        |         CAST((o_orderkey % 1000) + 1 AS BIGINT) AS whole,
+        |         CAST(CAST((o_orderkey % 1000) + 1 AS DECIMAL(18,0)) *
+        |              ((EXTRACT(day FROM o_orderdate) % 5) + 1)
+        |              AS DECIMAL(20,2)) AS usd
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT pot,
+        |       CAST(SUM(whole) FILTER (WHERE matching_pool) AS BIGINT)
+        |         AS matching_near,
+        |       CAST(SUM(usd) FILTER (WHERE matching_pool) AS DOUBLE)
+        |         AS matching_usd,
+        |       CAST(COUNT(*) FILTER (WHERE matching_pool) AS BIGINT)
+        |         AS matching_n,
+        |       CAST(SUM(whole) FILTER (WHERE NOT matching_pool) AS BIGINT)
+        |         AS public_near,
+        |       CAST(SUM(usd) FILTER (WHERE NOT matching_pool) AS DOUBLE)
+        |         AS public_usd,
+        |       CAST(COUNT(*) FILTER (WHERE NOT matching_pool) AS BIGINT)
+        |         AS public_n
+        |FROM don GROUP BY pot ORDER BY pot""".stripMargin,
+
     "q_a2_account_rollup" ->
       """SELECT c_custkey,
         |       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
@@ -1465,6 +1527,8 @@ object Oracles {
     // dropped/duplicated doc or a divergent checksum hash-mismatches.
     "q_txt19_bpe_merges" -> bpeMergesSql(6),
     "q_txt20_bpe_vocab" -> bpeVocabSql(6),
+    "q_txt21_byte_bpe_merges" -> byteBpeMergesSql(6),
+    "q_txt22_byte_bpe_vocab" -> byteBpeVocabSql(6),
 
     // Token-budget shard cutting: the same md5-draw corpus order and
     // start-offset rule; the engine's two-level distributed prefix sum
@@ -2782,9 +2846,9 @@ object Oracles {
     * `list_reduce` here and `aggregate` in the engine run the SAME
     * accumulator logic on chr(31)-joined symbol strings, so "aaa" with
     * merge (a,a) folds to [aa, a] on both sides. */
-  private def bpeChainSql(n: Int): String = {
-    val sb = new StringBuilder
-    sb ++= raw"""WITH vw AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  private def bpeChainSql(n: Int): String =
+    bpeChainCore(n,
+      raw"""WITH vw AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
       |    FROM (SELECT unnest(string_split($norm, ' ')) AS w
       |          FROM documents) tw
       |    WHERE regexp_full_match(w, '[a-z0-9]+')
@@ -2792,7 +2856,31 @@ object Oracles {
       |  v0 AS (SELECT w,
       |                array_to_string(string_split(w, ''), chr(31)) AS enc,
       |                cnt
-      |         FROM vw)""".stripMargin
+      |         FROM vw)""".stripMargin)
+
+  /** Byte-level base vocabulary: NFC words (whitespace-collapsed, case
+    * kept — no lower(), engines disagree on Unicode case mappings), each
+    * encoded as uppercase hex pairs of its UTF-8 bytes. The merge-loop
+    * CTEs are shared with the ASCII chain. */
+  private def byteBpeChainSql(n: Int): String =
+    bpeChainCore(n,
+      raw"""WITH vw AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      |    FROM (SELECT unnest(string_split(
+      |            nfc_normalize(regexp_replace(trim(text), '\s+', ' ', 'g')),
+      |            ' ')) AS w
+      |          FROM documents) tw
+      |    WHERE length(w) > 0
+      |    GROUP BY w),
+      |  v0 AS (SELECT w,
+      |                array_to_string(
+      |                  regexp_extract_all(hex(encode(w)), '..'),
+      |                  chr(31)) AS enc,
+      |                cnt
+      |         FROM vw)""".stripMargin)
+
+  private def bpeChainCore(n: Int, v0Sql: String): String = {
+    val sb = new StringBuilder
+    sb ++= v0Sql
     for (r <- 1 to n) {
       val pv = s"v${r - 1}"
       sb ++= s""",
@@ -2817,7 +2905,13 @@ object Oracles {
   }
 
   private def bpeMergesSql(n: Int): String =
-    bpeChainSql(n) + "\n" + (1 to n).map(r =>
+    bpeChainSql(n) + bpeMergesTail(n)
+
+  private def byteBpeMergesSql(n: Int): String =
+    byteBpeChainSql(n) + bpeMergesTail(n)
+
+  private def bpeMergesTail(n: Int): String =
+    "\n" + (1 to n).map(r =>
       s"SELECT $r AS merge_rank, l AS pair_left, r2 AS pair_right, " +
         s"l || r2 AS merged, c AS weight FROM b$r")
       .mkString("\nUNION ALL ") +
@@ -2826,8 +2920,13 @@ object Oracles {
   /** The learned tokenizer applied to the vocabulary: the chain's final
     * encodings, segmented with spaces. */
   private def bpeVocabSql(n: Int): String =
-    bpeChainSql(n) +
-      s"""
+    bpeChainSql(n) + bpeVocabTail(n)
+
+  private def byteBpeVocabSql(n: Int): String =
+    byteBpeChainSql(n) + bpeVocabTail(n)
+
+  private def bpeVocabTail(n: Int): String =
+    s"""
       |SELECT w AS word, cnt AS n_occurrences,
       |       CAST(len(string_split(enc, chr(31))) AS BIGINT) AS n_tokens,
       |       replace(enc, chr(31), ' ') AS segmented

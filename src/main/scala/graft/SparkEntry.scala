@@ -2526,6 +2526,20 @@ object SparkEntry {
     TextFunctions.bpeVocabulary(t.documents, "text", nMerges = 6)
       .orderBy("word")
 
+  /** TXT21 — BYTE-LEVEL BPE merge learning (GPT-2-style base vocab:
+    * UTF-8 bytes of every NFC word, no ASCII gate — a multilingual
+    * corpus trains on all of its text, closing txt19's ASCII-core
+    * limitation). Same vocab-scale merge loop. */
+  private def txt21(t: Tables): DataFrame =
+    TextFunctions.learnByteBpeMerges(t.documents, "text", nMerges = 6)
+      .orderBy("merge_rank")
+
+  /** TXT22 — the byte-level tokenizer applied (train→apply): every NFC
+    * word segmented into learned byte-pair symbols. */
+  private def txt22(t: Tables): DataFrame =
+    TextFunctions.byteBpeVocabulary(t.documents, "text", nMerges = 6)
+      .orderBy("word")
+
   /** SAMP10 — token-budgeted shard cutting (the export-plane step
     * samp6's count-balanced shards cannot provide: training exports
     * budget TOKENS, and document length skews count-balanced shards).
@@ -2858,6 +2872,181 @@ object SparkEntry {
       .orderBy("doc_id")
 
   // ================================================================
+  // GOLD: the production GoldRefresh job under the oracle gate.
+  // Round 10 proved the 138-query board could not see a GoldRefresh
+  // regression (the job was broken at HEAD while the board stayed green):
+  // these entries EXECUTE the job — a deterministic silver store is built
+  // from `orders` through the real SilverStore merge paths (dirty
+  // journals and all), bootstrap-full-rebuilt on batch 1, then a second
+  // batch plus late-arriving prices taken through refreshIncremental —
+  // and the resulting gold tables are replayed by DuckDB straight off
+  // `orders` (tasks.py:188-327 semantics).
+
+  /** One harness run per input dir (memoized: both gold queries and
+    * repeated bench iterations read the same built store). Returns the
+    * silver dir holding the refreshed gold tables. */
+  private val goldRunCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def goldRun(spark: SparkSession, dir: String): String =
+    goldRunCache.computeIfAbsent(dir, { _ =>
+      import graft.ingest.{Schemas, SilverStore}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-goldq-").toString
+      val U128 = Schemas.U128
+      val Usd = Schemas.Usd
+      val seqNames = Seq("block_height", "shard_index", "receipt_index",
+        "action_index")
+      val pow24 = lit(("1" + "0" * 24)).cast(U128)
+
+      // Deterministic donation mapping over orders: amounts are whole
+      // NEAR (× 10^24 yocto, exercising the digit-exact decimal path),
+      // prices are an exact integer function of the calendar day, and
+      // every donation timestamp coincides with its date's price row so
+      // the ±24h as-of NEAREST join resolves with delta 0 (no ties).
+      val don0 = Tables(spark, dir).orders.select(
+        col("o_orderkey").as("k"),
+        (pmod(col("o_custkey"), lit(200))).cast("string").as("ckey"),
+        (pmod(col("o_orderkey"), lit(97))).cast("string").as("rkey"),
+        (pmod(col("o_orderkey"), lit(1000)) + 1).cast(U128).as("whole"),
+        (pmod(col("o_orderkey"), lit(4)) === 0).as("matching_pool"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0,
+          concat(lit("pot"), pmod(col("o_orderkey"), lit(7)).cast("string")))
+          .as("pot"),
+        (col("o_orderdate") + expr("INTERVAL 12 HOURS")).as("donated_at"),
+        to_date(col("o_orderdate")).as("ddate"))
+      val nullS = lit(null).cast("string")
+      val zeroDec = lit(0).cast(U128)
+      val don = don0.select(
+        col("k").as("on_chain_id"),
+        concat(lit("c"), col("ckey")).as("donor"),
+        concat(col("whole").cast("string"), lit("0" * 24)).as("total_amount"),
+        (col("whole") * pow24).cast(U128).as("total_amount_dec"),
+        lit(null).cast(Usd).as("total_amount_usd"),
+        nullS.as("net_amount"),
+        (col("whole") * pow24).cast(U128).as("net_amount_dec"),
+        lit(null).cast(Usd).as("net_amount_usd"),
+        lit("near").as("ft"),
+        col("pot"),
+        col("matching_pool"),
+        nullS.as("message"),
+        col("donated_at"),
+        concat(lit("r"), col("rkey")).as("recipient"),
+        nullS.as("protocol_fee"), zeroDec.as("protocol_fee_dec"),
+        lit(null).cast(Usd).as("protocol_fee_usd"),
+        nullS.as("referrer"), nullS.as("referrer_fee"),
+        zeroDec.as("referrer_fee_dec"), lit(null).cast(Usd).as("referrer_fee_usd"),
+        nullS.as("chef"), nullS.as("chef_fee"),
+        zeroDec.as("chef_fee_dec"), lit(null).cast(Usd).as("chef_fee_usd"),
+        nullS.as("tx_hash"),
+        col("k").as("block_height"), lit(0L).as("shard_index"),
+        lit(0).as("receipt_index"), lit(0).as("action_index"))
+
+      // Batch 2 = the final calendar month (a late tail of new date
+      // partitions + re-seen accounts); everything earlier is batch 1.
+      val maxMonth = don.agg(max(date_trunc("MONTH", col("donated_at"))))
+        .head().getTimestamp(0)
+      val inB2 = date_trunc("MONTH", col("donated_at")) >= lit(maxMonth)
+
+      def accountsOf(d: DataFrame): DataFrame = d
+        .select(explode(array(col("donor"), col("recipient"))).as("id"))
+        .distinct()
+        .select(col("id"), nullS.as("chain"),
+          nullS.as("near_social_profile_data"),
+          lit(null).cast(Usd).as("total_donations_in_usd"),
+          lit(null).cast(Usd).as("total_donations_out_usd"),
+          lit(null).cast(Usd).as("total_matching_pool_allocations_usd"),
+          lit(null).cast("int").as("donors_count"),
+          lit(0L).as("block_height"), lit(0L).as("shard_index"),
+          lit(0).as("receipt_index"), lit(0).as("action_index"))
+
+      def pricesOf(d: DataFrame): DataFrame = d
+        .select(col("ddate")).distinct()
+        .select(lit("near").as("token"),
+          (col("ddate").cast("timestamp") + expr("INTERVAL 12 HOURS"))
+            .as("timestamp"),
+          (pmod(dayofmonth(col("ddate")), lit(5)) + 1).cast(Usd)
+            .as("price_usd"))
+
+      val tokens = spark.range(1).select(
+        lit("near").as("account"), nullS.as("name"), nullS.as("symbol"),
+        nullS.as("icon"), lit(24).as("decimals"), nullS.as("coingecko_id"),
+        lit(0L).as("block_height"), lit(0L).as("shard_index"),
+        lit(0).as("receipt_index"), lit(0).as("action_index"))
+
+      // One payout per qualifying recipient key (unique natural key).
+      val payouts = don0.select(pmod(col("k"), lit(97)).as("r")).distinct()
+        .filter(pmod(col("r"), lit(3)) === 0)
+        .select(lit("potP").as("pot"),
+          concat(lit("r"), col("r").cast("string")).as("recipient"),
+          nullS.as("amount"), lit(null).cast(U128).as("amount_dec"),
+          (pmod(col("r"), lit(90)) + 10).cast(Usd).as("amount_paid_usd"),
+          nullS.as("ft"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("paid_at"),
+          nullS.as("tx_hash"),
+          col("r").cast("long").as("block_height"), lit(0L).as("shard_index"),
+          lit(0).as("receipt_index"), lit(0).as("action_index"))
+
+      def mergeDon(d: DataFrame): Unit = SilverStore.mergeEntity(spark, tmp,
+        "donations", d, SilverStore.naturalKeys("donations"), seqNames): Unit
+      def mergeAcc(d: DataFrame): Unit = SilverStore.mergeEntity(spark, tmp,
+        "accounts", d, Seq("id"), seqNames): Unit
+
+      // Batch 1 → bootstrap full rebuild. Prices cover only even calendar
+      // days, so odd-day donations stay null-USD until the late arrival.
+      mergeDon(don.filter(!inB2))
+      mergeAcc(accountsOf(don.filter(!inB2)))
+      SilverStore.mergeEntity(spark, tmp, "tokens", tokens, Seq("account"),
+        seqNames): Unit
+      SilverStore.mergeEntity(spark, tmp, "pot_payouts", payouts,
+        SilverStore.naturalKeys("pot_payouts"), seqNames): Unit
+      val p1 = pricesOf(don0.filter(!inB2)
+        .filter(pmod(dayofmonth(col("ddate")), lit(2)) === 0))
+      p1.write.mode("overwrite").parquet(s"$tmp/token_prices")
+      graft.gold.GoldRefresh.refreshFull(spark, tmp): Unit
+
+      // Batch 2 + the full price history (late CLOSER/new observations)
+      // through the PRODUCTION incremental path — a silent fallback to
+      // full is a gate failure, not a shrug.
+      mergeDon(don.filter(inB2))
+      mergeAcc(accountsOf(don.filter(inB2)))
+      pricesOf(don0).write.mode("overwrite").parquet(s"$tmp/token_prices")
+      val r = graft.gold.GoldRefresh.refreshIncremental(spark, tmp)
+      require(r.mode == "incremental",
+        s"gold gate expected the incremental path, got $r")
+      tmp
+    })
+
+  /** GOLD-A2 — account_stats as produced by the refreshed gold table
+    * (tasks.py:275-327). USD figures are exact decimals → double. */
+  private def goldAccountStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${goldRun(spark, dir)}/account_stats")
+      .select(col("id"),
+        col("donors_count").cast("long").as("donors_count"),
+        col("total_donations_in_usd").cast("double").as("in_usd"),
+        col("total_donations_out_usd").cast("double").as("out_usd"),
+        col("total_matching_pool_allocations_usd").cast("double")
+          .as("matching_usd"),
+        col("total_payouts_received_usd").cast("double").as("payouts_usd"))
+      .orderBy("id")
+
+  /** GOLD-A3 — pot_stats from the same refreshed store (tasks.py:188-272).
+    * Yocto sums divide back to exact whole-NEAR integers. */
+  private def goldPotStats(spark: SparkSession, dir: String): DataFrame = {
+    val pow24 = lit(("1" + "0" * 24)).cast(DecimalType(38, 0))
+    spark.read.parquet(s"${goldRun(spark, dir)}/pot_stats")
+      .select(col("pot"),
+        (col("total_matching_pool_dec") / pow24).cast("long")
+          .as("matching_near"),
+        col("total_matching_pool_usd").cast("double").as("matching_usd"),
+        col("matching_pool_donations_count").cast("long").as("matching_n"),
+        (col("total_public_donations_dec") / pow24).cast("long")
+          .as("public_near"),
+        col("total_public_donations_usd").cast("double").as("public_usd"),
+        col("public_donations_count").cast("long").as("public_n"))
+      .orderBy("pot")
+  }
+
+  // ================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
@@ -2886,6 +3075,8 @@ object SparkEntry {
       "q_j7_latest_per_group" -> q(j7),
       "q_j8_anti_discover" -> q(j8),
       "q_a2_account_rollup" -> q(a2),
+      "q_gold_refresh" -> goldAccountStats _,
+      "q_gold_pot_stats" -> goldPotStats _,
       "q_a3_conditional_agg" -> q(a3),
       "q_a5_lww_upsert" -> q(a5),
       "q_a6_rollup" -> q(a6),
@@ -2978,6 +3169,8 @@ object SparkEntry {
       "q_samp10_token_shards" -> q(samp10),
       "q_txt19_bpe_merges" -> q(txt19),
       "q_txt20_bpe_vocab" -> q(txt20),
+      "q_txt21_byte_bpe_merges" -> q(txt21),
+      "q_txt22_byte_bpe_vocab" -> q(txt22),
       "q_a11_pivot" -> q(a11),
       "q_inc2_sketch_merge" -> q(inc2),
       "q_inc3_topk_sketch" -> q(inc3),
