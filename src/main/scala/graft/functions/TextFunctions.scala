@@ -302,7 +302,7 @@ object TextFunctions {
       nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeLearn(docs, textCol, nMerges)
+    bpeLearn(baseBpeVocab(docs, textCol), nMerges)
       .toDF("merge_rank", "pair_left", "pair_right", "weight")
       .select(col("merge_rank"), col("pair_left"), col("pair_right"),
         concat(col("pair_left"), col("pair_right")).as("merged"),
@@ -322,7 +322,7 @@ object TextFunctions {
     * tokenization is a pure vocab lookup by construction. */
   def bpeVocabulary(docs: DataFrame, textCol: String,
       nMerges: Int): DataFrame = {
-    val fin = bpeLearn(docs, textCol, nMerges)
+    val fin = bpeLearn(baseBpeVocab(docs, textCol), nMerges)
       .foldLeft(baseBpeVocab(docs, textCol)) {
         case (df, (_, l, r, _)) => foldBpeMerge(df, l, r)
       }
@@ -332,6 +332,59 @@ object TextFunctions {
   }
 
   private val BpeSep = "\u001f"
+
+  /** BYTE-LEVEL BPE learning (the GPT-2-style base vocabulary): every
+    * whitespace-delimited word of the NFC-normalized corpus — no ASCII
+    * gate, so a multilingual corpus trains on ALL its text — encoded as
+    * its UTF-8 byte sequence, one 2-hex-digit symbol per byte. The
+    * merge loop, greedy fold, and argmax are [[learnBpeMerges]]'s
+    * unchanged (vocab-scale rounds, never corpus rescans); only the
+    * base alphabet differs (≤256 byte symbols vs 36 ASCII chars).
+    * Case is NOT folded: engines disagree on Unicode case mappings
+    * (Turkish İ, ß), and byte-level BPE conventionally trains
+    * case-sensitive anyway. Hex symbols keep the symbol alphabet
+    * engine-portable (no unprintable bytes inside symbol strings) — the
+    * same bijective byte↔printable trick GPT-2's tokenizer uses, with
+    * hex pairs instead of a remapped codepage. */
+  def learnByteBpeMerges(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeLearn(baseByteBpeVocab(docs, textCol), nMerges)
+      .toDF("merge_rank", "pair_left", "pair_right", "weight")
+      .select(col("merge_rank"), col("pair_left"), col("pair_right"),
+        concat(col("pair_left"), col("pair_right")).as("merged"),
+        col("weight"))
+  }
+
+  /** Byte-level twin of [[bpeVocabulary]]: train-then-apply over the
+    * byte base vocabulary; `segmented` space-joins the learned hex-pair
+    * symbols (e.g. "C3A9" = one merged é token). */
+  def byteBpeVocabulary(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    val fin = bpeLearn(baseByteBpeVocab(docs, textCol), nMerges)
+      .foldLeft(baseByteBpeVocab(docs, textCol)) {
+        case (df, (_, l, r, _)) => foldBpeMerge(df, l, r)
+      }
+    fin.select(col("w").as("word"), col("cnt").as("n_occurrences"),
+      size(split(col("enc"), BpeSep)).cast("long").as("n_tokens"),
+      replace(col("enc"), lit(BpeSep), lit(" ")).as("segmented"))
+  }
+
+  /** Distinct NFC words (whitespace-collapsed, case kept) with counts,
+    * UTF-8-byte-split into hex-pair symbol strings — the byte-level
+    * base vocabulary. `hex` is uppercase on both Spark and DuckDB, so
+    * the symbol strings replay exactly. */
+  private def baseByteBpeVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(
+        nfc(regexp_replace(trim(col(textCol)), "\\s+", " ")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"),
+        concat_ws(BpeSep,
+          expr("regexp_extract_all(hex(encode(w, 'UTF-8')), '..', 0)"))
+          .as("enc"),
+        col("cnt"))
 
   /** Distinct ASCII-core words with counts, char-split into
     * [[BpeSep]]-joined symbol strings - the ONE corpus-scale step of
@@ -359,12 +412,12 @@ object TextFunctions {
           "ELSE concat(acc, char(31), x) END)"))
       .select("w", "enc", "cnt")
 
-  private def bpeLearn(docs: DataFrame, textCol: String,
+  private def bpeLearn(base: DataFrame,
       nMerges: Int): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1 && nMerges <= 64,
       s"nMerges $nMerges outside [1, 64]")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var vocab = baseBpeVocab(docs, textCol).persist(lvl)
+    var vocab = base.persist(lvl)
     vocab.count()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]

@@ -55,6 +55,50 @@ class TextDedupSpec extends SparkSpec {
       ("ab", 2L, 1L, "ab")))
   }
 
+  test("learnByteBpeMerges: hand-computed byte-pair sequence over multibyte text (TXT21)") {
+    // é = UTF-8 C3 A9. Base vocab: "éé"×3 → C3␟A9␟C3␟A9, "ab"×2 → 61␟62.
+    // Round 1: (C3,A9) 2×3=6 beats (A9,C3) 3 and (61,62) 2 → C3A9 w=6
+    // (greedy fold: never the overlapping middle pair). Round 2:
+    // (C3A9,C3A9) w=3. Round 3: (61,62) w=2. Round 4: every word is one
+    // symbol — stops at 3 though 5 were asked.
+    val corpus = Seq((1L, "éé éé ab"), (2L, "éé ab")).toDF("doc_id", "text")
+    val got = TextFunctions.learnByteBpeMerges(corpus, "text", nMerges = 5)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "C3", "A9", "C3A9", 6L),
+      (2, "C3A9", "C3A9", "C3A9C3A9", 3L),
+      (3, "61", "62", "6162", 2L)))
+  }
+
+  test("byteBpeVocabulary: multilingual coverage the ASCII core drops (TXT22)") {
+    val corpus = Seq((1L, "éé éé ab"), (2L, "éé ab")).toDF("doc_id", "text")
+    val got = TextFunctions.byteBpeVocabulary(corpus, "text", nMerges = 5)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("ab", 2L, 1L, "6162"),
+      ("éé", 3L, 1L, "C3A9C3A9")))
+
+    // On the multilingual doc fixture: the byte-level vocabulary covers
+    // EVERY word (German umlauts, Spanish ñ — and they actually
+    // tokenize), where the ASCII-core learner silently drops them.
+    val byteWords = TextFunctions.byteBpeVocabulary(docs, "text", nMerges = 3)
+      .select("word").collect().map(_.getString(0)).toSet
+    assert(byteWords.contains("schläft") && byteWords.contains("niño"))
+    val asciiWords = TextFunctions.bpeVocabulary(docs, "text", nMerges = 3)
+      .select("word").collect().map(_.getString(0)).toSet
+    assert(!asciiWords.contains("schläft") && !asciiWords.contains("niño"))
+    // Every byte-level word round-trips: segmented hex re-decodes to the
+    // word itself (lossless byte tokenization — GPT-2's core property).
+    val roundTrip = TextFunctions.byteBpeVocabulary(docs, "text", nMerges = 3)
+      .select(col("word"),
+        expr("decode(unhex(replace(segmented, ' ', '')), 'UTF-8')").as("rt"))
+      .filter(col("word") =!= col("rt")).count()
+    assert(roundTrip == 0L)
+  }
+
   test("html extraction: boilerplate dropped, tags stripped, entities decoded (TXT14)") {
     val page = Seq((1L,
       """<html><head><title>My Page</title><style>p{color:red}</style>
