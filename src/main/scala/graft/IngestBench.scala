@@ -46,9 +46,15 @@ object IngestBench {
     val id = height * 10 + i
     val donor = s"donor${id % 5000}.near"
     val recipient = s"proj${id % 800}.near"
+    // One calendar day per 1000 consecutive blocks: the store grows a
+    // realistic multi-date partition layout, and a tail batch's dirt
+    // stays confined to 1-2 dates — the boundedness the incremental
+    // gold refresh is benched on.
+    val donatedAtMs = 1718000000000L + (height / 1000L) * 86400000L +
+      (height % 1000L)
     val result =
       s"""{"id": $id, "donor_id": "$donor", "total_amount": "1000000000000000000000000",
-         | "ft_id": "near", "message": null, "donated_at_ms": ${1718000000000L + height},
+         | "ft_id": "near", "message": null, "donated_at_ms": $donatedAtMs,
          | "recipient_id": "$recipient", "protocol_fee": "10000000000000000000000"}"""
         .stripMargin.replace("\n", " ")
     s"""{
@@ -196,7 +202,7 @@ object IngestBench {
       def rate: Double = blocks / wall
     }
     var nextH = startHeight + nBlocks
-    val tails = Seq(1 -> 60, 10 -> 200, 50 -> 600, 250 -> 750).map {
+    val tails = Seq(1 -> 60, 5 -> 150, 10 -> 200, 50 -> 600, 250 -> 750).map {
       case (trig, n) =>
         (0 until n).foreach { i =>
           val h = nextH + i
@@ -237,7 +243,8 @@ object IngestBench {
     def storeTables: Seq[String] = Option(new java.io.File(silver).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && !f.getName.contains(".tmp-") &&
-        !f.getName.contains(".old-"))
+        !f.getName.contains(".old-") && !f.getName.endsWith(".dirty.d") &&
+        !f.getName.contains(".apply-"))
       .map(_.getPath).toSeq.sorted
     def storeFiles: Long = {
       def walk(f: java.io.File): Long =
@@ -320,6 +327,41 @@ object IngestBench {
     require(store.table("donations").count() == donationsBeforeMaintenance,
       "compaction changed the donations row count")
 
+    // ---- 5. gold refresh: bootstrap full rebuild vs the incremental
+    //      beat (the reference's 5-minute Celery job, base/celery.py:
+    //      27-43). After the bootstrap, a fresh tail batch lands and the
+    //      production dispatch refreshes ONLY the partitions the batch
+    //      dirtied + the accounts it touched; a beat with nothing new is
+    //      a noop. At 100 TB the full rebuild is unaffordable every 5
+    //      minutes — the incremental's cost tracks the BATCH, not the
+    //      corpus.
+    val (_, tGoldFull) = timed(graft.gold.GoldRefresh.refreshFull(spark, silver))
+    val goldBlocks = 120
+    (0 until goldBlocks).foreach { i =>
+      val h = nextH + i
+      Files.write(Paths.get(lake, f"$h%012d.json"),
+        blockJson(h).getBytes("UTF-8")): Unit
+    }
+    nextH += goldBlocks
+    val gq = StreamIngest.startFromLake(spark,
+      Map("fetcher.dir" -> lake, "startHeight" -> startHeight.toString,
+        "maxBlocksPerTrigger" -> goldBlocks.toString,
+        "fetchPartitions" -> "8"),
+      silver, ckpt, availableNow = true)
+    require(gq.awaitTermination(1800000), "gold tail batch did not drain")
+    val (rInc, tGoldInc) = timed(
+      graft.gold.GoldRefresh.refreshIncremental(spark, silver))
+    require(rInc.mode == "incremental",
+      s"expected the incremental path after a dirty batch, got $rInc")
+    val (rNoop, tGoldNoop) = timed(
+      graft.gold.GoldRefresh.refreshIncremental(spark, silver))
+    require(rNoop.mode == "noop", s"expected a noop beat, got $rNoop")
+    val nDateParts = Option(
+      new java.io.File(s"$silver/donations_enriched").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("__pdate="))
+    val nStatsRows = spark.read.parquet(s"$silver/account_stats").count()
+
     val sla = blocksPerSec >= 1.0
     require(sla, f"SLA FAILED: $blocksPerSec%.2f blocks/s < 1 block/s")
 
@@ -392,6 +434,24 @@ object IngestBench {
       "discipline at bench bytes), so the arrival-ordered fragments' " +
       "full-range row groups become disjoint time slices the INT64-micros " +
       "pushdown skips.\n\n"
+    sb ++= "## Gold refresh: full rebuild vs the incremental beat\n\n"
+    sb ++= "The reference recomputes USD enrichment + account/pot/global " +
+      "stats every 5 minutes (base/celery.py:27-43). Here the bootstrap " +
+      "pays the full rebuild once; every later beat refreshes only what " +
+      "the batches since dirtied.\n\n"
+    sb ++= "| beat | wall s | re-enriched partitions | affected ids |\n|---|---|---|---|\n"
+    sb ++= f"| bootstrap full rebuild | $tGoldFull%.1f | $nDateParts%d (all) | $nStatsRows%,d (all) |\n"
+    sb ++= f"| incremental after a $goldBlocks%d-block batch | $tGoldInc%.1f " +
+      f"| ${rInc.reEnriched}%d of $nDateParts%d | ${rInc.affectedIds}%,d of $nStatsRows%,d |\n"
+    sb ++= f"| beat with nothing new (noop) | $tGoldNoop%.2f | 0 | 0 |\n\n"
+    sb ++= "Refresh work is bounded by the dirty-partition journal the " +
+      "merge writers maintain — the batch's date partitions and touched " +
+      "account buckets — never by silver size; state tables (recipient-" +
+      "donor pairs, donor/pot monoids) make the stats deltas exact, and " +
+      "GoldSpec pins incremental ≡ full bit-for-bit including crash " +
+      "windows. At bench scale the fixed per-job overhead dominates both " +
+      "paths; at corpus scale the full rebuild grows with history while " +
+      "the incremental beat stays batch-sized.\n\n"
     sb ++= "On an object store the same pass is the difference between " +
       "thousands of GETs per scan and one per file-sized range; the " +
       "grace period (hours in production, 0 in this drained bench) is " +

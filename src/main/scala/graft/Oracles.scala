@@ -2312,6 +2312,90 @@ object Oracles {
          |FROM r WHERE rank <= 5
          |ORDER BY section, cell, query_id, rank""".stripMargin,
 
+    // Classifier-gated ANN: the q_cls1 NB chain scores EVERY document
+    // (train slice trains, whole corpus scored), the positive decision
+    // gates the corpus side, then the q_sim12 IVF replay runs over the
+    // gated embeddings. Centroids trusted from the echo; everything else
+    // re-derives.
+    "q_sim13_classifier_gated_ann" ->
+      s"""WITH o AS (SELECT * FROM read_parquet('$OUT/q_sim13_classifier_gated_ann/*.parquet')),
+         |  d AS (SELECT doc_id, lang, string_split($norm, ' ') AS ws
+         |        FROM documents),
+         |  uni AS (SELECT doc_id, lang, unnest(ws) AS f FROM d),
+         |  bgx AS (SELECT doc_id, lang, unnest(range(1, len(ws))) AS i, ws FROM d),
+         |  bg AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS f FROM bgx),
+         |  fa AS (SELECT * FROM uni UNION ALL SELECT * FROM bg),
+         |  fb AS (SELECT doc_id, lang,
+         |           CAST(('0x' || substr(md5('nbq:' || f), 1, 8)) AS BIGINT)
+         |             % 1024 AS b
+         |         FROM fa),
+         |  cb AS (SELECT b,
+         |           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS cp,
+         |           CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+         |             AS BIGINT) AS cn
+         |         FROM fb WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |  tt AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp,
+         |                CAST(SUM(cn) AS BIGINT) AS tn FROM cb),
+         |  pf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+         |         FROM fb GROUP BY 1, 2),
+         |  pj AS (SELECT pf.doc_id, pf.c,
+         |           coalesce(cb.cp, 0) AS cp, coalesce(cb.cn, 0) AS cn
+         |         FROM pf LEFT JOIN cb USING (b)),
+         |  wj AS (SELECT doc_id, c,
+         |           (${ilSql("(cp + 1)")} - ${ilSql("(tp + 1024)")})
+         |             - (${ilSql("(cn + 1)")} - ${ilSql("(tn + 1024)")}) AS wb
+         |         FROM pj CROSS JOIN tt),
+         |  pr AS (SELECT ${ilSql("(np + 1)")} - ${ilSql("(nn + 1)")} AS prior
+         |         FROM (SELECT
+         |             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS np,
+         |             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+         |               AS BIGINT) AS nn
+         |           FROM documents WHERE doc_id % 5 <> 0)),
+         |  gate AS (SELECT doc_id FROM (
+         |             SELECT doc_id, CAST(SUM(c * wb) AS BIGINT) AS ll
+         |             FROM wj GROUP BY 1) g CROSS JOIN pr
+         |           WHERE (ll + prior) > 0),
+         |  cent AS (SELECT cell, centroid, CAST(centroid AS DOUBLE[]) AS cv
+         |           FROM o WHERE section = 'centroid'),
+         |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |  ef AS (SELECT e.vec_id, e.v FROM e JOIN gate g ON g.doc_id = e.vec_id),
+         |  simsf AS (SELECT ef.vec_id, cent.cell,
+         |              coalesce(${cosSql("ef.v", "cent.cv")}, -2.0) AS s0
+         |            FROM ef CROSS JOIN cent),
+         |  simsf2 AS (SELECT vec_id, cell,
+         |               CASE WHEN isnan(s0) THEN -2.0 ELSE s0 END AS s FROM simsf),
+         |  asg AS (SELECT vec_id, cell FROM (
+         |            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |              ORDER BY s DESC, cell ASC) AS rn FROM simsf2)
+         |          WHERE rn = 1),
+         |  simsq AS (SELECT e.vec_id, cent.cell,
+         |              coalesce(${cosSql("e.v", "cent.cv")}, -2.0) AS s0
+         |            FROM e CROSS JOIN cent WHERE e.vec_id < 8),
+         |  simsq2 AS (SELECT vec_id, cell,
+         |               CASE WHEN isnan(s0) THEN -2.0 ELSE s0 END AS s FROM simsq),
+         |  probe AS (SELECT vec_id AS query_id, cell FROM (
+         |              SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, cell ASC) AS rn FROM simsq2)
+         |            WHERE rn <= 3),
+         |  cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |           FROM probe p JOIN asg a ON a.cell = p.cell
+         |           WHERE a.vec_id <> p.query_id),
+         |  sc AS (SELECT query_id, neighbor_id, ${cosSql("qe.v", "ne.v")} AS cos_sim
+         |         FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |                   JOIN ef ne ON ne.vec_id = cand.neighbor_id),
+         |  r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM sc)
+         |SELECT 'centroid' AS section, cell, centroid, CAST(NULL AS BIGINT) AS query_id,
+         |       CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS BIGINT) AS rank,
+         |       CAST(NULL AS DOUBLE) AS cos_sim
+         |FROM cent
+         |UNION ALL
+         |SELECT 'topk', NULL, NULL, query_id, neighbor_id, CAST(rank AS BIGINT), cos_sim
+         |FROM r WHERE rank <= 5
+         |ORDER BY section, cell, query_id, rank""".stripMargin,
+
     // IVF recall sweep: centroids trusted; cell assignment, all three
     // probe depths, reranks and the recall arithmetic re-derive.
     "q_sim10_ivf_recall" ->

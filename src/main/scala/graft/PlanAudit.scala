@@ -267,6 +267,14 @@ object PlanAudit {
     "q_sim12_filtered_ann" -> Seq("PushedFilters: \\[.*LessThan\\(label",
       "BroadcastHashJoin", "ObjectHashAggregate", "!Window",
       "!CartesianProduct"),
+    // classifier-gated ANN (cls1 × sim12): the NB gate semi-joins the
+    // corpus BROADCAST (at scale the score is a materialized column and
+    // a pushed predicate — sim12's plan); retrieval stays cell-bound —
+    // probe-cell equi-join + bounded top-k agg, the corpus never
+    // shuffles and nothing goes cartesian
+    "q_sim13_classifier_gated_ann" -> Seq("BroadcastHashJoin",
+      "LeftSemi", "ObjectHashAggregate", "!CartesianProduct",
+      "!SortMergeJoin"),
     // multi-probe: probe-set explode rides the same bucket equi-join
     // (the exact-side BNLJ is the broadcast baseline, allowed)
     "q_sim9_multiprobe" -> Seq("ObjectHashAggregate", "!Window",

@@ -2271,6 +2271,51 @@ object SparkEntry {
       .orderBy("section", "cell", "query_id", "rank")
   }
 
+  /** SIM13 — classifier-gated ANN (cls1 × sim12, the curation-pipeline
+    * composition): the NB quality model trains on the labeled slice,
+    * scores the WHOLE corpus, and its positive decision becomes the
+    * metadata predicate pre-filtering the standing IVF index's corpus
+    * side before any distance math — "nearest neighbors among documents
+    * the quality filter keeps". Pre-filtering preserves exact top-k
+    * semantics over the qualifying subset (sim12's argument: cell
+    * assignment is per-vector, so gating before or after assignment is
+    * identical). At 100 TB the score is a COLUMN materialized at
+    * ingest/refresh time and the gate is a pushed parquet predicate,
+    * exactly sim12's plan; this bench query derives the gate inline and
+    * broadcasts the qualifying-id set, so the corpus side still never
+    * shuffles — cell-bound retrieval with broadcast queries. */
+  private def sim13(t: Tables): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    val train = t.documents.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val model = ClassifierFunctions.trainNbLogModel(train, "text",
+        isPositive = col("lang") === "en", numBuckets = 1024, seed = "nbq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gate = ClassifierFunctions.nbScore(t.documents, "doc_id", "text",
+        model, numBuckets = 1024, seed = "nbq")
+      .filter(col("predicted_positive"))
+      .select(col("doc_id").as("vec_id"))
+    val corpus = t.embeddings.join(broadcast(gate), Seq("vec_id"), "left_semi")
+    val cents = Similarity.trainSphericalCentroids(
+      t.embeddings, "vec_id", "embedding", nlist = 8, maxIter = 4)
+    val res = Similarity.ivfTopKWithCentroids(
+      t.embeddings.filter(col("vec_id") < 8), corpus,
+      "vec_id", "embedding", "vec_id", "embedding",
+      cents, k = 5, nprobe = 3)
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat.toDouble)) }.toSeq
+      .toDF("cell", "centroid")
+    val nl = lit(null).cast("long")
+    centRows.select(lit("centroid").as("section"), col("cell"),
+        to_json(col("centroid")).as("centroid"),
+        nl.as("query_id"), nl.as("neighbor_id"), nl.as("rank"),
+        lit(null).cast("double").as("cos_sim"))
+      .unionByName(res.select(lit("topk").as("section"), nl.as("cell"),
+        lit(null).cast("string").as("centroid"),
+        col("query_id"), col("neighbor_id"), col("rank"), col("cos_sim")))
+      .orderBy("section", "cell", "query_id", "rank")
+  }
+
   /** SIM11 — IVF index MAINTENANCE: the quantizer trains on the
     * standing corpus (90% of vectors), then a new batch (the other 10%)
     * is assigned to the EXISTING cells without a refit — the
@@ -3183,6 +3228,7 @@ object SparkEntry {
       "q_j12_star_join" -> q(j12),
       "q_dd16_incremental_allpairs" -> q(dd16),
       "q_sim12_filtered_ann" -> q(sim12),
+      "q_sim13_classifier_gated_ann" -> q(sim13),
       "q_txt18_kl_drift" -> q(txt18),
       "q_gr3_kcore" -> q(gr3),
       "q_gr4_harmonic" -> q(gr4),

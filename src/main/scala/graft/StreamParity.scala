@@ -722,6 +722,62 @@ object StreamParity {
       }
     }
 
+    // -------------------- silver-plane parity: the 18-entity ingest
+    // The reference's live-vs-spot path equivalence (indexer_app/
+    // tasks.py:114-126 — the same handle_streamer_message serves both):
+    // one block corpus driven (a) through the PRODUCTION streaming path
+    // (LakeSource → micro-batches → gated LWW entity merges,
+    // checkpointed) and (b) as ONE mega-batch backfill into a second
+    // store, then EVERY silver table compared row-for-row (multiset,
+    // both directions). The claim is ST1's at bench scale: ingest-seq
+    // LWW arbitration makes per-batch merge order invisible — 40
+    // micro-batches and one mega-batch land the byte-identical store.
+    locally {
+      val nBlocks = 20000
+      val lakeDir = work.resolve("silver_lake").toString
+      Files.createDirectories(Paths.get(lakeDir))
+      val startHeight = 100000000L
+      (0 until nBlocks).foreach { i =>
+        val h = startHeight + i
+        Files.write(Paths.get(lakeDir, f"$h%012d.json"),
+          IngestBench.blockJson(h).getBytes("UTF-8")): Unit
+      }
+      val storeS = work.resolve("silver_stream").toString
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamIngest.startFromLake(spark,
+        Map("fetcher.dir" -> lakeDir, "startHeight" -> startHeight.toString,
+          "maxBlocksPerTrigger" -> "500", "fetchPartitions" -> "8"),
+        storeS, work.resolve("silver_stream_ckpt").toString,
+        availableNow = true)
+      require(q.awaitTermination(1800000), "silver stream did not drain")
+      val sSecs = (System.nanoTime() - t0) / 1e9
+      val storeB = work.resolve("silver_batch").toString
+      graft.streaming.StreamIngest.backfill(spark, lakeDir, storeB): Unit
+      def tablesOf(base: String): Set[String] = Option(
+          new java.io.File(base).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !f.getName.contains(".tmp-") &&
+          !f.getName.contains(".old-") && !f.getName.endsWith(".dirty.d") &&
+          !f.getName.contains(".apply-"))
+        .map(_.getName).toSet
+      val tS = tablesOf(storeS)
+      val tB = tablesOf(storeB)
+      require(tS == tB,
+        s"silver table sets diverge: stream-only=${tS -- tB}, " +
+          s"backfill-only=${tB -- tS}")
+      tS.toSeq.sorted.zipWithIndex.foreach { case (tname, i) =>
+        // block_height.updated_at is wall-clock by contract (the
+        // reference's BlockHeight.updated_at is the ingest's own clock,
+        // indexer_app/models.py:5-24) — the one column two correct runs
+        // MUST disagree on; everything else compares verbatim.
+        def rd(base: String): DataFrame = {
+          val df = spark.read.parquet(s"$base/$tname")
+          if (tname == "block_height") df.drop("updated_at") else df
+        }
+        rows += diff(s"silver.$tname", "mega-batch backfill, same blocks",
+          rd(storeS), rd(storeB), if (i == 0) sSecs else 0.0)
+      }
+    }
+
     render(outMd, sfDir, rows.toSeq)
     val bad = rows.filterNot(_.ok)
     println(s"[stream-parity] ${rows.size - bad.size}/${rows.size} identical")
@@ -820,6 +876,14 @@ object StreamParity {
         |asserts the final sink still equals the batch twin — no batch
         |lost, none doubled, wherever the cut landed (exactly-once through
         |restart; the cut batch is recorded in the row label).
+        |
+        |`silver.*` rows are the INGEST plane at bench scale: 20,000
+        |synthetic NEAR-Lake blocks driven once through the production
+        |streaming path (LakeSource → 500-block micro-batches → gated LWW
+        |entity merges, checkpointed) and once as ONE mega-batch backfill
+        |(the reference's spot path, tasks.py:114-126), every silver table
+        |compared row-for-row — ingest-seq LWW arbitration makes per-batch
+        |merge order invisible in the final store.
         |""".stripMargin)
     sb.append("\n| operator | batch twin | stream rows | batch rows | diff | identical | stream wall s |\n")
     sb.append("|---|---|---|---|---|---|---|\n")

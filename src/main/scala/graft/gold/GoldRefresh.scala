@@ -152,22 +152,38 @@ object GoldRefresh {
   private def signedCount(filter: Column): Column =
     coalesce(sum(when(filter, col("__w"))), lit(0L)).cast(LongType)
 
-  private def recvDelta(facts: DataFrame): DataFrame = facts
+  /** Drop additive-identity delta rows (every counter 0, every sum 0 or
+    * null): an incremental re-enrichment diffs a WHOLE partition old-vs-
+    * new, so unchanged keys cancel to identity rows that would otherwise
+    * ride through the state merges and inflate the affected-id set to
+    * partition size — the stats leg must track the NET change, not the
+    * touched partitions' population. A zero row is a no-op by the
+    * additive monoid's definition, so dropping it is exact. */
+  private def dropIdentity(df: DataFrame, counters: Seq[String],
+      sums: Seq[String]): DataFrame =
+    df.filter(
+      counters.map(c => col(c) =!= 0L)
+        .++(sums.map(s => coalesce(col(s), lit(0)) =!= 0))
+        .reduce(_ || _))
+
+  private def recvDelta(facts: DataFrame): DataFrame = dropIdentity(facts
     .groupBy(col("recipient"), col("donor"))
     .agg(signedCount(lit(true)).as("n"),
       signedSum(col("total_amount_usd"), UsdSum).as("usd"))
-    .select("recipient", "donor", "n", "usd")
+    .select("recipient", "donor", "n", "usd"),
+    counters = Seq("n"), sums = Seq("usd"))
 
-  private def donorDelta(facts: DataFrame): DataFrame = facts
+  private def donorDelta(facts: DataFrame): DataFrame = dropIdentity(facts
     .groupBy(col("donor"))
     .agg(signedCount(lit(true)).as("n"),
       signedSum(col("total_amount_usd"), UsdSum).as("usd"),
       signedCount(col("matching_pool")).as("mn"),
       signedSum(when(col("matching_pool"), col("total_amount_usd")), UsdSum)
         .as("musd"))
-    .select("donor", "n", "usd", "mn", "musd")
+    .select("donor", "n", "usd", "mn", "musd"),
+    counters = Seq("n", "mn"), sums = Seq("usd", "musd"))
 
-  private def potDelta(facts: DataFrame): DataFrame = facts
+  private def potDelta(facts: DataFrame): DataFrame = dropIdentity(facts
     .filter(col("pot").isNotNull)
     .groupBy(col("pot"))
     .agg(signedCount(lit(true)).as("n"),
@@ -183,7 +199,11 @@ object GoldRefresh {
       signedCount(!col("matching_pool")).as("public_donations_count"))
     .select("pot", "n", "total_matching_pool_dec", "total_matching_pool_usd",
       "matching_pool_donations_count", "total_public_donations_dec",
-      "total_public_donations_usd", "public_donations_count")
+      "total_public_donations_usd", "public_donations_count"),
+    counters = Seq("n", "matching_pool_donations_count",
+      "public_donations_count"),
+    sums = Seq("total_matching_pool_dec", "total_matching_pool_usd",
+      "total_public_donations_dec", "total_public_donations_usd"))
 
   // ------------------------------------------------------ state merges
   private def applyStates(spark: SparkSession, silverDir: String, gen: Long,

@@ -370,6 +370,22 @@ final class SilverStore(spark: SparkSession, dir: String) {
       p
     }
 
+    // Live-tail fast path: a 1-5 block micro-batch's merges are a few
+    // hundred rows each, but every merge's dedup window still fans out to
+    // the session's shuffle-partition count (32) — at tiny triggers the
+    // 32-task stage scheduling overhead IS the batch latency (AQE cannot
+    // coalesce here: it is disabled under streaming). Scope the shuffle
+    // width to the batch for the duration of this applyBatch (micro-
+    // batches run sequentially per stream; merges already assume a single
+    // writer per table) and restore on exit. The threshold is receipts,
+    // not blocks: a backfill mega-batch through this same path keeps the
+    // full width.
+    val nReceipts = receipts.count()
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.get(shufConf)
+    val tinyBatch = nReceipts < 512
+    if (tinyBatch) spark.conf.set(shufConf, "4")
+
     try {
       val dons = persistMidBatch(donations(acts))
       val reviews = applicationReviews(acts)
@@ -677,6 +693,7 @@ final class SilverStore(spark: SparkSession, dir: String) {
 
       counts.toMap
     } finally {
+      if (tinyBatch) spark.conf.set(shufConf, prevShuffle)
       midBatch.foreach(_.unpersist())
       receipts.unpersist(); acts.unpersist(); evts.unpersist()
     }
