@@ -2945,9 +2945,15 @@ object SparkEntry {
 
       // Deterministic donation mapping over orders: amounts are whole
       // NEAR (× 10^24 yocto, exercising the digit-exact decimal path),
-      // prices are an exact integer function of the calendar day, and
-      // every donation timestamp coincides with its date's price row so
-      // the ±24h as-of NEAREST join resolves with delta 0 (no ties).
+      // prices are an exact integer function of the calendar DAY-OF-
+      // MONTH, and every donation timestamp coincides with its date's
+      // price row so the ±24h as-of NEAREST join resolves with delta 0
+      // (no ties). Donation dates collapse to 31 synthetic days (Jan
+      // 2024, one per day-of-month of o_orderdate — day() is preserved,
+      // so the oracle's price formula reads o_orderdate directly): the
+      // gate must exercise the partitioned merge + incremental refresh,
+      // not pay a 2,400-partition TPC-H date range × 16 donor buckets of
+      // file churn per merge.
       val don0 = Tables(spark, dir).orders.select(
         col("o_orderkey").as("k"),
         (pmod(col("o_custkey"), lit(200))).cast("string").as("ckey"),
@@ -2957,8 +2963,10 @@ object SparkEntry {
         when(pmod(col("o_orderkey"), lit(3)) === 0,
           concat(lit("pot"), pmod(col("o_orderkey"), lit(7)).cast("string")))
           .as("pot"),
-        (col("o_orderdate") + expr("INTERVAL 12 HOURS")).as("donated_at"),
-        to_date(col("o_orderdate")).as("ddate"))
+        date_add(to_date(lit("2023-12-31")), dayofmonth(col("o_orderdate")))
+          .as("ddate"))
+        .withColumn("donated_at",
+          col("ddate").cast("timestamp") + expr("INTERVAL 12 HOURS"))
       val nullS = lit(null).cast("string")
       val zeroDec = lit(0).cast(U128)
       val don = don0.select(
@@ -2986,11 +2994,10 @@ object SparkEntry {
         col("k").as("block_height"), lit(0L).as("shard_index"),
         lit(0).as("receipt_index"), lit(0).as("action_index"))
 
-      // Batch 2 = the final calendar month (a late tail of new date
-      // partitions + re-seen accounts); everything earlier is batch 1.
-      val maxMonth = don.agg(max(date_trunc("MONTH", col("donated_at"))))
-        .head().getTimestamp(0)
-      val inB2 = date_trunc("MONTH", col("donated_at")) >= lit(maxMonth)
+      // Batch 2 = days 28-31 (a late tail of NEW date partitions +
+      // re-seen accounts, bounded to 4 of the 31 partitions); everything
+      // earlier is batch 1.
+      val inB2 = dayofmonth(to_date(col("donated_at"))) >= 28
 
       def accountsOf(d: DataFrame): DataFrame = d
         .select(explode(array(col("donor"), col("recipient"))).as("id"))

@@ -233,16 +233,31 @@ object GoldRefresh {
           name -> st
       }
     }
-    Map(
-      one("recv_pairs", Seq("recipient", "donor"), Seq("n", "usd"),
+    // The three state applies touch disjoint tables and are individually
+    // two-phase crash-resumable, so they run CONCURRENTLY (SilverStore's
+    // merge-pool discipline): the beat's state leg costs the slowest
+    // merge, not the sum. A crash leaves a per-table mix of fenced /
+    // staged / untouched — the resume's per-table dispatch above handles
+    // each independently.
+    val specs = Seq(
+      ("recv_pairs", Seq("recipient", "donor"), Seq("n", "usd"),
         "recipient", "recipient"),
-      one("donor_state", Seq("donor"), Seq("n", "usd", "mn", "musd"),
+      ("donor_state", Seq("donor"), Seq("n", "usd", "mn", "musd"),
         "donor", "donor"),
-      one("pot_state", Seq("pot"),
+      ("pot_state", Seq("pot"),
         Seq("n", "total_matching_pool_dec", "total_matching_pool_usd",
           "matching_pool_donations_count", "total_public_donations_dec",
           "total_public_donations_usd", "public_donations_count"),
         "pot", "pot"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(specs.size)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(specs.map { case (n, k, a, b, d) =>
+          scala.concurrent.Future(one(n, k, a, b, d)) }),
+        scala.concurrent.duration.Duration(60, "min")).toMap
+    } finally pool.shutdown()
   }
 
   // ---------------------------------------------- finals (from states)
@@ -606,15 +621,23 @@ object GoldRefresh {
       io.createDirectories(tmpStage)
       val tokens = if (silver.exists("tokens")) silver.table("tokens")
         else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.token)
-      // Materialize the price snapshot FIRST and use it for both the
-      // enrichment and the seen diff — a price row merging mid-staging is
-      // then either wholly inside this refresh or wholly in the next one
-      // (uid mismatch re-detects it), never half-absorbed.
+      // When the price history moved, materialize its snapshot FIRST and
+      // use it for both the enrichment and the seen diff — a price row
+      // merging mid-staging is then either wholly inside this refresh or
+      // wholly in the next one (signature mismatch re-detects it), never
+      // half-absorbed. When prices are UNCHANGED (the common beat), skip
+      // the snapshot round-trip and enrich straight off the live table —
+      // the entry signature already pinned its content.
       val prices0 = if (silver.exists("token_prices")) silver.table("token_prices")
         else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.tokenHistoricalPrice)
-      prices0.select(col("token"), col("timestamp"), col("price_usd"))
-        .write.parquet(s"$tmpStage/prices_snapshot")
-      val prices = spark.read.parquet(s"$tmpStage/prices_snapshot")
+      val pricesCols = prices0.select(col("token"), col("timestamp"),
+        col("price_usd"))
+      val prices =
+        if (!pricesChanged) pricesCols
+        else {
+          pricesCols.write.parquet(s"$tmpStage/prices_snapshot")
+          spark.read.parquet(s"$tmpStage/prices_snapshot")
+        }
       // Price-arrival overlap: a NEW (or LWW-updated) price observation
       // can flip the as-of NEAREST choice for any donation within ±24h of
       // it. A donation at date partition d has timestamps in [d, d+1d),

@@ -266,8 +266,13 @@ class GoldSpec extends SparkSpec {
       //    staged post-state manifest must make the re-commit exact-once
       CrashIO.armed = op => op == s"w:$live/gold_state/recv_pairs.swapuid"
       intercept[RuntimeException](GoldRefresh.refreshIncremental(spark, live))
-      // 3. resume crashes between a state commit and its gen fence
-      CrashIO.armed = op => op == s"w:$live/gold_state/donor_state.goldgen"
+      // 3. resume crashes between a state commit and its gen fence. The
+      //    three state applies run CONCURRENTLY, so the only table whose
+      //    fence is GUARANTEED still pending is the one crash #2 cut
+      //    (siblings may have completed before the crash propagated) —
+      //    the resume must re-commit recv_pairs' staged post-state
+      //    exactly-once and then crash writing its fence.
+      CrashIO.armed = op => op == s"w:$live/gold_state/recv_pairs.goldgen"
       intercept[RuntimeException](GoldRefresh.refreshIncremental(spark, live))
       // 4. resume crashes right before the meta commit
       CrashIO.armed = op => op == s"w:$live/gold_meta"
