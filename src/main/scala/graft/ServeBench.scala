@@ -166,15 +166,22 @@ object ServeBench {
         ResultCache.routeKey("/v1/donations", "after" -> None),
         Seq("donations", "accounts", "tokens", "pots"))(
         qs.donationsFeedKeyset(None).toJSON.collect()))
-    // A merge invalidates immediately: rotate a marker, assert recompute.
+    // A merge invalidates immediately: rotate a marker, assert recompute,
+    // then RESTORE the real marker — leaving the probe uid in place would
+    // put the table in the crash-suspect state (marker ≠ counts-sidecar
+    // uid) for everything measured after this point.
     val preMisses = rc.misses
-    graft.operators.MergeWriter.io.writeStringAtomic(
-      graft.operators.MergeWriter.swapMarkerPath(s"$silver/donations"),
+    val donMarker = graft.operators.MergeWriter
+      .swapMarkerPath(s"$silver/donations")
+    val realUid = graft.operators.MergeWriter.io.readString(donMarker)
+    graft.operators.MergeWriter.io.writeStringAtomic(donMarker,
       "servebench-invalidation-probe")
     rc.memo(ResultCache.routeKey("/v1/donations", "after" -> None),
       uids("donations", "accounts", "tokens", "pots"))(
       qs.donationsFeedKeyset(None).toJSON.collect()): Unit
     val invalidated = rc.misses == preMisses + 1
+    realUid.foreach(u =>
+      graft.operators.MergeWriter.io.writeStringAtomic(donMarker, u))
 
     // ---- deep-page duel on /v1/accounts: offset page 150 vs the keyset
     // walk's 150th page (cursor = last id of page 149, found by walking —

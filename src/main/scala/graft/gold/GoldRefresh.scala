@@ -78,20 +78,29 @@ object GoldRefresh {
     * "tokens changed" would force a full rebuild per batch; the signature
     * moves only when a decimals mapping actually moves. One scan of a
     * dimension-scale table per refresh. */
+  /** Order-independent multiset signature: count + exact sum + xor of
+    * the row hashes. Plain xor alone cancels rows with even multiplicity
+    * (a duplicated observation would hide a real change); the sum leg is
+    * multiplicity-sensitive (DECIMAL(38,0) — exact, no ANSI long
+    * overflow) and the count leg pins cardinality. One scan of a
+    * dimension-scale table per refresh. */
+  private def multisetSig(df: DataFrame, hashExpr: String): String = {
+    val r = df.selectExpr(
+      "count(*) AS c",
+      s"coalesce(sum(cast($hashExpr AS DECIMAL(38,0))), 0) AS s",
+      s"coalesce(bit_xor($hashExpr), 0L) AS x").head()
+    s"${r.getLong(0)}:${r.getDecimal(1).toBigInteger}:${r.getLong(2)}"
+  }
+
   private def tokensSig(tokens: DataFrame): String =
-    tokens.selectExpr(
-      "coalesce(bit_xor(xxhash64(account, decimals)), 0L) AS s")
-      .head().getLong(0).toString
+    multisetSig(tokens, "xxhash64(account, decimals)")
 
   /** Same content-signature treatment for the price history: the table is
     * loaded by writers that don't maintain swap markers (plain parquet
     * overwrites from the price backfill), so a marker uid would read as
-    * "" and force pricesChanged on every refresh forever. One scan of a
-    * dimension-scale table per refresh. */
+    * "" and force pricesChanged on every refresh forever. */
   private def pricesSig(prices: DataFrame): String =
-    prices.selectExpr(
-      "coalesce(bit_xor(xxhash64(token, timestamp, price_usd)), 0L) AS s")
-      .head().getLong(0).toString
+    multisetSig(prices, "xxhash64(token, timestamp, price_usd)")
 
   private final case class Meta(generation: Long, uids: Map[String, String]) {
     def render: String =
@@ -253,10 +262,19 @@ object GoldRefresh {
     try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
-      scala.concurrent.Await.result(
+      // Settle EVERY future before propagating a failure: fail-fast would
+      // hand control back (to a retry, or the crash-resume path) while a
+      // sibling is still mid-commit on its table — the resumed run would
+      // then race that live commit on the same staged files. With all
+      // futures settled, re-entry only ever sees quiescent tables.
+      val settled = scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(specs.map { case (n, k, a, b, d) =>
-          scala.concurrent.Future(one(n, k, a, b, d)) }),
-        scala.concurrent.duration.Duration(60, "min")).toMap
+          scala.concurrent.Future(one(n, k, a, b, d))
+            .transform(t => scala.util.Success(t)) }),
+        scala.concurrent.duration.Duration(60, "min"))
+      settled.collect { case scala.util.Failure(e) => e }
+        .headOption.foreach(e => throw e)
+      settled.map(_.get).toMap
     } finally pool.shutdown()
   }
 
@@ -524,12 +542,12 @@ object GoldRefresh {
     Report("full", gen, -1, -1L)
   }
 
-  private def writeGlobal(spark: SparkSession, silverDir: String,
+  private def globalRow(spark: SparkSession,
       donationsCount: Long, donationsUsd: Option[java.math.BigDecimal],
       donorsCount: Long, recipientsCount: Long,
-      payoutsUsd: Option[java.math.BigDecimal]): Unit = {
+      payoutsUsd: Option[java.math.BigDecimal]): DataFrame = {
     import spark.implicits._
-    val df = Seq((donationsCount, donationsUsd.orNull, donorsCount,
+    Seq((donationsCount, donationsUsd.orNull, donorsCount,
         recipientsCount, payoutsUsd.orNull))
       .toDF("total_donations_count", "total_donations_usd",
         "total_donors_count", "total_recipients_count", "total_payouts_usd")
@@ -537,8 +555,14 @@ object GoldRefresh {
         col("total_donations_usd").cast(UsdSum),
         col("total_donors_count"), col("total_recipients_count"),
         col("total_payouts_usd").cast(UsdSum))
-    write(df, s"$silverDir/global_stats")
   }
+
+  private def writeGlobal(spark: SparkSession, silverDir: String,
+      donationsCount: Long, donationsUsd: Option[java.math.BigDecimal],
+      donorsCount: Long, recipientsCount: Long,
+      payoutsUsd: Option[java.math.BigDecimal]): Unit =
+    write(globalRow(spark, donationsCount, donationsUsd, donorsCount,
+      recipientsCount, payoutsUsd), s"$silverDir/global_stats")
 
   // -------------------------------------------------------- incremental
   /** Incremental refresh; falls back to [[refresh]] when preconditions
@@ -652,7 +676,12 @@ object GoldRefresh {
             if (io.exists(pricesSeenPath(silverDir)))
               spark.read.parquet(pricesSeenPath(silverDir))
             else prices.limit(0)
+          // SYMMETRIC diff: a price row REMOVED or LWW-rewritten by the
+          // overwrite flips the as-of choice for its neighborhood just
+          // like an added one — additions alone would absorb a deletion
+          // (seen advances at commit) without ever re-enriching it.
           val newP = prices.except(seen)
+            .unionByName(seen.except(prices))
           val dates = newP.select(to_date(col("timestamp")).as("d"))
             .select(explode(array(date_sub(col("d"), 1), col("d"),
               date_add(col("d"), 1))).as("d"))
@@ -808,34 +837,50 @@ object GoldRefresh {
     }
 
     // global_stats: previous row + exact counter deltas from the state
-    // merges (distinct counts move only inside affected buckets).
+    // merges (distinct counts move only inside affected buckets). The
+    // update is prev + delta, which is NOT re-derivable once the live row
+    // has been touched — so the NEXT row is STAGED first (atomic dir
+    // move into the staging area) and the live write + gen fence commit
+    // from the staged row. A crash anywhere between re-enters here: the
+    // staged row short-circuits the recompute, so the delta can never
+    // double-apply, and a crash mid-swap (live row transiently absent)
+    // cannot wedge the resume — nothing below re-reads the live row.
+    // The distinct deltas themselves are resume-stable: a fenced state
+    // table returns its STORED AdditiveMergeStats.
     val globalPath = s"$silverDir/global_stats"
     if (!readGen(globalPath).exists(_._1 == gen)) {
-      val prev = spark.read.parquet(globalPath).head()
-      val dDelta = spark.read.parquet(s"$staging/donor_state_delta")
-        .agg(coalesce(sum("n"), lit(0L)).as("c"),
-          sum("usd").cast(UsdSum).as("u")).head()
-      val newCount = prev.getAs[Long]("total_donations_count") + dDelta.getLong(0)
-      val prevUsd = Option(prev.getAs[java.math.BigDecimal]("total_donations_usd"))
-      val deltaUsd = Option(dDelta.getDecimal(1))
-      val newUsd = (prevUsd, deltaUsd) match {
-        case (None, d) => d
-        case (p, None) => p
-        case (Some(p), Some(d)) => Some(p.add(d))
+      val stagedNext = s"$staging/global_next"
+      if (!io.exists(stagedNext)) {
+        val prev = spark.read.parquet(globalPath).head()
+        val dDelta = spark.read.parquet(s"$staging/donor_state_delta")
+          .agg(coalesce(sum("n"), lit(0L)).as("c"),
+            sum("usd").cast(UsdSum).as("u")).head()
+        val newCount = prev.getAs[Long]("total_donations_count") + dDelta.getLong(0)
+        val prevUsd = Option(prev.getAs[java.math.BigDecimal]("total_donations_usd"))
+        val deltaUsd = Option(dDelta.getDecimal(1))
+        val newUsd = (prevUsd, deltaUsd) match {
+          case (None, d) => d
+          case (p, None) => p
+          case (Some(p), Some(d)) => Some(p.add(d))
+        }
+        val donorStats = stats("donor_state")
+        val recvStats = stats("recv_pairs")
+        val newDonors = prev.getAs[Long]("total_donors_count") +
+          (donorStats.distinctAfter - donorStats.distinctBefore)
+        val newRecipients = prev.getAs[Long]("total_recipients_count") +
+          (recvStats.distinctAfter - recvStats.distinctBefore)
+        val newPayouts =
+          if (stagedPayoutsChanged)
+            Option(spark.read.parquet(s"$staging/paid_new")
+              .agg(sum("total_payouts_received_usd").cast(UsdSum)).head().getDecimal(0))
+          else Option(prev.getAs[java.math.BigDecimal]("total_payouts_usd"))
+        val tmpNext = s"$stagedNext.tmp"
+        io.deleteRecursively(tmpNext)
+        globalRow(spark, newCount, newUsd, newDonors, newRecipients,
+          newPayouts).write.parquet(tmpNext)
+        io.atomicMove(tmpNext, stagedNext)
       }
-      val donorStats = stats("donor_state")
-      val recvStats = stats("recv_pairs")
-      val newDonors = prev.getAs[Long]("total_donors_count") +
-        (donorStats.distinctAfter - donorStats.distinctBefore)
-      val newRecipients = prev.getAs[Long]("total_recipients_count") +
-        (recvStats.distinctAfter - recvStats.distinctBefore)
-      val newPayouts =
-        if (stagedPayoutsChanged)
-          Option(spark.read.parquet(s"$staging/paid_new")
-            .agg(sum("total_payouts_received_usd").cast(UsdSum)).head().getDecimal(0))
-        else Option(prev.getAs[java.math.BigDecimal]("total_payouts_usd"))
-      writeGlobal(spark, silverDir, newCount, newUsd, newDonors,
-        newRecipients, newPayouts)
+      write(spark.read.parquet(stagedNext), globalPath)
       writeGen(globalPath, gen, MergeWriter.AdditiveMergeStats(0, 0, 0, 0))
     }
     affected.unpersist()

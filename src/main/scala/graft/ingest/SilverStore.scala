@@ -380,11 +380,20 @@ final class SilverStore(spark: SparkSession, dir: String) {
     // writer per table) and restore on exit. The threshold is receipts,
     // not blocks: a backfill mega-batch through this same path keeps the
     // full width.
+    // CAVEAT: the conf is SESSION-scoped, not job-scoped — any query
+    // planned concurrently in the same SparkSession during a tiny batch
+    // would also plan at this width. The production wiring (foreachBatch
+    // merges on the micro-batch thread; gold beat and serve plane in
+    // their own sessions/processes) never co-plans, but a combined
+    // driver that does can disable via
+    // spark.graft.tinyBatchShufflePartitions=0.
     val nReceipts = receipts.count()
     val shufConf = "spark.sql.shuffle.partitions"
     val prevShuffle = spark.conf.get(shufConf)
-    val tinyBatch = nReceipts < 512
-    if (tinyBatch) spark.conf.set(shufConf, "4")
+    val tinyWidth = spark.conf
+      .get("spark.graft.tinyBatchShufflePartitions", "4").toInt
+    val tinyBatch = tinyWidth > 0 && nReceipts < 512
+    if (tinyBatch) spark.conf.set(shufConf, tinyWidth.toString)
 
     try {
       val dons = persistMidBatch(donations(acts))

@@ -123,6 +123,26 @@ object MergeWriter {
     val uid = java.util.UUID.randomUUID().toString.take(8)
     io.writeStringAtomic(s"$dd/append-$uid",
       names.toSeq.distinct.sorted.mkString("\n"))
+    // Writer-side compaction: tables with no incremental consumer (most
+    // silver tables — only donations/accounts feed the gold beat today)
+    // would otherwise grow one entry file per merge FOREVER. Above the
+    // threshold, fold every entry into one fresh file, then delete the
+    // folded ones. Safe against a concurrent consumer: the fold lands
+    // BEFORE the deletes, so a consumer that snapshotted the old files
+    // deletes already-gone files (no-op) while the fold file still
+    // carries their names — over-marking re-derives a no-op delta;
+    // under-marking is impossible. Names are bounded by the table's
+    // slice count, so the folded file stays small.
+    val entries = io.listDir(dd)
+      .collect { case (n, false) if n.startsWith("append-") => n }
+    if (entries.size > 64) {
+      val union = entries.flatMap(f =>
+        io.readString(s"$dd/$f").map(parseNames).getOrElse(Set.empty)).toSet
+      io.writeStringAtomic(
+        s"$dd/append-${java.util.UUID.randomUUID().toString.take(8)}",
+        union.toSeq.sorted.mkString("\n"))
+      entries.foreach(f => io.deleteRecursively(s"$dd/$f"))
+    }
   }
 
   private def parseNames(txt: String): Set[String] =

@@ -44,10 +44,10 @@ final class ResultCache(
         e: java.util.Map.Entry[String, Entry]): Boolean = size() > maxEntries
   }
 
-  @volatile private var hitCount = 0L
-  @volatile private var missCount = 0L
-  def hits: Long = hitCount
-  def misses: Long = missCount
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong
+  private val missCount = new java.util.concurrent.atomic.AtomicLong
+  def hits: Long = hitCount.get
+  def misses: Long = missCount.get
 
   /** Serve `key` from cache when fresh, else run `compute`, store, and
     * return it. `uids` is the CURRENT freshness fingerprint of the tables
@@ -59,7 +59,7 @@ final class ResultCache(
     map.synchronized {
       Option(map.get(key)) match {
         case Some(e) if t - e.atMs < ttlMs && e.uids == u =>
-          hitCount += 1
+          hitCount.incrementAndGet(): Unit
           return e.value.asInstanceOf[T]
         case _ =>
       }
@@ -67,7 +67,7 @@ final class ResultCache(
     // Compute OUTSIDE the lock (a slow route must not serialize the whole
     // plane); a concurrent miss on the same key double-computes, which is
     // the standard cache-stampede trade at this tier.
-    missCount += 1
+    missCount.incrementAndGet(): Unit
     val v = compute
     map.synchronized { map.put(key, Entry(u, t, v)): Unit }
     v
@@ -78,10 +78,17 @@ final class ResultCache(
 }
 
 object ResultCache {
-  /** Canonical cache key for a route + params (order-independent). */
-  def routeKey(route: String, params: (String, Any)*): String =
+  /** Canonical cache key for a route + params (order-independent).
+    * Keys and values are URL-encoded: params are USER-driven route
+    * inputs, so a value containing '&'/'=' must not collide with a
+    * differently-structured param list rendering the same raw string. */
+  def routeKey(route: String, params: (String, Any)*): String = {
+    def esc(s: String): String =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
     route + "?" + params.sortBy(_._1)
-      .map { case (k, v) => s"$k=$v" }.mkString("&")
+      .map { case (k, v) => s"${esc(k)}=${esc(String.valueOf(v))}" }
+      .mkString("&")
+  }
 
   /** Freshness fingerprint provider over a silver store directory: the
     * swap-marker uid per table (empty string when the table or marker

@@ -274,6 +274,15 @@ class GoldSpec extends SparkSpec {
       //    exactly-once and then crash writing its fence.
       CrashIO.armed = op => op == s"w:$live/gold_state/recv_pairs.goldgen"
       intercept[RuntimeException](GoldRefresh.refreshIncremental(spark, live))
+      // 3b. resume crashes mid global_stats swap — the live row is
+      //     transiently ABSENT; the staged next row must carry the resume
+      CrashIO.armed = op => op == s"mv:$live/global_stats"
+      intercept[RuntimeException](GoldRefresh.refreshIncremental(spark, live))
+      // 3c. resume crashes before global_stats' gen fence — prev+delta is
+      //     NOT re-derivable from the already-updated live row; the staged
+      //     next row must stop the delta from double-applying
+      CrashIO.armed = op => op == s"w:$live/global_stats.goldgen"
+      intercept[RuntimeException](GoldRefresh.refreshIncremental(spark, live))
       // 4. resume crashes right before the meta commit
       CrashIO.armed = op => op == s"w:$live/gold_meta"
       intercept[RuntimeException](GoldRefresh.refreshIncremental(spark, live))
