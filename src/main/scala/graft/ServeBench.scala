@@ -180,8 +180,12 @@ object ServeBench {
       uids("donations", "accounts", "tokens", "pots"))(
       qs.donationsFeedKeyset(None).toJSON.collect()): Unit
     val invalidated = rc.misses == preMisses + 1
-    realUid.foreach(u =>
-      graft.operators.MergeWriter.io.writeStringAtomic(donMarker, u))
+    realUid match {
+      case Some(u) =>
+        graft.operators.MergeWriter.io.writeStringAtomic(donMarker, u)
+      case None => // no marker pre-existed: remove the probe's, don't keep it
+        graft.operators.MergeWriter.io.deleteRecursively(donMarker)
+    }
 
     // ---- deep-page duel on /v1/accounts: offset page 150 vs the keyset
     // walk's 150th page (cursor = last id of page 149, found by walking —

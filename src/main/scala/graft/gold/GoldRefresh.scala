@@ -265,15 +265,22 @@ object GoldRefresh {
       // Settle EVERY future before propagating a failure: fail-fast would
       // hand control back (to a retry, or the crash-resume path) while a
       // sibling is still mid-commit on its table — the resumed run would
-      // then race that live commit on the same staged files. With all
-      // futures settled, re-entry only ever sees quiescent tables.
+      // then race that live commit on the same staged files. The await is
+      // UNBOUNDED for the same reason: a timeout rethrow while a merge is
+      // still moving staged files re-creates exactly that race, and every
+      // future completes on success or failure (only a truly hung storage
+      // call blocks — and then blocking beats racing). Secondary failures
+      // ride along as suppressed.
       val settled = scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(specs.map { case (n, k, a, b, d) =>
           scala.concurrent.Future(one(n, k, a, b, d))
             .transform(t => scala.util.Success(t)) }),
-        scala.concurrent.duration.Duration(60, "min"))
-      settled.collect { case scala.util.Failure(e) => e }
-        .headOption.foreach(e => throw e)
+        scala.concurrent.duration.Duration.Inf)
+      val failures = settled.collect { case scala.util.Failure(e) => e }
+      failures.headOption.foreach { e =>
+        failures.drop(1).foreach(e.addSuppressed)
+        throw e
+      }
       settled.map(_.get).toMap
     } finally pool.shutdown()
   }
@@ -588,7 +595,17 @@ object GoldRefresh {
 
     def changed(meta: Meta, k: String): Boolean = {
       val prev = meta.uids.getOrElse(k, "")
-      prev.isEmpty || uidsNow(k).isEmpty || prev != uidsNow(k)
+      val now = uidsNow(k)
+      // Legacy-format shim: metas written before the count:sum:xor
+      // multiset signature stored the bare xor long. The xor leg is the
+      // SAME expression, so compare against it — an unchanged table must
+      // not read as "changed" (= a spurious full rebuild / re-enrichment)
+      // just because this code was redeployed over a standing store.
+      val effectiveNow =
+        if (prev.nonEmpty && !prev.contains(":") && now.contains(":"))
+          now.split(':')(2)
+        else now
+      prev.isEmpty || effectiveNow.isEmpty || prev != effectiveNow
     }
 
     if (metaOpt.isEmpty) {

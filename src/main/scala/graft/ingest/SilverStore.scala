@@ -390,8 +390,11 @@ final class SilverStore(spark: SparkSession, dir: String) {
     val nReceipts = receipts.count()
     val shufConf = "spark.sql.shuffle.partitions"
     val prevShuffle = spark.conf.get(shufConf)
-    val tinyWidth = spark.conf
-      .get("spark.graft.tinyBatchShufflePartitions", "4").toInt
+    // Validated parse: a config typo must degrade to the default width,
+    // not turn every micro-batch into a hard NumberFormatException.
+    val tinyWidth = scala.util.Try(spark.conf
+      .get("spark.graft.tinyBatchShufflePartitions", "4").trim.toInt)
+      .toOption.filter(_ >= 0).getOrElse(4)
     val tinyBatch = tinyWidth > 0 && nReceipts < 512
     if (tinyBatch) spark.conf.set(shufConf, tinyWidth.toString)
 

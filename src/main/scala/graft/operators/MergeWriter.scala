@@ -133,11 +133,9 @@ object MergeWriter {
     // carries their names — over-marking re-derives a no-op delta;
     // under-marking is impossible. Names are bounded by the table's
     // slice count, so the folded file stays small.
-    val entries = io.listDir(dd)
-      .collect { case (n, false) if n.startsWith("append-") => n }
+    val entries = listEntries(dd)
     if (entries.size > 64) {
-      val union = entries.flatMap(f =>
-        io.readString(s"$dd/$f").map(parseNames).getOrElse(Set.empty)).toSet
+      val union = entries.flatMap(f => readEntry(dd, f)).toSet
       io.writeStringAtomic(
         s"$dd/append-${java.util.UUID.randomUUID().toString.take(8)}",
         union.toSeq.sorted.mkString("\n"))
@@ -148,14 +146,21 @@ object MergeWriter {
   private def parseNames(txt: String): Set[String] =
     txt.split('\n').map(_.trim).filter(_.nonEmpty).toSet
 
+  /** Journal entry-file enumeration + parse, shared by the compactor and
+    * the consumer snapshot so they can never fold/consume different
+    * name sets. */
+  private def listEntries(dd: String): Seq[String] =
+    if (io.exists(dd))
+      io.listDir(dd).collect { case (n, false) if n.startsWith("append-") => n }
+    else Seq.empty
+
+  private def readEntry(dd: String, f: String): Set[String] =
+    io.readString(s"$dd/$f").map(parseNames).getOrElse(Set.empty)
+
   def snapshotDirty(path: String): DirtySnapshot = {
     val dd = dirtyDir(path)
-    val entries =
-      if (io.exists(dd))
-        io.listDir(dd).collect { case (n, false) if n.startsWith("append-") => n }
-      else Seq.empty
-    val names = entries.flatMap(f =>
-      io.readString(s"$dd/$f").map(parseNames).getOrElse(Set.empty)).toSet
+    val entries = listEntries(dd)
+    val names = entries.flatMap(f => readEntry(dd, f)).toSet
     val legacy = io.readString(dirtyPath(path)).map(parseNames)
       .getOrElse(Set.empty)
     DirtySnapshot(
