@@ -315,4 +315,51 @@ class MergeWriterSpec extends SparkSpec {
       .flatten
     assert(read.nonEmpty && read.forall(_.contains("day=2024-06-02")), read)
   }
+
+  // ------------------------------------------------------------------
+  // Append-only dirty journal: entry-file lifecycle, writer-side
+  // compaction bound, and the snapshot/consume concurrency contract.
+  // ------------------------------------------------------------------
+
+  test("dirty journal: append-only entries, bounded by compaction, names never lost") {
+    val table = tmpDir("dirtyj") + "/t"
+    def entryCount: Int = Option(
+        new java.io.File(MergeWriter.dirtyDir(table)).listFiles())
+      .map(_.count(_.getName.startsWith("append-"))).getOrElse(0)
+
+    // 70 appends: compaction (threshold 64) must have folded at least
+    // once; the UNION of names survives exactly.
+    (1 to 70).foreach(i => MergeWriter.appendDirty(table, Seq(s"p=$i")))
+    assert(entryCount <= 65, s"compaction did not bound entries: $entryCount")
+    assert(MergeWriter.readDirty(table) == (1 to 70).map(i => s"p=$i").toSet)
+
+    // Consumer snapshot taken BEFORE more appends: consuming it removes
+    // only what it saw — names appended after the snapshot survive.
+    val snap = MergeWriter.snapshotDirty(table)
+    MergeWriter.appendDirty(table, Seq("p=NEW"))
+    MergeWriter.consumeDirty(table, snap)
+    assert(MergeWriter.readDirty(table) == Set("p=NEW"))
+
+    // A crash-resumed consumer re-commits the same snapshot: deleting
+    // already-deleted entries is a no-op, nothing else is touched.
+    MergeWriter.consumeDirty(table, snap)
+    assert(MergeWriter.readDirty(table) == Set("p=NEW"))
+  }
+
+  test("dirty journal: snapshot taken before compaction stays safe to consume") {
+    val table = tmpDir("dirtyj2") + "/t"
+    (1 to 64).foreach(i => MergeWriter.appendDirty(table, Seq(s"p=$i")))
+    val snap = MergeWriter.snapshotDirty(table) // 64 entry files
+    // The 65th append trips compaction: it folds every existing entry
+    // into one fresh file and deletes the originals — including files
+    // the snapshot holds. Consuming the stale snapshot deletes nothing
+    // that still exists, and the fold file keeps the union: names are
+    // OVER-marked (benign re-derive), never lost.
+    MergeWriter.appendDirty(table, Seq("p=65"))
+    MergeWriter.consumeDirty(table, snap)
+    val after = MergeWriter.readDirty(table)
+    assert(after.contains("p=65"))
+    assert((1 to 64).map(i => s"p=$i").toSet.subsetOf(after),
+      s"compacted names lost: ${after.size}")
+  }
 }
