@@ -26,7 +26,12 @@ object QueryService {
       results: DataFrame) {
     def hasNext: Boolean = page.toLong * pageSize < count
     def hasPrevious: Boolean = page > 1
-    /** Nested-JSON rows (S8): the DRF-serializer-shaped output. */
+    /** Nested-JSON rows (S8) — Spark's compact row JSON (null fields
+      * omitted, decimals as numbers): the fast envelope render the
+      * benches measure. BYTE-parity with DRF (explicit nulls,
+      * two-decimal USD strings, Meta.fields order) is the Serializers
+      * tier — route results whose entity has a serializer render
+      * through it (Serializers.donationJson/potJson/accountJson/…). */
     def toJsonRows(): Array[String] = results.toJSON.collect()
   }
 
@@ -84,11 +89,15 @@ final class QueryService(t0: String => DataFrame) {
 
   /** Account dimension in full AccountSerializer shape
     * (accounts/serializers.py:55-66): id + gold stats + profile JSON. The
-    * stats come from the gold account_stats table when wired. Cached per
-    * service instance so the 4 donation-FK embeds plus the pot embeds all
-    * reuse one dimension subplan (and its broadcast exchange) instead of
-    * rebuilding the accounts⋈stats join per call. */
-  private lazy val accountDim: DataFrame = {
+    * stats come from the gold account_stats table when wired. A per-call
+    * `def`, NOT a cached lazy val: a resident service pinning the
+    * first-read snapshot would keep serving pre-merge embeds after a
+    * table swap — defeating ResultCache's marker-based immediate
+    * invalidation — and would throw once maintenance vacuums the
+    * swapped-out files. Plan reuse across calls comes from the caller's
+    * loader (SilverStore.registerCached re-registers only on uid
+    * change), not from pinning frames here. */
+  private def accountDim: DataFrame = {
     val a = accounts
     val base = a.select(col("id"),
       colOr(a, "near_social_profile_data", "string").as("near_social_profile_data"))
@@ -187,20 +196,10 @@ final class QueryService(t0: String => DataFrame) {
   /** PotSerializer's Meta.fields order (pots/serializers.py:16-54) —
     * nested account embeds interleave with the plain fields. */
   private val potNested = Set("deployer", "owner", "admins", "chef")
-  private val potFieldOrder = Seq(
-    "account", "pot_factory", "deployer", "deployed_at", "source_metadata",
-    "owner", "admins", "chef", "name", "description",
-    "max_approved_applicants", "base_currency", "application_start",
-    "application_end", "matching_round_start", "matching_round_end",
-    "registry_provider", "min_matching_pool_donation_amount",
-    "sybil_wrapper_provider", "custom_sybil_checks",
-    "custom_min_threshold_score", "referral_fee_matching_pool_basis_points",
-    "referral_fee_public_round_basis_points", "chef_fee_basis_points",
-    "total_matching_pool", "total_matching_pool_usd",
-    "matching_pool_balance", "matching_pool_donations_count",
-    "total_public_donations", "total_public_donations_usd",
-    "public_donations_count", "cooldown_end", "cooldown_period_ms",
-    "all_paid_out", "protocol_config_provider")
+  // The single authority for the 35-entry PotSerializer field list is the
+  // serializer itself — a drifted copy here would desynchronize potDim's
+  // struct layout from the JSON field order.
+  private val potFieldOrder = Serializers.potFields
   private val potPlainTypes: Map[String, String] = Map(
     "account" -> "string", "pot_factory" -> "string",
     "deployed_at" -> "timestamp", "source_metadata" -> "string",
@@ -235,7 +234,7 @@ final class QueryService(t0: String => DataFrame) {
     * empty M2M serializes as [], not null), gold stats joined in. Cached
     * per service instance — every donation route reuses one dimension
     * subplan instead of rebuilding the accounts⋈stats join per embed. */
-  private lazy val potDim: DataFrame = {
+  private def potDim: DataFrame = {
     val p0 = pots
     // Gold stats override the pot row's own handler-written copies (the
     // silver pots table carries total_public_donations etc. from config
@@ -396,9 +395,14 @@ final class QueryService(t0: String => DataFrame) {
 
   // ---------------------------------------------------- accounts routes
 
-  /** GET /v1/accounts (accounts/api.py:95-123): scan, order id. */
+  /** GET /v1/accounts (accounts/api.py:95-123): scan, order id. Rows are
+    * the AccountSerializer shape (id + gold stats + profile — the
+    * accountDim), never raw silver columns: the raw frame carries ingest
+    * seq columns that must not leak into API JSON, and the reference
+    * guarantees the four stat fields on every account row
+    * (accounts/serializers.py:55-66). */
   def accountsList(page: Int = 1, pageSize: Int = DefaultPageSize): Page =
-    paginate(accounts, Seq(col("id").asc), page, pageSize)
+    paginate(accountDim, Seq(col("id").asc), page, pageSize)
 
   /** GET /v1/accounts, keyset variant (?after=<last id>): the 100 TB
     * pagination path — same rows as the page-number form, but the
@@ -408,7 +412,7 @@ final class QueryService(t0: String => DataFrame) {
     * (SURVEY §7.4-6). */
   def accountsListKeyset(after: Option[String],
       pageSize: Int = DefaultPageSize): DataFrame =
-    Relational.keysetSlice(accounts, Seq((col("id"), true)),
+    Relational.keysetSlice(accountDim, Seq((col("id"), true)),
       after.map(Seq(_)), pageSize)
 
   /** Keyset form of a donations feed (donated_at DESC, on_chain_id ASC
@@ -418,9 +422,10 @@ final class QueryService(t0: String => DataFrame) {
     donationKeyset(identity,
       after.map { case (ts, id) => Seq(ts, id) }, pageSize)
 
-  /** GET /v1/accounts/{id} (accounts/api.py:126-160). */
+  /** GET /v1/accounts/{id} (accounts/api.py:126-160): one
+    * AccountSerializer-shaped row. */
   def accountDetail(id: String): DataFrame =
-    accounts.filter(col("id") === id)
+    accountDim.filter(col("id") === id)
 
   /** GET /v1/accounts/{id}/active_pots [?status=live]
     * (accounts/api.py:163-217): approved applications → pots, optional
@@ -542,12 +547,12 @@ final class QueryService(t0: String => DataFrame) {
     * J2 semi-join + optional O2 sort over the gold account_stats. */
   def donors(sortMostDonated: Boolean, page: Int = 1,
       pageSize: Int = DefaultPageSize): Page = {
-    val a = accounts
+    val a = accountDim
     val d = donations
-    val donorsDf = Relational.semiJoin(a, d, a("id") === d("donor"))
-    val withStats = donorsDf.join(
-      t("account_stats").select(col("id"), col("total_donations_out_usd")),
-      Seq("id"), "left")
+    // accountDim already carries total_donations_out_usd (null-typed when
+    // the gold table has not been built yet — the route must not 500 on a
+    // fresh deployment where the beat has never run).
+    val withStats = Relational.semiJoin(a, d, a("id") === d("donor"))
     val order =
       if (sortMostDonated)
         Seq(col("total_donations_out_usd").desc_nulls_last, col("id").asc)
@@ -622,13 +627,21 @@ final class QueryService(t0: String => DataFrame) {
 
   /** GET /v1/lists/{id}/random_registration [?status]
     * (lists/api.py:167-225): O5 — deterministic seeded pick (rand() in the
-    * reference; we pin to an md5-ordered pick for replayability). */
-  def randomRegistration(listId: Long, status: Option[String]): DataFrame = {
-    val base = t("list_registrations").filter(col("list_id") === listId)
-    val f = status.map(s => base.filter(col("status") === s)).getOrElse(base)
-    f.orderBy(md5(col("on_chain_id").cast("string").cast("binary")).asc,
-      col("on_chain_id").asc).limit(1)
-  }
+    * reference; we pin to an md5-ordered pick for replayability). Performs
+    * the same status-enum validation as its sibling routes — the
+    * reference 400s on an invalid status (lists/api.py:211) rather than
+    * returning an empty pick. */
+  def randomRegistration(listId: Long,
+      status: Option[String]): Either[String, DataFrame] =
+    status.filterNot(Schemas.registrationStatuses.contains) match {
+      case Some(bad) => Left(QueryService.invalidStatusMessage(bad))
+      case None =>
+        val base = t("list_registrations").filter(col("list_id") === listId)
+        val f = status.map(s => base.filter(col("status") === s)).getOrElse(base)
+        Right(f.orderBy(
+          md5(col("on_chain_id").cast("string").cast("binary")).asc,
+          col("on_chain_id").asc).limit(1))
+    }
 
   // ---------------------------------------------------- pots routes
 
@@ -697,7 +710,7 @@ final class QueryService(t0: String => DataFrame) {
     val sponsorIds = donations
       .filter(col("pot") === potId && col("matching_pool"))
       .select(col("donor")).distinct()
-    val a = accounts
+    val a = accountDim
     paginate(
       Relational.semiJoin(a, sponsorIds, a("id") === sponsorIds("donor")),
       Seq(col("id").asc), page, pageSize)
@@ -709,7 +722,7 @@ final class QueryService(t0: String => DataFrame) {
     val sponsorIds = donations
       .filter(col("pot") === potId && col("matching_pool"))
       .select(col("donor")).distinct()
-    val a = accounts
+    val a = accountDim
     Relational.keysetSlice(
       Relational.semiJoin(a, sponsorIds, a("id") === sponsorIds("donor")),
       Seq((col("id"), true)), after.map(Seq(_)), pageSize)

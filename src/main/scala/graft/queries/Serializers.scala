@@ -28,9 +28,14 @@ object Serializers {
 
   def usdString(c: Column): Column = plain(twoDecimalString(c))
 
-  /** ISO-8601 with UTC offset, DRF's default datetime rendering. */
+  /** ISO-8601 with UTC offset, DRF's default datetime rendering.
+    * Python's `isoformat()` (DRF DateTimeField) OMITS the fractional
+    * part entirely when microseconds are zero — a whole-second timestamp
+    * must render "…T00:00:00Z", not "…T00:00:00.000000Z". */
   def isoTs(c: Column): Column =
-    date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    when(unix_micros(c) % 1000000L === 0L,
+      date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .otherwise(date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
 
   /** Rewrite a nested embed struct to DRF's rendering rules, preserving
     * field order: every decimal field becomes a two-decimal-place STRING
@@ -168,7 +173,7 @@ object Serializers {
     * `list` embed recurses through ListSerializer's shape
     * (lists/serializers.py:9-27). */
   def listRegistrationJson(df: DataFrame): DataFrame =
-    entityJson(df, listRegistrationFields)
+    entityJson(withAlias(df, "list", "list_id"), listRegistrationFields)
 
   /** PotPayoutSerializer Meta.fields (pots/serializers.py:100-117) minus
     * the DB surrogate `id`; pot/recipient/token embed as full objects
@@ -179,7 +184,17 @@ object Serializers {
     "tx_hash")
 
   /** Payout row → PotPayoutSerializer-shaped JSON. */
-  def potPayoutJson(df: DataFrame): DataFrame = entityJson(df, potPayoutFields)
+  def potPayoutJson(df: DataFrame): DataFrame =
+    entityJson(withAlias(df, "token", "ft"), potPayoutFields)
+
+  /** Serializer-field tolerance for the silver column names: routes emit
+    * the storage schema (`list_id`, `ft`) where the DRF serializer
+    * declares the FK field name (`list`, `token`); an unexpanded flat
+    * frame degrades to the raw FK under the serializer's name instead of
+    * throwing UNRESOLVED_COLUMN on its own route's output. */
+  private def withAlias(df: DataFrame, field: String, alt: String): DataFrame =
+    if (!df.columns.contains(field) && df.columns.contains(alt))
+      df.withColumn(field, col(alt)) else df
 
   /** Account row → AccountSerializer-shaped JSON (accounts/
     * serializers.py:55-78): id, the four gold stat fields, then the
@@ -217,8 +232,14 @@ object Serializers {
       .withColumn("json", concat(
         expr("substring(__prefix, 1, length(__prefix) - 1)"),
         lit(",\"near_social_profile_data\":"),
+        // Splice only VALID JSON: the first-char check alone is
+        // bypassable ("{oops" is a string-scalar profile the upstream
+        // extraction unquoted); get_json_object("$") is null on
+        // malformed input, so invalid blobs take the re-escape branch.
         when(substring(trim(col("near_social_profile_data")), 1, 1)
-            .isin("{", "["), col("near_social_profile_data"))
+            .isin("{", "[") &&
+            get_json_object(col("near_social_profile_data"), "$").isNotNull,
+          col("near_social_profile_data"))
           .otherwise(expr("substring(__wrapped, 6, length(__wrapped) - 6)")),
         lit("}")))
       .drop("__prefix", "__wrapped")
@@ -228,7 +249,10 @@ object Serializers {
     * {count, next, previous, results}). */
   def envelopeJson(count: Long, next: Option[String], previous: Option[String],
       resultsJson: Seq[String]): String = {
-    def opt(s: Option[String]) = s.map("\"" + _ + "\"").getOrElse("null")
+    // next/previous echo user-driven request URLs — escape them like
+    // errorJson escapes messages, or a quote in a query param corrupts
+    // the envelope document.
+    def opt(s: Option[String]) = s.map("\"" + escapeJson(_) + "\"").getOrElse("null")
     s"""{"count": $count, "next": ${opt(next)}, "previous": ${opt(previous)}, "results": [${resultsJson.mkString(",")}]}"""
   }
 
@@ -238,16 +262,16 @@ object Serializers {
     * envelope the way DRF pairs its error Responses with paginated ones;
     * the message is escaped so ids containing quotes/control characters
     * cannot break the document. */
-  def errorJson(message: String): String = {
-    val esc = message.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < 0x20 => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    s"""{"message": "$esc"}"""
+  def errorJson(message: String): String =
+    s"""{"message": "${escapeJson(message)}"}"""
+
+  private def escapeJson(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < 0x20 => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 }

@@ -267,9 +267,14 @@ class QueryServiceSpec extends SparkSpec {
   }
 
   test("random registration deterministic (O5)") {
-    val a = qs.randomRegistration(5L, Some("Approved")).head().getAs[Long]("on_chain_id")
-    val b = qs.randomRegistration(5L, Some("Approved")).head().getAs[Long]("on_chain_id")
+    val a = qs.randomRegistration(5L, Some("Approved")).toOption.get
+      .head().getAs[Long]("on_chain_id")
+    val b = qs.randomRegistration(5L, Some("Approved")).toOption.get
+      .head().getAs[Long]("on_chain_id")
     assert(a == b && Set(11L, 13L).contains(a))
+    // Invalid status 400s with the reference's message (lists/api.py:211)
+    assert(qs.randomRegistration(5L, Some("bogus")) ==
+      Left(QueryService.invalidStatusMessage("bogus")))
   }
 
   test("stats endpoint reads gold global stats (A1)") {
@@ -304,7 +309,7 @@ class QueryServiceSpec extends SparkSpec {
       assert(p.results.count() <= p.count)
     }
     Seq(qs.accountDetail("proj1.near"), qs.listDetail(5L),
-      qs.potDetail("pot1.pot.near"), qs.randomRegistration(5L, None),
+      qs.potDetail("pot1.pot.near"), qs.randomRegistration(5L, None).toOption.get,
       qs.stats(), qs.donateContractConfig()).foreach { df =>
       assert(df.count() == 1)
     }
@@ -330,10 +335,20 @@ class QueryServiceSpec extends SparkSpec {
       .filter(col("on_chain_id") === 1).head().getAs[String]("json")
     assert(json.contains("\"total_amount_usd\":\"10.00\""))
     assert(json.contains("\"referrer\":null"))
-    assert(json.contains("\"donated_at\":\"2024-06-10T00:00:00.000000Z\""))
+    assert(json.contains("\"donated_at\":\"2024-06-10T00:00:00Z\""))
+    // Python isoformat duality: micros render when (and only when)
+    // nonzero — the zero case above omits the fraction entirely.
+    val micro = spark.sql(
+      "SELECT timestamp'2024-06-10 01:02:03.123456' AS ts")
+      .select(Serializers.isoTs(col("ts")).as("s")).head().getString(0)
+    assert(micro == "2024-06-10T01:02:03.123456Z")
 
     val env = Serializers.envelopeJson(31, Some("?page=2"), None, Seq(json))
     assert(env.startsWith("{\"count\": 31, \"next\": \"?page=2\", \"previous\": null,"))
+    // next/previous URLs are user-echoed — escaping must hold the
+    // envelope together when a param carries a quote.
+    val evil = Serializers.envelopeJson(1, Some("?category=a\"b"), None, Nil)
+    assert(evil.contains("\"next\": \"?category=a\\\"b\""))
   }
 
   test("golden byte-parity: donation JSON matches the reference serializer example") {
@@ -470,6 +485,16 @@ class QueryServiceSpec extends SparkSpec {
     // The document as a whole stays parseable JSON.
     assert(spark.range(1).select(
       from_json(lit(scalarJson), schema_of_json(lit(scalarJson)))).count() == 1)
+
+    // A scalar profile that STARTS with '{' ("{oops" — the first-char
+    // check alone would splice it raw and corrupt the document) must
+    // also take the re-escape branch: only VALID object/array JSON
+    // splices.
+    val trap = a.withColumn("near_social_profile_data", lit("{oops"))
+    val trapJson = Serializers.accountJson(trap).head().getAs[String]("json")
+    assert(trapJson.endsWith(""""near_social_profile_data":"{oops"}"""))
+    assert(spark.range(1).select(
+      from_json(lit(trapJson), schema_of_json(lit(trapJson)))).count() == 1)
   }
 
   test("golden byte-parity: pot, list registration and payout JSON match the reference serializers") {
@@ -551,10 +576,10 @@ class QueryServiceSpec extends SparkSpec {
         """"name":"My Pot Name",""" +
         """"description":"To support impactful open source software projects.",""" +
         """"max_approved_applicants":50,"base_currency":"near",""" +
-        """"application_start":"2024-04-08T04:00:00.000000Z",""" +
-        """"application_end":"2024-04-22T03:59:00.000000Z",""" +
-        """"matching_round_start":"2024-04-22T04:00:00.000000Z",""" +
-        """"matching_round_end":"2024-05-06T03:59:00.000000Z",""" +
+        """"application_start":"2024-04-08T04:00:00Z",""" +
+        """"application_end":"2024-04-22T03:59:00Z",""" +
+        """"matching_round_start":"2024-04-22T04:00:00Z",""" +
+        """"matching_round_end":"2024-05-06T03:59:00Z",""" +
         """"registry_provider":"registry.potlock.near:is_registered",""" +
         """"min_matching_pool_donation_amount":"0",""" +
         """"sybil_wrapper_provider":"v1.nadabot.near:is_human",""" +
