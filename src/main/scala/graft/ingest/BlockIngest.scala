@@ -45,7 +45,11 @@ object BlockIngest {
           .as(Seq("receipt_index", "ro")))
       .select(
         col("block_height"), col("block_timestamp"),
-        col("shard_index"), col("receipt_index").cast("int").as("receipt_index"),
+        // LONG to match Schemas.ingestSeq — the snapshot/backfill writers
+        // stamp lit(-1L); a mixed int32/int64 physical type across files
+        // of one scoped-merged table breaks later schema-by-footer reads.
+        col("shard_index").cast("long").as("shard_index"),
+        col("receipt_index").cast("int").as("receipt_index"),
         col("ro.receipt.receipt_id").as("receipt_id"),
         col("ro.receipt.receiver_id").as("receiver_id"),
         col("ro.receipt.predecessor_id").as("predecessor_id"),
@@ -119,6 +123,7 @@ object BlockIngest {
       .select(
         col("block_height"), col("shard_index"), col("receipt_index"),
         col("action_index").cast("int").as("action_index"),
+        lit("action").as("kind"),
         col("receipt_id"), col("receiver_id"),
         col("action.FunctionCall.method_name").as("method_name"),
         col("args_json"), col("result_json"))
@@ -133,7 +138,12 @@ object BlockIngest {
         try_parse_json(expr(s"substring(log, ${prefix.length + 1})")).isNull)
       .select(
         col("block_height"), col("shard_index"), col("receipt_index"),
+        // Actions and logs index INDEPENDENTLY: a receipt with a bad
+        // action 0 AND a bad EVENT_JSON log 0 must quarantine BOTH rows,
+        // so `kind` joins the keep-first key (one shared keyspace would
+        // silently drop one of them).
         col("log_index").cast("int").as("action_index"),
+        lit("log").as("kind"),
         col("receipt_id"), col("receiver_id"),
         lit(null).cast("string").as("method_name"),
         col("log").as("args_json"),

@@ -71,10 +71,16 @@ object Chains {
   def mergeInto(spark: SparkSession, silverDir: String, rows: DataFrame,
       atHeight: Long = 0L): Long = {
     val path = s"$silverDir/chains"
-    val gen = scala.util.Try {
-      val r = spark.read.parquet(path).agg(max(col("receipt_index"))).head()
-      if (r.isNullAt(0)) 0 else r.getInt(0) + 1
-    }.getOrElse(0)
+    // Missing table → generation 0; any OTHER probe failure propagates.
+    // A broad catch here would silently reset gen on a transient read
+    // error, and the reload's rows would lose LWW to the standing ones —
+    // a no-op reload with no error surfaced.
+    val gen =
+      if (!graft.operators.MergeWriter.io.exists(path)) 0
+      else {
+        val r = spark.read.parquet(path).agg(max(col("receipt_index"))).head()
+        if (r.isNullAt(0)) 0 else r.getInt(0) + 1
+      }
     graft.operators.MergeWriter.merge(spark,
       rows.withColumn("block_height", lit(atHeight))
         .withColumn("shard_index", lit(-1L))

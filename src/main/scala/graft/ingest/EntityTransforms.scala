@@ -55,16 +55,7 @@ object EntityTransforms {
     * "null" results skipped (handler.py:298-302); net recomputed when
     * missing/zero (utils.py:875-884, F2). */
   def donations(actions: DataFrame): DataFrame = {
-    val donateMethods = Seq(
-      "donate", "handle_protocol_fee_callback", "sybil_callback",
-      "transfer_funds_callback")
-    val src = actions
-      .filter(col("method_name").isin(donateMethods: _*))
-      .filter(isPotSub || col("receiver_id") === contracts.donate)
-      .filter(col("result_json").isNotNull &&
-        trim(col("result_json")) =!= "null" && trim(col("result_json")) =!= "")
-      .withColumn("p", from_json(col("result_json"), donationPayload))
-      .filter(col("p.id").isNotNull)
+    val src = parsedDonations(actions)
 
     val totalDec = Amounts.u128(col("p.total_amount"))
     val protoDec = Amounts.u128(col("p.protocol_fee"))
@@ -112,17 +103,8 @@ object EntityTransforms {
     * signer/receiver come from the RECEIPT (reference stores the receipt's
     * signer_id/receiver_id, not the donation's donor/project — they differ
     * for callback-driven donations and direct donations). */
-  def donationActivities(actions: DataFrame): DataFrame = {
-    val donateMethods = Seq(
-      "donate", "handle_protocol_fee_callback", "sybil_callback",
-      "transfer_funds_callback")
-    actions
-      .filter(col("method_name").isin(donateMethods: _*))
-      .filter(isPotSub || col("receiver_id") === BlockIngest.contracts.donate)
-      .filter(col("result_json").isNotNull &&
-        trim(col("result_json")) =!= "null" && trim(col("result_json")) =!= "")
-      .withColumn("p", from_json(col("result_json"), donationPayload))
-      .filter(col("p.id").isNotNull)
+  def donationActivities(actions: DataFrame): DataFrame =
+    parsedDonations(actions)
       .select(Seq(
         col("signer_id").as("signer"),
         col("receiver_id").as("receiver"),
@@ -137,6 +119,23 @@ object EntityTransforms {
         when(!isPotSub, "Donate_Direct")
           .when(coalesce(col("p.matching_pool"), lit(false)), "Donate_Pot_Matching_Pool")
           .otherwise("Donate_Pot_Public").as("type")) ++ seqCols: _*)
+
+  /** The donate-family gate + payload parse shared by [[donations]] and
+    * [[donationActivities]] — ONE source of truth for which receipts
+    * count as donations (a rule added to one consumer but not the other
+    * would silently desynchronize the donations table from the activity
+    * feed). */
+  private def parsedDonations(actions: DataFrame): DataFrame = {
+    val donateMethods = Seq(
+      "donate", "handle_protocol_fee_callback", "sybil_callback",
+      "transfer_funds_callback")
+    actions
+      .filter(col("method_name").isin(donateMethods: _*))
+      .filter(isPotSub || col("receiver_id") === contracts.donate)
+      .filter(col("result_json").isNotNull &&
+        trim(col("result_json")) =!= "null" && trim(col("result_json")) =!= "")
+      .withColumn("p", from_json(col("result_json"), donationPayload))
+      .filter(col("p.id").isNotNull)
   }
 
   /** Activity rows for the non-donation handlers (SURVEY §2.10 "Entities
@@ -551,6 +550,9 @@ object EntityTransforms {
       .withColumn("a", from_json(col("args_json"),
         ddl("registration_id BIGINT, status STRING, notes STRING")))
       .withColumn("p", from_json(col("result_json"), registrationPayload))
+      // Both payloads unparseable -> no key -> no row (the listStatusChanges
+      // guard; a NULL-keyed junk row would otherwise merge and surface).
+      .filter(coalesce(col("p.id"), col("a.registration_id")).isNotNull)
       .select(Seq(
         coalesce(col("p.id"), col("a.registration_id")).as("on_chain_id"),
         col("p.list_id").as("list_id"),

@@ -108,11 +108,12 @@ object SilverStore {
     else partitionSpec.get(name) match {
       case Some((pcol, pexpr)) =>
         val withP = df.withColumn(pcol, pexpr)
-        val p = java.nio.file.Paths.get(s"$dir/$name")
         // Bootstrap: an empty first batch still creates a readable
         // (schema-only, unpartitioned) table; the first real merge
-        // migrates it to the partitioned layout.
-        if (!java.nio.file.Files.exists(p) && withP.isEmpty)
+        // migrates it to the partitioned layout. Existence probes go
+        // through the TableIO seam — java.nio against local disk would
+        // misroute on an HDFS/object-store TableIO substitution.
+        if (!MergeWriter.io.exists(s"$dir/$name") && withP.isEmpty)
           MergeWriter.merge(spark, withP, s"$dir/$name", keys, seqCols)
         else
           MergeWriter.mergePartitioned(spark, withP, s"$dir/$name", keys,
@@ -209,7 +210,7 @@ final class SilverStore(spark: SparkSession, dir: String) {
     }
   }
   def exists(name: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path(name)))
+    MergeWriter.io.exists(path(name))
 
   /** The blacklist as the reference's query surface sees it. The
     * reference HARD-deletes rows on `unblacklist_account`
@@ -294,8 +295,21 @@ final class SilverStore(spark: SparkSession, dir: String) {
       val r = e.agg(max(col("__prev_id"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }.getOrElse(0L)
+    // NULL-SAFE identity matching throughout: a provider payload may
+    // carry a null identity field (optional method_name etc.), and a
+    // plain equi-join would never match it against its own prior
+    // assignment — the row would take a fresh id every batch (or land
+    // under a NULL on_chain_id downstream).
+    def joinIdentity(left: DataFrame, right: DataFrame,
+        rightKeep: String): DataFrame = {
+      val r = right.select(
+        identity.map(c => col(c).as(s"__r_$c")) :+ col(rightKeep): _*)
+      val cond = identity.map(c => left(c) <=> col(s"__r_$c")).reduce(_ && _)
+      left.join(broadcast(r), cond, "left")
+        .drop(identity.map(c => s"__r_$c"): _*)
+    }
     val joined = existing match {
-      case Some(e) => p13.join(broadcast(e), identity, "left")
+      case Some(e) => joinIdentity(p13, e, "__prev_id")
       case None => p13.withColumn("__prev_id", lit(null).cast("bigint"))
     }
     // Number DISTINCT new identities, not rows: the same provider emitted
@@ -311,8 +325,8 @@ final class SilverStore(spark: SparkSession, dir: String) {
       .agg(min(struct(seq.map(col): _*)).as("__first"))
       .withColumn("__new_id", lit(base) + row_number().over(w))
       .drop("__first")
-    val fresh = joined.filter(col("__prev_id").isNull)
-      .join(broadcast(freshIds), identity, "left")
+    val fresh = joinIdentity(joined.filter(col("__prev_id").isNull),
+        freshIds, "__new_id")
       .withColumn("on_chain_id", col("__new_id"))
       .drop("__new_id")
     val reused = joined.filter(col("__prev_id").isNotNull)
@@ -571,8 +585,24 @@ final class SilverStore(spark: SparkSession, dir: String) {
       lww("pot_factories",
         factoryDeployRows.unionByName(factoryCfg, allowMissingColumns = true),
         Seq("account"), need = has("new", "factory") || factoryCfgHit)
-      lww("pot_applications",
-        potApplications(acts).unionByName(applicationStatusUpdates(reviews)),
+      // Status updates apply only to applications that EXIST — the
+      // reference afirst()s the application and returns on None
+      // (utils.py:561-569) — so semi-join against this batch's creates
+      // plus the existing table (the lists/pots gating pattern).
+      val applCreates = potApplications(acts)
+      val applUpdates = {
+        val upd = applicationStatusUpdates(reviews)
+        if (!reviewHit) upd.limit(0)
+        else {
+          val known = applCreates.select("pot", "applicant").unionByName(
+            if (exists("pot_applications"))
+              table("pot_applications").select("pot", "applicant")
+            else spark.emptyDataFrame
+              .select(lit("").as("pot"), lit("").as("applicant")).limit(0))
+          upd.join(known, Seq("pot", "applicant"), "left_semi")
+        }
+      }
+      lww("pot_applications", applCreates.unionByName(applUpdates),
         naturalKeys("pot_applications"), need = applyHit || reviewHit)
       first("pot_application_reviews", reviews,
         naturalKeys("pot_application_reviews"), need = reviewHit)
@@ -605,8 +635,22 @@ final class SilverStore(spark: SparkSession, dir: String) {
       lww("lists", creates.unionByName(updates), naturalKeys("lists"),
         need = has("create_list", "lists") ||
           has("admin_set_default_project_status", "lists"))
-      lww("list_registrations",
-        listRegistrations(acts).unionByName(registrationUpdates(acts)),
+      // Registration updates likewise touch only EXISTING rows — the
+      // reference's filter(id=...).aupdate() matches nothing on unknown
+      // ids (utils.py:469) — never inserting a skeleton row.
+      val regCreates = listRegistrations(acts)
+      val regUpdates = {
+        val upd = registrationUpdates(acts)
+        if (!has("update_registration", "lists")) upd.limit(0)
+        else {
+          val known = regCreates.select("on_chain_id").unionByName(
+            if (exists("list_registrations"))
+              table("list_registrations").select("on_chain_id")
+            else spark.emptyDataFrame.select(lit(0L).as("on_chain_id")).limit(0))
+          upd.join(known, Seq("on_chain_id"), "left_semi")
+        }
+      }
+      lww("list_registrations", regCreates.unionByName(regUpdates),
         naturalKeys("list_registrations"),
         need = has("register_batch", "lists") || has("update_registration", "lists"))
       first("list_upvotes", listUpvotes(acts), Seq("list_id", "account"),
@@ -644,7 +688,7 @@ final class SilverStore(spark: SparkSession, dir: String) {
       // are kept inspectable instead of silently dropped. No method gate
       // can predict decode failures, so this one probes its own extract.
       val q = BlockIngest.quarantine(receipts)
-      first("quarantine", q, Seq("receipt_id", "action_index"),
+      first("quarantine", q, Seq("receipt_id", "kind", "action_index"),
         need = !q.isEmpty)
 
       // Stream-cursor parity row (S2; reference BlockHeight singleton,

@@ -134,9 +134,19 @@ object SnapshotBackfill {
         |submitted_at BIGINT, updated_at BIGINT, review_notes STRING"""
         .stripMargin).asInstanceOf[org.apache.spark.sql.types.StructType]
 
+  /** Shared parsed read of an applications dump — [[potApplications]] and
+    * [[potApplicationReviews]] consume the SAME file; the overloads taking
+    * this frame avoid a second probe + parse per pot (the
+    * readPotSnapshot pattern). */
+  def readApplicationSnapshot(spark: SparkSession, path: String): DataFrame =
+    readSnapshot(spark, path, applicationSnapshotPayload, "project_id")
+
   def potApplications(spark: SparkSession, path: String, pot: String,
+      snapshotHeight: Long): DataFrame =
+    potApplications(readApplicationSnapshot(spark, path), pot, snapshotHeight)
+
+  def potApplications(raw: DataFrame, pot: String,
       snapshotHeight: Long): DataFrame = {
-    val raw = readSnapshot(spark, path, applicationSnapshotPayload, "project_id")
     withSeq(raw.select(
       lit(pot).as("pot"),
       col("project_id").as("applicant"),
@@ -152,8 +162,12 @@ object SnapshotBackfill {
     * populatedata.py:368-381: reviewer defaults to the POT OWNER, notes
     * from review_notes, reviewed_at = updated_at). */
   def potApplicationReviews(spark: SparkSession, path: String, pot: String,
+      potOwner: String, snapshotHeight: Long): DataFrame =
+    potApplicationReviews(readApplicationSnapshot(spark, path), pot,
+      potOwner, snapshotHeight)
+
+  def potApplicationReviews(raw: DataFrame, pot: String,
       potOwner: String, snapshotHeight: Long): DataFrame = {
-    val raw = readSnapshot(spark, path, applicationSnapshotPayload, "project_id")
     withSeq(raw.filter(col("status") =!= "Pending").select(
       lit(pot).as("pot"),
       col("project_id").as("applicant"),

@@ -486,4 +486,30 @@ class IngestSpec extends SparkSpec {
     val c = silver.table("chains").collect()
     assert(c.length == 1 && c(0).getAs[String]("name") == "NEAR")
   }
+
+  test("updates for unknown entities no-op, never insert skeleton rows") {
+    // Reference semantics: handle_pot_application_status_change afirst()s
+    // the application and returns on None (utils.py:561-569);
+    // handle_list_registration_update's filter(id=…).aupdate() matches
+    // nothing for an unknown id (utils.py:469). A stream started
+    // mid-history must not materialize half-null rows from these.
+    val dir = tmpDir("unknown-updates")
+    val in = tmpDir("unknown-updates-in")
+    writeBlocks(in, Seq(block(900, tsOf(900), Seq(
+      receipt(potAccount, "chef_set_application_status",
+        """{"project_id": "ghost.near"}""",
+        resultJson = Some(
+          """{"status": "Approved", "review_notes": "x", "updated_at": 1718000300000}"""),
+        receiptId = "rZ1", signer = "chef.near"),
+      receipt("lists.potlock.near", "update_registration",
+        """{"registration_id": 999, "status": "Approved"}""",
+        resultJson = Some("null"), receiptId = "rZ2", signer = "adm.near")))))
+    StreamIngest.backfill(spark, in, dir)
+    val s = new SilverStore(spark, dir)
+    assert(s.table("pot_applications")
+      .filter(col("applicant") === "ghost.near").count() == 0)
+    assert(s.table("list_registrations")
+      .filter(col("on_chain_id") === 999).count() == 0)
+    assert(s.table("pot_applications").count() == 0)
+  }
 }
