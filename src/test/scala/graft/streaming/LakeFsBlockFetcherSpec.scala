@@ -75,7 +75,7 @@ class LakeFsBlockFetcherSpec extends SparkSpec {
       spark.read.schema(graft.ingest.Schemas.blockMessage)
         .json(Seq(msg).toDS()))
       .select("shard_index", "receipt_id").collect()
-      .map(x => (x.getInt(0).toLong, x.getString(1))).sortBy(_._1)
+      .map(x => (x.getLong(0), x.getString(1))).sortBy(_._1)
     // positions 0,1,2 must hold shard ids 0,2,10 in that order
     assert(rows.toSeq == Seq((0L, "shard0"), (1L, "shard2"), (2L, "shard10")))
   }
