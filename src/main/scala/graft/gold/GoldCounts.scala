@@ -1,0 +1,83 @@
+package graft.gold
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.SilverStore
+import graft.operators.{BucketedLayout, MergeWriter}
+
+/** Envelope-count provider over the gold counter states — the serve
+  * plane's answer to the per-request count job (reference
+  * api/pagination.py:8-9: DRF counts the queryset on every page request).
+  *
+  * At 100 TB the donation routes' count job is the cold-path bottleneck:
+  * `donations` is donor-bucketed, so a recipient- or pot-filtered count
+  * scans the whole fact table per request. The incremental gold beat
+  * already maintains exact per-key counters as additive monoid state
+  * (GoldRefresh: recv_pairs(recipient, donor, n, usd) /
+  * donor_state(donor, n, …) / pot_state(pot, n, …), each BUCKETED on its
+  * key) — so the count is a bucket-pruned lookup of state rows, work
+  * bounded by one bucket regardless of corpus size.
+  *
+  * Exactness contract (counts must equal the live scan count, not
+  * approximate it): a count is served ONLY when gold is provably current
+  * with silver — the donations swap-marker uid recorded by the last
+  * refresh (gold_meta) equals the table's uid NOW. Every merge path
+  * rotates the marker, so uid equality ⟺ no donation write since the
+  * beat. Anything else (no beat yet, ingest since the beat, missing
+  * state) answers None and the caller falls back to the live count job —
+  * degraded latency, never a wrong envelope.
+  *
+  * State reads go through cached bucketed-table registrations
+  * (SilverStore.registerCached), so the scan reports the key's
+  * HashPartitioning and Spark prunes to the key's single bucket.
+  */
+final class GoldCounts(spark: SparkSession, silverDir: String) {
+  private def io = MergeWriter.io
+  private val buckets = SilverStore.bucketSpec("accounts")._2
+
+  private def uidOf(path: String): String =
+    io.readString(MergeWriter.swapMarkerPath(path)).getOrElse("")
+
+  /** Gold counters current with silver? (see exactness contract above) */
+  def current(): Boolean =
+    GoldRefresh.inputUid(silverDir, "donations")
+      .exists(recorded => recorded.nonEmpty &&
+        recorded == uidOf(s"$silverDir/donations"))
+
+  /** A state table as a bucket-pruning scan, or None when absent /
+    * not yet in bucketed layout (pre-beat store). */
+  private def state(name: String, keyCol: String): Option[DataFrame] = {
+    val p = s"${GoldRefresh.stateDir(silverDir)}/$name"
+    if (!io.exists(p) || !BucketedLayout.looksBucketed(p)) return None
+    val catalogName = s"graft_goldcount_${name}_" +
+      Integer.toHexString(silverDir.hashCode).replace('-', 'n')
+    SilverStore.registerCached(spark, catalogName, p) {
+      BucketedLayout.registerExternal(
+        spark, catalogName, p, spark.read.parquet(p).schema, keyCol, buckets)
+    }
+    Some(spark.table(catalogName))
+  }
+
+  /** Sum the live counter over rows matching `key` — a key with no state
+    * row has zero donations, a real count. The grouped sum collapses
+    * map-side within the key's single bucket. */
+  private def lookup(name: String, keyCol: String, key: String): Option[Long] =
+    if (!current()) None
+    else state(name, keyCol).map { st =>
+      st.filter(col(keyCol) === key)
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    }
+
+  /** Count for GET /v1/accounts/{id}/donations_received. */
+  def donationsReceived(id: String): Option[Long] =
+    lookup("recv_pairs", "recipient", id)
+
+  /** Count for GET /v1/accounts/{id}/donations_sent. */
+  def donationsSent(id: String): Option[Long] =
+    lookup("donor_state", "donor", id)
+
+  /** Count for GET /v1/pots/{id}/donations. */
+  def potDonations(potId: String): Option[Long] =
+    lookup("pot_state", "pot", potId)
+}

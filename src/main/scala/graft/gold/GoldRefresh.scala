@@ -127,7 +127,15 @@ object GoldRefresh {
     "accounts" -> s"$silverDir/accounts",
     "pot_payouts" -> s"$silverDir/pot_payouts")
 
-  private def stateDir(silverDir: String) = s"$silverDir/gold_state"
+  private[gold] def stateDir(silverDir: String) = s"$silverDir/gold_state"
+
+  /** The input-table fingerprint the LAST refresh consumed (swap-marker
+    * uid for marker-stamped tables, content signature for tokens/prices)
+    * — None before any refresh. Read-side consumers (gold.GoldCounts)
+    * compare it against the table's CURRENT uid to decide whether gold
+    * counters are exactly current with silver. */
+  def inputUid(silverDir: String, table: String): Option[String] =
+    readMeta(silverDir).flatMap(_.uids.get(table))
 
   /** Generation fence for a state/final table: `<table>.goldgen` holds
     * "gen|rowsBefore|rowsAfter|distinctBefore|distinctAfter" after the
@@ -596,16 +604,13 @@ object GoldRefresh {
     def changed(meta: Meta, k: String): Boolean = {
       val prev = meta.uids.getOrElse(k, "")
       val now = uidsNow(k)
-      // Legacy-format shim: metas written before the count:sum:xor
-      // multiset signature stored the bare xor long. The xor leg is the
-      // SAME expression, so compare against it — an unchanged table must
-      // not read as "changed" (= a spurious full rebuild / re-enrichment)
-      // just because this code was redeployed over a standing store.
-      val effectiveNow =
-        if (prev.nonEmpty && !prev.contains(":") && now.contains(":"))
-          now.split(':')(2)
-        else now
-      prev.isEmpty || effectiveNow.isEmpty || prev != effectiveNow
+      // Signature formats are compared verbatim — a meta written by an
+      // older signature scheme reads as "changed" and costs ONE full
+      // rebuild on the first post-upgrade refresh. That is the honest
+      // price of an upgrade: a format shim can only vouch for metas the
+      // same process wrote, and a false "unchanged" here would leave gold
+      // silently stale forever (the asymmetric risk).
+      prev.isEmpty || now.isEmpty || prev != now
     }
 
     if (metaOpt.isEmpty) {
@@ -969,6 +974,13 @@ object GoldRefresh {
     if (io.exists(path)) io.atomicMove(path, old)
     io.atomicMove(tmp, path)
     io.deleteRecursively(old)
+    // Swap marker, same contract as MergeWriter's writers: downstream
+    // freshness checks (ResultCache.uidsFor, SilverStore's registration
+    // cache) read one small file instead of hashing table contents — and
+    // gold-fed routes invalidate the moment a refresh swaps in, not at
+    // cache TTL.
+    io.writeStringAtomic(
+      graft.operators.MergeWriter.swapMarkerPath(path), uid)
   }
 
   def main(args: Array[String]): Unit = {

@@ -138,7 +138,7 @@ object SilverStore {
   private val registerLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private[ingest] def registerCached(spark: SparkSession,
+  private[graft] def registerCached(spark: SparkSession,
       catalogName: String, tablePath: String)(register: => Unit): Unit = {
     val lock = registerLocks.computeIfAbsent(catalogName, _ => new Object)
     lock.synchronized {
@@ -688,8 +688,25 @@ final class SilverStore(spark: SparkSession, dir: String) {
       // are kept inspectable instead of silently dropped. No method gate
       // can predict decode failures, so this one probes its own extract.
       val q = BlockIngest.quarantine(receipts)
-      first("quarantine", q, Seq("receipt_id", "kind", "action_index"),
-        need = !q.isEmpty)
+      // One-time legacy upgrade, ordered BEFORE the merge inside the same
+      // task: stores built before `kind` joined quarantine's keep-first
+      // key hold rows without it; unionByName would null-fill those into
+      // a keyspace disjoint from the new 'action'/'log' rows and
+      // duplicate receipts. Every pre-`kind` row WAS an action decode —
+      // stamp them once (no-op when the column exists).
+      def quarantineUpgraded(): Unit =
+        if (exists("quarantine"))
+          MergeWriter.backfillLiteralColumn(
+            spark, path("quarantine"), "kind", lit("action"))
+      if (!q.isEmpty) {
+        tasks += ("quarantine" -> (() => {
+          quarantineUpgraded()
+          SilverStore.mergeEntity(spark, dir, "quarantine", q,
+            Seq("receipt_id", "kind", "action_index"), seq)
+        }))
+      } else if (!exists("quarantine"))
+        first("quarantine", q, Seq("receipt_id", "kind", "action_index"),
+          need = false)
 
       // Stream-cursor parity row (S2; reference BlockHeight singleton,
       // indexer_app/models.py:5-24).

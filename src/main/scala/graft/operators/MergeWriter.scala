@@ -115,12 +115,17 @@ object MergeWriter {
     def nonEmpty: Boolean = names.nonEmpty
   }
 
+  /** `entryId`, when given, makes the append IDEMPOTENT: the entry file
+    * is named by it, so a crash-resumed writer re-running its commit
+    * overwrites its own entry (same content) instead of stacking a
+    * duplicate per resume. Callers without a stable id (the ordinary
+    * merge paths, which never replay a commit) keep the random name. */
   private[operators] def appendDirty(path: String,
-      names: Iterable[String]): Unit = {
+      names: Iterable[String], entryId: Option[String] = None): Unit = {
     if (names.isEmpty) return
     val dd = dirtyDir(path)
     io.createDirectories(dd)
-    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val uid = entryId.getOrElse(java.util.UUID.randomUUID().toString.take(8))
     io.writeStringAtomic(s"$dd/append-$uid",
       names.toSeq.distinct.sorted.mkString("\n"))
     // Writer-side compaction: tables with no incremental consumer (most
@@ -272,7 +277,8 @@ object MergeWriter {
     // rewrite: a one-off migration cost, never steady-state.
     if (io.exists(path) && BucketedLayout.looksBucketed(path)) {
       val tableSchema = spark.read.parquet(path).schema
-      if (incoming.columns.toSet.subsetOf(tableSchema.fieldNames.toSet))
+      if (incoming.columns.toSet.subsetOf(tableSchema.fieldNames.toSet) &&
+          !widensTableTypes(spark, tableSchema, incoming))
         return mergeBucketedScoped(spark, incoming, path, keys, seq,
           bucketCol, buckets, coalesceUpdates, tableSchema)
     }
@@ -562,9 +568,31 @@ object MergeWriter {
     }
     if (m.counts.nonEmpty) writeCountsSidecar(path, m.counts, m.uid)
     else if (io.exists(sidecarPath(path))) io.deleteRecursively(sidecarPath(path))
-    appendDirty(path, m.dirty)
+    // Entry named by the apply uid: a crash-resumed re-commit overwrites
+    // its own journal entry instead of appending a duplicate per resume.
+    appendDirty(path, m.dirty, entryId = Some(m.uid))
     writeSwapMarker(path, m.uid)
     m.stats
+  }
+
+  /** Delete sibling `<path>.tmp-*` dirs not named by any live
+    * `<path>.apply-*` manifest's `tmp=` entry — stranded staging from a
+    * crash before the manifest write (the staging commit point). */
+  private def sweepStrandedAdditiveTmp(path: String): Unit = {
+    val slash = path.lastIndexOf('/')
+    if (slash < 0) return
+    val (parent, name) = (path.take(slash), path.drop(slash + 1))
+    if (!io.exists(parent)) return
+    val entries = io.listDir(parent)
+    val liveTmp: Set[String] = entries.collect {
+      case (n, false) if n.startsWith(name + ".apply-") =>
+        io.readString(s"$parent/$n").flatMap(_.split('\n')
+          .find(_.startsWith("tmp=")).map(_.stripPrefix("tmp=")))
+    }.flatten.toSet
+    entries.collect { case (n, true) if n.startsWith(name + ".tmp-") =>
+      s"$parent/$n" }
+      .filterNot(liveTmp.contains)
+      .foreach(io.deleteRecursively)
   }
 
   /** Stage the additive merge's post-state under a tmp dir + manifest.
@@ -599,6 +627,16 @@ object MergeWriter {
       (r.getLong(0), r.getLong(1))
     }
 
+    // A crash INSIDE a previous stage — after its tmp write began, before
+    // its manifest landed — strands `<path>.tmp-<uid>` with nothing
+    // referencing it; only a full rebuild's artifact sweep would
+    // otherwise reclaim it, so repeated crash/resume cycles on the
+    // incremental path leak staging dirs. Reclaim here, at the start of
+    // the next stage: any sibling tmp dir NOT named by a live apply
+    // manifest is dead (manifest present ⇒ staging complete; the caller
+    // protocol is single-writer per table, so no concurrent stage's tmp
+    // can be in flight under us).
+    sweepStrandedAdditiveTmp(path)
     val scoped = io.exists(path) && BucketedLayout.looksBucketed(path)
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val tmp = path + ".tmp-" + uid
@@ -779,11 +817,19 @@ object MergeWriter {
         bucket.exists(_ => !bucketedPartitionLayout(path))))
       return migrateToPartitioned(spark, incoming, path, keys, seq,
         partitionCol, coalesceUpdates, bucket)
+    val current: Option[DataFrame] =
+      if (exists) Some(spark.read.parquet(path)) else None
+    // Type widening (a store built before a column's type grew — e.g. the
+    // int32→int64 shard_index upgrade — meeting the new writers) cannot be
+    // written slice-scoped: untouched partitions would keep the narrow
+    // physical type and the table's files would disagree, the exact
+    // mixed-footer breakage scoped merges must never produce. Migrate
+    // wholesale instead — a one-off upgrade cost, never steady-state.
+    if (current.exists(cur => widensTableTypes(spark, cur.schema, incoming)))
+      return migrateToPartitioned(spark, incoming, path, keys, seq,
+        partitionCol, coalesceUpdates, bucket)
     val existingAffected: Option[DataFrame] =
-      if (exists)
-        Some(spark.read.parquet(path)
-          .filter(col(partitionCol).isin(affected: _*)))
-      else None
+      current.map(_.filter(col(partitionCol).isin(affected: _*)))
 
     val unioned = existingAffected match {
       case Some(old) => old.unionByName(incoming, allowMissingColumns = true)
@@ -990,6 +1036,38 @@ object MergeWriter {
     io.deleteRecursively(old)
     writeSwapMarker(path, uid)
     n
+  }
+
+  /** True when LWW-merging `incoming` into a table stored with
+    * `tableSchema` would change the TYPE of a stored column (int
+    * widening, decimal growth). Decided from the union-RESOLVED schema,
+    * not a raw type comparison: a batch NARROWER than the table resolves
+    * back to the table's own types and stays scoped-mergeable — only a
+    * genuine widening (e.g. a store built before shard_index grew
+    * int32→int64 meeting the int64 writers) answers true, and the caller
+    * then takes the one-time full rewrite instead of a slice-scoped
+    * write that would leave mixed physical types across the table's
+    * files. Analysis-only: no Spark job runs. */
+  private[graft] def widensTableTypes(spark: SparkSession,
+      tableSchema: org.apache.spark.sql.types.StructType,
+      incoming: DataFrame): Boolean = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+    val resolved = empty
+      .unionByName(incoming.limit(0), allowMissingColumns = true).schema
+    val stored = tableSchema.map(f => f.name -> f.dataType).toMap
+    resolved.exists(f => stored.get(f.name).exists(_ != f.dataType))
+  }
+
+  /** One-time in-place upgrade for a FLAT table: stamp a constant into a
+    * column legacy rows lack (e.g. quarantine rows written before `kind`
+    * joined its keep-first key — all of them were action decodes). No-op
+    * when the column already exists. */
+  def backfillLiteralColumn(spark: SparkSession, path: String,
+      name: String, default: org.apache.spark.sql.Column): Unit = {
+    val cur = spark.read.parquet(path)
+    if (!cur.columns.contains(name))
+      writeAndSwap(cur.withColumn(name, default), path)
   }
 
   /** Per key ordered by seq: fill each row's nulls from the latest earlier

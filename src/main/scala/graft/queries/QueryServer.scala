@@ -1,0 +1,402 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.queries.QueryService.Page
+
+/** The resident serving tier: every REST route of the reference
+  * (api/urls.py:37-132) bound in ONE long-lived process —
+  * [[QueryService]] plans the query, [[Serializers]] renders the
+  * DRF-parity body, [[ResultCache]] memoizes the RENDERED envelope under
+  * swap-marker freshness, and the reference's anon throttle
+  * (base/settings.py:116-123, `anon: 500/min`) fronts it all as a
+  * per-client token bucket. This is what a user of the reference points
+  * their traffic at; ServeBench measures THROUGH it.
+  *
+  * Layering (deliberate):
+  *  - the QUERY layer (QueryService) stays pure — no cache, no clock, no
+  *    HTTP types — so the oracle board and QueryServiceSpec pin its
+  *    semantics independently of serving concerns;
+  *  - [[handle]] is a pure (method, path, params, client) → [[Response]]
+  *    function — routing, validation, throttling, caching and rendering
+  *    are all testable without a socket;
+  *  - [[start]] is the thin JDK-HttpServer binding of [[handle]] (no
+  *    framework dependency; the JDK server is production-adequate for a
+  *    per-replica API pod, exactly the reference's gunicorn role).
+  *
+  * Caching: GET responses memoize under (route, canonical params) and
+  * serve while BOTH the 300 s TTL holds and the swap-marker uids of the
+  * route's source tables are unchanged (ResultCache's contract — fresher
+  * than the reference's cache_page(60*5), which serves stale bodies for
+  * up to 5 min after a write).
+  *
+  * Envelope counts: the three hot FK-filtered donation routes price
+  * `count` from the gold counter states ([[graft.gold.GoldCounts]]) when
+  * gold is provably current with silver, falling back to the live count
+  * job otherwise — at 100 TB a recipient-filtered count would otherwise
+  * scan the donor-bucketed fact table per request.
+  *
+  * Bodies: entities with a DRF-parity serializer render through it
+  * (donations, accounts, pots, list registrations, payouts); the rest
+  * (applications, lists, factories, stats, config) serve Spark's compact
+  * row JSON — the same envelope shape, field-order parity pending a
+  * dedicated serializer. next/previous are RELATIVE URLs
+  * (`path?page=N`); the reference emits absolute ones (scheme/host are a
+  * proxy concern).
+  */
+final class QueryServer(
+    qs: QueryService,
+    silverDir: String,
+    goldCounts: Option[graft.gold.GoldCounts] = None,
+    cache: ResultCache = new ResultCache(),
+    throttlePerMin: Int = 500,
+    nowMs: () => Long = () => System.currentTimeMillis()) {
+
+  import QueryServer.Response
+
+  // ------------------------------------------------------------ metrics
+  private val requestCount = new java.util.concurrent.atomic.AtomicLong
+  private val throttledCount = new java.util.concurrent.atomic.AtomicLong
+  private val errorCount = new java.util.concurrent.atomic.AtomicLong
+  private val startedAtMs = nowMs()
+  def requests: Long = requestCount.get
+  def throttled: Long = throttledCount.get
+  def cacheHits: Long = cache.hits
+  def cacheMisses: Long = cache.misses
+
+  // ----------------------------------------------------------- throttle
+  /** Per-client token bucket (the reference's DRF AnonRateThrottle
+    * envelope: 500 requests/min/client, base/settings.py:116-123).
+    * Capacity = the per-minute quota, continuous refill — a client that
+    * slept a minute bursts a full quota, same as DRF's sliding window in
+    * the steady state. Client map is LRU-bounded: the key space is
+    * attacker-driven. */
+  private final class Bucket(var tokens: Double, var atMs: Long)
+  private val clientBuckets =
+    new java.util.LinkedHashMap[String, Bucket](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Bucket]): Boolean = size() > 65536
+    }
+  private val refillPerMs = throttlePerMin / 60000.0
+
+  /** Left(retryAfterSeconds) when over quota. */
+  private def acquire(client: String): Either[Long, Unit] =
+    clientBuckets.synchronized {
+      val t = nowMs()
+      val b = Option(clientBuckets.get(client)).getOrElse {
+        val nb = new Bucket(throttlePerMin.toDouble, t)
+        clientBuckets.put(client, nb)
+        nb
+      }
+      b.tokens = math.min(throttlePerMin.toDouble,
+        b.tokens + (t - b.atMs) * refillPerMs)
+      b.atMs = t
+      if (b.tokens >= 1.0) { b.tokens -= 1.0; Right(()) }
+      else Left(math.ceil((1.0 - b.tokens) / refillPerMs / 1000.0).toLong.max(1L))
+    }
+
+  // ------------------------------------------------------ render helpers
+  private def jsonCol(df: DataFrame): Seq[String] =
+    df.select("json").collect().map(_.getString(0)).toSeq
+
+  /** Paginated envelope: serializer over the page rows, DRF
+    * {count,next,previous,results} document, relative continuation
+    * URLs preserving the route's non-page params. */
+  private def envelope(path: String, params: Map[String, String], p: Page,
+      serialize: DataFrame => DataFrame): Response = {
+    def url(pg: Int): Option[String] =
+      if (pg < 1) None
+      else {
+        val qp = (params - "page").toSeq.sortBy(_._1) :+ ("page" -> pg.toString)
+        Some(path + "?" + qp.map { case (k, v) =>
+          s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }.mkString("&"))
+      }
+    val next = if (p.hasNext) url(p.page + 1) else None
+    val prev = if (p.hasPrevious) url(p.page - 1) else None
+    Response(200,
+      Serializers.envelopeJson(p.count, next, prev, jsonCol(serialize(p.results))))
+  }
+
+  /** One-row detail body, or the reference's 404 document. */
+  private def detail(df: DataFrame, serialize: DataFrame => DataFrame,
+      entity: String, id: Any): Response =
+    jsonCol(serialize(df)).headOption match {
+      case Some(body) => Response(200, body)
+      case None =>
+        Response(404, Serializers.errorJson(
+          QueryService.notFoundMessage(entity, id)))
+    }
+
+  private def badRequest(message: String): Response =
+    Response(400, Serializers.errorJson(message))
+
+  private def pageEither(path: String, params: Map[String, String],
+      e: Either[String, Page], serialize: DataFrame => DataFrame): Response =
+    e.fold(badRequest, p => envelope(path, params, p, serialize))
+
+  // --------------------------------------------------- freshness tables
+  // Source tables per route family — the swap-marker uids that key cache
+  // freshness. Over-listing a table only invalidates more eagerly.
+  private val donationT = Seq("donations", "accounts", "account_stats",
+    "tokens", "pots", "pot_stats")
+  private val accountT = Seq("accounts", "account_stats")
+  private val potT = Seq("pots", "pot_stats", "accounts", "account_stats")
+  private val payoutT = Seq("pot_payouts")
+  private val regT = Seq("list_registrations", "lists", "accounts")
+
+  private def uids(tables: Seq[String]): Seq[String] =
+    ResultCache.uidsFor(silverDir)(tables)
+
+  // ------------------------------------------------------------ routing
+  /** The whole request path minus the socket: throttle → cache → route →
+    * render. `params` are the decoded query params; `client` is the
+    * throttle key (remote IP at the HTTP binding). */
+  def handle(method: String, rawPath: String, params: Map[String, String],
+      client: String = "local"): Response = {
+    requestCount.incrementAndGet(): Unit
+    if (method != "GET")
+      return Response(405, Serializers.errorJson("Method not allowed"))
+    acquire(client) match {
+      case Left(retryAfter) =>
+        throttledCount.incrementAndGet(): Unit
+        return Response(429,
+          Serializers.errorJson("Request was throttled."),
+          Map("Retry-After" -> retryAfter.toString))
+      case Right(()) =>
+    }
+    // Accept both the reference's /api/v1 prefix and bare /v1.
+    val path =
+      if (rawPath.startsWith("/api/")) rawPath.stripPrefix("/api") else rawPath
+    try route(path, params) catch {
+      case scala.util.control.NonFatal(e) =>
+        errorCount.incrementAndGet(): Unit
+        Response(500, Serializers.errorJson(
+          s"Internal error: ${e.getClass.getSimpleName}"))
+    }
+  }
+
+  private def intParam(params: Map[String, String], name: String,
+      default: Int): Int =
+    params.get(name).flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(default)
+
+  private def memo(path: String, params: Map[String, String],
+      tables: Seq[String])(compute: => Response): Response =
+    cache.memo(
+      ResultCache.routeKey(path, params.toSeq: _*), uids(tables))(compute)
+
+  private def route(path: String, params: Map[String, String]): Response = {
+    val segs = path.split('/').filter(_.nonEmpty).toList
+    val page = intParam(params, "page", 1)
+    val status = params.get("status")
+    segs match {
+      // ---------------------------------------------------- service meta
+      case List("health") => Response(200, """{"status": "ok"}""")
+      case List("metrics") => Response(200, metricsJson())
+      case List("schema") | List("v1", "schema") =>
+        Response(200, qs.openApiSchema())
+
+      // ------------------------------------------------------- accounts
+      case List("v1", "accounts") =>
+        memo(path, params, accountT)(
+          envelope(path, params, qs.accountsList(page), Serializers.accountJson))
+      case List("v1", "accounts", id) =>
+        memo(path, params, accountT)(
+          detail(qs.accountDetail(id), Serializers.accountJson, "Account", id))
+      case List("v1", "accounts", id, "active_pots") =>
+        // ?status=live (accounts/api.py:163-217). `now` is request time,
+        // so live-filtered responses cache only within the TTL window —
+        // the filter is over ROUND BOUNDS (hours-long), TTL is 300 s.
+        val live = status.contains("live")
+        memo(path, params, potT ++ Seq("pot_applications"))(
+          envelope(path, params,
+            qs.accountActivePots(id, live,
+              new java.sql.Timestamp(nowMs()), page),
+            Serializers.potJson))
+      case List("v1", "accounts", id, "pot_applications") =>
+        memo(path, params, Seq("pot_applications"))(
+          pageEither(path, params, qs.accountPotApplications(id, status, page),
+            rowJson))
+      case List("v1", "accounts", id, "donations_received") =>
+        memo(path, params, donationT)(
+          envelope(path, params,
+            qs.accountDonationsReceived(id, page,
+              countOverride = goldCounts.flatMap(_.donationsReceived(id))),
+            Serializers.donationJson))
+      case List("v1", "accounts", id, "donations_sent") =>
+        memo(path, params, donationT)(
+          envelope(path, params,
+            qs.accountDonationsSent(id, page,
+              countOverride = goldCounts.flatMap(_.donationsSent(id))),
+            Serializers.donationJson))
+      case List("v1", "accounts", id, "payouts_received") =>
+        memo(path, params, payoutT)(
+          envelope(path, params, qs.accountPayoutsReceived(id, page),
+            Serializers.potPayoutJson))
+      case List("v1", "accounts", id, "list-registrations") =>
+        memo(path, params, regT)(
+          pageEither(path, params,
+            qs.accountListRegistrations(id, status, page),
+            Serializers.listRegistrationJson))
+
+      // -------------------------------------------------------- donors
+      case List("v1", "donors") =>
+        val sortMost = params.get("sort").contains("most_donated_usd")
+        memo(path, params, accountT :+ "donations")(
+          envelope(path, params, qs.donors(sortMost, page),
+            Serializers.accountJson))
+
+      // --------------------------------------------------------- lists
+      case List("v1", "lists") =>
+        memo(path, params, Seq("lists"))(
+          envelope(path, params, qs.listsList(page), rowJson))
+      case List("v1", "lists", IntId(id)) =>
+        memo(path, params, Seq("lists"))(
+          detail(qs.listDetail(id), rowJson, "List", id))
+      case List("v1", "lists", IntId(id), "registrations") =>
+        memo(path, params, regT)(
+          pageEither(path, params,
+            qs.listRegistrations(id, status, params.get("category"), page),
+            Serializers.listRegistrationJson))
+      case List("v1", "lists", IntId(id), "random_registration") =>
+        // Deterministic seeded pick (O5) — cacheable like any route; the
+        // reference re-rolls per request, ours re-rolls per table merge
+        // (documented deviation, q_o5's replayability contract).
+        memo(path, params, regT)(
+          qs.randomRegistration(id, status).fold(badRequest, df =>
+            jsonCol(Serializers.listRegistrationJson(df)).headOption
+              .map(Response(200, _))
+              .getOrElse(Response(404, Serializers.errorJson(
+                QueryService.notFoundMessage("Registration for list", id))))))
+
+      // ---------------------------------------------------------- pots
+      case List("v1", "pots") =>
+        memo(path, params, potT)(
+          envelope(path, params, qs.potsList(page), Serializers.potJson))
+      case List("v1", "pots", id) =>
+        memo(path, params, potT)(
+          detail(qs.potDetail(id), Serializers.potJson, "Pot", id))
+      case List("v1", "pots", id, "applications") =>
+        memo(path, params, Seq("pot_applications"))(
+          envelope(path, params, qs.potApplications(id, page), rowJson))
+      case List("v1", "pots", id, "donations") =>
+        memo(path, params, donationT)(
+          envelope(path, params,
+            qs.potDonations(id, page,
+              countOverride = goldCounts.flatMap(_.potDonations(id))),
+            Serializers.donationJson))
+      case List("v1", "pots", id, "sponsors") =>
+        memo(path, params, donationT)(
+          envelope(path, params, qs.potSponsors(id, page),
+            Serializers.accountJson))
+      case List("v1", "pots", id, "payouts") =>
+        memo(path, params, payoutT)(
+          envelope(path, params, qs.potPayouts(id, page),
+            Serializers.potPayoutJson))
+      case List("v1", "potfactories") =>
+        memo(path, params, Seq("pot_factories"))(
+          envelope(path, params, qs.potFactoriesList(page), rowJson))
+
+      // ---------------------------------------------------------- misc
+      case List("v1", "donate_contract_config") =>
+        memo(path, params, Seq("donate_contract_config"))(
+          qs.donateContractConfig().collect().headOption
+            .map(r => Response(200, r.getAs[String]("config")))
+            .getOrElse(Response(404,
+              Serializers.errorJson("Config not found."))))
+      case List("v1", "stats") =>
+        memo(path, params, Seq("global_stats"))(
+          jsonCol(rowJson(qs.stats())).headOption
+            .map(Response(200, _))
+            .getOrElse(Response(404, Serializers.errorJson("Stats not found."))))
+
+      case _ =>
+        Response(404, Serializers.errorJson(s"Not found: $path"))
+    }
+  }
+
+  /** Compact row JSON for entities without a dedicated DRF serializer. */
+  private val rowJson: DataFrame => DataFrame = df =>
+    df.withColumn("json", org.apache.spark.sql.functions.to_json(
+      org.apache.spark.sql.functions.struct("*"),
+      Map("ignoreNullFields" -> "false")))
+
+  def metricsJson(): String = {
+    val up = (nowMs() - startedAtMs) / 1000
+    s"""{"requests": ${requestCount.get}, "throttled": ${throttledCount.get}, """ +
+      s""""errors": ${errorCount.get}, "cache_hits": ${cache.hits}, """ +
+      s""""cache_misses": ${cache.misses}, "cache_entries": ${cache.size}, """ +
+      s""""throttle_per_min": $throttlePerMin, "uptime_s": $up}"""
+  }
+
+  private object IntId {
+    def unapply(s: String): Option[Long] =
+      scala.util.Try(s.toLong).toOption
+  }
+
+  // -------------------------------------------------------- HTTP binding
+  /** Bind [[handle]] on a JDK HttpServer. Returns the server (caller
+    * stops it); a small fixed pool serves concurrently — route compute
+    * is Spark-job bound, so the pool just needs to cover cache hits
+    * while a cold route computes. */
+  def start(port: Int, poolSize: Int = 8): com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    server.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) => {
+      val resp =
+        try {
+          val uri = exchange.getRequestURI
+          val params = Option(uri.getRawQuery).toSeq
+            .flatMap(_.split('&').toSeq).filter(_.nonEmpty).map { kv =>
+              val i = kv.indexOf('=')
+              val k = if (i < 0) kv else kv.take(i)
+              val v = if (i < 0) "" else kv.drop(i + 1)
+              java.net.URLDecoder.decode(k, "UTF-8") ->
+                java.net.URLDecoder.decode(v, "UTF-8")
+            }.toMap
+          val client = exchange.getRemoteAddress.getAddress.getHostAddress
+          handle(exchange.getRequestMethod, uri.getPath, params, client)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Response(500, Serializers.errorJson(
+              s"Internal error: ${e.getClass.getSimpleName}"))
+        }
+      val bytes = resp.body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val headers = exchange.getResponseHeaders
+      headers.set("Content-Type", "application/json")
+      resp.headers.foreach { case (k, v) => headers.set(k, v) }
+      exchange.sendResponseHeaders(resp.status, bytes.length.toLong)
+      val os = exchange.getResponseBody
+      try os.write(bytes) finally os.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(poolSize))
+    server.start()
+    server
+  }
+}
+
+object QueryServer {
+  /** One rendered HTTP response — status, JSON body, extra headers. */
+  final case class Response(status: Int, body: String,
+      headers: Map[String, String] = Map.empty)
+
+  /** Resident entry point: `runMain graft.queries.QueryServer <silverDir>
+    * [port]` — one SparkSession, memoized table loader (registration DDL
+    * and footer reads paid once per table per swap), gold counters wired,
+    * serves until killed. */
+  def main(args: Array[String]): Unit = {
+    val silverDir = args.headOption.getOrElse(
+      sys.error("usage: QueryServer <silverDir> [port]"))
+    val port = if (args.length > 1) args(1).toInt else 8080
+    val spark = graft.HarnessSession.local()
+    val store = new graft.ingest.SilverStore(spark, silverDir)
+    val qs = new QueryService(store.table)
+    val server = new QueryServer(qs, silverDir,
+      goldCounts = Some(new graft.gold.GoldCounts(spark, silverDir)))
+    val http = server.start(port)
+    println(s"[query-server] serving $silverDir on :$port " +
+      "(GET /api/v1/…, /metrics, /health)")
+    sys.addShutdownHook { http.stop(0); spark.stop() }
+    Thread.currentThread().join()
+  }
+}

@@ -231,9 +231,12 @@ final class QueryService(t0: String => DataFrame) {
   /** Pot dimension in full PotSerializer shape and field order:
     * deployer/owner/chef embedded as account objects, admins as an
     * order-preserving array of account objects (pots/serializers.py:55-58,
-    * empty M2M serializes as [], not null), gold stats joined in. Cached
-    * per service instance — every donation route reuses one dimension
-    * subplan instead of rebuilding the accounts⋈stats join per embed. */
+    * empty M2M serializes as [], not null), gold stats joined in. A
+    * per-call `def`, NOT a cached lazy val — same freshness contract as
+    * [[accountDim]]: pinning the first-read snapshot would keep serving
+    * pre-merge embeds after a table swap and break once maintenance
+    * vacuums the swapped-out files; plan reuse across calls comes from
+    * the caller's loader, not from pinning frames here. */
   private def potDim: DataFrame = {
     val p0 = pots
     // Gold stats override the pot row's own handler-written copies (the
@@ -377,9 +380,18 @@ final class QueryService(t0: String => DataFrame) {
     *    the fact table, and the account dim is never broadcast
     *    unbounded (the 100 TB OOM the pre-slice expansion would hit). */
   private def paginateDonations(pre: DataFrame => DataFrame,
-      page: Int, pageSize: Int): Page = {
+      page: Int, pageSize: Int, countOverride: Option[Long] = None): Page = {
     val raw = pre(donations)
-    Page(raw.count(), page, pageSize,
+    // countOverride: the serving tier can price the envelope count from
+    // the gold counter states (recv_pairs/donor_state/pot_state) instead
+    // of a per-request count job — at 100 TB the count job scans the
+    // whole fact table for recipient-filtered routes (donations is
+    // donor-bucketed, not recipient-bucketed). The QUERY layer stays
+    // pure: None (the default, and every spec/oracle path) keeps the
+    // exact DRF count-the-queryset semantics; the override's exactness
+    // contract (gold current with silver, marker-checked) is the
+    // caller's (gold.GoldCounts + QueryServer).
+    Page(countOverride.getOrElse(raw.count()), page, pageSize,
       expandDonationPage(
         Relational.pageSlice(raw, donationOrder, page, pageSize)))
   }
@@ -474,8 +486,10 @@ final class QueryService(t0: String => DataFrame) {
 
   /** GET /v1/accounts/{id}/donations_received (accounts/api.py:275-313). */
   def accountDonationsReceived(id: String, page: Int = 1,
-      pageSize: Int = DefaultPageSize): Page =
-    paginateDonations(_.filter(col("recipient") === id), page, pageSize)
+      pageSize: Int = DefaultPageSize,
+      countOverride: Option[Long] = None): Page =
+    paginateDonations(_.filter(col("recipient") === id), page, pageSize,
+      countOverride)
 
   /** Keyset form of [[accountDonationsReceived]]
     * (?after=<donated_at,on_chain_id>). */
@@ -487,8 +501,10 @@ final class QueryService(t0: String => DataFrame) {
 
   /** GET /v1/accounts/{id}/donations_sent (accounts/api.py:316-354). */
   def accountDonationsSent(id: String, page: Int = 1,
-      pageSize: Int = DefaultPageSize): Page =
-    paginateDonations(_.filter(col("donor") === id), page, pageSize)
+      pageSize: Int = DefaultPageSize,
+      countOverride: Option[Long] = None): Page =
+    paginateDonations(_.filter(col("donor") === id), page, pageSize,
+      countOverride)
 
   /** Keyset form of [[accountDonationsSent]]
     * (?after=<donated_at,on_chain_id>). */
@@ -693,8 +709,10 @@ final class QueryService(t0: String => DataFrame) {
 
   /** GET /v1/pots/{id}/donations (pots/api.py:180-215). */
   def potDonations(potId: String, page: Int = 1,
-      pageSize: Int = DefaultPageSize): Page =
-    paginateDonations(_.filter(col("pot") === potId), page, pageSize)
+      pageSize: Int = DefaultPageSize,
+      countOverride: Option[Long] = None): Page =
+    paginateDonations(_.filter(col("pot") === potId), page, pageSize,
+      countOverride)
 
   /** Keyset form of [[potDonations]] (?after=<donated_at,on_chain_id>). */
   def potDonationsKeyset(potId: String,

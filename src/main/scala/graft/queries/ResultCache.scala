@@ -12,10 +12,13 @@ package graft.queries
   *  - it is younger than `ttlMs` — the reference's 300 s staleness
   *    contract, kept as the outer bound;
   *  - the swap-marker uids of the tables the route reads are unchanged.
-  *    Every merge/refresh path rotates its table's marker
-  *    (operators.MergeWriter.writeSwapMarker), so invalidation is
-  *    IMMEDIATE on write — strictly fresher than `cache_page`, which
-  *    serves stale pages for up to 5 minutes after a commit.
+  *    Every engine write path rotates its table's marker — the silver
+  *    merges via MergeWriter's writers, the gold tables via
+  *    GoldRefresh.swapIn — so invalidation is IMMEDIATE on write —
+  *    strictly fresher than `cache_page`, which serves stale pages for
+  *    up to 5 minutes after a commit. A table written OUT-OF-BAND (a
+  *    bare df.write with no swap, as test harnesses do) has no marker;
+  *    uidsFor returns "" for it and such routes refresh only at TTL.
   *
   * Values are the rendered envelope (JSON strings), so a warm hit costs a
   * hash lookup plus one marker-file read per source table — no Spark job,

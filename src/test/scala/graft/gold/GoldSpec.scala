@@ -326,4 +326,48 @@ class GoldSpec extends SparkSpec {
     assert(r.mode == "incremental", s"expected incremental, got $r")
     assertGoldEqual(live, buildOracle())
   }
+
+  test("GoldCounts serves envelope counts exactly while current, declines when silver moved") {
+    val live = tmpDir("counts-live")
+    ingest(batch1 ++ batch2, live, "gc")
+    writePrices(live, prices1)
+    GoldRefresh.refresh(spark, live)
+
+    val gc = new GoldCounts(spark, live)
+    assert(gc.current(), "gold must read current right after a refresh")
+    // re-read per call: merges swap partition files under a pinned frame
+    def liveCount(c: String, v: String): Long =
+      spark.read.parquet(s"$live/donations").filter(col(c) === v).count()
+    // Exactness: gold counters == the live scan count, per key.
+    for (recipient <- Seq("sea.near", "proj1.near"))
+      assert(gc.donationsReceived(recipient) ==
+        Some(liveCount("recipient", recipient)), s"recv $recipient")
+    for (donor <- Seq("whale.near", "donor2.near"))
+      assert(gc.donationsSent(donor) == Some(liveCount("donor", donor)),
+        s"sent $donor")
+    assert(gc.potDonations(potAccount) == Some(liveCount("pot", potAccount)))
+    // A key with no state rows is a real zero, not a decline.
+    assert(gc.donationsReceived("ghost.near") == Some(0L))
+
+    // Ingest after the beat: counters are stale → the provider must
+    // DECLINE (None) so the serving tier falls back to the live count.
+    ingest(batch3, live, "gc3")
+    // batch3 carries no donations, but the donations table's marker
+    // rotation alone must flip currency — exactness is decided by
+    // markers, not by inspecting content.
+    if (gc.current()) {
+      // marker only rotates if the batch merged the donations table; if
+      // it did not, counts must still be exact
+      assert(gc.donationsSent("whale.near") == Some(liveCount("donor", "whale.near")))
+    }
+    // A donation-bearing ingest definitely rotates it.
+    ingest(batch1.take(1), live, "gc4") // replay of a donation block
+    assert(!gc.current(), "donations merged since the beat → must decline")
+    assert(gc.donationsReceived("sea.near").isEmpty)
+    // The next refresh restores currency.
+    GoldRefresh.refresh(spark, live)
+    assert(gc.current())
+    assert(gc.donationsReceived("sea.near") ==
+      Some(liveCount("recipient", "sea.near")))
+  }
 }
