@@ -340,6 +340,10 @@ final class QueryServer(
     * is Spark-job bound, so the pool just needs to cover cache hits
     * while a cold route computes. */
   def start(port: Int, poolSize: Int = 8): com.sun.net.httpserver.HttpServer = {
+    // Header and body go out as separate small writes; without nodelay
+    // the Nagle/delayed-ACK interaction pins every small response at
+    // ~40 ms regardless of compute.
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(port), 0)
     server.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) => {
@@ -369,7 +373,17 @@ final class QueryServer(
       val os = exchange.getResponseBody
       try os.write(bytes) finally os.close()
     })
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(poolSize))
+    // Daemon threads: HttpServer.stop does not shut down a user-supplied
+    // executor, and a non-daemon pool would pin the JVM alive after the
+    // caller stops the server (benches hang on exit; the resident main
+    // blocks on its own join anyway).
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      poolSize,
+      (r: Runnable) => {
+        val t = new Thread(r, "query-server")
+        t.setDaemon(true)
+        t
+      }))
     server.start()
     server
   }

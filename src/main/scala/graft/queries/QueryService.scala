@@ -47,6 +47,18 @@ object QueryService {
     * accounts/api.py:157; lists/api.py:95; pots/api.py:137). */
   def notFoundMessage(entity: String, id: Any): String =
     s"$entity with ID $id not found."
+
+  /** Executor for the per-request concurrent dimension fetches
+    * (expandDonationPage). Cached pool, daemon threads: fetches are
+    * short Spark actions, the pool must never pin the JVM alive, and a
+    * fixed size could starve under concurrent requests. */
+  private[queries] lazy val dimFetchEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool((r: Runnable) => {
+        val t = new Thread(r, "dim-fetch")
+        t.setDaemon(true)
+        t
+      }))
 }
 
 final class QueryService(t0: String => DataFrame) {
@@ -145,6 +157,15 @@ final class QueryService(t0: String => DataFrame) {
           broadcast(df.select(df(fk).as("__pk")).na.drop().distinct()),
           accountDim("id") === col("__pk"), "left_semi")
       else accountDim
+    embedAccountStruct(df, fk, dim0)
+  }
+
+  /** The embed join itself, dim source injected: `dim0` must be
+    * accountDim-shaped (id + stats + profile). Shared by the unbounded /
+    * bounded paths above and the donation page's one-fetch-for-all-FKs
+    * local path. */
+  private def embedAccountStruct(df: DataFrame, fk: String,
+      dim0: DataFrame): DataFrame = {
     val obj = s"__${fk}_obj"
     val dim = broadcast(dim0.select(
       col("id").as(s"__${fk}_id"),
@@ -160,13 +181,17 @@ final class QueryService(t0: String => DataFrame) {
 
   /** TokenSerializer embed (tokens/serializers.py:6-13: id + metadata).
     * Adds a `token` struct column from the `ft` FK. */
-  private def expandToken(df: DataFrame): DataFrame = {
+  private def expandToken(df: DataFrame): DataFrame =
+    expandTokenFrom(df, opt("tokens"))
+
+  private def expandTokenFrom(df: DataFrame,
+      tokens: Option[DataFrame]): DataFrame = {
     if (!df.columns.contains("ft")) return df
     val metaFields = Seq("name" -> "string", "symbol" -> "string",
       "icon" -> "string", "decimals" -> "int", "coingecko_id" -> "string")
     val fallback = struct(df("ft").as("id") +:
       metaFields.map { case (n, tp) => lit(null).cast(tp).as(n) }: _*)
-    opt("tokens") match {
+    tokens match {
       case Some(tk) =>
         val dim = broadcast(tk.select(
           col("account").as("__ft_id"),
@@ -237,8 +262,19 @@ final class QueryService(t0: String => DataFrame) {
     * pre-merge embeds after a table swap and break once maintenance
     * vacuums the swapped-out files; plan reuse across calls comes from
     * the caller's loader, not from pinning frames here. */
-  private def potDim: DataFrame = {
-    val p0 = pots
+  private def potDim: DataFrame = potDimFor(None)
+
+  /** [[potDim]] pruned AT THE SOURCE to `potIds` when given: the filter
+    * lands under BOTH the stats join and the admins aggregation subplan
+    * (which is built from the same pots scan), so a donation page's pot
+    * embed prices ≤ pageSize pots — not the whole dimension's admins
+    * explode. */
+  private def potDimFor(potIds: Option[Seq[String]]): DataFrame = {
+    val p0 = potIds match {
+      case Some(ks) if ks.nonEmpty => pots.filter(col("account").isin(ks: _*))
+      case Some(_) => emptyLike(pots)
+      case None => pots
+    }
     // Gold stats override the pot row's own handler-written copies (the
     // silver pots table carries total_public_donations etc. from config
     // events), with the silver value as fallback where gold has no row
@@ -322,11 +358,18 @@ final class QueryService(t0: String => DataFrame) {
     * as {account, nulls…} so the id is never lost and `pot.account`
     * filters keep working; with no pots table wired at all, every pot
     * embed takes that fallback shape. */
-  private def expandPot(df: DataFrame): DataFrame = {
+  private def expandPot(df: DataFrame): DataFrame =
+    expandPotFrom(df,
+      if (opt("pots").isDefined) Some(potDim) else None)
+
+  /** Pot embed with the dim injected: `dim0opt` must be potDim-shaped
+    * (PotSerializer field set). None ⇒ no pots table wired, every embed
+    * takes the {account, nulls…} fallback. */
+  private def expandPotFrom(df: DataFrame,
+      dim0opt: Option[DataFrame]): DataFrame = {
     if (!df.columns.contains("pot")) return df
-    opt("pots") match {
-      case Some(_) =>
-        val dim0 = potDim
+    dim0opt match {
+      case Some(dim0) =>
         val fallback = struct(
           df("pot").as("account") +: potFieldOrder.tail.map(n =>
             lit(null).cast(dim0.schema(n).dataType).as(n)): _*)
@@ -361,11 +404,70 @@ final class QueryService(t0: String => DataFrame) {
     * are metadata-bounded and keep the plain broadcast embed. Joins
     * scramble row order, so the page re-sorts (≤ pageSize rows). */
   private def expandDonationPage(pageRows: DataFrame): DataFrame = {
-    val withAccounts = Seq("donor", "recipient", "referrer", "chef")
-      .filter(pageRows.columns.contains)
-      .foldLeft(pageRows)(expandAccountBounded)
-    expandPot(expandToken(withAccounts)).orderBy(donationOrder: _*)
+    // The DRF request shape — fetch the page, then prefetch embeds:
+    //
+    //  1. Materialize the page (≤ pageSize rows by construction). Without
+    //     this, every dim-pruning subplan below embeds a COPY of the
+    //     page's TakeOrdered slice and one request re-executes the
+    //     fact-table scan per embed.
+    //  2. The embed ids come off the collected rows DRIVER-side — no
+    //     Spark job prices id extraction.
+    //  3. The three dimension slices (accounts ONCE for all four FKs,
+    //     tokens, potDim) fetch CONCURRENTLY, each pruned to the page's
+    //     ids — request latency pays the slowest dim fetch, not four
+    //     account scans + a token scan + a pot scan in sequence.
+    //  4. The embed joins and the serializer then run over LocalRelations
+    //     only — no further table scans inside the request.
+    //
+    // Scale contract unchanged: nothing unbounded is collected — the page
+    // is ≤ pageSize rows, each dim slice is ≤ (4 × pageSize) keyed rows.
+    val spark = pageRows.sparkSession
+    val rows = pageRows.collect()
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), pageRows.schema)
+    val cols = pageRows.schema.fieldNames.toSet
+    def ids(c: String): Seq[String] =
+      if (!cols(c)) Seq.empty
+      else rows.flatMap(r => Option(r.getAs[String](c))).distinct.toSeq
+    val fks = Seq("donor", "recipient", "referrer", "chef").filter(cols)
+    val acctIds = fks.flatMap(ids).distinct
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      QueryService.dimFetchEc
+    def slice(dim: => DataFrame, key: String,
+        ks: Seq[String]): Future[DataFrame] = Future {
+      val d = dim
+      if (ks.isEmpty) emptyLike(d)
+      else materializeDim(d.filter(col(key).isin(ks: _*)))
+    }
+    val fAcct = slice(accountDim, "id", acctIds)
+    val fTok = opt("tokens").map(tk => slice(tk, "account", ids("ft")))
+    val potIds = ids("pot")
+    val fPot = opt("pots").map(_ =>
+      slice(potDimFor(Some(potIds)), "account", potIds))
+    val acctLocal = Await.result(fAcct, Duration.Inf)
+    val tokLocal = fTok.map(Await.result(_, Duration.Inf))
+    val potLocal = fPot.map(Await.result(_, Duration.Inf))
+
+    val withAccounts =
+      fks.foldLeft(local)((d, fk) => embedAccountStruct(d, fk, acctLocal))
+    expandPotFrom(expandTokenFrom(withAccounts, tokLocal), potLocal)
+      .orderBy(donationOrder: _*)
   }
+
+  /** Collect a BOUNDED frame into a LocalRelation (pages ≤ pageSize,
+    * dim slices ≤ the page's key count — never call on an unbounded
+    * frame). */
+  private def materializeDim(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+  }
+
+  private def emptyLike(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
 
   /** Paginated donation route body — BOTH request jobs run on the raw
     * filtered facts, with serializer embeds only on the returned page:
@@ -380,20 +482,31 @@ final class QueryService(t0: String => DataFrame) {
     *    the fact table, and the account dim is never broadcast
     *    unbounded (the 100 TB OOM the pre-slice expansion would hit). */
   private def paginateDonations(pre: DataFrame => DataFrame,
-      page: Int, pageSize: Int, countOverride: Option[Long] = None): Page = {
+      page: Int, pageSize: Int,
+      countOverride: => Option[Long] = None): Page = {
     val raw = pre(donations)
-    // countOverride: the serving tier can price the envelope count from
-    // the gold counter states (recv_pairs/donor_state/pot_state) instead
-    // of a per-request count job — at 100 TB the count job scans the
-    // whole fact table for recipient-filtered routes (donations is
-    // donor-bucketed, not recipient-bucketed). The QUERY layer stays
-    // pure: None (the default, and every spec/oracle path) keeps the
-    // exact DRF count-the-queryset semantics; the override's exactness
-    // contract (gold current with silver, marker-checked) is the
-    // caller's (gold.GoldCounts + QueryServer).
-    Page(countOverride.getOrElse(raw.count()), page, pageSize,
-      expandDonationPage(
-        Relational.pageSlice(raw, donationOrder, page, pageSize)))
+    // countOverride (BY-NAME): the serving tier can price the envelope
+    // count from the gold counter states (recv_pairs/donor_state/
+    // pot_state) instead of a per-request count job — at 100 TB the
+    // count job scans the whole fact table for recipient-filtered routes
+    // (donations is donor-bucketed, not recipient-bucketed). The QUERY
+    // layer stays pure: None (the default, and every spec/oracle path)
+    // keeps the exact DRF count-the-queryset semantics; the override's
+    // exactness contract (gold current with silver, marker-checked) is
+    // the caller's (gold.GoldCounts + QueryServer).
+    //
+    // The count — override lookup or live count job — runs CONCURRENTLY
+    // with the slice + embed pipeline: the two sides are independent
+    // Spark actions, so the request pays max(count, slice+embeds), not
+    // their sum.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      QueryService.dimFetchEc
+    val fCount = Future(countOverride.getOrElse(raw.count()))
+    val results = expandDonationPage(
+      Relational.pageSlice(raw, donationOrder, page, pageSize))
+    Page(Await.result(fCount, Duration.Inf), page, pageSize, results)
   }
 
   /** Keyset donation route body: continuation slice on the raw facts,
@@ -487,7 +600,7 @@ final class QueryService(t0: String => DataFrame) {
   /** GET /v1/accounts/{id}/donations_received (accounts/api.py:275-313). */
   def accountDonationsReceived(id: String, page: Int = 1,
       pageSize: Int = DefaultPageSize,
-      countOverride: Option[Long] = None): Page =
+      countOverride: => Option[Long] = None): Page =
     paginateDonations(_.filter(col("recipient") === id), page, pageSize,
       countOverride)
 
@@ -502,7 +615,7 @@ final class QueryService(t0: String => DataFrame) {
   /** GET /v1/accounts/{id}/donations_sent (accounts/api.py:316-354). */
   def accountDonationsSent(id: String, page: Int = 1,
       pageSize: Int = DefaultPageSize,
-      countOverride: Option[Long] = None): Page =
+      countOverride: => Option[Long] = None): Page =
     paginateDonations(_.filter(col("donor") === id), page, pageSize,
       countOverride)
 
@@ -710,7 +823,7 @@ final class QueryService(t0: String => DataFrame) {
   /** GET /v1/pots/{id}/donations (pots/api.py:180-215). */
   def potDonations(potId: String, page: Int = 1,
       pageSize: Int = DefaultPageSize,
-      countOverride: Option[Long] = None): Page =
+      countOverride: => Option[Long] = None): Page =
     paginateDonations(_.filter(col("pot") === potId), page, pageSize,
       countOverride)
 

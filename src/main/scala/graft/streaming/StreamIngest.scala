@@ -72,8 +72,9 @@ object StreamIngest {
       fetcherOptions: Map[String, String],
       silverDir: String,
       checkpointDir: String,
-      availableNow: Boolean = false): StreamingQuery = {
-    import org.apache.spark.sql.functions.{col, from_json}
+      availableNow: Boolean = false,
+      goldBeatEveryBlocks: Option[Long] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, from_json, max, min}
     val silver = new SilverStore(spark, silverDir)
     val stream = spark.readStream
       .format(classOf[LakeSourceProvider].getName)
@@ -81,10 +82,41 @@ object StreamIngest {
       .load()
       .select(from_json(col("value"), Schemas.blockMessage).as("b"))
       .select("b.*")
+    // Gold-beat cadence state (driver-side; micro-batches run
+    // sequentially per stream). The reference runs its stats job on a
+    // crontab (*/5 min, base/celery.py:27-43); a block-HEIGHT cadence is
+    // the stream-native equivalent at NEAR's ~1 block/s — deterministic
+    // under replay, and resume-safe: the first batch seeds the baseline
+    // from its own low end, so a restart never re-beats for already-seen
+    // heights.
+    var lastBeatBucket = Long.MinValue
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { silver.applyBatch(batch); () }
+        if (!batch.isEmpty) {
+          silver.applyBatch(batch)
+          goldBeatEveryBlocks.foreach { every =>
+            val hs = batch.agg(
+              min(col("block.header.height")).as("lo"),
+              max(col("block.header.height")).as("hi")).head()
+            if (lastBeatBucket == Long.MinValue)
+              lastBeatBucket = (hs.getLong(0) - 1) / every
+            val bucket = hs.getLong(1) / every
+            if (bucket > lastBeatBucket) {
+              lastBeatBucket = bucket
+              // A failed beat must not fail the BATCH (the merge already
+              // committed; the stream's cursor must advance): gold goes
+              // stale until the next cadence boundary retries — the same
+              // failure envelope as the reference's crontab job.
+              try graft.gold.GoldRefresh.refresh(spark, silverDir): Unit
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  println(s"[stream-ingest] gold beat failed (stale until " +
+                    s"next boundary): ${e.getMessage}")
+              }
+            }
+          }
+        }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
