@@ -60,6 +60,20 @@ object Bench {
     // Debug surface: SPARK_GRAFT_PLAN_DUMP_DIR=<dir> writes the token
     // tree per query, so an unstable fingerprint diffs to the exact
     // run-varying token (tools/fpdiff.py flags, this locates).
+    // Gold gate, timed EXPLICITLY: the q_gold_* rows in the sweep read
+    // the gate's memoized output (goldRunCache builds the silver store +
+    // runs the production refresh chain ONCE per process), so their
+    // per-query timings are cached-read costs (~0.1 s) — NOT the refresh
+    // cost. Build the gate here, once, and report its wall time as its
+    // own JSON field so nobody mistakes the cached rows for the job.
+    val goldGateSec: Option[Double] =
+      if (selected.exists(_._1 == "q_gold_refresh")) {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries("q_gold_refresh")(spark, sfDir).limit(1).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      } else None
     val planDumpDir = sys.env.get("SPARK_GRAFT_PLAN_DUMP_DIR")
     def fingerprintOf(df: org.apache.spark.sql.DataFrame,
         name: String): Option[String] =
@@ -137,7 +151,8 @@ object Bench {
     val plans = results.map { case (name, _, _, fp) =>
       s"\"" + name + "\":" + fp.fold("null")("\"" + _ + "\"")
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"errors":$errs,"plans":$plans,"sf":"$sfDir"}"""
+    val goldGate = goldGateSec.fold("null")(_.toString)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"gold_gate_build_sec":$goldGate,"cached_gate_queries":["q_gold_refresh","q_gold_pot_stats"],"queries":$qs,"errors":$errs,"plans":$plans,"sf":"$sfDir"}"""
     println(line)
     // Persist the full per-query JSON as an artifact: the driver retains
     // only a truncated stdout tail, which makes round-over-round timing

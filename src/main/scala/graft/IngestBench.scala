@@ -362,6 +362,93 @@ object IngestBench {
       .count(f => f.isDirectory && f.getName.startsWith("__pdate="))
     val nStatsRows = spark.read.parquet(s"$silver/account_stats").count()
 
+    // ---- 5b. streaming beats: the live tail invokes the PRODUCTION
+    //      refresh dispatch on a block-height cadence (StreamIngest
+    //      goldBeatEveryBlocks — the reference's crontab */5 beat,
+    //      base/celery.py:27-43, at NEAR's ~1 block/s ≈ every 300
+    //      blocks; 50 here so several beats fire inside the run). Gold
+    //      after streaming-with-beats must equal gold after the
+    //      equivalent one-shot backfill + full rebuild.
+    val beatEvery = 50L
+    val beatBlocks = 200
+    (0 until beatBlocks).foreach { i =>
+      val h = nextH + i
+      Files.write(Paths.get(lake, f"$h%012d.json"),
+        blockJson(h).getBytes("UTF-8")): Unit
+    }
+    nextH += beatBlocks
+    val genBefore = rNoop.generation
+    val bq = StreamIngest.startFromLake(spark,
+      Map("fetcher.dir" -> lake, "startHeight" -> startHeight.toString,
+        "maxBlocksPerTrigger" -> "25", "fetchPartitions" -> "8"),
+      silver, ckpt, availableNow = true,
+      goldBeatEveryBlocks = Some(beatEvery))
+    require(bq.awaitTermination(1800000), "beat tail did not drain")
+    // Settle the cadence remainder (blocks past the last boundary): the
+    // production beat's NEXT firing; here one explicit dispatch.
+    val rSettle = graft.gold.GoldRefresh.refresh(spark, silver)
+    val beatsFired = rSettle.generation - genBefore -
+      (if (rSettle.mode == "noop") 0 else 1)
+    require(beatsFired >= 2,
+      s"expected ≥2 mid-stream beats (gen $genBefore → ${rSettle.generation})")
+    // Oracle: the SAME whole lake through the one-shot backfill + full
+    // rebuild, on a fresh store.
+    val oracleDir = s"$workDir/silver_oracle"
+    StreamIngest.backfill(spark, lake, oracleDir): Unit
+    graft.gold.GoldRefresh.refreshFull(spark, oracleDir): Unit
+    def goldRows(dir: String, t: String): Seq[String] = {
+      val df0 = spark.read.parquet(s"$dir/$t")
+      val df = if (df0.columns.contains("__gen")) df0.drop("__gen") else df0
+      val dfp = if (df.columns.contains("__pdate")) df.drop("__pdate") else df
+      dfp.select(dfp.columns.sorted.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val goldTables = Seq("donations_enriched", "account_stats", "pot_stats",
+      "global_stats")
+    val goldDiffs = goldTables.map(t =>
+      t -> (goldRows(silver, t) == goldRows(oracleDir, t)))
+    require(goldDiffs.forall(_._2),
+      s"streaming-beat gold diverged from batch oracle: " +
+        goldDiffs.filterNot(_._2).map(_._1).mkString(","))
+
+    // ---- 5c. the incremental WIN, measured on a GROWN store: at bench
+    //      scale fixed per-job overhead dominates both refresh paths; the
+    //      crossover (incremental strictly cheaper than full) appears
+    //      once history outweighs the batch. Grow ~10× and measure.
+    val grownBlocks = if (args.length > 3) args(3).toInt else nBlocks * 10
+    val lakeG = s"$workDir/lake_grown"
+    val lakeGTail = s"$workDir/lake_grown_tail"
+    val silverG = s"$workDir/silver_grown"
+    Files.createDirectories(Paths.get(lakeG))
+    Files.createDirectories(Paths.get(lakeGTail))
+    println(s"[ingest-bench] growing a $grownBlocks-block store for the crossover …")
+    (0 until grownBlocks).foreach { i =>
+      val h = startHeight + i
+      Files.write(Paths.get(lakeG, f"$h%012d.json"),
+        blockJson(h).getBytes("UTF-8")): Unit
+    }
+    val (_, tGrowIngest) = timed(StreamIngest.backfill(spark, lakeG, silverG))
+    val (_, tFullGrown) = timed(
+      graft.gold.GoldRefresh.refreshFull(spark, silverG))
+    (0 until goldBlocks).foreach { i =>
+      val h = startHeight + grownBlocks + i
+      Files.write(Paths.get(lakeGTail, f"$h%012d.json"),
+        blockJson(h).getBytes("UTF-8")): Unit
+    }
+    val (_, tGrownTail) = timed(StreamIngest.backfill(spark, lakeGTail, silverG))
+    val (rIncGrown, tIncGrown) = timed(
+      graft.gold.GoldRefresh.refreshIncremental(spark, silverG))
+    require(rIncGrown.mode == "incremental",
+      s"expected incremental on the grown store, got $rIncGrown")
+    val (rNoopGrown, tNoopGrown) = timed(
+      graft.gold.GoldRefresh.refreshIncremental(spark, silverG))
+    require(rNoopGrown.mode == "noop", s"expected noop, got $rNoopGrown")
+    val grownDateParts = Option(
+      new java.io.File(s"$silverG/donations_enriched").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("__pdate="))
+    val grownStatsRows = spark.read.parquet(s"$silverG/account_stats").count()
+
     val sla = blocksPerSec >= 1.0
     require(sla, f"SLA FAILED: $blocksPerSec%.2f blocks/s < 1 block/s")
 
@@ -449,9 +536,39 @@ object IngestBench {
       "account buckets — never by silver size; state tables (recipient-" +
       "donor pairs, donor/pot monoids) make the stats deltas exact, and " +
       "GoldSpec pins incremental ≡ full bit-for-bit including crash " +
-      "windows. At bench scale the fixed per-job overhead dominates both " +
-      "paths; at corpus scale the full rebuild grows with history while " +
-      "the incremental beat stays batch-sized.\n\n"
+      "windows.\n\n"
+    sb ++= "## Streaming beats: the tail refreshes gold on a block cadence\n\n"
+    sb ++= s"The tail re-ran with `goldBeatEveryBlocks = $beatEvery` " +
+      s"(StreamIngest invokes the production GoldRefresh.refresh dispatch " +
+      s"whenever the stream crosses a $beatEvery-block boundary — the " +
+      "reference's crontab */5 beat at stream cadence): " +
+      s"**$beatsFired beats fired mid-stream** over $beatBlocks blocks, " +
+      "and after the cadence-remainder settle, all four gold tables " +
+      "(donations_enriched, account_stats, pot_stats, global_stats) are " +
+      "**row-identical to a fresh one-shot backfill + full rebuild of " +
+      "the same lake** (diff 0). A beat failure degrades to staleness " +
+      "until the next boundary — it can never fail the ingest batch.\n\n"
+    sb ++= "## The incremental win, measured on a grown store\n\n"
+    sb ++= f"History grown to $grownBlocks%,d blocks " +
+      f"($grownStatsRows%,d accounts, $grownDateParts%d date partitions; " +
+      f"mega-batch ingest $tGrowIngest%.1f s):\n\n"
+    sb ++= "| beat (grown store) | wall s | re-enriched partitions | affected ids |\n|---|---|---|---|\n"
+    sb ++= f"| full rebuild | $tFullGrown%.1f | $grownDateParts%d (all) | $grownStatsRows%,d (all) |\n"
+    sb ++= f"| incremental after a $goldBlocks%d-block batch " +
+      f"(ingested in $tGrownTail%.1f s) | $tIncGrown%.1f " +
+      f"| ${rIncGrown.reEnriched}%d of $grownDateParts%d " +
+      f"| ${rIncGrown.affectedIds}%,d of $grownStatsRows%,d |\n"
+    sb ++= f"| noop beat | $tNoopGrown%.2f | 0 | 0 |\n\n"
+    sb ++= (if (tIncGrown < tFullGrown)
+      f"**Crossover demonstrated: the incremental beat ($tIncGrown%.1f s) " +
+        f"beats the full rebuild ($tFullGrown%.1f s) by " +
+        f"${tFullGrown / tIncGrown}%.1f× on the grown store** — full grows " +
+        "with history, incremental with the batch, exactly the 100 TB " +
+        "argument, now measured.\n\n"
+    else
+      f"Crossover NOT yet demonstrated at this scale ($tIncGrown%.1f s " +
+        f"incremental vs $tFullGrown%.1f s full) — fixed per-job overhead " +
+        "still dominates; grow further or cut the beat's job count.\n\n")
     sb ++= "On an object store the same pass is the difference between " +
       "thousands of GETs per scan and one per file-sized range; the " +
       "grace period (hours in production, 0 in this drained bench) is " +

@@ -89,7 +89,11 @@ object ServeBench {
     // loader: registration DDL + footer reads paid once per table swap,
     // like any long-running API process).
     val loaderCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
-    val qs = new QueryService(n => loaderCache.getOrElseUpdate(n, store.table(n)))
+    // The canonical serving loader: donations route reads map to the
+    // beat-enriched table (USD fields served non-null, rows and gold
+    // counters consistent — both the same beat's output).
+    val rawLoader = QueryServer.servingLoader(spark, silver)
+    val qs = new QueryService(n => loaderCache.getOrElseUpdate(n, rawLoader(n)))
     val gc = new graft.gold.GoldCounts(spark, silver)
     // cold tier: result cache disabled (TTL 0) → every request pays the
     // full Spark path; goldCounts wired (production config).

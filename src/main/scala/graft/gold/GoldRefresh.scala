@@ -413,8 +413,8 @@ object GoldRefresh {
     * incremental whenever standing state exists; [[refreshIncremental]]
     * itself falls back to a full rebuild on missing meta/state/layout or
     * a token-metadata change, so this is safe to call unconditionally. */
-  def refresh(spark: SparkSession, silverDir: String): Unit =
-    refreshIncremental(spark, silverDir): Unit
+  def refresh(spark: SparkSession, silverDir: String): Report =
+    refreshIncremental(spark, silverDir)
 
   /** Explicit full recompute: enrichment over all of silver, states
     * rebuilt from the enriched facts, finals from states. The bootstrap

@@ -137,8 +137,8 @@ final class QueryServer(
   // --------------------------------------------------- freshness tables
   // Source tables per route family — the swap-marker uids that key cache
   // freshness. Over-listing a table only invalidates more eagerly.
-  private val donationT = Seq("donations", "accounts", "account_stats",
-    "tokens", "pots", "pot_stats")
+  private val donationT = Seq("donations", "donations_enriched", "accounts",
+    "account_stats", "tokens", "pots", "pot_stats")
   private val accountT = Seq("accounts", "account_stats")
   private val potT = Seq("pots", "pot_stats", "accounts", "account_stats")
   private val payoutT = Seq("pot_payouts")
@@ -394,6 +394,33 @@ object QueryServer {
   final case class Response(status: Int, body: String,
       headers: Map[String, String] = Map.empty)
 
+  /** The canonical SERVING loader: silver tables through the store's
+    * registered layouts, with `donations` mapped to the beat-enriched
+    * `donations_enriched` when it exists. The DonationSerializer's USD
+    * fields are beat-computed in this engine (the documented deviation:
+    * the reference prices at handler time, the engine moves price work
+    * out of the ingest hot path, SURVEY §2.9/ST7), so the API must read
+    * the beat's output — raw silver donations carry NULL USD forever.
+    * Row visibility therefore lags ingest by ≤ the beat cadence, the
+    * same 5-minute staleness envelope as the reference's cache_page
+    * feeds; counts served from the gold counter states are exactly
+    * consistent with these rows (both sides are the same beat's output).
+    * `__gen` (the refresh bookkeeping column) is stripped — it must not
+    * leak into API JSON. NOT memoized here: freshness comes from
+    * SilverStore.registerCached / plain re-reads; wrap in your own memo
+    * only if you also key it on the swap-marker uid. */
+  def servingLoader(spark: org.apache.spark.sql.SparkSession,
+      silverDir: String): String => DataFrame = {
+    val store = new graft.ingest.SilverStore(spark, silverDir)
+    val io = graft.operators.MergeWriter.io
+    name =>
+      if (name == "donations" && io.exists(s"$silverDir/donations_enriched")) {
+        val df = spark.read.parquet(s"$silverDir/donations_enriched")
+        val noGen = if (df.columns.contains("__gen")) df.drop("__gen") else df
+        if (noGen.columns.contains("__pdate")) noGen.drop("__pdate") else noGen
+      } else store.table(name)
+  }
+
   /** Resident entry point: `runMain graft.queries.QueryServer <silverDir>
     * [port]` — one SparkSession, memoized table loader (registration DDL
     * and footer reads paid once per table per swap), gold counters wired,
@@ -403,8 +430,7 @@ object QueryServer {
       sys.error("usage: QueryServer <silverDir> [port]"))
     val port = if (args.length > 1) args(1).toInt else 8080
     val spark = graft.HarnessSession.local()
-    val store = new graft.ingest.SilverStore(spark, silverDir)
-    val qs = new QueryService(store.table)
+    val qs = new QueryService(servingLoader(spark, silverDir))
     val server = new QueryServer(qs, silverDir,
       goldCounts = Some(new graft.gold.GoldCounts(spark, silverDir)))
     val http = server.start(port)
