@@ -68,6 +68,28 @@ object ServeBench {
     val blocks = spark.read.schema(Schemas.blockMessage).json(lake)
     val store = new SilverStore(spark, silver)
     val (_, tBuild) = timed(store.applyBatch(blocks))
+    // Seed token decimals (RPC-snapshot plane) and a NEAR price per
+    // donation day (price backfill plane) BEFORE the beat, so the gold
+    // enrichment actually prices the store and the serve plane
+    // demonstrably returns the DonationSerializer's non-null USD strings
+    // (raw silver carries NULL USD by the moved-out-enrichment design —
+    // the routes read the beat's enriched output).
+    import org.apache.spark.sql.functions.{col, date_trunc, lit}
+    val ftMeta = s"$workDir/ft_meta.json"
+    Files.write(Paths.get(ftMeta),
+      """{"account": "near", "name": "NEAR", "symbol": "NEAR", "decimals": 24}"""
+        .getBytes("UTF-8")): Unit
+    graft.ingest.SnapshotBackfill.mergeInto(spark, silver, Map(
+      "tokens" -> (graft.ingest.SnapshotBackfill.tokenMetadata(
+        spark, ftMeta, 1L),
+        graft.ingest.SnapshotBackfill.naturalKeys("tokens"))))
+    store.table("donations")
+      .select(date_trunc("day", col("donated_at")).as("timestamp")).distinct()
+      .withColumn("token", lit("near"))
+      .withColumn("price_usd",
+        lit(new java.math.BigDecimal("5.00")).cast("decimal(20,2)"))
+      .select("token", "timestamp", "price_usd")
+      .write.mode("overwrite").parquet(s"$silver/token_prices")
     // The gold beat (USD enrichment + account/pot/global stats + counter
     // states) is part of the serving stack: donors sorting and account
     // embeds read account_stats; the count duel reads the states.

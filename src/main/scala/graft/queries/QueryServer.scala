@@ -195,6 +195,12 @@ final class QueryServer(
       case List("metrics") => Response(200, metricsJson())
       case List("schema") | List("v1", "schema") =>
         Response(200, qs.openApiSchema())
+      case List("docs") =>
+        Response(200, OpenApi.swaggerUiHtml,
+          Map("Content-Type" -> "text/html; charset=utf-8"))
+      case List("redoc") =>
+        Response(200, OpenApi.redocHtml,
+          Map("Content-Type" -> "text/html; charset=utf-8"))
 
       // ------------------------------------------------------- accounts
       case List("v1", "accounts") =>
