@@ -293,6 +293,29 @@ object GoldRefresh {
     } finally pool.shutdown()
   }
 
+  /** Run independent refresh legs concurrently with settle-all semantics
+    * (see applyStates' rationale: fail-fast or a timeout rethrow while a
+    * sibling is mid-commit on its table would hand control to the
+    * crash-resume path racing that live commit). Legs must touch
+    * DISJOINT tables/paths and be individually crash-idempotent. */
+  private def concurrently(legs: Seq[() => Unit]): Unit = {
+    if (legs.sizeIs <= 1) { legs.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val settled = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(legs.map(l =>
+          scala.concurrent.Future(l()).transform(t => scala.util.Success(t)))),
+        scala.concurrent.duration.Duration.Inf)
+      val failures = settled.collect { case scala.util.Failure(e) => e }
+      failures.headOption.foreach { e =>
+        failures.drop(1).foreach(e.addSuppressed)
+        throw e
+      }
+    } finally pool.shutdown()
+  }
+
   // ---------------------------------------------- finals (from states)
   /** Bucket-file-pruned slice of a bucketed state table: reads only the
     * bucket files the (small) key set hashes into, then semi-joins. On a
@@ -731,11 +754,18 @@ object GoldRefresh {
       val newSlice =
         if (partVals.nonEmpty) spark.read.parquet(enrTmp)
         else oldSlice.limit(0)
+      // The ±1-weighted diff is the input of all THREE delta aggregates:
+      // persist it once (otherwise each delta re-scans old+new slices)
+      // and stage the three independent writes concurrently — staging
+      // cost is the slowest delta, not the sum.
       val facts = oldSlice.withColumn("__w", lit(-1))
         .unionByName(newSlice.withColumn("__w", lit(1)))
-      recvDelta(facts).write.parquet(s"$tmpStage/recv_pairs_delta")
-      donorDelta(facts).write.parquet(s"$tmpStage/donor_state_delta")
-      potDelta(facts).write.parquet(s"$tmpStage/pot_state_delta")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try concurrently(Seq(
+        () => recvDelta(facts).write.parquet(s"$tmpStage/recv_pairs_delta"),
+        () => donorDelta(facts).write.parquet(s"$tmpStage/donor_state_delta"),
+        () => potDelta(facts).write.parquet(s"$tmpStage/pot_state_delta")))
+      finally facts.unpersist()
       // Payout leg staged as data (idempotent resume needs the DIFF
       // against the pre-refresh paid state, which the commit replaces).
       if (payoutsChanged) {
@@ -840,8 +870,13 @@ object GoldRefresh {
 
     // account_stats: affected rows rebuilt from states, LWW-merged by
     // generation — bucket-scoped, so the write cost follows the batch too.
+    // The three FINAL tables touch disjoint paths, are individually
+    // gen-fenced (a crash leaves any mix of fenced/unfenced; the resume's
+    // per-table readGen dispatch handles each), and none reads another's
+    // output — so they commit CONCURRENTLY and the finals leg costs the
+    // slowest table, not the sum (the same discipline as applyStates).
     val statsPath = s"$silverDir/account_stats"
-    if (!readGen(statsPath).exists(_._1 == gen)) {
+    def accountStatsLeg(): Unit = if (!readGen(statsPath).exists(_._1 == gen)) {
       if (nAffected > 0L) {
         val rows = accountRowsFor(spark, silverDir, affected, gen)
         MergeWriter.mergeBucketed(spark, rows, statsPath, Seq("id"),
@@ -853,7 +888,7 @@ object GoldRefresh {
     // pot_stats: state table IS the stats (plus liveness); rewrite whole —
     // bounded by pot count, never donations.
     val potPath = s"$silverDir/pot_stats"
-    if (!readGen(potPath).exists(_._1 == gen)) {
+    def potStatsLeg(): Unit = if (!readGen(potPath).exists(_._1 == gen)) {
       write(potStatsFromState(spark, silverDir), potPath)
       writeGen(potPath, gen, MergeWriter.AdditiveMergeStats(0, 0, 0, 0))
     }
@@ -870,7 +905,7 @@ object GoldRefresh {
     // The distinct deltas themselves are resume-stable: a fenced state
     // table returns its STORED AdditiveMergeStats.
     val globalPath = s"$silverDir/global_stats"
-    if (!readGen(globalPath).exists(_._1 == gen)) {
+    def globalStatsLeg(): Unit = if (!readGen(globalPath).exists(_._1 == gen)) {
       val stagedNext = s"$staging/global_next"
       if (!io.exists(stagedNext)) {
         val prev = spark.read.parquet(globalPath).head()
@@ -905,6 +940,9 @@ object GoldRefresh {
       write(spark.read.parquet(stagedNext), globalPath)
       writeGen(globalPath, gen, MergeWriter.AdditiveMergeStats(0, 0, 0, 0))
     }
+
+    concurrently(Seq(
+      () => accountStatsLeg(), () => potStatsLeg(), () => globalStatsLeg()))
     affected.unpersist()
 
     // ---- commit: price-seen snapshot, meta (from the STAGED uids — a
