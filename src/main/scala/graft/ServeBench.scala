@@ -198,6 +198,11 @@ object ServeBench {
       ("pot donations", s"/api/v1/pots/$potId/donations?page=1",
         store.table("donations").filter($"pot" === potId).count()))
     require(gc.current(), "gold counters must read current after the beat")
+    // The donors route's gold count must equal its semi-join count (every
+    // donor has a discovered accounts row, so distinct donors ≡ semi).
+    require(gc.totalDonors() == Some(store.table("donations")
+      .select($"donor").distinct().count()),
+      "gold totalDonors != distinct donors on the bench store")
     val duel = duelPaths.map { case (name, path, scanCount) =>
       val goldR = measure(s"$name [gold count]", coldPort, path)
       val liveR = measure(s"$name [live count]",

@@ -80,4 +80,20 @@ final class GoldCounts(spark: SparkSession, silverDir: String) {
   /** Count for GET /v1/pots/{id}/donations. */
   def potDonations(potId: String): Option[Long] =
     lookup("pot_state", "pot", potId)
+
+  /** Count for GET /v1/donors — the distinct-donor total the beat wrote
+    * to global_stats (one-row read instead of the route's per-request
+    * accounts⋈donations semi-join count). Exactness rides the same
+    * currency check; equality with the route's own count holds because
+    * ingest discovers an accounts row for every donor (J8 anti-join
+    * discovery), so distinct donors ≡ accounts with ≥1 donation. */
+  def totalDonors(): Option[Long] = {
+    val p = s"$silverDir/global_stats"
+    if (!current() || !io.exists(p)) None
+    else spark.read.parquet(p).select("total_donors_count")
+      .head().get(0) match {
+        case n: java.lang.Long => Some(n.longValue())
+        case _ => None
+      }
+  }
 }

@@ -248,8 +248,10 @@ final class QueryServer(
       // -------------------------------------------------------- donors
       case List("v1", "donors") =>
         val sortMost = params.get("sort").contains("most_donated_usd")
-        memo(path, params, accountT :+ "donations")(
-          envelope(path, params, qs.donors(sortMost, page),
+        memo(path, params, accountT ++ Seq("donations", "global_stats"))(
+          envelope(path, params,
+            qs.donors(sortMost, page,
+              countOverride = goldCounts.flatMap(_.totalDonors())),
             Serializers.accountJson))
 
       // --------------------------------------------------------- lists

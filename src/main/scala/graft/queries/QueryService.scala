@@ -675,7 +675,8 @@ final class QueryService(t0: String => DataFrame) {
   /** GET /v1/donors [?sort=most_donated_usd] (accounts/api.py:50-92):
     * J2 semi-join + optional O2 sort over the gold account_stats. */
   def donors(sortMostDonated: Boolean, page: Int = 1,
-      pageSize: Int = DefaultPageSize): Page = {
+      pageSize: Int = DefaultPageSize,
+      countOverride: => Option[Long] = None): Page = {
     val a = accountDim
     val d = donations
     // accountDim already carries total_donations_out_usd (null-typed when
@@ -686,7 +687,11 @@ final class QueryService(t0: String => DataFrame) {
       if (sortMostDonated)
         Seq(col("total_donations_out_usd").desc_nulls_last, col("id").asc)
       else Seq(col("id").asc)
-    paginate(withStats, order, page, pageSize)
+    // countOverride: same contract as the donation routes — the serving
+    // tier can price the envelope count from gold (global_stats
+    // total_donors_count) instead of a per-request semi-join count.
+    Page(countOverride.getOrElse(withStats.count()), page, pageSize,
+      Relational.pageSlice(withStats, order, page, pageSize))
   }
 
   // ---------------------------------------------------- lists routes

@@ -348,6 +348,11 @@ class GoldSpec extends SparkSpec {
     assert(gc.potDonations(potAccount) == Some(liveCount("pot", potAccount)))
     // A key with no state rows is a real zero, not a decline.
     assert(gc.donationsReceived("ghost.near") == Some(0L))
+    // Donors total = the /v1/donors route's count (ingest discovers an
+    // accounts row for every donor, so distinct donors ≡ the semi-join).
+    assert(gc.totalDonors() ==
+      Some(spark.read.parquet(s"$live/donations")
+        .select("donor").distinct().count()))
 
     // Ingest after the beat: counters are stale → the provider must
     // DECLINE (None) so the serving tier falls back to the live count.
@@ -364,6 +369,7 @@ class GoldSpec extends SparkSpec {
     ingest(batch1.take(1), live, "gc4") // replay of a donation block
     assert(!gc.current(), "donations merged since the beat → must decline")
     assert(gc.donationsReceived("sea.near").isEmpty)
+    assert(gc.totalDonors().isEmpty)
     // The next refresh restores currency.
     GoldRefresh.refresh(spark, live)
     assert(gc.current())
