@@ -151,6 +151,37 @@ class QueryServerSpec extends SparkSpec {
       countOverride = Some(42L)).count == 42L)
   }
 
+  test("concurrent requests: parallel mixed routes stay correct and consistent") {
+    // The serve tier's production shape: many clients hitting one
+    // resident process. Cache stampedes double-compute (documented),
+    // but every response must be correct and identical for identical
+    // requests — concurrent Spark actions, memo writes and throttle
+    // bookkeeping must not corrupt each other.
+    val s = server()
+    val paths = Seq(
+      "/api/v1/accounts" -> Map("page" -> "1"),
+      "/api/v1/accounts/donor1.near" -> Map.empty[String, String],
+      "/api/v1/accounts/proj1.near/donations_received" -> Map("page" -> "1"),
+      "/api/v1/stats" -> Map.empty[String, String],
+      "/api/v1/accounts/ghost.near" -> Map.empty[String, String])
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(
+        java.util.concurrent.Executors.newFixedThreadPool(12))
+    val all = Await.result(Future.sequence(
+      (1 to 4).flatMap(i => paths.map { case (p, prm) =>
+        Future((p, s.handle("GET", p, prm, client = s"c$i")))
+      })), Duration.Inf)
+    // identical requests → identical responses, across all threads
+    all.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._2).distinct.size == 1, s"divergent responses for $p")
+    }
+    assert(all.count(_._2.status == 200) == 16)
+    assert(all.count(_._2.status == 404) == 4) // the ghost detail route
+    assert(s.requests == 20)
+  }
+
   test("HTTP binding serves handle() verbatim: status, body, headers, metrics") {
     val s = server()
     val http = s.start(0) // ephemeral port
