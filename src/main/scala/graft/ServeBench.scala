@@ -110,12 +110,12 @@ object ServeBench {
     // ---- resident servers over ONE shared query layer (memoized table
     // loader: registration DDL + footer reads paid once per table swap,
     // like any long-running API process).
-    val loaderCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
-    // The canonical serving loader: donations route reads map to the
-    // beat-enriched table (USD fields served non-null, rows and gold
-    // counters consistent — both the same beat's output).
-    val rawLoader = QueryServer.servingLoader(spark, silver)
-    val qs = new QueryService(n => loaderCache.getOrElseUpdate(n, rawLoader(n)))
+    // The canonical serving loader, memoized per (table, swap uid) — the
+    // SAME wiring QueryServer.main serves with, so the bench measures the
+    // production read path (donations route reads map to the beat-enriched
+    // table: USD fields served non-null, rows and gold counters consistent
+    // — both the same beat's output).
+    val qs = new QueryService(QueryServer.memoizedServingLoader(spark, silver))
     val gc = new graft.gold.GoldCounts(spark, silver)
     // cold tier: result cache disabled (TTL 0) → every request pays the
     // full Spark path; goldCounts wired (production config).

@@ -39,11 +39,34 @@ final class GoldCounts(spark: SparkSession, silverDir: String) {
   private def uidOf(path: String): String =
     io.readString(MergeWriter.swapMarkerPath(path)).getOrElse("")
 
-  /** Gold counters current with silver? (see exactness contract above) */
+  /** Gold counters current with silver? (see exactness contract above)
+    * Two conditions: the donations uid the last refresh consumed equals
+    * the table's uid NOW (no donation write since the beat), and no
+    * refresh is IN FLIGHT — a price- or payout-triggered refresh rewrites
+    * the counter states and global_stats without touching the donations
+    * marker, so uid currency alone cannot see that commit window. */
   def current(): Boolean =
-    GoldRefresh.inputUid(silverDir, "donations")
-      .exists(recorded => recorded.nonEmpty &&
-        recorded == uidOf(s"$silverDir/donations"))
+    !GoldRefresh.refreshInFlight(silverDir) &&
+      GoldRefresh.inputUid(silverDir, "donations")
+        .exists(recorded => recorded.nonEmpty &&
+          recorded == uidOf(s"$silverDir/donations"))
+
+  /** Run a gold read under the exactness fence: currency checked BEFORE,
+    * and after the read the inflight marker must still be absent with the
+    * meta generation unchanged — a refresh that started or completed
+    * inside the read window (partial state files, a mid-swap
+    * global_stats) fails the post-check and the caller falls back to the
+    * live count. Any exception (mid-swap FileNotFound between an exists
+    * probe and the read) also answers None — the contract is degraded
+    * latency, never a wrong envelope, never a failed request. */
+  private def fenced[T](read: => T): Option[T] = {
+    if (!current()) return None
+    val genBefore = GoldRefresh.metaGeneration(silverDir)
+    scala.util.Try(read).toOption.filter { _ =>
+      !GoldRefresh.refreshInFlight(silverDir) &&
+        GoldRefresh.metaGeneration(silverDir) == genBefore && genBefore.nonEmpty
+    }
+  }
 
   /** A state table as a bucket-pruning scan, or None when absent /
     * not yet in bucketed layout (pre-beat store). */
@@ -63,11 +86,12 @@ final class GoldCounts(spark: SparkSession, silverDir: String) {
     * row has zero donations, a real count. The grouped sum collapses
     * map-side within the key's single bucket. */
   private def lookup(name: String, keyCol: String, key: String): Option[Long] =
-    if (!current()) None
-    else state(name, keyCol).map { st =>
-      st.filter(col(keyCol) === key)
-        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-    }
+    fenced {
+      state(name, keyCol).map { st =>
+        st.filter(col(keyCol) === key)
+          .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      }
+    }.flatten
 
   /** Count for GET /v1/accounts/{id}/donations_received. */
   def donationsReceived(id: String): Option[Long] =
@@ -89,11 +113,13 @@ final class GoldCounts(spark: SparkSession, silverDir: String) {
     * discovery), so distinct donors ≡ accounts with ≥1 donation. */
   def totalDonors(): Option[Long] = {
     val p = s"$silverDir/global_stats"
-    if (!current() || !io.exists(p)) None
-    else spark.read.parquet(p).select("total_donors_count")
-      .head().get(0) match {
-        case n: java.lang.Long => Some(n.longValue())
-        case _ => None
-      }
+    fenced {
+      if (!io.exists(p)) None
+      else spark.read.parquet(p).select("total_donors_count")
+        .head().get(0) match {
+          case n: java.lang.Long => Some(n.longValue())
+          case _ => None
+        }
+    }.flatten
   }
 }

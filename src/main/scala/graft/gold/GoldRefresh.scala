@@ -137,6 +137,31 @@ object GoldRefresh {
   def inputUid(silverDir: String, table: String): Option[String] =
     readMeta(silverDir).flatMap(_.uids.get(table))
 
+  /** Meta generation as a read-side fence token: bumped by every
+    * completed refresh, absent mid-full-rebuild (the meta delete is the
+    * rebuild's first mutation). GoldCounts reads it before AND after a
+    * counter lookup — equality proves no refresh completed inside the
+    * read window. */
+  def metaGeneration(silverDir: String): Option[Long] =
+    readMeta(silverDir).map(_.generation)
+
+  /** Refresh-in-flight marker: present from the first LIVE mutation of
+    * any refresh (full or incremental apply phase) until its commit.
+    * Serve-plane exact-count reads (GoldCounts) decline while it exists
+    * — a price- or payout-triggered refresh rewrites the counter states
+    * and global_stats WITHOUT rotating the donations marker, so uid
+    * currency alone cannot see that commit window. A crash leaves the
+    * marker standing: counts stay declined (live-count fallback) until
+    * the next successful refresh clears it — degraded, never wrong. */
+  private[gold] def inflightPath(silverDir: String) = s"$silverDir/gold_inflight"
+  def refreshInFlight(silverDir: String): Boolean =
+    io.exists(inflightPath(silverDir))
+  private def markInflight(silverDir: String): Unit =
+    io.writeStringAtomic(inflightPath(silverDir),
+      java.util.UUID.randomUUID().toString.take(8))
+  private def clearInflight(silverDir: String): Unit =
+    io.deleteRecursively(inflightPath(silverDir))
+
   /** Generation fence for a state/final table: `<table>.goldgen` holds
     * "gen|rowsBefore|rowsAfter|distinctBefore|distinctAfter" after the
     * table absorbed generation `gen` — a resumed refresh skips the merge
@@ -266,40 +291,21 @@ object GoldRefresh {
           "matching_pool_donations_count", "total_public_donations_dec",
           "total_public_donations_usd", "public_donations_count"),
         "pot", "pot"))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(specs.size)
-    try {
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      // Settle EVERY future before propagating a failure: fail-fast would
-      // hand control back (to a retry, or the crash-resume path) while a
-      // sibling is still mid-commit on its table — the resumed run would
-      // then race that live commit on the same staged files. The await is
-      // UNBOUNDED for the same reason: a timeout rethrow while a merge is
-      // still moving staged files re-creates exactly that race, and every
-      // future completes on success or failure (only a truly hung storage
-      // call blocks — and then blocking beats racing). Secondary failures
-      // ride along as suppressed.
-      val settled = scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(specs.map { case (n, k, a, b, d) =>
-          scala.concurrent.Future(one(n, k, a, b, d))
-            .transform(t => scala.util.Success(t)) }),
-        scala.concurrent.duration.Duration.Inf)
-      val failures = settled.collect { case scala.util.Failure(e) => e }
-      failures.headOption.foreach { e =>
-        failures.drop(1).foreach(e.addSuppressed)
-        throw e
-      }
-      settled.map(_.get).toMap
-    } finally pool.shutdown()
+    concurrently(specs.map { case (n, k, a, b, d) =>
+      () => one(n, k, a, b, d) }).toMap
   }
 
-  /** Run independent refresh legs concurrently with settle-all semantics
-    * (see applyStates' rationale: fail-fast or a timeout rethrow while a
-    * sibling is mid-commit on its table would hand control to the
-    * crash-resume path racing that live commit). Legs must touch
+  /** Run independent refresh legs concurrently with settle-all semantics:
+    * EVERY future settles before a failure propagates — fail-fast (or a
+    * timeout rethrow) would hand control back to a retry or the
+    * crash-resume path while a sibling is still mid-commit on its table,
+    * and the resumed run would then race that live commit on the same
+    * staged files. The await is UNBOUNDED for the same reason (only a
+    * truly hung storage call blocks — and then blocking beats racing);
+    * secondary failures ride along as suppressed. Legs must touch
     * DISJOINT tables/paths and be individually crash-idempotent. */
-  private def concurrently(legs: Seq[() => Unit]): Unit = {
-    if (legs.sizeIs <= 1) { legs.foreach(_.apply()); return }
+  private def concurrently[T](legs: Seq[() => T]): Seq[T] = {
+    if (legs.sizeIs <= 1) return legs.map(_.apply())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
     try {
       implicit val ec: scala.concurrent.ExecutionContext =
@@ -313,6 +319,7 @@ object GoldRefresh {
         failures.drop(1).foreach(e.addSuppressed)
         throw e
       }
+      settled.map(_.get)
     } finally pool.shutdown()
   }
 
@@ -470,6 +477,9 @@ object GoldRefresh {
     // state (deltas would compute against a re-swapped enriched table and
     // silently drop every untouched account's stats row). Invalidating
     // the meta before any other write makes that dispatch automatic.
+    // The inflight marker goes down first: serve-plane exact-count reads
+    // (GoldCounts) must decline for the whole rebuild window.
+    markInflight(silverDir)
     if (io.exists(metaPath(silverDir)))
       io.deleteRecursively(metaPath(silverDir))
 
@@ -577,6 +587,7 @@ object GoldRefresh {
     io.writeStringAtomic(metaPath(silverDir), Meta(gen, uids).render)
     MergeWriter.consumeDirty(paths("donations"), dirtySnapshot)
     MergeWriter.consumeDirty(paths("accounts"), dirtyAcctSnapshot)
+    clearInflight(silverDir)
     Report("full", gen, -1, -1L)
   }
 
@@ -680,8 +691,15 @@ object GoldRefresh {
     val payoutsChanged = changed(meta, "pot_payouts")
     val accountsChanged = dirtyAcctSnapshot.nonEmpty || changed(meta, "accounts")
     if (!resuming && dirtySnapshot.names.isEmpty && !pricesChanged &&
-        !payoutsChanged && !accountsChanged)
+        !payoutsChanged && !accountsChanged) {
+      // A standing inflight marker here can only be residue of a crash
+      // between a completed refresh's meta write and its marker clear:
+      // inputs matching the meta ⇒ that refresh fully committed (a crash
+      // mid-apply leaves its staging dir → resuming; mid-full-rebuild
+      // deletes the meta → no-meta dispatch). Clear it so counts recover.
+      clearInflight(silverDir)
       return Report("noop", meta.generation, 0, 0L)
+    }
 
     if (!resuming) {
       // ---- stage: enrich touched partitions + persist delta aggregates
@@ -799,6 +817,9 @@ object GoldRefresh {
     }
 
     // ---- apply (crash-resumable from here purely off the staging dir)
+    // First LIVE mutation is below (enriched partition swap): exact-count
+    // reads decline from here until the commit clears the marker.
+    markInflight(silverDir)
     val manifest = io.readString(s"$staging/manifest").get.split('\n')
       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
     def setOf(k: String) =
@@ -827,6 +848,12 @@ object GoldRefresh {
         if (io.exists(aside)) io.deleteRecursively(aside)
       }
     }
+    // The partition swap changed donations_enriched without going through
+    // swapIn — rotate its marker so cache freshness (ResultCache.uidsFor)
+    // sees the price-only re-enrichment immediately, not at TTL.
+    if (parts.nonEmpty)
+      io.writeStringAtomic(MergeWriter.swapMarkerPath(enrichedPath),
+        java.util.UUID.randomUUID().toString.take(8))
 
     val stats = applyStates(spark, silverDir, gen, staging)
 
@@ -960,6 +987,7 @@ object GoldRefresh {
       setOf("dirtyfiles_accounts"), stagedDirtyAccts))
     io.deleteRecursively(staging)
     io.deleteRecursively(enrTmp)
+    clearInflight(silverDir)
     Report("incremental", gen, parts.size, nAffected)
   }
 

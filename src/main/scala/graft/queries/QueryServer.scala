@@ -104,6 +104,13 @@ final class QueryServer(
     * URLs preserving the route's non-page params. */
   private def envelope(path: String, params: Map[String, String], p: Page,
       serialize: DataFrame => DataFrame): Response = {
+    // DRF parity: a page past the end is 404 Invalid page., not a 200
+    // empty envelope (django Paginator.validate_number raises EmptyPage;
+    // num_pages floors at 1, so page=1 of an empty set is still a 200).
+    val numPages = math.max(1L,
+      (p.count + p.pageSize - 1L) / p.pageSize)
+    if (p.page > numPages)
+      return Response(404, Serializers.detailJson("Invalid page."))
     def url(pg: Int): Option[String] =
       if (pg < 1) None
       else {
@@ -164,10 +171,9 @@ final class QueryServer(
           Map("Retry-After" -> retryAfter.toString))
       case Right(()) =>
     }
-    // Accept both the reference's /api/v1 prefix and bare /v1.
-    val path =
-      if (rawPath.startsWith("/api/")) rawPath.stripPrefix("/api") else rawPath
-    try route(path, params) catch {
+    try route(rawPath, params) catch {
+      case _: QueryServer.InvalidPageException =>
+        Response(404, Serializers.detailJson("Invalid page."))
       case scala.util.control.NonFatal(e) =>
         errorCount.incrementAndGet(): Unit
         Response(500, Serializers.errorJson(
@@ -175,10 +181,32 @@ final class QueryServer(
     }
   }
 
-  private def intParam(params: Map[String, String], name: String,
-      default: Int): Int =
-    params.get(name).flatMap(s => scala.util.Try(s.trim.toInt).toOption)
-      .filter(_ >= 1).getOrElse(default)
+  /** DRF PageNumberPagination parity: a missing `page` means page 1, but
+    * a PRESENT page that is not a positive integer is 404 {"detail":
+    * "Invalid page."} (rest_framework NotFound), not silently coerced —
+    * coercion would also mint a distinct cache entry per garbage value.
+    * Deliberate deviation: DRF's `page=last` alias is NOT supported
+    * (it answers the same 404) — resolving it would cost a second count
+    * job per request, and the reference's clients page forward. Lazily
+    * evaluated at the use site, so detail routes ignore `page` exactly
+    * like DRF does. */
+  private def pageParam(params: Map[String, String]): Int =
+    params.get("page") match {
+      case None => 1
+      case Some(s) => s.trim.toIntOption.filter(_ >= 1)
+        .getOrElse(throw new QueryServer.InvalidPageException)
+    }
+
+  /** DRF `page_size` parity: every reference list view mixes in
+    * CustomSizePageNumberPagination (api/pagination.py:8-9), whose
+    * get_page_size takes a positive `page_size` query param and SILENTLY
+    * falls back to the default 30 on anything else (garbage page_size is
+    * not a 404 — only garbage `page` is; rest_framework pagination
+    * catches the ValueError and passes). No max_page_size in the
+    * reference, so none here. */
+  private def pageSizeParam(params: Map[String, String]): Int =
+    params.get("page_size").flatMap(_.trim.toIntOption).filter(_ >= 1)
+      .getOrElse(QueryService.DefaultPageSize)
 
   private def memo(path: String, params: Map[String, String],
       tables: Seq[String])(compute: => Response): Response =
@@ -186,8 +214,16 @@ final class QueryServer(
       ResultCache.routeKey(path, params.toSeq: _*), uids(tables))(compute)
 
   private def route(path: String, params: Map[String, String]): Response = {
-    val segs = path.split('/').filter(_.nonEmpty).toList
-    val page = intParam(params, "page", 1)
+    // Accept both the reference's /api/v1 prefix and bare /v1 — but ONLY
+    // for matching. Envelope continuation URLs and cache keys use the
+    // path AS REQUESTED: a client behind a proxy that routes /api/* must
+    // get next/previous links it can actually follow, and the two
+    // spellings must not share a cache entry (their bodies differ).
+    val matchPath =
+      if (path.startsWith("/api/")) path.stripPrefix("/api") else path
+    val segs = matchPath.split('/').filter(_.nonEmpty).toList
+    lazy val page = pageParam(params)
+    val size = pageSizeParam(params)
     val status = params.get("status")
     segs match {
       // ---------------------------------------------------- service meta
@@ -205,7 +241,7 @@ final class QueryServer(
       // ------------------------------------------------------- accounts
       case List("v1", "accounts") =>
         memo(path, params, accountT)(
-          envelope(path, params, qs.accountsList(page), Serializers.accountJson))
+          envelope(path, params, qs.accountsList(page, size), Serializers.accountJson))
       case List("v1", "accounts", id) =>
         memo(path, params, accountT)(
           detail(qs.accountDetail(id), Serializers.accountJson, "Account", id))
@@ -217,32 +253,32 @@ final class QueryServer(
         memo(path, params, potT ++ Seq("pot_applications"))(
           envelope(path, params,
             qs.accountActivePots(id, live,
-              new java.sql.Timestamp(nowMs()), page),
+              new java.sql.Timestamp(nowMs()), page, size),
             Serializers.potJson))
       case List("v1", "accounts", id, "pot_applications") =>
         memo(path, params, Seq("pot_applications"))(
-          pageEither(path, params, qs.accountPotApplications(id, status, page),
+          pageEither(path, params, qs.accountPotApplications(id, status, page, size),
             rowJson))
       case List("v1", "accounts", id, "donations_received") =>
         memo(path, params, donationT)(
           envelope(path, params,
-            qs.accountDonationsReceived(id, page,
+            qs.accountDonationsReceived(id, page, size,
               countOverride = goldCounts.flatMap(_.donationsReceived(id))),
             Serializers.donationJson))
       case List("v1", "accounts", id, "donations_sent") =>
         memo(path, params, donationT)(
           envelope(path, params,
-            qs.accountDonationsSent(id, page,
+            qs.accountDonationsSent(id, page, size,
               countOverride = goldCounts.flatMap(_.donationsSent(id))),
             Serializers.donationJson))
       case List("v1", "accounts", id, "payouts_received") =>
         memo(path, params, payoutT)(
-          envelope(path, params, qs.accountPayoutsReceived(id, page),
+          envelope(path, params, qs.accountPayoutsReceived(id, page, size),
             Serializers.potPayoutJson))
       case List("v1", "accounts", id, "list-registrations") =>
         memo(path, params, regT)(
           pageEither(path, params,
-            qs.accountListRegistrations(id, status, page),
+            qs.accountListRegistrations(id, status, page, size),
             Serializers.listRegistrationJson))
 
       // -------------------------------------------------------- donors
@@ -250,21 +286,21 @@ final class QueryServer(
         val sortMost = params.get("sort").contains("most_donated_usd")
         memo(path, params, accountT ++ Seq("donations", "global_stats"))(
           envelope(path, params,
-            qs.donors(sortMost, page,
+            qs.donors(sortMost, page, size,
               countOverride = goldCounts.flatMap(_.totalDonors())),
             Serializers.accountJson))
 
       // --------------------------------------------------------- lists
       case List("v1", "lists") =>
         memo(path, params, Seq("lists"))(
-          envelope(path, params, qs.listsList(page), rowJson))
+          envelope(path, params, qs.listsList(page, size), rowJson))
       case List("v1", "lists", IntId(id)) =>
         memo(path, params, Seq("lists"))(
           detail(qs.listDetail(id), rowJson, "List", id))
       case List("v1", "lists", IntId(id), "registrations") =>
         memo(path, params, regT)(
           pageEither(path, params,
-            qs.listRegistrations(id, status, params.get("category"), page),
+            qs.listRegistrations(id, status, params.get("category"), page, size),
             Serializers.listRegistrationJson))
       case List("v1", "lists", IntId(id), "random_registration") =>
         // Deterministic seeded pick (O5) — cacheable like any route; the
@@ -280,30 +316,30 @@ final class QueryServer(
       // ---------------------------------------------------------- pots
       case List("v1", "pots") =>
         memo(path, params, potT)(
-          envelope(path, params, qs.potsList(page), Serializers.potJson))
+          envelope(path, params, qs.potsList(page, size), Serializers.potJson))
       case List("v1", "pots", id) =>
         memo(path, params, potT)(
           detail(qs.potDetail(id), Serializers.potJson, "Pot", id))
       case List("v1", "pots", id, "applications") =>
         memo(path, params, Seq("pot_applications"))(
-          envelope(path, params, qs.potApplications(id, page), rowJson))
+          envelope(path, params, qs.potApplications(id, page, size), rowJson))
       case List("v1", "pots", id, "donations") =>
         memo(path, params, donationT)(
           envelope(path, params,
-            qs.potDonations(id, page,
+            qs.potDonations(id, page, size,
               countOverride = goldCounts.flatMap(_.potDonations(id))),
             Serializers.donationJson))
       case List("v1", "pots", id, "sponsors") =>
         memo(path, params, donationT)(
-          envelope(path, params, qs.potSponsors(id, page),
+          envelope(path, params, qs.potSponsors(id, page, size),
             Serializers.accountJson))
       case List("v1", "pots", id, "payouts") =>
         memo(path, params, payoutT)(
-          envelope(path, params, qs.potPayouts(id, page),
+          envelope(path, params, qs.potPayouts(id, page, size),
             Serializers.potPayoutJson))
       case List("v1", "potfactories") =>
         memo(path, params, Seq("pot_factories"))(
-          envelope(path, params, qs.potFactoriesList(page), rowJson))
+          envelope(path, params, qs.potFactoriesList(page, size), rowJson))
 
       // ---------------------------------------------------------- misc
       case List("v1", "donate_contract_config") =>
@@ -402,6 +438,11 @@ object QueryServer {
   final case class Response(status: Int, body: String,
       headers: Map[String, String] = Map.empty)
 
+  /** Raised by [[QueryServer.pageParam]] on a present-but-invalid `page`
+    * query param; rendered as DRF's 404 {"detail": "Invalid page."}. */
+  private[queries] final class InvalidPageException
+    extends RuntimeException("Invalid page.")
+
   /** The canonical SERVING loader: silver tables through the store's
     * registered layouts, with `donations` mapped to the beat-enriched
     * `donations_enriched` when it exists. The DonationSerializer's USD
@@ -429,6 +470,39 @@ object QueryServer {
       } else store.table(name)
   }
 
+  /** [[servingLoader]] memoized per (table, swap-marker uid): the frame —
+    * and with it the registration DDL / parquet footer read behind it —
+    * is built once per table per SWAP, not per request. Freshness is the
+    * marker, exactly what ResultCache keys on: a merge or gold swap
+    * rotates the uid and the next call rebuilds; between swaps the cost
+    * per call is one small marker-file read. `donations` keys on
+    * `donations_enriched`'s marker — that is the table the loader
+    * actually reads (every refresh path stamps it: write/writeBucketed/
+    * writePartitioned via swapIn, the incremental partition swap
+    * explicitly). */
+  def memoizedServingLoader(spark: org.apache.spark.sql.SparkSession,
+      silverDir: String): String => DataFrame = {
+    val raw = servingLoader(spark, silverDir)
+    val io = graft.operators.MergeWriter.io
+    val cache =
+      scala.collection.concurrent.TrieMap[String, (String, DataFrame)]()
+    name => {
+      val physical =
+        if (name == "donations" && io.exists(s"$silverDir/donations_enriched"))
+          "donations_enriched"
+        else name
+      val uid = io.readString(graft.operators.MergeWriter
+        .swapMarkerPath(s"$silverDir/$physical")).getOrElse("")
+      cache.get(name) match {
+        case Some((u, df)) if u == uid => df
+        case _ =>
+          val df = raw(name)
+          cache.put(name, (uid, df)): Unit
+          df
+      }
+    }
+  }
+
   /** Resident entry point: `runMain graft.queries.QueryServer <silverDir>
     * [port]` — one SparkSession, memoized table loader (registration DDL
     * and footer reads paid once per table per swap), gold counters wired,
@@ -438,7 +512,7 @@ object QueryServer {
       sys.error("usage: QueryServer <silverDir> [port]"))
     val port = if (args.length > 1) args(1).toInt else 8080
     val spark = graft.HarnessSession.local()
-    val qs = new QueryService(servingLoader(spark, silverDir))
+    val qs = new QueryService(memoizedServingLoader(spark, silverDir))
     val server = new QueryServer(qs, silverDir,
       goldCounts = Some(new graft.gold.GoldCounts(spark, silverDir)))
     val http = server.start(port)

@@ -19,6 +19,10 @@ import graft.operators.Relational
   * tables (accounts, tokens, pots) are small relative to facts.
   */
 object QueryService {
+  /** The reference's DEFAULT_PAGE_SIZE (base/settings.py:111,115);
+    * companion-level so the serving tier shares the constant. */
+  val DefaultPageSize = 30
+
   /** Pagination envelope ({count, next, previous, results} — the
     * reference's DRF shape). Top-level (companion) so pattern matches
     * need no outer-instance check. */
@@ -62,7 +66,7 @@ object QueryService {
 }
 
 final class QueryService(t0: String => DataFrame) {
-  import QueryService.Page
+  import QueryService.{DefaultPageSize, Page}
 
   /** Table loader, hardened against physical-layout leakage: the silver
     * store's synthetic partition columns (__pdate/__pbucket) are dropped
@@ -76,8 +80,6 @@ final class QueryService(t0: String => DataFrame) {
       case _ => df
     }
   }
-
-  val DefaultPageSize = 30
 
   private def paginate(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): Page =
     Page(df.count(), page, pageSize,

@@ -265,6 +265,14 @@ object Serializers {
   def errorJson(message: String): String =
     s"""{"message": "${escapeJson(message)}"}"""
 
+  /** DRF framework-level error document — {"detail": …}. The reference's
+    * HANDLER errors use {"message": …} (errorJson above), but errors DRF
+    * itself raises (pagination NotFound: "Invalid page.",
+    * rest_framework/pagination.py) render through its exception handler
+    * with the `detail` key; byte-parity needs both shapes. */
+  def detailJson(message: String): String =
+    s"""{"detail": "${escapeJson(message)}"}"""
+
   private def escapeJson(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"

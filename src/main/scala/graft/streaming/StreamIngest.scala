@@ -96,24 +96,30 @@ object StreamIngest {
         if (!batch.isEmpty) {
           silver.applyBatch(batch)
           goldBeatEveryBlocks.foreach { every =>
-            val hs = batch.agg(
-              min(col("block.header.height")).as("lo"),
-              max(col("block.header.height")).as("hi")).head()
-            if (lastBeatBucket == Long.MinValue)
-              lastBeatBucket = (hs.getLong(0) - 1) / every
-            val bucket = hs.getLong(1) / every
-            if (bucket > lastBeatBucket) {
-              lastBeatBucket = bucket
-              // A failed beat must not fail the BATCH (the merge already
-              // committed; the stream's cursor must advance): gold goes
-              // stale until the next cadence boundary retries — the same
-              // failure envelope as the reference's crontab job.
-              try graft.gold.GoldRefresh.refresh(spark, silverDir): Unit
-              catch {
-                case scala.util.control.NonFatal(e) =>
-                  println(s"[stream-ingest] gold beat failed (stale until " +
-                    s"next boundary): ${e.getMessage}")
+            // The WHOLE cadence leg rides the beat's failure envelope —
+            // the height aggregation included: the merge already
+            // committed and the stream's cursor must advance, so nothing
+            // here (a null height in a malformed block, the refresh
+            // itself) may fail the BATCH. Gold goes stale until the next
+            // cadence boundary retries — the same failure envelope as
+            // the reference's crontab job.
+            try {
+              val hs = batch.agg(
+                min(col("block.header.height")).as("lo"),
+                max(col("block.header.height")).as("hi")).head()
+              if (!hs.isNullAt(0) && !hs.isNullAt(1)) {
+                if (lastBeatBucket == Long.MinValue)
+                  lastBeatBucket = (hs.getLong(0) - 1) / every
+                val bucket = hs.getLong(1) / every
+                if (bucket > lastBeatBucket) {
+                  lastBeatBucket = bucket
+                  graft.gold.GoldRefresh.refresh(spark, silverDir): Unit
+                }
               }
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                println(s"[stream-ingest] gold beat failed (stale until " +
+                  s"next boundary): ${e.getMessage}")
             }
           }
         }

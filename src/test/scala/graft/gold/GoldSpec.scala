@@ -376,4 +376,45 @@ class GoldSpec extends SparkSpec {
     assert(gc.donationsReceived("sea.near") ==
       Some(liveCount("recipient", "sea.near")))
   }
+
+  test("GoldCounts declines while a refresh is in flight; a noop beat clears residue") {
+    val live = tmpDir("counts-inflight")
+    ingest(batch1 ++ batch2, live, "gi")
+    writePrices(live, prices1)
+    GoldRefresh.refresh(spark, live)
+    val gc = new GoldCounts(spark, live)
+    val served = gc.donationsReceived("sea.near")
+    assert(served.nonEmpty)
+
+    // A refresh triggered by NON-donation inputs (a price backfill)
+    // rewrites the counter states and global_stats WITHOUT rotating the
+    // donations marker — uid currency alone cannot see its commit window.
+    // The inflight marker is what covers it: while it stands, every
+    // counter read declines (live-count fallback), donations uid match or
+    // not.
+    val io = graft.operators.MergeWriter.io
+    io.writeStringAtomic(s"$live/gold_inflight", "test-window")
+    assert(!gc.current(), "inflight ⇒ not current")
+    assert(gc.donationsReceived("sea.near").isEmpty)
+    assert(gc.totalDonors().isEmpty)
+    io.deleteRecursively(s"$live/gold_inflight")
+    assert(gc.donationsReceived("sea.near") == served, "recovers after clear")
+
+    // Crash residue: a marker stranded between a completed refresh's meta
+    // write and its clear is removed by the next beat's NOOP branch
+    // (inputs matching the meta prove that refresh fully committed), so
+    // counts recover without waiting for a real input change.
+    io.writeStringAtomic(s"$live/gold_inflight", "crash-residue")
+    assert(gc.donationsReceived("sea.near").isEmpty)
+    val r = GoldRefresh.refresh(spark, live)
+    assert(r.mode == "noop")
+    assert(!GoldRefresh.refreshInFlight(live), "noop beat clears residue")
+    assert(gc.donationsReceived("sea.near") == served)
+
+    // A real refresh also ends with the marker down and counts serving.
+    ingest(batch1.take(1), live, "gi2")
+    GoldRefresh.refresh(spark, live)
+    assert(!GoldRefresh.refreshInFlight(live))
+    assert(gc.donationsReceived("sea.near").nonEmpty)
+  }
 }

@@ -102,9 +102,39 @@ class QueryServerSpec extends SparkSpec {
       (1 to 70).map(i => (f"acct$i%03d.near", null.asInstanceOf[String]))
         .toDF("id", "near_social_profile_data"))(_))
     val s = new QueryServer(qs31, silverDir)
+    // Continuation URLs keep the path AS REQUESTED: a client routed
+    // through a proxy that forwards only /api/* must be able to follow
+    // next/previous (the two prefix spellings also cache separately —
+    // their bodies differ).
     val p2 = s.handle("GET", "/api/v1/accounts", Map("page" -> "2"))
-    assert(p2.body.contains(""""next": "/v1/accounts?page=3""""))
-    assert(p2.body.contains(""""previous": "/v1/accounts?page=1""""))
+    assert(p2.body.contains(""""next": "/api/v1/accounts?page=3""""))
+    assert(p2.body.contains(""""previous": "/api/v1/accounts?page=1""""))
+    val bare = s.handle("GET", "/v1/accounts", Map("page" -> "2"))
+    assert(bare.body.contains(""""next": "/v1/accounts?page=3""""))
+    assert(bare.body.contains(""""previous": "/v1/accounts?page=1""""))
+  }
+
+  test("DRF pagination parity: invalid and past-the-end pages are 404 Invalid page.") {
+    val s = server()
+    // Present-but-garbage page values: DRF's NotFound document, not a
+    // silent coercion to page 1 (and not a cache entry per garbage value).
+    Seq("0", "-3", "abc", "last").foreach { bad =>
+      val r = s.handle("GET", "/api/v1/accounts", Map("page" -> bad))
+      assert(r.status == 404, s"page=$bad")
+      assert(r.body == """{"detail": "Invalid page."}""", s"page=$bad")
+    }
+    // Past the end: 2 accounts / page size 30 → page 2 is out of range.
+    val past = s.handle("GET", "/api/v1/accounts", Map("page" -> "2"))
+    assert(past.status == 404 && past.body == """{"detail": "Invalid page."}""")
+    // Page 1 of an EMPTY set stays 200 (django num_pages floors at 1):
+    // donor1 received nothing, so the set is empty but page 1 is valid.
+    val empty = s.handle("GET",
+      "/api/v1/accounts/donor1.near/donations_received", Map("page" -> "1"))
+    assert(empty.status == 200 && empty.body.contains(""""count": 0"""))
+    // Detail routes ignore `page` exactly like DRF (pagination never runs).
+    val det = s.handle("GET", "/api/v1/accounts/donor1.near",
+      Map("page" -> "abc"))
+    assert(det.status == 200)
   }
 
   test("token bucket: the reference's 500/min envelope — burst, 429 + Retry-After, refill") {
@@ -141,6 +171,57 @@ class QueryServerSpec extends SparkSpec {
       "probe-uid")
     s.handle("GET", "/api/v1/stats", Map.empty): Unit
     assert(s.cacheMisses == missesAfterCold + 1)
+  }
+
+  test("page_size parity: honored on list routes, garbage falls back to 30 silently") {
+    val qs31 = new QueryService(tables.updated("accounts",
+      (1 to 70).map(i => (f"acct$i%03d.near", null.asInstanceOf[String]))
+        .toDF("id", "near_social_profile_data"))(_))
+    val s = new QueryServer(qs31, silverDir)
+    // CustomSizePageNumberPagination (api/pagination.py:8-9): page_size
+    // resizes the page and the envelope's arithmetic follows.
+    val small = s.handle("GET", "/api/v1/accounts",
+      Map("page" -> "2", "page_size" -> "5"))
+    assert(small.status == 200)
+    assert(small.body.contains(""""count": 70"""))
+    assert(small.body.contains("acct006.near") &&
+      small.body.contains("acct010.near") && !small.body.contains("acct011.near"))
+    // Continuation URLs carry page_size through.
+    assert(small.body.contains(""""next": "/api/v1/accounts?page_size=5&page=3""""))
+    // 70 rows / size 5 → page 14 exists, page 15 is DRF's 404.
+    assert(s.handle("GET", "/api/v1/accounts",
+      Map("page" -> "14", "page_size" -> "5")).status == 200)
+    assert(s.handle("GET", "/api/v1/accounts",
+      Map("page" -> "15", "page_size" -> "5")).status == 404)
+    // Garbage page_size is NOT a 404 (DRF get_page_size catches the
+    // ValueError): silent fallback to the default 30.
+    val garbage = s.handle("GET", "/api/v1/accounts",
+      Map("page_size" -> "abc"))
+    assert(garbage.status == 200)
+    assert(garbage.body.contains("acct030.near") &&
+      !garbage.body.contains("acct031.near"))
+  }
+
+  test("memoizedServingLoader: one build per table per swap, rebuilt on marker rotation") {
+    val dir = tmpDir("serve-loader")
+    val io = graft.operators.MergeWriter.io
+    val mk = graft.operators.MergeWriter.swapMarkerPath(s"$dir/donations_enriched")
+    Seq(("donor1.near", 1L)).toDF("donor", "on_chain_id")
+      .write.parquet(s"$dir/donations_enriched")
+    io.writeStringAtomic(mk, "u1")
+    val loader = QueryServer.memoizedServingLoader(spark, dir)
+    val f1 = loader("donations")
+    assert(loader("donations") eq f1,
+      "between swaps the SAME frame is served — footer reads paid once")
+    // A swap (new files + rotated marker) must rebuild on the next call:
+    // a name-keyed memo would keep serving the pre-swap snapshot forever.
+    io.deleteRecursively(s"$dir/donations_enriched")
+    Seq(("donor1.near", 1L), ("donor2.near", 2L)).toDF("donor", "on_chain_id")
+      .write.parquet(s"$dir/donations_enriched")
+    io.writeStringAtomic(mk, "u2")
+    val f3 = loader("donations")
+    assert(!(f3 eq f1) && f3.count() == 2L)
+    assert(loader("donations") eq f3, "memoized again under the new uid")
   }
 
   test("countOverride prices the envelope without a live count job") {
