@@ -180,7 +180,16 @@ object ServeBench {
         s"/api/v1/pots/$potId/sponsors?page=1",
       "GET /api/v1/donate_contract_config" -> "/api/v1/donate_contract_config",
       "GET /api/v1/lists (empty-envelope floor)" -> "/api/v1/lists?page=1",
-      "GET /api/v1/stats" -> "/api/v1/stats")
+      "GET /api/v1/stats" -> "/api/v1/stats",
+      // Keyset first pages (?after= empty) — one per cursor shape, so
+      // every ?after= route family is exercised over the REAL production
+      // layouts (string, ts+long, ts+string cursors).
+      "GET /api/v1/accounts?after= [keyset]" -> "/api/v1/accounts?after=",
+      "GET /api/v1/accounts/{id}/donations_received?after= [keyset]" ->
+        s"/api/v1/accounts/$recipient/donations_received?after=",
+      "GET /api/v1/accounts/{id}/payouts_received?after= [keyset]" ->
+        s"/api/v1/accounts/$recipient/payouts_received?after=",
+      "GET /api/v1/pots?after= [keyset]" -> "/api/v1/pots?after=")
 
     val coldPort = httpCold.getAddress.getPort
     val warmPort = httpWarm.getAddress.getPort
@@ -246,31 +255,22 @@ object ServeBench {
       get(httpThrottle.getAddress.getPort, "/health")._1)
     val throttled429 = throttleCodes.count(_ == 429)
 
-    // ---- deep-page duel on /v1/accounts (query layer: keyset is the
-    // 100 TB pagination path; the REST surface is page-number like the
-    // reference).
-    def dfJson(df: DataFrame): Long = df.toJSON.collect().length.toLong
-    def pageJson(p: QueryService.Page): Long = p.toJsonRows().length.toLong
-    def measureQ(name: String)(f: => Long): R = {
-      f: Unit
-      val samples = (1 to reps).map { _ =>
-        val s = System.nanoTime()
-        val n = f
-        (n, (System.nanoTime() - s) / 1000000L)
-      }
-      val ts = samples.map(_._2)
-      R(name, 200, samples.head._1.toInt, pct(ts, 0.50), pct(ts, 0.95), ts.max)
-    }
+    // ---- deep-page duel on /v1/accounts, BOTH over HTTP through the
+    // cold server: offset is the reference's ?page=N surface, keyset is
+    // the engine's ?after= extension (the 100 TB pagination path). The
+    // keyset cursor is advanced the way a real client advances it —
+    // following each envelope's `next` URL.
     val depth = 50
-    val offsetDeep = measureQ(s"offset page $depth (produce-and-discard)")(
-      pageJson(qs.accountsList(page = depth)))
-    var cursor: Option[String] = None
+    val offsetDeep = measure(s"GET ?page=$depth (offset, produce-and-discard)",
+      coldPort, s"/api/v1/accounts?page=$depth")
+    var keysetUrl = "/api/v1/accounts?after="
+    val nextRe = """"next": "([^"]+)"""".r
     (1 until depth).foreach { _ =>
-      val rows = qs.accountsListKeyset(cursor).select("id").collect()
-      if (rows.nonEmpty) cursor = Some(rows.last.getString(0))
+      nextRe.findFirstMatchIn(get(coldPort, keysetUrl)._2)
+        .map(_.group(1)).foreach(u => keysetUrl = u)
     }
-    val keysetDeep = measureQ(s"keyset page $depth (bounded work)")(
-      dfJson(qs.accountsListKeyset(cursor)))
+    val keysetDeep = measure(s"GET ?after=… page $depth (keyset, bounded work)",
+      coldPort, keysetUrl)
 
     val metrics = get(warmPort, "/metrics")._2
 
@@ -321,12 +321,15 @@ object ServeBench {
       s"(codes: ${throttleCodes.mkString(",")}) — the reference's " +
       "anon 500/min envelope (base/settings.py:116-123), scaled.\n"
     sb ++= s"- `/metrics` after the warm runs: `$metrics`\n"
-    sb ++= "\n## Deep pagination (query layer)\n\n"
-    sb ++= f"Offset page $depth%d: ${offsetDeep.p50}%,d ms p50 vs keyset " +
-      f"page $depth%d: ${keysetDeep.p50}%,d ms p50. Offset slicing " +
-      "produces-and-discards every earlier page's ordered rows; the " +
-      "keyset slice stays TakeOrderedAndProject over a pushed range " +
-      "predicate at any depth — the variant a 100 TB feed must serve.\n\n"
+    sb ++= "\n## Deep pagination (over HTTP, cold server)\n\n"
+    sb ++= f"Offset `?page=$depth%d`: ${offsetDeep.p50}%,d ms p50 vs keyset " +
+      f"`?after=…` page $depth%d: ${keysetDeep.p50}%,d ms p50 (cursor " +
+      "advanced by following each envelope's `next` URL, the client " +
+      "protocol). Offset slicing produces-and-discards every earlier " +
+      "page's ordered rows; the keyset slice stays TakeOrderedAndProject " +
+      "over a pushed range predicate at any depth — the variant a 100 TB " +
+      "feed must serve, and since this round every list route serves it " +
+      "(`?after=`, count/previous null — no count job per page).\n\n"
     sb ++= "## Reading the numbers\n\n"
     sb ++= "- Every row includes the HTTP hop, the DRF-parity serializer " +
       "(account/token/pot embed expansion) and the JSON render — not " +

@@ -318,6 +318,11 @@ final class SilverStore(spark: SparkSession, dir: String) {
     // Identity columns tie-break after __first: two logs of the same action
     // can share the full 4-part ingest seq, and a bare-__first window would
     // make fresh id assignment nondeterministic across rebuilds.
+    // The window is deliberately UNPARTITIONED (WindowExec warns): a
+    // sequential counter is global by definition, and its input is the
+    // batch's DISTINCT new provider identities — dimension-scale (on-chain
+    // registry registrations, not facts), a few rows on one partition at
+    // any corpus size.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__first").asc +: identity.map(col(_).asc): _*)
     val freshIds = joined.filter(col("__prev_id").isNull)

@@ -19,7 +19,11 @@ object OpenApi {
 
   private val page = Seq(
     Param("page", "query", "integer", required = false),
-    Param("page_size", "query", "integer", required = false))
+    Param("page_size", "query", "integer", required = false),
+    // Engine extension (not in the reference's schema): keyset
+    // continuation cursor — the previous page's last sort-key tuple,
+    // echoed by the keyset envelope's `next` URL.
+    Param("after", "query", "string", required = false))
   private def path(name: String) = Param(name, "path", "string", required = true)
   private def intPath(name: String) = Param(name, "path", "integer", required = true)
   private def query(name: String) = Param(name, "query", "string", required = false)

@@ -43,6 +43,11 @@ import graft.queries.QueryService.Page
   * dedicated serializer. next/previous are RELATIVE URLs
   * (`path?page=N`); the reference emits absolute ones (scheme/host are a
   * proxy concern).
+  *
+  * Keyset extension: every list route ALSO serves `?after=` keyset
+  * continuation (the 100 TB deep-page path — constant work per page
+  * where offset page N scans N pages; see [[keysetEnvelope]]). Without
+  * `after` the surface is exactly the reference's page-number API.
   */
 final class QueryServer(
     qs: QueryService,
@@ -124,6 +129,69 @@ final class QueryServer(
       Serializers.envelopeJson(p.count, next, prev, jsonCol(serialize(p.results))))
   }
 
+  // ------------------------------------ keyset continuation (?after=)
+  /** Engine EXTENSION beyond the reference's page-number surface: every
+    * list route also serves a keyset continuation when `?after=` is
+    * present (empty value = first keyset page). The page is a pushed-down
+    * range predicate + TakeOrderedAndProject (Relational.keysetSlice) —
+    * page depth costs nothing, where offset page N scans N pages — and
+    * the envelope deliberately omits `count`/`previous` (the total-count
+    * job is what keyset exists to avoid). `next` carries the last row's
+    * sort-key cursor; a full final page costs one extra empty request
+    * (the standard keyset trade). */
+  private def keysetEnvelope(path: String, params: Map[String, String],
+      pageDf: DataFrame, pageSize: Int, cursorCols: Seq[String],
+      serialize: DataFrame => DataFrame): Response = {
+    // One action: the page is ≤ pageSize rows by construction; serialize
+    // runs over the collected LocalRelation so the slice job isn't paid
+    // twice (once for rows, once for the cursor).
+    val rows = pageDf.collect()
+    val local = pageDf.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), pageDf.schema)
+    val body = jsonCol(serialize(local))
+    val next =
+      if (rows.length < pageSize) None
+      else {
+        val last = rows.last
+        val cursor = cursorCols.map { c =>
+          last.getAs[Any](c) match {
+            case null => "null"
+            case t: java.sql.Timestamp => QueryServer.tsCursor(t)
+            case v => String.valueOf(v)
+          }
+        }.mkString(",")
+        val qp = ((params - "page") + ("after" -> cursor)).toSeq.sortBy(_._1)
+        Some(path + "?" + qp.map { case (k, v) =>
+          s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }.mkString("&"))
+      }
+    Response(200, Serializers.keysetEnvelopeJson(next, body))
+  }
+
+  /** Keyset dispatch for one route: decode the cursor (empty = start,
+    * garbage = 400 — a cursor is machine-built, unlike DRF's page), run
+    * the route's keyset plan, memoize the rendered envelope under the
+    * same freshness tables as the page-number form. `run` answers
+    * Left(message) for route-level validation errors (bad status enum). */
+  private def keyset[C](path: String, params: Map[String, String],
+      tables: Seq[String], parse: String => Option[C],
+      cursorCols: Seq[String], serialize: DataFrame => DataFrame)(
+      run: (Option[C], Int) => Either[String, DataFrame]): Response = {
+    val raw = params.getOrElse("after", "")
+    val size = pageSizeParam(params)
+    val cur: Either[Response, Option[C]] =
+      if (raw.isEmpty) Right(None)
+      else parse(raw).map(c => Some(c): Option[C])
+        .toRight(badRequest("Invalid after cursor."))
+    // run() sits INSIDE the memo compute: donation keyset plans
+    // materialize their page eagerly (expandDonationPage bounds the dim
+    // joins on the collected page), so building the frame outside the
+    // memo would pay that slice job on every warm hit.
+    cur.fold(identity, c =>
+      memo(path, params, tables)(
+        run(c, size).fold(badRequest, df =>
+          keysetEnvelope(path, params, df, size, cursorCols, serialize))))
+  }
+
   /** One-row detail body, or the reference's 404 document. */
   private def detail(df: DataFrame, serialize: DataFrame => DataFrame,
       entity: String, id: Any): Response =
@@ -203,7 +271,9 @@ final class QueryServer(
     * falls back to the default 30 on anything else (garbage page_size is
     * not a 404 — only garbage `page` is; rest_framework pagination
     * catches the ValueError and passes). No max_page_size in the
-    * reference, so none here. */
+    * reference, so none here — a huge page_size is the caller's foot-gun
+    * on both systems (the reference's Django heap pays it the same way);
+    * the throttle bounds the request RATE, not row volume. */
   private def pageSizeParam(params: Map[String, String]): Int =
     params.get("page_size").flatMap(_.trim.toIntOption).filter(_ >= 1)
       .getOrElse(QueryService.DefaultPageSize)
@@ -239,6 +309,10 @@ final class QueryServer(
           Map("Content-Type" -> "text/html; charset=utf-8"))
 
       // ------------------------------------------------------- accounts
+      case List("v1", "accounts") if params.contains("after") =>
+        keyset(path, params, accountT, QueryServer.afterString,
+          Seq("id"), Serializers.accountJson)((c, sz) =>
+          Right(qs.accountsListKeyset(c, sz)))
       case List("v1", "accounts") =>
         memo(path, params, accountT)(
           envelope(path, params, qs.accountsList(page, size), Serializers.accountJson))
@@ -255,26 +329,52 @@ final class QueryServer(
             qs.accountActivePots(id, live,
               new java.sql.Timestamp(nowMs()), page, size),
             Serializers.potJson))
+      case List("v1", "accounts", id, "pot_applications")
+          if params.contains("after") =>
+        keyset(path, params, Seq("pot_applications"),
+          QueryServer.afterTsString, Seq("submitted_at", "pot"), rowJson)(
+          (c, sz) => qs.accountPotApplicationsKeyset(id, status, c, sz))
       case List("v1", "accounts", id, "pot_applications") =>
         memo(path, params, Seq("pot_applications"))(
           pageEither(path, params, qs.accountPotApplications(id, status, page, size),
             rowJson))
+      case List("v1", "accounts", id, "donations_received")
+          if params.contains("after") =>
+        keyset(path, params, donationT, QueryServer.afterTsLong,
+          Seq("donated_at", "on_chain_id"), Serializers.donationJson)(
+          (c, sz) => Right(qs.accountDonationsReceivedKeyset(id, c, sz)))
       case List("v1", "accounts", id, "donations_received") =>
         memo(path, params, donationT)(
           envelope(path, params,
             qs.accountDonationsReceived(id, page, size,
               countOverride = goldCounts.flatMap(_.donationsReceived(id))),
             Serializers.donationJson))
+      case List("v1", "accounts", id, "donations_sent")
+          if params.contains("after") =>
+        keyset(path, params, donationT, QueryServer.afterTsLong,
+          Seq("donated_at", "on_chain_id"), Serializers.donationJson)(
+          (c, sz) => Right(qs.accountDonationsSentKeyset(id, c, sz)))
       case List("v1", "accounts", id, "donations_sent") =>
         memo(path, params, donationT)(
           envelope(path, params,
             qs.accountDonationsSent(id, page, size,
               countOverride = goldCounts.flatMap(_.donationsSent(id))),
             Serializers.donationJson))
+      case List("v1", "accounts", id, "payouts_received")
+          if params.contains("after") =>
+        keyset(path, params, payoutT, QueryServer.afterTsString,
+          Seq("paid_at", "pot"), Serializers.potPayoutJson)(
+          (c, sz) => Right(qs.accountPayoutsReceivedKeyset(id, c, sz)))
       case List("v1", "accounts", id, "payouts_received") =>
         memo(path, params, payoutT)(
           envelope(path, params, qs.accountPayoutsReceived(id, page, size),
             Serializers.potPayoutJson))
+      case List("v1", "accounts", id, "list-registrations")
+          if params.contains("after") =>
+        keyset(path, params, regT, QueryServer.afterTsLong,
+          Seq("submitted_at", "on_chain_id"),
+          Serializers.listRegistrationJson)(
+          (c, sz) => qs.accountListRegistrationsKeyset(id, status, c, sz))
       case List("v1", "accounts", id, "list-registrations") =>
         memo(path, params, regT)(
           pageEither(path, params,
@@ -291,12 +391,22 @@ final class QueryServer(
             Serializers.accountJson))
 
       // --------------------------------------------------------- lists
+      case List("v1", "lists") if params.contains("after") =>
+        keyset(path, params, Seq("lists"), QueryServer.afterLong,
+          Seq("on_chain_id"), rowJson)((c, sz) =>
+          Right(qs.listsListKeyset(c, sz)))
       case List("v1", "lists") =>
         memo(path, params, Seq("lists"))(
           envelope(path, params, qs.listsList(page, size), rowJson))
       case List("v1", "lists", IntId(id)) =>
         memo(path, params, Seq("lists"))(
           detail(qs.listDetail(id), rowJson, "List", id))
+      case List("v1", "lists", IntId(id), "registrations")
+          if params.contains("after") =>
+        keyset(path, params, regT, QueryServer.afterTsLong,
+          Seq("submitted_at", "on_chain_id"),
+          Serializers.listRegistrationJson)((c, sz) =>
+          qs.listRegistrationsKeyset(id, status, params.get("category"), c, sz))
       case List("v1", "lists", IntId(id), "registrations") =>
         memo(path, params, regT)(
           pageEither(path, params,
@@ -314,29 +424,57 @@ final class QueryServer(
                 QueryService.notFoundMessage("Registration for list", id))))))
 
       // ---------------------------------------------------------- pots
+      case List("v1", "pots") if params.contains("after") =>
+        keyset(path, params, potT, QueryServer.afterString,
+          Seq("account"), Serializers.potJson)((c, sz) =>
+          Right(qs.potsListKeyset(c, sz)))
       case List("v1", "pots") =>
         memo(path, params, potT)(
           envelope(path, params, qs.potsList(page, size), Serializers.potJson))
       case List("v1", "pots", id) =>
         memo(path, params, potT)(
           detail(qs.potDetail(id), Serializers.potJson, "Pot", id))
+      case List("v1", "pots", id, "applications")
+          if params.contains("after") =>
+        keyset(path, params, Seq("pot_applications"),
+          QueryServer.afterTsString, Seq("submitted_at", "applicant"),
+          rowJson)((c, sz) => Right(qs.potApplicationsKeyset(id, c, sz)))
       case List("v1", "pots", id, "applications") =>
         memo(path, params, Seq("pot_applications"))(
           envelope(path, params, qs.potApplications(id, page, size), rowJson))
+      case List("v1", "pots", id, "donations")
+          if params.contains("after") =>
+        keyset(path, params, donationT, QueryServer.afterTsLong,
+          Seq("donated_at", "on_chain_id"), Serializers.donationJson)(
+          (c, sz) => Right(qs.potDonationsKeyset(id, c, sz)))
       case List("v1", "pots", id, "donations") =>
         memo(path, params, donationT)(
           envelope(path, params,
             qs.potDonations(id, page, size,
               countOverride = goldCounts.flatMap(_.potDonations(id))),
             Serializers.donationJson))
+      case List("v1", "pots", id, "sponsors")
+          if params.contains("after") =>
+        keyset(path, params, donationT, QueryServer.afterString,
+          Seq("id"), Serializers.accountJson)((c, sz) =>
+          Right(qs.potSponsorsKeyset(id, c, sz)))
       case List("v1", "pots", id, "sponsors") =>
         memo(path, params, donationT)(
           envelope(path, params, qs.potSponsors(id, page, size),
             Serializers.accountJson))
+      case List("v1", "pots", id, "payouts")
+          if params.contains("after") =>
+        keyset(path, params, payoutT, QueryServer.afterTsString,
+          Seq("paid_at", "recipient"), Serializers.potPayoutJson)(
+          (c, sz) => Right(qs.potPayoutsKeyset(id, c, sz)))
       case List("v1", "pots", id, "payouts") =>
         memo(path, params, payoutT)(
           envelope(path, params, qs.potPayouts(id, page, size),
             Serializers.potPayoutJson))
+      case List("v1", "potfactories") if params.contains("after") =>
+        keyset(path, params, Seq("pot_factories"), QueryServer.afterString,
+          Seq("account"), rowJson)((c, sz) =>
+          Right(qs.potFactoriesListKeyset(c, sz)))
       case List("v1", "potfactories") =>
         memo(path, params, Seq("pot_factories"))(
           envelope(path, params, qs.potFactoriesList(page, size), rowJson))
@@ -442,6 +580,39 @@ object QueryServer {
     * query param; rendered as DRF's 404 {"detail": "Invalid page."}. */
   private[queries] final class InvalidPageException
     extends RuntimeException("Invalid page.")
+
+  // ------------------------------------------ keyset cursor codecs
+  // The ?after= cursor is the sort-key tuple of the previous page's last
+  // row, comma-joined: timestamps as MICROS since epoch (TimestampType's
+  // native precision — a millis encoding could re-include or skip the
+  // boundary row on sub-ms data), ids verbatim ("null" for a null
+  // timestamp: unpaid pot payouts sort last and remain continuable).
+  // Account/pot ids cannot contain ',' (NEAR account grammar), so the
+  // join is unambiguous.
+  private[queries] def tsCursor(t: java.sql.Timestamp): String =
+    (Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L).toString
+  private[queries] def cursorTs(s: String): Option[java.sql.Timestamp] =
+    if (s == "null") Some(null)
+    else s.toLongOption.map { micros =>
+      val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      t
+    }
+  private[queries] def afterString(s: String): Option[String] = Some(s)
+  private[queries] def afterLong(s: String): Option[Long] = s.toLongOption
+  private[queries] def afterTsLong(
+      s: String): Option[(java.sql.Timestamp, Long)] =
+    s.split(",", -1) match {
+      case Array(a, b) =>
+        for { ts <- cursorTs(a); id <- b.toLongOption } yield (ts, id)
+      case _ => None
+    }
+  private[queries] def afterTsString(
+      s: String): Option[(java.sql.Timestamp, String)] =
+    s.split(",", -1) match {
+      case Array(a, b) if b.nonEmpty => cursorTs(a).map((_, b))
+      case _ => None
+    }
 
   /** The canonical SERVING loader: silver tables through the store's
     * registered layouts, with `donations` mapped to the beat-enriched

@@ -256,6 +256,17 @@ object Serializers {
     s"""{"count": $count, "next": ${opt(next)}, "previous": ${opt(previous)}, "results": [${resultsJson.mkString(",")}]}"""
   }
 
+  /** Keyset-continuation envelope (the engine's ?after= extension): same
+    * document shape as [[envelopeJson]] but `count` and `previous` are
+    * null — a keyset page deliberately never pays the total-count job
+    * (that job is what deep offset pagination makes unaffordable at
+    * scale) and carries no backward cursor. */
+  def keysetEnvelopeJson(next: Option[String],
+      resultsJson: Seq[String]): String = {
+    def opt(s: Option[String]) = s.map("\"" + escapeJson(_) + "\"").getOrElse("null")
+    s"""{"count": null, "next": ${opt(next)}, "previous": null, "results": [${resultsJson.mkString(",")}]}"""
+  }
+
   /** The reference's error body — `Response({"message": ...})` rendered
     * as one JSON document (accounts/api.py:157,267; lists/api.py:95,154;
     * pots/api.py:137). Pairs with [[graft.queries.QueryService.Page]]'s

@@ -202,6 +202,65 @@ class QueryServerSpec extends SparkSpec {
       !garbage.body.contains("acct031.near"))
   }
 
+  test("keyset continuation (?after=): full walk ≡ offset pages, composite cursors, 400 on garbage") {
+    val qs31 = new QueryService(tables.updated("accounts",
+      (1 to 70).map(i => (f"acct$i%03d.near", null.asInstanceOf[String]))
+        .toDF("id", "near_social_profile_data"))(_))
+    val s = new QueryServer(qs31, silverDir)
+    // Walk the accounts list by following `next` from the first keyset
+    // page (after= empty) — the union must equal the offset walk, and no
+    // count job is ever paid (count: null in every envelope).
+    def ids(body: String): Seq[String] =
+      """"id":"(acct\d+\.near)"""".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    var url = "/api/v1/accounts?after=&page_size=30"
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    var hops = 0
+    while (url != null && hops < 10) {
+      hops += 1
+      val Array(p, q) = url.split("\\?", 2)
+      val params = q.split('&').filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+      val r = s.handle("GET", p, params)
+      assert(r.status == 200)
+      assert(r.body.startsWith("""{"count": null,"""))
+      seen ++= ids(r.body)
+      url = """"next": "([^"]+)"""".r.findFirstMatchIn(r.body)
+        .map(_.group(1)).orNull
+    }
+    assert(hops == 3 && seen.size == 70, s"hops=$hops seen=${seen.size}")
+    assert(seen == (1 to 70).map(i => f"acct$i%03d.near"),
+      "keyset walk must enumerate exactly the offset order")
+    // The next URL keeps the requested prefix and page_size.
+    val first = s.handle("GET", "/api/v1/accounts",
+      Map("after" -> "", "page_size" -> "30"))
+    assert(first.body.contains(""""next": "/api/v1/accounts?after=acct030.near&page_size=30""""))
+
+    // Composite (timestamp,long) cursor on a donation route: both fixture
+    // donations share donated_at, so order is the on_chain_id ASC
+    // tie-break — after (ts0, 1) the continuation is exactly id 2.
+    val ts0 = java.sql.Timestamp.valueOf("2024-06-10 00:00:00")
+    val cursor = s"${QueryServer.tsCursor(ts0)},1"
+    val cont = s.handle("GET", "/api/v1/accounts/proj1.near/donations_received",
+      Map("after" -> cursor))
+    assert(cont.status == 200)
+    assert(cont.body.contains(""""on_chain_id":2""") &&
+      !cont.body.contains(""""on_chain_id":1"""))
+
+    // Garbage cursors are 400 (machine-built, unlike DRF's page).
+    Seq("not-a-cursor", "123", "abc,def").foreach { bad =>
+      val r = s.handle("GET", "/api/v1/accounts/proj1.near/donations_received",
+        Map("after" -> bad))
+      assert(r.status == 400, s"after=$bad")
+      assert(r.body == """{"message": "Invalid after cursor."}""")
+    }
+    // Timestamp cursor codec is exact at micros precision.
+    val t = new java.sql.Timestamp(1718000000123L)
+    t.setNanos(123456000)
+    assert(QueryServer.cursorTs(QueryServer.tsCursor(t)) == Some(t))
+  }
+
   test("memoizedServingLoader: one build per table per swap, rebuilt on marker rotation") {
     val dir = tmpDir("serve-loader")
     val io = graft.operators.MergeWriter.io

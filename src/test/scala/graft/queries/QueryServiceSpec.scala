@@ -824,7 +824,8 @@ class QueryServiceSpec extends SparkSpec {
     val regs = paths.get("/api/v1/lists/{list_id}/registrations").get("get")
     val params = (0 until regs.get("parameters").size())
       .map(regs.get("parameters").get(_).get("name").asText())
-    assert(params == Seq("list_id", "status", "category", "page", "page_size"))
+    assert(params ==
+      Seq("list_id", "status", "category", "page", "page_size", "after"))
     val env = paths.get("/api/v1/accounts").get("get").get("responses")
       .get("200").get("content").get("application/json").get("schema")
       .get("properties")
