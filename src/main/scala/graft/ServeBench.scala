@@ -33,12 +33,16 @@ import graft.queries.{QueryServer, QueryService, ResultCache}
   *      reference's 300 s-stale cache_page).
   *   5. THROTTLE envelope: a 5/min server answers the 6th request 429 +
   *      Retry-After (the reference's anon: 500/min, scaled for the probe).
-  *   6. DEEP-PAGE duel: offset page 50 vs keyset page 50 (query layer —
-  *      the keyset variants are the 100 TB pagination path).
+  *   6. DEEP-PAGE duel, over HTTP: offset `?page=50` vs the `?after=`
+  *      keyset continuation advanced by following each envelope's `next`
+  *      URL (the 100 TB pagination path, served since round 12).
+  *   7. WARM-PLANE THROUGHPUT: concurrent clients round-robin over the
+  *      cached routes — the req/s one resident pod sustains when the
+  *      cache absorbs the plan cost.
   *
   * Usage: `runMain graft.ServeBench [reportPath] [workDir] [nBlocks]`
   * (defaults: ./SERVE_BENCH.md, /tmp/graft_serve_bench, 20000 blocks
-  * ≈ 40k donations / ~5.8k accounts / 400 pots).
+  * ≈ 40k donations / ~1.9k accounts / 400 pots).
   */
 object ServeBench {
   def main(args: Array[String]): Unit = {
@@ -189,7 +193,9 @@ object ServeBench {
         s"/api/v1/accounts/$recipient/donations_received?after=",
       "GET /api/v1/accounts/{id}/payouts_received?after= [keyset]" ->
         s"/api/v1/accounts/$recipient/payouts_received?after=",
-      "GET /api/v1/pots?after= [keyset]" -> "/api/v1/pots?after=")
+      "GET /api/v1/pots?after= [keyset]" -> "/api/v1/pots?after=",
+      "GET /api/v1/donors?sort&after= [keyset, stat cursor]" ->
+        "/api/v1/donors?sort=most_donated_usd&after=")
 
     val coldPort = httpCold.getAddress.getPort
     val warmPort = httpWarm.getAddress.getPort
@@ -254,6 +260,34 @@ object ServeBench {
     val throttleCodes = (1 to 8).map(_ =>
       get(httpThrottle.getAddress.getPort, "/health")._1)
     val throttled429 = throttleCodes.count(_ == 429)
+
+    // ---- warm-plane throughput: concurrent clients hammering cached
+    // routes through real sockets — the req/s one resident pod sustains
+    // when the result cache absorbs the plan cost (the regime the
+    // reference's cache_page serves). Quota lifted: this probes RATE,
+    // the 500/min envelope is probed separately above.
+    val tputSrv = new QueryServer(qs, silver, goldCounts = Some(gc),
+      throttlePerMin = Int.MaxValue)
+    val httpTput = tputSrv.start(0)
+    val tputPort = httpTput.getAddress.getPort
+    val tputPaths = routePaths.map(_._2)
+    tputPaths.foreach(p => get(tputPort, p)) // warm every route once
+    val tputClients = 8
+    val perClient = 250
+    val tputPool = java.util.concurrent.Executors.newFixedThreadPool(tputClients)
+    val tput0 = System.nanoTime()
+    val tputOk = (1 to tputClients).map { c =>
+      tputPool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long =
+          (1 to perClient).count { i =>
+            get(tputPort, tputPaths((c + i) % tputPaths.length))._1 == 200
+          }.toLong
+      })
+    }.map(_.get()).sum
+    val tputReqS =
+      tputClients.toLong * perClient / ((System.nanoTime() - tput0) / 1e9)
+    tputPool.shutdown()
+    httpTput.stop(0)
 
     // ---- deep-page duel on /v1/accounts, BOTH over HTTP through the
     // cold server: offset is the reference's ?page=N surface, keyset is
@@ -320,6 +354,12 @@ object ServeBench {
       s"$throttled429 throttled with 429 + Retry-After " +
       s"(codes: ${throttleCodes.mkString(",")}) — the reference's " +
       "anon 500/min envelope (base/settings.py:116-123), scaled.\n"
+    sb ++= f"- Warm-plane throughput: $tputClients%d concurrent clients × " +
+      f"$perClient%d requests round-robin over ${tputPaths.length}%d cached " +
+      f"routes: **$tputReqS%,.0f req/s** sustained through real sockets " +
+      f"($tputOk%,d of ${tputClients * perClient}%,d OK) — the regime the " +
+      "reference's cache_page serves, here with strictly fresher " +
+      "invalidation.\n"
     sb ++= s"- `/metrics` after the warm runs: `$metrics`\n"
     sb ++= "\n## Deep pagination (over HTTP, cold server)\n\n"
     sb ++= f"Offset `?page=$depth%d`: ${offsetDeep.p50}%,d ms p50 vs keyset " +
@@ -328,7 +368,7 @@ object ServeBench {
       "protocol). Offset slicing produces-and-discards every earlier " +
       "page's ordered rows; the keyset slice stays TakeOrderedAndProject " +
       "over a pushed range predicate at any depth — the variant a 100 TB " +
-      "feed must serve, and since this round every list route serves it " +
+      "feed must serve, and since this round every list route but active_pots serves it " +
       "(`?after=`, count/previous null — no count job per page).\n\n"
     sb ++= "## Reading the numbers\n\n"
     sb ++= "- Every row includes the HTTP hop, the DRF-parity serializer " +

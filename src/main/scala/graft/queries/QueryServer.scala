@@ -44,10 +44,14 @@ import graft.queries.QueryService.Page
   * (`path?page=N`); the reference emits absolute ones (scheme/host are a
   * proxy concern).
   *
-  * Keyset extension: every list route ALSO serves `?after=` keyset
-  * continuation (the 100 TB deep-page path — constant work per page
-  * where offset page N scans N pages; see [[keysetEnvelope]]). Without
-  * `after` the surface is exactly the reference's page-number API.
+  * Keyset extension: every list route except active_pots ALSO serves
+  * `?after=` keyset continuation (the 100 TB deep-page path — constant
+  * work per page where offset page N scans N pages; see
+  * [[keysetEnvelope]]). active_pots stays page-number only — its rows
+  * are filtered on request-time liveness, so no cursor is stable across
+  * requests; donors' derived-stat cursor is beat-stable (see
+  * QueryService.donorsKeyset). Without `after` the surface is exactly
+  * the reference's page-number API.
   */
 final class QueryServer(
     qs: QueryService,
@@ -130,9 +134,9 @@ final class QueryServer(
   }
 
   // ------------------------------------ keyset continuation (?after=)
-  /** Engine EXTENSION beyond the reference's page-number surface: every
-    * list route also serves a keyset continuation when `?after=` is
-    * present (empty value = first keyset page). The page is a pushed-down
+  /** Engine EXTENSION beyond the reference's page-number surface: the
+    * statically-ordered list routes also serve a keyset continuation
+    * when `?after=` is present (empty value = first keyset page). The page is a pushed-down
     * range predicate + TakeOrderedAndProject (Relational.keysetSlice) —
     * page depth costs nothing, where offset page N scans N pages — and
     * the envelope deliberately omits `count`/`previous` (the total-count
@@ -382,6 +386,18 @@ final class QueryServer(
             Serializers.listRegistrationJson))
 
       // -------------------------------------------------------- donors
+      case List("v1", "donors") if params.contains("after") =>
+        // Leaderboard deep-walk: cursor shape follows the sort mode.
+        val donorsT = accountT ++ Seq("donations", "global_stats")
+        if (params.get("sort").contains("most_donated_usd"))
+          keyset(path, params, donorsT, QueryServer.afterDecString,
+            Seq("total_donations_out_usd", "id"), Serializers.accountJson)(
+            (c, sz) => Right(qs.donorsKeyset(sortMostDonated = true,
+              c.map { case (v, id) => Seq(v, id) }, sz)))
+        else
+          keyset(path, params, donorsT, QueryServer.afterString,
+            Seq("id"), Serializers.accountJson)((c, sz) =>
+            Right(qs.donorsKeyset(sortMostDonated = false, c.map(Seq(_)), sz)))
       case List("v1", "donors") =>
         val sortMost = params.get("sort").contains("most_donated_usd")
         memo(path, params, accountT ++ Seq("donations", "global_stats"))(
@@ -605,6 +621,14 @@ object QueryServer {
     s.split(",", -1) match {
       case Array(a, b) =>
         for { ts <- cursorTs(a); id <- b.toLongOption } yield (ts, id)
+      case _ => None
+    }
+  private[queries] def afterDecString(
+      s: String): Option[(java.math.BigDecimal, String)] =
+    s.split(",", -1) match {
+      case Array(a, b) if b.nonEmpty =>
+        if (a == "null") Some((null, b))
+        else scala.util.Try(new java.math.BigDecimal(a)).toOption.map((_, b))
       case _ => None
     }
   private[queries] def afterTsString(

@@ -696,6 +696,26 @@ final class QueryService(t0: String => DataFrame) {
       Relational.pageSlice(withStats, order, page, pageSize))
   }
 
+  /** Keyset form of [[donors]] — the leaderboard deep-walk. Cursor is
+    * `(total_donations_out_usd, id)` under ?sort=most_donated_usd (the
+    * derived stat leads; keysetSlice's desc is nulls-LAST, matching the
+    * offset form's desc_nulls_last, and a null stat cursor continues
+    * correctly), plain `id` otherwise. The stat cursor is stable BETWEEN
+    * gold beats exactly as the offset variant's page frontiers are — a
+    * refresh mid-walk can shift the frontier either way; the reference's
+    * offset pages carry the same anomaly. */
+  def donorsKeyset(sortMostDonated: Boolean, after: Option[Seq[Any]],
+      pageSize: Int = DefaultPageSize): DataFrame = {
+    val a = accountDim
+    val d = donations
+    val withStats = Relational.semiJoin(a, d, a("id") === d("donor"))
+    val order =
+      if (sortMostDonated)
+        Seq((col("total_donations_out_usd"), false), (col("id"), true))
+      else Seq((col("id"), true))
+    Relational.keysetSlice(withStats, order, after, pageSize)
+  }
+
   // ---------------------------------------------------- lists routes
 
   /** GET /v1/lists (lists/api.py:33-61). */

@@ -261,6 +261,32 @@ class QueryServerSpec extends SparkSpec {
     assert(QueryServer.cursorTs(QueryServer.tsCursor(t)) == Some(t))
   }
 
+  test("donors keyset: leaderboard deep-walk cursor under both sort modes") {
+    val s = server()
+    // Stat-sorted first page: donor1 (the only donor, 30.00 USD out).
+    val first = s.handle("GET", "/api/v1/donors",
+      Map("sort" -> "most_donated_usd", "after" -> ""))
+    assert(first.status == 200)
+    assert(first.body.startsWith("""{"count": null,"""))
+    assert(first.body.contains(""""id":"donor1.near""""))
+    // Continuation past the stat cursor: nothing remains.
+    val cont = s.handle("GET", "/api/v1/donors",
+      Map("sort" -> "most_donated_usd", "after" -> "30.00,donor1.near"))
+    assert(cont.status == 200 && cont.body.contains(""""results": []"""))
+    // Default (id) sort cursor.
+    val byId = s.handle("GET", "/api/v1/donors",
+      Map("after" -> "donor1.near"))
+    assert(byId.status == 200 && byId.body.contains(""""results": []"""))
+    // A null stat cursor continues (nulls sort last on the desc stat).
+    val nullCur = s.handle("GET", "/api/v1/donors",
+      Map("sort" -> "most_donated_usd", "after" -> "null,aaa.near"))
+    assert(nullCur.status == 200)
+    // Garbage decimal is 400.
+    assert(s.handle("GET", "/api/v1/donors",
+      Map("sort" -> "most_donated_usd", "after" -> "abc,donor1.near"))
+      .status == 400)
+  }
+
   test("memoizedServingLoader: one build per table per swap, rebuilt on marker rotation") {
     val dir = tmpDir("serve-loader")
     val io = graft.operators.MergeWriter.io
