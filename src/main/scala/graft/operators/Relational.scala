@@ -67,8 +67,15 @@ object Relational {
   def pageSlice(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): DataFrame = {
     require(page >= 1, s"page $page must be >= 1")
     require(pageSize >= 1, s"pageSize $pageSize must be >= 1")
-    val lo = math.multiplyExact(page - 1, pageSize) // overflow = fail loud
-    df.orderBy(order: _*).offset(lo).limit(pageSize)
+    // Long arithmetic, not multiplyExact: a large-but-valid page number
+    // (?page=100000000 over HTTP) used to overflow Int here and surface
+    // as a 500, where the route contract is "past the end" (DRF answers
+    // 404 Invalid page.). An offset beyond Int.MaxValue is past the end
+    // of anything Spark can offset into — answer the empty page and let
+    // the caller's count-based num_pages check 404 it.
+    val lo = (page.toLong - 1L) * pageSize
+    if (lo > Int.MaxValue) df.limit(0)
+    else df.orderBy(order: _*).offset(lo.toInt).limit(pageSize)
   }
 
   /** Keyset (seek) pagination — the scale path that replaces pageSlice's

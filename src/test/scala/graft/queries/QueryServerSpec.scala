@@ -287,6 +287,45 @@ class QueryServerSpec extends SparkSpec {
       .status == 400)
   }
 
+  test("param fuzz: no garbage query param can 500 a route") {
+    // Every handled failure mode has a typed document (400/404); a 500
+    // means an exception escaped the param layer into the plan. The grid
+    // crosses the fixture-supported routes with hostile values for every
+    // recognized param — including the large-but-valid page number that
+    // used to overflow pageSlice's Int offset arithmetic into a 500.
+    val s = server()
+    val routes = Seq(
+      "/api/v1/accounts",
+      "/api/v1/accounts/donor1.near",
+      "/api/v1/accounts/donor1.near/donations_received",
+      "/api/v1/accounts/donor1.near/donations_sent",
+      "/api/v1/donors",
+      "/api/v1/lists",
+      "/api/v1/stats")
+    val fuzz: Seq[Map[String, String]] = Seq(
+      Map("page" -> "100000000"), // valid int, absurd offset → 404 not 500
+      Map("page" -> "2147483647", "page_size" -> "2147483647"),
+      Map("page" -> "-0"), Map("page" -> "½"),
+      Map("page" -> "1e3"), Map("page" -> " 2 "),
+      Map("page_size" -> "-1"), Map("page_size" -> "0"),
+      Map("page_size" -> "99999999999999999999"),
+      Map("after" -> ","), Map("after" -> ",,,"),
+      Map("after" -> "null,null"), Map("after" -> "-5,xyz"),
+      Map("after" -> "999999999999999999999999,1"),
+      Map("after" -> "🦀"), Map("sort" -> "junk"),
+      Map("status" -> "Bogus"),
+      Map("page" -> "abc", "page_size" -> "abc", "after" -> "abc",
+        "sort" -> "abc", "status" -> "abc"))
+    for (r <- routes; params <- fuzz) {
+      val resp = s.handle("GET", r, params)
+      assert(Set(200, 400, 404).contains(resp.status),
+        s"$r $params → ${resp.status}: ${resp.body.take(120)}")
+    }
+    // The overflow case specifically answers DRF's past-the-end document.
+    val big = s.handle("GET", "/api/v1/accounts", Map("page" -> "100000000"))
+    assert(big.status == 404 && big.body == """{"detail": "Invalid page."}""")
+  }
+
   test("memoizedServingLoader: one build per table per swap, rebuilt on marker rotation") {
     val dir = tmpDir("serve-loader")
     val io = graft.operators.MergeWriter.io
