@@ -299,9 +299,15 @@ object ServeBench {
       coldPort, s"/api/v1/accounts?page=$depth")
     var keysetUrl = "/api/v1/accounts?after="
     val nextRe = """"next": "([^"]+)"""".r
-    (1 until depth).foreach { _ =>
-      nextRe.findFirstMatchIn(get(coldPort, keysetUrl)._2)
-        .map(_.group(1)).foreach(u => keysetUrl = u)
+    (1 until depth).foreach { hop =>
+      // Fail LOUD: a swallowed error or early next=null here would leave
+      // the duel measuring a shallower keyset page than the offset side
+      // and publish a bogus parity number.
+      val (code, body, _) = get(coldPort, keysetUrl)
+      require(code == 200, s"keyset walk hop $hop: HTTP $code at $keysetUrl")
+      keysetUrl = nextRe.findFirstMatchIn(body).map(_.group(1)).getOrElse(
+        sys.error(s"keyset walk ended at hop $hop (next=null) — store " +
+          s"too small for depth $depth"))
     }
     val keysetDeep = measure(s"GET ?after=… page $depth (keyset, bounded work)",
       coldPort, keysetUrl)

@@ -70,11 +70,15 @@ object Relational {
     // Long arithmetic, not multiplyExact: a large-but-valid page number
     // (?page=100000000 over HTTP) used to overflow Int here and surface
     // as a 500, where the route contract is "past the end" (DRF answers
-    // 404 Invalid page.). An offset beyond Int.MaxValue is past the end
-    // of anything Spark can offset into — answer the empty page and let
-    // the caller's count-based num_pages check 404 it.
+    // 404 Invalid page.). The bound is offset + LIMIT: Spark rejects
+    // limit+offset sums above Int.MaxValue at analysis
+    // (SUM_OF_LIMIT_AND_OFFSET_EXCEEDS_MAX_INT), so guarding the offset
+    // alone still 500s on the last representable pages. Any page whose
+    // slice cannot be addressed is past the end of anything Spark can
+    // offset into — answer the empty page and let the caller's
+    // count-based num_pages check 404 it.
     val lo = (page.toLong - 1L) * pageSize
-    if (lo > Int.MaxValue) df.limit(0)
+    if (lo > Int.MaxValue.toLong - pageSize) df.limit(0)
     else df.orderBy(order: _*).offset(lo.toInt).limit(pageSize)
   }
 

@@ -17,13 +17,17 @@ object OpenApi {
   private final case class Route(
       path: String, summary: String, params: Seq[Param], paginated: Boolean)
 
-  private val page = Seq(
+  // Page-number params only — active_pots, whose rows are filtered on
+  // request-time liveness (no cursor is stable across requests), serves
+  // no keyset continuation and must not advertise one.
+  private val pageOnly = Seq(
     Param("page", "query", "integer", required = false),
-    Param("page_size", "query", "integer", required = false),
+    Param("page_size", "query", "integer", required = false))
+  private val page = pageOnly :+
     // Engine extension (not in the reference's schema): keyset
     // continuation cursor — the previous page's last sort-key tuple,
     // echoed by the keyset envelope's `next` URL.
-    Param("after", "query", "string", required = false))
+    Param("after", "query", "string", required = false)
   private def path(name: String) = Param(name, "path", "string", required = true)
   private def intPath(name: String) = Param(name, "path", "integer", required = true)
   private def query(name: String) = Param(name, "query", "string", required = false)
@@ -35,7 +39,7 @@ object OpenApi {
       Seq(path("account_id")), paginated = false),
     Route("/api/v1/accounts/{account_id}/active_pots",
       "Pots with an approved application from the account",
-      path("account_id") +: query("status") +: page, paginated = true),
+      path("account_id") +: query("status") +: pageOnly, paginated = true),
     Route("/api/v1/accounts/{account_id}/pot_applications",
       "The account's pot applications",
       path("account_id") +: query("status") +: page, paginated = true),
@@ -106,9 +110,16 @@ object OpenApi {
       if (r.paginated) {
         schema.put("type", "object")
         val props = schema.putObject("properties")
+        // count/next/previous are nullable: next/previous at the walk's
+        // ends on the page-number surface, all three under the ?after=
+        // keyset continuation (count and previous are always null there —
+        // the total-count job is what keyset avoids).
         props.putObject("count").put("type", "integer")
+          .put("nullable", true)
         props.putObject("next").put("type", "string")
+          .put("nullable", true)
         props.putObject("previous").put("type", "string")
+          .put("nullable", true)
         props.putObject("results").put("type", "array")
       } else {
         schema.put("type", "object")

@@ -122,11 +122,7 @@ final class QueryServer(
       return Response(404, Serializers.detailJson("Invalid page."))
     def url(pg: Int): Option[String] =
       if (pg < 1) None
-      else {
-        val qp = (params - "page").toSeq.sortBy(_._1) :+ ("page" -> pg.toString)
-        Some(path + "?" + qp.map { case (k, v) =>
-          s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }.mkString("&"))
-      }
+      else Some(continuationUrl(path, params, "page" -> pg.toString))
     val next = if (p.hasNext) url(p.page + 1) else None
     val prev = if (p.hasPrevious) url(p.page - 1) else None
     Response(200,
@@ -164,11 +160,21 @@ final class QueryServer(
             case v => String.valueOf(v)
           }
         }.mkString(",")
-        val qp = ((params - "page") + ("after" -> cursor)).toSeq.sortBy(_._1)
-        Some(path + "?" + qp.map { case (k, v) =>
-          s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }.mkString("&"))
+        Some(continuationUrl(path, params, "after" -> cursor))
       }
     Response(200, Serializers.keysetEnvelopeJson(next, body))
+  }
+
+  /** ONE continuation-URL builder for both pagination surfaces: the
+    * requested path, the request's params minus any pagination state,
+    * plus the continuation param — keys sorted, values URL-encoded (a
+    * quote or '&' in a user param must not corrupt the envelope or
+    * restructure the query string). */
+  private def continuationUrl(path: String, params: Map[String, String],
+      continue: (String, String)): String = {
+    val qp = ((params - "page" - "after") + continue).toSeq.sortBy(_._1)
+    path + "?" + qp.map { case (k, v) =>
+      s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }.mkString("&")
   }
 
   /** Keyset dispatch for one route: decode the cursor (empty = start,

@@ -674,21 +674,34 @@ final class QueryService(t0: String => DataFrame) {
           after.map { case (ts, oid) => Seq(ts, oid) }, pageSize))
     }
 
+  /** Shared base of the two donors forms: accounts with ≥1 outgoing
+    * donation (J2 semi-join). accountDim already carries
+    * total_donations_out_usd (null-typed when the gold table has not
+    * been built yet — the route must not 500 on a fresh deployment
+    * where the beat has never run). ONE definition of rows and sort
+    * keys, so the keyset walk can never desynchronize from the offset
+    * pages it must enumerate identically. */
+  private def donorRows: DataFrame = {
+    val a = accountDim
+    val d = donations
+    Relational.semiJoin(a, d, a("id") === d("donor"))
+  }
+  private def donorOrderKeys(sortMostDonated: Boolean): Seq[(Column, Boolean)] =
+    if (sortMostDonated)
+      Seq((col("total_donations_out_usd"), false), (col("id"), true))
+    else Seq((col("id"), true))
+
   /** GET /v1/donors [?sort=most_donated_usd] (accounts/api.py:50-92):
     * J2 semi-join + optional O2 sort over the gold account_stats. */
   def donors(sortMostDonated: Boolean, page: Int = 1,
       pageSize: Int = DefaultPageSize,
       countOverride: => Option[Long] = None): Page = {
-    val a = accountDim
-    val d = donations
-    // accountDim already carries total_donations_out_usd (null-typed when
-    // the gold table has not been built yet — the route must not 500 on a
-    // fresh deployment where the beat has never run).
-    val withStats = Relational.semiJoin(a, d, a("id") === d("donor"))
-    val order =
-      if (sortMostDonated)
-        Seq(col("total_donations_out_usd").desc_nulls_last, col("id").asc)
-      else Seq(col("id").asc)
+    val withStats = donorRows
+    // Spark's bare desc ≡ desc_nulls_last — the same null placement
+    // keysetSlice's continuation predicate assumes.
+    val order = donorOrderKeys(sortMostDonated).map {
+      case (c, asc) => if (asc) c.asc else c.desc
+    }
     // countOverride: same contract as the donation routes — the serving
     // tier can price the envelope count from gold (global_stats
     // total_donors_count) instead of a per-request semi-join count.
@@ -698,23 +711,15 @@ final class QueryService(t0: String => DataFrame) {
 
   /** Keyset form of [[donors]] — the leaderboard deep-walk. Cursor is
     * `(total_donations_out_usd, id)` under ?sort=most_donated_usd (the
-    * derived stat leads; keysetSlice's desc is nulls-LAST, matching the
-    * offset form's desc_nulls_last, and a null stat cursor continues
-    * correctly), plain `id` otherwise. The stat cursor is stable BETWEEN
-    * gold beats exactly as the offset variant's page frontiers are — a
-    * refresh mid-walk can shift the frontier either way; the reference's
-    * offset pages carry the same anomaly. */
+    * derived stat leads, null stat cursors continue correctly), plain
+    * `id` otherwise. The stat cursor is stable BETWEEN gold beats
+    * exactly as the offset variant's page frontiers are — a refresh
+    * mid-walk can shift the frontier either way; the reference's offset
+    * pages carry the same anomaly. */
   def donorsKeyset(sortMostDonated: Boolean, after: Option[Seq[Any]],
-      pageSize: Int = DefaultPageSize): DataFrame = {
-    val a = accountDim
-    val d = donations
-    val withStats = Relational.semiJoin(a, d, a("id") === d("donor"))
-    val order =
-      if (sortMostDonated)
-        Seq((col("total_donations_out_usd"), false), (col("id"), true))
-      else Seq((col("id"), true))
-    Relational.keysetSlice(withStats, order, after, pageSize)
-  }
+      pageSize: Int = DefaultPageSize): DataFrame =
+    Relational.keysetSlice(donorRows, donorOrderKeys(sortMostDonated),
+      after, pageSize)
 
   // ---------------------------------------------------- lists routes
 

@@ -186,8 +186,8 @@ class QueryServerSpec extends SparkSpec {
     assert(small.body.contains(""""count": 70"""))
     assert(small.body.contains("acct006.near") &&
       small.body.contains("acct010.near") && !small.body.contains("acct011.near"))
-    // Continuation URLs carry page_size through.
-    assert(small.body.contains(""""next": "/api/v1/accounts?page_size=5&page=3""""))
+    // Continuation URLs carry page_size through (params key-sorted).
+    assert(small.body.contains(""""next": "/api/v1/accounts?page=3&page_size=5""""))
     // 70 rows / size 5 → page 14 exists, page 15 is DRF's 404.
     assert(s.handle("GET", "/api/v1/accounts",
       Map("page" -> "14", "page_size" -> "5")).status == 200)
@@ -287,6 +287,26 @@ class QueryServerSpec extends SparkSpec {
       .status == 400)
   }
 
+  test("donors keyset plans bounded: TakeOrderedAndProject, no Window") {
+    // The deep-walk claim is a PLAN property, not just a wall-clock one:
+    // the continuation must stay a pushed predicate + bounded top-k even
+    // with the semi-join in front (q_o6 pins bare keysetSlice; this pins
+    // the composed donors shape).
+    // pageSize BELOW the fixture's known row count: on a 2-row
+    // LocalRelation with pageSize ≥ rows, EliminateLimits proves the
+    // result fits and strips the limit (a plain Sort of a provably-tiny
+    // input — harmless, and impossible on a real file scan whose maxRows
+    // is unknown). The bounded-top-k claim needs the limit to survive.
+    for (sortMost <- Seq(true, false)) {
+      val plan = qs.donorsKeyset(sortMost, None, pageSize = 1)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"sortMost=$sortMost:\n${plan.take(500)}")
+      assert(!plan.contains("Window"),
+        s"sortMost=$sortMost:\n${plan.take(500)}")
+    }
+  }
+
   test("param fuzz: no garbage query param can 500 a route") {
     // Every handled failure mode has a typed document (400/404); a 500
     // means an exception escaped the param layer into the plan. The grid
@@ -305,6 +325,10 @@ class QueryServerSpec extends SparkSpec {
     val fuzz: Seq[Map[String, String]] = Seq(
       Map("page" -> "100000000"), // valid int, absurd offset → 404 not 500
       Map("page" -> "2147483647", "page_size" -> "2147483647"),
+      // offset fits Int but offset+limit does not
+      // (SUM_OF_LIMIT_AND_OFFSET_EXCEEDS_MAX_INT at analysis)
+      Map("page" -> "71582789"),
+      Map("page" -> "2", "page_size" -> "2147483647"),
       Map("page" -> "-0"), Map("page" -> "½"),
       Map("page" -> "1e3"), Map("page" -> " 2 "),
       Map("page_size" -> "-1"), Map("page_size" -> "0"),
@@ -368,6 +392,11 @@ class QueryServerSpec extends SparkSpec {
       "/api/v1/accounts/donor1.near" -> Map.empty[String, String],
       "/api/v1/accounts/proj1.near/donations_received" -> Map("page" -> "1"),
       "/api/v1/stats" -> Map.empty[String, String],
+      // keyset continuations race the page-number twins on the same
+      // tables (their memo builds the plan inside compute — stampedes
+      // double-compute but must stay consistent).
+      "/api/v1/accounts" -> Map("after" -> ""),
+      "/api/v1/accounts/proj1.near/donations_received" -> Map("after" -> ""),
       "/api/v1/accounts/ghost.near" -> Map.empty[String, String])
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -376,15 +405,15 @@ class QueryServerSpec extends SparkSpec {
         java.util.concurrent.Executors.newFixedThreadPool(12))
     val all = Await.result(Future.sequence(
       (1 to 4).flatMap(i => paths.map { case (p, prm) =>
-        Future((p, s.handle("GET", p, prm, client = s"c$i")))
+        Future(((p, prm), s.handle("GET", p, prm, client = s"c$i")))
       })), Duration.Inf)
     // identical requests → identical responses, across all threads
-    all.groupBy(_._1).foreach { case (p, rs) =>
-      assert(rs.map(_._2).distinct.size == 1, s"divergent responses for $p")
+    all.groupBy(_._1).foreach { case (k, rs) =>
+      assert(rs.map(_._2).distinct.size == 1, s"divergent responses for $k")
     }
-    assert(all.count(_._2.status == 200) == 16)
+    assert(all.count(_._2.status == 200) == 24)
     assert(all.count(_._2.status == 404) == 4) // the ghost detail route
-    assert(s.requests == 20)
+    assert(s.requests == 28)
   }
 
   test("HTTP binding serves handle() verbatim: status, body, headers, metrics") {
