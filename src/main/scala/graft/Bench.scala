@@ -72,7 +72,14 @@ object Bench {
         try {
           SparkEntry.queries("q_gold_refresh")(spark, sfDir).limit(1).count()
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
+        } catch {
+          // NonFatal only: an OOM/VM error must crash the bench, not
+          // publish gold_gate_build_sec:null beside sub-second cached
+          // q_gold_* rows — the exact confusion this field prevents.
+          case scala.util.control.NonFatal(e) =>
+            println(s"[bench] gold gate build failed: ${e.getMessage}")
+            None
+        }
       } else None
     val planDumpDir = sys.env.get("SPARK_GRAFT_PLAN_DUMP_DIR")
     def fingerprintOf(df: org.apache.spark.sql.DataFrame,

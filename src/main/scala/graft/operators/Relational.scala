@@ -74,9 +74,10 @@ object Relational {
     // limit+offset sums above Int.MaxValue at analysis
     // (SUM_OF_LIMIT_AND_OFFSET_EXCEEDS_MAX_INT), so guarding the offset
     // alone still 500s on the last representable pages. Any page whose
-    // slice cannot be addressed is past the end of anything Spark can
-    // offset into — answer the empty page and let the caller's
-    // count-based num_pages check 404 it.
+    // slice cannot be addressed answers the empty page; the serving
+    // caller (QueryServer.envelope) distinguishes past-the-end (404
+    // Invalid page.) from within-range-but-unaddressable on a >2.1B-row
+    // set (typed 400 pointing at keyset).
     val lo = (page.toLong - 1L) * pageSize
     if (lo > Int.MaxValue.toLong - pageSize) df.limit(0)
     else df.orderBy(order: _*).offset(lo.toInt).limit(pageSize)

@@ -97,8 +97,11 @@ final class QueryServer(
         clientBuckets.put(client, nb)
         nb
       }
+      // Clamp negative elapsed: a backwards wall-clock step (NTP) must
+      // pause refill, not drain tokens below their true level and 429 a
+      // well-behaved client for the step size.
       b.tokens = math.min(throttlePerMin.toDouble,
-        b.tokens + (t - b.atMs) * refillPerMs)
+        b.tokens + math.max(0L, t - b.atMs) * refillPerMs)
       b.atMs = t
       if (b.tokens >= 1.0) { b.tokens -= 1.0; Right(()) }
       else Left(math.ceil((1.0 - b.tokens) / refillPerMs / 1000.0).toLong.max(1L))
@@ -120,9 +123,25 @@ final class QueryServer(
       (p.count + p.pageSize - 1L) / p.pageSize)
     if (p.page > numPages)
       return Response(404, Serializers.detailJson("Invalid page."))
+    // A page WITHIN range but beyond Spark's Int-bounded offset ceiling
+    // (possible when count itself exceeds ~2.1B rows): pageSlice answered
+    // the empty frame, and silently serving 200 {results: []} with live
+    // next links would walk forever. A typed 400 pointing at the
+    // constant-cost path is the honest answer — the reference (Postgres
+    // 64-bit OFFSET) would serve rows here, but at that depth offset
+    // pagination is the wrong tool on either system.
+    if ((p.page - 1L) * p.pageSize > Int.MaxValue.toLong - p.pageSize)
+      return Response(400, Serializers.errorJson(
+        "Page offset exceeds the addressable range; use keyset " +
+          "pagination (?after=)."))
+    // DRF parity: get_previous_link REMOVES the page param for page 1
+    // (rest_framework/pagination.py remove_query_param) — the previous
+    // link of page 2 is the bare route, not ?page=1 (which would also
+    // mint a second cache entry for the same body).
     def url(pg: Int): Option[String] =
       if (pg < 1) None
-      else Some(continuationUrl(path, params, "page" -> pg.toString))
+      else Some(continuationUrl(path, params,
+        if (pg == 1) None else Some("page" -> pg.toString)))
     val next = if (p.hasNext) url(p.page + 1) else None
     val prev = if (p.hasPrevious) url(p.page - 1) else None
     Response(200,
@@ -145,9 +164,7 @@ final class QueryServer(
     // One action: the page is ≤ pageSize rows by construction; serialize
     // runs over the collected LocalRelation so the slice job isn't paid
     // twice (once for rows, once for the cursor).
-    val rows = pageDf.collect()
-    val local = pageDf.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), pageDf.schema)
+    val (rows, local) = QueryService.materializeBounded(pageDf)
     val body = jsonCol(serialize(local))
     val next =
       if (rows.length < pageSize) None
@@ -160,7 +177,7 @@ final class QueryServer(
             case v => String.valueOf(v)
           }
         }.mkString(",")
-        Some(continuationUrl(path, params, "after" -> cursor))
+        Some(continuationUrl(path, params, Some("after" -> cursor)))
       }
     Response(200, Serializers.keysetEnvelopeJson(next, body))
   }
@@ -171,9 +188,10 @@ final class QueryServer(
     * quote or '&' in a user param must not corrupt the envelope or
     * restructure the query string). */
   private def continuationUrl(path: String, params: Map[String, String],
-      continue: (String, String)): String = {
-    val qp = ((params - "page" - "after") + continue).toSeq.sortBy(_._1)
-    path + "?" + qp.map { case (k, v) =>
+      continue: Option[(String, String)]): String = {
+    val qp = ((params - "page" - "after") ++ continue).toSeq.sortBy(_._1)
+    if (qp.isEmpty) path
+    else path + "?" + qp.map { case (k, v) =>
       s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }.mkString("&")
   }
 
@@ -280,12 +298,18 @@ final class QueryServer(
     * get_page_size takes a positive `page_size` query param and SILENTLY
     * falls back to the default 30 on anything else (garbage page_size is
     * not a 404 — only garbage `page` is; rest_framework pagination
-    * catches the ValueError and passes). No max_page_size in the
-    * reference, so none here — a huge page_size is the caller's foot-gun
-    * on both systems (the reference's Django heap pays it the same way);
-    * the throttle bounds the request RATE, not row volume. */
+    * catches the ValueError and passes). DELIBERATE deviation: the
+    * reference sets no max_page_size, but page rows materialize on THIS
+    * server's shared Spark driver (bounded collects for serializer
+    * embeds and keyset cursors), so one anonymous
+    * ?page_size=2000000000 request would OOM the process for every
+    * client — not just its own worker as in the reference. Values above
+    * [[QueryServer.MaxPageSize]] clamp (DRF's max_page_size cutoff
+    * semantics, not an error); the throttle bounds request RATE, this
+    * bounds per-request row volume. */
   private def pageSizeParam(params: Map[String, String]): Int =
     params.get("page_size").flatMap(_.trim.toIntOption).filter(_ >= 1)
+      .map(_.min(QueryServer.MaxPageSize))
       .getOrElse(QueryService.DefaultPageSize)
 
   private def memo(path: String, params: Map[String, String],
@@ -554,18 +578,31 @@ final class QueryServer(
       val resp =
         try {
           val uri = exchange.getRequestURI
-          val params = Option(uri.getRawQuery).toSeq
-            .flatMap(_.split('&').toSeq).filter(_.nonEmpty).map { kv =>
-              val i = kv.indexOf('=')
-              val k = if (i < 0) kv else kv.take(i)
-              val v = if (i < 0) "" else kv.drop(i + 1)
-              java.net.URLDecoder.decode(k, "UTF-8") ->
-                java.net.URLDecoder.decode(v, "UTF-8")
-            }.toMap
+          val params =
+            try {
+              Option(uri.getRawQuery).toSeq
+                .flatMap(_.split('&').toSeq).filter(_.nonEmpty).map { kv =>
+                  val i = kv.indexOf('=')
+                  val k = if (i < 0) kv else kv.take(i)
+                  val v = if (i < 0) "" else kv.drop(i + 1)
+                  java.net.URLDecoder.decode(k, "UTF-8") ->
+                    java.net.URLDecoder.decode(v, "UTF-8")
+                }.toMap
+            } catch {
+              // Malformed percent-encoding (?page=%zz, a trailing '%')
+              // is CLIENT input, not a server fault: 400, not 500.
+              case _: IllegalArgumentException =>
+                throw QueryServer.MalformedQueryException
+            }
           val client = exchange.getRemoteAddress.getAddress.getHostAddress
           handle(exchange.getRequestMethod, uri.getPath, params, client)
         } catch {
+          case QueryServer.MalformedQueryException =>
+            Response(400, Serializers.errorJson("Malformed query string."))
           case scala.util.control.NonFatal(e) =>
+            // Count binding-layer 500s too — a 500 invisible in /metrics
+            // is a 500 nobody pages on.
+            errorCount.incrementAndGet(): Unit
             Response(500, Serializers.errorJson(
               s"Internal error: ${e.getClass.getSimpleName}"))
         }
@@ -594,6 +631,11 @@ final class QueryServer(
 }
 
 object QueryServer {
+  /** page_size ceiling (DRF max_page_size cutoff semantics — values
+    * above clamp, they do not error). See pageSizeParam for why the
+    * resident server must bound per-request row volume. */
+  val MaxPageSize = 10000
+
   /** One rendered HTTP response — status, JSON body, extra headers. */
   final case class Response(status: Int, body: String,
       headers: Map[String, String] = Map.empty)
@@ -602,6 +644,11 @@ object QueryServer {
     * query param; rendered as DRF's 404 {"detail": "Invalid page."}. */
   private[queries] final class InvalidPageException
     extends RuntimeException("Invalid page.")
+
+  /** Raised by the HTTP binding's query parser on malformed
+    * percent-encoding; rendered as a 400, never a 500. */
+  private[queries] case object MalformedQueryException
+    extends RuntimeException("Malformed query string.")
 
   // ------------------------------------------ keyset cursor codecs
   // The ?after= cursor is the sort-key tuple of the previous page's last
@@ -634,7 +681,16 @@ object QueryServer {
     s.split(",", -1) match {
       case Array(a, b) if b.nonEmpty =>
         if (a == "null") Some((null, b))
-        else scala.util.Try(new java.math.BigDecimal(a)).toOption.map((_, b))
+        else scala.util.Try {
+          // Rescale to the stat column's decimal(20,2) — engine-issued
+          // cursors always fit (toString of a (20,2) value); a crafted
+          // "1e9" (negative scale) or 50-digit value would otherwise
+          // pass parsing and blow up inside Catalyst's lit() as a 500.
+          // UNNECESSARY: reject extra fractional digits instead of
+          // silently rounding a cursor.
+          new java.math.BigDecimal(a)
+            .setScale(2, java.math.RoundingMode.UNNECESSARY)
+        }.toOption.filter(_.precision <= 20).map((_, b))
       case _ => None
     }
   private[queries] def afterTsString(
@@ -659,12 +715,20 @@ object QueryServer {
     * leak into API JSON. NOT memoized here: freshness comes from
     * SilverStore.registerCached / plain re-reads; wrap in your own memo
     * only if you also key it on the swap-marker uid. */
+  /** The physical table a serving read of `name` actually touches —
+    * ONE definition shared by the loader and its memo, so the memo can
+    * never key freshness on a different table's swap marker than the
+    * one the loader reads. */
+  private def physicalTable(silverDir: String, name: String): String =
+    if (name == "donations" && graft.operators.MergeWriter.io
+        .exists(s"$silverDir/donations_enriched")) "donations_enriched"
+    else name
+
   def servingLoader(spark: org.apache.spark.sql.SparkSession,
       silverDir: String): String => DataFrame = {
     val store = new graft.ingest.SilverStore(spark, silverDir)
-    val io = graft.operators.MergeWriter.io
     name =>
-      if (name == "donations" && io.exists(s"$silverDir/donations_enriched")) {
+      if (physicalTable(silverDir, name) == "donations_enriched") {
         val df = spark.read.parquet(s"$silverDir/donations_enriched")
         val noGen = if (df.columns.contains("__gen")) df.drop("__gen") else df
         if (noGen.columns.contains("__pdate")) noGen.drop("__pdate") else noGen
@@ -688,10 +752,7 @@ object QueryServer {
     val cache =
       scala.collection.concurrent.TrieMap[String, (String, DataFrame)]()
     name => {
-      val physical =
-        if (name == "donations" && io.exists(s"$silverDir/donations_enriched"))
-          "donations_enriched"
-        else name
+      val physical = physicalTable(silverDir, name)
       val uid = io.readString(graft.operators.MergeWriter
         .swapMarkerPath(s"$silverDir/$physical")).getOrElse("")
       cache.get(name) match {

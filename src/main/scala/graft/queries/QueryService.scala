@@ -23,6 +23,18 @@ object QueryService {
     * companion-level so the serving tier shares the constant. */
   val DefaultPageSize = 30
 
+  /** Collect a BOUNDED frame once and rebuild it as a LocalRelation:
+    * the shared materialization idiom of the page/dim/keyset paths —
+    * rows for driver-side inspection (cursors, key lists) and the local
+    * frame so downstream plans never recompute the slice. NEVER call on
+    * an unbounded frame. */
+  private[queries] def materializeBounded(
+      df: DataFrame): (Array[org.apache.spark.sql.Row], DataFrame) = {
+    val rows = df.collect()
+    (rows, df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema))
+  }
+
   /** Pagination envelope ({count, next, previous, results} — the
     * reference's DRF shape). Top-level (companion) so pattern matches
     * need no outer-instance check. */
@@ -462,10 +474,8 @@ final class QueryService(t0: String => DataFrame) {
   /** Collect a BOUNDED frame into a LocalRelation (pages ≤ pageSize,
     * dim slices ≤ the page's key count — never call on an unbounded
     * frame). */
-  private def materializeDim(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
-  }
+  private def materializeDim(df: DataFrame): DataFrame =
+    QueryService.materializeBounded(df)._2
 
   private def emptyLike(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(

@@ -108,10 +108,17 @@ class QueryServerSpec extends SparkSpec {
     // their bodies differ).
     val p2 = s.handle("GET", "/api/v1/accounts", Map("page" -> "2"))
     assert(p2.body.contains(""""next": "/api/v1/accounts?page=3""""))
-    assert(p2.body.contains(""""previous": "/api/v1/accounts?page=1""""))
+    // DRF removes the page param for page 1 (get_previous_link) — the
+    // previous link of page 2 is the bare route.
+    assert(p2.body.contains(""""previous": "/api/v1/accounts""""))
+    assert(!p2.body.contains("previous\": \"/api/v1/accounts?page=1"))
     val bare = s.handle("GET", "/v1/accounts", Map("page" -> "2"))
     assert(bare.body.contains(""""next": "/v1/accounts?page=3""""))
-    assert(bare.body.contains(""""previous": "/v1/accounts?page=1""""))
+    assert(bare.body.contains(""""previous": "/v1/accounts""""))
+    // With other params, page-1 previous keeps them: ?page_size only.
+    val p2s = s.handle("GET", "/api/v1/accounts",
+      Map("page" -> "2", "page_size" -> "30"))
+    assert(p2s.body.contains(""""previous": "/api/v1/accounts?page_size=30""""))
   }
 
   test("DRF pagination parity: invalid and past-the-end pages are 404 Invalid page.") {
@@ -154,6 +161,14 @@ class QueryServerSpec extends SparkSpec {
     t += 21000L
     assert(s.handle("GET", "/health", Map.empty, client = "1.2.3.4").status == 200)
     assert(s.handle("GET", "/health", Map.empty, client = "1.2.3.4").status == 429)
+    // A backwards wall-clock step (NTP) must pause refill, never DRAIN:
+    // after stepping back 21 s and forward 21 s, the client has its one
+    // refilled token again (an unclamped bucket would have gone negative
+    // and still answer 429).
+    t -= 21000L
+    assert(s.handle("GET", "/health", Map.empty, client = "1.2.3.4").status == 429)
+    t += 21000L
+    assert(s.handle("GET", "/health", Map.empty, client = "1.2.3.4").status == 200)
   }
 
   test("rendered envelopes memoize; a swap-marker rotation invalidates immediately") {
@@ -281,10 +296,19 @@ class QueryServerSpec extends SparkSpec {
     val nullCur = s.handle("GET", "/api/v1/donors",
       Map("sort" -> "most_donated_usd", "after" -> "null,aaa.near"))
     assert(nullCur.status == 200)
-    // Garbage decimal is 400.
+    // Unliftable decimals are 400 (>20-digit precision, extra
+    // fractional digits) — none may reach Catalyst's lit() as a 500.
+    Seq("abc", "1" * 50, "30.005").foreach { bad =>
+      val r = s.handle("GET", "/api/v1/donors",
+        Map("sort" -> "most_donated_usd", "after" -> s"$bad,donor1.near"))
+      assert(r.status == 400, s"after=$bad → ${r.status}")
+    }
+    // Exponent notation is a VALID decimal oddly spelled: the cursor
+    // rescales to the stat column's (20,2) — 1e9 ≡ 1000000000.00 — and
+    // serves, rather than 500ing inside lit() on the negative scale.
     assert(s.handle("GET", "/api/v1/donors",
-      Map("sort" -> "most_donated_usd", "after" -> "abc,donor1.near"))
-      .status == 400)
+      Map("sort" -> "most_donated_usd", "after" -> "1e9,donor1.near"))
+      .status == 200)
   }
 
   test("donors keyset plans bounded: TakeOrderedAndProject, no Window") {
@@ -437,6 +461,12 @@ class QueryServerSpec extends SparkSpec {
         b2 == """{"message": "Account with ID ghost.near not found."}""")
       val (c3, b3) = get("/metrics")
       assert(c3 == 200 && b3.contains("\"requests\":"))
+      // Malformed percent-encoding is CLIENT input → 400, never a 500.
+      // The JDK server's URI parser pre-rejects this shape with its own
+      // 400 body; the binding's decoder-level catch stays as defense for
+      // escapes a different front end might let through.
+      val (c4, _) = get("/api/v1/accounts?page=%zz")
+      assert(c4 == 400)
     } finally http.stop(0)
   }
 }
