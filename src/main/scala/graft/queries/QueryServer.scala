@@ -97,12 +97,14 @@ final class QueryServer(
         clientBuckets.put(client, nb)
         nb
       }
-      // Clamp negative elapsed: a backwards wall-clock step (NTP) must
-      // pause refill, not drain tokens below their true level and 429 a
-      // well-behaved client for the step size.
+      // Clamp negative elapsed AND keep the refill baseline monotone: a
+      // backwards wall-clock step (NTP) must pause refill — neither
+      // draining tokens for the step size nor rewinding atMs so the
+      // stepped-over interval refills a second time once the clock
+      // recovers (quota over-admission).
       b.tokens = math.min(throttlePerMin.toDouble,
         b.tokens + math.max(0L, t - b.atMs) * refillPerMs)
-      b.atMs = t
+      b.atMs = math.max(b.atMs, t)
       if (b.tokens >= 1.0) { b.tokens -= 1.0; Right(()) }
       else Left(math.ceil((1.0 - b.tokens) / refillPerMs / 1000.0).toLong.max(1L))
     }
@@ -133,7 +135,8 @@ final class QueryServer(
     if ((p.page - 1L) * p.pageSize > Int.MaxValue.toLong - p.pageSize)
       return Response(400, Serializers.errorJson(
         "Page offset exceeds the addressable range; use keyset " +
-          "pagination (?after=)."))
+          "pagination (?after=, served on every list route except " +
+          "active_pots)."))
     // DRF parity: get_previous_link REMOVES the page param for page 1
     // (rest_framework/pagination.py remove_query_param) — the previous
     // link of page 2 is the bare route, not ?page=1 (which would also
@@ -192,7 +195,8 @@ final class QueryServer(
     val qp = ((params - "page" - "after") ++ continue).toSeq.sortBy(_._1)
     if (qp.isEmpty) path
     else path + "?" + qp.map { case (k, v) =>
-      s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }.mkString("&")
+      s"${java.net.URLEncoder.encode(k, "UTF-8")}=" +
+        java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")
   }
 
   /** Keyset dispatch for one route: decode the cursor (empty = start,
@@ -681,16 +685,18 @@ object QueryServer {
     s.split(",", -1) match {
       case Array(a, b) if b.nonEmpty =>
         if (a == "null") Some((null, b))
-        else scala.util.Try {
-          // Rescale to the stat column's decimal(20,2) — engine-issued
-          // cursors always fit (toString of a (20,2) value); a crafted
-          // "1e9" (negative scale) or 50-digit value would otherwise
-          // pass parsing and blow up inside Catalyst's lit() as a 500.
-          // UNNECESSARY: reject extra fractional digits instead of
-          // silently rounding a cursor.
-          new java.math.BigDecimal(a)
-            .setScale(2, java.math.RoundingMode.UNNECESSARY)
-        }.toOption.filter(_.precision <= 20).map((_, b))
+        else scala.util.Try(new java.math.BigDecimal(a)).toOption
+          // Bounds checked BEFORE setScale: rescaling a huge-negative-
+          // scale cursor (?after=1e20000000,x) would compute a 10^N
+          // BigInteger first — seconds of CPU per 10-char request, an
+          // attacker-priced allocation. scale ≤ 2 (no extra fractional
+          // digits to round away) and ≤ 18 integer digits keep the
+          // rescaled value inside the stat column's decimal(20,2), so
+          // the setScale below is a cheap exact widening and Catalyst's
+          // lit() can never throw. Engine-issued cursors (toString of a
+          // (20,2) value) always pass.
+          .filter(bd => bd.scale <= 2 && bd.precision - bd.scale <= 18)
+          .map(bd => (bd.setScale(2), b))
       case _ => None
     }
   private[queries] def afterTsString(
@@ -699,6 +705,15 @@ object QueryServer {
       case Array(a, b) if b.nonEmpty => cursorTs(a).map((_, b))
       case _ => None
     }
+
+  /** The physical table a serving read of `name` actually touches —
+    * ONE definition shared by the loader and its memo, so the memo can
+    * never key freshness on a different table's swap marker than the
+    * one the loader reads. */
+  private def physicalTable(silverDir: String, name: String): String =
+    if (name == "donations" && graft.operators.MergeWriter.io
+        .exists(s"$silverDir/donations_enriched")) "donations_enriched"
+    else name
 
   /** The canonical SERVING loader: silver tables through the store's
     * registered layouts, with `donations` mapped to the beat-enriched
@@ -715,20 +730,15 @@ object QueryServer {
     * leak into API JSON. NOT memoized here: freshness comes from
     * SilverStore.registerCached / plain re-reads; wrap in your own memo
     * only if you also key it on the swap-marker uid. */
-  /** The physical table a serving read of `name` actually touches —
-    * ONE definition shared by the loader and its memo, so the memo can
-    * never key freshness on a different table's swap marker than the
-    * one the loader reads. */
-  private def physicalTable(silverDir: String, name: String): String =
-    if (name == "donations" && graft.operators.MergeWriter.io
-        .exists(s"$silverDir/donations_enriched")) "donations_enriched"
-    else name
-
   def servingLoader(spark: org.apache.spark.sql.SparkSession,
       silverDir: String): String => DataFrame = {
     val store = new graft.ingest.SilverStore(spark, silverDir)
     name =>
-      if (physicalTable(silverDir, name) == "donations_enriched") {
+      // Only the "donations" ALIAS takes the raw enriched read; a literal
+      // "donations_enriched" request still goes through the store's
+      // registered layout like any other table.
+      if (name == "donations" &&
+          physicalTable(silverDir, name) == "donations_enriched") {
         val df = spark.read.parquet(s"$silverDir/donations_enriched")
         val noGen = if (df.columns.contains("__gen")) df.drop("__gen") else df
         if (noGen.columns.contains("__pdate")) noGen.drop("__pdate") else noGen

@@ -161,13 +161,15 @@ class QueryServerSpec extends SparkSpec {
     t += 21000L
     assert(s.handle("GET", "/health", Map.empty, client = "1.2.3.4").status == 200)
     assert(s.handle("GET", "/health", Map.empty, client = "1.2.3.4").status == 429)
-    // A backwards wall-clock step (NTP) must pause refill, never DRAIN:
-    // after stepping back 21 s and forward 21 s, the client has its one
-    // refilled token again (an unclamped bucket would have gone negative
-    // and still answer 429).
+    // A backwards wall-clock step (NTP) must pause refill — never DRAIN
+    // tokens, and never refill the stepped-over interval TWICE when the
+    // clock recovers (the refill baseline is monotone): stepping back
+    // 21 s and returning grants nothing; only genuinely new time does.
     t -= 21000L
     assert(s.handle("GET", "/health", Map.empty, client = "1.2.3.4").status == 429)
-    t += 21000L
+    t += 21000L // clock back at its former value: no NEW elapsed time
+    assert(s.handle("GET", "/health", Map.empty, client = "1.2.3.4").status == 429)
+    t += 21000L // genuinely new time: one token refills
     assert(s.handle("GET", "/health", Map.empty, client = "1.2.3.4").status == 200)
   }
 
@@ -215,6 +217,24 @@ class QueryServerSpec extends SparkSpec {
     assert(garbage.status == 200)
     assert(garbage.body.contains("acct030.near") &&
       !garbage.body.contains("acct031.near"))
+  }
+
+  test("page_size clamps at MaxPageSize — the shared-driver OOM guard") {
+    // 10,005 accounts: a request for 20,000 rows must clamp to the
+    // 10,000 ceiling (next page non-null, count untouched) — if the raw
+    // value were honored the whole set would fit one page and next would
+    // be null. This is the one behavior protecting the resident driver
+    // from an anonymous ?page_size=2000000000 materialization.
+    val big = new QueryService(tables.updated("accounts",
+      (1 to 10005).map(i => (f"a$i%05d.near", null.asInstanceOf[String]))
+        .toDF("id", "near_social_profile_data"))(_))
+    val s = new QueryServer(big, silverDir)
+    val r = s.handle("GET", "/api/v1/accounts", Map("page_size" -> "20000"))
+    assert(r.status == 200)
+    assert(r.body.contains(""""count": 10005"""))
+    assert(r.body.contains(
+      """"next": "/api/v1/accounts?page=2&page_size=20000""""))
+    assert(r.body.contains("a10000.near") && !r.body.contains("a10001.near"))
   }
 
   test("keyset continuation (?after=): full walk ≡ offset pages, composite cursors, 400 on garbage") {
@@ -297,11 +317,16 @@ class QueryServerSpec extends SparkSpec {
       Map("sort" -> "most_donated_usd", "after" -> "null,aaa.near"))
     assert(nullCur.status == 200)
     // Unliftable decimals are 400 (>20-digit precision, extra
-    // fractional digits) — none may reach Catalyst's lit() as a 500.
-    Seq("abc", "1" * 50, "30.005").foreach { bad =>
+    // fractional digits) — none may reach Catalyst's lit() as a 500,
+    // and the huge-exponent form must be REJECTED BEFORE any rescale
+    // (setScale on 1e20000000 would compute a 10^20000002 BigInteger:
+    // ~12 s of attacker-priced CPU per 12-char request).
+    Seq("abc", "1" * 50, "30.005", "1e20000000").foreach { bad =>
+      val t0 = System.nanoTime()
       val r = s.handle("GET", "/api/v1/donors",
         Map("sort" -> "most_donated_usd", "after" -> s"$bad,donor1.near"))
       assert(r.status == 400, s"after=$bad → ${r.status}")
+      assert((System.nanoTime() - t0) < 2e9, s"after=$bad took too long")
     }
     // Exponent notation is a VALID decimal oddly spelled: the cursor
     // rescales to the stat column's (20,2) — 1e9 ≡ 1000000000.00 — and
