@@ -284,8 +284,10 @@ object ServeBench {
           }.toLong
       })
     }.map(_.get()).sum
-    val tputReqS =
-      tputClients.toLong * perClient / ((System.nanoTime() - tput0) / 1e9)
+    val tputElapsedS = (System.nanoTime() - tput0) / 1e9
+    // Throughput counts OK responses, not submitted requests — a failed
+    // request must depress the published "sustained" number, not pad it.
+    val tputReqS = tputOk / tputElapsedS
     tputPool.shutdown()
     httpTput.stop(0)
 
@@ -305,7 +307,15 @@ object ServeBench {
       // and publish a bogus parity number.
       val (code, body, _) = get(coldPort, keysetUrl)
       require(code == 200, s"keyset walk hop $hop: HTTP $code at $keysetUrl")
-      keysetUrl = nextRe.findFirstMatchIn(body).map(_.group(1)).getOrElse(
+      // Over real sockets `next` is an ABSOLUTE URI (Host-header DRF
+      // parity); the fetch helper is port-addressed, so keep path?query.
+      keysetUrl = nextRe.findFirstMatchIn(body).map(_.group(1)).map { u =>
+        if (!u.startsWith("http")) u
+        else {
+          val uri = java.net.URI.create(u)
+          uri.getRawPath + Option(uri.getRawQuery).map("?" + _).getOrElse("")
+        }
+      }.getOrElse(
         sys.error(s"keyset walk ended at hop $hop (next=null) — store " +
           s"too small for depth $depth"))
     }

@@ -71,13 +71,6 @@ object GoldRefresh {
   private def uidOf(path: String): String =
     io.readString(MergeWriter.swapMarkerPath(path)).getOrElse("")
 
-  /** Content signature of what enrichment DEPENDS on in the tokens
-    * dimension — (account, decimals) pairs, order-independent xor of row
-    * hashes. The table's swap uid rotates on every LWW merge, including
-    * the per-batch stub merges that change nothing, and a spurious
-    * "tokens changed" would force a full rebuild per batch; the signature
-    * moves only when a decimals mapping actually moves. One scan of a
-    * dimension-scale table per refresh. */
   /** Order-independent multiset signature: count + exact sum + xor of
     * the row hashes. Plain xor alone cancels rows with even multiplicity
     * (a duplicated observation would hide a real change); the sum leg is
@@ -92,6 +85,12 @@ object GoldRefresh {
     s"${r.getLong(0)}:${r.getDecimal(1).toBigInteger}:${r.getLong(2)}"
   }
 
+  /** Content signature of what enrichment DEPENDS on in the tokens
+    * dimension — the (account, decimals) pairs. The table's swap uid
+    * rotates on every LWW merge, including per-batch stub merges that
+    * change nothing, and a spurious "tokens changed" would force a full
+    * rebuild per batch; the signature moves only when a decimals mapping
+    * actually moves. */
   private def tokensSig(tokens: DataFrame): String =
     multisetSig(tokens, "xxhash64(account, decimals)")
 

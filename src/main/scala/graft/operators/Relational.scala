@@ -73,15 +73,24 @@ object Relational {
     // 404 Invalid page.). The bound is offset + LIMIT: Spark rejects
     // limit+offset sums above Int.MaxValue at analysis
     // (SUM_OF_LIMIT_AND_OFFSET_EXCEEDS_MAX_INT), so guarding the offset
-    // alone still 500s on the last representable pages. Any page whose
-    // slice cannot be addressed answers the empty page; the serving
-    // caller (QueryServer.envelope) distinguishes past-the-end (404
-    // Invalid page.) from within-range-but-unaddressable on a >2.1B-row
-    // set (typed 400 pointing at keyset).
+    // alone still 500s on the last representable pages. An unaddressable
+    // slice fails LOUD with the typed [[PageOffsetOverflow]] — a library
+    // caller must never mistake "offset beyond Spark's Int ceiling" for
+    // "genuinely empty page". The serving layer (QueryService/
+    // QueryServer) catches it and keeps the document semantics: 404
+    // past-the-end first, typed 400 pointing at keyset for a
+    // within-range-but-unaddressable page on a >2.1B-row set.
     val lo = (page.toLong - 1L) * pageSize
-    if (lo > Int.MaxValue.toLong - pageSize) df.limit(0)
-    else df.orderBy(order: _*).offset(lo.toInt).limit(pageSize)
+    if (lo > Int.MaxValue.toLong - pageSize)
+      throw new PageOffsetOverflow(page, pageSize)
+    df.orderBy(order: _*).offset(lo.toInt).limit(pageSize)
   }
+
+  /** Thrown by [[pageSlice]] when (page-1)·pageSize + pageSize exceeds
+    * Spark's Int-bounded offset+limit ceiling. */
+  final class PageOffsetOverflow(page: Int, pageSize: Int)
+    extends RuntimeException(
+      s"page $page at pageSize $pageSize exceeds the addressable offset range")
 
   /** Keyset (seek) pagination — the scale path that replaces pageSlice's
     * global row_number window. `order` is (column, ascending) pairs that

@@ -36,13 +36,13 @@ import graft.queries.QueryService.Page
   * job otherwise — at 100 TB a recipient-filtered count would otherwise
   * scan the donor-bucketed fact table per request.
   *
-  * Bodies: entities with a DRF-parity serializer render through it
-  * (donations, accounts, pots, list registrations, payouts); the rest
-  * (applications, lists, factories, stats, config) serve Spark's compact
-  * row JSON — the same envelope shape, field-order parity pending a
-  * dedicated serializer. next/previous are RELATIVE URLs
-  * (`path?page=N`); the reference emits absolute ones (scheme/host are a
-  * proxy concern).
+  * Bodies: EVERY entity family renders through a DRF-parity serializer
+  * (donations, accounts, pots, list registrations, payouts, lists,
+  * pot applications, pot factories, the stats document); only the
+  * config route serves a stored document verbatim. next/previous are
+  * ABSOLUTE URIs when the request carries a Host header
+  * (request.build_absolute_uri parity, X-Forwarded-Proto deciding the
+  * scheme), relative otherwise.
   *
   * Keyset extension: every list route except active_pots ALSO serves
   * `?after=` keyset continuation (the 100 TB deep-page path — constant
@@ -67,9 +67,12 @@ final class QueryServer(
   private val requestCount = new java.util.concurrent.atomic.AtomicLong
   private val throttledCount = new java.util.concurrent.atomic.AtomicLong
   private val errorCount = new java.util.concurrent.atomic.AtomicLong
+  private val staleRetryCount = new java.util.concurrent.atomic.AtomicLong
   private val startedAtMs = nowMs()
   def requests: Long = requestCount.get
   def throttled: Long = throttledCount.get
+  def staleRetries: Long = staleRetryCount.get
+  def errors: Long = errorCount.get
   def cacheHits: Long = cache.hits
   def cacheMisses: Long = cache.misses
 
@@ -250,6 +253,18 @@ final class QueryServer(
   private val potT = Seq("pots", "pot_stats", "accounts", "account_stats")
   private val payoutT = Seq("pot_payouts")
   private val regT = Seq("list_registrations", "lists", "accounts")
+  // Serializer embeds widen the read set: application bodies embed the
+  // full pot object + applicant account, list/factory bodies embed
+  // owner/admins accounts.
+  private val applicationT = Seq("pot_applications") ++ potT
+  private val listT = Seq("lists", "accounts", "account_stats")
+  private val factoryT = Seq("pot_factories", "accounts", "account_stats")
+
+  /** PotApplicationSerializer body over a BOUNDED page: pot + applicant
+    * embeds on the ≤ pageSize rows (QueryService.potApplicationExpanded),
+    * then the DRF-parity render. */
+  private val appJson: DataFrame => DataFrame = df =>
+    Serializers.potApplicationJson(qs.potApplicationExpanded(df))
 
   private def uids(tables: Seq[String]): Seq[String] =
     ResultCache.uidsFor(silverDir)(tables)
@@ -259,7 +274,8 @@ final class QueryServer(
     * render. `params` are the decoded query params; `client` is the
     * throttle key (remote IP at the HTTP binding). */
   def handle(method: String, rawPath: String, params: Map[String, String],
-      client: String = "local"): Response = {
+      client: String = "local",
+      headers: Map[String, String] = Map.empty): Response = {
     requestCount.incrementAndGet(): Unit
     if (method != "GET")
       return Response(405, Serializers.errorJson("Method not allowed"))
@@ -271,9 +287,52 @@ final class QueryServer(
           Map("Retry-After" -> retryAfter.toString))
       case Right(()) =>
     }
-    try route(rawPath, params) catch {
+    // DRF parity: next/previous are ABSOLUTE URIs built from the
+    // request's own authority (request.build_absolute_uri — Host, with
+    // X-Forwarded-Proto deciding the scheme behind a TLS-terminating
+    // proxy). No Host header (direct handle() callers, HTTP/1.0) falls
+    // back to relative links — resolvable against the requested base.
+    val base = headers.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("host") && v.nonEmpty => v
+    }.map { host =>
+      val proto = headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("x-forwarded-proto") && v.nonEmpty => v
+      }.getOrElse("http")
+      s"$proto://$host"
+    }.getOrElse("")
+    // One stale-swap retry: the gold/merge swap protocol renames the old
+    // table aside, the new one in, then vacuums the old — a request that
+    // LISTED the old files (or hit the instant between the renames) dies
+    // with FileNotFound/PATH_NOT_FOUND mid-plan. The snapshot it lost is
+    // gone, so the CORRECT answer is a fresh plan against the new
+    // marker uid (the memoized loader rebuilds on it) — never
+    // ignoreMissingFiles (silently wrong rows), never a 500 for a
+    // planned, crash-safe table rotation. One retry suffices: swaps are
+    // beat-cadence rare, and a second loss in the same request window
+    // reports honestly as the 500 it is.
+    def attempt(): Response = route(rawPath, params, base)
+    try {
+      try attempt() catch {
+        case e if QueryServer.isStaleSwapRead(e) =>
+          staleRetryCount.incrementAndGet(): Unit
+          // The swap writes its marker AFTER vacuuming the old files;
+          // a beat of grace lets the marker land so the memoized
+          // loader's uid check rebuilds against the new table rather
+          // than re-planning the same lost snapshot.
+          Thread.sleep(50)
+          attempt()
+      }
+    } catch {
       case _: QueryServer.InvalidPageException =>
         Response(404, Serializers.detailJson("Invalid page."))
+      case _: graft.operators.Relational.PageOffsetOverflow =>
+        // Defense in depth: QueryService degrades the slice itself, so
+        // the envelope can 404 past-the-end first; a library path that
+        // still throws gets the same typed 400 as the envelope's check.
+        Response(400, Serializers.errorJson(
+          "Page offset exceeds the addressable range; use keyset " +
+            "pagination (?after=, served on every list route except " +
+            "active_pots)."))
       case scala.util.control.NonFatal(e) =>
         errorCount.incrementAndGet(): Unit
         Response(500, Serializers.errorJson(
@@ -285,14 +344,15 @@ final class QueryServer(
     * a PRESENT page that is not a positive integer is 404 {"detail":
     * "Invalid page."} (rest_framework NotFound), not silently coerced —
     * coercion would also mint a distinct cache entry per garbage value.
-    * Deliberate deviation: DRF's `page=last` alias is NOT supported
-    * (it answers the same 404) — resolving it would cost a second count
-    * job per request, and the reference's clients page forward. Lazily
-    * evaluated at the use site, so detail routes ignore `page` exactly
-    * like DRF does. */
+    * DRF's `page=last` alias (last_page_strings) resolves to the final
+    * page at the Page-construction site — the envelope prices the count
+    * anyway (or has a gold countOverride), so `last` costs nothing
+    * extra. Lazily evaluated at the use site, so detail routes ignore
+    * `page` exactly like DRF does. */
   private def pageParam(params: Map[String, String]): Int =
     params.get("page") match {
       case None => 1
+      case Some(s) if s.trim == "last" => QueryService.LastPage
       case Some(s) => s.trim.toIntOption.filter(_ >= 1)
         .getOrElse(throw new QueryServer.InvalidPageException)
     }
@@ -321,14 +381,18 @@ final class QueryServer(
     cache.memo(
       ResultCache.routeKey(path, params.toSeq: _*), uids(tables))(compute)
 
-  private def route(path: String, params: Map[String, String]): Response = {
+  private def route(rawPath: String, params: Map[String, String],
+      base: String = ""): Response = {
     // Accept both the reference's /api/v1 prefix and bare /v1 — but ONLY
     // for matching. Envelope continuation URLs and cache keys use the
-    // path AS REQUESTED: a client behind a proxy that routes /api/* must
-    // get next/previous links it can actually follow, and the two
-    // spellings must not share a cache entry (their bodies differ).
+    // path AS REQUESTED, prefixed with the request's own authority when
+    // a Host header named one: a client behind a proxy that routes
+    // /api/* must get next/previous links it can actually follow, and
+    // two spellings/hosts must not share a cache entry (their rendered
+    // bodies differ in the continuation links).
     val matchPath =
-      if (path.startsWith("/api/")) path.stripPrefix("/api") else path
+      if (rawPath.startsWith("/api/")) rawPath.stripPrefix("/api") else rawPath
+    val path = base + rawPath
     val segs = matchPath.split('/').filter(_.nonEmpty).toList
     lazy val page = pageParam(params)
     val size = pageSizeParam(params)
@@ -358,6 +422,14 @@ final class QueryServer(
         memo(path, params, accountT)(
           detail(qs.accountDetail(id), Serializers.accountJson, "Account", id))
       case List("v1", "accounts", id, "active_pots") =>
+        // The ONE route without keyset support (its rows are filtered on
+        // request-time liveness — no cursor is stable across requests):
+        // a typed 400, matching the OpenAPI schema that deliberately
+        // omits the param, never a silent fall-through to page 1 that
+        // would also mint a cache entry per cursor value.
+        if (params.contains("after"))
+          return badRequest("Keyset pagination (?after=) is not supported " +
+            "on active_pots; use page-number pagination.")
         // ?status=live (accounts/api.py:163-217). `now` is request time,
         // so live-filtered responses cache only within the TTL window —
         // the filter is over ROUND BOUNDS (hours-long), TTL is 300 s.
@@ -369,13 +441,13 @@ final class QueryServer(
             Serializers.potJson))
       case List("v1", "accounts", id, "pot_applications")
           if params.contains("after") =>
-        keyset(path, params, Seq("pot_applications"),
-          QueryServer.afterTsString, Seq("submitted_at", "pot"), rowJson)(
+        keyset(path, params, applicationT,
+          QueryServer.afterTsString, Seq("submitted_at", "pot"), appJson)(
           (c, sz) => qs.accountPotApplicationsKeyset(id, status, c, sz))
       case List("v1", "accounts", id, "pot_applications") =>
-        memo(path, params, Seq("pot_applications"))(
+        memo(path, params, applicationT)(
           pageEither(path, params, qs.accountPotApplications(id, status, page, size),
-            rowJson))
+            appJson))
       case List("v1", "accounts", id, "donations_received")
           if params.contains("after") =>
         keyset(path, params, donationT, QueryServer.afterTsLong,
@@ -442,15 +514,15 @@ final class QueryServer(
 
       // --------------------------------------------------------- lists
       case List("v1", "lists") if params.contains("after") =>
-        keyset(path, params, Seq("lists"), QueryServer.afterLong,
-          Seq("on_chain_id"), rowJson)((c, sz) =>
+        keyset(path, params, listT, QueryServer.afterLong,
+          Seq("on_chain_id"), Serializers.listJson)((c, sz) =>
           Right(qs.listsListKeyset(c, sz)))
       case List("v1", "lists") =>
-        memo(path, params, Seq("lists"))(
-          envelope(path, params, qs.listsList(page, size), rowJson))
+        memo(path, params, listT)(
+          envelope(path, params, qs.listsList(page, size), Serializers.listJson))
       case List("v1", "lists", IntId(id)) =>
-        memo(path, params, Seq("lists"))(
-          detail(qs.listDetail(id), rowJson, "List", id))
+        memo(path, params, listT)(
+          detail(qs.listDetail(id), Serializers.listJson, "List", id))
       case List("v1", "lists", IntId(id), "registrations")
           if params.contains("after") =>
         keyset(path, params, regT, QueryServer.afterTsLong,
@@ -486,12 +558,12 @@ final class QueryServer(
           detail(qs.potDetail(id), Serializers.potJson, "Pot", id))
       case List("v1", "pots", id, "applications")
           if params.contains("after") =>
-        keyset(path, params, Seq("pot_applications"),
+        keyset(path, params, applicationT,
           QueryServer.afterTsString, Seq("submitted_at", "applicant"),
-          rowJson)((c, sz) => Right(qs.potApplicationsKeyset(id, c, sz)))
+          appJson)((c, sz) => Right(qs.potApplicationsKeyset(id, c, sz)))
       case List("v1", "pots", id, "applications") =>
-        memo(path, params, Seq("pot_applications"))(
-          envelope(path, params, qs.potApplications(id, page, size), rowJson))
+        memo(path, params, applicationT)(
+          envelope(path, params, qs.potApplications(id, page, size), appJson))
       case List("v1", "pots", id, "donations")
           if params.contains("after") =>
         keyset(path, params, donationT, QueryServer.afterTsLong,
@@ -522,12 +594,13 @@ final class QueryServer(
           envelope(path, params, qs.potPayouts(id, page, size),
             Serializers.potPayoutJson))
       case List("v1", "potfactories") if params.contains("after") =>
-        keyset(path, params, Seq("pot_factories"), QueryServer.afterString,
-          Seq("account"), rowJson)((c, sz) =>
+        keyset(path, params, factoryT, QueryServer.afterString,
+          Seq("account"), Serializers.potFactoryJson)((c, sz) =>
           Right(qs.potFactoriesListKeyset(c, sz)))
       case List("v1", "potfactories") =>
-        memo(path, params, Seq("pot_factories"))(
-          envelope(path, params, qs.potFactoriesList(page, size), rowJson))
+        memo(path, params, factoryT)(
+          envelope(path, params, qs.potFactoriesList(page, size),
+            Serializers.potFactoryJson))
 
       // ---------------------------------------------------------- misc
       case List("v1", "donate_contract_config") =>
@@ -538,7 +611,7 @@ final class QueryServer(
               Serializers.errorJson("Config not found."))))
       case List("v1", "stats") =>
         memo(path, params, Seq("global_stats"))(
-          jsonCol(rowJson(qs.stats())).headOption
+          jsonCol(Serializers.statsJson(qs.stats())).headOption
             .map(Response(200, _))
             .getOrElse(Response(404, Serializers.errorJson("Stats not found."))))
 
@@ -547,16 +620,11 @@ final class QueryServer(
     }
   }
 
-  /** Compact row JSON for entities without a dedicated DRF serializer. */
-  private val rowJson: DataFrame => DataFrame = df =>
-    df.withColumn("json", org.apache.spark.sql.functions.to_json(
-      org.apache.spark.sql.functions.struct("*"),
-      Map("ignoreNullFields" -> "false")))
-
   def metricsJson(): String = {
     val up = (nowMs() - startedAtMs) / 1000
     s"""{"requests": ${requestCount.get}, "throttled": ${throttledCount.get}, """ +
-      s""""errors": ${errorCount.get}, "cache_hits": ${cache.hits}, """ +
+      s""""errors": ${errorCount.get}, "stale_retries": ${staleRetryCount.get}, """ +
+      s""""cache_hits": ${cache.hits}, """ +
       s""""cache_misses": ${cache.misses}, "cache_entries": ${cache.size}, """ +
       s""""throttle_per_min": $throttlePerMin, "uptime_s": $up}"""
   }
@@ -596,12 +664,15 @@ final class QueryServer(
               // Malformed percent-encoding (?page=%zz, a trailing '%')
               // is CLIENT input, not a server fault: 400, not 500.
               case _: IllegalArgumentException =>
-                throw QueryServer.MalformedQueryException
+                throw new QueryServer.MalformedQueryException
             }
           val client = exchange.getRemoteAddress.getAddress.getHostAddress
-          handle(exchange.getRequestMethod, uri.getPath, params, client)
+          val hs = exchange.getRequestHeaders
+          val fwd = Seq("Host", "X-Forwarded-Proto")
+            .flatMap(n => Option(hs.getFirst(n)).map(n -> _)).toMap
+          handle(exchange.getRequestMethod, uri.getPath, params, client, fwd)
         } catch {
-          case QueryServer.MalformedQueryException =>
+          case _: QueryServer.MalformedQueryException =>
             Response(400, Serializers.errorJson("Malformed query string."))
           case scala.util.control.NonFatal(e) =>
             // Count binding-layer 500s too — a 500 invisible in /metrics
@@ -649,9 +720,37 @@ object QueryServer {
   private[queries] final class InvalidPageException
     extends RuntimeException("Invalid page.")
 
+  /** A read that lost its table snapshot to a concurrent swap: the
+    * scan's file listing (or the table path itself, for the instant
+    * between the swap's two renames) no longer exists. Walks the cause
+    * chain — Spark wraps the task's FileNotFoundException in
+    * SparkException layers. Message sniffing on FILE_NOT_EXIST /
+    * PATH_NOT_FOUND covers the error-class forms whose cause chain is
+    * truncated by the scheduler's serialization. */
+  private[queries] def isStaleSwapRead(e: Throwable): Boolean = {
+    var t = e
+    var depth = 0
+    while (t != null && depth < 10) {
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case _ =>
+          val m = t.getMessage
+          if (m != null && (m.contains("PATH_NOT_FOUND") ||
+              m.contains("FILE_NOT_EXIST") ||
+              m.contains("FileNotFoundException"))) return true
+      }
+      t = t.getCause
+      depth += 1
+    }
+    false
+  }
+
   /** Raised by the HTTP binding's query parser on malformed
-    * percent-encoding; rendered as a 400, never a 500. */
-  private[queries] case object MalformedQueryException
+    * percent-encoding; rendered as a 400, never a 500. A CLASS, not a
+    * case object: a singleton exception captures one stack trace at
+    * class-init and shares it across every throw, which would mislead
+    * any future logging of 400s. */
+  private[queries] final class MalformedQueryException
     extends RuntimeException("Malformed query string.")
 
   // ------------------------------------------ keyset cursor codecs

@@ -19,6 +19,21 @@ import graft.operators.Relational
   * tables (accounts, tokens, pots) are small relative to facts.
   */
 object QueryService {
+
+  /** Sentinel page number for DRF's `?page=last` alias
+    * (rest_framework PageNumberPagination.last_page_strings). Every
+    * Page-construction site resolves it via [[resolveLast]] AFTER the
+    * count is priced — the count job runs anyway for the envelope, so
+    * `last` costs nothing extra. */
+  val LastPage: Int = -1
+
+  /** Resolve [[LastPage]] against the priced count (django Paginator
+    * num_pages floors at 1, so `last` of an empty set is page 1). */
+  def resolveLast(count: Long, page: Int, pageSize: Int): Int =
+    if (page != LastPage) page
+    else math.min(
+      math.max(1L, (count + pageSize - 1L) / pageSize),
+      Int.MaxValue.toLong).toInt
   /** The reference's DEFAULT_PAGE_SIZE (base/settings.py:111,115);
     * companion-level so the serving tier shares the constant. */
   val DefaultPageSize = 30
@@ -93,9 +108,23 @@ final class QueryService(t0: String => DataFrame) {
     }
   }
 
-  private def paginate(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): Page =
-    Page(df.count(), page, pageSize,
-      Relational.pageSlice(df, order, page, pageSize))
+  private def paginate(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): Page = {
+    val c = df.count()
+    val pg = QueryService.resolveLast(c, page, pageSize)
+    Page(c, pg, pageSize, sliceOrEmpty(df, order, pg, pageSize))
+  }
+
+  /** [[Relational.pageSlice]] with the serving tier's degrade: the
+    * library call fails LOUD on an offset beyond the addressable range
+    * (Relational.PageOffsetOverflow — any other caller must not mistake
+    * "unaddressable" for "empty"); the route layer alone answers the
+    * empty frame, because QueryServer.envelope owns the document
+    * semantics — 404 past-the-end first, then the typed 400 pointing at
+    * keyset pagination. */
+  private def sliceOrEmpty(df: DataFrame, order: Seq[Column],
+      page: Int, pageSize: Int): DataFrame =
+    try Relational.pageSlice(df, order, page, pageSize)
+    catch { case _: Relational.PageOffsetOverflow => df.limit(0) }
 
   private def accounts = t("accounts")
   private def donations = t("donations")
@@ -267,6 +296,58 @@ final class QueryService(t0: String => DataFrame) {
     else if (potNested(n)) lit(null).cast(accountStructDdl)
     else lit(null).cast(potPlainTypes(n))
 
+  /** Expand an ARRAY<STRING> of account ids into an order-preserving
+    * array of account objects (a DRF many=True AccountSerializer embed:
+    * pot admins, list admins, factory admins/whitelisted_deployers).
+    * posexplode keeps the M2M order through the shuffle, array_sort
+    * restores it after collect_list; rows with no entries coalesce to []
+    * (DRF's empty M2M), not null. `src` supplies the (key, id-array)
+    * pairs — the caller's PRE-join frame, so the explode never runs over
+    * already-widened rows — and the embedded array lands back on `df` by
+    * `key`. A `src` without the column degrades to a null-typed array
+    * (legacy fixture tolerance, same contract as the FK embeds). */
+  private def expandAccountArray(df: DataFrame, src: DataFrame,
+      key: String, field: String): DataFrame = {
+    if (!src.columns.contains(field))
+      return df.drop(field).withColumn(field, lit(null).cast(adminsArrayDdl))
+    val dim0 = accountDim
+    val arr = src
+      .select(col(key).as("__pk"),
+        posexplode(col(field)).as(Seq("__pos", "__aid")))
+      .join(broadcast(dim0.select(
+        col("id").as("__aid"),
+        struct(accountStructFields.map(dim0(_)): _*).as("__obj"))),
+        Seq("__aid"), "left")
+      .withColumn("__obj", coalesce(col("__obj"), struct(
+        col("__aid").as("id") +:
+          (accountStatFields.map { case (n, tp) => lit(null).cast(tp).as(n) } :+
+            lit(null).cast("string").as("near_social_profile_data")): _*)))
+      .groupBy(col("__pk"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__obj")))),
+        x => x.getField("__obj")).as("__arr_obj"))
+    df.join(broadcast(arr), df(key) === arr("__pk"), "left")
+      .withColumn(field,
+        coalesce(col("__arr_obj"), array().cast(adminsArrayDdl)))
+      .drop("__pk", "__arr_obj")
+  }
+
+  /** Rebuild the silver layer's JSON-string `source_metadata` into its
+    * typed struct so the serializers render it as the OBJECT DRF emits
+    * for the model's JSONField (pots/models.py source_metadata) — not a
+    * JSON-escaped string. The payload schema is the ingest contract's
+    * (EntityTransforms potPayload/factoryPayload). A frame already
+    * carrying a struct (spec fixtures) passes through. */
+  private def inlineSourceMetadata(df: DataFrame): DataFrame =
+    if (!df.columns.contains("source_metadata")) df
+    else df.schema("source_metadata").dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        df.withColumn("source_metadata", from_json(col("source_metadata"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "commit_hash STRING, link STRING, version STRING")))
+      case _ => df
+    }
+
   /** Pot dimension in full PotSerializer shape and field order:
     * deployer/owner/chef embedded as account objects, admins as an
     * order-preserving array of account objects (pots/serializers.py:55-58,
@@ -284,11 +365,11 @@ final class QueryService(t0: String => DataFrame) {
     * embed prices ≤ pageSize pots — not the whole dimension's admins
     * explode. */
   private def potDimFor(potIds: Option[Seq[String]]): DataFrame = {
-    val p0 = potIds match {
+    val p0 = inlineSourceMetadata(potIds match {
       case Some(ks) if ks.nonEmpty => pots.filter(col("account").isin(ks: _*))
       case Some(_) => emptyLike(pots)
       case None => pots
-    }
+    })
     // Gold stats override the pot row's own handler-written copies (the
     // silver pots table carries total_public_donations etc. from config
     // events), with the silver value as fallback where gold has no row
@@ -329,36 +410,7 @@ final class QueryService(t0: String => DataFrame) {
     val withFks = Seq("deployer", "owner", "chef")
       .filter(withStats.columns.contains)
       .foldLeft(withStats)(expandAccount)
-    val withAdmins =
-      if (!withFks.columns.contains("admins"))
-        withFks.withColumn("admins", lit(null).cast(adminsArrayDdl))
-      else {
-        // admins ids → ordered array of account objects: posexplode keeps
-        // the M2M order through the shuffle, array_sort restores it after
-        // collect_list; pots with no admins coalesce to [] (DRF's empty
-        // M2M), not null.
-        val dim0 = accountDim
-        val adm = p0
-          .select(col("account").as("__pk"),
-            posexplode(col("admins")).as(Seq("__pos", "__aid")))
-          .join(broadcast(dim0.select(
-            col("id").as("__aid"),
-            struct(accountStructFields.map(dim0(_)): _*).as("__obj"))),
-            Seq("__aid"), "left")
-          .withColumn("__obj", coalesce(col("__obj"), struct(
-            col("__aid").as("id") +:
-              (accountStatFields.map { case (n, tp) => lit(null).cast(tp).as(n) } :+
-                lit(null).cast("string").as("near_social_profile_data")): _*)))
-          .groupBy(col("__pk"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("__pos"), col("__obj")))),
-            x => x.getField("__obj")).as("__admins_obj"))
-        withFks
-          .join(broadcast(adm), withFks("account") === adm("__pk"), "left")
-          .withColumn("admins",
-            coalesce(col("__admins_obj"), array().cast(adminsArrayDdl)))
-          .drop("__pk", "__admins_obj")
-      }
+    val withAdmins = expandAccountArray(withFks, p0, "account", "admins")
     withAdmins.select(potFieldOrder.map { n =>
       if (withAdmins.columns.contains(n)) col(n).as(n)
       else if (potNested(n)) nullPotField(n).as(n)
@@ -516,9 +568,15 @@ final class QueryService(t0: String => DataFrame) {
     implicit val ec: scala.concurrent.ExecutionContext =
       QueryService.dimFetchEc
     val fCount = Future(countOverride.getOrElse(raw.count()))
+    // page=last needs the count BEFORE slicing — that one path serializes
+    // the two jobs; every numeric page keeps the concurrent shape.
+    val pg =
+      if (page == QueryService.LastPage)
+        QueryService.resolveLast(Await.result(fCount, Duration.Inf), page, pageSize)
+      else page
     val results = expandDonationPage(
-      Relational.pageSlice(raw, donationOrder, page, pageSize))
-    Page(Await.result(fCount, Duration.Inf), page, pageSize, results)
+      sliceOrEmpty(raw, donationOrder, pg, pageSize))
+    Page(Await.result(fCount, Duration.Inf), pg, pageSize, results)
   }
 
   /** Keyset donation route body: continuation slice on the raw facts,
@@ -529,6 +587,46 @@ final class QueryService(t0: String => DataFrame) {
     expandDonationPage(Relational.keysetSlice(pre(donations),
       Seq((col("donated_at"), false), (col("on_chain_id"), true)),
       after, pageSize))
+
+  /** Embed expansion for a BOUNDED page of pot-application rows
+    * (PotApplicationSerializer, pots/serializers.py:97-99: full pot
+    * object + applicant account) — the [[expandDonationPage]] pattern:
+    * materialize the ≤ pageSize page, prune both dims to the page's ids
+    * with concurrent fetches, embed over LocalRelations only, re-sort.
+    * The re-sort key (submitted_at desc, pot asc, applicant asc) is a
+    * superset of BOTH application routes' orderings — each route holds
+    * one of the tie-break keys constant, so the extra key never reorders
+    * its pages. Serving-tier only: the pure-route Page keeps the raw FK
+    * frame for its count/slice jobs. */
+  def potApplicationExpanded(pageRows: DataFrame): DataFrame = {
+    val (rows, local) = QueryService.materializeBounded(pageRows)
+    val cols = pageRows.schema.fieldNames.toSet
+    def ids(c: String): Seq[String] =
+      if (!cols(c)) Seq.empty
+      else rows.flatMap(r => Option(r.getAs[String](c))).distinct.toSeq
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      QueryService.dimFetchEc
+    val acctIds = ids("applicant")
+    val potIds = ids("pot")
+    val fAcct = Future {
+      if (acctIds.isEmpty) emptyLike(accountDim)
+      else materializeDim(accountDim.filter(col("id").isin(acctIds: _*)))
+    }
+    val fPot = opt("pots").map(_ => Future {
+      if (potIds.isEmpty) emptyLike(potDimFor(Some(Seq.empty)))
+      else materializeDim(potDimFor(Some(potIds)))
+    })
+    val acctLocal = Await.result(fAcct, Duration.Inf)
+    val potLocal = fPot.map(Await.result(_, Duration.Inf))
+    val withApplicant =
+      if (cols("applicant")) embedAccountStruct(local, "applicant", acctLocal)
+      else local
+    expandPotFrom(withApplicant, potLocal)
+      .orderBy(col("submitted_at").desc, col("pot.account").asc,
+        col("applicant.id").asc)
+  }
 
   // ---------------------------------------------------- accounts routes
 
@@ -715,8 +813,9 @@ final class QueryService(t0: String => DataFrame) {
     // countOverride: same contract as the donation routes — the serving
     // tier can price the envelope count from gold (global_stats
     // total_donors_count) instead of a per-request semi-join count.
-    Page(countOverride.getOrElse(withStats.count()), page, pageSize,
-      Relational.pageSlice(withStats, order, page, pageSize))
+    val c = countOverride.getOrElse(withStats.count())
+    val pg = QueryService.resolveLast(c, page, pageSize)
+    Page(c, pg, pageSize, sliceOrEmpty(withStats, order, pg, pageSize))
   }
 
   /** Keyset form of [[donors]] — the leaderboard deep-walk. Cursor is
@@ -733,19 +832,48 @@ final class QueryService(t0: String => DataFrame) {
 
   // ---------------------------------------------------- lists routes
 
-  /** GET /v1/lists (lists/api.py:33-61). */
-  def listsList(page: Int = 1, pageSize: Int = DefaultPageSize): Page =
-    paginate(t("lists"), Seq(col("on_chain_id").asc), page, pageSize)
+  /** List dimension in full ListSerializer shape and field order
+    * (lists/serializers.py:9-33): owner embedded as an account object,
+    * admins as an order-preserving account array. Lists are a dimension
+    * at any corpus size (one row per created list), so the embeds stay
+    * broadcast-scale; same per-call-def freshness contract as
+    * [[accountDim]]/[[potDim]]. */
+  private def listDim: DataFrame = {
+    val l0 = t("lists")
+    val withOwner =
+      if (l0.columns.contains("owner")) expandAccount(l0, "owner")
+      else l0.withColumn("owner", lit(null).cast(accountStructDdl))
+    val withAdmins = expandAccountArray(withOwner, l0, "on_chain_id", "admins")
+    val listPlainTypes = Map(
+      "on_chain_id" -> "bigint", "name" -> "string",
+      "description" -> "string", "cover_image_url" -> "string",
+      "admin_only_registrations" -> "boolean",
+      "default_registration_status" -> "string",
+      "created_at" -> "timestamp", "updated_at" -> "timestamp")
+    withAdmins.select(Serializers.listFields.map(n =>
+      if (withAdmins.columns.contains(n)) col(n).as(n)
+      else lit(null).cast(listPlainTypes(n)).as(n)): _*)
+  }
+
+  /** GET /v1/lists (lists/api.py:33-61): ListSerializer shape — count on
+    * the raw lists table, slice over [[listDim]] (key-unique LEFT joins
+    * only, the potsList contract). */
+  def listsList(page: Int = 1, pageSize: Int = DefaultPageSize): Page = {
+    val c = t("lists").count()
+    val pg = QueryService.resolveLast(c, page, pageSize)
+    Page(c, pg, pageSize,
+      sliceOrEmpty(listDim, Seq(col("on_chain_id").asc), pg, pageSize))
+  }
 
   /** Keyset form of [[listsList]] (?after=<last on_chain_id>). */
   def listsListKeyset(after: Option[Long],
       pageSize: Int = DefaultPageSize): DataFrame =
-    Relational.keysetSlice(t("lists"), Seq((col("on_chain_id"), true)),
+    Relational.keysetSlice(listDim, Seq((col("on_chain_id"), true)),
       after.map(Seq(_)), pageSize)
 
   /** GET /v1/lists/{id} (lists/api.py:64-98). */
   def listDetail(id: Long): DataFrame =
-    t("lists").filter(col("on_chain_id") === id)
+    listDim.filter(col("on_chain_id") === id)
 
   /** GET /v1/lists/{id}/registrations [?status][?category]
     * (lists/api.py:101-164): P3 enum validation + P7 regex-over-JSON
@@ -819,13 +947,16 @@ final class QueryService(t0: String => DataFrame) {
   /** GET /v1/pots (pots/api.py:48-75): PotSerializer shape — account
     * objects embedded for deployer/owner/chef/admins
     * (pots/serializers.py:55-58). */
-  def potsList(page: Int = 1, pageSize: Int = DefaultPageSize): Page =
+  def potsList(page: Int = 1, pageSize: Int = DefaultPageSize): Page = {
     // Count on the raw pots table: potDim only adds key-unique LEFT
     // joins (gold stats by account; deployer/owner/chef account embeds
     // by id) — same count-before-serialize contract as the donation
     // routes (paginateDonations).
-    Page(pots.count(), page, pageSize,
-      Relational.pageSlice(potDim, Seq(col("account").asc), page, pageSize))
+    val c = pots.count()
+    val pg = QueryService.resolveLast(c, page, pageSize)
+    Page(c, pg, pageSize,
+      sliceOrEmpty(potDim, Seq(col("account").asc), pg, pageSize))
+  }
 
   /** Keyset form of [[potsList]] (?after=<last account id>). */
   def potsListKeyset(after: Option[String],
@@ -833,14 +964,44 @@ final class QueryService(t0: String => DataFrame) {
     Relational.keysetSlice(potDim, Seq((col("account"), true)),
       after.map(Seq(_)), pageSize)
 
-  /** GET /v1/potfactories (pots/api.py:78-105). */
-  def potFactoriesList(page: Int = 1, pageSize: Int = DefaultPageSize): Page =
-    paginate(t("pot_factories"), Seq(col("account").asc), page, pageSize)
+  /** Pot-factory dimension in full PotFactorySerializer shape and field
+    * order (pots/serializers.py:61-80): owner/protocol_fee_recipient
+    * embedded as account objects, admins/whitelisted_deployers as
+    * order-preserving account arrays, source_metadata inlined back to
+    * its typed object. Factories are a handful of rows at any corpus
+    * size; same per-call-def freshness contract as [[potDim]]. */
+  private def potFactoryDim: DataFrame = {
+    val f0 = inlineSourceMetadata(t("pot_factories"))
+    val withFks = Seq("owner", "protocol_fee_recipient")
+      .foldLeft(f0) { (df, fk) =>
+        if (df.columns.contains(fk)) expandAccount(df, fk)
+        else df.withColumn(fk, lit(null).cast(accountStructDdl))
+      }
+    val withArrays = Seq("admins", "whitelisted_deployers")
+      .foldLeft(withFks)((df, f) => expandAccountArray(df, f0, "account", f))
+    val factoryPlainTypes = Map(
+      "account" -> "string", "deployed_at" -> "timestamp",
+      "source_metadata" -> "string",
+      "protocol_fee_basis_points" -> "int",
+      "require_whitelist" -> "boolean")
+    withArrays.select(Serializers.potFactoryFields.map(n =>
+      if (withArrays.columns.contains(n)) col(n).as(n)
+      else lit(null).cast(factoryPlainTypes(n)).as(n)): _*)
+  }
+
+  /** GET /v1/potfactories (pots/api.py:78-105): PotFactorySerializer
+    * shape — count on the raw table, slice over [[potFactoryDim]]. */
+  def potFactoriesList(page: Int = 1, pageSize: Int = DefaultPageSize): Page = {
+    val c = t("pot_factories").count()
+    val pg = QueryService.resolveLast(c, page, pageSize)
+    Page(c, pg, pageSize,
+      sliceOrEmpty(potFactoryDim, Seq(col("account").asc), pg, pageSize))
+  }
 
   /** Keyset form of [[potFactoriesList]] (?after=<last account id>). */
   def potFactoriesListKeyset(after: Option[String],
       pageSize: Int = DefaultPageSize): DataFrame =
-    Relational.keysetSlice(t("pot_factories"), Seq((col("account"), true)),
+    Relational.keysetSlice(potFactoryDim, Seq((col("account"), true)),
       after.map(Seq(_)), pageSize)
 
   /** GET /v1/pots/{id} (pots/api.py:108-139). */

@@ -161,6 +161,66 @@ object Serializers {
   /** Pot row → PotSerializer-shaped JSON (pots/serializers.py:11-58). */
   def potJson(df: DataFrame): DataFrame = entityJson(df, potFields)
 
+  /** ListSerializer Meta.fields (lists/serializers.py:9-33) minus the DB
+    * surrogate `id` — List.id is an AutoField that "does not necessarily
+    * correspond to on-chain ID" (lists/models.py:16-20); `on_chain_id`
+    * is the chain identity, the same deviation as every other entity
+    * serializer here. owner embeds as an account object, admins as an
+    * account array (lists/serializers.py:26-27). */
+  val listFields: Seq[String] = Seq(
+    "on_chain_id", "owner", "admins", "name", "description",
+    "cover_image_url", "admin_only_registrations",
+    "default_registration_status", "created_at", "updated_at")
+
+  /** List row → ListSerializer-shaped JSON. */
+  def listJson(df: DataFrame): DataFrame = entityJson(df, listFields)
+
+  /** PotApplicationSerializer Meta.fields (pots/serializers.py:83-99)
+    * minus the DB surrogate `id` (applications carry no on-chain id —
+    * the chain identity is the (pot, applicant) pair); `pot` embeds the
+    * FULL PotSerializer object and `applicant` an account object
+    * (pots/serializers.py:97-99). */
+  val potApplicationFields: Seq[String] = Seq(
+    "pot", "applicant", "message", "status", "submitted_at", "updated_at",
+    "tx_hash")
+
+  /** Pot-application row → PotApplicationSerializer-shaped JSON. */
+  def potApplicationJson(df: DataFrame): DataFrame =
+    entityJson(df, potApplicationFields)
+
+  /** PotFactorySerializer Meta.fields (pots/serializers.py:61-80):
+    * owner/protocol_fee_recipient embed as account objects,
+    * admins/whitelisted_deployers as account arrays
+    * (pots/serializers.py:75-79). No surrogate-id deviation — the
+    * factory's pk IS the `account` field. */
+  val potFactoryFields: Seq[String] = Seq(
+    "account", "owner", "admins", "whitelisted_deployers",
+    "source_metadata", "deployed_at", "protocol_fee_basis_points",
+    "require_whitelist", "protocol_fee_recipient")
+
+  /** Pot-factory row → PotFactorySerializer-shaped JSON. */
+  def potFactoryJson(df: DataFrame): DataFrame =
+    entityJson(df, potFactoryFields)
+
+  /** /v1/stats document in the reference's dict-literal field order
+    * (base/api.py:81-89). The USD sums coalesce to 0 (the handler's
+    * `or 0`). Documented deviation: the reference renders the Decimal
+    * sums through rest_framework's JSONEncoder, which float()s them
+    * (740.00 → 740.0); the engine keeps them exact decimal(38,2) JSON
+    * numbers (740.00) — trailing-zero rendering differs, values do not,
+    * and exact beats float drift on 100 TB sums. */
+  def statsJson(df: DataFrame): DataFrame = {
+    def usd(n: String): Column =
+      coalesce(col(n).cast("decimal(38,2)"), lit(0).cast("decimal(38,2)")).as(n)
+    df.withColumn("json", to_json(struct(
+      usd("total_donations_usd"),
+      usd("total_payouts_usd"),
+      col("total_donations_count"),
+      col("total_donors_count"),
+      col("total_recipients_count")),
+      Map("ignoreNullFields" -> "false")))
+  }
+
   /** ListRegistrationSerializer Meta.fields (lists/serializers.py:36-55)
     * with on_chain_id standing in for the DB surrogate `id` (same
     * deviation as donationJson). */

@@ -294,6 +294,73 @@ class GoldSpec extends SparkSpec {
     assertGoldEqual(live, buildOracle())
   }
 
+  test("crash-loop on the incremental path: staged-crash/resume cycles leave no tmp residue, bounded journal") {
+    // The path that runs every 5 minutes forever: repeated crash/resume
+    // cycles must not accumulate stranded staging dirs (a crash before
+    // the apply manifest lands) or stack duplicate journal entries (a
+    // resume replaying commitStagedAdditive re-appends under its own
+    // entry uid, never a fresh one per attempt).
+    val live = tmpDir("inc-crashloop-live")
+    ingest(batch1, live, "clb1")
+    writePrices(live, prices2)
+    GoldRefresh.refresh(spark, live) // bootstrap → full
+
+    def loopBatch(i: Int): Seq[String] = Seq(
+      block(800 + i, 1718500000000000000L + i * 1000000000L, Seq(
+        receipt("donate.potlock.near", "donate", "{}",
+          resultJson = Some(directDonationResult(100L + i, s"donor$i.near",
+            "1000000000000000000000000", "0", s"proj$i.near",
+            t2 + i * 1000L)),
+          receiptId = s"rl$i"))))
+
+    val cycles = 4
+    val prev = graft.operators.MergeWriter.io
+    try {
+      graft.operators.MergeWriter.io = CrashIO
+      for (i <- 1 to cycles) {
+        ingest(loopBatch(i), live, s"clb-$i")
+        // Alternate crash windows: odd cycles die BEFORE the apply
+        // manifest lands (stranding the freshly staged tmp dir — only
+        // the next stage's sweep can reclaim it); even cycles die
+        // INSIDE the committed apply (marker write), so the resume
+        // replays commitStagedAdditive and must overwrite its own
+        // journal entry instead of appending a duplicate.
+        CrashIO.armed =
+          if (i % 2 == 1)
+            op => op.startsWith(s"w:$live/gold_state/recv_pairs.apply-")
+          else op => op == s"w:$live/gold_state/recv_pairs.swapuid"
+        intercept[RuntimeException](GoldRefresh.refreshIncremental(spark, live))
+        val r = GoldRefresh.refreshIncremental(spark, live) // resume
+        assert(r.mode == "incremental", s"cycle $i resume: $r")
+      }
+    } finally graft.operators.MergeWriter.io = prev
+
+    // Zero orphaned staging dirs anywhere in the state plane…
+    val io = graft.operators.MergeWriter.io
+    val residue = io.listDir(s"$live/gold_state").collect {
+      case (n, true) if n.contains(".tmp-") => n }
+    assert(residue.isEmpty, s"stranded staging dirs: $residue")
+    // …no leftover apply manifests (each completed refresh clears its
+    // generation's fences)…
+    val manifests = io.listDir(s"$live/gold_state").collect {
+      case (n, false) if n.contains(".apply-") => n }
+    assert(manifests.isEmpty, s"leftover apply manifests: $manifests")
+    // …and the dirty journal is bounded by completed applies, not by
+    // crash/resume attempts.
+    for (t <- Seq("recv_pairs", "donor_state", "pot_state")) {
+      val dd = s"$live/gold_state/$t.dirty.d"
+      val entries = if (io.exists(dd)) io.listDir(dd).count(!_._2) else 0
+      assert(entries <= cycles + 2, s"$t journal grew unbounded: $entries")
+    }
+
+    // The settled gold equals a no-crash full rebuild over the same blocks.
+    val oracle = tmpDir("inc-crashloop-oracle")
+    ingest(batch1 ++ (1 to cycles).flatMap(loopBatch), oracle, "clb-oracle")
+    writePrices(oracle, prices2)
+    GoldRefresh.refreshFull(spark, oracle)
+    assertGoldEqual(live, oracle)
+  }
+
   test("a crashed full rebuild re-runs full, and readers keep the old stats") {
     val live = tmpDir("full-crash-live")
     ingest(batch1, live, "fb1")

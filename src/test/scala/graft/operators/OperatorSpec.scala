@@ -139,6 +139,12 @@ class OperatorSpec extends SparkSpec {
     assert(Relational.pageSlice(nums, Seq(col("n").asc), 11, 10).isEmpty)
     assert(Relational.pageSlice(nums, Seq(col("n").asc), 7, 15)
       .collect().map(_.getInt(0)).toSeq == (91 to 100))
+    // an offset beyond Spark's Int-bounded offset+limit ceiling fails
+    // LOUD with the typed overflow — a library caller must never read
+    // "unaddressable" as "empty page" (the serving layer alone degrades)
+    intercept[Relational.PageOffsetOverflow] {
+      Relational.pageSlice(nums, Seq(col("n").asc), Int.MaxValue, 10000)
+    }
   }
 
   test("saltedJoin equals plain join under skew") {

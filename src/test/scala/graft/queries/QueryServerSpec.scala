@@ -57,6 +57,14 @@ class QueryServerSpec extends SparkSpec {
       "lists" -> Seq((5L, "owner.near")).toDF("on_chain_id", "owner"),
       "list_registrations" -> Seq((11L, 5L, "proj1.near", "Approved", ts0))
         .toDF("on_chain_id", "list_id", "registrant", "status", "submitted_at"),
+      "pots" -> Seq(("pot1.near", "v1.factory.near", "My Pot"))
+        .toDF("account", "pot_factory", "name"),
+      "pot_applications" -> Seq(
+        ("pot1.near", "proj1.near", "please", "Pending", ts0, ts0, "tx1"))
+        .toDF("pot", "applicant", "message", "status", "submitted_at",
+          "updated_at", "tx_hash"),
+      "pot_factories" -> Seq(("v1.factory.near", "owner.near"))
+        .toDF("account", "owner"),
       "account_stats" -> Stats.accountStats(accounts, donations, payouts),
       "global_stats" -> Stats.globalStats(donations, payouts))
   }
@@ -124,8 +132,10 @@ class QueryServerSpec extends SparkSpec {
   test("DRF pagination parity: invalid and past-the-end pages are 404 Invalid page.") {
     val s = server()
     // Present-but-garbage page values: DRF's NotFound document, not a
-    // silent coercion to page 1 (and not a cache entry per garbage value).
-    Seq("0", "-3", "abc", "last").foreach { bad =>
+    // silent coercion to page 1 (and not a cache entry per garbage
+    // value). `last` is NOT garbage — DRF's last_page_strings alias,
+    // covered by its own test below.
+    Seq("0", "-3", "abc", "LAST", "1last").foreach { bad =>
       val r = s.handle("GET", "/api/v1/accounts", Map("page" -> bad))
       assert(r.status == 404, s"page=$bad")
       assert(r.body == """{"detail": "Invalid page."}""", s"page=$bad")
@@ -354,6 +364,103 @@ class QueryServerSpec extends SparkSpec {
       assert(!plan.contains("Window"),
         s"sortMost=$sortMost:\n${plan.take(500)}")
     }
+  }
+
+  test("DRF serializer families over routes: lists, applications, factories, stats order") {
+    val s = server()
+    // lists — ListSerializer shape with owner embedded (a dangling FK
+    // still embeds as {id, nulls…})
+    val lists = s.handle("GET", "/api/v1/lists", Map.empty)
+    assert(lists.status == 200, lists.body)
+    assert(lists.body.contains(""""on_chain_id":5,"owner":{"id":"owner.near""""),
+      lists.body)
+    val det = s.handle("GET", "/api/v1/lists/5", Map.empty)
+    assert(det.status == 200 &&
+      det.body.startsWith("""{"on_chain_id":5,"owner":{"id":"owner.near""""),
+      det.body)
+
+    // applications — full pot object + applicant account embedded
+    val apps = s.handle("GET", "/api/v1/pots/pot1.near/applications", Map.empty)
+    assert(apps.status == 200, apps.body)
+    assert(apps.body.contains(""""pot":{"account":"pot1.near""""), apps.body)
+    assert(apps.body.contains(""""applicant":{"id":"proj1.near""""), apps.body)
+    assert(apps.body.contains(""""message":"please","status":"Pending""""),
+      apps.body)
+    val accApps = s.handle("GET",
+      "/api/v1/accounts/proj1.near/pot_applications", Map.empty)
+    assert(accApps.status == 200 &&
+      accApps.body.contains(""""pot":{"account":"pot1.near""""), accApps.body)
+
+    // factories — PotFactorySerializer shape
+    val fac = s.handle("GET", "/api/v1/potfactories", Map.empty)
+    assert(fac.status == 200, fac.body)
+    assert(fac.body.contains(
+      """"account":"v1.factory.near","owner":{"id":"owner.near""""), fac.body)
+
+    // stats — base/api.py:81-89 dict order
+    val st = s.handle("GET", "/api/v1/stats", Map.empty)
+    assert(st.status == 200 && st.body.startsWith("""{"total_donations_usd":"""),
+      st.body)
+    val order = Seq("total_donations_usd", "total_payouts_usd",
+      "total_donations_count", "total_donors_count", "total_recipients_count")
+    val idxs = order.map(st.body.indexOf)
+    assert(idxs.forall(_ >= 0) && idxs == idxs.sorted, st.body)
+  }
+
+  test("page=last resolves to the final page (DRF last_page_strings)") {
+    val qs70 = new QueryService(tables.updated("accounts",
+      (1 to 70).map(i => (f"acct$i%03d.near", null.asInstanceOf[String]))
+        .toDF("id", "near_social_profile_data"))(_))
+    val s = new QueryServer(qs70, silverDir)
+    val last = s.handle("GET", "/api/v1/accounts", Map("page" -> "last"))
+    val p3 = s.handle("GET", "/api/v1/accounts", Map("page" -> "3"))
+    assert(last.status == 200, last.body)
+    // identical document to the resolved numeric page — same results,
+    // same numeric continuation links (DRF renders page_number resolved)
+    assert(last.body == p3.body)
+    assert(last.body.contains(""""next": null"""))
+    assert(last.body.contains(""""previous": "/api/v1/accounts?page=2""""))
+    // page=last of an empty set is page 1 (Paginator num_pages floors
+    // at 1): a 200 empty envelope, not a 404
+    val qsEmpty = new QueryService(tables.updated("accounts",
+      Seq.empty[(String, String)].toDF("id", "near_social_profile_data"))(_))
+    val s2 = new QueryServer(qsEmpty, silverDir)
+    val lastEmpty = s2.handle("GET", "/api/v1/accounts", Map("page" -> "last"))
+    assert(lastEmpty.status == 200 && lastEmpty.body.startsWith("""{"count": 0"""),
+      lastEmpty.body)
+  }
+
+  test("active_pots rejects ?after= with a typed 400 (no keyset on liveness filters)") {
+    val s = server()
+    val r = s.handle("GET", "/api/v1/accounts/proj1.near/active_pots",
+      Map("after" -> ""))
+    assert(r.status == 400, r.body)
+    assert(r.body.contains("not supported"), r.body)
+  }
+
+  test("absolute continuation URLs behind Host / X-Forwarded-Proto, relative fallback") {
+    val qs70 = new QueryService(tables.updated("accounts",
+      (1 to 70).map(i => (f"acct$i%03d.near", null.asInstanceOf[String]))
+        .toDF("id", "near_social_profile_data"))(_))
+    val s = new QueryServer(qs70, silverDir)
+    val abs = s.handle("GET", "/api/v1/accounts", Map("page" -> "2"),
+      headers = Map("Host" -> "api.example.org"))
+    assert(abs.body.contains(
+      """"next": "http://api.example.org/api/v1/accounts?page=3""""), abs.body)
+    assert(abs.body.contains(
+      """"previous": "http://api.example.org/api/v1/accounts""""), abs.body)
+    // X-Forwarded-Proto decides the scheme behind a TLS-terminating
+    // proxy; header names match case-insensitively
+    val tls = s.handle("GET", "/api/v1/accounts", Map("page" -> "2"),
+      headers = Map("host" -> "api.example.org", "x-forwarded-proto" -> "https"))
+    assert(tls.body.contains(
+      """"next": "https://api.example.org/api/v1/accounts?page=3""""), tls.body)
+    // different authorities render different links → must not share a
+    // cache entry
+    assert(abs.body != tls.body)
+    // no Host header (direct handle callers): relative links, as before
+    val rel = s.handle("GET", "/api/v1/accounts", Map("page" -> "2"))
+    assert(rel.body.contains(""""next": "/api/v1/accounts?page=3""""), rel.body)
   }
 
   test("param fuzz: no garbage query param can 500 a route") {

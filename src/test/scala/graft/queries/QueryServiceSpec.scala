@@ -671,6 +671,126 @@ class QueryServiceSpec extends SparkSpec {
       == payoutGolden)
   }
 
+  test("golden byte-parity: list, pot application, pot factory and stats JSON match the reference") {
+    // SIMPLE_LIST_EXAMPLE (lists/serializers.py:57-69),
+    // SIMPLE_POT_FACTORY_EXAMPLE (pots/serializers.py:183-197) and
+    // SIMPLE_POT_APPLICATION_EXAMPLE (pots/serializers.py:215-224)
+    // rebuilt as typed rows and asserted BYTE-EQUAL through the entity
+    // serializers; the stats document pins base/api.py:81-89's dict
+    // order. Same documented deviations as the sibling goldens: DB
+    // surrogate `id` omitted, 6-digit micros, Meta.fields order.
+    val account = expr(
+      """named_struct(
+        |'id', 'user.near',
+        |'total_donations_in_usd', CAST(740.00 AS DECIMAL(20,2)),
+        |'total_donations_out_usd', CAST(1234.56 AS DECIMAL(20,2)),
+        |'total_matching_pool_allocations_usd', CAST(800.01 AS DECIMAL(20,2)),
+        |'donors_count', CAST(321 AS BIGINT),
+        |'near_social_profile_data', CAST(NULL AS STRING))""".stripMargin)
+    val acctJson = """{"id":"user.near","total_donations_in_usd":"740.00",""" +
+      """"total_donations_out_usd":"1234.56",""" +
+      """"total_matching_pool_allocations_usd":"800.01","donors_count":321,""" +
+      """"near_social_profile_data":null}"""
+
+    // list — ListSerializer Meta.fields order (lists/serializers.py:9-33)
+    val listDf = Seq(1).toDF("x")
+      .withColumn("on_chain_id", lit(1L))
+      .withColumn("owner", account)
+      .withColumn("admins", array(account))
+      .withColumn("name", lit("Potlock Public Goods Registry"))
+      .withColumn("description",
+        lit("The official NEAR Protocol Public Goods Registry"))
+      .withColumn("cover_image_url", lit(null).cast("string"))
+      .withColumn("admin_only_registrations", lit(false))
+      .withColumn("default_registration_status", lit("Approved"))
+      .withColumn("created_at",
+        lit(java.sql.Timestamp.valueOf("2024-03-27 15:24:46.104")))
+      .withColumn("updated_at",
+        lit(java.sql.Timestamp.valueOf("2024-04-30 19:00:51.002")))
+    val listGolden =
+      s"""{"on_chain_id":1,"owner":$acctJson,"admins":[$acctJson],""" +
+        """"name":"Potlock Public Goods Registry",""" +
+        """"description":"The official NEAR Protocol Public Goods Registry",""" +
+        """"cover_image_url":null,"admin_only_registrations":false,""" +
+        """"default_registration_status":"Approved",""" +
+        """"created_at":"2024-03-27T15:24:46.104000Z",""" +
+        """"updated_at":"2024-04-30T19:00:51.002000Z"}"""
+    assert(Serializers.listJson(listDf).head().getAs[String]("json")
+      == listGolden)
+
+    // pot factory — source_metadata renders as the JSONField OBJECT
+    val factoryDf = Seq(1).toDF("x")
+      .withColumn("account", lit("v1.potfactory.potlock.near"))
+      .withColumn("owner", account)
+      .withColumn("admins", array(account))
+      .withColumn("whitelisted_deployers", array(account))
+      .withColumn("source_metadata", expr(
+        """named_struct(
+          |'link', 'https://github.com/PotLock/core',
+          |'version', '1.0.0',
+          |'commit_hash', 'e6b108e9442920333b44eb1a4068b9b9ae551d79')"""
+          .stripMargin))
+      .withColumn("deployed_at",
+        lit(java.sql.Timestamp.valueOf("2024-02-12 13:49:58.940854")))
+      .withColumn("protocol_fee_basis_points", lit(200))
+      .withColumn("require_whitelist", lit(false))
+      .withColumn("protocol_fee_recipient", account)
+    val factoryGolden =
+      s"""{"account":"v1.potfactory.potlock.near","owner":$acctJson,""" +
+        s""""admins":[$acctJson],"whitelisted_deployers":[$acctJson],""" +
+        """"source_metadata":{"link":"https://github.com/PotLock/core",""" +
+        """"version":"1.0.0",""" +
+        """"commit_hash":"e6b108e9442920333b44eb1a4068b9b9ae551d79"},""" +
+        """"deployed_at":"2024-02-12T13:49:58.940854Z",""" +
+        """"protocol_fee_basis_points":200,"require_whitelist":false,""" +
+        s""""protocol_fee_recipient":$acctJson}"""
+    assert(Serializers.potFactoryJson(factoryDf).head().getAs[String]("json")
+      == factoryGolden)
+
+    // pot application — the pot embed recurses through whatever struct
+    // the route provides (potDim's full PotSerializer shape in
+    // production — pinned by the pot golden above; a compact struct here
+    // keeps this fixture readable)
+    val appDf = Seq(1).toDF("x")
+      .withColumn("pot", expr(
+        """named_struct('account', 'some-pot.v1.potfactory.potlock.near',
+          |'name', 'My Pot Name')""".stripMargin))
+      .withColumn("applicant", account)
+      .withColumn("message",
+        lit("Hi, I'm a great project and I'd like to apply for this pot."))
+      .withColumn("status", lit("Pending"))
+      .withColumn("submitted_at",
+        lit(java.sql.Timestamp.valueOf("2024-06-05 18:06:45.519")))
+      .withColumn("updated_at",
+        lit(java.sql.Timestamp.valueOf("2024-06-05 18:06:45.519")))
+      .withColumn("tx_hash", lit("EVMQsXorrrxPLHfK9UnbzFUy1SVYWvc8hwSGQZs4RbTk"))
+    val appGolden =
+      """{"pot":{"account":"some-pot.v1.potfactory.potlock.near",""" +
+        """"name":"My Pot Name"},""" +
+        s""""applicant":$acctJson,""" +
+        """"message":"Hi, I'm a great project and I'd like to apply for this pot.",""" +
+        """"status":"Pending",""" +
+        """"submitted_at":"2024-06-05T18:06:45.519000Z",""" +
+        """"updated_at":"2024-06-05T18:06:45.519000Z",""" +
+        """"tx_hash":"EVMQsXorrrxPLHfK9UnbzFUy1SVYWvc8hwSGQZs4RbTk"}"""
+    assert(Serializers.potApplicationJson(appDf).head().getAs[String]("json")
+      == appGolden)
+
+    // stats — base/api.py:81-89 dict order; the handler's `or 0` on null
+    // sums; exact-decimal rendering (the documented float deviation)
+    val statsDf = Seq((2L, 2L, 1L))
+      .toDF("total_donations_count", "total_donors_count",
+        "total_recipients_count")
+      .withColumn("total_donations_usd", lit(30).cast("decimal(20,2)"))
+      .withColumn("total_payouts_usd", lit(null).cast("decimal(20,2)"))
+    val statsGolden =
+      """{"total_donations_usd":30.00,"total_payouts_usd":0.00,""" +
+        """"total_donations_count":2,"total_donors_count":2,""" +
+        """"total_recipients_count":1}"""
+    assert(Serializers.statsJson(statsDf).head().getAs[String]("json")
+      == statsGolden)
+  }
+
   test("keyset pagination: page-number parity, no global window (O3 scale path)") {
     // Walk all three keyset pages and compare against the page-number form.
     val k1 = qs.accountsListKeyset(None, 2).select("id").collect().map(_.getString(0))
