@@ -252,7 +252,8 @@ final class QueryServer(
   private val accountT = Seq("accounts", "account_stats")
   private val potT = Seq("pots", "pot_stats", "accounts", "account_stats")
   private val payoutT = Seq("pot_payouts")
-  private val regT = Seq("list_registrations", "lists", "accounts")
+  private val regT = Seq("list_registrations", "lists", "accounts",
+    "account_stats")
   // Serializer embeds widen the read set: application bodies embed the
   // full pot object + applicant account, list/factory bodies embed
   // owner/admins accounts.
@@ -265,6 +266,12 @@ final class QueryServer(
     * then the DRF-parity render. */
   private val appJson: DataFrame => DataFrame = df =>
     Serializers.potApplicationJson(qs.potApplicationExpanded(df))
+
+  /** ListRegistrationSerializer body over a BOUNDED page: full list
+    * object + registrant/registered_by account embeds
+    * (QueryService.listRegistrationExpanded), then the DRF render. */
+  private val regJson: DataFrame => DataFrame = df =>
+    Serializers.listRegistrationJson(qs.listRegistrationExpanded(df))
 
   private def uids(tables: Seq[String]): Seq[String] =
     ResultCache.uidsFor(silverDir)(tables)
@@ -483,13 +490,13 @@ final class QueryServer(
           if params.contains("after") =>
         keyset(path, params, regT, QueryServer.afterTsLong,
           Seq("submitted_at", "on_chain_id"),
-          Serializers.listRegistrationJson)(
+          regJson)(
           (c, sz) => qs.accountListRegistrationsKeyset(id, status, c, sz))
       case List("v1", "accounts", id, "list-registrations") =>
         memo(path, params, regT)(
           pageEither(path, params,
             qs.accountListRegistrations(id, status, page, size),
-            Serializers.listRegistrationJson))
+            regJson))
 
       // -------------------------------------------------------- donors
       case List("v1", "donors") if params.contains("after") =>
@@ -527,20 +534,20 @@ final class QueryServer(
           if params.contains("after") =>
         keyset(path, params, regT, QueryServer.afterTsLong,
           Seq("submitted_at", "on_chain_id"),
-          Serializers.listRegistrationJson)((c, sz) =>
+          regJson)((c, sz) =>
           qs.listRegistrationsKeyset(id, status, params.get("category"), c, sz))
       case List("v1", "lists", IntId(id), "registrations") =>
         memo(path, params, regT)(
           pageEither(path, params,
             qs.listRegistrations(id, status, params.get("category"), page, size),
-            Serializers.listRegistrationJson))
+            regJson))
       case List("v1", "lists", IntId(id), "random_registration") =>
         // Deterministic seeded pick (O5) — cacheable like any route; the
         // reference re-rolls per request, ours re-rolls per table merge
         // (documented deviation, q_o5's replayability contract).
         memo(path, params, regT)(
           qs.randomRegistration(id, status).fold(badRequest, df =>
-            jsonCol(Serializers.listRegistrationJson(df)).headOption
+            jsonCol(regJson(df)).headOption
               .map(Response(200, _))
               .getOrElse(Response(404, Serializers.errorJson(
                 QueryService.notFoundMessage("Registration for list", id))))))

@@ -588,6 +588,72 @@ final class QueryService(t0: String => DataFrame) {
       Seq((col("donated_at"), false), (col("on_chain_id"), true)),
       after, pageSize))
 
+  /** List embed for registration rows (ListRegistrationSerializer
+    * declares `list = ListSerializer()`, lists/serializers.py:52): the
+    * `list_id` FK becomes a full ListSerializer struct from the injected
+    * (pruned, materialized) list dim; a dangling id still embeds as
+    * {on_chain_id, nulls…}. No lists table ⇒ flat degrade (the
+    * serializer's withAlias tolerance). */
+  private def expandListFrom(df: DataFrame,
+      dimLocal: Option[DataFrame]): DataFrame = {
+    if (!df.columns.contains("list_id")) return df
+    dimLocal match {
+      case Some(dim0) =>
+        val fallback = struct(
+          df("list_id").as("on_chain_id") +:
+            Serializers.listFields.tail.map(n =>
+              lit(null).cast(dim0.schema(n).dataType).as(n)): _*)
+        val dim = broadcast(dim0.select(
+          dim0("on_chain_id").as("__list_key"),
+          struct(Serializers.listFields.map(n => dim0(n).as(n)): _*)
+            .as("__list_obj")))
+        df.join(dim, df("list_id") === col("__list_key"), "left")
+          .withColumn("list",
+            when(df("list_id").isNotNull, coalesce(col("__list_obj"), fallback)))
+          .drop("__list_key", "__list_obj")
+      case None => df
+    }
+  }
+
+  /** Embed expansion for a BOUNDED page of list-registration rows
+    * (ListRegistrationSerializer, lists/serializers.py:36-55: full list
+    * object + registrant/registered_by accounts) — the
+    * [[expandDonationPage]] pattern: materialize the ≤ pageSize page,
+    * ONE account fetch for both FKs + the list dim pruned to the page's
+    * ids, concurrent fetches, embeds over LocalRelations, re-sort on the
+    * routes' shared ordering. Serving-tier only. */
+  def listRegistrationExpanded(pageRows: DataFrame): DataFrame = {
+    val (rows, local) = QueryService.materializeBounded(pageRows)
+    val cols = pageRows.schema.fieldNames.toSet
+    def strIds(c: String): Seq[String] =
+      if (!cols(c)) Seq.empty
+      else rows.flatMap(r => Option(r.getAs[String](c))).distinct.toSeq
+    val fks = Seq("registrant", "registered_by").filter(cols)
+    val acctIds = fks.flatMap(strIds).distinct
+    val listIds: Seq[Long] =
+      if (!cols("list_id")) Seq.empty
+      else rows.flatMap(r => Option(r.getAs[Any]("list_id"))
+        .map(_.asInstanceOf[Number].longValue())).distinct.toSeq
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      QueryService.dimFetchEc
+    val fAcct = Future {
+      if (acctIds.isEmpty) emptyLike(accountDim)
+      else materializeDim(accountDim.filter(col("id").isin(acctIds: _*)))
+    }
+    val fList = opt("lists").map(_ => Future {
+      if (listIds.isEmpty) emptyLike(listDim)
+      else materializeDim(listDim.filter(col("on_chain_id").isin(listIds: _*)))
+    })
+    val acctLocal = Await.result(fAcct, Duration.Inf)
+    val listLocal = fList.map(Await.result(_, Duration.Inf))
+    val withAccounts =
+      fks.foldLeft(local)((d, fk) => embedAccountStruct(d, fk, acctLocal))
+    expandListFrom(withAccounts, listLocal)
+      .orderBy(col("submitted_at").desc, col("on_chain_id").asc)
+  }
+
   /** Embed expansion for a BOUNDED page of pot-application rows
     * (PotApplicationSerializer, pots/serializers.py:97-99: full pot
     * object + applicant account) — the [[expandDonationPage]] pattern:

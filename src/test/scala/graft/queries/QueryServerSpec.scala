@@ -55,8 +55,12 @@ class QueryServerSpec extends SparkSpec {
         .toDF("account", "name", "symbol", "decimals"),
       "pot_payouts" -> payouts,
       "lists" -> Seq((5L, "owner.near")).toDF("on_chain_id", "owner"),
-      "list_registrations" -> Seq((11L, 5L, "proj1.near", "Approved", ts0))
-        .toDF("on_chain_id", "list_id", "registrant", "status", "submitted_at"),
+      "list_registrations" -> Seq(
+        (11L, 5L, "proj1.near", "owner.near", "Approved", ts0, ts0,
+          null.asInstanceOf[String], null.asInstanceOf[String], "txr"))
+        .toDF("on_chain_id", "list_id", "registrant", "registered_by",
+          "status", "submitted_at", "updated_at", "registrant_notes",
+          "admin_notes", "tx_hash"),
       "pots" -> Seq(("pot1.near", "v1.factory.near", "My Pot"))
         .toDF("account", "pot_factory", "name"),
       "pot_applications" -> Seq(
@@ -396,6 +400,15 @@ class QueryServerSpec extends SparkSpec {
     assert(fac.status == 200, fac.body)
     assert(fac.body.contains(
       """"account":"v1.factory.near","owner":{"id":"owner.near""""), fac.body)
+
+    // registrations — full list object + registrant/registered_by embeds
+    // (ListRegistrationSerializer's declared shape)
+    val regs = s.handle("GET", "/api/v1/lists/5/registrations", Map.empty)
+    assert(regs.status == 200, regs.body)
+    assert(regs.body.contains(""""list":{"on_chain_id":5,"owner":{"id":"owner.near""""),
+      regs.body)
+    assert(regs.body.contains(""""registrant":{"id":"proj1.near""""), regs.body)
+    assert(regs.body.contains(""""registered_by":{"id":"owner.near""""), regs.body)
 
     // stats — base/api.py:81-89 dict order
     val st = s.handle("GET", "/api/v1/stats", Map.empty)
