@@ -476,6 +476,31 @@ class QueryServerSpec extends SparkSpec {
     assert(rel.body.contains(""""next": "/api/v1/accounts?page=3""""), rel.body)
   }
 
+  test("stale-swap retry: a lost file listing replans once instead of 500ing") {
+    // A planned table rotation (gold swap, merge) can yank the files a
+    // request already listed — the response must be a replan against
+    // the new snapshot, counted in stale_retries, never a 500. A
+    // PERSISTENT loss (table really gone) still reports as the 500 it
+    // is after the single retry.
+    val flaky = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val qsFlaky = new QueryService(name => {
+      if (name == "accounts" && flaky.getAndSet(false))
+        throw new java.io.FileNotFoundException(s"$name swapped away")
+      tables(name)
+    })
+    val s = new QueryServer(qsFlaky, silverDir)
+    val r = s.handle("GET", "/api/v1/accounts", Map.empty)
+    assert(r.status == 200, r.body)
+    assert(s.staleRetries == 1)
+    assert(s.metricsJson().contains(""""stale_retries": 1"""))
+
+    val qsDead = new QueryService(
+      name => throw new java.io.FileNotFoundException(name))
+    val s2 = new QueryServer(qsDead, silverDir)
+    assert(s2.handle("GET", "/api/v1/accounts", Map.empty).status == 500)
+    assert(s2.staleRetries == 1 && s2.errors == 1)
+  }
+
   test("param fuzz: no garbage query param can 500 a route") {
     // Every handled failure mode has a typed document (400/404); a 500
     // means an exception escaped the param layer into the plan. The grid
