@@ -108,10 +108,35 @@ final class QueryService(t0: String => DataFrame) {
     }
   }
 
-  private def paginate(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): Page = {
-    val c = df.count()
-    val pg = QueryService.resolveLast(c, page, pageSize)
-    Page(c, pg, pageSize, sliceOrEmpty(df, order, pg, pageSize))
+  private def paginate(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): Page =
+    paginateWith(df, order, page, pageSize, df.count())
+
+  /** Count job ∥ slice+materialize — the donation routes' request shape
+    * (paginateDonations) extended to every paginate route: the envelope
+    * needs both, they are independent Spark actions, so a cold request
+    * pays max(count, slice), not their sum. The page materializes to a
+    * LocalRelation (≤ pageSize rows by construction), so the serializer
+    * and any page-bounded embed expansion run without re-executing the
+    * slice. `count` is by-name: the serving tier's gold countOverride
+    * must only be priced on the fetch thread. (donors keeps its lazy
+    * results frame instead — its zero-exchange bucketed plan is a pinned
+    * artifact, BucketedSilverSpec — and its production count is a gold
+    * counter lookup, so the overlap buys nothing there.) */
+  private def paginateWith(df: DataFrame, order: Seq[Column], page: Int,
+      pageSize: Int, count: => Long): Page = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      QueryService.dimFetchEc
+    val fCount = Future(count)
+    // page=last needs the count BEFORE slicing — that one path
+    // serializes the two jobs; every numeric page keeps the overlap.
+    val pg =
+      if (page == QueryService.LastPage)
+        QueryService.resolveLast(Await.result(fCount, Duration.Inf), page, pageSize)
+      else page
+    val results = materializeDim(sliceOrEmpty(df, order, pg, pageSize))
+    Page(Await.result(fCount, Duration.Inf), pg, pageSize, results)
   }
 
   /** [[Relational.pageSlice]] with the serving tier's degrade: the
@@ -924,12 +949,9 @@ final class QueryService(t0: String => DataFrame) {
   /** GET /v1/lists (lists/api.py:33-61): ListSerializer shape — count on
     * the raw lists table, slice over [[listDim]] (key-unique LEFT joins
     * only, the potsList contract). */
-  def listsList(page: Int = 1, pageSize: Int = DefaultPageSize): Page = {
-    val c = t("lists").count()
-    val pg = QueryService.resolveLast(c, page, pageSize)
-    Page(c, pg, pageSize,
-      sliceOrEmpty(listDim, Seq(col("on_chain_id").asc), pg, pageSize))
-  }
+  def listsList(page: Int = 1, pageSize: Int = DefaultPageSize): Page =
+    paginateWith(listDim, Seq(col("on_chain_id").asc), page, pageSize,
+      t("lists").count())
 
   /** Keyset form of [[listsList]] (?after=<last on_chain_id>). */
   def listsListKeyset(after: Option[Long],
@@ -1013,16 +1035,13 @@ final class QueryService(t0: String => DataFrame) {
   /** GET /v1/pots (pots/api.py:48-75): PotSerializer shape — account
     * objects embedded for deployer/owner/chef/admins
     * (pots/serializers.py:55-58). */
-  def potsList(page: Int = 1, pageSize: Int = DefaultPageSize): Page = {
+  def potsList(page: Int = 1, pageSize: Int = DefaultPageSize): Page =
     // Count on the raw pots table: potDim only adds key-unique LEFT
     // joins (gold stats by account; deployer/owner/chef account embeds
     // by id) — same count-before-serialize contract as the donation
     // routes (paginateDonations).
-    val c = pots.count()
-    val pg = QueryService.resolveLast(c, page, pageSize)
-    Page(c, pg, pageSize,
-      sliceOrEmpty(potDim, Seq(col("account").asc), pg, pageSize))
-  }
+    paginateWith(potDim, Seq(col("account").asc), page, pageSize,
+      pots.count())
 
   /** Keyset form of [[potsList]] (?after=<last account id>). */
   def potsListKeyset(after: Option[String],
@@ -1057,12 +1076,9 @@ final class QueryService(t0: String => DataFrame) {
 
   /** GET /v1/potfactories (pots/api.py:78-105): PotFactorySerializer
     * shape — count on the raw table, slice over [[potFactoryDim]]. */
-  def potFactoriesList(page: Int = 1, pageSize: Int = DefaultPageSize): Page = {
-    val c = t("pot_factories").count()
-    val pg = QueryService.resolveLast(c, page, pageSize)
-    Page(c, pg, pageSize,
-      sliceOrEmpty(potFactoryDim, Seq(col("account").asc), pg, pageSize))
-  }
+  def potFactoriesList(page: Int = 1, pageSize: Int = DefaultPageSize): Page =
+    paginateWith(potFactoryDim, Seq(col("account").asc), page, pageSize,
+      t("pot_factories").count())
 
   /** Keyset form of [[potFactoriesList]] (?after=<last account id>). */
   def potFactoriesListKeyset(after: Option[String],
