@@ -140,6 +140,7 @@ object Soak {
       "/api/v1/accounts/donor1.near/donations_sent?page_size=10",
       "/api/v1/accounts/donor2.near",
       "/api/v1/pots?page_size=10",
+      "/api/v1/donate_contract_config",
       "/metrics")
 
     def get(path: String): (Int, String) = {
@@ -148,15 +149,17 @@ object Soak {
       conn.setConnectTimeout(60000)
       conn.setReadTimeout(120000)
       val code = conn.getResponseCode
-      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      val body = new String(is.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
+      val is = Option(
+        if (code >= 400) conn.getErrorStream else conn.getInputStream)
+      val body = is.map(s => new String(s.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)).getOrElse("")
       (code, body)
     }
 
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val fiveHundreds = new java.util.concurrent.atomic.AtomicLong
     val regressions = new java.util.concurrent.atomic.AtomicLong
+    val transportErrors = new java.util.concurrent.atomic.AtomicLong
     val observations =
       new java.util.concurrent.ConcurrentLinkedQueue[Obs]
     val nClients = 6
@@ -168,7 +171,17 @@ object Soak {
           val route = routes(i % routes.length)
           i += 1
           val sent = System.nanoTime()
-          val (code, bodyStr) = get(route)
+          // A transport failure (reset, timeout) must be RECORDED, not
+          // kill the client thread — dead clients would leave the
+          // invariants vacuously green over near-zero traffic.
+          val (code, bodyStr) =
+            try get(route)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                transportErrors.incrementAndGet(): Unit
+                println(s"[soak] transport error on $route: $e")
+                (599, "")
+            }
           val lat = (System.nanoTime() - sent) / 1e6
           if (code >= 500) {
             fiveHundreds.incrementAndGet(): Unit
@@ -296,7 +309,8 @@ object Soak {
     sb ++= f"| check | result |\n|---|---|\n"
     sb ++= f"| requests served during the soak | ${obs.size}%,d |\n"
     sb ++= f"| tail wall (ingest+beats under load) | $tTail%.1f s (${nTail / tTail}%.0f blocks/s) |\n"
-    sb ++= f"| 5xx responses | ${fiveHundreds.get}%d |\n"
+    sb ++= f"| 5xx responses (incl. transport errors, recorded as 599) | ${fiveHundreds.get}%d |\n"
+    sb ++= f"| client transport errors | ${transportErrors.get}%d |\n"
     sb ++= f"| envelope-count regressions (stale-after-swap reads) | ${regressions.get}%d |\n"
     sb ++= f"| table swaps observed while serving | ${swaps.size}%d (${swaps.map(_._2).distinct.mkString(", ")}) |\n"
     sb ++= f"| stale-swap retries (lost listing → replan, not 500) | ${srv.staleRetries}%d |\n"
@@ -319,6 +333,11 @@ object Soak {
     println(sb.toString)
 
     http.stop(0)
+    // Traffic floor: the invariants are only meaningful if the clients
+    // actually hammered the server through the whole tail — a soak whose
+    // clients died early must fail, not pass vacuously.
+    require(obs.size >= nTail.toLong,
+      s"only ${obs.size} observations — client threads died early?")
     require(fiveHundreds.get == 0, s"${fiveHundreds.get} 5xx responses")
     require(regressions.get == 0, s"${regressions.get} count regressions")
     require(statsParity, "global_stats diverged from oracle")

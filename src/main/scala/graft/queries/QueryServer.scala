@@ -317,7 +317,16 @@ final class QueryServer(
     // planned, crash-safe table rotation. One retry suffices: swaps are
     // beat-cadence rare, and a second loss in the same request window
     // reports honestly as the 500 it is.
-    def attempt(): Response = route(rawPath, params, base)
+    //
+    // Links absolutize OUTSIDE the route/memo: the cache stores the
+    // host-INDEPENDENT body (relative links), and the client-controlled
+    // authority is spliced per request — keying the cache on Host would
+    // let one client fragment and evict the shared LRU with rotated
+    // Host values, collapsing every other client to cold requests.
+    def attempt(): Response = {
+      val r = route(rawPath, params)
+      if (base.isEmpty) r else QueryServer.absolutizeLinks(r, base)
+    }
     try {
       try attempt() catch {
         case e if QueryServer.isStaleSwapRead(e) =>
@@ -359,7 +368,11 @@ final class QueryServer(
   private def pageParam(params: Map[String, String]): Int =
     params.get("page") match {
       case None => 1
-      case Some(s) if s.trim == "last" => QueryService.LastPage
+      // EXACT match like DRF's last_page_strings membership test — no
+      // trim: " last " is not the alias there (int(" last ") raises →
+      // 404) and must not be here. The numeric branch keeps the trim,
+      // matching Python int()'s whitespace tolerance.
+      case Some("last") => QueryService.LastPage
       case Some(s) => s.trim.toIntOption.filter(_ >= 1)
         .getOrElse(throw new QueryServer.InvalidPageException)
     }
@@ -388,18 +401,16 @@ final class QueryServer(
     cache.memo(
       ResultCache.routeKey(path, params.toSeq: _*), uids(tables))(compute)
 
-  private def route(rawPath: String, params: Map[String, String],
-      base: String = ""): Response = {
+  private def route(path: String, params: Map[String, String]): Response = {
     // Accept both the reference's /api/v1 prefix and bare /v1 — but ONLY
     // for matching. Envelope continuation URLs and cache keys use the
-    // path AS REQUESTED, prefixed with the request's own authority when
-    // a Host header named one: a client behind a proxy that routes
-    // /api/* must get next/previous links it can actually follow, and
-    // two spellings/hosts must not share a cache entry (their rendered
-    // bodies differ in the continuation links).
+    // path AS REQUESTED: a client behind a proxy that routes /api/* must
+    // get next/previous links it can actually follow, and the two
+    // spellings must not share a cache entry (their bodies differ).
+    // Links stay RELATIVE here — handle() splices the request's own
+    // authority per response, so the cached body is host-independent.
     val matchPath =
-      if (rawPath.startsWith("/api/")) rawPath.stripPrefix("/api") else rawPath
-    val path = base + rawPath
+      if (path.startsWith("/api/")) path.stripPrefix("/api") else path
     val segs = matchPath.split('/').filter(_.nonEmpty).toList
     lazy val page = pageParam(params)
     val size = pageSizeParam(params)
@@ -726,6 +737,26 @@ object QueryServer {
     * query param; rendered as DRF's 404 {"detail": "Invalid page."}. */
   private[queries] final class InvalidPageException
     extends RuntimeException("Invalid page.")
+
+  /** Splice the request's authority into the envelope's continuation
+    * links (DRF build_absolute_uri parity) AFTER the cache: the memoized
+    * body carries relative links, so one cache entry serves every Host.
+    * Safe as string surgery because the rewrite targets only the FIRST
+    * `"next": "/` / `"previous": "/` occurrences and both fields precede
+    * `results` in the envelope documents this server renders — user
+    * content (messages, profiles) can only appear after them. Non-2xx
+    * and non-envelope bodies (no leading {"count") pass through. */
+  private[queries] def absolutizeLinks(r: Response, base: String): Response = {
+    if (r.status != 200 || !r.body.startsWith("""{"count""")) return r
+    def splice(body: String, key: String): String = {
+      val marker = "\"" + key + "\": \"/"
+      val i = body.indexOf(marker)
+      if (i < 0) body
+      else body.substring(0, i) + "\"" + key + "\": \"" + base + "/" +
+        body.substring(i + marker.length)
+    }
+    r.copy(body = splice(splice(r.body, "next"), "previous"))
+  }
 
   /** A read that lost its table snapshot to a concurrent swap: the
     * scan's file listing (or the table path itself, for the instant

@@ -27,6 +27,12 @@ object QueryService {
     * `last` costs nothing extra. */
   val LastPage: Int = -1
 
+  /** Offset ceiling for EAGER page materialization (paginateWith): up to
+    * here the slice's per-partition heap is small and the count∥slice
+    * overlap is pure win; beyond it the slice stays a lazy plan so a
+    * past-the-end request costs only its count job. */
+  val EagerSliceMaxOffset: Long = 1000000L
+
   /** Resolve [[LastPage]] against the priced count (django Paginator
     * num_pages floors at 1, so `last` of an empty set is page 1). */
   def resolveLast(count: Long, page: Int, pageSize: Int): Int =
@@ -135,7 +141,19 @@ final class QueryService(t0: String => DataFrame) {
       if (page == QueryService.LastPage)
         QueryService.resolveLast(Await.result(fCount, Duration.Inf), page, pageSize)
       else page
-    val results = materializeDim(sliceOrEmpty(df, order, pg, pageSize))
+    // Eager only while the slice is sanely addressed: past the eager
+    // threshold the offset plan's per-partition heap is page·size rows,
+    // and executing THAT eagerly for a page the envelope is about to
+    // 404 against the count would hand any client a discarded-work (and
+    // at the extreme, executor-memory) lever the lazy contract never
+    // exposed. Beyond the threshold the slice stays lazy — the envelope
+    // validates the page before serialize collects anything, and legit
+    // deep walkers ride keyset.
+    val lo = (pg.toLong - 1L) * pageSize
+    val results =
+      if (lo <= QueryService.EagerSliceMaxOffset)
+        materializeDim(sliceOrEmpty(df, order, pg, pageSize))
+      else sliceOrEmpty(df, order, pg, pageSize)
     Page(Await.result(fCount, Duration.Inf), pg, pageSize, results)
   }
 
@@ -360,16 +378,20 @@ final class QueryService(t0: String => DataFrame) {
   /** Rebuild the silver layer's JSON-string `source_metadata` into its
     * typed struct so the serializers render it as the OBJECT DRF emits
     * for the model's JSONField (pots/models.py source_metadata) — not a
-    * JSON-escaped string. The payload schema is the ingest contract's
-    * (EntityTransforms potPayload/factoryPayload). A frame already
-    * carrying a struct (spec fixtures) passes through. */
+    * JSON-escaped string. Field NAMES are the ingest contract's
+    * (EntityTransforms potPayload/factoryPayload); field ORDER is the
+    * reference's documented rendering — (link, version, commit_hash),
+    * per SIMPLE_POT_EXAMPLE / SIMPLE_POT_FACTORY_EXAMPLE
+    * (pots/serializers.py:129-133,188-192) — from_json matches by name,
+    * so the schema order IS the output order. A frame already carrying
+    * a struct (spec fixtures) passes through. */
   private def inlineSourceMetadata(df: DataFrame): DataFrame =
     if (!df.columns.contains("source_metadata")) df
     else df.schema("source_metadata").dataType match {
       case org.apache.spark.sql.types.StringType =>
         df.withColumn("source_metadata", from_json(col("source_metadata"),
           org.apache.spark.sql.types.StructType.fromDDL(
-            "commit_hash STRING, link STRING, version STRING")))
+            "link STRING, version STRING, commit_hash STRING")))
       case _ => df
     }
 
@@ -599,8 +621,21 @@ final class QueryService(t0: String => DataFrame) {
       if (page == QueryService.LastPage)
         QueryService.resolveLast(Await.result(fCount, Duration.Inf), page, pageSize)
       else page
-    val results = expandDonationPage(
-      sliceOrEmpty(raw, donationOrder, pg, pageSize))
+    // Deep offsets gate on the count before paying the slice (the
+    // expansion must collect the page, so it cannot stay lazy like
+    // paginateWith's generic branch): a past-the-end page never
+    // executes the page·size per-partition offset heap — the envelope
+    // 404s on the count without touching results.
+    val lo = (pg.toLong - 1L) * pageSize
+    val results =
+      if (lo <= QueryService.EagerSliceMaxOffset)
+        expandDonationPage(sliceOrEmpty(raw, donationOrder, pg, pageSize))
+      else {
+        val c = Await.result(fCount, Duration.Inf)
+        if (pg.toLong > math.max(1L, (c + pageSize - 1L) / pageSize))
+          raw.limit(0)
+        else expandDonationPage(sliceOrEmpty(raw, donationOrder, pg, pageSize))
+      }
     Page(Await.result(fCount, Duration.Inf), pg, pageSize, results)
   }
 

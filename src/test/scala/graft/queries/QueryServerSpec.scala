@@ -67,8 +67,9 @@ class QueryServerSpec extends SparkSpec {
         ("pot1.near", "proj1.near", "please", "Pending", ts0, ts0, "tx1"))
         .toDF("pot", "applicant", "message", "status", "submitted_at",
           "updated_at", "tx_hash"),
-      "pot_factories" -> Seq(("v1.factory.near", "owner.near"))
-        .toDF("account", "owner"),
+      "pot_factories" -> Seq(("v1.factory.near", "owner.near",
+        """{"commit_hash":"abc123","link":"https://github.com/PotLock/core","version":"0.1.0"}"""))
+        .toDF("account", "owner", "source_metadata"),
       "account_stats" -> Stats.accountStats(accounts, donations, payouts),
       "global_stats" -> Stats.globalStats(donations, payouts))
   }
@@ -400,6 +401,13 @@ class QueryServerSpec extends SparkSpec {
     assert(fac.status == 200, fac.body)
     assert(fac.body.contains(
       """"account":"v1.factory.near","owner":{"id":"owner.near""""), fac.body)
+    // The STORED string (silver's to_json, commit_hash-first) re-inlines
+    // as the JSONField OBJECT in the reference's documented field order
+    // (link, version, commit_hash) — this drives the from_json path the
+    // golden fixtures bypass with pre-built structs.
+    assert(fac.body.contains(
+      """"source_metadata":{"link":"https://github.com/PotLock/core",""" +
+        """"version":"0.1.0","commit_hash":"abc123"}"""), fac.body)
 
     // registrations — full list object + registrant/registered_by embeds
     // (ListRegistrationSerializer's declared shape)
@@ -468,12 +476,15 @@ class QueryServerSpec extends SparkSpec {
       headers = Map("host" -> "api.example.org", "x-forwarded-proto" -> "https"))
     assert(tls.body.contains(
       """"next": "https://api.example.org/api/v1/accounts?page=3""""), tls.body)
-    // different authorities render different links → must not share a
-    // cache entry
     assert(abs.body != tls.body)
     // no Host header (direct handle callers): relative links, as before
     val rel = s.handle("GET", "/api/v1/accounts", Map("page" -> "2"))
     assert(rel.body.contains(""""next": "/api/v1/accounts?page=3""""), rel.body)
+    // The cache stores ONE host-independent body; the authority splices
+    // per response OUTSIDE the memo — a client rotating Host values must
+    // not fragment (or evict through) the shared LRU.
+    assert(s.cacheMisses == 1 && s.cacheHits == 2,
+      s"misses=${s.cacheMisses} hits=${s.cacheHits}")
   }
 
   test("stale-swap retry: a lost file listing replans once instead of 500ing") {
