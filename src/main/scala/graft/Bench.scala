@@ -22,6 +22,14 @@ object Bench {
     // minimum: the box is shared, and a contention spike during a single
     // pass must not be able to fail the round.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // The widest-variance queries on the board (exact all-pairs ground
+    // truth, BM25, PageRank) get extra passes so the artifact carries a
+    // MEDIAN with real support: the cross-round perf gate is judged on
+    // per-query medians (bench_results.json load_context), and a
+    // 3-pass sample lets a single contention spike straddle the gate.
+    val heavyPasses = math.max(passes, 5)
+    val heavy = Set("q_dd15_allpairs", "q_dd16_incremental_allpairs",
+      "q_dd17_minhash_calibration", "q_srch3_bm25", "q_gr1_pagerank")
     // A failed pass must NOT produce a timing (a query that throws
     // instantly would otherwise record a tiny min and read as a speedup);
     // only successful passes enter the min, and a query with zero
@@ -122,7 +130,8 @@ object Bench {
       // clearing per-pass inflates the whole board ~1.4× against prior
       // rounds' numbers.
       SparkEntry.releaseTracked(); spark.catalog.clearCache()
-      val times = (1 to passes).flatMap { _ =>
+      val nPasses = if (heavy.contains(name)) heavyPasses else passes
+      val times = (1 to nPasses).flatMap { _ =>
         // Outside the timed region: let the ContextCleaner release
         // dropped RDDs before the next timed pass.
         System.gc()
@@ -146,29 +155,69 @@ object Bench {
           None
         }
       }
-      (name, if (times.nonEmpty) Some(times.min) else None, err, fp)
+      val med =
+        if (times.isEmpty) None
+        else {
+          val s = times.sorted
+          Some(if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
+        }
+      (name, if (times.nonEmpty) Some(times.min) else None, err, fp, med)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val errs = results.map { case (k, t, e, _) =>
+    val errs = results.map { case (k, t, e, _, _) =>
       s"\"" + k + "\":" + (if (t.isDefined) "null" else e.fold("null")("\"" + _ + "\""))
     }.mkString("{", ",", "}")
     val failed = results.count(_._2.isEmpty)
     val total = results.flatMap(_._2).sum
-    val plans = results.map { case (name, _, _, fp) =>
+    val plans = results.map { case (name, _, _, fp, _) =>
       s"\"" + name + "\":" + fp.fold("null")("\"" + _ + "\"")
     }.mkString("{", ",", "}")
+    // Medians ride next to the min-of-N board: the cross-round perf
+    // gate compares per-query MEDIANS (the min stays for continuity
+    // with every prior round's board). The heavy family gets
+    // heavyPasses samples; the rest of the board medians its `passes`.
+    val meds = results.map { case (k, _, _, _, m) =>
+      s"\"" + k + "\":" + m.fold("null")(_.toString)
+    }.mkString("{", ",", "}")
     val goldGate = goldGateSec.fold("null")(_.toString)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"gold_gate_build_sec":$goldGate,"cached_gate_queries":["q_gold_refresh","q_gold_pot_stats"],"queries":$qs,"errors":$errs,"plans":$plans,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"gold_gate_build_sec":$goldGate,"cached_gate_queries":["q_gold_refresh","q_gold_pot_stats"],"heavy_passes":$heavyPasses,"heavy_queries":${heavy.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"medians":$meds,"errors":$errs,"plans":$plans,"sf":"$sfDir"}"""
     println(line)
     // Persist the full per-query JSON as an artifact: the driver retains
     // only a truncated stdout tail, which makes round-over-round timing
     // diffs impossible for most queries. The file survives in the repo
     // checkout (committed per round) so every query is diffable.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")), line)
-    catch { case e: Throwable =>
+    //
+    // READ-MERGE-WRITE: the artifact also carries curated context that
+    // a run does not produce — `load_context` (the host-variance
+    // narrative the cross-round gate is judged against) and
+    // `idle_run_totals_sec` (the idle-box baseline totals). A plain
+    // overwrite silently strips them (round 13 lost the driver board's
+    // context this way); instead, any preserved key present in the
+    // existing file and absent from this run's line is carried over.
+    try {
+      val outPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json"))
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val fresh = om.readTree(line)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      if (java.nio.file.Files.exists(outPath)) {
+        try {
+          val prior = om.readTree(java.nio.file.Files.readString(outPath))
+          Seq("load_context", "idle_run_totals_sec").foreach { k =>
+            // Explicit type argument: ObjectNode.set's generic return
+            // infers as Nothing in Scala, whose synthetic checkcast
+            // throws AFTER the mutation — the first key would land and
+            // the rest silently wouldn't.
+            if (prior.has(k) && !fresh.has(k))
+              fresh.set[com.fasterxml.jackson.databind.JsonNode](
+                k, prior.get(k)): Unit
+          }
+        } catch { case _: Throwable => () /* unreadable prior: overwrite */ }
+      }
+      java.nio.file.Files.writeString(outPath, om.writeValueAsString(fresh))
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
     spark.stop()

@@ -322,6 +322,65 @@ object ServeBench {
     val keysetDeep = measure(s"GET ?after=… page $depth (keyset, bounded work)",
       coldPort, keysetUrl)
 
+    // ---- FULL exhaustion walk on the largest route, BOTH modes: every
+    // page to the end through the cold (cache-disabled) server, per-page
+    // wall recorded. The constant-vs-linear separation is the 100×
+    // pagination argument MEASURED end-to-end, not spot-checked at one
+    // depth: offset's per-page cost grows with the discarded prefix
+    // (produce-and-throw-away page·size rows), keyset's stays flat
+    // (TakeOrderedAndProject below a pushed range predicate).
+    def stripAbs(u: String): String =
+      if (!u.startsWith("http")) u
+      else {
+        val uri = java.net.URI.create(u)
+        uri.getRawPath + Option(uri.getRawQuery).map("?" + _).getOrElse("")
+      }
+    val walkCount = {
+      val (c0, b0, _) = get(coldPort, "/api/v1/accounts?page=1")
+      require(c0 == 200, s"walk page 1: HTTP $c0")
+      "\"count\": (\\d+)".r.findFirstMatchIn(b0).get.group(1).toLong
+    }
+    val walkPages =
+      ((walkCount + QueryService.DefaultPageSize - 1) /
+        QueryService.DefaultPageSize).toInt
+    val offsetWalk: Vector[Long] = (1 to walkPages).map { p =>
+      val (c, _, ms) = get(coldPort, s"/api/v1/accounts?page=$p")
+      require(c == 200, s"offset walk page $p: HTTP $c")
+      ms
+    }.toVector
+    val keysetWalkB = Vector.newBuilder[Long]
+    var kUrl = "/api/v1/accounts?after="
+    var kDone = false
+    var kPage = 0
+    while (!kDone) {
+      kPage += 1
+      require(kPage <= walkPages + 1,
+        s"keyset walk overran: page $kPage of $walkPages expected")
+      val (c, body, ms) = get(coldPort, kUrl)
+      require(c == 200, s"keyset walk page $kPage: HTTP $c at $kUrl")
+      keysetWalkB += ms
+      nextRe.findFirstMatchIn(body).map(m => stripAbs(m.group(1))) match {
+        case Some(u) => kUrl = u
+        case None => kDone = true
+      }
+    }
+    val keysetWalk = keysetWalkB.result()
+    require(kPage == walkPages,
+      s"keyset walked $kPage pages, offset $walkPages — unequal coverage")
+    // Least-squares ms/page slope per mode: the single number that says
+    // "linear" vs "flat" without eyeballing the table.
+    def walkSlope(v: Vector[Long]): Double = {
+      val n = v.size
+      val xm = (n + 1) / 2.0
+      val ym = v.map(_.toDouble).sum / n
+      val num = v.zipWithIndex.map { case (y, i) =>
+        (i + 1 - xm) * (y - ym) }.sum
+      val den = (1 to n).map(i => (i - xm) * (i - xm)).sum
+      num / den
+    }
+    val offsetSlope = walkSlope(offsetWalk)
+    val keysetSlope = walkSlope(keysetWalk)
+
     val metrics = get(warmPort, "/metrics")._2
 
     // ------------------------------------------------------------ report
@@ -386,6 +445,23 @@ object ServeBench {
       "over a pushed range predicate at any depth — the variant a 100 TB " +
       "feed must serve, and since this round every list route but active_pots serves it " +
       "(`?after=`, count/previous null — no count job per page).\n\n"
+    sb ++= "### Full exhaustion walk (/api/v1/accounts, every page, both modes)\n\n"
+    sb ++= f"$walkPages%,d pages × ${QueryService.DefaultPageSize} rows " +
+      f"(count $walkCount%,d), each page a cold HTTP GET. Least-squares " +
+      f"per-page slope: **offset ${offsetSlope * 1000}%.0f µs/page, keyset " +
+      f"${keysetSlope * 1000}%.0f µs/page** — the offset curve grows with " +
+      "the discarded prefix, the keyset cost does not know how deep it " +
+      "is. At 100× the corpus the offset walk's LAST page alone costs " +
+      "100× more; the keyset walk's last page costs the same as its " +
+      "first.\n\n"
+    sb ++= "| page | offset ms | keyset ms |\n|---|---|---|\n"
+    val walkMarks =
+      (Seq(1) ++ (1 to 9).map(i => math.max(1, i * walkPages / 10)) ++
+        Seq(walkPages)).distinct.sorted
+    walkMarks.foreach { p =>
+      sb ++= s"| $p | ${offsetWalk(p - 1)} | ${keysetWalk(p - 1)} |\n"
+    }
+    sb ++= f"| **total** | **${offsetWalk.sum}%,d** | **${keysetWalk.sum}%,d** |\n\n"
     sb ++= "## Reading the numbers\n\n"
     sb ++= "- Every row includes the HTTP hop, the DRF-parity serializer " +
       "(account/token/pot embed expansion) and the JSON render — not " +

@@ -50,6 +50,27 @@ object ShuffleAudit {
         .foreach(_.set(0L))
       r
     }
+
+    /** Wait until the listener bus has delivered every in-flight
+      * task-end event before a drain is attributed to a row: poll the
+      * counters until they hold still across two consecutive 50 ms
+      * samples (bounded at 5 s). A fixed sleep silently mis-attributes
+      * any event still in flight past it to the NEXT row of the sweep,
+      * understating the drained row's shuffle/spill columns. */
+    def quiesce(): Unit = {
+      def snap() = (input.get, shufWrite.get, shufRead.get,
+        spillMem.get, spillDisk.get, tasks.get)
+      var prev = snap()
+      var stableMs = 0
+      var waitedMs = 0
+      while (stableMs < 100 && waitedMs < 5000) {
+        Thread.sleep(50)
+        waitedMs += 50
+        val cur = snap()
+        if (cur == prev) stableMs += 50
+        else { stableMs = 0; prev = cur }
+      }
+    }
   }
 
   private def mb(b: Long): String = f"${b / 1048576.0}%.2f"
@@ -76,7 +97,7 @@ object ShuffleAudit {
         try {
           SparkEntry.queries("q_gold_refresh")(spark, sfDir).limit(1).count(): Unit
           val wall = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(200)
+          mv.quiesce()
           val (in, sw, sr, sm, sd, nt) = mv.drain()
           Some(("[gate] gold build (silver store + refresh chain, once per process)",
             wall, in, sw, sr, sm, sd, nt))
@@ -96,7 +117,7 @@ object ShuffleAudit {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         // Let straggler task-end events land before draining.
-        Thread.sleep(200)
+        mv.quiesce()
         val (in, sw, sr, sm, sd, nt) = mv.drain()
         Some((name, wall, in, sw, sr, sm, sd, nt))
       } catch {

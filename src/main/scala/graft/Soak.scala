@@ -48,6 +48,11 @@ object Soak {
     val nBase = if (args.length > 2) args(2).toInt else 5000
     val nTail = if (args.length > 3) args(3).toInt else 5000
     val beatEvery = 500L
+    // Pinned steady-regime latency SLA (enforced at the end of the run):
+    // overridable for slower boxes, but the committed SOAK.md is the
+    // default bound's proof.
+    val steadyMaxBoundMs =
+      sys.env.getOrElse("SPARK_GRAFT_SOAK_STEADY_MAX_MS", "5000").toDouble
     val spark = HarnessSession.local()
 
     val base = new java.io.File(workDir)
@@ -103,6 +108,19 @@ object Soak {
     val gc = new graft.gold.GoldCounts(spark, silver)
     val srv = new QueryServer(qs, silver, goldCounts = Some(gc),
       throttlePerMin = Int.MaxValue)
+    // Pre-warm BEFORE the socket opens (production startup order): the
+    // first-touch plan/codegen/JIT/footer costs land while the box is
+    // quiet instead of on early client requests racing the opening
+    // ingest micro-batches for task slots — the measured 37-54 s
+    // cold-plan outliers of the pre-warmless soaks (FAIR and GC were
+    // tried and exonerated; the race is first-touch compute vs a busy
+    // scheduler, and the fix is to not pay first-touch under fire).
+    println("[soak] pre-warming route plans before the socket opens …")
+    val tWarm0 = System.nanoTime()
+    val warmed = srv.prewarm()
+    val prewarmSec = (System.nanoTime() - tWarm0) / 1e9
+    println(f"[soak] pre-warm: ${warmed.size} routes in $prewarmSec%.1f s " +
+      f"(slowest: ${warmed.maxBy(_._3)._1} ${warmed.maxBy(_._3)._3}%.0f ms)")
     val http = srv.start(0, poolSize = 12)
     val port = http.getAddress.getPort
 
@@ -162,6 +180,75 @@ object Soak {
     val transportErrors = new java.util.concurrent.atomic.AtomicLong
     val observations =
       new java.util.concurrent.ConcurrentLinkedQueue[Obs]
+    // In-flight request registry + watchdog: when any request has been
+    // in flight > 5 s, dump every thread stack ONCE — the outlier's
+    // blocking site, caught in the act (aggregate latency tables cannot
+    // distinguish task-slot queueing from a driver-side lock).
+    val inFlight =
+      new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val stacksDumped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watchdog = new Thread(() => {
+      while (!stop.get()) {
+        Thread.sleep(500)
+        val now = System.nanoTime()
+        inFlight.forEach { (c, rt) =>
+          if (now - rt._2 > 5000000000L && stacksDumped.compareAndSet(false, true)) {
+            println(f"[soak] WATCHDOG: client $c stuck ${(now - rt._2) / 1e9}%.1f s on ${rt._1} — dumping stacks")
+            import scala.jdk.CollectionConverters._
+            Thread.getAllStackTraces.asScala.foreach { case (t, frames) =>
+              println(s"--- thread ${t.getName} (${t.getState})")
+              frames.take(25).foreach(f => println(s"    at $f"))
+            }
+          }
+        }
+        // While ANY request is stuck past 2 s, log the scheduler's view
+        // every tick: active jobs/stages and the event-loop thread's
+        // current frame — separates "slots busy" from "scheduler queue"
+        // from "one slow broadcast" without a full dump.
+        val stuck = {
+          var worst = 0L
+          inFlight.forEach { (_, rt) =>
+            worst = math.max(worst, now - rt._2) }
+          worst
+        }
+        if (stuck > 2000000000L) {
+          val st = spark.sparkContext.statusTracker
+          val active = st.getActiveJobIds()
+          val stages = st.getActiveStageIds()
+          val running = stages.flatMap(s => st.getStageInfo(s))
+            .map(i => s"${i.stageId}:${i.numActiveTasks}/${i.numTasks}")
+          import scala.jdk.CollectionConverters._
+          val dag = Thread.getAllStackTraces.asScala.collectFirst {
+            case (t, f) if t.getName == "dag-scheduler-event-loop" =>
+              f.headOption.map(_.toString).getOrElse("(empty)")
+          }.getOrElse("(gone)")
+          println(f"[soak] stuck ${stuck / 1e9}%.1f s: activeJobs=${active.length} " +
+            s"activeStages=[${running.mkString(",")}] dagLoop=$dag")
+        }
+      }
+    }, "soak-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
+    // Scheduler canary: a 1-task job on pre-materialized data every 2 s;
+    // its wall time ≈ DAGScheduler submission→completion latency. When
+    // canary latency and request latency spike TOGETHER while executor
+    // slots idle, the bottleneck is the scheduler path, not compute.
+    val canaryLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]
+    val canary = new Thread(() => {
+      val one = spark.range(1).persist()
+      one.count(): Unit
+      while (!stop.get()) {
+        Thread.sleep(2000)
+        val t0 = System.nanoTime()
+        one.count(): Unit
+        val ms = (System.nanoTime() - t0) / 1e6
+        canaryLog.add((t0, ms)): Unit
+        if (ms > 1000) println(f"[soak] CANARY job took $ms%.0f ms")
+      }
+    }, "soak-canary")
+    canary.setDaemon(true)
+    canary.start()
     val nClients = 6
     val clients = (1 to nClients).map { c =>
       val t = new Thread(() => {
@@ -171,6 +258,7 @@ object Soak {
           val route = routes(i % routes.length)
           i += 1
           val sent = System.nanoTime()
+          inFlight.put(c, (route, sent)): Unit
           // A transport failure (reset, timeout) must be RECORDED, not
           // kill the client thread — dead clients would leave the
           // invariants vacuously green over near-zero traffic.
@@ -182,6 +270,7 @@ object Soak {
                 println(s"[soak] transport error on $route: $e")
                 (599, "")
             }
+          inFlight.remove(c): Unit
           val lat = (System.nanoTime() - sent) / 1e6
           if (code >= 500) {
             fiveHundreds.incrementAndGet(): Unit
@@ -314,7 +403,9 @@ object Soak {
     sb ++= f"| envelope-count regressions (stale-after-swap reads) | ${regressions.get}%d |\n"
     sb ++= f"| table swaps observed while serving | ${swaps.size}%d (${swaps.map(_._2).distinct.mkString(", ")}) |\n"
     sb ++= f"| stale-swap retries (lost listing → replan, not 500) | ${srv.staleRetries}%d |\n"
-    sb ++= f"| requests overlapping a swap window (±100 ms) | ${adjacent.size}%,d |\n\n"
+    sb ++= f"| requests overlapping a swap window (±100 ms) | ${adjacent.size}%,d |\n"
+    sb ++= f"| route plans pre-warmed before the socket opened | ${warmed.size}%d routes, $prewarmSec%.1f s (first-touch plan/JIT/footer cost paid OFF the request path) |\n"
+    sb ++= f"| steady-regime max-latency bound (pinned, enforced) | ${steadyMaxBoundMs}%.0f ms |\n\n"
     sb ++= "## Latency: steady vs swap-adjacent\n\n"
     sb ++= "| regime | n | p50 | p95 | max |\n|---|---|---|---|---|\n"
     def lat(label: String, v: Seq[Obs]): Unit = {
@@ -323,6 +414,31 @@ object Soak {
     }
     lat("steady", steady)
     lat("swap-adjacent", adjacent)
+    // Scheduler canary percentiles: the submission-latency floor of a
+    // 1-task job on cached data, sampled every 2 s through the whole
+    // soak. Its max bounds how long ANY request waited on the scheduler
+    // path alone.
+    val canaries = {
+      val it = canaryLog.iterator()
+      val b = Vector.newBuilder[Double]
+      while (it.hasNext) b += it.next()._2
+      b.result()
+    }
+    if (canaries.nonEmpty)
+      sb ++= f"\nScheduler canary (1-task job on cached data, every 2 s): " +
+        f"n=${canaries.size}%d p50 ${pct(canaries, 0.5)}%.0f ms p95 " +
+        f"${pct(canaries, 0.95)}%.0f ms max ${canaries.max}%.0f ms\n"
+    // The tail, itemized: WHICH routes outlier and WHEN (offset from the
+    // tail-ingest start) — aggregates can't separate a startup transient
+    // from a recurring stall.
+    val slowest = obs.sortBy(-_.latMs).take(12)
+    if (slowest.headOption.exists(_.latMs > 1000)) {
+      sb ++= "\n### Slowest requests (either regime)\n\n"
+      sb ++= "| route | t+offset | latency | regime |\n|---|---|---|---|\n"
+      slowest.foreach { o =>
+        sb ++= f"| ${o.route} | ${(o.sentNs - t0) / 1e9}%.1f s | ${o.latMs}%.0f ms | ${if (isSwapAdjacent(o)) "swap-adj" else "steady"} |\n"
+      }
+    }
     sb ++= "\n## Terminal parity (settled store vs no-concurrency oracle)\n\n"
     sb ++= s"- global_stats row: ${if (statsParity) "EQUAL" else s"DIVERGED\n  live:   $liveStats\n  oracle: $oracleStats"}\n"
     probeParity.foreach { case (id, s, o) =>
@@ -340,6 +456,17 @@ object Soak {
       s"only ${obs.size} observations — client threads died early?")
     require(fiveHundreds.get == 0, s"${fiveHundreds.get} 5xx responses")
     require(regressions.get == 0, s"${regressions.get} count regressions")
+    // The pinned serve SLA under concurrent ingest: with plans
+    // pre-warmed before the socket opens, no steady-regime request may
+    // pay a multi-second cold-plan outlier (pre-warmless soaks measured
+    // 37-54 s here). Swap-adjacent requests are bounded too, more
+    // loosely: a replan against a just-swapped table legitimately pays
+    // a cold-request floor, not a cold-PROCESS floor.
+    val steadyMax =
+      if (steady.isEmpty) 0.0 else steady.map(_.latMs).max
+    require(steadyMax <= steadyMaxBoundMs,
+      f"steady-regime max latency $steadyMax%.0f ms exceeds the pinned " +
+        f"$steadyMaxBoundMs%.0f ms bound")
     require(statsParity, "global_stats diverged from oracle")
     require(okParity, s"served counts diverged: $probeParity")
     println(s"[soak] PASS — report at $reportPath")

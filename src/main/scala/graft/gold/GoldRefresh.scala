@@ -1037,7 +1037,9 @@ object GoldRefresh {
     val io = graft.operators.MergeWriter.io
     val old = path + ".old-" + uid
     if (io.exists(path)) io.atomicMove(path, old)
-    io.atomicMove(tmp, path)
+    // Tolerant move-in: a reader's recoverCrashedSwap may roll this very
+    // swap forward between our renames (it stamps the same uid marker).
+    graft.operators.MergeWriter.moveInTolerant(tmp, path)
     io.deleteRecursively(old)
     // Swap marker, same contract as MergeWriter's writers: downstream
     // freshness checks (ResultCache.uidsFor, SilverStore's registration

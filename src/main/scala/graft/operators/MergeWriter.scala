@@ -81,7 +81,7 @@ object MergeWriter {
     df.write.mode("overwrite").parquet(tmp)
     val old = path + ".old-" + uid
     if (io.exists(path)) io.atomicMove(path, old)
-    io.atomicMove(tmp, path)
+    moveInTolerant(tmp, path)
     io.deleteRecursively(old)
     // Flat swaps stamp the marker too: downstream change detection (the
     // gold plane's input-uid comparison, SilverStore's registration
@@ -319,7 +319,7 @@ object MergeWriter {
     appendDirty(path, perBucket.keys)
     val old = path + ".old-" + uid
     if (io.exists(path)) io.atomicMove(path, old)
-    io.atomicMove(tmp, path)
+    moveInTolerant(tmp, path)
     io.deleteRecursively(old)
     writeSwapMarker(path, uid)
     n
@@ -553,7 +553,7 @@ object MergeWriter {
           if (io.exists(aside)) io.deleteRecursively(aside)
           io.atomicMove(path, aside)
         }
-        io.atomicMove(m.tmp, path)
+        moveInTolerant(m.tmp, path)
       }
       io.deleteRecursively(aside)
     } else {
@@ -937,6 +937,59 @@ object MergeWriter {
 
   private def writeSwapMarker(path: String, uid: String): Unit =
     io.writeStringAtomic(swapMarkerPath(path), uid)
+
+  /** Reader-side ROLL-FORWARD of a whole-table swap that died between
+    * its two renames — the swap protocol's only unservable crash
+    * window. In it, the live dir is missing while a COMPLETE
+    * `.tmp-<uid>` (the swap's payload, fully written before the swap
+    * began) and the `.old-<uid>` copy sit beside it under the SAME uid;
+    * finishing the crashed swap's remaining steps (move tmp in, drop
+    * old, stamp the marker) restores service with the data the swap was
+    * publishing. The paired-uid condition is what makes this safe:
+    * additive/manifest merges never take the live dir away (their tmp
+    * dirs are PARTIAL bucket sets — rolling one forward would truncate
+    * the table), so a missing live dir beside a tmp/old pair can only
+    * be this window. Anything else (lone tmp of a first-ever write
+    * nobody could yet read, multiple ambiguous pairs) is left for the
+    * next write to supersede. Concurrency-safe: losing the move race
+    * to the (still live after all) swapper or another reader leaves a
+    * live table either way, and the marker write is same-uid
+    * idempotent — see [[moveInTolerant]] for the swapper's side.
+    * Returns true if it restored a live table at `path`. */
+  private[graft] def recoverCrashedSwap(path: String): Boolean = {
+    if (io.exists(path)) return false
+    val slash = path.lastIndexOf('/')
+    if (slash < 0) return false
+    val (parent, name) = (path.take(slash), path.drop(slash + 1))
+    if (!io.exists(parent)) return false
+    val dirs = io.listDir(parent).collect { case (n, true) => n }.toSet
+    val tmpUids = dirs.collect {
+      case n if n.startsWith(name + ".tmp-") =>
+        n.stripPrefix(name + ".tmp-") }
+    val oldUids = dirs.collect {
+      case n if n.startsWith(name + ".old-") =>
+        n.stripPrefix(name + ".old-") }
+    val paired = tmpUids.intersect(oldUids)
+    if (paired.size != 1) return false
+    val uid = paired.head
+    try io.atomicMove(s"$path.tmp-$uid", path)
+    catch { case scala.util.control.NonFatal(_) => () /* lost the race */ }
+    if (!io.exists(path)) return false
+    io.deleteRecursively(s"$path.old-$uid")
+    writeSwapMarker(path, uid)
+    true
+  }
+
+  /** The swap's move-in, tolerant of [[recoverCrashedSwap]] stealing the
+    * step: a failed move whose destination is live and whose source is
+    * gone means a reader rolled this very swap forward (same uid, same
+    * payload, marker already stamped) — the swapper proceeds to its own
+    * idempotent tail. Any other failure shape rethrows. */
+  private[graft] def moveInTolerant(tmp: String, path: String): Unit =
+    try io.atomicMove(tmp, path)
+    catch { case scala.util.control.NonFatal(e) =>
+      if (!io.exists(path) || io.exists(tmp)) throw e
+    }
 
   private[operators] def readCountsSidecar(
       path: String): Option[(Map[String, Long], String)] =

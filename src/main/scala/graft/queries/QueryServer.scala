@@ -75,6 +75,7 @@ final class QueryServer(
   def errors: Long = errorCount.get
   def cacheHits: Long = cache.hits
   def cacheMisses: Long = cache.misses
+  def cacheSize: Int = cache.size
 
   // ----------------------------------------------------------- throttle
   /** Per-client token bucket (the reference's DRF AnonRateThrottle
@@ -299,11 +300,20 @@ final class QueryServer(
     // X-Forwarded-Proto deciding the scheme behind a TLS-terminating
     // proxy). No Host header (direct handle() callers, HTTP/1.0) falls
     // back to relative links — resolvable against the requested base.
+    // Both values are CLIENT-CONTROLLED and spliced into a JSON body,
+    // so they are validated against the grammar of a real authority /
+    // scheme first (Django's analogue: ALLOWED_HOSTS validation before
+    // build_absolute_uri). JDK HttpServer only rejects CR/LF in header
+    // values — a Host carrying a quote or backslash would otherwise
+    // corrupt the envelope's next/previous fields. Invalid values
+    // degrade to relative links, never a 500.
     val base = headers.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("host") && v.nonEmpty => v
+      case (k, v) if k.equalsIgnoreCase("host") &&
+        QueryServer.validHost(v) => v
     }.map { host =>
       val proto = headers.collectFirst {
-        case (k, v) if k.equalsIgnoreCase("x-forwarded-proto") && v.nonEmpty => v
+        case (k, v) if k.equalsIgnoreCase("x-forwarded-proto") &&
+          QueryServer.validScheme(v) => v
       }.getOrElse("http")
       s"$proto://$host"
     }.getOrElse("")
@@ -336,6 +346,20 @@ final class QueryServer(
           // loader's uid check rebuilds against the new table rather
           // than re-planning the same lost snapshot.
           Thread.sleep(50)
+          // A swap that CRASHED between its two renames leaves NO live
+          // table — the retry alone would report a 500 for every
+          // request until the next beat republishes. Roll the crashed
+          // swap forward first (finish its remaining steps from the
+          // complete tmp payload; see MergeWriter.recoverCrashedSwap
+          // for why the paired-uid residue makes this safe and
+          // race-tolerant). One directory listing when no recovery is
+          // needed — retries are beat-cadence rare.
+          QueryServer.rollForwardCrashedSwaps(silverDir): Unit
+          // …and drop the loader's frame memos: a swap that crashed
+          // after its move-in but before its marker write leaves the
+          // uid unchanged while the memoized frame's files are gone —
+          // the retry must replan from CURRENT disk, not the memo.
+          QueryServer.invalidateServingLoaders(silverDir)
           attempt()
       }
     } catch {
@@ -399,7 +423,11 @@ final class QueryServer(
   private def memo(path: String, params: Map[String, String],
       tables: Seq[String])(compute: => Response): Response =
     cache.memo(
-      ResultCache.routeKey(path, params.toSeq: _*), uids(tables))(compute)
+      ResultCache.routeKey(path, params.toSeq: _*), uids(tables),
+      // Django cache_page parity: only 200 bodies enter the LRU —
+      // otherwise each distinct garbage page/param value's 404 mints
+      // its own entry, an eviction lever against the shared cache.
+      (r: Response) => r.status == 200)(compute)
 
   private def route(path: String, params: Map[String, String]): Response = {
     // Accept both the reference's /api/v1 prefix and bare /v1 — but ONLY
@@ -653,6 +681,43 @@ final class QueryServer(
   }
 
   // -------------------------------------------------------- HTTP binding
+  /** Pre-warm the serve plane BEFORE the socket opens (the gunicorn
+    * `preload_app`/warmup analog): one synthetic request per route
+    * family through the full [[handle]] path, paid while the box is
+    * quiet. First-touch costs — Catalyst plan compilation, codegen,
+    * JIT, parquet footer reads, the memoized loader's table builds —
+    * land here instead of on the first client request, which in the
+    * deployment shape (serving resident next to a live ingest) would
+    * otherwise race the opening micro-batch for task slots: SOAK
+    * measured that race at 37-54 s on a handful of early-tail
+    * requests (FAIR scheduling and GC both tried and exonerated).
+    * Detail routes warm with a synthetic id — the 404 still compiles
+    * and executes the route's plan. Failures are swallowed: a missing
+    * optional table must not block startup. Returns
+    * (route, status, ms) per warmed route for the caller's log. */
+  def prewarm(paths: Seq[String] = QueryServer.PrewarmPaths)
+      : Seq[(String, Int, Double)] =
+    paths.map { p =>
+      val (path, query) = p.indexOf('?') match {
+        case -1 => (p, "")
+        case i => (p.take(i), p.drop(i + 1))
+      }
+      val params = query.split('&').toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        val k = if (i < 0) kv else kv.take(i)
+        val v = if (i < 0) "" else kv.drop(i + 1)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+      val t0 = System.nanoTime()
+      val r =
+        try handle("GET", path, params, client = "prewarm")
+        catch { case scala.util.control.NonFatal(_) =>
+          QueryServer.Response(599, "")
+        }
+      (p, r.status, (System.nanoTime() - t0) / 1e6)
+    }
+
   /** Bind [[handle]] on a JDK HttpServer. Returns the server (caller
     * stops it); a small fixed pool serves concurrently — route compute
     * is Spark-job bound, so the pool just needs to cover cache hits
@@ -729,6 +794,39 @@ object QueryServer {
     * resident server must bound per-request row volume. */
   val MaxPageSize = 10000
 
+  /** Default [[QueryServer.prewarm]] set: one representative per route
+    * family (every distinct plan shape the server compiles — list,
+    * keyset, detail, and each nested-collection family), with a
+    * synthetic id on the detail routes. page_size=1 keeps the warmed
+    * jobs tiny; the warm is about plans/JIT/footers, not rows. */
+  val PrewarmPaths: Seq[String] = Seq(
+    "/v1/stats",
+    "/v1/donors?page_size=1",
+    "/v1/donors?after=&page_size=1",
+    "/v1/accounts?page_size=1",
+    "/v1/accounts?after=&page_size=1",
+    "/v1/accounts/prewarm.synthetic.near",
+    "/v1/accounts/prewarm.synthetic.near/active_pots?page_size=1",
+    "/v1/accounts/prewarm.synthetic.near/pot_applications?page_size=1",
+    "/v1/accounts/prewarm.synthetic.near/donations_received?page_size=1",
+    "/v1/accounts/prewarm.synthetic.near/donations_received?after=&page_size=1",
+    "/v1/accounts/prewarm.synthetic.near/donations_sent?page_size=1",
+    "/v1/accounts/prewarm.synthetic.near/payouts_received?page_size=1",
+    "/v1/accounts/prewarm.synthetic.near/list-registrations?page_size=1",
+    "/v1/lists?page_size=1",
+    "/v1/lists/1",
+    "/v1/lists/1/registrations?page_size=1",
+    "/v1/lists/1/random_registration",
+    "/v1/pots?page_size=1",
+    "/v1/pots?after=&page_size=1",
+    "/v1/pots/prewarm.pot.near",
+    "/v1/pots/prewarm.pot.near/applications?page_size=1",
+    "/v1/pots/prewarm.pot.near/donations?page_size=1",
+    "/v1/pots/prewarm.pot.near/sponsors?page_size=1",
+    "/v1/pots/prewarm.pot.near/payouts?page_size=1",
+    "/v1/potfactories?page_size=1",
+    "/v1/donate_contract_config")
+
   /** One rendered HTTP response — status, JSON body, extra headers. */
   final case class Response(status: Int, body: String,
       headers: Map[String, String] = Map.empty)
@@ -758,13 +856,78 @@ object QueryServer {
     r.copy(body = splice(splice(r.body, "next"), "previous"))
   }
 
+  /** Frame-memo invalidators per silver dir: the stale-swap retry must
+    * be able to force memoizedServingLoader to rebuild from CURRENT
+    * disk. The marker-uid key alone cannot see a swap that crashed
+    * AFTER its move-in but BEFORE its marker write — the uid is
+    * unchanged while the memoized frame's files are gone, so without
+    * this hook the retry would replan the same dead snapshot until the
+    * next marker rotation. A list per dir: tests wire several loaders
+    * over one dir; production is one per process (closures are tiny,
+    * and clearing releases the frames they hold). */
+  private val loaderInvalidators =
+    scala.collection.concurrent.TrieMap[String, List[() => Unit]]()
+  private def registerLoaderInvalidator(dir: String, f: () => Unit): Unit = {
+    loaderInvalidators.updateWith(dir) {
+      case Some(fs) => Some(f :: fs)
+      case None => Some(List(f))
+    }: Unit
+  }
+  private[queries] def invalidateServingLoaders(dir: String): Unit =
+    loaderInvalidators.getOrElse(dir, Nil).foreach(_())
+
+  /** Sweep `dir` for tables whose live directory is missing beside
+    * whole-table swap residue and roll each forward
+    * (MergeWriter.recoverCrashedSwap) — the serve plane's half of the
+    * swap protocol's crash contract. Returns the number recovered. */
+  private[queries] def rollForwardCrashedSwaps(dir: String): Int = {
+    val io = graft.operators.MergeWriter.io
+    val entries =
+      try { if (io.exists(dir)) io.listDir(dir) else Seq.empty }
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    val names = entries.collect { case (n, true) => n }.toSet
+    val bases = names.flatMap { n =>
+      Seq(".tmp-", ".old-").flatMap { tag =>
+        val i = n.indexOf(tag)
+        if (i > 0) Some(n.take(i)) else None
+      }
+    }
+    bases.count(b => !names.contains(b) &&
+      graft.operators.MergeWriter.recoverCrashedSwap(s"$dir/$b"))
+  }
+
+  /** Host header grammar gate for absolute continuation links: the
+    * conservative authority charset (reg-name / IPv4 / bracketed IPv6 /
+    * port — RFC 3986 host + ":" port, minus percent-encoding). Anything
+    * outside it (in particular `"` and `\`, which JDK HttpServer lets
+    * through) is rejected and the response keeps relative links. */
+  private val HostPattern = java.util.regex.Pattern
+    .compile("[A-Za-z0-9._~:\\[\\]-]+")
+  private[queries] def validHost(v: String): Boolean =
+    v.nonEmpty && HostPattern.matcher(v).matches()
+
+  /** X-Forwarded-Proto gate: RFC 3986 scheme grammar
+    * (ALPHA *( ALPHA / DIGIT / "+" / "-" / "." )). */
+  private val SchemePattern = java.util.regex.Pattern
+    .compile("[A-Za-z][A-Za-z0-9+.-]*")
+  private[queries] def validScheme(v: String): Boolean =
+    v.nonEmpty && SchemePattern.matcher(v).matches()
+
   /** A read that lost its table snapshot to a concurrent swap: the
     * scan's file listing (or the table path itself, for the instant
     * between the swap's two renames) no longer exists. Walks the cause
     * chain — Spark wraps the task's FileNotFoundException in
-    * SparkException layers. Message sniffing on FILE_NOT_EXIST /
-    * PATH_NOT_FOUND covers the error-class forms whose cause chain is
-    * truncated by the scheduler's serialization. */
+    * SparkException layers. Message sniffing is SCOPED to Spark's
+    * bracketed error-class tags ("[PATH_NOT_FOUND]", "[FILE_NOT_EXIST]"
+    * — the forms whose cause chain the scheduler's serialization
+    * truncates); a bare "FileNotFoundException" substring is NOT enough,
+    * because any exception whose message merely quotes the class name
+    * would otherwise buy the 50 ms grace sleep plus a replanned second
+    * attempt. The retry itself stays unconditionally single-shot rather
+    * than uid-gated: a swap-shaped loss whose marker has not yet landed
+    * is exactly the race the grace sleep exists for, and a permanently
+    * missing table pays one bounded extra attempt before reporting the
+    * honest 500. */
   private[queries] def isStaleSwapRead(e: Throwable): Boolean = {
     var t = e
     var depth = 0
@@ -773,9 +936,8 @@ object QueryServer {
         case _: java.io.FileNotFoundException => return true
         case _ =>
           val m = t.getMessage
-          if (m != null && (m.contains("PATH_NOT_FOUND") ||
-              m.contains("FILE_NOT_EXIST") ||
-              m.contains("FileNotFoundException"))) return true
+          if (m != null && (m.contains("[PATH_NOT_FOUND]") ||
+              m.contains("[FILE_NOT_EXIST]"))) return true
       }
       t = t.getCause
       depth += 1
@@ -898,6 +1060,7 @@ object QueryServer {
     val io = graft.operators.MergeWriter.io
     val cache =
       scala.collection.concurrent.TrieMap[String, (String, DataFrame)]()
+    registerLoaderInvalidator(silverDir, () => cache.clear())
     name => {
       val physical = physicalTable(silverDir, name)
       val uid = io.readString(graft.operators.MergeWriter

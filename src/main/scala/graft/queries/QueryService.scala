@@ -34,7 +34,18 @@ object QueryService {
   val EagerSliceMaxOffset: Long = 1000000L
 
   /** Resolve [[LastPage]] against the priced count (django Paginator
-    * num_pages floors at 1, so `last` of an empty set is page 1). */
+    * num_pages floors at 1, so `last` of an empty set is page 1).
+    *
+    * DOCUMENTED DEVIATION (corner of the offset ceiling): on a set
+    * whose page count exceeds Int.MaxValue (> ~2.1B pages, i.e.
+    * > ~64B rows at the default page size), the resolved page clamps
+    * to Int.MaxValue, whose offset is beyond the addressable slice
+    * range — the envelope answers the typed 400 pointing at keyset
+    * pagination, where DRF (64-bit Postgres OFFSET) would serve the
+    * actual last page after an impossibly deep scan. Same rationale as
+    * the envelope's offset ceiling: at that depth, offset pagination
+    * is the wrong tool on either system; keyset serves the tail at
+    * constant cost. */
   def resolveLast(count: Long, page: Int, pageSize: Int): Int =
     if (page != LastPage) page
     else math.min(
@@ -150,11 +161,44 @@ final class QueryService(t0: String => DataFrame) {
     // validates the page before serialize collects anything, and legit
     // deep walkers ride keyset.
     val lo = (pg.toLong - 1L) * pageSize
-    val results =
+    // The eager slice launches CONCURRENTLY with the count (the A4
+    // overlap: a cold request pays max(count, slice), not their sum) —
+    // but under its own cancellable job group, gated on the count: a
+    // page the count proves past the end NEVER materializes — the
+    // envelope is about to 404 it, and executing the sort+offset job
+    // for it would hand each distinct garbage page value a
+    // discarded-work lever. The group tag is per-request-unique;
+    // interruptOnCancel stays false (interrupting a pooled thread
+    // mid-read can poison shared Hadoop FS clients — cancellation
+    // lands at the next task boundary, which for a page slice is
+    // milliseconds).
+    val sliceCancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sliceTag = "eager-page-slice-" + java.util.UUID.randomUUID().toString
+    val sc = df.sparkSession.sparkContext
+    val eagerSlice: Option[Future[DataFrame]] =
       if (lo <= QueryService.EagerSliceMaxOffset)
-        materializeDim(sliceOrEmpty(df, order, pg, pageSize))
-      else sliceOrEmpty(df, order, pg, pageSize)
-    Page(Await.result(fCount, Duration.Inf), pg, pageSize, results)
+        Some(Future {
+          if (sliceCancelled.get) df.limit(0)
+          else {
+            sc.setJobGroup(sliceTag, "eager page slice",
+              interruptOnCancel = false)
+            try materializeDim(sliceOrEmpty(df, order, pg, pageSize))
+            finally sc.clearJobGroup()
+          }
+        })
+      else None
+    val c = Await.result(fCount, Duration.Inf)
+    val pastEnd =
+      pg.toLong > math.max(1L, (c + pageSize - 1L) / pageSize)
+    val results = eagerSlice match {
+      case None => sliceOrEmpty(df, order, pg, pageSize)
+      case Some(_) if pastEnd =>
+        sliceCancelled.set(true)
+        sc.cancelJobGroup(sliceTag)
+        df.limit(0)
+      case Some(f) => Await.result(f, Duration.Inf)
+    }
+    Page(c, pg, pageSize, results)
   }
 
   /** [[Relational.pageSlice]] with the serving tier's degrade: the

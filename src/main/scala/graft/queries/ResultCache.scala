@@ -55,8 +55,13 @@ final class ResultCache(
   /** Serve `key` from cache when fresh, else run `compute`, store, and
     * return it. `uids` is the CURRENT freshness fingerprint of the tables
     * the route reads (evaluated on every call — cheap marker reads); a
-    * cached entry whose recorded fingerprint differs is recomputed. */
-  def memo[T <: AnyRef](key: String, uids: => Seq[String])(compute: => T): T = {
+    * cached entry whose recorded fingerprint differs is recomputed.
+    * `store` gates which computed values enter the map (Django
+    * cache_page parity: only status-200 bodies cache — without the
+    * gate, every distinct garbage param spelling that 404s would mint
+    * its own LRU entry, an eviction lever against the shared cache). */
+  def memo[T <: AnyRef](key: String, uids: => Seq[String],
+      store: T => Boolean = (_: T) => true)(compute: => T): T = {
     val t = now()
     val u = uids
     map.synchronized {
@@ -72,7 +77,8 @@ final class ResultCache(
     // the standard cache-stampede trade at this tier.
     missCount.incrementAndGet(): Unit
     val v = compute
-    map.synchronized { map.put(key, Entry(u, t, v)): Unit }
+    if (store(v))
+      map.synchronized { map.put(key, Entry(u, t, v)): Unit }
     v
   }
 

@@ -48,6 +48,10 @@ class QueryServerSpec extends SparkSpec {
     val payouts = Seq.empty[(String, String, java.sql.Timestamp)]
       .toDF("pot", "recipient", "paid_at")
       .withColumn("amount_paid_usd", lit(null).cast("decimal(20,2)"))
+      // full PotPayoutSerializer column set (production silver shape)
+      .withColumn("amount", lit(null).cast("string"))
+      .withColumn("ft", lit(null).cast("string"))
+      .withColumn("tx_hash", lit(null).cast("string"))
     Map(
       "accounts" -> accounts,
       "donations" -> donations,
@@ -70,6 +74,9 @@ class QueryServerSpec extends SparkSpec {
       "pot_factories" -> Seq(("v1.factory.near", "owner.near",
         """{"commit_hash":"abc123","link":"https://github.com/PotLock/core","version":"0.1.0"}"""))
         .toDF("account", "owner", "source_metadata"),
+      "donate_contract_config" -> Seq(
+        """{"owner":"potlock.near","protocol_fee_basis_points":250}""")
+        .toDF("config"),
       "account_stats" -> Stats.accountStats(accounts, donations, payouts),
       "global_stats" -> Stats.globalStats(donations, payouts))
   }
@@ -649,5 +656,303 @@ class QueryServerSpec extends SparkSpec {
       val (c4, _) = get("/api/v1/accounts?page=%zz")
       assert(c4 == 400)
     } finally http.stop(0)
+  }
+
+  test("hostile Host / X-Forwarded-Proto values degrade to relative links, never corrupt JSON") {
+    val qs70 = new QueryService(tables.updated("accounts",
+      (1 to 70).map(i => (f"acct$i%03d.near", null.asInstanceOf[String]))
+        .toDF("id", "near_social_profile_data"))(_))
+    val s = new QueryServer(qs70, silverDir)
+    // A Host carrying a quote/backslash (JDK HttpServer only rejects
+    // CR/LF in header values) must not be spliced into the envelope —
+    // the links stay relative and the body stays valid JSON.
+    val hostile = Seq(
+      """evil", "previous": "pwned""",
+      """a\"b""",
+      "host with spaces",
+      "evil/path",
+      "a?b=c",
+      "")
+    hostile.foreach { h =>
+      val r = s.handle("GET", "/api/v1/accounts", Map("page" -> "2"),
+        headers = Map("Host" -> h))
+      assert(r.status == 200, r.body)
+      assert(r.body.contains(""""next": "/api/v1/accounts?page=3""""),
+        s"Host=$h body=${r.body.take(200)}")
+      assert(!r.body.contains("pwned"))
+    }
+    // A hostile scheme falls back to http behind a VALID Host.
+    val badProto = s.handle("GET", "/api/v1/accounts", Map("page" -> "2"),
+      headers = Map("Host" -> "api.example.org",
+        "X-Forwarded-Proto" -> """https","x":""""))
+    assert(badProto.body.contains(
+      """"next": "http://api.example.org/api/v1/accounts?page=3""""),
+      badProto.body)
+    // The legit grammar still passes: reg-names, ports, bracketed IPv6.
+    Seq("api.example.org:8443", "[2001:db8::1]:8080", "10.0.0.7").foreach { h =>
+      val ok = s.handle("GET", "/api/v1/accounts", Map("page" -> "2"),
+        headers = Map("Host" -> h))
+      assert(ok.body.contains(s""""next": "http://$h/api/v1/accounts?page=3""""),
+        s"Host=$h body=${ok.body.take(200)}")
+    }
+  }
+
+  test("isStaleSwapRead scope: error-class tags match, quoted class names do not") {
+    // Real swap-loss shapes: the raw class, and Spark's bracketed
+    // error-class messages on a truncated cause chain.
+    assert(QueryServer.isStaleSwapRead(
+      new java.io.FileNotFoundException("part-0000.parquet")))
+    assert(QueryServer.isStaleSwapRead(new RuntimeException(
+      "outer", new java.io.FileNotFoundException("gone"))))
+    assert(QueryServer.isStaleSwapRead(new RuntimeException(
+      "[PATH_NOT_FOUND] Path does not exist: /tmp/t")))
+    assert(QueryServer.isStaleSwapRead(new RuntimeException(
+      "Job aborted: [FILE_NOT_EXIST] File file:/x does not exist")))
+    // An exception that merely QUOTES the class name must not buy the
+    // grace sleep + replan — it is not a swap loss.
+    assert(!QueryServer.isStaleSwapRead(new RuntimeException(
+      "user message mentioning java.io.FileNotFoundException verbatim")))
+    assert(!QueryServer.isStaleSwapRead(new RuntimeException(
+      "PATH_NOT_FOUND without brackets")))
+    assert(!QueryServer.isStaleSwapRead(new RuntimeException("plain failure")))
+  }
+
+  test("only 200 bodies enter the result cache (Django cache_page parity)") {
+    val s = server()
+    // Warm a legit route once: 1 miss, then a hit.
+    assert(s.handle("GET", "/api/v1/accounts", Map.empty).status == 200)
+    val missesAfterWarm = s.cacheMisses
+    assert(s.handle("GET", "/api/v1/accounts", Map.empty).status == 200)
+    assert(s.cacheMisses == missesAfterWarm)
+    // Distinct garbage page values 404 but mint NO entries: the repeat
+    // of each garbage value misses again (recompute), and the cache
+    // size stays at the single 200 entry — no eviction lever.
+    val size0 = s.cacheSize
+    (2 to 4).foreach { p =>
+      assert(s.handle("GET", "/api/v1/accounts",
+        Map("page" -> p.toString)).status == 404)
+      assert(s.handle("GET", "/api/v1/accounts",
+        Map("page" -> p.toString)).status == 404)
+    }
+    assert(s.cacheSize == size0,
+      s"404s minted cache entries: $size0 -> ${s.cacheSize}")
+  }
+
+  test("mid-swap kill loop: crashes injected at every swap step — zero 5xx, zero stale bodies") {
+    // The serve-plane symmetry of GoldSpec's gold-state crash loop: the
+    // swap protocol (move aside → move in → drop old → stamp marker) is
+    // killed after EACH step, a burst of requests fires against the
+    // crashed state through the production wiring (memoized serving
+    // loader + stale-swap retry + roll-forward recovery), and then the
+    // restarted beat republishes. Contract under every crash state:
+    // never a 5xx, every body is the pre- or post-swap version (never a
+    // mix, never an older one), and versions are monotone per client.
+    val dir = tmpDir("serve-crash-swap")
+    val io = graft.operators.MergeWriter.io
+    val table = s"$dir/donate_contract_config"
+    def writeTmp(v: Int, uid: String): String = {
+      val tmp = s"$table.tmp-$uid"
+      Seq(s"""{"v":$v}""").toDF("config").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    }
+    val marker = graft.operators.MergeWriter.swapMarkerPath(table)
+    io.atomicMove(writeTmp(0, "u0"), table)
+    io.writeStringAtomic(marker, "u0")
+
+    val loader = QueryServer.memoizedServingLoader(spark, dir)
+    // ttl=0 result cache: every request computes, so the burst drives
+    // the loader + retry machinery instead of the rendered-body memo
+    // (whose swap semantics the invalidation test already pins).
+    val s = new QueryServer(new QueryService(loader), dir,
+      cache = new ResultCache(ttlMs = 0))
+    def served(): (Int, Int) = {
+      val r = s.handle("GET", "/v1/donate_contract_config", Map.empty)
+      val v =
+        if (r.status == 200)
+          """"v":(\d+)""".r.findFirstMatchIn(r.body)
+            .map(_.group(1).toInt).getOrElse(-1)
+        else -1
+      (r.status, v)
+    }
+    assert(served() == ((200, 0)))
+
+    var cur = 0
+    var n = 0
+    for {
+      round <- 1 to 3
+      killAfterStep <- 1 to 3 // 1=aside, 2=move-in, 3=old dropped; marker never lands
+    } {
+      n += 1
+      val v = cur + 1
+      val uid = f"k$n%03d"
+      val tmp = writeTmp(v, uid)
+      val old = s"$table.old-$uid"
+      io.atomicMove(table, old)
+      if (killAfterStep >= 2)
+        graft.operators.MergeWriter.moveInTolerant(tmp, table)
+      if (killAfterStep >= 3) io.deleteRecursively(old)
+      // ---- the crashed state serves
+      var seenNew = false
+      (1 to 5).foreach { i =>
+        val (st, got) = served()
+        assert(st == 200,
+          s"round $round kill@$killAfterStep req $i: status $st")
+        assert(got == cur || got == v,
+          s"round $round kill@$killAfterStep: served v=$got want $cur|$v")
+        if (seenNew) assert(got == v,
+          s"round $round kill@$killAfterStep: regressed to $got after $v")
+        if (got == v) seenNew = true
+      }
+      // ---- the restarted beat republishes (fresh uid, same content)
+      val uid2 = uid + "r"
+      val tmp2 = writeTmp(v, uid2)
+      val old2 = s"$table.old-$uid2"
+      if (io.exists(table)) io.atomicMove(table, old2)
+      graft.operators.MergeWriter.moveInTolerant(tmp2, table)
+      io.deleteRecursively(old2)
+      io.writeStringAtomic(marker, uid2)
+      assert(served() == ((200, v)),
+        s"round $round kill@$killAfterStep: settled state wrong")
+      cur = v
+    }
+    // Residue contract: recovery consumes the tmp/old PAIR of the
+    // unservable window itself; a kill after the move-in strands only
+    // the `.old-` copy beside a LIVE table — which is exactly
+    // Maintenance.vacuum's cleanup contract (a reader must NOT delete
+    // it: the same shape is a healthy additive commit's aside
+    // mid-flight). After the vacuum, nothing remains.
+    val residue0 = io.listDir(dir).collect {
+      case (nm, true) if nm.contains(".tmp-") || nm.contains(".old-") => nm
+    }
+    assert(residue0.forall(_.contains(".old-")),
+      s"recovery left tmp residue: $residue0")
+    graft.operators.Maintenance.vacuum(table, graceMs = 0L): Unit
+    val residue = io.listDir(dir).collect {
+      case (nm, true) if nm.contains(".tmp-") || nm.contains(".old-") => nm
+    }
+    assert(residue.isEmpty, s"swap residue survived the vacuum: $residue")
+  }
+
+  test("OpenAPI parity audit: served schema covers every route, param, and envelope; every schema path routes") {
+    import scala.jdk.CollectionConverters._
+    val s = server()
+    val doc = s.handle("GET", "/api/schema", Map.empty)
+    assert(doc.status == 200, doc.body.take(120))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(doc.body)
+    val paths = root.get("paths")
+    assert(paths != null && paths.isObject, "schema has no paths object")
+
+    // The reference's api/urls.py:49-132 route inventory, declared HERE,
+    // independently of OpenApi.routes — drift in EITHER direction
+    // (schema advertising a route the server dropped, or the server
+    // growing a route the document omits) fails this audit. `after` is
+    // the engine's keyset extension, documented on every statically
+    // ordered list route (active_pots excluded: liveness filter, no
+    // stable cursor).
+    val inventory: Seq[(String, Set[String], Boolean)] = Seq(
+      ("/api/v1/accounts", Set("page", "page_size", "after"), true),
+      ("/api/v1/accounts/{account_id}", Set("account_id"), false),
+      ("/api/v1/accounts/{account_id}/active_pots",
+        Set("account_id", "status", "page", "page_size"), true),
+      ("/api/v1/accounts/{account_id}/pot_applications",
+        Set("account_id", "status", "page", "page_size", "after"), true),
+      ("/api/v1/accounts/{account_id}/donations_received",
+        Set("account_id", "page", "page_size", "after"), true),
+      ("/api/v1/accounts/{account_id}/donations_sent",
+        Set("account_id", "page", "page_size", "after"), true),
+      ("/api/v1/accounts/{account_id}/payouts_received",
+        Set("account_id", "page", "page_size", "after"), true),
+      ("/api/v1/accounts/{account_id}/list-registrations",
+        Set("account_id", "status", "page", "page_size", "after"), true),
+      ("/api/v1/donate_contract_config", Set.empty[String], false),
+      ("/api/v1/donors", Set("sort", "page", "page_size", "after"), true),
+      ("/api/v1/lists", Set("page", "page_size", "after"), true),
+      ("/api/v1/lists/{list_id}", Set("list_id"), false),
+      ("/api/v1/lists/{list_id}/registrations",
+        Set("list_id", "status", "category", "page", "page_size", "after"),
+        true),
+      ("/api/v1/lists/{list_id}/random_registration",
+        Set("list_id", "status"), false),
+      ("/api/v1/pots", Set("page", "page_size", "after"), true),
+      ("/api/v1/pots/{pot_id}", Set("pot_id"), false),
+      ("/api/v1/pots/{pot_id}/applications",
+        Set("pot_id", "page", "page_size", "after"), true),
+      ("/api/v1/pots/{pot_id}/donations",
+        Set("pot_id", "page", "page_size", "after"), true),
+      ("/api/v1/pots/{pot_id}/sponsors",
+        Set("pot_id", "page", "page_size", "after"), true),
+      ("/api/v1/pots/{pot_id}/payouts",
+        Set("pot_id", "page", "page_size", "after"), true),
+      ("/api/v1/potfactories", Set("page", "page_size", "after"), true),
+      ("/api/v1/stats", Set.empty[String], false))
+
+    // 1) schema side: every inventory route present, with exactly the
+    //    expected params and the DRF envelope keys on paginated routes.
+    inventory.foreach { case (p, params, paginated) =>
+      val node = paths.get(p)
+      assert(node != null, s"schema missing path $p")
+      val get = node.get("get")
+      assert(get != null && get.has("summary"), s"$p: no get/summary")
+      val declared = Option(get.get("parameters")).toSeq
+        .flatMap(_.elements().asScala).map(_.get("name").asText()).toSet
+      assert(declared == params,
+        s"$p params drifted: schema=$declared expected=$params")
+      val respSchema = get.get("responses").get("200")
+        .get("content").get("application/json").get("schema")
+      assert(respSchema != null, s"$p: no 200 response schema")
+      if (paginated) {
+        val props = respSchema.get("properties")
+        assert(props != null, s"$p: paginated but no envelope properties")
+        Seq("count", "next", "previous", "results").foreach { k =>
+          assert(props.has(k), s"$p envelope missing $k")
+        }
+      }
+    }
+    // 2) no phantom paths: the schema documents exactly the inventory.
+    val documented = paths.fieldNames().asScala.toSet
+    assert(documented == inventory.map(_._1).toSet,
+      s"phantom/missing schema paths: ${
+        (documented diff inventory.map(_._1).toSet) ++
+          (inventory.map(_._1).toSet diff documented)}")
+    // 3) implementation side: every documented path actually ROUTES —
+    //    a synthetic-id request must reach the route's own handler (a
+    //    typed 404/400/200), never the router's generic not-found.
+    inventory.foreach { case (p, _, _) =>
+      val concrete = p.replace("{account_id}", "ghost.near")
+        .replace("{list_id}", "1").replace("{pot_id}", "ghost.pot.near")
+      val r = s.handle("GET", concrete, Map.empty)
+      assert(r.status < 500, s"$concrete 5xx: ${r.body.take(120)}")
+      assert(r.status != 405 && !(r.status == 404 &&
+        r.body.contains("\"Not found:")),
+        s"$concrete does not route: ${r.status} ${r.body.take(120)}")
+    }
+    // 4) the service-meta routes of api/urls.py:38-47 serve alongside.
+    assert(s.handle("GET", "/schema", Map.empty).status == 200)
+    assert(s.handle("GET", "/docs", Map.empty).body.toLowerCase
+      .contains("swagger"))
+    assert(s.handle("GET", "/redoc", Map.empty).body.toLowerCase
+      .contains("redoc"))
+  }
+
+  test("prewarm compiles every route family before the socket opens: no 5xx, cache primed") {
+    val s = server()
+    val warmed = s.prewarm()
+    assert(warmed.nonEmpty)
+    // Synthetic ids 404, list routes 200, active_pots' ?after= guard
+    // 400s — but nothing may 5xx during warmup.
+    warmed.foreach { case (p, status, _) =>
+      assert(status < 500, s"prewarm 5xx on $p")
+    }
+    val statuses = warmed.map(_._2).toSet
+    assert(statuses.contains(200), s"no 200s in prewarm: $warmed")
+    // The list-route warms prime the cache: the first real request on a
+    // warmed list route is a HIT, not a cold compute.
+    val hits0 = s.cacheHits
+    assert(s.handle("GET", "/v1/accounts",
+      Map("page_size" -> "1")).status == 200)
+    assert(s.cacheHits == hits0 + 1,
+      s"warmed route missed the cache: hits $hits0 -> ${s.cacheHits}")
   }
 }
