@@ -53,7 +53,18 @@ object Soak {
     // default bound's proof.
     val steadyMaxBoundMs =
       sys.env.getOrElse("SPARK_GRAFT_SOAK_STEADY_MAX_MS", "5000").toDouble
-    val spark = HarnessSession.local()
+    // DRIVER HEADROOM: in local mode the DAGScheduler's single event-loop
+    // thread (which serializes a task-binary broadcast per stage
+    // submission) competes with the executor task threads for cores.
+    // local[nproc] leaves it ZERO headroom — measured here: with 32/32
+    // cores as task slots, a 1-task canary job took up to 14 s to
+    // schedule and post-swap recomputes convoyed to 39 s while executor
+    // slots sat IDLE between stages; reserving 4 cores cut the canary
+    // max to 4 s. On a real cluster the driver is its own machine — this
+    // is the local-mode equivalent of not scheduling executors onto it.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors() - 4).toString)
+    val spark = HarnessSession.local(cpus)
 
     val base = new java.io.File(workDir)
     if (base.exists()) IngestBench.deleteRecursively(base)
@@ -353,9 +364,23 @@ object Soak {
     val statsParity = liveStats == oracleStats
 
     val probeParity = Seq("proj1.near", "proj2.near", "proj3.near").map { id =>
-      val served = countRe.findFirstMatchIn(
+      // The result cache serves stale-while-revalidate after a swap, so
+      // the settled count may take one background recompute to surface:
+      // poll until the served value holds still across two samples
+      // (bounded — the store is quiescent, so the value converges).
+      def servedCount(): Long = countRe.findFirstMatchIn(
         get(s"/api/v1/accounts/$id/donations_received?page_size=1")._2)
         .map(_.group(1).toLong).getOrElse(-1L)
+      var served = servedCount()
+      var settled = false
+      var polls = 0
+      while (!settled && polls < 60) {
+        Thread.sleep(500)
+        polls += 1
+        val again = servedCount()
+        if (again == served && polls >= 2) settled = true
+        served = again
+      }
       val oracle = spark.read.parquet(s"$oracleDir/donations_enriched")
         .filter(col("recipient") === lit(id)).count()
       (id, served, oracle)

@@ -59,14 +59,19 @@ object MergeWriter {
       if (coalesceUpdates) backfillNulls(unioned, keys, seq) else unioned
 
     val merged = Relational.lwwDedup(merged0, keys, seq.map(col))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Count from the cached merge result — re-reading the whole written
-    // table per batch would make ingest cost grow with table history.
-    val n = merged.count()
-    writeAndSwap(merged, path)
-    merged.unpersist()
-    n
+    // The row count rides the WRITE job as an observed metric: a
+    // separate count() action would double every flat merge's job count
+    // (and need the persist this used to carry) — at 30 merged tables
+    // per ingest micro-batch, the extra stage submissions are driver
+    // event-loop pressure, the measured serve-plane bottleneck. The
+    // Observation resolves once the write's action completes.
+    val obs = new org.apache.spark.sql.Observation(
+      "merge-rows-" + java.util.UUID.randomUUID().toString.take(8))
+    writeAndSwap(merged.observe(obs, count(lit(1)).as("n")), path)
+    // An EMPTY write schedules zero tasks and resolves the Observation
+    // with no metrics — absence means zero rows.
+    obs.get.get("n").fold(0L)(_.asInstanceOf[Long])
   }
 
   /** Write `df` to a tmp dir and swap it in with the rename-aside pattern:
@@ -291,30 +296,42 @@ object MergeWriter {
     val merged0 =
       if (coalesceUpdates) backfillNulls(unioned, keys, seq) else unioned
     val merged = Relational.lwwDedup(merged0, keys, seq.map(col))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Per-bucket counts double as the total AND seed the counts sidecar,
-    // so the next (scoped) merge never pays a heal scan.
-    val perBucket: Map[String, Long] = merged
-      .groupBy(bucketIdExpr(bucketCol, buckets)).count()
-      .collect().map(r => (s"bucket=${r.get(0)}", r.getLong(1))).toMap
-    val n = perBucket.values.sum
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val tmp = path + ".tmp-" + uid
     val tmpTable = s"graft_merge_bucketed_$uid"
-    // A zero-row bucketed write produces no data files; readers probe
-    // looksBucketed() and fall back to plain parquet, so keep the flat
-    // bootstrap write for the empty case (same contract as
-    // mergePartitioned's empty-batch bootstrap).
-    if (n == 0) {
-      merged.unpersist()
-      return merge(spark, incoming, path, keys, seq, coalesceUpdates)
-    }
-    merged.repartition(buckets, col(bucketCol))
+    // Per-bucket counts double as the total AND seed the counts sidecar
+    // (so the next scoped merge never pays a heal scan) — and they ride
+    // the WRITE job as observed per-bucket aggregates rather than a
+    // separate groupBy+collect action: the extra job per table per
+    // micro-batch was driver event-loop pressure (the measured
+    // serve-plane bottleneck), and dropping it also drops the persist
+    // the two-pass shape needed.
+    val obs = new org.apache.spark.sql.Observation(s"merge-buckets-$uid")
+    val bucketAggs = (0 until buckets).map(b =>
+      count(when(bucketIdExpr(bucketCol, buckets) === b, 1)).as(s"b$b"))
+    merged.observe(obs, bucketAggs.head, bucketAggs.tail: _*)
+      .repartition(buckets, col(bucketCol))
       .write.format("parquet").option("path", tmp)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .mode("overwrite").saveAsTable(tmpTable)
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files stay
-    merged.unpersist()
+    // An EMPTY write schedules zero tasks, so the Observation resolves
+    // with no metrics at all — missing keys mean zero rows, not a bug.
+    val observed = obs.get
+    val perBucket: Map[String, Long] = (0 until buckets)
+      .map(b => s"bucket=$b" ->
+        observed.get(s"b$b").fold(0L)(_.asInstanceOf[Long]))
+      .filter(_._2 > 0L).toMap
+    val n = perBucket.values.sum
+    // A zero-row bucketed write produces no data files; readers probe
+    // looksBucketed() and fall back to plain parquet, so the empty case
+    // keeps the flat bootstrap write (same contract as
+    // mergePartitioned's empty-batch bootstrap). The empty tmp written
+    // above holds only metadata — drop it and delegate.
+    if (n == 0) {
+      io.deleteRecursively(tmp)
+      return merge(spark, incoming, path, keys, seq, coalesceUpdates)
+    }
     writeCountsSidecar(path, perBucket, uid)
     appendDirty(path, perBucket.keys)
     val old = path + ".old-" + uid

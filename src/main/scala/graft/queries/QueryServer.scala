@@ -671,7 +671,9 @@ final class QueryServer(
     s"""{"requests": ${requestCount.get}, "throttled": ${throttledCount.get}, """ +
       s""""errors": ${errorCount.get}, "stale_retries": ${staleRetryCount.get}, """ +
       s""""cache_hits": ${cache.hits}, """ +
-      s""""cache_misses": ${cache.misses}, "cache_entries": ${cache.size}, """ +
+      s""""cache_misses": ${cache.misses}, """ +
+      s""""cache_revalidations": ${cache.revalidations}, """ +
+      s""""cache_entries": ${cache.size}, """ +
       s""""throttle_per_min": $throttlePerMin, "uptime_s": $up}"""
   }
 

@@ -21,14 +21,30 @@ class ResultCacheSpec extends AnyFunSuite {
     assert(cache.hits == 1 && cache.misses == 1)
   }
 
-  test("a table merge (uid rotation) invalidates immediately") {
+  test("uid rotation: stale-while-revalidate serves the pre-swap body, then converges") {
     val cache = new ResultCache(ttlMs = 300000)
+    @volatile var computes = 0
+    val k = ResultCache.routeKey("/v1/donations", "page" -> 1)
+    cache.memo(k, Seq("u1")) { computes += 1; "v1" }
+    // Rotation: the request path serves the PRE-swap body (no recompute
+    // convoy on clients) while a single-flight background recompute runs…
+    assert(cache.memo(k, Seq("u2")) { computes += 1; "v2" } == "v1")
+    // …and the entry converges to the recomputed body.
+    var polls = 0
+    while (cache.memo(k, Seq("u2")) { computes += 1; "v2" } == "v1" &&
+        polls < 200) { Thread.sleep(25); polls += 1 }
+    assert(cache.memo(k, Seq("u2")) { computes += 1; "v3" } == "v2")
+    assert(computes == 2, s"stampeded: $computes computes")
+    assert(cache.revalidations == 1)
+  }
+
+  test("staleWhileRevalidate=false keeps the synchronous rotation recompute") {
+    val cache = new ResultCache(ttlMs = 300000, staleWhileRevalidate = false)
     var computes = 0
     val k = ResultCache.routeKey("/v1/donations", "page" -> 1)
     cache.memo(k, Seq("u1")) { computes += 1; "v1" }
     val v = cache.memo(k, Seq("u2")) { computes += 1; "v2" }
     assert(computes == 2 && v == "v2")
-    // And the fresh entry serves under the new uid.
     assert(cache.memo(k, Seq("u2")) { computes += 1; "v3" } == "v2")
     assert(computes == 2)
   }
