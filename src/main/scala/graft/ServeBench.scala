@@ -303,23 +303,24 @@ object ServeBench {
       coldPort, s"/api/v1/accounts?page=$depth")
     var keysetUrl = "/api/v1/accounts?after="
     val nextRe = """"next": "([^"]+)"""".r
+    // Over real sockets `next` is an ABSOLUTE URI (Host-header DRF
+    // parity); the fetch helper is port-addressed, so keep path?query.
+    def stripAbs(u: String): String =
+      if (!u.startsWith("http")) u
+      else {
+        val uri = java.net.URI.create(u)
+        uri.getRawPath + Option(uri.getRawQuery).map("?" + _).getOrElse("")
+      }
     (1 until depth).foreach { hop =>
       // Fail LOUD: a swallowed error or early next=null here would leave
       // the duel measuring a shallower keyset page than the offset side
       // and publish a bogus parity number.
       val (code, body, _) = get(coldPort, keysetUrl)
       require(code == 200, s"keyset walk hop $hop: HTTP $code at $keysetUrl")
-      // Over real sockets `next` is an ABSOLUTE URI (Host-header DRF
-      // parity); the fetch helper is port-addressed, so keep path?query.
-      keysetUrl = nextRe.findFirstMatchIn(body).map(_.group(1)).map { u =>
-        if (!u.startsWith("http")) u
-        else {
-          val uri = java.net.URI.create(u)
-          uri.getRawPath + Option(uri.getRawQuery).map("?" + _).getOrElse("")
-        }
-      }.getOrElse(
-        sys.error(s"keyset walk ended at hop $hop (next=null) — store " +
-          s"too small for depth $depth"))
+      keysetUrl = nextRe.findFirstMatchIn(body).map(m => stripAbs(m.group(1)))
+        .getOrElse(
+          sys.error(s"keyset walk ended at hop $hop (next=null) — store " +
+            s"too small for depth $depth"))
     }
     val keysetDeep = measure(s"GET ?after=… page $depth (keyset, bounded work)",
       coldPort, keysetUrl)
@@ -331,12 +332,6 @@ object ServeBench {
     // depth: offset's per-page cost grows with the discarded prefix
     // (produce-and-throw-away page·size rows), keyset's stays flat
     // (TakeOrderedAndProject below a pushed range predicate).
-    def stripAbs(u: String): String =
-      if (!u.startsWith("http")) u
-      else {
-        val uri = java.net.URI.create(u)
-        uri.getRawPath + Option(uri.getRawQuery).map("?" + _).getOrElse("")
-      }
     val walkCount = {
       val (c0, b0, _) = get(coldPort, "/api/v1/accounts?page=1")
       require(c0 == 200, s"walk page 1: HTTP $c0")
@@ -414,7 +409,7 @@ object ServeBench {
       // deterministic id layout: the last id of page N-1.
       val cursor =
         if (pageN == 1) ""
-        else f"acct${(pageN - 1) * 30 - 1}%08d.near"
+        else f"acct${(pageN - 1) * QueryService.DefaultPageSize - 1}%08d.near"
       val ks = med3(s"/api/v1/accounts?after=$cursor")
       (pageN, off, ks)
     }

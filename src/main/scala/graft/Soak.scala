@@ -365,24 +365,24 @@ object Soak {
 
     val probeParity = Seq("proj1.near", "proj2.near", "proj3.near").map { id =>
       // The result cache serves stale-while-revalidate after a swap, so
-      // the settled count may take one background recompute to surface:
-      // poll until the served value holds still across two samples
-      // (bounded — the store is quiescent, so the value converges).
+      // the settled count may take one background recompute to surface.
+      // "Holds still across two samples" would ALSO be satisfied by a
+      // stale body whose revalidation outlasts the sample gap — poll
+      // against the ORACLE value itself (the store is quiescent, so the
+      // served count must converge to it; a count that never does is
+      // exactly the parity failure the require reports).
+      val oracle = spark.read.parquet(s"$oracleDir/donations_enriched")
+        .filter(col("recipient") === lit(id)).count()
       def servedCount(): Long = countRe.findFirstMatchIn(
         get(s"/api/v1/accounts/$id/donations_received?page_size=1")._2)
         .map(_.group(1).toLong).getOrElse(-1L)
       var served = servedCount()
-      var settled = false
       var polls = 0
-      while (!settled && polls < 60) {
+      while (served != oracle && polls < 60) {
         Thread.sleep(500)
         polls += 1
-        val again = servedCount()
-        if (again == served && polls >= 2) settled = true
-        served = again
+        served = servedCount()
       }
-      val oracle = spark.read.parquet(s"$oracleDir/donations_enriched")
-        .filter(col("recipient") === lit(id)).count()
       (id, served, oracle)
     }
 

@@ -327,7 +327,11 @@ object MergeWriter {
     // looksBucketed() and fall back to plain parquet, so the empty case
     // keeps the flat bootstrap write (same contract as
     // mergePartitioned's empty-batch bootstrap). The empty tmp written
-    // above holds only metadata — drop it and delegate.
+    // above holds only metadata — drop it and delegate. (Detecting
+    // emptiness POST-write costs one extra zero-task write submission
+    // in this rare path — an empty frame schedules no tasks — which is
+    // cheaper than the pre-write count job the old two-pass shape paid
+    // on EVERY merge.)
     if (n == 0) {
       io.deleteRecursively(tmp)
       return merge(spark, incoming, path, keys, seq, coalesceUpdates)
@@ -989,9 +993,19 @@ object MergeWriter {
     val paired = tmpUids.intersect(oldUids)
     if (paired.size != 1) return false
     val uid = paired.head
-    try io.atomicMove(s"$path.tmp-$uid", path)
-    catch { case scala.util.control.NonFatal(_) => () /* lost the race */ }
-    if (!io.exists(path)) return false
+    val moved =
+      try { io.atomicMove(s"$path.tmp-$uid", path); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!moved)
+      // Lost the move race. The winner may be a SAME-uid peer (another
+      // reader, or the original swapper resuming — either stamps this
+      // uid's marker) or a DIFFERENT-uid republish (the restarted beat
+      // wrote fresh content under a new uid and stamped ITS marker).
+      // Stamping uid here in the second case would regress the marker
+      // below the live content — only the mover may stamp. A live
+      // table either way is the recovery's goal; report whether one
+      // exists, and leave this pair's residue to the vacuum.
+      return io.exists(path)
     io.deleteRecursively(s"$path.old-$uid")
     writeSwapMarker(path, uid)
     true

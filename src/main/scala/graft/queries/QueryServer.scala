@@ -858,25 +858,52 @@ object QueryServer {
     r.copy(body = splice(splice(r.body, "next"), "previous"))
   }
 
-  /** Frame-memo invalidators per silver dir: the stale-swap retry must
-    * be able to force memoizedServingLoader to rebuild from CURRENT
-    * disk. The marker-uid key alone cannot see a swap that crashed
-    * AFTER its move-in but BEFORE its marker write — the uid is
-    * unchanged while the memoized frame's files are gone, so without
-    * this hook the retry would replan the same dead snapshot until the
-    * next marker rotation. A list per dir: tests wire several loaders
-    * over one dir; production is one per process (closures are tiny,
-    * and clearing releases the frames they hold). */
-  private val loaderInvalidators =
-    scala.collection.concurrent.TrieMap[String, List[() => Unit]]()
-  private def registerLoaderInvalidator(dir: String, f: () => Unit): Unit = {
-    loaderInvalidators.updateWith(dir) {
-      case Some(fs) => Some(f :: fs)
-      case None => Some(List(f))
+  /** Frame memos per silver dir, WEAKLY held: the stale-swap retry must
+    * be able to drop memoizedServingLoader entries whose files are gone
+    * so the replan reads CURRENT disk. The marker-uid key alone cannot
+    * see a swap that crashed AFTER its move-in but BEFORE its marker
+    * write — the uid is unchanged while the memoized frame's files are
+    * gone; without this hook the retry would replan the same dead
+    * snapshot until the next marker rotation. Weak references: tests
+    * and benches wire many loaders per JVM, and a strongly-held closure
+    * would pin every discarded loader's frames (and their plans) for
+    * the process lifetime. */
+  private val loaderCaches = scala.collection.concurrent.TrieMap[String,
+    List[java.lang.ref.WeakReference[
+      scala.collection.concurrent.TrieMap[String, (String, DataFrame)]]]]()
+  private def registerLoaderCache(dir: String,
+      cache: scala.collection.concurrent.TrieMap[String, (String, DataFrame)])
+      : Unit = {
+    loaderCaches.updateWith(dir) {
+      case Some(rs) => Some(new java.lang.ref.WeakReference(cache) ::
+        rs.filter(_.get != null))
+      case None => Some(List(new java.lang.ref.WeakReference(cache)))
     }: Unit
   }
-  private[queries] def invalidateServingLoaders(dir: String): Unit =
-    loaderInvalidators.getOrElse(dir, Nil).foreach(_())
+
+  /** Drop the PRECISE set of dead loader entries for `dir`: an entry is
+    * dead when its recorded marker uid no longer matches (a rotation —
+    * the loader would rebuild it anyway; removal just releases the
+    * frame) or when the marker is unchanged but the frame's files are
+    * gone (the crashed-swap window). One marker read + one file stat
+    * per memoized table — NOT a whole-plane clear, which would turn one
+    * table's swap race into a cold replan of every route. */
+  private[queries] def invalidateServingLoaders(dir: String): Unit = {
+    val io = graft.operators.MergeWriter.io
+    loaderCaches.getOrElse(dir, Nil).foreach { ref =>
+      val cache = ref.get
+      if (cache != null) cache.foreach { case (name, (uid, df)) =>
+        val physical = physicalTable(dir, name)
+        val cur = io.readString(graft.operators.MergeWriter
+          .swapMarkerPath(s"$dir/$physical")).getOrElse("")
+        val filesGone =
+          try df.inputFiles.headOption.exists { f =>
+            !io.exists(new java.net.URI(f).getPath)
+          } catch { case scala.util.control.NonFatal(_) => true }
+        if (cur != uid || filesGone) cache.remove(name): Unit
+      }
+    }
+  }
 
   /** Sweep `dir` for tables whose live directory is missing beside
     * whole-table swap residue and roll each forward
@@ -1062,7 +1089,7 @@ object QueryServer {
     val io = graft.operators.MergeWriter.io
     val cache =
       scala.collection.concurrent.TrieMap[String, (String, DataFrame)]()
-    registerLoaderInvalidator(silverDir, () => cache.clear())
+    registerLoaderCache(silverDir, cache)
     name => {
       val physical = physicalTable(silverDir, name)
       val uid = io.readString(graft.operators.MergeWriter

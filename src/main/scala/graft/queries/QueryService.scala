@@ -182,8 +182,14 @@ final class QueryService(t0: String => DataFrame) {
           else {
             sc.setJobGroup(sliceTag, "eager page slice",
               interruptOnCancel = false)
-            try materializeDim(sliceOrEmpty(df, order, pg, pageSize))
-            finally sc.clearJobGroup()
+            try {
+              // Re-check AFTER the group is set; the cancel side uses
+              // cancelJobGroupAndFutureJobs, so even a job submitted
+              // after the cancel call is killed — between the two, no
+              // interleaving lets the discarded slice run to completion.
+              if (sliceCancelled.get) df.limit(0)
+              else materializeDim(sliceOrEmpty(df, order, pg, pageSize))
+            } finally sc.clearJobGroup()
           }
         })
       else None
@@ -194,7 +200,12 @@ final class QueryService(t0: String => DataFrame) {
       case None => sliceOrEmpty(df, order, pg, pageSize)
       case Some(_) if pastEnd =>
         sliceCancelled.set(true)
-        sc.cancelJobGroup(sliceTag)
+        // AndFutureJobs: a slice job submitted AFTER this call is
+        // cancelled too (plain cancelJobGroup only reaches jobs already
+        // in flight — the submit-after-cancel interleave would leak the
+        // whole discarded sort+offset job). The per-request-unique tag
+        // keeps the future-jobs tombstone from touching anything else.
+        sc.cancelJobGroupAndFutureJobs(sliceTag)
         df.limit(0)
       case Some(f) => Await.result(f, Duration.Inf)
     }

@@ -126,6 +126,14 @@ final class ResultCache(
               val v2 = compute
               if (store(v2))
                 map.synchronized { map.put(key, Entry(u2, t2, v2)): Unit }
+              else
+                // The recompute is a non-storable body (e.g. the route
+                // now 404s a page that existed pre-swap): EVICT the
+                // stale entry so the next request takes the synchronous
+                // miss path and serves the fresh answer. Leaving it
+                // would pin the dead 200 until TTL and re-trigger a
+                // background recompute on every request.
+                map.synchronized { map.remove(key): Unit }
             } catch {
               case scala.util.control.NonFatal(_) =>
                 // Dropped revalidation: the next stale hit retriggers.
