@@ -195,7 +195,7 @@ class QueryServerSpec extends SparkSpec {
     assert(s.handle("GET", "/health", Map.empty, client = "1.2.3.4").status == 200)
   }
 
-  test("rendered envelopes memoize; a swap-marker rotation invalidates immediately") {
+  test("rendered envelopes memoize; a swap-marker rotation triggers a revalidation") {
     val s = server()
     val cold = s.handle("GET", "/api/v1/stats", Map.empty)
     assert(cold.status == 200)
@@ -204,7 +204,9 @@ class QueryServerSpec extends SparkSpec {
     assert(warm == cold)
     assert(s.cacheHits >= 1 && s.cacheMisses == missesAfterCold)
     // Rotate the source table's swap marker (what every merge/refresh
-    // does): the very next request recomputes.
+    // does): the very next request triggers a recompute (served
+    // stale-while-revalidate — the request itself gets the pre-swap
+    // body; ResultCacheSpec pins the convergence).
     graft.operators.MergeWriter.io.writeStringAtomic(
       graft.operators.MergeWriter.swapMarkerPath(s"$silverDir/global_stats"),
       "probe-uid")
