@@ -836,6 +836,32 @@ class QueryServerSpec extends SparkSpec {
     assert(residue.isEmpty, s"swap residue survived the vacuum: $residue")
   }
 
+  test("loader invalidation is precise: only the table whose files vanished drops its frame") {
+    val dir = tmpDir("serve-precise-invalidate")
+    val io = graft.operators.MergeWriter.io
+    Seq(("a.near", 1L)).toDF("id", "v").write.parquet(s"$dir/t_alpha")
+    Seq(("b.near", 2L)).toDF("id", "v").write.parquet(s"$dir/t_beta")
+    io.writeStringAtomic(
+      graft.operators.MergeWriter.swapMarkerPath(s"$dir/t_alpha"), "ua")
+    io.writeStringAtomic(
+      graft.operators.MergeWriter.swapMarkerPath(s"$dir/t_beta"), "ub")
+    val loader = QueryServer.memoizedServingLoader(spark, dir)
+    val fAlpha = loader("t_alpha")
+    val fBeta = loader("t_beta")
+    // Simulate the crash-after-move-in window on ONE table: new files,
+    // marker unchanged (the uid key cannot see it).
+    io.deleteRecursively(s"$dir/t_alpha")
+    Seq(("a.near", 9L)).toDF("id", "v").write.parquet(s"$dir/t_alpha")
+    QueryServer.invalidateServingLoaders(dir)
+    // alpha rebuilds (its memoized files are gone); beta keeps the SAME
+    // frame — one table's swap race must not cold-replan the plane.
+    val fAlpha2 = loader("t_alpha")
+    assert(!(fAlpha2 eq fAlpha), "dead frame served from the memo")
+    assert(fAlpha2.collect().map(_.getLong(1)).toSeq == Seq(9L))
+    assert(loader("t_beta") eq fBeta,
+      "untouched table's frame was collaterally invalidated")
+  }
+
   test("OpenAPI parity audit: served schema covers every route, param, and envelope; every schema path routes") {
     import scala.jdk.CollectionConverters._
     val s = server()
