@@ -29,9 +29,23 @@ object HarnessSession {
       // clustered layouts rely on that for time-slice scans (Verify
       // pins the same value for the oracle dumps)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // MergeWriter's row/bucket counts ride the WRITE job as observed
+      // metrics (CollectMetrics accumulators). Accumulators drop FAILED
+      // attempts' updates (countFailedValues=false) — retry-safe, and
+      // RetryReplaySpec pins it — but a SPECULATIVE duplicate that also
+      // SUCCEEDS can double-apply its updates. Local mode never
+      // speculates; pin it false anyway so the session config documents
+      // the cluster requirement in the one shared builder. A cluster
+      // deployment that needs speculation must reconcile the counts
+      // sidecar against a recount instead (readCountsSidecar's heal path
+      // already does exactly that when the uids disagree).
+      .config("spark.speculation", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
+    require(!spark.sparkContext.getConf.getBoolean("spark.speculation",
+      defaultValue = false),
+      "speculative execution would double-count observed merge metrics")
     spark
   }
 

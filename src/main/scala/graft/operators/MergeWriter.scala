@@ -68,10 +68,46 @@ object MergeWriter {
     // Observation resolves once the write's action completes.
     val obs = new org.apache.spark.sql.Observation(
       "merge-rows-" + java.util.UUID.randomUUID().toString.take(8))
-    writeAndSwap(merged.observe(obs, count(lit(1)).as("n")), path)
-    // An EMPTY write schedules zero tasks and resolves the Observation
-    // with no metrics — absence means zero rows.
-    obs.get.get("n").fold(0L)(_.asInstanceOf[Long])
+    writeAndSwap(
+      preWriteWrap(path, merged).observe(obs, count(lit(1)).as("n")), path)
+    awaitObserved(obs).get("n").fold(0L)(_.asInstanceOf[Long])
+  }
+
+  /** Test seam for the Observation-fused count contract: wraps the
+    * merged frame IMMEDIATELY below the observe+write, so a failure the
+    * wrapper injects lands in the WRITE stage's own tasks (post-shuffle
+    * — the stage that updates the CollectMetrics accumulator and runs
+    * the file-commit protocol), not the input scan. Identity in
+    * production; RetryReplaySpec installs a first-attempt-fails wrapper
+    * keyed by table path to pin that a failed write task's PARTIAL
+    * accumulator updates are dropped and the retried task's counts land
+    * exactly once. Takes the table path so a concurrently-merging suite
+    * can never be wrapped by another suite's injection. */
+  @volatile private[graft] var preWriteWrap: (String, DataFrame) => DataFrame =
+    (_, df) => df
+
+  /** Bounded wait for an Observation's metrics row. The Observation is
+    * ALWAYS notified once the write's action completes — but the row it
+    * resolves with can be SCHEMALESS (a zero-task empty write notifies
+    * with no populated metrics; Spark's own `Observation.get` folds
+    * null-row/null-schema to Map.empty, mirrored here: missing keys mean
+    * zero rows). The bound guards a FUTURE plan shape that never
+    * notifies at all — there, `obs.get` would block forever; this fails
+    * loudly instead of hanging the merge. */
+  private def awaitObserved(
+      obs: org.apache.spark.sql.Observation): Map[String, Any] = {
+    import scala.concurrent.duration._
+    val row =
+      try scala.concurrent.Await.result(obs.future, 120.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            s"Observation '${obs.name}' never resolved: the write " +
+              "completed but its plan carried no CollectMetrics entry " +
+              "(plan shape changed?) — refusing to hang the merge.")
+      }
+    if (row == null || row.schema == null) Map.empty
+    else row.schema.fieldNames.map(f => f -> row.getAs[Any](f)).toMap
   }
 
   /** Write `df` to a tmp dir and swap it in with the rename-aside pattern:
@@ -309,15 +345,13 @@ object MergeWriter {
     val obs = new org.apache.spark.sql.Observation(s"merge-buckets-$uid")
     val bucketAggs = (0 until buckets).map(b =>
       count(when(bucketIdExpr(bucketCol, buckets) === b, 1)).as(s"b$b"))
-    merged.observe(obs, bucketAggs.head, bucketAggs.tail: _*)
+    preWriteWrap(path, merged).observe(obs, bucketAggs.head, bucketAggs.tail: _*)
       .repartition(buckets, col(bucketCol))
       .write.format("parquet").option("path", tmp)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .mode("overwrite").saveAsTable(tmpTable)
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files stay
-    // An EMPTY write schedules zero tasks, so the Observation resolves
-    // with no metrics at all — missing keys mean zero rows, not a bug.
-    val observed = obs.get
+    val observed = awaitObserved(obs)
     val perBucket: Map[String, Long] = (0 until buckets)
       .map(b => s"bucket=$b" ->
         observed.get(s"b$b").fold(0L)(_.asInstanceOf[Long]))
@@ -993,6 +1027,22 @@ object MergeWriter {
     val paired = tmpUids.intersect(oldUids)
     if (paired.size != 1) return false
     val uid = paired.head
+    // Marker snapshot + payload sentinel, taken BEFORE the move: the
+    // stamp below is conditional on both. Without them, a restarted
+    // beat republishing under a NEW uid between this reader's move-in
+    // and its marker write would get its fresh marker overwritten by
+    // this late stamp — regressing the marker behind the live content
+    // for one beat (mislabeled cache/loader fingerprints). The sentinel
+    // is a `_`-prefixed file INSIDE the payload (Spark readers ignore
+    // it, like _SUCCESS): after the move it travels with the recovered
+    // dir, so "sentinel still present at `path`" means the live dir is
+    // still THIS recovery's content, not a republish that rotated it
+    // away. Same-uid peers write the same sentinel name — their
+    // duplicate stamps stay idempotent.
+    val markerBefore = io.readString(swapMarkerPath(path))
+    val sentinel = s"_graft_recover_$uid"
+    try io.writeStringAtomic(s"$path.tmp-$uid/$sentinel", uid)
+    catch { case scala.util.control.NonFatal(_) => () } // tmp already won a race
     val moved =
       try { io.atomicMove(s"$path.tmp-$uid", path); true }
       catch { case scala.util.control.NonFatal(_) => false }
@@ -1007,7 +1057,15 @@ object MergeWriter {
       // exists, and leave this pair's residue to the vacuum.
       return io.exists(path)
     io.deleteRecursively(s"$path.old-$uid")
-    writeSwapMarker(path, uid)
+    // Conditional stamp (compare-and-set style): only if the marker is
+    // untouched since recovery began AND the live dir still carries this
+    // recovery's sentinel. Either check failing means a different-uid
+    // republish already stamped fresher content — leave its marker be.
+    if (io.readString(swapMarkerPath(path)) == markerBefore &&
+        io.exists(s"$path/$sentinel"))
+      writeSwapMarker(path, uid)
+    try io.deleteRecursively(s"$path/$sentinel")
+    catch { case scala.util.control.NonFatal(_) => () } // rotated away mid-delete
     true
   }
 
@@ -1022,7 +1080,7 @@ object MergeWriter {
       if (!io.exists(path) || io.exists(tmp)) throw e
     }
 
-  private[operators] def readCountsSidecar(
+  private[graft] def readCountsSidecar(
       path: String): Option[(Map[String, Long], String)] =
     io.readString(sidecarPath(path)).flatMap { txt =>
       scala.util.Try {

@@ -71,11 +71,26 @@ object LocalTableIO extends TableIO {
   def createDirectories(path: String): Unit =
     Files.createDirectories(p(path))
 
-  def deleteRecursively(path: String): Unit =
-    if (Files.exists(p(path))) {
-      Files.walk(p(path)).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+  def deleteRecursively(path: String): Unit = {
+    // Tolerates a CONCURRENT deleter of the same tree: the swap
+    // protocol's cleanup can legitimately race (a reader's
+    // recoverCrashedSwap deletes the `.old-` copy the resuming swapper
+    // is also deleting — SwapRecoveryRaceSpec drives it for real), and
+    // a per-node miss just means the peer got there first. A transient
+    // DirectoryNotEmpty (peer still mid-children) is swept by the
+    // bounded re-walk; a crash here would be worse than residue — the
+    // maintenance vacuum reclaims anything left.
+    var attempts = 0
+    while (Files.exists(p(path)) && attempts < 3) {
+      attempts += 1
+      try Files.walk(p(path)).sorted(Comparator.reverseOrder[Path]())
+        .forEach { f =>
+          try Files.delete(f)
+          catch { case _: java.io.IOException => () }
+        }
+      catch { case _: java.io.IOException => () } // root vanished mid-walk
     }
+  }
 
   def fileSizes(path: String): Seq[(String, Long)] = {
     if (!Files.isDirectory(p(path))) return Nil

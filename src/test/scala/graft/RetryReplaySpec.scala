@@ -185,22 +185,63 @@ class RetryReplaySpec extends SparkSpec {
       concat(lit("v"), col("id")).as("payload"))
     val update = spark.range(120).select((col("id") * 4).as("k"),
       lit(2L).as("seq"), concat(lit("u"), col("id")).as("payload"))
-    def build(path: String, wrap: DataFrame => DataFrame): Unit = {
-      MergeWriter.mergeBucketed(spark, wrap(base), path,
-        Seq("k"), Seq("seq"), "k", 8): Unit
+    def build(path: String, wrap: DataFrame => DataFrame): (Long, Long) = {
+      val n1 = MergeWriter.mergeBucketed(spark, wrap(base), path,
+        Seq("k"), Seq("seq"), "k", 8)
       assert(graft.operators.BucketedLayout.looksBucketed(path),
         "bootstrap merge must establish the bucketed layout so the " +
           "second call provably takes the bucket-SCOPED path")
-      MergeWriter.mergeBucketed(spark, wrap(update), path,
-        Seq("k"), Seq("seq"), "k", 8): Unit
+      val n2 = MergeWriter.mergeBucketed(spark, wrap(update), path,
+        Seq("k"), Seq("seq"), "k", 8)
+      (n1, n2)
     }
-    build(s"$dir/plain", identity)
+    // The returned n AND the counts sidecar are observed metrics riding
+    // the write job's accumulators: assert BOTH against a post-merge
+    // recount of the table on disk, under injected write-job failures —
+    // a dropped-or-doubled failed attempt's updates would disagree here.
+    def assertCountsExact(path: String, returned: Long): Unit = {
+      val actual = spark.read.parquet(path).count()
+      assert(returned == actual,
+        s"returned n=$returned but the merged table holds $actual rows")
+      val onDisk = spark.read.parquet(path)
+        .groupBy(MergeWriter.bucketIdExpr("k", 8))
+        .count().collect()
+        .map(r => (s"bucket=${r.get(0)}", r.getLong(1))).toMap
+      val sidecar = MergeWriter.readCountsSidecar(path)
+      assert(sidecar.nonEmpty, "counts sidecar missing after bucketed merge")
+      assert(sidecar.get._1 == onDisk,
+        s"counts sidecar ${sidecar.get._1} != on-disk recount $onDisk")
+    }
+    val (p1, p2) = build(s"$dir/plain", identity)
     injected.removeIf(_.startsWith("bmerge/"))
-    build(s"$dir/flaky", df => flakyOnce(df, "bmerge"))
+    val (f1, f2) = build(s"$dir/flaky", df => flakyOnce(df, "bmerge"))
     assert(countFor("bmerge") > 0, "no task failure was injected")
     assert(rows(spark.read.parquet(s"$dir/flaky")) ==
       rows(spark.read.parquet(s"$dir/plain")),
       "bucket-scoped merged table changed under task retry")
+    assert((f1, f2) == (p1, p2),
+      "returned counts changed under task retry")
+    assertCountsExact(s"$dir/flaky", f2)
+    // Second round: failures injected into the WRITE job's own
+    // accumulator-bearing stage (post-dedup, mid-row-stream) via the
+    // pre-write seam — a failed attempt has already pushed PARTIAL
+    // CollectMetrics updates when it dies; those must be dropped
+    // wholesale and the retry's counts land exactly once.
+    val dirW = tmpDir("retry-bmerge-wstage")
+    injected.removeIf(_.startsWith("bmergew/"))
+    MergeWriter.preWriteWrap = (p, df) =>
+      if (p.startsWith(dirW)) flakyAfter(df, "bmergew", 3) else df
+    try {
+      val (w1, w2) = build(s"$dirW/t", identity)
+      assert(countFor("bmergew") > 0,
+        "no write-stage task failure was injected")
+      assert((w1, w2) == (p1, p2),
+        "returned counts changed under write-stage task retry")
+      assert(rows(spark.read.parquet(s"$dirW/t")) ==
+        rows(spark.read.parquet(s"$dir/plain")),
+        "bucketed table changed under write-stage task retry")
+      assertCountsExact(s"$dirW/t", w2)
+    } finally MergeWriter.preWriteWrap = (_, df) => df
   }
 
   test("MergeWriter.merge: write path commits exactly once under task retry") {
@@ -211,18 +252,42 @@ class RetryReplaySpec extends SparkSpec {
       lit(1L).as("seq"), concat(lit("v"), col("id")).as("payload"))
     val update = spark.range(200).select((col("id") * 2).as("k"),
       lit(2L).as("seq"), concat(lit("u"), col("id")).as("payload"))
-    MergeWriter.merge(spark, base, pathPlain, Seq("k"), Seq("seq")): Unit
-    MergeWriter.merge(spark, update, pathPlain, Seq("k"), Seq("seq")): Unit
+    val p1 = MergeWriter.merge(spark, base, pathPlain, Seq("k"), Seq("seq"))
+    val p2 = MergeWriter.merge(spark, update, pathPlain, Seq("k"), Seq("seq"))
     injected.removeIf(_.startsWith("merge/"))
-    MergeWriter.merge(spark, flakyOnce(base, "merge"), pathFlaky,
-      Seq("k"), Seq("seq")): Unit
-    MergeWriter.merge(spark, flakyOnce(update, "merge"), pathFlaky,
-      Seq("k"), Seq("seq")): Unit
+    val f1 = MergeWriter.merge(spark, flakyOnce(base, "merge"), pathFlaky,
+      Seq("k"), Seq("seq"))
+    val f2 = MergeWriter.merge(spark, flakyOnce(update, "merge"), pathFlaky,
+      Seq("k"), Seq("seq"))
     assert(countFor("merge") > 0, "no task failure was injected")
     val plain = rows(spark.read.parquet(pathPlain))
     val flaky = rows(spark.read.parquet(pathFlaky))
     assert(flaky == plain,
       "merged table changed when the incoming batch's tasks were retried")
+    // Observation-fused count contract: the returned n is an accumulator
+    // riding the write job — it must equal a recount of what landed.
+    assert((f1, f2) == (p1, p2), "returned counts changed under task retry")
+    assert(f2 == spark.read.parquet(pathFlaky).count(),
+      s"returned n=$f2 disagrees with the merged table's actual rows")
+    // And under failures in the WRITE stage itself (same stage as the
+    // CollectMetrics accumulator and the file-commit protocol), dying
+    // MID-STREAM after partial accumulator updates:
+    val pathW = s"$dir/wstage"
+    injected.removeIf(_.startsWith("mergew/"))
+    MergeWriter.preWriteWrap = (p, df) =>
+      if (p.startsWith(pathW)) flakyAfter(df, "mergew", 5) else df
+    try {
+      val w1 = MergeWriter.merge(spark, base, pathW, Seq("k"), Seq("seq"))
+      val w2 = MergeWriter.merge(spark, update, pathW, Seq("k"), Seq("seq"))
+      assert(countFor("mergew") > 0,
+        "no write-stage task failure was injected")
+      assert((w1, w2) == (p1, p2),
+        "returned counts changed under write-stage task retry")
+      assert(rows(spark.read.parquet(pathW)) == plain,
+        "merged table changed under write-stage task retry")
+      assert(w2 == spark.read.parquet(pathW).count(),
+        s"returned n=$w2 disagrees with the merged table's actual rows")
+    } finally MergeWriter.preWriteWrap = (_, df) => df
   }
 }
 
@@ -253,6 +318,30 @@ object RetryReplaySpec {
           s"graft-retry-injection $tag (deliberate first-attempt failure)")
       }
       it
+    }
+  }
+
+  /** Like [[flakyOnce]] but the first attempt dies MID-STREAM: it yields
+    * `emit` rows before throwing. Downstream operators in the same stage
+    * (a CollectMetrics accumulator, a file-commit task) have already
+    * consumed partial output when the failure lands — the sharpest shape
+    * for the exactly-once count/commit contracts, since the failed
+    * attempt's partial side effects must be dropped wholesale. */
+  def flakyAfter(df: DataFrame, tag: String, emit: Int): DataFrame = {
+    implicit val enc = Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0) {
+        injected.add(s"$tag/${tc.stageId()}/${tc.partitionId()}/0"): Unit
+        var n = 0
+        it.map { r =>
+          n += 1
+          if (n > emit)
+            throw new RuntimeException(
+              s"graft-retry-injection $tag (deliberate mid-stream failure)")
+          r
+        }
+      } else it
     }
   }
 }
