@@ -193,7 +193,17 @@ final class QueryService(t0: String => DataFrame) {
           }
         })
       else None
-    val c = Await.result(fCount, Duration.Inf)
+    // A count that FAILS must not leak the already-submitted eager
+    // slice: without the cancel here, only the past-the-end branch
+    // below would reach it, leaving a discarded sort+offset job running
+    // per failed request. Flag + group-cancel mirror that branch.
+    val c =
+      try Await.result(fCount, Duration.Inf)
+      catch { case e: Throwable =>
+        sliceCancelled.set(true)
+        if (eagerSlice.isDefined) sc.cancelJobGroupAndFutureJobs(sliceTag)
+        throw e
+      }
     val pastEnd =
       pg.toLong > math.max(1L, (c + pageSize - 1L) / pageSize)
     val results = eagerSlice match {
