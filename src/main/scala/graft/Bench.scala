@@ -162,7 +162,14 @@ object Bench {
           Some(if (s.size % 2 == 1) s(s.size / 2)
           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
         }
-      (name, if (times.nonEmpty) Some(times.min) else None, err, fp, med)
+      // Continuity min: over the FIRST `passes` successful samples only,
+      // even for the heavy family — a min over 5 samples is
+      // stochastically lower than every prior round's min-of-3, so the
+      // extra heavy passes would read as spurious speedups in
+      // round-over-round diffs of the `queries` board. The medians field
+      // uses ALL samples (that's what the extra passes are for).
+      (name, if (times.nonEmpty) Some(times.take(passes).min) else None,
+        err, fp, med)
     }
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")

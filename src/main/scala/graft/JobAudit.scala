@@ -83,9 +83,14 @@ object JobAudit {
       body
       // Listener-bus drain: poll the counters until still (the bus is
       // private[spark]; stability across two 100 ms samples suffices).
+      // Bounded total wait, matching ShuffleAudit.quiesce: a source
+      // still emitting job/stage events at sub-100 ms cadence (e.g. a
+      // running streaming query) must not spin the audit forever —
+      // attribute whatever has landed by the cap.
       var prev = (-1L, -1L)
       var stable = 0
-      while (stable < 2) {
+      val drainDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stable < 2 && System.nanoTime() < drainDeadline) {
         Thread.sleep(100)
         val cur = (counter.jobs.get, counter.stages.get)
         if (cur == prev) stable += 1 else { stable = 0; prev = cur }
