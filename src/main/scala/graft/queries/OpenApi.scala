@@ -14,8 +14,11 @@ object OpenApi {
 
   private final case class Param(
       name: String, in: String, tpe: String, required: Boolean)
+  /** `entity` names the components/schemas object a GET's result rows
+    * follow — None for the free-form chain-config blob. */
   private final case class Route(
-      path: String, summary: String, params: Seq[Param], paginated: Boolean)
+      path: String, summary: String, params: Seq[Param], paginated: Boolean,
+      entity: Option[String])
 
   // Page-number params only — active_pots, whose rows are filtered on
   // request-time liveness (no cursor is stable across requests), serves
@@ -34,54 +37,112 @@ object OpenApi {
 
   /** The 22 data routes of api/urls.py:49-132, in declaration order. */
   private val routes = Seq(
-    Route("/api/v1/accounts", "List accounts", page, paginated = true),
+    Route("/api/v1/accounts", "List accounts", page, paginated = true,
+      entity = Some("Account")),
     Route("/api/v1/accounts/{account_id}", "Account detail",
-      Seq(path("account_id")), paginated = false),
+      Seq(path("account_id")), paginated = false, entity = Some("Account")),
     Route("/api/v1/accounts/{account_id}/active_pots",
       "Pots with an approved application from the account",
-      path("account_id") +: query("status") +: pageOnly, paginated = true),
+      path("account_id") +: query("status") +: pageOnly, paginated = true,
+      entity = Some("Pot")),
     Route("/api/v1/accounts/{account_id}/pot_applications",
       "The account's pot applications",
-      path("account_id") +: query("status") +: page, paginated = true),
+      path("account_id") +: query("status") +: page, paginated = true,
+      entity = Some("PotApplication")),
     Route("/api/v1/accounts/{account_id}/donations_received",
-      "Donations to the account", path("account_id") +: page, paginated = true),
+      "Donations to the account", path("account_id") +: page,
+      paginated = true, entity = Some("Donation")),
     Route("/api/v1/accounts/{account_id}/donations_sent",
-      "Donations from the account", path("account_id") +: page, paginated = true),
+      "Donations from the account", path("account_id") +: page,
+      paginated = true, entity = Some("Donation")),
     Route("/api/v1/accounts/{account_id}/payouts_received",
       "Paid pot payouts to the account", path("account_id") +: page,
-      paginated = true),
+      paginated = true, entity = Some("PotPayout")),
     Route("/api/v1/accounts/{account_id}/list-registrations",
       "The account's list registrations",
-      path("account_id") +: query("status") +: page, paginated = true),
+      path("account_id") +: query("status") +: page, paginated = true,
+      entity = Some("ListRegistration")),
     Route("/api/v1/donate_contract_config", "Donate contract configuration",
-      Nil, paginated = false),
+      Nil, paginated = false, entity = None), // free-form chain blob
     Route("/api/v1/donors", "Accounts that have donated",
-      query("sort") +: page, paginated = true),
-    Route("/api/v1/lists", "List lists", page, paginated = true),
+      query("sort") +: page, paginated = true, entity = Some("Account")),
+    Route("/api/v1/lists", "List lists", page, paginated = true,
+      entity = Some("List")),
     Route("/api/v1/lists/{list_id}", "List detail", Seq(intPath("list_id")),
-      paginated = false),
+      paginated = false, entity = Some("List")),
     Route("/api/v1/lists/{list_id}/registrations",
       "Registrations on the list",
       intPath("list_id") +: query("status") +: query("category") +: page,
-      paginated = true),
+      paginated = true, entity = Some("ListRegistration")),
     Route("/api/v1/lists/{list_id}/random_registration",
       "A random registration from the list",
-      Seq(intPath("list_id"), query("status")), paginated = false),
-    Route("/api/v1/pots", "List pots", page, paginated = true),
+      Seq(intPath("list_id"), query("status")), paginated = false,
+      entity = Some("ListRegistration")),
+    Route("/api/v1/pots", "List pots", page, paginated = true,
+      entity = Some("Pot")),
     Route("/api/v1/pots/{pot_id}", "Pot detail", Seq(path("pot_id")),
-      paginated = false),
+      paginated = false, entity = Some("Pot")),
     Route("/api/v1/pots/{pot_id}/applications", "Applications to the pot",
-      path("pot_id") +: page, paginated = true),
+      path("pot_id") +: page, paginated = true,
+      entity = Some("PotApplication")),
     Route("/api/v1/pots/{pot_id}/donations", "Donations to the pot",
-      path("pot_id") +: page, paginated = true),
+      path("pot_id") +: page, paginated = true, entity = Some("Donation")),
     Route("/api/v1/pots/{pot_id}/sponsors",
       "Distinct matching-pool donors to the pot", path("pot_id") +: page,
-      paginated = true),
+      paginated = true, entity = Some("Account")),
     Route("/api/v1/pots/{pot_id}/payouts", "Payouts of the pot",
-      path("pot_id") +: page, paginated = true),
-    Route("/api/v1/potfactories", "List pot factories", page, paginated = true),
+      path("pot_id") +: page, paginated = true, entity = Some("PotPayout")),
+    Route("/api/v1/potfactories", "List pot factories", page,
+      paginated = true, entity = Some("PotFactory")),
     Route("/api/v1/stats", "Global protocol statistics", Nil,
-      paginated = false))
+      paginated = false, entity = Some("Stats")))
+
+  /** components/schemas: one object per entity, properties generated
+    * from the SAME field lists the serializers render (Serializers.*Fields
+    * — reference Meta.fields: accounts/serializers.py:80-115,
+    * donations/serializers.py:52-82, pots/serializers.py:121-264), so the
+    * published field sets cannot drift from the rendered documents. The
+    * server spec's audit additionally checks LIVE response keys against
+    * these properties. */
+  private val entities: Seq[(String, Seq[String])] = Seq(
+    "Account" -> Serializers.accountFields,
+    "Donation" -> Serializers.donationFields,
+    "Pot" -> Serializers.potFields,
+    "PotApplication" -> Serializers.potApplicationFields,
+    "PotPayout" -> Serializers.potPayoutFields,
+    "PotFactory" -> Serializers.potFactoryFields,
+    "List" -> Serializers.listFields,
+    "ListRegistration" -> Serializers.listRegistrationFields,
+    "Stats" -> Serializers.statsFields)
+
+  // Field types that are structurally CERTAIN under the DRF rendering
+  // rules (string decimals, ISO timestamps). Embed fields (donor, pot,
+  // token, owner, …) are deliberately untyped `{}`: an expanded frame
+  // renders them as objects, an unexpanded one degrades to the raw FK
+  // string — both are valid responses, so pinning a type would overclaim.
+  private val intFields = Set("on_chain_id", "donors_count",
+    "max_approved_applicants", "referral_fee_matching_pool_basis_points",
+    "referral_fee_public_round_basis_points", "chef_fee_basis_points",
+    "matching_pool_donations_count", "public_donations_count",
+    "cooldown_period_ms", "total_donations_count", "total_donors_count",
+    "total_recipients_count")
+  private val boolFields = Set("matching_pool", "admin_only_registrations",
+    "require_whitelist", "all_paid_out")
+  private val numberFields = Set("total_donations_usd", "total_payouts_usd")
+  private val tsFields = Set("donated_at", "deployed_at", "submitted_at",
+    "updated_at", "created_at", "paid_at", "application_start",
+    "application_end", "matching_round_start", "matching_round_end",
+    "cooldown_end")
+  private val stringFields = Set("id", "message", "tx_hash", "name",
+    "description", "status", "base_currency", "cover_image_url",
+    "default_registration_status", "registrant_notes", "admin_notes",
+    "total_amount", "net_amount", "protocol_fee", "referrer_fee",
+    "chef_fee", "amount", "total_matching_pool", "matching_pool_balance",
+    "total_public_donations", "min_matching_pool_donation_amount",
+    "total_donations_in_usd", "total_donations_out_usd",
+    "total_matching_pool_allocations_usd", "total_amount_usd",
+    "net_amount_usd", "protocol_fee_usd", "referrer_fee_usd",
+    "chef_fee_usd", "amount_paid_usd")
 
   /** The OpenAPI 3.0.3 document as a JSON string (stable field order). */
   def schemaJson: String = {
@@ -107,6 +168,8 @@ object OpenApi {
       ok.put("description", if (r.paginated) "Paginated results" else "Result")
       val schema: ObjectNode = ok.putObject("content")
         .putObject("application/json").putObject("schema")
+      def ref(n: ObjectNode, e: String): Unit =
+        n.put("$ref", s"#/components/schemas/$e"): Unit
       if (r.paginated) {
         schema.put("type", "object")
         val props = schema.putObject("properties")
@@ -120,9 +183,36 @@ object OpenApi {
           .put("nullable", true)
         props.putObject("previous").put("type", "string")
           .put("nullable", true)
-        props.putObject("results").put("type", "array")
-      } else {
-        schema.put("type", "object")
+        val results = props.putObject("results")
+        results.put("type", "array")
+        r.entity.foreach(e => ref(results.putObject("items"), e))
+      } else r.entity match {
+        case Some(e) => ref(schema, e)
+        case None =>
+          // donate_contract_config: the chain contract's own config blob,
+          // served verbatim — free-form by design.
+          schema.put("type", "object")
+          schema.put("additionalProperties", true): Unit
+      }
+    }
+    // Full per-entity response shapes (the reference documents these via
+    // drf-spectacular's serializer introspection).
+    val schemas = root.putObject("components").putObject("schemas")
+    entities.foreach { case (name, fields) =>
+      val ent = schemas.putObject(name)
+      ent.put("type", "object")
+      val props = ent.putObject("properties")
+      fields.foreach { f =>
+        val p = props.putObject(f)
+        if (intFields(f)) p.put("type", "integer"): Unit
+        else if (boolFields(f)) p.put("type", "boolean"): Unit
+        else if (numberFields(f)) p.put("type", "number"): Unit
+        else if (tsFields(f)) {
+          p.put("type", "string"); p.put("format", "date-time"): Unit
+        } else if (stringFields(f)) p.put("type", "string"): Unit
+        // embeds/blobs stay untyped {}: object when expanded, FK string
+        // when flat, null when absent
+        if (f != "id") p.put("nullable", true): Unit
       }
     }
     m.writerWithDefaultPrettyPrinter().writeValueAsString(root)

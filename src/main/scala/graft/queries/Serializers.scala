@@ -80,6 +80,20 @@ object Serializers {
     * (`ft` serialized under the `token` key). The reference's surrogate DB
     * pk (`id`) has no engine equivalent and is omitted — `on_chain_id` is
     * the chain identity. */
+  /** DonationSerializer's field set in Meta.fields order
+    * (donations/serializers.py:18-49) — the keys [[donationJson]] emits,
+    * in order. The OpenAPI document's Donation schema is generated from
+    * this list, and the server spec's field-level audit closes the loop
+    * by asserting a LIVE donation row's JSON keys equal the documented
+    * properties — so this val, the builder below and the published
+    * schema cannot drift apart silently. */
+  val donationFields: Seq[String] = Seq(
+    "on_chain_id", "total_amount", "total_amount_usd", "net_amount",
+    "net_amount_usd", "matching_pool", "message", "donated_at",
+    "protocol_fee", "protocol_fee_usd", "referrer_fee", "referrer_fee_usd",
+    "chef_fee", "chef_fee_usd", "tx_hash", "donor", "token", "pot",
+    "recipient", "referrer", "chef")
+
   def donationJson(df: DataFrame): DataFrame = {
     val cols = df.columns.toSet
     // STRUCT embeds render through the DRF rewrite (string decimals, ISO
@@ -209,6 +223,12 @@ object Serializers {
     * (740.00 → 740.0); the engine keeps them exact decimal(38,2) JSON
     * numbers (740.00) — trailing-zero rendering differs, values do not,
     * and exact beats float drift on 100 TB sums. */
+  /** The /v1/stats document's field set (base/api.py:81-89), mirrored by
+    * [[statsJson]] and the OpenAPI Stats schema. */
+  val statsFields: Seq[String] = Seq(
+    "total_donations_usd", "total_payouts_usd", "total_donations_count",
+    "total_donors_count", "total_recipients_count")
+
   def statsJson(df: DataFrame): DataFrame = {
     def usd(n: String): Column =
       coalesce(col(n).cast("decimal(38,2)"), lit(0).cast("decimal(38,2)")).as(n)
@@ -274,6 +294,14 @@ object Serializers {
     * spliced verbatim it would corrupt the whole JSON document. Non-
     * object blobs are re-escaped as JSON strings instead (a deliberate
     * deviation for scalar profiles: safe output over byte parity). */
+  /** AccountSerializer's field set (accounts/serializers.py:55-78),
+    * mirrored by [[accountJson]]'s spliced document and the OpenAPI
+    * Account schema. */
+  val accountFields: Seq[String] = Seq(
+    "id", "total_donations_in_usd", "total_donations_out_usd",
+    "total_matching_pool_allocations_usd", "donors_count",
+    "near_social_profile_data")
+
   def accountJson(df: DataFrame): DataFrame = {
     val prefix = to_json(struct(
       col("id"),

@@ -964,6 +964,127 @@ class QueryServerSpec extends SparkSpec {
       .contains("redoc"))
   }
 
+  test("OpenAPI field-level schemas: entity property sets match the reference serializers AND live response bodies") {
+    import scala.jdk.CollectionConverters._
+    val s = server()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(s.handle("GET", "/api/schema", Map.empty).body)
+    val schemas = root.at("/components/schemas")
+    assert(!schemas.isMissingNode, "schema has no components/schemas")
+
+    // The reference serializers' Meta.fields, declared HERE independently
+    // of OpenApi's source (accounts/serializers.py:55-78,
+    // donations/serializers.py:18-49, pots/serializers.py:15-117,
+    // lists/serializers.py:9-55, base/api.py:81-89) — the same field sets
+    // the golden byte-parity fixtures in QueryServiceSpec pin. Drift in
+    // EITHER direction (document advertising a field the serializer
+    // dropped, or a serializer growing a field the document omits) fails.
+    val expected: Map[String, Seq[String]] = Map(
+      "Account" -> Seq("id", "total_donations_in_usd",
+        "total_donations_out_usd", "total_matching_pool_allocations_usd",
+        "donors_count", "near_social_profile_data"),
+      "Donation" -> Seq("on_chain_id", "total_amount", "total_amount_usd",
+        "net_amount", "net_amount_usd", "matching_pool", "message",
+        "donated_at", "protocol_fee", "protocol_fee_usd", "referrer_fee",
+        "referrer_fee_usd", "chef_fee", "chef_fee_usd", "tx_hash", "donor",
+        "token", "pot", "recipient", "referrer", "chef"),
+      "Pot" -> Seq("account", "pot_factory", "deployer", "deployed_at",
+        "source_metadata", "owner", "admins", "chef", "name", "description",
+        "max_approved_applicants", "base_currency", "application_start",
+        "application_end", "matching_round_start", "matching_round_end",
+        "registry_provider", "min_matching_pool_donation_amount",
+        "sybil_wrapper_provider", "custom_sybil_checks",
+        "custom_min_threshold_score",
+        "referral_fee_matching_pool_basis_points",
+        "referral_fee_public_round_basis_points", "chef_fee_basis_points",
+        "total_matching_pool", "total_matching_pool_usd",
+        "matching_pool_balance", "matching_pool_donations_count",
+        "total_public_donations", "total_public_donations_usd",
+        "public_donations_count", "cooldown_end", "cooldown_period_ms",
+        "all_paid_out", "protocol_config_provider"),
+      "PotApplication" -> Seq("pot", "applicant", "message", "status",
+        "submitted_at", "updated_at", "tx_hash"),
+      "PotPayout" -> Seq("pot", "recipient", "amount", "amount_paid_usd",
+        "token", "paid_at", "tx_hash"),
+      "PotFactory" -> Seq("account", "owner", "admins",
+        "whitelisted_deployers", "source_metadata", "deployed_at",
+        "protocol_fee_basis_points", "require_whitelist",
+        "protocol_fee_recipient"),
+      "List" -> Seq("on_chain_id", "owner", "admins", "name", "description",
+        "cover_image_url", "admin_only_registrations",
+        "default_registration_status", "created_at", "updated_at"),
+      "ListRegistration" -> Seq("on_chain_id", "list", "registrant",
+        "registered_by", "status", "submitted_at", "updated_at",
+        "registrant_notes", "admin_notes", "tx_hash"),
+      "Stats" -> Seq("total_donations_usd", "total_payouts_usd",
+        "total_donations_count", "total_donors_count",
+        "total_recipients_count"))
+
+    def propsOf(entity: String): Seq[String] = {
+      val node = schemas.get(entity)
+      assert(node != null, s"components/schemas missing $entity")
+      node.get("properties").fieldNames().asScala.toSeq
+    }
+    expected.foreach { case (entity, fields) =>
+      assert(propsOf(entity) == fields,
+        s"$entity schema properties drifted:\n  doc=${propsOf(entity)}\n  ref=$fields")
+    }
+    assert(schemas.fieldNames().asScala.toSet == expected.keySet,
+      "phantom/missing entity schemas")
+
+    // Every route's 200 response must reference one of these entities
+    // (donate_contract_config alone is free-form — the chain blob).
+    root.get("paths").properties().asScala.foreach { e =>
+      val (p, node) = (e.getKey, e.getValue)
+      val schema = node.at("/get/responses/200/content/application~1json/schema")
+      val ref =
+        if (!schema.at("/properties/results/items/$ref").isMissingNode)
+          Some(schema.at("/properties/results/items/$ref").asText())
+        else if (schema.has("$ref")) Some(schema.get("$ref").asText())
+        else None
+      if (p == "/api/v1/donate_contract_config")
+        assert(ref.isEmpty && schema.get("additionalProperties") != null,
+          s"$p should be free-form")
+      else {
+        assert(ref.nonEmpty, s"$p response carries no entity \\$$ref")
+        val entity = ref.get.stripPrefix("#/components/schemas/")
+        assert(expected.contains(entity), s"$p references unknown $entity")
+      }
+    }
+
+    // LIVE parity: a real served row's JSON keys must equal the
+    // documented properties, in order. (PotPayout has no fixture rows;
+    // its field set is pinned above plus by the golden byte-parity spec.)
+    def keysOf(json: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+      json.fieldNames().asScala.toSeq
+    def firstResult(path: String): com.fasterxml.jackson.databind.JsonNode = {
+      val r = s.handle("GET", path, Map("page_size" -> "1"))
+      assert(r.status == 200, s"$path -> ${r.status} ${r.body.take(120)}")
+      val results = om.readTree(r.body).get("results")
+      assert(results != null && results.size() > 0, s"$path: no rows")
+      results.get(0)
+    }
+    def detail(path: String): com.fasterxml.jackson.databind.JsonNode = {
+      val r = s.handle("GET", path, Map.empty)
+      assert(r.status == 200, s"$path -> ${r.status} ${r.body.take(120)}")
+      om.readTree(r.body)
+    }
+    val live: Seq[(String, com.fasterxml.jackson.databind.JsonNode)] = Seq(
+      "Account" -> detail("/v1/accounts/donor1.near"),
+      "Donation" -> firstResult("/v1/accounts/proj1.near/donations_received"),
+      "Pot" -> detail("/v1/pots/pot1.near"),
+      "PotApplication" -> firstResult("/v1/pots/pot1.near/applications"),
+      "PotFactory" -> firstResult("/v1/potfactories"),
+      "List" -> detail("/v1/lists/5"),
+      "ListRegistration" -> firstResult("/v1/lists/5/registrations"),
+      "Stats" -> detail("/v1/stats"))
+    live.foreach { case (entity, row) =>
+      assert(keysOf(row) == expected(entity),
+        s"$entity LIVE response keys drifted from the documented schema:" +
+          s"\n  live=${keysOf(row)}\n  doc=${expected(entity)}")
+    }
+  }
+
   test("prewarm compiles every route family before the socket opens: no 5xx, cache primed") {
     val s = server()
     val warmed = s.prewarm()
