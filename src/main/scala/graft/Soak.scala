@@ -50,9 +50,14 @@ object Soak {
     val beatEvery = 500L
     // Pinned steady-regime latency SLA (enforced at the end of the run):
     // overridable for slower boxes, but the committed SOAK.md is the
-    // default bound's proof.
+    // default bound's proof. Tightened 5000 → 2500 ms once the prewarm
+    // went production-shape (real hot ids at the default page size — the
+    // synthetic page_size=1 warm left full-page materialization and
+    // real-dim fetches to the first client requests, the measured
+    // early-tail outliers): measured steady max fell 4355 → 1274 ms,
+    // early tail 4355 → ~1100 ms.
     val steadyMaxBoundMs =
-      sys.env.getOrElse("SPARK_GRAFT_SOAK_STEADY_MAX_MS", "5000").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_SOAK_STEADY_MAX_MS", "2500").toDouble
     // DRIVER HEADROOM: in local mode the DAGScheduler's single event-loop
     // thread (which serializes a task-binary broadcast per stage
     // submission) competes with the executor task threads for cores.

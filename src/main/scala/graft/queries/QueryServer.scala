@@ -697,7 +697,48 @@ final class QueryServer(
     * and executes the route's plan. Failures are swallowed: a missing
     * optional table must not block startup. Returns
     * (route, status, ms) per warmed route for the caller's log. */
-  def prewarm(paths: Seq[String] = QueryServer.PrewarmPaths)
+  /** The production-shape prewarm set: one representative per route
+    * family (every distinct plan shape the server compiles — list,
+    * keyset, detail, and each nested-collection family), at the DEFAULT
+    * page size and with the store's HOTTEST real ids (QueryService
+    * .hotIds). The earlier synthetic-id/page_size=1 warm compiled the
+    * plans but left full-page materialization, real-dim fetches and
+    * gold-counter lookups to the first client requests — SOAK measured
+    * those first REAL requests as the early-tail latency outliers even
+    * with plans warm. Real-id warms also PRIME the result cache, so the
+    * first production request on a warmed route is a hit. Stores with
+    * empty tables fall back to synthetic ids (the 404 still compiles and
+    * executes the route's plan). */
+  def productionPrewarmPaths(): Seq[String] = {
+    val hot =
+      try qs.hotIds
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
+    val acct = hot.getOrElse("account", "prewarm.synthetic.near")
+    val donor = hot.getOrElse("donor", acct)
+    val pot = hot.getOrElse("pot", "prewarm.pot.near")
+    val list = hot.getOrElse("list", "1")
+    Seq(
+      "/v1/stats",
+      "/v1/donors", "/v1/donors?after=",
+      "/v1/accounts", "/v1/accounts?after=",
+      s"/v1/accounts/$acct",
+      s"/v1/accounts/$acct/active_pots",
+      s"/v1/accounts/$acct/pot_applications",
+      s"/v1/accounts/$acct/donations_received",
+      s"/v1/accounts/$acct/donations_received?after=",
+      s"/v1/accounts/$donor/donations_sent",
+      s"/v1/accounts/$acct/payouts_received",
+      s"/v1/accounts/$acct/list-registrations",
+      "/v1/lists", s"/v1/lists/$list", s"/v1/lists/$list/registrations",
+      s"/v1/lists/$list/random_registration",
+      "/v1/pots", "/v1/pots?after=",
+      s"/v1/pots/$pot", s"/v1/pots/$pot/applications",
+      s"/v1/pots/$pot/donations", s"/v1/pots/$pot/sponsors",
+      s"/v1/pots/$pot/payouts",
+      "/v1/potfactories", "/v1/donate_contract_config")
+  }
+
+  def prewarm(paths: Seq[String] = productionPrewarmPaths())
       : Seq[(String, Int, Double)] =
     paths.map { p =>
       val (path, query) = p.indexOf('?') match {
@@ -795,39 +836,6 @@ object QueryServer {
     * above clamp, they do not error). See pageSizeParam for why the
     * resident server must bound per-request row volume. */
   val MaxPageSize = 10000
-
-  /** Default [[QueryServer.prewarm]] set: one representative per route
-    * family (every distinct plan shape the server compiles — list,
-    * keyset, detail, and each nested-collection family), with a
-    * synthetic id on the detail routes. page_size=1 keeps the warmed
-    * jobs tiny; the warm is about plans/JIT/footers, not rows. */
-  val PrewarmPaths: Seq[String] = Seq(
-    "/v1/stats",
-    "/v1/donors?page_size=1",
-    "/v1/donors?after=&page_size=1",
-    "/v1/accounts?page_size=1",
-    "/v1/accounts?after=&page_size=1",
-    "/v1/accounts/prewarm.synthetic.near",
-    "/v1/accounts/prewarm.synthetic.near/active_pots?page_size=1",
-    "/v1/accounts/prewarm.synthetic.near/pot_applications?page_size=1",
-    "/v1/accounts/prewarm.synthetic.near/donations_received?page_size=1",
-    "/v1/accounts/prewarm.synthetic.near/donations_received?after=&page_size=1",
-    "/v1/accounts/prewarm.synthetic.near/donations_sent?page_size=1",
-    "/v1/accounts/prewarm.synthetic.near/payouts_received?page_size=1",
-    "/v1/accounts/prewarm.synthetic.near/list-registrations?page_size=1",
-    "/v1/lists?page_size=1",
-    "/v1/lists/1",
-    "/v1/lists/1/registrations?page_size=1",
-    "/v1/lists/1/random_registration",
-    "/v1/pots?page_size=1",
-    "/v1/pots?after=&page_size=1",
-    "/v1/pots/prewarm.pot.near",
-    "/v1/pots/prewarm.pot.near/applications?page_size=1",
-    "/v1/pots/prewarm.pot.near/donations?page_size=1",
-    "/v1/pots/prewarm.pot.near/sponsors?page_size=1",
-    "/v1/pots/prewarm.pot.near/payouts?page_size=1",
-    "/v1/potfactories?page_size=1",
-    "/v1/donate_contract_config")
 
   /** One rendered HTTP response — status, JSON body, extra headers. */
   final case class Response(status: Int, body: String,

@@ -239,6 +239,31 @@ final class QueryService(t0: String => DataFrame) {
   private def pots = t("pots")
   private def opt(name: String): Option[DataFrame] = scala.util.Try(t(name)).toOption
 
+  /** The store's BUSIEST ids per route family — the production-shape
+    * prewarm's targets (QueryServer.prewarm). Synthetic-id warms compile
+    * the plans but skip the work real requests pay (full-page
+    * materialization, dim fetches, gold-counter lookups); warming the
+    * hottest real ids pays those too, off the socket path. Driver-cheap:
+    * top-1 aggregations over single columns, run once at startup. Keys
+    * absent when the backing table is missing/empty. */
+  def hotIds: Map[String, String] = {
+    def top(df: => DataFrame, grp: String): Option[String] =
+      scala.util.Try {
+        val d = df
+        if (!d.columns.contains(grp)) None
+        else d.filter(col(grp).isNotNull).groupBy(col(grp)).count()
+          .orderBy(col("count").desc, col(grp).asc).limit(1)
+          .collect().headOption.map(_.get(0).toString)
+      }.toOption.flatten
+    Seq(
+      top(donations, "recipient").map("account" -> _),
+      top(donations, "donor").map("donor" -> _),
+      top(donations, "pot").map("pot" -> _)
+        .orElse(top(pots, "account").map("pot" -> _)),
+      top(t("list_registrations"), "list_id").map("list" -> _)
+    ).flatten.toMap
+  }
+
   private def colOr(df: DataFrame, name: String, tpe: String): Column =
     if (df.columns.contains(name)) col(name).cast(tpe) else lit(null).cast(tpe)
 
