@@ -47,15 +47,24 @@ import graft.queries.{QueryServer, QueryService, ResultCache}
   * ≈ 40k donations / ~1.9k accounts / 400 pots).
   */
 object ServeBench {
-  def main(args: Array[String]): Unit = {
-    val reportPath = args.headOption.getOrElse("SERVE_BENCH.md")
-    val workDir = if (args.length > 1) args(1) else "/tmp/graft_serve_bench"
-    val nBlocks = if (args.length > 2) args(2).toInt else 20000
-    val spark = HarnessSession.local()
 
-    // ---- store build: IngestBench's traffic generator through the
-    // mega-batch backfill ingest (the spot/backfill path), exact
-    // production schemas and layouts.
+  /** A production-layout silver store built from generated traffic — the
+    * mega-batch backfill ingest plus the gold beat, exactly the stack a
+    * deployment serves from. Shared by the per-round ServeBench run and
+    * [[ColdScaleBench]]'s store-size sweep. */
+  private[graft] final case class BuiltStore(silver: String,
+      store: SilverStore, nDonations: Long, nAccounts: Long, nPots: Long,
+      tBuild: Double, tGold: Double)
+
+  private[graft] def timed[A](f: => A): (A, Double) = {
+    val s = System.nanoTime(); val a = f; (a, (System.nanoTime() - s) / 1e9)
+  }
+
+  /** Store build: IngestBench's traffic generator through the mega-batch
+    * backfill ingest (the spot/backfill path), exact production schemas
+    * and layouts, then token/price seeds and the gold beat. */
+  private[graft] def buildStore(spark: org.apache.spark.sql.SparkSession,
+      workDir: String, nBlocks: Int): BuiltStore = {
     val base = new java.io.File(workDir)
     if (base.exists()) IngestBench.deleteRecursively(base)
     val lake = s"$workDir/lake"
@@ -67,9 +76,6 @@ object ServeBench {
       val h = startHeight + i
       Files.write(Paths.get(lake, f"$h%012d.json"),
         IngestBench.blockJson(h).getBytes("UTF-8")): Unit
-    }
-    def timed[A](f: => A): (A, Double) = {
-      val s = System.nanoTime(); val a = f; (a, (System.nanoTime() - s) / 1e9)
     }
     val blocks = spark.read.schema(Schemas.blockMessage).json(lake)
     val store = new SilverStore(spark, silver)
@@ -102,13 +108,93 @@ object ServeBench {
     val (_, tGold) = timed(graft.gold.GoldRefresh.refresh(spark, silver))
     // The donate-contract config rides the RPC snapshot plane
     // (SnapshotBackfill), not the block stream — seed that snapshot.
-    import spark.implicits._
+    val session = spark
+    import session.implicits._
     Seq("""{"owner":"potlock.near","protocol_fee_basis_points":250,""" +
       """"referral_fee_basis_points":100}""").toDF("config")
       .coalesce(1).write.parquet(s"$silver/donate_contract_config")
-    val nDonations = store.table("donations").count()
-    val nAccounts = store.table("accounts").count()
-    val nPots = store.table("pots").count()
+    BuiltStore(silver, store,
+      store.table("donations").count(), store.table("accounts").count(),
+      store.table("pots").count(), tBuild, tGold)
+  }
+
+  /** One timed HTTP GET against a local port: (status, body, wall ms). */
+  private[graft] def httpGet(port: Int, path: String): (Int, String, Long) = {
+    val t0 = System.nanoTime()
+    val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(is.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    (code, body, (System.nanoTime() - t0) / 1000000L)
+  }
+
+  private[graft] final case class R(name: String, status: Int, bytes: Int,
+      p50: Long, p95: Long, max: Long)
+
+  /** One warm-up pass (plan compile + broadcast build), then `reps`
+    * timed passes → p50/p95/max. */
+  private[graft] def measureRoute(name: String, port: Int, path: String,
+      reps: Int): R = {
+    val warmup = httpGet(port, path)
+    require(warmup._1 < 500, s"$name: HTTP ${warmup._1} ${warmup._2.take(200)}")
+    val samples = (1 to reps).map(_ => httpGet(port, path))
+    val ts = samples.map(_._3)
+    R(name, samples.head._1, samples.head._2.length,
+      HarnessSession.pct(ts, 0.50), HarnessSession.pct(ts, 0.95), ts.max)
+  }
+
+  /** The cold-route table: one representative per plan family, offset
+    * and keyset shapes. Shared with [[ColdScaleBench]]'s store-size
+    * sweep so the sweep measures EXACTLY the routes the per-round cold
+    * table publishes. */
+  private[graft] def coldRoutePaths(donor: String, recipient: String,
+      potId: String): Seq[(String, String)] = Seq(
+    "GET /api/v1/accounts (page 1)" -> "/api/v1/accounts?page=1",
+    "GET /api/v1/accounts/{id}" -> s"/api/v1/accounts/$donor",
+    "GET /api/v1/accounts/{id}/donations_received" ->
+      s"/api/v1/accounts/$recipient/donations_received?page=1",
+    "GET /api/v1/accounts/{id}/donations_sent" ->
+      s"/api/v1/accounts/$donor/donations_sent?page=1",
+    "GET /api/v1/accounts/{id}/payouts_received" ->
+      s"/api/v1/accounts/$recipient/payouts_received?page=1",
+    "GET /api/v1/donors?sort=most_donated_usd" ->
+      "/api/v1/donors?sort=most_donated_usd&page=1",
+    "GET /api/v1/pots (page 1)" -> "/api/v1/pots?page=1",
+    "GET /api/v1/pots/{id}" -> s"/api/v1/pots/$potId",
+    "GET /api/v1/pots/{id}/donations" ->
+      s"/api/v1/pots/$potId/donations?page=1",
+    "GET /api/v1/pots/{id}/sponsors" ->
+      s"/api/v1/pots/$potId/sponsors?page=1",
+    "GET /api/v1/donate_contract_config" -> "/api/v1/donate_contract_config",
+    "GET /api/v1/lists (empty-envelope floor)" -> "/api/v1/lists?page=1",
+    "GET /api/v1/stats" -> "/api/v1/stats",
+    // Keyset first pages (?after= empty) — one per cursor shape, so
+    // every ?after= route family is exercised over the REAL production
+    // layouts (string, ts+long, ts+string cursors).
+    "GET /api/v1/accounts?after= [keyset]" -> "/api/v1/accounts?after=",
+    "GET /api/v1/accounts/{id}/donations_received?after= [keyset]" ->
+      s"/api/v1/accounts/$recipient/donations_received?after=",
+    "GET /api/v1/accounts/{id}/payouts_received?after= [keyset]" ->
+      s"/api/v1/accounts/$recipient/payouts_received?after=",
+    "GET /api/v1/pots?after= [keyset]" -> "/api/v1/pots?after=",
+    "GET /api/v1/donors?sort&after= [keyset, stat cursor]" ->
+      "/api/v1/donors?sort=most_donated_usd&after=")
+
+  def main(args: Array[String]): Unit = {
+    val reportPath = args.headOption.getOrElse("SERVE_BENCH.md")
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_serve_bench"
+    val nBlocks = if (args.length > 2) args(2).toInt else 20000
+    val spark = HarnessSession.local()
+
+    val built = buildStore(spark, workDir, nBlocks)
+    val silver = built.silver
+    val store = built.store
+    val (tBuild, tGold) = (built.tBuild, built.tGold)
+    val (nDonations, nAccounts, nPots) =
+      (built.nDonations, built.nAccounts, built.nPots)
+    import spark.implicits._
     println(f"[serve-bench] store built in $tBuild%.1f s " +
       f"(+ gold refresh $tGold%.1f s): $nDonations%,d donations, " +
       f"$nAccounts%,d accounts, $nPots%,d pots")
@@ -135,29 +221,12 @@ object ServeBench {
     val httpCold = coldSrv.start(0)
     val httpColdLive = coldLive.start(0)
     val httpWarm = warmSrv.start(0)
-    def get(port: Int, path: String): (Int, String, Long) = {
-      val t0 = System.nanoTime()
-      val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
-        .openConnection().asInstanceOf[java.net.HttpURLConnection]
-      val code = conn.getResponseCode
-      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      val body = new String(is.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      (code, body, (System.nanoTime() - t0) / 1000000L)
-    }
+    def get(port: Int, path: String): (Int, String, Long) = httpGet(port, path)
 
     val reps = 7
     def pct(xs: Seq[Long], p: Double): Long = HarnessSession.pct(xs, p)
-    final case class R(name: String, status: Int, bytes: Int, p50: Long,
-        p95: Long, max: Long)
-    def measure(name: String, port: Int, path: String): R = {
-      val warmup = get(port, path) // plan compile + broadcast build
-      require(warmup._1 < 500, s"$name: HTTP ${warmup._1} ${warmup._2.take(200)}")
-      val samples = (1 to reps).map(_ => get(port, path))
-      val ts = samples.map(_._3)
-      R(name, samples.head._1, samples.head._2.length,
-        pct(ts, 0.50), pct(ts, 0.95), ts.max)
-    }
+    def measure(name: String, port: Int, path: String): R =
+      measureRoute(name, port, path, reps)
 
     // Generator id shapes: donation ids are height*10+i, so donor ids
     // are multiples of 10 (+0..2) mod 5000 and recipients mod 800 —
@@ -167,37 +236,7 @@ object ServeBench {
     val potId = store.table("pots").orderBy("account").head()
       .getAs[String]("account")
 
-    val routePaths = Seq(
-      "GET /api/v1/accounts (page 1)" -> "/api/v1/accounts?page=1",
-      "GET /api/v1/accounts/{id}" -> s"/api/v1/accounts/$donor",
-      "GET /api/v1/accounts/{id}/donations_received" ->
-        s"/api/v1/accounts/$recipient/donations_received?page=1",
-      "GET /api/v1/accounts/{id}/donations_sent" ->
-        s"/api/v1/accounts/$donor/donations_sent?page=1",
-      "GET /api/v1/accounts/{id}/payouts_received" ->
-        s"/api/v1/accounts/$recipient/payouts_received?page=1",
-      "GET /api/v1/donors?sort=most_donated_usd" ->
-        "/api/v1/donors?sort=most_donated_usd&page=1",
-      "GET /api/v1/pots (page 1)" -> "/api/v1/pots?page=1",
-      "GET /api/v1/pots/{id}" -> s"/api/v1/pots/$potId",
-      "GET /api/v1/pots/{id}/donations" ->
-        s"/api/v1/pots/$potId/donations?page=1",
-      "GET /api/v1/pots/{id}/sponsors" ->
-        s"/api/v1/pots/$potId/sponsors?page=1",
-      "GET /api/v1/donate_contract_config" -> "/api/v1/donate_contract_config",
-      "GET /api/v1/lists (empty-envelope floor)" -> "/api/v1/lists?page=1",
-      "GET /api/v1/stats" -> "/api/v1/stats",
-      // Keyset first pages (?after= empty) — one per cursor shape, so
-      // every ?after= route family is exercised over the REAL production
-      // layouts (string, ts+long, ts+string cursors).
-      "GET /api/v1/accounts?after= [keyset]" -> "/api/v1/accounts?after=",
-      "GET /api/v1/accounts/{id}/donations_received?after= [keyset]" ->
-        s"/api/v1/accounts/$recipient/donations_received?after=",
-      "GET /api/v1/accounts/{id}/payouts_received?after= [keyset]" ->
-        s"/api/v1/accounts/$recipient/payouts_received?after=",
-      "GET /api/v1/pots?after= [keyset]" -> "/api/v1/pots?after=",
-      "GET /api/v1/donors?sort&after= [keyset, stat cursor]" ->
-        "/api/v1/donors?sort=most_donated_usd&after=")
+    val routePaths = ServeBench.coldRoutePaths(donor, recipient, potId)
 
     val coldPort = httpCold.getAddress.getPort
     val warmPort = httpWarm.getAddress.getPort
@@ -386,7 +425,7 @@ object ServeBench {
     // produces-and-discards N·pageSize ordered rows; keyset's pushed
     // range predicate does not know how deep it is.
     val bigDir = s"$workDir/big_accounts"
-    import org.apache.spark.sql.functions.format_string
+    import org.apache.spark.sql.functions.{col, format_string, lit}
     spark.range(1000000L)
       .select(format_string("acct%08d.near", col("id")).as("id"),
         lit(null).cast("string").as("near_social_profile_data"))
