@@ -40,6 +40,18 @@ object HarnessSession {
       // sidecar against a recount instead (readCountsSidecar's heal path
       // already does exactly that when the uids disagree).
       .config("spark.speculation", "false")
+      // Per-file open cost for scan-split packing. The 4 MB default
+      // prices every parquet file as 4 MB of fake bytes when packing
+      // files into tasks — measured on a 500k-block serve store whose
+      // enriched table had sprawled to 16k small files: 64 GB of
+      // padding → ~500 tasks per FK-filtered route read, cold p50
+      // growing linearly with file count (ColdScaleBench). 256 KB
+      // reflects a local/SSD footer-read cost; at production file
+      // sizes (≥128 MB parquet) the knob is moot either way. The
+      // layout fix (GoldRefresh.clusterForPartitionedWrite) bounds the
+      // file count itself; this stops residual small files from being
+      // priced as 16× their bytes.
+      .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)

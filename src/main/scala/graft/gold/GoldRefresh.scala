@@ -501,8 +501,11 @@ object GoldRefresh {
       else Stats.enrichDonationsUsd(donations0, prices, tokens)
     val enrichedPath = s"$silverDir/donations_enriched"
     val partitioned = donations0.columns.contains("__pdate")
-    if (partitioned) writePartitioned(enrichedPlan, enrichedPath)
-    else write(enrichedPlan, enrichedPath)
+    if (partitioned) {
+      val (srcBytes, srcDates) = dirBytesAndDates(paths("donations"))
+      writePartitioned(enrichedPlan, enrichedPath,
+        clusterGroups(srcBytes, srcDates))
+    } else write(enrichedPlan, enrichedPath)
     val enriched = spark.read.parquet(enrichedPath)
 
     // States from scratch: one +1-weighted pass through the additive
@@ -764,8 +767,18 @@ object GoldRefresh {
         else Stats.enrichDonationsUsd(slice, prices, tokens)
       val enrTmp = s"$enrichedPath.tmp-gen$gen"
       io.deleteRecursively(enrTmp)
-      if (partVals.nonEmpty)
-        newEnriched.write.mode("overwrite").partitionBy("__pdate").parquet(enrTmp)
+      if (partVals.nonEmpty) {
+        // Same (date, donor-group) clustering as the full rebuild's
+        // writePartitioned — the incremental partition swap must not
+        // degrade the enriched layout back into per-upstream-task file
+        // sprawl. Sized from the TOUCHED silver partitions' own bytes.
+        val touchedBytes = reEnrich.toSeq
+          .map(p => io.fileSizes(s"${paths("donations")}/$p").map(_._2).sum)
+          .sum
+        clusterForPartitionedWrite(newEnriched,
+          clusterGroups(touchedBytes, partVals.size))
+          .write.mode("overwrite").partitionBy("__pdate").parquet(enrTmp)
+      }
       val oldSlice = spark.read.parquet(enrichedPath)
         .filter(col("__pdate").isin(partVals: _*))
       val newSlice =
@@ -1021,12 +1034,51 @@ object GoldRefresh {
     swapIn(tmp, path)
   }
 
-  private def writePartitioned(df: DataFrame, path: String): Unit = {
+  /** One write task per (date, donor-group) pair, NOT free-running
+    * upstream parallelism: a bare partitionBy("__pdate") write fans every
+    * upstream task across every date it holds rows for — measured at a
+    * 500k-block store: 32 shuffle tasks × ~500 dates = 16,000 files of
+    * ~16 KB, and every FK-filtered serve-plane read then schedules and
+    * footer-opens O(files) per request (ColdScaleBench: donation-feed
+    * cold p50 grew 9-61× across a 25× store sweep from exactly this).
+    * Clustering by (__pdate, donor-group) bounds files at dates ×
+    * groups; the group count is SIZED FROM THE DATA — bytes per date
+    * over a 128 MB file target — so the file count tracks BYTES, not
+    * calendar days: one file per date at bench scale, more groups only
+    * when a date actually carries multiples of the target (a donor's
+    * rows then stay in one file per date, and row-group stats narrow
+    * donor-filtered scans). */
+  private val TargetFileBytes = 128L * 1024 * 1024
+  private def clusterGroups(totalBytes: Long, dates: Int): Int =
+    math.max(1, math.min(256,
+      math.ceil(totalBytes.toDouble / math.max(1, dates) /
+        TargetFileBytes).toInt))
+
+  /** (sum of data-file bytes, partition-dir count) of a date-partitioned
+    * table on disk — the write-side sizing input, read from the listing
+    * (never a scan). */
+  private def dirBytesAndDates(path: String): (Long, Int) = {
+    val parts = io.listDir(path).collect {
+      case (n, true) if n.startsWith("__pdate=") => n }
+    if (parts.isEmpty) (io.fileSizes(path).map(_._2).sum, 1)
+    else (parts.map(p => io.fileSizes(s"$path/$p").map(_._2).sum).sum,
+      parts.size)
+  }
+
+  private def writePartitioned(df: DataFrame, path: String,
+      groups: Int): Unit = {
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val tmp = path + ".tmp-" + uid
-    df.write.mode("overwrite").partitionBy("__pdate").parquet(tmp)
+    clusterForPartitionedWrite(df, groups)
+      .write.mode("overwrite").partitionBy("__pdate").parquet(tmp)
     swapIn(tmp, path)
   }
+
+  private def clusterForPartitionedWrite(df: DataFrame, groups: Int): DataFrame =
+    if (groups > 1 && df.columns.contains("donor"))
+      df.repartition(col("__pdate"),
+        pmod(xxhash64(col("donor")), lit(groups)))
+    else df.repartition(col("__pdate"))
 
   private def swapIn(tmp: String, path: String): Unit = {
     // Through the TableIO seam so the gold plane swaps atomically on the
