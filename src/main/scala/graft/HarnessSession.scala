@@ -52,6 +52,23 @@ object HarnessSession {
       // file count itself; this stops residual small files from being
       // priced as 16× their bytes.
       .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
+      // r15 optimization round, both measured via thread dumps of a
+      // running board (OPTIMIZATION_r15.md):
+      // - The generated-class cache defaults to 100 entries; a 143-query
+      //   board cycles thousands of codegen units through it, and a
+      //   Janino recompile blocks EVERY task of the stage on one thread
+      //   (observed: 31 of 32 executor threads parked behind one Janino
+      //   parse). 10k entries ≈ a few hundred MB of class metadata at
+      //   most, and recompiles disappear across passes and queries.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // - Cached-plan materialization ignores AQE unless this flag is on,
+      //   so every persist() inside the iterative operators (PageRank,
+      //   k-core, CC, BPE) shuffled at the full static partition count
+      //   regardless of data size (gr1 measured 901 tasks/pass vs 430
+      //   with the flag). AQE still sizes partitions by bytes, so
+      //   cluster-scale plans keep full parallelism.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)

@@ -1,36 +1,44 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
-/** Debug surface for the bench fingerprint mechanism: prints a named
-  * query's NORMALIZED physical-plan string (same normalization as
-  * Bench.fingerprintOf), so an unstable fingerprint can be diffed to
-  * the exact run-varying token instead of guessed at. */
+/** Writes `.explain("formatted")` for named queries to files — the
+  * optimization rounds' before/after plan evidence (plans/rNN/<q>_before
+  * / _after). Usage:
+  *
+  *   runMain graft.PlanDump <sfDir> <outDir> <suffix> [q1,q2,...]
+  *
+  * No timing, no execution beyond what a builder does eagerly
+  * (driver-side fits/counts); the formatted string is the PRE-execution
+  * plan (AdaptiveSparkPlan isFinalPlan=false), which is what the plan
+  * deliverables pin — join strategy, Exchange count, PushedFilters,
+  * ReadSchema, codegen spans.
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, name) = args
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
-      // naive parquet timestamps (timestamp[us], no UTC flag) read as
-      // TIMESTAMP (session-local, pinned UTC) — matching DuckDB and the
-      // watermark/unix_micros surfaces, not TIMESTAMP_NTZ
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    val p = df.queryExecution.executedPlan.toString
-      .replaceAll("#\\d+", "#")
-      .replaceAll("plan_id=\\d+", "plan_id=")
-      .replaceAll("@[0-9a-f]+", "@")
-      .replaceAll("\\$Lambda[$/][\\d$/]*0x[0-9a-f]+", "\\$Lambda\\$0x")
-      .replaceAll("QueryStage \\d+", "QueryStage")
-    println("===PLAN START===")
-    println(p)
-    println("===PLAN END===")
+    require(args.length >= 3, "usage: PlanDump <sfDir> <outDir> <suffix> [names]")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val names: Seq[String] =
+      if (args.length >= 4) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val spark = HarnessSession.local()
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      try {
+        SparkEntry.releaseTracked(); spark.catalog.clearCache()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+        println(s"[plandump] OK   $name")
+      } catch { case e: Throwable =>
+        println(s"[plandump] FAIL $name: ${e.getMessage}")
+      }
+    }
+    SparkEntry.releaseTracked()
     spark.stop()
   }
 }

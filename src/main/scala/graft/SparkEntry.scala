@@ -1146,8 +1146,8 @@ object SparkEntry {
     * precision (no pair invented) on real data, not just by theorem.
     * Scale design in DedupFunctions.allPairsJaccard. */
   private def dd15(t: Tables): DataFrame =
-    DedupFunctions.allPairsJaccard(t.documents, "doc_id", "text",
-        blockCol = "lang", tauNum = 4, tauDen = 5)
+    track(DedupFunctions.allPairsJaccard(t.documents, "doc_id", "text",
+        blockCol = "lang", tauNum = 4, tauDen = 5))
       .orderBy("id_a", "id_b")
 
   /** DD16 — incremental EXACT all-pairs: the arriving batch (every
@@ -1162,8 +1162,8 @@ object SparkEntry {
   private def dd16(t: Tables): DataFrame = {
     val batch = t.documents.filter(pmod(col("doc_id"), lit(10)) === 3)
     val corpus = t.documents.filter(pmod(col("doc_id"), lit(10)) =!= 3)
-    DedupFunctions.allPairsJaccardAgainst(batch, corpus, "doc_id", "text",
-        blockCol = "lang", tauNum = 4, tauDen = 5)
+    track(DedupFunctions.allPairsJaccardAgainst(batch, corpus, "doc_id",
+        "text", blockCol = "lang", tauNum = 4, tauDen = 5))
       .orderBy("id_new", "id_corpus")
   }
 
@@ -1178,8 +1178,8 @@ object SparkEntry {
     * are echoed; the oracle re-derives the exact pairs from raw text by
     * brute force and the estimates from the echoed signatures. */
   private def dd17(t: Tables): DataFrame = {
-    val exact = DedupFunctions.allPairsJaccard(t.documents, "doc_id",
-      "text", blockCol = "lang", tauNum = 4, tauDen = 5)
+    val exact = track(DedupFunctions.allPairsJaccard(t.documents, "doc_id",
+      "text", blockCol = "lang", tauNum = 4, tauDen = 5))
     val sigs = DedupFunctions.minHashSignatures(
       t.documents, "doc_id", "text", shingleN = 3, k = 16)
       .select(col("id"), col("sig"))

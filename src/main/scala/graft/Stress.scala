@@ -319,8 +319,8 @@ object Stress {
     val apNaive = pairSum(prefixBuckets(d15))
     val apGuarded = pairSum(prefixBuckets(d15Reps))
     val dd15Run = measure("dd15_zipf_allpairs")(
-      functions.DedupFunctions.allPairsJaccard(d15, "doc_id", "text",
-        "lang", tauNum = 4, tauDen = 5))
+      SparkEntry.track(functions.DedupFunctions.allPairsJaccard(d15,
+        "doc_id", "text", "lang", tauNum = 4, tauDen = 5)))
 
     // ---------------- the queries under stress ----------------
     val names = Seq(

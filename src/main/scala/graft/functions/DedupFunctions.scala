@@ -95,8 +95,10 @@ object DedupFunctions {
     * (truncating division — identical in DuckDB), so the result is
     * engine-exact and brute-force-verifiable. */
   def allPairsJaccard(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, tauNum: Int, tauDen: Int): DataFrame = {
+      blockCol: String, tauNum: Int, tauDen: Int): graft.operators.Materialized = {
     require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val base = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       wordSet(col(textCol)).as("ws"))
     // Exact-duplicate collapse FIRST (the dd3/dd10 discipline): docs
@@ -106,8 +108,16 @@ object DedupFunctions {
     // verifications instead of C(100k, 2). Identical sets rejoin the
     // output by membership expansion below — the exact answer is
     // unchanged (such pairs have J = 1 ≥ τ always).
+    // PERSISTED (r15 optimization): fped is consumed by five downstream
+    // subtrees (members ×4 in the expansion joins, groups, reps) and the
+    // physical plan DUPLICATES shared subtrees — measured at sf0.1, the
+    // un-persisted form ran the scan+tokenize+fingerprint chain 5×
+    // (five `Scan parquet … wordSet` stages in the executed plan).
+    // Guide §2.4/§5: cache the one pass, release via the returned
+    // Materialized handle.
     val fped = base.withColumn("fp",
       xxhash64(col("blk"), to_json(array_sort(col("ws")))))
+      .persist(lvl)
     val members = fped.select(col("fp"), col("id"))
     val groups = fped.groupBy("fp").agg(min("id").as("id"),
       count(lit(1)).as("cnt"))
@@ -120,12 +130,26 @@ object DedupFunctions {
     val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // (df, token) is unique per doc since the word set is distinct, so
     // every doc sorts its tokens identically.
+    // PERSISTED + explicitly re-spread (r15 optimization): `ordered` is
+    // consumed five times (both prefix-probe sides, both verification
+    // sides, dupGroups) — without the persist each consumer re-ran the
+    // explode→df-join→collect_list→sort chain. The hash repartition on
+    // id matters as much as the persist: AQE coalesces the collect_list
+    // aggregate's output by BYTES (a few MB here → 1 partition), but the
+    // prefix explode + candidate join downstream multiply rows ~50×, so
+    // a byte-coalesced cache would serialize the join and the pair-min
+    // aggregation into one task (measured: a 3.1 s single-task stage at
+    // sf0.1). Hash-on-id is deterministic (retry-safe, no
+    // sortBeforeRepartition cost) and sized by the session's shuffle
+    // parallelism — scale-adaptive, not a local-mode constant.
     val ordered = toks.join(df, "tok")
       .groupBy("id", "blk", "fp")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
       .select(col("id"), col("blk"), col("fp"),
         expr("transform(st, s -> s.tok)").as("toks"),
         size(col("st")).cast("long").as("n"))
+      .repartition(parts, col("id"))
+      .persist(lvl)
     val pFx = s"n - (($tauNum * n + ${tauDen - 1}) div $tauDen) + 1"
     val pre = ordered.selectExpr("id", "blk", "fp", "n",
       s"posexplode(slice(toks, 1, cast($pFx as int))) as (i, tok)")
@@ -180,12 +204,17 @@ object DedupFunctions {
       .filter(col("ma") < col("mb"))
       .select(col("ma").as("id_a"), col("mb").as("id_b"),
         col("n").as("inter"), col("n").as("uni"))
-    cross.unionByName(within)
+    val out = cross.unionByName(within)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         // uni ≥ 1 by construction: normalize/split maps even empty text
         // to the single "" token, so no word set is ever empty — if that
         // tokenization contract ever changes, guard uni = 0 here.
         expr("(1000000 * inter) div uni").as("jac_ppm"))
+    // Lazy handle: nothing is materialized here (the result stays a pure
+    // transformation); the caches fill on first consumption and the
+    // caller releases them via the handle (SparkEntry tracks it for the
+    // harness; library users call .release()).
+    graft.operators.Materialized(out, Seq(fped, ordered))
   }
 
   /** Incremental form of [[allPairsJaccard]]: EXACT τ-Jaccard probe of a
@@ -204,24 +233,36 @@ object DedupFunctions {
     * Returns (id_new, id_corpus, inter, uni, jac_ppm). */
   def allPairsJaccardAgainst(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, blockCol: String,
-      tauNum: Int, tauDen: Int): DataFrame = {
+      tauNum: Int, tauDen: Int): graft.operators.Materialized = {
     require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val parts =
+      batch.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // Per-side persist (r15 optimization, same measurement as the
+    // self-join form): each side's fingerprint pass feeds members, the
+    // rep groupBy, the shared df count and the ordered chain — duplicated
+    // subtrees re-ran the scan+tokenize 4-5× per side un-persisted.
     def prep(docs: DataFrame) = {
       val base = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
         wordSet(col(textCol)).as("ws"))
       val fped = base.withColumn("fp",
         xxhash64(col("blk"), to_json(array_sort(col("ws")))))
+        .persist(lvl)
       val members = fped.select(col("fp"), col("id"))
       val reps = fped.groupBy("fp").agg(min("id").as("id"))
         .join(fped.drop("fp"), Seq("id"))
-      (members, reps)
+      (members, reps, fped)
     }
-    val (mb, rb) = prep(batch)
-    val (mc, rc) = prep(corpus)
+    val (mb, rb, fb) = prep(batch)
+    val (mc, rc, fc) = prep(corpus)
     val df = rb.select(col("id"), col("ws"))
       .unionByName(rc.select(col("id"), col("ws")))
       .select(explode(col("ws")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
+    // Persist + hash re-spread on id: same rationale as the self-join
+    // form — each ordered table is consumed twice (prefix probe +
+    // verification), and AQE's byte-based coalescing of the collect_list
+    // aggregate must not serialize the fan-out join downstream.
     def ordered(reps: DataFrame) = reps
       .select(col("id"), col("blk"), col("fp"), explode(col("ws")).as("tok"))
       .join(df, "tok")
@@ -230,6 +271,8 @@ object DedupFunctions {
       .select(col("id"), col("blk"), col("fp"),
         expr("transform(st, s -> s.tok)").as("toks"),
         size(col("st")).cast("long").as("n"))
+      .repartition(parts, col("id"))
+      .persist(lvl)
     val ob = ordered(rb); val oc = ordered(rc)
     val pFx = s"n - (($tauNum * n + ${tauDen - 1}) div $tauDen) + 1"
     def pre(o: DataFrame) = o.selectExpr("id", "blk", "fp", "n",
@@ -257,7 +300,7 @@ object DedupFunctions {
       .withColumn("uni", col("nva") + col("nvb") - col("inter"))
       .filter(col("inter") * tauDen >= col("uni") * tauNum)
       .select(col("fn"), col("fc"), col("inter"), col("uni"))
-    verified
+    val out = verified
       .join(mb.select(col("fp").as("fn"), col("id").as("id_new")), "fn")
       .join(mc.select(col("fp").as("fc"), col("id").as("id_corpus")), "fc")
       .select(col("id_new"), col("id_corpus"), col("inter"), col("uni"),
@@ -265,6 +308,7 @@ object DedupFunctions {
         // to the single "" token, so no word set is ever empty — if that
         // tokenization contract ever changes, guard uni = 0 here.
         expr("(1000000 * inter) div uni").as("jac_ppm"))
+    graft.operators.Materialized(out, Seq(fb, fc, ob, oc))
   }
 
   /** MinHash signature: k permutations simulated by re-hashing a single

@@ -50,14 +50,23 @@ object GraphFunctions {
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L, dampingPct: Int = 85): Materialized = {
     val spark = nodes.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // n is a 1-row aggregate: driver-side scalar, not row data.
+    val n = nodes.count()
+    // Per-round layout parallelism sized to the GRAPH, not the session
+    // (r15 optimization; duplicateClusters precedent): each of the
+    // `iters` rounds shuffles Θ(n + m) rows, and for the bounded-degree
+    // graphs this operator documents m = O(n) — so node count is the
+    // right size driver. A session's full shuffle-partition count over a
+    // small graph costs more per round in task scheduling than the
+    // join-aggregate arithmetic; big graphs keep full parallelism via
+    // the cap, so cluster-scale plans are unchanged.
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(2, math.min(cap, (n / 20000L).toInt))
 
     val e = edges.repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // n is a 1-row aggregate: driver-side scalar, not row data.
-    val n = nodes.count()
     val base = scale * (100L - dampingPct) / (100L * n)
 
     var rank = nodes.select(col("v"), lit(scale / n).as("r"))

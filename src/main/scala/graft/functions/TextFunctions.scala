@@ -398,13 +398,17 @@ object TextFunctions {
 
   /** One greedy left-to-right fold applying merge (l, r); the merge
     * rides in as literal columns so symbols never interpolate into SQL
-    * text. */
+    * text. The symbol array is bound ONCE in its own projection (`__sy`):
+    * the aggregate lambda is a CodegenFallback higher-order function, so
+    * codegen-level common-subexpression elimination never sees it — the
+    * previous inline form re-split `enc` three times per word per round
+    * in interpreted eval (r15 optimization, guide §1.2 per-task work). */
   private def foldBpeMerge(df: DataFrame, l: String, r: String): DataFrame =
     df.withColumn("__l", lit(l)).withColumn("__r", lit(r))
+      .withColumn("__sy", split(col("enc"), BpeSep))
       .withColumn("enc", expr(
-        "aggregate(slice(split(enc, char(31)), 2, " +
-          "size(split(enc, char(31))) - 1), " +
-          "element_at(split(enc, char(31)), 1), " +
+        "aggregate(slice(__sy, 2, size(__sy) - 1), " +
+          "element_at(__sy, 1), " +
           "(acc, x) -> CASE WHEN (acc = __l " +
           "OR endswith(acc, concat(char(31), __l))) AND x = __r " +
           "THEN concat(substring(acc, 1, length(acc) - length(__l)), " +
@@ -418,7 +422,18 @@ object TextFunctions {
       s"nMerges $nMerges outside [1, 64]")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var vocab = base.persist(lvl)
-    vocab.count()
+    val nVocab = vocab.count()
+    // Size the merge loop's map parallelism to the VOCABULARY, not the
+    // session (r15 optimization; the duplicateClusters `parts` precedent):
+    // every round re-scans the cached vocab twice (argmax + fold), and a
+    // full session's worth of tasks over a small vocabulary costs more in
+    // task scheduling and allocation churn than the per-row arithmetic.
+    // Large vocabularies keep full parallelism through the cap, so
+    // nothing changes at cluster scale. `loopView` is a coalesce VIEW of
+    // the cached blocks — no second copy.
+    val cap = base.sparkSession.sparkContext.defaultParallelism
+    val parts = math.max(2, math.min(cap, (nVocab / 20000L).toInt))
+    def loopView = vocab.coalesce(parts)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var r = 0
@@ -427,7 +442,7 @@ object TextFunctions {
       // Positional pair counts (repeats within a word each count, the
       // standard formulation) -> deterministic argmax: 1 row to the
       // driver, never row data.
-      val best = vocab
+      val best = loopView
         .select(split(col("enc"), BpeSep).as("sy"), col("cnt"))
         .filter(size(col("sy")) >= 2)
         .select(col("cnt"), explode(expr(
@@ -443,7 +458,7 @@ object TextFunctions {
         val l = best(0).getString(0)
         val rt = best(0).getString(1)
         merges += ((r + 1, l, rt, best(0).getLong(2)))
-        val next = foldBpeMerge(vocab, l, rt).persist(lvl)
+        val next = foldBpeMerge(loopView, l, rt).persist(lvl)
         next.count()
         vocab.unpersist()
         vocab = next

@@ -162,7 +162,7 @@ class TextDedupSpec extends SparkSpec {
     // SAME word sets inside Spark — independent of the prefix path.
     val blocked = docs.withColumn("blk", lit("x"))
     val got = DedupFunctions.allPairsJaccard(blocked, "doc_id", "text",
-        "blk", tauNum = 3, tauDen = 5)
+        "blk", tauNum = 3, tauDen = 5).df
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val sets = blocked.select(col("doc_id"),
       DedupFunctions.wordSet(col("text")).as("ws"))
@@ -189,7 +189,7 @@ class TextDedupSpec extends SparkSpec {
       (5L, "totally unrelated words nothing shared here at all now")
     ).toDF("doc_id", "text").withColumn("blk", lit("x"))
     val got = DedupFunctions.allPairsJaccard(docs5, "doc_id", "text",
-        "blk", tauNum = 4, tauDen = 5)
+        "blk", tauNum = 4, tauDen = 5).df
       .select("id_a", "id_b", "inter", "uni")
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == Set(
@@ -202,7 +202,7 @@ class TextDedupSpec extends SparkSpec {
     val two = Seq((1L, a, "b1"), (2L, a, "b2"), (3L, a, "b1"))
       .toDF("doc_id", "text", "blk")
     val got = DedupFunctions.allPairsJaccard(two, "doc_id", "text",
-        "blk", tauNum = 4, tauDen = 5)
+        "blk", tauNum = 4, tauDen = 5).df
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 3L))) // identical text, but 2 is in another block
   }
