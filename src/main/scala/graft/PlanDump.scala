@@ -25,6 +25,10 @@ object PlanDump {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = HarnessSession.local()
     new java.io.File(outDir).mkdirs()
+    // Failures are COLLECTED and fail the process (ADVICE r15): a
+    // per-query catch that exits 0 lets plan-evidence automation silently
+    // produce missing files. Fatal errors (OOM) propagate immediately.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { name =>
       try {
         SparkEntry.releaseTracked(); spark.catalog.clearCache()
@@ -34,11 +38,18 @@ object PlanDump {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
         println(s"[plandump] OK   $name")
-      } catch { case e: Throwable =>
-        println(s"[plandump] FAIL $name: ${e.getMessage}")
+      } catch {
+        case fatal: VirtualMachineError => throw fatal
+        case e: Throwable =>
+          failed += name
+          println(s"[plandump] FAIL $name: ${e.getMessage}")
       }
     }
     SparkEntry.releaseTracked()
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[plandump] ${failed.size} failed: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -53,6 +53,13 @@ object QProfile {
       df.count()
       val total = (System.nanoTime() - t0) / 1e9
       val gcDelta = gcMs - gc0
+      // Snapshot the timed pass's stages BEFORE the metric-walk execution
+      // below (ADVICE r15): toLocalIterator() is a SECOND execution whose
+      // stages would otherwise land in the same queue and desync the
+      // stage-wall sum from the reported `total`.
+      Thread.sleep(500) // let the listener bus drain
+      import scala.jdk.CollectionConverters._
+      val rs = rows.asScala.toSeq.sortBy(-_.wallMs)
       // On the last pass, execute the df's OWN plan (toLocalIterator, so
       // this QueryExecution finalizes) and print the adaptive plan with
       // per-operator metrics — rows out and codegen/op durations.
@@ -78,10 +85,6 @@ object QProfile {
         }
         walk(df.queryExecution.executedPlan, 0)
       }
-      // let the listener bus drain
-      Thread.sleep(500)
-      import scala.jdk.CollectionConverters._
-      val rs = rows.asScala.toSeq.sortBy(-_.wallMs)
       val sumWall = rs.map(_.wallMs).sum
       println(f"\n=== pass $p: $name total $total%.2f s (build $built%.2f s, " +
         f"gc $gcDelta ms), ${rs.size} stages, ${rs.map(_.tasks).sum} tasks, " +

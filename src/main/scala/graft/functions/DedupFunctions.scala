@@ -98,7 +98,7 @@ object DedupFunctions {
       blockCol: String, tauNum: Int, tauDen: Int): graft.operators.Materialized = {
     require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = ExprUtils.shufflePartitions(docs.sparkSession)
     val base = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       wordSet(col(textCol)).as("ws"))
     // Exact-duplicate collapse FIRST (the dd3/dd10 discipline): docs
@@ -236,8 +236,7 @@ object DedupFunctions {
       tauNum: Int, tauDen: Int): graft.operators.Materialized = {
     require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val parts =
-      batch.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = ExprUtils.shufflePartitions(batch.sparkSession)
     // Per-side persist (r15 optimization, same measurement as the
     // self-join form): each side's fingerprint pass feeds members, the
     // rep groupBy, the shared df count and the ordered chain — duplicated
@@ -255,10 +254,14 @@ object DedupFunctions {
     }
     val (mb, rb, fb) = prep(batch)
     val (mc, rc, fc) = prep(corpus)
+    // Persisted (r16, ADVICE): consumed by BOTH ordered(rb) and
+    // ordered(rc) — un-persisted, the union+explode+groupBy over the two
+    // cached rep tables ran twice.
     val df = rb.select(col("id"), col("ws"))
       .unionByName(rc.select(col("id"), col("ws")))
       .select(explode(col("ws")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
+      .persist(lvl)
     // Persist + hash re-spread on id: same rationale as the self-join
     // form — each ordered table is consumed twice (prefix probe +
     // verification), and AQE's byte-based coalescing of the collect_list
@@ -308,7 +311,7 @@ object DedupFunctions {
         // to the single "" token, so no word set is ever empty — if that
         // tokenization contract ever changes, guard uni = 0 here.
         expr("(1000000 * inter) div uni").as("jac_ppm"))
-    graft.operators.Materialized(out, Seq(fb, fc, ob, oc))
+    graft.operators.Materialized(out, Seq(fb, fc, df, ob, oc))
   }
 
   /** MinHash signature: k permutations simulated by re-hashing a single
@@ -759,8 +762,8 @@ object DedupFunctions {
     // Large graphs keep full parallelism (the cap), so nothing changes at
     // cluster scale. persist (not localCheckpoint) so the blocks are
     // released deterministically on exit, not at the next driver GC.
-    val parts = math.max(2, math.min(
-      edgesRaw.rdd.getNumPartitions, (edgesRaw.count() / 20000L).toInt))
+    val parts = ExprUtils.loopParallelism(
+      edgesRaw.count(), edgesRaw.rdd.getNumPartitions)
     // A coalesce VIEW over the cached blocks: no second copy, each round
     // reads the cache through `parts` tasks.
     val edges = edgesRaw.coalesce(parts)

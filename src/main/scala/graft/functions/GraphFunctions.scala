@@ -60,8 +60,7 @@ object GraphFunctions {
     // small graph costs more per round in task scheduling than the
     // join-aggregate arithmetic; big graphs keep full parallelism via
     // the cap, so cluster-scale plans are unchanged.
-    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = math.max(2, math.min(cap, (n / 20000L).toInt))
+    val parts = ExprUtils.loopParallelism(n, ExprUtils.shufflePartitions(spark))
 
     val e = edges.repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -431,8 +431,8 @@ object TextFunctions {
     // Large vocabularies keep full parallelism through the cap, so
     // nothing changes at cluster scale. `loopView` is a coalesce VIEW of
     // the cached blocks — no second copy.
-    val cap = base.sparkSession.sparkContext.defaultParallelism
-    val parts = math.max(2, math.min(cap, (nVocab / 20000L).toInt))
+    val parts = ExprUtils.loopParallelism(nVocab,
+      base.sparkSession.sparkContext.defaultParallelism)
     def loopView = vocab.coalesce(parts)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]

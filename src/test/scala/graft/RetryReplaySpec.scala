@@ -35,6 +35,7 @@ import graft.operators.{MergeWriter, Relational}
   * picks, LWW aggregation, and the merge WRITE path (task commit
   * protocol: a retried write task must not double-commit rows).
   */
+@org.scalatest.tags.Slow
 class RetryReplaySpec extends SparkSpec {
   import RetryReplaySpec._
 

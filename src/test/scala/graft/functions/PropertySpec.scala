@@ -88,7 +88,7 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("duplicateClusters == union-find on random graphs (both algorithms)") {
+  test("duplicateClusters == union-find on random graphs (both algorithms)", graft.SlowTest) {
     (1L to 5L).foreach { seed =>
       val edges = sample(graphGen, seed)
       val expected = unionFind(edges)

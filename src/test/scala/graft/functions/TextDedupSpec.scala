@@ -351,7 +351,7 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Map(2L -> 1L, 3L -> 3L, 4L -> 4L))
   }
 
-  test("deep-chain component falls back to star contraction in O(log n) rounds") {
+  test("deep-chain component falls back to star contraction in O(log n) rounds", graft.SlowTest) {
     // A 1000-node path has diameter 999: min-label propagation would need
     // 999 rounds (its default cap is 20), and star contraction's own cap
     // of 60 rounds only suffices because its round count is logarithmic —

@@ -246,7 +246,7 @@ class GoldSpec extends SparkSpec {
     def lastModifiedMs(p: String) = LocalTableIO.lastModifiedMs(p)
   }
 
-  test("incremental refresh survives crashes at every protocol window") {
+  test("incremental refresh survives crashes at every protocol window", graft.SlowTest) {
     val live = tmpDir("inc-crash-live")
     ingest(batch1, live, "cb1")
     writePrices(live, prices1)
@@ -294,7 +294,7 @@ class GoldSpec extends SparkSpec {
     assertGoldEqual(live, buildOracle())
   }
 
-  test("crash-loop on the incremental path: staged-crash/resume cycles leave no tmp residue, bounded journal") {
+  test("crash-loop on the incremental path: staged-crash/resume cycles leave no tmp residue, bounded journal", graft.SlowTest) {
     // The path that runs every 5 minutes forever: repeated crash/resume
     // cycles must not accumulate stranded staging dirs (a crash before
     // the apply manifest lands) or stack duplicate journal entries (a
@@ -361,7 +361,7 @@ class GoldSpec extends SparkSpec {
     assertGoldEqual(live, oracle)
   }
 
-  test("a crashed full rebuild re-runs full, and readers keep the old stats") {
+  test("a crashed full rebuild re-runs full, and readers keep the old stats", graft.SlowTest) {
     val live = tmpDir("full-crash-live")
     ingest(batch1, live, "fb1")
     writePrices(live, prices1)
@@ -444,7 +444,7 @@ class GoldSpec extends SparkSpec {
       Some(liveCount("recipient", "sea.near")))
   }
 
-  test("GoldCounts declines while a refresh is in flight; a noop beat clears residue") {
+  test("GoldCounts declines while a refresh is in flight; a noop beat clears residue", graft.SlowTest) {
     val live = tmpDir("counts-inflight")
     ingest(batch1 ++ batch2, live, "gi")
     writePrices(live, prices1)

@@ -10,6 +10,7 @@ import graft.streaming.StreamIngest
 /** populatedata-equivalent backfill: snapshots land in silver with the
   * right shapes, re-running is a no-op, and LWW arbitration against the
   * stream follows block height in both directions. */
+@org.scalatest.tags.Slow
 class SnapshotBackfillSpec extends SparkSpec {
   import Fixtures._
 

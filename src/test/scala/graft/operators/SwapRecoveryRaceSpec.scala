@@ -20,6 +20,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * No Spark: recoverCrashedSwap is pure file protocol, so the race loops
   * run hundreds of iterations in milliseconds against real directories.
   */
+@org.scalatest.tags.Slow
 class SwapRecoveryRaceSpec extends AnyFunSuite {
 
   private val UidCrashed = "aaaa1111"

@@ -10,6 +10,7 @@ import graft.gold.Stats
   * DRF-parity bodies, 404/400 documents, the 500 req/min token bucket,
   * rendered-envelope caching with swap-marker invalidation, and the JDK
   * HTTP binding end-to-end. */
+@org.scalatest.tags.Slow
 class QueryServerSpec extends SparkSpec {
   import spark.implicits._
 

@@ -10,6 +10,7 @@ import graft.SparkSpec
   * near dedup → near-dup-vs-corpus via the signature store; survivors
   * accumulate, batches never re-read corpus text, replays are
   * idempotent. */
+@org.scalatest.tags.Slow
 class CorpusGateSpec extends SparkSpec {
 
   private def jsonl(docs: Seq[(Long, String)]): String =

@@ -9,6 +9,7 @@ import graft.ingest.{BlockIngest, Fixtures, SilverStore}
   * `block.json` + `shard_*.json` assembly, numeric shard order, chain
   * gaps, flat-layout compatibility, and the full LakeSource stream over
   * a `file://` URI (the same code path an `s3a://` deployment runs). */
+@org.scalatest.tags.Slow
 class LakeFsBlockFetcherSpec extends SparkSpec {
   import Fixtures._
 

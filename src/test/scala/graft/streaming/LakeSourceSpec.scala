@@ -28,6 +28,7 @@ object FlakyDirFetcher {
 
 /** DataSource V2 lake source: height offsets, gap tolerance, checkpoint
   * resume, admission control, retry-on-transient-failure. */
+@org.scalatest.tags.Slow
 class LakeSourceSpec extends SparkSpec {
   import Fixtures._
 

@@ -11,6 +11,7 @@ import graft.ingest.{Fixtures, SilverStore}
   * exist and advance generations DURING the stream (no external
   * scheduler), and after the cadence-remainder settle the gold plane
   * equals a beat-less stream + full rebuild of the same lake. */
+@org.scalatest.tags.Slow
 class StreamGoldBeatSpec extends SparkSpec {
   import Fixtures._
 

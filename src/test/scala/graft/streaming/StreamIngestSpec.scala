@@ -10,6 +10,7 @@ import graft.ingest.{Fixtures, SilverStore}
 /** Structured-Streaming ingest: drain with AvailableNow, then restart from
   * checkpoint with new files — only new blocks processed, merge stays
   * idempotent (S1/S2, SURVEY §2.9). */
+@org.scalatest.tags.Slow
 class StreamIngestSpec extends SparkSpec {
   import Fixtures._
 
