@@ -893,8 +893,8 @@ object SparkEntry {
     // column is one bigint PER CHARACTER — caching it costs ~2× the
     // codegen'd xxhash64 recompute at sf0.1: 6.0 s cached vs 3.0 s).
     val fps = DedupFunctions.spanFingerprints(t.documents, "doc_id", "text", k = 20)
-    val pairs = DedupFunctions.sharedSpanPairsFromFingerprints(
-      fps, k = 20, w = 16, maxDocsPerHash = 50, maxPosPerDocHash = 10)
+    val pairs = track(DedupFunctions.sharedSpanPairsFromFingerprints(
+      fps, k = 20, w = 16, maxDocsPerHash = 50, maxPosPerDocHash = 10))
     val nl = lit(null).cast("long")
     fps
       .select(lit("sig").as("section"), col("id").as("doc_id"),
@@ -1178,17 +1178,33 @@ object SparkEntry {
     * are echoed; the oracle re-derives the exact pairs from raw text by
     * brute force and the estimates from the echoed signatures. */
   private def dd17(t: Tables): DataFrame = {
-    val exact = track(DedupFunctions.allPairsJaccard(t.documents, "doc_id",
-      "text", blockCol = "lang", tauNum = 4, tauDen = 5))
-    val sigs = DedupFunctions.minHashSignatures(
-      t.documents, "doc_id", "text", shingleN = 3, k = 16)
+    // ONE tokenize pass feeds both signature families (r16, guide §2.4):
+    // the exact prefix-filter pass needs the distinct word set and the
+    // minhash pass needs 3-shingles, but both start from
+    // split(normalize(text)) — un-shared, the corpus was normalized and
+    // split twice (the regex chain is the dominant per-row text cost).
+    // The persisted word arrays are released by the harness via track().
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val words = t.documents.select(col("doc_id"), col("lang"),
+        split(TextFunctions.normalize(col("text")), " ").as("w"))
+      .persist(lvl)
+    track(graft.operators.Materialized(words, Seq(words))): Unit
+    val exact = track(DedupFunctions.allPairsJaccardOfSets(
+      words.select(col("doc_id").as("id"), col("lang").as("blk"),
+        array_distinct(col("w")).as("ws")), tauNum = 4, tauDen = 5))
+    val sigs = DedupFunctions.minHashSignaturesOfWords(
+      words, "doc_id", "w", shingleN = 3, k = 16)
       .select(col("id"), col("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     val matches = expr(
       "aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1L, 0L)), 0L, (a, v) -> a + v)")
+    // Signature sides BROADCAST (guide §3.1): the pair table is the big
+    // side here and sigs is a ~16·8 B/doc array table; the static
+    // planner can't see that through the persisted plan and picked a
+    // shuffle join on each id key.
     val pairs = exact
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
+      .join(broadcast(sigs.select(col("id").as("id_a"), col("sig").as("sa"))), "id_a")
+      .join(broadcast(sigs.select(col("id").as("id_b"), col("sig").as("sb"))), "id_b")
       .withColumn("matches", matches)
       .withColumn("est_ppm", col("matches") * 62500L)
       .withColumn("err_ppm", col("est_ppm") - col("jac_ppm"))
@@ -1364,8 +1380,8 @@ object SparkEntry {
       .select(col("doc_id").as("query_id"),
         array_join(slice(split(TextFunctions.normalize(col("text")), " "),
           1, 5), " ").as("qtext"))
-    SearchFunctions.bm25TopK(t.documents, "doc_id", "text",
-        queries, "query_id", "qtext", k = 5)
+    track(SearchFunctions.bm25TopK(t.documents, "doc_id", "text",
+        queries, "query_id", "qtext", k = 5))
       .orderBy("query_id", "rank")
   }
 
@@ -2064,9 +2080,9 @@ object SparkEntry {
 
   /** DD5 — embedding-cosine near-dup pairs within label buckets. */
   private def dd5(t: Tables): DataFrame =
-    Similarity.embeddingNearDupPairs(
+    track(Similarity.embeddingNearDupPairs(
         t.embeddings.filter(pmod(col("vec_id"), lit(5)) === 0),
-        "vec_id", "embedding", "label", threshold = 0.25)
+        "vec_id", "embedding", "label", threshold = 0.25))
       .orderBy("id_a", "id_b")
 
   // ---------------------------------------------------------------- S: similarity search
@@ -2568,7 +2584,7 @@ object SparkEntry {
     * no iteration at eval time; tokenizing the full corpus is then a
     * broadcast vocab join onto exploded words. */
   private def txt20(t: Tables): DataFrame =
-    TextFunctions.bpeVocabulary(t.documents, "text", nMerges = 6)
+    track(TextFunctions.bpeVocabulary(t.documents, "text", nMerges = 6))
       .orderBy("word")
 
   /** TXT21 — BYTE-LEVEL BPE merge learning (GPT-2-style base vocab:
@@ -2582,7 +2598,7 @@ object SparkEntry {
   /** TXT22 — the byte-level tokenizer applied (train→apply): every NFC
     * word segmented into learned byte-pair symbols. */
   private def txt22(t: Tables): DataFrame =
-    TextFunctions.byteBpeVocabulary(t.documents, "text", nMerges = 6)
+    track(TextFunctions.byteBpeVocabulary(t.documents, "text", nMerges = 6))
       .orderBy("word")
 
   /** SAMP10 — token-budgeted shard cutting (the export-plane step
@@ -2954,6 +2970,12 @@ object SparkEntry {
       // gate must exercise the partitioned merge + incremental refresh,
       // not pay a 2,400-partition TPC-H date range × 16 donor buckets of
       // file churn per merge.
+      // PERSISTED (r16, guide §2.4): don0 seeds EVERY input the gate
+      // merges — don (two batch slices, each evaluated 2-3× inside the
+      // partition-scoped merge), accountsOf × 2, payouts, pricesOf × 2 —
+      // ~10 full orders scans + the decimal projection un-cached. The
+      // cache is gate-harness state, released before the gate returns;
+      // the refresh operators under test never see it.
       val don0 = Tables(spark, dir).orders.select(
         col("o_orderkey").as("k"),
         (pmod(col("o_custkey"), lit(200))).cast("string").as("ckey"),
@@ -2967,6 +2989,7 @@ object SparkEntry {
           .as("ddate"))
         .withColumn("donated_at",
           col("ddate").cast("timestamp") + expr("INTERVAL 12 HOURS"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nullS = lit(null).cast("string")
       val zeroDec = lit(0).cast(U128)
       val don = don0.select(
@@ -3045,26 +3068,46 @@ object SparkEntry {
 
       // Batch 1 → bootstrap full rebuild. Prices cover only even calendar
       // days, so odd-day donations stay null-USD until the late arrival.
+      // Phase laps on stdout: the gate is the board's single heaviest
+      // item (BENCH's gold_gate_build_sec), and these ten lines are how
+      // its cost is attributed (printed once per process, well before
+      // the bench's final summary line).
+      var __t0 = System.nanoTime()
+      def __lap(tag: String): Unit = {
+        val t = System.nanoTime()
+        println(f"[goldgate] $tag ${(t - __t0) / 1e9}%.2f s"); __t0 = t
+      }
       mergeDon(don.filter(!inB2))
+      __lap("mergeDon1")
       mergeAcc(accountsOf(don.filter(!inB2)))
+      __lap("mergeAcc1")
       SilverStore.mergeEntity(spark, tmp, "tokens", tokens, Seq("account"),
         seqNames): Unit
+      __lap("mergeTokens")
       SilverStore.mergeEntity(spark, tmp, "pot_payouts", payouts,
         SilverStore.naturalKeys("pot_payouts"), seqNames): Unit
+      __lap("mergePayouts")
       val p1 = pricesOf(don0.filter(!inB2)
         .filter(pmod(dayofmonth(col("ddate")), lit(2)) === 0))
       p1.write.mode("overwrite").parquet(s"$tmp/token_prices")
+      __lap("prices1")
       graft.gold.GoldRefresh.refreshFull(spark, tmp): Unit
+      __lap("refreshFull")
 
       // Batch 2 + the full price history (late CLOSER/new observations)
       // through the PRODUCTION incremental path — a silent fallback to
       // full is a gate failure, not a shrug.
       mergeDon(don.filter(inB2))
+      __lap("mergeDon2")
       mergeAcc(accountsOf(don.filter(inB2)))
+      __lap("mergeAcc2")
       pricesOf(don0).write.mode("overwrite").parquet(s"$tmp/token_prices")
+      __lap("prices2")
       val r = graft.gold.GoldRefresh.refreshIncremental(spark, tmp)
+      __lap("refreshIncremental")
       require(r.mode == "incremental",
         s"gold gate expected the incremental path, got $r")
+      don0.unpersist()
       tmp
     })
 

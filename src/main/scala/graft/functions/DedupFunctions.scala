@@ -33,7 +33,15 @@ object DedupFunctions {
     * repeats — the raw sequence [[repetitionSignals]]-style counting needs;
     * [[shingles]] is the distinct set view of the same construction. */
   def ngramsAll(text: Column, n: Int): Column =
-    ExprUtils.evalOnce(split(normalize(text), " ")) { w =>
+    ngramsAllOfWords(split(normalize(text), " "), n)
+
+  /** [[ngramsAll]] over a pre-tokenized word array — the shared-tokenize
+    * entry point: a caller that already holds `split(normalize(text), " ")`
+    * (e.g. one persisted projection feeding several signature families)
+    * skips the second normalize+split pass. Identical values by
+    * construction. */
+  def ngramsAllOfWords(words: Column, n: Int): Column =
+    ExprUtils.evalOnce(words) { w =>
       val chained = (1 until n).foldLeft(w) { (acc, j) =>
         zip_with(acc, slice(w, lit(j + 1), greatest(size(w) - j, lit(1))),
           (a, b) => concat(a, lit(" "), b))
@@ -43,6 +51,11 @@ object DedupFunctions {
 
   def shingles(text: Column, n: Int): Column =
     array_distinct(ngramsAll(text, n))
+
+  /** [[shingles]] over a pre-tokenized word array (see
+    * [[ngramsAllOfWords]]). */
+  def shinglesOfWords(words: Column, n: Int): Column =
+    array_distinct(ngramsAllOfWords(words, n))
 
   /** Word-set Jaccard similarity of two texts (exact). Word sets are bound
     * once (evalOnce) so intersection/union don't re-tokenize. */
@@ -95,12 +108,22 @@ object DedupFunctions {
     * (truncating division — identical in DuckDB), so the result is
     * engine-exact and brute-force-verifiable. */
   def allPairsJaccard(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, tauNum: Int, tauDen: Int): graft.operators.Materialized = {
+      blockCol: String, tauNum: Int, tauDen: Int): graft.operators.Materialized =
+    allPairsJaccardOfSets(
+      docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        wordSet(col(textCol)).as("ws")), tauNum, tauDen)
+
+  /** [[allPairsJaccard]] over a pre-built `(id, blk, ws)` frame whose `ws`
+    * is the DISTINCT word set — the shared-tokenize entry point: a caller
+    * that computes the token arrays once (persisted) and derives several
+    * signature families from them (q_dd17's exact + minhash passes) skips
+    * a second full normalize+split scan. Identical results by
+    * construction: `wordSet(text) ≡ array_distinct(split(normalize(text)))`. */
+  def allPairsJaccardOfSets(base: DataFrame,
+      tauNum: Int, tauDen: Int): graft.operators.Materialized = {
     require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val parts = ExprUtils.shufflePartitions(docs.sparkSession)
-    val base = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      wordSet(col(textCol)).as("ws"))
+    val parts = ExprUtils.shufflePartitions(base.sparkSession)
     // Exact-duplicate collapse FIRST (the dd3/dd10 discipline): docs
     // with an identical (block, token set) collapse to one
     // representative before any pairwise machinery, so a 100k-copy
@@ -410,6 +433,18 @@ object DedupFunctions {
       shingleN: Int = 3, k: Int = 32): DataFrame =
     docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), k))
+
+  /** [[minHashSignatures]] over a pre-tokenized word array column — the
+    * shared-tokenize twin (see [[allPairsJaccardOfSets]]): identical
+    * signatures, one fewer normalize+split pass when the caller already
+    * holds the token arrays. */
+  def minHashSignaturesOfWords(docs: DataFrame, idCol: String,
+      wordsCol: String, shingleN: Int = 3, k: Int = 32): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        shinglesOfWords(col(wordsCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minHashSignature(col("sh"), k))
 
@@ -1135,7 +1170,7 @@ object DedupFunctions {
     */
   def sharedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4,
-      maxDocsPerHash: Int = 50, maxPosPerDocHash: Int = 10): DataFrame =
+      maxDocsPerHash: Int = 50, maxPosPerDocHash: Int = 10): graft.operators.Materialized =
     sharedSpanPairsFromFingerprints(
       spanFingerprints(docs, idCol, textCol, k), k, w,
       maxDocsPerHash, maxPosPerDocHash)
@@ -1152,7 +1187,8 @@ object DedupFunctions {
 
   /** See [[sharedSpanPairs]]; `fps` is [[spanFingerprints]] output. */
   def sharedSpanPairsFromFingerprints(base: DataFrame, k: Int, w: Int,
-      maxDocsPerHash: Int, maxPosPerDocHash: Int): DataFrame = {
+      maxDocsPerHash: Int, maxPosPerDocHash: Int): graft.operators.Materialized = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // One projection: explode selected positions and immediately cut the
     // k-char gram — the full document text never crosses a shuffle.
     val sel = base
@@ -1164,21 +1200,31 @@ object DedupFunctions {
     // Skew guard 1: smallest maxPosPerDocHash positions per (doc, hash).
     // p is unique within the group, so the struct sort is total and the
     // gram rides along without a re-join against the document text.
+    // PERSISTED (r16, guide §2.4): `capped` feeds the df-band count and
+    // BOTH sides of the bucket self-join — un-persisted, the full
+    // winnowing chain (per-character rolling k-gram hashes + window-min
+    // selection) re-ran three times per query. Unlike the per-character
+    // fingerprint table (measured SLOWER to cache than recompute in r14
+    // — kh is one bigint per character), the capped selection is only
+    // ~2/(w+1) rows per character with a k-char gram each, so the cache
+    // is a fraction of the input text. Released via the returned handle.
     val capped = sel.groupBy("id", "h")
       .agg(slice(array_sort(collect_list(struct(col("p"), col("gram")))),
         1, maxPosPerDocHash).as("pg"))
       .select(col("id"), col("h"), explode(col("pg")).as("pg"))
       .select(col("id"), col("h"), col("pg.p").as("p"), col("pg.gram").as("gram"))
+      .persist(lvl)
     // Skew guard 2: document frequency band per hash — ≥ 2 (a hash in one
     // document forms no cross-doc pair) and ≤ maxDocsPerHash.
     val shared = capped.groupBy("h").agg(countDistinct("id").as("nd"))
       .filter(col("nd") >= 2 && col("nd") <= maxDocsPerHash)
       .select("h")
     val s = capped.join(shared, Seq("h"))
-    s.as("x").join(s.as("y"),
+    val out = s.as("x").join(s.as("y"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .filter(col("x.gram") === col("y.gram")) // exact verify: no hash trust
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
+    graft.operators.Materialized(out, Seq(capped))
   }
 }

@@ -68,12 +68,21 @@ object GraphFunctions {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale * (100L - dampingPct) / (100L * n)
 
-    var rank = nodes.select(col("v"), lit(scale / n).as("r"))
+    // The node list is consumed by EVERY round's left join plus the rank
+    // init — un-persisted, each of the `iters` rounds re-ran the caller's
+    // node plan (a parquet scan + exchange per round at sf0.1; r16,
+    // guide §5 persist-vs-recompute). Hash-repartitioned on v so the
+    // per-round join keys the cached layout at loop parallelism instead
+    // of the source scan's partitioning.
+    val nd = nodes.select(col("v")).repartition(parts, col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var rank = nd.select(col("v"), lit(scale / n).as("r"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     rank.count()
     var i = 0
     while (i < iters) {
-      val next = round(nodes, e, deg, rank, base, dampingPct)
+      val next = round(nd, e, deg, rank, base, dampingPct)
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       rank.unpersist()
@@ -81,7 +90,7 @@ object GraphFunctions {
       i += 1
     }
     val out = rank.select(col("v"), col("r").as("rank"))
-    e.unpersist(); deg.unpersist()
+    e.unpersist(); deg.unpersist(); nd.unpersist()
     Materialized(out, Seq(rank), Map("iters_run" -> iters.toLong))
   }
 

@@ -68,7 +68,7 @@ object SearchFunctions {
     * scores < 2^53. Output: (qidCol, rank, idCol, score). */
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qTextCol: String,
-      k: Int): DataFrame = {
+      k: Int): graft.operators.Materialized = {
     // Tokenize ONCE per document, in a projection BELOW the explode: a
     // single select computing both `size(split(..))` and
     // `explode(split(..))` plans the size-projection ABOVE the Generate,
@@ -77,9 +77,20 @@ object SearchFunctions {
     // whole query's cost). Binding the token array in its own projection
     // makes Generate's child carry it and the length is read from the
     // bound array (guide §2.3: project before the fan-out).
-    val words = corpus
+    //
+    // PERSISTED (r16, guide §2.4): the tokenized projection feeds BOTH
+    // the per-term explode and the corpus-length `stats` aggregate —
+    // un-shared, the whole corpus went through the normalize+split regex
+    // chain twice (the r15 plan dump shows two independent `Scan parquet
+    // documents` → normalize subtrees). The cache is the token arrays
+    // (≈ corpus text size, MEMORY_AND_DISK); the caller releases it via
+    // the returned handle. At 100 TB the alternative is a second full
+    // scan+regex pass — the cache spills to local disk and still wins.
+    val toks = corpus
       .select(col(idCol).as("__doc"),
         split(normalize(col(textCol)), " ").as("__ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = toks
       .select(col("__doc"), size(col("__ts")).cast("long").as("__dl"),
         explode(col("__ts")).as("__t"))
     val qTerms = queries.select(col(qidCol).as("__q"),
@@ -92,10 +103,10 @@ object SearchFunctions {
     val tf = hitWords.groupBy("__doc", "__dl", "__t")
       .agg(count(lit(1)).as("__tf"))
     val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-    val stats = corpus
-      .select(size(split(normalize(col(textCol)), " ")).cast("long").as("__l"))
+    val stats = toks
+      .select(size(col("__ts")).cast("long").as("__l"))
       .agg(count(lit(1)).as("__n"), sum("__l").as("__tl"))
-    tf.join(broadcast(qTerms), Seq("__t"))
+    val out = tf.join(broadcast(qTerms), Seq("__t"))
       .join(broadcast(dfT), Seq("__t"))
       .crossJoin(broadcast(stats))
       .withColumn("__idf1024",
@@ -115,6 +126,7 @@ object SearchFunctions {
       .select(col("__q").as(qidCol), posexplode(col("__top")))
       .select(col(qidCol), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as(idCol), col("col.score").cast("long").as("score"))
+    graft.operators.Materialized(out, Seq(toks))
   }
 
   /** Top-k corpus documents per query by integer TF-IDF; ties broken by

@@ -205,9 +205,17 @@ object Similarity {
       minRows: Int, seed: Long, fitSampleRows: Int,
       fitSampleBudgetDoubles: Long): Array[Array[Double]] = {
     val corpusSel = corpus.select(col(cId).as("__id"), col(cVec).as("__v"))
-    val n = corpus.count()
-    val probedDim = corpusSel.filter(col("__v").isNotNull)
-      .select(size(col("__v"))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    // ONE aggregation job for (row count, dimension probe) — previously a
+    // count() plus a separate head(1) scan (r16, guide §1/§5: every
+    // driver action over the corpus is a full job; the fit path runs
+    // before EVERY quantizer-backed query). max(size) ignores nulls and
+    // is deterministic, unlike the old scan-order head(1); dimensions are
+    // uniform per the embedding-table contract, so the probed value is
+    // unchanged.
+    val probe = corpusSel
+      .agg(count(lit(1)).as("n"), max(size(col("__v"))).as("d")).head()
+    val n = probe.getLong(0)
+    val probedDim = if (probe.isNullAt(1)) 0 else probe.getInt(1)
     val effSampleRows =
       if (probedDim <= 0) fitSampleRows
       else math.max(minRows, math.min(
@@ -393,19 +401,35 @@ object Similarity {
     * comparing it in the groupBy and membership join would dominate the
     * shuffle. -0.0/0.0 render differently and stay distinct — a missed
     * collapse is only a little extra work, never a wrong pair. */
+  private final case class EmbRepGraph(reps: DataFrame, mem: DataFrame,
+      repPairs: DataFrame, cached: Seq[DataFrame])
+
   private def nearDupRepGraph(
       corpus: DataFrame, idCol: String, vecCol: String, bucketCol: String,
-      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+      threshold: Double): EmbRepGraph = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // PERSISTED (r16; the minHashRepGraph discipline applied to the
+    // embedding twin — VERDICT r15 item 5): un-persisted, `base` was
+    // evaluated twice and `reps` up to four times inside one consumption
+    // of the derived edge set (mem join, both pair sides, the self-dup
+    // filter), re-running the md5(to_json(vector)) collapse-key kernel —
+    // the most expensive per-row expression here — 5-6× per query
+    // (measured at sf0.1: eight ~32-task corpus-scale stages, 5-35 s of
+    // summed executor time each, for q_dd10). Callers release via the
+    // returned handle.
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
         col(bucketCol).as("bk"))
       .withColumn("vkey", md5(to_json(col("v")).cast("binary")))
+      .persist(lvl)
     val reps = base.groupBy(col("bk"), col("vkey"))
       .agg(min(col("id")).as("id"), first(col("v")).as("v"),
         count(lit(1)).as("gsz"))
+      .persist(lvl)
     val mem = base.select(col("id"), col("bk"), col("vkey"))
       .join(reps.select(col("bk"), col("vkey"), col("id").as("rid"),
         col("gsz")), Seq("bk", "vkey"))
       .select(col("id"), col("rid"), col("gsz"))
+      .persist(lvl)
     val a = reps.select(col("id").as("id_a"), col("v").as("va"), col("bk"))
     val b = reps.select(col("id").as("id_b"), col("v").as("vb"), col("bk"))
     val repPairs = a.join(b, Seq("bk"))
@@ -413,7 +437,7 @@ object Similarity {
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
-    (reps, mem, repPairs)
+    EmbRepGraph(reps, mem, repPairs, Seq(base, reps, mem))
   }
 
   /** CONNECTIVITY-sufficient near-dup edge set — what a keep-one consumer
@@ -434,20 +458,20 @@ object Similarity {
     * members) instead of O(total pair count). */
   private[graft] def nearDupConnectivityEdges(
       corpus: DataFrame, idCol: String, vecCol: String, bucketCol: String,
-      threshold: Double): DataFrame = {
-    val (reps, mem, repPairs) =
-      nearDupRepGraph(corpus, idCol, vecCol, bucketCol, threshold)
-    val pairedReps = repPairs.select(col("id_a").as("rid"))
-      .unionByName(repPairs.select(col("id_b").as("rid")))
-    val selfDupReps = reps.filter(col("gsz") > 1)
+      threshold: Double): graft.operators.Materialized = {
+    val g = nearDupRepGraph(corpus, idCol, vecCol, bucketCol, threshold)
+    val pairedReps = g.repPairs.select(col("id_a").as("rid"))
+      .unionByName(g.repPairs.select(col("id_b").as("rid")))
+    val selfDupReps = g.reps.filter(col("gsz") > 1)
       .filter(cosine(col("v"), col("v")) >= threshold)
       .select(col("id").as("rid"))
     val starReps = pairedReps.unionByName(selfDupReps).distinct()
-    val star = mem.join(starReps, Seq("rid"))
+    val star = g.mem.join(starReps, Seq("rid"))
       .filter(col("id") =!= col("rid"))
       .select(least(col("id"), col("rid")).as("id_a"),
         greatest(col("id"), col("rid")).as("id_b"))
-    repPairs.select("id_a", "id_b").unionByName(star)
+    graft.operators.Materialized(
+      g.repPairs.select("id_a", "id_b").unionByName(star), g.cached)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted to
@@ -469,19 +493,18 @@ object Similarity {
     * [[nearDupConnectivityEdges]] instead. */
   def embeddingNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String, bucketCol: String,
-      threshold: Double): DataFrame = {
-    val (reps, mem, repPairs) =
-      nearDupRepGraph(corpus, idCol, vecCol, bucketCol, threshold)
-    val cross = repPairs
-      .join(mem.select(col("rid").as("id_a"), col("id").as("ma")), Seq("id_a"))
-      .join(mem.select(col("rid").as("id_b"), col("id").as("mb")), Seq("id_b"))
+      threshold: Double): graft.operators.Materialized = {
+    val g = nearDupRepGraph(corpus, idCol, vecCol, bucketCol, threshold)
+    val cross = g.repPairs
+      .join(g.mem.select(col("rid").as("id_a"), col("id").as("ma")), Seq("id_a"))
+      .join(g.mem.select(col("rid").as("id_b"), col("id").as("mb")), Seq("id_b"))
       .select(least(col("ma"), col("mb")).as("id_a"),
         greatest(col("ma"), col("mb")).as("id_b"), col("cos_sim"))
-    val dupReps = reps.filter(col("gsz") > 1)
+    val dupReps = g.reps.filter(col("gsz") > 1)
       .withColumn("self_sim", cosine(col("v"), col("v")))
       .filter(col("self_sim") >= threshold)
       .select(col("id").as("rid"), col("self_sim"))
-    val dupMembers = mem.filter(col("gsz") > 1)
+    val dupMembers = g.mem.filter(col("gsz") > 1)
     val intra = dupMembers.alias("x")
       .join(dupMembers.alias("y"),
         col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
@@ -489,7 +512,7 @@ object Similarity {
         col("x.rid").as("rid"))
       .join(dupReps, Seq("rid"))
       .select(col("id_a"), col("id_b"), col("self_sim").as("cos_sim"))
-    cross.unionByName(intra)
+    graft.operators.Materialized(cross.unionByName(intra), g.cached)
   }
 
   /** SemDeDup-style semantic dedup: quantizer cells bucket the corpus,
@@ -538,9 +561,11 @@ object Similarity {
     val pairs = nearDupConnectivityEdges(
       withCell, idCol, vecCol, "cell", threshold)
     // duplicateClusters materializes its edge set eagerly, so pairs is
-    // fully consumed when it returns; withCell stays persisted for the
-    // final cell projection below and is released after it materializes.
-    val cm = DedupFunctions.duplicateClusters(pairs, "id_a", "id_b")
+    // fully consumed when it returns — the rep-graph caches release
+    // right after; withCell stays persisted for the final cell
+    // projection below and is released after it materializes.
+    val cm = DedupFunctions.duplicateClusters(pairs.df, "id_a", "id_b")
+    pairs.release()
     // Materialize with lineage intact (persist, not localCheckpoint — an
     // executor loss recomputes instead of failing the job), then release
     // the cell-assignment cache AND the cluster-label cache — the result

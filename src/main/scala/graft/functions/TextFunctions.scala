@@ -302,7 +302,10 @@ object TextFunctions {
       nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeLearn(baseBpeVocab(docs, textCol), nMerges)
+    val base = baseBpeVocab(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = try bpeLearn(base, nMerges) finally base.unpersist()
+    merges
       .toDF("merge_rank", "pair_left", "pair_right", "weight")
       .select(col("merge_rank"), col("pair_left"), col("pair_right"),
         concat(col("pair_left"), col("pair_right")).as("merged"),
@@ -321,14 +324,22 @@ object TextFunctions {
     * broadcast join of this vocabulary onto exploded words - word
     * tokenization is a pure vocab lookup by construction. */
   def bpeVocabulary(docs: DataFrame, textCol: String,
-      nMerges: Int): DataFrame = {
-    val fin = bpeLearn(baseBpeVocab(docs, textCol), nMerges)
-      .foldLeft(baseBpeVocab(docs, textCol)) {
+      nMerges: Int): graft.operators.Materialized = {
+    // ONE corpus-scale base aggregation, shared by the merge loop and
+    // the final fold chain (r16, guide §2.4 — previously each built its
+    // own instance, so the corpus was exploded and aggregated twice).
+    // The caller releases the cached base via the returned handle.
+    val base = baseBpeVocab(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fin = bpeLearn(base, nMerges)
+      .foldLeft(base) {
         case (df, (_, l, r, _)) => foldBpeMerge(df, l, r)
       }
-    fin.select(col("w").as("word"), col("cnt").as("n_occurrences"),
-      size(split(col("enc"), BpeSep)).cast("long").as("n_tokens"),
-      replace(col("enc"), lit(BpeSep), lit(" ")).as("segmented"))
+    graft.operators.Materialized(
+      fin.select(col("w").as("word"), col("cnt").as("n_occurrences"),
+        size(split(col("enc"), BpeSep)).cast("long").as("n_tokens"),
+        replace(col("enc"), lit(BpeSep), lit(" ")).as("segmented")),
+      Seq(base))
   }
 
   private val BpeSep = "\u001f"
@@ -350,7 +361,10 @@ object TextFunctions {
       nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeLearn(baseByteBpeVocab(docs, textCol), nMerges)
+    val base = baseByteBpeVocab(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = try bpeLearn(base, nMerges) finally base.unpersist()
+    merges
       .toDF("merge_rank", "pair_left", "pair_right", "weight")
       .select(col("merge_rank"), col("pair_left"), col("pair_right"),
         concat(col("pair_left"), col("pair_right")).as("merged"),
@@ -361,14 +375,19 @@ object TextFunctions {
     * byte base vocabulary; `segmented` space-joins the learned hex-pair
     * symbols (e.g. "C3A9" = one merged é token). */
   def byteBpeVocabulary(docs: DataFrame, textCol: String,
-      nMerges: Int): DataFrame = {
-    val fin = bpeLearn(baseByteBpeVocab(docs, textCol), nMerges)
-      .foldLeft(baseByteBpeVocab(docs, textCol)) {
+      nMerges: Int): graft.operators.Materialized = {
+    // Same one-base-pass sharing as [[bpeVocabulary]] (r16).
+    val base = baseByteBpeVocab(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fin = bpeLearn(base, nMerges)
+      .foldLeft(base) {
         case (df, (_, l, r, _)) => foldBpeMerge(df, l, r)
       }
-    fin.select(col("w").as("word"), col("cnt").as("n_occurrences"),
-      size(split(col("enc"), BpeSep)).cast("long").as("n_tokens"),
-      replace(col("enc"), lit(BpeSep), lit(" ")).as("segmented"))
+    graft.operators.Materialized(
+      fin.select(col("w").as("word"), col("cnt").as("n_occurrences"),
+        size(split(col("enc"), BpeSep)).cast("long").as("n_tokens"),
+        replace(col("enc"), lit(BpeSep), lit(" ")).as("segmented")),
+      Seq(base))
   }
 
   /** Distinct NFC words (whitespace-collapsed, case kept) with counts,
@@ -421,7 +440,14 @@ object TextFunctions {
     require(nMerges >= 1 && nMerges <= 64,
       s"nMerges $nMerges outside [1, 64]")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var vocab = base.persist(lvl)
+    // The CALLER owns `base`'s persistence (r16): the apply variants
+    // (bpeVocabulary/byteBpeVocabulary) reuse the same cached base
+    // vocabulary as the seed of the final fold chain — the loop must not
+    // persist-then-unpersist it out from under them (that re-ran the
+    // corpus-scale base aggregation a second time at output, measured as
+    // one of q_txt22's two ~10 s-of-executor-time stages at sf0.1).
+    var vocab = base
+    var owned = false
     val nVocab = vocab.count()
     // Size the merge loop's map parallelism to the VOCABULARY, not the
     // session (r15 optimization; the duplicateClusters `parts` precedent):
@@ -460,12 +486,13 @@ object TextFunctions {
         merges += ((r + 1, l, rt, best(0).getLong(2)))
         val next = foldBpeMerge(loopView, l, rt).persist(lvl)
         next.count()
-        vocab.unpersist()
+        if (owned) vocab.unpersist()
         vocab = next
+        owned = true
         r += 1
       }
     }
-    vocab.unpersist()
+    if (owned) vocab.unpersist()
     merges.toSeq
   }
 

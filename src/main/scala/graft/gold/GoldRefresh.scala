@@ -533,28 +533,49 @@ object GoldRefresh {
         io.deleteRecursively(s"$silverDir/$n.goldgen") }
     io.createDirectories(sd)
     val (_, buckets) = SilverStore.bucketSpec("accounts")
-    val stRecv = MergeWriter.mergeAdditiveBucketed(spark, recvDelta(facts),
-      s"$sd/recv_pairs", Seq("recipient", "donor"), Seq("n", "usd"), "n",
-      "recipient", buckets, "recipient")
-    writeGen(s"$sd/recv_pairs", gen, stRecv)
-    val stDonor = MergeWriter.mergeAdditiveBucketed(spark, donorDelta(facts),
-      s"$sd/donor_state", Seq("donor"), Seq("n", "usd", "mn", "musd"), "n",
-      "donor", buckets, "donor")
-    writeGen(s"$sd/donor_state", gen, stDonor)
-    val stPot = MergeWriter.mergeAdditiveBucketed(spark, potDelta(facts),
-      s"$sd/pot_state", Seq("pot"),
-      Seq("n", "total_matching_pool_dec", "total_matching_pool_usd",
-        "matching_pool_donations_count", "total_public_donations_dec",
-        "total_public_donations_usd", "public_donations_count"), "n",
-      "pot", buckets, "pot")
-    writeGen(s"$sd/pot_state", gen, stPot)
-    write(computePaid(payouts), paidStatePath(silverDir))
-    // Price snapshot for the incremental path's overlap re-enrichment:
-    // the next refresh diffs current prices against this to find NEW (or
-    // LWW-updated) price observations and re-enriches only the date
-    // partitions within the as-of ±24h reach of them.
-    write(prices.select(col("token"), col("timestamp"), col("price_usd")),
-      pricesSeenPath(silverDir))
+    // The five state legs are INDEPENDENT (disjoint state dirs, disjoint
+    // aggregations of the same on-disk enriched table) — run them
+    // concurrently so the rebuild pays the slowest leg, not the sum,
+    // exactly as the incremental path already stages its deltas (r16,
+    // guide §2.6 overlap independent jobs). Each leg stamps its own
+    // generation fence, as before.
+    val Seq(stRecvA, stDonorA, _, _, _) =
+      concurrently[AnyRef](Seq(
+        () => {
+          val st = MergeWriter.mergeAdditiveBucketed(spark, recvDelta(facts),
+            s"$sd/recv_pairs", Seq("recipient", "donor"), Seq("n", "usd"), "n",
+            "recipient", buckets, "recipient")
+          writeGen(s"$sd/recv_pairs", gen, st)
+          st
+        },
+        () => {
+          val st = MergeWriter.mergeAdditiveBucketed(spark, donorDelta(facts),
+            s"$sd/donor_state", Seq("donor"), Seq("n", "usd", "mn", "musd"), "n",
+            "donor", buckets, "donor")
+          writeGen(s"$sd/donor_state", gen, st)
+          st
+        },
+        () => {
+          val st = MergeWriter.mergeAdditiveBucketed(spark, potDelta(facts),
+            s"$sd/pot_state", Seq("pot"),
+            Seq("n", "total_matching_pool_dec", "total_matching_pool_usd",
+              "matching_pool_donations_count", "total_public_donations_dec",
+              "total_public_donations_usd", "public_donations_count"), "n",
+            "pot", buckets, "pot")
+          writeGen(s"$sd/pot_state", gen, st)
+          st
+        },
+        () => { write(computePaid(payouts), paidStatePath(silverDir)); null },
+        // Price snapshot for the incremental path's overlap re-enrichment:
+        // the next refresh diffs current prices against this to find NEW
+        // (or LWW-updated) price observations and re-enriches only the
+        // date partitions within the as-of ±24h reach of them.
+        () => {
+          write(prices.select(col("token"), col("timestamp"), col("price_usd")),
+            pricesSeenPath(silverDir)); null
+        }))
+    val stRecv = stRecvA.asInstanceOf[MergeWriter.AdditiveMergeStats]
+    val stDonor = stDonorA.asInstanceOf[MergeWriter.AdditiveMergeStats]
 
     // Finals. account_stats is rebuilt whole (all account ids) through
     // the SAME row constructor the incremental path uses, built in a tmp

@@ -108,16 +108,13 @@ object SilverStore {
     else partitionSpec.get(name) match {
       case Some((pcol, pexpr)) =>
         val withP = df.withColumn(pcol, pexpr)
-        // Bootstrap: an empty first batch still creates a readable
-        // (schema-only, unpartitioned) table; the first real merge
-        // migrates it to the partitioned layout. Existence probes go
-        // through the TableIO seam — java.nio against local disk would
-        // misroute on an HDFS/object-store TableIO substitution.
-        if (!MergeWriter.io.exists(s"$dir/$name") && withP.isEmpty)
-          MergeWriter.merge(spark, withP, s"$dir/$name", keys, seqCols)
-        else
-          MergeWriter.mergePartitioned(spark, withP, s"$dir/$name", keys,
-            seqCols, pcol, bucket = partitionBucketSpec.get(name))
+        // Empty-first-batch bootstrap (a readable schema-only flat table)
+        // is handled INSIDE mergePartitioned off its already-collected,
+        // column-pruned partition list — a separate isEmpty probe here
+        // ran the full incoming plan one extra time per merge (r16,
+        // guide §1: one Spark job per batch saved on the live-tail path).
+        MergeWriter.mergePartitioned(spark, withP, s"$dir/$name", keys,
+          seqCols, pcol, bucket = partitionBucketSpec.get(name))
       case None => bucketSpec.get(name) match {
         case Some((bcol, n)) =>
           MergeWriter.mergeBucketed(spark, df, s"$dir/$name", keys, seqCols,

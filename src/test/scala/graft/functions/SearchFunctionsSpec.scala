@@ -51,11 +51,14 @@ class SearchFunctionsSpec extends SparkSpec {
     assert(run(Seq((12L, "zebra quark")), k = 5) === Seq.empty)
   }
 
-  private def bm25(corpus: Seq[(Long, String)], q: String): Map[Long, Long] =
-    SearchFunctions.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text",
-        Seq((1L, q)).toDF("query_id", "qtext"), "query_id", "qtext", k = 10)
-      .as[(Long, Long, Long, Long)].collect()
+  private def bm25(corpus: Seq[(Long, String)], q: String): Map[Long, Long] = {
+    val m = SearchFunctions.bm25TopK(corpus.toDF("doc_id", "text"),
+      "doc_id", "text",
+      Seq((1L, q)).toDF("query_id", "qtext"), "query_id", "qtext", k = 10)
+    try m.df.as[(Long, Long, Long, Long)].collect()
       .map { case (_, _, d, s) => d -> s }.toMap
+    finally m.release()
+  }
 
   test("bm25: term frequency saturates (doubling tf far less than doubles the score)") {
     // equal-length docs isolate the saturation term from length norm

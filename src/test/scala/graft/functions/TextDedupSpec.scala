@@ -47,9 +47,11 @@ class TextDedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     // Merges learned: (a,a)→aa, (a,b)→ab, (aa,ab)→aaab (see TXT19
     // test). Applying all three: aaab → [aaab] (1 token), ab → [ab].
-    val got = TextFunctions.bpeVocabulary(corpus, "text", nMerges = 5)
-      .orderBy("word").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gotM = TextFunctions.bpeVocabulary(corpus, "text", nMerges = 5)
+    val got =
+      try gotM.df.orderBy("word").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      finally gotM.release()
     assert(got.toSeq == Seq(
       ("aaab", 4L, 1L, "aaab"),
       ("ab", 2L, 1L, "ab")))
@@ -74,9 +76,11 @@ class TextDedupSpec extends SparkSpec {
 
   test("byteBpeVocabulary: multilingual coverage the ASCII core drops (TXT22)") {
     val corpus = Seq((1L, "éé éé ab"), (2L, "éé ab")).toDF("doc_id", "text")
-    val got = TextFunctions.byteBpeVocabulary(corpus, "text", nMerges = 5)
-      .orderBy("word").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gotM = TextFunctions.byteBpeVocabulary(corpus, "text", nMerges = 5)
+    val got =
+      try gotM.df.orderBy("word").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      finally gotM.release()
     assert(got.toSeq == Seq(
       ("ab", 2L, 1L, "6162"),
       ("éé", 3L, 1L, "C3A9C3A9")))
@@ -84,18 +88,24 @@ class TextDedupSpec extends SparkSpec {
     // On the multilingual doc fixture: the byte-level vocabulary covers
     // EVERY word (German umlauts, Spanish ñ — and they actually
     // tokenize), where the ASCII-core learner silently drops them.
-    val byteWords = TextFunctions.byteBpeVocabulary(docs, "text", nMerges = 3)
-      .select("word").collect().map(_.getString(0)).toSet
+    val byteM = TextFunctions.byteBpeVocabulary(docs, "text", nMerges = 3)
+    val byteWords =
+      try byteM.df.select("word").collect().map(_.getString(0)).toSet
+      finally byteM.release()
     assert(byteWords.contains("schläft") && byteWords.contains("niño"))
-    val asciiWords = TextFunctions.bpeVocabulary(docs, "text", nMerges = 3)
-      .select("word").collect().map(_.getString(0)).toSet
+    val asciiM = TextFunctions.bpeVocabulary(docs, "text", nMerges = 3)
+    val asciiWords =
+      try asciiM.df.select("word").collect().map(_.getString(0)).toSet
+      finally asciiM.release()
     assert(!asciiWords.contains("schläft") && !asciiWords.contains("niño"))
     // Every byte-level word round-trips: segmented hex re-decodes to the
     // word itself (lossless byte tokenization — GPT-2's core property).
-    val roundTrip = TextFunctions.byteBpeVocabulary(docs, "text", nMerges = 3)
-      .select(col("word"),
-        expr("decode(unhex(replace(segmented, ' ', '')), 'UTF-8')").as("rt"))
-      .filter(col("word") =!= col("rt")).count()
+    val rtM = TextFunctions.byteBpeVocabulary(docs, "text", nMerges = 3)
+    val roundTrip =
+      try rtM.df.select(col("word"),
+          expr("decode(unhex(replace(segmented, ' ', '')), 'UTF-8')").as("rt"))
+        .filter(col("word") =!= col("rt")).count()
+      finally rtM.release()
     assert(roundTrip == 0L)
   }
 
@@ -161,9 +171,11 @@ class TextDedupSpec extends SparkSpec {
     // at tau = 0.6 and nothing else does. Brute force computed over the
     // SAME word sets inside Spark — independent of the prefix path.
     val blocked = docs.withColumn("blk", lit("x"))
-    val got = DedupFunctions.allPairsJaccard(blocked, "doc_id", "text",
-        "blk", tauNum = 3, tauDen = 5).df
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val gotM = DedupFunctions.allPairsJaccard(blocked, "doc_id", "text",
+      "blk", tauNum = 3, tauDen = 5)
+    val got =
+      try gotM.df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      finally gotM.release()
     val sets = blocked.select(col("doc_id"),
       DedupFunctions.wordSet(col("text")).as("ws"))
     val brute = sets.as("a").join(sets.as("b"),
@@ -188,10 +200,12 @@ class TextDedupSpec extends SparkSpec {
       (4L, base + " extra"), // J = 10/11 ≈ 0.909
       (5L, "totally unrelated words nothing shared here at all now")
     ).toDF("doc_id", "text").withColumn("blk", lit("x"))
-    val got = DedupFunctions.allPairsJaccard(docs5, "doc_id", "text",
-        "blk", tauNum = 4, tauDen = 5).df
-      .select("id_a", "id_b", "inter", "uni")
-      .as[(Long, Long, Long, Long)].collect().toSet
+    val gotM = DedupFunctions.allPairsJaccard(docs5, "doc_id", "text",
+      "blk", tauNum = 4, tauDen = 5)
+    val got =
+      try gotM.df.select("id_a", "id_b", "inter", "uni")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      finally gotM.release()
     assert(got == Set(
       (1L, 2L, 10L, 10L), (1L, 3L, 10L, 10L), (2L, 3L, 10L, 10L),
       (1L, 4L, 10L, 11L), (2L, 4L, 10L, 11L), (3L, 4L, 10L, 11L)))
@@ -201,9 +215,11 @@ class TextDedupSpec extends SparkSpec {
     val a = "shared words alpha beta gamma delta epsilon zeta"
     val two = Seq((1L, a, "b1"), (2L, a, "b2"), (3L, a, "b1"))
       .toDF("doc_id", "text", "blk")
-    val got = DedupFunctions.allPairsJaccard(two, "doc_id", "text",
-        "blk", tauNum = 4, tauDen = 5).df
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val gotM = DedupFunctions.allPairsJaccard(two, "doc_id", "text",
+      "blk", tauNum = 4, tauDen = 5)
+    val got =
+      try gotM.df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      finally gotM.release()
     assert(got == Set((1L, 3L))) // identical text, but 2 is in another block
   }
 
@@ -1019,9 +1035,11 @@ class TextDedupSpec extends SparkSpec {
     val u = Array(-1.0f, 0.3f, 0.9f)  // far from both
     val df = ((1 to m).map(i => (i.toLong, v, "b")) ++
       Seq((500L, w, "b"), (600L, u, "b"))).toDF("vec_id", "embedding", "label")
-    val pairs = Similarity.embeddingNearDupPairs(df, "vec_id", "embedding",
-        "label", threshold = 0.9)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairsM = Similarity.embeddingNearDupPairs(df, "vec_id", "embedding",
+      "label", threshold = 0.9)
+    val pairs =
+      try pairsM.df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      finally pairsM.release()
     val intra = pairs.filter(p => p._1 <= m && p._2 <= m)
     assert(intra.length == m * (m - 1) / 2)
     // ONE value for every identical pair, computed by the cosine kernel
@@ -1055,9 +1073,11 @@ class TextDedupSpec extends SparkSpec {
       (2L, s"a totally different opening beta $span and a different ending beta"),
       (3L, "no shared material here at all just original prose about query engines"))
       .toDF("doc_id", "text")
-    val pairs = DedupFunctions.sharedSpanPairs(d, "doc_id", "text",
-        k = 20, w = 16)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairsM = DedupFunctions.sharedSpanPairs(d, "doc_id", "text",
+      k = 20, w = 16)
+    val pairs =
+      try pairsM.df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      finally pairsM.release()
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
     assert(pairs.head._3 >= 1) // at least one verified shared fingerprint
   }
@@ -1072,9 +1092,11 @@ class TextDedupSpec extends SparkSpec {
       (10L, s"left-context-one $span35 right-one"),
       (20L, s"other-left-context $span35 other-right"))
       .toDF("doc_id", "text")
-    val pairs = DedupFunctions.sharedSpanPairs(d, "doc_id", "text",
-        k = 20, w = 16)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairsM = DedupFunctions.sharedSpanPairs(d, "doc_id", "text",
+      k = 20, w = 16)
+    val pairs =
+      try pairsM.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      finally pairsM.release()
     assert(pairs.toSet == Set((10L, 20L)))
   }
 
@@ -1091,9 +1113,11 @@ class TextDedupSpec extends SparkSpec {
       (500L, loop * 40),
       (501L, loop * 40)))
       .toDF("doc_id", "text")
-    val pairs = DedupFunctions.sharedSpanPairs(d, "doc_id", "text",
-        k = 20, w = 16, maxDocsPerHash = 50, maxPosPerDocHash = 10)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairsM = DedupFunctions.sharedSpanPairs(d, "doc_id", "text",
+      k = 20, w = 16, maxDocsPerHash = 50, maxPosPerDocHash = 10)
+    val pairs =
+      try pairsM.df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      finally pairsM.release()
     // the 80-doc boilerplate hash is over the doc-frequency cap: no
     // quadratic 80×80 pair fan-out from it
     assert(!pairs.exists(p => p._1 <= n && p._2 <= n))
